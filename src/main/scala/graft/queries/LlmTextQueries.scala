@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Tables, Det}
+
+/** Training-data text pipeline operators over `documents` (BASELINE.json
+  * north star): exact dedup, n-gram Jaccard near-dup, text statistics,
+  * quality scoring, token counting, language-ID heuristic, multimodal
+  * binary plumbing.
+  *
+  * Scale design: everything is explode → shuffle-on-token/shingle →
+  * partial-agg. No pairwise O(n²) over the full corpus — near-dup joins
+  * are restricted to pairs sharing a shingle (inverted-index join), the
+  * same plan that survives a 100×-corpus scale-up; MinHash/LSH variants
+  * (LlmSimQueries) bound the candidate set further.
+  */
+object LlmTextQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  import Det._
+
+  /** Stopword set for the language-ID heuristic — tiny per-language
+    * marker lists (public common-word lists), deterministic.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "y"))
+
+  val queries: Map[String, Q] = Map(
+    // ---- exact dedup: group identical content, keep lowest doc_id ----
+    "q41_dedup_exact" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), length(col("text")).as("text_len"))
+        .orderBy(col("keep_id"))
+    }),
+    // ---- exact dedup at scale: hash-based (sha2 content fingerprint),
+    //      shuffles 32-byte digests instead of full documents ----
+    "q42_dedup_hash" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .withColumn("fp", sha2(col("text"), 256))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), col("fp"))
+        .orderBy(col("keep_id"))
+    }),
+    // ---- text statistics per language ----
+    "q43_text_stats" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tokens").cast(LongType)).as("total_tokens"),
+          davg(col("n_tokens").cast(DoubleType), 4).as("avg_tokens"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"))
+    }),
+    // ---- token counting: whitespace + BPE-ish word/number/symbol regex ----
+    "q44_token_count" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), "\\s+")).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_tokens"),
+          length(col("text")).as("n_chars_actual"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- quality scoring: length / punctuation / stopword ratios ----
+    "q45_quality_score" -> ((s, dir) => {
+      val toks = size(split(col("text"), " ")).cast(DoubleType)
+      val stops = size(expr(
+        "filter(split(text, ' '), t -> t IN ('the','a','of','and','is','to','in'))"
+      )).cast(DoubleType)
+      val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          dround(stops / toks, 6).as("stopword_ratio"),
+          dround(alpha / col("n_chars").cast(DoubleType), 6).as("alpha_ratio"),
+          when(col("n_chars") >= 200 && col("n_chars") <= 5000, 1.0)
+            .otherwise(0.0).as("len_ok"))
+        // weighted sum in exact decimal: double arithmetic near a
+        // half-point rounds differently across engines. DECIMAL(18,6), not
+        // (38,6): a (38,6)×(1,1) product needs >38 digits, which DuckDB
+        // silently demotes to DOUBLE, reintroducing float error.
+        .withColumn("quality",
+          round(col("stopword_ratio").cast(DecimalType(18, 6)) * lit(new java.math.BigDecimal("0.3")) +
+                col("alpha_ratio").cast(DecimalType(18, 6)) * lit(new java.math.BigDecimal("0.4")) +
+                col("len_ok").cast(DecimalType(18, 6)) * lit(new java.math.BigDecimal("0.3")), 6)
+            .cast(DoubleType))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- language-ID heuristic: marker-stopword votes, tie → 'und' ----
+    "q46_lang_id" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val votes = langMarkers.map { case (lang, ms) =>
+        val c = ms.map(m => size(expr(s"filter(split(text, ' '), t -> t = '$m')")))
+          .reduce(_ + _)
+        (lang, c)
+      }
+      val best = votes.map(_._2).reduce((a, b) => greatest(a, b))
+      // priority en > de > fr > es on tied vote counts (first match wins)
+      val guessed = votes.foldRight(lit("und")) { case ((lang, c), acc) =>
+        when(c === best && best > 0, lit(lang)).otherwise(acc)
+      }
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("labeled_lang"), guessed.as("guessed_lang"))
+        .groupBy(col("labeled_lang"), col("guessed_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("labeled_lang"), col("guessed_lang"))
+    }),
+    // ---- n-gram Jaccard near-dup via inverted-index join (no O(n²)) ----
+    "q47_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      // word 3-gram shingle sets per doc
+      val sh = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), expr(
+          """array_distinct(transform(sequence(0, size(toks) - 3),
+               i -> concat_ws(' ', slice(toks, i + 1, 3))))""").as("shingles"))
+        .filter(size(col("shingles")) > 0)
+      val setSize = sh.select(col("doc_id"), size(col("shingles")).as("set_sz"))
+      val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      // pairs sharing >= 1 shingle, a < b; |intersection| by count
+      val pairs = inv.as("x").join(inv.as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(setSize.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_sz", "sz_a"), "doc_a")
+        .join(setSize.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", dround(
+          col("inter").cast(DoubleType) /
+            (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    // ---- multimodal plumbing: text→binary stand-in, typed metadata ----
+    "q48_multimodal_meta" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"), col("source"))
+        .select(col("doc_id"), col("source"),
+          octet_length(col("blob")).as("n_bytes"),
+          md5(col("blob")).as("content_md5"),
+          substring(hex(col("blob")), 1, 16).as("head_hex"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val A = davgSql
+  private val R = droundSql
+
+  val oracle: Map[String, String] = Map(
+    "q41_dedup_exact" -> """
+      SELECT min(doc_id) AS keep_id, count(*) AS n_copies, length(text) AS text_len
+      FROM documents
+      GROUP BY text
+      ORDER BY keep_id""",
+    "q42_dedup_hash" -> """
+      SELECT min(doc_id) AS keep_id, count(*) AS n_copies, sha256(text) AS fp
+      FROM documents
+      GROUP BY sha256(text)
+      ORDER BY keep_id""",
+    "q43_text_stats" -> s"""
+      SELECT lang, count(*) AS n_docs,
+        sum(n_chars) AS total_chars,
+        sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+        ${A("len(string_split(text, ' '))", 4)} AS avg_tokens,
+        min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""",
+    "q44_token_count" -> """
+      SELECT doc_id,
+        CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS bpe_tokens,
+        length(text) AS n_chars_actual
+      FROM documents
+      ORDER BY doc_id""",
+    "q45_quality_score" -> s"""
+      SELECT doc_id, stopword_ratio, alpha_ratio, len_ok,
+        CAST(round(CAST(stopword_ratio AS DECIMAL(18,6)) * 0.3
+                 + CAST(alpha_ratio AS DECIMAL(18,6)) * 0.4
+                 + CAST(len_ok AS DECIMAL(18,6)) * 0.3, 6) AS DOUBLE) AS quality
+      FROM (
+        SELECT doc_id,
+          ${R("CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is','to','in'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)", 6)} AS stopword_ratio,
+          ${R("CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE)", 6)} AS alpha_ratio,
+          CASE WHEN n_chars >= 200 AND n_chars <= 5000 THEN 1.0 ELSE 0.0 END AS len_ok
+        FROM documents)
+      ORDER BY doc_id""",
+    "q46_lang_id" -> """
+      SELECT labeled_lang, guessed_lang, count(*) AS n FROM (
+        SELECT lang AS labeled_lang,
+          CASE
+            WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+            WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+            WHEN fr >= es AND fr > 0 THEN 'fr'
+            WHEN es > 0 THEN 'es'
+            ELSE 'und' END AS guessed_lang
+        FROM (
+          SELECT lang,
+            len(list_filter(string_split(text, ' '), t -> t IN ('the','and','of'))) AS en,
+            len(list_filter(string_split(text, ' '), t -> t IN ('der','die','und'))) AS de,
+            len(list_filter(string_split(text, ' '), t -> t IN ('le','la','et'))) AS fr,
+            len(list_filter(string_split(text, ' '), t -> t IN ('el','los','y'))) AS es
+          FROM documents))
+      GROUP BY labeled_lang, guessed_lang
+      ORDER BY labeled_lang, guessed_lang""",
+    "q47_ngram_jaccard" -> s"""
+      WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(len(toks) - 2),
+          i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 3),
+      inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      sz AS (SELECT doc_id, len(shingles) AS set_sz FROM sh),
+      pairs AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+        FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT doc_a, doc_b,
+          ${R("CAST(inter AS DOUBLE) / CAST(a.set_sz + b.set_sz - inter AS DOUBLE)", 6)} AS jaccard
+        FROM pairs
+          JOIN sz a ON pairs.doc_a = a.doc_id
+          JOIN sz b ON pairs.doc_b = b.doc_id)
+      WHERE jaccard >= 0.5
+      ORDER BY doc_a, doc_b""",
+    "q48_multimodal_meta" -> """
+      SELECT doc_id, source,
+        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        md5(text) AS content_md5,
+        substr(upper(hex(encode(text))), 1, 16) AS head_hex
+      FROM documents
+      ORDER BY doc_id"""
+  )
+}

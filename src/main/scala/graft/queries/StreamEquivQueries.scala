@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Tables, Det}
+
+/** Batch-equivalent forms of the streaming surface (SURVEY.md §2.9 /
+  * §2.11 "Streaming" row). The same transforms run as true
+  * `readStream` queries in `StreamingPipelineSpec`; here they execute
+  * in batch mode over `events` so the DuckDB oracle can hash-match
+  * them (wall-clock-free, deterministic).
+  *
+  * `window()` / `session_window()` are the exact operators a streaming
+  * query would use — batch execution exercises identical Catalyst
+  * plans minus the watermark-driven state eviction.
+  */
+object StreamEquivQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  import Det._
+
+  val queries: Map[String, Q] = Map(
+    // ---- tumbling event-time window ----
+    "q36_tumbling_window" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+    // ---- sliding event-time window (1h window, 30m slide) ----
+    "q37_sliding_window" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .select(col("w.start").as("window_start"), col("n"), col("n_users"))
+        .orderBy(col("window_start"))
+    }),
+    // ---- session window (10-minute gap) ----
+    "q38_session_window" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
+        .select(col("user_id"), col("w.start").as("session_start"), col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+    // ---- CDC apply: latest state by key (the upsert-materialize op) ----
+    "q39_latest_by_key" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), dround(col("value"), 6).as("last_value"))
+        .orderBy(col("user_id"))
+    }),
+    // ---- streaming dedup (dropDuplicates semantics, first-by-time) ----
+    "q40_dedup_first" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    })
+  )
+
+  private val S = dsumSql
+  private val R = droundSql
+
+  val oracle: Map[String, String] = Map(
+    "q36_tumbling_window" -> s"""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        count(*) AS n, ${S("value", 4)} AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type""",
+    // sliding window = each event lands in exactly two 30-min-aligned
+    // 1-hour windows: bucket(30m, ts) and bucket(30m, ts) - 30m
+    "q37_sliding_window" -> """
+      SELECT window_start, count(*) AS n, count(DISTINCT user_id) AS n_users
+      FROM (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, user_id FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', user_id FROM events)
+      GROUP BY 1
+      ORDER BY window_start""",
+    // session window: gaps-and-islands; new session when gap >= 10 min
+    "q38_session_window" -> s"""
+      SELECT user_id, min(ts) AS session_start,
+        count(*) AS n_events, ${S("value", 4)} AS session_value
+      FROM (
+        SELECT user_id, ts, value,
+          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM (
+          SELECT user_id, event_id, ts, value,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      >= INTERVAL '10 minutes'
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM events))
+      GROUP BY user_id, sess_id
+      ORDER BY user_id, session_start""",
+    "q39_latest_by_key" -> s"""
+      SELECT user_id, last_event_id, last_type, last_value FROM (
+        SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+          ${R("value", 6)} AS last_value,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1
+      ORDER BY user_id""",
+    "q40_dedup_first" -> """
+      SELECT user_id, event_type, first_event_id FROM (
+        SELECT user_id, event_type, event_id AS first_event_id,
+          row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        FROM events)
+      WHERE rn = 1
+      ORDER BY user_id, event_type"""
+  )
+}
