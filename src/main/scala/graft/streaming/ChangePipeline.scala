@@ -1,0 +1,173 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.lakehouse.LakehouseTable
+
+/** CDC change-event envelope for the file-based stream (stand-in for
+  * the Kafka transport — no kafka connector jar ships in this env;
+  * SURVEY.md §2.1 S1). Shape mirrors the Debezium-style record the
+  * reference moves end-to-end (`tests/benchmark/helpers.py:103-154`):
+  * op (c/u/d), ts_ms, before/after as JSON text (schema-dynamic, like
+  * the reference's dict payloads), plus transport coordinates.
+  */
+object ChangeEnvelope {
+  val schema: StructType = StructType(Seq(
+    StructField("topic", StringType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("op", StringType, nullable = false), // c | u | d
+    StructField("ts_ms", LongType, nullable = true),
+    StructField("key", StringType, nullable = true), // JSON text
+    StructField("before", StringType, nullable = true), // JSON text
+    StructField("after", StringType, nullable = true) // JSON text
+  ))
+
+  /** Open the change stream (micro-batch admission = maxFilesPerTrigger,
+    * the backpressure analogue of the reference's bounded queues, §2.9 T1).
+    */
+  def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+      // DLQ topics are never consumed (`sources/factory.py:25,40,58`)
+      .filter(!col("topic").endsWith(".dlq"))
+}
+
+/** Sink protocol — Spark-native form of the reference `SinkConnector`
+  * (`sinks/base.py:12-50`): a sink durably writes a micro-batch and the
+  * pipeline records flushed offsets per (topic, partition) afterwards.
+  */
+trait Sink {
+  def sinkId: String
+  /** Durably write one micro-batch; throw to route the batch to the DLQ. */
+  def write(batch: DataFrame, batchId: Long): Unit
+}
+
+/** Lakehouse sink: value columns ∪ `_cdc_topic/_cdc_partition/_cdc_offset`
+  * metadata (`sinks/iceberg.py:124-129`); append or key-upsert mode.
+  * Deletes (null `after`) are tombstones: in upsert mode they remove the
+  * key from the table; in append mode they append with null payload
+  * (tombstone pass-through, §2.2 P4).
+  */
+final class LakehouseSink(
+    val sinkId: String,
+    table: LakehouseTable,
+    payloadSchema: StructType,
+    upsertKeys: Seq[String] = Nil) extends Sink {
+
+  override def write(batch: DataFrame, batchId: Long): Unit = {
+    val parsed = batch.withColumn("_payload", from_json(col("after"), payloadSchema))
+    val rows = parsed
+      .select((payloadSchema.fieldNames.map(f => col(s"_payload.$f").as(f)) ++ Seq(
+        col("topic").as("_cdc_topic"),
+        col("partition").cast(LongType).as("_cdc_partition"),
+        col("offset").as("_cdc_offset"),
+        col("op").as("_cdc_op"),
+        col("key").as("_cdc_key"))): _*)
+    if (upsertKeys.nonEmpty) {
+      // CDC apply: a batch may carry several events for one key — only
+      // the LATEST (by offset; per-partition order is the stream order,
+      // §2.6) takes effect. The key identity comes from the event key,
+      // not the payload, so tombstones (null payload) group correctly.
+      import org.apache.spark.sql.expressions.Window
+      val keyed = rows.withColumn("_key", from_json(col("_cdc_key"), keySchema))
+      val latest = keyed
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(upsertKeys.map(k => col(s"_key.$k")): _*)
+            .orderBy(col("_cdc_offset").desc)))
+        .filter(col("_rn") === 1).drop("_rn")
+      val upserts = latest.filter(col("_cdc_op") =!= "d")
+        .drop("_key", "_cdc_key")
+      if (!upserts.isEmpty) table.upsert(upserts, upsertKeys)
+      val deletes = latest.filter(col("_cdc_op") === "d")
+        .select(upsertKeys.map(k => col(s"_key.$k").as(k)): _*)
+      if (!deletes.isEmpty) {
+        val cur = table.read()
+        table.overwrite(cur.join(deletes.distinct(), upsertKeys, "left_anti"))
+      }
+    } else if (!rows.isEmpty) table.append(rows.drop("_cdc_key"))
+  }
+
+  private def keySchema: StructType =
+    StructType(upsertKeys.map(k => payloadSchema(k)))
+}
+
+/** Dead-letter side-output with the reference's 8 diagnostic headers as
+  * columns (`streaming/dlq.py:25-93`, `pipeline/runner.py:231-248`).
+  */
+final class DlqWriter(table: LakehouseTable) {
+  def route(batch: DataFrame, sinkId: String, error: Throwable): Unit = {
+    val stack = error.getStackTrace.take(5).mkString("\n")
+    val dlqRows = batch.select(
+      col("topic").as("dlq_source_topic"),
+      col("partition").as("dlq_source_partition"),
+      col("offset").as("dlq_source_offset"),
+      lit(Option(error.getMessage).getOrElse("")).as("dlq_error_message"),
+      lit(error.getClass.getName).as("dlq_error_type"),
+      lit(stack).as("dlq_error_stacktrace"),
+      lit(System.currentTimeMillis()).as("dlq_timestamp"),
+      lit(sinkId).as("dlq_sink_id"),
+      col("key"), col("before"), col("after"), col("op"))
+    table.append(dlqRows)
+  }
+}
+
+/** The pipeline: one streaming query fanning each micro-batch out to N
+  * sinks, with per-sink failure isolation → DLQ (a failed sink never
+  * blocks the others, `pipeline/runner.py:210-250`) and the
+  * min-watermark ledger gating transport commits (§2.4 A2).
+  *
+  * Spark's checkpoint gives at-least-once micro-batch replay; sinks
+  * absorb duplicates via key-upserts / `_cdc_offset` dedup — together:
+  * exactly-once effect (`README.md:411-419` contract, re-expressed).
+  */
+final class ChangePipeline(
+    spark: SparkSession,
+    sourceDir: String,
+    sinks: Seq[Sink],
+    dlq: DlqWriter,
+    checkpointDir: String,
+    onCommit: Map[(String, Int), Long] => Unit = _ => ()) {
+
+  val ledger = new CommitLedger(sinks.map(_.sinkId))
+
+  def start(trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    ChangeEnvelope.readStream(spark, sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch: fan-out → record flushes → min-watermark commit. */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val b = batch.cache()
+    try {
+      val maxOffsets = b.groupBy(col("topic"), col("partition"))
+        .agg(max(col("offset")).as("max_offset"))
+        .collect()
+        .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2)))
+      if (maxOffsets.isEmpty) return
+
+      sinks.foreach { sink =>
+        try {
+          sink.write(b, batchId)
+          maxOffsets.foreach { case (tp, off) => ledger.recordFlush(sink.sinkId, tp, off) }
+        } catch {
+          case e: Exception => dlq.route(b, sink.sinkId, e)
+          // flushed offsets deliberately NOT advanced on failure
+          // (`test_iceberg_sink.py:373-395` semantics)
+        }
+      }
+      val commits = ledger.commitableNextToFetch()
+      if (commits.nonEmpty) onCommit(commits)
+    } finally b.unpersist()
+  }
+}

@@ -1,0 +1,97 @@
+package graft.lakehouse
+
+import graft.SparkSpec
+
+/** Lakehouse-lite semantics, porting the assertions of the reference's
+  * `tests/integration/test_lakehouse_e2e.py:72-266`: snapshots reflect
+  * appends, point-in-time scans see historical state, rollback restores
+  * state (and rejects invalid ids), compaction reduces file count,
+  * expiry drops old snapshots and unreferenced files.
+  */
+class LakehouseTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("append creates snapshots; reads see cumulative state") {
+    val t = new LakehouseTable(spark, tmpDir("lh-append"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(t.listSnapshots().map(_.operation) === Seq("append", "append"))
+    assert(t.read().count() === 3)
+    assert(t.read().as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("time travel sees the state at each snapshot") {
+    val t = new LakehouseTable(spark, tmpDir("lh-tt"))
+    val s1 = t.append(Seq((1L, "a")).toDF("id", "v"))
+    val s2 = t.append(Seq((2L, "b")).toDF("id", "v"))
+    assert(t.scanAtSnapshot(s1.snapshotId).count() === 1)
+    assert(t.scanAtSnapshot(s2.snapshotId).count() === 2)
+    assert(t.scanAtSnapshot(s2.snapshotId, limit = Some(1)).count() === 1)
+  }
+
+  test("upsert replaces matching keys, keeps others, adds new") {
+    val t = new LakehouseTable(spark, tmpDir("lh-upsert"))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    t.upsert(Seq((2L, "B2"), (4L, "d")).toDF("id", "v"), keys = Seq("id"))
+    assert(t.read().as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+  }
+
+  test("upsert is idempotent (same batch absorbed, mirroring replay)") {
+    val t = new LakehouseTable(spark, tmpDir("lh-idem"))
+    val batch = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    t.upsert(batch, keys = Seq("id"))
+    t.upsert(batch, keys = Seq("id"))
+    assert(t.read().count() === 2)
+  }
+
+  test("upsert rewrites only files containing matching keys") {
+    val t = new LakehouseTable(spark, tmpDir("lh-rw"))
+    val s1 = t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    val s3 = t.upsert(Seq((2L, "B")).toDF("id", "v"), keys = Seq("id"))
+    // s1's file (untouched by the upsert) must carry over by reference
+    assert(s1.files.forall(s3.files.contains))
+  }
+
+  test("rollback restores old state as a new snapshot; invalid id rejected") {
+    val t = new LakehouseTable(spark, tmpDir("lh-rb"))
+    val s1 = t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    assert(t.read().count() === 2)
+    t.rollbackToSnapshot(s1.snapshotId)
+    assert(t.read().count() === 1)
+    assert(t.listSnapshots().last.operation === "rollback")
+    val ex = intercept[IllegalArgumentException](t.rollbackToSnapshot(999L))
+    assert(ex.getMessage.contains("Valid snapshot IDs"))
+  }
+
+  test("compaction coalesces files when over threshold, respects row cap") {
+    val t = new LakehouseTable(spark, tmpDir("lh-compact"))
+    (1 to 4).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val before = t.currentSnapshot().get.files.size
+    assert(before >= 4)
+    // row cap below table size → skipped
+    assert(t.compact(fileThreshold = 3, maxRows = 2) === None)
+    // within cap → compacts to 1 file, content preserved
+    val snap = t.compact(fileThreshold = 3, maxRows = 1000000)
+    assert(snap.isDefined)
+    assert(snap.get.files.size === 1)
+    assert(t.read().count() === 4)
+    // below threshold → no-op
+    assert(t.compact(fileThreshold = 3, maxRows = 1000000) === None)
+  }
+
+  test("expiry drops old snapshots but never the current one") {
+    val t = new LakehouseTable(spark, tmpDir("lh-expire"))
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.overwrite(Seq((2L, "b")).toDF("id", "v"))
+    val dropped = t.expireSnapshotsOlderThan(System.currentTimeMillis() + 60000)
+    assert(dropped === 1)
+    assert(t.listSnapshots().size === 1)
+    assert(t.read().as[(Long, String)].collect().toSet === Set((2L, "b")))
+    // the expired snapshot's now-unreferenced file is gone from disk
+    assert(intercept[IllegalArgumentException](t.scanAtSnapshot(1L)) != null)
+  }
+}

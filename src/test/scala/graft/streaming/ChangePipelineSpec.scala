@@ -1,0 +1,131 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.lakehouse.LakehouseTable
+
+/** End-to-end micro-batch pipeline semantics: fan-out, DLQ isolation,
+  * flushed-offsets-not-advanced-on-failure, min-watermark commit
+  * (reference contracts: `pipeline/runner.py:210-250,355-383`,
+  * `test_iceberg_sink.py:373-395`, `test_consumer.py:122-136`).
+  */
+class ChangePipelineSpec extends SparkSpec {
+
+  private val payloadSchema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  private def writeEnvelopes(dir: String, lines: Seq[String], file: String = "b0.json"): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, file), lines.mkString("\n"))
+  }
+
+  private def env(op: String, offset: Long, id: Long, name: String,
+      topic: String = "cdc.public.users", partition: Int = 0): String = {
+    val after = if (op == "d") "null" else s"""\"{\\\"id\\\":$id,\\\"name\\\":\\\"$name\\\"}\""""
+    s"""{"topic":"$topic","partition":$partition,"offset":$offset,"op":"$op","ts_ms":1000,"key":"{\\\"id\\\":$id}","before":null,"after":$after}"""
+  }
+
+  private class FailingSink(val sinkId: String) extends Sink {
+    override def write(batch: DataFrame, batchId: Long): Unit =
+      throw new RuntimeException("sink down")
+  }
+
+  test("happy path: events land in the lakehouse sink with _cdc_* metadata; watermark commits") {
+    val src = tmpDir("cp-src")
+    writeEnvelopes(src, Seq(env("c", 0, 1, "alice"), env("c", 1, 2, "bob")))
+
+    val table = new LakehouseTable(spark, tmpDir("cp-table"))
+    var committed = Map.empty[(String, Int), Long]
+    val pipe = new ChangePipeline(spark, src,
+      Seq(new LakehouseSink("lh1", table, payloadSchema)),
+      new DlqWriter(new LakehouseTable(spark, tmpDir("cp-dlq"))),
+      tmpDir("cp-ckpt"), onCommit = committed = _)
+
+    pipe.start().awaitTermination(60000)
+
+    val rows = table.read().collect()
+    assert(rows.length === 2)
+    val cols = table.read().columns.toSet
+    assert(Set("id", "name", "_cdc_topic", "_cdc_partition", "_cdc_offset").subsetOf(cols))
+    // committed = max offset + 1 (next-to-fetch)
+    assert(committed === Map(("cdc.public.users", 0) -> 2L))
+  }
+
+  test("failed sink routes batch to DLQ with diagnostics; healthy sink unaffected; commit suppressed") {
+    val src = tmpDir("cp2-src")
+    writeEnvelopes(src, Seq(env("c", 0, 1, "alice")))
+
+    val table = new LakehouseTable(spark, tmpDir("cp2-table"))
+    val dlqTable = new LakehouseTable(spark, tmpDir("cp2-dlq"))
+    var committed: Option[Map[(String, Int), Long]] = None
+    val pipe = new ChangePipeline(spark, src,
+      Seq(new LakehouseSink("lh1", table, payloadSchema), new FailingSink("bad")),
+      new DlqWriter(dlqTable), tmpDir("cp2-ckpt"),
+      onCommit = m => committed = Some(m))
+
+    pipe.start().awaitTermination(60000)
+
+    assert(table.read().count() === 1) // healthy sink delivered
+    val dlq = dlqTable.read().collect()
+    assert(dlq.length === 1) // failed batch captured
+    val d = dlqTable.read()
+    val row = d.select("dlq_sink_id", "dlq_error_message", "dlq_error_type",
+      "dlq_source_topic", "dlq_source_offset").collect().head
+    assert(row.getString(0) === "bad")
+    assert(row.getString(1) === "sink down")
+    assert(row.getString(2) === "java.lang.RuntimeException")
+    assert(row.getString(3) === "cdc.public.users")
+    assert(row.getLong(4) === 0L)
+    // min-watermark: failing sink never flushed → nothing committable
+    assert(committed === None)
+  }
+
+  test("upsert sink: replay absorbs duplicates, deletes drop keys (exactly-once effect)") {
+    val src = tmpDir("cp3-src")
+    writeEnvelopes(src, Seq(
+      env("c", 0, 1, "alice"), env("c", 1, 2, "bob"), env("u", 2, 1, "alice2")))
+
+    val table = new LakehouseTable(spark, tmpDir("cp3-table"))
+    val mkPipe = () => new ChangePipeline(spark, src,
+      Seq(new LakehouseSink("lh1", table, payloadSchema, upsertKeys = Seq("id"))),
+      new DlqWriter(new LakehouseTable(spark, tmpDir("cp3-dlq"))), tmpDir("cp3-ckpt"))
+
+    mkPipe().start().awaitTermination(60000)
+    import spark.implicits._
+    val state1 = table.read().select("id", "name").as[(Long, String)].collect().toSet
+    assert(state1 === Set((1L, "alice2"), (2L, "bob")))
+
+    // replay the same batch through a FRESH checkpoint (simulated redelivery)
+    val pipe2 = new ChangePipeline(spark, src,
+      Seq(new LakehouseSink("lh1", table, payloadSchema, upsertKeys = Seq("id"))),
+      new DlqWriter(new LakehouseTable(spark, tmpDir("cp3-dlq2"))), tmpDir("cp3-ckpt2"))
+    pipe2.start().awaitTermination(60000)
+    assert(table.read().select("id", "name").as[(Long, String)].collect().toSet === state1)
+
+    // a delete tombstone removes the key
+    writeEnvelopes(src, Seq(env("d", 3, 2, "bob")), file = "b1.json")
+    val pipe3 = new ChangePipeline(spark, src,
+      Seq(new LakehouseSink("lh1", table, payloadSchema, upsertKeys = Seq("id"))),
+      new DlqWriter(new LakehouseTable(spark, tmpDir("cp3-dlq3"))), tmpDir("cp3-ckpt3"))
+    pipe3.start().awaitTermination(60000)
+    assert(table.read().select("id", "name").as[(Long, String)].collect().toSet ===
+      Set((1L, "alice2")))
+  }
+
+  test("dlq topics are excluded from consumption") {
+    val src = tmpDir("cp4-src")
+    writeEnvelopes(src, Seq(
+      env("c", 0, 1, "x"),
+      env("c", 0, 9, "dead", topic = "cdc.public.users.dlq")))
+    val table = new LakehouseTable(spark, tmpDir("cp4-table"))
+    val pipe = new ChangePipeline(spark, src,
+      Seq(new LakehouseSink("lh1", table, payloadSchema)),
+      new DlqWriter(new LakehouseTable(spark, tmpDir("cp4-dlq"))), tmpDir("cp4-ckpt"))
+    pipe.start().awaitTermination(60000)
+    assert(table.read().count() === 1)
+  }
+}
