@@ -33,7 +33,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // CDC-path throughput (BASELINE.md metrics: decode msg/s, e2e msg/s)
+    val cdcMetrics: Map[String, Double] =
+      try {
+        CdcBench.walDecodeBenches() +
+          ("cdc_e2e_msgs_per_sec" -> CdcBench.e2eRate(spark, n = 100000, partitions = 8))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] cdc bench failed: ${e.getMessage}")
+          Map.empty
+      }
+    val cdcJson = cdcMetrics.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + f"\":$v%.1f" }.mkString("{", ",", "}")
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cdc":$cdcJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

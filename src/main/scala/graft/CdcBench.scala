@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+import graft.cdc.PgOutputDecoder
+import graft.lakehouse.LakehouseTable
+import graft.streaming._
+
+/** CDC-path throughput benchmarks mirroring the reference's baseline
+  * metrics (BASELINE.md): pgoutput decode msg/s (pure INSERT, mixed,
+  * wide-table — `tests/benchmark/test_wal_decoder_throughput.py`
+  * thresholds 50K/30K/5K msg/s) and end-to-end pipeline msg/s through
+  * the streaming source → sink path (`docs/benchmark-results.md:64-77`,
+  * 38,647 msg/s high-throughput).
+  */
+object CdcBench {
+
+  // ---- binary message builders (same wire format as the decoder spec) ----
+  private def u16(v: Int) = ByteBuffer.allocate(2).putShort(v.toShort).array()
+  private def u32(v: Long) = ByteBuffer.allocate(4).putInt(v.toInt).array()
+  private def i64(v: Long) = ByteBuffer.allocate(8).putLong(v).array()
+
+  private def relation(relId: Long, table: String, cols: Seq[String]): Array[Byte] = {
+    var d = "R".getBytes ++ u32(relId) ++
+      "public".getBytes(StandardCharsets.UTF_8) ++ Array[Byte](0) ++
+      table.getBytes(StandardCharsets.UTF_8) ++ Array[Byte](0) ++
+      Array[Byte](0) ++ u16(cols.size)
+    cols.foreach { c =>
+      d = d ++ Array[Byte](0) ++ c.getBytes(StandardCharsets.UTF_8) ++
+        Array[Byte](0) ++ u32(23) ++ u32(0)
+    }
+    d
+  }
+
+  private def tuple(values: Seq[String]): Array[Byte] = {
+    var d = u16(values.size)
+    values.foreach { v =>
+      val b = v.getBytes(StandardCharsets.UTF_8)
+      d = d ++ "t".getBytes ++ u32(b.length) ++ b
+    }
+    d
+  }
+
+  private def insert(relId: Long, values: Seq[String]): Array[Byte] =
+    "I".getBytes ++ u32(relId) ++ "N".getBytes ++ tuple(values)
+  private def update(relId: Long, values: Seq[String]): Array[Byte] =
+    "U".getBytes ++ u32(relId) ++ "N".getBytes ++ tuple(values)
+  private def delete(relId: Long, values: Seq[String]): Array[Byte] =
+    "D".getBytes ++ u32(relId) ++ "K".getBytes ++ tuple(values)
+
+  /** Single-thread decode throughput over n pre-built messages. */
+  private def decodeRate(messages: Array[Array[Byte]], prelude: Seq[Array[Byte]]): Double = {
+    val d = new PgOutputDecoder
+    prelude.foreach(d.decode)
+    var count = 0L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < messages.length) {
+      count += d.decode(messages(i)).size
+      i += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    count / sec
+  }
+
+  def walDecodeBenches(): Map[String, Double] = {
+    val begin = "B".getBytes ++ i64(1) ++ i64(0) ++ u32(1)
+    val rel2 = relation(1, "users", Seq("id", "name"))
+    val relWide = relation(2, "wide", (0 until 100).map(i => s"c$i"))
+
+    val n = 200000
+    val pure = Array.tabulate(n)(i => insert(1, Seq(i.toString, s"name_$i")))
+    val mixed = Array.tabulate(n) { i =>
+      (i % 3: @annotation.switch) match {
+        case 0 => insert(1, Seq(i.toString, s"name_$i"))
+        case 1 => update(1, Seq(i.toString, s"upd_$i"))
+        case 2 => delete(1, Seq(i.toString, s"name_$i"))
+      }
+    }
+    val wideVals = (0 until 100).map(c => s"value_$c")
+    val wide = Array.tabulate(20000)(_ => insert(2, wideVals))
+
+    Map(
+      "wal_decode_insert_msgs_per_sec" -> decodeRate(pure, Seq(begin, rel2)),
+      "wal_decode_mixed_msgs_per_sec" -> decodeRate(mixed, Seq(begin, rel2)),
+      "wal_decode_wide100_msgs_per_sec" -> decodeRate(wide, Seq(begin, relWide)))
+  }
+
+  /** End-to-end: n envelope events across `partitions` topic-partitions
+    * through the streaming pipeline into a lakehouse append sink.
+    */
+  def e2eRate(spark: SparkSession, n: Int, partitions: Int): Double = {
+    val src = Files.createTempDirectory("cdcbench-src").toString
+    // one file per partition, mirroring per-partition consumption
+    (0 until partitions).foreach { p =>
+      val sb = new StringBuilder
+      var off = 0
+      (0 until n / partitions).foreach { i =>
+        val id = p * (n / partitions) + i
+        sb.append(s"""{"topic":"cdc.public.users","partition":$p,"offset":$off,"op":"c","ts_ms":$id,"key":"{\\"id\\":$id}","before":null,"after":"{\\"id\\":$id,\\"name\\":\\"user_$id\\",\\"v\\":$i}"}""")
+          .append('\n')
+        off += 1
+      }
+      Files.writeString(Paths.get(src, s"p$p.json"), sb.toString)
+    }
+    val payload = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("v", LongType)))
+    val table = new LakehouseTable(spark, Files.createTempDirectory("cdcbench-t").toString)
+    val pipe = new ChangePipeline(spark, src,
+      Seq(new LakehouseSink("lh", table, payload)),
+      new DlqWriter(new LakehouseTable(spark, Files.createTempDirectory("cdcbench-d").toString)),
+      Files.createTempDirectory("cdcbench-c").toString)
+    val t0 = System.nanoTime()
+    // maxFilesPerTrigger default batches the work; AvailableNow drains all
+    pipe.start().awaitTermination(600000)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val delivered = table.read().count()
+    require(delivered == n, s"delivered $delivered of $n")
+    n / sec
+  }
+}

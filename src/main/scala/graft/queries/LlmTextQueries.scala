@@ -118,10 +118,16 @@ object LlmTextQueries {
     "q47_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       // word 3-gram shingle sets per doc
+      // shingles carried as 60-bit md5 hashes: the self-join shuffles
+      // 8-byte keys instead of shingle text (≈6× smaller at sf0.1; the
+      // ratio grows with shingle length). md5 is engine-identical, so
+      // the (vanishingly rare) collisions are IDENTICAL in the oracle —
+      // results still hash-match exactly.
       val sh = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), expr(
           """array_distinct(transform(sequence(0, size(toks) - 3),
-               i -> concat_ws(' ', slice(toks, i + 1, 3))))""").as("shingles"))
+               i -> CAST(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, 3))), 1, 15), 16, 10) AS BIGINT)))""")
+          .as("shingles"))
         .filter(size(col("shingles")) > 0)
       val setSize = sh.select(col("doc_id"), size(col("shingles")).as("set_sz"))
       val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
@@ -140,6 +146,51 @@ object LlmTextQueries {
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    // ---- document fingerprinting: rolling word-4-gram hashes, bottom-k
+    //      sketch (winnowing-style). Bottom-k of a uniform hash is an
+    //      unbiased content signature; equal fingerprints ⇒ near-identical
+    //      docs. Shuffles 4 hashes per doc, never full text. ----
+    "q54_rolling_fingerprint" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 4)
+        .select(col("doc_id"), expr(
+          """transform(sequence(0, size(toks) - 4),
+               i -> conv(substring(md5(concat_ws(' ', slice(toks, i + 1, 4))), 1, 15), 16, 10))""")
+          .as("grams"))
+        .select(col("doc_id"), explode(col("grams")).as("h0"))
+        .select(col("doc_id"), col("h0").cast(LongType).as("h"))
+        .groupBy(col("doc_id"))
+        .agg(concat_ws("-",
+          slice(sort_array(collect_set(col("h"))), 1, 4).cast(ArrayType(StringType)))
+          .as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- multimodal decode stub: binary columns + typed metadata. The
+    //      real image/audio decode libs aren't in this container, so the
+    //      "decode" derives deterministic fake dimensions from the
+    //      content hash — the Spark-side plumbing (binary column, typed
+    //      struct out, partition-parallel map) is the real, tested part. ----
+    "q55_multimodal_decode_stub" -> ((s, dir) => {
+      val h = (pos: Int, len: Int) =>
+        expr(s"CAST(conv(substring(md5(text), $pos, $len), 16, 10) AS BIGINT)")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          encode(col("text"), "UTF-8").as("blob"),
+          when(pmod(col("doc_id"), lit(3)) === 0, "image")
+            .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+            .otherwise("video").as("media_type"))
+        .withColumn("width", (lit(64) + h(1, 4) % 1960).cast(IntegerType))
+        .withColumn("height", (lit(64) + h(5, 4) % 1020).cast(IntegerType))
+        .withColumn("n_frames",
+          when(col("media_type") === "video", (lit(1) + h(9, 4) % 240).cast(IntegerType))
+            .otherwise(lit(1)))
+        .withColumn("resize_scale",
+          dround(lit(256.0) / greatest(col("width"), col("height")).cast(DoubleType), 6))
+        .select(col("doc_id"), col("media_type"), octet_length(col("blob")).as("n_bytes"),
+          col("width"), col("height"), col("n_frames"), col("resize_scale"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- multimodal plumbing: text→binary stand-in, typed metadata ----
     "q48_multimodal_meta" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -156,6 +207,36 @@ object LlmTextQueries {
   private val R = droundSql
 
   val oracle: Map[String, String] = Map(
+    "q54_rolling_fingerprint" -> """
+      SELECT doc_id,
+        array_to_string(list_sort(list(DISTINCT h))[1:4], '-') AS fingerprint
+      FROM (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS h
+        FROM (
+          SELECT doc_id, unnest(list_transform(
+            range(len(toks) - 3),
+            i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] || ' ' || toks[i + 4])) AS gram
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 4))
+      GROUP BY doc_id
+      ORDER BY doc_id""",
+    "q55_multimodal_decode_stub" -> """
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        CAST(64 + CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 1960 AS INT) AS width,
+        CAST(64 + CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 1020 AS INT) AS height,
+        CAST(CASE WHEN doc_id % 3 = 2
+             THEN 1 + CAST('0x' || substr(md5(text), 9, 4) AS BIGINT) % 240
+             ELSE 1 END AS INT) AS n_frames,
+        CAST(round(CAST(256.0 / greatest(
+          CAST(64 + CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 1960 AS DOUBLE),
+          CAST(64 + CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 1020 AS DOUBLE))
+          AS DECIMAL(38,6)), 6) AS DOUBLE) AS resize_scale
+      FROM documents
+      ORDER BY doc_id""",
     "q41_dedup_exact" -> """
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, length(text) AS text_len
       FROM documents
@@ -216,7 +297,7 @@ object LlmTextQueries {
       WITH sh AS (
         SELECT doc_id, list_distinct(list_transform(
           range(len(toks) - 2),
-          i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS shingles
+          i -> CAST('0x' || substr(md5(toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]), 1, 15) AS BIGINT))) AS shingles
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         WHERE len(toks) >= 3),
       inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),

@@ -1,0 +1,154 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{SparkSpec, Tables}
+
+/** True `readStream` execution of the streaming operator surface
+  * (SURVEY.md §2.11 "Streaming" row): the SAME transforms the batch
+  * catalog runs (tumbling window, streaming dedup, latest-by-key) are
+  * executed as incremental streaming queries over the events fixture
+  * split into multiple files (micro-batches), with a watermark, and the
+  * final state must equal the batch answer — the batch-replay
+  * equivalence that stands in for a DuckDB hash (wall-clock streaming
+  * output is excluded from the t2 set by design, SURVEY.md §7.5).
+  */
+class StreamingEquivalenceSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** events fixture written as n json files (ordered by ts so
+    * micro-batches arrive roughly in event-time order; the watermark
+    * then never drops fixture rows — late data semantics get their own
+    * test below).
+    */
+  private def eventsAsJsonFiles(n: Int): (String, org.apache.spark.sql.types.StructType) = {
+    val dir = tmpDir("stream-events")
+    val ev = Tables.load(spark, sf, "events")
+      .withColumn("ts", col("ts").cast("string")) // json-safe
+    val schema = ev.schema
+    val rows = ev.orderBy("ts", "event_id").toJSON.collect()
+    rows.grouped(math.max(1, rows.length / n)).zipWithIndex.foreach { case (chunk, i) =>
+      Files.writeString(Paths.get(dir, f"chunk-$i%03d.json"), chunk.mkString("\n"))
+    }
+    (dir, schema)
+  }
+
+  private def streamed(dir: String, schema: org.apache.spark.sql.types.StructType) =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+
+  test("tumbling window counts: streaming (complete mode) == batch") {
+    val (dir, schema) = eventsAsJsonFiles(5)
+    val q = streamed(dir, schema)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.sql(
+      "SELECT window.start AS ws, event_type, n FROM tumbling")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = Tables.load(spark, sf, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
+  test("streaming dropDuplicates with watermark == batch first-per-key") {
+    val (dir, schema) = eventsAsJsonFiles(4)
+    val q = streamed(dir, schema)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.sql("SELECT user_id, event_type FROM dedup")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === want)
+  }
+
+  test("stateful latest-by-key via flatMapGroupsWithState == batch window answer") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val (dir, schema) = eventsAsJsonFiles(4)
+
+    case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+    case class Latest(user_id: Long, last_event_id: Long)
+
+    val q = streamed(dir, schema)
+      .select(col("user_id"), col("event_id"), col("ts")).as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(java.sql.Timestamp, Long), (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[(java.sql.Timestamp, Long)]) =>
+          val best = (evs ++ state.getOption.map(s => (uid, s._2, s._1)).iterator)
+            .maxBy(e => (e._3.getTime, e._2))
+          state.update((best._3, best._2))
+          Iterator((uid, best._2))
+      }
+      .writeStream.format("memory").queryName("latest")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // memory sink in update mode appends updates; last row per key wins
+    val got = spark.sql(
+      """SELECT _1 AS user_id, _2 AS last_event_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY _1 ORDER BY rid DESC) rn FROM (
+             SELECT *, monotonically_increasing_id() AS rid FROM latest))
+         WHERE rn = 1""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.queries.StreamEquivQueries.queries("q39_latest_by_key")(spark, sf)
+      .select(col("user_id"), col("last_event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
+  test("watermark drops late rows (late-data contract)") {
+    val dir = tmpDir("late-src")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    // micro-batch 1: events at 10:00 and 12:00 → after it, the
+    // watermark advances to 10:00 (12:00 - 2h). micro-batch 2: a row at
+    // 08:00 — below the watermark → must be DROPPED. Two genuinely
+    // separate micro-batches are forced by processAllAvailable() between
+    // the file writes (a single AvailableNow drain can fuse them).
+    Files.writeString(Paths.get(dir, "b1.json"),
+      """{"ts":"2024-01-01 10:00:00","v":1}
+        |{"ts":"2024-01-01 12:00:00","v":2}""".stripMargin)
+    val q = spark.readStream.schema(schema).json(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour")).agg(sum(col("v")).as("s"))
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("late-ckpt")).start()
+    q.processAllAvailable()
+    Files.writeString(Paths.get(dir, "b2.json"),
+      """{"ts":"2024-01-01 08:00:00","v":100}
+        |{"ts":"2024-01-01 13:00:00","v":3}""".stripMargin)
+    q.processAllAvailable()
+    // one more empty-ish advance so closed windows flush in append mode
+    Files.writeString(Paths.get(dir, "b3.json"),
+      """{"ts":"2024-01-01 16:00:00","v":0}""")
+    q.processAllAvailable()
+    q.stop()
+
+    val emitted = spark.sql("SELECT window.start, s FROM late")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    // the late v=100 at 08:00 never contributes to any emitted window
+    assert(!emitted.values.exists(_ >= 100L), s"late row leaked into $emitted")
+  }
+}
