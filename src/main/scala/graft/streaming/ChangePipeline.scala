@@ -52,14 +52,43 @@ trait Sink {
   * Deletes (null `after`) are tombstones: in upsert mode they remove the
   * key from the table; in append mode they append with null payload
   * (tombstone pass-through, §2.2 P4).
+  *
+  * `payloadSchema = None` → schema is INFERRED from the first non-empty
+  * micro-batch's `after` JSON and frozen for the table's lifetime —
+  * the reference's iceberg auto-create-from-first-batch behavior
+  * (`sinks/iceberg.py:160-167`, §1.3).
   */
-final class LakehouseSink(
+final class LakehouseSink private (
     val sinkId: String,
     table: LakehouseTable,
-    payloadSchema: StructType,
-    upsertKeys: Seq[String] = Nil) extends Sink {
+    schemaOrInfer: Option[StructType],
+    upsertKeys: Seq[String]) extends Sink {
+
+  def this(sinkId: String, table: LakehouseTable, payloadSchema: StructType,
+      upsertKeys: Seq[String] = Nil) =
+    this(sinkId, table, Some(payloadSchema), upsertKeys)
+
+  /** Auto-create mode: infer the payload schema from the first batch. */
+  def this(sinkId: String, table: LakehouseTable, upsertKeys: Seq[String]) =
+    this(sinkId, table, None, upsertKeys)
+
+  private var inferred: Option[StructType] = None
+
+  private def resolveSchema(batch: DataFrame): Option[StructType] =
+    schemaOrInfer.orElse(inferred).orElse {
+      import batch.sparkSession.implicits._
+      val sample = batch.select(col("after")).filter(col("after").isNotNull)
+        .as[String]
+      if (sample.isEmpty) None
+      else {
+        val s = batch.sparkSession.read.json(sample).schema
+        inferred = Some(s)
+        inferred
+      }
+    }
 
   override def write(batch: DataFrame, batchId: Long): Unit = {
+    val payloadSchema = resolveSchema(batch).getOrElse(return)
     val parsed = batch.withColumn("_payload", from_json(col("after"), payloadSchema))
     val rows = parsed
       .select((payloadSchema.fieldNames.map(f => col(s"_payload.$f").as(f)) ++ Seq(
@@ -74,6 +103,7 @@ final class LakehouseSink(
       // §2.6) takes effect. The key identity comes from the event key,
       // not the payload, so tombstones (null payload) group correctly.
       import org.apache.spark.sql.expressions.Window
+      val keySchema = StructType(upsertKeys.map(k => payloadSchema(k)))
       val keyed = rows.withColumn("_key", from_json(col("_cdc_key"), keySchema))
       val latest = keyed
         .withColumn("_rn", row_number().over(
@@ -91,9 +121,6 @@ final class LakehouseSink(
       }
     } else if (!rows.isEmpty) table.append(rows.drop("_cdc_key"))
   }
-
-  private def keySchema: StructType =
-    StructType(upsertKeys.map(k => payloadSchema(k)))
 }
 
 /** Dead-letter side-output with the reference's 8 diagnostic headers as
