@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Guards on the physical-plan properties the 100 TB design depends on
+  * (the "would this survive a 100× scale-up" checklist): predicate
+  * pushdown + column pruning at the scan, broadcast for dims (never
+  * facts), two-phase aggregation, top-k without global sort, bucketed
+  * co-located joins (no shuffle), and salting for skewed keys.
+  */
+class ScaleDesignSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01: ship-date predicate pushed to parquet; lineitem read pruned to 7 columns") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"), "unused columns must not be read")
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_tax"))
+  }
+
+  test("q10: all five dimension joins broadcast; no fact table broadcast") {
+    val p = plan("q10_regional_revenue")
+    // formatted explain lists each node once in the tree and once in the
+    // details section — count tree nodes only
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size === 5)
+    // the big fact-fact join (lineitem ⋈ orders) must not nest-loop
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q01: aggregation is two-phase (partial map-side + final)") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q03: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan("q03_shipping_priority").contains("TakeOrderedAndProject"))
+  }
+
+  test("q49: rank filter pushes into WindowGroupLimit") {
+    assert(plan("q49_cosine_topk").contains("WindowGroupLimit"))
+  }
+
+  test("bucketed fact tables join without a shuffle exchange") {
+    val o = Tables.load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    val l = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").saveAsTable("orders_b")
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey").saveAsTable("lineitem_b")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")).as("q"))
+      // co-located bucketed join: no Exchange anywhere in the plan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val p = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        assert(p.contains("SortMergeJoin"))
+        assert(!p.contains("Exchange"),
+          s"bucketed join must not shuffle:\n$p")
+        assert(joined.count() > 0)
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("salted join spreads a skewed key and preserves the exact result") {
+    import spark.implicits._
+    // heavily skewed left side: 10k rows of key 1, a handful of others
+    val left = ((1 to 10000).map(i => (1L, i.toLong)) ++
+      Seq((2L, 1L), (3L, 2L))).toDF("k", "v")
+    val right = Seq((1L, "hot"), (2L, "warm"), (3L, "cold")).toDF("k", "tag")
+    val salts = 8
+
+    // plain join (reference answer)
+    val want = left.join(right, "k").groupBy(col("tag"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
+    // salted: explode the small side over the salt space, salt the big
+    // side uniformly; join on (k, salt) → skewed key fans out over
+    // `salts` reducers instead of one
+    val saltedLeft = left.withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts)))
+    val saltedRight = right.crossJoin(
+      spark.range(salts).select(col("id").as("_salt")))
+    val got = saltedLeft.join(saltedRight, Seq("k", "_salt"))
+      .groupBy(col("tag")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
+    assert(got === want)
+    assert(got.find(_._1 == "hot").get._2 === 10000L)
+  }
+}
