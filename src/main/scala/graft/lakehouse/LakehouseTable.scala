@@ -74,11 +74,14 @@ final class LakehouseTable(spark: SparkSession, root: String) {
   // ---------------- write paths ----------------
 
   /** Append a batch; auto-creates the table from the first batch's
-    * schema (mirroring iceberg auto-create).
+    * schema (mirroring iceberg auto-create). `partitionBy` lays data out
+    * hive-style (`col=value/` dirs) — the partition spec of
+    * `sinks/iceberg.py` auto-create — enabling partition-pruned reads
+    * and partition-scoped compaction.
     */
-  def append(df: DataFrame): Snapshot = {
+  def append(df: DataFrame, partitionBy: Seq[String] = Nil): Snapshot = {
     val id = nextId()
-    val newFiles = writeDataFiles(df, id)
+    val newFiles = writeDataFiles(df, id, partitionCols = partitionBy)
     val parentFiles = currentSnapshot().map(_.files).getOrElse(Nil)
     writeSnapshot(Snapshot(id, currentSnapshot().map(_.snapshotId),
       System.currentTimeMillis(), "append", parentFiles ++ newFiles, df.schema.json))
@@ -203,21 +206,77 @@ final class LakehouseTable(spark: SparkSession, root: String) {
       "compact", files, cur.schemaJson)))
   }
 
+  /** Partition-scoped compaction (`maintenance.py:178-244`): only
+    * partitions whose file count exceeds `fileThreshold` are rewritten;
+    * a partition whose row count exceeds `maxRows` is skipped with a
+    * warning (too large for in-process compaction); untouched partitions
+    * carry over by reference. Requires a hive-style `col=value` layout
+    * (append with `partitionBy`).
+    */
+  def compactPartitioned(
+      partitionCol: String, fileThreshold: Int, maxRows: Long): Option[Snapshot] = {
+    val cur = currentSnapshot().getOrElse(return None)
+    val marker = s"$partitionCol="
+    def partitionValueOf(relPath: String): Option[String] =
+      relPath.split('/').find(_.startsWith(marker)).map(_.drop(marker.length))
+
+    val byPartition = cur.files.groupBy(partitionValueOf)
+    val candidates = byPartition.collect {
+      case (Some(value), files) if files.size >= fileThreshold => value -> files
+    }
+    if (candidates.isEmpty) return None
+
+    val id = nextId()
+    var rewritten = List.empty[String]
+    var touched = Set.empty[String]
+    candidates.foreach { case (value, files) =>
+      val part = readFiles(files)
+      if (part.count() <= maxRows) {
+        touched ++= files
+        // row cap guarantees the partition fits one write task
+        rewritten ++= writeDataFiles(part.coalesce(1), id,
+          suffix = s"compact-$partitionCol-$value", partitionCols = Seq(partitionCol))
+      } // else: partition too large — skipped, mirroring the reference warning
+    }
+    if (touched.isEmpty) return None
+    val untouchedFiles = cur.files.filterNot(touched)
+    Some(writeSnapshot(Snapshot(id, Some(cur.snapshotId), System.currentTimeMillis(),
+      "compact", untouchedFiles ++ rewritten, cur.schemaJson)))
+  }
+
   // ---------------- helpers ----------------
 
   private def readFiles(relFiles: Seq[String]): DataFrame = {
     require(relFiles.nonEmpty, "empty file list")
-    spark.read.parquet(relFiles.map(f => rootPath.resolve(f).toString): _*)
+    // hive-partitioned files (col=value path segments) need a basePath
+    // per snapshot dir so partition columns materialize; flat files read
+    // directly. A snapshot may mix both layouts across its lineage.
+    val (partitioned, flat) = relFiles.partition(_.contains("="))
+    val dfs =
+      flat.headOption.map(_ =>
+        spark.read.parquet(flat.map(f => rootPath.resolve(f).toString): _*)).toSeq ++
+        partitioned.groupBy(_.split('/').take(2).mkString("/")).toSeq.sortBy(_._1)
+          .map { case (sDir, files) =>
+            spark.read
+              .option("basePath", rootPath.resolve(sDir).toString)
+              .parquet(files.map(f => rootPath.resolve(f).toString): _*)
+          }
+    dfs.reduceLeft(_.unionByName(_))
   }
 
   /** Write `df` as parquet under `data/s<id>[-suffix]/`, returning the
-    * root-relative paths of the files produced.
+    * root-relative paths of the files produced (hive-style `col=value`
+    * sub-dirs when `partitionCols` is set).
     */
-  private def writeDataFiles(df: DataFrame, id: Long, suffix: String = ""): Seq[String] = {
+  private def writeDataFiles(
+      df: DataFrame, id: Long, suffix: String = "",
+      partitionCols: Seq[String] = Nil): Seq[String] = {
     val dirName = if (suffix.isEmpty) s"s$id" else s"s$id-$suffix"
     val outDir = dataDir.resolve(dirName)
-    df.write.mode(SaveMode.Overwrite).parquet(outDir.toString)
-    Files.list(outDir).iterator().asScala.toSeq
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(outDir.toString)
+    Files.walk(outDir).iterator().asScala.toSeq
       .filter(p => p.getFileName.toString.startsWith("part-") &&
         p.toString.endsWith(".parquet"))
       .map(p => rootPath.relativize(p).toString)

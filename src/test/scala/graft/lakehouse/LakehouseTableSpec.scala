@@ -83,6 +83,46 @@ class LakehouseTableSpec extends SparkSpec {
     assert(t.compact(fileThreshold = 3, maxRows = 1000000) === None)
   }
 
+  test("partitioned append: hive layout, partition column round-trips, pruned scan") {
+    val t = new LakehouseTable(spark, tmpDir("lh-part"))
+    val snap = t.append(
+      Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x")).toDF("id", "v", "p"),
+      partitionBy = Seq("p"))
+    assert(snap.files.forall(_.contains("p=")))
+    assert(t.read().as[(Long, String, String)].collect().toSet ===
+      Set((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x")))
+    // partition filter prunes the scan to p=x files only
+    val scanned = t.read().filter(org.apache.spark.sql.functions.col("p") === "x")
+    assert(scanned.count() === 2)
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(!plan.contains("p=y"), "pruned partition must not be scanned")
+  }
+
+  test("partition-scoped compaction rewrites only hot partitions, respects row cap") {
+    val t = new LakehouseTable(spark, tmpDir("lh-pcompact"))
+    // 3 appends -> partition "hot" has 3 files, "cold" has 1
+    t.append(Seq((1L, "hot"), (100L, "cold")).toDF("id", "p"), partitionBy = Seq("p"))
+    t.append(Seq((2L, "hot")).toDF("id", "p"), partitionBy = Seq("p"))
+    t.append(Seq((3L, "hot")).toDF("id", "p"), partitionBy = Seq("p"))
+    val before = t.currentSnapshot().get
+    val hotBefore = before.files.filter(_.contains("p=hot"))
+    val coldBefore = before.files.filter(_.contains("p=cold"))
+    assert(hotBefore.size === 3 && coldBefore.size === 1)
+
+    // row cap below partition size -> nothing compacts
+    assert(t.compactPartitioned("p", fileThreshold = 3, maxRows = 1) === None)
+
+    val snap = t.compactPartitioned("p", fileThreshold = 3, maxRows = 1000)
+    assert(snap.isDefined)
+    val after = snap.get
+    // cold partition's file carried over by reference; hot rewritten to 1
+    assert(coldBefore.forall(after.files.contains))
+    assert(hotBefore.forall(f => !after.files.contains(f)))
+    assert(after.files.count(_.contains("p=hot")) === 1)
+    assert(t.read().as[(Long, String)].collect().toSet ===
+      Set((1L, "hot"), (2L, "hot"), (3L, "hot"), (100L, "cold")))
+  }
+
   test("expiry drops old snapshots but never the current one") {
     val t = new LakehouseTable(spark, tmpDir("lh-expire"))
     t.append(Seq((1L, "a")).toDF("id", "v"))
