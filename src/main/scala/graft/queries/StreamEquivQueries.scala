@@ -54,6 +54,17 @@ object StreamEquivQueries {
           col("event_type").as("last_type"), dround(col("value"), 6).as("last_value"))
         .orderBy(col("user_id"))
     }),
+    // ---- latency percentiles (§2.4 A7: p50/p95/p99, exact) ----
+    "q56_percentiles" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          dround(expr("percentile(value, 0.5)"), 6).as("p50"),
+          dround(expr("percentile(value, 0.95)"), 6).as("p95"),
+          dround(expr("percentile(value, 0.99)"), 6).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
     // ---- streaming dedup (dropDuplicates semantics, first-by-time) ----
     "q40_dedup_first" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -111,6 +122,15 @@ object StreamEquivQueries {
         FROM events)
       WHERE rn = 1
       ORDER BY user_id""",
+    "q56_percentiles" -> s"""
+      SELECT event_type,
+        ${R("quantile_cont(value, 0.5)", 6)} AS p50,
+        ${R("quantile_cont(value, 0.95)", 6)} AS p95,
+        ${R("quantile_cont(value, 0.99)", 6)} AS p99,
+        count(*) AS n
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
     "q40_dedup_first" -> """
       SELECT user_id, event_type, first_event_id FROM (
         SELECT user_id, event_type, event_id AS first_event_id,
