@@ -80,13 +80,30 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Session registration for graft's native SQL functions. */
 object GraftFunctions {
+  private[functions] val dotpBuilder: Seq[Expression] => Expression =
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "dotp takes exactly 2 arguments")
+      DotProduct(children.head, children(1))
+    }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dotp"),
       new ExpressionInfo(classOf[DotProduct].getName, "dotp"),
-      (children: Seq[Expression]) => {
-        require(children.size == 2, "dotp takes exactly 2 arguments")
-        DotProduct(children.head, children(1))
-      })
+      dotpBuilder)
+  }
+}
+
+/** `SparkSessionExtensions` entry point — the idiomatic deployment route
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`) so every
+  * session in a cluster gets the native functions without per-query
+  * registration.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dotp"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dotp"),
+      GraftFunctions.dotpBuilder))
   }
 }

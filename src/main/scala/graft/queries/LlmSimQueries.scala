@@ -85,15 +85,44 @@ object LlmSimQueries {
         .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
         .orderBy(col("q_id"), col("rk"))
     }),
-    // ---- embedding near-duplicates: rounded cosine >= 0.99 ----
+    // ---- embedding near-duplicates: rounded cosine >= 0.99.
+    //      All-pairs via a broadcast block product (mapPartitions over
+    //      primitive float arrays): each partition streams its rows
+    //      against the broadcast block and emits ONLY pairs above a
+    //      conservative raw threshold (0.99 - 1e-6 > any value that
+    //      could round to >= 0.99 at 6 dp), so the O(n²) pair space is
+    //      never materialized as rows. The survivors get the exact
+    //      decimal rounding + filter in DataFrame land — bit-identical
+    //      to the declarative join formulation and the DuckDB oracle
+    //      (same left-fold dot). At cluster scale the broadcast block
+    //      becomes a tile loop; the per-partition structure is the same. ----
     "q50_embedding_neardup" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
       val e = Tables.load(s, dir, "embeddings")
-        .withColumn("nrm", sqrt(sqnorm("embedding")))
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cosine", dround(dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")), 6))
+      val vecs = e.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+      val block = s.sparkContext.broadcast(
+        vecs.collect().sortBy(_._1))
+      val rawPairs = vecs.mapPartitions { it =>
+        val all = block.value
+        def dotRaw(x: Array[Float], y: Array[Float]): Double = {
+          var acc = 0.0; var i = 0
+          val n = math.min(x.length, y.length)
+          while (i < n) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+          acc
+        }
+        it.flatMap { case (idA, embA) =>
+          val nrmA = math.sqrt(dotRaw(embA, embA))
+          all.iterator
+            .filter(_._1 > idA)
+            .map { case (idB, embB) =>
+              (idA, idB, dotRaw(embA, embB) / (nrmA * math.sqrt(dotRaw(embB, embB))))
+            }
+            .filter(_._3 >= 0.989999)
+        }
+      }.toDF("id_a", "id_b", "cosine_raw")
+      rawPairs
+        .withColumn("cosine", dround(col("cosine_raw"), 6))
         .filter(col("cosine") >= 0.99)
         .select(col("id_a"), col("id_b"), col("cosine"))
         .orderBy(col("id_a"), col("id_b"))

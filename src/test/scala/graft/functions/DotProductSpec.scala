@@ -47,6 +47,34 @@ class DotProductSpec extends SparkSpec {
     assert(n === e.count(), "every embedding has positive self-dot")
   }
 
+  test("GraftExtensions injects dotp into a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    val prev = SparkSession.getDefaultSession
+    // getOrCreate reuses the suite session (extensions apply only at
+    // session construction) — detach it so a genuinely new session is
+    // built on the shared context, then restore.
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // withExtensions = the programmatic form of
+      // spark.sql.extensions=graft.functions.GraftExtensions (the conf
+      // route is static and only applies at SparkContext creation)
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val r = s2.sql("SELECT dotp(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS v").collect()
+      assert(r.head.getDouble(0) === 11.0)
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+
   test("codegen and interpreted paths agree") {
     GraftFunctions.register(spark)
     val q = df.select(expr("dotp(a, b)").as("v"))
