@@ -129,6 +129,10 @@ object LlmTextQueries {
                i -> CAST(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, 3))), 1, 15), 16, 10) AS BIGINT)))""")
           .as("shingles"))
         .filter(size(col("shingles")) > 0)
+        // reused by the self-join (×2) and both set-size lookups — cache
+        // the ~8-byte-per-shingle intermediate instead of re-tokenizing
+        // and re-hashing the corpus four times
+        .cache()
       val setSize = sh.select(col("doc_id"), size(col("shingles")).as("set_sz"))
       val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
       // pairs sharing >= 1 shingle, a < b; |intersection| by count
@@ -191,6 +195,24 @@ object LlmTextQueries {
           col("width"), col("height"), col("n_frames"), col("resize_scale"))
         .orderBy(col("doc_id"))
     }),
+    // ---- TF-IDF (rational-idf variant): tf · (N+1)/(df+1). The idf
+    //      stays a ratio of exact integers evaluated in IEEE double —
+    //      engine-identical, unlike ln()/log() whose libm
+    //      implementations differ at the ulp level. Plan: explode →
+    //      two partial-agg shuffles (by (doc,tok) and by tok) → hash
+    //      join on tok. ----
+    "q57_tfidf" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val n = docs.count()
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tok.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(dfreq, "tok")
+        .withColumn("tfidf", dround(
+          col("tf").cast(DoubleType) * (n + 1).toDouble / (col("df") + lit(1)).cast(DoubleType), 6))
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("tok"))
+    }),
     // ---- multimodal plumbing: text→binary stand-in, typed metadata ----
     "q48_multimodal_meta" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -237,6 +259,15 @@ object LlmTextQueries {
           AS DECIMAL(38,6)), 6) AS DOUBLE) AS resize_scale
       FROM documents
       ORDER BY doc_id""",
+    "q57_tfidf" -> s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+      SELECT doc_id, tok, tf, df,
+        ${R("CAST(tf AS DOUBLE) * ((SELECT count(*) FROM documents) + 1) / CAST(df + 1 AS DOUBLE)", 6)} AS tfidf
+      FROM tf JOIN dfreq USING (tok)
+      ORDER BY doc_id, tok""",
     "q41_dedup_exact" -> """
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, length(text) AS text_len
       FROM documents
