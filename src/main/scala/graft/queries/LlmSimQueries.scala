@@ -172,19 +172,19 @@ object LlmSimQueries {
 
     // ---- MinHash + LSH banding near-dup (the 100 TB-scale dedup path) ----
     "q52_minhash_lsh" -> ((s, dir) => {
-      import s.implicits._
       val sh = shingleHashes(s, dir)
-      // k minhash values per doc in ONE pass: the typed Aggregator keeps
-      // k running minima per doc, so the shuffle carries one k-long
-      // array per (doc, partition) instead of k rows per shingle —
-      // O(docs·k) vs O(shingles·k) at 100 TB. Identical results to the
-      // explode + groupBy-min formulation (and the oracle).
-      val mh = new graft.functions.MinHashAgg(
-        minhashA.toArray, minhashB.toArray, MinhashP)
-      val sig = sh.as[(Long, Long)]
-        .groupByKey(_._1).mapValues(_._2)
-        .agg(mh.toColumn.name("sig"))
-        .toDF("doc_id", "sig")
+      // k minhash values per doc in ONE pass: the Aggregator keeps k
+      // running minima per doc, so the shuffle carries one k-long array
+      // per (doc, partition) instead of k rows per shingle — O(docs·k)
+      // vs O(shingles·k) at 100 TB. Applied through udaf() (untyped
+      // column route): rows stay in Tungsten with map-side partial
+      // aggregation, unlike groupByKey which deserializes per row.
+      // Identical results to explode + groupBy-min (and the oracle).
+      val mhUdaf = udaf(new graft.functions.MinHashAgg(
+        minhashA.toArray, minhashB.toArray, MinhashP),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val sig = sh.groupBy(col("doc_id"))
+        .agg(mhUdaf(col("h")).as("sig"))
         .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "mh")))
       // band key = minhashes of the band joined; docs sharing any band collide
       // `div` = floor division; a plain cast-of-double-quotient truncates
