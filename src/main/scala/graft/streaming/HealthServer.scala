@@ -1,0 +1,38 @@
+package graft.streaming
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.HttpServer
+
+/** HTTP health endpoint (SURVEY.md §3.1 step 2: the reference starts a
+  * health server next to the pipeline, `pipeline/runner.py:97-103`,
+  * snapshot shape `:390-416`): GET /health returns the monitor's
+  * {status, components} snapshot as JSON, 200 while running / 503 once
+  * everything stopped.
+  */
+final class HealthServer(monitor: PipelineMonitor, port: Int = 0) {
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  server.createContext("/health", { exchange =>
+    val health = monitor.health()
+    val body = toJson(health).getBytes(StandardCharsets.UTF_8)
+    val code = if (health("status") == "stopped") 503 else 200
+    exchange.getResponseHeaders.add("Content-Type", "application/json")
+    exchange.sendResponseHeaders(code, body.length)
+    exchange.getResponseBody.write(body)
+    exchange.close()
+  })
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+
+  private def toJson(v: Any): String = v match {
+    case m: Map[_, _] =>
+      m.map { case (k, x) => "\"" + k.toString + "\":" + toJson(x) }
+        .mkString("{", ",", "}")
+    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case null => "null"
+    case other => other.toString // numbers / booleans
+  }
+}
