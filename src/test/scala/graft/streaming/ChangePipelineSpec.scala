@@ -137,6 +137,28 @@ class ChangePipelineSpec extends SparkSpec {
     assert(table.read().select("id").as[Long].collect().toSet === Set(1L, 2L))
   }
 
+  test("backpressure: maxFilesPerTrigger bounds micro-batch admission (T1)") {
+    val src = tmpDir("cp6-src")
+    // 4 files, 1 event each; admission capped at 1 file per trigger
+    (0 until 4).foreach(i =>
+      writeEnvelopes(src, Seq(env("c", i, i, s"u$i")), file = s"b$i.json"))
+    val mon = new PipelineMonitor().register(spark)
+    try {
+      val table = new LakehouseTable(spark, tmpDir("cp6-table"))
+      val q = ChangeEnvelope.readStream(spark, src, maxFilesPerTrigger = 1)
+        .writeStream.queryName("cp6-bp")
+        .option("checkpointLocation", tmpDir("cp6-ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // bounded admission: a batch never carries more than 1 file's rows
+          assert(batch.count() <= 1, "backpressure bound violated")
+          new LakehouseSink("lh", table, payloadSchema).write(batch, 0)
+        }.start()
+      q.awaitTermination(60000)
+      assert(table.read().count() === 4) // nothing lost, only throttled
+    } finally mon.unregister(spark)
+  }
+
   test("dlq topics are excluded from consumption") {
     val src = tmpDir("cp4-src")
     writeEnvelopes(src, Seq(
