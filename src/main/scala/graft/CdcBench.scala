@@ -53,19 +53,25 @@ object CdcBench {
   private def delete(relId: Long, values: Seq[String]): Array[Byte] =
     "D".getBytes ++ u32(relId) ++ "K".getBytes ++ tuple(values)
 
-  /** Single-thread decode throughput over n pre-built messages. */
+  /** Single-thread decode throughput over n pre-built messages: one
+    * JIT warmup pass, then best of 3 timed passes (steady-state rate —
+    * robust against GC pauses from the surrounding Spark session).
+    */
   private def decodeRate(messages: Array[Array[Byte]], prelude: Seq[Array[Byte]]): Double = {
-    val d = new PgOutputDecoder
-    prelude.foreach(d.decode)
-    var count = 0L
-    val t0 = System.nanoTime()
-    var i = 0
-    while (i < messages.length) {
-      count += d.decode(messages(i)).size
-      i += 1
+    def onePass(): Double = {
+      val d = new PgOutputDecoder
+      prelude.foreach(d.decode)
+      var count = 0L
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < messages.length) {
+        count += d.decode(messages(i)).size
+        i += 1
+      }
+      count / ((System.nanoTime() - t0) / 1e9)
     }
-    val sec = (System.nanoTime() - t0) / 1e9
-    count / sec
+    onePass() // warmup (JIT)
+    (1 to 3).map(_ => onePass()).max
   }
 
   def walDecodeBenches(): Map[String, Double] = {
