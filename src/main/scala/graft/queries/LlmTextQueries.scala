@@ -195,6 +195,19 @@ object LlmTextQueries {
           col("width"), col("height"), col("n_frames"), col("resize_scale"))
         .orderBy(col("doc_id"))
     }),
+    // ---- text normalization (the standard pre-tokenization cleanup):
+    //      lowercase, strip punctuation to spaces, collapse runs,
+    //      trim. Pure codegen'd string expressions, no UDF. ----
+    "q58_text_normalize" -> ((s, dir) => {
+      val cleaned = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          substring(cleaned, 1, 80).as("norm_prefix"),
+          size(split(cleaned, " ")).as("n_tokens_norm"),
+          length(cleaned).as("n_chars_norm"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- TF-IDF (rational-idf variant): tf · (N+1)/(df+1). The idf
     //      stays a ratio of exact integers evaluated in IEEE double —
     //      engine-identical, unlike ln()/log() whose libm
@@ -258,6 +271,16 @@ object LlmTextQueries {
           CAST(64 + CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 1020 AS DOUBLE))
           AS DECIMAL(38,6)), 6) AS DOUBLE) AS resize_scale
       FROM documents
+      ORDER BY doc_id""",
+    "q58_text_normalize" -> """
+      SELECT doc_id,
+        substr(cleaned, 1, 80) AS norm_prefix,
+        CAST(len(string_split(cleaned, ' ')) AS INT) AS n_tokens_norm,
+        length(cleaned) AS n_chars_norm
+      FROM (
+        SELECT doc_id, trim(regexp_replace(
+          regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS cleaned
+        FROM documents)
       ORDER BY doc_id""",
     "q57_tfidf" -> s"""
       WITH tok AS (

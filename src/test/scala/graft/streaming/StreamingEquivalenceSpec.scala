@@ -30,8 +30,16 @@ class StreamingEquivalenceSpec extends SparkSpec {
       .withColumn("ts", col("ts").cast("string")) // json-safe
     val schema = ev.schema
     val rows = ev.orderBy("ts", "event_id").toJSON.collect()
+    val base = System.currentTimeMillis() - 3600000
     rows.grouped(math.max(1, rows.length / n)).zipWithIndex.foreach { case (chunk, i) =>
-      Files.writeString(Paths.get(dir, f"chunk-$i%03d.json"), chunk.mkString("\n"))
+      val p = Paths.get(dir, f"chunk-$i%03d.json")
+      Files.writeString(p, chunk.mkString("\n"))
+      // file source orders micro-batches by modification time; chunks
+      // written within the same millisecond would tie and could process
+      // out of event-time order (making whole chunks "late") — pin
+      // strictly increasing mtimes
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
     }
     (dir, schema)
   }
@@ -113,6 +121,48 @@ class StreamingEquivalenceSpec extends SparkSpec {
       .select(col("user_id"), col("last_event_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === want)
+  }
+
+  test("session windows: streaming append mode emits exactly the batch sessions closed by the watermark") {
+    val (dir, schema) = eventsAsJsonFiles(4)
+    // append mode is the supported execution path for streaming session
+    // windows: a session is emitted once the watermark passes its close.
+    val q = streamed(dir, schema)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // the watermark the LAST batch actually evicted against: each
+    // progress reports the post-batch watermark, and eviction in batch
+    // N uses the value reported by batch N-1 — so take the
+    // second-to-last report (a trailing no-data batch may or may not
+    // run under AvailableNow; computing maxTs - delay ourselves would
+    // over-demand emissions).
+    val wms = q.recentProgress.toSeq
+      .flatMap(p => Option(p.eventTime.get("watermark")))
+      .map(s => java.time.Instant.parse(s).toEpochMilli)
+    val watermarkMs = if (wms.size >= 2) wms(wms.size - 2) else 0L
+
+    val got = spark.sql("SELECT user_id, w.start, n_events FROM sessions")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start"), col("w.end"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    val (closed, open) = batch.partition(_._3.getTime < watermarkMs)
+
+    // every emitted session must be a REAL batch session, verbatim
+    val batchSet = batch.map(b => (b._1, b._2, b._4)).toSet
+    assert(got.subsetOf(batchSet), s"streaming emitted non-batch sessions: ${got.diff(batchSet)}")
+    // and every session safely below the final watermark must be emitted
+    val mustEmit = closed.map(b => (b._1, b._2, b._4)).toSet
+    assert(mustEmit.subsetOf(got),
+      s"closed sessions missing from streaming output: ${mustEmit.diff(got).take(5)}")
+    assert(open.nonEmpty || got === batchSet) // sanity on the split
   }
 
   test("watermark drops late rows (late-data contract)") {
