@@ -45,9 +45,16 @@ object Det {
   def dsum(c: Column, scale: Int = 4): Column =
     round(sum(dec(c)), scale).cast(DoubleType)
 
-  /** Deterministic average: exact decimal sum / count, rounded, double. */
+  /** Deterministic average: exact decimal sum → double, then IEEE double
+    * division by the count. Decimal division is NOT portable — each
+    * engine rounds the quotient at its own result scale, which flips
+    * half-point values (seen at sf0.1: 3275.45875 → .4588 vs .4587).
+    * decimal→double conversion and double division are round-to-nearest
+    * in both engines, so this path is bit-stable.
+    */
   def davg(c: Column, scale: Int = 4): Column =
-    round(sum(dec(c)) / count(lit(1)), scale).cast(DoubleType)
+    round((sum(dec(c)).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+      .cast(DecimalType(38, 6)), scale).cast(DoubleType)
 
   /** Round a non-aggregated double deterministically via decimal. */
   def dround(c: Column, scale: Int = 4): Column =
@@ -59,7 +66,7 @@ object Det {
   val dsumSql: (String, Int) => String =
     (x, s) => s"CAST(round(sum(CAST(($x) AS DECIMAL(38,6))), $s) AS DOUBLE)"
   val davgSql: (String, Int) => String =
-    (x, s) => s"CAST(round(sum(CAST(($x) AS DECIMAL(38,6))) / count(*), $s) AS DOUBLE)"
+    (x, s) => s"CAST(round(CAST(CAST(sum(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS DECIMAL(38,6)), $s) AS DOUBLE)"
   val droundSql: (String, Int) => String =
     (x, s) => s"CAST(round(CAST(($x) AS DECIMAL(38,6)), $s) AS DOUBLE)"
 }
