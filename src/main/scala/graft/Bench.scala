@@ -21,6 +21,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // CDC-path throughput first (BASELINE.md metrics: decode msg/s, e2e
+    // msg/s) — on a fresh heap, before the query phase fills old gen and
+    // GC noise distorts the single-thread decode loop
+    val cdcMetrics: Map[String, Double] =
+      try {
+        CdcBench.walDecodeBenches() +
+          ("cdc_e2e_msgs_per_sec" -> CdcBench.e2eRate(spark, n = 100000, partitions = 8))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] cdc bench failed: ${e.getMessage}")
+          Map.empty
+      }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -36,17 +49,6 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-
-    // CDC-path throughput (BASELINE.md metrics: decode msg/s, e2e msg/s)
-    val cdcMetrics: Map[String, Double] =
-      try {
-        CdcBench.walDecodeBenches() +
-          ("cdc_e2e_msgs_per_sec" -> CdcBench.e2eRate(spark, n = 100000, partitions = 8))
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] cdc bench failed: ${e.getMessage}")
-          Map.empty
-      }
     val cdcJson = cdcMetrics.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + f"\":$v%.1f" }.mkString("{", ",", "}")
 
