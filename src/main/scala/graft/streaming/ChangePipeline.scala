@@ -91,7 +91,7 @@ final class LakehouseSink private (
     val payloadSchema = resolveSchema(batch).getOrElse(return)
     val parsed = batch.withColumn("_payload", from_json(col("after"), payloadSchema))
     val rows = parsed
-      .select((payloadSchema.fieldNames.map(f => col(s"_payload.$f").as(f)) ++ Seq(
+      .select((payloadSchema.fieldNames.toIndexedSeq.map(f => col(s"_payload.$f").as(f)) ++ Seq(
         col("topic").as("_cdc_topic"),
         col("partition").cast(LongType).as("_cdc_partition"),
         col("offset").as("_cdc_offset"),
