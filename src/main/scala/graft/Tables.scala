@@ -45,28 +45,41 @@ object Det {
   def dsum(c: Column, scale: Int = 4): Column =
     round(sum(dec(c)), scale).cast(DoubleType)
 
-  /** Deterministic average: exact decimal sum → double, then IEEE double
-    * division by the count. Decimal division is NOT portable — each
-    * engine rounds the quotient at its own result scale, which flips
-    * half-point values (seen at sf0.1: 3275.45875 → .4588 vs .4587).
-    * decimal→double conversion and double division are round-to-nearest
-    * in both engines, so this path is bit-stable.
+  /** Portable half-up rounding of a double, entirely in IEEE arithmetic:
+    * floor(x·10^s + 0.5) / 10^s. Double→decimal CASTs are NOT portable —
+    * Spark rounds the shortest-representation string (123.4567885 →
+    * .456789) while DuckDB rounds the scaled double (→ .456788); this
+    * formula uses only mul/add/floor/div, which are round-to-nearest in
+    * both engines, so the result is bit-identical by construction.
+    */
+  private def ieeeRound(c: Column, scale: Int): Column = {
+    val p = math.pow(10.0, scale)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  /** Deterministic average: exact decimal sum → double, IEEE division
+    * by the count, IEEE rounding. (Decimal division is not portable
+    * either — each engine rounds the quotient at its own result scale;
+    * seen at sf0.1: 3275.45875 → .4588 vs .4587.)
     */
   def davg(c: Column, scale: Int = 4): Column =
-    round((sum(dec(c)).cast(DoubleType) / count(lit(1)).cast(DoubleType))
-      .cast(DecimalType(38, 6)), scale).cast(DoubleType)
+    ieeeRound(sum(dec(c)).cast(DoubleType) / count(lit(1)).cast(DoubleType), scale)
 
-  /** Round a non-aggregated double deterministically via decimal. */
+  /** Round a non-aggregated double deterministically (IEEE formula). */
   def dround(c: Column, scale: Int = 4): Column =
-    round(c.cast(DecimalType(38, 6)), scale).cast(DoubleType)
+    ieeeRound(c.cast(DoubleType), scale)
 
   /** DuckDB-side equivalents (kept adjacent so the two dialects stay in
     * lockstep): see Oracle.scala for the SQL strings.
     */
   val dsumSql: (String, Int) => String =
     (x, s) => s"CAST(round(sum(CAST(($x) AS DECIMAL(38,6))), $s) AS DOUBLE)"
+  private def ieeeRoundSql(x: String, s: Int): String = {
+    val p = s"1e$s"
+    s"floor(($x) * $p + 0.5) / $p"
+  }
   val davgSql: (String, Int) => String =
-    (x, s) => s"CAST(round(CAST(CAST(sum(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS DECIMAL(38,6)), $s) AS DOUBLE)"
+    (x, s) => ieeeRoundSql(s"CAST(sum(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE) / count(*)", s)
   val droundSql: (String, Int) => String =
-    (x, s) => s"CAST(round(CAST(($x) AS DECIMAL(38,6)), $s) AS DOUBLE)"
+    (x, s) => ieeeRoundSql(s"CAST(($x) AS DOUBLE)", s)
 }

@@ -266,10 +266,10 @@ object LlmTextQueries {
         CAST(CASE WHEN doc_id % 3 = 2
              THEN 1 + CAST('0x' || substr(md5(text), 9, 4) AS BIGINT) % 240
              ELSE 1 END AS INT) AS n_frames,
-        CAST(round(CAST(256.0 / greatest(
+        floor(256.0 / greatest(
           CAST(64 + CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 1960 AS DOUBLE),
           CAST(64 + CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 1020 AS DOUBLE))
-          AS DECIMAL(38,6)), 6) AS DOUBLE) AS resize_scale
+          * 1e6 + 0.5) / 1e6 AS resize_scale
       FROM documents
       ORDER BY doc_id""",
     "q58_text_normalize" -> """

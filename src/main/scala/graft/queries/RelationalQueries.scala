@@ -242,7 +242,7 @@ object RelationalQueries {
       Tables.registerAll(s, dir)
       s.sql("""
         SELECT c_custkey, c_name,
-               CAST(round(CAST(c_acctbal AS DECIMAL(38,6)), 4) AS DOUBLE) AS acctbal
+               floor(CAST(c_acctbal AS DOUBLE) * 1e4 + 0.5) / 1e4 AS acctbal
         FROM customer
         WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.5 FROM customer)
         ORDER BY c_custkey
@@ -431,7 +431,7 @@ object RelationalQueries {
       LIMIT 25""",
     "q21_scalar_subquery" -> """
       SELECT c_custkey, c_name,
-        CAST(round(CAST(c_acctbal AS DECIMAL(38,6)), 4) AS DOUBLE) AS acctbal
+        floor(CAST(c_acctbal AS DOUBLE) * 1e4 + 0.5) / 1e4 AS acctbal
       FROM customer
       WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.5 FROM customer)
       ORDER BY c_custkey""",

@@ -50,7 +50,11 @@ object WindowScalarQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.load(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          dround(sum(Det.dec(col("o_totalprice"))).over(w), 4).as("running_spend"),
+          // exact-decimal round (NOT dround): the window sum is an exact
+          // decimal and the oracle rounds it as a decimal — keep both
+          // sides in decimal space, no double conversion anywhere
+          round(sum(Det.dec(col("o_totalprice"))).over(w), 4)
+            .cast(DoubleType).as("running_spend"),
           count(lit(1)).over(w).as("n_so_far"))
         .filter(col("o_custkey") < 100)
         .orderBy(col("o_custkey"), col("o_orderkey"))
@@ -103,7 +107,7 @@ object WindowScalarQueries {
       Tables.load(s, dir, "lineitem").filter(col("l_orderkey") <= 500)
         .select(col("l_orderkey"), col("l_linenumber"),
           dround(col("l_extendedprice"), 2).as("rounded"),
-          abs(col("l_discount") - 0.05).cast(DecimalType(38, 6)).cast(DoubleType).as("disc_dev"),
+          dround(abs(col("l_discount") - 0.05), 6).as("disc_dev"),
           floor(col("l_quantity")).as("qty_floor"),
           ceil(col("l_extendedprice") / 1000.0).as("price_k_ceil"),
           pmod(col("l_orderkey"), lit(7L)).as("key_mod7"),
