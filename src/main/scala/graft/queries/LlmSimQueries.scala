@@ -53,6 +53,55 @@ object LlmSimQueries {
     752797L, 193813L, 421331L, 866777L, 250199L, 711871L, 133103L, 995377L)
   val MinhashBands = 4 // 4 bands x 4 rows
 
+  // ANN index geometry: K independent hash tables, each hashing a
+  // vector to an L-bit bucket via L random ±1 hyperplanes (sign-LSH).
+  // Collision probability per bit is 1 - θ/π, so for near-neighbors
+  // (θ small) P(bucket collision in >=1 table) = 1-(1-p^L)^K stays
+  // high while the expected bucket occupancy — and with it the
+  // candidate pair space — shrinks by ~2^L per table. Hyperplane
+  // signs come from splitmix64 on (table, bit, dim): deterministic,
+  // seedable, and reproducible in the DuckDB oracle as literals.
+  val AnnTables = 4
+  val AnnBits = 12
+  val AnnDim = 64
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** ±1 hyperplane for (table, bit) — shared by query and oracle. */
+  def annPlane(t: Int, l: Int): Array[Float] =
+    Array.tabulate(AnnDim) { i =>
+      if ((splitmix64(t * 1000003L + l * 1009L + i) & 1L) == 0L) 1f else -1f
+    }
+
+  /** Candidate (q_id, vec_id) pairs from the multi-table LSH index:
+    * all buckets computed map-side, candidates = vectors sharing any
+    * (table, bucket) with a query. Public so the sub-quadratic guard
+    * spec can measure the candidate volume the exact re-rank sees.
+    */
+  def annCandidates(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.load(s, dir, "embeddings")
+    val tb = explode(array((0 until AnnTables).map { t =>
+      val bucket = (0 until AnnBits).map { l =>
+        when(call_function("dotp", col("embedding"), typedlit(annPlane(t, l))) > 0d,
+          lit(1L << l)).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }: _*)).as("tb")
+    val sig = e.select(col("vec_id"), tb)
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val qsig = sig.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    sig.join(broadcast(qsig), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+  }
+
   /** Word 3-gram shingle set with 60-bit md5 hash, as (doc_id, h). */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "documents")
@@ -87,42 +136,36 @@ object LlmSimQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
     // ---- embedding near-duplicates: rounded cosine >= 0.99.
-    //      All-pairs via a broadcast block product (mapPartitions over
-    //      primitive float arrays): each partition streams its rows
-    //      against the broadcast block and emits ONLY pairs above a
-    //      conservative raw threshold (0.99 - 1e-6 > any value that
-    //      could round to >= 0.99 at 6 dp), so the O(n²) pair space is
-    //      never materialized as rows. The survivors get the exact
-    //      decimal rounding + filter in DataFrame land — bit-identical
-    //      to the declarative join formulation and the DuckDB oracle
-    //      (same left-fold dot). At cluster scale the broadcast block
-    //      becomes a tile loop; the per-partition structure is the same. ----
+    //      Exact all-pairs as a TILE LOOP of bounded broadcast joins:
+    //      the block side is chunked by vec_id mod nTiles so every
+    //      broadcast holds <= TileRows vectors (~1 MB at d=64) no matter
+    //      how big the corpus is, and each tile runs as a
+    //      BroadcastNestedLoopJoin — every task streams its partition
+    //      against the in-memory tile. Nothing is ever collected to the
+    //      driver. Pairs below a conservative raw threshold
+    //      (0.99 - 1e-6 > anything that could round to >= 0.99 at 6 dp)
+    //      are dropped inside the join, so the O(n²) pair space is never
+    //      materialized as rows. The codegen'd `dotp` left-fold matches
+    //      the DuckDB oracle bit-for-bit. ----
     "q50_embedding_neardup" -> ((s, dir) => {
-      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       val e = Tables.load(s, dir, "embeddings")
-      val vecs = e.select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-      val block = s.sparkContext.broadcast(
-        vecs.collect().sortBy(_._1))
-      val rawPairs = vecs.mapPartitions { it =>
-        val all = block.value
-        def dotRaw(x: Array[Float], y: Array[Float]): Double = {
-          var acc = 0.0; var i = 0
-          val n = math.min(x.length, y.length)
-          while (i < n) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
-          acc
-        }
-        it.flatMap { case (idA, embA) =>
-          val nrmA = math.sqrt(dotRaw(embA, embA))
-          all.iterator
-            .filter(_._1 > idA)
-            .map { case (idB, embB) =>
-              (idA, idB, dotRaw(embA, embB) / (nrmA * math.sqrt(dotRaw(embB, embB))))
-            }
-            .filter(_._3 >= 0.989999)
-        }
-      }.toDF("id_a", "id_b", "cosine_raw")
-      rawPairs
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", sqrt(sqnorm("embedding")))
+      val TileRows = 4096L
+      val nTiles = (((e.count() + TileRows - 1) / TileRows).toInt).max(1)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a"))
+      val tiles = (0 until nTiles).map { t =>
+        val b = e.filter(pmod(col("vec_id"), lit(nTiles)) === t)
+          .select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+            col("nrm").as("nrm_b"))
+        a.join(broadcast(b), col("id_a") < col("id_b"))
+          .withColumn("cosine_raw", dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")))
+          .filter(col("cosine_raw") >= 0.989999)
+          .select(col("id_a"), col("id_b"), col("cosine_raw"))
+      }
+      tiles.reduce(_ unionAll _)
         .withColumn("cosine", dround(col("cosine_raw"), 6))
         .filter(col("cosine") >= 0.99)
         .select(col("id_a"), col("id_b"), col("cosine"))
@@ -143,28 +186,28 @@ object LlmSimQueries {
           expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(0L)).as("simhash"))
         .orderBy(col("doc_id"))
     }),
-    // ---- ANN via sign-LSH buckets (the 100 TB-scale similarity path):
-    //      bucket = sign bits of the first 8 dims (axis-aligned
-    //      hyperplanes); candidates only within a query's own bucket, so
-    //      the pair space shrinks from O(n²) to O(n²/2^8) and the join
-    //      shuffles on the bucket key. Exact re-rank inside the bucket. ----
+    // ---- ANN via a real multi-table sign-LSH index (the 100 TB-scale
+    //      similarity path): K=4 tables × L=12 random ±1 hyperplanes
+    //      per vector, all computed map-side (one codegen'd dotp per
+    //      hyperplane — no shuffle to build the index). Candidates are
+    //      vectors sharing any (table, bucket) with a query — expected
+    //      pair space O(K·n²/2^L) instead of O(n²) — then exact cosine
+    //      re-rank on the candidate ids only. The bucket value is an
+    //      integer sum of per-bit terms, so Spark's expression fold and
+    //      the oracle's GROUP BY sum agree exactly. ----
     "q53_ann_lsh" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val e = Tables.load(s, dir, "embeddings")
         .withColumn("nrm", sqrt(sqnorm("embedding")))
-        .withColumn("bucket", expr(
-          """aggregate(sequence(0, 7),
-               0L, (acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > 0.0
-                                          THEN shiftleft(1L, i) ELSE 0L END)"""))
-      val q = e.filter(col("vec_id") < 20)
+      val candIds = annCandidates(s, dir)
+      val qe = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"), col("bucket"))
-      val joined = e.join(broadcast(q), Seq("bucket"))
-        .filter(col("vec_id") =!= col("q_id"))
+          col("nrm").as("q_nrm"))
+      val scored = candIds.join(broadcast(qe), "q_id").join(e, "vec_id")
         .withColumn("cosine", dround(dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")), 6))
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-      joined.withColumn("rk", row_number().over(w))
+      scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
         .orderBy(col("q_id"), col("rk"))
@@ -183,24 +226,37 @@ object LlmSimQueries {
       val mhUdaf = udaf(new graft.functions.MinHashAgg(
         minhashA.toArray, minhashB.toArray, MinhashP),
         org.apache.spark.sql.Encoders.scalaLong)
-      val sig = sh.groupBy(col("doc_id"))
+      val rows = MinhashK / MinhashBands
+      // Band keys sliced straight out of the signature array — one
+      // map-side expression per doc. (Round 1 posexploded the signature
+      // and re-grouped by (doc, band): a second full shuffle that
+      // carried k rows per doc for information already sitting in one
+      // array. The slice formulation is shuffle-free.)
+      val bands = sh.groupBy(col("doc_id"))
         .agg(mhUdaf(col("h")).as("sig"))
-        .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "mh")))
-      // band key = minhashes of the band joined; docs sharing any band collide
-      // `div` = floor division; a plain cast-of-double-quotient truncates
-      // in Spark but rounds in DuckDB, silently shifting band membership.
-      val bands = sig.withColumn("band", expr(s"i div ${MinhashK / MinhashBands}"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(concat_ws("-", sort_array(collect_list(struct(col("i"), col("mh")))).getField("mh").cast(ArrayType(StringType))).as("band_key"))
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(0, ${MinhashBands - 1}),
+                b -> struct(b AS band,
+                  concat_ws('-', CAST(slice(sig, b * $rows + 1, $rows) AS ARRAY<STRING>)) AS band_key))"""))
+          .as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
-      // verify candidates with exact shingle-set Jaccard
-      val inter = cand.join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
+        .cache()
+      // verify candidates with exact shingle-set Jaccard — but only over
+      // the shingles of docs that actually appear in a candidate pair:
+      // a broadcast semi-join shrinks the verify input from the whole
+      // corpus to O(candidates) docs BEFORE the h-equality self-join,
+      // so the exact check never re-shuffles the full shingle set.
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val shc = sh.join(broadcast(candDocs), "doc_id").cache()
+      val inter = cand.join(shc.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(shc.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val sz = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       cand.join(inter, Seq("doc_a", "doc_b"), "left")
         .na.fill(0L, Seq("inter"))
         .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
@@ -218,23 +274,36 @@ object LlmSimQueries {
     minhashA.zip(minhashB).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
 
+  /** The ANN hyperplanes as DuckDB VALUES rows `(tbl, bit, wv)`. */
+  private def annPlaneSqlValues: String =
+    (for (t <- 0 until AnnTables; l <- 0 until AnnBits) yield {
+      val lst = annPlane(t, l).map(v => if (v > 0f) "1.0" else "-1.0").mkString(",")
+      s"($t, $l, [$lst]::DOUBLE[])"
+    }).mkString(", ")
+
   val oracle: Map[String, String] = Map(
     "q53_ann_lsh" -> s"""
-      WITH e AS (
+      WITH w AS (SELECT * FROM (VALUES ${annPlaneSqlValues}) AS t(tbl, bit, wv)),
+      e AS (
         SELECT vec_id, embedding,
-          sqrt(${dotSql("embedding", "embedding")}) AS nrm,
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(range(0, 8),
-              i -> CASE WHEN embedding[i + 1] > 0.0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)),
-            (acc, v) -> acc + v) AS bucket
+          sqrt(${dotSql("embedding", "embedding")}) AS nrm
         FROM embeddings),
-      q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket
-            FROM e WHERE vec_id < 20),
+      sig AS (
+        SELECT vec_id, tbl,
+          sum(CASE WHEN ${dotSql("embedding", "wv")} > 0
+              THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS bucket
+        FROM e CROSS JOIN w
+        GROUP BY vec_id, tbl),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, s.vec_id
+        FROM sig s JOIN sig q ON s.tbl = q.tbl AND s.bucket = q.bucket
+        WHERE q.vec_id < 20 AND s.vec_id <> q.vec_id),
       scored AS (
-        SELECT q.q_id, e.vec_id,
-          ${R(s"${dotSql("q_emb", "e.embedding")} / (q_nrm * e.nrm)", 6)} AS cosine
-        FROM e JOIN q USING (bucket)
-        WHERE e.vec_id <> q.q_id)
+        SELECT c.q_id, c.vec_id,
+          ${R(s"${dotSql("qe.embedding", "e.embedding")} / (qe.nrm * e.nrm)", 6)} AS cosine
+        FROM cand c
+          JOIN e qe ON c.q_id = qe.vec_id
+          JOIN e ON c.vec_id = e.vec_id)
       SELECT q_id, rk, vec_id AS neighbor_id, cosine FROM (
         SELECT q_id, vec_id, cosine,
           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
@@ -276,7 +345,7 @@ object LlmSimQueries {
         FROM tok CROSS JOIN (SELECT unnest(range(32)) AS bit)
         GROUP BY doc_id, bit)
       SELECT doc_id,
-        sum(CASE WHEN score > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS simhash
+        CAST(sum(CASE WHEN score > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
       FROM bits
       GROUP BY doc_id
       ORDER BY doc_id""",

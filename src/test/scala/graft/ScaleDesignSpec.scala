@@ -71,6 +71,38 @@ class ScaleDesignSpec extends SparkSpec {
     }
   }
 
+  test("q53: LSH candidate set is sub-quadratic (o(n_q·n) pairs reach the re-rank)") {
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val nQ = 20L
+    val cands = graft.queries.LlmSimQueries.annCandidates(spark, sf).count()
+    // worst case (brute force) scores n_q·(n-1) pairs; the index must
+    // prune the vast majority even at this tiny SF (buckets get MORE
+    // selective as n grows at fixed L, so passing here lower-bounds
+    // the pruning at scale)
+    assert(cands < nQ * (n - 1) / 4,
+      s"candidates=$cands vs brute=${nQ * (n - 1)}")
+  }
+
+  test("q54: fingerprint sketch is map-side only (single exchange, for the final sort)") {
+    val p = plan("q54_rolling_fingerprint")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1,
+      s"bottom-k sketch must not shuffle grams:\n$p")
+  }
+
+  test("q50: tile loop runs as broadcast nested-loop joins, no driver-side block") {
+    val p = plan("q50_embedding_neardup")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"), "block product must broadcast the tile")
+  }
+
+  test("q47: hot-shingle df-cap is applied before the inverted-index self-join") {
+    // the cap's aggregate appears in the plan as an extra count over
+    // shingle feeding a filter — assert the plan carries it (guards
+    // against the cap being optimized away or dropped in a refactor)
+    val p = plan("q47_ngram_jaccard")
+    assert(p.contains("<= 256"), s"df-cap filter missing from plan:\n$p")
+  }
+
   test("salted join spreads a skewed key and preserves the exact result") {
     import spark.implicits._
     // heavily skewed left side: 10k rows of key 1, a handful of others

@@ -79,6 +79,19 @@ def main():
             print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
             n_fail += 1
             continue
+        # Dtype-kind-strict: the driver hashes Python values, so width
+        # (int32 vs int64) and tz resolution (ns vs us) don't matter,
+        # but KIND does — an int64 Spark column vs a float64 DuckDB
+        # column (e.g. sum(int) -> HUGEINT -> float) renders 99111 vs
+        # 99111.0 and hash-mismatches even though the values compare ==.
+        dtype_bad = [(c, str(spark_df[c].dtype), str(duck_df[c].dtype))
+                     for c in spark_df.columns
+                     if spark_df[c].dtype.kind != duck_df[c].dtype.kind]
+        if dtype_bad:
+            for c, sd, dd in dtype_bad:
+                print(f"FAIL {name}: dtype col {c}: spark={sd} duckdb={dd}")
+            n_fail += 1
+            continue
         bad = None
         for ci, c in enumerate(spark_df.columns):
             sv, dv = spark_df[c].tolist(), duck_df[c].tolist()
