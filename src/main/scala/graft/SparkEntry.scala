@@ -22,7 +22,8 @@ object SparkEntry {
       WindowScalarQueries.queries ++
       StreamEquivQueries.queries ++
       LlmTextQueries.queries ++
-      LlmSimQueries.queries
+      LlmSimQueries.queries ++
+      CdcOpQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -32,5 +33,6 @@ object SparkEntry {
       WindowScalarQueries.oracle ++
       StreamEquivQueries.oracle ++
       LlmTextQueries.oracle ++
-      LlmSimQueries.oracle
+      LlmSimQueries.oracle ++
+      CdcOpQueries.oracle
 }

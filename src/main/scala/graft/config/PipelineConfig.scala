@@ -1,0 +1,72 @@
+package graft.config
+
+import graft.streaming.TopicNaming
+
+/** Validated pipeline configuration model (SURVEY.md §2.2 P2 + the
+  * reference's config surface, behavior from `config/models.py`):
+  * a pipeline = one CDC source (with a validated `schema.table`
+  * capture include-list) fanning out to N typed sinks, plus the
+  * transport/runtime settings the Spark engine needs (envelope source
+  * directory, checkpoint location, admission bound).
+  *
+  * Validation mirrors the reference's pydantic rules:
+  *  - `pipeline_id` and `source.database` are required;
+  *  - every capture entry must be `namespace.name` qualified
+  *    (`config/models.py:89-106`);
+  *  - each sink must carry exactly the sub-config its `sink_type`
+  *    demands (`config/models.py:317-330`);
+  *  - unknown top-level keys are rejected (`extra="forbid"`,
+  *    `config/models.py:332`).
+  */
+final case class RetryCfg(
+    maxAttempts: Int = 3,
+    initialDelayMs: Long = 100,
+    maxDelayMs: Long = 60000)
+
+final case class WebhookSinkCfg(url: String)
+
+final case class PostgresSinkCfg(targetTable: String)
+
+final case class LakehouseSinkCfg(
+    tablePath: String,
+    upsertKeys: Seq[String] = Nil,
+    payloadSchemaJson: Option[String] = None)
+
+final case class SinkCfg(
+    sinkId: String,
+    sinkType: String, // webhook | postgres | lakehouse
+    enabled: Boolean = true,
+    retry: RetryCfg = RetryCfg(),
+    webhook: Option[WebhookSinkCfg] = None,
+    postgres: Option[PostgresSinkCfg] = None,
+    lakehouse: Option[LakehouseSinkCfg] = None)
+
+final case class SourceCfg(
+    sourceType: TopicNaming.SourceType = TopicNaming.Postgres,
+    database: String,
+    tables: Seq[String] = Nil,
+    slotName: String = "cdc_slot",
+    publicationName: String = "cdc_publication")
+
+final case class DlqCfg(
+    enabled: Boolean = true,
+    tablePath: Option[String] = None,
+    topicSuffix: String = "dlq")
+
+final case class PipelineCfg(
+    pipelineId: String,
+    topicPrefix: String = "cdc",
+    source: SourceCfg,
+    sinks: Seq[SinkCfg] = Nil,
+    sourceDir: String,
+    checkpointDir: String,
+    dlq: DlqCfg = DlqCfg(),
+    maxFilesPerTrigger: Int = 10) {
+
+  /** The configured capture include-list as concrete topic names —
+    * the P2 predicate the pipeline filters consumption on.
+    */
+  def includeTopics: Seq[String] =
+    source.tables.map(t => TopicNaming.cdcTopicForEntry(
+      topicPrefix, source.sourceType, t, Some(source.database)))
+}

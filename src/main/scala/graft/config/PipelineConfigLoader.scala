@@ -1,0 +1,215 @@
+package graft.config
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+
+import graft.streaming.TopicNaming
+
+/** YAML → env-interpolation → defaults deep-merge → validated
+  * [[PipelineCfg]] (the reference loader pipeline,
+  * `config/loader.py:55-106` + `config/defaults.py:25-44`).
+  */
+object PipelineConfigLoader {
+
+  private type Node = Map[String, Any]
+
+  /** Built-in defaults (the reference ships `defaults/pipeline.yaml`;
+    * here the same role is played by an in-code map the user YAML
+    * deep-merges over).
+    */
+  val defaults: Node = Map(
+    "topic_prefix" -> "cdc",
+    "max_files_per_trigger" -> 10,
+    "source" -> Map(
+      "source_type" -> "postgres",
+      "slot_name" -> "cdc_slot",
+      "publication_name" -> "cdc_publication",
+      "tables" -> Seq.empty[Any]),
+    "dlq" -> Map("enabled" -> true, "topic_suffix" -> "dlq"))
+
+  def load(path: String, env: Map[String, String] = sys.env): PipelineCfg = {
+    if (!Files.exists(Paths.get(path)))
+      throw new IllegalArgumentException(s"Config file not found: $path")
+    parse(Files.readString(Paths.get(path)), env)
+  }
+
+  def parse(yamlText: String, env: Map[String, String] = sys.env): PipelineCfg = {
+    val mapper = new ObjectMapper(new YAMLFactory())
+    val raw = mapper.readValue(yamlText, classOf[java.util.Map[String, Object]])
+    val data = interpolate(toScala(raw), env).asInstanceOf[Node]
+    validate(merge(defaults, data))
+  }
+
+  // ---- plumbing ----
+
+  private def toScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => k.toString -> toScala(x) }.toMap
+    case l: java.util.List[_] => l.asScala.map(toScala).toSeq
+    case other => other
+  }
+
+  /** Recursive `${VAR}` / `${VAR:-default}` resolution over strings
+    * (`config/loader.py:41-49` shape, F9 semantics via EnvInterpolator).
+    */
+  private def interpolate(v: Any, env: Map[String, String]): Any = v match {
+    case s: String => EnvInterpolator.interpolate(s, env)
+    case m: Map[_, _] =>
+      m.map { case (k, x) => k.toString -> interpolate(x, env) }
+    case l: Seq[_] => l.map(interpolate(_, env))
+    case other => other
+  }
+
+  /** Non-mutating recursive deep-merge, overrides win
+    * (`config/defaults.py:25-33`).
+    */
+  def merge(base: Node, overrides: Node): Node =
+    overrides.foldLeft(base) {
+      case (acc, (k, v: Map[_, _])) =>
+        acc.get(k) match {
+          case Some(b: Map[_, _]) =>
+            acc + (k -> merge(b.asInstanceOf[Node], v.asInstanceOf[Node]))
+          case _ => acc + (k -> v)
+        }
+      case (acc, (k, v)) => acc + (k -> v)
+    }
+
+  // ---- validation (mirrors config/models.py rules) ----
+
+  private val QualifiedName = """^[A-Za-z_]\w*\.[A-Za-z_]\w*$""".r
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"Invalid pipeline config: $msg")
+
+  private def str(n: Node, key: String, where: String): String =
+    n.get(key) match {
+      case Some(s: String) if s.nonEmpty => s
+      case Some(other) => fail(s"$where.$key must be a string, got $other")
+      case None => fail(s"$where.$key is required")
+    }
+
+  private def optStr(n: Node, key: String): Option[String] =
+    n.get(key).collect { case s: String if s.nonEmpty => s }
+
+  private def int(n: Node, key: String, dflt: Int): Int = n.get(key) match {
+    case Some(i: Int) => i
+    case Some(i: Integer) => i.intValue
+    case Some(l: Long) => l.toInt
+    case Some(other) => fail(s"$key must be an integer, got $other")
+    case None => dflt
+  }
+
+  private def bool(n: Node, key: String, dflt: Boolean): Boolean = n.get(key) match {
+    case Some(b: Boolean) => b
+    case Some(other) => fail(s"$key must be a boolean, got $other")
+    case None => dflt
+  }
+
+  private def node(n: Node, key: String): Node = n.get(key) match {
+    case Some(m: Map[_, _]) => m.asInstanceOf[Node]
+    case Some(other) => fail(s"$key must be a mapping, got $other")
+    case None => Map.empty
+  }
+
+  private def strSeq(n: Node, key: String): Seq[String] = n.get(key) match {
+    case Some(l: Seq[_]) => l.map(_.toString)
+    case Some(other) => fail(s"$key must be a list, got $other")
+    case None => Nil
+  }
+
+  private val KnownTopLevel = Set(
+    "pipeline_id", "topic_prefix", "source", "sinks",
+    "source_dir", "checkpoint_dir", "dlq", "max_files_per_trigger")
+
+  private def validate(n: Node): PipelineCfg = {
+    // extra="forbid" on the pipeline model (config/models.py:332)
+    val unknown = n.keySet.diff(KnownTopLevel)
+    if (unknown.nonEmpty) fail(s"unknown keys: ${unknown.toSeq.sorted.mkString(", ")}")
+
+    val srcN = node(n, "source")
+    val tables = strSeq(srcN, "tables")
+    tables.foreach { t =>
+      if (QualifiedName.findFirstIn(t).isEmpty)
+        fail(s"Table/collection '$t' must be schema- or db-qualified " +
+          "(e.g. 'public.customers' or 'mydb.events')")
+    }
+    val source = SourceCfg(
+      sourceType = TopicNaming.SourceType.parse(
+        optStr(srcN, "source_type").getOrElse("postgres")),
+      database = str(srcN, "database", "source"),
+      tables = tables,
+      slotName = optStr(srcN, "slot_name").getOrElse("cdc_slot"),
+      publicationName = optStr(srcN, "publication_name").getOrElse("cdc_publication"))
+
+    val sinks = (n.get("sinks") match {
+      case Some(l: Seq[_]) => l.map {
+        case m: Map[_, _] => validateSink(m.asInstanceOf[Node])
+        case other => fail(s"sinks entries must be mappings, got $other")
+      }
+      case Some(other) => fail(s"sinks must be a list, got $other")
+      case None => Nil
+    })
+    val dup = sinks.groupBy(_.sinkId).collect { case (id, xs) if xs.size > 1 => id }
+    if (dup.nonEmpty) fail(s"duplicate sink_id: ${dup.mkString(", ")}")
+
+    val dlqN = node(n, "dlq")
+    PipelineCfg(
+      pipelineId = str(n, "pipeline_id", "pipeline"),
+      topicPrefix = optStr(n, "topic_prefix").getOrElse("cdc"),
+      source = source,
+      sinks = sinks,
+      sourceDir = str(n, "source_dir", "pipeline"),
+      checkpointDir = str(n, "checkpoint_dir", "pipeline"),
+      dlq = DlqCfg(
+        enabled = bool(dlqN, "enabled", dflt = true),
+        tablePath = optStr(dlqN, "table_path"),
+        topicSuffix = optStr(dlqN, "topic_suffix").getOrElse("dlq")),
+      maxFilesPerTrigger = int(n, "max_files_per_trigger", 10))
+  }
+
+  private def validateSink(n: Node): SinkCfg = {
+    val id = str(n, "sink_id", "sink")
+    val tpe = str(n, "sink_type", s"sink $id")
+    val retryN = node(n, "retry")
+    val cfg = SinkCfg(
+      sinkId = id,
+      sinkType = tpe,
+      enabled = bool(n, "enabled", dflt = true),
+      retry = RetryCfg(
+        maxAttempts = int(retryN, "max_attempts", 3),
+        initialDelayMs = int(retryN, "initial_delay_ms", 100).toLong,
+        maxDelayMs = int(retryN, "max_delay_ms", 60000).toLong),
+      webhook = if (n.contains("webhook"))
+        Some(WebhookSinkCfg(str(node(n, "webhook"), "url", s"sink $id webhook"))) else None,
+      postgres = if (n.contains("postgres"))
+        Some(PostgresSinkCfg(str(node(n, "postgres"), "target_table", s"sink $id postgres"))) else None,
+      lakehouse = if (n.contains("lakehouse")) {
+        val lh = node(n, "lakehouse")
+        Some(LakehouseSinkCfg(
+          tablePath = str(lh, "table_path", s"sink $id lakehouse"),
+          upsertKeys = strSeq(lh, "upsert_keys"),
+          payloadSchemaJson = optStr(lh, "payload_schema_json")))
+      } else None)
+
+    // the sub-config matching sink_type must be present (models.py:317-330)
+    tpe match {
+      case "webhook" if cfg.webhook.isEmpty =>
+        fail(s"webhook config is required when sink_type is 'webhook' (sink $id)")
+      case "postgres" if cfg.postgres.isEmpty =>
+        fail(s"postgres config is required when sink_type is 'postgres' (sink $id)")
+      case "lakehouse" if cfg.lakehouse.isEmpty =>
+        fail(s"lakehouse config is required when sink_type is 'lakehouse' (sink $id)")
+      case "webhook" | "postgres" | "lakehouse" => ()
+      case other => fail(s"unknown sink_type '$other' (sink $id)")
+    }
+    // postgres target must be schema-qualified (models.py:260-271)
+    cfg.postgres.foreach { p =>
+      if (QualifiedName.findFirstIn(p.targetTable).isEmpty)
+        fail(s"postgres target_table '${p.targetTable}' must be schema-qualified")
+    }
+    cfg
+  }
+}

@@ -1,0 +1,221 @@
+package graft.queries
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.PgOutputDecoder
+import graft.streaming.CommitLedger
+import graft.lakehouse.LakehouseTable
+
+/** Driver-gated queries over the CDC-path operators (SURVEY.md §2.1-2.9)
+  * so the hard correctness gate sees them, not just ScalaTest:
+  *
+  *  - q59: distributed pgoutput decode of a fixed binary WAL corpus
+  *    (two independent streams decoded in parallel partitions, the
+  *    production layout: one stateful decoder per replication stream).
+  *  - q60: min-watermark commit-ledger algebra replayed over a fixture
+  *    flush/commit log (the exactly-once core, §2.4 A2).
+  *  - q61: lakehouse snapshot lineage through append → upsert →
+  *    rollback, read back via time travel (§1.3/§2.7).
+  *
+  * Each has a DuckDB oracle of literal VALUES — the expected rows are
+  * hand-derived from the reference semantics (`sources/wal/decoder.py`,
+  * `pipeline/runner.py:355-383`, `lakehouse/time_travel.py`), so the
+  * driver hash-gates these operators against an independent expectation,
+  * not against this implementation.
+  */
+object CdcOpQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  // ---- pgoutput wire builders (public-protocol big-endian framing,
+  //      same shapes as the decoder spec's test vectors) ----
+  private def u16(v: Int) = ByteBuffer.allocate(2).putShort(v.toShort).array()
+  private def u32(v: Long) = ByteBuffer.allocate(4).putInt(v.toInt).array()
+  private def i64(v: Long) = ByteBuffer.allocate(8).putLong(v).array()
+
+  private def begin(lsn: Long, tsMicros: Long): Array[Byte] =
+    "B".getBytes ++ i64(lsn) ++ i64(tsMicros) ++ u32(1)
+
+  private def relation(relId: Long, table: String, cols: Seq[String]): Array[Byte] = {
+    var d = "R".getBytes ++ u32(relId) ++
+      "public".getBytes(StandardCharsets.UTF_8) ++ Array[Byte](0) ++
+      table.getBytes(StandardCharsets.UTF_8) ++ Array[Byte](0) ++
+      Array[Byte](0) ++ u16(cols.size)
+    cols.foreach { c =>
+      d = d ++ Array[Byte](0) ++ c.getBytes(StandardCharsets.UTF_8) ++
+        Array[Byte](0) ++ u32(25) ++ u32(0)
+    }
+    d
+  }
+
+  /** TupleData with per-column null support ('n') vs text ('t'). */
+  private def tuple(values: Seq[Option[String]]): Array[Byte] = {
+    var d = u16(values.size)
+    values.foreach {
+      case None => d = d ++ "n".getBytes
+      case Some(v) =>
+        val b = v.getBytes(StandardCharsets.UTF_8)
+        d = d ++ "t".getBytes ++ u32(b.length) ++ b
+    }
+    d
+  }
+
+  private def ins(relId: Long, vals: Seq[Option[String]]): Array[Byte] =
+    "I".getBytes ++ u32(relId) ++ "N".getBytes ++ tuple(vals)
+  private def updK(relId: Long, old: Seq[Option[String]], neu: Seq[Option[String]]): Array[Byte] =
+    "U".getBytes ++ u32(relId) ++ "K".getBytes ++ tuple(old) ++ "N".getBytes ++ tuple(neu)
+  private def updN(relId: Long, neu: Seq[Option[String]]): Array[Byte] =
+    "U".getBytes ++ u32(relId) ++ "N".getBytes ++ tuple(neu)
+  private def del(relId: Long, old: Seq[Option[String]]): Array[Byte] =
+    "D".getBytes ++ u32(relId) ++ "K".getBytes ++ tuple(old)
+
+  /** Canonical JSON of a decoded tuple: keys sorted, nulls explicit —
+    * the deterministic text form both engines compare on.
+    */
+  private def js(m: Option[Map[String, Option[String]]]): String = m match {
+    case None => null
+    case Some(row) =>
+      row.toSeq.sortBy(_._1).map {
+        case (k, Some(v)) => s""""$k":"$v""""
+        case (k, None) => s""""$k":null"""
+      }.mkString("{", ",", "}")
+  }
+
+  private def fmtTs(t: java.sql.Timestamp): String =
+    java.time.Instant.ofEpochMilli(t.getTime)
+      .atOffset(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+
+  /** The fixture WAL corpus: two independent replication streams, each
+    * `(changeSeq | -1 for control, messageBytes)` in stream order.
+    */
+  private def walStreams: Seq[Seq[(Int, Array[Byte])]] = {
+    val day = 86400000000L // 2000-01-02T00:00:00Z in µs since PG epoch
+    val streamA: Seq[(Int, Array[Byte])] =
+      Seq((-1, begin(1000L, day)),
+        (-1, relation(1, "users", Seq("id", "name", "note")))) ++
+        (0 until 10).map(i => (i, ins(1,
+          Seq(Some(i.toString), Some(s"user_$i"),
+            if (i % 3 == 0) None else Some(s"n_$i"))))) ++
+      Seq((-1, begin(2000L, day + 5000000L))) ++
+        (0 until 3).map(i => (10 + i, updK(1,
+          Seq(Some(i.toString), None, None),
+          Seq(Some(i.toString), Some(s"upd_$i"), Some(s"nn_$i"))))) ++
+      Seq(
+        (13, updN(1, Seq(Some("5"), Some("upd_5"), None))),
+        (14, del(1, Seq(Some("7"), None, None))),
+        (15, del(1, Seq(Some("8"), None, None))))
+    val streamB: Seq[(Int, Array[Byte])] = Seq(
+      (-1, begin(3000L, day + 10000000L)),
+      (-1, relation(2, "orders", Seq("oid", "amt"))),
+      (16, ins(2, Seq(Some("100"), Some("9.99")))),
+      (17, ins(2, Seq(Some("101"), None))))
+    Seq(streamA, streamB)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ---- distributed WAL decode: one stateful decoder per stream
+    //      partition (pgoutput guarantees R precedes I/U/D per
+    //      connection, so per-partition replay preserves cache validity;
+    //      at scale each Kafka/WAL partition is one task) ----
+    "q59_wal_decode" -> ((s, _) => {
+      import s.implicits._
+      s.sparkContext.parallelize(walStreams, walStreams.size)
+        .flatMap { stream =>
+          val d = new PgOutputDecoder
+          stream.flatMap { case (seq, bytes) =>
+            d.decode(bytes).map(ch =>
+              (seq, ch.operation, ch.table, ch.lsn, fmtTs(ch.timestamp),
+                js(ch.before), js(ch.after)))
+          }
+        }
+        .toDF("seq", "op", "tbl", "lsn", "ts", "before", "after")
+        .orderBy(col("seq"))
+    }),
+    // ---- min-watermark ledger replay: two sinks, two partitions;
+    //      commits suppressed while any sink lags, min-across-sinks,
+    //      strictly monotone, next-to-fetch form ----
+    "q60_ledger_replay" -> ((s, _) => {
+      import s.implicits._
+      val ledger = new CommitLedger(Seq("A", "B"))
+      val out = Seq.newBuilder[(Int, String, Int, Long)]
+      def commitStep(step: Int): Unit =
+        ledger.commitableNextToFetch().toSeq.sortBy(x => (x._1._1, x._1._2))
+          .foreach { case ((t, p), next) => out += ((step, t, p, next)) }
+      ledger.recordFlush("A", ("t", 0), 5); ledger.recordFlush("B", ("t", 0), 3)
+      commitStep(1) // min(5,3)=3 → next 4
+      ledger.recordFlush("A", ("t", 1), 2)
+      commitStep(2) // B never saw (t,1) → suppressed; (t,0) unchanged
+      ledger.recordFlush("B", ("t", 1), 4); ledger.recordFlush("A", ("t", 1), 7)
+      commitStep(3) // min(7,4)=4 → next 5
+      ledger.recordFlush("A", ("t", 0), 5); ledger.recordFlush("B", ("t", 0), 5)
+      commitStep(4) // min now 5 > 3 → next 6
+      ledger.recordFlush("B", ("t", 0), 4) // regression: ignored (monotone max)
+      commitStep(5) // nothing above last committed
+      out.result().toDF("step", "topic", "partition", "next_to_fetch")
+        .orderBy(col("step"), col("topic"), col("partition"))
+    }),
+    // ---- lakehouse snapshot lineage: append → append → upsert →
+    //      rollback; every snapshot read back via time travel ----
+    "q61_lakehouse_timetravel" -> ((s, _) => {
+      import s.implicits._
+      val table = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft-q61").toString)
+      table.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+      table.append(Seq((4L, "d"), (5L, "e")).toDF("id", "v"))
+      table.upsert(Seq((2L, "B2"), (6L, "f")).toDF("id", "v"), Seq("id"))
+      table.rollbackToSnapshot(2)
+      val snaps = table.listSnapshots()
+      snaps.map { sn =>
+        val df = table.scanAtSnapshot(sn.snapshotId)
+        val (n, sum) = (df.count(), df.agg(org.apache.spark.sql.functions.sum("id"))
+          .collect()(0).getLong(0))
+        (sn.snapshotId, sn.operation, n, sum)
+      }.toDF("snap", "operation", "n_rows", "sum_ids")
+        .orderBy(col("snap"))
+    })
+  )
+
+  /** Literal-VALUES oracles: expectations hand-derived from the
+    * reference semantics, independent of the Scala implementation.
+    */
+  val oracle: Map[String, String] = Map(
+    "q59_wal_decode" -> {
+      val insRows = (0 until 10).map { i =>
+        val note = if (i % 3 == 0) "null" else s""""n_$i""""
+        s"""($i, 'insert', 'users', 1000, '2000-01-02 00:00:00', CAST(NULL AS VARCHAR), '{"id":"$i","name":"user_$i","note":$note}')"""
+      }
+      val updRows = (0 until 3).map { i =>
+        s"""(${10 + i}, 'update', 'users', 2000, '2000-01-02 00:00:05', '{"id":"$i","name":null,"note":null}', '{"id":"$i","name":"upd_$i","note":"nn_$i"}')"""
+      }
+      val tail = Seq(
+        """(13, 'update', 'users', 2000, '2000-01-02 00:00:05', CAST(NULL AS VARCHAR), '{"id":"5","name":"upd_5","note":null}')""",
+        """(14, 'delete', 'users', 2000, '2000-01-02 00:00:05', '{"id":"7","name":null,"note":null}', CAST(NULL AS VARCHAR))""",
+        """(15, 'delete', 'users', 2000, '2000-01-02 00:00:05', '{"id":"8","name":null,"note":null}', CAST(NULL AS VARCHAR))""",
+        """(16, 'insert', 'orders', 3000, '2000-01-02 00:00:10', CAST(NULL AS VARCHAR), '{"amt":"9.99","oid":"100"}')""",
+        """(17, 'insert', 'orders', 3000, '2000-01-02 00:00:10', CAST(NULL AS VARCHAR), '{"amt":null,"oid":"101"}')""")
+      s"""SELECT * FROM (VALUES
+        ${(insRows ++ updRows ++ tail).mkString(",\n        ")})
+        AS t(seq, op, tbl, lsn, ts, "before", "after")
+        ORDER BY seq"""
+    },
+    "q60_ledger_replay" -> """
+      SELECT * FROM (VALUES
+        (1, 't', 0, 4),
+        (3, 't', 1, 5),
+        (4, 't', 0, 6))
+      AS t(step, topic, "partition", next_to_fetch)
+      ORDER BY step, topic, "partition"""",
+    "q61_lakehouse_timetravel" -> """
+      SELECT * FROM (VALUES
+        (1, 'append', 3, 6),
+        (2, 'append', 5, 15),
+        (3, 'upsert', 6, 21),
+        (4, 'rollback', 5, 15))
+      AS t(snap, operation, n_rows, sum_ids)
+      ORDER BY snap"""
+  )
+}

@@ -161,12 +161,22 @@ final class ChangePipeline(
     sinks: Seq[Sink],
     dlq: DlqWriter,
     checkpointDir: String,
-    onCommit: Map[(String, Int), Long] => Unit = _ => ()) {
+    onCommit: Map[(String, Int), Long] => Unit = _ => (),
+    includeTopics: Seq[String] = Nil,
+    maxFilesPerTrigger: Int = 10) {
 
   val ledger = new CommitLedger(sinks.map(_.sinkId))
 
   def start(trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    ChangeEnvelope.readStream(spark, sourceDir)
+    val stream0 = ChangeEnvelope.readStream(spark, sourceDir, maxFilesPerTrigger)
+    // configured capture include-list (§2.2 P2): only the topics the
+    // config declares are consumed; everything else is dropped at the
+    // source (the reference validates + filters the same way,
+    // `config/models.py:89-106` + `sources/factory.py`)
+    val stream =
+      if (includeTopics.isEmpty) stream0
+      else stream0.filter(col("topic").isin(includeTopics: _*))
+    stream
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -32,7 +32,7 @@ class QueryCatalogSpec extends SparkSpec {
     val parts = Seq(
       queries.RelationalQueries.queries, queries.WindowScalarQueries.queries,
       queries.StreamEquivQueries.queries, queries.LlmTextQueries.queries,
-      queries.LlmSimQueries.queries)
+      queries.LlmSimQueries.queries, queries.CdcOpQueries.queries)
     assert(parts.map(_.size).sum === SparkEntry.queries.size, "duplicate query names collapse in the merged map")
   }
 }

@@ -1,0 +1,114 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TopicNaming
+
+/** Loader semantics pinned to the reference (`config/loader.py`,
+  * `config/models.py`, `config/defaults.py`): env interpolation,
+  * defaults deep-merge, qualified-name validation, sink sub-config
+  * matching, extra-key rejection.
+  */
+class PipelineConfigSpec extends AnyFunSuite {
+
+  private val minimal =
+    """pipeline_id: p1
+      |source:
+      |  database: appdb
+      |  tables: ["public.users"]
+      |source_dir: /tmp/src
+      |checkpoint_dir: /tmp/chk
+      |sinks:
+      |  - sink_id: lh
+      |    sink_type: lakehouse
+      |    lakehouse:
+      |      table_path: /tmp/lh
+      |""".stripMargin
+
+  test("minimal config parses with defaults merged in") {
+    val cfg = PipelineConfigLoader.parse(minimal)
+    assert(cfg.pipelineId === "p1")
+    assert(cfg.topicPrefix === "cdc") // from defaults
+    assert(cfg.maxFilesPerTrigger === 10) // from defaults
+    assert(cfg.source.sourceType === TopicNaming.Postgres)
+    assert(cfg.source.slotName === "cdc_slot")
+    assert(cfg.dlq.enabled && cfg.dlq.topicSuffix === "dlq")
+    assert(cfg.includeTopics === Seq("cdc.public.users"))
+  }
+
+  test("env interpolation resolves ${VAR} and ${VAR:-default}") {
+    val cfg = PipelineConfigLoader.parse(
+      minimal.replace("appdb", "${DB_NAME:-fallback}")
+        .replace("/tmp/src", "${SRC_DIR}"),
+      env = Map("SRC_DIR" -> "/data/in"))
+    assert(cfg.source.database === "fallback")
+    assert(cfg.sourceDir === "/data/in")
+  }
+
+  test("unqualified table names are rejected (P2 validation)") {
+    val e = intercept[IllegalArgumentException] {
+      PipelineConfigLoader.parse(minimal.replace("public.users", "users"))
+    }
+    assert(e.getMessage.contains("must be schema- or db-qualified"))
+  }
+
+  test("unknown top-level keys are rejected (extra=forbid)") {
+    val e = intercept[IllegalArgumentException] {
+      PipelineConfigLoader.parse(minimal + "mystery_knob: 7\n")
+    }
+    assert(e.getMessage.contains("unknown keys: mystery_knob"))
+  }
+
+  test("sink_type demands its matching sub-config") {
+    val bad =
+      """pipeline_id: p1
+        |source: { database: appdb }
+        |source_dir: /tmp/src
+        |checkpoint_dir: /tmp/chk
+        |sinks:
+        |  - sink_id: w1
+        |    sink_type: webhook
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](PipelineConfigLoader.parse(bad))
+    assert(e.getMessage.contains("webhook config is required"))
+  }
+
+  test("postgres target_table must be schema-qualified") {
+    val bad =
+      """pipeline_id: p1
+        |source: { database: appdb }
+        |source_dir: /tmp/src
+        |checkpoint_dir: /tmp/chk
+        |sinks:
+        |  - sink_id: pg
+        |    sink_type: postgres
+        |    postgres: { target_table: nodots }
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](PipelineConfigLoader.parse(bad))
+    assert(e.getMessage.contains("must be schema-qualified"))
+  }
+
+  test("duplicate sink ids are rejected") {
+    val dup = minimal +
+      """  - sink_id: lh
+        |    sink_type: lakehouse
+        |    lakehouse: { table_path: /tmp/lh2 }
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](PipelineConfigLoader.parse(dup))
+    assert(e.getMessage.contains("duplicate sink_id"))
+  }
+
+  test("sql server include-list maps to 4-part topics") {
+    val cfg = PipelineConfigLoader.parse(
+      minimal.replace("database: appdb", "database: cdc_demo\n  source_type: sqlserver")
+        .replace("public.users", "dbo.customers"))
+    assert(cfg.includeTopics === Seq("cdc.cdc_demo.dbo.customers"))
+  }
+
+  test("deep-merge: nested override keeps sibling defaults") {
+    val cfg = PipelineConfigLoader.parse(
+      minimal.replace("database: appdb", "database: appdb\n  slot_name: custom_slot"))
+    assert(cfg.source.slotName === "custom_slot")
+    assert(cfg.source.publicationName === "cdc_publication") // sibling default intact
+  }
+}
