@@ -43,10 +43,18 @@ final case class SinkCfg(
 
 final case class SourceCfg(
     sourceType: TopicNaming.SourceType = TopicNaming.Postgres,
+    host: String = "localhost",
+    port: Int = 5432,
     database: String,
+    username: String = "cdc_user",
+    password: String = "cdc_password",
     tables: Seq[String] = Nil,
+    snapshotMode: String = "initial",
     slotName: String = "cdc_slot",
-    publicationName: String = "cdc_publication")
+    publicationName: String = "cdc_publication",
+    mysqlServerId: Int = 1,
+    replicaSetName: Option[String] = None,
+    authSource: String = "admin")
 
 final case class DlqCfg(
     enabled: Boolean = true,

@@ -139,10 +139,18 @@ object PipelineConfigLoader {
     val source = SourceCfg(
       sourceType = TopicNaming.SourceType.parse(
         optStr(srcN, "source_type").getOrElse("postgres")),
+      host = optStr(srcN, "host").getOrElse("localhost"),
+      port = int(srcN, "port", 5432),
       database = str(srcN, "database", "source"),
+      username = optStr(srcN, "username").getOrElse("cdc_user"),
+      password = optStr(srcN, "password").getOrElse("cdc_password"),
       tables = tables,
+      snapshotMode = optStr(srcN, "snapshot_mode").getOrElse("initial"),
       slotName = optStr(srcN, "slot_name").getOrElse("cdc_slot"),
-      publicationName = optStr(srcN, "publication_name").getOrElse("cdc_publication"))
+      publicationName = optStr(srcN, "publication_name").getOrElse("cdc_publication"),
+      mysqlServerId = int(srcN, "mysql_server_id", 1),
+      replicaSetName = optStr(srcN, "replica_set_name"),
+      authSource = optStr(srcN, "auth_source").getOrElse("admin"))
 
     val sinks = (n.get("sinks") match {
       case Some(l: Seq[_]) => l.map {

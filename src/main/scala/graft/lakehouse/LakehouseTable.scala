@@ -50,6 +50,16 @@ final class LakehouseTable(spark: SparkSession, root: String) {
   private val snapsDir = rootPath.resolve("_snapshots")
   private val dataDir = rootPath.resolve("data")
 
+  /** Single-writer exclusion: every snapshot-creating operation (sink
+    * writes AND maintenance) serializes on this lock — the engine-side
+    * form of the reference's shared asyncio write lock between the
+    * iceberg sink and its maintenance loops (`sinks/iceberg.py:93-101`,
+    * `lakehouse/maintenance.py:62-104`). Readers never take it:
+    * manifests are immutable once written, so a read sees a consistent
+    * snapshot regardless of concurrent writes.
+    */
+  private val writeLock = new Object
+
   // ---------------- snapshot bookkeeping ----------------
 
   def listSnapshots(): Seq[Snapshot] = {
@@ -79,7 +89,7 @@ final class LakehouseTable(spark: SparkSession, root: String) {
     * `sinks/iceberg.py` auto-create — enabling partition-pruned reads
     * and partition-scoped compaction.
     */
-  def append(df: DataFrame, partitionBy: Seq[String] = Nil): Snapshot = {
+  def append(df: DataFrame, partitionBy: Seq[String] = Nil): Snapshot = writeLock.synchronized {
     val id = nextId()
     val newFiles = writeDataFiles(df, id, partitionCols = partitionBy)
     val parentFiles = currentSnapshot().map(_.files).getOrElse(Nil)
@@ -91,7 +101,7 @@ final class LakehouseTable(spark: SparkSession, root: String) {
     * with equal key tuples. Only files that actually contain matching
     * keys are rewritten; untouched files carry over by reference.
     */
-  def upsert(df: DataFrame, keys: Seq[String]): Snapshot = {
+  def upsert(df: DataFrame, keys: Seq[String]): Snapshot = writeLock.synchronized {
     require(keys.nonEmpty, "upsert requires key columns")
     val cur = currentSnapshot()
     if (cur.isEmpty) {
@@ -128,7 +138,7 @@ final class LakehouseTable(spark: SparkSession, root: String) {
   }
 
   /** Replace the whole table content with `df`. */
-  def overwrite(df: DataFrame): Snapshot = {
+  def overwrite(df: DataFrame): Snapshot = writeLock.synchronized {
     val id = nextId()
     val files = writeDataFiles(df, id)
     writeSnapshot(Snapshot(id, currentSnapshot().map(_.snapshotId),
@@ -155,7 +165,7 @@ final class LakehouseTable(spark: SparkSession, root: String) {
     * (history preserved, like Iceberg `set_current_snapshot`;
     * `time_travel.py:33-58` incl. invalid-id error listing valid ids).
     */
-  def rollbackToSnapshot(id: Long): Snapshot = {
+  def rollbackToSnapshot(id: Long): Snapshot = writeLock.synchronized {
     val snaps = listSnapshots()
     val target = snaps.find(_.snapshotId == id).getOrElse(throw invalidSnapshot(id))
     writeSnapshot(Snapshot(nextId(), currentSnapshot().map(_.snapshotId),
@@ -172,7 +182,7 @@ final class LakehouseTable(spark: SparkSession, root: String) {
     * one regardless) and delete data files no surviving snapshot
     * references (`maintenance.py:106-124`).
     */
-  def expireSnapshotsOlderThan(cutoffMs: Long): Int = {
+  def expireSnapshotsOlderThan(cutoffMs: Long): Int = writeLock.synchronized {
     val snaps = listSnapshots()
     if (snaps.isEmpty) return 0
     val current = snaps.last
@@ -194,7 +204,7 @@ final class LakehouseTable(spark: SparkSession, root: String) {
     * the row cap mirrors compaction_max_rows_per_batch). Returns the
     * new snapshot if compaction ran.
     */
-  def compact(fileThreshold: Int, maxRows: Long, targetFiles: Int = 1): Option[Snapshot] = {
+  def compact(fileThreshold: Int, maxRows: Long, targetFiles: Int = 1): Option[Snapshot] = writeLock.synchronized {
     val cur = currentSnapshot().getOrElse(return None)
     if (cur.files.size < fileThreshold) return None
     val df = readFiles(cur.files)
@@ -214,7 +224,7 @@ final class LakehouseTable(spark: SparkSession, root: String) {
     * (append with `partitionBy`).
     */
   def compactPartitioned(
-      partitionCol: String, fileThreshold: Int, maxRows: Long): Option[Snapshot] = {
+      partitionCol: String, fileThreshold: Int, maxRows: Long): Option[Snapshot] = writeLock.synchronized {
     val cur = currentSnapshot().getOrElse(return None)
     val marker = s"$partitionCol="
     def partitionValueOf(relPath: String): Option[String] =

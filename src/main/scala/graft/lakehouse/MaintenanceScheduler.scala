@@ -1,0 +1,54 @@
+package graft.lakehouse
+
+/** Background table maintenance beside the sink (SURVEY.md §1.3;
+  * behavior from `lakehouse/maintenance.py:40-124`): snapshot expiry
+  * and compaction each run on their own daemon timer, and every run
+  * serializes with sink writes through the table's single-writer lock
+  * (the reference shares an asyncio lock between the iceberg sink and
+  * both loops — here the lock lives inside [[LakehouseTable]], so
+  * exclusion is intrinsic rather than caller-supplied). Errors are
+  * swallowed per-run: maintenance must never take the pipeline down.
+  */
+final class MaintenanceScheduler(
+    table: LakehouseTable,
+    expireOlderThanMs: Long,
+    expireIntervalMs: Long,
+    compactIntervalMs: Long,
+    compactFileThreshold: Int,
+    compactMaxRows: Long) {
+
+  @volatile private var expiredTotal = 0
+  @volatile private var compactionsTotal = 0
+  private var timer: Option[java.util.Timer] = None
+
+  def stats: (Int, Int) = (expiredTotal, compactionsTotal)
+
+  /** One expiry pass (cutoff = now - retention). */
+  def runExpiry(): Int = {
+    val n = table.expireSnapshotsOlderThan(System.currentTimeMillis() - expireOlderThanMs)
+    expiredTotal += n
+    n
+  }
+
+  /** One compaction pass. */
+  def runCompaction(): Option[Snapshot] = {
+    val s = table.compact(compactFileThreshold, compactMaxRows)
+    if (s.isDefined) compactionsTotal += 1
+    s
+  }
+
+  def start(): Unit = {
+    val t = new java.util.Timer("lakehouse-maintenance", true)
+    t.scheduleAtFixedRate(task(() => runExpiry()), expireIntervalMs, expireIntervalMs)
+    t.scheduleAtFixedRate(task(() => runCompaction()), compactIntervalMs, compactIntervalMs)
+    timer = Some(t)
+  }
+
+  def stop(): Unit = { timer.foreach(_.cancel()); timer = None }
+
+  private def task(body: () => Any): java.util.TimerTask =
+    new java.util.TimerTask {
+      override def run(): Unit =
+        try body() catch { case _: Exception => () } // maintenance.* _error: log-only
+    }
+}

@@ -1,0 +1,79 @@
+package graft.lakehouse
+
+import graft.SparkSpec
+
+/** Maintenance beside a writer: expiry + compaction passes do their
+  * jobs, and concurrent writer/maintenance activity serializes on the
+  * table's single-writer lock without corrupting snapshot lineage
+  * (`lakehouse/maintenance.py:62-124` + the shared write lock of
+  * `sinks/iceberg.py:93-101`).
+  */
+class MaintenanceSchedulerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compaction pass coalesces once over threshold; expiry drops old snapshots") {
+    val table = new LakehouseTable(spark, tmpDir("maint"))
+    (1 to 4).foreach(i => table.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val sched = new MaintenanceScheduler(table,
+      expireOlderThanMs = 0, // everything but current is expirable
+      expireIntervalMs = 3600000, compactIntervalMs = 3600000,
+      compactFileThreshold = 2, compactMaxRows = 1000000)
+
+    assert(sched.runCompaction().isDefined)
+    assert(table.currentSnapshot().get.operation === "compact")
+    assert(table.read().count() === 4)
+
+    val expired = sched.runExpiry()
+    assert(expired > 0)
+    // current snapshot survives expiry; data intact
+    assert(table.read().count() === 4)
+    assert(sched.stats === ((expired, 1)))
+  }
+
+  test("writer and maintenance interleave safely under the shared lock") {
+    val table = new LakehouseTable(spark, tmpDir("maint-conc"))
+    table.append(Seq((0L, "seed")).toDF("id", "v"))
+    val sched = new MaintenanceScheduler(table,
+      expireOlderThanMs = 3600000, expireIntervalMs = 3600000,
+      compactIntervalMs = 3600000, compactFileThreshold = 2,
+      compactMaxRows = 1000000)
+
+    // writer thread appends 12 single-row snapshots while the main
+    // thread fires compactions as fast as it can — every snapshot's
+    // parent chain must stay consistent and no rows may be lost
+    val writer = new Thread(() =>
+      (1 to 12).foreach(i => table.append(Seq((i.toLong, s"v$i")).toDF("id", "v"))))
+    writer.start()
+    while (writer.isAlive) sched.runCompaction()
+    writer.join()
+    sched.runCompaction()
+
+    assert(table.read().count() === 13)
+    assert(table.read().agg(org.apache.spark.sql.functions.sum("id"))
+      .collect()(0).getLong(0) === (0 to 12).sum.toLong)
+    // lineage: every snapshot's parent is the one before it
+    val snaps = table.listSnapshots()
+    snaps.sliding(2).foreach {
+      case Seq(a, b) => assert(b.parentId.contains(a.snapshotId),
+        s"broken lineage: ${b.snapshotId} -> ${b.parentId}")
+      case _ => ()
+    }
+  }
+
+  test("timer-driven maintenance runs passes in the background") {
+    val table = new LakehouseTable(spark, tmpDir("maint-timer"))
+    (1 to 3).foreach(i => table.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val sched = new MaintenanceScheduler(table,
+      expireOlderThanMs = 3600000, expireIntervalMs = 100,
+      compactIntervalMs = 100, compactFileThreshold = 2,
+      compactMaxRows = 1000000)
+    sched.start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      while (sched.stats._2 < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(sched.stats._2 >= 1, "compaction never ran on the timer")
+    } finally sched.stop()
+    assert(table.read().count() === 3)
+  }
+}
