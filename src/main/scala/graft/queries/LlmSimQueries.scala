@@ -102,19 +102,24 @@ object LlmSimQueries {
       .select(col("q_id"), col("vec_id")).distinct()
   }
 
-  /** Word 3-gram shingle set with 60-bit md5 hash, as (doc_id, h). */
+  /** Word 3-gram shingle hash SET per doc, as (doc_id, hs: array<long>).
+    * Built entirely map-side: shingling, hashing, mod-P and the
+    * per-doc dedup all happen inside one row's array expressions, so
+    * the set never needs a distinct() shuffle (the round-1 formulation
+    * shuffled every (doc, hash) row twice — once for the global
+    * distinct, once for the signature groupBy).
+    */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(0, size(toks) - 3),
-             i -> concat_ws(' ', slice(toks, i + 1, 3))))""").as("shingles"))
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"),
-        expr(s"CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % $MinhashP").as("h"))
-      .distinct() // hash SET per doc (mod-P collisions would skew |∩| counts)
-      .cache() // consumed 4× in q52 (signatures, both join sides, sizes)
+        s"""array_distinct(transform(
+              array_distinct(transform(sequence(0, size(toks) - 3),
+                i -> concat_ws(' ', slice(toks, i + 1, 3)))),
+              sh -> CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT) % $MinhashP))""")
+        .as("hs"))
+      .cache() // consumed 3× in q52 (signatures + both verify sides)
   }
 
   val queries: Map[String, Q] = Map(
@@ -215,7 +220,8 @@ object LlmSimQueries {
 
     // ---- MinHash + LSH banding near-dup (the 100 TB-scale dedup path) ----
     "q52_minhash_lsh" -> ((s, dir) => {
-      val sh = shingleHashes(s, dir)
+      val docsH = shingleHashes(s, dir)
+      val sh = docsH.select(col("doc_id"), explode(col("hs")).as("h"))
       // k minhash values per doc in ONE pass: the Aggregator keeps k
       // running minima per doc, so the shuffle carries one k-long array
       // per (doc, partition) instead of k rows per shingle — O(docs·k)
@@ -244,23 +250,19 @@ object LlmSimQueries {
           col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
-        .cache()
-      // verify candidates with exact shingle-set Jaccard — but only over
-      // the shingles of docs that actually appear in a candidate pair:
-      // a broadcast semi-join shrinks the verify input from the whole
-      // corpus to O(candidates) docs BEFORE the h-equality self-join,
-      // so the exact check never re-shuffles the full shingle set.
-      val candDocs = cand.select(col("doc_a").as("doc_id"))
-        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val shc = sh.join(broadcast(candDocs), "doc_id").cache()
-      val inter = cand.join(shc.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(shc.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-      val sz = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      cand.join(inter, Seq("doc_a", "doc_b"), "left")
-        .na.fill(0L, Seq("inter"))
-        .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      // Exact-Jaccard verify straight off the per-doc hash-set arrays:
+      // broadcasting the tiny candidate-pair set turns both lookups into
+      // map-side joins over the cached arrays, and |∩| is a per-row
+      // array_intersect — no h-equality self-join, no re-shuffle of the
+      // shingle stream at all. (Round 1 shuffled the full (doc, h)
+      // stream twice here.)
+      val verified = broadcast(cand)
+        .join(docsH.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+        .join(docsH.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("hs_a"), col("hs_b"))).as("inter"),
+          size(col("hs_a")).as("sz_a"), size(col("hs_b")).as("sz_b"))
+      verified
         .withColumn("jaccard", dround(col("inter").cast(DoubleType) /
           (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType), 6))
         .select(col("doc_a"), col("doc_b"), col("jaccard"))

@@ -134,7 +134,8 @@ object LlmTextQueries {
         // and re-hashing the corpus four times
         .cache()
       val setSize = sh.select(col("doc_id"), size(col("shingles")).as("set_sz"))
-      val inv0 = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      val inv0 = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
+        explode(col("shingles")).as("shingle"))
       // Hot-shingle skew guard: a shingle shared by d docs contributes
       // d² rows to the self-join, so one boilerplate phrase shared by
       // 10⁵ docs would alone emit 10¹⁰ rows at corpus scale. Dropping
@@ -149,9 +150,15 @@ object LlmTextQueries {
         inv0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= dfCap).select(col("shingle")),
         "shingle")
-      // pairs sharing >= 1 shingle, a < b; |intersection| by count
+      // pairs sharing >= 1 shingle, a < b; |intersection| by count.
+      // Size-compatibility prefilter (AllPairs/PPJoin-style, provably
+      // lossless here): jaccard >= 0.5 forces |larger| <= 2·|smaller|
+      // (inter <= min and inter/(a+b-inter) >= 0.5 ⟹ max <= 2·min),
+      // so size-incompatible pairs are dropped INSIDE the join before
+      // they reach the count aggregation.
       val pairs = inv.as("x").join(inv.as("y"),
-          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id") &&
+            col("x.sz") <= col("y.sz") * 2 && col("y.sz") <= col("x.sz") * 2)
         .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
       pairs
@@ -208,6 +215,40 @@ object LlmTextQueries {
         .select(col("doc_id"), col("media_type"), octet_length(col("blob")).as("n_bytes"),
           col("width"), col("height"), col("n_frames"), col("resize_scale"))
         .orderBy(col("doc_id"))
+    }),
+    // ---- multimodal feature extraction: partition-parallel binary
+    //      processing with a typed output row (the Scala analogue of a
+    //      mapInPandas batch UDF — each task streams its blobs through
+    //      a per-partition decoder, no driver involvement, no shuffle
+    //      until the final sort). The "decode" is the honest stub (md5
+    //      of the raw bytes standing in for the absent image/audio
+    //      libs); the feature-vector shape, frame sampling arithmetic,
+    //      and batch plumbing are the real, tested part. ----
+    "q62_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        .as[(Long, Array[Byte])]
+      val feat = rows.mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        // portable rounding (Det.dround twin): pure IEEE floor formula
+        def dround6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+        it.map { case (id, blob) =>
+          md.reset()
+          val hex = md.digest(blob).map(b => f"$b%02x").mkString
+          def hx(pos: Int, len: Int): Long =
+            java.lang.Long.parseLong(hex.substring(pos, pos + len), 16)
+          val mediaType = (id % 3) match {
+            case 0 => "image"; case 1 => "audio"; case _ => "video"
+          }
+          val features = (0 until 8)
+            .map(i => dround6(hx(i * 4, 4).toDouble / 65535.0)).toArray
+          val nFrames = if (mediaType == "video") (1L + hx(8, 4) % 240L).toInt else 1
+          val frameSample = (0 until 4).map(i => i * nFrames / 4).mkString(",")
+          (id, mediaType, features, nFrames, frameSample)
+        }
+      }.toDF("doc_id", "media_type", "features", "n_frames", "frame_sample")
+      feat.orderBy(col("doc_id"))
     }),
     // ---- text normalization (the standard pre-tokenization cleanup):
     //      lowercase, strip punctuation to spaces, collapse runs,
@@ -390,6 +431,22 @@ object LlmTextQueries {
         md5(text) AS content_md5,
         substr(upper(hex(encode(text))), 1, 16) AS head_hex
       FROM documents
+      ORDER BY doc_id""",
+    "q62_multimodal_features" -> """
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        list_transform(range(0, 8),
+          i -> floor(CAST(CAST('0x' || substr(md5(text), i * 4 + 1, 4) AS BIGINT) AS DOUBLE)
+                     / 65535.0 * 1e6 + 0.5) / 1e6) AS features,
+        CAST(n_frames AS INT) AS n_frames,
+        array_to_string(list_transform(range(0, 4), i -> i * n_frames // 4), ',') AS frame_sample
+      FROM (
+        SELECT doc_id, text,
+          CASE WHEN doc_id % 3 = 2
+               THEN 1 + CAST('0x' || substr(md5(text), 9, 4) AS BIGINT) % 240
+               ELSE 1 END AS n_frames
+        FROM documents)
       ORDER BY doc_id"""
   )
 }

@@ -25,6 +25,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def cells_equal(a, b) -> bool:
+    # normalize numpy arrays (parquet list columns) to Python lists so
+    # the element-wise path below applies instead of ambiguous ndarray ==
+    if hasattr(a, "tolist") and not isinstance(a, (int, float)):
+        a = a.tolist()
+    if hasattr(b, "tolist") and not isinstance(b, (int, float)):
+        b = b.tolist()
     if a is None and b is None:
         return True
     if isinstance(a, float) and isinstance(b, float):
