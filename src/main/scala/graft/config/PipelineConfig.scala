@@ -27,10 +27,20 @@ final case class WebhookSinkCfg(url: String)
 
 final case class PostgresSinkCfg(targetTable: String)
 
+/** Table maintenance knobs (`config/models.py:273-282`). */
+final case class MaintenanceCfg(
+    enabled: Boolean = false,
+    expireIntervalMs: Long = 3600000,
+    expireOlderThanMs: Long = 86400000,
+    compactIntervalMs: Long = 7200000,
+    compactFileThreshold: Int = 10,
+    compactMaxRows: Long = 500000)
+
 final case class LakehouseSinkCfg(
     tablePath: String,
     upsertKeys: Seq[String] = Nil,
-    payloadSchemaJson: Option[String] = None)
+    payloadSchemaJson: Option[String] = None,
+    maintenance: MaintenanceCfg = MaintenanceCfg())
 
 final case class SinkCfg(
     sinkId: String,

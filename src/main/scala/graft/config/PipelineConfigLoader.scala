@@ -196,10 +196,18 @@ object PipelineConfigLoader {
         Some(PostgresSinkCfg(str(node(n, "postgres"), "target_table", s"sink $id postgres"))) else None,
       lakehouse = if (n.contains("lakehouse")) {
         val lh = node(n, "lakehouse")
+        val m = node(lh, "maintenance")
         Some(LakehouseSinkCfg(
           tablePath = str(lh, "table_path", s"sink $id lakehouse"),
           upsertKeys = strSeq(lh, "upsert_keys"),
-          payloadSchemaJson = optStr(lh, "payload_schema_json")))
+          payloadSchemaJson = optStr(lh, "payload_schema_json"),
+          maintenance = MaintenanceCfg(
+            enabled = bool(m, "enabled", dflt = false),
+            expireIntervalMs = int(m, "expire_interval_ms", 3600000).toLong,
+            expireOlderThanMs = int(m, "expire_older_than_ms", 86400000).toLong,
+            compactIntervalMs = int(m, "compact_interval_ms", 7200000).toLong,
+            compactFileThreshold = int(m, "compact_file_threshold", 10),
+            compactMaxRows = int(m, "compact_max_rows", 500000).toLong)))
       } else None)
 
     // the sub-config matching sink_type must be present (models.py:317-330)

@@ -16,46 +16,75 @@ import graft.lakehouse.LakehouseTable
   */
 object PipelineRunner {
 
+  /** A wired pipeline plus its per-table maintenance schedulers. Each
+    * scheduler shares the SINK's own `LakehouseTable` instance — the
+    * single-writer lock is per-instance, so sharing the instance is
+    * what makes writer-vs-maintenance exclusion actually hold (the
+    * reference passes the iceberg sink's lock into the maintenance
+    * loops the same way, `sinks/iceberg.py:93-101`).
+    */
+  final case class Built(
+      pipeline: ChangePipeline,
+      maintenance: Seq[graft.lakehouse.MaintenanceScheduler])
+
   /** Construct (but don't start) the pipeline a config describes. */
-  def build(spark: SparkSession, cfg: PipelineCfg): ChangePipeline = {
-    val sinks: Seq[Sink] = cfg.sinks.filter(_.enabled).map(buildSink(spark, _))
+  def build(spark: SparkSession, cfg: PipelineCfg): ChangePipeline =
+    buildAll(spark, cfg).pipeline
+
+  def buildAll(spark: SparkSession, cfg: PipelineCfg): Built = {
+    val parts = cfg.sinks.filter(_.enabled).map(buildSink(spark, _))
+    val sinks = parts.map(_._1)
     require(sinks.nonEmpty, s"pipeline ${cfg.pipelineId} has no enabled sinks")
     val dlqTable = new LakehouseTable(spark, cfg.dlq.tablePath.getOrElse(
       java.nio.file.Files.createTempDirectory(s"${cfg.pipelineId}-dlq").toString))
-    new ChangePipeline(spark, cfg.sourceDir, sinks, new DlqWriter(dlqTable),
-      cfg.checkpointDir,
-      includeTopics = cfg.includeTopics,
-      maxFilesPerTrigger = cfg.maxFilesPerTrigger)
+    Built(
+      new ChangePipeline(spark, cfg.sourceDir, sinks, new DlqWriter(dlqTable),
+        cfg.checkpointDir,
+        includeTopics = cfg.includeTopics,
+        maxFilesPerTrigger = cfg.maxFilesPerTrigger),
+      parts.flatMap(_._2))
   }
 
-  private def buildSink(spark: SparkSession, s: SinkCfg): Sink = s.sinkType match {
+  private def buildSink(spark: SparkSession, s: SinkCfg)
+      : (Sink, Option[graft.lakehouse.MaintenanceScheduler]) = s.sinkType match {
     case "lakehouse" =>
       val lh = s.lakehouse.get
       val table = new LakehouseTable(spark, lh.tablePath)
-      lh.payloadSchemaJson match {
+      val sink = lh.payloadSchemaJson match {
         case Some(json) =>
           new LakehouseSink(s.sinkId, table,
             DataType.fromJson(json).asInstanceOf[StructType], lh.upsertKeys)
         case None => // auto-create: infer from the first batch
           new LakehouseSink(s.sinkId, table, lh.upsertKeys)
       }
+      val maint = Option.when(lh.maintenance.enabled)(
+        new graft.lakehouse.MaintenanceScheduler(table,
+          expireOlderThanMs = lh.maintenance.expireOlderThanMs,
+          expireIntervalMs = lh.maintenance.expireIntervalMs,
+          compactIntervalMs = lh.maintenance.compactIntervalMs,
+          compactFileThreshold = lh.maintenance.compactFileThreshold,
+          compactMaxRows = lh.maintenance.compactMaxRows))
+      (sink, maint)
     case "webhook" =>
       val w = s.webhook.get
-      new WebhookSink(s.sinkId, w.url,
+      (new WebhookSink(s.sinkId, w.url,
         RetryPolicy(s.retry.maxAttempts, s.retry.initialDelayMs, s.retry.maxDelayMs),
-        Duration.ofSeconds(10))
+        Duration.ofSeconds(10)), None)
     case "postgres" =>
       val p = s.postgres.get
       // table path derives from the schema-qualified target name
-      new PostgresLikeSink(s.sinkId, new LakehouseTable(spark,
+      (new PostgresLikeSink(s.sinkId, new LakehouseTable(spark,
         java.nio.file.Files.createTempDirectory(
-          s"pg-${p.targetTable.replace('.', '_')}").toString))
+          s"pg-${p.targetTable.replace('.', '_')}").toString)), None)
     case other => throw new IllegalArgumentException(s"unknown sink_type $other")
   }
 
-  /** Load a YAML config, wire the pipeline, start it. */
-  def run(spark: SparkSession, configPath: String): StreamingQuery =
-    build(spark, PipelineConfigLoader.load(configPath)).start()
+  /** Load a YAML config, wire the pipeline + maintenance, start both. */
+  def run(spark: SparkSession, configPath: String): StreamingQuery = {
+    val built = buildAll(spark, PipelineConfigLoader.load(configPath))
+    built.maintenance.foreach(_.start())
+    built.pipeline.start()
+  }
 }
 
 /** `graft.streaming.PipelineCli run pipeline.yaml` — the config-driven

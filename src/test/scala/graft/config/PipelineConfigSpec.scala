@@ -105,6 +105,17 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(cfg.includeTopics === Seq("cdc.cdc_demo.dbo.customers"))
   }
 
+  test("lakehouse maintenance block parses with defaults") {
+    val cfg = PipelineConfigLoader.parse(
+      minimal + "      maintenance:\n        enabled: true\n        compact_file_threshold: 3\n")
+    val m = cfg.sinks.head.lakehouse.get.maintenance
+    assert(m.enabled && m.compactFileThreshold === 3)
+    assert(m.expireOlderThanMs === 86400000L) // sibling default intact
+    // default when the block is absent: disabled
+    assert(!PipelineConfigLoader.parse(minimal)
+      .sinks.head.lakehouse.get.maintenance.enabled)
+  }
+
   test("deep-merge: nested override keeps sibling defaults") {
     val cfg = PipelineConfigLoader.parse(
       minimal.replace("database: appdb", "database: appdb\n  slot_name: custom_slot"))

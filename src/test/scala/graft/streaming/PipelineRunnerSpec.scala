@@ -68,4 +68,37 @@ class PipelineRunnerSpec extends SparkSpec {
     // DLQ stayed empty (no sink failures)
     assert(new LakehouseTable(spark, dlqPath).listSnapshots().isEmpty)
   }
+
+  test("maintenance-enabled lakehouse sink gets a scheduler on the SAME table") {
+    val src = tmpDir("m-src")
+    val lhPath = tmpDir("m-lh")
+    writeEvents(src)
+    val yaml =
+      s"""pipeline_id: maint_e2e
+         |source:
+         |  database: appdb
+         |  tables: ["public.users"]
+         |source_dir: $src
+         |checkpoint_dir: ${tmpDir("m-chk")}
+         |sinks:
+         |  - sink_id: lh
+         |    sink_type: lakehouse
+         |    lakehouse:
+         |      table_path: $lhPath
+         |      maintenance:
+         |        enabled: true
+         |        compact_file_threshold: 1
+         |        compact_max_rows: 1000000
+         |""".stripMargin
+    val cfg = graft.config.PipelineConfigLoader.parse(yaml)
+    val built = PipelineRunner.buildAll(spark, cfg)
+    assert(built.maintenance.size === 1)
+    built.pipeline.start().awaitTermination(120000)
+    // a compaction pass through the scheduler compacts the sink's table
+    // in place — proof they share the instance (and its write lock)
+    assert(built.maintenance.head.runCompaction().isDefined)
+    val table = new LakehouseTable(spark, lhPath)
+    assert(table.currentSnapshot().get.operation === "compact")
+    assert(table.read().count() === 20)
+  }
 }
