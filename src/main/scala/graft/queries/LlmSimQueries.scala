@@ -218,6 +218,53 @@ object LlmSimQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // ---- ANN via IVF-flat (the other classic scale path next to LSH):
+    //      a coarse quantizer of C centroids partitions the corpus into
+    //      inverted lists; queries probe their nprobe nearest cells and
+    //      re-rank exactly inside them. Centroid "training" is
+    //      deterministic (the first C vectors by id — k-means would be
+    //      seed-dependent and oracle-hostile; the STRUCTURE is what
+    //      scales: assignment is a map-side broadcast cross-score, the
+    //      candidate join shuffles on the cell id, and the pair space
+    //      shrinks to O(n·nprobe/C) per query). ----
+    "q63_ann_ivf" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val C = 16
+      val nprobe = 2
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("nrm", sqrt(sqnorm("embedding")))
+      val cents = e.filter(col("vec_id") < C)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"))
+      import org.apache.spark.sql.expressions.Window
+      // cell assignment: nearest centroid by cosine (ties → lower id)
+      val scoredCells = e.crossJoin(broadcast(cents))
+        .withColumn("cscore", dot("embedding", "c_emb") / (col("nrm") * col("c_nrm")))
+      val wCell = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cscore").desc, col("cent_id"))
+      val assigned = scoredCells
+        .withColumn("crk", row_number().over(wCell))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+      // queries probe their nprobe nearest cells
+      val probes = scoredCells.filter(col("vec_id") < 20)
+        .withColumn("crk", row_number().over(wCell))
+        .filter(col("crk") <= nprobe)
+        .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
+      val qe = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val scored = assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(qe), "q_id")
+        .withColumn("cosine", dround(dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")), 6))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // ---- MinHash + LSH banding near-dup (the 100 TB-scale dedup path) ----
     "q52_minhash_lsh" -> ((s, dir) => {
       val docsH = shingleHashes(s, dir)
@@ -284,6 +331,40 @@ object LlmSimQueries {
     }).mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q63_ann_ivf" -> s"""
+      WITH e AS (
+        SELECT vec_id, embedding,
+          sqrt(${dotSql("embedding", "embedding")}) AS nrm
+        FROM embeddings),
+      cents AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+                FROM e WHERE vec_id < 16),
+      scored_cells AS (
+        SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+          ${dotSql("e.embedding", "c_emb")} / (e.nrm * c.c_nrm) AS cscore
+        FROM e CROSS JOIN cents c),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
+        FROM scored_cells),
+      assigned AS (SELECT vec_id, embedding, nrm, cent_id AS cell
+                   FROM ranked WHERE crk = 1),
+      probes AS (SELECT vec_id AS q_id, cent_id AS cell
+                 FROM ranked WHERE vec_id < 20 AND crk <= 2),
+      qe AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+             FROM e WHERE vec_id < 20),
+      scored AS (
+        SELECT p.q_id, a.vec_id,
+          ${R(s"${dotSql("qe.q_emb", "a.embedding")} / (qe.q_nrm * a.nrm)", 6)} AS cosine
+        FROM assigned a
+          JOIN probes p ON a.cell = p.cell
+          JOIN qe ON p.q_id = qe.q_id
+        WHERE a.vec_id <> p.q_id)
+      SELECT q_id, rk, vec_id AS neighbor_id, cosine FROM (
+        SELECT q_id, vec_id, cosine,
+          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored)
+      WHERE rk <= 5
+      ORDER BY q_id, rk""",
     "q53_ann_lsh" -> s"""
       WITH w AS (SELECT * FROM (VALUES ${annPlaneSqlValues}) AS t(tbl, bit, wv)),
       e AS (
