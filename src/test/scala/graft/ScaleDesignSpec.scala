@@ -103,6 +103,20 @@ class ScaleDesignSpec extends SparkSpec {
     assert(p.contains("<= 256"), s"df-cap filter missing from plan:\n$p")
   }
 
+  test("q63: IVF assignment broadcasts the centroids; no cartesian product") {
+    val p = plan("q63_ann_ivf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroid cross-score must broadcast the centroid set:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "the n×C assignment must never shuffle-pair the corpus with itself")
+  }
+
+  test("q62: feature extraction is map-side until the final sort") {
+    val p = plan("q62_multimodal_features")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1,
+      s"binary feature extraction must not shuffle blobs:\n$p")
+  }
+
   test("salted join spreads a skewed key and preserves the exact result") {
     import spark.implicits._
     // heavily skewed left side: 10k rows of key 1, a handful of others
