@@ -80,7 +80,7 @@ object WalBridge {
         c.before.map(b => "\"before\":" + rowJson(b)) ++
         c.after.map(a => "\"after\":" + rowJson(a))
       TransportMessage(
-        topic = s"$topicPrefix.${c.schema}.${c.table}",
+        topic = graft.streaming.TopicNaming.cdcTopicName(topicPrefix, c.schema, c.table),
         key = rowJson(keySource),
         value = fields.mkString("{", ",", "}"),
         orderingKey = s"${c.schema}.${c.table}")

@@ -201,4 +201,41 @@ class StreamingEquivalenceSpec extends SparkSpec {
     // the late v=100 at 08:00 never contributes to any emitted window
     assert(!emitted.values.exists(_ >= 100L), s"late row leaked into $emitted")
   }
+
+  test("stream-stream interval join == batch interval join") {
+    // two event streams joined on user_id within a ±30-minute event-time
+    // interval — the stateful stream-stream join with watermarks on BOTH
+    // sides (state is bounded by watermark + interval, the 100 TB
+    // requirement for any long-running correlation join)
+    val (dirA, schema) = eventsAsJsonFiles(3)
+    val a = streamed(dirA, schema)
+      .select(col("event_id").as("a_id"), col("user_id"),
+        col("ts").as("a_ts"), col("event_type").as("a_type"))
+      .withWatermark("a_ts", "2 hours")
+    val b = streamed(dirA, schema)
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", "2 hours")
+    val joined = a.join(b,
+      col("user_id") === col("b_user") && col("a_id") < col("b_id") &&
+        col("b_ts") >= col("a_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("a_id"), col("b_id"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.sql("SELECT a_id, b_id FROM ssjoin")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.load(spark, sf, "events")
+    val want = ev.select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+      .join(ev.select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts")),
+        col("user_id") === col("b_user") && col("a_id") < col("b_id") &&
+          col("b_ts") >= col("a_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "fixture produced no interval-join pairs — test is vacuous")
+    assert(got === want)
+  }
 }
