@@ -176,19 +176,20 @@ object LlmSimQueries {
         .select(col("id_a"), col("id_b"), col("cosine"))
         .orderBy(col("id_a"), col("id_b"))
     }),
-    // ---- SimHash document fingerprints (32-bit, md5-token-derived) ----
+    // ---- SimHash document fingerprints (32-bit, md5-token-derived):
+    //      one-pass Aggregator folding every token hash into 32 ±1
+    //      counters — ONE shuffle of 32-int buffers per doc with
+    //      map-side partials, replacing the round-1 32× bit-explode
+    //      and its two grouped aggregations. ----
     "q51_simhash" -> ((s, dir) => {
-      val tok = Tables.load(s, dir, "documents")
+      val shAgg = udaf(new graft.functions.SimHashAgg(32),
+        org.apache.spark.sql.Encoders.scalaLong)
+      Tables.load(s, dir, "documents")
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
         .select(col("doc_id"),
           expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
-      val bits = tok.select(col("doc_id"), col("h"),
-          explode(expr("sequence(0, 31)")).as("bit"))
-        .groupBy(col("doc_id"), col("bit"))
-        .agg(sum(expr("CAST(((h >> bit) & 1) * 2 - 1 AS BIGINT)")).as("score"))
-      bits.groupBy(col("doc_id"))
-        .agg(sum(when(col("score") > 0,
-          expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(0L)).as("simhash"))
+        .groupBy(col("doc_id"))
+        .agg(shAgg(col("h")).as("simhash"))
         .orderBy(col("doc_id"))
     }),
     // ---- ANN via a real multi-table sign-LSH index (the 100 TB-scale
