@@ -281,6 +281,52 @@ object LlmTextQueries {
         .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("tfidf"))
         .orderBy(col("doc_id"), col("tok"))
     }),
+    // ---- the composed training-corpus filter chain — what a real
+    //      100 TB pre-training pipeline actually runs as one job:
+    //      exact dedup (content hash, keep lowest id) → quality score →
+    //      language gate → length gate. Every stage is map-side except
+    //      the dedup groupBy; the chain's output is the surviving
+    //      corpus manifest. ----
+    "q64_corpus_filter" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      // dedup: representative = min(doc_id) per content hash
+      val keep = docs.withColumn("fp", sha2(col("text"), 256))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val toks = size(split(col("text"), " ")).cast(DoubleType)
+      val stops = size(expr(
+        "filter(split(text, ' '), t -> t IN ('the','a','of','and','is','to','in'))"
+      )).cast(DoubleType)
+      val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType)
+      val quality =
+        round(dround(stops / toks, 6).cast(DecimalType(18, 6)) * lit(new java.math.BigDecimal("0.3")) +
+              dround(alpha / col("n_chars").cast(DoubleType), 6).cast(DecimalType(18, 6)) * lit(new java.math.BigDecimal("0.4")) +
+              when(col("n_chars") >= 200 && col("n_chars") <= 5000, lit(new java.math.BigDecimal("1.0")))
+                .otherwise(lit(new java.math.BigDecimal("0.0"))) * lit(new java.math.BigDecimal("0.3")), 6)
+          .cast(DoubleType)
+      docs.join(keep, "doc_id") // dedup survivors only
+        .withColumn("quality", quality)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .filter(col("quality") >= 0.5 && col("n_tokens") >= 20 && col("lang") === "en")
+        .select(col("doc_id"), col("quality"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- deterministic stratified sampling: a fixed hash of the
+    //      content selects ~1/5 of each language stratum — the standard
+    //      reproducible-subset op (no RNG, no seed drift across reruns
+    //      or engines; sampling rate is exact in expectation and the
+    //      SAME rows come back on every run at any cluster size). ----
+    "q65_stratified_sample" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .withColumn("bucket",
+          expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) % 5"))
+        .filter(col("bucket") === 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"))
+    }),
     // ---- multimodal plumbing: text→binary stand-in, typed metadata ----
     "q48_multimodal_meta" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -384,6 +430,35 @@ object LlmTextQueries {
           CASE WHEN n_chars >= 200 AND n_chars <= 5000 THEN 1.0 ELSE 0.0 END AS len_ok
         FROM documents)
       ORDER BY doc_id""",
+    "q64_corpus_filter" -> s"""
+      WITH keep AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+      scored AS (
+        SELECT doc_id,
+          CAST(round(CAST(stopword_ratio AS DECIMAL(18,6)) * 0.3
+                   + CAST(alpha_ratio AS DECIMAL(18,6)) * 0.4
+                   + CAST(len_ok AS DECIMAL(18,6)) * 0.3, 6) AS DOUBLE) AS quality,
+          n_tokens
+        FROM (
+          SELECT doc_id, lang, n_chars,
+            ${R("CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is','to','in'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)", 6)} AS stopword_ratio,
+            ${R("CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE)", 6)} AS alpha_ratio,
+            CASE WHEN n_chars >= 200 AND n_chars <= 5000 THEN 1.0 ELSE 0.0 END AS len_ok,
+            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+          FROM documents
+          WHERE lang = 'en')
+        )
+      SELECT s.doc_id, s.quality, s.n_tokens
+      FROM scored s JOIN keep k ON s.doc_id = k.doc_id
+      WHERE s.quality >= 0.5 AND s.n_tokens >= 20
+      ORDER BY s.doc_id""",
+    "q65_stratified_sample" -> """
+      SELECT lang, count(*) AS n_sampled,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM documents
+      WHERE CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 5 = 0
+      GROUP BY lang
+      ORDER BY lang""",
     "q46_lang_id" -> """
       SELECT labeled_lang, guessed_lang, count(*) AS n FROM (
         SELECT lang AS labeled_lang,
