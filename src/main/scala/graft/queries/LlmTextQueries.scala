@@ -327,6 +327,26 @@ object LlmTextQueries {
           max(col("doc_id")).as("last_doc"))
         .orderBy(col("lang"))
     }),
+    // ---- document chunking: fixed 50-token windows with 10-token
+    //      overlap (stride 40) — the context-window prep every training
+    //      pipeline runs before tokenization. Windows are sliced from
+    //      the per-row token array map-side; the explode multiplies
+    //      rows only by chunks-per-doc (bounded), never by tokens. ----
+    "q66_doc_chunks" -> ((s, dir) => {
+      val size_ = 50
+      val stride = 40
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(
+                sequence(0, CAST(greatest(0, ceil((size(toks) - $size_) / $stride.0)) AS INT)),
+                i -> slice(toks, i * $stride + 1, $size_))"""))
+          .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).as("chunk_tokens"),
+          element_at(col("chunk"), 1).as("first_tok"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
     // ---- multimodal plumbing: text→binary stand-in, typed metadata ----
     "q48_multimodal_meta" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -452,6 +472,20 @@ object LlmTextQueries {
       FROM scored s JOIN keep k ON s.doc_id = k.doc_id
       WHERE s.quality >= 0.5 AND s.n_tokens >= 20
       ORDER BY s.doc_id""",
+    "q66_doc_chunks" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      c AS (
+        SELECT doc_id, i AS chunk_id,
+          toks[i * 40 + 1 : i * 40 + 50] AS chunk
+        FROM (
+          SELECT doc_id, toks,
+            unnest(range(0, CAST(greatest(0, ceil((len(toks) - 50) / 40.0)) AS INT) + 1)) AS i
+          FROM d))
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        CAST(len(chunk) AS INT) AS chunk_tokens,
+        chunk[1] AS first_tok
+      FROM c
+      ORDER BY doc_id, chunk_id""",
     "q65_stratified_sample" -> """
       SELECT lang, count(*) AS n_sampled,
         min(doc_id) AS first_doc, max(doc_id) AS last_doc
