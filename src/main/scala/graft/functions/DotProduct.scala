@@ -91,6 +91,17 @@ object GraftFunctions {
       FunctionIdentifier("dotp"),
       new ExpressionInfo(classOf[DotProduct].getName, "dotp"),
       dotpBuilder)
+    // the sketch aggregators, SQL-callable (`SELECT simhash_agg(h) ...`)
+    // with the library's fixed default families
+    import org.apache.spark.sql.functions.udaf
+    spark.udf.register("simhash_agg",
+      udaf(new SimHashAgg(32), org.apache.spark.sql.Encoders.scalaLong))
+    spark.udf.register("minhash_agg",
+      udaf(new MinHashAgg(
+        graft.queries.LlmSimQueries.minhashA.toArray,
+        graft.queries.LlmSimQueries.minhashB.toArray,
+        graft.queries.LlmSimQueries.MinhashP),
+        org.apache.spark.sql.Encoders.scalaLong))
   }
 }
 

@@ -41,6 +41,18 @@ class SimHashAggSpec extends SparkSpec {
     assert(a.finish(a.reduce(a.zero, h)) === (h & 0xFFFFFFFFL))
   }
 
+  test("aggregators are SQL-callable after GraftFunctions.register") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, 7L), (1L, 7L), (2L, 0L)).toDF("k", "h").createOrReplaceTempView("shash")
+    val rows = spark.sql(
+      "SELECT k, simhash_agg(h) AS sh, minhash_agg(h) AS mh FROM shash GROUP BY k ORDER BY k")
+      .collect()
+    assert(rows(0).getLong(1) === 7L) // two 0b111 votes → bits 0..2 set
+    assert(rows(1).getLong(1) === 0L)
+    assert(rows(0).getSeq[Long](2).length === 16) // k=16 minhash signature
+  }
+
   test("merge is the sum of per-partition counters") {
     val a = new SimHashAgg(8)
     val x = a.reduce(a.reduce(a.zero, 0xFFL), 0xFFL) // two all-ones
