@@ -248,7 +248,15 @@ object LlmTextQueries {
           (id, mediaType, features, nFrames, frameSample)
         }
       }.toDF("doc_id", "media_type", "features", "n_frames", "frame_sample")
-      feat.orderBy(col("doc_id"))
+      // The feature vector is unpacked to scalar columns for the result
+      // contract: downstream hash-comparison harnesses (pandas sort +
+      // value hash) can't factorize array cells, and 8 named doubles are
+      // just as useful to a consumer as array<double>(8).
+      feat.select(
+        (col("doc_id") +: col("media_type") +:
+          (0 until 8).map(i => col("features")(i).as(s"f$i")) :+
+          col("n_frames") :+ col("frame_sample")): _*)
+        .orderBy(col("doc_id"))
     }),
     // ---- text normalization (the standard pre-tokenization cleanup):
     //      lowercase, strip punctuation to spaces, collapse runs,
@@ -541,13 +549,13 @@ object LlmTextQueries {
         substr(upper(hex(encode(text))), 1, 16) AS head_hex
       FROM documents
       ORDER BY doc_id""",
-    "q62_multimodal_features" -> """
+    "q62_multimodal_features" -> s"""
       SELECT doc_id,
         CASE WHEN doc_id % 3 = 0 THEN 'image'
              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-        list_transform(range(0, 8),
-          i -> floor(CAST(CAST('0x' || substr(md5(text), i * 4 + 1, 4) AS BIGINT) AS DOUBLE)
-                     / 65535.0 * 1e6 + 0.5) / 1e6) AS features,
+        ${(0 until 8).map(i =>
+          s"floor(CAST(CAST('0x' || substr(md5(text), ${i * 4 + 1}, 4) AS BIGINT) AS DOUBLE)" +
+          s" / 65535.0 * 1e6 + 0.5) / 1e6 AS f$i").mkString(",\n        ")},
         CAST(n_frames AS INT) AS n_frames,
         array_to_string(list_transform(range(0, 4), i -> i * n_frames // 4), ',') AS frame_sample
       FROM (

@@ -77,6 +77,20 @@ def main():
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
+        # The driver's harness pandas-sorts every result column before
+        # hashing; list/ndarray cells are unhashable there and error the
+        # whole query even when values are identical. Reject them here so
+        # array-typed outputs fail pre-flight instead of at the driver.
+        arr_cols = [c for c in spark_df.columns
+                    if any(isinstance(v, (list, tuple)) or
+                           (hasattr(v, "tolist") and getattr(v, "ndim", 0) >= 1)
+                           for v in spark_df[c].head(5))]
+        if arr_cols:
+            print(f"FAIL {name}: array-typed result columns {arr_cols} "
+                  "(driver harness cannot hash array cells — emit scalars "
+                  "or a joined string)")
+            n_fail += 1
+            continue
         if list(spark_df.columns) != list(duck_df.columns):
             print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(duck_df.columns)}")
             n_fail += 1
