@@ -28,6 +28,16 @@ object Tables {
   /** Register all fixture tables as temp views for SQL-level access. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  // Fixture tables are immutable per (dir, name), so a row count is a
+  // per-process constant — memoized so queries that size themselves from
+  // the cardinality (q50's tile count) don't pay an eager count() job on
+  // every invocation.
+  private val countMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    countMemo.getOrElseUpdate((dir, name), load(spark, dir, name).count())
 }
 
 /** Determinism helpers for the DuckDB-oracle hash contract (SURVEY §7.5):

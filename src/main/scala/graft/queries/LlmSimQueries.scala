@@ -78,6 +78,70 @@ object LlmSimQueries {
       if ((splitmix64(t * 1000003L + l * 1009L + i) & 1L) == 0L) 1f else -1f
     }
 
+  // Near-dup index geometry (q67): tuned for RECALL at cosine >= 0.99
+  // rather than top-k pruning. θ = arccos(0.99) ≈ 0.1415 rad gives a
+  // per-bit collision probability p = 1 - θ/π ≈ 0.955, so a true
+  // near-dup pair collides in one L=8-bit table with p^8 ≈ 0.69 and
+  // escapes ALL K=8 tables with (1 - 0.69)^8 ≈ 8e-5 — while random
+  // pairs (p ≈ 0.5) share a bucket with only K/2^L ≈ 3% probability,
+  // keeping the candidate space sub-quadratic. Separate plane family
+  // from the ANN index (different seed stream) so the two indexes stay
+  // independently tunable.
+  val NdTables = 8
+  val NdBits = 8
+
+  def ndPlane(t: Int, l: Int): Array[Float] =
+    Array.tabulate(AnnDim) { i =>
+      if ((splitmix64(0x4E44L + t * 7000003L + l * 10007L + i) & 1L) == 0L) 1f else -1f
+    }
+
+  /** Candidate (id_a, id_b) pairs (id_a < id_b) whose vectors share a
+    * bucket in at least one of the K sign-LSH tables. All bucket ids
+    * are computed map-side (one codegen'd dotp per hyperplane); the
+    * only shuffle is the self-join on (table, bucket). Public so the
+    * sub-quadratic guard spec can measure the volume the exact
+    * re-check sees.
+    */
+  def neardupCandidates(e: DataFrame): DataFrame = {
+    val tb = explode(array((0 until NdTables).map { t =>
+      val bucket = (0 until NdBits).map { l =>
+        when(call_function("dotp", col("embedding"), typedlit(ndPlane(t, l))) > 0d,
+          lit(1L << l)).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }: _*)).as("tb")
+    val sig = e.select(col("vec_id"), tb)
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    sig.as("x").join(sig.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b")).distinct()
+  }
+
+  /** The production near-dup path (scale shape of q50): sign-LSH
+    * candidate generation + exact cosine re-check, same output contract
+    * as the all-pairs baseline (pairs with 6-dp cosine >= 0.99). Takes
+    * the embeddings frame directly so specs can run it over planted
+    * duplicates. Requires [[graft.functions.GraftFunctions.register]].
+    */
+  def neardupLsh(e0: DataFrame): DataFrame = {
+    val e = e0.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(sqnorm("embedding")))
+    neardupCandidates(e)
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b")), "id_b")
+      .withColumn("cosine_raw", dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")))
+      // conservative raw prefilter (identical to q50's): nothing that
+      // could round to >= 0.99 at 6 dp is below 0.989999
+      .filter(col("cosine_raw") >= 0.989999)
+      .withColumn("cosine", dround(col("cosine_raw"), 6))
+      .filter(col("cosine") >= 0.99)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Candidate (q_id, vec_id) pairs from the multi-table LSH index:
     * all buckets computed map-side, candidates = vectors sharing any
     * (table, bucket) with a query. Public so the sub-quadratic guard
@@ -158,7 +222,8 @@ object LlmSimQueries {
         .select(col("vec_id"), col("embedding"))
         .withColumn("nrm", sqrt(sqnorm("embedding")))
       val TileRows = 4096L
-      val nTiles = (((e.count() + TileRows - 1) / TileRows).toInt).max(1)
+      val nRows = Tables.rowCount(s, dir, "embeddings")
+      val nTiles = (((nRows + TileRows - 1) / TileRows).toInt).max(1)
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
         col("nrm").as("nrm_a"))
       val tiles = (0 until nTiles).map { t =>
@@ -266,6 +331,15 @@ object LlmSimQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // ---- embedding near-dup, production path: sign-LSH candidates +
+    //      exact re-check. Same output contract (and DuckDB all-pairs
+    //      oracle) as the q50 baseline, but the pair space is
+    //      O(K·n²/2^L) instead of O(n²) — the version the composed
+    //      pipelines should call on full corpora. ----
+    "q67_neardup_lsh" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      neardupLsh(Tables.load(s, dir, "embeddings"))
+    }),
     // ---- MinHash + LSH banding near-dup (the 100 TB-scale dedup path) ----
     "q52_minhash_lsh" -> ((s, dir) => {
       val docsH = shingleHashes(s, dir)
@@ -319,6 +393,16 @@ object LlmSimQueries {
   )
 
   private val R = droundSql
+
+  private def neardupAllPairsSql: String = s"""
+      WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+                 FROM embeddings)
+      SELECT id_a, id_b, cosine FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ${R(s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)", 6)} AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      WHERE cosine >= 0.99
+      ORDER BY id_a, id_b"""
 
   private def minhashFamilyValues: String =
     minhashA.zip(minhashB).zipWithIndex
@@ -409,15 +493,11 @@ object LlmSimQueries {
         FROM scored)
       WHERE rk <= 5
       ORDER BY q_id, rk""",
-    "q50_embedding_neardup" -> s"""
-      WITH e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
-                 FROM embeddings)
-      SELECT id_a, id_b, cosine FROM (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-          ${R(s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)", 6)} AS cosine
-        FROM e a JOIN e b ON a.vec_id < b.vec_id)
-      WHERE cosine >= 0.99
-      ORDER BY id_a, id_b""",
+    "q50_embedding_neardup" -> neardupAllPairsSql,
+    // q67 must produce the SAME answer as the exact all-pairs scan —
+    // the LSH index is a pruning strategy, not an approximation of the
+    // output contract — so it is gated against the identical oracle.
+    "q67_neardup_lsh" -> neardupAllPairsSql,
     "q51_simhash" -> """
       WITH tok AS (
         SELECT doc_id,

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.LlmSimQueries
+
+/** Recall proof for the q67 production near-dup path: the fixture
+  * corpora contain no pairs at cosine >= 0.99, so the driver's oracle
+  * match only pins the no-false-positive side. This spec plants real
+  * near-duplicates (base vector + small perturbation) and asserts the
+  * LSH-pruned pipeline returns EXACTLY the brute-force answer —
+  * i.e. 100% recall at the 0.99 threshold on adversarially-close pairs.
+  */
+class NearDupLshSpec extends SparkSpec {
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic unit-ish vector for id (values in [-1, 1)). */
+  private def vec(id: Long): Array[Float] =
+    Array.tabulate(LlmSimQueries.AnnDim) { i =>
+      (splitmix64(id * 1337L + i).toDouble / Long.MaxValue.toDouble).toFloat
+    }
+
+  /** `base` nudged just enough to stay above cosine 0.99 of itself. */
+  private def nearDupOf(base: Array[Float], seed: Long): Array[Float] =
+    base.zipWithIndex.map { case (v, i) =>
+      v + 0.02f * (splitmix64(seed * 31L + i).toDouble / Long.MaxValue.toDouble).toFloat
+    }
+
+  test("q67 machinery: 100% recall vs brute force on planted near-duplicates") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val nBase = 200
+    val nDups = 25
+    val base = (0 until nBase).map(i => (i.toLong, vec(i.toLong)))
+    // each planted dup pairs vec_id 1000+j with base j (cosine ~0.9995)
+    val dups = (0 until nDups).map(j => (1000L + j, nearDupOf(vec(j.toLong), j + 7L)))
+    val e = (base ++ dups).toDF("vec_id", "embedding")
+
+    val lsh = LlmSimQueries.neardupLsh(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // brute-force reference over the same frame
+    val withNrm = e.withColumn("nrm", sqrt(expr("dotp(embedding, embedding)")))
+    val brute = withNrm.select(col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+      .join(withNrm.select(col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b")),
+        col("id_a") < col("id_b"))
+      .withColumn("cosine", Det.dround(
+        expr("dotp(emb_a, emb_b)") / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cosine") >= 0.99)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    assert(brute.length >= nDups, "planting failed — no true pairs to recall")
+    assert(lsh.toSeq === brute.toSeq)
+  }
+
+  test("q67: LSH candidate volume is sub-quadratic on the fixture corpus") {
+    graft.functions.GraftFunctions.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val e = Tables.load(spark, sf, "embeddings")
+    val n = e.count()
+    val cands = LlmSimQueries.neardupCandidates(e).count()
+    // brute force scores n(n-1)/2 pairs; the index must prune the vast
+    // majority (bucket selectivity only improves as n grows at fixed L)
+    assert(cands < n * (n - 1) / 2 / 4,
+      s"candidates=$cands vs all-pairs=${n * (n - 1) / 2}")
+  }
+}
