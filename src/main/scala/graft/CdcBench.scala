@@ -147,12 +147,24 @@ object CdcBench {
     n / sec
   }
 
+  /** All k e2e runs, so consumers can report the methodology (run
+    * count, spread) next to the headline instead of a bare max that
+    * silently changes semantics vs a single-run number.
+    */
+  final case class E2eRuns(rates: Seq[Double]) {
+    def best: Double = rates.max
+    def median: Double = rates.sorted.apply(rates.size / 2)
+  }
+
+  def e2eRuns(spark: SparkSession, n: Int, partitions: Int, k: Int = 3): E2eRuns =
+    E2eRuns((1 to k).map(_ => e2eRate(spark, n, partitions)))
+
   /** Best-of-k e2e rate (same robustness treatment as the decode bench:
     * the box has multi-second GC/page-cache noise; steady-state rate is
     * what the reference's profile reports too).
     */
   def e2eRateBest(spark: SparkSession, n: Int, partitions: Int, k: Int = 3): Double =
-    (1 to k).map(_ => e2eRate(spark, n, partitions)).max
+    e2eRuns(spark, n, partitions, k).best
 
   /** Standalone CDC-only bench entry (profiling aid — the full driver
     * bench is `graft.Bench`).

@@ -71,6 +71,17 @@ final case class DlqCfg(
     tablePath: Option[String] = None,
     topicSuffix: String = "dlq")
 
+/** Schema-registry monitoring knobs (`config/models.py:113,355` +
+  * `pipeline/runner.py:90-95`): when `url` is configured the runner
+  * starts a [[graft.streaming.SchemaRegistryMonitor]] beside the
+  * stream and — with `stopOnIncompatible` — stops the streaming query
+  * on an incompatible schema change.
+  */
+final case class RegistryCfg(
+    url: String,
+    stopOnIncompatible: Boolean = true,
+    intervalMs: Long = 30000)
+
 final case class PipelineCfg(
     pipelineId: String,
     topicPrefix: String = "cdc",
@@ -79,7 +90,8 @@ final case class PipelineCfg(
     sourceDir: String,
     checkpointDir: String,
     dlq: DlqCfg = DlqCfg(),
-    maxFilesPerTrigger: Int = 10) {
+    maxFilesPerTrigger: Int = 10,
+    registry: Option[RegistryCfg] = None) {
 
   /** The configured capture include-list as concrete topic names —
     * the P2 predicate the pipeline filters consumption on.

@@ -97,7 +97,22 @@ object PipelineConfigLoader {
   private def int(n: Node, key: String, dflt: Int): Int = n.get(key) match {
     case Some(i: Int) => i
     case Some(i: Integer) => i.intValue
-    case Some(l: Long) => l.toInt
+    // YAML numerics > 2^31 parse as Long; NEVER narrow silently — a
+    // truncated ms-knob (e.g. 30-day retention = 2592000000 wrapping
+    // negative) would turn a retention window into "expire everything".
+    case Some(l: Long) if l.isValidInt => l.toInt
+    case Some(l: Long) => fail(s"$key out of 32-bit range: $l")
+    case Some(other) => fail(s"$key must be an integer, got $other")
+    case None => dflt
+  }
+
+  /** Long-valued knobs (ms intervals, row counts): accepts Int or Long
+    * YAML numerics without narrowing.
+    */
+  private def long(n: Node, key: String, dflt: Long): Long = n.get(key) match {
+    case Some(i: Int) => i.toLong
+    case Some(i: Integer) => i.longValue
+    case Some(l: Long) => l
     case Some(other) => fail(s"$key must be an integer, got $other")
     case None => dflt
   }
@@ -122,7 +137,8 @@ object PipelineConfigLoader {
 
   private val KnownTopLevel = Set(
     "pipeline_id", "topic_prefix", "source", "sinks",
-    "source_dir", "checkpoint_dir", "dlq", "max_files_per_trigger")
+    "source_dir", "checkpoint_dir", "dlq", "max_files_per_trigger",
+    "registry")
 
   private def validate(n: Node): PipelineCfg = {
     // extra="forbid" on the pipeline model (config/models.py:332)
@@ -175,7 +191,14 @@ object PipelineConfigLoader {
         enabled = bool(dlqN, "enabled", dflt = true),
         tablePath = optStr(dlqN, "table_path"),
         topicSuffix = optStr(dlqN, "topic_suffix").getOrElse("dlq")),
-      maxFilesPerTrigger = int(n, "max_files_per_trigger", 10))
+      maxFilesPerTrigger = int(n, "max_files_per_trigger", 10),
+      registry = if (n.contains("registry")) {
+        val r = node(n, "registry")
+        Some(RegistryCfg(
+          url = str(r, "url", "registry"),
+          stopOnIncompatible = bool(r, "stop_on_incompatible", dflt = true),
+          intervalMs = long(r, "interval_ms", 30000L)))
+      } else None)
   }
 
   private def validateSink(n: Node): SinkCfg = {
@@ -188,8 +211,8 @@ object PipelineConfigLoader {
       enabled = bool(n, "enabled", dflt = true),
       retry = RetryCfg(
         maxAttempts = int(retryN, "max_attempts", 3),
-        initialDelayMs = int(retryN, "initial_delay_ms", 100).toLong,
-        maxDelayMs = int(retryN, "max_delay_ms", 60000).toLong),
+        initialDelayMs = long(retryN, "initial_delay_ms", 100L),
+        maxDelayMs = long(retryN, "max_delay_ms", 60000L)),
       webhook = if (n.contains("webhook"))
         Some(WebhookSinkCfg(str(node(n, "webhook"), "url", s"sink $id webhook"))) else None,
       postgres = if (n.contains("postgres"))
@@ -203,11 +226,11 @@ object PipelineConfigLoader {
           payloadSchemaJson = optStr(lh, "payload_schema_json"),
           maintenance = MaintenanceCfg(
             enabled = bool(m, "enabled", dflt = false),
-            expireIntervalMs = int(m, "expire_interval_ms", 3600000).toLong,
-            expireOlderThanMs = int(m, "expire_older_than_ms", 86400000).toLong,
-            compactIntervalMs = int(m, "compact_interval_ms", 7200000).toLong,
+            expireIntervalMs = long(m, "expire_interval_ms", 3600000L),
+            expireOlderThanMs = long(m, "expire_older_than_ms", 86400000L),
+            compactIntervalMs = long(m, "compact_interval_ms", 7200000L),
             compactFileThreshold = int(m, "compact_file_threshold", 10),
-            compactMaxRows = int(m, "compact_max_rows", 500000).toLong)))
+            compactMaxRows = long(m, "compact_max_rows", 500000L))))
       } else None)
 
     // the sub-config matching sink_type must be present (models.py:317-330)

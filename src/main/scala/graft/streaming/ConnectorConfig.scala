@@ -91,10 +91,14 @@ object ConnectorConfig {
       case Some(rs) => s"?replicaSet=$rs&authSource=${src.authSource}"
       case None => s"?authSource=${src.authSource}"
     }
+    // credentials are URI components: ':' '@' '/' '%' in a password would
+    // otherwise produce a wrong (or unparseable) connection string
+    def enc(s: String): String =
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
     Map(
       "connector.class" -> "io.debezium.connector.mongodb.MongoDbConnector",
       "mongodb.connection.string" ->
-        s"mongodb://${src.username}:${src.password}@${src.host}:${src.port}/$rsPart",
+        s"mongodb://${enc(src.username)}:${enc(src.password)}@${src.host}:${src.port}/$rsPart",
       "topic.prefix" -> topicPrefix,
       "collection.include.list" -> src.tables.mkString(","),
       "snapshot.mode" -> src.snapshotMode,

@@ -79,12 +79,48 @@ object PipelineRunner {
     case other => throw new IllegalArgumentException(s"unknown sink_type $other")
   }
 
-  /** Load a YAML config, wire the pipeline + maintenance, start both. */
-  def run(spark: SparkSession, configPath: String): StreamingQuery = {
-    val built = buildAll(spark, PipelineConfigLoader.load(configPath))
-    built.maintenance.foreach(_.start())
-    built.pipeline.start()
+  /** A started pipeline: the streaming query plus every companion
+    * service the config wired up, so callers can stop the whole unit
+    * (stopping only the query would leave maintenance timers mutating
+    * the table and the registry poller running).
+    */
+  final case class Running(
+      query: StreamingQuery,
+      maintenance: Seq[graft.lakehouse.MaintenanceScheduler],
+      monitor: Option[SchemaRegistryMonitor]) {
+    def stop(): Unit = {
+      monitor.foreach(_.stop())
+      maintenance.foreach(_.stop())
+      query.stop()
+    }
   }
+
+  /** Wire the pipeline + maintenance + (if configured) the registry
+    * monitor, and start all of them. With `registry.stop_on_incompatible`
+    * an incompatible schema change stops the streaming query — the
+    * reference's `on_incompatible=self.stop` (`pipeline/runner.py:90-95`).
+    */
+  def start(spark: SparkSession, cfg: PipelineCfg,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): Running = {
+    val built = buildAll(spark, cfg)
+    built.maintenance.foreach(_.start())
+    val query = built.pipeline.start(trigger)
+    val monitor = cfg.registry.map { r =>
+      val m = new SchemaRegistryMonitor(r.url,
+        topics = cfg.includeTopics,
+        intervalMs = r.intervalMs,
+        stopOnIncompatible = r.stopOnIncompatible,
+        onIncompatible = () => query.stop())
+      m.start()
+      m
+    }
+    Running(query, built.maintenance, monitor)
+  }
+
+  /** Load a YAML config, wire everything, start everything. */
+  def run(spark: SparkSession, configPath: String): Running =
+    start(spark, PipelineConfigLoader.load(configPath))
 }
 
 /** `graft.streaming.PipelineCli run pipeline.yaml` — the config-driven
@@ -105,6 +141,10 @@ object PipelineCli {
     spark.sparkContext.setLogLevel("WARN")
     println(s"Starting pipeline: ${cfg.pipelineId}")
     cfg.sinks.filter(_.enabled).foreach(s => println(s"  sink: ${s.sinkId} (${s.sinkType})"))
-    PipelineRunner.build(spark, cfg).start().awaitTermination()
+    cfg.registry.foreach(r => println(s"  registry monitor: ${r.url} " +
+      s"(stop_on_incompatible=${r.stopOnIncompatible})"))
+    val running = PipelineRunner.start(spark, cfg)
+    try running.query.awaitTermination()
+    finally running.stop()
   }
 }

@@ -35,8 +35,11 @@ final class SchemaRegistryMonitor(
 
   private val base = registryUrl.stripSuffix("/")
   private val client = HttpClient.newHttpClient()
-  private val knownVersionsM = scala.collection.mutable.Map.empty[String, Int]
-  private val knownSchemas = scala.collection.mutable.Map.empty[String, String]
+  // mutated on the daemon timer thread, read from callers' threads —
+  // concurrent maps, not plain mutable.Map (unsynchronized cross-thread
+  // reads of a mutable.HashMap can see torn state)
+  private val knownVersionsM = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private val knownSchemas = scala.collection.concurrent.TrieMap.empty[String, String]
   @volatile private var incompatible = false
   private var timer: Option[java.util.Timer] = None
 

@@ -52,6 +52,36 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must be schema- or db-qualified"))
   }
 
+  test("ms-valued maintenance knobs accept Longs beyond 2^31 without wrapping") {
+    val cfg = PipelineConfigLoader.parse(minimal.replace(
+      "      table_path: /tmp/lh\n",
+      """      table_path: /tmp/lh
+        |      maintenance:
+        |        enabled: true
+        |        expire_older_than_ms: 2592000000
+        |""".stripMargin))
+    // 30-day retention; an int-narrowed read would wrap negative and
+    // turn the retention window into "expire every snapshot"
+    assert(cfg.sinks.head.lakehouse.get.maintenance.expireOlderThanMs === 2592000000L)
+  }
+
+  test("int-typed knobs reject out-of-32-bit values instead of truncating") {
+    val e = intercept[IllegalArgumentException] {
+      PipelineConfigLoader.parse(
+        minimal.replace("source_dir: /tmp/src",
+          "source_dir: /tmp/src\nmax_files_per_trigger: 8589934592"))
+    }
+    assert(e.getMessage.contains("out of 32-bit range"))
+  }
+
+  test("registry block parses with defaults") {
+    val cfg = PipelineConfigLoader.parse(minimal +
+      "registry:\n  url: http://localhost:8081\n")
+    assert(cfg.registry === Some(RegistryCfg("http://localhost:8081",
+      stopOnIncompatible = true, intervalMs = 30000L)))
+    assert(PipelineConfigLoader.parse(minimal).registry.isEmpty)
+  }
+
   test("unknown top-level keys are rejected (extra=forbid)") {
     val e = intercept[IllegalArgumentException] {
       PipelineConfigLoader.parse(minimal + "mystery_knob: 7\n")

@@ -69,6 +69,61 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(new LakehouseTable(spark, dlqPath).listSnapshots().isEmpty)
   }
 
+  test("registry-configured runner: incompatible schema change stops the streaming query") {
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
+    import com.sun.net.httpserver.HttpServer
+
+    val version = new AtomicReference[Int](1)
+    val compatible = new AtomicBoolean(true)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/subjects/", { ex =>
+      val body =
+        s"""{"version":${version.get},"id":1,"schema":"{\\"v\\":${version.get}}"}"""
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.createContext("/compatibility/", { ex =>
+      val b = s"""{"is_compatible":${compatible.get}}""".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    server.start()
+    try {
+      val src = tmpDir("reg-src")
+      writeEvents(src)
+      val yaml =
+        s"""pipeline_id: reg_e2e
+           |source:
+           |  database: appdb
+           |  tables: ["public.users"]
+           |source_dir: $src
+           |checkpoint_dir: ${tmpDir("reg-chk")}
+           |registry:
+           |  url: http://127.0.0.1:${server.getAddress.getPort}
+           |  stop_on_incompatible: true
+           |  interval_ms: 100
+           |sinks:
+           |  - sink_id: lh
+           |    sink_type: lakehouse
+           |    lakehouse:
+           |      table_path: ${tmpDir("reg-lh")}
+           |""".stripMargin
+      val cfg = PipelineConfigLoader.parse(yaml)
+      val running = PipelineRunner.start(spark, cfg,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      try {
+        assert(running.monitor.isDefined)
+        // query runs continuously until the registry turns incompatible
+        assert(!running.query.awaitTermination(1500))
+        version.set(2); compatible.set(false)
+        assert(running.query.awaitTermination(30000),
+          "incompatible schema change must stop the streaming query")
+        assert(running.monitor.get.incompatibleDetected)
+      } finally running.stop()
+    } finally server.stop(0)
+  }
+
   test("maintenance-enabled lakehouse sink gets a scheduler on the SAME table") {
     val src = tmpDir("m-src")
     val lhPath = tmpDir("m-lh")
