@@ -11,7 +11,8 @@ import com.sun.net.httpserver.HttpServer
   * {status, components} snapshot as JSON, 200 while running / 503 once
   * everything stopped.
   */
-final class HealthServer(monitor: PipelineMonitor, port: Int = 0) {
+final class HealthServer(monitor: PipelineMonitor, port: Int = 0,
+    platformCheck: Option[() => PlatformHealth.Report] = None) {
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   server.createContext("/health", { exchange =>
@@ -23,6 +24,25 @@ final class HealthServer(monitor: PipelineMonitor, port: Int = 0) {
     exchange.getResponseBody.write(body)
     exchange.close()
   })
+
+  // platform component probes (`observability/health.py:131-153` shape,
+  // served like the reference's http_health endpoint): healthy iff every
+  // component is healthy; otherwise 503 with the per-component detail
+  platformCheck.foreach { check =>
+    server.createContext("/health/platform", { exchange =>
+      val report = check()
+      val payload: Map[String, Any] = Map(
+        "status" -> (if (report.healthy) "healthy" else "unhealthy"),
+        "components" -> report.components.map(c =>
+          c.name -> Map("status" -> c.status.value, "detail" -> c.detail)).toMap)
+      val body = toJson(payload).getBytes(StandardCharsets.UTF_8)
+      val code = if (report.healthy) 200 else 503
+      exchange.getResponseHeaders.add("Content-Type", "application/json")
+      exchange.sendResponseHeaders(code, body.length)
+      exchange.getResponseBody.write(body)
+      exchange.close()
+    })
+  }
 
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = server.stop(0)

@@ -49,4 +49,71 @@ class HealthServerSpec extends SparkSpec {
       mon.unregister(spark)
     }
   }
+
+  test("platform probes aggregate: one failing component turns the report unhealthy") {
+    import PlatformHealth._
+    val good = tmpDir("ph-ok")
+    val cfg = graft.config.PipelineConfigLoader.parse(
+      s"""pipeline_id: ph
+         |source:
+         |  database: appdb
+         |  tables: ["public.users"]
+         |source_dir: $good
+         |checkpoint_dir: ${tmpDir("ph-chk")}
+         |sinks:
+         |  - sink_id: lh
+         |    sink_type: lakehouse
+         |    lakehouse:
+         |      table_path: ${tmpDir("ph-lh")}
+         |""".stripMargin)
+
+    // all probes green
+    val ok = checkPlatform(cfg)
+    assert(ok.healthy)
+    assert(ok.summary === Map("source-dir" -> "healthy",
+      "checkpoint-dir" -> "healthy",
+      s"lakehouse:${cfg.sinks.head.lakehouse.get.tablePath}" -> "healthy"))
+
+    // a missing source dir (read probe — never auto-created) flips the
+    // aggregate while the other components stay healthy
+    val broken = checkPlatform(cfg.copy(sourceDir = s"$good/definitely-missing"))
+    assert(!broken.healthy)
+    assert(broken.summary("source-dir") === "unhealthy")
+    assert(broken.summary("checkpoint-dir") === "healthy")
+
+    // unreachable registry is a component too
+    val withDeadRegistry = checkPlatform(cfg.copy(
+      registry = Some(graft.config.RegistryCfg("http://127.0.0.1:1"))))
+    assert(!withDeadRegistry.healthy)
+    assert(withDeadRegistry.summary("schema-registry") === "unhealthy")
+  }
+
+  test("GET /health/platform serves the aggregate with 503 when unhealthy") {
+    val mon = new PipelineMonitor().register(spark)
+    val cfgDir = tmpDir("php-src")
+    val state = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val srv = new HealthServer(mon, platformCheck = Some(() =>
+      PlatformHealth.Report(Seq(PlatformHealth.ComponentHealth("probe",
+        if (state.get) PlatformHealth.Healthy else PlatformHealth.Unhealthy,
+        cfgDir)))))
+    val port = srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val get = () => client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/health/platform")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val healthy = get()
+      assert(healthy.statusCode() === 200)
+      assert(healthy.body().contains("\"status\":\"healthy\""))
+      state.set(false)
+      val unhealthy = get()
+      assert(unhealthy.statusCode() === 503)
+      assert(unhealthy.body().contains("\"status\":\"unhealthy\""))
+      assert(unhealthy.body().contains("\"probe\""))
+    } finally {
+      srv.stop()
+      mon.unregister(spark)
+    }
+  }
 }
