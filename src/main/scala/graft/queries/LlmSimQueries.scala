@@ -166,6 +166,68 @@ object LlmSimQueries {
       .select(col("q_id"), col("vec_id")).distinct()
   }
 
+  // IVF geometry (q63): C cells, nprobe probed cells per query, and a
+  // fixed number of Lloyd iterations refining the first-C seed
+  // centroids. Training math is portable by construction: elements are
+  // quantized to a 1e-9 integer grid with pure IEEE ops, per-dim sums
+  // are exact BIGINT arithmetic (accumulation-order-free), and the mean
+  // divides in IEEE double before a float cast — so Spark and the
+  // DuckDB twin derive bit-identical centroids without any
+  // double→decimal casts (which round differently per engine).
+  val IvfC = 16
+  val IvfNprobe = 2
+  val IvfIters = 2
+
+  /** Per-(vector, centroid) cosine with per-vector rank `crk` (ties →
+    * lower id). `e` must carry (vec_id, embedding, nrm); `cents`
+    * (cent_id, c_emb). The centroid set is broadcast — assignment is a
+    * map-side cross-score, never a shuffle pairing.
+    */
+  def ivfScore(e: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withNrm = cents.withColumn("c_nrm", sqrt(expr("dotp(c_emb, c_emb)")))
+    val scored = e.crossJoin(broadcast(withNrm))
+      .withColumn("cscore", dot("embedding", "c_emb") / (col("nrm") * col("c_nrm")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cent_id"))
+    scored.withColumn("crk", row_number().over(w))
+  }
+
+  /** One assignment pass: nearest centroid by cosine (ties → lower id). */
+  def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    ivfScore(e, cents)
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+
+  /** Lloyd-refined centroids from first-C seeds (k-means with fixed
+    * init + fixed iteration count — the deterministic analogue of
+    * k-means‖: the heavy step per iteration is one broadcast
+    * assignment plus a partial-aggregated per-(cell,dim) sum, both
+    * map-side shapes that carry to 100 TB). Returns (cent_id, c_emb:
+    * array<float>).
+    */
+  def ivfCentroids(e: DataFrame, c: Int = IvfC, iters: Int = IvfIters): DataFrame = {
+    var cents = e.filter(col("vec_id") < c)
+      .select(col("vec_id").cast(IntegerType).as("cent_id"), col("embedding").as("c_emb"))
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(e, cents)
+      // exact integer per-dim sums: quantize each element to 1e-9
+      // (floor(x*1e9 + 0.5) is round-to-nearest in IEEE, identical in
+      // both engines), sum as BIGINT — no ordering sensitivity at all
+      val sums = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(floor(col("v").cast(DoubleType) * lit(1e9) + lit(0.5)).cast(LongType)).as("s"),
+          count(lit(1)).as("n"))
+      cents = sums
+        .withColumn("m", (col("s").cast(DoubleType) / col("n").cast(DoubleType) / lit(1e9))
+          .cast(FloatType))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").as("c_emb"))
+        .select(col("cell").as("cent_id"), col("c_emb"))
+    }
+    cents
+  }
+
   /** Word 3-gram shingle hash SET per doc, as (doc_id, hs: array<long>).
     * Built entirely map-side: shingling, hashing, mod-P and the
     * per-doc dedup all happen inside one row's array expressions, so
@@ -287,35 +349,22 @@ object LlmSimQueries {
     // ---- ANN via IVF-flat (the other classic scale path next to LSH):
     //      a coarse quantizer of C centroids partitions the corpus into
     //      inverted lists; queries probe their nprobe nearest cells and
-    //      re-rank exactly inside them. Centroid "training" is
-    //      deterministic (the first C vectors by id — k-means would be
-    //      seed-dependent and oracle-hostile; the STRUCTURE is what
-    //      scales: assignment is a map-side broadcast cross-score, the
-    //      candidate join shuffles on the cell id, and the pair space
-    //      shrinks to O(n·nprobe/C) per query). ----
+    //      re-rank exactly inside them. Centroids are k-means-trained
+    //      (fixed first-C init + fixed Lloyd iterations, exact integer
+    //      sums — deterministic AND oracle-portable, see ivfCentroids).
+    //      The STRUCTURE is what scales: training and assignment are
+    //      map-side broadcast cross-scores, the candidate join shuffles
+    //      on the cell id, and the pair space shrinks to
+    //      O(n·nprobe/C) per query. ----
     "q63_ann_ivf" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val C = 16
-      val nprobe = 2
       val e = Tables.load(s, dir, "embeddings")
         .withColumn("nrm", sqrt(sqnorm("embedding")))
-      val cents = e.filter(col("vec_id") < C)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
-          col("nrm").as("c_nrm"))
-      import org.apache.spark.sql.expressions.Window
-      // cell assignment: nearest centroid by cosine (ties → lower id)
-      val scoredCells = e.crossJoin(broadcast(cents))
-        .withColumn("cscore", dot("embedding", "c_emb") / (col("nrm") * col("c_nrm")))
-      val wCell = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cscore").desc, col("cent_id"))
-      val assigned = scoredCells
-        .withColumn("crk", row_number().over(wCell))
-        .filter(col("crk") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+      val cents = ivfCentroids(e)
+      val assigned = ivfAssign(e, cents)
       // queries probe their nprobe nearest cells
-      val probes = scoredCells.filter(col("vec_id") < 20)
-        .withColumn("crk", row_number().over(wCell))
-        .filter(col("crk") <= nprobe)
+      val probes = ivfScore(e.filter(col("vec_id") < 20), cents)
+        .filter(col("crk") <= IvfNprobe)
         .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
       val qe = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -324,6 +373,7 @@ object LlmSimQueries {
         .filter(col("vec_id") =!= col("q_id"))
         .join(broadcast(qe), "q_id")
         .withColumn("cosine", dround(dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")), 6))
+      import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
@@ -415,18 +465,47 @@ object LlmSimQueries {
       s"($t, $l, [$lst]::DOUBLE[])"
     }).mkString(", ")
 
-  val oracle: Map[String, String] = Map(
-    "q63_ann_ivf" -> s"""
+  /** The q63 twin's Lloyd iterations, mirrored CTE-by-CTE from
+    * [[ivfCentroids]]/[[ivfScore]] (same quantized integer sums, same
+    * IEEE mean, same float cast — bit-identical centroids by
+    * construction).
+    */
+  private def ivfOracleSql: String = {
+    val iterCtes = (1 to IvfIters).map { k =>
+      s"""
+      scored$k AS (
+        SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+          ${dotSql("e.embedding", "c.c_emb")}
+            / (e.nrm * sqrt(${dotSql("c.c_emb", "c.c_emb")})) AS cscore
+        FROM e CROSS JOIN cents${k - 1} c),
+      assigned$k AS (
+        SELECT vec_id, embedding, cent_id AS cell FROM (
+          SELECT vec_id, embedding, cent_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
+          FROM scored$k) WHERE crk = 1),
+      sums$k AS (
+        SELECT cell, pos,
+          sum(CAST(floor(CAST(embedding[pos + 1] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS s,
+          count(*) AS n
+        FROM assigned$k CROSS JOIN (SELECT unnest(range($AnnDim)) AS pos) d
+        GROUP BY cell, pos),
+      cents$k AS (
+        SELECT cell AS cent_id,
+          list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9 AS FLOAT) ORDER BY pos) AS c_emb
+        FROM sums$k GROUP BY cell)"""
+    }.mkString(",")
+    s"""
       WITH e AS (
         SELECT vec_id, embedding,
           sqrt(${dotSql("embedding", "embedding")}) AS nrm
         FROM embeddings),
-      cents AS (SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
-                FROM e WHERE vec_id < 16),
+      cents0 AS (SELECT CAST(vec_id AS INT) AS cent_id, embedding AS c_emb
+                 FROM e WHERE vec_id < $IvfC),$iterCtes,
       scored_cells AS (
         SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
-          ${dotSql("e.embedding", "c_emb")} / (e.nrm * c.c_nrm) AS cscore
-        FROM e CROSS JOIN cents c),
+          ${dotSql("e.embedding", "c.c_emb")}
+            / (e.nrm * sqrt(${dotSql("c.c_emb", "c.c_emb")})) AS cscore
+        FROM e CROSS JOIN cents$IvfIters c),
       ranked AS (
         SELECT *, row_number() OVER (
           PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
@@ -434,7 +513,7 @@ object LlmSimQueries {
       assigned AS (SELECT vec_id, embedding, nrm, cent_id AS cell
                    FROM ranked WHERE crk = 1),
       probes AS (SELECT vec_id AS q_id, cent_id AS cell
-                 FROM ranked WHERE vec_id < 20 AND crk <= 2),
+                 FROM ranked WHERE vec_id < 20 AND crk <= $IvfNprobe),
       qe AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
              FROM e WHERE vec_id < 20),
       scored AS (
@@ -449,7 +528,11 @@ object LlmSimQueries {
           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
         FROM scored)
       WHERE rk <= 5
-      ORDER BY q_id, rk""",
+      ORDER BY q_id, rk"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q63_ann_ivf" -> ivfOracleSql,
     "q53_ann_lsh" -> s"""
       WITH w AS (SELECT * FROM (VALUES ${annPlaneSqlValues}) AS t(tbl, bit, wv)),
       e AS (
