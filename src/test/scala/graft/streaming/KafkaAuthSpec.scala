@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import KafkaAuth._
+
+/** Auth builder vectors per mechanism (`streaming/auth.py:16-59`),
+  * plus the JVM-specific contracts: JAAS value escaping and the
+  * `kafka.` option prefix for Spark source/sink maps.
+  */
+class KafkaAuthSpec extends AnyFunSuite {
+
+  test("no auth yields an empty map") {
+    assert(properties(AuthCfg()) === Map.empty)
+    assert(sparkOptions(AuthCfg()) === Map.empty)
+  }
+
+  test("SASL PLAIN: mechanism + plain login module with credentials") {
+    val p = properties(AuthCfg(SaslPlain,
+      saslUsername = Some("svc"), saslPassword = Some("sekret")))
+    assert(p("security.protocol") === "SASL_SSL")
+    assert(p("sasl.mechanism") === "PLAIN")
+    assert(p("sasl.jaas.config") ===
+      """org.apache.kafka.common.security.plain.PlainLoginModule required username="svc" password="sekret";""")
+  }
+
+  test("SCRAM variants pick the matching mechanism string") {
+    val scram256 = properties(AuthCfg(SaslScram256, saslUsername = Some("u")))
+    val scram512 = properties(AuthCfg(SaslScram512, saslUsername = Some("u")))
+    assert(scram256("sasl.mechanism") === "SCRAM-SHA-256")
+    assert(scram512("sasl.mechanism") === "SCRAM-SHA-512")
+    assert(scram256("sasl.jaas.config").contains("ScramLoginModule"))
+  }
+
+  test("JAAS escaping: quotes and backslashes in a password cannot break out") {
+    val p = properties(AuthCfg(SaslPlain,
+      saslUsername = Some("u"), saslPassword = Some("""p"w\d";""")))
+    assert(p("sasl.jaas.config").contains("""password="p\"w\\d\";""""))
+  }
+
+  test("MSK IAM: AWS_MSK_IAM module + client callback handler + region") {
+    val p = properties(AuthCfg(SaslIam, awsRegion = Some("eu-west-1")))
+    assert(p("sasl.mechanism") === "AWS_MSK_IAM")
+    assert(p("sasl.jaas.config").contains("IAMLoginModule required;"))
+    assert(p("sasl.client.callback.handler.class").contains("IAMClientCallbackHandler"))
+    assert(p("aws.region") === "eu-west-1")
+  }
+
+  test("OAUTHBEARER: login module + GCP callback handler") {
+    val p = properties(AuthCfg(SaslOauthBearer))
+    assert(p("sasl.mechanism") === "OAUTHBEARER")
+    assert(p("sasl.login.callback.handler.class").contains("GcpLoginCallbackHandler"))
+  }
+
+  test("PEM locations map to truststore/keystore keys") {
+    val p = properties(AuthCfg(SaslPlain, saslUsername = Some("u"),
+      sslCaLocation = Some("/certs/ca.pem"),
+      sslCertificateLocation = Some("/certs/client.pem"),
+      sslKeyLocation = Some("/certs/client.key")))
+    assert(p("ssl.truststore.type") === "PEM")
+    assert(p("ssl.truststore.location") === "/certs/ca.pem")
+    assert(p("ssl.keystore.location") === "/certs/client.pem")
+    assert(p("ssl.key.location") === "/certs/client.key")
+  }
+
+  test("sparkOptions kafka.-prefixes every key") {
+    val o = sparkOptions(AuthCfg(SaslPlain, saslUsername = Some("u")))
+    assert(o.keys.forall(_.startsWith("kafka.")))
+    assert(o.contains("kafka.sasl.jaas.config"))
+  }
+}
