@@ -110,8 +110,13 @@ object LlmSimQueries {
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bucket.as("bucket"))
     }: _*)).as("tb")
+    // cached: the self-join consumes sig on BOTH sides, and without the
+    // cache each side re-runs the K·L hyperplane dotps over the full
+    // corpus scan (broadcast joins get no exchange reuse). The cached
+    // frame is 3 longs per (vector, table) — O(n·K), no embeddings.
     val sig = e.select(col("vec_id"), tb)
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .cache()
     sig.as("x").join(sig.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -192,11 +197,38 @@ object LlmSimQueries {
     scored.withColumn("crk", row_number().over(w))
   }
 
-  /** One assignment pass: nearest centroid by cosine (ties → lower id). */
-  def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame =
-    ivfScore(e, cents)
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+  /** Centroids as driver-side values (index METADATA, O(C·dim) — the
+    * same class as MLlib's per-iteration center collect; never the
+    * data). The norm is a strict left fold over double-promoted floats,
+    * matching `sqrt(dotp(c,c))` and the twin's `sqrt(list_reduce(...))`
+    * bit-for-bit.
+    */
+  private def centValues(cents: DataFrame): Seq[(Int, Array[Float], Double)] =
+    cents.collect().map { r =>
+      val emb = r.getSeq[Float](1).toArray
+      (r.getInt(0), emb,
+        math.sqrt(emb.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+    }.toSeq.sortBy(_._1)
+
+  /** One assignment pass: nearest centroid by cosine (ties → lower id).
+    * Pure map-side: the argmax runs as one expression over literal
+    * centroid arrays, so NO shuffle touches the corpus — the window
+    * formulation would move n·C embedding-carrying rows per pass to
+    * rank them. (For a C too large to inline — tens of thousands —
+    * [[ivfScore]]'s broadcast-join path is the fallback.) Ties pick the
+    * lower cent_id: array_max on (cscore, -id) structs maximizes the
+    * NEGATED id at equal score.
+    */
+  def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val scoredArr = array(centValues(cents).map { case (id, emb, cn) =>
+      struct(
+        (call_function("dotp", col("embedding"), typedlit(emb)) /
+          (col("nrm") * lit(cn))).as("cscore"),
+        lit(-id).as("negid"))
+    }: _*)
+    e.withColumn("cell", -array_max(scoredArr).getField("negid"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+  }
 
   /** Lloyd-refined centroids from first-C seeds (k-means with fixed
     * init + fixed iteration count — the deterministic analogue of
