@@ -117,10 +117,18 @@ object LlmSimQueries {
     val sig = e.select(col("vec_id"), tb)
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
       .cache()
-    sig.as("x").join(sig.as("y"),
+    // localCheckpoint severs the candidate set's lineage from sig so the
+    // cache can be dropped HERE rather than leaking for the life of the
+    // session (the candidate set is the tiny colliding-pair list; sig is
+    // O(n·K) rows). Without the cut, unpersisting before the consumer
+    // materializes would re-run the K·L hyperplane dotps twice.
+    val cand = sig.as("x").join(sig.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b")).distinct()
+      .localCheckpoint()
+    sig.unpersist()
+    cand
   }
 
   /** The production near-dup path (scale shape of q50): sign-LSH
@@ -183,20 +191,6 @@ object LlmSimQueries {
   val IvfNprobe = 2
   val IvfIters = 2
 
-  /** Per-(vector, centroid) cosine with per-vector rank `crk` (ties →
-    * lower id). `e` must carry (vec_id, embedding, nrm); `cents`
-    * (cent_id, c_emb). The centroid set is broadcast — assignment is a
-    * map-side cross-score, never a shuffle pairing.
-    */
-  def ivfScore(e: DataFrame, cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val withNrm = cents.withColumn("c_nrm", sqrt(expr("dotp(c_emb, c_emb)")))
-    val scored = e.crossJoin(broadcast(withNrm))
-      .withColumn("cscore", dot("embedding", "c_emb") / (col("nrm") * col("c_nrm")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cent_id"))
-    scored.withColumn("crk", row_number().over(w))
-  }
-
   /** Centroids as driver-side values (index METADATA, O(C·dim) — the
     * same class as MLlib's per-iteration center collect; never the
     * data). The norm is a strict left fold over double-promoted floats,
@@ -214,13 +208,21 @@ object LlmSimQueries {
     * Pure map-side: the argmax runs as one expression over literal
     * centroid arrays, so NO shuffle touches the corpus — the window
     * formulation would move n·C embedding-carrying rows per pass to
-    * rank them. (For a C too large to inline — tens of thousands —
-    * [[ivfScore]]'s broadcast-join path is the fallback.) Ties pick the
+    * rank them. (For a C too large to inline — tens of thousands — a
+    * broadcast join against the centroid frame is the fallback.) Ties pick the
     * lower cent_id: array_max on (cscore, -id) structs maximizes the
     * NEGATED id at equal score.
     */
-  def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val scoredArr = array(centValues(cents).map { case (id, emb, cn) =>
+  def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    ivfAssignV(e, centValues(cents))
+
+  /** [[ivfAssign]] over pre-collected centroid values — the form the
+    * q63 pipeline threads end-to-end so the training lineage executes
+    * exactly once per Lloyd pass (a `cents` DataFrame re-runs its full
+    * aggregation plan at every consumer).
+    */
+  def ivfAssignV(e: DataFrame, cv: Seq[(Int, Array[Float], Double)]): DataFrame = {
+    val scoredArr = array(cv.map { case (id, emb, cn) =>
       struct(
         (call_function("dotp", col("embedding"), typedlit(emb)) /
           (col("nrm") * lit(cn))).as("cscore"),
@@ -230,6 +232,7 @@ object LlmSimQueries {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
   }
 
+
   /** Lloyd-refined centroids from first-C seeds (k-means with fixed
     * init + fixed iteration count — the deterministic analogue of
     * k-means‖: the heavy step per iteration is one broadcast
@@ -238,26 +241,84 @@ object LlmSimQueries {
     * array<float>).
     */
   def ivfCentroids(e: DataFrame, c: Int = IvfC, iters: Int = IvfIters): DataFrame = {
-    var cents = e.filter(col("vec_id") < c)
-      .select(col("vec_id").cast(IntegerType).as("cent_id"), col("embedding").as("c_emb"))
+    val s = e.sparkSession
+    import s.implicits._
+    ivfCentroidValues(e, c, iters).map { case (id, emb, _) => (id, emb) }
+      .toDF("cent_id", "c_emb")
+  }
+
+  /** [[ivfCentroids]] returning collected (cent_id, c_emb, norm)
+    * values: each Lloyd pass runs exactly ONE Spark job (assignment +
+    * the parallel-sum aggregation) and collects the O(C·dim) result —
+    * so training costs `iters` jobs total instead of re-executing
+    * frame lineage at every downstream consumer.
+    */
+  def ivfCentroidValues(e: DataFrame, c: Int = IvfC,
+      iters: Int = IvfIters): Seq[(Int, Array[Float], Double)] = {
+    var cv = centValues(e.filter(col("vec_id") < c)
+      .select(col("vec_id").cast(IntegerType).as("cent_id"), col("embedding").as("c_emb")))
+    // Each Lloyd pass is ONE shuffle-free stage (the MLlib k-means
+    // step): every partition assigns its rows to the nearest current
+    // centroid and folds them into a local (C·dim longs, C counts)
+    // buffer; treeAggregate merges the partials logarithmically, so
+    // the driver receives O(C·dim) however many partitions the corpus
+    // has. The math is the oracle twin's, bit-for-bit: cosine scored
+    // by the same strict index-order IEEE fold as `dotp`, ties to the
+    // lower cent_id, elements quantized to a 1e-9 integer grid
+    // (floor(x·1e9 + 0.5), round-to-nearest in IEEE) and summed as
+    // BIGINT — accumulation-order-free — then the mean divides in
+    // IEEE double ((s / n) / 1e9) before the float cast.
+    import org.apache.spark.sql.Encoders
+    val rows = e.select(col("embedding"), col("nrm"))
+      .as[(Seq[Float], Double)](Encoders.tuple(
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]](),
+        Encoders.scalaDouble))
+    val dim = AnnDim
     for (_ <- 1 to iters) {
-      val assigned = ivfAssign(e, cents)
-      // exact integer per-dim sums: quantize each element to 1e-9
-      // (floor(x*1e9 + 0.5) is round-to-nearest in IEEE, identical in
-      // both engines), sum as BIGINT — no ordering sensitivity at all
-      val sums = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(floor(col("v").cast(DoubleType) * lit(1e9) + lit(0.5)).cast(LongType)).as("s"),
-          count(lit(1)).as("n"))
-      cents = sums
-        .withColumn("m", (col("s").cast(DoubleType) / col("n").cast(DoubleType) / lit(1e9))
-          .cast(FloatType))
-        .groupBy(col("cell"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").as("c_emb"))
-        .select(col("cell").as("cent_id"), col("c_emb"))
+      val centArr = cv.toArray // (id, emb, nrm), ascending id
+      val (sums, counts) = rows.rdd.treeAggregate(
+        (new Array[Long](centArr.length * dim), new Array[Long](centArr.length)))(
+        seqOp = { case ((s, n), (emb, nrm)) =>
+          var best = 0; var bestSc = Double.NegativeInfinity
+          var ci = 0
+          while (ci < centArr.length) {
+            val (_, cemb, cn) = centArr(ci)
+            var acc = 0.0; var i = 0
+            while (i < dim) { acc += emb(i).toDouble * cemb(i).toDouble; i += 1 }
+            val sc = acc / (nrm * cn)
+            // strictly-greater keeps the earliest (lowest) id on ties —
+            // array_max over (cscore, -id) structs, same order
+            if (sc > bestSc) { bestSc = sc; best = ci }
+            ci += 1
+          }
+          var i = 0
+          while (i < dim) {
+            s(best * dim + i) += math.floor(emb(i).toDouble * 1e9 + 0.5).toLong
+            i += 1
+          }
+          n(best) += 1L
+          (s, n)
+        },
+        combOp = { case ((s1, n1), (s2, n2)) =>
+          var i = 0
+          while (i < s1.length) { s1(i) += s2(i); i += 1 }
+          i = 0
+          while (i < n1.length) { n1(i) += n2(i); i += 1 }
+          (s1, n1)
+        })
+      cv = centArr.indices.flatMap { ci =>
+        // cells that lost every vector drop out, like the groupBy form
+        if (counts(ci) == 0L) None
+        else {
+          val n = counts(ci)
+          val emb = Array.tabulate(dim)(i =>
+            (sums(ci * dim + i).toDouble / n.toDouble / 1e9).toFloat)
+          Some((centArr(ci)._1, emb,
+            math.sqrt(emb.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))))
+        }
+      }
     }
-    cents
+    cv
   }
 
   /** Word 3-gram shingle hash SET per doc, as (doc_id, hs: array<long>).
@@ -390,27 +451,59 @@ object LlmSimQueries {
     //      O(n·nprobe/C) per query. ----
     "q63_ann_ivf" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      // cached: training is EAGER (each Lloyd pass collects centroids,
+      // re-driving assignment + per-dim sums over the corpus), and the
+      // final assignment + probe scoring + query-side lookups scan it
+      // again — ~4 full parquet re-reads without the cache. Unpersisted
+      // below once the (tiny) result is materialized.
       val e = Tables.load(s, dir, "embeddings")
         .withColumn("nrm", sqrt(sqnorm("embedding")))
-      val cents = ivfCentroids(e)
-      val assigned = ivfAssign(e, cents)
-      // queries probe their nprobe nearest cells
-      val probes = ivfScore(e.filter(col("vec_id") < 20), cents)
-        .filter(col("crk") <= IvfNprobe)
-        .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
-      val qe = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"))
+        .cache()
+      val cv = ivfCentroidValues(e)
+      val assigned = ivfAssignV(e, cv)
+      // The query set (and so the probe list) is O(queries) index
+      // metadata — the serving-side lookup table, same class as the
+      // centroids, never the corpus. Collect it ONCE and feed both
+      // join sides as LOCAL relations: their broadcast needs no Spark
+      // job, where the frame form launched one broadcast-build job
+      // per side over the corpus lineage. Probe cells rank by the
+      // exact dotp fold order, so scores are bit-identical to the
+      // expression path (and the oracle twin).
+      val qRows = e.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .collect().sortBy(_.getLong(0))
+      val probePairs: Seq[(Long, Int)] = qRows.toIndexedSeq.flatMap { r =>
+        val qemb = r.getSeq[Float](1)
+        val qnrm = r.getDouble(2)
+        cv.map { case (cid, cemb, cn) =>
+          val sc = qemb.indices.foldLeft(0.0)((acc, i) =>
+            acc + qemb(i).toDouble * cemb(i).toDouble) / (qnrm * cn)
+          (sc, cid)
+        }.sortBy { case (sc, cid) => (-sc, cid) }
+          .take(IvfNprobe).map { case (_, cid) => (r.getLong(0), cid) }
+      }
+      import s.implicits._
+      val probes = probePairs.toDF("q_id", "cell")
+      val qe = qRows.toIndexedSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+        .toDF("q_id", "q_emb", "q_nrm")
       val scored = assigned.join(broadcast(probes), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
         .join(broadcast(qe), "q_id")
         .withColumn("cosine", dround(dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")), 6))
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-      scored.withColumn("rk", row_number().over(w))
+      // checkpoint the k·|queries|-row result BEFORE the final sort:
+      // orderBy's range-partition sampling re-executes its child, so
+      // sorting the un-materialized frame would run the join+window
+      // twice — and materializing here also lets the corpus cache drop
+      // eagerly instead of lingering for the session
+      val out = scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
-        .orderBy(col("q_id"), col("rk"))
+        .localCheckpoint()
+      e.unpersist()
+      out.orderBy(col("q_id"), col("rk"))
     }),
 
     // ---- embedding near-dup, production path: sign-LSH candidates +
@@ -498,8 +591,8 @@ object LlmSimQueries {
     }).mkString(", ")
 
   /** The q63 twin's Lloyd iterations, mirrored CTE-by-CTE from
-    * [[ivfCentroids]]/[[ivfScore]] (same quantized integer sums, same
-    * IEEE mean, same float cast — bit-identical centroids by
+    * [[ivfCentroidValues]]/[[ivfAssignV]] (same quantized integer sums,
+    * same IEEE mean, same float cast — bit-identical centroids by
     * construction).
     */
   private def ivfOracleSql: String = {

@@ -103,12 +103,33 @@ class ScaleDesignSpec extends SparkSpec {
     assert(p.contains("<= 256"), s"df-cap filter missing from plan:\n$p")
   }
 
-  test("q63: IVF assignment broadcasts the centroids; no cartesian product") {
-    val p = plan("q63_ann_ivf")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"centroid cross-score must broadcast the centroid set:\n$p")
+  test("q63: IVF candidate scoring broadcasts probes/queries over the corpus; no cartesian") {
+    // q63's returned frame is the checkpointed top-k (sorted), so the
+    // scale-relevant plan is the pipeline PRODUCING it: literal-centroid
+    // assignment (pure map-side — no join at all touches the corpus)
+    // feeding broadcast-hash joins with the O(queries) probe/query
+    // local relations.
+    import graft.queries.LlmSimQueries._
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("nrm", sqrt(expr("dotp(embedding, embedding)")))
+    val cv = ivfCentroidValues(e)
+    val assigned = ivfAssignV(e, cv)
+    val probes = Seq((0L, 1), (1L, 2)).toDF("q_id", "cell")
+    val qe = Seq((0L, Seq(0f), 1.0), (1L, Seq(0f), 1.0)).toDF("q_id", "q_emb", "q_nrm")
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qe), "q_id")
+    val p = scored.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size === 2,
+      s"probe + query joins must both broadcast:\n$p")
     assert(!p.contains("CartesianProduct"),
       "the n×C assignment must never shuffle-pair the corpus with itself")
+    // shuffle exchanges print as bare "(n) Exchange" in formatted mode
+    // (broadcast exchanges as "BroadcastExchange" — those are fine)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).isEmpty,
+      s"candidate scoring must stay map-side (no corpus shuffle):\n$p")
   }
 
   test("q62: feature extraction is map-side until the final sort") {
