@@ -23,7 +23,16 @@ final case class RetryCfg(
     initialDelayMs: Long = 100,
     maxDelayMs: Long = 60000)
 
-final case class WebhookSinkCfg(url: String)
+/** Webhook sub-config (`config/models.py:238-243`): custom headers are
+  * sent on every request, `authToken` becomes `Authorization: Bearer`,
+  * `method` selects the HTTP verb.
+  */
+final case class WebhookSinkCfg(
+    url: String,
+    method: String = "POST",
+    headers: Map[String, String] = Map.empty,
+    timeoutSeconds: Double = 30.0,
+    authToken: Option[String] = None)
 
 final case class PostgresSinkCfg(targetTable: String)
 
@@ -66,10 +75,20 @@ final case class SourceCfg(
     replicaSetName: Option[String] = None,
     authSource: String = "admin")
 
+/** DLQ knobs (`config/models.py:207-214`): `maxRetries` extra sink
+  * write attempts before a batch routes to the DLQ, `includeHeaders`
+  * toggles the 8 diagnostic columns, `flushIntervalSeconds` <= 0 means
+  * every routed batch is durably appended immediately (the reference's
+  * per-message producer flush); > 0 buffers routed rows and appends on
+  * the interval.
+  */
 final case class DlqCfg(
     enabled: Boolean = true,
     tablePath: Option[String] = None,
-    topicSuffix: String = "dlq")
+    topicSuffix: String = "dlq",
+    maxRetries: Int = 3,
+    includeHeaders: Boolean = true,
+    flushIntervalSeconds: Double = 0.0)
 
 /** Schema-registry monitoring knobs (`config/models.py:113,355` +
   * `pipeline/runner.py:90-95`): when `url` is configured the runner

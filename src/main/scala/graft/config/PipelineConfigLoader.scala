@@ -117,6 +117,22 @@ object PipelineConfigLoader {
     case None => dflt
   }
 
+  /** Double-valued knobs (seconds intervals): accepts any YAML numeric. */
+  private def double(n: Node, key: String, dflt: Double): Double = n.get(key) match {
+    case Some(d: Double) => d
+    case Some(f: Float) => f.toDouble
+    case Some(i: Int) => i.toDouble
+    case Some(l: Long) => l.toDouble
+    case Some(other) => fail(s"$key must be a number, got $other")
+    case None => dflt
+  }
+
+  private def strMap(n: Node, key: String): Map[String, String] = n.get(key) match {
+    case Some(m: Map[_, _]) => m.map { case (k, v) => k.toString -> v.toString }
+    case Some(other) => fail(s"$key must be a mapping, got $other")
+    case None => Map.empty
+  }
+
   private def bool(n: Node, key: String, dflt: Boolean): Boolean = n.get(key) match {
     case Some(b: Boolean) => b
     case Some(other) => fail(s"$key must be a boolean, got $other")
@@ -190,7 +206,10 @@ object PipelineConfigLoader {
       dlq = DlqCfg(
         enabled = bool(dlqN, "enabled", dflt = true),
         tablePath = optStr(dlqN, "table_path"),
-        topicSuffix = optStr(dlqN, "topic_suffix").getOrElse("dlq")),
+        topicSuffix = optStr(dlqN, "topic_suffix").getOrElse("dlq"),
+        maxRetries = int(dlqN, "max_retries", 3),
+        includeHeaders = bool(dlqN, "include_headers", dflt = true),
+        flushIntervalSeconds = double(dlqN, "flush_interval_seconds", 0.0)),
       maxFilesPerTrigger = int(n, "max_files_per_trigger", 10),
       registry = if (n.contains("registry")) {
         val r = node(n, "registry")
@@ -213,8 +232,15 @@ object PipelineConfigLoader {
         maxAttempts = int(retryN, "max_attempts", 3),
         initialDelayMs = long(retryN, "initial_delay_ms", 100L),
         maxDelayMs = long(retryN, "max_delay_ms", 60000L)),
-      webhook = if (n.contains("webhook"))
-        Some(WebhookSinkCfg(str(node(n, "webhook"), "url", s"sink $id webhook"))) else None,
+      webhook = if (n.contains("webhook")) {
+        val w = node(n, "webhook")
+        Some(WebhookSinkCfg(
+          url = str(w, "url", s"sink $id webhook"),
+          method = optStr(w, "method").getOrElse("POST"),
+          headers = strMap(w, "headers"),
+          timeoutSeconds = double(w, "timeout_seconds", 30.0),
+          authToken = optStr(w, "auth_token")))
+      } else None,
       postgres = if (n.contains("postgres"))
         Some(PostgresSinkCfg(str(node(n, "postgres"), "target_table", s"sink $id postgres"))) else None,
       lakehouse = if (n.contains("lakehouse")) {

@@ -127,23 +127,78 @@ final class LakehouseSink private (
 }
 
 /** Dead-letter side-output with the reference's 8 diagnostic headers as
-  * columns (`streaming/dlq.py:25-93`, `pipeline/runner.py:231-248`).
+  * columns (`streaming/dlq.py:25-93`, `pipeline/runner.py:231-248`),
+  * honoring the `DLQConfig` knobs (`config/models.py:207-214`):
+  *  - `enabled=false` → `route` is a no-op (`dlq.py:37-38`);
+  *  - `topicSuffix` names the destination topic per source topic
+  *    (`dlq_topic` column, `streaming/topics.py:26`);
+  *  - `includeHeaders=false` → only key/value/coords travel, no
+  *    diagnostic columns (`dlq.py:43-55`);
+  *  - `flushIntervalSeconds <= 0` → every routed batch is durably
+  *    appended immediately (the reference's per-message
+  *    `producer.flush`, `dlq.py:68-71`); `> 0` → routed rows buffer
+  *    driver-side (the producer-queue analogue; DLQ is exception
+  *    traffic, bounded by [[DlqWriter.MaxPendingRows]]) and append on
+  *    the interval or on [[flush]] (pipeline shutdown, `dlq.py:92-94`).
   */
-final class DlqWriter(table: LakehouseTable) {
+final class DlqWriter(
+    table: LakehouseTable,
+    enabled: Boolean = true,
+    topicSuffix: String = "dlq",
+    includeHeaders: Boolean = true,
+    flushIntervalSeconds: Double = 0.0) {
+
+  private val pending = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+  private var pendingSchema: Option[StructType] = None
+  private var pendingSpark: Option[SparkSession] = None
+  private var lastFlushMs: Long = System.currentTimeMillis()
+
   def route(batch: DataFrame, sinkId: String, error: Throwable): Unit = {
+    if (!enabled) return
     val stack = error.getStackTrace.take(5).mkString("\n")
-    val dlqRows = batch.select(
-      col("topic").as("dlq_source_topic"),
-      col("partition").as("dlq_source_partition"),
-      col("offset").as("dlq_source_offset"),
+    val diagnostic: Seq[org.apache.spark.sql.Column] = if (includeHeaders) Seq(
       lit(Option(error.getMessage).getOrElse("")).as("dlq_error_message"),
       lit(error.getClass.getName).as("dlq_error_type"),
       lit(stack).as("dlq_error_stacktrace"),
       lit(System.currentTimeMillis()).as("dlq_timestamp"),
-      lit(sinkId).as("dlq_sink_id"),
-      col("key"), col("before"), col("after"), col("op"))
-    table.append(dlqRows)
+      lit(sinkId).as("dlq_sink_id")) else Nil
+    val dlqRows = batch.select((Seq(
+      concat(col("topic"), lit(s".$topicSuffix")).as("dlq_topic"),
+      col("topic").as("dlq_source_topic"),
+      col("partition").as("dlq_source_partition"),
+      col("offset").as("dlq_source_offset")) ++ diagnostic ++ Seq(
+      col("key"), col("before"), col("after"), col("op"))): _*)
+    if (flushIntervalSeconds <= 0) {
+      table.append(dlqRows)
+    } else {
+      // micro-batch frames are only valid inside the current
+      // foreachBatch call — buffer materialized rows, not the frame
+      pending ++= dlqRows.collect()
+      pendingSchema = Some(dlqRows.schema)
+      pendingSpark = Some(batch.sparkSession)
+      if (pending.size >= DlqWriter.MaxPendingRows ||
+          System.currentTimeMillis() - lastFlushMs >= (flushIntervalSeconds * 1000).toLong)
+        flush()
+    }
   }
+
+  /** Durably append any buffered rows (shutdown path / interval tick). */
+  def flush(): Unit = synchronized {
+    if (pending.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      for (s <- pendingSpark; sch <- pendingSchema)
+        table.append(s.createDataFrame(pending.toList.asJava, sch))
+      pending.clear()
+    }
+    lastFlushMs = System.currentTimeMillis()
+  }
+}
+
+object DlqWriter {
+  /** Buffer bound: a burst beyond this flushes early regardless of the
+    * interval, so a failing sink can't grow driver memory unbounded.
+    */
+  val MaxPendingRows = 10000
 }
 
 /** The pipeline: one streaming query fanning each micro-batch out to N
@@ -163,9 +218,16 @@ final class ChangePipeline(
     checkpointDir: String,
     onCommit: Map[(String, Int), Long] => Unit = _ => (),
     includeTopics: Seq[String] = Nil,
-    maxFilesPerTrigger: Int = 10) {
+    maxFilesPerTrigger: Int = 10,
+    dlqMaxRetries: Int = 0) {
 
   val ledger = new CommitLedger(sinks.map(_.sinkId))
+
+  /** Shutdown path: durably append any interval-buffered DLQ rows
+    * (the reference flushes the DLQ producer on pipeline stop,
+    * `pipeline/runner.py:332`).
+    */
+  def flushDlq(): Unit = dlq.flush()
 
   def start(trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val stream0 = ChangeEnvelope.readStream(spark, sourceDir, maxFilesPerTrigger)
@@ -203,13 +265,27 @@ final class ChangePipeline(
       if (maxOffsets.isEmpty) return
 
       sinks.foreach { sink =>
-        try {
-          sink.write(b, batchId)
-          maxOffsets.foreach { case (tp, off) => ledger.recordFlush(sink.sinkId, tp, off) }
-        } catch {
-          case e: Exception => dlq.route(b, sink.sinkId, e)
-          // flushed offsets deliberately NOT advanced on failure
-          // (`test_iceberg_sink.py:373-395` semantics)
+        // a batch gets 1 + dlqMaxRetries write attempts before routing
+        // to the DLQ (`DLQConfig.max_retries`, config/models.py:212);
+        // sinks stay responsible for their own finer-grained retry
+        // (e.g. the webhook per-request backoff)
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try {
+            sink.write(b, batchId)
+            maxOffsets.foreach { case (tp, off) => ledger.recordFlush(sink.sinkId, tp, off) }
+            done = true
+          } catch {
+            case e: Exception =>
+              attempt += 1
+              if (attempt > dlqMaxRetries) {
+                dlq.route(b, sink.sinkId, e)
+                done = true
+                // flushed offsets deliberately NOT advanced on failure
+                // (`test_iceberg_sink.py:373-395` semantics)
+              }
+          }
         }
       }
       val commits = ledger.commitableNextToFetch()

@@ -37,11 +37,17 @@ object PipelineRunner {
     require(sinks.nonEmpty, s"pipeline ${cfg.pipelineId} has no enabled sinks")
     val dlqTable = new LakehouseTable(spark, cfg.dlq.tablePath.getOrElse(
       java.nio.file.Files.createTempDirectory(s"${cfg.pipelineId}-dlq").toString))
+    val dlqWriter = new DlqWriter(dlqTable,
+      enabled = cfg.dlq.enabled,
+      topicSuffix = cfg.dlq.topicSuffix,
+      includeHeaders = cfg.dlq.includeHeaders,
+      flushIntervalSeconds = cfg.dlq.flushIntervalSeconds)
     Built(
-      new ChangePipeline(spark, cfg.sourceDir, sinks, new DlqWriter(dlqTable),
+      new ChangePipeline(spark, cfg.sourceDir, sinks, dlqWriter,
         cfg.checkpointDir,
         includeTopics = cfg.includeTopics,
-        maxFilesPerTrigger = cfg.maxFilesPerTrigger),
+        maxFilesPerTrigger = cfg.maxFilesPerTrigger,
+        dlqMaxRetries = cfg.dlq.maxRetries),
       parts.flatMap(_._2))
   }
 
@@ -69,7 +75,10 @@ object PipelineRunner {
       val w = s.webhook.get
       (new WebhookSink(s.sinkId, w.url,
         RetryPolicy(s.retry.maxAttempts, s.retry.initialDelayMs, s.retry.maxDelayMs),
-        Duration.ofSeconds(10)), None)
+        Duration.ofMillis((w.timeoutSeconds * 1000).toLong),
+        method = w.method,
+        headers = w.headers,
+        authToken = w.authToken), None)
     case "postgres" =>
       val p = s.postgres.get
       // table path derives from the schema-qualified target name
@@ -87,11 +96,16 @@ object PipelineRunner {
   final case class Running(
       query: StreamingQuery,
       maintenance: Seq[graft.lakehouse.MaintenanceScheduler],
-      monitor: Option[SchemaRegistryMonitor]) {
+      monitor: Option[SchemaRegistryMonitor],
+      pipeline: Option[ChangePipeline] = None) {
     def stop(): Unit = {
       monitor.foreach(_.stop())
       maintenance.foreach(_.stop())
       query.stop()
+      // interval-buffered DLQ rows must not die with the process
+      // (the reference flushes its DLQ producer on shutdown,
+      // `pipeline/runner.py:332`)
+      pipeline.foreach(_.flushDlq())
     }
   }
 
@@ -115,7 +129,7 @@ object PipelineRunner {
       m.start()
       m
     }
-    Running(query, built.maintenance, monitor)
+    Running(query, built.maintenance, monitor, Some(built.pipeline))
   }
 
   /** Load a YAML config, wire everything, start everything. */

@@ -40,24 +40,37 @@ final case class RetryPolicy(
   }
 }
 
-/** Webhook sink: one HTTP POST per event with the reference's payload
+/** Webhook sink: one HTTP request per event with the reference's payload
   * shape `{key, value, metadata: {topic, partition, offset}}`
   * (`sinks/webhook.py:68-76`), per-event (unbuffered) semantics, retry
-  * with exponential backoff + jitter. POSTs run on the EXECUTORS via
+  * with exponential backoff + jitter. Requests run on the EXECUTORS via
   * foreachPartition — the driver never sees event payloads, so the
   * operator scales horizontally with partitions (each task holds one
   * HttpClient, reference's connection-per-sink model).
+  *
+  * Auth + shaping follow `sinks/webhook.py:45-51` / `config/models.py:
+  * 238-243`: configured `headers` are sent on every request,
+  * `authToken` adds `Authorization: Bearer <token>`, and `method`
+  * (default POST) selects the HTTP verb.
   */
 final class WebhookSink(
     val sinkId: String,
     url: String,
     retry: RetryPolicy = RetryPolicy(),
-    timeout: Duration = Duration.ofSeconds(10)) extends Sink with Serializable {
+    timeout: Duration = Duration.ofSeconds(10),
+    method: String = "POST",
+    headers: Map[String, String] = Map.empty,
+    authToken: Option[String] = None) extends Sink with Serializable {
 
   override def write(batch: DataFrame, batchId: Long): Unit = {
     val targetUrl = url
     val policy = retry
     val tmo = timeout
+    val verb = method.toUpperCase
+    // auth header resolved once; Content-Type is overridable by config
+    val allHeaders: Seq[(String, String)] =
+      (Map("Content-Type" -> "application/json") ++ headers ++
+        authToken.map(t => "Authorization" -> s"Bearer $t")).toSeq
     batch.select(
         to_json(struct(
           col("key"), col("after").as("value"),
@@ -66,11 +79,11 @@ final class WebhookSink(
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val client = HttpClient.newBuilder().connectTimeout(tmo).build()
         rows.foreach { r =>
-          val req = HttpRequest.newBuilder(URI.create(targetUrl))
+          val b = HttpRequest.newBuilder(URI.create(targetUrl))
             .timeout(tmo)
-            .header("Content-Type", "application/json")
-            .POST(HttpRequest.BodyPublishers.ofString(r.getString(0)))
-            .build()
+            .method(verb, HttpRequest.BodyPublishers.ofString(r.getString(0)))
+          allHeaders.foreach { case (k, v) => b.header(k, v) }
+          val req = b.build()
           policy.run { () =>
             val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
             if (resp.statusCode() >= 400)

@@ -36,6 +36,59 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(cfg.includeTopics === Seq("cdc.public.users"))
   }
 
+  test("webhook sub-config parses method/headers/timeout/auth_token " +
+      "(config/models.py:238-243) with POST/empty defaults") {
+    val yaml =
+      """pipeline_id: p1
+        |source: { database: appdb }
+        |source_dir: /tmp/src
+        |checkpoint_dir: /tmp/chk
+        |sinks:
+        |  - sink_id: wh
+        |    sink_type: webhook
+        |    webhook:
+        |      url: https://example.com/hook
+        |      method: put
+        |      timeout_seconds: 2.5
+        |      auth_token: ${HOOK_TOKEN}
+        |      headers:
+        |        X-Custom: graft
+        |        Content-Type: application/cdc+json
+        |""".stripMargin
+    val w = PipelineConfigLoader.parse(yaml,
+      env = Map("HOOK_TOKEN" -> "s3cr3t")).sinks.head.webhook.get
+    assert(w.url === "https://example.com/hook")
+    assert(w.method === "put") // verb normalized at send time, not parse
+    assert(w.timeoutSeconds === 2.5)
+    assert(w.authToken === Some("s3cr3t"))
+    assert(w.headers === Map("X-Custom" -> "graft",
+      "Content-Type" -> "application/cdc+json"))
+    // defaults when omitted
+    val d = PipelineConfigLoader.parse(
+      yaml.linesIterator.takeWhile(!_.trim.startsWith("method:")).mkString("\n"))
+      .sinks.head.webhook.get
+    assert(d.method === "POST" && d.headers === Map.empty &&
+      d.timeoutSeconds === 30.0 && d.authToken === None)
+  }
+
+  test("dlq knobs parse with the reference defaults (config/models.py:207-214)") {
+    val cfg = PipelineConfigLoader.parse(minimal)
+    assert(cfg.dlq.maxRetries === 3)
+    assert(cfg.dlq.includeHeaders)
+    assert(cfg.dlq.flushIntervalSeconds === 0.0)
+    val tuned = PipelineConfigLoader.parse(minimal +
+      """dlq:
+        |  topic_suffix: deadletters
+        |  max_retries: 0
+        |  include_headers: false
+        |  flush_interval_seconds: 1.5
+        |""".stripMargin)
+    assert(tuned.dlq.topicSuffix === "deadletters")
+    assert(tuned.dlq.maxRetries === 0)
+    assert(!tuned.dlq.includeHeaders)
+    assert(tuned.dlq.flushIntervalSeconds === 1.5)
+  }
+
   test("env interpolation resolves ${VAR} and ${VAR:-default}") {
     val cfg = PipelineConfigLoader.parse(
       minimal.replace("appdb", "${DB_NAME:-fallback}")

@@ -17,8 +17,18 @@ import graft.lakehouse.LakehouseTable
 class WebhookSinkSpec extends SparkSpec {
   import java.nio.file.{Files, Paths}
 
-  private def startServer(failFirst: Int = 0): (HttpServer, ConcurrentLinkedQueue[String], AtomicInteger) = {
+  private def startServer(failFirst: Int = 0): (HttpServer, ConcurrentLinkedQueue[String], AtomicInteger) =
+    startCapturingServer(failFirst) match {
+      case (s, bodies, _, calls) => (s, bodies, calls)
+    }
+
+  /** Like [[startServer]] but also records `METHOD header1=v1 ...` per
+    * request, for the auth/custom-header/verb assertions.
+    */
+  private def startCapturingServer(failFirst: Int = 0)
+      : (HttpServer, ConcurrentLinkedQueue[String], ConcurrentLinkedQueue[String], AtomicInteger) = {
     val received = new ConcurrentLinkedQueue[String]()
+    val meta = new ConcurrentLinkedQueue[String]()
     val calls = new AtomicInteger(0)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/hook", { exchange =>
@@ -28,12 +38,16 @@ class WebhookSinkSpec extends SparkSpec {
         exchange.sendResponseHeaders(503, -1)
       } else {
         received.add(body)
+        val h = exchange.getRequestHeaders
+        meta.add(exchange.getRequestMethod + " " +
+          Seq("Authorization", "X-Custom", "Content-Type")
+            .flatMap(k => Option(h.getFirst(k)).map(v => s"$k=$v")).mkString(" "))
         exchange.sendResponseHeaders(200, 0)
       }
       exchange.close()
     })
     server.start()
-    (server, received, calls)
+    (server, received, meta, calls)
   }
 
   private def envelopes(dir: String): Unit = {
@@ -90,6 +104,30 @@ class WebhookSinkSpec extends SparkSpec {
       pipe.start().awaitTermination(60000)
       assert(dlqTable.read().count() === 2) // both events captured
       assert(pipe.ledger.committedSoFar === Map.empty) // commit suppressed
+    } finally server.stop(0)
+  }
+
+  test("sends configured headers, bearer auth token, and HTTP method " +
+      "(sinks/webhook.py:45-51, config/models.py:238-243)") {
+    val (server, received, meta, _) = startCapturingServer()
+    try {
+      val port = server.getAddress.getPort
+      val src = tmpDir("wh4-src"); envelopes(src)
+      val pipe = new ChangePipeline(spark, src,
+        Seq(new WebhookSink("wh", s"http://127.0.0.1:$port/hook",
+          method = "PUT",
+          headers = Map("X-Custom" -> "graft", "Content-Type" -> "application/cdc+json"),
+          authToken = Some("s3cr3t"))),
+        new DlqWriter(new LakehouseTable(spark, tmpDir("wh4-dlq"))), tmpDir("wh4-ckpt"))
+      pipe.start().awaitTermination(60000)
+      assert(received.size === 2)
+      meta.forEach { m =>
+        assert(m.startsWith("PUT "), s"configured method must be used: $m")
+        assert(m.contains("Authorization=Bearer s3cr3t"), m)
+        assert(m.contains("X-Custom=graft"), m)
+        // configured Content-Type overrides the sink default
+        assert(m.contains("Content-Type=application/cdc+json"), m)
+      }
     } finally server.stop(0)
   }
 
