@@ -1,0 +1,179 @@
+package graft
+
+import java.io.PrintStream
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.config.{PipelineCfg, PipelineConfigLoader}
+import graft.streaming._
+
+/** Operator-facing pipeline CLI — the reference's `cdc` command surface
+  * (`cli.py:42-192`), re-expressed over the Spark engine:
+  *
+  *   - `validate <pipeline.yaml>`: load + report config errors
+  *     (`cli.py:42-72`)
+  *   - `deploy <pipeline.yaml> [--connect-url U]`: provision transport
+  *     channels and register the Debezium connector with
+  *     rollback-on-FAILED (`cli.py:75-97`)
+  *   - `undeploy <pipeline.yaml> [--connect-url U]`: teardown
+  *     (`cli.py:100-116`)
+  *   - `health <pipeline.yaml> [--connect-url U]`: component health
+  *     table, exit 1 when any probe fails (`cli.py:119-139`)
+  *   - `consume <pipeline.yaml>`: debug console consumer printing
+  *     topic/partition/offset/key/value per event (`cli.py:142-166`)
+  *   - `run <pipeline.yaml> [--follow]`: full pipeline; AvailableNow
+  *     drain by default, `--follow` keeps a 1 s micro-batch trigger
+  *     running (`cli.py:169-192`)
+  *
+  * Lakehouse table operations live in [[LakehouseCli]] (the reference's
+  * `cdc lakehouse` sub-app).
+  *
+  * `run(args, out, …)` returns the exit code and takes the output
+  * stream + optional SparkSession so specs can drive every command
+  * in-process against live stubs; `main` wires the real ones.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = sys.exit(run(args.toIndexedSeq, Console.out))
+
+  private def usage(out: PrintStream): Int = {
+    out.println("usage: graft.Cli <validate|deploy|undeploy|health|consume|run> <pipeline.yaml> " +
+      "[--connect-url URL] [--follow]")
+    2
+  }
+
+  def run(args: Seq[String], out: PrintStream,
+      sparkOpt: Option[SparkSession] = None): Int = {
+    if (args.isEmpty) return usage(out)
+    val (flags, positional) = args.tail.partition(_.startsWith("--"))
+    def flag(name: String): Option[String] =
+      flags.collectFirst { case f if f.startsWith(s"--$name=") => f.stripPrefix(s"--$name=") }
+    val connectUrl = flag("connect-url")
+    val follow = flags.contains("--follow")
+
+    def cfgOr(fail: => Int)(body: PipelineCfg => Int): Int =
+      positional.headOption match {
+        case None => usage(out)
+        case Some(path) =>
+          try body(PipelineConfigLoader.load(path))
+          catch {
+            case e: Exception =>
+              out.println(s"Validation error: ${e.getMessage}")
+              fail
+          }
+      }
+
+    // one lazily-created session for the commands that need one
+    lazy val spark = sparkOpt.getOrElse {
+      val s = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+        .appName("graft-cli")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+
+    args.head match {
+      case "validate" => cfgOr(1) { cfg =>
+        out.println(s"Valid — pipeline_id=${cfg.pipelineId}")
+        out.println(s"  source: ${cfg.source.sourceType} -> ${cfg.source.database}")
+        out.println(s"  tables: ${cfg.source.tables.mkString(", ")}")
+        if (cfg.sinks.isEmpty) out.println("  sinks:  (none)")
+        else {
+          out.println(s"  sinks:  ${cfg.sinks.size}")
+          cfg.sinks.foreach { s =>
+            val status = if (s.enabled) "enabled" else "disabled"
+            out.println(s"    - ${s.sinkId} (${s.sinkType}) [$status]")
+          }
+        }
+        0
+      }
+
+      case "deploy" => cfgOr(1) { cfg =>
+        // transport channels first (file-transport analogue of topic
+        // creation), then the connector — mirrors provision() which
+        // creates topics before registering (`sources/factory.py`)
+        val created = new Provisioner(cfg.sourceDir)
+          .provision(new Provisioner(cfg.sourceDir)
+            .topicsFor(cfg.topicPrefix, cfg.source.tables))
+        if (created.nonEmpty) out.println(s"  channels created: ${created.size}")
+        connectUrl match {
+          case Some(u) =>
+            val client = new DebeziumClient(u)
+            val name = ConnectorConfig.connectorName(cfg.topicPrefix, cfg.pipelineId)
+            val outcome = client.deploy(name,
+              ConnectorConfig.build(cfg.pipelineId, cfg.topicPrefix, cfg.source))
+            out.println(s"Provisioned: $name ($outcome)")
+          case None =>
+            out.println(s"Provisioned: ${cfg.pipelineId} (file transport only; " +
+              "no --connect-url)")
+        }
+        0
+      }
+
+      case "undeploy" => cfgOr(1) { cfg =>
+        connectUrl.foreach { u =>
+          val client = new DebeziumClient(u)
+          val name = ConnectorConfig.connectorName(cfg.topicPrefix, cfg.pipelineId)
+          if (client.listConnectors().contains(name)) client.deleteConnector(name)
+        }
+        out.println(s"Teardown complete: ${cfg.pipelineId}")
+        0
+      }
+
+      case "health" => cfgOr(1) { cfg =>
+        val report = PlatformHealth.checkPlatform(cfg, connectUrl)
+        report.components.foreach { c =>
+          out.println(f"  ${c.name}%-30s ${c.status.value}%-10s ${c.detail}")
+        }
+        if (report.healthy) { out.println("healthy"); 0 }
+        else { out.println("UNHEALTHY"); 1 }
+      }
+
+      case "consume" => cfgOr(1) { cfg =>
+        // debug console consumer (`cli.py:142-166`): drain available
+        // events, print one block per event in transport order. The
+        // driver-side collect is the point — this is the human-eyeball
+        // path, never a production sink.
+        out.println("Consuming (file transport)")
+        val stream0 = ChangeEnvelope.readStream(spark, cfg.sourceDir, cfg.maxFilesPerTrigger)
+        val stream = if (cfg.includeTopics.isEmpty) stream0
+          else stream0.filter(col("topic").isin(cfg.includeTopics: _*))
+        val q = stream.writeStream
+          .option("checkpointLocation", cfg.checkpointDir)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.orderBy(col("topic"), col("partition"), col("offset"))
+              .collect().foreach { r =>
+                out.println(s"${r.getAs[String]("topic")} " +
+                  s"p=${r.getAs[Int]("partition")} o=${r.getAs[Long]("offset")}")
+                Option(r.getAs[String]("key")).foreach(k => out.println(s"  key:   $k"))
+                Option(r.getAs[String]("after")).foreach(v => out.println(s"  value: $v"))
+              }
+          }
+          .start()
+        q.awaitTermination()
+        0
+      }
+
+      case "run" => cfgOr(1) { cfg =>
+        out.println(s"Starting pipeline: ${cfg.pipelineId}")
+        cfg.sinks.filter(_.enabled).foreach(s =>
+          out.println(s"  sink: ${s.sinkId} (${s.sinkType})"))
+        cfg.registry.foreach(r => out.println(s"  registry monitor: ${r.url} " +
+          s"(stop_on_incompatible=${r.stopOnIncompatible})"))
+        val trigger = if (follow) Trigger.ProcessingTime("1 second")
+          else Trigger.AvailableNow()
+        val running = PipelineRunner.start(spark, cfg, trigger)
+        try { running.query.awaitTermination(); 0 }
+        finally running.stop()
+      }
+
+      case _ => usage(out)
+    }
+  }
+}

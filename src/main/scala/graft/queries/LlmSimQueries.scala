@@ -705,6 +705,11 @@ object LlmSimQueries {
     // q67 must produce the SAME answer as the exact all-pairs scan —
     // the LSH index is a pruning strategy, not an approximation of the
     // output contract — so it is gated against the identical oracle.
+    // FIXTURE-DEPENDENT: sign-LSH has a ~8e-5 per-pair chance that a
+    // true >=0.99 pair escapes all 8 tables; on the current corpora
+    // recall is complete (proven per-corpus by NearDupLshSpec's
+    // fixture guard). If that guard ever fails after a data refresh,
+    // this row reporting a mismatch is a recall miss, not a bug.
     "q67_neardup_lsh" -> neardupAllPairsSql,
     "q51_simhash" -> """
       WITH tok AS (

@@ -86,14 +86,19 @@ final class DebeziumClient(
         s"Failed to register connector $name: ${resp.statusCode()} ${resp.body()}")
   }
 
-  /** The currently-deployed config, or None for an unknown connector. */
+  /** The currently-deployed config, or None for an unknown connector.
+    * Kafka Connect injects a `name` key into this response that the
+    * caller never submitted — strip it, or the [[deploy]] no-op
+    * equality check would PUT on every identical redeploy.
+    */
   def connectorConfig(name: String): Option[Map[String, String]] = {
     val resp = send(req(s"/connectors/$name/config").GET().build())
     if (resp.statusCode() == 404) None
     else if (resp.statusCode() / 100 != 2)
       throw new ConnectError(s"config fetch $name: ${resp.statusCode()}")
     else Some(JsonMethods.parse(resp.body()) match {
-      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case JObject(fields) =>
+        fields.collect { case (k, JString(v)) if k != "name" => k -> v }.toMap
       case _ => Map.empty
     })
   }

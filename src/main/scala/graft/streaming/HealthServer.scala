@@ -49,9 +49,20 @@ final class HealthServer(monitor: PipelineMonitor, port: Int = 0,
 
   private def toJson(v: Any): String = v match {
     case m: Map[_, _] =>
-      m.map { case (k, x) => "\"" + k.toString + "\":" + toJson(x) }
+      m.map { case (k, x) => toJson(k.toString) + ":" + toJson(x) }
         .mkString("{", ",", "}")
-    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full string escape incl. control chars: probe details can carry a
+    // multi-line exception toString — a raw \n would make the whole
+    // health payload invalid JSON
+    case s: String => "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     case null => "null"
     case other => other.toString // numbers / booleans
   }

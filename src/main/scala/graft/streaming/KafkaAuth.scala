@@ -28,9 +28,12 @@ object KafkaAuth {
       saslUsername: Option[String] = None,
       saslPassword: Option[String] = None,
       sslCaLocation: Option[String] = None,
+      /** Client cert PEM. Alone: a COMBINED cert+key PEM the keystore
+        * points at. With [[sslKeyLocation]]: both files are read and
+        * inlined (the JVM client has no separate-key-FILE config).
+        */
       sslCertificateLocation: Option[String] = None,
       sslKeyLocation: Option[String] = None,
-      awsRegion: Option[String] = None,
       gcpProjectId: Option[String] = None)
 
   /** JAAS string values are quoted: embedded `\` and `"` must escape or
@@ -38,6 +41,13 @@ object KafkaAuth {
     */
   private[streaming] def jaasEscape(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def readPem(path: String): String =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"cannot read PEM material at $path: ${e.getMessage}", e)
+    }
 
   private def jaas(module: String, cfg: AuthCfg): String = {
     val u = jaasEscape(cfg.saslUsername.getOrElse(""))
@@ -50,14 +60,30 @@ object KafkaAuth {
     */
   def properties(cfg: AuthCfg): Map[String, String] = {
     if (cfg.mechanism == NoAuth) return Map.empty
+    // JVM-client key space ONLY: librdkafka's `ssl.key.location` is
+    // unknown to the Java client (which merely WARNS on unknown keys,
+    // so an mTLS config would silently never load the private key and
+    // the handshake would fail). A separate key file must be inlined
+    // via ssl.keystore.key + ssl.keystore.certificate.chain; a lone
+    // cert location is treated as a combined cert+key PEM keystore.
+    val keystore: Map[String, String] =
+      (cfg.sslCertificateLocation, cfg.sslKeyLocation) match {
+        case (Some(cert), Some(key)) => Map(
+          "ssl.keystore.type" -> "PEM",
+          "ssl.keystore.certificate.chain" -> readPem(cert),
+          "ssl.keystore.key" -> readPem(key))
+        case (Some(cert), None) => Map(
+          "ssl.keystore.type" -> "PEM",
+          "ssl.keystore.location" -> cert)
+        case (None, Some(key)) => throw new IllegalArgumentException(
+          "ssl_key_location requires ssl_certificate_location (the JVM " +
+            "client inlines the pair as a PEM keystore)")
+        case (None, None) => Map.empty
+      }
     val ssl =
       cfg.sslCaLocation.map(l => Map(
         "ssl.truststore.type" -> "PEM",
-        "ssl.truststore.location" -> l)).getOrElse(Map.empty) ++
-      cfg.sslCertificateLocation.map(l => Map(
-        "ssl.keystore.type" -> "PEM",
-        "ssl.keystore.location" -> l)).getOrElse(Map.empty) ++
-      cfg.sslKeyLocation.map(l => Map("ssl.key.location" -> l)).getOrElse(Map.empty)
+        "ssl.truststore.location" -> l)).getOrElse(Map.empty) ++ keystore
     val base = Map("security.protocol" -> cfg.securityProtocol) ++ ssl
     val mech: Map[String, String] = cfg.mechanism match {
       case NoAuth => Map.empty
@@ -73,13 +99,14 @@ object KafkaAuth {
         "sasl.mechanism" -> "SCRAM-SHA-512",
         "sasl.jaas.config" ->
           jaas("org.apache.kafka.common.security.scram.ScramLoginModule", cfg))
+      // no aws.region key: it is not a JVM client config — the MSK IAM
+      // callback handler derives the region from the bootstrap endpoint
       case SaslIam => Map(
         "sasl.mechanism" -> "AWS_MSK_IAM",
         "sasl.jaas.config" ->
           "software.amazon.msk.auth.iam.IAMLoginModule required;",
         "sasl.client.callback.handler.class" ->
-          "software.amazon.msk.auth.iam.IAMClientCallbackHandler") ++
-        cfg.awsRegion.map(r => Map("aws.region" -> r)).getOrElse(Map.empty)
+          "software.amazon.msk.auth.iam.IAMClientCallbackHandler")
       case SaslOauthBearer => Map(
         "sasl.mechanism" -> "OAUTHBEARER",
         "sasl.jaas.config" ->

@@ -137,28 +137,3 @@ object PipelineRunner {
     start(spark, PipelineConfigLoader.load(configPath))
 }
 
-/** `graft.streaming.PipelineCli run pipeline.yaml` — the config-driven
-  * entry point (the reference's `cdc run`, `cli.py:169-192`).
-  */
-object PipelineCli {
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 2 && args(0) == "run",
-      "usage: PipelineCli run <pipeline.yaml>")
-    val cfg = PipelineConfigLoader.load(args(1))
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .appName(s"graft-pipeline-${cfg.pipelineId}")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    println(s"Starting pipeline: ${cfg.pipelineId}")
-    cfg.sinks.filter(_.enabled).foreach(s => println(s"  sink: ${s.sinkId} (${s.sinkType})"))
-    cfg.registry.foreach(r => println(s"  registry monitor: ${r.url} " +
-      s"(stop_on_incompatible=${r.stopOnIncompatible})"))
-    val running = PipelineRunner.start(spark, cfg)
-    try running.query.awaitTermination()
-    finally running.stop()
-  }
-}

@@ -1,0 +1,212 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** The `graft.Cli` command surface against live stubs (`cli.py:42-192`
+  * semantics): validate reporting, deploy/undeploy against an in-memory
+  * Connect REST stub (with the `name`-injection shape real Connect
+  * uses), health probing, the console consumer, and a full config-driven
+  * run.
+  */
+class CliSpec extends SparkSpec {
+
+  private def cli(args: String*): (Int, String) = {
+    val buf = new ByteArrayOutputStream()
+    val code = Cli.run(args.toSeq, new PrintStream(buf, true, "UTF-8"), Some(spark))
+    (code, buf.toString("UTF-8"))
+  }
+
+  private def writeCfg(dir: String, body: String): String = {
+    val p = Paths.get(dir, "pipeline.yaml")
+    Files.writeString(p, body)
+    p.toString
+  }
+
+  private def baseCfg(src: String, ckpt: String, lake: String): String =
+    s"""pipeline_id: p1
+       |source:
+       |  database: appdb
+       |  tables: ["public.users"]
+       |source_dir: $src
+       |checkpoint_dir: $ckpt
+       |sinks:
+       |  - sink_id: lh
+       |    sink_type: lakehouse
+       |    lakehouse:
+       |      table_path: $lake
+       |""".stripMargin
+
+  test("validate: reports pipeline summary and exits 0") {
+    val d = tmpDir("cli-v")
+    val cfg = writeCfg(d, baseCfg(tmpDir("cli-v-src"), tmpDir("cli-v-ck"), tmpDir("cli-v-lh")))
+    val (code, out) = cli("validate", cfg)
+    assert(code === 0, out)
+    assert(out.contains("Valid — pipeline_id=p1"))
+    assert(out.contains("tables: public.users"))
+    assert(out.contains("- lh (lakehouse) [enabled]"))
+  }
+
+  test("validate: config errors exit 1 with the loader's message") {
+    val d = tmpDir("cli-vb")
+    val cfg = writeCfg(d, baseCfg(tmpDir("s"), tmpDir("c"), tmpDir("l"))
+      .replace("public.users", "users"))
+    val (code, out) = cli("validate", cfg)
+    assert(code === 1)
+    assert(out.contains("Validation error"))
+    assert(out.contains("must be schema- or db-qualified"))
+    val (code2, out2) = cli("validate", s"$d/nope.yaml")
+    assert(code2 === 1 && out2.contains("Validation error"))
+  }
+
+  test("unknown / missing command prints usage and exits 2") {
+    assert(cli()._1 === 2)
+    assert(cli("frobnicate", "x.yaml")._1 === 2)
+    assert(cli("validate")._1 === 2)
+  }
+
+  // ---- minimal Connect REST stub (create/status/list/delete), with
+  //      real Connect's `name` injection on the config GET ----
+  private final class ConnectStub {
+    val connectors = scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+    @volatile var putCount = 0
+
+    private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length)
+      if (b.nonEmpty) ex.getResponseBody.write(b)
+      ex.close()
+    }
+    private def js(c: Map[String, String]): String =
+      c.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+
+    val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { ex =>
+      val path = ex.getRequestURI.getPath
+      (ex.getRequestMethod, path.split("/").filter(_.nonEmpty).toList) match {
+        case ("GET", Nil) => respond(ex, 200, """{"version":"3.6.0"}""")
+        case ("GET", List("connectors")) =>
+          respond(ex, 200, connectors.keys.toSeq.sorted.map(n => s""""$n"""")
+            .mkString("[", ",", "]"))
+        case ("GET", List("connectors", n, "config")) =>
+          connectors.get(n) match {
+            case Some(c) => respond(ex, 200, js(c + ("name" -> n)))
+            case None => respond(ex, 404, "")
+          }
+        case ("PUT", List("connectors", n, "config")) =>
+          putCount += 1
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val parsed = org.json4s.jackson.JsonMethods.parse(body) match {
+            case org.json4s.JObject(fs) =>
+              fs.collect { case (k, org.json4s.JString(v)) => k -> v }.toMap
+            case _ => Map.empty[String, String]
+          }
+          val existed = connectors.contains(n)
+          connectors(n) = parsed
+          respond(ex, if (existed) 200 else 201, js(parsed))
+        case ("GET", List("connectors", n, "status")) =>
+          if (!connectors.contains(n)) respond(ex, 404, "")
+          else respond(ex, 200,
+            s"""{"name":"$n","connector":{"state":"RUNNING"},"tasks":[]}""")
+        case ("DELETE", List("connectors", n)) =>
+          if (connectors.remove(n).isDefined) respond(ex, 204, "") else respond(ex, 404, "")
+        case (m, p) => respond(ex, 400, s"unhandled $m $p")
+      }
+    })
+    server.start()
+    def url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("deploy: provisions channels + registers the connector; identical redeploy is a no-op PUT-wise") {
+    val stub = new ConnectStub
+    try {
+      val src = tmpDir("cli-d-src")
+      val cfg = writeCfg(tmpDir("cli-d"), baseCfg(src, tmpDir("cli-d-ck"), tmpDir("cli-d-lh")))
+      val (code, out) = cli("deploy", cfg, s"--connect-url=${stub.url}")
+      assert(code === 0, out)
+      assert(out.contains("Provisioned: cdc-p1 (Created)"), out)
+      assert(Files.isDirectory(Paths.get(src, "cdc.public.users")))
+      assert(Files.isDirectory(Paths.get(src, "cdc.public.users.dlq")))
+      assert(stub.connectors.contains("cdc-p1"))
+      assert(stub.putCount === 1)
+
+      // redeploy with the unchanged config: the stub injects `name`
+      // into the config GET like real Connect — the client must strip
+      // it and recognize the no-op instead of PUTting again
+      val (code2, out2) = cli("deploy", cfg, s"--connect-url=${stub.url}")
+      assert(code2 === 0)
+      assert(out2.contains("Provisioned: cdc-p1 (Unchanged)"), out2)
+      assert(stub.putCount === 1, "identical redeploy must not PUT")
+    } finally stub.stop()
+  }
+
+  test("undeploy: removes the connector and reports teardown") {
+    val stub = new ConnectStub
+    try {
+      val cfg = writeCfg(tmpDir("cli-u"),
+        baseCfg(tmpDir("cli-u-src"), tmpDir("cli-u-ck"), tmpDir("cli-u-lh")))
+      cli("deploy", cfg, s"--connect-url=${stub.url}")
+      assert(stub.connectors.contains("cdc-p1"))
+      val (code, out) = cli("undeploy", cfg, s"--connect-url=${stub.url}")
+      assert(code === 0)
+      assert(out.contains("Teardown complete: p1"))
+      assert(!stub.connectors.contains("cdc-p1"))
+    } finally stub.stop()
+  }
+
+  test("health: all probes green exits 0; a failing probe exits 1") {
+    val cfg = writeCfg(tmpDir("cli-h"),
+      baseCfg(tmpDir("cli-h-src"), tmpDir("cli-h-ck"), tmpDir("cli-h-lh")))
+    val (code, out) = cli("health", cfg)
+    assert(code === 0, out)
+    assert(out.contains("healthy"))
+    assert(out.contains("source-dir") && out.contains("checkpoint-dir"))
+
+    // unreachable registry → unhealthy report, exit 1
+    val bad = writeCfg(tmpDir("cli-hb"),
+      baseCfg(tmpDir("cli-hb-src"), tmpDir("cli-hb-ck"), tmpDir("cli-hb-lh")) +
+        "registry:\n  url: http://127.0.0.1:1/\n")
+    val (code2, out2) = cli("health", bad)
+    assert(code2 === 1)
+    assert(out2.contains("UNHEALTHY"))
+  }
+
+  test("consume: prints each event's coordinates, key and value in order") {
+    val src = tmpDir("cli-c-src")
+    Files.writeString(Paths.get(src, "b.json"), Seq(
+      """{"topic":"cdc.public.users","partition":0,"offset":0,"op":"c","ts_ms":1,"key":"{\"id\":1}","before":null,"after":"{\"id\":1,\"n\":\"a\"}"}""",
+      """{"topic":"cdc.public.users","partition":0,"offset":1,"op":"c","ts_ms":2,"key":"{\"id\":2}","before":null,"after":"{\"id\":2,\"n\":\"b\"}"}"""
+    ).mkString("\n"))
+    val cfg = writeCfg(tmpDir("cli-c"),
+      baseCfg(src, tmpDir("cli-c-ck"), tmpDir("cli-c-lh")))
+    val (code, out) = cli("consume", cfg)
+    assert(code === 0, out)
+    val i0 = out.indexOf("cdc.public.users p=0 o=0")
+    val i1 = out.indexOf("cdc.public.users p=0 o=1")
+    assert(i0 >= 0 && i1 > i0, out)
+    assert(out.contains("""key:   {"id":1}"""))
+    assert(out.contains("""value: {"id":2,"n":"b"}"""))
+  }
+
+  test("run: drives the configured pipeline end-to-end (events land in the lakehouse sink)") {
+    val src = tmpDir("cli-r-src")
+    val lake = tmpDir("cli-r-lh")
+    Files.writeString(Paths.get(src, "b.json"), Seq(
+      """{"topic":"cdc.public.users","partition":0,"offset":0,"op":"c","ts_ms":1,"key":"{\"id\":1}","before":null,"after":"{\"id\":1,\"n\":\"a\"}"}""",
+      """{"topic":"cdc.public.users","partition":0,"offset":1,"op":"c","ts_ms":2,"key":"{\"id\":2}","before":null,"after":"{\"id\":2,\"n\":\"b\"}"}"""
+    ).mkString("\n"))
+    val cfg = writeCfg(tmpDir("cli-r"), baseCfg(src, tmpDir("cli-r-ck"), lake))
+    val (code, out) = cli("run", cfg)
+    assert(code === 0, out)
+    assert(out.contains("Starting pipeline: p1"))
+    assert(out.contains("sink: lh (lakehouse)"))
+    val rows = new graft.lakehouse.LakehouseTable(spark, lake).read()
+    assert(rows.count() === 2)
+    assert(rows.columns.contains("_cdc_offset"))
+  }
+}

@@ -73,4 +73,36 @@ class NearDupLshSpec extends SparkSpec {
     assert(cands < n * (n - 1) / 2 / 4,
       s"candidates=$cands vs all-pairs=${n * (n - 1) / 2}")
   }
+
+  test("fixture guard: every >=0.99 pair in each gate corpus collides in >=1 table") {
+    // q67 is hash-gated against the EXACT all-pairs oracle while sign-
+    // LSH candidate generation has a ~8e-5 per-pair miss probability:
+    // green today because recall over the fixtures is complete. This
+    // guard re-proves that premise per corpus, so a future test-data
+    // refresh where a true pair escapes all tables shows up HERE as a
+    // fixture-recall failure, not as a mystery oracle mismatch.
+    graft.functions.GraftFunctions.register(spark)
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val e = Tables.load(spark, s"/root/testdata/$sf", "embeddings")
+      val withNrm = e.withColumn("nrm", sqrt(expr("dotp(embedding, embedding)")))
+      val truePairs = withNrm.select(col("vec_id").as("id_a"),
+          col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+        .join(withNrm.select(col("vec_id").as("id_b"),
+          col("embedding").as("emb_b"), col("nrm").as("nrm_b")),
+          col("id_a") < col("id_b"))
+        .withColumn("cosine", Det.dround(
+          expr("dotp(emb_a, emb_b)") / (col("nrm_a") * col("nrm_b")), 6))
+        .filter(col("cosine") >= 0.99)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      if (truePairs.nonEmpty) {
+        val cands = LlmSimQueries.neardupCandidates(e)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val missed = truePairs -- cands
+        assert(missed.isEmpty,
+          s"$sf: true near-dup pairs escape every LSH table: $missed — " +
+            "q67's exact-oracle gate would fail with no code defect")
+      }
+    }
+  }
 }

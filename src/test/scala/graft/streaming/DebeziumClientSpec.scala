@@ -47,7 +47,10 @@ class DebeziumClientSpec extends AnyFunSuite {
             .map(n => s""""$n"""").mkString("[", ",", "]"))
         case ("GET", List("connectors", n, "config")) =>
           connectors.get(n) match {
-            case Some(c) => respond(ex, 200, configJson(c))
+            // real Connect injects the connector's `name` into this
+            // response — the stub must too, so the client's no-op
+            // equality check is tested against the faithful shape
+            case Some(c) => respond(ex, 200, configJson(c + ("name" -> n)))
             case None => respond(ex, 404, "")
           }
         case ("PUT", List("connectors", n, "config")) =>

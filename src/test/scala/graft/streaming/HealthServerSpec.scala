@@ -116,4 +116,31 @@ class HealthServerSpec extends SparkSpec {
       mon.unregister(spark)
     }
   }
+
+  test("control characters in a probe detail still produce valid JSON") {
+    val mon = new PipelineMonitor().register(spark)
+    // a multi-line exception toString is exactly what PlatformHealth's
+    // catch-all puts into detail
+    val srv = new HealthServer(mon, platformCheck = Some(() =>
+      PlatformHealth.Report(Seq(PlatformHealth.ComponentHealth("probe",
+        PlatformHealth.Unhealthy,
+        "java.io.IOException: boom\n\tat x.y(Z.scala:1)\r\n")))))
+    val port = srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val resp = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/health/platform")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 503)
+      // must parse as JSON (json4s is strict about raw control chars)
+      val parsed = org.json4s.jackson.JsonMethods.parse(resp.body())
+      val detail = (parsed \\ "probe").values.toString
+      assert(detail.contains("boom"))
+      assert(resp.body().contains("\\n\\tat"), resp.body())
+    } finally {
+      srv.stop()
+      mon.unregister(spark)
+    }
+  }
 }
