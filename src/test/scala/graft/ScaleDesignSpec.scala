@@ -164,4 +164,44 @@ class ScaleDesignSpec extends SparkSpec {
     assert(got === want)
     assert(got.find(_._1 == "hot").get._2 === 10000L)
   }
+
+  test("AQE skew-join splits a hot partition at runtime (skew=true in the final plan)") {
+    // complements the manual salting proof above: with AQE's skew
+    // handling on (Bench runs with it), a synthetically skewed
+    // orders⋈lineitem-shaped join re-plans at runtime — the hot
+    // partition splits into advisory-sized chunks instead of pinning
+    // one reducer. Thresholds are shrunk so the tiny fixture exhibits
+    // the 100 TB failure mode.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val pad = "x" * 64
+      // "lineitem": ~50k rows on one hot order key, a sprinkle elsewhere
+      val fact = spark.range(50000).select(lit(1L).as("k"), concat(col("id"), lit(pad)).as("v"))
+        .union(spark.range(100).select((col("id") + 2).as("k"), concat(col("id"), lit(pad)).as("v")))
+      val dim = spark.range(200).select(col("id").as("k"), concat(col("id"), lit("t")).as("tag"))
+      // keep the payload column through the join: projecting it away
+      // would let the (identical-key) shuffle compress below any
+      // threshold and the skew never materializes
+      val joined = fact.join(dim, "k").select(col("k"), col("v"), col("tag"))
+      // materialize through THIS queryExecution (count() would build
+      // its own) so the adaptive plan below is the executed one
+      assert(joined.collect().length === 50100)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the hot partition's join as skew-split:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
