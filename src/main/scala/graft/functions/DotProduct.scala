@@ -86,11 +86,21 @@ object GraftFunctions {
       DotProduct(children.head, children(1))
     }
 
+  private[functions] val ngramBuilder: Seq[Expression] => Expression =
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "ngram_hashes takes exactly 3 arguments")
+      NgramHashes(children.head, children(1), children(2))
+    }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dotp"),
       new ExpressionInfo(classOf[DotProduct].getName, "dotp"),
       dotpBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
+      ngramBuilder)
     // the sketch aggregators, SQL-callable (`SELECT simhash_agg(h) ...`)
     // with the library's fixed default families
     import org.apache.spark.sql.functions.udaf
@@ -116,5 +126,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("dotp"),
       new ExpressionInfo(classOf[DotProduct].getName, "dotp"),
       GraftFunctions.dotpBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
+      GraftFunctions.ngramBuilder))
   }
 }

@@ -329,15 +329,12 @@ object LlmSimQueries {
     * distinct, once for the signature groupBy).
     */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), expr(
-        s"""array_distinct(transform(
-              array_distinct(transform(sequence(0, size(toks) - 3),
-                i -> concat_ws(' ', slice(toks, i + 1, 3)))),
-              sh -> CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT) % $MinhashP))""")
-        .as("hs"))
+      .select(col("doc_id"),
+        expr(s"ngram_hashes(toks, 3, $MinhashP)").as("hs"))
       .cache() // consumed 3× in q52 (signatures + both verify sides)
   }
 

@@ -116,18 +116,18 @@ object LlmTextQueries {
     }),
     // ---- n-gram Jaccard near-dup via inverted-index join (no O(n²)) ----
     "q47_ngram_jaccard" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val docs = Tables.load(s, dir, "documents")
       // word 3-gram shingle sets per doc
       // shingles carried as 60-bit md5 hashes: the self-join shuffles
       // 8-byte keys instead of shingle text (≈6× smaller at sf0.1; the
       // ratio grows with shingle length). md5 is engine-identical, so
       // the (vanishingly rare) collisions are IDENTICAL in the oracle —
-      // results still hash-match exactly.
+      // results still hash-match exactly. The window loop runs in the
+      // native ngram_hashes expression (same values as the HOF
+      // formulation, ~10× the per-shingle throughput).
       val sh = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), expr(
-          """array_distinct(transform(sequence(0, size(toks) - 3),
-               i -> CAST(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, 3))), 1, 15), 16, 10) AS BIGINT)))""")
-          .as("shingles"))
+        .select(col("doc_id"), expr("ngram_hashes(toks, 3, 0)").as("shingles"))
         .filter(size(col("shingles")) > 0)
         // reused by the self-join (×2) and both set-size lookups — cache
         // the ~8-byte-per-shingle intermediate instead of re-tokenizing
@@ -180,13 +180,12 @@ object LlmTextQueries {
     //      formulation shuffled every distinct gram and was 32% of bench
     //      wall time; this plan's only shuffle is the final orderBy). ----
     "q54_rolling_fingerprint" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 4)
         .select(col("doc_id"), expr(
-          """concat_ws('-', CAST(slice(array_sort(array_distinct(
-               transform(sequence(0, size(toks) - 4),
-                 i -> CAST(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, 4))), 1, 15), 16, 10) AS BIGINT)))), 1, 4)
+          """concat_ws('-', CAST(slice(array_sort(ngram_hashes(toks, 4, 0)), 1, 4)
              AS ARRAY<STRING>))""")
           .as("fingerprint"))
         .orderBy(col("doc_id"))
