@@ -152,6 +152,10 @@ object LlmSimQueries {
       .withColumn("cosine", dround(col("cosine_raw"), 6))
       .filter(col("cosine") >= 0.99)
       .select(col("id_a"), col("id_b"), col("cosine"))
+      // checkpoint the (tiny) verified pair set before the sort:
+      // orderBy's range sampling re-executes its child, which here
+      // means two more corpus scans through the exact re-check
+      .localCheckpoint()
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -170,13 +174,22 @@ object LlmSimQueries {
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bucket.as("bucket"))
     }: _*)).as("tb")
+    // cached: the bucket join consumes sig on BOTH sides (index +
+    // broadcast query side), and each side would otherwise re-run the
+    // K·L hyperplane dotps over the full corpus scan. localCheckpoint
+    // severs the (tiny) candidate list's lineage so the cache drops
+    // here instead of leaking for the session — the q67 pattern.
     val sig = e.select(col("vec_id"), tb)
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .cache()
     val qsig = sig.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
-    sig.join(broadcast(qsig), Seq("tbl", "bucket"))
+    val cand = sig.join(broadcast(qsig), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id")).distinct()
+      .localCheckpoint()
+    sig.unpersist()
+    cand
   }
 
   // IVF geometry (q63): C cells, nprobe probed cells per query, and a
@@ -423,16 +436,25 @@ object LlmSimQueries {
       val e = Tables.load(s, dir, "embeddings")
         .withColumn("nrm", sqrt(sqnorm("embedding")))
       val candIds = annCandidates(s, dir)
+      // query-side lookup as a LOCAL relation (O(queries) metadata —
+      // the frame form launched a broadcast-build job over a fourth
+      // corpus scan)
+      import s.implicits._
       val qe = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"))
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .collect().sortBy(_.getLong(0)).toIndexedSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+        .toDF("q_id", "q_emb", "q_nrm")
       val scored = candIds.join(broadcast(qe), "q_id").join(e, "vec_id")
         .withColumn("cosine", dround(dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")), 6))
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      // checkpoint before the final sort: orderBy's range sampling
+      // re-executes its child (the q63 lesson)
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+        .localCheckpoint()
         .orderBy(col("q_id"), col("rk"))
     }),
 
