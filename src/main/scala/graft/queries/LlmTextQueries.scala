@@ -354,6 +354,45 @@ object LlmTextQueries {
           element_at(col("chunk"), 1).as("first_tok"))
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
+    // ---- benchmark decontamination: flag corpus docs sharing word
+    //      n-grams with a (deterministic 5%) eval slice — the standard
+    //      test-set-overlap scrub every serious training pipeline runs
+    //      before training (real deployments use n≈8-13 and the actual
+    //      benchmark suites as the eval side; n=4 exercises the same
+    //      dataflow with signal on the fixture corpus). Scale shape:
+    //      inverted join on 8-byte gram hashes — the eval side is the
+    //      SMALL side (benchmarks, not the corpus) and broadcasts; the
+    //      corpus is touched once, map-side, via ngram_hashes. ----
+    "q68_decontaminate" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 4)
+      val evalGrams = docs.filter(col("doc_id") % 100 < 5)
+        .select(explode(expr("ngram_hashes(toks, 4, 0)")).as("g")).distinct()
+      docs.filter(col("doc_id") % 100 >= 5)
+        .select(col("doc_id"), explode(expr("ngram_hashes(toks, 4, 0)")).as("g"))
+        .join(broadcast(evalGrams), "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("contaminated_4grams"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- intra-document repetition ratio: fraction of duplicate word
+    //      2-grams (the Gopher-style "rep" quality signal that catches
+    //      boilerplate and degenerate generations). Entirely map-side:
+    //      total windows is arithmetic, the distinct count falls out of
+    //      ngram_hashes' dedup — no explode, no shuffle but the sort. ----
+    "q69_repetition" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          (size(col("toks")) - 1).as("total_2grams"),
+          expr("size(ngram_hashes(toks, 2, 0))").as("distinct_2grams"))
+        .withColumn("rep_ratio", dround(lit(1.0) -
+          col("distinct_2grams").cast(DoubleType) / col("total_2grams").cast(DoubleType), 6))
+        .orderBy(col("doc_id"))
+    }),
     // ---- multimodal plumbing: text→binary stand-in, typed metadata ----
     "q48_multimodal_meta" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -370,6 +409,33 @@ object LlmTextQueries {
   private val R = droundSql
 
   val oracle: Map[String, String] = Map(
+    "q68_decontaminate" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 4),
+      g AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(len(toks) - 3),
+          i -> CAST('0x' || substr(md5(toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] || ' ' || toks[i + 4]), 1, 15) AS BIGINT)))) AS g
+        FROM t),
+      ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 100 < 5)
+      SELECT doc_id, count(*) AS contaminated_4grams
+      FROM g JOIN ev USING (g)
+      WHERE doc_id % 100 >= 5
+      GROUP BY doc_id
+      ORDER BY doc_id""",
+    "q69_repetition" -> s"""
+      SELECT doc_id, total_2grams, distinct_2grams,
+        ${R("1.0 - CAST(distinct_2grams AS DOUBLE) / CAST(total_2grams AS DOUBLE)", 6)} AS rep_ratio
+      FROM (
+        SELECT doc_id,
+          CAST(len(toks) - 1 AS INT) AS total_2grams,
+          CAST(len(list_distinct(list_transform(
+            range(len(toks) - 1),
+            i -> CAST('0x' || substr(md5(toks[i + 1] || ' ' || toks[i + 2]), 1, 15) AS BIGINT)))) AS INT) AS distinct_2grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 2)
+      ORDER BY doc_id""",
     "q54_rolling_fingerprint" -> """
       SELECT doc_id,
         array_to_string(list_sort(list(DISTINCT h))[1:4], '-') AS fingerprint
