@@ -156,8 +156,14 @@ object CdcBench {
     def median: Double = rates.sorted.apply(rates.size / 2)
   }
 
-  def e2eRuns(spark: SparkSession, n: Int, partitions: Int, k: Int = 3): E2eRuns =
+  def e2eRuns(spark: SparkSession, n: Int, partitions: Int, k: Int = 3): E2eRuns = {
+    // untimed warmup at n/10 (same treatment the decode bench gets):
+    // the first streaming query of a session pays stream-machinery +
+    // codegen setup that isn't steady-state — without this it lands in
+    // run 1 and drags the reported MEDIAN, not just the min
+    e2eRate(spark, math.max(n / 10, 1000), partitions)
     E2eRuns((1 to k).map(_ => e2eRate(spark, n, partitions)))
+  }
 
   /** Best-of-k e2e rate (same robustness treatment as the decode bench:
     * the box has multi-second GC/page-cache noise; steady-state rate is
