@@ -132,6 +132,26 @@ class ScaleDesignSpec extends SparkSpec {
       s"candidate scoring must stay map-side (no corpus shuffle):\n$p")
   }
 
+  test("q68: eval gram set broadcasts; the corpus is never shuffle-paired") {
+    val p = plan("q68_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (small) eval-side gram set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // exactly three shuffles, none of them the corpus gram stream: the
+    // eval-side distinct (inside the broadcast build, small side), the
+    // per-doc count agg (post-join, already filtered to contaminated
+    // grams), and the final sort. The corpus scan must feed the join
+    // through Generate with NO exchange in between.
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 3,
+      s"decontamination must not shuffle the gram stream:\n$p")
+  }
+
+  test("q69: repetition ratio is map-side (single exchange, for the final sort)") {
+    val p = plan("q69_repetition")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1,
+      s"the rep-ratio signal must not shuffle documents:\n$p")
+  }
+
   test("q62: feature extraction is map-side until the final sort") {
     val p = plan("q62_multimodal_features")
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1,
