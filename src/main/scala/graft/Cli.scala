@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.config.{PipelineCfg, PipelineConfigLoader}
+import graft.config.{PipelineCfg, PipelineConfigLoader, PlatformCfg, PlatformConfigLoader}
 import graft.streaming._
 
 /** Operator-facing pipeline CLI — the reference's `cdc` command surface
@@ -40,7 +40,7 @@ object Cli {
 
   private def usage(out: PrintStream): Int = {
     out.println("usage: graft.Cli <validate|deploy|undeploy|health|consume|run> <pipeline.yaml> " +
-      "[--connect-url URL] [--follow]")
+      "[--platform-config PATH] [--connect-url URL] [--follow]")
     2
   }
 
@@ -50,14 +50,19 @@ object Cli {
     val (flags, positional) = args.tail.partition(_.startsWith("--"))
     def flag(name: String): Option[String] =
       flags.collectFirst { case f if f.startsWith(s"--$name=") => f.stripPrefix(s"--$name=") }
-    val connectUrl = flag("connect-url")
+    val platformPath = flag("platform-config")
     val follow = flags.contains("--follow")
+    // Connect endpoint resolution: explicit flag beats the platform
+    // config's connector block; neither → file-transport-only commands
+    def connectUrlFor(platform: PlatformCfg): Option[String] =
+      flag("connect-url").orElse(
+        if (platformPath.isDefined) platform.connector.map(_.connectUrl) else None)
 
-    def cfgOr(fail: => Int)(body: PipelineCfg => Int): Int =
+    def cfgOr(fail: => Int)(body: (PipelineCfg, PlatformCfg) => Int): Int =
       positional.headOption match {
         case None => usage(out)
         case Some(path) =>
-          try body(PipelineConfigLoader.load(path))
+          try body(PipelineConfigLoader.load(path), PlatformConfigLoader.load(platformPath))
           catch {
             case e: Exception =>
               out.println(s"Validation error: ${e.getMessage}")
@@ -78,10 +83,13 @@ object Cli {
     }
 
     args.head match {
-      case "validate" => cfgOr(1) { cfg =>
+      case "validate" => cfgOr(1) { (cfg, platform) =>
         out.println(s"Valid — pipeline_id=${cfg.pipelineId}")
         out.println(s"  source: ${cfg.source.sourceType} -> ${cfg.source.database}")
         out.println(s"  tables: ${cfg.source.tables.mkString(", ")}")
+        out.println(s"  transport: ${platform.transportMode}")
+        platform.kafka.foreach(k => out.println(s"  kafka:  ${k.bootstrapServers}"))
+        out.println(s"  platform config: ${platformPath.getOrElse("(defaults)")}")
         if (cfg.sinks.isEmpty) out.println("  sinks:  (none)")
         else {
           out.println(s"  sinks:  ${cfg.sinks.size}")
@@ -93,7 +101,7 @@ object Cli {
         0
       }
 
-      case "deploy" => cfgOr(1) { cfg =>
+      case "deploy" => cfgOr(1) { (cfg, platform) =>
         // transport channels first (file-transport analogue of topic
         // creation), then the connector — mirrors provision() which
         // creates topics before registering (`sources/factory.py`)
@@ -101,12 +109,15 @@ object Cli {
           .provision(new Provisioner(cfg.sourceDir)
             .topicsFor(cfg.topicPrefix, cfg.source.tables))
         if (created.nonEmpty) out.println(s"  channels created: ${created.size}")
-        connectUrl match {
+        connectUrlFor(platform) match {
           case Some(u) =>
             val client = new DebeziumClient(u)
             val name = ConnectorConfig.connectorName(cfg.topicPrefix, cfg.pipelineId)
+            val reg = platform.kafka.map(k => ConnectorConfig.Platform(
+              schemaRegistryUrl = k.schemaRegistryUrl,
+              bootstrapServers = k.bootstrapServers)).getOrElse(ConnectorConfig.Platform())
             val outcome = client.deploy(name,
-              ConnectorConfig.build(cfg.pipelineId, cfg.topicPrefix, cfg.source))
+              ConnectorConfig.build(cfg.pipelineId, cfg.topicPrefix, cfg.source, reg))
             out.println(s"Provisioned: $name ($outcome)")
           case None =>
             out.println(s"Provisioned: ${cfg.pipelineId} (file transport only; " +
@@ -115,8 +126,8 @@ object Cli {
         0
       }
 
-      case "undeploy" => cfgOr(1) { cfg =>
-        connectUrl.foreach { u =>
+      case "undeploy" => cfgOr(1) { (cfg, platform) =>
+        connectUrlFor(platform).foreach { u =>
           val client = new DebeziumClient(u)
           val name = ConnectorConfig.connectorName(cfg.topicPrefix, cfg.pipelineId)
           if (client.listConnectors().contains(name)) client.deleteConnector(name)
@@ -125,8 +136,8 @@ object Cli {
         0
       }
 
-      case "health" => cfgOr(1) { cfg =>
-        val report = PlatformHealth.checkPlatform(cfg, connectUrl)
+      case "health" => cfgOr(1) { (cfg, platform) =>
+        val report = PlatformHealth.checkPlatform(cfg, connectUrlFor(platform))
         report.components.foreach { c =>
           out.println(f"  ${c.name}%-30s ${c.status.value}%-10s ${c.detail}")
         }
@@ -134,7 +145,7 @@ object Cli {
         else { out.println("UNHEALTHY"); 1 }
       }
 
-      case "consume" => cfgOr(1) { cfg =>
+      case "consume" => cfgOr(1) { (cfg, _) =>
         // debug console consumer (`cli.py:142-166`): drain available
         // events, print one block per event in transport order. The
         // driver-side collect is the point — this is the human-eyeball
@@ -160,7 +171,7 @@ object Cli {
         0
       }
 
-      case "run" => cfgOr(1) { cfg =>
+      case "run" => cfgOr(1) { (cfg, _) =>
         out.println(s"Starting pipeline: ${cfg.pipelineId}")
         cfg.sinks.filter(_.enabled).foreach(s =>
           out.println(s"  sink: ${s.sinkId} (${s.sinkType})"))

@@ -45,7 +45,7 @@ object PipelineConfigLoader {
 
   // ---- plumbing ----
 
-  private def toScala(v: Any): Any = v match {
+  private[config] def toScala(v: Any): Any = v match {
     case m: java.util.Map[_, _] =>
       m.asScala.map { case (k, x) => k.toString -> toScala(x) }.toMap
     case l: java.util.List[_] => l.asScala.map(toScala).toSeq
@@ -55,7 +55,7 @@ object PipelineConfigLoader {
   /** Recursive `${VAR}` / `${VAR:-default}` resolution over strings
     * (`config/loader.py:41-49` shape, F9 semantics via EnvInterpolator).
     */
-  private def interpolate(v: Any, env: Map[String, String]): Any = v match {
+  private[config] def interpolate(v: Any, env: Map[String, String]): Any = v match {
     case s: String => EnvInterpolator.interpolate(s, env)
     case m: Map[_, _] =>
       m.map { case (k, x) => k.toString -> interpolate(x, env) }
@@ -81,20 +81,20 @@ object PipelineConfigLoader {
 
   private val QualifiedName = """^[A-Za-z_]\w*\.[A-Za-z_]\w*$""".r
 
-  private def fail(msg: String): Nothing =
+  private[config] def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"Invalid pipeline config: $msg")
 
-  private def str(n: Node, key: String, where: String): String =
+  private[config] def str(n: Node, key: String, where: String): String =
     n.get(key) match {
       case Some(s: String) if s.nonEmpty => s
       case Some(other) => fail(s"$where.$key must be a string, got $other")
       case None => fail(s"$where.$key is required")
     }
 
-  private def optStr(n: Node, key: String): Option[String] =
+  private[config] def optStr(n: Node, key: String): Option[String] =
     n.get(key).collect { case s: String if s.nonEmpty => s }
 
-  private def int(n: Node, key: String, dflt: Int): Int = n.get(key) match {
+  private[config] def int(n: Node, key: String, dflt: Int): Int = n.get(key) match {
     case Some(i: Int) => i
     case Some(i: Integer) => i.intValue
     // YAML numerics > 2^31 parse as Long; NEVER narrow silently — a
@@ -109,7 +109,7 @@ object PipelineConfigLoader {
   /** Long-valued knobs (ms intervals, row counts): accepts Int or Long
     * YAML numerics without narrowing.
     */
-  private def long(n: Node, key: String, dflt: Long): Long = n.get(key) match {
+  private[config] def long(n: Node, key: String, dflt: Long): Long = n.get(key) match {
     case Some(i: Int) => i.toLong
     case Some(i: Integer) => i.longValue
     case Some(l: Long) => l
@@ -118,7 +118,7 @@ object PipelineConfigLoader {
   }
 
   /** Double-valued knobs (seconds intervals): accepts any YAML numeric. */
-  private def double(n: Node, key: String, dflt: Double): Double = n.get(key) match {
+  private[config] def double(n: Node, key: String, dflt: Double): Double = n.get(key) match {
     case Some(d: Double) => d
     case Some(f: Float) => f.toDouble
     case Some(i: Int) => i.toDouble
@@ -127,25 +127,25 @@ object PipelineConfigLoader {
     case None => dflt
   }
 
-  private def strMap(n: Node, key: String): Map[String, String] = n.get(key) match {
+  private[config] def strMap(n: Node, key: String): Map[String, String] = n.get(key) match {
     case Some(m: Map[_, _]) => m.map { case (k, v) => k.toString -> v.toString }
     case Some(other) => fail(s"$key must be a mapping, got $other")
     case None => Map.empty
   }
 
-  private def bool(n: Node, key: String, dflt: Boolean): Boolean = n.get(key) match {
+  private[config] def bool(n: Node, key: String, dflt: Boolean): Boolean = n.get(key) match {
     case Some(b: Boolean) => b
     case Some(other) => fail(s"$key must be a boolean, got $other")
     case None => dflt
   }
 
-  private def node(n: Node, key: String): Node = n.get(key) match {
+  private[config] def node(n: Node, key: String): Node = n.get(key) match {
     case Some(m: Map[_, _]) => m.asInstanceOf[Node]
     case Some(other) => fail(s"$key must be a mapping, got $other")
     case None => Map.empty
   }
 
-  private def strSeq(n: Node, key: String): Seq[String] = n.get(key) match {
+  private[config] def strSeq(n: Node, key: String): Seq[String] = n.get(key) match {
     case Some(l: Seq[_]) => l.map(_.toString)
     case Some(other) => fail(s"$key must be a list, got $other")
     case None => Nil

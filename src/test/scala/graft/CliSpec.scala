@@ -63,6 +63,47 @@ class CliSpec extends SparkSpec {
     assert(code2 === 1 && out2.contains("Validation error"))
   }
 
+  test("validate: --platform-config drives the transport summary; platform errors exit 1") {
+    val d = tmpDir("cli-vp")
+    val cfg = writeCfg(d, baseCfg(tmpDir("s2"), tmpDir("c2"), tmpDir("l2")))
+    // defaults when no platform config given
+    val (_, out0) = cli("validate", cfg)
+    assert(out0.contains("transport: kafka"))
+    assert(out0.contains("platform config: (defaults)"))
+    val pp = Paths.get(d, "platform.yaml")
+    Files.writeString(pp,
+      """transport_mode: kafka
+        |kafka:
+        |  bootstrap_servers: broker:9092
+        |""".stripMargin)
+    val (code, out) = cli("validate", cfg, s"--platform-config=$pp")
+    assert(code === 0, out)
+    assert(out.contains("kafka:  broker:9092"))
+    assert(out.contains(s"platform config: $pp"))
+    // invalid platform config fails validate
+    Files.writeString(pp, "transport_mode: pubsub\n")
+    val (code2, out2) = cli("validate", cfg, s"--platform-config=$pp")
+    assert(code2 === 1)
+    assert(out2.contains("pubsub config is required"))
+  }
+
+  test("deploy: connect endpoint resolves from the platform config when no flag is given") {
+    val stub = new ConnectStub
+    try {
+      val d = tmpDir("cli-dp")
+      val cfg = writeCfg(d, baseCfg(tmpDir("cli-dp-src"), tmpDir("cli-dp-ck"), tmpDir("cli-dp-lh")))
+      val pp = Paths.get(d, "platform.yaml")
+      Files.writeString(pp,
+        s"""connector:
+           |  connect_url: ${stub.url}
+           |""".stripMargin)
+      val (code, out) = cli("deploy", cfg, s"--platform-config=$pp")
+      assert(code === 0, out)
+      assert(out.contains("Provisioned: cdc-p1 (Created)"), out)
+      assert(stub.connectors.contains("cdc-p1"))
+    } finally stub.stop()
+  }
+
   test("unknown / missing command prints usage and exits 2") {
     assert(cli()._1 === 2)
     assert(cli("frobnicate", "x.yaml")._1 === 2)
