@@ -171,7 +171,7 @@ object Cli {
         0
       }
 
-      case "run" => cfgOr(1) { (cfg, _) =>
+      case "run" => cfgOr(1) { (cfg, platform) =>
         out.println(s"Starting pipeline: ${cfg.pipelineId}")
         cfg.sinks.filter(_.enabled).foreach(s =>
           out.println(s"  sink: ${s.sinkId} (${s.sinkType})"))
@@ -179,7 +179,9 @@ object Cli {
           s"(stop_on_incompatible=${r.stopOnIncompatible})"))
         val trigger = if (follow) Trigger.ProcessingTime("1 second")
           else Trigger.AvailableNow()
-        val running = PipelineRunner.start(spark, cfg, trigger)
+        val running = PipelineRunner.start(spark, cfg, trigger, Some(platform))
+        running.healthPort.foreach(p =>
+          out.println(s"  health: http://127.0.0.1:$p/health"))
         try { running.query.awaitTermination(); 0 }
         finally running.stop()
       }

@@ -97,7 +97,11 @@ object PipelineRunner {
       query: StreamingQuery,
       maintenance: Seq[graft.lakehouse.MaintenanceScheduler],
       monitor: Option[SchemaRegistryMonitor],
-      pipeline: Option[ChangePipeline] = None) {
+      pipeline: Option[ChangePipeline] = None,
+      health: Option[(HealthServer, Int)] = None,
+      private[streaming] val onStop: () => Unit = () => ()) {
+    /** Bound health endpoint port, when the platform enabled one. */
+    def healthPort: Option[Int] = health.map(_._2)
     def stop(): Unit = {
       monitor.foreach(_.stop())
       maintenance.foreach(_.stop())
@@ -106,6 +110,8 @@ object PipelineRunner {
       // (the reference flushes its DLQ producer on shutdown,
       // `pipeline/runner.py:332`)
       pipeline.foreach(_.flushDlq())
+      health.foreach(_._1.stop())
+      onStop()
     }
   }
 
@@ -113,10 +119,15 @@ object PipelineRunner {
     * monitor, and start all of them. With `registry.stop_on_incompatible`
     * an incompatible schema change stops the streaming query — the
     * reference's `on_incompatible=self.stop` (`pipeline/runner.py:90-95`).
+    *
+    * With a platform config whose `health_enabled` is set, a health
+    * endpoint starts beside the pipeline on `health_port` (0 = any) and
+    * stops with it — the reference's `pipeline/runner.py:97-103,299`.
     */
   def start(spark: SparkSession, cfg: PipelineCfg,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow()): Running = {
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      platform: Option[graft.config.PlatformCfg] = None): Running = {
     val built = buildAll(spark, cfg)
     built.maintenance.foreach(_.start())
     val query = built.pipeline.start(trigger)
@@ -129,7 +140,16 @@ object PipelineRunner {
       m.start()
       m
     }
-    Running(query, built.maintenance, monitor, Some(built.pipeline))
+    val health = platform.filter(_.healthEnabled).map { p =>
+      val mon = new PipelineMonitor().register(spark)
+      val srv = new HealthServer(mon, port = p.healthPort,
+        platformCheck = Some(() => PlatformHealth.checkPlatform(cfg,
+          p.connector.map(_.connectUrl))))
+      ((srv, srv.start()), mon)
+    }
+    Running(query, built.maintenance, monitor, Some(built.pipeline),
+      health = health.map(_._1),
+      onStop = () => health.foreach(_._2.unregister(spark)))
   }
 
   /** Load a YAML config, wire everything, start everything. */

@@ -234,6 +234,59 @@ class CliSpec extends SparkSpec {
     assert(out.contains("""value: {"id":2,"n":"b"}"""))
   }
 
+  test("run: health endpoint starts beside the pipeline and stops with it (runner.py:97-103)") {
+    val src = tmpDir("cli-rh-src")
+    Files.writeString(Paths.get(src, "b.json"),
+      """{"topic":"cdc.public.users","partition":0,"offset":0,"op":"c","ts_ms":1,"key":"{\"id\":1}","before":null,"after":"{\"id\":1}"}""")
+    val d = tmpDir("cli-rh")
+    val cfg = writeCfg(d, baseCfg(src, tmpDir("cli-rh-ck"), tmpDir("cli-rh-lh")))
+    val stub = new ConnectStub // platform health probes the Connect endpoint
+    val pp = Paths.get(d, "platform.yaml")
+    Files.writeString(pp,
+      s"""health_port: 0
+         |connector:
+         |  connect_url: ${stub.url}
+         |""".stripMargin)
+    // follow-mode run in a thread so the health endpoint is observable live
+    val buf = new java.io.ByteArrayOutputStream()
+    val t = new Thread(() => Cli.run(
+      Seq("run", cfg, s"--platform-config=$pp", "--follow"),
+      new PrintStream(buf, true, "UTF-8"), Some(spark)))
+    t.start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var port = -1
+      val re = """health: http://127\.0\.0\.1:(\d+)/health""".r
+      while (port < 0 && System.currentTimeMillis() < deadline) {
+        re.findFirstMatchIn(buf.toString("UTF-8")).foreach(m => port = m.group(1).toInt)
+        Thread.sleep(100)
+      }
+      assert(port > 0, s"health port never announced:\n${buf.toString("UTF-8")}")
+      val client = java.net.http.HttpClient.newHttpClient()
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port/health/platform")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200, resp.body())
+      assert(resp.body().contains("\"healthy\""))
+      // stop the streaming query -> run returns -> Running.stop closes the server
+      spark.streams.active.foreach(_.stop())
+      t.join(30000)
+      assert(!t.isAlive)
+      val after = intercept[Exception] {
+        client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port/health")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      assert(after != null) // connection refused once stopped
+    } finally {
+      spark.streams.active.foreach(_.stop())
+      t.join(10000)
+      stub.stop()
+    }
+  }
+
   test("run: drives the configured pipeline end-to-end (events land in the lakehouse sink)") {
     val src = tmpDir("cli-r-src")
     val lake = tmpDir("cli-r-lh")
