@@ -40,13 +40,25 @@ object Cli {
 
   private def usage(out: PrintStream): Int = {
     out.println("usage: graft.Cli <validate|deploy|undeploy|health|consume|run> <pipeline.yaml> " +
-      "[--platform-config PATH] [--connect-url URL] [--follow]")
+      "[--platform-config PATH] [--connect-url URL] [--follow]\n" +
+      "       graft.Cli lakehouse <snapshots|query|rollback> <tableDir> ...")
     2
   }
 
   def run(args: Seq[String], out: PrintStream,
       sparkOpt: Option[SparkSession] = None): Int = {
     if (args.isEmpty) return usage(out)
+    // lakehouse sub-app (the reference's `cdc lakehouse …` typer
+    // sub-app, `cli.py:251-366`) — positional args pass through
+    if (args.head == "lakehouse") {
+      val s = sparkOpt.getOrElse(SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+        .appName("graft-cli")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
+      return LakehouseCli.run(args.tail, out, s)
+    }
     val (flags, positional) = args.tail.partition(_.startsWith("--"))
     def flag(name: String): Option[String] =
       flags.collectFirst { case f if f.startsWith(s"--$name=") => f.stripPrefix(s"--$name=") }

@@ -1,15 +1,19 @@
 package graft
 
+import java.io.PrintStream
+
 import org.apache.spark.sql.SparkSession
 
 import graft.lakehouse.LakehouseTable
 
-/** Lakehouse operations entry point (SURVEY.md §3.3; reference
+/** Lakehouse operations (SURVEY.md §3.3; reference
   * `cdc lakehouse snapshots|query|rollback`, `cli.py:251-366`):
   *
-  *   graft.LakehouseCli snapshots <tableDir>
-  *   graft.LakehouseCli query     <tableDir> [snapshotId|current] [limit]
-  *   graft.LakehouseCli rollback  <tableDir> <snapshotId>
+  *   graft.Cli lakehouse snapshots <tableDir>
+  *   graft.Cli lakehouse query     <tableDir> [snapshotId|current] [limit]
+  *   graft.Cli lakehouse rollback  <tableDir> <snapshotId>
+  *
+  * (also runnable standalone as `graft.LakehouseCli …`).
   *
   * `query` defaults to a LIMIT of 20 rows like the reference CLI
   * (`cli.py:298`). Invalid snapshot ids fail with the valid-id listing
@@ -17,7 +21,6 @@ import graft.lakehouse.LakehouseTable
   */
 object LakehouseCli {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, usage)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-lakehouse")
@@ -26,36 +29,48 @@ object LakehouseCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val table = new LakehouseTable(spark, args(1))
+    val code = run(args.toIndexedSeq, Console.out, spark)
+    spark.stop()
+    if (code != 0) sys.exit(code)
+  }
 
-    args(0) match {
+  /** Sub-command dispatch; returns the exit code (spec-drivable). */
+  def run(args: Seq[String], out: PrintStream, spark: SparkSession): Int = {
+    if (args.length < 2) { out.println(usage); return 2 }
+    val table = new LakehouseTable(spark, args(1))
+    args.head match {
       case "snapshots" =>
-        println(f"${"ID"}%-6s ${"PARENT"}%-8s ${"OPERATION"}%-10s ${"FILES"}%-6s TIMESTAMP")
+        out.println(f"${"ID"}%-6s ${"PARENT"}%-8s ${"OPERATION"}%-10s ${"FILES"}%-6s TIMESTAMP")
         table.listSnapshots().foreach { s =>
-          println(f"${s.snapshotId}%-6d ${s.parentId.map(_.toString).getOrElse("-")}%-8s " +
+          out.println(f"${s.snapshotId}%-6d ${s.parentId.map(_.toString).getOrElse("-")}%-8s " +
             f"${s.operation}%-10s ${s.files.size}%-6d " +
             java.time.Instant.ofEpochMilli(s.timestampMs).toString)
         }
+        0
       case "query" =>
         val limit = if (args.length >= 4) args(3).toInt else 20
         val df = args.lift(2).filterNot(_ == "current") match {
           case Some(id) => table.scanAtSnapshot(id.toLong, Some(limit))
           case None     => table.read().limit(limit)
         }
-        df.show(limit, truncate = false)
+        val cols = df.columns
+        out.println(cols.mkString("\t"))
+        df.take(limit).foreach(r =>
+          out.println(cols.indices.map(i => String.valueOf(r.get(i))).mkString("\t")))
+        0
       case "rollback" =>
-        require(args.length >= 3, usage)
+        if (args.length < 3) { out.println(usage); return 2 }
         val snap = table.rollbackToSnapshot(args(2).toLong)
-        println(s"rolled back: new snapshot ${snap.snapshotId} -> files of ${args(2)}")
+        out.println(s"rolled back: new snapshot ${snap.snapshotId} -> files of ${args(2)}")
+        0
       case other =>
-        System.err.println(s"unknown command: $other\n$usage")
-        sys.exit(2)
+        out.println(s"unknown command: $other\n$usage")
+        2
     }
-    spark.stop()
   }
 
   private val usage =
-    """usage: graft.LakehouseCli snapshots <tableDir>
-      |       graft.LakehouseCli query <tableDir> [snapshotId|current] [limit]
-      |       graft.LakehouseCli rollback <tableDir> <snapshotId>""".stripMargin
+    """usage: graft.Cli lakehouse snapshots <tableDir>
+      |       graft.Cli lakehouse query <tableDir> [snapshotId|current] [limit]
+      |       graft.Cli lakehouse rollback <tableDir> <snapshotId>""".stripMargin
 }

@@ -104,6 +104,24 @@ class CliSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("lakehouse sub-app: snapshots/query/rollback against a real table (cli.py:251-366)") {
+    import spark.implicits._
+    val dir = tmpDir("cli-lh-table")
+    val table = new graft.lakehouse.LakehouseTable(spark, dir)
+    table.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    table.append(Seq((3L, "c")).toDF("id", "v"))
+    val (c1, snaps) = cli("lakehouse", "snapshots", dir)
+    assert(c1 === 0, snaps)
+    assert(snaps.linesIterator.count(_.matches("""\d+ .*append.*""")) === 2, snaps)
+    val firstId = snaps.linesIterator.drop(1).next().trim.split("\\s+").head.toLong
+    val (c2, q) = cli("lakehouse", "query", dir, firstId.toString)
+    assert(c2 === 0 && q.contains("id\tv") && q.contains("1\ta") && !q.contains("3\tc"), q)
+    val (c3, rb) = cli("lakehouse", "rollback", dir, firstId.toString)
+    assert(c3 === 0 && rb.contains("rolled back"), rb)
+    assert(table.read().count() === 2)
+    assert(cli("lakehouse", "frobnicate", dir)._1 === 2)
+  }
+
   test("unknown / missing command prints usage and exits 2") {
     assert(cli()._1 === 2)
     assert(cli("frobnicate", "x.yaml")._1 === 2)
