@@ -229,6 +229,13 @@ final class ChangePipeline(
     */
   def flushDlq(): Unit = dlq.flush()
 
+  /** Live consumer-lag snapshot per (topic, partition) — the
+    * `consumer_lag` block of the reference's pipeline health
+    * (`pipeline/runner.py:408-415`).
+    */
+  def consumerLag(): Seq[ConsumerLag.PartitionLag] =
+    ConsumerLag.compute(spark, sourceDir, ledger.committedSoFar, includeTopics)
+
   def start(trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val stream0 = ChangeEnvelope.readStream(spark, sourceDir, maxFilesPerTrigger)
     // configured capture include-list (§2.2 P2): only the topics the

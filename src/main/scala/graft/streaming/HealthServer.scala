@@ -12,7 +12,8 @@ import com.sun.net.httpserver.HttpServer
   * everything stopped.
   */
 final class HealthServer(monitor: PipelineMonitor, port: Int = 0,
-    platformCheck: Option[() => PlatformHealth.Report] = None) {
+    platformCheck: Option[() => PlatformHealth.Report] = None,
+    lagCheck: Option[() => Seq[ConsumerLag.PartitionLag]] = None) {
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   server.createContext("/health", { exchange =>
@@ -39,6 +40,24 @@ final class HealthServer(monitor: PipelineMonitor, port: Int = 0,
       val code = if (report.healthy) 200 else 503
       exchange.getResponseHeaders.add("Content-Type", "application/json")
       exchange.sendResponseHeaders(code, body.length)
+      exchange.getResponseBody.write(body)
+      exchange.close()
+    })
+  }
+
+  // per-partition consumer lag (`pipeline/runner.py:408-415` block,
+  // `observability/metrics.py` shape): always 200 — lag is data, not a
+  // probe verdict
+  lagCheck.foreach { check =>
+    server.createContext("/health/lag", { exchange =>
+      val payload: Map[String, Any] = Map(
+        "consumer_lag" -> check().map(l => s"${l.topic}-${l.partition}" -> Map(
+          "current_offset" -> l.currentOffset,
+          "high_watermark" -> l.highWatermark,
+          "lag" -> l.lag)).toMap)
+      val body = toJson(payload).getBytes(StandardCharsets.UTF_8)
+      exchange.getResponseHeaders.add("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, body.length)
       exchange.getResponseBody.write(body)
       exchange.close()
     })

@@ -144,7 +144,8 @@ object PipelineRunner {
       val mon = new PipelineMonitor().register(spark)
       val srv = new HealthServer(mon, port = p.healthPort,
         platformCheck = Some(() => PlatformHealth.checkPlatform(cfg,
-          p.connector.map(_.connectUrl))))
+          p.connector.map(_.connectUrl))),
+        lagCheck = Some(() => built.pipeline.consumerLag()))
       ((srv, srv.start()), mon)
     }
     Running(query, built.maintenance, monitor, Some(built.pipeline),

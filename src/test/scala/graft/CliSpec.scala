@@ -287,6 +287,14 @@ class CliSpec extends SparkSpec {
         java.net.http.HttpResponse.BodyHandlers.ofString())
       assert(resp.statusCode() === 200, resp.body())
       assert(resp.body().contains("\"healthy\""))
+      // consumer-lag block served beside the probes (runner.py:408-415)
+      val lag = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port/health/lag")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(lag.statusCode() === 200, lag.body())
+      assert(lag.body().contains("\"consumer_lag\""), lag.body())
+      assert(lag.body().contains("\"high_watermark\":0"), lag.body())
       // stop the streaming query -> run returns -> Running.stop closes the server
       spark.streams.active.foreach(_.stop())
       t.join(30000)
