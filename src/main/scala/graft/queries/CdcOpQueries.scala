@@ -170,10 +170,13 @@ object CdcOpQueries {
       table.rollbackToSnapshot(2)
       val snaps = table.listSnapshots()
       snaps.map { sn =>
-        val df = table.scanAtSnapshot(sn.snapshotId)
-        val (n, sum) = (df.count(), df.agg(org.apache.spark.sql.functions.sum("id"))
-          .collect()(0).getLong(0))
-        (sn.snapshotId, sn.operation, n, sum)
+        // one job per snapshot: count + sum in a single aggregation
+        // (the count()/agg() pair ran two scans per snapshot)
+        val r = table.scanAtSnapshot(sn.snapshotId)
+          .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum("id"))
+          .collect()(0)
+        (sn.snapshotId, sn.operation, r.getLong(0), r.getLong(1))
       }.toDF("snap", "operation", "n_rows", "sum_ids")
         .orderBy(col("snap"))
     })
