@@ -160,8 +160,12 @@ object CdcBench {
     // untimed warmup at n/10 (same treatment the decode bench gets):
     // the first streaming query of a session pays stream-machinery +
     // codegen setup that isn't steady-state — without this it lands in
-    // run 1 and drags the reported MEDIAN, not just the min
-    e2eRate(spark, math.max(n / 10, 1000), partitions)
+    // run 1 and drags the reported MEDIAN, not just the min. Rounded UP
+    // to a multiple of `partitions`: e2eRate writes
+    // partitions*(n/partitions) events and requires delivered == n, so
+    // a non-divisible warmup count would crash the bench.
+    val warm0 = math.max(n / 10, 1000)
+    e2eRate(spark, ((warm0 + partitions - 1) / partitions) * partitions, partitions)
     E2eRuns((1 to k).map(_ => e2eRate(spark, n, partitions)))
   }
 

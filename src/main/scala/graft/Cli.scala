@@ -59,27 +59,51 @@ object Cli {
         .getOrCreate())
       return LakehouseCli.run(args.tail, out, s)
     }
-    val (flags, positional) = args.tail.partition(_.startsWith("--"))
-    def flag(name: String): Option[String] =
-      flags.collectFirst { case f if f.startsWith(s"--$name=") => f.stripPrefix(s"--$name=") }
+    // flag grammar: `--name=value` and `--name value` both work (the
+    // usage text shows the space form); unknown flags are an error, not
+    // silently dropped into the positionals
+    val valueFlags = Set("platform-config", "connect-url")
+    val flagVals = scala.collection.mutable.Map.empty[String, String]
+    val positional = scala.collection.mutable.ArrayBuffer.empty[String]
+    var follow = false
+    val rest = args.tail
+    var i = 0
+    while (i < rest.length) {
+      val a = rest(i)
+      if (a == "--follow") follow = true
+      else if (a.startsWith("--")) {
+        val body = a.stripPrefix("--")
+        val eq = body.indexOf('=')
+        if (eq >= 0 && valueFlags(body.take(eq))) flagVals(body.take(eq)) = body.drop(eq + 1)
+        else if (eq < 0 && valueFlags(body) && i + 1 < rest.length) {
+          flagVals(body) = rest(i + 1); i += 1
+        } else { out.println(s"Unknown or valueless flag: $a"); return usage(out) }
+      } else positional += a
+      i += 1
+    }
+    def flag(name: String): Option[String] = flagVals.get(name)
     val platformPath = flag("platform-config")
-    val follow = flags.contains("--follow")
     // Connect endpoint resolution: explicit flag beats the platform
     // config's connector block; neither → file-transport-only commands
     def connectUrlFor(platform: PlatformCfg): Option[String] =
       flag("connect-url").orElse(
         if (platformPath.isDefined) platform.connector.map(_.connectUrl) else None)
 
+    // only CONFIG LOADING failures are "Validation error"s; runtime
+    // failures inside a command (HTTP, bind, sink errors) propagate
+    // with their real stack trace instead of masquerading as bad YAML
     def cfgOr(fail: => Int)(body: (PipelineCfg, PlatformCfg) => Int): Int =
       positional.headOption match {
         case None => usage(out)
         case Some(path) =>
-          try body(PipelineConfigLoader.load(path), PlatformConfigLoader.load(platformPath))
-          catch {
-            case e: Exception =>
-              out.println(s"Validation error: ${e.getMessage}")
-              fail
-          }
+          val loaded =
+            try Right((PipelineConfigLoader.load(path), PlatformConfigLoader.load(platformPath)))
+            catch {
+              case e: Exception =>
+                out.println(s"Validation error: ${e.getMessage}")
+                Left(fail)
+            }
+          loaded.fold(identity, body.tupled)
       }
 
     // one lazily-created session for the commands that need one
@@ -117,9 +141,8 @@ object Cli {
         // transport channels first (file-transport analogue of topic
         // creation), then the connector — mirrors provision() which
         // creates topics before registering (`sources/factory.py`)
-        val created = new Provisioner(cfg.sourceDir)
-          .provision(new Provisioner(cfg.sourceDir)
-            .topicsFor(cfg.topicPrefix, cfg.source.tables))
+        val prov = new Provisioner(cfg.sourceDir)
+        val created = prov.provision(prov.topicsFor(cfg.topicPrefix, cfg.source.tables))
         if (created.nonEmpty) out.println(s"  channels created: ${created.size}")
         connectUrlFor(platform) match {
           case Some(u) =>
@@ -161,13 +184,18 @@ object Cli {
         // debug console consumer (`cli.py:142-166`): drain available
         // events, print one block per event in transport order. The
         // driver-side collect is the point — this is the human-eyeball
-        // path, never a production sink.
+        // path, never a production sink. Its checkpoint is a throwaway
+        // temp dir, NEVER the pipeline's: sharing cfg.checkpointDir
+        // would mark every file consumed and a later `run` would skip
+        // them (the reference consumer uses an isolated consumer group
+        // for the same reason, `cli.py:148`).
         out.println("Consuming (file transport)")
         val stream0 = ChangeEnvelope.readStream(spark, cfg.sourceDir, cfg.maxFilesPerTrigger)
         val stream = if (cfg.includeTopics.isEmpty) stream0
           else stream0.filter(col("topic").isin(cfg.includeTopics: _*))
         val q = stream.writeStream
-          .option("checkpointLocation", cfg.checkpointDir)
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft-consume-ckpt").toString)
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
             batch.orderBy(col("topic"), col("partition"), col("offset"))

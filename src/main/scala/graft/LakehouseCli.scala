@@ -21,6 +21,10 @@ import graft.lakehouse.LakehouseTable
   */
 object LakehouseCli {
   def main(args: Array[String]): Unit = {
+    // arg-shape check BEFORE paying for a SparkSession: a bare usage
+    // error should print instantly, not after several seconds of
+    // session bootstrap
+    if (args.length < 2) { Console.out.println(usage); sys.exit(2) }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-lakehouse")

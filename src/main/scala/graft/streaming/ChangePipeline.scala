@@ -172,13 +172,19 @@ final class DlqWriter(
       table.append(dlqRows)
     } else {
       // micro-batch frames are only valid inside the current
-      // foreachBatch call — buffer materialized rows, not the frame
-      pending ++= dlqRows.collect()
-      pendingSchema = Some(dlqRows.schema)
-      pendingSpark = Some(batch.sparkSession)
-      if (pending.size >= DlqWriter.MaxPendingRows ||
-          System.currentTimeMillis() - lastFlushMs >= (flushIntervalSeconds * 1000).toLong)
-        flush()
+      // foreachBatch call — buffer materialized rows, not the frame.
+      // Collect outside the lock (it's a Spark job); mutate under the
+      // same monitor flush() takes — flush() is public shutdown/tick
+      // API and may run from a different thread than the batch loop.
+      val rows = dlqRows.collect()
+      synchronized {
+        pending ++= rows
+        pendingSchema = Some(dlqRows.schema)
+        pendingSpark = Some(batch.sparkSession)
+        if (pending.size >= DlqWriter.MaxPendingRows ||
+            System.currentTimeMillis() - lastFlushMs >= (flushIntervalSeconds * 1000).toLong)
+          flush()
+      }
     }
   }
 

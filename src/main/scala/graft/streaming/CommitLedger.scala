@@ -18,7 +18,9 @@ package graft.streaming
   * Driver-side state: sits inside `foreachBatch` when several sinks
   * share one streaming query. (With one query per sink, Spark's own
   * checkpoint subsumes this — this ledger exists for the shared
-  * single-pass fan-out.)
+  * single-pass fan-out.) Methods are synchronized: the micro-batch
+  * thread mutates while the health endpoint reads [[committedSoFar]]
+  * from the HTTP dispatcher thread.
   */
 final class CommitLedger(sinkIds: Seq[String]) {
   require(sinkIds.nonEmpty, "ledger needs at least one sink")
@@ -33,7 +35,7 @@ final class CommitLedger(sinkIds: Seq[String]) {
   /** A sink durably flushed through `offset` on `tp` (monotone max,
     * mirroring `sinks/postgres.py:168-171`: only advance, never regress).
     */
-  def recordFlush(sinkId: String, tp: TP, offset: Long): Unit = {
+  def recordFlush(sinkId: String, tp: TP, offset: Long): Unit = synchronized {
     val m = flushed.getOrElse(
       sinkId, throw new IllegalArgumentException(s"unknown sink $sinkId"))
     if (offset > m.getOrElse(tp, -1L)) m(tp) = offset
@@ -43,7 +45,7 @@ final class CommitLedger(sinkIds: Seq[String]) {
     * sink lags, strictly above what was already committed. Calling this
     * ADVANCES the ledger (the returned map is considered committed).
     */
-  def commitable(): Map[TP, Long] = {
+  def commitable(): Map[TP, Long] = synchronized {
     val allPartitions = flushed.values.flatMap(_.keys).toSet
     val out = Map.newBuilder[TP, Long]
     allPartitions.foreach { tp =>
@@ -60,5 +62,5 @@ final class CommitLedger(sinkIds: Seq[String]) {
   def commitableNextToFetch(): Map[TP, Long] =
     commitable().map { case (tp, off) => tp -> (off + 1L) }
 
-  def committedSoFar: Map[TP, Long] = lastCommitted.toMap
+  def committedSoFar: Map[TP, Long] = synchronized { lastCommitted.toMap }
 }

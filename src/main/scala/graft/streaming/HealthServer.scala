@@ -15,6 +15,14 @@ final class HealthServer(monitor: PipelineMonitor, port: Int = 0,
     platformCheck: Option[() => PlatformHealth.Report] = None,
     lagCheck: Option[() => Seq[ConsumerLag.PartitionLag]] = None) {
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // without an executor every context shares the single dispatcher
+  // thread — a slow /health/lag store scan would stall the /health
+  // liveness probe into timeout; daemon threads so the server never
+  // pins the JVM
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool { r =>
+    val t = new Thread(r, "health-server"); t.setDaemon(true); t
+  }
+  server.setExecutor(pool)
 
   server.createContext("/health", { exchange =>
     val health = monitor.health()
@@ -64,7 +72,7 @@ final class HealthServer(monitor: PipelineMonitor, port: Int = 0,
   }
 
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   private def toJson(v: Any): String = v match {
     case m: Map[_, _] =>

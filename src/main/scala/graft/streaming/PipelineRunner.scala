@@ -129,28 +129,62 @@ object PipelineRunner {
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       platform: Option[graft.config.PlatformCfg] = None): Running = {
     val built = buildAll(spark, cfg)
-    built.maintenance.foreach(_.start())
-    val query = built.pipeline.start(trigger)
-    val monitor = cfg.registry.map { r =>
-      val m = new SchemaRegistryMonitor(r.url,
-        topics = cfg.includeTopics,
-        intervalMs = r.intervalMs,
-        stopOnIncompatible = r.stopOnIncompatible,
-        onIncompatible = () => query.stop())
-      m.start()
-      m
+    // cleanup stack: anything started before a later wiring step throws
+    // (e.g. the health port is already bound) must be stopped — a
+    // detached streaming query would keep the checkpoint lock and
+    // buffered DLQ rows would never flush
+    val started = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    def cleanupAndRethrow(e: Throwable): Nothing = {
+      started.reverseIterator.foreach(c =>
+        try c() catch { case _: Exception => () })
+      throw e
     }
-    val health = platform.filter(_.healthEnabled).map { p =>
-      val mon = new PipelineMonitor().register(spark)
-      val srv = new HealthServer(mon, port = p.healthPort,
-        platformCheck = Some(() => PlatformHealth.checkPlatform(cfg,
-          p.connector.map(_.connectUrl))),
-        lagCheck = Some(() => built.pipeline.consumerLag()))
-      ((srv, srv.start()), mon)
+    try {
+      built.maintenance.foreach { m => m.start(); started += (() => m.stop()) }
+      val query = built.pipeline.start(trigger)
+      started += { () => query.stop(); built.pipeline.flushDlq() }
+      val monitor = cfg.registry.map { r =>
+        val m = new SchemaRegistryMonitor(r.url,
+          topics = cfg.includeTopics,
+          intervalMs = r.intervalMs,
+          stopOnIncompatible = r.stopOnIncompatible,
+          onIncompatible = () => query.stop())
+        m.start()
+        started += (() => m.stop())
+        m
+      }
+      val health = platform.filter(_.healthEnabled).map { p =>
+        val mon = new PipelineMonitor().register(spark)
+        started += (() => mon.unregister(spark))
+        val srv = new HealthServer(mon, port = p.healthPort,
+          platformCheck = Some(() => PlatformHealth.checkPlatform(cfg,
+            p.connector.map(_.connectUrl))),
+          // the lag probe is a full batch scan of the envelope store —
+          // memoized so a monitoring system polling every few seconds
+          // doesn't run one Spark job per poll
+          lagCheck = Some(throttled(LagProbeTtlMs)(() => built.pipeline.consumerLag())))
+        ((srv, srv.start()), mon)
+      }
+      Running(query, built.maintenance, monitor, Some(built.pipeline),
+        health = health.map(_._1),
+        onStop = () => health.foreach(_._2.unregister(spark)))
+    } catch { case e: Throwable => cleanupAndRethrow(e) }
+  }
+
+  /** TTL for the /health/lag probe's memoized store scan. */
+  val LagProbeTtlMs = 5000L
+
+  /** Memoize a probe result for `ttlMs` (single-flight not needed: the
+    * worst case is one redundant scan on a concurrent first call).
+    */
+  private[streaming] def throttled[A](ttlMs: Long)(f: () => A): () => A = {
+    val ref = new java.util.concurrent.atomic.AtomicReference[(Long, A)]
+    () => {
+      val cur = ref.get()
+      val now = System.currentTimeMillis()
+      if (cur != null && now - cur._1 < ttlMs) cur._2
+      else { val v = f(); ref.set((now, v)); v }
     }
-    Running(query, built.maintenance, monitor, Some(built.pipeline),
-      health = health.map(_._1),
-      onStop = () => health.foreach(_._2.unregister(spark)))
   }
 
   /** Load a YAML config, wire everything, start everything. */

@@ -313,6 +313,43 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("consume is checkpoint-isolated: a later run still delivers every event") {
+    // regression: consume once shared cfg.checkpointDir with run, so
+    // eyeballing events marked them consumed and the real pipeline
+    // silently skipped them (the reference's console consumer uses an
+    // isolated consumer group for exactly this reason, cli.py:148)
+    val src = tmpDir("cli-ci-src")
+    val lake = tmpDir("cli-ci-lh")
+    Files.writeString(Paths.get(src, "b.json"), Seq(
+      """{"topic":"cdc.public.users","partition":0,"offset":0,"op":"c","ts_ms":1,"key":"{\"id\":1}","before":null,"after":"{\"id\":1,\"n\":\"a\"}"}""",
+      """{"topic":"cdc.public.users","partition":0,"offset":1,"op":"c","ts_ms":2,"key":"{\"id\":2}","before":null,"after":"{\"id\":2,\"n\":\"b\"}"}"""
+    ).mkString("\n"))
+    val cfg = writeCfg(tmpDir("cli-ci"), baseCfg(src, tmpDir("cli-ci-ck"), lake))
+    val (c1, out1) = cli("consume", cfg)
+    assert(c1 === 0 && out1.contains("cdc.public.users p=0 o=1"), out1)
+    val (c2, _) = cli("run", cfg)
+    assert(c2 === 0)
+    assert(new graft.lakehouse.LakehouseTable(spark, lake).read().count() === 2,
+      "events consumed for debugging must still reach the sinks")
+  }
+
+  test("flags: space-separated form works; unknown flags exit 2") {
+    val stub = new ConnectStub
+    try {
+      val cfg = writeCfg(tmpDir("cli-f"),
+        baseCfg(tmpDir("cli-f-src"), tmpDir("cli-f-ck"), tmpDir("cli-f-lh")))
+      // `--connect-url URL` — the exact shape the usage string shows
+      val (code, out) = cli("deploy", cfg, "--connect-url", stub.url)
+      assert(code === 0, out)
+      assert(out.contains("Provisioned: cdc-p1 (Created)"), out)
+      // an unrecognized flag must be an error, not a silent no-op that
+      // leaves the connector unregistered
+      val (code2, out2) = cli("deploy", cfg, "--conect-url", stub.url)
+      assert(code2 === 2)
+      assert(out2.contains("Unknown or valueless flag: --conect-url"), out2)
+    } finally stub.stop()
+  }
+
   test("run: drives the configured pipeline end-to-end (events land in the lakehouse sink)") {
     val src = tmpDir("cli-r-src")
     val lake = tmpDir("cli-r-lh")

@@ -124,6 +124,41 @@ class PipelineRunnerSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("start() cleans up after a partial failure: occupied health port stops the query") {
+    // regression: when the health server failed to bind AFTER the
+    // streaming query started, start() threw without stopping anything —
+    // the query kept running detached, holding the checkpoint lock
+    val blocker = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    try {
+      val src = tmpDir("pf-src")
+      writeEvents(src)
+      val yaml =
+        s"""pipeline_id: pf_e2e
+           |source:
+           |  database: appdb
+           |  tables: ["public.users"]
+           |source_dir: $src
+           |checkpoint_dir: ${tmpDir("pf-chk")}
+           |sinks:
+           |  - sink_id: lh
+           |    sink_type: lakehouse
+           |    lakehouse:
+           |      table_path: ${tmpDir("pf-lh")}
+           |""".stripMargin
+      val cfg = PipelineConfigLoader.parse(yaml)
+      val before = spark.streams.active.map(_.id).toSet
+      intercept[java.net.BindException] {
+        PipelineRunner.start(spark, cfg,
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"),
+          platform = Some(graft.config.PlatformCfg(
+            healthPort = blocker.getLocalPort)))
+      }
+      assert(spark.streams.active.map(_.id).toSet === before,
+        "a failed start() must not leave its streaming query running")
+    } finally blocker.close()
+  }
+
   test("maintenance-enabled lakehouse sink gets a scheduler on the SAME table") {
     val src = tmpDir("m-src")
     val lhPath = tmpDir("m-lh")
