@@ -393,6 +393,66 @@ object LlmTextQueries {
           col("distinct_2grams").cast(DoubleType) / col("total_2grams").cast(DoubleType), 6))
         .orderBy(col("doc_id"))
     }),
+    // ---- PII redaction: regex scrub of emails/phones, the standard
+    //      privacy pass before any corpus leaves the ingest zone.
+    //      Entirely map-side (codegen'd regexp_replace/regexp_count) —
+    //      the scrub cost scales linearly with corpus bytes and never
+    //      shuffles. The fixture text carries no PII, so a contact
+    //      string is DERIVED deterministically from fixture columns
+    //      (source + doc_id) and appended — giving every row real
+    //      matches to scrub, with both engines seeing identical input.
+    //      Patterns stay in the Java∩RE2 common subset (char classes +
+    //      bounded repeats, no backrefs/lookahead) so Spark and DuckDB
+    //      agree byte-for-byte; the md5 of the redacted blob pins that. ----
+    "q70_pii_redact" -> ((s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      Tables.load(s, dir, "documents")
+        .withColumn("blob", concat(col("text"), lit(" contact "),
+          col("source"), lit("@example.com or "),
+          col("source"), lit("@mail.org tel +1-555-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+        .select(col("doc_id"),
+          regexp_count(col("blob"), lit(emailRe)).cast(IntegerType).as("n_emails"),
+          regexp_count(col("blob"), lit(phoneRe)).cast(IntegerType).as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("blob"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- sequence packing: concat-then-slice token-budget packing
+    //      (the GPT-style pre-training layout: documents are laid out
+    //      end-to-end in doc_id order and sliced into fixed context
+    //      windows). Needs a global prefix sum of token counts — the
+    //      one inherently sequential step — computed as a PARALLEL
+    //      prefix sum: per-shard running sums (partitioned window,
+    //      shards are doc_id ranges) + shard base offsets (a window
+    //      over #shards rows only, broadcast back). The full corpus is
+    //      never pulled into one partition; only the shard-total frame
+    //      (corpus/64 rows) is. ----
+    "q71_seq_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 1024
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        .withColumn("shard", expr("doc_id div 64"))
+      val wLocal = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val within = docs.withColumn("local_off",
+        coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      val wShard = Window.orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bases = docs.groupBy(col("shard"))
+        .agg(sum(col("n_tokens")).as("shard_total"))
+        .withColumn("base", coalesce(sum(col("shard_total")).over(wShard), lit(0L)))
+        .select(col("shard"), col("base"))
+      within.join(broadcast(bases), "shard")
+        .withColumn("start_offset", col("base") + col("local_off"))
+        .withColumn("bin_id", expr(s"start_offset div $budget"))
+        .select(col("doc_id"), col("n_tokens"), col("start_offset"), col("bin_id"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- multimodal plumbing: text→binary stand-in, typed metadata ----
     "q48_multimodal_meta" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -435,6 +495,32 @@ object LlmTextQueries {
             i -> CAST('0x' || substr(md5(toks[i + 1] || ' ' || toks[i + 2]), 1, 15) AS BIGINT)))) AS INT) AS distinct_2grams
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         WHERE len(toks) >= 2)
+      ORDER BY doc_id""",
+    "q70_pii_redact" -> """
+      WITH b AS (
+        SELECT doc_id,
+          text || ' contact ' || source || '@example.com or ' || source ||
+            '@mail.org tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS blob
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(blob,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        CAST(len(regexp_extract_all(blob, '\+1-555-[0-9]{4}')) AS INT) AS n_phones,
+        md5(regexp_replace(regexp_replace(blob,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
+      FROM b
+      ORDER BY doc_id""",
+    "q71_seq_pack" -> """
+      SELECT doc_id, n_tokens, start_offset,
+        CAST(start_offset // 1024 AS BIGINT) AS bin_id
+      FROM (
+        SELECT doc_id, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        FROM (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents))
       ORDER BY doc_id""",
     "q54_rolling_fingerprint" -> """
       SELECT doc_id,

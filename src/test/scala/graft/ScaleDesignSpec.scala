@@ -152,6 +152,26 @@ class ScaleDesignSpec extends SparkSpec {
       s"the rep-ratio signal must not shuffle documents:\n$p")
   }
 
+  test("q70: PII scrub is map-side (single exchange, for the final sort)") {
+    val p = plan("q70_pii_redact")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1,
+      s"regex redaction must scale linearly with corpus bytes, no shuffle:\n$p")
+  }
+
+  test("q71: packing prefix-sum never pulls the corpus into one partition") {
+    val p = plan("q71_seq_pack")
+    // per-doc running sums go through the shard-partitioned window
+    // (hashpartitioning exchange on shard); ONLY the shard-total frame
+    // (corpus/64 rows, post-aggregation) crosses a SinglePartition
+    // exchange, and it re-joins via broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"shard base offsets must broadcast back, not shuffle the corpus:\n$p")
+    val singles = "Arguments: SinglePartition".r.findAllIn(p).size
+    assert(singles <= 1,
+      s"at most the tiny shard-total frame may single-partition:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q62: feature extraction is map-side until the final sort") {
     val p = plan("q62_multimodal_features")
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1,
