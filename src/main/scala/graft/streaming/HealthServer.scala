@@ -34,6 +34,28 @@ final class HealthServer(monitor: PipelineMonitor, port: Int = 0,
     exchange.close()
   })
 
+  // k8s-style probe pair (`observability/http_health.py:62-83`):
+  // liveness is unconditional — the process answering IS the signal;
+  // readiness runs the health checks and 503s on any erroring component
+  server.createContext("/healthz", { exchange =>
+    val body = """{"status":"ok"}""".getBytes(StandardCharsets.UTF_8)
+    exchange.getResponseHeaders.add("Content-Type", "application/json")
+    exchange.sendResponseHeaders(200, body.length)
+    exchange.getResponseBody.write(body)
+    exchange.close()
+  })
+
+  server.createContext("/readyz", { exchange =>
+    val health = monitor.health()
+    val platformBad = platformCheck.exists(c => !c().healthy)
+    val code = if (health("status") == "stopped" || platformBad) 503 else 200
+    val body = toJson(health).getBytes(StandardCharsets.UTF_8)
+    exchange.getResponseHeaders.add("Content-Type", "application/json")
+    exchange.sendResponseHeaders(code, body.length)
+    exchange.getResponseBody.write(body)
+    exchange.close()
+  })
+
   // platform component probes (`observability/health.py:131-153` shape,
   // served like the reference's http_health endpoint): healthy iff every
   // component is healthy; otherwise 503 with the per-component detail

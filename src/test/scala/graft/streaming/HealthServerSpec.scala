@@ -50,6 +50,32 @@ class HealthServerSpec extends SparkSpec {
     }
   }
 
+  test("probe pair: /healthz is unconditional liveness; /readyz gates on component health") {
+    // reference shape: http_health.py:62-83 — /healthz always 200,
+    // /readyz 503 while any component errors
+    val mon = new PipelineMonitor()
+    val bad = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val srv = new HealthServer(mon,
+      platformCheck = Some(() => PlatformHealth.Report(Seq(
+        PlatformHealth.ComponentHealth("stub",
+          if (bad.get) PlatformHealth.Unhealthy else PlatformHealth.Healthy)))))
+    val port = srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val get = (p: String) => client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val live = get("/healthz")
+      assert(live.statusCode() === 200 && live.body() === """{"status":"ok"}""")
+      assert(get("/readyz").statusCode() === 200)
+      bad.set(true)
+      assert(get("/readyz").statusCode() === 503,
+        "an erroring platform component must fail readiness")
+      assert(get("/healthz").statusCode() === 200,
+        "liveness must stay green while readiness is red")
+    } finally srv.stop()
+  }
+
   test("platform probes aggregate: one failing component turns the report unhealthy") {
     import PlatformHealth._
     val good = tmpDir("ph-ok")
