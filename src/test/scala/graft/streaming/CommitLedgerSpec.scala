@@ -69,6 +69,39 @@ class CommitLedgerSpec extends AnyFunSuite {
     assert(l.commitable() === Map(tp0 -> 100L))
   }
 
+  test("concurrent flush recording vs health-thread reads stays consistent") {
+    // the health endpoint reads committedSoFar from the HTTP dispatcher
+    // thread while the micro-batch thread records flushes and commits —
+    // hammer both sides and require every invariant the algebra promises
+    // (a torn HashMap iteration would throw or return garbage here)
+    val l = new CommitLedger(Seq("a", "b"))
+    val partitions = 8
+    val rounds = 2000
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val writer = new Thread(() => try {
+      for (off <- 0 until rounds; p <- 0 until partitions) {
+        l.recordFlush("a", ("t", p), off.toLong)
+        l.recordFlush("b", ("t", p), off.toLong)
+        if (off % 100 == 0) l.commitable()
+      }
+      l.commitable()
+    } catch { case e: Throwable => errs.add(e) })
+    val reader = new Thread(() => try {
+      while (writer.isAlive) {
+        val snap = l.committedSoFar
+        assert(snap.size <= partitions)
+        snap.foreach { case ((t, p), off) =>
+          assert(t == "t" && p >= 0 && p < partitions && off >= 0 && off < rounds)
+        }
+      }
+    } catch { case e: Throwable => errs.add(e) })
+    writer.start(); reader.start()
+    writer.join(60000); reader.join(60000)
+    assert(errs.isEmpty, s"concurrent access failed: ${errs.peek()}")
+    assert(l.committedSoFar ===
+      (0 until partitions).map(p => ("t", p) -> (rounds - 1).toLong).toMap)
+  }
+
   test("unknown sink id rejected") {
     val l = new CommitLedger(Seq("wh1"))
     intercept[IllegalArgumentException](l.recordFlush("nope", tp0, 1))
