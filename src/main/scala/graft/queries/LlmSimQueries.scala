@@ -534,6 +534,28 @@ object LlmSimQueries {
       graft.functions.GraftFunctions.register(s)
       neardupLsh(Tables.load(s, dir, "embeddings"))
     }),
+    // ---- symmetric int8 embedding quantization — the serving-side
+    //      memory step before ANN (4× smaller vectors, SIMD-friendly
+    //      int dot products). Per vector: scale = 127/max|x|, q_i =
+    //      round(x_i·scale), clamped by construction since |x|≤max|x|.
+    //      Entirely map-side. Rounding is floor(x+0.5) (IEEE mul/add/
+    //      floor only — portable); widening FLOAT→DOUBLE casts are
+    //      exact in both engines, so the int summaries are bit-stable. ----
+    "q73_embed_quantize" -> ((s, dir) => {
+      Tables.load(s, dir, "embeddings")
+        .withColumn("maxabs",
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .withColumn("q", expr(
+          """transform(embedding, x -> CASE WHEN maxabs = 0D THEN 0
+             ELSE CAST(floor(CAST(x AS DOUBLE) / maxabs * 127.0D + 0.5D) AS INT) END)"""))
+        .select(col("vec_id"),
+          size(col("embedding")).as("n_dims"),
+          dround(col("maxabs"), 6).as("maxabs_r"),
+          expr("aggregate(q, 0, (a, x) -> a + x)").as("q_sum"),
+          expr("array_min(q)").as("q_min"),
+          expr("array_max(q)").as("q_max"))
+        .orderBy(col("vec_id"))
+    }),
     // ---- MinHash + LSH banding near-dup (the 100 TB-scale dedup path) ----
     "q52_minhash_lsh" -> ((s, dir) => {
       val docsH = shingleHashes(s, dir)
@@ -677,6 +699,24 @@ object LlmSimQueries {
 
   val oracle: Map[String, String] = Map(
     "q63_ann_ivf" -> ivfOracleSql,
+    "q73_embed_quantize" -> s"""
+      WITH m AS (
+        SELECT vec_id, embedding,
+          CAST(len(embedding) AS INT) AS n_dims,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        FROM embeddings),
+      qd AS (
+        SELECT vec_id, n_dims, maxabs,
+          list_transform(embedding, x -> CASE WHEN maxabs = 0 THEN 0
+            ELSE CAST(floor(CAST(x AS DOUBLE) / maxabs * 127.0 + 0.5) AS INT) END) AS q
+        FROM m)
+      SELECT vec_id, n_dims,
+        ${R("maxabs", 6)} AS maxabs_r,
+        CAST(list_sum(q) AS INT) AS q_sum,
+        CAST(list_min(q) AS INT) AS q_min,
+        CAST(list_max(q) AS INT) AS q_max
+      FROM qd
+      ORDER BY vec_id""",
     "q53_ann_lsh" -> s"""
       WITH w AS (SELECT * FROM (VALUES ${annPlaneSqlValues}) AS t(tbl, bit, wv)),
       e AS (

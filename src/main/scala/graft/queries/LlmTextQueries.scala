@@ -393,6 +393,31 @@ object LlmTextQueries {
           col("distinct_2grams").cast(DoubleType) / col("total_2grams").cast(DoubleType), 6))
         .orderBy(col("doc_id"))
     }),
+    // ---- inter-document boilerplate fraction: per doc, the share of
+    //      its distinct word 5-grams that also appear in ≥2 docs — the
+    //      CCNet-style curation signal that catches shared headers,
+    //      footers and templates (distinct from q68's eval-overlap and
+    //      q69's INTRA-doc repetition). Scale shape: everything heavy
+    //      travels as 8-byte gram hashes — df agg on the gram key, the
+    //      presence join co-partitions with it (same key, exchange
+    //      reuse), then one doc-keyed agg. ----
+    "q72_boilerplate" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 5)
+      val grams = docs.select(col("doc_id"),
+        explode(expr("ngram_hashes(toks, 5, 0)")).as("g"))
+      val dfreq = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      grams.join(dfreq, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+        .withColumn("boiler_frac", dround(
+          col("n_boiler").cast(DoubleType) / col("n_grams").cast(DoubleType), 6))
+        .orderBy(col("doc_id"))
+    }),
     // ---- PII redaction: regex scrub of emails/phones, the standard
     //      privacy pass before any corpus leaves the ingest zone.
     //      Entirely map-side (codegen'd regexp_replace/regexp_count) —
@@ -495,6 +520,24 @@ object LlmTextQueries {
             i -> CAST('0x' || substr(md5(toks[i + 1] || ' ' || toks[i + 2]), 1, 15) AS BIGINT)))) AS INT) AS distinct_2grams
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         WHERE len(toks) >= 2)
+      ORDER BY doc_id""",
+    "q72_boilerplate" -> s"""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 5),
+      g AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(len(toks) - 4),
+          i -> CAST('0x' || substr(md5(toks[i + 1] || ' ' || toks[i + 2] || ' ' ||
+            toks[i + 3] || ' ' || toks[i + 4] || ' ' || toks[i + 5]), 1, 15) AS BIGINT)))) AS g
+        FROM t),
+      d AS (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g)
+      SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_grams,
+        CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        ${R("CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS boiler_frac
+      FROM g JOIN d USING (g)
+      GROUP BY doc_id
       ORDER BY doc_id""",
     "q70_pii_redact" -> """
       WITH b AS (

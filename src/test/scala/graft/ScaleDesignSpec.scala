@@ -172,6 +172,22 @@ class ScaleDesignSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q72: boilerplate df-join co-partitions with the gram agg (no extra gram shuffle)") {
+    val p = plan("q72_boilerplate")
+    assert(!p.contains("CartesianProduct"))
+    // gram streams shuffle at most: df agg (on g) + presence join reuse,
+    // the doc-keyed agg, and the final sort — the join itself must not
+    // introduce a fourth exchange beyond those
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 4,
+      s"df join must co-partition with the gram agg:\n$p")
+  }
+
+  test("q73: int8 quantization is map-side (single exchange, for the final sort)") {
+    val p = plan("q73_embed_quantize")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1,
+      s"quantization must not shuffle embeddings:\n$p")
+  }
+
   test("q62: feature extraction is map-side until the final sort") {
     val p = plan("q62_multimodal_features")
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1,
