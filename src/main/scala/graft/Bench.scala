@@ -42,6 +42,11 @@ object Bench {
           Map.empty
       }
 
+    // shed the CDC phase's heap (~400k envelope rows, stream checkpoints)
+    // before the query phase — otherwise the first big collection lands
+    // mid-query and charges whichever query happens to be running
+    System.gc()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

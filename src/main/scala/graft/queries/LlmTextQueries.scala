@@ -334,6 +334,30 @@ object LlmTextQueries {
           max(col("doc_id")).as("last_doc"))
         .orderBy(col("lang"))
     }),
+    // ---- domain mixture resampling: per-source static keep rates (the
+    //      Pile/DoReMi-style mixture table) applied via the same
+    //      no-RNG hash-bucket acceptance as q65 — reweighting a 100 TB
+    //      corpus to a target domain mix without a shuffle: the weights
+    //      are a tiny broadcast dimension, acceptance is map-side, and
+    //      the same rows survive on every rerun at any cluster size. ----
+    "q74_domain_mix" -> ((s, dir) => {
+      import s.implicits._
+      // mixture config: keep 25/50/75/100% by source id (stand-in for
+      // the curated per-domain weights a real run loads from config)
+      val weights = (0 until 20)
+        .map(i => (s"src$i", (i % 4 + 1) * 250L))
+        .toDF("source", "keep_per_mille")
+      Tables.load(s, dir, "documents")
+        .withColumn("bucket",
+          expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) % 1000"))
+        .join(broadcast(weights), "source")
+        .filter(col("bucket") < col("keep_per_mille"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"))
+    }),
     // ---- document chunking: fixed 50-token windows with 10-token
     //      overlap (stride 40) — the context-window prep every training
     //      pipeline runs before tokenization. Windows are sliced from
@@ -688,6 +712,17 @@ object LlmTextQueries {
         chunk[1] AS first_tok
       FROM c
       ORDER BY doc_id, chunk_id""",
+    "q74_domain_mix" -> """
+      WITH w AS (
+        SELECT DISTINCT source,
+          (CAST(substr(source, 4) AS INT) % 4 + 1) * 250 AS keep_per_mille
+        FROM documents)
+      SELECT source, count(*) AS n_kept,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM documents JOIN w USING (source)
+      WHERE CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 1000 < keep_per_mille
+      GROUP BY source
+      ORDER BY source""",
     "q65_stratified_sample" -> """
       SELECT lang, count(*) AS n_sampled,
         min(doc_id) AS first_doc, max(doc_id) AS last_doc

@@ -182,6 +182,15 @@ class ScaleDesignSpec extends SparkSpec {
       s"df join must co-partition with the gram agg:\n$p")
   }
 
+  test("q74: mixture weights broadcast; acceptance filter is map-side") {
+    val p = plan("q74_domain_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the weight dimension must broadcast, never shuffle the corpus:\n$p")
+    // corpus-side shuffles: the per-source agg and the final sort only
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
+      s"mixture resampling must stay map-side up to the source agg:\n$p")
+  }
+
   test("q73: int8 quantization is map-side (single exchange, for the final sort)") {
     val p = plan("q73_embed_quantize")
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1,
