@@ -600,11 +600,18 @@ object LlmSimQueries {
         .select(col("doc_a"), col("doc_b"),
           size(array_intersect(col("hs_a"), col("hs_b"))).as("inter"),
           size(col("hs_a")).as("sz_a"), size(col("hs_b")).as("sz_b"))
-      verified
+      // materialize the (tiny) verified pair set, then drop the shingle
+      // cache — without the checkpoint the cache entry would linger in
+      // executor storage for the session (the q67 ADVICE pattern), and
+      // without the lineage cut the final sort would recompute through
+      // the now-uncached arrays
+      val out = verified
         .withColumn("jaccard", dround(col("inter").cast(DoubleType) /
           (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType), 6))
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      docsH.unpersist()
+      out.orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
