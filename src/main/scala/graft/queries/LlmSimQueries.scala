@@ -558,6 +558,27 @@ object LlmSimQueries {
     }),
     // ---- MinHash + LSH banding near-dup (the 100 TB-scale dedup path) ----
     "q52_minhash_lsh" -> ((s, dir) => {
+      val (pairs, docsH) = minhashPairs(s, dir)
+      // materialize the (tiny) verified pair set, then drop the shingle
+      // cache — without the checkpoint the cache entry would linger in
+      // executor storage for the session (the q67 ADVICE pattern), and
+      // without the lineage cut the final sort would recompute through
+      // the now-uncached arrays
+      val out = pairs.localCheckpoint()
+      docsH.unpersist()
+      out.orderBy(col("doc_a"), col("doc_b"))
+    })
+  )
+
+  /** q52's pipeline up to (but not including) materialization: returns
+    * the verified-pair frame plus the cached shingle frame so the
+    * caller controls checkpoint + cache release — and so the CI plan
+    * guard can inspect the REAL plan (a localCheckpoint would truncate
+    * it to a Scan ExistingRDD).
+    */
+  private[graft] def minhashPairs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    {
       val docsH = shingleHashes(s, dir)
       val sh = docsH.select(col("doc_id"), explode(col("hs")).as("h"))
       // k minhash values per doc in ONE pass: the Aggregator keeps k
@@ -600,20 +621,13 @@ object LlmSimQueries {
         .select(col("doc_a"), col("doc_b"),
           size(array_intersect(col("hs_a"), col("hs_b"))).as("inter"),
           size(col("hs_a")).as("sz_a"), size(col("hs_b")).as("sz_b"))
-      // materialize the (tiny) verified pair set, then drop the shingle
-      // cache — without the checkpoint the cache entry would linger in
-      // executor storage for the session (the q67 ADVICE pattern), and
-      // without the lineage cut the final sort would recompute through
-      // the now-uncached arrays
-      val out = verified
+      val pairs = verified
         .withColumn("jaccard", dround(col("inter").cast(DoubleType) /
           (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType), 6))
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .localCheckpoint()
-      docsH.unpersist()
-      out.orderBy(col("doc_a"), col("doc_b"))
-    })
-  )
+      (pairs, docsH)
+    }
+  }
 
   private val R = droundSql
 

@@ -64,15 +64,23 @@ class SketchAggSpec extends SparkSpec {
   }
 
   test("q52 plan: signature aggs are the only hash shuffles; banding never re-groups") {
-    val p = plan("q52_minhash_lsh")
-    // two doc-keyed aggregation shuffles (the two sides of the band
-    // self-join), one range exchange for the output sort — and nothing
-    // else: no exchange keyed on band/band_key (candidate join and
-    // jaccard verify run broadcast off the aggregated frames)
-    assert("hashpartitioning\\(doc_id".r.findAllIn(p).size === 2, s"plan:\n$p")
-    assert("rangepartitioning\\(doc_a".r.findAllIn(p).size === 1)
-    assert(!"hashpartitioning\\([^)]*band".r.findAllIn(p).hasNext,
-      s"banding must slice the signature array, not re-shuffle:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"verify path must broadcast:\n$p")
+    // inspect the PRE-checkpoint pipeline: the shipped query
+    // localCheckpoints the pair set (cache-release + lineage cut), which
+    // truncates its visible plan to a Scan ExistingRDD
+    val (pairs, docsH) = LlmSimQueries.minhashPairs(spark, "/root/testdata/sf0.001")
+    try {
+      val p = pairs.orderBy(org.apache.spark.sql.functions.col("doc_a"),
+        org.apache.spark.sql.functions.col("doc_b"))
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      // two doc-keyed aggregation shuffles (the two sides of the band
+      // self-join), one range exchange for the output sort — and nothing
+      // else: no exchange keyed on band/band_key (candidate join and
+      // jaccard verify run broadcast off the aggregated frames)
+      assert("hashpartitioning\\(doc_id".r.findAllIn(p).size === 2, s"plan:\n$p")
+      assert("rangepartitioning\\(doc_a".r.findAllIn(p).size === 1)
+      assert(!"hashpartitioning\\([^)]*band".r.findAllIn(p).hasNext,
+        s"banding must slice the signature array, not re-shuffle:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"verify path must broadcast:\n$p")
+    } finally docsH.unpersist()
   }
 }
