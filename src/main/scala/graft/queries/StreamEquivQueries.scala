@@ -65,6 +65,35 @@ object StreamEquivQueries {
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))
     }),
+    // ---- as-of join: each click matched to the user's latest prior
+    //      (or simultaneous) view — the point-in-time join Spark has no
+    //      native operator for. Composed as union-tag + running
+    //      last(ignoreNulls): ONE shuffle on the key, rows stream
+    //      through a single window pass — the formulation that survives
+    //      100 TB, vs. the naive l.ts >= r.ts range join whose pair
+    //      space explodes per key. At equal ts the view sorts first
+    //      (side 0 < side 1), giving ASOF's inclusive bound. ----
+    "q75_asof_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id"),
+          lit(null).cast("long").as("r_event_id"),
+          lit(null).cast("timestamp").as("r_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          lit(null).cast("long").as("event_id"),
+          col("event_id").as("r_event_id"), col("ts").as("r_ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"), col("r_event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(views)
+        .withColumn("view_id", last(col("r_event_id"), ignoreNulls = true).over(w))
+        .withColumn("view_ts", last(col("r_ts"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1 && col("view_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("view_id"),
+          (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
     // ---- streaming dedup (dropDuplicates semantics, first-by-time) ----
     "q40_dedup_first" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -131,6 +160,15 @@ object StreamEquivQueries {
       FROM events
       GROUP BY event_type
       ORDER BY event_type""",
+    // DuckDB's native ASOF JOIN is the oracle for the composed
+    // union-tag formulation (inclusive bound l.ts >= r.ts)
+    "q75_asof_join" -> """
+      SELECT l.event_id, l.user_id, r.event_id AS view_id,
+        epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+      FROM (SELECT * FROM events WHERE event_type = 'click') l
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY l.event_id""",
     "q40_dedup_first" -> """
       SELECT user_id, event_type, first_event_id FROM (
         SELECT user_id, event_type, event_id AS first_event_id,

@@ -191,6 +191,18 @@ class ScaleDesignSpec extends SparkSpec {
       s"mixture resampling must stay map-side up to the source agg:\n$p")
   }
 
+  test("q75: as-of join is one key shuffle + one window pass (no range-join blowup)") {
+    val p = plan("q75_asof_join")
+    // union-tag formulation: a single hashpartitioning(user_id) feeds
+    // the running-last window; the only other exchange is the final
+    // sort. A range-join plan (BroadcastNestedLoop/Cartesian over
+    // l.ts >= r.ts pairs) must never appear.
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size === 1, s"plan:\n$p")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 2, s"plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must compose as a window pass, not a pair join:\n$p")
+  }
+
   test("q73: int8 quantization is map-side (single exchange, for the final sort)") {
     val p = plan("q73_embed_quantize")
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1,
