@@ -94,6 +94,32 @@ object StreamEquivQueries {
           (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"))
         .orderBy(col("event_id"))
     }),
+    // ---- sequential conversion funnel: users advancing through
+    //      signup → view → click → purchase in strict event-time order
+    //      (each stage's event must be AFTER the user's previous-stage
+    //      entry). Four user-keyed aggregations, each joining the
+    //      shrinking survivor set on the same key — co-partitioned
+    //      hash joins, no per-pair time join. ----
+    "q76_funnel" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      def next(prev: DataFrame, prevTs: String, typ: String, out: String): DataFrame =
+        ev.filter(col("event_type") === typ)
+          .join(prev, "user_id")
+          .filter(col("ts") > col(prevTs))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(out))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = next(s1, "t1", "view", "t2")
+      val s3 = next(s2, "t2", "click", "t3")
+      val s4 = next(s3, "t3", "purchase", "t4")
+      Seq(("1_signup", s1), ("2_view", s2), ("3_click", s3), ("4_purchase", s4))
+        .map { case (name, df) =>
+          df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+        }
+        .reduce(_.unionByName(_))
+        .orderBy(col("stage"))
+    }),
     // ---- streaming dedup (dropDuplicates semantics, first-by-time) ----
     "q40_dedup_first" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -169,6 +195,21 @@ object StreamEquivQueries {
       ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
         ON l.user_id = r.user_id AND l.ts >= r.ts
       ORDER BY l.event_id""",
+    "q76_funnel" -> """
+      WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id),
+      s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id)
+      SELECT stage, n_users FROM (
+        SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+        UNION ALL SELECT '2_view', count(*) FROM s2
+        UNION ALL SELECT '3_click', count(*) FROM s3
+        UNION ALL SELECT '4_purchase', count(*) FROM s4)
+      ORDER BY stage""",
     "q40_dedup_first" -> """
       SELECT user_id, event_type, first_event_id FROM (
         SELECT user_id, event_type, event_id AS first_event_id,
