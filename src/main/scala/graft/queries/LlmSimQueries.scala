@@ -578,7 +578,6 @@ object LlmSimQueries {
     */
   private[graft] def minhashPairs(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    {
       val docsH = shingleHashes(s, dir)
       val sh = docsH.select(col("doc_id"), explode(col("hs")).as("h"))
       // k minhash values per doc in ONE pass: the Aggregator keeps k
@@ -626,7 +625,6 @@ object LlmSimQueries {
           (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType), 6))
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
       (pairs, docsH)
-    }
   }
 
   private val R = droundSql

@@ -344,13 +344,18 @@ object LlmTextQueries {
       import s.implicits._
       // mixture config: keep 25/50/75/100% by source id (stand-in for
       // the curated per-domain weights a real run loads from config)
-      val weights = (0 until 20)
-        .map(i => (s"src$i", (i % 4 + 1) * 250L))
-        .toDF("source", "keep_per_mille")
+      // keep rate derives per-row from the source id with the SAME
+      // formula the oracle uses, so any future fixture source gets the
+      // identical weight in both engines (a literal src0..src19 lookup
+      // silently dropped unknown sources on the Spark side only). A
+      // real deployment would broadcast-join a curated weights table
+      // here — the salted-join/broadcast machinery is proven elsewhere;
+      // this keeps the acceptance test fully map-side.
       Tables.load(s, dir, "documents")
+        .withColumn("keep_per_mille",
+          expr("(CAST(substring(source, 4) AS INT) % 4 + 1) * 250"))
         .withColumn("bucket",
           expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) % 1000"))
-        .join(broadcast(weights), "source")
         .filter(col("bucket") < col("keep_per_mille"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"),
@@ -432,8 +437,12 @@ object LlmTextQueries {
         .filter(size(col("toks")) >= 5)
       val grams = docs.select(col("doc_id"),
         explode(expr("ngram_hashes(toks, 5, 0)")).as("g"))
+      // (doc_id, g) pairs are already distinct — ngram_hashes dedups per
+      // doc — so a plain count IS the document frequency; countDistinct
+      // would add an extra aggregation level over the gram stream (the
+      // largest intermediate here) for identical results
       val dfreq = grams.groupBy(col("g"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+        .agg(count(lit(1)).as("df"))
       grams.join(dfreq, "g")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
@@ -486,14 +495,24 @@ object LlmTextQueries {
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
         .withColumn("shard", expr("doc_id div 64"))
+        // explicit: the broadcast join below infers isnotnull(shard) on
+        // its stream side only; stating it here keeps BOTH prefix-sum
+        // branches' shuffle subtrees canonically identical so
+        // ReuseExchange collapses them to one corpus scan (plan-guarded)
+        .filter(col("shard").isNotNull)
       val wLocal = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val within = docs.withColumn("local_off",
         coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      // shard totals fall out of the window branch itself (the running
+      // sum's last value per shard), so both plan branches hang off the
+      // SAME shard exchange (ReuseExchange) — the corpus is scanned and
+      // tokenized exactly once; a groupBy on the raw docs frame would
+      // have been a second full pass (plan-guarded: one parquet scan)
       val wShard = Window.orderBy(col("shard"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val bases = docs.groupBy(col("shard"))
-        .agg(sum(col("n_tokens")).as("shard_total"))
+      val bases = within.groupBy(col("shard"))
+        .agg(max(col("local_off") + col("n_tokens")).as("shard_total"))
         .withColumn("base", coalesce(sum(col("shard_total")).over(wShard), lit(0L)))
         .select(col("shard"), col("base"))
       within.join(broadcast(bases), "shard")
@@ -555,7 +574,7 @@ object LlmTextQueries {
           i -> CAST('0x' || substr(md5(toks[i + 1] || ' ' || toks[i + 2] || ' ' ||
             toks[i + 3] || ' ' || toks[i + 4] || ' ' || toks[i + 5]), 1, 15) AS BIGINT)))) AS g
         FROM t),
-      d AS (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g)
+      d AS (SELECT g, count(*) AS df FROM g GROUP BY g)
       SELECT doc_id,
         CAST(count(*) AS BIGINT) AS n_grams,
         CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,

@@ -24,36 +24,40 @@ final class HealthServer(monitor: PipelineMonitor, port: Int = 0,
   }
   server.setExecutor(pool)
 
-  server.createContext("/health", { exchange =>
-    val health = monitor.health()
-    val body = toJson(health).getBytes(StandardCharsets.UTF_8)
-    val code = if (health("status") == "stopped") 503 else 200
+  private def respond(exchange: com.sun.net.httpserver.HttpExchange,
+      code: Int, payload: Any): Unit = {
+    val body = toJson(payload).getBytes(StandardCharsets.UTF_8)
     exchange.getResponseHeaders.add("Content-Type", "application/json")
     exchange.sendResponseHeaders(code, body.length)
     exchange.getResponseBody.write(body)
     exchange.close()
+  }
+
+  /** The /health verdict: (status code, snapshot). Shared by /readyz so
+    * the two can't drift; readiness additionally gates on the platform
+    * probes.
+    */
+  private def healthVerdict(): (Int, Map[String, Any]) = {
+    val health = monitor.health()
+    (if (health("status") == "stopped") 503 else 200, health)
+  }
+
+  server.createContext("/health", { exchange =>
+    val (code, health) = healthVerdict()
+    respond(exchange, code, health)
   })
 
   // k8s-style probe pair (`observability/http_health.py:62-83`):
   // liveness is unconditional — the process answering IS the signal;
   // readiness runs the health checks and 503s on any erroring component
   server.createContext("/healthz", { exchange =>
-    val body = """{"status":"ok"}""".getBytes(StandardCharsets.UTF_8)
-    exchange.getResponseHeaders.add("Content-Type", "application/json")
-    exchange.sendResponseHeaders(200, body.length)
-    exchange.getResponseBody.write(body)
-    exchange.close()
+    respond(exchange, 200, Map("status" -> "ok"))
   })
 
   server.createContext("/readyz", { exchange =>
-    val health = monitor.health()
+    val (code, health) = healthVerdict()
     val platformBad = platformCheck.exists(c => !c().healthy)
-    val code = if (health("status") == "stopped" || platformBad) 503 else 200
-    val body = toJson(health).getBytes(StandardCharsets.UTF_8)
-    exchange.getResponseHeaders.add("Content-Type", "application/json")
-    exchange.sendResponseHeaders(code, body.length)
-    exchange.getResponseBody.write(body)
-    exchange.close()
+    respond(exchange, if (platformBad) 503 else code, health)
   })
 
   // platform component probes (`observability/health.py:131-153` shape,
@@ -66,12 +70,7 @@ final class HealthServer(monitor: PipelineMonitor, port: Int = 0,
         "status" -> (if (report.healthy) "healthy" else "unhealthy"),
         "components" -> report.components.map(c =>
           c.name -> Map("status" -> c.status.value, "detail" -> c.detail)).toMap)
-      val body = toJson(payload).getBytes(StandardCharsets.UTF_8)
-      val code = if (report.healthy) 200 else 503
-      exchange.getResponseHeaders.add("Content-Type", "application/json")
-      exchange.sendResponseHeaders(code, body.length)
-      exchange.getResponseBody.write(body)
-      exchange.close()
+      respond(exchange, if (report.healthy) 200 else 503, payload)
     })
   }
 
@@ -85,11 +84,7 @@ final class HealthServer(monitor: PipelineMonitor, port: Int = 0,
           "current_offset" -> l.currentOffset,
           "high_watermark" -> l.highWatermark,
           "lag" -> l.lag)).toMap)
-      val body = toJson(payload).getBytes(StandardCharsets.UTF_8)
-      exchange.getResponseHeaders.add("Content-Type", "application/json")
-      exchange.sendResponseHeaders(200, body.length)
-      exchange.getResponseBody.write(body)
-      exchange.close()
+      respond(exchange, 200, payload)
     })
   }
 

@@ -28,6 +28,25 @@ class QueryCatalogSpec extends SparkSpec {
     }
   }
 
+  test("q75 fixture precondition: no (user_id, ts) ties among view events") {
+    // DuckDB's ASOF JOIN leaves its pick among duplicate r.ts rows
+    // unspecified, while q75's window formulation tie-breaks on
+    // r_event_id — with a tie the oracle compare could fail with no
+    // code defect. Guard the precondition per fixture (the q67-recall
+    // pattern) so a data refresh surfaces as THIS failure, not as a
+    // mysterious q75 hash mismatch.
+    import org.apache.spark.sql.functions._
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .foreach { dir =>
+        val ties = Tables.load(spark, dir, "events")
+          .filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts")).count()
+          .filter(col("count") > 1).count()
+        assert(ties === 0, s"$dir has $ties (user_id, ts) view ties — " +
+          "q75's oracle becomes ambiguous; re-derive the tie-break")
+      }
+  }
+
   test("query names are unique across sub-catalogs") {
     val parts = Seq(
       queries.RelationalQueries.queries, queries.WindowScalarQueries.queries,

@@ -82,5 +82,10 @@ class SketchAggSpec extends SparkSpec {
         s"banding must slice the signature array, not re-shuffle:\n$p")
       assert(!p.contains("SortMergeJoin"), s"verify path must broadcast:\n$p")
     } finally docsH.unpersist()
+    // and the SHIPPED query's visible (post-checkpoint) plan: nothing
+    // may sneak in between the materialized pair set and the sort
+    val shipped = plan("q52_minhash_lsh")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(shipped).size === 1,
+      s"only the final sort may follow the checkpoint:\n$shipped")
   }
 }
