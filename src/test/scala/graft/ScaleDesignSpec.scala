@@ -213,6 +213,15 @@ class ScaleDesignSpec extends SparkSpec {
       s"as-of must compose as a window pass, not a pair join:\n$p")
   }
 
+  test("q76: funnel stages join co-partitioned on the user key (no pair joins)") {
+    val p = plan("q76_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"stage progression must never become a per-pair time join:\n$p")
+    // every stage joins on user_id and re-aggregates on user_id — all
+    // shuffles are user-keyed except the final stage-count union sort
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty, s"plan:\n$p")
+  }
+
   test("q73: int8 quantization is map-side (single exchange, for the final sort)") {
     val p = plan("q73_embed_quantize")
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1,
