@@ -98,9 +98,15 @@ class ScaleDesignSpec extends SparkSpec {
   test("q47: hot-shingle df-cap is applied before the inverted-index self-join") {
     // the cap's aggregate appears in the plan as an extra count over
     // shingle feeding a filter — assert the plan carries it (guards
-    // against the cap being optimized away or dropped in a refactor)
-    val p = plan("q47_ngram_jaccard")
-    assert(p.contains("<= 256"), s"df-cap filter missing from plan:\n$p")
+    // against the cap being optimized away or dropped in a refactor).
+    // Inspect the PRE-checkpoint pipeline: the shipped query
+    // materializes the pair set, which truncates its visible plan.
+    val (pairs, sh) = graft.queries.LlmTextQueries.ngramJaccardPairs(spark, sf)
+    try {
+      val p = pairs.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("<= 256"), s"df-cap filter missing from plan:\n$p")
+    } finally sh.unpersist()
   }
 
   test("q63: IVF candidate scoring broadcasts probes/queries over the corpus; no cartesian") {
