@@ -139,18 +139,31 @@ object LlmTextQueries {
       sh.unpersist()
       val sym = edges.unionByName(
         edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      var labels = sym.select(col("doc_a").as("v")).distinct()
-        .withColumn("lbl", col("v")).localCheckpoint()
+      // localCheckpoint registers a persistent RDD per call; track the
+      // id so each superseded label snapshot is RELEASED once the next
+      // round is materialized — otherwise residency grows with cluster
+      // diameter (d+1 full |V|-row snapshots) instead of staying at 2
+      def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val out = df.localCheckpoint()
+        (out, (s.sparkContext.getPersistentRDDs.keySet -- before).toSet)
+      }
+      var (labels, labelsIds) = checkpointTracked(
+        sym.select(col("doc_a").as("v")).distinct().withColumn("lbl", col("v")))
       var changed = 1L
       while (changed > 0) {
         val viaNbr = sym.join(labels.select(col("v").as("doc_b"), col("lbl")), "doc_b")
           .select(col("doc_a").as("v"), col("lbl"))
-        val next = labels.unionByName(viaNbr)
-          .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint()
+        val (next, nextIds) = checkpointTracked(
+          labels.unionByName(viaNbr).groupBy(col("v")).agg(min(col("lbl")).as("lbl")))
         changed = next.join(labels.select(col("v"), col("lbl").as("prev")), "v")
           .filter(col("lbl") < col("prev")).count()
+        // nothing references the superseded snapshot once `changed` is
+        // computed — free its blocks now
+        labelsIds.foreach(id =>
+          s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
         labels = next
+        labelsIds = nextIds
       }
       labels.select(col("v").as("doc_id"), col("lbl").as("cluster_rep"))
         .orderBy(col("doc_id"))

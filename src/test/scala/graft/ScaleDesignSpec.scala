@@ -223,9 +223,15 @@ class ScaleDesignSpec extends SparkSpec {
     val p = plan("q76_funnel")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"stage progression must never become a per-pair time join:\n$p")
-    // every stage joins on user_id and re-aggregates on user_id — all
-    // shuffles are user-keyed except the final stage-count union sort
+    // corpus-sized data only ever shuffles on user_id (stage aggs +
+    // joins); the non-user-keyed exchanges are the four one-row stage
+    // counts (SinglePartition) and the 4-row output sort — bound the
+    // total so a stage re-shuffled on another key can't slip in
     assert("hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty, s"plan:\n$p")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 13,
+      s"unexpected extra shuffles in the funnel plan:\n$p")
+    assert(!"hashpartitioning\\((?!user_id)".r.findAllIn(p).hasNext,
+      s"corpus data must only shuffle on the user key:\n$p")
   }
 
   test("q73: int8 quantization is map-side (single exchange, for the final sort)") {
