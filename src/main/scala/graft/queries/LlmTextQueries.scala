@@ -135,19 +135,24 @@ object LlmTextQueries {
     //      checkpointed so iterative lineage can't stack. ----
     "q77_dedup_clusters" -> ((s, dir) => {
       val (pairs, sh) = ngramJaccardPairs(s, dir)
-      val edges = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
-      sh.unpersist()
-      val sym = edges.unionByName(
-        edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      // localCheckpoint registers a persistent RDD per call; track the
-      // id so each superseded label snapshot is RELEASED once the next
-      // round is materialized — otherwise residency grows with cluster
-      // diameter (d+1 full |V|-row snapshots) instead of staying at 2
+      // localCheckpoint registers a persistent RDD per call; track ids
+      // so each superseded snapshot is RELEASED once its consumer is
+      // materialized — otherwise residency grows with cluster diameter
+      // (d+1 full |V|-row snapshots) instead of staying at 2. Safe to
+      // diff the context-global persistent set: Verify/Bench run
+      // queries sequentially and forked test suites run sequentially.
       def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
         val before = s.sparkContext.getPersistentRDDs.keySet
         val out = df.localCheckpoint()
         (out, (s.sparkContext.getPersistentRDDs.keySet -- before).toSet)
       }
+      def release(ids: Set[Int]): Unit = ids.foreach(id =>
+        s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      val (edges, edgeIds) = checkpointTracked(
+        pairs.select(col("doc_a"), col("doc_b")))
+      sh.unpersist()
+      val sym = edges.unionByName(
+        edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       var (labels, labelsIds) = checkpointTracked(
         sym.select(col("doc_a").as("v")).distinct().withColumn("lbl", col("v")))
       var changed = 1L
@@ -160,11 +165,13 @@ object LlmTextQueries {
           .filter(col("lbl") < col("prev")).count()
         // nothing references the superseded snapshot once `changed` is
         // computed — free its blocks now
-        labelsIds.foreach(id =>
-          s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+        release(labelsIds)
         labels = next
         labelsIds = nextIds
       }
+      // the final labels snapshot is severed from the edges — the edge
+      // checkpoint is dead weight from here on
+      release(edgeIds)
       labels.select(col("v").as("doc_id"), col("lbl").as("cluster_rep"))
         .orderBy(col("doc_id"))
     }),
