@@ -10,8 +10,15 @@ import org.apache.spark.sql.SparkSession
   */
 object QBench {
   def main(args: Array[String]): Unit = {
-    val (flags, names) = args.partition(_.startsWith("--reps="))
-    val reps = flags.headOption.map(_.stripPrefix("--reps=").toInt).getOrElse(2)
+    // both `--reps=N` and `--reps N` (the Cli flag grammar)
+    @scala.annotation.tailrec
+    def parse(rest: List[String], reps: Int, names: List[String]): (Int, List[String]) = rest match {
+      case Nil => (reps, names.reverse)
+      case a :: tail if a.startsWith("--reps=") => parse(tail, a.stripPrefix("--reps=").toInt, names)
+      case "--reps" :: n :: tail => parse(tail, n.toInt, names)
+      case a :: tail => parse(tail, reps, a :: names)
+    }
+    val (reps, names) = parse(args.toList, 2, Nil)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

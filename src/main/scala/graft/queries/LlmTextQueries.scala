@@ -135,19 +135,23 @@ object LlmTextQueries {
     //      checkpointed so iterative lineage can't stack. ----
     "q77_dedup_clusters" -> ((s, dir) => {
       val (pairs, sh) = ngramJaccardPairs(s, dir)
-      // localCheckpoint registers a persistent RDD per call; track ids
-      // so each superseded snapshot is RELEASED once its consumer is
-      // materialized — otherwise residency grows with cluster diameter
-      // (d+1 full |V|-row snapshots) instead of staying at 2. Safe to
-      // diff the context-global persistent set: Verify/Bench run
-      // queries sequentially and forked test suites run sequentially.
-      def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-        val before = s.sparkContext.getPersistentRDDs.keySet
+      // localCheckpoint registers a persistent RDD per call; hold the
+      // RDD so each superseded snapshot is RELEASED once its consumer
+      // is materialized — otherwise residency grows with cluster
+      // diameter (d+1 full |V|-row snapshots) instead of staying at 2.
+      // The checkpointed RDD is read off the returned frame's own
+      // LogicalRDD leaf — never by diffing the session-global
+      // persistent-RDD registry, which would mis-attribute (and then
+      // unpersist) anything a CONCURRENT caller cached in between.
+      def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
         val out = df.localCheckpoint()
-        (out, (s.sparkContext.getPersistentRDDs.keySet -- before).toSet)
+        val rdds = out.queryExecution.logical.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }
+        (out, rdds)
       }
-      def release(ids: Set[Int]): Unit = ids.foreach(id =>
-        s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+        rdds.foreach(_.unpersist(false))
       val (edges, edgeIds) = checkpointTracked(
         pairs.select(col("doc_a"), col("doc_b")))
       sh.unpersist()

@@ -138,8 +138,12 @@ final class LakehouseSink private (
   *    appended immediately (the reference's per-message
   *    `producer.flush`, `dlq.py:68-71`); `> 0` → routed rows buffer
   *    driver-side (the producer-queue analogue; DLQ is exception
-  *    traffic, bounded by [[DlqWriter.MaxPendingRows]]) and append on
-  *    the interval or on [[flush]] (pipeline shutdown, `dlq.py:92-94`).
+  *    traffic, bounded by [[DlqWriter.MaxPendingRows]]) and a daemon
+  *    timer appends them every interval — delivery never waits for
+  *    the NEXT failure the way a route()-only elapsed check would
+  *    (librdkafka likewise delivers queued messages from its own
+  *    background thread). [[close]] stops the timer and drains
+  *    (pipeline shutdown, `dlq.py:92-94`).
   */
 final class DlqWriter(
     table: LakehouseTable,
@@ -152,6 +156,27 @@ final class DlqWriter(
   private var pendingSchema: Option[StructType] = None
   private var pendingSpark: Option[SparkSession] = None
   private var lastFlushMs: Long = System.currentTimeMillis()
+
+  // interval mode: buffered rows must reach the table even when no
+  // further batch ever fails — without this thread they'd sit in
+  // driver memory until shutdown (and be lost on a crash AFTER the
+  // streaming checkpoint already advanced past their batch)
+  private val ticker: Option[java.util.concurrent.ScheduledExecutorService] =
+    if (enabled && flushIntervalSeconds > 0) {
+      val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+        val t = new Thread(r, "dlq-flush-timer"); t.setDaemon(true); t
+      }
+      val periodMs = math.max(1L, (flushIntervalSeconds * 1000).toLong)
+      ex.scheduleWithFixedDelay(
+        () => try flush() catch {
+          // keep the timer alive across transient append failures —
+          // rows stay buffered and the next tick retries
+          case e: Exception =>
+            Console.err.println(s"[dlq] interval flush failed, will retry: $e")
+        },
+        periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      Some(ex)
+    } else None
 
   def route(batch: DataFrame, sinkId: String, error: Throwable): Unit = {
     if (!enabled) return
@@ -171,19 +196,32 @@ final class DlqWriter(
     if (flushIntervalSeconds <= 0) {
       table.append(dlqRows)
     } else {
-      // micro-batch frames are only valid inside the current
-      // foreachBatch call — buffer materialized rows, not the frame.
-      // Collect outside the lock (it's a Spark job); mutate under the
-      // same monitor flush() takes — flush() is public shutdown/tick
-      // API and may run from a different thread than the batch loop.
-      val rows = dlqRows.collect()
-      synchronized {
-        pending ++= rows
-        pendingSchema = Some(dlqRows.schema)
-        pendingSpark = Some(batch.sparkSession)
-        if (pending.size >= DlqWriter.MaxPendingRows ||
-            System.currentTimeMillis() - lastFlushMs >= (flushIntervalSeconds * 1000).toLong)
-          flush()
+      // the MaxPendingRows bound must apply BEFORE the batch lands in
+      // driver memory, not only across batches: probe the size with a
+      // bounded limit-count and write oversized batches straight to
+      // the table (executor-side), never through the driver buffer
+      val probe = dlqRows.limit(DlqWriter.MaxPendingRows + 1).count()
+      if (probe > DlqWriter.MaxPendingRows) {
+        // drain first so earlier buffered rows don't land after this
+        // batch's rows (best-effort ordering, same as the reference's
+        // queue-then-flush)
+        flush()
+        table.append(dlqRows)
+      } else {
+        // micro-batch frames are only valid inside the current
+        // foreachBatch call — buffer materialized rows, not the frame.
+        // Collect outside the lock (it's a Spark job); mutate under the
+        // same monitor flush() takes — flush() is public shutdown/tick
+        // API and may run from a different thread than the batch loop.
+        val rows = dlqRows.collect()
+        synchronized {
+          pending ++= rows
+          pendingSchema = Some(dlqRows.schema)
+          pendingSpark = Some(batch.sparkSession)
+          if (pending.size >= DlqWriter.MaxPendingRows ||
+              System.currentTimeMillis() - lastFlushMs >= (flushIntervalSeconds * 1000).toLong)
+            flush()
+        }
       }
     }
   }
@@ -197,6 +235,12 @@ final class DlqWriter(
       pending.clear()
     }
     lastFlushMs = System.currentTimeMillis()
+  }
+
+  /** Shutdown: stop the interval timer, then drain the buffer. */
+  def close(): Unit = {
+    ticker.foreach(_.shutdownNow())
+    flush()
   }
 }
 
@@ -229,11 +273,11 @@ final class ChangePipeline(
 
   val ledger = new CommitLedger(sinks.map(_.sinkId))
 
-  /** Shutdown path: durably append any interval-buffered DLQ rows
-    * (the reference flushes the DLQ producer on pipeline stop,
-    * `pipeline/runner.py:332`).
+  /** Shutdown path: stop the DLQ interval timer and durably append any
+    * buffered rows (the reference flushes the DLQ producer on pipeline
+    * stop, `pipeline/runner.py:332`).
     */
-  def flushDlq(): Unit = dlq.flush()
+  def flushDlq(): Unit = dlq.close()
 
   /** Live consumer-lag snapshot per (topic, partition) — the
     * `consumer_lag` block of the reference's pipeline health

@@ -47,6 +47,22 @@ class QueryCatalogSpec extends SparkSpec {
       }
   }
 
+  test("q74 fixture precondition: every documents.source matches ^src\\d+$") {
+    // q74 derives the mixture weight from CAST(substring(source, 4) AS
+    // INT); a non-conforming source value would diverge ASYMMETRICALLY
+    // on fixture drift (Spark's non-ANSI cast null-drops the rows,
+    // DuckDB's cast errors). Guard the precondition per gate corpus so
+    // a data refresh fails loudly here, not as a q74 hash mismatch.
+    import org.apache.spark.sql.functions._
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .foreach { dir =>
+        val bad = Tables.load(spark, dir, "documents")
+          .filter(!col("source").rlike("^src\\d+$")).count()
+        assert(bad === 0, s"$dir has $bad documents.source values not " +
+          "matching ^src\\d+$ — q74's derived keep rate becomes engine-dependent")
+      }
+  }
+
   test("query names are unique across sub-catalogs") {
     val parts = Seq(
       queries.RelationalQueries.queries, queries.WindowScalarQueries.queries,

@@ -93,4 +93,40 @@ class DlqConfigSpec extends SparkSpec {
     assert(table.read().select("dlq_topic").distinct().collect()
       .map(_.getString(0)).toSeq === Seq("t.dlq"))
   }
+
+  test("interval timer delivers buffered rows with NO further route() traffic") {
+    // the librdkafka-background-thread analogue: rows routed once must
+    // reach the table on the interval even if no other batch ever
+    // fails — previously delivery waited for the next route() call
+    val table = new LakehouseTable(spark, tmpDir("dlqc-t7"))
+    val dlq = new DlqWriter(table, flushIntervalSeconds = 0.2)
+    val pipe = pipeline(new FailingSink(Int.MaxValue), dlq)
+    pipe.processBatch(batch(), 0L)
+    val deadline = System.currentTimeMillis() + 10000
+    while (table.listSnapshots().isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(table.read().count() === 2,
+      "timer must append buffered rows without another route() call")
+    dlq.close()
+  }
+
+  test("buffered mode bypasses the driver buffer for oversized batches") {
+    // a batch beyond MaxPendingRows must never be collect()ed — it
+    // appends straight to the table while small batches keep buffering
+    import scala.jdk.CollectionConverters._
+    val big = spark.createDataFrame(
+      (0 until DlqWriter.MaxPendingRows + 5).map(i =>
+        Row("t", 0, i.toLong, "c", i.toLong, s"""{"id":$i}""", null, s"""{"id":$i}""")
+      ).asJava, ChangeEnvelope.schema)
+    val table = new LakehouseTable(spark, tmpDir("dlqc-t8"))
+    val dlq = new DlqWriter(table, flushIntervalSeconds = 3600.0)
+    dlq.route(big, "s1", new RuntimeException("down"))
+    assert(table.read().count() === DlqWriter.MaxPendingRows + 5,
+      "oversized batch must append directly on route()")
+    // a small batch after it still buffers until flush
+    dlq.route(batch(), "s1", new RuntimeException("down"))
+    assert(table.read().count() === DlqWriter.MaxPendingRows + 5)
+    dlq.close()
+    assert(table.read().count() === DlqWriter.MaxPendingRows + 7)
+  }
 }
