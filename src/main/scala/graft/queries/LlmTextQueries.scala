@@ -496,39 +496,35 @@ object LlmTextQueries {
     //      over #shards rows only, broadcast back). The full corpus is
     //      never pulled into one partition; only the shard-total frame
     //      (corpus/64 rows) is. ----
-    "q71_seq_pack" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val budget = 1024
-      val docs = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
-        .withColumn("shard", expr("doc_id div 64"))
-        // explicit: the broadcast join below infers isnotnull(shard) on
-        // its stream side only; stating it here keeps BOTH prefix-sum
-        // branches' shuffle subtrees canonically identical so
-        // ReuseExchange collapses them to one corpus scan (plan-guarded)
-        .filter(col("shard").isNotNull)
-      val wLocal = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val within = docs.withColumn("local_off",
-        coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
-      // shard totals fall out of the window branch itself (the running
-      // sum's last value per shard), so both plan branches hang off the
-      // SAME shard exchange (ReuseExchange) — the corpus is scanned and
-      // tokenized exactly once; a groupBy on the raw docs frame would
-      // have been a second full pass (plan-guarded: one parquet scan)
-      val wShard = Window.orderBy(col("shard"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val bases = within.groupBy(col("shard"))
-        .agg(max(col("local_off") + col("n_tokens")).as("shard_total"))
-        .withColumn("base", coalesce(sum(col("shard_total")).over(wShard), lit(0L)))
-        .select(col("shard"), col("base"))
-      within.join(broadcast(bases), "shard")
-        .withColumn("start_offset", col("base") + col("local_off"))
-        .withColumn("bin_id", expr(s"start_offset div $budget"))
+    "q71_seq_pack" -> ((s, dir) =>
+      packedOffsets(s, dir)
+        .withColumn("bin_id", expr(s"start_offset div $PackBudget"))
         .select(col("doc_id"), col("n_tokens"), col("start_offset"), col("bin_id"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
+    // ---- bin-boundary splitting: the step real GPT-style packing adds
+    //      on top of q71's layout — a document that CROSSES a context
+    //      boundary is sliced into head/tail fragments at each multiple
+    //      of the budget, so every bin holds exactly `budget` tokens
+    //      with no padding. Pure per-row arithmetic on the same prefix
+    //      sum: fragment f of a doc spanning [start, start+n) covers
+    //      bin first_bin+f, its length the overlap of the doc interval
+    //      with that bin's [bin·B, (bin+1)·B). The explode multiplies
+    //      rows only by fragments-per-doc (⌈n/B⌉+1 worst case) and runs
+    //      map-side after the broadcast join — still one corpus scan
+    //      (plan-guarded like q71). ----
+    "q78_seq_pack_split" -> ((s, dir) =>
+      packedOffsets(s, dir)
+        .withColumn("first_bin", expr(s"start_offset div $PackBudget"))
+        .withColumn("last_bin",
+          expr(s"(start_offset + n_tokens - 1) div $PackBudget"))
+        .withColumn("bin_id", explode(expr("sequence(first_bin, last_bin)")))
+        .withColumn("frag_id", (col("bin_id") - col("first_bin")).cast(IntegerType))
+        .withColumn("frag_tokens",
+          least(col("start_offset") + col("n_tokens"),
+              (col("bin_id") + lit(1L)) * PackBudget)
+            - greatest(col("start_offset"), col("bin_id") * PackBudget))
+        .select(col("doc_id"), col("frag_id"), col("bin_id"), col("frag_tokens"))
+        .orderBy(col("doc_id"), col("frag_id"))),
     // ---- multimodal plumbing: text→binary stand-in, typed metadata ----
     "q48_multimodal_meta" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -540,6 +536,50 @@ object LlmTextQueries {
         .orderBy(col("doc_id"))
     })
   )
+
+  /** Context-window token budget shared by q71 (bin assignment) and
+    * q78 (bin-boundary fragment splitting).
+    */
+  private[graft] val PackBudget = 1024L
+
+  /** The packing layout both q71 and q78 build on: every document's
+    * global token offset with the corpus laid end-to-end in doc_id
+    * order. Needs a global prefix sum of token counts — the one
+    * inherently sequential step — computed as a PARALLEL prefix sum:
+    * per-shard running sums (partitioned window, shards are doc_id
+    * ranges) + shard base offsets (a window over #shards rows only,
+    * broadcast back). The full corpus is never pulled into one
+    * partition; only the shard-total frame (corpus/64 rows) is.
+    */
+  private[graft] def packedOffsets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("shard", expr("doc_id div 64"))
+      // explicit: the broadcast join below infers isnotnull(shard) on
+      // its stream side only; stating it here keeps BOTH prefix-sum
+      // branches' shuffle subtrees canonically identical so
+      // ReuseExchange collapses them to one corpus scan (plan-guarded)
+      .filter(col("shard").isNotNull)
+    val wLocal = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = docs.withColumn("local_off",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    // shard totals fall out of the window branch itself (the running
+    // sum's last value per shard), so both plan branches hang off the
+    // SAME shard exchange (ReuseExchange) — the corpus is scanned and
+    // tokenized exactly once; a groupBy on the raw docs frame would
+    // have been a second full pass (plan-guarded: one parquet scan)
+    val wShard = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = within.groupBy(col("shard"))
+      .agg(max(col("local_off") + col("n_tokens")).as("shard_total"))
+      .withColumn("base", coalesce(sum(col("shard_total")).over(wShard), lit(0L)))
+      .select(col("shard"), col("base"))
+    within.join(broadcast(bases), "shard")
+      .withColumn("start_offset", col("base") + col("local_off"))
+  }
 
   /** q47's pipeline up to the jaccard-filtered pair set (un-sorted,
     * un-materialized) plus the cached shingle frame — callers control
@@ -706,6 +746,26 @@ object LlmTextQueries {
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
               FROM documents))
       ORDER BY doc_id""",
+    "q78_seq_pack_split" -> """
+      WITH offs AS (
+        SELECT doc_id, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        FROM (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents)),
+      frags AS (
+        SELECT doc_id, n_tokens, start_offset,
+          unnest(range(start_offset // 1024,
+                       (start_offset + n_tokens - 1) // 1024 + 1)) AS bin_id
+        FROM offs)
+      SELECT doc_id,
+        CAST(bin_id - start_offset // 1024 AS INT) AS frag_id,
+        CAST(bin_id AS BIGINT) AS bin_id,
+        CAST(LEAST(start_offset + n_tokens, (bin_id + 1) * 1024)
+           - GREATEST(start_offset, bin_id * 1024) AS BIGINT) AS frag_tokens
+      FROM frags
+      ORDER BY doc_id, frag_id""",
     "q54_rolling_fingerprint" -> """
       SELECT doc_id,
         array_to_string(list_sort(list(DISTINCT h))[1:4], '-') AS fingerprint

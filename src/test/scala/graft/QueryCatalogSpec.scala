@@ -63,6 +63,30 @@ class QueryCatalogSpec extends SparkSpec {
       }
   }
 
+  test("q78 invariants: fragments tile each doc; every full bin holds exactly the budget") {
+    import org.apache.spark.sql.functions._
+    val frags = SparkEntry.queries("q78_seq_pack_split")(spark, sf).cache()
+    try {
+      // fragments partition the document: per-doc frag_tokens sum back
+      // to the doc's token count from the q71 layout
+      val docs = SparkEntry.queries("q71_seq_pack")(spark, sf)
+        .select(col("doc_id"), col("n_tokens"))
+      val broken = frags.groupBy(col("doc_id"))
+        .agg(sum(col("frag_tokens")).as("tiled"))
+        .join(docs, "doc_id")
+        .filter(col("tiled") =!= col("n_tokens")).count()
+      assert(broken === 0, "fragment lengths must sum to the doc token count")
+      // the whole point of splitting: every bin except the trailing
+      // partial one is filled to exactly the 1024-token budget
+      val lastBin = frags.agg(max(col("bin_id"))).head().getLong(0)
+      val offBudget = frags.filter(col("bin_id") < lastBin)
+        .groupBy(col("bin_id"))
+        .agg(sum(col("frag_tokens")).as("fill"))
+        .filter(col("fill") =!= queries.LlmTextQueries.PackBudget).count()
+      assert(offBudget === 0, "every non-trailing bin must hold exactly the budget")
+    } finally frags.unpersist()
+  }
+
   test("query names are unique across sub-catalogs") {
     val parts = Seq(
       queries.RelationalQueries.queries, queries.WindowScalarQueries.queries,

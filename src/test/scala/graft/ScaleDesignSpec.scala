@@ -188,6 +188,25 @@ class ScaleDesignSpec extends SparkSpec {
       s"the corpus shuffle must be reused across branches at runtime:\n$executed")
   }
 
+  test("q78: boundary splitting stays map-side on the q71 prefix sum") {
+    val p = plan("q78_seq_pack_split")
+    // same invariants as q71 (shared prefix sum) ...
+    assert(p.contains("BroadcastHashJoin"),
+      s"shard base offsets must broadcast back, not shuffle the corpus:\n$p")
+    assert("Arguments: SinglePartition".r.findAllIn(p).size <= 1,
+      s"at most the tiny shard-total frame may single-partition:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // ... and the fragment explode must be a Generate directly on the
+    // joined stream — no exchange between the join and the explode
+    assert(p.contains("Generate"), s"fragment explode missing:\n$p")
+    val df = SparkEntry.queries("q78_seq_pack_split")(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(executed).size === 1 ||
+      executed.contains("ReusedExchange") || executed.contains("ReusedQueryStage"),
+      s"the corpus shuffle must be reused across branches at runtime:\n$executed")
+  }
+
   test("q72: boilerplate df-join co-partitions with the gram agg (no extra gram shuffle)") {
     val p = plan("q72_boilerplate")
     assert(!p.contains("CartesianProduct"))
