@@ -174,6 +174,63 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("stateful streaming funnel via flatMapGroupsWithState == batch q76") {
+    // the TRUE streaming form of the q76 conversion funnel: per-user
+    // state carries the entry timestamp of each reached stage; a stage
+    // fills from the FIRST event strictly after the previous stage's
+    // entry, which in event-time order equals the batch min-ts answer.
+    // Same ordering precondition as the as-of twin (event-time-ordered
+    // chunks keep per-user subsequences ordered; in-batch iterators are
+    // sorted explicitly).
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val (dir, schema) = eventsAsJsonFiles(4)
+
+    def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
+
+    val stages = Seq("signup", "view", "click", "purchase")
+    val q = streamed(dir, schema)
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[(Long, String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (Long, Int)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        // state(k) = micros of the stage-k entry event, MinValue if unreached
+        case (uid, evs, state: GroupState[Array[Long]]) =>
+          val st = state.getOption.getOrElse(Array.fill(4)(Long.MinValue))
+          val sorted = evs.toSeq.sortBy(e => (micros(e._3), e._4))
+          sorted.foreach { e =>
+            val k = stages.indexOf(e._2)
+            // first qualifying event in ts order == the batch min; the
+            // strict > matches q76's "after the previous-stage entry"
+            if (st(k) == Long.MinValue &&
+                (k == 0 || (st(k - 1) != Long.MinValue && micros(e._3) > st(k - 1))))
+              st(k) = micros(e._3)
+          }
+          state.update(st)
+          Iterator((uid, st.lastIndexWhere(_ != Long.MinValue) + 1))
+      }
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // update-mode memory sink appends updates; last row per user wins
+    val reached = spark.sql(
+      """SELECT _1 AS user_id, _2 AS reached FROM (
+           SELECT *, row_number() OVER (PARTITION BY _1 ORDER BY rid DESC) rn FROM (
+             SELECT *, monotonically_increasing_id() AS rid FROM funnel))
+         WHERE rn = 1""")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val got = (1 to 4).map(k => reached.values.count(_ >= k).toLong)
+    val want = graft.queries.StreamEquivQueries.queries("q76_funnel")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val wantCounts = Seq("1_signup", "2_view", "3_click", "4_purchase").map(want)
+    assert(wantCounts.head > 0, "batch funnel has no entrants — test is vacuous")
+    assert(got === wantCounts)
+  }
+
   test("session windows: streaming append mode emits exactly the batch sessions closed by the watermark") {
     val (dir, schema) = eventsAsJsonFiles(4)
     // append mode is the supported execution path for streaming session
