@@ -20,6 +20,10 @@ import graft.lakehouse.LakehouseTable
   *    flush/commit log (the exactly-once core, §2.4 A2).
   *  - q61: lakehouse snapshot lineage through append → upsert →
   *    rollback, read back via time travel (§1.3/§2.7).
+  *  - q79: lakehouse maintenance lineage — whole-table compaction,
+  *    snapshot expiry with physical file GC, and partition-scoped
+  *    compaction with its threshold/row-cap selectivity (§2.7,
+  *    `lakehouse/maintenance.py:106-244`).
   *
   * Each has a DuckDB oracle of literal VALUES — the expected rows are
   * hand-derived from the reference semantics (`sources/wal/decoder.py`,
@@ -179,6 +183,69 @@ object CdcOpQueries {
         (sn.snapshotId, sn.operation, r.getLong(0), r.getLong(1))
       }.toDF("snap", "operation", "n_rows", "sum_ids")
         .orderBy(col("snap"))
+    }),
+    // ---- q79: maintenance lineage. Phase A (plain table): three
+    //      2-file appends → whole-table compact to 1 file → expire
+    //      everything but the current snapshot and verify the physical
+    //      GC (only the compacted file survives on disk). Phase B
+    //      (hive-partitioned table): partition-scoped compaction must
+    //      rewrite ONLY p=a (3 files ≥ threshold, rows ≤ cap), leave
+    //      p=b (2 files < threshold) untouched, and SKIP p=c (3 files
+    //      but 30 rows > cap — too large for in-process compaction,
+    //      the reference's warn-and-skip). All counts/sums are scans of
+    //      the resulting table state, hash-gated against hand-derived
+    //      VALUES. ----
+    "q79_lakehouse_maintenance" -> ((s, _) => {
+      import s.implicits._
+      val rootA = java.nio.file.Files.createTempDirectory("graft-q79a")
+      val a = new LakehouseTable(s, rootA.toString)
+      def agg(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), sum("id")).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      a.append(Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x")).toDF("id", "v").repartition(2))
+      a.append(Seq((5L, "x"), (6L, "x"), (7L, "x"), (8L, "x")).toDF("id", "v").repartition(2))
+      a.append(Seq((9L, "x"), (10L, "x"), (11L, "x"), (12L, "x")).toDF("id", "v").repartition(2))
+      val (nA, sA) = agg(a.read())
+      val r1 = ("1_appends", a.listSnapshots().size.toLong,
+        a.currentSnapshot().get.files.size.toLong, nA, sA)
+      a.compact(fileThreshold = 4, maxRows = 1000)
+      val (nA2, sA2) = agg(a.read())
+      val r2 = ("2_compacted", a.listSnapshots().size.toLong,
+        a.currentSnapshot().get.files.size.toLong, nA2, sA2)
+      a.expireSnapshotsOlderThan(Long.MaxValue)
+      // physical GC proof: walk the data dir — expiry must have deleted
+      // every file only the expired snapshots referenced (tiny, driver-side)
+      import scala.jdk.CollectionConverters._
+      val onDisk = java.nio.file.Files.walk(rootA.resolve("data")).iterator().asScala
+        .count(p => p.toString.endsWith(".parquet") &&
+          java.nio.file.Files.isRegularFile(p)).toLong
+      val (nA3, sA3) = agg(a.read())
+      val r3 = ("3_expired", a.listSnapshots().size.toLong, onDisk, nA3, sA3)
+
+      val b = new LakehouseTable(s,
+        java.nio.file.Files.createTempDirectory("graft-q79b").toString)
+      def put(p: String, ids: Range): Unit =
+        b.append(ids.map(i => (i.toLong, p)).toDF("id", "p").repartition(1), Seq("p"))
+      Seq(1 to 2, 3 to 4, 5 to 6).foreach(put("a", _))   // 3 files, 6 rows
+      Seq(7 to 8, 9 to 10).foreach(put("b", _))          // 2 files, 4 rows
+      Seq(101 to 110, 111 to 120, 121 to 130).foreach(put("c", _)) // 3 files, 30 rows
+      val (nB, sB) = agg(b.read())
+      val r4 = ("4_part_appends", b.listSnapshots().size.toLong,
+        b.currentSnapshot().get.files.size.toLong, nB, sB)
+      b.compactPartitioned("p", fileThreshold = 3, maxRows = 20)
+      val snapsB = b.listSnapshots().size.toLong
+      val filesByPart = b.currentSnapshot().get.files
+        .groupBy(_.split('/').find(_.startsWith("p=")).map(_.drop(2)).getOrElse("?"))
+        .view.mapValues(_.size.toLong).toMap
+      val perPart = b.read().groupBy(col("p"))
+        .agg(count(lit(1)).as("n"), sum("id").as("s"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val r5 = Seq("a", "b", "c").map(p =>
+        (s"5_part_$p", snapsB, filesByPart(p), perPart(p)._1, perPart(p)._2))
+      (Seq(r1, r2, r3, r4) ++ r5)
+        .toDF("step", "n_snaps", "n_files", "n_rows", "sum_ids")
+        .orderBy(col("step"))
     })
   )
 
@@ -219,6 +286,24 @@ object CdcOpQueries {
         (3, 'upsert', 6, 21),
         (4, 'rollback', 5, 15))
       AS t(snap, operation, n_rows, sum_ids)
-      ORDER BY snap"""
+      ORDER BY snap""",
+    // hand-derived: phase A — 3 appends × 2 files × 4 rows (ids 1-12,
+    // Σ=78), compact folds 6 files → 1 (snapshot 4), expiry keeps only
+    // the current snapshot and GCs the 6 pre-compaction files (1
+    // parquet left on disk). Phase B — p=a 3×2 rows (Σ 1..6=21),
+    // p=b 2×2 (Σ 7..10=34), p=c 3×10 (Σ 101..130=3465); 8 appends
+    // + 1 compact snapshot; only p=a collapses to 1 file (threshold 3,
+    // cap 20: b under threshold, c over cap).
+    "q79_lakehouse_maintenance" -> """
+      SELECT * FROM (VALUES
+        ('1_appends',      3, 6, 12, 78),
+        ('2_compacted',    4, 1, 12, 78),
+        ('3_expired',      1, 1, 12, 78),
+        ('4_part_appends', 8, 8, 40, 3520),
+        ('5_part_a',       9, 1,  6, 21),
+        ('5_part_b',       9, 2,  4, 34),
+        ('5_part_c',       9, 3, 30, 3465))
+      AS t(step, n_snaps, n_files, n_rows, sum_ids)
+      ORDER BY step"""
   )
 }
