@@ -40,6 +40,28 @@ class IvfTrainingSpec extends SparkSpec {
     assert(after.max <= before.max)
   }
 
+  test("recall pin: IVF(nprobe=2) recall@5 vs exact top-k stays above the measured floor") {
+    // q63's oracle twin replicates the IVF geometry in SQL, so the hash
+    // gate proves the INDEX is computed right — not that the index is
+    // any GOOD. This pins the serving quality against the exact q49
+    // answer: measured 0.78 mean recall@5 on this fixture (nprobe=2 of
+    // 16 cells); a centroid/probe/geometry change that silently
+    // degrades retrieval fails HERE, not in production.
+    def topk(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topk("q49_cosine_topk")
+    val ivf = topk("q63_ann_ivf")
+    assert(exact.nonEmpty, "exact top-k returned nothing — pin is vacuous")
+    val recalls = exact.map { case (q, want) =>
+      ivf.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF recall@5 over ${recalls.size} queries: mean=$mean%.3f min=${recalls.min}%.2f")
+    assert(mean >= 0.75, f"IVF mean recall@5 degraded to $mean%.3f (floor 0.75, measured 0.78)")
+  }
+
   test("training is deterministic: identical centroids on re-run") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.load(spark, sf, "embeddings")
