@@ -169,10 +169,13 @@ final class DlqWriter(
       val periodMs = math.max(1L, (flushIntervalSeconds * 1000).toLong)
       ex.scheduleWithFixedDelay(
         () => try flush() catch {
-          // keep the timer alive across transient append failures —
-          // rows stay buffered and the next tick retries
-          case e: Exception =>
-            Console.err.println(s"[dlq] interval flush failed, will retry: $e")
+          // keep the timer alive across ANY throwable — an escaping
+          // Error would make scheduleWithFixedDelay silently cancel all
+          // future ticks, reintroducing the sit-until-shutdown bug this
+          // thread exists to prevent; rows stay buffered and the next
+          // tick retries
+          case t: Throwable =>
+            Console.err.println(s"[dlq] interval flush failed, will retry: $t")
         },
         periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
       Some(ex)
@@ -197,14 +200,16 @@ final class DlqWriter(
       table.append(dlqRows)
     } else {
       // the MaxPendingRows bound must apply BEFORE the batch lands in
-      // driver memory, not only across batches: probe the size with a
-      // bounded limit-count and write oversized batches straight to
-      // the table (executor-side), never through the driver buffer
-      val probe = dlqRows.limit(DlqWriter.MaxPendingRows + 1).count()
-      if (probe > DlqWriter.MaxPendingRows) {
-        // drain first so earlier buffered rows don't land after this
-        // batch's rows (best-effort ordering, same as the reference's
-        // queue-then-flush)
+      // driver memory, not only across batches: one bounded collect
+      // both probes the size (at most Max+1 rows ever reach the
+      // driver) and yields the rows for the common small-batch case —
+      // no separate count job re-executing the batch lineage
+      val rows = dlqRows.limit(DlqWriter.MaxPendingRows + 1).collect()
+      if (rows.length > DlqWriter.MaxPendingRows) {
+        // oversized: drain first so earlier buffered rows don't land
+        // after this batch's rows (best-effort ordering, same as the
+        // reference's queue-then-flush), then write the full batch
+        // executor-side, never through the driver buffer
         flush()
         table.append(dlqRows)
       } else {
@@ -213,7 +218,6 @@ final class DlqWriter(
         // Collect outside the lock (it's a Spark job); mutate under the
         // same monitor flush() takes — flush() is public shutdown/tick
         // API and may run from a different thread than the batch loop.
-        val rows = dlqRows.collect()
         synchronized {
           pending ++= rows
           pendingSchema = Some(dlqRows.schema)

@@ -97,12 +97,18 @@ class DlqConfigSpec extends SparkSpec {
   test("interval timer delivers buffered rows with NO further route() traffic") {
     // the librdkafka-background-thread analogue: rows routed once must
     // reach the table on the interval even if no other batch ever
-    // fails — previously delivery waited for the next route() call
+    // fails — previously delivery waited for the next route() call.
+    // Pin the DAEMON TIMER specifically, not route()'s inline elapsed
+    // check: warm the session first so route() completes well inside
+    // the interval, then prove the buffer was still pending when
+    // route() returned — after that, only the timer can deliver.
     val table = new LakehouseTable(spark, tmpDir("dlqc-t7"))
-    val dlq = new DlqWriter(table, flushIntervalSeconds = 0.2)
-    val pipe = pipeline(new FailingSink(Int.MaxValue), dlq)
-    pipe.processBatch(batch(), 0L)
-    val deadline = System.currentTimeMillis() + 10000
+    batch().limit(1).collect() // warm codegen/job machinery off the clock
+    val dlq = new DlqWriter(table, flushIntervalSeconds = 3.0)
+    dlq.route(batch(), "s1", new RuntimeException("down"))
+    assert(table.listSnapshots().isEmpty,
+      "rows must still be buffered when route() returns (inline check must NOT have fired)")
+    val deadline = System.currentTimeMillis() + 20000
     while (table.listSnapshots().isEmpty && System.currentTimeMillis() < deadline)
       Thread.sleep(50)
     assert(table.read().count() === 2,

@@ -48,6 +48,19 @@ class StreamingEquivalenceSpec extends SparkSpec {
     spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir)
       .withColumn("ts", col("ts").cast("timestamp"))
 
+  import StreamingEquivalenceSpec.micros
+
+  /** Update-mode memory sinks append every per-key update; the final
+    * state is the LAST row per key (_1) in arrival order. Shared by the
+    * latest-by-key and funnel tests.
+    */
+  private def lastRowPerKey(queryName: String): org.apache.spark.sql.DataFrame =
+    spark.sql(
+      s"""SELECT _1, _2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY _1 ORDER BY rid DESC) rn FROM (
+              SELECT *, monotonically_increasing_id() AS rid FROM $queryName))
+          WHERE rn = 1""")
+
   test("tumbling window counts: streaming (complete mode) == batch") {
     val (dir, schema) = eventsAsJsonFiles(5)
     val q = streamed(dir, schema)
@@ -110,12 +123,7 @@ class StreamingEquivalenceSpec extends SparkSpec {
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
 
-    // memory sink in update mode appends updates; last row per key wins
-    val got = spark.sql(
-      """SELECT _1 AS user_id, _2 AS last_event_id FROM (
-           SELECT *, row_number() OVER (PARTITION BY _1 ORDER BY rid DESC) rn FROM (
-             SELECT *, monotonically_increasing_id() AS rid FROM latest))
-         WHERE rn = 1""")
+    val got = lastRowPerKey("latest")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val want = graft.queries.StreamEquivQueries.queries("q39_latest_by_key")(spark, sf)
       .select(col("user_id"), col("last_event_id"))
@@ -133,9 +141,6 @@ class StreamingEquivalenceSpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val (dir, schema) = eventsAsJsonFiles(4)
-
-    def micros(ts: java.sql.Timestamp): Long =
-      (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
 
     val q = streamed(dir, schema)
       .filter(col("event_type").isin("click", "view"))
@@ -186,9 +191,6 @@ class StreamingEquivalenceSpec extends SparkSpec {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val (dir, schema) = eventsAsJsonFiles(4)
 
-    def micros(ts: java.sql.Timestamp): Long =
-      (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
-
     val stages = Seq("signup", "view", "click", "purchase")
     val q = streamed(dir, schema)
       .filter(col("event_type").isin(stages: _*))
@@ -216,12 +218,7 @@ class StreamingEquivalenceSpec extends SparkSpec {
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
 
-    // update-mode memory sink appends updates; last row per user wins
-    val reached = spark.sql(
-      """SELECT _1 AS user_id, _2 AS reached FROM (
-           SELECT *, row_number() OVER (PARTITION BY _1 ORDER BY rid DESC) rn FROM (
-             SELECT *, monotonically_increasing_id() AS rid FROM funnel))
-         WHERE rn = 1""")
+    val reached = lastRowPerKey("funnel")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     val got = (1 to 4).map(k => reached.values.count(_ >= k).toLong)
     val want = graft.queries.StreamEquivQueries.queries("q76_funnel")(spark, sf)
@@ -346,4 +343,17 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture produced no interval-join pairs — test is vacuous")
     assert(got === want)
   }
+}
+
+/** Serializable home for helpers captured by stateful-streaming
+  * closures — a spec-class method would drag the non-serializable
+  * suite into the task closure.
+  */
+object StreamingEquivalenceSpec extends Serializable {
+  /** Event-time as integral microseconds (the comparison key every
+    * stateful test sorts and compares on — one definition so a future
+    * sub-millisecond handling change can't make two tests disagree).
+    */
+  private[streaming] def micros(ts: java.sql.Timestamp): Long =
+    (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
 }
