@@ -204,6 +204,13 @@ object LlmSimQueries {
   val IvfNprobe = 2
   val IvfIters = 2
 
+  // q80 semantic-dedup threshold. The fixture's synthetic embeddings
+  // are near-orthogonal (max pairwise cosine ≈ 0.48-0.51 across the
+  // gate corpora), so the gate threshold sits INSIDE that range to
+  // exercise the drop path; real corpora pass their own `t` (the paper
+  // uses ~0.95 on OpenCLIP embeddings).
+  val SemDedupT = 0.4
+
   /** Centroids as driver-side values (index METADATA, O(C·dim) — the
     * same class as MLlib's per-iteration center collect; never the
     * data). The norm is a strict left fold over double-promoted floats,
@@ -332,6 +339,60 @@ object LlmSimQueries {
       }
     }
     cv
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the corpus with the q63 k-means
+    * (deterministic first-C init, fixed Lloyd passes), then within each
+    * cell drop every vector whose 6-dp cosine to ANY lower-id cell-mate
+    * reaches `t` — the paper's keep-one rule made order-deterministic:
+    * kept = vectors with no similar lower-id neighbor, and `dup_of`
+    * records the lowest such neighbor (chains collapse toward the
+    * lowest id, like q77's min-id representative; a dropped vector's
+    * dup_of may itself be dropped). Confining the pair space to the
+    * method's scale trick: O(Σ cellᵢ²) ≈ O(n²/C) instead of O(n²),
+    * with C grown alongside the corpus; cross-cell near-dups are out
+    * of scope by design (q67 covers the exact-recall contract).
+    *
+    * Scale shape: training is `IvfIters` shuffle-free treeAggregate
+    * jobs; assignment is pure map-side (centroid-literal argmax); the
+    * pair join is ONE shuffle keyed on the cell id (AQE splits skewed
+    * cells); the verdict join broadcasts the tiny dup set. Output is
+    * one row per vector — kept AND dropped, with its cell — so the
+    * gate pins the cluster geometry even when a corpus has no
+    * semantic dups.
+    */
+  def semanticDedup(e0: DataFrame, t: Double): DataFrame = {
+    val e = e0.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(sqnorm("embedding")))
+      .cache() // training collects + both pair-join sides re-scan it
+    val out = semanticDedupFrame(e, t)
+      // sever lineage before the sort (orderBy re-executes its child
+      // for range sampling) and let the corpus cache drop eagerly
+      .localCheckpoint()
+    e.unpersist()
+    out.orderBy(col("vec_id"))
+  }
+
+  /** The q80 pipeline up to the lineage cut (expects (vec_id,
+    * embedding, nrm)) — separate so the plan guard can inspect the
+    * join shape that localCheckpoint truncates from the public form.
+    */
+  private[graft] def semanticDedupFrame(e: DataFrame, t: Double): DataFrame = {
+    val cv = ivfCentroidValues(e)
+    val assigned = ivfAssignV(e, cv)
+    val a = assigned.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"), col("cell"))
+    val b = assigned.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"), col("cell").as("cell_b"))
+    val dups = a.join(b, col("cell") === col("cell_b") && col("id_b") < col("id_a"))
+      .withColumn("cosine", dround(dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cosine") >= t)
+      .groupBy(col("id_a").as("vec_id")).agg(min(col("id_b")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of").isNull.as("kept"), col("dup_of"))
   }
 
   /** Word 3-gram shingle hash SET per doc, as (doc_id, hs: array<long>).
@@ -534,6 +595,13 @@ object LlmSimQueries {
       graft.functions.GraftFunctions.register(s)
       neardupLsh(Tables.load(s, dir, "embeddings"))
     }),
+    // ---- SemDeDup semantic deduplication: the q63 k-means partitions
+    //      the corpus; within-cell cosine prunes near-duplicates
+    //      (keep-lowest-id). See semanticDedup for the scale shape. ----
+    "q80_semantic_dedup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      semanticDedup(Tables.load(s, dir, "embeddings"), SemDedupT)
+    }),
     // ---- symmetric int8 embedding quantization — the serving-side
     //      memory step before ANN (4× smaller vectors, SIMD-friendly
     //      int dot products). Per vector: scale = 127/max|x|, q_i =
@@ -650,12 +718,14 @@ object LlmSimQueries {
       s"($t, $l, [$lst]::DOUBLE[])"
     }).mkString(", ")
 
-  /** The q63 twin's Lloyd iterations, mirrored CTE-by-CTE from
+  /** Shared WITH-chain body for the IVF-backed oracles (q63, q80): the
+    * Lloyd iterations mirrored CTE-by-CTE from
     * [[ivfCentroidValues]]/[[ivfAssignV]] (same quantized integer sums,
     * same IEEE mean, same float cast — bit-identical centroids by
-    * construction).
+    * construction), ending at `ranked` (per-vec centroid ranking) and
+    * `assigned` (vec_id, embedding, nrm, cell).
     */
-  private def ivfOracleSql: String = {
+  private def ivfAssignCtes: String = {
     val iterCtes = (1 to IvfIters).map { k =>
       s"""
       scored$k AS (
@@ -679,8 +749,7 @@ object LlmSimQueries {
           list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9 AS FLOAT) ORDER BY pos) AS c_emb
         FROM sums$k GROUP BY cell)"""
     }.mkString(",")
-    s"""
-      WITH e AS (
+    s"""e AS (
         SELECT vec_id, embedding,
           sqrt(${dotSql("embedding", "embedding")}) AS nrm
         FROM embeddings),
@@ -696,7 +765,12 @@ object LlmSimQueries {
           PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS crk
         FROM scored_cells),
       assigned AS (SELECT vec_id, embedding, nrm, cent_id AS cell
-                   FROM ranked WHERE crk = 1),
+                   FROM ranked WHERE crk = 1)"""
+  }
+
+  /** The q63 twin: the shared IVF chain plus the probe/re-rank tail. */
+  private def ivfOracleSql: String = s"""
+      WITH $ivfAssignCtes,
       probes AS (SELECT vec_id AS q_id, cent_id AS cell
                  FROM ranked WHERE vec_id < 20 AND crk <= $IvfNprobe),
       qe AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
@@ -714,10 +788,23 @@ object LlmSimQueries {
         FROM scored)
       WHERE rk <= 5
       ORDER BY q_id, rk"""
-  }
 
   val oracle: Map[String, String] = Map(
     "q63_ann_ivf" -> ivfOracleSql,
+    // same trained cells as q63 (shared CTE chain), SemDeDup pruning tail
+    "q80_semantic_dedup" -> s"""
+      WITH $ivfAssignCtes,
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ${R(s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)", 6)} AS cosine
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND b.vec_id < a.vec_id),
+      dups AS (
+        SELECT id_a AS vec_id, min(id_b) AS dup_of FROM pairs
+        WHERE cosine >= $SemDedupT GROUP BY id_a)
+      SELECT a.vec_id, a.cell, d.dup_of IS NULL AS kept, d.dup_of
+      FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+      ORDER BY a.vec_id""",
     "q73_embed_quantize" -> s"""
       WITH m AS (
         SELECT vec_id, embedding,
