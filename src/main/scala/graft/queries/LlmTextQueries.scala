@@ -29,6 +29,17 @@ object LlmTextQueries {
     "fr" -> Seq("le", "la", "et"),
     "es" -> Seq("el", "los", "y"))
 
+  /** q81 weight table: D hash buckets → integer weight in [-100, 100].
+    * Deterministic pseudo-weights (Knuth multiplicative hash of the
+    * bucket id) standing in for trained fastText/CCNet classifier
+    * weights; zero-centered so keep/drop actually splits a corpus.
+    * Embedded as the SAME literal list in the Spark expression and the
+    * DuckDB twin, so the classifier is portable by construction.
+    */
+  val QualityD = 256
+  val QualityW: IndexedSeq[Int] =
+    (0 until QualityD).map(b => (((b * 2654435761L + 12345L) % 201L) - 100L).toInt)
+
   val queries: Map[String, Q] = Map(
     // ---- exact dedup: group identical content, keep lowest doc_id ----
     "q41_dedup_exact" -> ((s, dir) => {
@@ -370,6 +381,33 @@ object LlmTextQueries {
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
         .orderBy(col("source"))
+    }),
+    // ---- fastText-style quality classifier: hashed bag-of-words ×
+    //      a D-bucket linear weight table (the CCNet/fastText filtering
+    //      step of web-corpus pipelines). The WEIGHTS are a
+    //      deterministic fixture — no training corpus ships with this
+    //      environment (same honest-stub stance as the multimodal
+    //      decode); the OPERATOR is the real part: per-token md5
+    //      bucketing, exact BIGINT score accumulation
+    //      (accumulation-order-free, so any partitioning yields the
+    //      identical score), IEEE-double normalization, threshold at 0.
+    //      Fully map-side — one pass over corpus bytes, the only
+    //      exchange is the output sort. ----
+    "q81_quality_classifier" -> ((s, dir) => {
+      val wArr = QualityW.mkString(",")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("size(split(text, ' '))").as("n_tokens"),
+          expr(s"""aggregate(
+              transform(split(text, ' '),
+                w -> element_at(array($wArr),
+                  CAST(pmod(CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT), $QualityD) AS INT) + 1)),
+              0L, (acc, x) -> acc + x)""").as("score_int"))
+        .select(col("doc_id"), col("n_tokens"),
+          dround(col("score_int").cast(DoubleType) /
+            (lit(100.0) * col("n_tokens").cast(DoubleType)), 6).as("score"),
+          (col("score_int") >= 0L).as("keep"))
+        .orderBy(col("doc_id"))
     }),
     // ---- document chunking: fixed 50-token windows with 10-token
     //      overlap (stride 40) — the context-window prep every training
@@ -889,6 +927,22 @@ object LlmTextQueries {
         chunk[1] AS first_tok
       FROM c
       ORDER BY doc_id, chunk_id""",
+    // identical literal weight table + md5 bucketing as the Spark side;
+    // BIGINT sums are accumulation-order-free so both engines agree
+    "q81_quality_classifier" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sc AS (
+        SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+          CAST(list_sum(list_transform(toks,
+            w -> ([${QualityW.mkString(",")}])[
+              CAST(CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % $QualityD AS INT) + 1]))
+            AS BIGINT) AS score_int
+        FROM t)
+      SELECT doc_id, n_tokens,
+        ${R(s"CAST(score_int AS DOUBLE) / (100.0 * CAST(n_tokens AS DOUBLE))", 6)} AS score,
+        score_int >= 0 AS keep
+      FROM sc
+      ORDER BY doc_id""",
     "q74_domain_mix" -> """
       WITH w AS (
         SELECT DISTINCT source,

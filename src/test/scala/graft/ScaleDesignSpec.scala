@@ -164,6 +164,13 @@ class ScaleDesignSpec extends SparkSpec {
       s"regex redaction must scale linearly with corpus bytes, no shuffle:\n$p")
   }
 
+  test("q81: quality classifier is map-side (single exchange, for the final sort)") {
+    val p = plan("q81_quality_classifier")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1,
+      s"hashed-BoW scoring must scale linearly with corpus bytes, no shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q71: packing prefix-sum never pulls the corpus into one partition") {
     val p = plan("q71_seq_pack")
     // per-doc running sums go through the shard-partitioned window
