@@ -294,16 +294,19 @@ object LlmTextQueries {
     //      engine-identical, unlike ln()/log() whose libm
     //      implementations differ at the ulp level. Plan: explode →
     //      two partial-agg shuffles (by (doc,tok) and by tok) → hash
-    //      join on tok. ----
+    //      join on tok; the corpus count N rides along as a broadcast
+    //      1-row aggregate instead of a separate driver-side count()
+    //      action, so the whole query is ONE job. ----
     "q57_tfidf" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val n = docs.count()
+      val n1 = docs.agg((count(lit(1)) + lit(1L)).cast(DoubleType).as("n1"))
       val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       val dfreq = tok.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
       tf.join(dfreq, "tok")
+        .crossJoin(broadcast(n1))
         .withColumn("tfidf", dround(
-          col("tf").cast(DoubleType) * (n + 1).toDouble / (col("df") + lit(1)).cast(DoubleType), 6))
+          col("tf").cast(DoubleType) * col("n1") / (col("df") + lit(1)).cast(DoubleType), 6))
         .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("tfidf"))
         .orderBy(col("doc_id"), col("tok"))
     }),
