@@ -163,6 +163,10 @@ object RelationalQueries {
         .filter(col("n_orders") >= 3)
         .orderBy(col("o_custkey"))
     }),
+    // Plan-audited (guarded in ScaleDesignSpec): the three distincts
+    // compile to Expand (3× rows, one gid each) with a key-only partial
+    // HashAggregate BEFORE the exchange, so the shuffle carries deduped
+    // (rf, col, gid) tuples — already the two-phase distinct plan.
     "q12_count_distinct" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))

@@ -272,6 +272,28 @@ class ScaleDesignSpec extends SparkSpec {
       s"binary feature extraction must not shuffle blobs:\n$p")
   }
 
+  test("q12: multi-distinct dedups map-side before the shuffle (Expand → partial HashAggregate → Exchange)") {
+    val p = plan("q12_count_distinct")
+    // Three countDistincts over one groupBy compile to Expand (3× rows,
+    // one gid per distinct group). The scale property: the node directly
+    // above Expand must be a key-only HashAggregate (map-side dedup of
+    // (group key, distinct cols, gid)) so the Exchange carries deduped
+    // tuples, never the raw expanded rows. Formatted-explain detail
+    // headers number nodes bottom-up, so Expand's id + 1 / + 2 are its
+    // immediate ancestors in this linear plan.
+    val byId = "(?m)^\\((\\d+)\\) ([A-Za-z]+)".r.findAllMatchIn(p)
+      .map(m => m.group(1).toInt -> m.group(2)).toMap
+    val expandId = byId.collectFirst { case (id, "Expand") => id }
+      .getOrElse(fail(s"no Expand in q12 plan:\n$p"))
+    assert(byId(expandId + 1) === "HashAggregate",
+      s"expanded rows must hit a partial dedup aggregate before any exchange:\n$p")
+    assert(byId(expandId + 2) === "Exchange",
+      s"expected the dedup shuffle directly above the partial aggregate:\n$p")
+    // and the dedup node is key-only (no aggregate functions yet)
+    assert(p.contains("Functions: []"),
+      s"the pre-shuffle aggregate must be pure key dedup:\n$p")
+  }
+
   test("salted join spreads a skewed key and preserves the exact result") {
     import spark.implicits._
     // heavily skewed left side: 10k rows of key 1, a handful of others
