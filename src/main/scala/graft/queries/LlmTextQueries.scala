@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{Tables, Det}
@@ -317,26 +317,7 @@ object LlmTextQueries {
     //      the dedup groupBy; the chain's output is the surviving
     //      corpus manifest. ----
     "q64_corpus_filter" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      // dedup: representative = min(doc_id) per content hash
-      val keep = docs.withColumn("fp", sha2(col("text"), 256))
-        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      val toks = size(split(col("text"), " ")).cast(DoubleType)
-      val stops = size(expr(
-        "filter(split(text, ' '), t -> t IN ('the','a','of','and','is','to','in'))"
-      )).cast(DoubleType)
-      val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType)
-      val quality =
-        round(dround(stops / toks, 6).cast(DecimalType(18, 6)) * lit(new java.math.BigDecimal("0.3")) +
-              dround(alpha / col("n_chars").cast(DoubleType), 6).cast(DecimalType(18, 6)) * lit(new java.math.BigDecimal("0.4")) +
-              when(col("n_chars") >= 200 && col("n_chars") <= 5000, lit(new java.math.BigDecimal("1.0")))
-                .otherwise(lit(new java.math.BigDecimal("0.0"))) * lit(new java.math.BigDecimal("0.3")), 6)
-          .cast(DoubleType)
-      docs.join(keep, "doc_id") // dedup survivors only
-        .withColumn("quality", quality)
-        .withColumn("n_tokens", size(split(col("text"), " ")))
-        .filter(col("quality") >= 0.5 && col("n_tokens") >= 20 && col("lang") === "en")
+      corpusFilterSurvivors(s, dir)
         .select(col("doc_id"), col("quality"), col("n_tokens"))
         .orderBy(col("doc_id"))
     }),
@@ -566,6 +547,124 @@ object LlmTextQueries {
             - greatest(col("start_offset"), col("bin_id") * PackBudget))
         .select(col("doc_id"), col("frag_id"), col("bin_id"), col("frag_tokens"))
         .orderBy(col("doc_id"), col("frag_id"))),
+    // ---- the composed curation pipeline: the end-to-end job a training
+    //      run actually submits, chaining the gated stages in their
+    //      production order — exact dedup + quality/language gate (q64's
+    //      survivor set), benchmark decontamination against the eval
+    //      slice (q68's gram join, here as a survivor-side anti-join),
+    //      then sequence packing of what remains (q71's parallel prefix
+    //      sum). Each stage is individually hash-gated; this row gates
+    //      their COMPOSITION (stage ordering, survivor-set plumbing,
+    //      filtered-corpus packing). Scale shape inherits from the
+    //      parts: digest-shuffle dedup, map-side scoring, broadcast eval
+    //      gram set with the corpus touched once, prefix sum that never
+    //      pulls the corpus into one partition. The survivor frame feeds
+    //      both the gram join and the anti-join probe side; at 100 TB
+    //      you'd persist it between stages — at gate scale Spark's
+    //      ReuseExchange handles the shared dedup subtree. ----
+    "q82_curation_pipeline" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      // stages 1+2: dedup representative ∧ quality ∧ language, minus
+      // the held-out eval slice (those rows are the benchmark, not
+      // training data)
+      val surv = corpusFilterSurvivors(s, dir)
+        .filter(col("doc_id") % 100 >= 5)
+      // stage 3: decontamination — the eval gram set comes from the FULL
+      // eval slice (benchmarks are given, not quality-filtered); any
+      // survivor sharing a 4-gram is dropped. n_tokens ≥ 20 implies the
+      // ≥ 4-token floor, so no extra length filter on the gram side.
+      val evalGrams = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(col("doc_id") % 100 < 5 && size(col("toks")) >= 4)
+        .select(explode(expr("ngram_hashes(toks, 4, 0)")).as("g")).distinct()
+      val contaminated = surv
+        .select(col("doc_id"),
+          explode(expr("ngram_hashes(split(text, ' '), 4, 0)")).as("g"))
+        .join(broadcast(evalGrams), "g")
+        .select(col("doc_id")).distinct()
+      val clean = surv.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("quality"),
+          col("n_tokens").cast(LongType).as("n_tokens"))
+      // stage 4: pack the curated corpus into 1024-token context bins
+      packedOffsetsOf(clean)
+        .withColumn("bin_id", expr(s"start_offset div $PackBudget"))
+        .select(col("doc_id"), col("quality"), col("n_tokens"),
+          col("start_offset"), col("bin_id"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- mixture sampling plan: the arithmetic every pretraining run
+    //      does before touching data — per-domain token counts × target
+    //      mixture weights → per-domain token allocations and epoch
+    //      (repeat) factors for a fixed total training budget. One
+    //      map-side-partial agg to domain granularity (20 rows at any
+    //      corpus size), then broadcast of the 1-row weight total; the
+    //      allocation itself is exact integer arithmetic (weight·budget
+    //      div Σweights) so both engines agree bit-for-bit. The
+    //      upsampling flag compares integers (target > available), not
+    //      rounded doubles. ----
+    "q83_mixture_plan" -> ((s, dir) => {
+      val budget = 1000000L // total training-token budget
+      val perSrc = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+        // same src-id-derived weight convention as q74's keep rates
+        .withColumn("weight", expr("CAST(substring(source, 4) AS INT) % 4 + 1"))
+      val totalW = perSrc.agg(sum(col("weight")).cast(LongType).as("w_total"))
+      perSrc.crossJoin(broadcast(totalW))
+        .withColumn("target_tokens",
+          expr(s"CAST(weight AS BIGINT) * $budget div w_total"))
+        .withColumn("epochs", dround(
+          col("target_tokens").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6))
+        .withColumn("upsample", col("target_tokens") > col("n_tokens"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+          col("target_tokens"), col("epochs"), col("upsample"))
+        .orderBy(col("source"))
+    }),
+    // ---- vocabulary coverage: top-64 corpus tokens by frequency with
+    //      document frequency and cumulative corpus coverage — the
+    //      tokenizer-budget analysis run before vocab induction. Scale
+    //      shape: the classic word count (explode → partial agg on the
+    //      token key), top-k via TakeOrderedAndProject; the total-token
+    //      denominator is Σfreq over the VOCAB frame (never a second
+    //      corpus pass), and the rank/cumsum windows run over 64 rows. ----
+    "q84_vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("n_docs"))
+      val total = freq.agg(sum(col("freq")).cast(LongType).as("total_tokens"))
+      val ord = Seq(col("freq").desc, col("tok").asc)
+      freq.orderBy(ord: _*).limit(64)
+        .crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+        .withColumn("coverage", dround(
+          sum(col("freq")).over(Window.orderBy(ord: _*)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType) / col("total_tokens").cast(DoubleType), 6))
+        .select(col("rank"), col("tok"), col("freq"), col("n_docs"), col("coverage"))
+        .orderBy(col("rank"))
+    }),
+    // ---- train/valid/test split assignment: the deterministic
+    //      content-hash partition (90/5/5) every corpus ships with —
+    //      q65's no-RNG bucket trick, but as a COVERING disjoint
+    //      partition with per-(split, lang) audit counts. Map-side
+    //      bucket + one partial-agg shuffle to (split, lang) rows. ----
+    "q85_split_assign" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .withColumn("bucket",
+          expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) % 100"))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "valid").otherwise("test"))
+        .withColumn("n", size(split(col("text"), " ")).cast(LongType))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("split"), col("lang"))
+    }),
     // ---- multimodal plumbing: text→binary stand-in, typed metadata ----
     "q48_multimodal_meta" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -583,6 +682,42 @@ object LlmTextQueries {
     */
   private[graft] val PackBudget = 1024L
 
+  /** q64's scoring expression (stopword/alpha/length-window mix in exact
+    * decimal — see q45 for why DECIMAL(18,6), not (38,6)). Shared by the
+    * standalone filter (q64) and the composed curation pipeline (q82).
+    */
+  private def curationQuality: Column = {
+    val toks = size(split(col("text"), " ")).cast(DoubleType)
+    val stops = size(expr(
+      "filter(split(text, ' '), t -> t IN ('the','a','of','and','is','to','in'))"
+    )).cast(DoubleType)
+    val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType)
+    round(dround(stops / toks, 6).cast(DecimalType(18, 6)) * lit(new java.math.BigDecimal("0.3")) +
+          dround(alpha / col("n_chars").cast(DoubleType), 6).cast(DecimalType(18, 6)) * lit(new java.math.BigDecimal("0.4")) +
+          when(col("n_chars") >= 200 && col("n_chars") <= 5000, lit(new java.math.BigDecimal("1.0")))
+            .otherwise(lit(new java.math.BigDecimal("0.0"))) * lit(new java.math.BigDecimal("0.3")), 6)
+      .cast(DoubleType)
+  }
+
+  /** q64's survivor set (exact-dedup representative ∧ quality ≥ 0.5 ∧
+    * ≥ 20 tokens ∧ lang = en), with `text` carried through so composing
+    * stages (q82's decontamination) can re-tokenize without a second
+    * join back to the corpus. Scale shape: the dedup side shuffles
+    * 32-byte digests; scoring is map-side on the join survivors.
+    */
+  private[graft] def corpusFilterSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    // dedup: representative = min(doc_id) per content hash
+    val keep = docs.withColumn("fp", sha2(col("text"), 256))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    docs.join(keep, "doc_id") // dedup survivors only
+      .withColumn("quality", curationQuality)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .filter(col("quality") >= 0.5 && col("n_tokens") >= 20 && col("lang") === "en")
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("text"))
+  }
+
   /** The packing layout both q71 and q78 build on: every document's
     * global token offset with the corpus laid end-to-end in doc_id
     * order. Needs a global prefix sum of token counts — the one
@@ -592,11 +727,17 @@ object LlmTextQueries {
     * broadcast back). The full corpus is never pulled into one
     * partition; only the shard-total frame (corpus/64 rows) is.
     */
-  private[graft] def packedOffsets(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.load(s, dir, "documents")
+  private[graft] def packedOffsets(s: SparkSession, dir: String): DataFrame =
+    packedOffsetsOf(Tables.load(s, dir, "documents")
       .select(col("doc_id"),
-        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens")))
+
+  /** Same parallel prefix sum over any (doc_id, n_tokens: Long, …carried
+    * columns) frame — q82 packs its curated survivor set through here.
+    */
+  private[graft] def packedOffsetsOf(input: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = input
       .withColumn("shard", expr("doc_id div 64"))
       // explicit: the broadcast join below infers isnotnull(shard) on
       // its stream side only; stating it here keeps BOTH prefix-sum
@@ -807,6 +948,92 @@ object LlmTextQueries {
            - GREATEST(start_offset, bin_id * 1024) AS BIGINT) AS frag_tokens
       FROM frags
       ORDER BY doc_id, frag_id""",
+    // the composed q64 → q68 → q71 chain; each CTE is the corresponding
+    // standalone oracle verbatim so the composition can only diverge in
+    // the plumbing this row is meant to gate. `contam` covers all
+    // non-eval docs (a superset of the survivors) — the anti-join makes
+    // the extra ids inert, and it keeps the CTE identical to q68's.
+    "q82_curation_pipeline" -> s"""
+      WITH keep AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+      scored AS (
+        SELECT doc_id,
+          CAST(round(CAST(stopword_ratio AS DECIMAL(18,6)) * 0.3
+                   + CAST(alpha_ratio AS DECIMAL(18,6)) * 0.4
+                   + CAST(len_ok AS DECIMAL(18,6)) * 0.3, 6) AS DOUBLE) AS quality,
+          n_tokens
+        FROM (
+          SELECT doc_id, lang, n_chars,
+            ${R("CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is','to','in'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)", 6)} AS stopword_ratio,
+            ${R("CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE)", 6)} AS alpha_ratio,
+            CASE WHEN n_chars >= 200 AND n_chars <= 5000 THEN 1.0 ELSE 0.0 END AS len_ok,
+            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+          FROM documents
+          WHERE lang = 'en')),
+      surv AS (
+        SELECT s.doc_id, s.quality, s.n_tokens
+        FROM scored s JOIN keep k ON s.doc_id = k.doc_id
+        WHERE s.quality >= 0.5 AND s.n_tokens >= 20 AND s.doc_id % 100 >= 5),
+      t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 4),
+      g AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(len(toks) - 3),
+          i -> CAST('0x' || substr(md5(toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] || ' ' || toks[i + 4]), 1, 15) AS BIGINT)))) AS g
+        FROM t),
+      ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 100 < 5),
+      contam AS (
+        SELECT DISTINCT doc_id FROM g JOIN ev USING (g) WHERE doc_id % 100 >= 5),
+      clean AS (
+        SELECT * FROM surv
+        WHERE NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = surv.doc_id)),
+      packed AS (
+        SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+          CAST(COALESCE(SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        FROM clean)
+      SELECT doc_id, quality, n_tokens, start_offset,
+        CAST(start_offset // 1024 AS BIGINT) AS bin_id
+      FROM packed
+      ORDER BY doc_id""",
+    "q83_mixture_plan" -> s"""
+      WITH per_src AS (
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+          CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS INT) AS weight
+        FROM documents GROUP BY source),
+      w AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM per_src)
+      SELECT source, n_docs, n_tokens, weight,
+        CAST(CAST(weight AS BIGINT) * 1000000 // w_total AS BIGINT) AS target_tokens,
+        ${R("CAST(CAST(weight AS BIGINT) * 1000000 // w_total AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)} AS epochs,
+        CAST(weight AS BIGINT) * 1000000 // w_total > n_tokens AS upsample
+      FROM per_src, w
+      ORDER BY source""",
+    "q84_vocab_coverage" -> s"""
+      WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      freq AS (
+        SELECT tok, count(*) AS freq, count(DISTINCT doc_id) AS n_docs
+        FROM tk GROUP BY tok),
+      tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total_tokens FROM freq),
+      top AS (SELECT * FROM freq ORDER BY freq DESC, tok LIMIT 64)
+      SELECT CAST(row_number() OVER (ORDER BY freq DESC, tok) AS INT) AS rank,
+        tok, freq, n_docs,
+        ${R("CAST(CAST(sum(freq) OVER (ORDER BY freq DESC, tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE) / CAST(total_tokens AS DOUBLE)", 6)} AS coverage
+      FROM top, tot
+      ORDER BY rank""",
+    "q85_split_assign" -> """
+      SELECT
+        CASE WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 < 90 THEN 'train'
+             WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 < 95 THEN 'valid'
+             ELSE 'test' END AS split,
+        lang, count(*) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM documents
+      GROUP BY 1, 2
+      ORDER BY split, lang""",
     "q54_rolling_fingerprint" -> """
       SELECT doc_id,
         array_to_string(list_sort(list(DISTINCT h))[1:4], '-') AS fingerprint

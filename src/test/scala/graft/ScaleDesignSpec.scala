@@ -272,6 +272,38 @@ class ScaleDesignSpec extends SparkSpec {
       s"binary feature extraction must not shuffle blobs:\n$p")
   }
 
+  test("q82: curation pipeline broadcasts the eval gram set and anti-joins survivors (no cartesian)") {
+    val p = plan("q82_curation_pipeline")
+    assert(!p.contains("CartesianProduct"), s"no pair blowup anywhere:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval gram set must broadcast (it is small by construction):\n$p")
+    assert(p.contains("LeftAnti"),
+      s"contaminated survivors must drop via anti-join, not a collected filter:\n$p")
+  }
+
+  test("q83: mixture plan aggregates two-phase; the weight total rides a 1-row broadcast") {
+    val p = plan("q83_mixture_plan")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-source token agg must be partial map-side + final:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the Σweights join must broadcast, never a cartesian shuffle:\n$p")
+  }
+
+  test("q84: vocab top-k avoids a global sort; word count aggregates two-phase") {
+    val p = plan("q84_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-64 must compile to TakeOrderedAndProject:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"token frequency agg must be partial map-side + final:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q85: split assignment is map-side up to the (split, lang) agg (two exchanges)") {
+    val p = plan("q85_split_assign")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 2,
+      s"bucket + split derivation must stay map-side (agg exchange + sort only):\n$p")
+  }
+
   test("q12: multi-distinct dedups map-side before the shuffle (Expand → partial HashAggregate → Exchange)") {
     val p = plan("q12_count_distinct")
     // Three countDistincts over one groupBy compile to Expand (3× rows,
