@@ -279,6 +279,16 @@ class ScaleDesignSpec extends SparkSpec {
       s"the eval gram set must broadcast (it is small by construction):\n$p")
     assert(p.contains("LeftAnti"),
       s"contaminated survivors must drop via anti-join, not a collected filter:\n$p")
+    // the survivor frame feeds both the gram join and the anti-join
+    // probe side, and the packing prefix sum hangs two window branches
+    // off the anti-join output — AQE must stitch those into reused
+    // stages at runtime rather than recompute the dedup + survivor
+    // subtrees per branch
+    val df = SparkEntry.queries("q82_curation_pipeline")(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") || executed.contains("ReusedQueryStage"),
+      s"shared curation subtrees must be reused across branches at runtime:\n$executed")
   }
 
   test("q83: mixture plan aggregates two-phase; the weight total rides a 1-row broadcast") {
