@@ -87,6 +87,55 @@ class QueryCatalogSpec extends SparkSpec {
     } finally frags.unpersist()
   }
 
+  test("q82 composition invariants: survivors ⊆ q64 minus eval slice; packing tiles the curated corpus") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q82_curation_pipeline")(spark, sf).cache()
+    try {
+      // stage plumbing: every q82 row is a q64 survivor outside the
+      // eval slice (decontamination can only REMOVE rows)
+      val q64 = SparkEntry.queries("q64_corpus_filter")(spark, sf)
+        .filter(col("doc_id") % 100 >= 5)
+      val extras = out.join(q64, Seq("doc_id"), "left_anti").count()
+      assert(extras === 0, "q82 emitted a doc that is not a non-eval q64 survivor")
+      // packing invariant on the FILTERED corpus: offsets are the exact
+      // prefix sum of the curated docs in doc_id order (no gaps, no
+      // overlaps — each start = previous start + previous n_tokens)
+      val rows = out.orderBy(col("doc_id"))
+        .select(col("n_tokens"), col("start_offset")).collect()
+      var expect = 0L
+      rows.foreach { r =>
+        assert(r.getLong(1) === expect, "packing offset gap/overlap in curated corpus")
+        expect += r.getLong(0)
+      }
+    } finally out.unpersist()
+  }
+
+  test("q83 invariants: allocations never exceed the budget; weights follow the q74 convention") {
+    import org.apache.spark.sql.functions._
+    val plan = SparkEntry.queries("q83_mixture_plan")(spark, sf).collect()
+    val totalAllocated = plan.map(_.getAs[Long]("target_tokens")).sum
+    assert(totalAllocated <= 1000000L,
+      s"integer-floor allocation must conserve the budget (got $totalAllocated)")
+    // flooring loses at most (#domains - 1) tokens
+    assert(totalAllocated > 1000000L - plan.length,
+      "allocation must not under-fill beyond the flooring remainder")
+    plan.foreach { r =>
+      val w = r.getAs[Int]("weight")
+      assert(w >= 1 && w <= 4, s"weight out of the 1..4 convention: $w")
+      assert(r.getAs[Boolean]("upsample") ===
+        (r.getAs[Long]("target_tokens") > r.getAs[Long]("n_tokens")))
+    }
+  }
+
+  test("q85 invariants: splits form a covering disjoint partition of the corpus") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q85_split_assign")(spark, sf).collect()
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    assert(total === Tables.rowCount(spark, sf, "documents"),
+      "per-(split, lang) doc counts must sum to the corpus size")
+    assert(out.map(_.getAs[String]("split")).toSet === Set("train", "valid", "test"))
+  }
+
   test("query names are unique across sub-catalogs") {
     val parts = Seq(
       queries.RelationalQueries.queries, queries.WindowScalarQueries.queries,
