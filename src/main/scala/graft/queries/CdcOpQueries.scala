@@ -217,9 +217,13 @@ object CdcOpQueries {
       // physical GC proof: walk the data dir — expiry must have deleted
       // every file only the expired snapshots referenced (tiny, driver-side)
       import scala.jdk.CollectionConverters._
-      val onDisk = java.nio.file.Files.walk(rootA.resolve("data")).iterator().asScala
-        .count(p => p.toString.endsWith(".parquet") &&
-          java.nio.file.Files.isRegularFile(p)).toLong
+      val onDisk = {
+        val walk = java.nio.file.Files.walk(rootA.resolve("data"))
+        try walk.iterator().asScala
+          .count(p => p.toString.endsWith(".parquet") &&
+            java.nio.file.Files.isRegularFile(p)).toLong
+        finally walk.close() // Files.walk holds a directory handle
+      }
       val (nA3, sA3) = agg(a.read())
       val r3 = ("3_expired", a.listSnapshots().size.toLong, onDisk, nA3, sA3)
 

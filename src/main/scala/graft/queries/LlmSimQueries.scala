@@ -363,6 +363,15 @@ object LlmSimQueries {
     * gate pins the cluster geometry even when a corpus has no
     * semantic dups.
     */
+  // The previous semanticDedup invocation's checkpoint RDDs, released
+  // on the NEXT call: the snapshot is one row per corpus vector, so an
+  // unpersist-never policy would grow the block manager by a corpus
+  // footprint per bench rep (clearCache() doesn't reach checkpointed
+  // RDDs). It can't be released any sooner — the caller consumes the
+  // returned frame lazily and the checkpoint IS its only lineage.
+  private val lastSemanticCp =
+    new java.util.concurrent.atomic.AtomicReference[Seq[org.apache.spark.rdd.RDD[_]]](Nil)
+
   def semanticDedup(e0: DataFrame, t: Double): DataFrame = {
     val e = e0.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(sqnorm("embedding")))
@@ -372,6 +381,10 @@ object LlmSimQueries {
       // for range sampling) and let the corpus cache drop eagerly
       .localCheckpoint()
     e.unpersist()
+    val cp = out.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    lastSemanticCp.getAndSet(cp).foreach(_.unpersist(false))
     out.orderBy(col("vec_id"))
   }
 

@@ -102,13 +102,18 @@ class DlqConfigSpec extends SparkSpec {
     // check: warm the session first so route() completes well inside
     // the interval, then prove the buffer was still pending when
     // route() returned — after that, only the timer can deliver.
+    // interval = 10 s: the construction→route and route→assert spans
+    // below touch only a warmed 2-row collect and a local dir listing,
+    // so a spurious inline flush / pre-assert tick would need a >10 s
+    // stall of trivial work — comfortably outside loaded-CI jitter
+    // (3 s was within reach of one bad GC pause)
     val table = new LakehouseTable(spark, tmpDir("dlqc-t7"))
     batch().limit(1).collect() // warm codegen/job machinery off the clock
-    val dlq = new DlqWriter(table, flushIntervalSeconds = 3.0)
+    val dlq = new DlqWriter(table, flushIntervalSeconds = 10.0)
     dlq.route(batch(), "s1", new RuntimeException("down"))
     assert(table.listSnapshots().isEmpty,
       "rows must still be buffered when route() returns (inline check must NOT have fired)")
-    val deadline = System.currentTimeMillis() + 20000
+    val deadline = System.currentTimeMillis() + 40000
     while (table.listSnapshots().isEmpty && System.currentTimeMillis() < deadline)
       Thread.sleep(50)
     assert(table.read().count() === 2,
