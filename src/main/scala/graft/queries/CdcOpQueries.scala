@@ -227,8 +227,8 @@ object CdcOpQueries {
       val (nA3, sA3) = agg(a.read())
       val r3 = ("3_expired", a.listSnapshots().size.toLong, onDisk, nA3, sA3)
 
-      val b = new LakehouseTable(s,
-        java.nio.file.Files.createTempDirectory("graft-q79b").toString)
+      val rootB = java.nio.file.Files.createTempDirectory("graft-q79b")
+      val b = new LakehouseTable(s, rootB.toString)
       def put(p: String, ids: Range): Unit =
         b.append(ids.map(i => (i.toLong, p)).toDF("id", "p").repartition(1), Seq("p"))
       Seq(1 to 2, 3 to 4, 5 to 6).foreach(put("a", _))   // 3 files, 6 rows
@@ -247,6 +247,16 @@ object CdcOpQueries {
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
       val r5 = Seq("a", "b", "c").map(p =>
         (s"5_part_$p", snapsB, filesByPart(p), perPart(p)._1, perPart(p)._2))
+      // every audited value is now a collected driver-side literal —
+      // the output frame no longer references the tables, so the temp
+      // lakehouse roots can go (repeated bench reps were accumulating
+      // them in /tmp)
+      Seq(rootA, rootB).foreach { r =>
+        val walk = java.nio.file.Files.walk(r)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally walk.close()
+      }
       (Seq(r1, r2, r3, r4) ++ r5)
         .toDF("step", "n_snaps", "n_files", "n_rows", "sum_ids")
         .orderBy(col("step"))
