@@ -102,7 +102,13 @@ object CdcBench {
     * One timed pass; `GRAFT_CDC_DEBUG=1` prints phase timings to stderr.
     */
   def e2eRate(spark: SparkSession, n: Int, partitions: Int): Double = {
-    val src = Files.createTempDirectory("cdcbench-src").toString
+    val tempRoots = Seq.newBuilder[java.nio.file.Path]
+    def tempDir(prefix: String): String = {
+      val p = Files.createTempDirectory(prefix)
+      tempRoots += p
+      p.toString
+    }
+    val src = tempDir("cdcbench-src")
     // one file per partition, mirroring per-partition consumption
     (0 until partitions).foreach { p =>
       val sb = new StringBuilder
@@ -117,17 +123,17 @@ object CdcBench {
     }
     val payload = StructType(Seq(StructField("id", LongType),
       StructField("name", StringType), StructField("v", LongType)))
-    val table = new LakehouseTable(spark, Files.createTempDirectory("cdcbench-t").toString)
+    val table = new LakehouseTable(spark, tempDir("cdcbench-t"))
     var tFirstBatch = 0L
     var tBatchWork = 0L
     val pipe = new ChangePipeline(spark, src,
       Seq(new LakehouseSink("lh", table, payload)),
-      new DlqWriter(new LakehouseTable(spark, Files.createTempDirectory("cdcbench-d").toString)),
-      Files.createTempDirectory("cdcbench-c").toString)
+      new DlqWriter(new LakehouseTable(spark, tempDir("cdcbench-d"))),
+      tempDir("cdcbench-c"))
     val t0 = System.nanoTime()
     val q = ChangeEnvelope.readStream(spark, src)
       .writeStream
-      .option("checkpointLocation", Files.createTempDirectory("cdcbench-c2").toString)
+      .option("checkpointLocation", tempDir("cdcbench-c2"))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (tFirstBatch == 0L) tFirstBatch = System.nanoTime()
@@ -144,6 +150,9 @@ object CdcBench {
           f"batch-work=${tBatchWork / 1e9}%.2fs")
     val delivered = table.read().count()
     require(delivered == n, s"delivered $delivered of $n")
+    // untimed: each run stages ~n envelope rows twice (source JSON +
+    // sink parquet) — k runs plus warmup would strand hundreds of MB
+    tempRoots.result().foreach(Fs.deleteRecursively)
     n / sec
   }
 

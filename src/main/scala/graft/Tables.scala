@@ -40,6 +40,22 @@ object Tables {
     countMemo.getOrElseUpdate((dir, name), load(spark, dir, name).count())
 }
 
+/** Driver-side filesystem helper for the self-contained lineage queries
+  * and benches that stage temp lakehouse roots: delete a tree once its
+  * audited values are collected, so repeated runs don't accumulate
+  * temp dirs.
+  */
+object Fs {
+  def deleteRecursively(root: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walk.close() // Files.walk holds a directory handle
+    }
+  }
+}
+
 /** Determinism helpers for the DuckDB-oracle hash contract (SURVEY §7.5):
   * monetary aggregates go through exact decimal arithmetic, results are
   * rounded to a fixed scale and emitted as double so Spark and DuckDB

@@ -166,14 +166,14 @@ object CdcOpQueries {
     //      rollback; every snapshot read back via time travel ----
     "q61_lakehouse_timetravel" -> ((s, _) => {
       import s.implicits._
-      val table = new LakehouseTable(s,
-        java.nio.file.Files.createTempDirectory("graft-q61").toString)
+      val root = java.nio.file.Files.createTempDirectory("graft-q61")
+      val table = new LakehouseTable(s, root.toString)
       table.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
       table.append(Seq((4L, "d"), (5L, "e")).toDF("id", "v"))
       table.upsert(Seq((2L, "B2"), (6L, "f")).toDF("id", "v"), Seq("id"))
       table.rollbackToSnapshot(2)
       val snaps = table.listSnapshots()
-      snaps.map { sn =>
+      val rows = snaps.map { sn =>
         // one job per snapshot: count + sum in a single aggregation
         // (the count()/agg() pair ran two scans per snapshot)
         val r = table.scanAtSnapshot(sn.snapshotId)
@@ -181,7 +181,11 @@ object CdcOpQueries {
             org.apache.spark.sql.functions.sum("id"))
           .collect()(0)
         (sn.snapshotId, sn.operation, r.getLong(0), r.getLong(1))
-      }.toDF("snap", "operation", "n_rows", "sum_ids")
+      }
+      // rows are driver-side literals now — drop the temp root (the
+      // q79 cleanup rationale)
+      graft.Fs.deleteRecursively(root)
+      rows.toDF("snap", "operation", "n_rows", "sum_ids")
         .orderBy(col("snap"))
     }),
     // ---- q79: maintenance lineage. Phase A (plain table): three
@@ -251,12 +255,7 @@ object CdcOpQueries {
       // the output frame no longer references the tables, so the temp
       // lakehouse roots can go (repeated bench reps were accumulating
       // them in /tmp)
-      Seq(rootA, rootB).foreach { r =>
-        val walk = java.nio.file.Files.walk(r)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-        finally walk.close()
-      }
+      Seq(rootA, rootB).foreach(graft.Fs.deleteRecursively)
       (Seq(r1, r2, r3, r4) ++ r5)
         .toDF("step", "n_snaps", "n_files", "n_rows", "sum_ids")
         .orderBy(col("step"))
