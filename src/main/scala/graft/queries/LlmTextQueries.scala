@@ -592,6 +592,57 @@ object LlmTextQueries {
           col("start_offset"), col("bin_id"))
         .orderBy(col("doc_id"))
     }),
+    // ---- fraction-thresholded decontamination: q68 flags ANY shared
+    //      eval gram; production scrubs (The Stack / FineWeb style)
+    //      drop on overlap FRACTION ≥ a threshold, so a doc quoting one
+    //      common phrase survives while a near-copy of a benchmark item
+    //      drops. Same broadcast inverted-join shape as q68 — the
+    //      per-doc distinct-gram denominator falls out of ngram_hashes'
+    //      dedup map-side (no extra shuffle); the drop flag thresholds
+    //      the ROUNDED fraction so both engines decide identically. ----
+    "q86_decontaminate_frac" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 4)
+      val evalGrams = docs.filter(col("doc_id") % 100 < 5)
+        .select(explode(expr("ngram_hashes(toks, 4, 0)")).as("g")).distinct()
+      docs.filter(col("doc_id") % 100 >= 5)
+        .select(col("doc_id"), expr("ngram_hashes(toks, 4, 0)").as("hs"))
+        .select(col("doc_id"), size(col("hs")).as("total_4grams"),
+          explode(col("hs")).as("g"))
+        .join(broadcast(evalGrams), "g")
+        .groupBy(col("doc_id"), col("total_4grams"))
+        .agg(count(lit(1)).as("contaminated_4grams"))
+        .withColumn("overlap_frac", dround(
+          col("contaminated_4grams").cast(DoubleType) /
+            col("total_4grams").cast(DoubleType), 6))
+        .withColumn("drop_doc", col("overlap_frac") >= 0.1)
+        .select(col("doc_id"), col("total_4grams"), col("contaminated_4grams"),
+          col("overlap_frac"), col("drop_doc"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- per-domain quality percentile cut: keep each source's top
+    //      half by quality (the FineWeb-Edu-style selection step —
+    //      per-DOMAIN budgets, not a global threshold, so a weak domain
+    //      isn't wiped out by a strong one). percent_rank orders by
+    //      (quality desc, doc_id), so ranks are tie-free and the cut is
+    //      reproducible. Scale note: the window partitions by source —
+    //      domain cardinality is bounded but domain SIZE isn't; at
+    //      extreme per-domain volume the production swap is a t-digest
+    //      threshold per source + map-side filter (trading exact
+    //      reproducibility), which is why the gate pins the EXACT form. ----
+    "q87_quality_cut" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .withColumn("quality", curationQuality)
+        .select(col("doc_id"), col("source"), col("quality"))
+        .withColumn("pct", dround(percent_rank().over(w), 6))
+        .filter(col("pct") <= 0.5)
+        .orderBy(col("doc_id"))
+    }),
     // ---- mixture sampling plan: the arithmetic every pretraining run
     //      does before touching data — per-domain token counts × target
     //      mixture weights → per-domain token allocations and epoch
@@ -996,6 +1047,46 @@ object LlmTextQueries {
       SELECT doc_id, quality, n_tokens, start_offset,
         CAST(start_offset // 1024 AS BIGINT) AS bin_id
       FROM packed
+      ORDER BY doc_id""",
+    "q86_decontaminate_frac" -> s"""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 4),
+      hs AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(len(toks) - 3),
+          i -> CAST('0x' || substr(md5(toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] || ' ' || toks[i + 4]), 1, 15) AS BIGINT))) AS hs
+        FROM t),
+      g AS (
+        SELECT doc_id, CAST(len(hs) AS INT) AS total_4grams, unnest(hs) AS g
+        FROM hs),
+      ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 100 < 5)
+      SELECT doc_id, total_4grams, count(*) AS contaminated_4grams,
+        ${R("CAST(count(*) AS DOUBLE) / total_4grams", 6)} AS overlap_frac,
+        ${R("CAST(count(*) AS DOUBLE) / total_4grams", 6)} >= 0.1 AS drop_doc
+      FROM g JOIN ev USING (g)
+      WHERE doc_id % 100 >= 5
+      GROUP BY doc_id, total_4grams
+      ORDER BY doc_id""",
+    "q87_quality_cut" -> s"""
+      WITH scored AS (
+        SELECT doc_id, source,
+          CAST(round(CAST(stopword_ratio AS DECIMAL(18,6)) * 0.3
+                   + CAST(alpha_ratio AS DECIMAL(18,6)) * 0.4
+                   + CAST(len_ok AS DECIMAL(18,6)) * 0.3, 6) AS DOUBLE) AS quality
+        FROM (
+          SELECT doc_id, source,
+            ${R("CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is','to','in'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)", 6)} AS stopword_ratio,
+            ${R("CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE)", 6)} AS alpha_ratio,
+            CASE WHEN n_chars >= 200 AND n_chars <= 5000 THEN 1.0 ELSE 0.0 END AS len_ok
+          FROM documents)),
+      ranked AS (
+        SELECT doc_id, source, quality,
+          ${R("percent_rank() OVER (PARTITION BY source ORDER BY quality DESC, doc_id)", 6)} AS pct
+        FROM scored)
+      SELECT doc_id, source, quality, pct
+      FROM ranked
+      WHERE pct <= 0.5
       ORDER BY doc_id""",
     "q83_mixture_plan" -> s"""
       WITH per_src AS (

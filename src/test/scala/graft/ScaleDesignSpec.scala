@@ -291,6 +291,22 @@ class ScaleDesignSpec extends SparkSpec {
       s"shared curation subtrees must be reused across branches at runtime:\n$executed")
   }
 
+  test("q86: fraction decontamination broadcasts the eval gram set (q68 contract)") {
+    val p = plan("q86_decontaminate_frac")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval gram side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle-pair against the eval side:\n$p")
+  }
+
+  test("q87: percentile cut is one source-window shuffle + the final sort") {
+    val p = plan("q87_quality_cut")
+    assert("hashpartitioning\\(source".r.findAllIn(p).size >= 1,
+      s"the window must partition by source:\n$p")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 2,
+      s"scoring must stay map-side (window exchange + sort only):\n$p")
+  }
+
   test("q83: mixture plan aggregates two-phase; the weight total rides a 1-row broadcast") {
     val p = plan("q83_mixture_plan")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
