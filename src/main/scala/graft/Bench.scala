@@ -52,7 +52,12 @@ object Bench {
     // alphabetical-first q01 carries the JIT + codegen-compiler init in
     // its number (~2× its steady state). One tiny-SF flagship run pays
     // that cost off the clock (same methodology as the CDC e2e warmup
-    // pass); it reads sf0.001, so it cannot page-cache the bench SF.
+    // pass). At the driver's bench SF (sf0.1) the warmup's sf0.001
+    // inputs are disjoint files, so it cannot page-cache the timed
+    // data; if SPARK_GRAFT_SF_DIR is pointed at sf0.001 itself, q01
+    // additionally gets warm page cache for its KB-sized inputs —
+    // negligible against the JIT cost this exists to absorb, but worth
+    // knowing when comparing per-query numbers at that SF.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")

@@ -108,6 +108,15 @@ object CdcBench {
       tempRoots += p
       p.toString
     }
+    try e2eRateStaged(spark, n, partitions, tempDir)
+    // cleanup must survive a failed run too (a require/stream error
+    // would otherwise strand exactly the artifacts this exists to
+    // bound, and Bench.main swallows the exception and keeps going)
+    finally tempRoots.result().foreach(Fs.deleteRecursively)
+  }
+
+  private def e2eRateStaged(spark: SparkSession, n: Int, partitions: Int,
+      tempDir: String => String): Double = {
     val src = tempDir("cdcbench-src")
     // one file per partition, mirroring per-partition consumption
     (0 until partitions).foreach { p =>
@@ -142,7 +151,10 @@ object CdcBench {
         tBatchWork += System.nanoTime() - tb
       }
       .start()
-    q.awaitTermination(600000)
+    // stop a timed-out query explicitly — the finally above deletes the
+    // source/checkpoint dirs, which must never happen under a live
+    // StreamExecution
+    if (!q.awaitTermination(600000)) q.stop()
     val sec = (System.nanoTime() - t0) / 1e9
     if (sys.env.contains("GRAFT_CDC_DEBUG"))
       System.err.println(
@@ -150,9 +162,6 @@ object CdcBench {
           f"batch-work=${tBatchWork / 1e9}%.2fs")
     val delivered = table.read().count()
     require(delivered == n, s"delivered $delivered of $n")
-    // untimed: each run stages ~n envelope rows twice (source JSON +
-    // sink parquet) — k runs plus warmup would strand hundreds of MB
-    tempRoots.result().foreach(Fs.deleteRecursively)
     n / sec
   }
 

@@ -369,6 +369,10 @@ object LlmSimQueries {
   // footprint per bench rep (clearCache() doesn't reach checkpointed
   // RDDs). It can't be released any sooner — the caller consumes the
   // returned frame lazily and the checkpoint IS its only lineage.
+  // CONTRACT: a semanticDedup result stays valid until the next
+  // semanticDedup call (the q77 bounded-residency discipline); hold
+  // two live results by collecting the first before requesting the
+  // second.
   private val lastSemanticCp =
     new java.util.concurrent.atomic.AtomicReference[Seq[org.apache.spark.rdd.RDD[_]]](Nil)
 
@@ -384,7 +388,13 @@ object LlmSimQueries {
     val cp = out.queryExecution.logical.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
-    lastSemanticCp.getAndSet(cp).foreach(_.unpersist(false))
+    lastSemanticCp.getAndSet(cp).foreach { rdd =>
+      // skip RDDs from a stopped/previous context (their blocks died
+      // with it — unpersist against a dead RpcEnv throws), and never
+      // let best-effort block cleanup fail the new query
+      try if (!rdd.sparkContext.isStopped) rdd.unpersist(false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     out.orderBy(col("vec_id"))
   }
 

@@ -427,11 +427,9 @@ object LlmTextQueries {
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 4)
-      val evalGrams = docs.filter(col("doc_id") % 100 < 5)
-        .select(explode(expr("ngram_hashes(toks, 4, 0)")).as("g")).distinct()
       docs.filter(col("doc_id") % 100 >= 5)
         .select(col("doc_id"), explode(expr("ngram_hashes(toks, 4, 0)")).as("g"))
-        .join(broadcast(evalGrams), "g")
+        .join(broadcast(evalGramSet(s, dir)), "g")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("contaminated_4grams"))
         .orderBy(col("doc_id"))
     }),
@@ -573,14 +571,10 @@ object LlmTextQueries {
       // eval slice (benchmarks are given, not quality-filtered); any
       // survivor sharing a 4-gram is dropped. n_tokens ≥ 20 implies the
       // ≥ 4-token floor, so no extra length filter on the gram side.
-      val evalGrams = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(col("doc_id") % 100 < 5 && size(col("toks")) >= 4)
-        .select(explode(expr("ngram_hashes(toks, 4, 0)")).as("g")).distinct()
       val contaminated = surv
         .select(col("doc_id"),
           explode(expr("ngram_hashes(split(text, ' '), 4, 0)")).as("g"))
-        .join(broadcast(evalGrams), "g")
+        .join(broadcast(evalGramSet(s, dir)), "g")
         .select(col("doc_id")).distinct()
       val clean = surv.join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("quality"),
@@ -605,13 +599,11 @@ object LlmTextQueries {
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 4)
-      val evalGrams = docs.filter(col("doc_id") % 100 < 5)
-        .select(explode(expr("ngram_hashes(toks, 4, 0)")).as("g")).distinct()
       docs.filter(col("doc_id") % 100 >= 5)
         .select(col("doc_id"), expr("ngram_hashes(toks, 4, 0)").as("hs"))
         .select(col("doc_id"), size(col("hs")).as("total_4grams"),
           explode(col("hs")).as("g"))
-        .join(broadcast(evalGrams), "g")
+        .join(broadcast(evalGramSet(s, dir)), "g")
         .groupBy(col("doc_id"), col("total_4grams"))
         .agg(count(lit(1)).as("contaminated_4grams"))
         .withColumn("overlap_frac", dround(
@@ -732,6 +724,19 @@ object LlmTextQueries {
     * q78 (bin-boundary fragment splitting).
     */
   private[graft] val PackBudget = 1024L
+
+  /** The eval slice's distinct 4-gram hash set — the SMALL (broadcast)
+    * side of every decontamination variant. One definition so q68, q82
+    * and q86 can never disagree on the slice (doc_id % 100 < 5), the
+    * token floor, or the gram width.
+    */
+  private def evalGramSet(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(col("doc_id") % 100 < 5 && size(col("toks")) >= 4)
+      .select(explode(expr("ngram_hashes(toks, 4, 0)")).as("g")).distinct()
+  }
 
   /** q64's scoring expression (stopword/alpha/length-window mix in exact
     * decimal — see q45 for why DECIMAL(18,6), not (38,6)). Shared by the
