@@ -136,6 +136,39 @@ class QueryCatalogSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("split")).toSet === Set("train", "valid", "test"))
   }
 
+  test("q86 invariants: same doc set as q68; fraction bounded by construction") {
+    import org.apache.spark.sql.functions._
+    val frac = SparkEntry.queries("q86_decontaminate_frac")(spark, sf).cache()
+    try {
+      // both variants surface exactly the docs sharing ≥1 eval gram —
+      // the threshold changes the VERDICT column, never the row set
+      val any = SparkEntry.queries("q68_decontaminate")(spark, sf)
+        .select(col("doc_id"))
+      assert(frac.select(col("doc_id")).exceptAll(any).count() === 0)
+      assert(any.exceptAll(frac.select(col("doc_id"))).count() === 0)
+      val bad = frac.filter(col("overlap_frac") <= 0.0 || col("overlap_frac") > 1.0 ||
+        col("contaminated_4grams") > col("total_4grams")).count()
+      assert(bad === 0, "overlap fraction must be in (0, 1] with count ≤ denominator")
+    } finally frac.unpersist()
+  }
+
+  test("q87 invariants: per-source retention is exactly the percent_rank half") {
+    import org.apache.spark.sql.functions._
+    // percent_rank = (rank-1)/(n-1) with tie-free ordering, so the cut
+    // keeps floor((n-1)/2) + 1 docs of each source (all docs when n = 1)
+    val kept = SparkEntry.queries("q87_quality_cut")(spark, sf)
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.load(spark, sf, "documents")
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (src, n) =>
+      val want = if (n == 1) 1L else (n - 1) / 2 + 1
+      assert(kept.getOrElse(src, 0L) === want,
+        s"source $src: kept ${kept.getOrElse(src, 0L)} of $n, want $want")
+    }
+  }
+
   test("query names are unique across sub-catalogs") {
     val parts = Seq(
       queries.RelationalQueries.queries, queries.WindowScalarQueries.queries,
