@@ -352,6 +352,24 @@ class ScaleDesignSpec extends SparkSpec {
       s"the pre-shuffle aggregate must be pure key dedup:\n$p")
   }
 
+  test("q13/q14: rollup and cube aggregate partial map-side after the Expand") {
+    // the grouping-analytics family shares q12's scale shape: Expand
+    // multiplies rows by #grouping-sets, so the partial HashAggregate
+    // must sit between Expand and the exchange — the shuffle carries
+    // per-set partial aggregates, never the expanded raw rows
+    Seq("q13_rollup", "q14_cube").foreach { name =>
+      val p = plan(name)
+      val byId = "(?m)^\\((\\d+)\\) ([A-Za-z]+)".r.findAllMatchIn(p)
+        .map(m => m.group(1).toInt -> m.group(2)).toMap
+      val expandId = byId.collectFirst { case (id, "Expand") => id }
+        .getOrElse(fail(s"no Expand in $name plan:\n$p"))
+      assert(byId(expandId + 1) === "HashAggregate",
+        s"$name: expanded rows must hit a partial aggregate before any exchange:\n$p")
+      assert(byId(expandId + 2) === "Exchange",
+        s"$name: expected the shuffle directly above the partial aggregate:\n$p")
+    }
+  }
+
   test("salted join spreads a skewed key and preserves the exact result") {
     import spark.implicits._
     // heavily skewed left side: 10k rows of key 1, a handful of others
