@@ -92,6 +92,12 @@ object GraftFunctions {
       NgramHashes(children.head, children(1), children(2))
     }
 
+  private[functions] val bowBuilder: Seq[Expression] => Expression =
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "bow_score takes exactly 2 arguments")
+      BowScore(children.head, children(1))
+    }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dotp"),
@@ -101,6 +107,10 @@ object GraftFunctions {
       FunctionIdentifier("ngram_hashes"),
       new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
       ngramBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("bow_score"),
+      new ExpressionInfo(classOf[BowScore].getName, "bow_score"),
+      bowBuilder)
     // the sketch aggregators, SQL-callable (`SELECT simhash_agg(h) ...`)
     // with the library's fixed default families
     import org.apache.spark.sql.functions.udaf
@@ -130,5 +140,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("ngram_hashes"),
       new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
       GraftFunctions.ngramBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("bow_score"),
+      new ExpressionInfo(classOf[BowScore].getName, "bow_score"),
+      GraftFunctions.bowBuilder))
   }
 }

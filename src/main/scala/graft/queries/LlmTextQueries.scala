@@ -378,15 +378,16 @@ object LlmTextQueries {
     //      Fully map-side — one pass over corpus bytes, the only
     //      exchange is the output sort. ----
     "q81_quality_classifier" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val wArr = QualityW.mkString(",")
+      // native bow_score = the HOF formulation below, fused into one
+      // eval (spec'd value-identical in BowScoreSpec):
+      //   aggregate(transform(split(text, ' '), w -> element_at(
+      //     array(w0..wD), pmod(md5-60bit(w), D) + 1)), 0L, +)
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           expr("size(split(text, ' '))").as("n_tokens"),
-          expr(s"""aggregate(
-              transform(split(text, ' '),
-                w -> element_at(array($wArr),
-                  CAST(pmod(CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT), $QualityD) AS INT) + 1)),
-              0L, (acc, x) -> acc + x)""").as("score_int"))
+          expr(s"bow_score(split(text, ' '), array($wArr))").as("score_int"))
         .select(col("doc_id"), col("n_tokens"),
           dround(col("score_int").cast(DoubleType) /
             (lit(100.0) * col("n_tokens").cast(DoubleType)), 6).as("score"),
