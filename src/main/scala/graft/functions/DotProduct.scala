@@ -98,6 +98,12 @@ object GraftFunctions {
       BowScore(children.head, children(1))
     }
 
+  private[functions] val countInBuilder: Seq[Expression] => Expression =
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "count_in takes exactly 2 arguments")
+      CountIn(children.head, children(1))
+    }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dotp"),
@@ -111,6 +117,10 @@ object GraftFunctions {
       FunctionIdentifier("bow_score"),
       new ExpressionInfo(classOf[BowScore].getName, "bow_score"),
       bowBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("count_in"),
+      new ExpressionInfo(classOf[CountIn].getName, "count_in"),
+      countInBuilder)
     // the sketch aggregators, SQL-callable (`SELECT simhash_agg(h) ...`)
     // with the library's fixed default families
     import org.apache.spark.sql.functions.udaf
@@ -144,5 +154,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("bow_score"),
       new ExpressionInfo(classOf[BowScore].getName, "bow_score"),
       GraftFunctions.bowBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("count_in"),
+      new ExpressionInfo(classOf[CountIn].getName, "count_in"),
+      GraftFunctions.countInBuilder))
   }
 }

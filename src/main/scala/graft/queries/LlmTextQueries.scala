@@ -84,10 +84,13 @@ object LlmTextQueries {
     }),
     // ---- quality scoring: length / punctuation / stopword ratios ----
     "q45_quality_score" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val toks = size(split(col("text"), " ")).cast(DoubleType)
-      val stops = size(expr(
-        "filter(split(text, ' '), t -> t IN ('the','a','of','and','is','to','in'))"
-      )).cast(DoubleType)
+      // native count_in ≡ size(filter(toks, t -> t IN (...))) — spec'd
+      // value-identical; the oracle keeps the list_filter form
+      val stops = expr(
+        "count_in(split(text, ' '), array('the','a','of','and','is','to','in'))"
+      ).cast(DoubleType)
       val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType)
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
@@ -108,11 +111,13 @@ object LlmTextQueries {
     }),
     // ---- language-ID heuristic: marker-stopword votes, tie → 'und' ----
     "q46_lang_id" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
+      graft.functions.GraftFunctions.register(s)
+      // one native membership pass per language (count_in ≡ the sum of
+      // per-marker size(filter(...)) counts — markers are distinct) vs
+      // the 12 interpreted filter lambdas this replaced
       val votes = langMarkers.map { case (lang, ms) =>
-        val c = ms.map(m => size(expr(s"filter(split(text, ' '), t -> t = '$m')")))
-          .reduce(_ + _)
-        (lang, c)
+        val arr = ms.map(m => s"'$m'").mkString(",")
+        (lang, expr(s"count_in(split(text, ' '), array($arr))"))
       }
       val best = votes.map(_._2).reduce((a, b) => greatest(a, b))
       // priority en > de > fr > es on tied vote counts (first match wins)
@@ -626,6 +631,7 @@ object LlmTextQueries {
     //      threshold per source + map-side filter (trading exact
     //      reproducibility), which is why the gate pins the EXACT form. ----
     "q87_quality_cut" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // curationQuality uses count_in
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("source"))
         .orderBy(col("quality").desc, col("doc_id"))
@@ -745,9 +751,11 @@ object LlmTextQueries {
     */
   private def curationQuality: Column = {
     val toks = size(split(col("text"), " ")).cast(DoubleType)
-    val stops = size(expr(
-      "filter(split(text, ' '), t -> t IN ('the','a','of','and','is','to','in'))"
-    )).cast(DoubleType)
+    // native count_in (callers register GraftFunctions); oracle twins
+    // keep the list_filter form — spec'd value-identical
+    val stops = expr(
+      "count_in(split(text, ' '), array('the','a','of','and','is','to','in'))"
+    ).cast(DoubleType)
     val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType)
     round(dround(stops / toks, 6).cast(DecimalType(18, 6)) * lit(new java.math.BigDecimal("0.3")) +
           dround(alpha / col("n_chars").cast(DoubleType), 6).cast(DecimalType(18, 6)) * lit(new java.math.BigDecimal("0.4")) +
@@ -763,6 +771,7 @@ object LlmTextQueries {
     * 32-byte digests; scoring is map-side on the join survivors.
     */
   private[graft] def corpusFilterSurvivors(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // curationQuality uses count_in
     val docs = Tables.load(s, dir, "documents")
     // dedup: representative = min(doc_id) per content hash
     val keep = docs.withColumn("fp", sha2(col("text"), 256))
