@@ -173,14 +173,21 @@ object CdcOpQueries {
       table.upsert(Seq((2L, "B2"), (6L, "f")).toDF("id", "v"), Seq("id"))
       table.rollbackToSnapshot(2)
       val snaps = table.listSnapshots()
+      // ONE job for all snapshots: tag each time-travel scan with its
+      // snapshot id and union — the per-snapshot agg(collect) loop this
+      // replaces paid fixed job-submission overhead × #snapshots for
+      // KB-sized scans (the dominant cost of this lineage query)
+      import org.apache.spark.sql.functions.{count => fcount, lit => flit, sum => fsum}
+      val tagged = snaps.map { sn =>
+        table.scanAtSnapshot(sn.snapshotId)
+          .select(flit(sn.snapshotId).as("snap"), col("id"))
+      }.reduce(_ unionByName _)
+      val aggs = tagged.groupBy(col("snap"))
+        .agg(fcount(flit(1)).as("n"), fsum("id").as("s"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
       val rows = snaps.map { sn =>
-        // one job per snapshot: count + sum in a single aggregation
-        // (the count()/agg() pair ran two scans per snapshot)
-        val r = table.scanAtSnapshot(sn.snapshotId)
-          .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
-            org.apache.spark.sql.functions.sum("id"))
-          .collect()(0)
-        (sn.snapshotId, sn.operation, r.getLong(0), r.getLong(1))
+        val (n, sum) = aggs(sn.snapshotId)
+        (sn.snapshotId, sn.operation, n, sum)
       }
       // rows are driver-side literals now — drop the temp root (the
       // q79 cleanup rationale)
