@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.LlmTextQueries.{QualityD, QualityW}
+
+/** Seeded-random equivalence fuzz for the native expressions vs the
+  * Catalyst HOF formulations they replace — the fixture-corpus specs
+  * prove parity on realistic text; this drives the edge space
+  * (unicode, empty strings, duplicates, single tokens, long arrays).
+  */
+class NativeExprFuzzSpec extends SparkSpec {
+
+  private val alphabet: Vector[String] = Vector(
+    "the", "a", "of", "and", "is", "to", "in", "der", "die", "und",
+    "le", "la", "et", "el", "los", "y", "", " ", "á", "ü", "漢", "字",
+    "x", "y9", "Z_", "mixedCase", "0", "-1", "emoji😀", "tab\tchar")
+
+  private def randomDocs(seed: Long, n: Int): Seq[Seq[String]] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      val len = rnd.nextInt(120) // includes empty arrays
+      Seq.fill(len)(alphabet(rnd.nextInt(alphabet.size)))
+    }
+  }
+
+  private val wArr = QualityW.mkString(",")
+
+  test("bow_score ≡ HOF aggregate on 300 random token arrays") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val hof =
+      s"""aggregate(
+           transform(toks,
+             w -> element_at(array($wArr),
+               CAST(pmod(CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT), $QualityD) AS INT) + 1)),
+           0L, (acc, x) -> acc + x)"""
+    val rows = randomDocs(seed = 20260813L, n = 300).toDF("toks")
+    val diff = rows.select(
+        expr(s"bow_score(toks, array($wArr))").as("fast"), expr(hof).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff === 0L)
+  }
+
+  test("count_in ≡ size(filter(IN)) on 300 random token arrays and 3 key sets") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = randomDocs(seed = 987654321L, n = 300).toDF("toks")
+    val keySets = Seq(
+      Seq("the", "a", "of", "and", "is", "to", "in"),
+      Seq("", "漢", "emoji😀"),
+      Seq("nomatch"))
+    keySets.foreach { ks =>
+      val lit = ks.map(k => s"'${k.replace("'", "''")}'").mkString(",")
+      val diff = rows.select(
+          expr(s"count_in(toks, array($lit))").as("fast"),
+          size(expr(s"filter(toks, t -> t IN ($lit))")).as("slow"))
+        .filter(col("fast") =!= col("slow")).count()
+      assert(diff === 0L, s"keys=$ks")
+    }
+  }
+
+  test("ngram_hashes ≡ HOF on 200 random token arrays (n=2,3)") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    def hof(n: Int): String =
+      s"""array_distinct(transform(sequence(0, size(toks) - $n),
+            i -> CAST(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, $n))), 1, 15), 16, 10) AS BIGINT)))"""
+    val rows = randomDocs(seed = 1357911L, n = 200).toDF("toks")
+    Seq(2, 3).foreach { n =>
+      val diff = rows.filter(size(col("toks")) >= n)
+        .select(expr(s"ngram_hashes(toks, $n, 0)").as("fast"), expr(hof(n)).as("slow"))
+        .filter(not(col("fast") === col("slow"))).count()
+      assert(diff === 0L, s"n=$n")
+    }
+  }
+}
