@@ -21,11 +21,11 @@ import graft.streaming._
 object CdcBench {
 
   // ---- binary message builders (same wire format as the decoder spec) ----
-  private def u16(v: Int) = ByteBuffer.allocate(2).putShort(v.toShort).array()
-  private def u32(v: Long) = ByteBuffer.allocate(4).putInt(v.toInt).array()
-  private def i64(v: Long) = ByteBuffer.allocate(8).putLong(v).array()
+  private[graft] def u16(v: Int) = ByteBuffer.allocate(2).putShort(v.toShort).array()
+  private[graft] def u32(v: Long) = ByteBuffer.allocate(4).putInt(v.toInt).array()
+  private[graft] def i64(v: Long) = ByteBuffer.allocate(8).putLong(v).array()
 
-  private def relation(relId: Long, table: String, cols: Seq[String]): Array[Byte] = {
+  private[graft] def relation(relId: Long, table: String, cols: Seq[String]): Array[Byte] = {
     var d = "R".getBytes ++ u32(relId) ++
       "public".getBytes(StandardCharsets.UTF_8) ++ Array[Byte](0) ++
       table.getBytes(StandardCharsets.UTF_8) ++ Array[Byte](0) ++
@@ -37,7 +37,7 @@ object CdcBench {
     d
   }
 
-  private def tuple(values: Seq[String]): Array[Byte] = {
+  private[graft] def tuple(values: Seq[String]): Array[Byte] = {
     var d = u16(values.size)
     values.foreach { v =>
       val b = v.getBytes(StandardCharsets.UTF_8)
@@ -46,18 +46,18 @@ object CdcBench {
     d
   }
 
-  private def insert(relId: Long, values: Seq[String]): Array[Byte] =
+  private[graft] def insert(relId: Long, values: Seq[String]): Array[Byte] =
     "I".getBytes ++ u32(relId) ++ "N".getBytes ++ tuple(values)
-  private def update(relId: Long, values: Seq[String]): Array[Byte] =
+  private[graft] def update(relId: Long, values: Seq[String]): Array[Byte] =
     "U".getBytes ++ u32(relId) ++ "N".getBytes ++ tuple(values)
-  private def delete(relId: Long, values: Seq[String]): Array[Byte] =
+  private[graft] def delete(relId: Long, values: Seq[String]): Array[Byte] =
     "D".getBytes ++ u32(relId) ++ "K".getBytes ++ tuple(values)
 
   /** Single-thread decode throughput over n pre-built messages: one
     * JIT warmup pass, then best of 3 timed passes (steady-state rate —
     * robust against GC pauses from the surrounding Spark session).
     */
-  private def decodeRate(messages: Array[Array[Byte]], prelude: Seq[Array[Byte]]): Double = {
+  private[graft] def decodeRate(messages: Array[Array[Byte]], prelude: Seq[Array[Byte]]): Double = {
     def onePass(): Double = {
       val d = new PgOutputDecoder
       prelude.foreach(d.decode)
