@@ -23,7 +23,8 @@ object SparkEntry {
       StreamEquivQueries.queries ++
       LlmTextQueries.queries ++
       LlmSimQueries.queries ++
-      CdcOpQueries.queries
+      CdcOpQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -34,5 +35,6 @@ object SparkEntry {
       StreamEquivQueries.oracle ++
       LlmTextQueries.oracle ++
       LlmSimQueries.oracle ++
-      CdcOpQueries.oracle
+      CdcOpQueries.oracle ++
+      CurationQueries.oracle
 }

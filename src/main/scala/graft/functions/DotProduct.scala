@@ -104,6 +104,12 @@ object GraftFunctions {
       CountIn(children.head, children(1))
     }
 
+  private[functions] val bloomMcBuilder: Seq[Expression] => Expression =
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "bloom_might_contain takes exactly 2 arguments")
+      BloomMightContain(children.head, children(1))
+    }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dotp"),
@@ -121,6 +127,10 @@ object GraftFunctions {
       FunctionIdentifier("count_in"),
       new ExpressionInfo(classOf[CountIn].getName, "count_in"),
       countInBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      bloomMcBuilder)
     // the sketch aggregators, SQL-callable (`SELECT simhash_agg(h) ...`)
     // with the library's fixed default families
     import org.apache.spark.sql.functions.udaf
@@ -158,5 +168,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("count_in"),
       new ExpressionInfo(classOf[CountIn].getName, "count_in"),
       GraftFunctions.countInBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      GraftFunctions.bloomMcBuilder))
   }
 }

@@ -737,7 +737,7 @@ object LlmTextQueries {
     * and q86 can never disagree on the slice (doc_id % 100 < 5), the
     * token floor, or the gram width.
     */
-  private def evalGramSet(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def evalGramSet(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))

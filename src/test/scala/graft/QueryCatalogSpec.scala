@@ -169,11 +169,69 @@ class QueryCatalogSpec extends SparkSpec {
     }
   }
 
+  test("q88 invariants: clean + contaminated partition the training slice exactly") {
+    import org.apache.spark.sql.functions._
+    val clean = SparkEntry.queries("q88_decontaminate_bloom")(spark, sf)
+      .select(col("doc_id"))
+    val contaminated = SparkEntry.queries("q68_decontaminate")(spark, sf)
+      .select(col("doc_id"))
+    val training = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 100 >= 5).select(col("doc_id"))
+    // disjoint and covering: the bloom path may prune differently but
+    // must land on exactly the q68 complement
+    assert(clean.intersect(contaminated).count() === 0,
+      "a doc cannot be both clean and contaminated")
+    assert(training.exceptAll(clean.unionAll(contaminated)).count() === 0,
+      "every training doc must be classified")
+    assert(clean.unionAll(contaminated).exceptAll(training).count() === 0,
+      "no rows outside the training slice")
+  }
+
+  test("q89 invariants: versions tile the event stream; one open interval per user") {
+    import org.apache.spark.sql.functions._
+    val hist = SparkEntry.queries("q89_scd2_history")(spark, sf).cache()
+    try {
+      val totalEvents = Tables.load(spark, sf, "events").count()
+      assert(hist.agg(sum(col("n_events"))).head.getLong(0) === totalEvents,
+        "every event must belong to exactly one version")
+      assert(hist.filter(col("valid_from") >= col("valid_to")).count() === 0,
+        "validity intervals must be non-degenerate")
+      val openPerUser = hist.filter(col("is_current"))
+        .groupBy(col("user_id")).count()
+        .filter(col("count") =!= 1L).count()
+      assert(openPerUser === 0, "exactly one current version per user")
+      // versions are contiguous ordinals 1..k per user
+      val badSeq = hist.groupBy(col("user_id"))
+        .agg(min(col("version")).as("lo"), max(col("version")).as("hi"),
+          count(lit(1)).as("n"))
+        .filter(col("lo") =!= 1L || col("hi") =!= col("n")).count()
+      assert(badSeq === 0, "version ids must be contiguous per user")
+    } finally hist.unpersist()
+  }
+
+  test("q92 invariants: novelty attributions cover the distinct-gram space exactly") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val nov = SparkEntry.queries("q92_gram_novelty")(spark, sf).cache()
+    try {
+      val distinctGrams = Tables.load(spark, sf, "documents")
+        .select(split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 4)
+        .select(explode(expr("ngram_hashes(toks, 4, 0)")).as("g"))
+        .distinct().count()
+      assert(nov.agg(sum(col("novel_grams"))).head.getLong(0) === distinctGrams,
+        "every distinct gram is introduced by exactly one source")
+      assert(nov.filter(col("novel_grams") > col("gram_instances")).count() === 0,
+        "a source cannot introduce more grams than it contains")
+    } finally nov.unpersist()
+  }
+
   test("query names are unique across sub-catalogs") {
     val parts = Seq(
       queries.RelationalQueries.queries, queries.WindowScalarQueries.queries,
       queries.StreamEquivQueries.queries, queries.LlmTextQueries.queries,
-      queries.LlmSimQueries.queries, queries.CdcOpQueries.queries)
+      queries.LlmSimQueries.queries, queries.CdcOpQueries.queries,
+      queries.CurationQueries.queries)
     assert(parts.map(_.size).sum === SparkEntry.queries.size, "duplicate query names collapse in the merged map")
   }
 }

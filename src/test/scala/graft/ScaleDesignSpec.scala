@@ -330,6 +330,66 @@ class ScaleDesignSpec extends SparkSpec {
       s"bucket + split derivation must stay map-side (agg exchange + sort only):\n$p")
   }
 
+  test("q88: bloom probe prunes the gram stream map-side before the confirm join") {
+    val p = plan("q88_decontaminate_bloom")
+    assert(p.contains("bloom_might_contain"),
+      s"the native bloom probe must sit in the corpus-side filter:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the corpus gram stream must never shuffle-pair:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"clean docs must survive via anti-join, not a collected filter:\n$p")
+    // non-broadcast exchanges: eval gram distinct, contaminated-id
+    // distinct (both post-prune slivers), final sort — the corpus gram
+    // stream itself must reach the confirm join with no exchange
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 3,
+      s"bloom pruning must not add shuffles over the q68 contract:\n$p")
+  }
+
+  test("q89: SCD2 history is ONE user-key shuffle (windows + agg share the exchange)") {
+    val p = plan("q89_scd2_history")
+    // change-tag window, version running sum, (user, version) aggregate
+    // and the valid_to lead all cluster on user_id — EnsureRequirements
+    // must satisfy every downstream distribution from the first
+    // exchange, leaving only it plus the final sort
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 2,
+      s"SCD2 must not re-shuffle between the window and version agg:\n$p")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1,
+      s"the versioning windows must partition by user_id:\n$p")
+  }
+
+  test("q90: drift totals ride a 1-row broadcast; frequency subtree reused at runtime") {
+    val p = plan("q90_token_drift")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-32 drift tokens must compile to TakeOrderedAndProject:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the totals join must broadcast, never shuffle the freq frame:\n$p")
+    // the totals branch re-aggregates the same word-count subtree — AQE
+    // must stitch the duplicate exchange into a reused stage at runtime
+    val df = SparkEntry.queries("q90_token_drift")(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") || executed.contains("ReusedQueryStage"),
+      s"the word-count subtree must be computed once, not per branch:\n$executed")
+  }
+
+  test("q91: MAD trim keeps per-source stats broadcast; corpus scans stay 3-column pruned") {
+    val p = plan("q91_outlier_trim")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"per-source stats (20 rows) must broadcast back onto the corpus:\n$p")
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(l =>
+      !l.contains("text") && l.contains("n_chars")),
+      s"outlier trim must never read document text:\n$p")
+  }
+
+  test("q92: first-occurrence attribution hash-aggregates (no SortAggregate over the gram stream)") {
+    val p = plan("q92_gram_novelty")
+    assert(!p.contains("SortAggregate"),
+      s"the packed-BIGINT min must keep the gram agg hash-based:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the 20-row novelty side must broadcast:\n$p")
+  }
+
   test("q12: multi-distinct dedups map-side before the shuffle (Expand → partial HashAggregate → Exchange)") {
     val p = plan("q12_count_distinct")
     // Three countDistincts over one groupBy compile to Expand (3× rows,

@@ -61,6 +61,27 @@ class NativeExprFuzzSpec extends SparkSpec {
     }
   }
 
+  test("bloom_might_contain ≡ driver-side mightContainLong on 5k seeded-random probes") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(2048, 0.02)
+    val inserted = Seq.fill(2048)(rnd.nextLong())
+    inserted.foreach(bf.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    // probes: half inserted, half random, plus the integer edge space
+    val probes = (inserted.take(2500) ++ Seq.fill(2500)(rnd.nextLong()) ++
+      Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue)).distinct
+    val diff = probes.toDF("v")
+      .select(col("v"),
+        call_function("bloom_might_contain", lit(bytes), col("v")).as("hit"))
+      .collect()
+      .count(r => r.getBoolean(1) != bf.mightContainLong(r.getLong(0)))
+    assert(diff === 0)
+  }
+
   test("ngram_hashes ≡ HOF on 200 random token arrays (n=2,3)") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._

@@ -228,6 +228,52 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(got === wantCounts)
   }
 
+  test("stateful streaming SCD2 versioning via flatMapGroupsWithState == batch q89 current rows") {
+    // the TRUE streaming form of the q89 SCD Type-2 materialization:
+    // per-user state carries (current status, version ordinal,
+    // valid_from); a status change opens the next version. Update mode
+    // emits the rolling current row — the final emission per user must
+    // equal the batch history's is_current row. Same ordering
+    // precondition family as the as-of/funnel twins.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val (dir, schema) = eventsAsJsonFiles(4)
+
+    val q = streamed(dir, schema)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long, Long), (Long, Long, String, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        // state = (current status, version ordinal, valid_from micros)
+        case (uid, evs, state: GroupState[(String, Long, Long)]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e._2), e._3))
+          var st = state.getOption
+          sorted.foreach { e =>
+            if (st.forall(_._1 != e._4))
+              st = Some((e._4, st.map(_._2).getOrElse(0L) + 1L, micros(e._2)))
+          }
+          st.foreach(state.update)
+          st.map(s => (uid, s._2, s._1, s._3)).iterator
+      }
+      .writeStream.format("memory").queryName("scd2")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.sql(
+      """SELECT _1, _2, _3, _4 FROM (
+           SELECT *, row_number() OVER (PARTITION BY _1 ORDER BY rid DESC) rn FROM (
+             SELECT *, monotonically_increasing_id() AS rid FROM scd2))
+         WHERE rn = 1""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val want = graft.queries.CurationQueries.queries("q89_scd2_history")(spark, sf)
+      .filter(col("is_current"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        micros(r.getTimestamp(3)))).toSet
+    assert(want.nonEmpty, "batch SCD2 produced no current rows — test is vacuous")
+    assert(got === want)
+  }
+
   test("session windows: streaming append mode emits exactly the batch sessions closed by the watermark") {
     val (dir, schema) = eventsAsJsonFiles(4)
     // append mode is the supported execution path for streaming session

@@ -26,6 +26,12 @@ def eq(a, b):
     if isinstance(a, (list, tuple)) or str(type(a)).endswith("ndarray'>"):
         la, lb = list(a), list(b)
         return len(la) == len(lb) and all(eq(x, y) for x, y in zip(la, lb))
+    try:
+        # scalar NA (None / NaT): equal iff both are NA (NaT != NaT in pandas)
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
     return a == b
 
 
