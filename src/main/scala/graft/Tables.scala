@@ -16,13 +16,24 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-      // read natively; read it as int64 nanos and convert. All fixture
-      // values are µs-aligned (verified: epoch_ns(ts) % 1000 == 0 for
-      // every row), so the DIV-1000 conversion is lossless.
+      // Fixture generations have shipped events.ts under two physical
+      // types: parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+      // natively (read as int64 nanos via the legacy conf and convert —
+      // lossless: all fixture values are µs-aligned), and plain
+      // TIMESTAMP(MICROS) without tz metadata, which reads as
+      // TIMESTAMP_NTZ. Normalize both to session-TZ TIMESTAMP (every
+      // entry point pins spark.sql.session.timeZone=UTC, so the NTZ→TZ
+      // cast is instant-preserving) so the catalog sees one schema
+      // regardless of fixture vintage.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register all fixture tables as temp views for SQL-level access. */
