@@ -106,6 +106,14 @@ object Det {
   def dround(c: Column, scale: Int = 4): Column =
     ieeeRound(c.cast(DoubleType), scale)
 
+  /** The same IEEE half-up rounding for driver-side scala Doubles
+    * (metadata assembled from exact integer sums, e.g. q94's covariance).
+    */
+  def droundD(x: Double, scale: Int): Double = {
+    val p = math.pow(10.0, scale)
+    math.floor(x * p + 0.5) / p
+  }
+
   /** DuckDB-side equivalents (kept adjacent so the two dialects stay in
     * lockstep): see Oracle.scala for the SQL strings.
     */

@@ -212,6 +212,77 @@ object CurationQueries {
           col("novel_grams").cast(DoubleType) / col("gram_instances").cast(DoubleType), 6))
         .select(col("source"), col("gram_instances"), col("novel_grams"), col("novelty"))
         .orderBy(col("source"))
+    }),
+    // ---- cross-document span deduplication with text reconstruction
+    //      (CCNet/FineWeb line-dedup re-expressed over fixed 8-token
+    //      spans — fixture text is single-line): the corpus is cut into
+    //      consecutive non-overlapping spans; an occurrence survives iff
+    //      it is the FIRST occurrence of that span content corpus-wide
+    //      (scanning in (doc_id, span_idx) order), and each document's
+    //      surviving text is reassembled, reported as an md5 so result
+    //      rows stay fixed-width. Scale shape: the span frame is
+    //      corpus-token volume but every wire key is the 60-bit md5 gram
+    //      id (no string keys shuffle); first-occurrence attribution is
+    //      a hash-aggregable min(long) over the packed (doc_id,
+    //      span_idx) — q92's packing trick — the attribution joins back
+    //      co-partitioned on the same hash key, and reassembly is one
+    //      doc_id shuffle. No sort of the span stream; the per-doc
+    //      ordered concat sorts only each doc's own surviving spans. ----
+    "q93_span_dedup" -> ((s, dir) => {
+      val L = 8
+      val spans = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, (size(toks)-1) div $L), i -> array_join(slice(toks, i*$L+1, $L), ' '))"))
+          .as(Seq("span_idx", "span")))
+        .withColumn("h", expr("CAST(conv(substring(md5(span), 1, 15), 16, 10) AS BIGINT)"))
+        // doc_id is the high-order part so min(packed) is the earliest
+        // (doc, span) occurrence; 2^20 bounds span_idx (an 8M-token doc
+        // before overflow; doc ids stay < 2^43)
+        .withColumn("packed", col("doc_id") * lit(1048576L) + col("span_idx"))
+      val firstOcc = spans.groupBy(col("h")).agg(min(col("packed")).as("mp"))
+      spans.join(firstOcc, "h")
+        .withColumn("keep", col("packed") === col("mp"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("keep"), struct(col("span_idx"), col("span"))))),
+            x => x.getField("span")), " ")).as("text_hash"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- embedding covariance via one shuffle-free treeAggregate pass
+    //      (the distributed Gramian pattern, `Pca.moments`): every
+    //      partition folds its rows into d + d(d+1)/2 exact BIGINT sums
+    //      on a 1e-8 quantization grid, partials merge log-depth, and
+    //      the driver assembles the d×d covariance from O(d²) integers
+    //      (metadata, not data — the MLlib RowMatrix shape). The gate
+    //      emits the upper triangle (i, j, q_sum, cov): q_sum pins the
+    //      exact integer accumulation, cov pins the IEEE assembly the
+    //      DuckDB twin reproduces operand-for-operand. Downstream
+    //      (spec-tested, driver-side O(d³)): Jacobi eigensolve →
+    //      whitening/projection as map-side literal HOFs (`Pca.fit` /
+    //      `Pca.transform`). ----
+    "q94_embed_covariance" -> ((s, dir) => {
+      val d = 64
+      val (n, s1, s2) = graft.functions.Pca.moments(
+        Tables.load(s, dir, "embeddings"), "embedding", d)
+      val rows = for {
+        i <- 0 until d
+        j <- i until d
+      } yield {
+        val k = i * d - i * (i - 1) / 2 + (j - i)
+        org.apache.spark.sql.Row(i, j, s2(k),
+          graft.Det.droundD(graft.functions.Pca.covEntry(n, s1, s2, d, i, j), 8))
+      }
+      val schema = StructType(Seq(
+        StructField("i", IntegerType, nullable = false),
+        StructField("j", IntegerType, nullable = false),
+        StructField("q_sum", LongType, nullable = false),
+        StructField("cov", DoubleType, nullable = false)))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+        .orderBy(col("i"), col("j"))
     }))
 
   private val R = droundSql
@@ -315,5 +386,40 @@ object CurationQueries {
         CAST(COALESCE(novel_grams, 0) AS BIGINT) AS novel_grams,
         ${R("CAST(COALESCE(novel_grams, 0) AS DOUBLE) / gram_instances", 6)} AS novelty
       FROM inst LEFT JOIN novel ON inst.source = novel.source
-      ORDER BY inst.source""")
+      ORDER BY inst.source""",
+    "q93_span_dedup" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      e AS (SELECT doc_id, toks, unnest(range((len(toks)-1)//8 + 1)) AS span_idx FROM t),
+      g AS (SELECT doc_id, span_idx,
+              array_to_string(toks[span_idx*8+1 : span_idx*8+8], ' ') AS span,
+              doc_id * 1048576 + span_idx AS packed
+            FROM e),
+      k AS (SELECT doc_id, span_idx, span, packed,
+              CAST('0x' || substr(md5(span), 1, 15) AS BIGINT) AS h FROM g),
+      f AS (SELECT h, min(packed) AS mp FROM k GROUP BY h)
+      SELECT k.doc_id,
+        CAST(count(*) AS BIGINT) AS n_spans,
+        CAST(sum(CASE WHEN packed = mp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        md5(coalesce(string_agg(CASE WHEN packed = mp THEN span END, ' ' ORDER BY span_idx), '')) AS text_hash
+      FROM k JOIN f USING (h)
+      GROUP BY k.doc_id
+      ORDER BY k.doc_id""",
+    "q94_embed_covariance" -> """
+      WITH v AS (SELECT embedding AS e FROM embeddings),
+      cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM v),
+      lin AS (
+        SELECT i, CAST(sum(CAST(floor(CAST(e[i+1] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS si
+        FROM v CROSS JOIN range(64) a(i) GROUP BY i),
+      quad AS (
+        SELECT i, j, CAST(sum(CAST(floor(CAST(e[i+1] AS DOUBLE) * CAST(e[j+1] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+        FROM v CROSS JOIN range(64) a(i) CROSS JOIN range(64) b(j)
+        WHERE i <= j GROUP BY i, j)
+      SELECT CAST(q.i AS INT) AS i, CAST(q.j AS INT) AS j, sq AS q_sum,
+        floor((((CAST(sq AS DOUBLE) / 1e8) / nn)
+               - ((CAST(li.si AS DOUBLE) / 1e8) / nn) * ((CAST(lj.si AS DOUBLE) / 1e8) / nn)) * 1e8 + 0.5) / 1e8 AS cov
+      FROM quad q
+      JOIN lin li ON li.i = q.i
+      JOIN lin lj ON lj.i = q.j
+      CROSS JOIN cnt
+      ORDER BY q.i, q.j""")
 }

@@ -226,6 +226,43 @@ class QueryCatalogSpec extends SparkSpec {
     } finally nov.unpersist()
   }
 
+  test("q93 invariants: kept spans = distinct span space; reconstruction only ever shrinks") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q93_span_dedup")(spark, sf).cache()
+    try {
+      // every doc appears, counts are sane
+      assert(out.count() === Tables.rowCount(spark, sf, "documents"))
+      assert(out.filter(col("n_kept") > col("n_spans")).count() === 0,
+        "a doc cannot keep more spans than it has")
+      // first-occurrence dedup keeps exactly one occurrence per distinct
+      // span content: total kept across the corpus = |distinct spans|
+      val distinctSpans = Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(explode(expr(
+          "transform(sequence(0, (size(toks)-1) div 8), i -> array_join(slice(toks, i*8+1, 8), ' '))"))
+          .as("span"))
+        .distinct().count()
+      assert(out.agg(sum(col("n_kept"))).head.getLong(0) === distinctSpans,
+        "corpus-wide kept spans must equal the distinct span space")
+      // a doc with all-unique spans reconstructs to its own text
+      val full = out.filter(col("n_kept") === col("n_spans")).count()
+      assert(full > 0, "fixture should contain at least one fully-novel doc")
+    } finally out.unpersist()
+  }
+
+  test("q94 fixture precondition: every embedding is exactly 64-wide") {
+    // q94/Pca quantize into fixed d + d(d+1)/2 buffers and the DuckDB
+    // twin iterates range(64) — a ragged or re-dimensioned fixture must
+    // fail HERE, not as a treeAggregate exception or an oracle mismatch.
+    import org.apache.spark.sql.functions._
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .foreach { dir =>
+        val bad = Tables.load(spark, dir, "embeddings")
+          .filter(size(col("embedding")) =!= 64).count()
+        assert(bad === 0, s"$dir has $bad embeddings with dim != 64")
+      }
+  }
+
   test("query names are unique across sub-catalogs") {
     val parts = Seq(
       queries.RelationalQueries.queries, queries.WindowScalarQueries.queries,
