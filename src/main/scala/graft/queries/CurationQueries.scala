@@ -283,6 +283,64 @@ object CurationQueries {
         StructField("cov", DoubleType, nullable = false)))
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
         .orderBy(col("i"), col("j"))
+    }),
+    // ---- BPE merge-pair statistics (tokenizer training, step 1): the
+    //      frequency of every adjacent character pair across the
+    //      corpus, weighted by word occurrence — the argmax of this
+    //      table IS the first BPE merge, and iterating it is how a
+    //      tokenizer vocabulary is trained on the corpus the engine
+    //      just curated. Scale shape: the corpus collapses to the
+    //      VOCAB frame first (word → count, map-side partial agg — the
+    //      distinct-word space is Heaps-law sublinear in corpus size
+    //      and is the standard working set of distributed BPE), and
+    //      the character-pair explode runs over vocab rows only,
+    //      weighted by the carried count; top-32 is
+    //      TakeOrderedAndProject (no global sort). ----
+    "q95_bpe_pairs" -> ((s, dir) => {
+      val vocab = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n_w"))
+      vocab
+        // 1-char words carry no pairs; the filter also dodges Spark's
+        // sequence(1, 0) step-inference (it would count DOWN)
+        .filter(length(col("word")) >= 2)
+        .select(col("n_w"), explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n_w")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(32)
+    }),
+    // ---- embedding outlier scores (diagonal Mahalanobis): per-vector
+    //      Σ_i (x_i − μ_i)² / σ²_i against the corpus statistics — the
+    //      corrupt/out-of-distribution vector screen run before
+    //      embeddings feed semantic dedup or ANN serving. Scale shape:
+    //      the classic two-pass standardization — pass 1 is q94's
+    //      shuffle-free quantized treeAggregate (O(d²) driver
+    //      metadata), pass 2 is purely map-side (μ/σ² ride as array
+    //      LITERALS inside codegen'd zip_with/aggregate HOFs); each
+    //      per-dimension term is quantized to BIGINT before the
+    //      per-row sum so the score is accumulation-order-free, and
+    //      top-32 is TakeOrderedAndProject on the exact integer. ----
+    "q96_embed_outliers" -> ((s, dir) => {
+      import graft.functions.Pca
+      val d = 64
+      val emb = Tables.load(s, dir, "embeddings")
+      val (n, s1, s2) = Pca.moments(emb, "embedding", d)
+      val mean = Array.tabulate(d)(i => (s1(i).toDouble / Pca.Q) / n.toDouble)
+      val vEff = Array.tabulate(d)(i =>
+        math.max(Pca.covEntry(n, s1, s2, d, i, i), 1e-12))
+      val meanLit = typedLit(mean.toSeq)
+      val varLit = typedLit(vEff.toSeq)
+      val centered = zip_with(col("embedding"), meanLit,
+        (x, m) => x.cast(DoubleType) - m)
+      val terms = zip_with(centered, varLit,
+        (c, v) => floor(c * c / v * lit(1e8) + lit(0.5)).cast(LongType))
+      emb.select(col("vec_id"), col("label"),
+          aggregate(terms, lit(0L), (acc, x) => acc + x).as("q_score"))
+        .orderBy(col("q_score").desc, col("vec_id"))
+        .limit(32)
+        .withColumn("score", dround(col("q_score").cast(DoubleType) / lit(1e8), 6))
+        .select(col("vec_id"), col("label"), col("q_score"), col("score"))
     }))
 
   private val R = droundSql
@@ -421,5 +479,38 @@ object CurationQueries {
       JOIN lin li ON li.i = q.i
       JOIN lin lj ON lj.i = q.j
       CROSS JOIN cnt
-      ORDER BY q.i, q.j""")
+      ORDER BY q.i, q.j""",
+    "q95_bpe_pairs" -> """
+      WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      v AS (SELECT word, count(*) AS n_w FROM w GROUP BY word),
+      e AS (SELECT word, n_w, unnest(range(1, length(word))) AS i FROM v),
+      p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, n_w FROM e)
+      SELECT pair, CAST(sum(n_w) AS BIGINT) AS cnt FROM p
+      GROUP BY pair
+      ORDER BY cnt DESC, pair
+      LIMIT 32""",
+    "q96_embed_outliers" -> """
+      WITH v AS (SELECT vec_id, label, embedding AS e FROM embeddings),
+      cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM v),
+      lin AS (
+        SELECT i, CAST(sum(CAST(floor(CAST(e[i+1] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS si
+        FROM v CROSS JOIN range(64) a(i) GROUP BY i),
+      diag AS (
+        SELECT i, CAST(sum(CAST(floor(CAST(e[i+1] AS DOUBLE) * CAST(e[i+1] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+        FROM v CROSS JOIN range(64) a(i) GROUP BY i),
+      stats AS (
+        SELECT lin.i,
+          (CAST(si AS DOUBLE) / 1e8) / nn AS m,
+          greatest(((CAST(sq AS DOUBLE) / 1e8) / nn)
+                   - ((CAST(si AS DOUBLE) / 1e8) / nn) * ((CAST(si AS DOUBLE) / 1e8) / nn), 1e-12) AS veff
+        FROM lin JOIN diag ON lin.i = diag.i CROSS JOIN cnt),
+      terms AS (
+        SELECT vec_id, label,
+          CAST(floor((CAST(e[s.i+1] AS DOUBLE) - m) * (CAST(e[s.i+1] AS DOUBLE) - m) / veff * 1e8 + 0.5) AS BIGINT) AS t
+        FROM v CROSS JOIN stats s)
+      SELECT vec_id, label, CAST(sum(t) AS BIGINT) AS q_score,
+        floor(CAST(CAST(sum(t) AS BIGINT) AS DOUBLE) / 1e8 * 1e6 + 0.5) / 1e6 AS score
+      FROM terms GROUP BY vec_id, label
+      ORDER BY q_score DESC, vec_id
+      LIMIT 32""")
 }

@@ -263,6 +263,52 @@ class QueryCatalogSpec extends SparkSpec {
       }
   }
 
+  test("q95 matches a driver-side brute-force recount (independent of the SQL path)") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q95_bpe_pairs")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // recompute in plain Scala from the raw fixture
+    val words = Tables.load(spark, sf, "documents")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { w =>
+      var i = 0
+      while (i < w.length - 1) {
+        val p = w.substring(i, i + 2)
+        counts(p) = counts.getOrElse(p, 0L) + 1L
+        i += 1
+      }
+    }
+    val want = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(32)
+    assert(got === want, "q95 must equal the brute-force pair count")
+  }
+
+  test("q96 matches a driver-side brute-force score (independent of the SQL path)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Pca
+    val d = 64
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (n, s1, s2) = Pca.moments(emb, "embedding", d)
+    val mean = Array.tabulate(d)(i => (s1(i).toDouble / Pca.Q) / n.toDouble)
+    val vEff = Array.tabulate(d)(i => math.max(Pca.covEntry(n, s1, s2, d, i, i), 1e-12))
+    val want = emb.select(col("vec_id"), col("embedding")).collect().map { r =>
+      val e = r.getSeq[Float](1)
+      var q = 0L
+      var i = 0
+      while (i < d) {
+        val c = e(i).toDouble - mean(i)
+        q += math.floor(c * c / vEff(i) * 1e8 + 0.5).toLong
+        i += 1
+      }
+      (r.getLong(0), q)
+    }.sortBy { case (id, q) => (-q, id) }.take(32).toSeq
+    val got = SparkEntry.queries("q96_embed_outliers")(spark, sf)
+      .select(col("vec_id"), col("q_score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want, "q96 must equal the brute-force Mahalanobis ranking")
+  }
+
   test("query names are unique across sub-catalogs") {
     val parts = Seq(
       queries.RelationalQueries.queries, queries.WindowScalarQueries.queries,

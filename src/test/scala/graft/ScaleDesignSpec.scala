@@ -457,6 +457,33 @@ class ScaleDesignSpec extends SparkSpec {
     assert(got.find(_._1 == "hot").get._2 === 10000L)
   }
 
+  test("q93: span attribution aggregates two-phase on the hash key; no cartesian") {
+    val p = plan("q93_span_dedup")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"first-occurrence min(packed) must partial-aggregate map-side:\n$p")
+    assert("hashpartitioning\\(h".r.findAllIn(p).size >= 1,
+      s"attribution must cluster on the span hash:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q95: pair counts ride the vocab frame; top-32 avoids a global sort") {
+    val p = plan("q95_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-32 must compile to TakeOrderedAndProject:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"both the vocab and the pair aggs must be partial + final:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q96: outlier scoring is map-side — zero exchanges, no join") {
+    val p = plan("q96_embed_outliers")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-32 must compile to TakeOrderedAndProject:\n$p")
+    assert(!"\\(\\d+\\) Exchange".r.findAllIn(p).hasNext,
+      s"scoring must not shuffle (stats are literals):\n$p")
+    assert(!p.contains("Join"), s"scoring must not join:\n$p")
+  }
+
   test("AQE skew-join splits a hot partition at runtime (skew=true in the final plan)") {
     // complements the manual salting proof above: with AQE's skew
     // handling on (Bench runs with it), a synthetically skewed
