@@ -1,0 +1,59 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+
+/** BPE trainer (`Bpe.train/trainOnCorpus/tokenize`): hand-checkable
+  * algebra on toy vocabularies, the q95 consistency pin (first merge =
+  * the gated pair-statistics argmax), and the segmentation contract.
+  */
+class BpeSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("hand-checked toy vocabulary: merges and segmentation") {
+    // "aaab": pairs (a,a)x2, (a,b)x1 → first merge (a,a),
+    // left-to-right apply gives [aa, a, b]
+    val m1 = Bpe.train(Map("aaab" -> 1L), 1)
+    assert(m1 === Seq(("a", "a")))
+    assert(Bpe.tokenize("aaab", m1) === Seq("aa", "a", "b"))
+    // the classic Sennrich shape: es dominates, then est
+    val v = Map("newest" -> 6L, "widest" -> 3L, "low" -> 5L, "lower" -> 2L)
+    val m = Bpe.train(v, 2)
+    assert(m === Seq(("e", "s"), ("es", "t")),
+      s"expected (e,s) then (es,t), got $m")
+    assert(Bpe.tokenize("newest", m) === Seq("n", "e", "w", "est"))
+  }
+
+  test("merges only ever shrink the total symbol count") {
+    val v = Map("newest" -> 6L, "widest" -> 3L, "low" -> 5L, "lower" -> 2L)
+    def totalSymbols(merges: Seq[(String, String)]): Long =
+      v.map { case (w, c) => Bpe.tokenize(w, merges).length.toLong * c }.sum
+    val m = Bpe.train(v, 6)
+    (0 to m.length).sliding(2).foreach { case Seq(a, b) =>
+      assert(totalSymbols(m.take(b)) < totalSymbols(m.take(a)),
+        s"merge $b must strictly reduce the corpus symbol count")
+    }
+  }
+
+  test("tokenization always reassembles the word exactly") {
+    val v = Map("newest" -> 6L, "widest" -> 3L, "low" -> 5L, "lower" -> 2L)
+    val m = Bpe.train(v, 8)
+    v.keys.foreach { w =>
+      assert(Bpe.tokenize(w, m).mkString === w, s"lossy segmentation of $w")
+    }
+  }
+
+  test("first corpus merge equals q95's gated top pair (same statistic, same tie-break)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val firstMerge = Bpe.trainOnCorpus(docs, "text", 1).head
+    val topPair = graft.SparkEntry.queries("q95_bpe_pairs")(spark, sf)
+      .head().getString(0)
+    assert(firstMerge._1 + firstMerge._2 === topPair,
+      s"trainer argmax $firstMerge must be the q95 top row $topPair")
+  }
+
+  test("trainer stops early when no pairs remain") {
+    val m = Bpe.train(Map("ab" -> 1L), 10)
+    // (a,b) merges once; afterwards the vocab is single symbols
+    assert(m === Seq(("a", "b")))
+  }
+}
