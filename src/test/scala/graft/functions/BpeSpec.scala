@@ -51,6 +51,27 @@ class BpeSpec extends SparkSpec {
       s"trainer argmax $firstMerge must be the q95 top row $topPair")
   }
 
+  test("seeded fuzz: segmentation stays lossless and symbol count never grows") {
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 20).foreach { _ =>
+      val vocab = (1 to 12).map { _ =>
+        val len = 1 + rnd.nextInt(8)
+        val w = (1 to len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+        w -> (1L + rnd.nextInt(9))
+      }.groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+      val merges = Bpe.train(vocab, 1 + rnd.nextInt(10))
+      def total(ms: Seq[(String, String)]): Long =
+        vocab.map { case (w, c) => Bpe.tokenize(w, ms).length.toLong * c }.sum
+      vocab.keys.foreach { w =>
+        assert(Bpe.tokenize(w, merges).mkString === w, s"lossy on $w")
+      }
+      (0 until merges.length).foreach { k =>
+        assert(total(merges.take(k + 1)) < total(merges.take(k)),
+          "an applied merge must strictly reduce the weighted symbol count")
+      }
+    }
+  }
+
   test("trainer stops early when no pairs remain") {
     val m = Bpe.train(Map("ab" -> 1L), 10)
     // (a,b) merges once; afterwards the vocab is single symbols

@@ -179,6 +179,63 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("stateful streaming span dedup via flatMapGroupsWithState == batch q93") {
+    // the TRUE streaming form of the q93 first-occurrence span dedup
+    // (the reference streaming engine's dedup shape): per-span-hash
+    // state carries "seen before"; the first arriving occurrence keeps,
+    // every later one drops. Equals the batch answer because arrival
+    // order is packed (doc_id, span_idx) order — the doc files stream
+    // in doc_id-ordered chunks, a doc's spans never straddle a chunk,
+    // and within a micro-batch each group sorts by packed.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dir = tmpDir("stream-docs")
+    val docs = Tables.load(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val rows = docs.orderBy("doc_id").toJSON.collect()
+    val base = System.currentTimeMillis() - 3600000
+    rows.grouped(math.max(1, rows.length / 3)).zipWithIndex.foreach { case (chunk, i) =>
+      val p = Paths.get(dir, f"docchunk-$i%03d.json")
+      Files.writeString(p, chunk.mkString("\n"))
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+    }
+    val spans = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (size(split(text, ' '))-1) div 8), i -> array_join(slice(split(text, ' '), i*8+1, 8), ' '))"))
+        .as(Seq("span_idx", "span")))
+      .select(col("doc_id"), col("span_idx"),
+        expr("CAST(conv(substring(md5(span), 1, 15), 16, 10) AS BIGINT)").as("h"),
+        (col("doc_id") * lit(1048576L) + col("span_idx")).as("packed"))
+      .as[(Long, Int, Long, Long)]
+    val q = spans.groupByKey(_._3)
+      .flatMapGroupsWithState[Boolean, (Long, Int, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, occs, state: GroupState[Boolean]) =>
+          val sorted = occs.toSeq.sortBy(_._4)
+          var seen = state.getOption.getOrElse(false)
+          val out = sorted.map { o =>
+            val keep = !seen
+            seen = true
+            (o._1, o._2, keep)
+          }
+          state.update(seen)
+          out.iterator
+      }
+      .writeStream.format("memory").queryName("spandedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      """SELECT _1, count(*), sum(CASE WHEN _3 THEN 1 ELSE 0 END)
+         FROM spandedup GROUP BY _1""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.queries.CurationQueries.queries("q93_span_dedup")(spark, sf)
+      .select(col("doc_id"), col("n_spans"), col("n_kept"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "batch span dedup produced no rows — test is vacuous")
+    assert(got === want)
+  }
+
   test("stateful streaming funnel via flatMapGroupsWithState == batch q76") {
     // the TRUE streaming form of the q76 conversion funnel: per-user
     // state carries the entry timestamp of each reached stage; a stage
