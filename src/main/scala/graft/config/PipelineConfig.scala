@@ -43,7 +43,8 @@ final case class MaintenanceCfg(
     expireOlderThanMs: Long = 86400000,
     compactIntervalMs: Long = 7200000,
     compactFileThreshold: Int = 10,
-    compactMaxRows: Long = 500000)
+    compactMaxRows: Long = 500000,
+    zorderCols: Seq[String] = Nil)
 
 final case class LakehouseSinkCfg(
     tablePath: String,

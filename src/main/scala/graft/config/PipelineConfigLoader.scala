@@ -256,7 +256,8 @@ object PipelineConfigLoader {
             expireOlderThanMs = long(m, "expire_older_than_ms", 86400000L),
             compactIntervalMs = long(m, "compact_interval_ms", 7200000L),
             compactFileThreshold = int(m, "compact_file_threshold", 10),
-            compactMaxRows = long(m, "compact_max_rows", 500000L))))
+            compactMaxRows = long(m, "compact_max_rows", 500000L),
+            zorderCols = strSeq(m, "zorder_cols"))))
       } else None)
 
     // the sub-config matching sink_type must be present (models.py:317-330)

@@ -43,7 +43,7 @@ final case class Snapshot(
   * MERGE uses); compaction is per-partition-directory with a row cap.
   * Single-writer (the reference serializes writes with a lock too).
   */
-final class LakehouseTable(spark: SparkSession, root: String) {
+final class LakehouseTable(spark: SparkSession, val root: String) {
   private implicit val fmts: Formats = DefaultFormats
 
   private val rootPath = Paths.get(root)
@@ -252,6 +252,52 @@ final class LakehouseTable(spark: SparkSession, root: String) {
     val untouchedFiles = cur.files.filterNot(touched)
     Some(writeSnapshot(Snapshot(id, Some(cur.snapshotId), System.currentTimeMillis(),
       "compact", untouchedFiles ++ rewritten, cur.schemaJson)))
+  }
+
+  /** Z-order clustering compaction (the Delta `OPTIMIZE ZORDER BY`
+    * analogue, same lifecycle slot as `compact`): rewrite the current
+    * file set ordered along a space-filling curve over `cols`, so each
+    * output file's min/max range is selective on EVERY listed column
+    * and a point/range scan can prune files on any of them — the
+    * multi-column data-skipping story a 100 TB table needs (a plain
+    * sort only skips on its leading column).
+    *
+    * Scale shape: per-column range-bucket ids come from approximate
+    * quantiles (one distributed pass, O(buckets) driver metadata — the
+    * Delta cube pattern); the bucket lookup and the bit interleave are
+    * map-side codegen'd expressions over boundary LITERALS; the only
+    * shuffle is the final range partition by z-value.
+    */
+  def compactZOrder(cols: Seq[String], targetFiles: Int,
+      buckets: Int = 256): Option[Snapshot] = writeLock.synchronized {
+    require(cols.nonEmpty && cols.size <= 4, "zorder over 1..4 columns")
+    require(Integer.bitCount(buckets) == 1, "buckets must be a power of two")
+    val cur = currentSnapshot().getOrElse(return None)
+    val df = readFiles(cur.files)
+    val bits = 31 - Integer.numberOfLeadingZeros(buckets)
+    val zcols = cols.map { c =>
+      val bounds = df.stat.approxQuantile(
+        c, (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+      // rank = how many boundaries the value has passed (0..buckets-1)
+      aggregate(
+        array(bounds.map(b => lit(b)).toIndexedSeq: _*), lit(0),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+    }
+    // bit i of column k lands at curve position i*ncols + k
+    val z = (0 until bits).flatMap { i =>
+      zcols.zipWithIndex.map { case (bc, k) =>
+        shiftleft(shiftright(bc, i).bitwiseAND(lit(1)), i * cols.size + k)
+      }
+    }.reduce(_.bitwiseOR(_))
+    val id = nextId()
+    val files = writeDataFiles(
+      df.withColumn("__graft_z", z)
+        .repartitionByRange(targetFiles, col("__graft_z"))
+        .sortWithinPartitions(col("__graft_z"))
+        .drop("__graft_z"),
+      id, suffix = "zorder")
+    Some(writeSnapshot(Snapshot(id, Some(cur.snapshotId), System.currentTimeMillis(),
+      "compact", files, cur.schemaJson)))
   }
 
   // ---------------- helpers ----------------

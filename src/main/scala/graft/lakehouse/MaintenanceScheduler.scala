@@ -15,7 +15,8 @@ final class MaintenanceScheduler(
     expireIntervalMs: Long,
     compactIntervalMs: Long,
     compactFileThreshold: Int,
-    compactMaxRows: Long) {
+    compactMaxRows: Long,
+    zorderCols: Seq[String] = Nil) {
 
   @volatile private var expiredTotal = 0
   @volatile private var compactionsTotal = 0
@@ -30,9 +31,17 @@ final class MaintenanceScheduler(
     n
   }
 
-  /** One compaction pass. */
+  /** One compaction pass: z-order clustering when curve columns are
+    * configured (same trigger thresholds), plain coalesce otherwise.
+    */
   def runCompaction(): Option[Snapshot] = {
-    val s = table.compact(compactFileThreshold, compactMaxRows)
+    val s =
+      if (zorderCols.nonEmpty) {
+        val cur = table.currentSnapshot()
+        if (cur.exists(_.files.size >= compactFileThreshold))
+          table.compactZOrder(zorderCols, targetFiles = 1)
+        else None
+      } else table.compact(compactFileThreshold, compactMaxRows)
     if (s.isDefined) compactionsTotal += 1
     s
   }

@@ -69,7 +69,8 @@ object PipelineRunner {
           expireIntervalMs = lh.maintenance.expireIntervalMs,
           compactIntervalMs = lh.maintenance.compactIntervalMs,
           compactFileThreshold = lh.maintenance.compactFileThreshold,
-          compactMaxRows = lh.maintenance.compactMaxRows))
+          compactMaxRows = lh.maintenance.compactMaxRows,
+          zorderCols = lh.maintenance.zorderCols))
       (sink, maint)
     case "webhook" =>
       val w = s.webhook.get

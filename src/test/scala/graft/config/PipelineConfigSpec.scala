@@ -199,6 +199,15 @@ class PipelineConfigSpec extends AnyFunSuite {
       .sinks.head.lakehouse.get.maintenance.enabled)
   }
 
+  test("maintenance zorder_cols parses; defaults to plain compaction") {
+    val cfg = PipelineConfigLoader.parse(
+      minimal + "      maintenance:\n        enabled: true\n        zorder_cols: [user_id, ts]\n")
+    assert(cfg.sinks.head.lakehouse.get.maintenance.zorderCols === Seq("user_id", "ts"))
+    assert(PipelineConfigLoader.parse(
+      minimal + "      maintenance:\n        enabled: true\n")
+      .sinks.head.lakehouse.get.maintenance.zorderCols === Nil)
+  }
+
   test("deep-merge: nested override keeps sibling defaults") {
     val cfg = PipelineConfigLoader.parse(
       minimal.replace("database: appdb", "database: appdb\n  slot_name: custom_slot"))

@@ -30,6 +30,22 @@ class MaintenanceSchedulerSpec extends SparkSpec {
     assert(sched.stats === ((expired, 1)))
   }
 
+  test("zorder-configured compaction pass clusters instead of plain coalesce") {
+    val table = new LakehouseTable(spark, tmpDir("maint-z"))
+    (1 to 4).foreach(i => table.append(
+      Seq((i.toLong, i.toLong * 7 % 5)).toDF("id", "k")))
+    val sched = new MaintenanceScheduler(table,
+      expireOlderThanMs = 0,
+      expireIntervalMs = 3600000, compactIntervalMs = 3600000,
+      compactFileThreshold = 2, compactMaxRows = 1000000,
+      zorderCols = Seq("id", "k"))
+    assert(sched.runCompaction().isDefined)
+    assert(table.currentSnapshot().get.operation === "compact")
+    assert(table.read().count() === 4)
+    // below threshold now — the pass is a no-op, like plain compaction
+    assert(sched.runCompaction().isEmpty)
+  }
+
   test("writer and maintenance interleave safely under the shared lock") {
     val table = new LakehouseTable(spark, tmpDir("maint-conc"))
     table.append(Seq((0L, "seed")).toDF("id", "v"))
