@@ -321,6 +321,42 @@ object CurationQueries {
     //      per-dimension term is quantized to BIGINT before the
     //      per-row sum so the score is accumulation-order-free, and
     //      top-32 is TakeOrderedAndProject on the exact integer. ----
+    // ---- embedding-space class separability (Fisher scatter): per
+    //      label, the within-class variance trace and the squared
+    //      centroid distance to the global mean — the "are these
+    //      classes actually separated in embedding space" health check
+    //      run before trusting labels for curation or eval. Scale
+    //      shape: the 64-way posexplode partial-aggregates to
+    //      (label × dim) granularity BEFORE its exchange (HashAggregate
+    //      partial mode — the wire carries per-partition partials of a
+    //      ~hundreds-row frame, not corpus×64 rows), the global per-dim
+    //      frame is a 64-row broadcast, and every trace term quantizes
+    //      to BIGINT before the per-label sum so assembly is
+    //      accumulation-order-free in both engines. ----
+    "q97_class_scatter" -> ((s, dir) => {
+      val pli = Tables.load(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("label"), col("i"),
+          floor(col("x").cast(DoubleType) * lit(1e8) + lit(0.5)).cast(LongType).as("q1"),
+          floor(col("x").cast(DoubleType) * col("x").cast(DoubleType) * lit(1e8) + lit(0.5))
+            .cast(LongType).as("q2"))
+        .groupBy(col("label"), col("i"))
+        .agg(sum(col("q1")).as("s1"), sum(col("q2")).as("s2"), count(lit(1)).as("n"))
+      val gi = pli.groupBy(col("i"))
+        .agg(sum(col("s1")).as("gs1"), sum(col("n")).as("gn"))
+      val ml = (col("s1").cast(DoubleType) / lit(1e8)) / col("n").cast(DoubleType)
+      val mg = (col("gs1").cast(DoubleType) / lit(1e8)) / col("gn").cast(DoubleType)
+      val ex2 = (col("s2").cast(DoubleType) / lit(1e8)) / col("n").cast(DoubleType)
+      pli.join(broadcast(gi), "i")
+        .select(col("label"), col("n"),
+          floor((ex2 - ml * ml) * lit(1e8) + lit(0.5)).cast(LongType).as("tw"),
+          floor((ml - mg) * (ml - mg) * lit(1e8) + lit(0.5)).cast(LongType).as("tb"))
+        .groupBy(col("label"))
+        .agg(min(col("n")).as("n_vecs"),
+          dround(sum(col("tw")).cast(DoubleType) / lit(1e8), 6).as("within_trace"),
+          dround(sum(col("tb")).cast(DoubleType) / lit(1e8), 6).as("between_dist2"))
+        .orderBy(col("label"))
+    }),
     "q96_embed_outliers" -> ((s, dir) => {
       import graft.functions.Pca
       val d = 64
@@ -512,5 +548,29 @@ object CurationQueries {
         floor(CAST(CAST(sum(t) AS BIGINT) AS DOUBLE) / 1e8 * 1e6 + 0.5) / 1e6 AS score
       FROM terms GROUP BY vec_id, label
       ORDER BY q_score DESC, vec_id
-      LIMIT 32""")
+      LIMIT 32""",
+    "q97_class_scatter" -> """
+      WITH v AS (SELECT label, embedding AS e FROM embeddings),
+      pli AS (
+        SELECT label, i,
+          CAST(sum(CAST(floor(CAST(e[i+1] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+          CAST(sum(CAST(floor(CAST(e[i+1] AS DOUBLE) * CAST(e[i+1] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS s2,
+          CAST(count(*) AS BIGINT) AS n
+        FROM v CROSS JOIN range(64) a(i)
+        GROUP BY label, i),
+      gi AS (
+        SELECT i, CAST(sum(s1) AS BIGINT) AS gs1, CAST(sum(n) AS BIGINT) AS gn
+        FROM pli GROUP BY i),
+      terms AS (
+        SELECT label, n,
+          CAST(floor((((CAST(s2 AS DOUBLE) / 1e8) / n)
+                      - ((CAST(s1 AS DOUBLE) / 1e8) / n) * ((CAST(s1 AS DOUBLE) / 1e8) / n)) * 1e8 + 0.5) AS BIGINT) AS tw,
+          CAST(floor((((CAST(s1 AS DOUBLE) / 1e8) / n) - ((CAST(gs1 AS DOUBLE) / 1e8) / gn))
+                     * (((CAST(s1 AS DOUBLE) / 1e8) / n) - ((CAST(gs1 AS DOUBLE) / 1e8) / gn)) * 1e8 + 0.5) AS BIGINT) AS tb
+        FROM pli JOIN gi USING (i))
+      SELECT label, min(n) AS n_vecs,
+        floor(CAST(CAST(sum(tw) AS BIGINT) AS DOUBLE) / 1e8 * 1e6 + 0.5) / 1e6 AS within_trace,
+        floor(CAST(CAST(sum(tb) AS BIGINT) AS DOUBLE) / 1e8 * 1e6 + 0.5) / 1e6 AS between_dist2
+      FROM terms GROUP BY label
+      ORDER BY label""")
 }

@@ -309,6 +309,22 @@ class QueryCatalogSpec extends SparkSpec {
     assert(got === want, "q96 must equal the brute-force Mahalanobis ranking")
   }
 
+  test("q97 invariants: counts cover the corpus; traces are non-negative; classes separate") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q97_class_scatter")(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum ===
+      Tables.rowCount(spark, sf, "embeddings"),
+      "per-label counts must partition the embedding table")
+    out.foreach { r =>
+      assert(r.getAs[Double]("within_trace") >= 0.0, "variance trace cannot be negative")
+      assert(r.getAs[Double]("between_dist2") >= 0.0)
+    }
+    // the fixture embeds synthetic label clusters — at least some class
+    // structure must be visible (a centroid away from the global mean)
+    assert(out.map(_.getAs[Double]("between_dist2")).max > 0.0,
+      "no class separation at all — fixture drifted or math broke")
+  }
+
   test("query names are unique across sub-catalogs") {
     val parts = Seq(
       queries.RelationalQueries.queries, queries.WindowScalarQueries.queries,

@@ -484,6 +484,15 @@ class ScaleDesignSpec extends SparkSpec {
     assert(!p.contains("Join"), s"scoring must not join:\n$p")
   }
 
+  test("q97: scatter partial-aggregates before the exchange; global frame broadcasts") {
+    val p = plan("q97_class_scatter")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"(label, dim) and per-label aggs must both be partial + final:\n$p")
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      s"the 64-row global per-dim frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("AQE skew-join splits a hot partition at runtime (skew=true in the final plan)") {
     // complements the manual salting proof above: with AQE's skew
     // handling on (Bench runs with it), a synthetically skewed
