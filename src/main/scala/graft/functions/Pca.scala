@@ -197,6 +197,26 @@ object Pca {
     math.sqrt(s)
   }
 
+  /** Diagonal-Mahalanobis outlier score (q96's math, shared so composed
+    * pipelines screen with the same integers): Σ_i (x_i − μ_i)²/σ²_i
+    * with per-dimension terms quantized to BIGINT before the row sum —
+    * accumulation-order-free, twin-reproducible. Pass 1 is the
+    * shuffle-free `moments` treeAggregate; the scoring column is purely
+    * map-side (μ/σ² as array literals in codegen'd HOFs).
+    */
+  def diagMahalanobisScore(df: DataFrame, embCol: String, d: Int,
+      outCol: String = "q_score"): DataFrame = {
+    val (n, s1, s2) = moments(df, embCol, d)
+    val mean = Array.tabulate(d)(i => (s1(i).toDouble / Q) / n.toDouble)
+    val vEff = Array.tabulate(d)(i => math.max(covEntry(n, s1, s2, d, i, i), 1e-12))
+    val meanLit = typedLit(mean.toSeq)
+    val varLit = typedLit(vEff.toSeq)
+    val centered = zip_with(col(embCol), meanLit, (x, m) => x.cast("double") - m)
+    val terms = zip_with(centered, varLit,
+      (c, v) => floor(c * c / v * lit(1e8) + lit(0.5)).cast("long"))
+    df.withColumn(outCol, aggregate(terms, lit(0L), (acc, x) => acc + x))
+  }
+
   /** Project onto the top-k principal axes, optionally whitening each
     * coordinate to unit variance. Purely map-side: mean and components
     * are array LITERALS inside codegen'd `zip_with`/`aggregate` HOFs —

@@ -358,21 +358,9 @@ object CurationQueries {
         .orderBy(col("label"))
     }),
     "q96_embed_outliers" -> ((s, dir) => {
-      import graft.functions.Pca
-      val d = 64
-      val emb = Tables.load(s, dir, "embeddings")
-      val (n, s1, s2) = Pca.moments(emb, "embedding", d)
-      val mean = Array.tabulate(d)(i => (s1(i).toDouble / Pca.Q) / n.toDouble)
-      val vEff = Array.tabulate(d)(i =>
-        math.max(Pca.covEntry(n, s1, s2, d, i, i), 1e-12))
-      val meanLit = typedLit(mean.toSeq)
-      val varLit = typedLit(vEff.toSeq)
-      val centered = zip_with(col("embedding"), meanLit,
-        (x, m) => x.cast(DoubleType) - m)
-      val terms = zip_with(centered, varLit,
-        (c, v) => floor(c * c / v * lit(1e8) + lit(0.5)).cast(LongType))
-      emb.select(col("vec_id"), col("label"),
-          aggregate(terms, lit(0L), (acc, x) => acc + x).as("q_score"))
+      graft.functions.Pca
+        .diagMahalanobisScore(Tables.load(s, dir, "embeddings"), "embedding", 64)
+        .select(col("vec_id"), col("label"), col("q_score"))
         .orderBy(col("q_score").desc, col("vec_id"))
         .limit(32)
         .withColumn("score", dround(col("q_score").cast(DoubleType) / lit(1e8), 6))

@@ -625,6 +625,29 @@ object LlmSimQueries {
       graft.functions.GraftFunctions.register(s)
       semanticDedup(Tables.load(s, dir, "embeddings"), SemDedupT)
     }),
+    // ---- composed embedding curation: the chain a production vector
+    //      pipeline runs before serving — q96's diagonal-Mahalanobis
+    //      screen drops the 32 most extreme vectors (corrupt/OOD), then
+    //      q80's SemDeDup prunes semantic near-duplicates among the
+    //      SURVIVORS. Gates the COMPOSITION of two already-gated
+    //      stages: the outlier stats come from the full corpus, the
+    //      k-means cells retrain on the clean set (seeds = clean ∩
+    //      vec_id < C, exactly what the oracle's parameterized CTE
+    //      chain reproduces). Scale shape inherits both stages: one
+    //      treeAggregate pass + map-side scoring + a 32-row broadcast
+    //      anti-join, then the sub-quadratic cell-local dedup. ----
+    "q98_embed_curation" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val outliers = graft.functions.Pca
+        .diagMahalanobisScore(emb, "embedding", AnnDim)
+        .select(col("vec_id"), col("q_score"))
+        .orderBy(col("q_score").desc, col("vec_id"))
+        .limit(32)
+        .select(col("vec_id"))
+      val clean = emb.join(broadcast(outliers), Seq("vec_id"), "left_anti")
+      semanticDedup(clean, SemDedupT)
+    }),
     // ---- symmetric int8 embedding quantization — the serving-side
     //      memory step before ANN (4× smaller vectors, SIMD-friendly
     //      int dot products). Per vector: scale = 127/max|x|, q_i =
@@ -748,7 +771,7 @@ object LlmSimQueries {
     * construction), ending at `ranked` (per-vec centroid ranking) and
     * `assigned` (vec_id, embedding, nrm, cell).
     */
-  private def ivfAssignCtes: String = {
+  private def ivfAssignCtes(source: String = "embeddings"): String = {
     val iterCtes = (1 to IvfIters).map { k =>
       s"""
       scored$k AS (
@@ -775,7 +798,7 @@ object LlmSimQueries {
     s"""e AS (
         SELECT vec_id, embedding,
           sqrt(${dotSql("embedding", "embedding")}) AS nrm
-        FROM embeddings),
+        FROM $source),
       cents0 AS (SELECT CAST(vec_id AS INT) AS cent_id, embedding AS c_emb
                  FROM e WHERE vec_id < $IvfC),$iterCtes,
       scored_cells AS (
@@ -793,7 +816,7 @@ object LlmSimQueries {
 
   /** The q63 twin: the shared IVF chain plus the probe/re-rank tail. */
   private def ivfOracleSql: String = s"""
-      WITH $ivfAssignCtes,
+      WITH ${ivfAssignCtes()},
       probes AS (SELECT vec_id AS q_id, cent_id AS cell
                  FROM ranked WHERE vec_id < 20 AND crk <= $IvfNprobe),
       qe AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
@@ -816,7 +839,44 @@ object LlmSimQueries {
     "q63_ann_ivf" -> ivfOracleSql,
     // same trained cells as q63 (shared CTE chain), SemDeDup pruning tail
     "q80_semantic_dedup" -> s"""
-      WITH $ivfAssignCtes,
+      WITH ${ivfAssignCtes()},
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ${R(s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)", 6)} AS cosine
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND b.vec_id < a.vec_id),
+      dups AS (
+        SELECT id_a AS vec_id, min(id_b) AS dup_of FROM pairs
+        WHERE cosine >= $SemDedupT GROUP BY id_a)
+      SELECT a.vec_id, a.cell, d.dup_of IS NULL AS kept, d.dup_of
+      FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+      ORDER BY a.vec_id""",
+    "q98_embed_curation" -> s"""
+      WITH olv AS (SELECT vec_id, embedding AS oe FROM embeddings),
+      olcnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM olv),
+      ollin AS (
+        SELECT i, CAST(sum(CAST(floor(CAST(oe[i+1] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS si
+        FROM olv CROSS JOIN range($AnnDim) a(i) GROUP BY i),
+      oldiag AS (
+        SELECT i, CAST(sum(CAST(floor(CAST(oe[i+1] AS DOUBLE) * CAST(oe[i+1] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+        FROM olv CROSS JOIN range($AnnDim) a(i) GROUP BY i),
+      olstats AS (
+        SELECT ollin.i,
+          (CAST(si AS DOUBLE) / 1e8) / nn AS m,
+          greatest(((CAST(sq AS DOUBLE) / 1e8) / nn)
+                   - ((CAST(si AS DOUBLE) / 1e8) / nn) * ((CAST(si AS DOUBLE) / 1e8) / nn), 1e-12) AS veff
+        FROM ollin JOIN oldiag ON ollin.i = oldiag.i CROSS JOIN olcnt),
+      olterms AS (
+        SELECT vec_id,
+          CAST(floor((CAST(oe[s.i+1] AS DOUBLE) - m) * (CAST(oe[s.i+1] AS DOUBLE) - m) / veff * 1e8 + 0.5) AS BIGINT) AS t
+        FROM olv CROSS JOIN olstats s),
+      outliers AS (
+        SELECT vec_id FROM olterms GROUP BY vec_id
+        ORDER BY CAST(sum(t) AS BIGINT) DESC, vec_id LIMIT 32),
+      clean AS (
+        SELECT e0.* FROM embeddings e0
+        WHERE NOT EXISTS (SELECT 1 FROM outliers o WHERE o.vec_id = e0.vec_id)),
+      ${ivfAssignCtes("clean")},
       pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           ${R(s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)", 6)} AS cosine

@@ -325,6 +325,25 @@ class QueryCatalogSpec extends SparkSpec {
       "no class separation at all — fixture drifted or math broke")
   }
 
+  test("q98 composition invariants: curated set = corpus minus q96 outliers; q80 contract holds") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q98_embed_curation")(spark, sf).cache()
+    try {
+      val outliers = SparkEntry.queries("q96_embed_outliers")(spark, sf)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val ids = out.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val all = Tables.load(spark, sf, "embeddings")
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      assert(ids === all.diff(outliers),
+        "q98 must cover exactly the corpus minus the q96 screen")
+      // q80 row contract on the survivors: a dropped vector points at a
+      // kept-or-earlier cell-mate with a lower id
+      val bad = out.filter(!col("kept") &&
+        (col("dup_of").isNull || col("dup_of") >= col("vec_id"))).count()
+      assert(bad === 0, "every dup must reference a lower-id neighbor")
+    } finally out.unpersist()
+  }
+
   test("query names are unique across sub-catalogs") {
     val parts = Seq(
       queries.RelationalQueries.queries, queries.WindowScalarQueries.queries,
