@@ -648,6 +648,41 @@ object LlmSimQueries {
       val clean = emb.join(broadcast(outliers), Seq("vec_id"), "left_anti")
       semanticDedup(clean, SemDedupT)
     }),
+    // ---- retrieval serving compose: the RAG-shaped query path — the
+    //      servable corpus is the q64 quality/language survivor set
+    //      (vec_id ≡ doc_id in the fixture, 1:1 by construction), each
+    //      query vector takes exact cosine top-5 over the SURVIVORS,
+    //      and hits hydrate document metadata for the caller. Gates the
+    //      composition of the quality gate, the ANN-oracle scoring
+    //      contract, and the metadata join. Scale shape: the survivor
+    //      filter is a key join before any scoring (score only what you
+    //      may serve), queries ride one broadcast, ranking is a
+    //      per-query window (WindowGroupLimit — no global sort), and
+    //      the hydrate join keys on doc_id. ----
+    "q99_retrieval_serve" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val keep = LlmTextQueries.corpusFilterSurvivors(s, dir)
+        .select(col("doc_id").as("vec_id"))
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"))
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("nrm", sqrt(sqnorm("embedding")))
+      val corpus = e.join(keep, "vec_id")
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      corpus.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", dround(dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("vec_id").as("doc_id"), col("cosine"))
+        .join(docs, "doc_id")
+        .select(col("q_id"), col("rk"), col("doc_id"), col("cosine"),
+          col("source"), col("lang"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
     // ---- symmetric int8 embedding quantization — the serving-side
     //      memory step before ANN (4× smaller vectors, SIMD-friendly
     //      int dot products). Per vector: scale = 127/max|x|, q_i =
@@ -888,6 +923,29 @@ object LlmSimQueries {
       SELECT a.vec_id, a.cell, d.dup_of IS NULL AS kept, d.dup_of
       FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
       ORDER BY a.vec_id""",
+    "q99_retrieval_serve" -> s"""
+      WITH keep AS (
+        SELECT doc_id FROM (${LlmTextQueries.oracle("q64_corpus_filter")})),
+      e AS (
+        SELECT vec_id, embedding,
+          sqrt(${dotSql("embedding", "embedding")}) AS nrm
+        FROM embeddings),
+      corpus AS (SELECT e.* FROM e JOIN keep ON keep.doc_id = e.vec_id),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+            FROM e WHERE vec_id < 20),
+      scored AS (
+        SELECT q_id, corpus.vec_id,
+          ${R(s"${dotSql("q_emb", "corpus.embedding")} / (q_nrm * corpus.nrm)", 6)} AS cosine
+        FROM corpus CROSS JOIN q
+        WHERE corpus.vec_id <> q_id),
+      ranked AS (
+        SELECT q_id, vec_id, cosine,
+          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored)
+      SELECT q_id, rk, vec_id AS doc_id, cosine, d.source, d.lang
+      FROM ranked JOIN documents d ON d.doc_id = ranked.vec_id
+      WHERE rk <= 5
+      ORDER BY q_id, rk""",
     "q73_embed_quantize" -> s"""
       WITH m AS (
         SELECT vec_id, embedding,

@@ -344,6 +344,24 @@ class QueryCatalogSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("q99 composition invariants: hits are servable survivors; 5 ranked hits per query") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q99_retrieval_serve")(spark, sf).cache()
+    try {
+      val survivors = SparkEntry.queries("q64_corpus_filter")(spark, sf)
+        .select(col("doc_id"))
+      // set-wise: the same doc legitimately serves several queries
+      assert(out.select(col("doc_id")).distinct().except(survivors).count() === 0,
+        "a non-servable doc must never be retrieved")
+      val perQuery = out.groupBy(col("q_id")).count().collect()
+      assert(perQuery.length === 20, "all 20 query vectors must answer")
+      perQuery.foreach(r => assert(r.getLong(1) === 5L,
+        s"query ${r.get(0)} returned ${r.getLong(1)} hits, want 5"))
+      assert(out.filter(col("source").isNull || col("lang").isNull).count() === 0,
+        "hydration must fill metadata for every hit")
+    } finally out.unpersist()
+  }
+
   test("query names are unique across sub-catalogs") {
     val parts = Seq(
       queries.RelationalQueries.queries, queries.WindowScalarQueries.queries,

@@ -493,6 +493,15 @@ class ScaleDesignSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("q99: rank filter pushes into WindowGroupLimit; query side broadcasts") {
+    val p = plan("q99_retrieval_serve")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-5 must prune inside the window, not post-sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 20-row query side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian shuffle:\n$p")
+  }
+
   test("AQE skew-join splits a hot partition at runtime (skew=true in the final plan)") {
     // complements the manual salting proof above: with AQE's skew
     // handling on (Bench runs with it), a synthetically skewed
