@@ -357,6 +357,39 @@ object CurationQueries {
           dround(sum(col("tb")).cast(DoubleType) / lit(1e8), 6).as("between_dist2"))
         .orderBy(col("label"))
     }),
+    // ---- incremental dedup: the production INGESTION shape — a small
+    //      incoming batch (doc_id % 10 = 0, ~10%) dedups against the
+    //      accumulated history AND itself, without ever shuffling the
+    //      history: the batch's distinct hash set broadcasts, ONE
+    //      history scan probes it map-side (BroadcastHashJoin, streamed
+    //      side = history), and the surviving hit-set — bounded by the
+    //      batch size — broadcasts back onto the batch. In-batch
+    //      first-occurrence is a batch-sized agg. At 100 TB of history
+    //      this plan touches it once, sequentially, with zero history
+    //      exchanges — the property that makes per-batch ingestion
+    //      dedup affordable at all. History-dup outranks batch-dup. ----
+    "q100_incremental_dedup" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      val batch = d.filter(col("doc_id") % 10 === 0)
+      val hist = d.filter(col("doc_id") % 10 =!= 0)
+      val batchHashes = batch.select(col("h")).distinct()
+      val hitHashes = hist.join(broadcast(batchHashes), "h")
+        .select(col("h")).distinct()
+        .withColumn("in_hist", lit(true))
+      val firstInBatch = batch.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+      batch
+        .join(broadcast(hitHashes), Seq("h"), "left")
+        .join(broadcast(firstInBatch), "h")
+        .select(col("doc_id"),
+          when(col("in_hist"), lit("dup_history"))
+            .when(col("first_id") < col("doc_id"), lit("dup_batch"))
+            .otherwise(lit("new")).as("status"),
+          when(col("in_hist").isNull && (col("first_id") < col("doc_id")),
+            col("first_id")).as("dup_of"))
+        .orderBy(col("doc_id"))
+    }),
     "q96_embed_outliers" -> ((s, dir) => {
       graft.functions.Pca
         .diagMahalanobisScore(Tables.load(s, dir, "embeddings"), "embedding", 64)
@@ -560,5 +593,21 @@ object CurationQueries {
         floor(CAST(CAST(sum(tw) AS BIGINT) AS DOUBLE) / 1e8 * 1e6 + 0.5) / 1e6 AS within_trace,
         floor(CAST(CAST(sum(tb) AS BIGINT) AS DOUBLE) / 1e8 * 1e6 + 0.5) / 1e6 AS between_dist2
       FROM terms GROUP BY label
-      ORDER BY label""")
+      ORDER BY label""",
+    "q100_incremental_dedup" -> """
+      WITH d AS (
+        SELECT doc_id, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+        FROM documents),
+      b AS (SELECT * FROM d WHERE doc_id % 10 = 0),
+      hset AS (SELECT DISTINCT h FROM d WHERE doc_id % 10 <> 0),
+      fb AS (SELECT h, min(doc_id) AS first_id FROM b GROUP BY h)
+      SELECT b.doc_id,
+        CASE WHEN hset.h IS NOT NULL THEN 'dup_history'
+             WHEN fb.first_id < b.doc_id THEN 'dup_batch'
+             ELSE 'new' END AS status,
+        CASE WHEN hset.h IS NULL AND fb.first_id < b.doc_id THEN fb.first_id END AS dup_of
+      FROM b
+      LEFT JOIN hset ON b.h = hset.h
+      JOIN fb ON b.h = fb.h
+      ORDER BY b.doc_id""")
 }

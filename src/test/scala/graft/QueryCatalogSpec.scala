@@ -362,6 +362,22 @@ class QueryCatalogSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("q100 invariants: statuses partition the batch; dup_of only for in-batch dups") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q100_incremental_dedup")(spark, sf).cache()
+    try {
+      val batchSize = Tables.load(spark, sf, "documents")
+        .filter(col("doc_id") % 10 === 0).count()
+      assert(out.count() === batchSize, "every batch doc must be classified")
+      assert(out.filter(!col("status").isin("new", "dup_history", "dup_batch")).count() === 0)
+      assert(out.filter(col("status") === "dup_batch" &&
+        (col("dup_of").isNull || col("dup_of") >= col("doc_id"))).count() === 0,
+        "an in-batch dup must point at an earlier batch doc")
+      assert(out.filter(col("status") =!= "dup_batch" && col("dup_of").isNotNull).count() === 0,
+        "dup_of is only defined for in-batch dups")
+    } finally out.unpersist()
+  }
+
   test("query names are unique across sub-catalogs") {
     val parts = Seq(
       queries.RelationalQueries.queries, queries.WindowScalarQueries.queries,

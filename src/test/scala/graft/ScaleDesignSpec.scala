@@ -502,6 +502,15 @@ class ScaleDesignSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian shuffle:\n$p")
   }
 
+  test("q100: the history side never shuffles — broadcast probes only") {
+    val p = plan("q100_incremental_dedup")
+    assert(!p.contains("SortMergeJoin"),
+      s"incremental dedup must never sort-merge the history:\n$p")
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"batch hashes, hit-set and first-occurrence must all broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("AQE skew-join splits a hot partition at runtime (skew=true in the final plan)") {
     // complements the manual salting proof above: with AQE's skew
     // handling on (Bench runs with it), a synthetically skewed
