@@ -5,6 +5,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.json4s.jackson.Serialization
@@ -90,12 +91,45 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     * and partition-scoped compaction.
     */
   def append(df: DataFrame, partitionBy: Seq[String] = Nil): Snapshot = writeLock.synchronized {
+    requireCompatibleSchema(df)
     val id = nextId()
     val newFiles = writeDataFiles(df, id, partitionCols = partitionBy)
     val parentFiles = currentSnapshot().map(_.files).getOrElse(Nil)
     writeSnapshot(Snapshot(id, currentSnapshot().map(_.snapshotId),
-      System.currentTimeMillis(), "append", parentFiles ++ newFiles, df.schema.json))
+      System.currentTimeMillis(), "append", parentFiles ++ newFiles,
+      evolvedSchemaJson(df)))
   }
+
+  /** Widen-only schema evolution (the schema-monitor policy applied at
+    * the table: additive columns flow, type changes stop the writer):
+    * a batch may ADD columns — older files read back with nulls there —
+    * and may omit existing ones (nulls for the batch's rows), but a
+    * column shared with the table must keep its exact type. The
+    * snapshot records the union schema so readers and time travel see
+    * a single coherent shape per snapshot.
+    */
+  private def requireCompatibleSchema(df: DataFrame): Unit =
+    currentSnapshot().foreach { cur =>
+      val curFields = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+        .fields.map(f => f.name -> f.dataType).toMap
+      df.schema.fields.foreach { f =>
+        curFields.get(f.name).foreach { t =>
+          require(t == f.dataType,
+            s"incompatible type change for column '${f.name}': $t -> ${f.dataType} " +
+              "(widen-only evolution; narrowing/retyping must go through overwrite)")
+        }
+      }
+    }
+
+  private def evolvedSchemaJson(df: DataFrame): String =
+    currentSnapshot() match {
+      case None => df.schema.json
+      case Some(cur) =>
+        val curSchema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+        val known = curSchema.fieldNames.toSet
+        val widened = curSchema.fields ++ df.schema.fields.filterNot(f => known(f.name))
+        StructType(widened).json
+    }
 
   /** Upsert on `keys`: rows in the incoming batch replace existing rows
     * with equal key tuples. Only files that actually contain matching
@@ -103,6 +137,7 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     */
   def upsert(df: DataFrame, keys: Seq[String]): Snapshot = writeLock.synchronized {
     require(keys.nonEmpty, "upsert requires key columns")
+    requireCompatibleSchema(df)
     val cur = currentSnapshot()
     if (cur.isEmpty) {
       val id = nextId()
@@ -133,7 +168,7 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
       val added = writeDataFiles(incoming, id)
       val untouched = existingFiles.diff(touchedRel)
       writeSnapshot(Snapshot(id, Some(cur.get.snapshotId), System.currentTimeMillis(),
-        "upsert", untouched ++ rewritten ++ added, df.schema.json))
+        "upsert", untouched ++ rewritten ++ added, evolvedSchemaJson(df)))
     } finally incoming.unpersist()
   }
 
@@ -308,16 +343,23 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     // per snapshot dir so partition columns materialize; flat files read
     // directly. A snapshot may mix both layouts across its lineage.
     val (partitioned, flat) = relFiles.partition(_.contains("="))
+    // mergeSchema: one multi-file read otherwise serves an arbitrary
+    // footer's schema, silently dropping columns a widening append
+    // added (schema evolution)
     val dfs =
       flat.headOption.map(_ =>
-        spark.read.parquet(flat.map(f => rootPath.resolve(f).toString): _*)).toSeq ++
+        spark.read.option("mergeSchema", "true")
+          .parquet(flat.map(f => rootPath.resolve(f).toString): _*)).toSeq ++
         partitioned.groupBy(_.split('/').take(2).mkString("/")).toSeq.sortBy(_._1)
           .map { case (sDir, files) =>
             spark.read
+              .option("mergeSchema", "true")
               .option("basePath", rootPath.resolve(sDir).toString)
               .parquet(files.map(f => rootPath.resolve(f).toString): _*)
           }
-    dfs.reduceLeft(_.unionByName(_))
+    // allowMissingColumns: files written before a widening append lack
+    // the newer columns — they read back as nulls (schema evolution)
+    dfs.reduceLeft(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Write `df` as parquet under `data/s<id>[-suffix]/`, returning the

@@ -30,6 +30,32 @@ class LakehouseTableSpec extends SparkSpec {
     assert(t.scanAtSnapshot(s2.snapshotId, limit = Some(1)).count() === 1)
   }
 
+  test("widen-only schema evolution: added columns read back as nulls; retyping rejected") {
+    import org.apache.spark.sql.functions._
+    val t = new LakehouseTable(spark, tmpDir("lh-evolve"))
+    val s1 = t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // widening append: new column `score` flows, older rows go null
+    t.append(Seq((3L, "c", 0.5)).toDF("id", "v", "score"))
+    val now = t.read()
+    assert(now.columns.toSet === Set("id", "v", "score"))
+    assert(now.filter(col("score").isNull).count() === 2)
+    assert(now.filter(col("id") === 3L && col("score") === 0.5).count() === 1)
+    // a batch may also OMIT an existing column (nulls for its rows)
+    t.append(Seq((4L, 0.7)).toDF("id", "score"))
+    assert(t.read().filter(col("id") === 4L && col("v").isNull).count() === 1)
+    assert(t.read().count() === 4)
+    // time travel to the pre-widening snapshot sees the narrow shape
+    assert(t.scanAtSnapshot(s1.snapshotId).columns.toSet === Set("id", "v"))
+    // type change on a shared column stops the writer (monitor policy)
+    val bad = intercept[IllegalArgumentException] {
+      t.append(Seq((5L, 9)).toDF("id", "v")) // v: string -> int
+    }
+    assert(bad.getMessage.contains("incompatible type change"))
+    // upsert is held to the same contract, and evolves the same way
+    t.upsert(Seq((2L, "B2", 0.9)).toDF("id", "v", "score"), keys = Seq("id"))
+    assert(t.read().filter(col("id") === 2L && col("score") === 0.9).count() === 1)
+  }
+
   test("upsert replaces matching keys, keeps others, adds new") {
     val t = new LakehouseTable(spark, tmpDir("lh-upsert"))
     t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
