@@ -289,6 +289,47 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
       "compact", untouchedFiles ++ rewritten, cur.schemaJson)))
   }
 
+  /** Row-level changes between two snapshots (the Delta Change-Data-Feed
+    * analogue): `insert` rows present at `toId` but not `fromId`,
+    * `delete` rows present at `fromId` but not `toId` — an upsert'd row
+    * appears as delete(old) + insert(new). Multiset semantics
+    * (`exceptAll`), so duplicate rows diff correctly.
+    *
+    * Scale shape: unchanged files carry across snapshots BY REFERENCE,
+    * so the diff reads only files ADDED or REMOVED between the two
+    * snapshots — the change volume, not the table. A compaction rewrite
+    * contributes both sides and cancels exactly (no phantom changes);
+    * incremental consumers pay for what actually changed however large
+    * the table is. Schemas may differ across the range (widen-only
+    * evolution): both sides align to the union schema with nulls.
+    */
+  def changesBetween(fromId: Long, toId: Long): DataFrame = {
+    val snaps = listSnapshots()
+    val fromS = snaps.find(_.snapshotId == fromId).getOrElse(throw invalidSnapshot(fromId))
+    val toS = snaps.find(_.snapshotId == toId).getOrElse(throw invalidSnapshot(toId))
+    val unionSchema = {
+      val f = DataType.fromJson(fromS.schemaJson).asInstanceOf[StructType]
+      val t = DataType.fromJson(toS.schemaJson).asInstanceOf[StructType]
+      val known = f.fieldNames.toSet
+      StructType(f.fields ++ t.fields.filterNot(x => known(x.name)))
+    }
+    def side(files: Seq[String]): DataFrame = {
+      val base =
+        if (files.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], unionSchema)
+        else readFiles(files)
+      val have = base.columns.toSet
+      unionSchema.fields.foldLeft(base) { (d, fld) =>
+        if (have(fld.name)) d else d.withColumn(fld.name, lit(null).cast(fld.dataType))
+      }.select(unionSchema.fieldNames.map(col): _*)
+    }
+    val added = side(toS.files.diff(fromS.files))
+    val removed = side(fromS.files.diff(toS.files))
+    added.exceptAll(removed).withColumn("_change", lit("insert"))
+      .unionByName(removed.exceptAll(added).withColumn("_change", lit("delete")))
+  }
+
   /** Z-order clustering compaction (the Delta `OPTIMIZE ZORDER BY`
     * analogue, same lifecycle slot as `compact`): rewrite the current
     * file set ordered along a space-filling curve over `cols`, so each

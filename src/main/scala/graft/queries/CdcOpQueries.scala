@@ -266,6 +266,34 @@ object CdcOpQueries {
       (Seq(r1, r2, r3, r4) ++ r5)
         .toDF("step", "n_snaps", "n_files", "n_rows", "sum_ids")
         .orderBy(col("step"))
+    }),
+    // ---- snapshot change feed (the Delta CDF analogue): row-level
+    //      insert/delete diffs between snapshots off the lineage —
+    //      append shows pure inserts, an upsert shows delete(old) +
+    //      insert(new), a compaction rewrite cancels exactly (no
+    //      phantom changes), and a multi-snapshot range composes. The
+    //      diff reads only files ADDED/REMOVED between the snapshots
+    //      (unchanged files carry by reference), so an incremental
+    //      consumer pays for the change volume, never the table size.
+    //      Audited values collect to driver literals (q79 pattern) so
+    //      the temp root can be deleted eagerly. ----
+    "q101_snapshot_changes" -> ((s, _) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-q101")
+      val t = new LakehouseTable(s, root.toString)
+      val s1 = t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1))
+      val s2 = t.append(Seq((3L, "c")).toDF("id", "v").repartition(1))
+      val s3 = t.upsert(Seq((2L, "B2"), (4L, "d")).toDF("id", "v").repartition(1), keys = Seq("id"))
+      val s4 = t.compact(fileThreshold = 2, maxRows = 1000).get
+      def step(name: String, from: graft.lakehouse.Snapshot, to: graft.lakehouse.Snapshot): Seq[(String, String, Long, String)] =
+        t.changesBetween(from.snapshotId, to.snapshotId)
+          .collect().map(r => (name, r.getAs[String]("_change"),
+            r.getAs[Long]("id"), r.getAs[String]("v"))).toSeq
+      val rows = step("1_append", s1, s2) ++ step("2_upsert", s2, s3) ++
+        step("3_compact", s3, s4) ++ step("4_range", s1, s3)
+      graft.Fs.deleteRecursively(root)
+      rows.toDF("step", "change", "id", "v")
+        .orderBy(col("step"), col("change"), col("id"))
     })
   )
 
@@ -324,6 +352,18 @@ object CdcOpQueries {
         ('5_part_b',       9, 2,  4, 34),
         ('5_part_c',       9, 3, 30, 3465))
       AS t(step, n_snaps, n_files, n_rows, sum_ids)
-      ORDER BY step"""
+      ORDER BY step""",
+    "q101_snapshot_changes" -> """
+      SELECT * FROM (VALUES
+        ('1_append', 'insert', 3, 'c'),
+        ('2_upsert', 'delete', 2, 'b'),
+        ('2_upsert', 'insert', 2, 'B2'),
+        ('2_upsert', 'insert', 4, 'd'),
+        ('4_range',  'delete', 2, 'b'),
+        ('4_range',  'insert', 2, 'B2'),
+        ('4_range',  'insert', 3, 'c'),
+        ('4_range',  'insert', 4, 'd'))
+      AS t(step, change, id, v)
+      ORDER BY step, change, id"""
   )
 }

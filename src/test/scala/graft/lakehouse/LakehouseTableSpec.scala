@@ -56,6 +56,23 @@ class LakehouseTableSpec extends SparkSpec {
     assert(t.read().filter(col("id") === 2L && col("score") === 0.9).count() === 1)
   }
 
+  test("changesBetween crosses a schema widening; compaction yields no phantom changes") {
+    import org.apache.spark.sql.functions._
+    val t = new LakehouseTable(spark, tmpDir("lh-cdf"))
+    val s1 = t.append(Seq((1L, "a")).toDF("id", "v").repartition(1))
+    val s2 = t.append(Seq((2L, "b", 0.5)).toDF("id", "v", "score").repartition(1))
+    // diff across the widening: the pre-widening row aligns with a null
+    val ch = t.changesBetween(s1.snapshotId, s2.snapshotId).collect()
+    assert(ch.length === 1)
+    assert(ch.head.getAs[String]("_change") === "insert")
+    assert(ch.head.getAs[Long]("id") === 2L && ch.head.getAs[Double]("score") === 0.5)
+    // a pure rewrite produces zero changes
+    val s3 = t.compact(fileThreshold = 2, maxRows = 1000).get
+    assert(t.changesBetween(s2.snapshotId, s3.snapshotId).count() === 0)
+    // unknown snapshot ids are rejected like the other lineage APIs
+    intercept[IllegalArgumentException](t.changesBetween(99L, s3.snapshotId))
+  }
+
   test("upsert replaces matching keys, keeps others, adds new") {
     val t = new LakehouseTable(spark, tmpDir("lh-upsert"))
     t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
