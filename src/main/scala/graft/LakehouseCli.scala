@@ -67,6 +67,25 @@ object LakehouseCli {
         val snap = table.rollbackToSnapshot(args(2).toLong)
         out.println(s"rolled back: new snapshot ${snap.snapshotId} -> files of ${args(2)}")
         0
+      case "changes" =>
+        // engine extension beyond the reference CLI: the q101 change
+        // feed, for incremental consumers driving off the lineage
+        if (args.length < 4) { out.println(usage); return 2 }
+        val df = table.changesBetween(args(2).toLong, args(3).toLong)
+        val cols = df.columns
+        out.println(cols.mkString("\t"))
+        df.collect().foreach(r =>
+          out.println(cols.indices.map(i => String.valueOf(r.get(i))).mkString("\t")))
+        0
+      case "zorder" =>
+        // engine extension: Z-order clustering rewrite (ZOrderSpec's
+        // measured multi-column skipping) from the operator console
+        if (args.length < 4) { out.println(usage); return 2 }
+        val cols = args(2).split(',').toSeq
+        table.compactZOrder(cols, targetFiles = args(3).toInt) match {
+          case Some(s) => out.println(s"zorder: new snapshot ${s.snapshotId} (${s.files.size} files)"); 0
+          case None => out.println("zorder: empty table, nothing to do"); 0
+        }
       case other =>
         out.println(s"unknown command: $other\n$usage")
         2
@@ -76,5 +95,7 @@ object LakehouseCli {
   private val usage =
     """usage: graft.Cli lakehouse snapshots <tableDir>
       |       graft.Cli lakehouse query <tableDir> [snapshotId|current] [limit]
-      |       graft.Cli lakehouse rollback <tableDir> <snapshotId>""".stripMargin
+      |       graft.Cli lakehouse rollback <tableDir> <snapshotId>
+      |       graft.Cli lakehouse changes <tableDir> <fromSnapshot> <toSnapshot>
+      |       graft.Cli lakehouse zorder <tableDir> <col1,col2,...> <targetFiles>""".stripMargin
 }

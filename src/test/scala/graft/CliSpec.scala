@@ -122,6 +122,24 @@ class CliSpec extends SparkSpec {
     assert(cli("lakehouse", "frobnicate", dir)._1 === 2)
   }
 
+  test("lakehouse sub-app: changes and zorder (engine extensions)") {
+    import spark.implicits._
+    val dir = tmpDir("cli-lh-ext")
+    val table = new graft.lakehouse.LakehouseTable(spark, dir)
+    val s1 = table.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "k").repartition(1))
+    val s2 = table.append(Seq((3L, 30L)).toDF("id", "k").repartition(1))
+    val (c1, ch) = cli("lakehouse", "changes", dir,
+      s1.snapshotId.toString, s2.snapshotId.toString)
+    assert(c1 === 0 && ch.contains("insert") && ch.contains("3"), ch)
+    assert(!ch.contains("delete"), ch)
+    val (c2, z) = cli("lakehouse", "zorder", dir, "id,k", "1")
+    assert(c2 === 0 && z.contains("zorder: new snapshot"), z)
+    assert(table.read().count() === 3)
+    // missing operands print usage, exit 2
+    assert(cli("lakehouse", "changes", dir)._1 === 2)
+    assert(cli("lakehouse", "zorder", dir)._1 === 2)
+  }
+
   test("unknown / missing command prints usage and exits 2") {
     assert(cli()._1 === 2)
     assert(cli("frobnicate", "x.yaml")._1 === 2)
