@@ -73,6 +73,54 @@ class LakehouseTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.changesBetween(99L, s3.snapshotId))
   }
 
+  test("change-feed algebra fuzz: from + inserts − deletes = to, for random op sequences") {
+    // the CDF contract as an executable identity: for ANY snapshot pair
+    // (s_i, s_j), applying the diff to the earlier state reproduces the
+    // later state as a multiset. Seeded random append/upsert/compact
+    // sequences probe orderings a hand-written scenario would miss.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(101L)
+    val t = new LakehouseTable(spark, tmpDir("lh-cdf-fuzz"))
+    var snapIds = List.empty[Long]
+    (1 to 8).foreach { _ =>
+      val batch = (1 to 1 + rnd.nextInt(4))
+        .map(_ => (rnd.nextInt(12).toLong, s"v${rnd.nextInt(5)}")).toDF("id", "v")
+        .repartition(1)
+      val s = rnd.nextInt(3) match {
+        case 0 => t.append(batch)
+        case 1 => t.upsert(batch, keys = Seq("id"))
+        case _ => t.compact(fileThreshold = 1, maxRows = 10000)
+          .getOrElse(t.append(batch))
+      }
+      snapIds ::= s.snapshotId
+    }
+    val ids = snapIds.reverse
+    def stateOf(id: Long): Seq[(Long, String)] =
+      t.scanAtSnapshot(id).as[(Long, String)].collect().toSeq.sorted
+    // every consecutive pair plus a few long ranges
+    val pairs = ids.sliding(2).map(p => (p.head, p.last)).toSeq ++
+      Seq((ids.head, ids.last), (ids(1), ids(ids.length - 2)))
+    pairs.foreach { case (a, b) =>
+      val ch = t.changesBetween(a, b)
+        .select(col("_change"), col("id"), col("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      val inserts = ch.collect { case ("insert", i, v) => (i, v) }
+      val deletes = ch.collect { case ("delete", i, v) => (i, v) }
+      val replayed = {
+        val buf = scala.collection.mutable.ArrayBuffer(stateOf(a): _*)
+        deletes.foreach { d =>
+          val k = buf.indexOf(d)
+          assert(k >= 0, s"delete $d not present in state($a) for range $a->$b")
+          buf.remove(k)
+        }
+        (buf ++ inserts).sorted
+      }
+      assert(replayed === stateOf(b),
+        s"replaying changes $a->$b must reproduce the target state")
+    }
+  }
+
   test("upsert replaces matching keys, keeps others, adds new") {
     val t = new LakehouseTable(spark, tmpDir("lh-upsert"))
     t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
