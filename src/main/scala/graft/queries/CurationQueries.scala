@@ -368,6 +368,37 @@ object CurationQueries {
     //      this plan touches it once, sequentially, with zero history
     //      exchanges — the property that makes per-batch ingestion
     //      dedup affordable at all. History-dup outranks batch-dup. ----
+    // ---- pairwise source-overlap matrix: for every shard pair, how
+    //      many distinct 4-grams they SHARE, plus the overlap
+    //      coefficient (shared / min(|A|, |B|)) — the "are we about to
+    //      buy a shard we already have" decision table that complements
+    //      q92's first-occurrence novelty curve. Scale shape: the
+    //      corpus collapses to DISTINCT (source, gram) pairs first
+    //      (map-side partial dedup on an 8-byte hash); the self-join
+    //      co-partitions on the gram key and its output is bounded by
+    //      Σ_g |sources(g)|² ≤ grams × domains² — domain count, not
+    //      corpus size, caps the blow-up; per-source totals ride a
+    //      domain-cardinality broadcast. ----
+    "q102_source_overlap" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val gs = Tables.load(s, dir, "documents")
+        .select(col("source"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 4)
+        .select(col("source"), explode(expr("ngram_hashes(toks, 4, 0)")).as("g"))
+        .distinct()
+      val tot = gs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val shared = gs.as("a").join(gs.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+      shared
+        .join(broadcast(tot.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+        .join(broadcast(tot.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("shared_grams"),
+          dround(col("shared_grams").cast(DoubleType) /
+            least(col("n_a"), col("n_b")).cast(DoubleType), 6).as("overlap"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
     "q100_incremental_dedup" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
@@ -609,5 +640,25 @@ object CurationQueries {
       FROM b
       LEFT JOIN hset ON b.h = hset.h
       JOIN fb ON b.h = fb.h
-      ORDER BY b.doc_id""")
+      ORDER BY b.doc_id""",
+    "q102_source_overlap" -> s"""
+      WITH t AS (
+        SELECT source, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 4),
+      g AS (
+        SELECT DISTINCT source, unnest(list_distinct(list_transform(
+          range(len(toks) - 3),
+          i -> CAST('0x' || substr(md5(toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] || ' ' || toks[i + 4]), 1, 15) AS BIGINT)))) AS gram
+        FROM t),
+      tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
+      p AS (
+        SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS shared_grams
+        FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY a.source, b.source)
+      SELECT src_a, src_b, shared_grams,
+        ${R("CAST(shared_grams AS DOUBLE) / CAST(least(ta.n, tb.n) AS DOUBLE)", 6)} AS overlap
+      FROM p
+      JOIN tot ta ON ta.source = p.src_a
+      JOIN tot tb ON tb.source = p.src_b
+      ORDER BY src_a, src_b""")
 }

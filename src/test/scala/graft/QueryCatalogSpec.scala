@@ -378,6 +378,30 @@ class QueryCatalogSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("q102 invariants: symmetric-by-construction, bounded overlap, consistent with q92 totals") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val out = SparkEntry.queries("q102_source_overlap")(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"),
+        "each unordered pair must appear exactly once, lexicographically")
+      val ov = r.getAs[Double]("overlap")
+      assert(ov > 0.0 && ov <= 1.0, s"overlap out of (0, 1]: $ov")
+    }
+    // shared grams can never exceed either side's distinct-gram count
+    val totals = Tables.load(spark, sf, "documents")
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 4)
+      .select(col("source"), explode(expr("ngram_hashes(toks, 4, 0)")).as("g"))
+      .distinct().groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val cap = math.min(totals(r.getAs[String]("src_a")), totals(r.getAs[String]("src_b")))
+      assert(r.getAs[Long]("shared_grams") <= cap,
+        s"shared grams exceed the smaller side's distinct space")
+    }
+  }
+
   test("query names are unique across sub-catalogs") {
     val parts = Seq(
       queries.RelationalQueries.queries, queries.WindowScalarQueries.queries,

@@ -511,6 +511,15 @@ class ScaleDesignSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("q102: gram dedup is two-phase; source totals broadcast; no cartesian") {
+    val p = plan("q102_source_overlap")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"(source, gram) dedup must partial-aggregate map-side:\n$p")
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"the domain-cardinality totals must broadcast onto the pair frame:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("AQE skew-join splits a hot partition at runtime (skew=true in the final plan)") {
     // complements the manual salting proof above: with AQE's skew
     // handling on (Bench runs with it), a synthetically skewed
