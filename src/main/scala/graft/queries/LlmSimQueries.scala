@@ -506,6 +506,51 @@ object LlmSimQueries {
         .agg(shAgg(col("h")).as("simhash"))
         .orderBy(col("doc_id"))
     }),
+    // ---- SimHash near-dup JOIN (Manku et al., WWW'07): pairs of
+    //      documents whose 32-bit SimHash signatures differ in ≤ 3
+    //      bits, found via the block-permutation trick — the signature
+    //      splits into 4 byte blocks, and by pigeonhole any pair within
+    //      hamming 3 agrees EXACTLY on at least one block, so equal-
+    //      block bucketing is a lossless candidate filter; the exact
+    //      bit_count(xor) confirm runs on candidates only. Scale shape:
+    //      signatures and block slicing are map-side; the only shuffle
+    //      is the (block, value) self-join; at production scale the
+    //      same plan runs 64-bit signatures with 16-bit blocks (2^16
+    //      buckets per table) — the fixture keeps q51's 32-bit oracle
+    //      geometry. ----
+    "q103_simhash_neardup" -> ((s, dir) => {
+      val shAgg = udaf(new graft.functions.SimHashAgg(32),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val sigs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .groupBy(col("doc_id"))
+        .agg(shAgg(col("h")).as("simhash"))
+      val blocks = sigs.select(col("doc_id"), col("simhash"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> named_struct('blk', b, 'bval', shiftright(simhash, b * 8) % 256))"))
+          .as("bb"))
+        .select(col("doc_id"), col("simhash"),
+          col("bb.blk").as("blk"), col("bb.bval").as("bval"))
+      // gate contract: the near-dup CENSUS (pairs per hamming 0..3),
+      // not the pair list — the fixture's tiny vocab clusters
+      // signatures so hard that the ≤3 pair set is ~2M rows at sf0.1;
+      // the 4-row census still breaks on any candidate loss (a missed
+      // bucket collision) or double-count (a broken distinct)
+      blocks.as("x").join(blocks.as("y"),
+          col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          col("x.simhash").as("sig_a"), col("y.simhash").as("sig_b"))
+        .distinct()
+        .withColumn("hamming",
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(IntegerType))
+        .filter(col("hamming") <= 3)
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("hamming"))
+    }),
     // ---- ANN via a real multi-table sign-LSH index (the 100 TB-scale
     //      similarity path): K=4 tables × L=12 random ±1 hyperplanes
     //      per vector, all computed map-side (one codegen'd dotp per
@@ -1032,6 +1077,26 @@ object LlmSimQueries {
       FROM bits
       GROUP BY doc_id
       ORDER BY doc_id""",
+    "q103_simhash_neardup" -> """
+      WITH tok AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+              FROM documents)),
+      bits AS (
+        SELECT doc_id, bit, sum(((h >> bit) & 1) * 2 - 1) AS score
+        FROM tok CROSS JOIN (SELECT unnest(range(32)) AS bit)
+        GROUP BY doc_id, bit),
+      sigs AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN score > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id)
+      SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming,
+        CAST(count(*) AS BIGINT) AS n_pairs
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      GROUP BY 1
+      ORDER BY hamming""",
     "q52_minhash_lsh" -> s"""
       WITH sh AS (
         SELECT DISTINCT doc_id,

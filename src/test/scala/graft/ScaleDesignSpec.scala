@@ -520,6 +520,25 @@ class ScaleDesignSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("q103: block bucketing is lossless for hamming <= 3 (pigeonhole, checked exhaustively)") {
+    // the algorithmic core of the Manku trick, verified against brute
+    // force: split 32 bits into 4 byte blocks; any pair within hamming
+    // 3 must agree exactly on >= 1 block. Exhaustive over all 1-, 2-
+    // and 3-bit flips of random base signatures.
+    val rnd = new scala.util.Random(103L)
+    def blocksOf(sig: Long): Seq[Long] = (0 until 4).map(b => (sig >> (b * 8)) & 0xFFL)
+    (1 to 50).foreach { _ =>
+      val base = rnd.nextLong() & 0xFFFFFFFFL
+      val flips = for {
+        i <- 0 until 32; j <- i until 32; k <- j until 32
+      } yield base ^ (1L << i) ^ (if (j != i) 1L << j else 0L) ^ (if (k != j && k != i) 1L << k else 0L)
+      flips.foreach { other =>
+        val shared = blocksOf(base).zip(blocksOf(other)).exists { case (a, b) => a == b }
+        assert(shared, f"pair within hamming 3 missed every block: $base%08x vs $other%08x")
+      }
+    }
+  }
+
   test("AQE skew-join splits a hot partition at runtime (skew=true in the final plan)") {
     // complements the manual salting proof above: with AQE's skew
     // handling on (Bench runs with it), a synthetically skewed
