@@ -357,6 +357,39 @@ object CurationQueries {
           dround(sum(col("tb")).cast(DoubleType) / lit(1e8), 6).as("between_dist2"))
         .orderBy(col("label"))
     }),
+    // ---- collocation mining: the corpus's most-associated adjacent
+    //      token pairs by LIFT = P(ab) / (P(a)·P(b)) — the monotone
+    //      log-free transform of PMI (log is not bit-portable across
+    //      engines; lift ranks identically), the standard phrase-mining
+    //      statistic for tokenizer/vocab decisions. Exact integer
+    //      counts cross-multiply into one IEEE division both engines
+    //      perform on identical operands. Scale shape: bigram and
+    //      unigram counts are two-phase word-count aggs; the unigram
+    //      frame is Heaps-law vocab-sized and broadcasts onto the
+    //      bigram frame twice; top-32 is TakeOrderedAndProject. ----
+    "q104_collocations" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val uni = toks.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+      val totalN = toks.select(sum(size(col("toks"))).as("n")).as("t")
+      val bi = toks
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> named_struct('w1', toks[i - 1], 'w2', toks[i]))"))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      bi
+        .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_a"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_b"))), "w2")
+        .crossJoin(broadcast(totalN))
+        .select(col("w1"), col("w2"), col("n_ab"),
+          dround((col("n_ab") * col("n")).cast(DoubleType) /
+            (col("n_a") * col("n_b")).cast(DoubleType), 8).as("lift"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(32)
+    }),
     // ---- incremental dedup: the production INGESTION shape — a small
     //      incoming batch (doc_id % 10 = 0, ~10%) dedups against the
     //      accumulated history AND itself, without ever shuffling the
@@ -660,5 +693,25 @@ object CurationQueries {
       FROM p
       JOIN tot ta ON ta.source = p.src_a
       JOIN tot tb ON tb.source = p.src_b
-      ORDER BY src_a, src_b""")
+      ORDER BY src_a, src_b""",
+    "q104_collocations" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_w
+        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+      tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n FROM t),
+      bi AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM (
+          SELECT toks[i] AS w1, toks[i + 1] AS w2
+          FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t
+                WHERE len(toks) >= 2))
+        GROUP BY w1, w2)
+      SELECT w1, w2, n_ab,
+        ${R("CAST(n_ab * n AS DOUBLE) / CAST(a.n_w * b.n_w AS DOUBLE)", 8)} AS lift
+      FROM bi
+      JOIN uni a ON a.w = bi.w1
+      JOIN uni b ON b.w = bi.w2
+      CROSS JOIN tot
+      ORDER BY lift DESC, w1, w2
+      LIMIT 32""")
 }

@@ -539,6 +539,17 @@ class ScaleDesignSpec extends SparkSpec {
     }
   }
 
+  test("q104: bigram/unigram aggs two-phase; vocab broadcasts; top-32 without global sort") {
+    val p = plan("q104_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-32 must compile to TakeOrderedAndProject:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"bigram and unigram counts must both partial-aggregate map-side:\n$p")
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"the vocab frame must broadcast onto the bigram frame:\n$p")
+    assert(!p.contains("CartesianProduct"), s"the 1-row total must broadcast:\n$p")
+  }
+
   test("AQE skew-join splits a hot partition at runtime (skew=true in the final plan)") {
     // complements the manual salting proof above: with AQE's skew
     // handling on (Bench runs with it), a synthetically skewed
