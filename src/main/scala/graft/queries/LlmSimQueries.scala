@@ -541,12 +541,16 @@ object LlmSimQueries {
       blocks.as("x").join(blocks.as("y"),
           col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
             col("x.doc_id") < col("y.doc_id"))
+        // confirm INSIDE the join projection, before the dedup shuffle:
+        // the xor/bit_count is a few cycles per candidate, and dropping
+        // failed candidates here keeps the distinct's exchange at the
+        // qualifying-pair volume, not the (much larger) candidate
+        // superset the hot buckets generate
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-          col("x.simhash").as("sig_a"), col("y.simhash").as("sig_b"))
-        .distinct()
-        .withColumn("hamming",
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(IntegerType))
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+            .cast(IntegerType).as("hamming"))
         .filter(col("hamming") <= 3)
+        .distinct()
         .groupBy(col("hamming"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("hamming"))
