@@ -67,6 +67,23 @@ object LakehouseCli {
         val snap = table.rollbackToSnapshot(args(2).toLong)
         out.println(s"rolled back: new snapshot ${snap.snapshotId} -> files of ${args(2)}")
         0
+      case "changes" if args.lift(2).contains("--follow") =>
+        // subscription form: poll the change feed from a saved cursor
+        // (or bootstrap from the initial snapshot) until caught up —
+        // one ChangeFeedReader micro-batch per head advance. The loop
+        // drains and exits (cron/scripting shape); a daemon would just
+        // wrap this in its own scheduler.
+        val startAfter = args.lift(3).map(_.toLong)
+        val reader = new graft.lakehouse.ChangeFeedReader(table, startAfter)
+        val n = reader.drainTo { (df, id) =>
+          out.println(s"-- batch -> snapshot $id")
+          val cols = df.columns
+          out.println(cols.mkString("\t"))
+          df.collect().foreach(r =>
+            out.println(cols.indices.map(i => String.valueOf(r.get(i))).mkString("\t")))
+        }
+        out.println(s"follow: ${n} batch(es), cursor=${reader.cursor.getOrElse("-")}")
+        0
       case "changes" =>
         // engine extension beyond the reference CLI: the q101 change
         // feed, for incremental consumers driving off the lineage
@@ -97,5 +114,6 @@ object LakehouseCli {
       |       graft.Cli lakehouse query <tableDir> [snapshotId|current] [limit]
       |       graft.Cli lakehouse rollback <tableDir> <snapshotId>
       |       graft.Cli lakehouse changes <tableDir> <fromSnapshot> <toSnapshot>
+      |       graft.Cli lakehouse changes <tableDir> --follow [afterSnapshot]
       |       graft.Cli lakehouse zorder <tableDir> <col1,col2,...> <targetFiles>""".stripMargin
 }

@@ -90,8 +90,9 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     * `sinks/iceberg.py` auto-create — enabling partition-pruned reads
     * and partition-scoped compaction.
     */
-  def append(df: DataFrame, partitionBy: Seq[String] = Nil): Snapshot = writeLock.synchronized {
-    requireCompatibleSchema(df)
+  def append(df0: DataFrame, partitionBy: Seq[String] = Nil): Snapshot = writeLock.synchronized {
+    requireCompatibleSchema(df0)
+    val df = canonicalizedNames(df0)
     val id = nextId()
     val newFiles = writeDataFiles(df, id, partitionCols = partitionBy)
     val parentFiles = currentSnapshot().map(_.files).getOrElse(Nil)
@@ -99,6 +100,24 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
       System.currentTimeMillis(), "append", parentFiles ++ newFiles,
       evolvedSchemaJson(df)))
   }
+
+  /** Rename batch columns to the table's canonical spelling under the
+    * session's resolution semantics, so a case-variant name ('ID' for
+    * an existing 'id') lands in the data files under ONE spelling —
+    * parquet schema merging is case-sensitive even when resolution is
+    * not, and mixed spellings across files would poison later reads.
+    */
+  private def canonicalizedNames(df: DataFrame): DataFrame =
+    currentSnapshot() match {
+      case None => df
+      case Some(cur) =>
+        val canon = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+          .fieldNames.map(n => nameKey(n) -> n).toMap
+        df.columns.foldLeft(df) { (d, c) =>
+          canon.get(nameKey(c)).filter(_ != c)
+            .map(t => d.withColumnRenamed(c, t)).getOrElse(d)
+        }
+    }
 
   /** Widen-only schema evolution (the schema-monitor policy applied at
     * the table: additive columns flow, type changes stop the writer):
@@ -108,26 +127,44 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     * snapshot records the union schema so readers and time travel see
     * a single coherent shape per snapshot.
     */
-  private def requireCompatibleSchema(df: DataFrame): Unit =
+  /** Column-name lookup key under the session's resolution semantics.
+    * Spark resolves names case-INsensitively unless spark.sql
+    * .caseSensitive is set, so the compatibility check must match on
+    * the same key — otherwise an append carrying 'ID' against an
+    * existing 'id' is accepted as an ADDITIVE column, the union schema
+    * holds both spellings, and every later read hits ambiguous-column
+    * failures.
+    */
+  private def nameKey(n: String): String =
+    if (spark.conf.get("spark.sql.caseSensitive", "false").toBoolean) n
+    else n.toLowerCase(java.util.Locale.ROOT)
+
+  private def requireCompatibleSchema(df: DataFrame): Unit = {
+    val dupes = df.schema.fieldNames.groupBy(nameKey).filter(_._2.length > 1)
+    require(dupes.isEmpty,
+      s"batch schema has columns equal under spark.sql.caseSensitive resolution: " +
+        dupes.values.map(_.mkString("/")).mkString(", "))
     currentSnapshot().foreach { cur =>
       val curFields = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
-        .fields.map(f => f.name -> f.dataType).toMap
+        .fields.map(f => nameKey(f.name) -> f.dataType).toMap
       df.schema.fields.foreach { f =>
-        curFields.get(f.name).foreach { t =>
+        curFields.get(nameKey(f.name)).foreach { t =>
           require(t == f.dataType,
             s"incompatible type change for column '${f.name}': $t -> ${f.dataType} " +
               "(widen-only evolution; narrowing/retyping must go through overwrite)")
         }
       }
     }
+  }
 
   private def evolvedSchemaJson(df: DataFrame): String =
     currentSnapshot() match {
       case None => df.schema.json
       case Some(cur) =>
         val curSchema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
-        val known = curSchema.fieldNames.toSet
-        val widened = curSchema.fields ++ df.schema.fields.filterNot(f => known(f.name))
+        val known = curSchema.fieldNames.map(nameKey).toSet
+        val widened = curSchema.fields ++
+          df.schema.fields.filterNot(f => known(nameKey(f.name)))
         StructType(widened).json
     }
 
@@ -135,9 +172,10 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     * with equal key tuples. Only files that actually contain matching
     * keys are rewritten; untouched files carry over by reference.
     */
-  def upsert(df: DataFrame, keys: Seq[String]): Snapshot = writeLock.synchronized {
+  def upsert(df0: DataFrame, keys: Seq[String]): Snapshot = writeLock.synchronized {
     require(keys.nonEmpty, "upsert requires key columns")
-    requireCompatibleSchema(df)
+    requireCompatibleSchema(df0)
+    val df = canonicalizedNames(df0)
     val cur = currentSnapshot()
     if (cur.isEmpty) {
       val id = nextId()
@@ -344,20 +382,66 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     * map-side codegen'd expressions over boundary LITERALS; the only
     * shuffle is the final range partition by z-value.
     */
+  /** Numeric surrogate for a z-order column, or a CLEAR error for a
+    * type the curve can't handle — validated from the snapshot schema
+    * BEFORE the write lock and any data pass, so a bad `zorder_cols`
+    * config fails at the call site instead of as an opaque
+    * approxQuantile exception inside maintenance. Numerics and
+    * timestamps keep their order (range + point skipping); strings and
+    * binaries hash to a 64-bit surrogate (Delta-style string z-order
+    * here trades range skipping for equality clustering — point
+    * predicates still prune files, which is the dominant string
+    * filter).
+    */
+  private def zorderSurrogate(c: String, schema: StructType): org.apache.spark.sql.Column = {
+    val field = schema.fields.find(f => nameKey(f.name) == nameKey(c)).getOrElse(
+      throw new IllegalArgumentException(
+        s"zorder column '$c' not in table schema ${schema.fieldNames.mkString("[", ", ", "]")}"))
+    field.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => col(field.name).cast("double")
+      case org.apache.spark.sql.types.DateType =>
+        col(field.name).cast("timestamp").cast("double")
+      case org.apache.spark.sql.types.TimestampType => col(field.name).cast("double")
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BinaryType |
+           org.apache.spark.sql.types.BooleanType =>
+        xxhash64(col(field.name)).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"zorder column '$c' has type $other — z-order supports numeric, date/timestamp, " +
+          "string, binary and boolean columns")
+    }
+  }
+
   def compactZOrder(cols: Seq[String], targetFiles: Int,
-      buckets: Int = 256): Option[Snapshot] = writeLock.synchronized {
+      buckets: Int = 256): Option[Snapshot] = {
     require(cols.nonEmpty && cols.size <= 4, "zorder over 1..4 columns")
     require(Integer.bitCount(buckets) == 1, "buckets must be a power of two")
+    // validate the requested columns against the CURRENT schema before
+    // taking the write lock (ADVICE r5): config errors surface eagerly
+    currentSnapshot().foreach { s =>
+      val schema = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+      cols.foreach(c => zorderSurrogate(c, schema))
+    }
+    compactZOrderLocked(cols, targetFiles, buckets)
+  }
+
+  private def compactZOrderLocked(cols: Seq[String], targetFiles: Int,
+      buckets: Int): Option[Snapshot] = writeLock.synchronized {
     val cur = currentSnapshot().getOrElse(return None)
     val df = readFiles(cur.files)
     val bits = 31 - Integer.numberOfLeadingZeros(buckets)
-    val zcols = cols.map { c =>
-      val bounds = df.stat.approxQuantile(
-        c, (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+    val surrogates = cols.map(c => zorderSurrogate(c, df.schema))
+    // ONE distributed quantile pass for all curve columns (the r5 form
+    // ran a pass per column) over the double surrogates
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val surro = df.select(surrogates.zipWithIndex.map { case (e, i) => e.as(s"__z$i") }: _*)
+    val boundsAll = surro.stat.approxQuantile(
+      surrogates.indices.map(i => s"__z$i").toArray, probs, 0.01)
+    val zcols = surrogates.zip(boundsAll).map { case (e, bounds) =>
       // rank = how many boundaries the value has passed (0..buckets-1)
       aggregate(
         array(bounds.map(b => lit(b)).toIndexedSeq: _*), lit(0),
-        (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+        (acc, b) => acc + when(e >= b, 1).otherwise(0))
     }
     // bit i of column k lands at curve position i*ncols + k
     val z = (0 until bits).flatMap { i =>

@@ -33,14 +33,25 @@ final class MaintenanceScheduler(
 
   /** One compaction pass: z-order clustering when curve columns are
     * configured (same trigger thresholds), plain coalesce otherwise.
+    * The z-order target file count honors `compactMaxRows` (ADVICE r5:
+    * a hardcoded targetFiles = 1 collapsed the table into ONE unbounded
+    * file whose min/max spanned everything, erasing the multi-column
+    * skipping the curve exists for): files = ceil(rows / rowCap), so
+    * each output file stays under the row cap and keeps a tight z-range.
     */
   def runCompaction(): Option[Snapshot] = {
     val s =
       if (zorderCols.nonEmpty) {
         val cur = table.currentSnapshot()
-        if (cur.exists(_.files.size >= compactFileThreshold))
-          table.compactZOrder(zorderCols, targetFiles = 1)
-        else None
+        if (cur.exists(_.files.size >= compactFileThreshold)) {
+          val target =
+            if (compactMaxRows <= 0L) 1
+            else {
+              val rows = table.read().count()
+              math.max(1L, (rows + compactMaxRows - 1L) / compactMaxRows).toInt
+            }
+          table.compactZOrder(zorderCols, targetFiles = target)
+        } else None
       } else table.compact(compactFileThreshold, compactMaxRows)
     if (s.isDefined) compactionsTotal += 1
     s

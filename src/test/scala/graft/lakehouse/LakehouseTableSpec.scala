@@ -56,6 +56,30 @@ class LakehouseTableSpec extends SparkSpec {
     assert(t.read().filter(col("id") === 2L && col("score") === 0.9).count() === 1)
   }
 
+  test("schema compatibility follows spark.sql.caseSensitive: case-variant names are the SAME column, not additive") {
+    import org.apache.spark.sql.functions._
+    val t = new LakehouseTable(spark, tmpDir("lh-case"))
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    // 'ID' resolves to 'id' under default case-insensitive resolution —
+    // a type change through the case variant must be REJECTED, not
+    // accepted as a new column (which would poison later reads with
+    // ambiguous-column failures)
+    val retype = intercept[IllegalArgumentException] {
+      t.append(Seq(("x", "b")).toDF("ID", "v"))
+    }
+    assert(retype.getMessage.contains("incompatible type change"))
+    // same-type case variant is absorbed as the SAME column (no dup)
+    t.append(Seq((2L, "b")).toDF("ID", "v"))
+    assert(t.read().columns.count(_.equalsIgnoreCase("id")) === 1,
+      s"case variant must not widen: ${t.read().columns.mkString(",")}")
+    assert(t.read().count() === 2)
+    // a batch carrying case-only duplicate columns is rejected outright
+    val dup = intercept[IllegalArgumentException] {
+      t.append(Seq((3L, 4L, "c")).toDF("id", "ID", "v"))
+    }
+    assert(dup.getMessage.contains("caseSensitive"))
+  }
+
   test("changesBetween crosses a schema widening; compaction yields no phantom changes") {
     import org.apache.spark.sql.functions._
     val t = new LakehouseTable(spark, tmpDir("lh-cdf"))

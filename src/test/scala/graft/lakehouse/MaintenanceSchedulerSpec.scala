@@ -46,6 +46,25 @@ class MaintenanceSchedulerSpec extends SparkSpec {
     assert(sched.runCompaction().isEmpty)
   }
 
+  test("zorder pass honors the row cap: target file count = ceil(rows / compactMaxRows)") {
+    val table = new LakehouseTable(spark, tmpDir("maint-zcap"))
+    // 4 appends × 64 rows = 256 rows; cap 100 → ceil(256/100) = 3 files
+    (0 until 4).foreach { i =>
+      table.append((0 until 64).map(j => (i * 64L + j, (i * 64L + j) * 7 % 97))
+        .toDF("id", "k"))
+    }
+    val sched = new MaintenanceScheduler(table,
+      expireOlderThanMs = 0,
+      expireIntervalMs = 3600000, compactIntervalMs = 3600000,
+      compactFileThreshold = 2, compactMaxRows = 100,
+      zorderCols = Seq("id", "k"))
+    val snap = sched.runCompaction()
+    assert(snap.isDefined)
+    assert(snap.get.files.size === 3,
+      s"256 rows / cap 100 must rewrite into 3 z-files, got ${snap.get.files.size}")
+    assert(table.read().count() === 256)
+  }
+
   test("writer and maintenance interleave safely under the shared lock") {
     val table = new LakehouseTable(spark, tmpDir("maint-conc"))
     table.append(Seq((0L, "seed")).toDF("id", "v"))

@@ -84,4 +84,45 @@ class ZOrderSpec extends SparkSpec {
     val t = new LakehouseTable(spark, tmpDir("lh-zorder-empty"))
     assert(t.compactZOrder(Seq("a"), 4).isEmpty)
   }
+
+  test("string zorder column: hash surrogate clusters equal values; point predicates skip files") {
+    val t = new LakehouseTable(spark, tmpDir("lh-zorder-str"))
+    val domains = (0 until 64).map(i => s"site-$i.example")
+    val rows = spark.range(N).select(
+      element_at(typedLit(domains), (pmod(xxhash64(col("id")), lit(64L)) + 1).cast("int")).as("host"),
+      pmod(xxhash64(col("id"), lit(7L)), lit(1024L)).as("b"),
+      col("id").as("payload"))
+    (0 until 8).foreach { i =>
+      t.append(rows.filter(pmod(col("payload"), lit(8L)) === i))
+    }
+    val before = t.read().orderBy("payload").collect()
+    val snap = t.compactZOrder(Seq("host", "b"), targetFiles = Files)
+    assert(snap.isDefined)
+    assert(t.read().orderBy("payload").collect() === before,
+      "string zorder must preserve the row multiset")
+    // equality skipping: each distinct host value must now live in FEW
+    // files (the hash surrogate clusters equal strings), vs the
+    // shuffled layout where every file holds ~every host
+    val files = t.currentSnapshot().get.files
+    val perFileHosts = files.map { f =>
+      spark.read.parquet(java.nio.file.Paths.get(t.root, f).toString)
+        .select("host").distinct().collect().map(_.getString(0)).toSet
+    }
+    val avgFilesPerHost = domains.map(h => perFileHosts.count(_.contains(h))).sum.toDouble / domains.size
+    info(f"files holding a given host: $avgFilesPerHost%.2f of ${files.size}")
+    assert(avgFilesPerHost < files.size * 0.5,
+      s"a host must concentrate in few files, got $avgFilesPerHost of ${files.size}")
+  }
+
+  test("unsupported zorder column types fail fast with a clear message, before any rewrite") {
+    import spark.implicits._
+    val t = new LakehouseTable(spark, tmpDir("lh-zorder-bad"))
+    t.append(Seq((1L, Seq(1, 2))).toDF("id", "arr"))
+    val filesBefore = t.currentSnapshot().get.files
+    val missing = intercept[IllegalArgumentException](t.compactZOrder(Seq("nope"), 2))
+    assert(missing.getMessage.contains("not in table schema"))
+    val badType = intercept[IllegalArgumentException](t.compactZOrder(Seq("arr"), 2))
+    assert(badType.getMessage.contains("z-order supports"))
+    assert(t.currentSnapshot().get.files === filesBefore, "validation must not write")
+  }
 }

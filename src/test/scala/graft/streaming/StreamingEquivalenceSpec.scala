@@ -505,6 +505,59 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture produced no interval-join pairs — test is vacuous")
     assert(got === want)
   }
+
+  test("change-feed consumer: micro-batch polls replay to every table state; compaction and idle polls emit nothing") {
+    import spark.implicits._
+    import graft.lakehouse.{ChangeFeedReader, LakehouseTable}
+    val t = new LakehouseTable(spark, tmpDir("cdf-feed"))
+    val reader = new ChangeFeedReader(t)
+    assert(reader.poll().isEmpty, "empty table must not emit a batch")
+
+    def sameMultiset(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame, hint: String): Unit = {
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, hint)
+    }
+    // consumer-side apply: next state = (state ∖ deletes) ∪ inserts
+    def applyBatch(st: org.apache.spark.sql.DataFrame,
+        ch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      st.exceptAll(ch.filter(col("_change") === "delete").drop("_change"))
+        .unionByName(ch.filter(col("_change") === "insert").drop("_change"))
+
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // bootstrap: the initial snapshot arrives as pure inserts
+    val (b1, c1) = reader.poll().get
+    assert(c1 === 1L && reader.cursor === Some(1L))
+    assert(b1.filter(col("_change") === "delete").isEmpty)
+    var state = b1.drop("_change")
+    sameMultiset(state, t.read(), "bootstrap batch must equal the first snapshot")
+
+    // two head advances between polls drain as ONE batch (cursor 1 → 3)
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    t.upsert(Seq((2L, "B2")).toDF("id", "v"), Seq("id"))
+    val (b2, c2) = reader.poll().get
+    assert(c2 === 3L)
+    sameMultiset(b2, t.changesBetween(1L, 3L),
+      "an incremental poll IS the batch diff over its cursor range")
+    state = applyBatch(state, b2)
+    sameMultiset(state, t.read(), "applied feed must reproduce the table")
+
+    // compaction-only advance: files rewrite, rows don't — zero change rows
+    assert(t.compact(fileThreshold = 2, maxRows = Long.MaxValue).isDefined)
+    val (b3, c3) = reader.poll().get
+    assert(c3 === 4L)
+    assert(b3.isEmpty, "a compaction rewrite must cancel to an empty change batch")
+    state = applyBatch(state, b3)
+    sameMultiset(state, t.read(), "state survives a no-op batch")
+    assert(reader.poll().isEmpty && reader.cursor === Some(4L),
+      "caught-up poll must emit nothing and hold the cursor")
+
+    // restart replay: a reader resumed from a saved cursor sees exactly
+    // the diff a batch consumer would compute over the same range
+    val resumed = new ChangeFeedReader(t, startAfter = Some(1L))
+    val (rb, rc) = resumed.poll().get
+    assert(rc === 4L)
+    sameMultiset(rb, t.changesBetween(1L, 4L), "resume-from-cursor equals the batch diff")
+  }
 }
 
 /** Serializable home for helpers captured by stateful-streaming
