@@ -55,10 +55,25 @@ object Bpe {
     merges.result()
   }
 
-  /** Distributed corpus pass + driver merge loop. */
-  def trainOnCorpus(df: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+  /** Distributed corpus pass + driver merge loop. The driver collect is
+    * BOUNDED: only the `maxVocab` most frequent words at or above
+    * `minCount` come back (count desc, word asc — deterministic), via
+    * orderBy+limit so Spark plans a TakeOrderedAndProject (per-partition
+    * bounded heaps, O(maxVocab) driver rows however big the corpus is).
+    * An uncapped collect of the distinct-word map is O(10⁸⁺) entries at
+    * 100 TB; a frequency floor is standard BPE practice anyway (rare
+    * words contribute ~nothing to merge counts), and the default cap
+    * (2²⁰ words) already exceeds every production tokenizer's training
+    * vocabulary.
+    */
+  def trainOnCorpus(df: DataFrame, textCol: String, numMerges: Int,
+      maxVocab: Int = 1 << 20, minCount: Long = 1L): Seq[(String, String)] = {
+    require(maxVocab > 0, "maxVocab must be positive")
     val vocab = df.select(explode(split(col(textCol), " ")).as("word"))
       .groupBy(col("word")).count()
+      .filter(col("count") >= minCount)
+      .orderBy(col("count").desc, col("word"))
+      .limit(maxVocab)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     train(vocab, numMerges)
   }

@@ -26,10 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object Pca {
 
-  /** Quantization grid for the moment sums: fixture embeddings are unit
-    * vectors scaled ≤ ~10, so |x·y|·1e8 ≲ 1e9 per row and a corpus of
-    * 10^9 rows stays within 2^63 with headroom. One grid for both the
-    * linear and the product sums keeps the oracle SQL one expression.
+  /** Quantization grid for the moment sums. With components bounded by
+    * B, a product term contributes up to B²·Q per row — at B ≈ 10 that
+    * is 1e10, so overflow of a signed 64-bit sum is possible past
+    * ~9e8 rows, NOT the 1e9+ a naive |x|·Q ≲ 1e9 reading suggests.
+    * Every accumulation below therefore goes through `Math.addExact`:
+    * an out-of-range corpus fails loudly (switch Q down, or shard and
+    * combine in BigInt) instead of silently wrapping the covariance.
+    * One grid for both the linear and the product sums keeps the
+    * oracle SQL one expression.
     */
   val Q = 1e8
 
@@ -53,10 +58,10 @@ object Pca {
         var k = 0
         i = 0
         while (i < d) {
-          s1(i) += math.floor(e(i) * Q + 0.5).toLong
+          s1(i) = Math.addExact(s1(i), math.floor(e(i) * Q + 0.5).toLong)
           var j = i
           while (j < d) {
-            s2(k) += math.floor(e(i) * e(j) * Q + 0.5).toLong
+            s2(k) = Math.addExact(s2(k), math.floor(e(i) * e(j) * Q + 0.5).toLong)
             j += 1; k += 1
           }
           i += 1
@@ -65,10 +70,10 @@ object Pca {
       },
       combOp = { case ((n1, a1, b1), (n2, a2, b2)) =>
         var i = 0
-        while (i < a1.length) { a1(i) += a2(i); i += 1 }
+        while (i < a1.length) { a1(i) = Math.addExact(a1(i), a2(i)); i += 1 }
         i = 0
-        while (i < b1.length) { b1(i) += b2(i); i += 1 }
-        (n1 + n2, a1, b1)
+        while (i < b1.length) { b1(i) = Math.addExact(b1(i), b2(i)); i += 1 }
+        (Math.addExact(n1, n2), a1, b1)
       })
     (n, s1, s2)
   }
@@ -215,6 +220,20 @@ object Pca {
     val terms = zip_with(centered, varLit,
       (c, v) => floor(c * c / v * lit(1e8) + lit(0.5)).cast("long"))
     df.withColumn(outCol, aggregate(terms, lit(0L), (acc, x) => acc + x))
+  }
+
+  /** Deterministic eigenvector orientation: an eigenvector is only
+    * defined up to sign, so twin engines must agree on one — flip any
+    * component whose FIRST NONZERO coordinate is negative
+    * (first-nonzero-positive, the LAPACK-style convention). Negation is
+    * IEEE-exact, so this changes no magnitude anywhere downstream.
+    */
+  def signFixed(m: PcaModel): PcaModel = {
+    val comps = m.components.map { v =>
+      val i = v.indexWhere(_ != 0.0)
+      if (i >= 0 && v(i) < 0.0) v.map(x => -x) else v
+    }
+    PcaModel(m.mean, m.eigenvalues, comps)
   }
 
   /** Project onto the top-k principal axes, optionally whitening each

@@ -16,7 +16,11 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 final class SimHashAgg(bits: Int = 32)
     extends Aggregator[Long, Array[Int], Long] {
-  require(bits > 0 && bits <= 63, "bits must be in 1..63")
+  // 64 is legal: the fingerprint then uses the sign bit, which xor /
+  // bit_count / shiftrightunsigned all handle — consumers slicing
+  // blocks out of a full-width signature must use UNSIGNED shifts
+  // (the production 4×16-bit geometry does; see ScaleDesignSpec)
+  require(bits > 0 && bits <= 64, "bits must be in 1..64")
 
   override def zero: Array[Int] = new Array[Int](bits)
 

@@ -103,6 +103,10 @@ object CurationQueries {
         .select(col("tok"), col("c_a"), col("c_b"), col("drift_num"), col("p_delta"))
         .orderBy(col("drift_num").desc, col("tok"))
     }),
+    // ---- (the DECIMAL(38,0) production form of the drift arithmetic
+    //      lives in `tokenDriftDecimal` below; the gated row keeps the
+    //      exact-BIGINT form, the spec pins both equal at fixture
+    //      scale) ----
     // ---- robust per-domain outlier trim: flag documents whose length
     //      deviates from the SOURCE median by more than 2× the median
     //      absolute deviation — the heavy-tail document filter (a
@@ -462,7 +466,70 @@ object CurationQueries {
         .limit(32)
         .withColumn("score", dround(col("q_score").cast(DoubleType) / lit(1e8), 6))
         .select(col("vec_id"), col("label"), col("q_score"), col("score"))
+    }),
+    // ---- PCA projection + whitening, DRIVER-GATED (q94 gates the
+    //      distributed moments; this row gates `Pca.fit` →
+    //      `Pca.signFixed` → `Pca.transform` end-to-end): 2-D PCA over
+    //      the first two embedding coordinates, because a 2×2
+    //      eigensolve has a closed form a SQL twin can reproduce
+    //      operand-for-operand (one Jacobi rotation, which is exact for
+    //      d = 2 — the oracle mirrors the rotation's FP sequence; a
+    //      64-D Jacobi sweep has no SQL expression, which is why d>2
+    //      fit stays spec-gated in PcaSpec). Emits each vector's
+    //      projection onto both principal axes plus the whitened first
+    //      coordinate; eigenvector sign pinned first-nonzero-positive
+    //      on both sides. Scale shape: fit is the q94 treeAggregate
+    //      (shuffle-free, O(d²) driver metadata), transform is
+    //      map-side literal HOFs — zero exchanges before the final
+    //      presentation sort. ----
+    "q105_pca_project" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), expr("slice(embedding, 1, 2)").as("e2"))
+      val model = graft.functions.Pca.signFixed(
+        graft.functions.Pca.fit(emb, "e2", 2))
+      val proj = graft.functions.Pca
+        .transform(emb, "e2", model, k = 2, whiten = false, outCol = "proj")
+      graft.functions.Pca
+        .transform(proj, "e2", model, k = 1, whiten = true, outCol = "wproj")
+        .select(col("vec_id"),
+          dround(element_at(col("proj"), 1), 6).as("p1"),
+          dround(element_at(col("proj"), 2), 6).as("p2"),
+          dround(element_at(col("wproj"), 1), 6).as("w1"))
+        .orderBy(col("vec_id"))
     }))
+
+  /** q90's PRODUCTION arithmetic: identical plan shape (one token
+    * shuffle, 1-row broadcast totals, TakeOrderedAndProject), but the
+    * cross-products `c·tot` accumulate in DECIMAL(38,0) instead of
+    * BIGINT. At 100 TB the BIGINT form wraps (c·tot ≈ 1e24 > 2⁶³);
+    * 38 decimal digits hold products to ~1e38 — beyond any corpus. The
+    * decimal compare/sort is exact, so the top-32 verdict is identical
+    * wherever both forms are in range (spec-pinned equal at fixture
+    * scale in ScaleDesignSpec); only `drift_num`'s column TYPE differs,
+    * which is the honest production contract — a value that can exceed
+    * 2⁶³ cannot ship as a BIGINT.
+    */
+  def tokenDriftDecimal(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val freq = Tables.load(s, dir, "documents")
+      .select((expr("CAST(substring(source, 4) AS INT) % 2") === 0).as("in_a"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("c_b"))
+    val tot = freq.agg(sum(col("c_a")).as("tot_a"), sum(col("c_b")).as("tot_b"))
+    freq.crossJoin(broadcast(tot))
+      .withColumn("drift_num",
+        abs(col("c_a").cast(dec) * col("tot_b").cast(dec) -
+          col("c_b").cast(dec) * col("tot_a").cast(dec)).cast(dec))
+      .withColumn("p_delta", dround(
+        col("drift_num").cast(DoubleType) /
+          (col("tot_a").cast(dec) * col("tot_b").cast(dec)).cast(DoubleType), 8))
+      .orderBy(col("drift_num").desc, col("tok"))
+      .limit(32)
+      .select(col("tok"), col("c_a"), col("c_b"), col("drift_num"), col("p_delta"))
+      .orderBy(col("drift_num").desc, col("tok"))
+  }
 
   private val R = droundSql
 
@@ -713,5 +780,65 @@ object CurationQueries {
       JOIN uni b ON b.w = bi.w2
       CROSS JOIN tot
       ORDER BY lift DESC, w1, w2
-      LIMIT 32""")
+      LIMIT 32""",
+    // twin of the engine's fit → signFix → transform chain: quantized
+    // moments (q94's grid) → covariance in covEntry's operand order →
+    // ONE Jacobi rotation mirrored term-for-term (exact for 2×2) →
+    // stable descending sort → first-nonzero-positive orientation →
+    // the aggregate-HOF dot sequence. Every step is IEEE mul/add/div/
+    // sqrt, bit-identical across engines.
+    "q105_pca_project" -> s"""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x0,
+               CAST(embedding[2] AS DOUBLE) AS x1
+        FROM embeddings),
+      mom AS (
+        SELECT CAST(count(*) AS DOUBLE) AS nn,
+          CAST(sum(CAST(floor(x0 * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS s10,
+          CAST(sum(CAST(floor(x1 * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS s11,
+          CAST(sum(CAST(floor(x0 * x0 * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS s200,
+          CAST(sum(CAST(floor(x0 * x1 * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS s201,
+          CAST(sum(CAST(floor(x1 * x1 * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS s211
+        FROM v),
+      cov AS (
+        SELECT
+          (CAST(s10 AS DOUBLE) / 1e8) / nn AS m0,
+          (CAST(s11 AS DOUBLE) / 1e8) / nn AS m1,
+          ((CAST(s200 AS DOUBLE) / 1e8) / nn)
+            - ((CAST(s10 AS DOUBLE) / 1e8) / nn) * ((CAST(s10 AS DOUBLE) / 1e8) / nn) AS ca,
+          ((CAST(s201 AS DOUBLE) / 1e8) / nn)
+            - ((CAST(s10 AS DOUBLE) / 1e8) / nn) * ((CAST(s11 AS DOUBLE) / 1e8) / nn) AS cb,
+          ((CAST(s211 AS DOUBLE) / 1e8) / nn)
+            - ((CAST(s11 AS DOUBLE) / 1e8) / nn) * ((CAST(s11 AS DOUBLE) / 1e8) / nn) AS cc
+        FROM mom),
+      rot AS (
+        SELECT m0, m1, ca, cb, cc,
+          (cc - ca) / (2.0 * cb) AS theta,
+          sign(theta) / (abs(theta) + sqrt(theta * theta + 1.0)) AS tt,
+          1.0 / sqrt(tt * tt + 1.0) AS cr,
+          tt * cr AS sr,
+          cr * (cr * ca - sr * cb) - sr * (cr * cb - sr * cc) AS lpp,
+          sr * (sr * ca + cr * cb) + cr * (sr * cb + cr * cc) AS lqq
+        FROM cov),
+      eig AS (
+        SELECT m0, m1,
+          CASE WHEN lpp >= lqq THEN lpp ELSE lqq END AS l1,
+          CASE WHEN lpp >= lqq THEN cr ELSE sr END AS u0,
+          CASE WHEN lpp >= lqq THEN -sr ELSE cr END AS u1,
+          CASE WHEN lpp >= lqq THEN sr ELSE cr END AS w0,
+          CASE WHEN lpp >= lqq THEN cr ELSE -sr END AS w1c
+        FROM rot),
+      fixed AS (
+        SELECT m0, m1, l1,
+          CASE WHEN u0 < 0 OR (u0 = 0 AND u1 < 0) THEN -u0 ELSE u0 END AS a0,
+          CASE WHEN u0 < 0 OR (u0 = 0 AND u1 < 0) THEN -u1 ELSE u1 END AS a1,
+          CASE WHEN w0 < 0 OR (w0 = 0 AND w1c < 0) THEN -w0 ELSE w0 END AS b0,
+          CASE WHEN w0 < 0 OR (w0 = 0 AND w1c < 0) THEN -w1c ELSE w1c END AS b1
+        FROM eig)
+      SELECT vec_id,
+        ${R("(x0 - m0) * a0 + (x1 - m1) * a1", 6)} AS p1,
+        ${R("(x0 - m0) * b0 + (x1 - m1) * b1", 6)} AS p2,
+        ${R("((x0 - m0) * a0 + (x1 - m1) * a1) / sqrt(greatest(l1, 1e-12))", 6)} AS w1
+      FROM v CROSS JOIN fixed
+      ORDER BY vec_id""")
 }

@@ -82,6 +82,21 @@ class PcaSpec extends SparkSpec {
     assert(!p.contains("Join"), s"PCA transform must not join:\n$p")
   }
 
+  test("signFixed: first nonzero coordinate positive, magnitudes untouched, idempotent") {
+    val fixed = Pca.signFixed(model)
+    fixed.components.zip(model.components).foreach { case (f, o) =>
+      val i = f.indexWhere(_ != 0.0)
+      assert(i >= 0 && f(i) > 0.0, "first nonzero coordinate must be positive")
+      assert(f.zip(o).forall { case (a, b) => a == b || a == -b },
+        "orientation may only flip the whole vector")
+    }
+    assert(fixed.mean.toSeq === model.mean.toSeq)
+    assert(fixed.eigenvalues.toSeq === model.eigenvalues.toSeq)
+    val twice = Pca.signFixed(fixed)
+    assert(twice.components.map(_.toSeq).toSeq === fixed.components.map(_.toSeq).toSeq,
+      "sign fixing must be idempotent")
+  }
+
   test("top-k captures most variance on the fixture (spectrum sanity)") {
     val total = model.eigenvalues.sum
     val top8 = model.eigenvalues.take(8).sum

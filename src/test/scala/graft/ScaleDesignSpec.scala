@@ -372,6 +372,25 @@ class ScaleDesignSpec extends SparkSpec {
       s"the word-count subtree must be computed once, not per branch:\n$executed")
   }
 
+  test("q90: DECIMAL(38,0) production form matches the gated BIGINT form row-for-row") {
+    // the production swap named in q90's scale note, executable: same
+    // top-32 verdict, same counts and rounded deltas; only drift_num's
+    // TYPE widens (a value that can pass 2^63 cannot ship as BIGINT)
+    val bigint = SparkEntry.queries("q90_token_drift")(spark, sf).collect()
+    val dec = graft.queries.CurationQueries.tokenDriftDecimal(spark, sf)
+    assert(dec.schema("drift_num").dataType ===
+      org.apache.spark.sql.types.DecimalType(38, 0))
+    val decRows = dec.collect()
+    assert(decRows.length === bigint.length)
+    bigint.zip(decRows).foreach { case (b, d) =>
+      assert(d.getString(0) === b.getString(0), "token order must match")
+      assert(d.getLong(1) === b.getLong(1) && d.getLong(2) === b.getLong(2))
+      assert(d.getDecimal(3).longValueExact() === b.getLong(3),
+        s"drift_num mismatch for ${b.getString(0)}")
+      assert(d.getDouble(4) === b.getDouble(4))
+    }
+  }
+
   test("q91: MAD trim keeps per-source stats broadcast; corpus scans stay 3-column pruned") {
     val p = plan("q91_outlier_trim")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
@@ -518,6 +537,69 @@ class ScaleDesignSpec extends SparkSpec {
     assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"the domain-cardinality totals must broadcast onto the pair frame:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q103 production geometry: 64-bit SimHashAgg / 4×16-bit blocks — lossless recall, sub-quadratic candidates on a skewed synthetic corpus") {
+    // the geometry q103's scale note names (Manku WWW'07 production
+    // shape: 64-bit signatures, 2^16 buckets per block table), run for
+    // real: same operators as the gated query (SimHashAgg udaf, block
+    // explode, block-equality self-join, xor/bit_count confirm), on a
+    // corpus built to be SKEWED — clusters of exact dups and 1-token
+    // edits among dispersed singletons.
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    val rnd = new scala.util.Random(10364L)
+    val vocab = (0 until 8000).map(i => s"w$i")
+    def doc(toks: Seq[String]): String = toks.mkString(" ")
+    val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var id = 0L
+    def add(text: String): Unit = { docs += ((id, text)); id += 1 }
+    (0 until 120).foreach { _ =>
+      // cluster: base + exact dup (hamming 0 guaranteed) + two 1-token
+      // edits (small signature perturbations, many land within 3)
+      val base = Vector.fill(150)(vocab(rnd.nextInt(vocab.size)))
+      add(doc(base)); add(doc(base))
+      (0 until 2).foreach { _ =>
+        add(doc(base.updated(rnd.nextInt(base.size), vocab(rnd.nextInt(vocab.size)))))
+      }
+    }
+    (0 until 1200).foreach { _ =>
+      add(doc(Vector.fill(150)(vocab(rnd.nextInt(vocab.size)))))
+    }
+    val df = docs.toSeq.toDF("doc_id", "text")
+    val shAgg = udaf(new graft.functions.SimHashAgg(64), Encoders.scalaLong)
+    val sigs = df
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .groupBy(col("doc_id")).agg(shAgg(col("h")).as("sig"))
+      .localCheckpoint()
+    // UNSIGNED shift: a full-width signature may use the sign bit
+    val blocks = sigs.select(col("doc_id"), col("sig"),
+      explode(expr("transform(sequence(0, 3), b -> named_struct('blk', b, " +
+        "'bval', shiftrightunsigned(sig, b * 16) % 65536))")).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.blk").as("blk"), col("bb.bval").as("bval"))
+    val cand = blocks.as("x").join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("ham"))
+    val candVolume = cand.select(col("a"), col("b")).distinct().count()
+    val confirmed = cand.filter(col("ham") <= 3).select(col("a"), col("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact ground truth over the collected signatures (n=1680 longs —
+    // driver metadata; the brute force the bucketing must reproduce)
+    val sigMap = sigs.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      (ia, sa) <- sigMap; (ib, sb) <- sigMap
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(truth.size >= 120, s"fixture must contain real near-dup pairs, got ${truth.size}")
+    assert(truth === confirmed,
+      s"16-bit-block bucketing lost ${(truth -- confirmed).size} / gained ${(confirmed -- truth).size} pairs")
+    val allPairs = sigMap.length.toLong * (sigMap.length - 1) / 2
+    assert(candVolume < allPairs / 20,
+      s"candidate volume must stay sub-quadratic: $candVolume of $allPairs all-pairs")
   }
 
   test("q103: block bucketing is lossless for hamming <= 3 (pigeonhole, checked exhaustively)") {

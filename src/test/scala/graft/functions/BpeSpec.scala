@@ -72,6 +72,28 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("vocab cap: full-width cap reproduces the uncapped merges; small cap trains on exactly the top-N") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    // ground truth: the full vocabulary, built independently of the cap path
+    val full = docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a cap at (or above) the true vocab size must change nothing
+    val uncapped = Bpe.train(full, 5)
+    assert(Bpe.trainOnCorpus(docs, "text", 5, maxVocab = full.size) === uncapped)
+    assert(Bpe.trainOnCorpus(docs, "text", 5) === uncapped) // default cap is >> any fixture vocab
+    // a small cap must equal training on exactly the top-N words under
+    // the same (count desc, word asc) order — i.e. the collect really is
+    // the bounded top-N, not an arbitrary subset
+    val n = 10
+    val topN = full.toSeq.sortBy { case (w, c) => (-c, w) }.take(n).toMap
+    assert(Bpe.trainOnCorpus(docs, "text", 3, maxVocab = n) === Bpe.train(topN, 3))
+    // min-count floor drops singletons
+    val floored = full.filter(_._2 >= 2L)
+    assert(Bpe.trainOnCorpus(docs, "text", 3, minCount = 2L) === Bpe.train(floored, 3))
+  }
+
   test("trainer stops early when no pairs remain") {
     val m = Bpe.train(Map("ab" -> 1L), 10)
     // (a,b) merges once; afterwards the vocab is single symbols
