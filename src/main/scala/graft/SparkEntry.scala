@@ -24,7 +24,8 @@ object SparkEntry {
       LlmTextQueries.queries ++
       LlmSimQueries.queries ++
       CdcOpQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++
+      CorpusStatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -36,5 +37,6 @@ object SparkEntry {
       LlmTextQueries.oracle ++
       LlmSimQueries.oracle ++
       CdcOpQueries.oracle ++
-      CurationQueries.oracle
+      CurationQueries.oracle ++
+      CorpusStatQueries.oracle
 }

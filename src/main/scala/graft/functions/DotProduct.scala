@@ -110,6 +110,12 @@ object GraftFunctions {
       BloomMightContain(children.head, children(1))
     }
 
+  private[functions] val cmsEstBuilder: Seq[Expression] => Expression =
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "cms_estimate takes exactly 2 arguments")
+      CmsEstimate(children.head, children(1))
+    }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dotp"),
@@ -131,6 +137,10 @@ object GraftFunctions {
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       bloomMcBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      cmsEstBuilder)
     // the sketch aggregators, SQL-callable (`SELECT simhash_agg(h) ...`)
     // with the library's fixed default families
     import org.apache.spark.sql.functions.udaf
@@ -142,6 +152,8 @@ object GraftFunctions {
         graft.queries.LlmSimQueries.minhashB.toArray,
         graft.queries.LlmSimQueries.MinhashP),
         org.apache.spark.sql.Encoders.scalaLong))
+    spark.udf.register("cms_sketch",
+      udaf(new CmsAgg(), org.apache.spark.sql.Encoders.scalaLong))
   }
 }
 
@@ -172,5 +184,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       GraftFunctions.bloomMcBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      GraftFunctions.cmsEstBuilder))
   }
 }

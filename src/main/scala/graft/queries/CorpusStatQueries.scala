@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Det, Tables}
+
+/** Round-6 corpus-statistics batch — three operators a training-data
+  * platform runs between acquisition and mixture planning:
+  *
+  *  - q106: frequency heavy hitters via a count-min-sketch prefilter +
+  *    exact confirm — the sketch-bounded-shuffle pattern (`q88`'s bloom
+  *    idea applied to FREQUENCY instead of membership): at 100 TB the
+  *    full-vocabulary aggregation shuffles Heaps-law partials per map
+  *    partition, while the CMS prunes the stream map-side to keys whose
+  *    over-count clears the threshold, so the exchange carries
+  *    candidates only and the final HAVING stays exact.
+  *  - q107: asymmetric shingle CONTAINMENT (|A∩B| / |A|) — catches a
+  *    document that is a near-subset of another (quote pages, extracts,
+  *    re-posts with boilerplate added) which symmetric Jaccard (q47)
+  *    misses: a 100-gram doc fully quoted inside a 10,000-gram doc has
+  *    Jaccard ≈ 0.01 but containment 1.0. Broder's containment measure
+  *    ("On the resemblance and containment of documents", SEQUENCES'97)
+  *    over the same df-capped inverted-index join shape as q47.
+  *  - q108: CCNet-style LM fluency screen — a bigram model counted on a
+  *    reference slice (lang = 'en') scores every document by its mean
+  *    scaled conditional frequency, entirely in BIGINT arithmetic
+  *    (terms are `(1e6·c2) DIV c1`, unseen bigrams 0) so the score is
+  *    accumulation-order-free and the lowest-fluency screen is
+  *    bit-identical across engines. The LM frames are Heaps-law
+  *    vocab-sized and broadcast; scoring is map-side.
+  */
+object CorpusStatQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  import Det._
+
+  /** q106's exact threshold (true bigram count, not estimate). */
+  val HhThreshold = 40L
+
+  /** q107: shingle width, df cap (q47's inverted-index discipline) and
+    * the containment cut.
+    */
+  val ContainN = 5
+  val ContainDfCap = 64
+  val ContainCut = 0.5
+
+  private def bigramPairs(toksCol: String): String =
+    s"transform(sequence(1, size($toksCol) - 1), " +
+      s"i -> named_struct('w1', $toksCol[i - 1], 'w2', $toksCol[i]))"
+
+  val queries: Map[String, Q] = Map(
+    // ---- heavy hitters, CMS-prefiltered. Scale shape: pass 1 folds
+    //      the key stream into ONE 64 KB sketch (map-side partial
+    //      merge, the shuffle carries sketches, never keys — O(depth·
+    //      width) regardless of cardinality); the sketch collects as
+    //      driver metadata and re-broadcasts as a literal, so pass 2's
+    //      probe runs inside whole-stage codegen BEFORE the exchange.
+    //      Over-count invariant ⇒ no heavy key is dropped; colliding
+    //      light keys survive the prefilter but die at the exact
+    //      HAVING — the answer never depends on sketch accuracy, only
+    //      the exchange volume does. ----
+    "q106_heavy_hitters" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val pairs = Tables.load(s, dir, "documents")
+        .select(split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(bigramPairs("toks"))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .withColumn("k", xxhash64(col("w1"), col("w2")))
+      // engine-internal key: any deterministic 64-bit hash works (the
+      // confirm groups by the STRINGS); xxhash64 stays codegen'd
+      val sk = pairs.agg(expr("cms_sketch(k)").as("sk")).head.getAs[Array[Byte]](0)
+      pairs
+        .filter(call_function("cms_estimate", lit(sk), col("k")) >= lit(HhThreshold))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= HhThreshold)
+        .orderBy(col("n_ab").desc, col("w1"), col("w2"))
+    }),
+    // ---- containment near-subset detection. Scale shape: ONE
+    //      exchange on the gram hash serves the df-cap window AND
+    //      leaves both self-join sides co-partitioned (no second gram
+    //      shuffle); the df cap bounds every posting list at 64 docs so
+    //      candidate volume is Σ_g df(g)² ≤ 64·Σ df(g) — linear in
+    //      corpus grams, never quadratic in docs; per-doc sizes ride
+    //      the pair frame through a doc-keyed join. Containment is
+    //      DIRECTIONAL: (a,b) scores |A∩B|/|A|, so a small doc quoted
+    //      by a big one surfaces as (small, big) even though (big,
+    //      small) stays under the cut. ----
+    "q107_containment_dup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val (pairs, capped) = containmentPairs(s, dir)
+      // materialize the tiny pair set, then release the gram cache —
+      // the q47/q52 session-lifetime pattern
+      val out = pairs.localCheckpoint()
+      capped.unpersist()
+      out.orderBy(col("doc_a"), col("doc_b"))
+    }),
+    // ---- LM fluency screen. Scale shape: the model frames collapse
+    //      to Heaps-law vocabulary cardinality (two word-count aggs on
+    //      the train slice) and BROADCAST onto the corpus bigram
+    //      stream — scoring every document is map-side left joins +
+    //      one doc_id-keyed aggregation; integer terms make the
+    //      per-doc mean independent of task grouping. The output is
+    //      the junk screen: the 32 lowest-fluency docs (TakeOrdered,
+    //      no global sort). ----
+    "q108_lm_fluency" -> ((s, dir) => {
+      val (screen, bi) = lmFluencyScreen(s, dir)
+      // TakeOrdered materializes 32 rows here, releasing the model
+      // cache before the frame leaves the builder
+      val out = screen.localCheckpoint()
+      bi.unpersist()
+      out.orderBy(col("fluency"), col("doc_id"))
+    }))
+
+  /** q107's pair generation, pre-materialization (returned second: the
+    * cached gram frame, for the caller to release). The df-capped gram
+    * frame feeds THREE consumers — both self-join sides and the per-doc
+    * sizes — so it is cached; uncached, Catalyst re-runs the scan +
+    * df-cap window once per consumer.
+    */
+  def containmentPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val capped = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= ContainN)
+      .select(col("doc_id"),
+        explode(expr(s"ngram_hashes(toks, $ContainN, 0)")).as("g"))
+      .withColumn("d", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("d") <= ContainDfCap)
+      .drop("d")
+      .cache()
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    val pairs = capped.select(col("doc_id").as("doc_a"), col("g"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .withColumn("containment",
+        dround(col("shared_grams").cast(DoubleType) / col("n_a").cast(DoubleType), 6))
+      .filter(col("containment") >= ContainCut)
+      .select(col("doc_a"), col("doc_b"), col("shared_grams"), col("n_a"),
+        col("containment"))
+    (pairs, capped)
+  }
+
+  /** q108's scoring chain, pre-materialization (returned second: the
+    * cached bigram-model frame, for the caller to release — it feeds
+    * two consumers, its own join and the head-count roll-up, and is
+    * vocab²-bounded so the cache holds Heaps-law metadata, never
+    * corpus rows).
+    */
+  def lmFluencyScreen(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val pairs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(expr(bigramPairs("toks"))).as("p"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bi = pairs.filter(col("lang") === "en")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .cache()
+    // the conditioning denominator counts w1 occurrences AS a bigram
+    // head (all tokens but each doc's last) so c2/c1 is a proper
+    // conditional frequency — and Σ_w2 c2(w1,w2) IS that count, so
+    // the unigram frame rolls up from the cached bigram frame
+    // instead of re-scanning the train slice
+    val uni = bi.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val screen = pairs
+      .join(broadcast(bi), Seq("w1", "w2"), "left")
+      .join(broadcast(uni), Seq("w1"), "left")
+      .withColumn("term", coalesce(expr("(1000000 * c2) DIV c1"), lit(0L)))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("term")).as("tsum"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_pairs"),
+        expr("tsum DIV n_pairs").as("fluency"))
+      .orderBy(col("fluency"), col("doc_id"))
+      .limit(32)
+    (screen, bi)
+  }
+
+  private val R = droundSql
+
+  val oracle: Map[String, String] = Map(
+    "q106_heavy_hitters" -> s"""
+      WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
+                 WHERE len(string_split(text, ' ')) >= 2),
+      bi AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM (
+          SELECT toks[i] AS w1, toks[i + 1] AS w2
+          FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t))
+        GROUP BY w1, w2)
+      SELECT w1, w2, n_ab FROM bi
+      WHERE n_ab >= $HhThreshold
+      ORDER BY n_ab DESC, w1, w2""",
+    "q107_containment_dup" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                 WHERE len(string_split(text, ' ')) >= $ContainN),
+      gr AS (
+        SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+          range(len(toks) - ${ContainN - 1}),
+          i -> CAST('0x' || substr(md5(toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] || ' ' || toks[i + 4] || ' ' || toks[i + 5]), 1, 15) AS BIGINT)))) AS g
+        FROM t),
+      dfc AS (SELECT g FROM gr GROUP BY g HAVING count(*) <= $ContainDfCap),
+      gc AS (SELECT gr.* FROM gr JOIN dfc USING (g)),
+      sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_a FROM gc GROUP BY doc_id),
+      p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared_grams
+        FROM gc a JOIN gc b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT doc_a, doc_b, shared_grams, n_a,
+        ${R("CAST(shared_grams AS DOUBLE) / CAST(n_a AS DOUBLE)", 6)} AS containment
+      FROM p JOIN sz ON sz.doc_id = p.doc_a
+      WHERE ${R("CAST(shared_grams AS DOUBLE) / CAST(n_a AS DOUBLE)", 6)} >= $ContainCut
+      ORDER BY doc_a, doc_b""",
+    "q108_lm_fluency" -> s"""
+      WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+                 FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      pr AS (
+        SELECT doc_id, lang, source, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT doc_id, lang, source, toks, unnest(range(1, len(toks))) AS i
+              FROM t)),
+      bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM pr
+             WHERE lang = 'en' GROUP BY w1, w2),
+      uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM pr
+              WHERE lang = 'en' GROUP BY w1),
+      sc AS (
+        SELECT pr.doc_id, pr.lang, pr.source,
+          CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(coalesce((1000000 * bi.c2) // uni.c1, 0)) AS BIGINT) AS tsum
+        FROM pr
+        LEFT JOIN bi ON bi.w1 = pr.w1 AND bi.w2 = pr.w2
+        LEFT JOIN uni ON uni.w1 = pr.w1
+        GROUP BY pr.doc_id, pr.lang, pr.source)
+      SELECT doc_id, lang, source, n_pairs, tsum // n_pairs AS fluency
+      FROM sc
+      ORDER BY fluency, doc_id
+      LIMIT 32""")
+}

@@ -671,4 +671,50 @@ class ScaleDesignSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q106: CMS probe filters map-side, before the single confirm exchange") {
+    val p = plan("q106_heavy_hitters")
+    // the sketch probe must appear (a Filter on cms_estimate upstream
+    // of the aggregation)…
+    assert(p.contains("cms_estimate"))
+    // …the confirm aggregation is two-phase…
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    // …and the only hash exchange is the candidate-volume confirm (the
+    // second Exchange is the final sort's range partitioning)
+    assert("hashpartitioning\\(".r.findAllIn(p).size === 1)
+  }
+
+  test("q107: one corpus scan, one gram exchange feeding df-cap window, self-join and sizes") {
+    graft.functions.GraftFunctions.register(spark)
+    val (pairs, capped) = graft.queries.CorpusStatQueries.containmentPairs(spark, sf)
+    try {
+      val p = pairs.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // the df-capped gram frame is cached: every consumer reads the
+      // InMemoryRelation instead of re-running the scan + window
+      assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1,
+        "df-capped grams must be computed once, not per consumer")
+      // exactly one exchange partitions on the gram hash (the window's);
+      // the self-join reuses it via the cache (the other two are the
+      // pair and sizes aggregations)
+      assert("hashpartitioning\\(g#".r.findAllIn(p).size === 1)
+      assert(!p.contains("CartesianProduct"))
+    } finally capped.unpersist()
+  }
+
+  test("q108: LM model frames broadcast; scoring path has no sort-merge join") {
+    val (screen, bi) = graft.queries.CorpusStatQueries.lmFluencyScreen(spark, sf)
+    try {
+      val p = screen.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size === 2,
+        "both model joins must broadcast the Heaps-law frame")
+      assert(!p.contains("SortMergeJoin"))
+      // the junk screen is top-k, never a global sort
+      assert(p.contains("TakeOrderedAndProject"))
+      // the unigram frame rolls up from the cached bigram model — the
+      // train slice is scanned once (plus the corpus-side scan)
+      assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 2)
+    } finally bi.unpersist()
+  }
 }
