@@ -341,6 +341,122 @@ object LlmSimQueries {
     cv
   }
 
+  // Product quantization (Jégou, Douze, Schmid, "Product quantization
+  // for nearest neighbor search", TPAMI 2011): split d=64 into M=4
+  // 16-dim subspaces, k-means each subspace to K=8 codewords, encode
+  // every vector as 4 one-byte codes (64 floats → 4 bytes, the 64×
+  // compression that makes billion-vector serving memory-feasible),
+  // and score queries with asymmetric distance computation (ADC): a
+  // per-query M×K lookup table of exact query-to-codeword inner
+  // products, so each corpus vector costs M table reads + M-1 adds.
+  val PqM = 8
+  val PqDsub = 8 // AnnDim / PqM
+  val PqK = 16
+  val PqIters = 2
+  val PqQueryCount = 20
+  val PqShortlist = 50 // ADC candidates per query, exact-reranked to top-5
+
+  /** Per-subspace codebooks: `books(s)` = (cid, codeword) ascending
+    * cid. Init is the first-K vectors' subslices (deterministic, the
+    * q63 convention); each Lloyd pass is ONE shuffle-free treeAggregate
+    * over ALL subspaces at once — a partition folds its rows into
+    * M·K·dsub quantized-BIGINT sums + M·K counts (O(512) longs of
+    * driver metadata however large the corpus), merged order-free.
+    * Assignment minimizes subspace L2 via the equivalent max of
+    * `dot(x_sub, c) − |c|²/2` (one IEEE fold + one subtract — the form
+    * the oracle twin mirrors term-for-term), ties to the lower cid.
+    * Cells that lose every vector drop out, like the SQL GROUP BY form.
+    */
+  def pqCodebooks(e: DataFrame, iters: Int = PqIters): Array[IndexedSeq[(Int, Array[Float])]] = {
+    val init = e.filter(col("vec_id") < PqK)
+      .select(col("vec_id"), col("embedding")).collect().sortBy(_.getLong(0))
+    var books: Array[IndexedSeq[(Int, Array[Float])]] =
+      Array.tabulate(PqM) { s =>
+        init.toIndexedSeq.map(r => (r.getLong(0).toInt,
+          r.getSeq[Float](1).slice(s * PqDsub, (s + 1) * PqDsub).toArray))
+      }
+    import org.apache.spark.sql.Encoders
+    val rows = e.select(col("embedding"))
+      .as[Seq[Float]](org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    for (_ <- 1 to iters) {
+      val bArr: Array[Array[(Int, Array[Float])]] = books.map(_.toArray)
+      val halves: Array[Array[Double]] = bArr.map(_.map { case (_, c) =>
+        c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble) / 2.0
+      })
+      val offs: Array[Int] = bArr.scanLeft(0)((acc, b) => acc + b.length).init
+      val totalCents = bArr.map(_.length).sum
+      val (sums, counts) = rows.rdd.treeAggregate(
+        (new Array[Long](totalCents * PqDsub), new Array[Long](totalCents)))(
+        seqOp = { case ((sm, n), emb) =>
+          var s = 0
+          while (s < PqM) {
+            val cents = bArr(s)
+            val base = s * PqDsub
+            var best = 0; var bestSc = Double.NegativeInfinity
+            var ci = 0
+            while (ci < cents.length) {
+              val c = cents(ci)._2
+              var acc = 0.0; var i = 0
+              while (i < PqDsub) { acc += emb(base + i).toDouble * c(i).toDouble; i += 1 }
+              val sc = acc - halves(s)(ci)
+              // strictly-greater keeps the earliest (lowest) cid on ties
+              if (sc > bestSc) { bestSc = sc; best = ci }
+              ci += 1
+            }
+            val slot = offs(s) + best
+            var i = 0
+            while (i < PqDsub) {
+              sm(slot * PqDsub + i) += math.floor(emb(base + i).toDouble * 1e9 + 0.5).toLong
+              i += 1
+            }
+            n(slot) += 1L
+            s += 1
+          }
+          (sm, n)
+        },
+        combOp = { case ((s1, n1), (s2, n2)) =>
+          var i = 0
+          while (i < s1.length) { s1(i) += s2(i); i += 1 }
+          i = 0
+          while (i < n1.length) { n1(i) += n2(i); i += 1 }
+          (s1, n1)
+        })
+      books = Array.tabulate(PqM) { s =>
+        bArr(s).indices.flatMap { ci =>
+          val slot = offs(s) + ci
+          if (counts(slot) == 0L) None
+          else {
+            val n = counts(slot)
+            Some((bArr(s)(ci)._1, Array.tabulate(PqDsub)(i =>
+              (sums(slot * PqDsub + i).toDouble / n.toDouble / 1e9).toFloat)))
+          }
+        }
+      }
+    }
+    books
+  }
+
+  /** Map-side PQ encoding: per subspace, the argmax of the SAME
+    * `dot − |c|²/2` scores over codeword literals (`array_max` on
+    * (score, −cid) structs — the ivfAssignV trick), so NO shuffle
+    * touches the corpus and codes match training assignment exactly.
+    */
+  def pqEncode(e: DataFrame, books: Array[IndexedSeq[(Int, Array[Float])]]): DataFrame = {
+    var out = e
+    for (s <- 0 until PqM) {
+      val scored = array(books(s).map { case (cid, c) =>
+        val half = c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble) / 2.0
+        struct(
+          (call_function("dotp",
+            slice(col("embedding"), s * PqDsub + 1, PqDsub), typedlit(c)) - lit(half))
+            .as("score"),
+          lit(-cid).as("negid"))
+      }: _*)
+      out = out.withColumn(s"code$s", -array_max(scored).getField("negid"))
+    }
+    out.select(col("vec_id") +: (0 until PqM).map(s => col(s"code$s")): _*)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication"): cluster the corpus with the q63 k-means
@@ -658,6 +774,87 @@ object LlmSimQueries {
       out.orderBy(col("q_id"), col("rk"))
     }),
 
+    // ---- product-quantization ANN (ADC shortlist + exact re-rank):
+    //      the memory-side of the 100 TB serving story (q63's IVF is
+    //      the compute side): the corpus collapses to M=8 4-bit-ish
+    //      codes per vector — 16× smaller than the float embeddings —
+    //      and the shortlist scan costs M lookup-table reads + M−1
+    //      adds per vector, map-side against a broadcast
+    //      O(queries·M·K) LUT frame. The exact re-rank then touches
+    //      only queries·PqShortlist embedding rows (the q67
+    //      candidates-then-exact-recheck discipline), so the output
+    //      contract is exact cosine over the shortlist and PQ's
+    //      approximation error moves wholly into shortlist recall
+    //      (pinned in PqSpec). Training: PqIters shuffle-free
+    //      treeAggregates (O(M·K·dsub) driver metadata); encoding:
+    //      map-side codeword-literal argmax; both rankings: per-query
+    //      windows (WindowGroupLimit, no global sort), rounded scores,
+    //      bit-deterministic and oracle-twinned down to the Lloyd
+    //      iterations. ----
+    "q109_ann_pq" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      // cached: training re-scans per Lloyd pass, then encode + the
+      // query collect + the re-rank hydration read it again
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("nrm", sqrt(sqnorm("embedding"))).cache()
+      val books = pqCodebooks(e)
+      val codes = pqEncode(e, books)
+      val qRows = e.filter(col("vec_id") < PqQueryCount)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .collect().sortBy(_.getLong(0))
+      // per-query ADC lookup tables: exact query-to-codeword inner
+      // products (index fold order = dotp = the oracle's list_reduce);
+      // dead cids keep a 0.0 slot no code can reference
+      val qdf = {
+        val lutRows = qRows.toIndexedSeq.map { r =>
+          val emb = r.getSeq[Float](1)
+          val luts = IndexedSeq.tabulate(PqM) { sub =>
+            val arr = new Array[Double](PqK)
+            books(sub).foreach { case (cid, c) =>
+              var acc = 0.0; var i = 0
+              while (i < PqDsub) { acc += emb(sub * PqDsub + i).toDouble * c(i).toDouble; i += 1 }
+              arr(cid) = acc
+            }
+            arr.toSeq
+          }
+          org.apache.spark.sql.Row.fromSeq(r.getLong(0) +: luts)
+        }
+        val schema = StructType(StructField("q_id", LongType, nullable = false) +:
+          (0 until PqM).map(sub =>
+            StructField(s"lut$sub", ArrayType(DoubleType, containsNull = false), nullable = false)))
+        s.createDataFrame(java.util.Arrays.asList(lutRows: _*), schema)
+      }
+      val adc = (0 until PqM).map(sub =>
+        element_at(col(s"lut$sub"), col(s"code$sub") + 1))
+        .reduceLeft(_ + _)
+      import org.apache.spark.sql.expressions.Window
+      val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
+      val shortlist = codes.crossJoin(broadcast(qdf))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("adc", dround(adc, 6))
+        .withColumn("crk", row_number().over(wAdc))
+        .filter(col("crk") <= PqShortlist)
+        .select(col("q_id"), col("vec_id"))
+      // exact re-rank: hydrate the queries·PqShortlist candidate rows
+      // with their embeddings (the shortlist broadcasts — it is index
+      // metadata, never the corpus) and score exact cosine, q63's tail
+      val qe = {
+        import s.implicits._
+        qRows.toIndexedSeq
+          .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+          .toDF("q_id", "q_emb", "q_nrm")
+      }
+      val wX = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      val out = e.join(broadcast(shortlist), "vec_id")
+        .join(broadcast(qe), "q_id")
+        .withColumn("cosine", dround(dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")), 6))
+        .withColumn("rk", row_number().over(wX))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+        .localCheckpoint()
+      e.unpersist()
+      out.orderBy(col("q_id"), col("rk"))
+    }),
     // ---- embedding near-dup, production path: sign-LSH candidates +
     //      exact re-check. Same output contract (and DuckDB all-pairs
     //      oracle) as the q50 baseline, but the pair space is
@@ -919,8 +1116,102 @@ object LlmSimQueries {
       WHERE rk <= 5
       ORDER BY q_id, rk"""
 
+  /** The q109 twin: per-subspace Lloyd (same quantized-BIGINT sums /
+    * float-cast means as the engine), encode via the same
+    * `dot − |c|²/2` ranking, LUT join with explicit left-to-right ADC
+    * addition (never SUM — aggregation order isn't deterministic).
+    * Every CTE is MATERIALIZED: DuckDB inlines multi-referenced CTEs,
+    * and each p{s}c2 feeds both its encode and its LUT — inlined, the
+    * whole per-subspace Lloyd chain re-executes per reference and the
+    * plan tree grows exponentially in chain depth (measured: >9 min
+    * inlined vs 0.9 s materialized on the sf0.001 fixture).
+    */
+  private def pqOracleSql: String = {
+    def M(sql: String): String = sql.replace("AS (", "AS MATERIALIZED (")
+    def sliceOf(expr: String, s: Int): String =
+      s"$expr[${s * PqDsub + 1}:${(s + 1) * PqDsub}]"
+    val subCtes = (0 until PqM).map { s =>
+      val init = s"""
+      p${s}c0 AS (SELECT CAST(vec_id AS INT) AS cid, ${sliceOf("embedding", s)} AS c
+                  FROM e WHERE vec_id < $PqK)"""
+      val iters = (1 to PqIters).map { j =>
+        s"""
+      p${s}sc$j AS (
+        SELECT e.vec_id, c.cid,
+          ${dotSql(sliceOf("e.embedding", s), "c.c")} - ${dotSql("c.c", "c.c")} / 2.0 AS score
+        FROM e CROSS JOIN p${s}c${j - 1} c),
+      p${s}as$j AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rk
+          FROM p${s}sc$j) WHERE rk = 1),
+      p${s}sm$j AS (
+        SELECT a.cid, pos,
+          sum(CAST(floor(CAST(e.embedding[${s * PqDsub} + pos + 1] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS s,
+          count(*) AS n
+        FROM p${s}as$j a JOIN e ON e.vec_id = a.vec_id
+          CROSS JOIN (SELECT unnest(range($PqDsub)) AS pos) d
+        GROUP BY a.cid, pos),
+      p${s}c$j AS (
+        SELECT cid, list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9 AS FLOAT) ORDER BY pos) AS c
+        FROM p${s}sm$j GROUP BY cid)"""
+      }.mkString(",")
+      val encode = s"""
+      p${s}enc AS (
+        SELECT vec_id, cid AS code$s FROM (
+          SELECT e.vec_id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              ${dotSql(sliceOf("e.embedding", s), "c.c")} - ${dotSql("c.c", "c.c")} / 2.0 DESC,
+              c.cid) AS rk
+          FROM e CROSS JOIN p${s}c$PqIters c) WHERE rk = 1),
+      p${s}lut AS (
+        SELECT q.vec_id AS q_id, c.cid,
+          ${dotSql(sliceOf("q.embedding", s), "c.c")} AS val
+        FROM e q CROSS JOIN p${s}c$PqIters c WHERE q.vec_id < $PqQueryCount)"""
+      init + "," + iters + "," + encode
+    }.mkString(",")
+    val codeJoin = (1 until PqM)
+      .map(s => s"JOIN p${s}enc e$s ON e$s.vec_id = e0.vec_id").mkString(" ")
+    val lutJoin = (1 until PqM)
+      .map(s => s"JOIN p${s}lut l$s ON l$s.q_id = l0.q_id AND l$s.cid = v.code$s")
+      .mkString(" ")
+    val adcSum = (0 until PqM).map(s => s"l$s.val").mkString(" + ")
+    M(s"""
+      WITH e AS (
+        SELECT vec_id, embedding,
+          sqrt(${dotSql("embedding", "embedding")}) AS nrm
+        FROM embeddings),$subCtes,
+      codes AS (
+        SELECT e0.vec_id, e0.code0${(1 until PqM).map(s => s", e$s.code$s").mkString}
+        FROM p0enc e0 $codeJoin),
+      adc AS (
+        SELECT l0.q_id, v.vec_id, ${R(adcSum, 6)} AS score
+        FROM codes v
+        JOIN p0lut l0 ON l0.cid = v.code0 $lutJoin
+        WHERE v.vec_id <> l0.q_id),
+      shortlist AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS crk
+          FROM adc)
+        WHERE crk <= $PqShortlist),
+      reranked AS (
+        SELECT sl.q_id, sl.vec_id,
+          ${R(s"${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)", 6)} AS cosine
+        FROM shortlist sl
+        JOIN e c ON c.vec_id = sl.vec_id
+        JOIN e q ON q.vec_id = sl.q_id)
+      SELECT q_id, rk, vec_id AS neighbor_id, cosine FROM (
+        SELECT q_id, vec_id, cosine,
+          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+        FROM reranked)
+      WHERE rk <= 5
+      ORDER BY q_id, rk""")
+  }
+
   val oracle: Map[String, String] = Map(
     "q63_ann_ivf" -> ivfOracleSql,
+    "q109_ann_pq" -> pqOracleSql,
     // same trained cells as q63 (shared CTE chain), SemDeDup pruning tail
     "q80_semantic_dedup" -> s"""
       WITH ${ivfAssignCtes()},
