@@ -407,7 +407,7 @@ class QueryCatalogSpec extends SparkSpec {
       queries.RelationalQueries.queries, queries.WindowScalarQueries.queries,
       queries.StreamEquivQueries.queries, queries.LlmTextQueries.queries,
       queries.LlmSimQueries.queries, queries.CdcOpQueries.queries,
-      queries.CurationQueries.queries)
+      queries.CurationQueries.queries, queries.CorpusStatQueries.queries)
     assert(parts.map(_.size).sum === SparkEntry.queries.size, "duplicate query names collapse in the merged map")
   }
 }
