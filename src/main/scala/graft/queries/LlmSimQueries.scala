@@ -774,6 +774,58 @@ object LlmSimQueries {
       out.orderBy(col("q_id"), col("rk"))
     }),
 
+    // ---- hard-negative mining for contrastive training: for each
+    //      anchor, the 5 MOST similar vectors with a DIFFERENT label —
+    //      the "hard negatives" a contrastive/metric-learning recipe
+    //      mines between epochs (easy negatives are uninformative;
+    //      hardness = cosine). Production path, not brute force: the
+    //      q63 IVF cells restrict the scan to the anchor's nprobe
+    //      nearest cells (the label filter composes with the cell
+    //      filter map-side), exact cosine re-ranks inside them. Scale
+    //      shape inherits q63's: training treeAggregates, assignment
+    //      map-side, ONE cell-keyed join, label hydration co-keyed on
+    //      vec_id, per-anchor window (WindowGroupLimit). ----
+    "q110_hard_negatives" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("nrm", sqrt(sqnorm("embedding")))
+        .cache()
+      val cv = ivfCentroidValues(e)
+      val assigned = ivfAssignV(e, cv)
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+      val qRows = e.filter(col("vec_id") < PqQueryCount)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("label"))
+        .collect().sortBy(_.getLong(0))
+      val probePairs: Seq[(Long, Int)] = qRows.toIndexedSeq.flatMap { r =>
+        val qemb = r.getSeq[Float](1)
+        val qnrm = r.getDouble(2)
+        cv.map { case (cid, cemb, cn) =>
+          val sc = qemb.indices.foldLeft(0.0)((acc, i) =>
+            acc + qemb(i).toDouble * cemb(i).toDouble) / (qnrm * cn)
+          (sc, cid)
+        }.sortBy { case (sc, cid) => (-sc, cid) }
+          .take(IvfNprobe).map { case (_, cid) => (r.getLong(0), cid) }
+      }
+      import s.implicits._
+      val probes = probePairs.toDF("q_id", "cell")
+      val qe = qRows.toIndexedSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2), r.getInt(3)))
+        .toDF("q_id", "q_emb", "q_nrm", "q_label")
+      val scored = assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(qe), "q_id")
+        .filter(col("label") =!= col("q_label"))
+        .withColumn("cosine", dround(dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")), 6))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      val out = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
+          col("label").as("neg_label"), col("cosine"))
+        .localCheckpoint()
+      e.unpersist()
+      out.orderBy(col("q_id"), col("rk"))
+    }),
     // ---- product-quantization ANN (ADC shortlist + exact re-rank):
     //      the memory-side of the 100 TB serving story (q63's IVF is
     //      the compute side): the corpus collapses to M=8 4-bit-ish
@@ -798,7 +850,17 @@ object LlmSimQueries {
       val e = Tables.load(s, dir, "embeddings")
         .withColumn("nrm", sqrt(sqnorm("embedding"))).cache()
       val books = pqCodebooks(e)
-      val codes = pqEncode(e, books)
+      // materialize the code frame — this IS the PQ index a serving
+      // system persists (M int codes per vector, the 16×-compressed
+      // corpus). Left lazy, CollapseProject fuses the 128 struct-array
+      // codeword scorings into the post-join projection and re-encodes
+      // every (vector, query) pair: measured 13.5 s → 4.1 s for the
+      // whole query at sf0.1 (1.9 s warm). Released below once the
+      // result is materialized.
+      val codes = pqEncode(e, books).localCheckpoint()
+      val codesRdds = codes.queryExecution.logical.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
       val qRows = e.filter(col("vec_id") < PqQueryCount)
         .select(col("vec_id"), col("embedding"), col("nrm"))
         .collect().sortBy(_.getLong(0))
@@ -853,6 +915,7 @@ object LlmSimQueries {
         .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
         .localCheckpoint()
       e.unpersist()
+      codesRdds.foreach(_.unpersist(false))
       out.orderBy(col("q_id"), col("rk"))
     }),
     // ---- embedding near-dup, production path: sign-LSH candidates +
@@ -1209,9 +1272,38 @@ object LlmSimQueries {
       ORDER BY q_id, rk""")
   }
 
+  /** The q110 twin: the shared IVF chain, labels hydrated from the
+    * base table, label-mismatch filter inside the probe scan.
+    */
+  private def hardNegOracleSql: String = s"""
+      WITH ${ivfAssignCtes()},
+      al AS (
+        SELECT a.vec_id, a.embedding, a.nrm, a.cell, l.label
+        FROM assigned a JOIN embeddings l ON l.vec_id = a.vec_id),
+      probes AS (SELECT vec_id AS q_id, cent_id AS cell
+                 FROM ranked WHERE vec_id < $PqQueryCount AND crk <= $IvfNprobe),
+      qe AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb, e.nrm AS q_nrm,
+               l.label AS q_label
+             FROM e JOIN embeddings l ON l.vec_id = e.vec_id
+             WHERE e.vec_id < $PqQueryCount),
+      scored AS (
+        SELECT p.q_id, a.vec_id, a.label AS neg_label,
+          ${R(s"${dotSql("qe.q_emb", "a.embedding")} / (qe.q_nrm * a.nrm)", 6)} AS cosine
+        FROM al a
+          JOIN probes p ON a.cell = p.cell
+          JOIN qe ON p.q_id = qe.q_id
+        WHERE a.vec_id <> p.q_id AND a.label <> qe.q_label)
+      SELECT q_id, rk, vec_id AS neighbor_id, neg_label, cosine FROM (
+        SELECT q_id, vec_id, neg_label, cosine,
+          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored)
+      WHERE rk <= 5
+      ORDER BY q_id, rk"""
+
   val oracle: Map[String, String] = Map(
     "q63_ann_ivf" -> ivfOracleSql,
     "q109_ann_pq" -> pqOracleSql,
+    "q110_hard_negatives" -> hardNegOracleSql,
     // same trained cells as q63 (shared CTE chain), SemDeDup pruning tail
     "q80_semantic_dedup" -> s"""
       WITH ${ivfAssignCtes()},

@@ -295,6 +295,56 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("stateful streaming heavy-hitter counts via flatMapGroupsWithState == batch q106") {
+    // the TRUE streaming form of the q106 heavy-hitter aggregation:
+    // per-bigram running counts accumulate across micro-batches in
+    // keyed state; each batch emits the key's updated running total,
+    // so the LAST emission per key is its final corpus count and the
+    // threshold cut over those equals the batch answer. (The CMS
+    // prefilter is a batch-side shuffle optimization — the streaming
+    // twin checks the SEMANTICS: exact counts accumulated key-locally
+    // survive any micro-batch chunking.)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dir = tmpDir("stream-hh")
+    val docs = Tables.load(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val rows = docs.orderBy("doc_id").toJSON.collect()
+    val base = System.currentTimeMillis() - 3600000
+    rows.grouped(math.max(1, rows.length / 3)).zipWithIndex.foreach { case (chunk, i) =>
+      val p = Paths.get(dir, f"chunk-$i%03d.json")
+      Files.writeString(p, chunk.mkString("\n"))
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+    }
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> named_struct('w1', toks[i - 1], 'w2', toks[i]))"))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2")).as[(String, String)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, (String, String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, occs, state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + occs.size
+          state.update(n)
+          Iterator((key._1, key._2, n))
+      }
+      .writeStream.format("memory").queryName("hhcounts")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val t = graft.queries.CorpusStatQueries.HhThreshold
+    val got = spark.sql(
+      s"SELECT _1, _2, max(_3) AS n FROM hhcounts GROUP BY _1, _2 HAVING max(_3) >= $t")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = graft.SparkEntry.queries("q106_heavy_hitters")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "batch heavy hitters produced no rows — test is vacuous")
+    assert(got === want)
+  }
+
   test("stateful streaming funnel via flatMapGroupsWithState == batch q76") {
     // the TRUE streaming form of the q76 conversion funnel: per-user
     // state carries the entry timestamp of each reached stage; a stage
