@@ -918,6 +918,118 @@ object LlmSimQueries {
       codesRdds.foreach(_.unpersist(false))
       out.orderBy(col("q_id"), col("rk"))
     }),
+    // ---- IVF-PQ compose (the FAISS IVFPQ architecture, Jégou
+    //      TPAMI'11 §V): q63's IVF cells prune COMPUTE (scan nprobe
+    //      cells, not the corpus), q109's PQ prunes MEMORY — but
+    //      trained on cell RESIDUALS x − c(cell), which quantize far
+    //      tighter than raw vectors (the residual trick that makes
+    //      billion-scale recall workable). Scoring decomposes exactly:
+    //      dot(q, x) ≈ dot(q, c_cell) [driver scalar per (q, cell)]
+    //      + Σ_s lut_s[code_s] [residual ADC]. The index = (cell,
+    //      M codes) per vector, checkpointed; the scan touches
+    //      probed-cell rows only, map-side against broadcast
+    //      (probe offsets + residual LUTs); exact cosine re-ranks the
+    //      per-query shortlist (q67 discipline). Residuals are
+    //      float-cast double differences — one rounding both engines
+    //      perform identically — so training, codes, ADC and rerank
+    //      all stay bit-deterministic and oracle-twinned. ----
+    "q111_ann_ivfpq" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("nrm", sqrt(sqnorm("embedding"))).cache()
+      val cv = ivfCentroidValues(e)
+      val assigned = ivfAssignV(e, cv)
+      val centDf = {
+        import s.implicits._
+        cv.map { case (cid, cemb, _) => (cid, cemb.toSeq) }.toDF("cell", "c_emb")
+      }
+      // residual in float: CAST(double(x) − double(c) AS FLOAT) — the
+      // exact form the oracle twin mirrors per element
+      val residuals = assigned.join(broadcast(centDf), "cell")
+        .withColumn("embedding", expr(
+          "zip_with(embedding, c_emb, (x, c) -> CAST(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) AS FLOAT))"))
+        .select(col("vec_id"), col("cell"), col("embedding"))
+      val books = pqCodebooks(residuals.cache())
+      // the IVFPQ index: (cell, M residual codes) per vector,
+      // checkpointed (same rationale as q109's code frame)
+      val codes = pqEncode(residuals, books)
+        .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+        .localCheckpoint()
+      residuals.unpersist()
+      val codesRdds = codes.queryExecution.logical.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+      val qRows = e.filter(col("vec_id") < PqQueryCount)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .collect().sortBy(_.getLong(0))
+      // probes carry the coarse term dot(q, c_cell) as `offset`; LUTs
+      // are per-query residual-codeword inner products — both
+      // O(queries·…) index metadata, broadcast
+      val probeRows: Seq[(Long, Int, Double)] = qRows.toIndexedSeq.flatMap { r =>
+        val qemb = r.getSeq[Float](1)
+        val qnrm = r.getDouble(2)
+        cv.map { case (cid, cemb, cn) =>
+          var acc = 0.0; var i = 0
+          while (i < qemb.length) { acc += qemb(i).toDouble * cemb(i).toDouble; i += 1 }
+          // rank cells by cosine (q63's probe convention); the raw dot
+          // travels as the coarse ADC term
+          (acc / (qnrm * cn), cid, acc)
+        }.sortBy { case (cos, cid, _) => (-cos, cid) }
+          .take(IvfNprobe).map { case (_, cid, off) => (r.getLong(0), cid, off) }
+      }
+      val probes = {
+        import s.implicits._
+        probeRows.toDF("q_id", "cell", "offset")
+      }
+      val qdf = {
+        val lutRows = qRows.toIndexedSeq.map { r =>
+          val emb = r.getSeq[Float](1)
+          val luts = IndexedSeq.tabulate(PqM) { sub =>
+            val arr = new Array[Double](PqK)
+            books(sub).foreach { case (cid, c) =>
+              var acc = 0.0; var i = 0
+              while (i < PqDsub) { acc += emb(sub * PqDsub + i).toDouble * c(i).toDouble; i += 1 }
+              arr(cid) = acc
+            }
+            arr.toSeq
+          }
+          org.apache.spark.sql.Row.fromSeq(r.getLong(0) +: luts)
+        }
+        val schema = StructType(StructField("q_id", LongType, nullable = false) +:
+          (0 until PqM).map(sub =>
+            StructField(s"lut$sub", ArrayType(DoubleType, containsNull = false), nullable = false)))
+        s.createDataFrame(java.util.Arrays.asList(lutRows: _*), schema)
+      }
+      val adc = (0 until PqM).map(sub =>
+        element_at(col(s"lut$sub"), col(s"code$sub") + 1))
+        .foldLeft(col("offset"))(_ + _)
+      import org.apache.spark.sql.expressions.Window
+      val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
+      val shortlist = codes.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(qdf), "q_id")
+        .withColumn("adc", dround(adc, 6))
+        .withColumn("crk", row_number().over(wAdc))
+        .filter(col("crk") <= PqShortlist)
+        .select(col("q_id"), col("vec_id"))
+      val qe = {
+        import s.implicits._
+        qRows.toIndexedSeq
+          .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+          .toDF("q_id", "q_emb", "q_nrm")
+      }
+      val wX = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      val out = e.join(broadcast(shortlist), "vec_id")
+        .join(broadcast(qe), "q_id")
+        .withColumn("cosine", dround(dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")), 6))
+        .withColumn("rk", row_number().over(wX))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
+        .localCheckpoint()
+      e.unpersist()
+      codesRdds.foreach(_.unpersist(false))
+      out.orderBy(col("q_id"), col("rk"))
+    }),
     // ---- embedding near-dup, production path: sign-LSH candidates +
     //      exact re-check. Same output contract (and DuckDB all-pairs
     //      oracle) as the q50 baseline, but the pair space is
@@ -1189,20 +1301,27 @@ object LlmSimQueries {
     * plan tree grows exponentially in chain depth (measured: >9 min
     * inlined vs 0.9 s materialized on the sf0.001 fixture).
     */
-  private def pqOracleSql: String = {
-    def M(sql: String): String = sql.replace("AS (", "AS MATERIALIZED (")
+  private def pqMaterialize(sql: String): String =
+    sql.replace("AS (", "AS MATERIALIZED (")
+
+  /** The per-subspace PQ CTE chain (init → Lloyd iters → encode → LUT),
+    * parameterized on the training source (`e` for raw-vector PQ, the
+    * residual CTE for IVF-PQ) and the query source (always raw
+    * vectors). Both must expose (vec_id, embedding).
+    */
+  private def pqChainCtes(trainSrc: String, querySrc: String): String = {
     def sliceOf(expr: String, s: Int): String =
       s"$expr[${s * PqDsub + 1}:${(s + 1) * PqDsub}]"
-    val subCtes = (0 until PqM).map { s =>
+    (0 until PqM).map { s =>
       val init = s"""
       p${s}c0 AS (SELECT CAST(vec_id AS INT) AS cid, ${sliceOf("embedding", s)} AS c
-                  FROM e WHERE vec_id < $PqK)"""
+                  FROM $trainSrc WHERE vec_id < $PqK)"""
       val iters = (1 to PqIters).map { j =>
         s"""
       p${s}sc$j AS (
-        SELECT e.vec_id, c.cid,
-          ${dotSql(sliceOf("e.embedding", s), "c.c")} - ${dotSql("c.c", "c.c")} / 2.0 AS score
-        FROM e CROSS JOIN p${s}c${j - 1} c),
+        SELECT t.vec_id, c.cid,
+          ${dotSql(sliceOf("t.embedding", s), "c.c")} - ${dotSql("c.c", "c.c")} / 2.0 AS score
+        FROM $trainSrc t CROSS JOIN p${s}c${j - 1} c),
       p${s}as$j AS (
         SELECT vec_id, cid FROM (
           SELECT vec_id, cid,
@@ -1210,9 +1329,9 @@ object LlmSimQueries {
           FROM p${s}sc$j) WHERE rk = 1),
       p${s}sm$j AS (
         SELECT a.cid, pos,
-          sum(CAST(floor(CAST(e.embedding[${s * PqDsub} + pos + 1] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS s,
+          sum(CAST(floor(CAST(t.embedding[${s * PqDsub} + pos + 1] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS s,
           count(*) AS n
-        FROM p${s}as$j a JOIN e ON e.vec_id = a.vec_id
+        FROM p${s}as$j a JOIN $trainSrc t ON t.vec_id = a.vec_id
           CROSS JOIN (SELECT unnest(range($PqDsub)) AS pos) d
         GROUP BY a.cid, pos),
       p${s}c$j AS (
@@ -1222,24 +1341,33 @@ object LlmSimQueries {
       val encode = s"""
       p${s}enc AS (
         SELECT vec_id, cid AS code$s FROM (
-          SELECT e.vec_id, c.cid,
-            row_number() OVER (PARTITION BY e.vec_id ORDER BY
-              ${dotSql(sliceOf("e.embedding", s), "c.c")} - ${dotSql("c.c", "c.c")} / 2.0 DESC,
+          SELECT t.vec_id, c.cid,
+            row_number() OVER (PARTITION BY t.vec_id ORDER BY
+              ${dotSql(sliceOf("t.embedding", s), "c.c")} - ${dotSql("c.c", "c.c")} / 2.0 DESC,
               c.cid) AS rk
-          FROM e CROSS JOIN p${s}c$PqIters c) WHERE rk = 1),
+          FROM $trainSrc t CROSS JOIN p${s}c$PqIters c) WHERE rk = 1),
       p${s}lut AS (
         SELECT q.vec_id AS q_id, c.cid,
           ${dotSql(sliceOf("q.embedding", s), "c.c")} AS val
-        FROM e q CROSS JOIN p${s}c$PqIters c WHERE q.vec_id < $PqQueryCount)"""
+        FROM $querySrc q CROSS JOIN p${s}c$PqIters c WHERE q.vec_id < $PqQueryCount)"""
       init + "," + iters + "," + encode
     }.mkString(",")
-    val codeJoin = (1 until PqM)
-      .map(s => s"JOIN p${s}enc e$s ON e$s.vec_id = e0.vec_id").mkString(" ")
+  }
+
+  private def pqCodeJoin: String = (1 until PqM)
+    .map(s => s"JOIN p${s}enc e$s ON e$s.vec_id = e0.vec_id").mkString(" ")
+  private def pqLutJoin(probeAlias: String): String = (1 until PqM)
+    .map(s => s"JOIN p${s}lut l$s ON l$s.q_id = $probeAlias.q_id AND l$s.cid = v.code$s")
+    .mkString(" ")
+
+  private def pqOracleSql: String = {
+    val subCtes = pqChainCtes("e", "e")
+    val codeJoin = pqCodeJoin
     val lutJoin = (1 until PqM)
       .map(s => s"JOIN p${s}lut l$s ON l$s.q_id = l0.q_id AND l$s.cid = v.code$s")
       .mkString(" ")
     val adcSum = (0 until PqM).map(s => s"l$s.val").mkString(" + ")
-    M(s"""
+    pqMaterialize(s"""
       WITH e AS (
         SELECT vec_id, embedding,
           sqrt(${dotSql("embedding", "embedding")}) AS nrm
@@ -1252,6 +1380,57 @@ object LlmSimQueries {
         FROM codes v
         JOIN p0lut l0 ON l0.cid = v.code0 $lutJoin
         WHERE v.vec_id <> l0.q_id),
+      shortlist AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS crk
+          FROM adc)
+        WHERE crk <= $PqShortlist),
+      reranked AS (
+        SELECT sl.q_id, sl.vec_id,
+          ${R(s"${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)", 6)} AS cosine
+        FROM shortlist sl
+        JOIN e c ON c.vec_id = sl.vec_id
+        JOIN e q ON q.vec_id = sl.q_id)
+      SELECT q_id, rk, vec_id AS neighbor_id, cosine FROM (
+        SELECT q_id, vec_id, cosine,
+          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+        FROM reranked)
+      WHERE rk <= 5
+      ORDER BY q_id, rk""")
+  }
+
+  /** The q111 twin: IVF chain (q63's CTEs) → per-cell residuals
+    * (float-cast double differences) → the PQ chain TRAINED ON
+    * RESIDUALS with LUTs from raw query vectors → coarse offset
+    * dot(q, c_cell) + residual ADC → shortlist → exact rerank.
+    */
+  private def ivfpqOracleSql: String = {
+    val subCtes = pqChainCtes("resid", "e")
+    val adcSum = (0 until PqM).map(s => s"l$s.val").mkString(" + ")
+    pqMaterialize(s"""
+      WITH ${ivfAssignCtes()},
+      resid AS (
+        SELECT a.vec_id, a.cell,
+          list_transform(range(1, $AnnDim + 1),
+            i -> CAST(CAST(a.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE) AS FLOAT)) AS embedding
+        FROM assigned a JOIN cents$IvfIters c ON c.cent_id = a.cell),$subCtes,
+      codes AS (
+        SELECT e0.vec_id, r.cell, e0.code0${(1 until PqM).map(s => s", e$s.code$s").mkString}
+        FROM p0enc e0 $pqCodeJoin JOIN resid r ON r.vec_id = e0.vec_id),
+      probes AS (SELECT vec_id AS q_id, cent_id AS cell
+                 FROM ranked WHERE vec_id < $PqQueryCount AND crk <= $IvfNprobe),
+      offs AS (
+        SELECT p.q_id, p.cell, ${dotSql("q.embedding", "c.c_emb")} AS off
+        FROM probes p
+          JOIN e q ON q.vec_id = p.q_id
+          JOIN cents$IvfIters c ON c.cent_id = p.cell),
+      adc AS (
+        SELECT o.q_id, v.vec_id, ${R(s"o.off + $adcSum", 6)} AS score
+        FROM codes v
+        JOIN offs o ON v.cell = o.cell
+        JOIN p0lut l0 ON l0.q_id = o.q_id AND l0.cid = v.code0 ${pqLutJoin("o")}
+        WHERE v.vec_id <> o.q_id),
       shortlist AS (
         SELECT q_id, vec_id FROM (
           SELECT q_id, vec_id,
@@ -1304,6 +1483,7 @@ object LlmSimQueries {
     "q63_ann_ivf" -> ivfOracleSql,
     "q109_ann_pq" -> pqOracleSql,
     "q110_hard_negatives" -> hardNegOracleSql,
+    "q111_ann_ivfpq" -> ivfpqOracleSql,
     // same trained cells as q63 (shared CTE chain), SemDeDup pruning tail
     "q80_semantic_dedup" -> s"""
       WITH ${ivfAssignCtes()},

@@ -74,8 +74,8 @@ class PqSpec extends SparkSpec {
     } finally codes.unpersist()
   }
 
-  test("ADC shortlist + exact rerank: recall@5 >= 0.7 vs brute-force cosine") {
-    val got = SparkEntry.queries("q109_ann_pq")(spark, sf)
+  private def recallAt5(query: String): Double = {
+    val got = SparkEntry.queries(query)(spark, sf)
       .select(col("q_id"), col("neighbor_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val e = corpus.cache()
@@ -92,7 +92,18 @@ class PqSpec extends SparkSpec {
         .select(col("q_id"), col("vec_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     } finally e.unpersist()
-    val recall = truth.count(got.contains).toDouble / truth.size
-    assert(recall >= 0.7, s"recall@5 $recall below floor (|truth|=${truth.size})")
+    truth.count(got.contains).toDouble / truth.size
+  }
+
+  test("ADC shortlist + exact rerank: recall@5 >= 0.7 vs brute-force cosine") {
+    val recall = recallAt5("q109_ann_pq")
+    assert(recall >= 0.7, s"q109 recall@5 $recall below floor")
+  }
+
+  test("IVF-PQ compose (q111): cell pruning + residual codes keep recall@5 >= 0.7") {
+    // the residual trick must not LOSE recall vs raw-vector PQ at the
+    // same bit budget even with the scan cut to nprobe cells
+    val recall = recallAt5("q111_ann_ivfpq")
+    assert(recall >= 0.7, s"q111 recall@5 $recall below floor")
   }
 }
