@@ -82,6 +82,23 @@ class NativeExprFuzzSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("cms_estimate ≡ driver-side Cms.estimate on 5k seeded-random probes") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val keys = Seq.fill(4096)(rnd.nextLong() % 512) // force collisions
+    val sketch = keys.toDF("k").agg(expr("cms_sketch(k)")).head.getAs[Array[Byte]](0)
+    val (d, w, counts) = Cms.deserialize(sketch)
+    val probes = (keys.distinct ++ Seq.fill(2500)(rnd.nextLong()) ++
+      Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue)).distinct
+    val diff = probes.toDF("v")
+      .select(col("v"),
+        call_function("cms_estimate", lit(sketch), col("v")).as("est"))
+      .collect()
+      .count(r => r.getLong(1) != Cms.estimate(d, w, counts, r.getLong(0)))
+    assert(diff === 0)
+  }
+
   test("ngram_hashes ≡ HOF on 200 random token arrays (n=2,3)") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
