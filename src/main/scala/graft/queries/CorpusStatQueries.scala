@@ -113,7 +113,36 @@ object CorpusStatQueries {
       val out = screen.localCheckpoint()
       bi.unpersist()
       out.orderBy(col("fluency"), col("doc_id"))
+    }),
+    // ---- temperature-scaled mixture weights (the mT5/XLM-R sampling
+    //      formula, τ = 0.5): sampling weight w_d ∝ n_d^τ upsamples
+    //      low-resource domains relative to proportional sampling.
+    //      τ = 0.5 keeps the whole computation bit-portable: sqrt is
+    //      IEEE-exact, and the weight quantizes to BIGINT
+    //      (floor(√n·1e6)) so the normalizing sum is integer —
+    //      accumulation-order-free — and the budget allocation is
+    //      exact integer arithmetic ((B·w) DIV Σw). Complements q83
+    //      (static keep-rates) and q74 (hash acceptance): this is the
+    //      step that DECIDES the rates. Scale shape: per-source counts
+    //      are a two-phase agg to domain cardinality; the weight total
+    //      rides a 1-row broadcast; everything downstream is map-side
+    //      over a domain-sized frame. ----
+    "q112_temperature_mix" -> ((s, dir) => {
+      val counts = Tables.load(s, dir, "documents")
+        .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+        .withColumn("w_q", floor(sqrt(col("n_tokens").cast(DoubleType)) * lit(1e6)).cast(LongType))
+      val tot = counts.agg(sum(col("w_q")).as("w_tot"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"), col("w_q"),
+          expr(s"($MixBudget * w_q) DIV w_tot").as("alloc_tokens"),
+          dround(expr(s"CAST(($MixBudget * w_q) DIV w_tot AS DOUBLE)") /
+            col("n_tokens").cast(DoubleType), 6).as("epochs"))
+        .orderBy(col("source"))
     }))
+
+  /** q112's token budget (shared with the oracle). */
+  val MixBudget = 1000000L
 
   /** q107's pair generation, pre-materialization (returned second: the
     * cached gram frame, for the caller to release). The df-capped gram
@@ -240,5 +269,19 @@ object CorpusStatQueries {
       SELECT doc_id, lang, source, n_pairs, tsum // n_pairs AS fluency
       FROM sc
       ORDER BY fluency, doc_id
-      LIMIT 32""")
+      LIMIT 32""",
+    "q112_temperature_mix" -> s"""
+      WITH c AS (
+        SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      w AS (
+        SELECT source, n_tokens,
+          CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w_q
+        FROM c),
+      tot AS (SELECT CAST(sum(w_q) AS BIGINT) AS w_tot FROM w)
+      SELECT source, n_tokens, w_q,
+        ($MixBudget * w_q) // w_tot AS alloc_tokens,
+        ${R(s"CAST(($MixBudget * w_q) // w_tot AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)} AS epochs
+      FROM w CROSS JOIN tot
+      ORDER BY source""")
 }
