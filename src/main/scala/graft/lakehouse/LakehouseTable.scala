@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.json4s._
@@ -410,6 +411,102 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
         s"zorder column '$c' has type $other — z-order supports numeric, date/timestamp, " +
           "string, binary and boolean columns")
     }
+  }
+
+  // ---------------- bloom file-skipping index ----------------
+  //
+  // The Delta BLOOMFILTER INDEX analogue: one sidecar bloom per data
+  // file over xxhash64(col), so a point lookup prunes the file list
+  // BEFORE any scan — the complement of z-order's min/max range
+  // skipping (blooms skip on high-cardinality equality predicates
+  // where ranges overlap every file). Data files are immutable, so a
+  // sidecar never invalidates; files without one (pre-index appends,
+  // fresh compaction output) are simply always read — skipping is an
+  // optimization, never a correctness dependency (no false negatives:
+  // a skipped file provably lacks the key).
+
+  private val bloomDir = rootPath.resolve("_index").resolve("bloom")
+
+  private def bloomPath(c: String, relFile: String): Path =
+    bloomDir.resolve(nameKey(c)).resolve(relFile.replace('/', '%') + ".bloom")
+
+  /** Build sidecar blooms for every current-snapshot data file that
+    * lacks one, in ONE pass: per-file key streams fold into bloom
+    * buffers map-side (the shuffle carries sketches, not keys) and the
+    * driver persists O(files) sidecars. Returns the number built.
+    * `expectedPerFile` sizes each bloom (~0.7 KB per 1k keys at 3%).
+    */
+  def buildBloomIndex(c: String, expectedPerFile: Long = 100000L,
+      fpp: Double = 0.03): Int = {
+    val snap = currentSnapshot().getOrElse(
+      throw new IllegalStateException(s"table $root has no snapshots"))
+    val missing = snap.files.filterNot(f => Files.exists(bloomPath(c, f)))
+    if (missing.isEmpty) return 0
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.util.sketch.BloomFilter
+    val agg = new Aggregator[(String, Long), BloomFilter, Array[Byte]] {
+      override def zero: BloomFilter = BloomFilter.create(expectedPerFile, fpp)
+      override def reduce(b: BloomFilter, t: (String, Long)): BloomFilter = {
+        b.putLong(t._2); b
+      }
+      override def merge(a: BloomFilter, b: BloomFilter): BloomFilter =
+        a.mergeInPlace(b)
+      override def finish(b: BloomFilter): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        b.writeTo(bos); bos.toByteArray
+      }
+      override def bufferEncoder: Encoder[BloomFilter] =
+        Encoders.javaSerialization(classOf[BloomFilter])
+      override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    }
+    val dataRoot = dataDir.toUri.getPath
+    implicit val str: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    implicit val tup: org.apache.spark.sql.Encoder[(String, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    val perFile = readFiles(missing)
+      .select(input_file_name().as("f"), xxhash64(col(c)).as("h"))
+      .as[(String, Long)]
+      .groupByKey { case (f, _) =>
+        // absolute file URI → root-relative path (manifest key space)
+        val p = new java.net.URI(f).getPath
+        "data/" + p.substring(p.indexOf(dataRoot) + dataRoot.length).stripPrefix("/")
+      }
+      .agg(agg.toColumn)
+      .collect()
+    Files.createDirectories(bloomPath(c, "x").getParent)
+    perFile.foreach { case (rel, bytes) =>
+      Files.write(bloomPath(c, rel), bytes)
+    }
+    perFile.length
+  }
+
+  /** Point-lookup file pruning: (files to read, skipped count). Files
+    * without a sidecar are always read.
+    */
+  def pointLookupFiles(c: String, value: Any): (Seq[String], Int) = {
+    val snap = currentSnapshot().getOrElse(
+      throw new IllegalStateException(s"table $root has no snapshots"))
+    // hash the probe value through the SAME engine expression the
+    // index used (xxhash64 is type-sensitive — the caller passes a
+    // value of the column's type)
+    val h = spark.range(1).select(xxhash64(lit(value))).head.getLong(0)
+    val (indexed, unindexed) = snap.files.partition(f => Files.exists(bloomPath(c, f)))
+    val kept = indexed.filter { f =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(Files.readAllBytes(bloomPath(c, f))))
+      bf.mightContainLong(h)
+    }
+    (kept ++ unindexed, indexed.size - kept.size)
+  }
+
+  /** Exact point lookup through the bloom index: scans only files the
+    * sidecars cannot rule out, then applies the exact predicate (bloom
+    * false positives die here — the result never depends on the index).
+    */
+  def readPointLookup(c: String, value: Any): DataFrame = {
+    val (files, _) = pointLookupFiles(c, value)
+    if (files.isEmpty) read().filter(lit(false))
+    else readFiles(files).filter(col(c) === lit(value))
   }
 
   def compactZOrder(cols: Seq[String], targetFiles: Int,

@@ -402,6 +402,29 @@ class QueryCatalogSpec extends SparkSpec {
     }
   }
 
+  test("q112 invariants: allocation bounded by the budget; temperature flattens the mixture") {
+    val rows = SparkEntry.queries("q112_temperature_mix")(spark, sf).collect()
+    val budget = queries.CorpusStatQueries.MixBudget
+    // floor-division under-allocates, never over
+    assert(rows.map(_.getAs[Long]("alloc_tokens")).sum <= budget)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc_tokens") >= 0L)
+      assert(r.getAs[Long]("w_q") > 0L)
+    }
+    // τ = 0.5 must compress the spread: the max/min ALLOCATION ratio is
+    // strictly below the max/min TOKEN ratio (unless all sources are
+    // equal-sized) — the point of temperature sampling
+    val n = rows.map(_.getAs[Long]("n_tokens"))
+    val a = rows.map(_.getAs[Long]("alloc_tokens"))
+    if (n.max != n.min) {
+      assert(a.max.toDouble / a.min < n.max.toDouble / n.min,
+        "temperature sampling must upsample low-resource domains")
+    }
+    // weight ordering follows token ordering (monotone transform)
+    val byN = rows.sortBy(_.getAs[Long]("n_tokens")).map(_.getAs[Long]("w_q"))
+    assert(byN.sameElements(byN.sorted))
+  }
+
   test("query names are unique across sub-catalogs") {
     val parts = Seq(
       queries.RelationalQueries.queries, queries.WindowScalarQueries.queries,
