@@ -44,7 +44,8 @@ final case class MaintenanceCfg(
     compactIntervalMs: Long = 7200000,
     compactFileThreshold: Int = 10,
     compactMaxRows: Long = 500000,
-    zorderCols: Seq[String] = Nil)
+    zorderCols: Seq[String] = Nil,
+    bloomIndexCols: Seq[String] = Nil)
 
 final case class LakehouseSinkCfg(
     tablePath: String,

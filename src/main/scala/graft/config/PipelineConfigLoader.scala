@@ -257,7 +257,8 @@ object PipelineConfigLoader {
             compactIntervalMs = long(m, "compact_interval_ms", 7200000L),
             compactFileThreshold = int(m, "compact_file_threshold", 10),
             compactMaxRows = long(m, "compact_max_rows", 500000L),
-            zorderCols = strSeq(m, "zorder_cols"))))
+            zorderCols = strSeq(m, "zorder_cols"),
+            bloomIndexCols = strSeq(m, "bloom_index_cols"))))
       } else None)
 
     // the sub-config matching sink_type must be present (models.py:317-330)

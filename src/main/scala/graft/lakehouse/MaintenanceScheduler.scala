@@ -16,13 +16,17 @@ final class MaintenanceScheduler(
     compactIntervalMs: Long,
     compactFileThreshold: Int,
     compactMaxRows: Long,
-    zorderCols: Seq[String] = Nil) {
+    zorderCols: Seq[String] = Nil,
+    bloomIndexCols: Seq[String] = Nil) {
 
   @volatile private var expiredTotal = 0
   @volatile private var compactionsTotal = 0
+  @volatile private var bloomFilesTotal = 0
   private var timer: Option[java.util.Timer] = None
 
   def stats: (Int, Int) = (expiredTotal, compactionsTotal)
+
+  def bloomStats: Int = bloomFilesTotal
 
   /** One expiry pass (cutoff = now - retention). */
   def runExpiry(): Int = {
@@ -54,7 +58,22 @@ final class MaintenanceScheduler(
         } else None
       } else table.compact(compactFileThreshold, compactMaxRows)
     if (s.isDefined) compactionsTotal += 1
+    // bloom sidecars ride the compaction cadence: data files are
+    // immutable, so only files NEW since the last pass (appends, the
+    // compaction output just produced) get a sidecar — incremental by
+    // construction, and running AFTER compaction means the freshly
+    // rewritten files are indexed in the same pass
+    if (bloomIndexCols.nonEmpty) runBloomIndex()
     s
+  }
+
+  /** Build missing bloom sidecars for the configured columns; returns
+    * files indexed this pass.
+    */
+  def runBloomIndex(): Int = {
+    val n = bloomIndexCols.map(c => table.buildBloomIndex(c)).sum
+    bloomFilesTotal += n
+    n
   }
 
   def start(): Unit = {

@@ -70,7 +70,8 @@ object PipelineRunner {
           compactIntervalMs = lh.maintenance.compactIntervalMs,
           compactFileThreshold = lh.maintenance.compactFileThreshold,
           compactMaxRows = lh.maintenance.compactMaxRows,
-          zorderCols = lh.maintenance.zorderCols))
+          zorderCols = lh.maintenance.zorderCols,
+          bloomIndexCols = lh.maintenance.bloomIndexCols))
       (sink, maint)
     case "webhook" =>
       val w = s.webhook.get

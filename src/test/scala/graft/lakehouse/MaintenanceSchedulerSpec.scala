@@ -95,6 +95,28 @@ class MaintenanceSchedulerSpec extends SparkSpec {
     }
   }
 
+  test("configured bloom_index_cols: sidecars build on the compaction cadence, compaction output included") {
+    val table = new LakehouseTable(spark, tmpDir("maint-bloom"))
+    (1 to 4).foreach(i => table.append(
+      Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1)))
+    val sched = new MaintenanceScheduler(table,
+      expireOlderThanMs = 3600000, expireIntervalMs = 3600000,
+      compactIntervalMs = 3600000, compactFileThreshold = 2,
+      compactMaxRows = 1000000, bloomIndexCols = Seq("id"))
+    // pass 1: compaction rewrites the 4 files, then the bloom pass
+    // indexes the fresh compaction output in the SAME pass
+    assert(sched.runCompaction().isDefined)
+    assert(sched.bloomStats >= 1)
+    val files = table.currentSnapshot().get.files
+    val (kept, skipped) = (table.pointLookupFiles("id", 2L)._1, table.pointLookupFiles("id", 2L)._2)
+    assert(kept.nonEmpty && kept.size + skipped === files.size)
+    assert(table.readPointLookup("id", 2L).count() === 1L)
+    // pass 2: nothing new — incremental build is a no-op
+    val before = sched.bloomStats
+    sched.runBloomIndex()
+    assert(sched.bloomStats === before, "re-index of immutable files must be a no-op")
+  }
+
   test("timer-driven maintenance runs passes in the background") {
     val table = new LakehouseTable(spark, tmpDir("maint-timer"))
     (1 to 3).foreach(i => table.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
