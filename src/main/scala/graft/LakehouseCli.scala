@@ -103,6 +103,25 @@ object LakehouseCli {
           case Some(s) => out.println(s"zorder: new snapshot ${s.snapshotId} (${s.files.size} files)"); 0
           case None => out.println("zorder: empty table, nothing to do"); 0
         }
+      case "bloomindex" =>
+        // engine extension: build the bloom file-skipping sidecars
+        // (BloomIndexSpec's measured point-lookup pruning) on demand
+        if (args.length < 3) { out.println(usage); return 2 }
+        val n = table.buildBloomIndex(args(2))
+        out.println(s"bloomindex: ${n} file(s) indexed on '${args(2)}'")
+        0
+      case "lookup" =>
+        // point lookup THROUGH the bloom index: prints the pruning
+        // stats beside the rows so the skipping is observable
+        if (args.length < 4) { out.println(usage); return 2 }
+        val (files, skipped) = table.pointLookupFiles(args(2), args(3))
+        val df = table.readPointLookup(args(2), args(3))
+        out.println(s"-- scanned ${files.size} file(s), skipped $skipped")
+        val cols = df.columns
+        out.println(cols.mkString("\t"))
+        df.collect().foreach(r =>
+          out.println(cols.indices.map(i => String.valueOf(r.get(i))).mkString("\t")))
+        0
       case other =>
         out.println(s"unknown command: $other\n$usage")
         2
@@ -115,5 +134,7 @@ object LakehouseCli {
       |       graft.Cli lakehouse rollback <tableDir> <snapshotId>
       |       graft.Cli lakehouse changes <tableDir> <fromSnapshot> <toSnapshot>
       |       graft.Cli lakehouse changes <tableDir> --follow [afterSnapshot]
-      |       graft.Cli lakehouse zorder <tableDir> <col1,col2,...> <targetFiles>""".stripMargin
+      |       graft.Cli lakehouse zorder <tableDir> <col1,col2,...> <targetFiles>
+      |       graft.Cli lakehouse bloomindex <tableDir> <col>
+      |       graft.Cli lakehouse lookup <tableDir> <col> <value>""".stripMargin
 }

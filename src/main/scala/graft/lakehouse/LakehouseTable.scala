@@ -480,16 +480,29 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     perFile.length
   }
 
+  /** The probe literal CAST to the column's declared type — xxhash64
+    * is type-sensitive, so an uncoerced probe (e.g. the CLI's string
+    * "4500" against a BIGINT column) would hash differently than the
+    * indexed values and break the no-false-negative guarantee.
+    */
+  private def probeLit(c: String, value: Any): org.apache.spark.sql.Column = {
+    val snap = currentSnapshot().getOrElse(
+      throw new IllegalStateException(s"table $root has no snapshots"))
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val field = schema.fields.find(f => nameKey(f.name) == nameKey(c)).getOrElse(
+      throw new IllegalArgumentException(
+        s"lookup column '$c' not in table schema ${schema.fieldNames.mkString("[", ", ", "]")}"))
+    lit(value).cast(field.dataType)
+  }
+
   /** Point-lookup file pruning: (files to read, skipped count). Files
     * without a sidecar are always read.
     */
   def pointLookupFiles(c: String, value: Any): (Seq[String], Int) = {
     val snap = currentSnapshot().getOrElse(
       throw new IllegalStateException(s"table $root has no snapshots"))
-    // hash the probe value through the SAME engine expression the
-    // index used (xxhash64 is type-sensitive — the caller passes a
-    // value of the column's type)
-    val h = spark.range(1).select(xxhash64(lit(value))).head.getLong(0)
+    // hash the probe through the SAME engine expression the index used
+    val h = spark.range(1).select(xxhash64(probeLit(c, value))).head.getLong(0)
     val (indexed, unindexed) = snap.files.partition(f => Files.exists(bloomPath(c, f)))
     val kept = indexed.filter { f =>
       val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
@@ -506,7 +519,7 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
   def readPointLookup(c: String, value: Any): DataFrame = {
     val (files, _) = pointLookupFiles(c, value)
     if (files.isEmpty) read().filter(lit(false))
-    else readFiles(files).filter(col(c) === lit(value))
+    else readFiles(files).filter(col(c) === probeLit(c, value))
   }
 
   def compactZOrder(cols: Seq[String], targetFiles: Int,

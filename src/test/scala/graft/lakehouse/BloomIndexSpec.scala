@@ -58,6 +58,17 @@ class BloomIndexSpec extends SparkSpec {
     assert(files.exists(_.contains("s5")), "unindexed file must always be read")
   }
 
+  test("string probe against a BIGINT column coerces before hashing (the CLI shape)") {
+    val t = freshTable(nFiles = 6, rowsPerFile = 400)
+    t.buildBloomIndex("id", expectedPerFile = 800)
+    // an uncoerced probe would hash the STRING "1234" and skip the
+    // file that holds id = 1234 — a silent wrong-empty-answer
+    val got = t.readPointLookup("id", "1234").collect()
+    assert(got.length === 1 && got.head.getLong(0) === 1234L)
+    val (_, skipped) = t.pointLookupFiles("id", "1234")
+    assert(skipped >= 3, "coerced probe must still prune")
+  }
+
   test("string-keyed index prunes on the same xxhash64 the probe uses") {
     val t = freshTable(nFiles = 6, rowsPerFile = 400)
     t.buildBloomIndex("payload", expectedPerFile = 800)
