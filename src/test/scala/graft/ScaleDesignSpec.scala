@@ -672,6 +672,15 @@ class ScaleDesignSpec extends SparkSpec {
     }
   }
 
+  test("q112: per-source counts aggregate two-phase; the weight total rides a 1-row broadcast") {
+    val p = plan("q112_temperature_mix")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    // the normalizing total joins as a broadcast nested-loop over ONE
+    // row — never a shuffle of the domain frame
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q106: CMS probe filters map-side, before the single confirm exchange") {
     val p = plan("q106_heavy_hitters")
     // the sketch probe must appear (a Filter on cms_estimate upstream
