@@ -62,10 +62,17 @@ object Cms {
   }
 
   def deserialize(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
+    // cms_estimate is SQL-registered, so arbitrary binary can reach
+    // here: validate the full header before allocating, or a hostile
+    // depth surfaces as AIOOBE/NegativeArraySize deep in an executor
+    require(bytes.length >= 8, "CMS sketch truncated (needs 8-byte header)")
     val bb = ByteBuffer.wrap(bytes)
     val depth = bb.getInt
     val width = bb.getInt
+    require(depth >= 1 && depth <= Seeds.length, s"depth must be in 1..${Seeds.length}")
     require(width > 0 && (width & (width - 1)) == 0, "width must be a power of 2")
+    require(bytes.length == 8 + depth.toLong * width * 8,
+      s"CMS sketch length ${bytes.length} != ${8 + depth.toLong * width * 8} for ${depth}x$width")
     val counts = new Array[Long](depth * width)
     var i = 0
     while (i < counts.length) { counts(i) = bb.getLong; i += 1 }

@@ -270,7 +270,28 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
         .filterNot(p => live.contains(rootPath.relativize(p).toString))
         .foreach(Files.deleteIfExists(_))
     }
+    pruneBloomSidecars()
     expired.size
+  }
+
+  /** Delete bloom sidecars whose data file no retained snapshot
+    * references: compaction and expiry drop data files but their
+    * `.bloom` sidecars would otherwise stay on disk forever, so
+    * `_index/bloom` grows without bound under the continuous
+    * maintenance lifecycle. Returns sidecars removed.
+    */
+  def pruneBloomSidecars(): Int = writeLock.synchronized {
+    val bd = rootPath.resolve("_index").resolve("bloom")
+    if (!Files.isDirectory(bd)) return 0
+    val live = listSnapshots().flatMap(_.files).toSet
+    val dead = Files.walk(bd).iterator().asScala.toSeq
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".bloom"))
+      .filterNot { p =>
+        val rel = p.getFileName.toString.stripSuffix(".bloom").replace('%', '/')
+        live.contains(rel)
+      }
+    dead.foreach(Files.deleteIfExists(_))
+    dead.size
   }
 
   /** Coalesce the current file set when it exceeds `fileThreshold`,
@@ -460,6 +481,13 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
       override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     }
     val dataRoot = dataDir.toUri.getPath
+    // Spark may report the CANONICAL path (symlinked temp dirs), not
+    // the literal one the table was opened with — accept either, and
+    // fail loudly on anything else: a silently-garbage key would write
+    // sidecars under names that never match snapshot files, so the
+    // index would exist but never prune.
+    val dataRootReal =
+      try dataDir.toRealPath().toString catch { case _: java.io.IOException => dataRoot }
     implicit val str: org.apache.spark.sql.Encoder[String] = Encoders.STRING
     implicit val tup: org.apache.spark.sql.Encoder[(String, Long)] =
       Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
@@ -469,7 +497,10 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
       .groupByKey { case (f, _) =>
         // absolute file URI → root-relative path (manifest key space)
         val p = new java.net.URI(f).getPath
-        "data/" + p.substring(p.indexOf(dataRoot) + dataRoot.length).stripPrefix("/")
+        val i0 = p.indexOf(dataRoot)
+        val (i, root) = if (i0 >= 0) (i0, dataRoot) else (p.indexOf(dataRootReal), dataRootReal)
+        require(i >= 0, s"data file $p not under table data root $dataRoot")
+        "data/" + p.substring(i + root.length).stripPrefix("/")
       }
       .agg(agg.toColumn)
       .collect()

@@ -71,8 +71,14 @@ final class MaintenanceScheduler(
     * files indexed this pass.
     */
   def runBloomIndex(): Int = {
-    val n = bloomIndexCols.map(c => table.buildBloomIndex(c)).sum
+    // runs right after compaction, whose output files hold up to
+    // compactMaxRows rows — a bloom sized at the 100k default would sit
+    // at ~5x capacity (80%+ false-positive rate) on exactly the files
+    // this pass exists to index, silently disabling pruning
+    val expected = if (compactMaxRows > 0) compactMaxRows else 100000L
+    val n = bloomIndexCols.map(c => table.buildBloomIndex(c, expectedPerFile = expected)).sum
     bloomFilesTotal += n
+    table.pruneBloomSidecars()
     n
   }
 

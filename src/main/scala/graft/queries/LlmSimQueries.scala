@@ -342,9 +342,9 @@ object LlmSimQueries {
   }
 
   // Product quantization (Jégou, Douze, Schmid, "Product quantization
-  // for nearest neighbor search", TPAMI 2011): split d=64 into M=4
-  // 16-dim subspaces, k-means each subspace to K=8 codewords, encode
-  // every vector as 4 one-byte codes (64 floats → 4 bytes, the 64×
+  // for nearest neighbor search", TPAMI 2011): split d=64 into M=8
+  // 8-dim subspaces, k-means each subspace to K=16 codewords, encode
+  // every vector as 8 one-byte codes (64 floats → 8 bytes, the 32×
   // compression that makes billion-vector serving memory-feasible),
   // and score queries with asymmetric distance computation (ADC): a
   // per-query M×K lookup table of exact query-to-codeword inner

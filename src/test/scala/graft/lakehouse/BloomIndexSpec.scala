@@ -69,6 +69,28 @@ class BloomIndexSpec extends SparkSpec {
     assert(skipped >= 3, "coerced probe must still prune")
   }
 
+  test("sidecar GC: expiry prunes blooms of dropped files; live sidecars survive") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val t = freshTable(nFiles = 6, rowsPerFile = 400)
+    t.buildBloomIndex("id", expectedPerFile = 800)
+    val bloomRoot = Paths.get(t.root).resolve("_index").resolve("bloom")
+    def sidecars(): Int = Files.walk(bloomRoot).iterator().asScala
+      .count(p => p.toString.endsWith(".bloom"))
+    assert(sidecars() === 6)
+    // compaction rewrites the file set; the 6 old files survive only in
+    // retained snapshots — so their sidecars must survive expiry-free GC
+    t.compact(fileThreshold = 1, maxRows = Long.MaxValue)
+    assert(t.pruneBloomSidecars() === 0, "sidecars of retained-snapshot files must not be GC'd")
+    // expiry drops the old snapshots AND data files → sidecars now dead
+    assert(t.expireSnapshotsOlderThan(System.currentTimeMillis() + 1000) > 0)
+    assert(sidecars() === 0, "expiry must prune sidecars of dropped files")
+    // index the compacted file and confirm lookups still work end-to-end
+    assert(t.buildBloomIndex("id", expectedPerFile = 3000) === 1)
+    val got = t.readPointLookup("id", 1234L).collect()
+    assert(got.length === 1 && got.head.getLong(0) === 1234L)
+  }
+
   test("string-keyed index prunes on the same xxhash64 the probe uses") {
     val t = freshTable(nFiles = 6, rowsPerFile = 400)
     t.buildBloomIndex("payload", expectedPerFile = 800)
