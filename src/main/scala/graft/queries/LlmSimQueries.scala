@@ -441,7 +441,8 @@ object LlmSimQueries {
     * (score, −cid) structs — the ivfAssignV trick), so NO shuffle
     * touches the corpus and codes match training assignment exactly.
     */
-  def pqEncode(e: DataFrame, books: Array[IndexedSeq[(Int, Array[Float])]]): DataFrame = {
+  def pqEncode(e: DataFrame, books: Array[IndexedSeq[(Int, Array[Float])]],
+      keep: Seq[String] = Nil): DataFrame = {
     var out = e
     for (s <- 0 until PqM) {
       val scored = array(books(s).map { case (cid, c) =>
@@ -454,7 +455,93 @@ object LlmSimQueries {
       }: _*)
       out = out.withColumn(s"code$s", -array_max(scored).getField("negid"))
     }
-    out.select(col("vec_id") +: (0 until PqM).map(s => col(s"code$s")): _*)
+    out.select((col("vec_id") +: keep.map(col)) ++
+      (0 until PqM).map(s => col(s"code$s")): _*)
+  }
+
+  /** IVFPQ serving — the q111 tail as a standalone stage, so the SAME
+    * bit-deterministic scoring runs against a just-built index (q111)
+    * or one reloaded from the lakehouse without retraining
+    * ([[graft.lakehouse.AnnIndex]], q114). `codes` must carry
+    * (vec_id, cell, code0..code{M-1}); `e` is the raw corpus with
+    * `nrm`, touched ONLY to hydrate the per-query shortlist for the
+    * exact re-rank (broadcast metadata joins — the corpus is never
+    * scanned for scoring; the probed-cell code rows are).
+    */
+  def ivfpqServe(s: SparkSession, e: DataFrame,
+      cv: Seq[(Int, Array[Float], Double)],
+      books: Array[IndexedSeq[(Int, Array[Float])]],
+      codes: DataFrame): DataFrame = {
+    val qRows = e.filter(col("vec_id") < PqQueryCount)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .collect().sortBy(_.getLong(0))
+    // probes carry the coarse term dot(q, c_cell) as `offset`; LUTs
+    // are per-query residual-codeword inner products — both
+    // O(queries·…) index metadata, broadcast
+    val probeRows: Seq[(Long, Int, Double)] = qRows.toIndexedSeq.flatMap { r =>
+      val qemb = r.getSeq[Float](1)
+      val qnrm = r.getDouble(2)
+      cv.map { case (cid, cemb, cn) =>
+        var acc = 0.0; var i = 0
+        while (i < qemb.length) { acc += qemb(i).toDouble * cemb(i).toDouble; i += 1 }
+        // rank cells by cosine (q63's probe convention); the raw dot
+        // travels as the coarse ADC term
+        (acc / (qnrm * cn), cid, acc)
+      }.sortBy { case (cos, cid, _) => (-cos, cid) }
+        .take(IvfNprobe).map { case (_, cid, off) => (r.getLong(0), cid, off) }
+    }
+    val probes = {
+      import s.implicits._
+      probeRows.toDF("q_id", "cell", "offset")
+    }
+    val qdf = {
+      val lutRows = qRows.toIndexedSeq.map { r =>
+        val emb = r.getSeq[Float](1)
+        val luts = IndexedSeq.tabulate(PqM) { sub =>
+          val arr = new Array[Double](PqK)
+          books(sub).foreach { case (cid, c) =>
+            var acc = 0.0; var i = 0
+            while (i < PqDsub) { acc += emb(sub * PqDsub + i).toDouble * c(i).toDouble; i += 1 }
+            arr(cid) = acc
+          }
+          arr.toSeq
+        }
+        org.apache.spark.sql.Row.fromSeq(r.getLong(0) +: luts)
+      }
+      val schema = StructType(StructField("q_id", LongType, nullable = false) +:
+        (0 until PqM).map(sub =>
+          StructField(s"lut$sub", ArrayType(DoubleType, containsNull = false), nullable = false)))
+      s.createDataFrame(java.util.Arrays.asList(lutRows: _*), schema)
+    }
+    // at scale the probed cells are a LITERAL partition predicate —
+    // codes partitioned by cell prune unprobed files at the scan
+    val probedCells = probeRows.map(_._2).distinct.sorted
+    val codesProbed = codes.filter(col("cell").isin(probedCells.map(Int.box): _*))
+    val adc = (0 until PqM).map(sub =>
+      element_at(col(s"lut$sub"), col(s"code$sub") + 1))
+      .foldLeft(col("offset"))(_ + _)
+    import org.apache.spark.sql.expressions.Window
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = codesProbed.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qdf), "q_id")
+      .withColumn("adc", dround(adc, 6))
+      .withColumn("crk", row_number().over(wAdc))
+      .filter(col("crk") <= PqShortlist)
+      .select(col("q_id"), col("vec_id"))
+    val qe = {
+      import s.implicits._
+      qRows.toIndexedSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+        .toDF("q_id", "q_emb", "q_nrm")
+    }
+    val wX = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(qe), "q_id")
+      .withColumn("cosine", dround(dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(wX))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -951,83 +1038,42 @@ object LlmSimQueries {
         .select(col("vec_id"), col("cell"), col("embedding"))
       val books = pqCodebooks(residuals.cache())
       // the IVFPQ index: (cell, M residual codes) per vector,
-      // checkpointed (same rationale as q109's code frame)
-      val codes = pqEncode(residuals, books)
-        .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+      // checkpointed (same rationale as q109's code frame); `keep`
+      // threads the cell through encoding — no join-back shuffle
+      val codes = pqEncode(residuals, books, keep = Seq("cell"))
         .localCheckpoint()
       residuals.unpersist()
       val codesRdds = codes.queryExecution.logical.collect {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }
-      val qRows = e.filter(col("vec_id") < PqQueryCount)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
-        .collect().sortBy(_.getLong(0))
-      // probes carry the coarse term dot(q, c_cell) as `offset`; LUTs
-      // are per-query residual-codeword inner products — both
-      // O(queries·…) index metadata, broadcast
-      val probeRows: Seq[(Long, Int, Double)] = qRows.toIndexedSeq.flatMap { r =>
-        val qemb = r.getSeq[Float](1)
-        val qnrm = r.getDouble(2)
-        cv.map { case (cid, cemb, cn) =>
-          var acc = 0.0; var i = 0
-          while (i < qemb.length) { acc += qemb(i).toDouble * cemb(i).toDouble; i += 1 }
-          // rank cells by cosine (q63's probe convention); the raw dot
-          // travels as the coarse ADC term
-          (acc / (qnrm * cn), cid, acc)
-        }.sortBy { case (cos, cid, _) => (-cos, cid) }
-          .take(IvfNprobe).map { case (_, cid, off) => (r.getLong(0), cid, off) }
-      }
-      val probes = {
-        import s.implicits._
-        probeRows.toDF("q_id", "cell", "offset")
-      }
-      val qdf = {
-        val lutRows = qRows.toIndexedSeq.map { r =>
-          val emb = r.getSeq[Float](1)
-          val luts = IndexedSeq.tabulate(PqM) { sub =>
-            val arr = new Array[Double](PqK)
-            books(sub).foreach { case (cid, c) =>
-              var acc = 0.0; var i = 0
-              while (i < PqDsub) { acc += emb(sub * PqDsub + i).toDouble * c(i).toDouble; i += 1 }
-              arr(cid) = acc
-            }
-            arr.toSeq
-          }
-          org.apache.spark.sql.Row.fromSeq(r.getLong(0) +: luts)
-        }
-        val schema = StructType(StructField("q_id", LongType, nullable = false) +:
-          (0 until PqM).map(sub =>
-            StructField(s"lut$sub", ArrayType(DoubleType, containsNull = false), nullable = false)))
-        s.createDataFrame(java.util.Arrays.asList(lutRows: _*), schema)
-      }
-      val adc = (0 until PqM).map(sub =>
-        element_at(col(s"lut$sub"), col(s"code$sub") + 1))
-        .foldLeft(col("offset"))(_ + _)
-      import org.apache.spark.sql.expressions.Window
-      val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
-      val shortlist = codes.join(broadcast(probes), Seq("cell"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .join(broadcast(qdf), "q_id")
-        .withColumn("adc", dround(adc, 6))
-        .withColumn("crk", row_number().over(wAdc))
-        .filter(col("crk") <= PqShortlist)
-        .select(col("q_id"), col("vec_id"))
-      val qe = {
-        import s.implicits._
-        qRows.toIndexedSeq
-          .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
-          .toDF("q_id", "q_emb", "q_nrm")
-      }
-      val wX = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-      val out = e.join(broadcast(shortlist), "vec_id")
-        .join(broadcast(qe), "q_id")
-        .withColumn("cosine", dround(dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")), 6))
-        .withColumn("rk", row_number().over(wX))
-        .filter(col("rk") <= 5)
-        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cosine"))
-        .localCheckpoint()
+      val out = ivfpqServe(s, e, cv, books, codes).localCheckpoint()
       e.unpersist()
       codesRdds.foreach(_.unpersist(false))
+      out.orderBy(col("q_id"), col("rk"))
+    }),
+    // ---- persisted-index serving (the production restart story):
+    //      build the q111 IVFPQ index, PERSIST it as two lakehouse
+    //      tables (model = centroids + residual codebooks, codes =
+    //      the cell-partitioned compressed corpus), then reload in a
+    //      FRESH session and serve — zero training jobs on the reload
+    //      path (AnnIndexSpec pins that with a job-group listener).
+    //      Same oracle as q111: persistence must be bit-lossless. ----
+    "q114_ann_index_reuse" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_annindex_" + Integer.toHexString(dir.hashCode)).toString
+      graft.lakehouse.AnnIndex.build(s, Tables.load(s, dir, "embeddings"), root)
+      // a fresh session state: no cached frames, no temp views — the
+      // reload path must stand on the persisted tables alone
+      val s2 = s.newSession()
+      graft.functions.GraftFunctions.register(s2)
+      val idx = graft.lakehouse.AnnIndex.load(s2, root)
+      val e2 = Tables.load(s2, dir, "embeddings")
+        .withColumn("nrm", sqrt(sqnorm("embedding"))).cache()
+      val out = ivfpqServe(s2, e2, idx.centroids, idx.books, idx.codes)
+        .localCheckpoint()
+      e2.unpersist()
       out.orderBy(col("q_id"), col("rk"))
     }),
     // ---- embedding near-dup, production path: sign-LSH candidates +
@@ -1484,6 +1530,9 @@ object LlmSimQueries {
     "q109_ann_pq" -> pqOracleSql,
     "q110_hard_negatives" -> hardNegOracleSql,
     "q111_ann_ivfpq" -> ivfpqOracleSql,
+    // build → persist → fresh-session reload → serve must be lossless:
+    // the reloaded index serves the exact q111 answer
+    "q114_ann_index_reuse" -> ivfpqOracleSql,
     // same trained cells as q63 (shared CTE chain), SemDeDup pruning tail
     "q80_semantic_dedup" -> s"""
       WITH ${ivfAssignCtes()},

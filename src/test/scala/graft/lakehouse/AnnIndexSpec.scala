@@ -1,0 +1,120 @@
+package graft.lakehouse
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.queries.LlmSimQueries
+
+/** Persisted IVF-PQ index contracts: the reload path runs ZERO
+  * training jobs (pinned via the train job group + a listener), a
+  * reloaded index serves bit-identical answers, incremental append
+  * encodes against frozen codebooks without retraining, and the codes
+  * table is cell-partitioned so probes prune at the scan.
+  */
+class AnnIndexSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private final class TrainJobCounter extends SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    override def onJobStart(j: SparkListenerJobStart): Unit =
+      if (j.properties != null &&
+          AnnIndex.TrainJobGroup == j.properties.getProperty("spark.jobGroup.id"))
+        jobs.incrementAndGet()
+  }
+
+  /** Run `body`, return (result, training-job count observed). The
+    * listener bus is async — settle by polling until the count is
+    * stable across a beat.
+    */
+  private def countTrainJobs[T](body: => T): (T, Int) = {
+    val l = new TrainJobCounter
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r = body
+      var prev = -1
+      var cur = l.jobs.get
+      var spins = 0
+      while (cur != prev && spins < 50) {
+        Thread.sleep(100); prev = cur; cur = l.jobs.get; spins += 1
+      }
+      (r, cur)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  private def emb = Tables.load(spark, sf, "embeddings")
+
+  test("build trains; load+serve runs zero training jobs and matches the build-session answer") {
+    val root = tmpDir("annidx")
+    val (built, buildTrainJobs) = countTrainJobs(AnnIndex.build(spark, emb, root))
+    assert(buildTrainJobs > 0, "build must run its Lloyd passes under the train job group")
+    val want = AnnIndex.serve(spark, built, emb).collect()
+    assert(want.nonEmpty)
+
+    // fresh session state: the reload stands on the persisted tables
+    val s2 = spark.newSession()
+    val ((idx, got), reloadTrainJobs) = countTrainJobs {
+      val idx = AnnIndex.load(s2, root)
+      (idx, AnnIndex.serve(s2, idx, Tables.load(s2, sf, "embeddings")).collect())
+    }
+    assert(reloadTrainJobs === 0, "reload path must not retrain")
+    assert(got.toSeq === want.toSeq, "persisted index must serve bit-identical results")
+    // handle metadata survived the round trip exactly
+    assert(idx.centroids.map(_._1) === built.centroids.map(_._1))
+    assert(idx.books.length === LlmSimQueries.PqM)
+    idx.books.zip(built.books).foreach { case (a, b) =>
+      assert(a.map(_._1) === b.map(_._1))
+      a.zip(b).foreach { case ((_, ca), (_, cb)) => assert(ca.toSeq === cb.toSeq) }
+    }
+  }
+
+  test("append encodes new vectors against frozen codebooks — no training, codes identical to a direct encode") {
+    val root = tmpDir("annidx")
+    val base = emb.filter(col("vec_id") < 96)
+    val extra = emb.filter(col("vec_id") >= 96)
+    val built = AnnIndex.build(spark, base, root)
+    val before = built.codes.count()
+
+    val (_, appendTrainJobs) = countTrainJobs(AnnIndex.append(spark, extra, root))
+    assert(appendTrainJobs === 0, "append must never retrain")
+
+    val idx = AnnIndex.load(spark, root)
+    assert(idx.codes.count() === emb.count())
+    assert(idx.codes.count() > before)
+    // appended codes == map-side encode of the extras with the same
+    // frozen books (the incremental path changes WHEN, never WHAT)
+    val e2 = extra.withColumn("nrm", sqrt(expr("dotp(embedding, embedding)")))
+    val assigned = LlmSimQueries.ivfAssignV(e2, built.centroids)
+    val centDf = {
+      import spark.implicits._
+      built.centroids.map { case (cid, c, _) => (cid, c.toSeq) }.toDF("cell", "c_emb")
+    }
+    val want = assigned.join(broadcast(centDf), "cell")
+      .withColumn("embedding", expr(
+        "zip_with(embedding, c_emb, (x, c) -> CAST(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) AS FLOAT))"))
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val wantCodes = LlmSimQueries.pqEncode(want, built.books, keep = Seq("cell"))
+      .collect().map(r => r.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val gotCodes = idx.codes.filter(col("vec_id") >= 96)
+      .select(col("vec_id") +: col("cell") +:
+        (0 until LlmSimQueries.PqM).map(s => col(s"code$s")): _*)
+      .collect().map(r => r.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(gotCodes.toSeq === wantCodes.toSeq)
+  }
+
+  test("codes table is cell-partitioned: a probed scan reads only probed-cell files") {
+    val root = tmpDir("annidx")
+    AnnIndex.build(spark, emb, root)
+    val idx = AnnIndex.load(spark, root)
+    val cells = idx.codes.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    assert(cells.length > 1, "fixture must produce multiple cells")
+    val probe = cells.take(2)
+    val files = idx.codes.filter(col("cell").isin(probe.map(Int.box): _*))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    // every file read belongs to a probed cell's hive directory
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(probe.exists(c => f.contains(s"cell=$c")),
+        s"scan read unprobed file $f")
+    }
+  }
+}
