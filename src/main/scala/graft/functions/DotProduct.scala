@@ -116,7 +116,19 @@ object GraftFunctions {
       CmsEstimate(children.head, children(1))
     }
 
+  /** CMS sizing knobs, honored by [[register]] (and so by the
+    * `GraftExtensions` deployment path, which cannot take parameters):
+    * the 4×2048 default is fixture-sized — at production vocabulary the
+    * prefilter's selectivity collapses once heavy mass saturates the
+    * grid, so width should scale to ~(heavy-candidate count)/fpp.
+    * CmsSpec measures the selectivity-vs-width curve on a Zipf stream.
+    */
+  val CmsWidthConf = "spark.graft.cms.width"
+  val CmsDepthConf = "spark.graft.cms.depth"
+
   def register(spark: SparkSession): Unit = {
+    val cmsWidth = spark.conf.get(CmsWidthConf, Cms.DefaultWidth.toString).toInt
+    val cmsDepth = spark.conf.get(CmsDepthConf, Cms.DefaultDepth.toString).toInt
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dotp"),
       new ExpressionInfo(classOf[DotProduct].getName, "dotp"),
@@ -153,7 +165,7 @@ object GraftFunctions {
         graft.queries.LlmSimQueries.MinhashP),
         org.apache.spark.sql.Encoders.scalaLong))
     spark.udf.register("cms_sketch",
-      udaf(new CmsAgg(), org.apache.spark.sql.Encoders.scalaLong))
+      udaf(new CmsAgg(cmsWidth, cmsDepth), org.apache.spark.sql.Encoders.scalaLong))
   }
 }
 
