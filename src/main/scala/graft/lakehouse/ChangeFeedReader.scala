@@ -24,32 +24,54 @@ import org.apache.spark.sql.functions._
   *    (nothing to emit, cursor unmoved), so an idle poller does one
   *    manifest listing and no Spark job.
   *
-  * The cursor only advances on emit, and a consumer that saves
+  * Delivery is TWO-PHASE (the Structured Streaming `Source` contract):
+  * `poll(autoCommit = false)` emits a batch but leaves the cursor at
+  * its pre-batch position until `commit(id)` — so an in-process
+  * consumer that fails mid-batch just polls again and gets the SAME
+  * range (no reader reconstruction needed). The default `poll()`
+  * commits eagerly — the at-least-once-on-restart convenience form the
+  * CLI's `changes --follow` loop uses. A consumer that saves
   * `cursorAfter` alongside its output gets replayable exactly-once
   * delivery on restart (same ledger shape as the CDC pipeline's
   * commit log). Single-threaded like every Spark streaming reader.
   */
 final class ChangeFeedReader(table: LakehouseTable, startAfter: Option[Long] = None) {
 
-  /** Snapshot id the consumer has fully seen; None = nothing yet. */
-  @volatile private var lastSeen: Option[Long] = startAfter
+  /** Snapshot id the consumer has durably CONSUMED; None = nothing yet. */
+  @volatile private var committed: Option[Long] = startAfter
+  /** Head emitted by an uncommitted poll, awaiting [[commit]]. */
+  @volatile private var pending: Option[Long] = None
 
-  def cursor: Option[Long] = lastSeen
+  def cursor: Option[Long] = committed
 
   /** One micro-batch of changes (`_change` ∈ insert|delete) plus the
-    * cursor position it advances to; None when already caught up.
+    * cursor position it covers up to; None when already caught up.
+    * With `autoCommit = false` the same range re-emits on every poll
+    * until `commit` — phase one of the two-phase contract.
     */
-  def poll(): Option[(DataFrame, Long)] = {
+  def poll(autoCommit: Boolean = true): Option[(DataFrame, Long)] = {
     val head = table.currentSnapshot().map(_.snapshotId).getOrElse(return None)
-    lastSeen match {
+    val out = committed match {
       case Some(seen) if seen >= head => None
       case Some(seen) =>
-        lastSeen = Some(head)
         Some((table.changesBetween(seen, head), head))
       case None =>
-        lastSeen = Some(head)
         Some((table.scanAtSnapshot(head).withColumn("_change", lit("insert")), head))
     }
+    out.foreach { case (_, id) =>
+      if (autoCommit) committed = Some(id) else pending = Some(id)
+    }
+    out
+  }
+
+  /** Phase two: mark everything up to `id` durably consumed. `id` must
+    * be the batch edge the matching `poll` returned — committing an
+    * unseen or stale edge is a consumer bug and fails loudly.
+    */
+  def commit(id: Long): Unit = {
+    require(pending.contains(id) || committed.contains(id),
+      s"commit($id) does not match a polled batch (pending=$pending, committed=$committed)")
+    if (pending.contains(id)) { committed = Some(id); pending = None }
   }
 
   /** Drain everything currently unseen into `sink`, one micro-batch per

@@ -1,0 +1,123 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+
+/** Structured Streaming V1 `Source` over a lakehouse table's change
+  * feed — `spark.readStream.format("graft-changefeed").option("path",
+  * root).load()` yields the Delta CDF-style stream (`_change` ∈
+  * insert|delete) with the engine's own checkpointed exactly-once
+  * offset tracking (reference scope: the iceberg sink's downstream
+  * subscribers; `ChangeFeedReader` is the in-process poll form of the
+  * same contract).
+  *
+  * Offset = snapshot id. The engine drives the two-phase cycle the
+  * reader exposes manually: `getOffset` lists the manifest head (no
+  * Spark job), `getBatch(start, end)` is a pure function of the
+  * snapshot range — `changesBetween` for a committed start, the
+  * initial snapshot as inserts for a cold start — so a batch REPLAYS
+  * identically after a crash (files are immutable, the range is
+  * pinned in the checkpoint); `commit` is the durably-consumed
+  * signal. A batch costs the change volume, never the table size.
+  *
+  * `getBatch`'s plan must be flagged `isStreaming`; the DataFrame is
+  * rebuilt from the batch plan's `toRdd` via the engine's
+  * internal-streaming constructor (reflective — the one hop the
+  * public API doesn't expose), which also severs the batch plan so
+  * the micro-batch optimizer never re-touches manifest state.
+  */
+final class ChangeFeedSource(sqlContext: SQLContext, root: String) extends Source {
+
+  private val table = new LakehouseTable(sqlContext.sparkSession, root)
+
+  override val schema: StructType = ChangeFeedSource.feedSchema(table)
+
+  override def getOffset: Option[Offset] =
+    table.currentSnapshot().map(s => LongOffset(s.snapshotId))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endId = ChangeFeedSource.offsetId(end)
+    val batch = start.map(ChangeFeedSource.offsetId) match {
+      case Some(s) if s >= endId =>
+        table.read().filter(lit(false)).withColumn("_change", lit(""))
+      case Some(s) => table.changesBetween(s, endId)
+      case None => table.scanAtSnapshot(endId).withColumn("_change", lit("insert"))
+    }
+    // conform to the declared stream schema (widen-only evolution may
+    // have grown the table since the stream started; late columns
+    // surface when the consumer restarts with a fresh checkpoint)
+    val have = batch.columns.toSet
+    val conformed = schema.fields.foldLeft(batch) { (d, f) =>
+      if (have(f.name)) d else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(schema.fieldNames.map(col): _*)
+    ChangeFeedSource.asStreaming(conformed)
+  }
+
+  /** The engine checkpoint has durably recorded everything ≤ `end` —
+    * nothing to persist here (offsets are snapshot ids, reproducible
+    * from the manifest), which is exactly why replay is safe.
+    */
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+object ChangeFeedSource {
+  /** Table schema + the `_change` tag, fixed at stream start. */
+  private[lakehouse] def feedSchema(table: LakehouseTable): StructType = {
+    val snap = table.currentSnapshot().getOrElse(throw new IllegalStateException(
+      "change-feed stream requires a table with at least one snapshot"))
+    val base = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    StructType(base.fields :+ StructField("_change", StringType, nullable = false))
+  }
+
+  /** Restart hands back the checkpointed JSON as a `SerializedOffset`;
+    * a live cycle hands `LongOffset` — `json` is the long either way.
+    */
+  private def offsetId(o: Offset): Long = o.json.trim.toLong
+
+  /** Rebuild `df` as an isStreaming DataFrame: evaluate its plan to an
+    * InternalRow RDD and wrap it through the session's internal
+    * streaming constructor (private[sql], hence the single reflective
+    * call — the same path every V1 file/socket source takes).
+    */
+  private def asStreaming(df: DataFrame): DataFrame = {
+    val ss = df.sparkSession
+    val m = ss.getClass.getMethod("internalCreateDataFrame",
+      classOf[org.apache.spark.rdd.RDD[_]], classOf[StructType], java.lang.Boolean.TYPE)
+    m.invoke(ss, df.queryExecution.toRdd, df.schema, java.lang.Boolean.TRUE)
+      .asInstanceOf[DataFrame]
+  }
+}
+
+/** `format("graft-changefeed")` registration (service-loaded via
+  * DataSourceRegister; the fully-qualified class name works too).
+  */
+final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-changefeed"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-changefeed requires .option(\"path\", <table root>)"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), ChangeFeedSource.feedSchema(
+      new LakehouseTable(sqlContext.sparkSession, rootOf(parameters))))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new ChangeFeedSource(sqlContext, rootOf(parameters))
+}

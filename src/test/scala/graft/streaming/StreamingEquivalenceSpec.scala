@@ -608,6 +608,79 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(rc === 4L)
     sameMultiset(rb, t.changesBetween(1L, 4L), "resume-from-cursor equals the batch diff")
   }
+
+  test("change-feed two-phase: uncommitted polls replay the same range; commit advances; bogus commit rejected") {
+    import spark.implicits._
+    import graft.lakehouse.{ChangeFeedReader, LakehouseTable}
+    val t = new LakehouseTable(spark, tmpDir("cdf-2pc"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val r = new ChangeFeedReader(t)
+    val (b1, c1) = r.poll(autoCommit = false).get
+    assert(c1 === 1L && r.cursor === None, "uncommitted poll must not advance the cursor")
+    // consumer dies mid-batch and re-polls: SAME range, same rows
+    val (b1again, c1again) = r.poll(autoCommit = false).get
+    assert(c1again === 1L)
+    assert(b1again.exceptAll(b1).isEmpty && b1.exceptAll(b1again).isEmpty,
+      "re-poll before commit must replay the identical batch")
+    intercept[IllegalArgumentException](r.commit(99L))
+    r.commit(1L)
+    assert(r.cursor === Some(1L))
+    assert(r.poll(autoCommit = false).isEmpty, "committed head polls empty")
+    r.commit(1L) // re-committing the consumed edge is an idempotent no-op
+    // next range only emits rows PAST the committed edge
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    val (b2, c2) = r.poll(autoCommit = false).get
+    assert(c2 === 2L)
+    assert(b2.select("id").as[Long].collect().toSeq === Seq(3L))
+    r.commit(2L)
+  }
+
+  test("change-feed Source: spark.readStream drives the feed end-to-end with checkpointed restart-resume") {
+    import spark.implicits._
+    import graft.lakehouse.{ChangeFeedSourceProvider, LakehouseTable}
+    val root = tmpDir("cdf-src")
+    val ckpt = tmpDir("cdf-src-ckpt")
+    val t = new LakehouseTable(spark, root)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+    val absorb: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, _) => {
+      val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      seen.synchronized { seen ++= rows }
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format(classOf[ChangeFeedSourceProvider].getName)
+        .option("path", root)
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(absorb)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "streaming query did not drain in time")
+    }
+
+    runOnce()
+    assert(seen.toSet === Set((1L, "a", "insert"), (2L, "b", "insert")),
+      "cold start must bootstrap the initial snapshot as inserts")
+
+    // table advances while the stream is DOWN; the restart resumes from
+    // the checkpointed snapshot offset — only the diff arrives, no
+    // re-bootstrap, no duplicates
+    seen.clear()
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    t.upsert(Seq((2L, "B2")).toDF("id", "v"), Seq("id"))
+    runOnce()
+    assert(seen.toSet === Set((3L, "c", "insert"), (2L, "B2", "insert"), (2L, "b", "delete")),
+      s"restart must deliver exactly the cursor-range diff, got $seen")
+
+    // compaction-only advance: the stream emits nothing
+    seen.clear()
+    assert(t.compact(fileThreshold = 2, maxRows = Long.MaxValue).isDefined)
+    runOnce()
+    assert(seen.isEmpty, "a compaction rewrite must stream zero change rows")
+  }
 }
 
 /** Serializable home for helpers captured by stateful-streaming
