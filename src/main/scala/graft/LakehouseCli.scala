@@ -53,9 +53,15 @@ object LakehouseCli {
         0
       case "query" =>
         val limit = if (args.length >= 4) args(3).toInt else 20
+        // optional 5th arg: col=value (equality) or col=lo..hi (range)
+        // — routed through the automatic skipping read path, so bloom
+        // sidecars / footer min-max / partition dirs prune unprompted
+        val preds = args.lift(4).toSeq.map(parsePredicate)
         val df = args.lift(2).filterNot(_ == "current") match {
+          case Some(id) if preds.nonEmpty => table.scanAtSnapshot(id.toLong, preds).limit(limit)
           case Some(id) => table.scanAtSnapshot(id.toLong, Some(limit))
-          case None     => table.read().limit(limit)
+          case None if preds.nonEmpty => table.read(preds).limit(limit)
+          case None => table.read().limit(limit)
         }
         val cols = df.columns
         out.println(cols.mkString("\t"))
@@ -128,9 +134,21 @@ object LakehouseCli {
     }
   }
 
+  /** `col=value` → equality, `col=lo..hi` → inclusive range (either
+    * bound may be empty: `col=5..`, `col=..9`).
+    */
+  private def parsePredicate(s: String): graft.lakehouse.ScanPredicate = {
+    val Array(c, rhs) = s.split("=", 2)
+    if (rhs.contains("..")) {
+      val Array(lo, hi) = rhs.split("\\.\\.", 2).padTo(2, "")
+      graft.lakehouse.ScanPredicate.Range(c,
+        Some(lo).filter(_.nonEmpty), Some(hi).filter(_.nonEmpty))
+    } else graft.lakehouse.ScanPredicate.EqualTo(c, rhs)
+  }
+
   private val usage =
     """usage: graft.Cli lakehouse snapshots <tableDir>
-      |       graft.Cli lakehouse query <tableDir> [snapshotId|current] [limit]
+      |       graft.Cli lakehouse query <tableDir> [snapshotId|current] [limit] [col=value | col=lo..hi]
       |       graft.Cli lakehouse rollback <tableDir> <snapshotId>
       |       graft.Cli lakehouse changes <tableDir> <fromSnapshot> <toSnapshot>
       |       graft.Cli lakehouse changes <tableDir> --follow [afterSnapshot]

@@ -20,6 +20,24 @@ final case class Snapshot(
     files: Seq[String], // data-file paths relative to the table root
     schemaJson: String)
 
+/** Pushed-down scan predicate for the skipping read path
+  * ([[LakehouseTable.read(preds*)]]): equality probes consult bloom
+  * sidecars AND parquet-footer min/max, ranges consult footer min/max
+  * (the z-order payoff), and hive partition directories prune on their
+  * path values — all automatically, no per-index opt-in. Skipping is
+  * an optimization, never a correctness dependency: files without
+  * evidence are read, and the exact predicate re-applies after the
+  * scan (false positives die there).
+  */
+sealed trait ScanPredicate { def column: String }
+object ScanPredicate {
+  /** `column = value` (value coerced to the column type pre-hash). */
+  final case class EqualTo(column: String, value: Any) extends ScanPredicate
+  /** `lower <= column <= upper` (either bound optional, inclusive). */
+  final case class Range(column: String, lower: Option[Any], upper: Option[Any])
+      extends ScanPredicate
+}
+
 /** "Lakehouse-lite": a snapshot-versioned Parquet table — append/upsert,
   * time travel, rollback, snapshot expiry and partition-scoped
   * compaction with pure Spark + JSON manifests, replacing the
@@ -551,6 +569,154 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     val (files, _) = pointLookupFiles(c, value)
     if (files.isEmpty) read().filter(lit(false))
     else readFiles(files).filter(col(c) === probeLit(c, value))
+  }
+
+  // ---- predicate-pruned reads (the automatic skipping path) ----
+  //
+  // read(preds)/scanAtSnapshot(id, preds) prune the snapshot's file
+  // list BEFORE building the scan: bloom sidecars answer equality,
+  // parquet footer min/max (free — written by every parquet writer,
+  // and made selective per-file by z-order clustering) answer equality
+  // and ranges, and hive partition path values answer both. Footer
+  // reads are O(files) driver metadata, cached for the table's
+  // lifetime (data files are immutable). The exact predicate then
+  // re-applies on the scanned rows, so pruning can only skip files
+  // that PROVABLY hold no match.
+
+  /** Per-(file, column) footer min/max; None = no usable stats. */
+  @transient private lazy val footerStats =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Option[(Any, Any)]]()
+
+  private def footerMinMax(relFile: String, c: String): Option[(Any, Any)] =
+    footerStats.computeIfAbsent((relFile, nameKey(c)), { _ =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(rootPath.resolve(relFile).toString),
+          spark.sessionState.newHadoopConf())
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val chunks = reader.getFooter.getBlocks.asScala.flatMap(
+            _.getColumns.asScala.filter(ch =>
+              nameKey(ch.getPath.toDotString) == nameKey(c)))
+          val stats = chunks.map(_.getStatistics)
+          if (stats.isEmpty || stats.exists(s => s == null || !s.hasNonNullValue)) None
+          else {
+            def pick(worse: Int => Boolean, get: org.apache.parquet.column.statistics.Statistics[_] => Any) =
+              stats.map(get).reduce { (a, b) =>
+                if (worse(a.asInstanceOf[Comparable[Any]].compareTo(b))) b else a
+              }
+            Some((pick(_ > 0, _.genericGetMin), pick(_ < 0, _.genericGetMax)))
+          }
+        } finally reader.close()
+      } catch { case _: Exception => None } // unreadable footer → no evidence → keep
+    })
+
+  /** Compare a footer stat value to a probe, coercing the probe to the
+    * stat's physical type; None = incomparable (never prunes).
+    */
+  private def compareStat(statVal: Any, probe: Any): Option[Int] = {
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: String => scala.util.Try(s.trim.toLong).toOption
+      case _ => None
+    }
+    def asDouble(v: Any): Option[Double] = v match {
+      case d: Double => Some(d)
+      case f: Float => Some(f.toDouble)
+      case l: Long => Some(l.toDouble)
+      case i: Int => Some(i.toDouble)
+      case s: String => scala.util.Try(s.trim.toDouble).toOption
+      case _ => None
+    }
+    statVal match {
+      case l: java.lang.Long => asLong(probe).map(p => java.lang.Long.compare(l, p))
+      case i: java.lang.Integer => asLong(probe).map(p => java.lang.Long.compare(i.longValue, p))
+      case d: java.lang.Double => asDouble(probe).map(p => java.lang.Double.compare(d, p))
+      case f: java.lang.Float => asDouble(probe).map(p => java.lang.Double.compare(f.doubleValue, p))
+      case b: org.apache.parquet.io.api.Binary =>
+        Some(b.toStringUsingUTF8.compareTo(String.valueOf(probe)))
+      case _ => None
+    }
+  }
+
+  /** Footer-stats verdict: can `relFile` hold a row with `c` in
+    * [lo, hi]? Missing stats or incomparable types keep the file.
+    */
+  private def statsMayMatch(relFile: String, c: String,
+      lo: Option[Any], hi: Option[Any]): Boolean =
+    footerMinMax(relFile, c) match {
+      case None => true
+      case Some((mn, mx)) =>
+        // overlap test: file min <= hi AND file max >= lo
+        hi.forall(h => compareStat(mn, h).forall(_ <= 0)) &&
+          lo.forall(l => compareStat(mx, l).forall(_ >= 0))
+    }
+
+  /** Hive partition-path verdict for `data/sN/col=value/part-*`. */
+  private def partitionMayMatch(relFile: String, c: String,
+      lo: Option[Any], hi: Option[Any]): Boolean = {
+    val seg = relFile.split('/').find(_.contains("=")).map(_.split("=", 2))
+    seg match {
+      case Some(Array(k, v)) if nameKey(k) == nameKey(c) =>
+        def cmp(p: Any): Option[Int] =
+          scala.util.Try(v.trim.toLong).toOption match {
+            case Some(pv) => scala.util.Try(String.valueOf(p).trim.toLong)
+              .toOption.map(java.lang.Long.compare(pv, _))
+            case None => Some(v.compareTo(String.valueOf(p)))
+          }
+        hi.forall(h => cmp(h).forall(_ <= 0)) && lo.forall(l => cmp(l).forall(_ >= 0))
+      case _ => true
+    }
+  }
+
+  private def bloomMayContain(c: String, relFile: String, hash: Long): Boolean = {
+    val p = bloomPath(c, relFile)
+    !Files.exists(p) || org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(Files.readAllBytes(p))).mightContainLong(hash)
+  }
+
+  /** (files to read, skipped count) for a predicate set. */
+  def pruneFiles(snap: Snapshot, preds: Seq[ScanPredicate]): (Seq[String], Int) = {
+    var kept = snap.files
+    preds.foreach {
+      case ScanPredicate.EqualTo(c, v) =>
+        val h = spark.range(1).select(xxhash64(probeLit(c, v))).head.getLong(0)
+        kept = kept.filter(f => bloomMayContain(c, f, h) &&
+          statsMayMatch(f, c, Some(v), Some(v)) && partitionMayMatch(f, c, Some(v), Some(v)))
+      case ScanPredicate.Range(c, lo, hi) =>
+        kept = kept.filter(f => statsMayMatch(f, c, lo, hi) && partitionMayMatch(f, c, lo, hi))
+    }
+    (kept, snap.files.size - kept.size)
+  }
+
+  private def residual(preds: Seq[ScanPredicate]): org.apache.spark.sql.Column =
+    preds.map {
+      case ScanPredicate.EqualTo(c, v) => col(c) === probeLit(c, v)
+      case ScanPredicate.Range(c, lo, hi) =>
+        (lo.map(col(c) >= probeLit(c, _)) ++ hi.map(col(c) <= probeLit(c, _)))
+          .reduceOption(_ && _).getOrElse(lit(true))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+
+  /** Predicate-pruned read of the current snapshot: skipping indexes
+    * consulted automatically, exact predicate re-applied on the scan.
+    */
+  def read(preds: Seq[ScanPredicate]): DataFrame = {
+    val snap = currentSnapshot().getOrElse(
+      throw new IllegalStateException(s"table $root has no snapshots"))
+    readPruned(snap, preds)
+  }
+
+  /** [[read(preds*)]] at a historical snapshot (time travel + skip). */
+  def scanAtSnapshot(id: Long, preds: Seq[ScanPredicate]): DataFrame = {
+    val snap = listSnapshots().find(_.snapshotId == id).getOrElse(throw invalidSnapshot(id))
+    readPruned(snap, preds)
+  }
+
+  private def readPruned(snap: Snapshot, preds: Seq[ScanPredicate]): DataFrame = {
+    val (files, _) = pruneFiles(snap, preds)
+    if (files.isEmpty) read().filter(lit(false))
+    else readFiles(files).filter(residual(preds))
   }
 
   def compactZOrder(cols: Seq[String], targetFiles: Int,

@@ -1,0 +1,116 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The automatic skipping read path: `read(preds)`/`scanAtSnapshot(id,
+  * preds)` must cut the files actually scanned — footer min/max for
+  * ranges and clustered equality, bloom sidecars where ranges overlap
+  * everything, z-order for non-leading columns, partition dirs for
+  * partition columns — while ALWAYS returning exactly the full-scan
+  * answer (skipping is provable absence, never approximation).
+  */
+class SkippingReadSpec extends SparkSpec {
+
+  /** Files the physical plan will actually open — the planner's scan
+    * set, not the files surviving rows happen to come from.
+    */
+  private def filesRead(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.length
+    }.sum
+
+  /** 16 files, file i holding the contiguous id range [1000i, 1000i+999]. */
+  private def rangedTable(): LakehouseTable = {
+    import spark.implicits._
+    val t = new LakehouseTable(spark, tmpDir("skipread"))
+    (0 until 16).foreach { i =>
+      val lo = i.toLong * 1000
+      t.append((lo until lo + 1000).map(id => (id, s"v$id")).toDF("id", "payload").coalesce(1))
+    }
+    t
+  }
+
+  test("equality on a clustered column prunes via footer min/max — no index build needed") {
+    val t = rangedTable()
+    val df = t.read(Seq(ScanPredicate.EqualTo("id", 4500L)))
+    assert(filesRead(df) === 1, "footer stats must confine an equality probe to its one file")
+    val want = t.read().filter(col("id") === 4500L).collect()
+    assert(df.collect().toSeq === want.toSeq && want.length === 1)
+  }
+
+  test("range predicate prunes to the overlapping files; bounds are inclusive") {
+    val t = rangedTable()
+    val df = t.read(Seq(ScanPredicate.Range("id", Some(1000L), Some(2999L))))
+    assert(filesRead(df) === 2, "a two-file range must scan exactly two files")
+    assert(df.count() === 2000)
+    // half-open forms
+    assert(t.read(Seq(ScanPredicate.Range("id", Some(15000L), None))).count() === 1000)
+    assert(t.read(Seq(ScanPredicate.Range("id", None, Some(999L)))).count() === 1000)
+  }
+
+  test("scrambled strings: min/max overlaps every file, bloom sidecars prune instead") {
+    import spark.implicits._
+    // payload scrambled across files: every file's lexical [min, max]
+    // spans nearly the full value range, so footer stats can't skip —
+    // the high-cardinality-equality case blooms exist for
+    def scramble(id: Long): String = f"h${(id * 48271L) % 65536L}%05d"
+    val t = new LakehouseTable(spark, tmpDir("skipread-bloom"))
+    (0 until 16).foreach { i =>
+      val lo = i.toLong * 1000
+      t.append((lo until lo + 1000).map(id => (id, scramble(id)))
+        .toDF("id", "payload").coalesce(1))
+    }
+    val probe = scramble(4500L)
+    val before = filesRead(t.read(Seq(ScanPredicate.EqualTo("payload", probe))))
+    assert(before === 16, "scrambled values must defeat footer stats (the bloom motivation)")
+    t.buildBloomIndex("payload", expectedPerFile = 2000)
+    val df = t.read(Seq(ScanPredicate.EqualTo("payload", probe)))
+    assert(filesRead(df) <= 3, "bloom sidecars must prune the stats-blind files")
+    assert(df.collect().map(_.getLong(0)).toSet.contains(4500L))
+  }
+
+  test("z-order clustering makes a NON-leading column skippable through the public read path") {
+    import spark.implicits._
+    val t = new LakehouseTable(spark, tmpDir("skipread-z"))
+    // 64x64 grid: plain x-sort would leave every file spanning all of y
+    val rows = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    t.append(rows.toDF("x", "y").coalesce(1))
+    t.compactZOrder(Seq("x", "y"), targetFiles = 8)
+    val df = t.read(Seq(ScanPredicate.Range("y", Some(0L), Some(7L))))
+    val scanned = filesRead(df)
+    assert(scanned < 8, s"z-order must prune y-range scans, read $scanned of 8 files")
+    assert(df.count() === 64 * 8)
+  }
+
+  test("partitioned table: partition-path values prune without opening footers") {
+    import spark.implicits._
+    val t = new LakehouseTable(spark, tmpDir("skipread-part"))
+    t.append((0 until 3000).map(i => (i.toLong, i % 3)).toDF("id", "bucket").coalesce(1),
+      partitionBy = Seq("bucket"))
+    val df = t.read(Seq(ScanPredicate.EqualTo("bucket", 1)))
+    assert(filesRead(df) === 1, "only the bucket=1 partition directory should be scanned")
+    assert(df.count() === 1000)
+  }
+
+  test("time travel composes with skipping; result matches the unpruned historical scan") {
+    val t = rangedTable()
+    val firstId = t.listSnapshots().head.snapshotId
+    val df = t.scanAtSnapshot(firstId, Seq(ScanPredicate.EqualTo("id", 500L)))
+    assert(filesRead(df) === 1)
+    assert(df.collect().toSeq ===
+      t.scanAtSnapshot(firstId).filter(col("id") === 500L).collect().toSeq)
+    // a post-snapshot id is absent from the historical view
+    assert(t.scanAtSnapshot(firstId, Seq(ScanPredicate.EqualTo("id", 4500L))).count() === 0)
+  }
+
+  test("string probe against a BIGINT column coerces (the CLI shape); empty prune returns empty") {
+    val t = rangedTable()
+    val df = t.read(Seq(ScanPredicate.EqualTo("id", "4500")))
+    assert(filesRead(df) === 1)
+    assert(df.count() === 1)
+    assert(t.read(Seq(ScanPredicate.EqualTo("id", 999999L))).count() === 0)
+  }
+}
