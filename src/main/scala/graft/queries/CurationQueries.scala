@@ -314,6 +314,25 @@ object CurationQueries {
         .orderBy(col("cnt").desc, col("pair"))
         .limit(32)
     }),
+    // ---- BPE trainer (tokenizer training, step 2): the first 16
+    //      merges from iterating q95's argmax — `Bpe.trainOnCorpus`'s
+    //      distributed corpus pass (word-count agg, the Heaps-law
+    //      vocab frame) + driver merge loop, now under the hash gate
+    //      end-to-end. The oracle unrolls the 16 rounds as chained
+    //      CTEs: state = each word's symbol sequence as a
+    //      double-space-delimited padded string, so applying a merge
+    //      is ONE `replace(' l  r ', ' lr ')` — SQL replace scans
+    //      left-to-right non-overlapping, which IS the BPE greedy
+    //      apply, and the padding makes partial-symbol matches
+    //      impossible (symbols never contain spaces). ----
+    "q113_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.Bpe
+        .trainOnCorpus(Tables.load(s, dir, "documents"), "text", numMerges = BpeGateMerges)
+        .zipWithIndex
+        .map { case ((l, r), i) => (i + 1, l, r) }
+        .toDF("round", "lhs", "rhs")
+    }),
     // ---- embedding outlier scores (diagonal Mahalanobis): per-vector
     //      Σ_i (x_i − μ_i)² / σ²_i against the corpus statistics — the
     //      corrupt/out-of-distribution vector screen run before
@@ -533,7 +552,51 @@ object CurationQueries {
 
   private val R = droundSql
 
+  /** Merges the q113 gate pins (small enough that the unrolled oracle
+    * stays readable; every extra round is one more CTE pair).
+    */
+  val BpeGateMerges = 16
+
+  /** The q113 twin: BPE over the q95 vocab, one CTE pair per round —
+    * `p{k}` picks the argmax pair (count desc, pair asc — q95's
+    * ordering), `s{k}` applies it via padded-string replace. Every CTE
+    * is MATERIALIZED: `p{k}` is referenced three times by `s{k}` and
+    * DuckDB inlines multi-referenced CTEs (the q109 lesson — the
+    * 16-round chain would re-execute combinatorially).
+    */
+  private def bpeMergesOracleSql: String = {
+    val rounds = (1 to BpeGateMerges).map { k =>
+      val prev = s"s${k - 1}"
+      s"""p$k AS MATERIALIZED (
+        SELECT l, r FROM (
+          SELECT p.l AS l, p.r AS r, sum(cnt) AS c FROM (
+            SELECT unnest(list_transform(range(1, len(sy)),
+                     i -> {'l': sy[i], 'r': sy[i + 1]})) AS p, cnt
+            FROM (SELECT string_split(trim(state, ' '), '  ') AS sy, cnt FROM $prev))
+          GROUP BY 1, 2)
+        ORDER BY c DESC, l, r LIMIT 1),
+      s$k AS MATERIALIZED (
+        SELECT replace(state,
+            ' ' || (SELECT l FROM p$k) || '  ' || (SELECT r FROM p$k) || ' ',
+            ' ' || (SELECT l FROM p$k) || (SELECT r FROM p$k) || ' ') AS state, cnt
+        FROM $prev)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      v AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word),
+      s0 AS MATERIALIZED (
+        SELECT ' ' || array_to_string(
+            list_transform(range(1, length(word) + 1), i -> substr(word, CAST(i AS INT), 1)),
+            '  ') || ' ' AS state, cnt
+        FROM v WHERE length(word) >= 1),
+      $rounds
+      ${(1 to BpeGateMerges).map(k =>
+        s"SELECT $k AS round, l AS lhs, r AS rhs FROM p$k").mkString("\n      UNION ALL\n      ")}
+      ORDER BY round"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q113_bpe_merges" -> bpeMergesOracleSql,
     "q89_scd2_history" -> """
       WITH tagged AS (
         SELECT user_id, ts, event_id, event_type,
