@@ -45,7 +45,9 @@ final case class MaintenanceCfg(
     compactFileThreshold: Int = 10,
     compactMaxRows: Long = 500000,
     zorderCols: Seq[String] = Nil,
-    bloomIndexCols: Seq[String] = Nil)
+    bloomIndexCols: Seq[String] = Nil,
+    annIndexRoot: Option[String] = None,
+    annRebuildIntervalMs: Long = 0L)
 
 final case class LakehouseSinkCfg(
     tablePath: String,

@@ -258,7 +258,9 @@ object PipelineConfigLoader {
             compactFileThreshold = int(m, "compact_file_threshold", 10),
             compactMaxRows = long(m, "compact_max_rows", 500000L),
             zorderCols = strSeq(m, "zorder_cols"),
-            bloomIndexCols = strSeq(m, "bloom_index_cols"))))
+            bloomIndexCols = strSeq(m, "bloom_index_cols"),
+            annIndexRoot = optStr(m, "ann_index_root"),
+            annRebuildIntervalMs = long(m, "ann_rebuild_interval_ms", 0L))))
       } else None)
 
     // the sub-config matching sink_type must be present (models.py:317-330)

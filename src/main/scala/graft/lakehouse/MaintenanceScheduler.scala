@@ -17,16 +17,21 @@ final class MaintenanceScheduler(
     compactFileThreshold: Int,
     compactMaxRows: Long,
     zorderCols: Seq[String] = Nil,
-    bloomIndexCols: Seq[String] = Nil) {
+    bloomIndexCols: Seq[String] = Nil,
+    annIndexRoot: Option[String] = None,
+    annRebuildIntervalMs: Long = 0L) {
 
   @volatile private var expiredTotal = 0
   @volatile private var compactionsTotal = 0
   @volatile private var bloomFilesTotal = 0
+  @volatile private var annRebuildsTotal = 0
   private var timer: Option[java.util.Timer] = None
 
   def stats: (Int, Int) = (expiredTotal, compactionsTotal)
 
   def bloomStats: Int = bloomFilesTotal
+
+  def annStats: Int = annRebuildsTotal
 
   /** One expiry pass (cutoff = now - retention). */
   def runExpiry(): Int = {
@@ -82,10 +87,28 @@ final class MaintenanceScheduler(
     n
   }
 
+  /** One full ANN-index retrain over the table's CURRENT rows — the
+    * codebook-drift repair for [[AnnIndex.append]]'s frozen-codebook
+    * incremental encodes (append keeps ingestion cheap; this cadence
+    * re-fits cells and codebooks to the corpus the index now actually
+    * holds). The table must carry the (vec_id, embedding) shape
+    * [[AnnIndex.build]] trains on. No-op when unconfigured.
+    */
+  def runAnnRebuild(): Boolean = annIndexRoot match {
+    case Some(root) =>
+      val corpus = table.read()
+      AnnIndex.build(corpus.sparkSession, corpus, root)
+      annRebuildsTotal += 1
+      true
+    case None => false
+  }
+
   def start(): Unit = {
     val t = new java.util.Timer("lakehouse-maintenance", true)
     t.scheduleAtFixedRate(task(() => runExpiry()), expireIntervalMs, expireIntervalMs)
     t.scheduleAtFixedRate(task(() => runCompaction()), compactIntervalMs, compactIntervalMs)
+    if (annIndexRoot.isDefined && annRebuildIntervalMs > 0)
+      t.scheduleAtFixedRate(task(() => runAnnRebuild()), annRebuildIntervalMs, annRebuildIntervalMs)
     timer = Some(t)
   }
 

@@ -71,7 +71,9 @@ object PipelineRunner {
           compactFileThreshold = lh.maintenance.compactFileThreshold,
           compactMaxRows = lh.maintenance.compactMaxRows,
           zorderCols = lh.maintenance.zorderCols,
-          bloomIndexCols = lh.maintenance.bloomIndexCols))
+          bloomIndexCols = lh.maintenance.bloomIndexCols,
+          annIndexRoot = lh.maintenance.annIndexRoot,
+          annRebuildIntervalMs = lh.maintenance.annRebuildIntervalMs))
       (sink, maint)
     case "webhook" =>
       val w = s.webhook.get

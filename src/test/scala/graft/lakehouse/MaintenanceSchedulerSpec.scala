@@ -117,6 +117,43 @@ class MaintenanceSchedulerSpec extends SparkSpec {
     assert(sched.bloomStats === before, "re-index of immutable files must be a no-op")
   }
 
+  test("configured ann_index_root: rebuild pass retrains the serving index over current table rows") {
+    import org.apache.spark.sql.functions.col
+    // a vector table in the (vec_id, embedding[64]) shape AnnIndex trains on
+    def vec(id: Long): Seq[Float] =
+      (0 until 64).map(d => (((id * 31 + d * 17) % 97).toFloat - 48f) / 48f)
+    val table = new LakehouseTable(spark, tmpDir("maint-ann"))
+    table.append((0L until 96L).map(i => (i, vec(i))).toDF("vec_id", "embedding"))
+    val idxRoot = tmpDir("maint-ann-idx")
+    val sched = new MaintenanceScheduler(table,
+      expireOlderThanMs = 0,
+      expireIntervalMs = 3600000, compactIntervalMs = 3600000,
+      compactFileThreshold = 2, compactMaxRows = 1000000,
+      annIndexRoot = Some(idxRoot), annRebuildIntervalMs = 3600000)
+
+    assert(sched.runAnnRebuild())
+    assert(sched.annStats === 1)
+    val idx = AnnIndex.load(spark, idxRoot)
+    assert(idx.codes.count() === 96L)
+
+    // ingestion keeps encoding incrementally against frozen codebooks;
+    // the next scheduled rebuild re-fits to the grown corpus
+    table.append((96L until 128L).map(i => (i, vec(i))).toDF("vec_id", "embedding"))
+    AnnIndex.append(spark, table.read().filter(col("vec_id") >= 96L), idxRoot)
+    assert(AnnIndex.load(spark, idxRoot).codes.count() === 128L)
+    assert(sched.runAnnRebuild())
+    val refit = AnnIndex.load(spark, idxRoot)
+    assert(refit.codes.count() === 128L)
+    // a rebuild replaces, not appends: one codes row per vector
+    assert(refit.codes.select("vec_id").distinct().count() === 128L)
+    // unconfigured scheduler: the pass is a no-op
+    val bare = new MaintenanceScheduler(table,
+      expireOlderThanMs = 0,
+      expireIntervalMs = 3600000, compactIntervalMs = 3600000,
+      compactFileThreshold = 2, compactMaxRows = 1000000)
+    assert(!bare.runAnnRebuild() && bare.annStats === 0)
+  }
+
   test("timer-driven maintenance runs passes in the background") {
     val table = new LakehouseTable(spark, tmpDir("maint-timer"))
     (1 to 3).foreach(i => table.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
