@@ -30,11 +30,34 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   * public API doesn't expose), which also severs the batch plan so
   * the micro-batch optimizer never re-touches manifest state.
   */
-final class ChangeFeedSource(sqlContext: SQLContext, root: String) extends Source {
+final class ChangeFeedSource(sqlContext: SQLContext, root: String)
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val table = new LakehouseTable(sqlContext.sparkSession, root)
 
   override val schema: StructType = ChangeFeedSource.feedSchema(table)
+
+  // Trigger.AvailableNow: pin the head at prepare time so the run
+  // drains exactly the snapshots that existed when it started, then
+  // stops — a mid-run append belongs to the NEXT invocation. Without
+  // this the engine falls back to single-batch execution (the
+  // wrapper is off by default), which happens to coincide here but
+  // loses the pinned-endpoint contract.
+  @volatile private var availableNowHead: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowHead = table.currentSnapshot().map(_.snapshotId)
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    availableNowHead.orElse(table.currentSnapshot().map(_.snapshotId))
+      .map(LongOffset(_)).orNull
+
+  override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    table.currentSnapshot().map(s => LongOffset(s.snapshotId)).orNull
 
   override def getOffset: Option[Offset] =
     table.currentSnapshot().map(s => LongOffset(s.snapshotId))
