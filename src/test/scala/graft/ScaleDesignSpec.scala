@@ -711,6 +711,34 @@ class ScaleDesignSpec extends SparkSpec {
     } finally capped.unpersist()
   }
 
+  test("q114: persisted-index serve — probed cells prune the codes scan; all serve joins broadcast") {
+    graft.functions.GraftFunctions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("scale-annidx").toString
+    val e = Tables.load(spark, sf, "embeddings")
+    graft.lakehouse.AnnIndex.build(spark, e, root)
+    val idx = graft.lakehouse.AnnIndex.load(spark, root)
+    val en = e.withColumn("nrm", sqrt(expr("dotp(embedding, embedding)")))
+    val served = graft.queries.LlmSimQueries.ivfpqServe(
+      spark, en, idx.centroids, idx.books, idx.codes)
+    val p = served.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the compressed-corpus scan carries the probed-cell predicate AS A
+    // PARTITION FILTER (INSET over the hive cell= dirs) — at scale this
+    // is the partition-pruned read that touches nprobe/C of the index
+    // instead of all of it (the fixture's 20 queries happen to probe
+    // every cell; the filter SHAPE is what must hold)
+    assert(p.contains("PartitionFilters: [cell#"),
+      "probed-cell isin must reach the codes scan as a partition filter")
+    // probes / LUTs / shortlist / query hydration all broadcast; the
+    // corpus is never shuffle-paired
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "serve joins must broadcast index metadata over the scans")
+    // per-query ranking is windowed top-k, never a global sort of scores
+    assert(p.contains("WindowGroupLimit") || p.contains("RunningWindowFunction") ||
+      p.contains("Window"), "shortlist must rank per-query")
+  }
+
   test("q108: LM model frames broadcast; scoring path has no sort-merge join") {
     val (screen, bi) = graft.queries.CorpusStatQueries.lmFluencyScreen(spark, sf)
     try {
