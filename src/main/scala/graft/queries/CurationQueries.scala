@@ -333,6 +333,37 @@ object CurationQueries {
         .map { case ((l, r), i) => (i + 1, l, r) }
         .toDF("round", "lhs", "rhs")
     }),
+    // ---- BPE tokenizer APPLICATION (tokenizer training, step 3): the
+    //      per-document token count under the q113-trained tokenizer —
+    //      the number that actually prices a document into a training
+    //      budget (whitespace counts like q44 under-count subword
+    //      splits). Scale shape: tokenization runs on the Heaps-law
+    //      VOCAB frame, not the corpus — each distinct word's padded
+    //      char string flows through 16 chained codegen'd `replace`
+    //      calls (the q113 merge-apply, literal merges baked into the
+    //      plan), then the per-word token counts BROADCAST onto the
+    //      doc word stream and sum per doc. Tokenizer cost is O(vocab)
+    //      however big the corpus; the corpus pays one explode + one
+    //      doc-keyed aggregation. ----
+    "q115_bpe_token_count" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val merges = graft.functions.Bpe
+        .trainOnCorpus(docs, "text", numMerges = BpeGateMerges)
+      val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val vocab = words.select(col("word")).distinct().filter(length(col("word")) >= 1)
+      val start = concat(lit(" "),
+        array_join(expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"), "  "),
+        lit(" "))
+      val tokenized = merges.foldLeft(start) { case (st, (l, r)) =>
+        call_function("replace", st, lit(s" $l  $r "), lit(s" $l$r "))
+      }
+      val tok = vocab.select(col("word"), size(split(trim(tokenized), "  ")).as("n"))
+      words.join(broadcast(tok), "word")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- embedding outlier scores (diagonal Mahalanobis): per-vector
     //      Σ_i (x_i − μ_i)² / σ²_i against the corpus statistics — the
     //      corrupt/out-of-distribution vector screen run before
@@ -557,14 +588,17 @@ object CurationQueries {
     */
   val BpeGateMerges = 16
 
-  /** The q113 twin: BPE over the q95 vocab, one CTE pair per round —
-    * `p{k}` picks the argmax pair (count desc, pair asc — q95's
-    * ordering), `s{k}` applies it via padded-string replace. Every CTE
-    * is MATERIALIZED: `p{k}` is referenced three times by `s{k}` and
-    * DuckDB inlines multi-referenced CTEs (the q109 lesson — the
-    * 16-round chain would re-execute combinatorially).
+  /** The shared BPE CTE chain (q113 + q115 twins): BPE over the q95
+    * vocab, one CTE pair per round — `p{k}` picks the argmax pair
+    * (count desc, pair asc — q95's ordering), `s{k}` applies it via
+    * padded-string replace. The `word` column threads through the
+    * state chain so downstream consumers (q115) can map final symbol
+    * sequences back to words. Every CTE is MATERIALIZED: `p{k}` is
+    * referenced three times by `s{k}` and DuckDB inlines
+    * multi-referenced CTEs (the q109 lesson — the 16-round chain
+    * would re-execute combinatorially).
     */
-  private def bpeMergesOracleSql: String = {
+  private def bpeChainCtes: String = {
     val rounds = (1 to BpeGateMerges).map { k =>
       val prev = s"s${k - 1}"
       s"""p$k AS MATERIALIZED (
@@ -576,27 +610,45 @@ object CurationQueries {
           GROUP BY 1, 2)
         ORDER BY c DESC, l, r LIMIT 1),
       s$k AS MATERIALIZED (
-        SELECT replace(state,
+        SELECT word, replace(state,
             ' ' || (SELECT l FROM p$k) || '  ' || (SELECT r FROM p$k) || ' ',
             ' ' || (SELECT l FROM p$k) || (SELECT r FROM p$k) || ' ') AS state, cnt
         FROM $prev)"""
     }.mkString(",\n      ")
-    s"""
-      WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    s"""w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
       v AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word),
       s0 AS MATERIALIZED (
-        SELECT ' ' || array_to_string(
+        SELECT word, ' ' || array_to_string(
             list_transform(range(1, length(word) + 1), i -> substr(word, CAST(i AS INT), 1)),
             '  ') || ' ' AS state, cnt
         FROM v WHERE length(word) >= 1),
-      $rounds
+      $rounds"""
+  }
+
+  private def bpeMergesOracleSql: String =
+    s"""
+      WITH $bpeChainCtes
       ${(1 to BpeGateMerges).map(k =>
         s"SELECT $k AS round, l AS lhs, r AS rhs FROM p$k").mkString("\n      UNION ALL\n      ")}
       ORDER BY round"""
-  }
+
+  /** The q115 twin: final symbol-sequence lengths per WORD off the
+    * shared chain's last state, joined back to the doc word stream.
+    */
+  private def bpeTokenCountOracleSql: String =
+    s"""
+      WITH $bpeChainCtes,
+      tok AS MATERIALIZED (
+        SELECT word, len(string_split(trim(state, ' '), '  ')) AS n
+        FROM s$BpeGateMerges)
+      SELECT w.doc_id, CAST(sum(t.n) AS BIGINT) AS n_tokens
+      FROM w JOIN tok t ON w.word = t.word
+      GROUP BY w.doc_id
+      ORDER BY w.doc_id"""
 
   val oracle: Map[String, String] = Map(
     "q113_bpe_merges" -> bpeMergesOracleSql,
+    "q115_bpe_token_count" -> bpeTokenCountOracleSql,
     "q89_scd2_history" -> """
       WITH tagged AS (
         SELECT user_id, ts, event_id, event_type,
