@@ -425,6 +425,52 @@ class QueryCatalogSpec extends SparkSpec {
     assert(byN.sameElements(byN.sorted))
   }
 
+  test("q113/q115 invariants: merges apply-consistently; token counts bracket words and chars") {
+    import org.apache.spark.sql.functions._
+    val merges = SparkEntry.queries("q113_bpe_merges")(spark, sf).collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+    assert(merges.length === queries.CurationQueries.BpeGateMerges)
+    // every merge pair must have been producible: each side is either a
+    // single char or the concatenation of an EARLIER merge
+    val known = scala.collection.mutable.Set[String]()
+    merges.foreach { case (l, r) =>
+      assert(l.length == 1 || known(l), s"left symbol '$l' not derivable")
+      assert(r.length == 1 || known(r), s"right symbol '$r' not derivable")
+      known += (l + r)
+    }
+    // the first merge IS q95's top pair (shared ordering contract)
+    val q95top = SparkEntry.queries("q95_bpe_pairs")(spark, sf).head.getAs[String]("pair")
+    assert(merges.head._1 + merges.head._2 === q95top)
+
+    // q115: for every doc, words ≤ bpe tokens ≤ non-space chars (each
+    // word is ≥1 token; merging only ever shrinks from chars)
+    val toks = SparkEntry.queries("q115_bpe_token_count")(spark, sf)
+    val bounds = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => length(w) >= 1)).as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).as("n_chars"))
+    val joined = toks.join(bounds, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val t = r.getAs[Long]("n_tokens")
+      assert(t >= r.getAs[Int]("n_words").toLong, s"doc ${r.get(0)}: fewer tokens than words")
+      assert(t <= r.getAs[Int]("n_chars").toLong, s"doc ${r.get(0)}: more tokens than characters")
+    }
+    // and a direct driver-side recount with Bpe.tokenize on one doc
+    val doc = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).head
+    val want = doc.getString(1).split(" ").filter(_.nonEmpty)
+      .map(w => graft.functions.Bpe.tokenize(w, merges.toSeq).size.toLong).sum
+    val got = joined.find(_.getAs[Long]("doc_id") == doc.getLong(0)).get.getAs[Long]("n_tokens")
+    assert(got === want, "q115 must equal Bpe.tokenize applied word-by-word")
+  }
+
+  test("q114 invariant: the persisted-index answer IS the q111 answer") {
+    val a = SparkEntry.queries("q111_ann_ivfpq")(spark, sf).collect()
+    val b = SparkEntry.queries("q114_ann_index_reuse")(spark, sf).collect()
+    assert(a.toSeq === b.toSeq, "persist + reload must be bit-lossless")
+  }
+
   test("query names are unique across sub-catalogs") {
     val parts = Seq(
       queries.RelationalQueries.queries, queries.WindowScalarQueries.queries,
