@@ -116,6 +116,25 @@ object LakehouseCli {
         val n = table.buildBloomIndex(args(2))
         out.println(s"bloomindex: ${n} file(s) indexed on '${args(2)}'")
         0
+      case "annbuild" =>
+        // engine extension: train + persist the IVF-PQ serving index
+        // over a (vec_id, embedding) table — the q114 lifecycle from
+        // the operator console (reload/serve never retrains)
+        if (args.length < 3) { out.println(usage); return 2 }
+        val idx = graft.lakehouse.AnnIndex.build(spark, table.read(), args(2))
+        out.println(s"annbuild: ${idx.centroids.size} cells, " +
+          s"${idx.books.map(_.size).sum} codewords, ${idx.codes.count()} coded vectors -> ${args(2)}")
+        0
+      case "annstatus" =>
+        // index health without loading the corpus: model metadata +
+        // codes count (a partition-pruned metadata-ish scan)
+        if (args.length < 3) { out.println(usage); return 2 }
+        val idx = graft.lakehouse.AnnIndex.load(spark, args(2))
+        val cells = idx.codes.select("cell").distinct().count()
+        out.println(s"annstatus: ${idx.centroids.size} trained cells " +
+          s"(${cells} occupied), ${idx.books.map(_.size).sum} codewords, " +
+          s"${idx.codes.count()} coded vectors")
+        0
       case "lookup" =>
         // point lookup THROUGH the bloom index: prints the pruning
         // stats beside the rows so the skipping is observable
@@ -154,5 +173,7 @@ object LakehouseCli {
       |       graft.Cli lakehouse changes <tableDir> --follow [afterSnapshot]
       |       graft.Cli lakehouse zorder <tableDir> <col1,col2,...> <targetFiles>
       |       graft.Cli lakehouse bloomindex <tableDir> <col>
-      |       graft.Cli lakehouse lookup <tableDir> <col> <value>""".stripMargin
+      |       graft.Cli lakehouse lookup <tableDir> <col> <value>
+      |       graft.Cli lakehouse annbuild <vectorTableDir> <indexRoot>
+      |       graft.Cli lakehouse annstatus <tableDir> <indexRoot>""".stripMargin
 }

@@ -140,6 +140,32 @@ class CliSpec extends SparkSpec {
     assert(cli("lakehouse", "zorder", dir)._1 === 2)
   }
 
+  test("lakehouse sub-app: predicated query and ann index lifecycle (engine extensions)") {
+    import spark.implicits._
+    // predicated query rides the automatic skipping read path
+    val dir = tmpDir("cli-lh-pred")
+    val table = new graft.lakehouse.LakehouseTable(spark, dir)
+    table.append((0L until 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val (c1, q1) = cli("lakehouse", "query", dir, "current", "5", "id=42")
+    assert(c1 === 0 && q1.contains("42\tv42") && !q1.contains("41\t"), q1)
+    val (c2, q2) = cli("lakehouse", "query", dir, "current", "5", "id=2..4")
+    assert(c2 === 0 && q2.contains("2\tv2") && q2.contains("4\tv4") && !q2.contains("5\tv5"), q2)
+
+    // ann build + status over a (vec_id, embedding) vector table
+    def vec(id: Long): Seq[Float] =
+      (0 until 64).map(d => (((id * 31 + d * 17) % 97).toFloat - 48f) / 48f)
+    val vdir = tmpDir("cli-lh-vec")
+    val vt = new graft.lakehouse.LakehouseTable(spark, vdir)
+    vt.append((0L until 64L).map(i => (i, vec(i))).toDF("vec_id", "embedding"))
+    val idxRoot = tmpDir("cli-lh-idx")
+    val (c3, b) = cli("lakehouse", "annbuild", vdir, idxRoot)
+    assert(c3 === 0 && b.contains("coded vectors"), b)
+    assert(b.contains("64 coded vectors"), b)
+    val (c4, st) = cli("lakehouse", "annstatus", vdir, idxRoot)
+    assert(c4 === 0 && st.contains("trained cells") && st.contains("64 coded vectors"), st)
+    assert(cli("lakehouse", "annbuild", vdir)._1 === 2)
+  }
+
   test("unknown / missing command prints usage and exits 2") {
     assert(cli()._1 === 2)
     assert(cli("frobnicate", "x.yaml")._1 === 2)
