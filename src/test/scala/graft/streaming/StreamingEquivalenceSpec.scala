@@ -635,6 +635,16 @@ class StreamingEquivalenceSpec extends SparkSpec {
     r.commit(2L)
   }
 
+  test("change-feed Source registers under the graft-changefeed short name (DataSourceRegister)") {
+    import spark.implicits._
+    import graft.lakehouse.LakehouseTable
+    val root = tmpDir("cdf-shortname")
+    new LakehouseTable(spark, root).append(Seq((1L, "a")).toDF("id", "v"))
+    val df = spark.readStream.format("graft-changefeed").option("path", root).load()
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSeq === Seq("id", "v", "_change"))
+  }
+
   test("change-feed Source: spark.readStream drives the feed end-to-end with checkpointed restart-resume") {
     import spark.implicits._
     import graft.lakehouse.{ChangeFeedSourceProvider, LakehouseTable}
