@@ -56,7 +56,9 @@ object LakehouseCli {
         // optional 5th arg: col=value (equality) or col=lo..hi (range)
         // — routed through the automatic skipping read path, so bloom
         // sidecars / footer min-max / partition dirs prune unprompted
-        val preds = args.lift(4).toSeq.map(parsePredicate)
+        val predArgs = args.lift(4).toSeq
+        val preds = predArgs.flatMap(parsePredicate)
+        if (preds.size != predArgs.size) { out.println(usage); return 2 }
         val df = args.lift(2).filterNot(_ == "current") match {
           case Some(id) if preds.nonEmpty => table.scanAtSnapshot(id.toLong, preds).limit(limit)
           case Some(id) => table.scanAtSnapshot(id.toLong, Some(limit))
@@ -154,16 +156,21 @@ object LakehouseCli {
   }
 
   /** `col=value` → equality, `col=lo..hi` → inclusive range (either
-    * bound may be empty: `col=5..`, `col=..9`).
+    * bound may be empty: `col=5..`, `col=..9`); None on malformed
+    * input so the caller prints usage instead of a stack trace. A
+    * literal value containing ".." always parses as a range — quote
+    * nothing, there is no escape (CLI grammar, documented in usage).
     */
-  private def parsePredicate(s: String): graft.lakehouse.ScanPredicate = {
-    val Array(c, rhs) = s.split("=", 2)
-    if (rhs.contains("..")) {
-      val Array(lo, hi) = rhs.split("\\.\\.", 2).padTo(2, "")
-      graft.lakehouse.ScanPredicate.Range(c,
-        Some(lo).filter(_.nonEmpty), Some(hi).filter(_.nonEmpty))
-    } else graft.lakehouse.ScanPredicate.EqualTo(c, rhs)
-  }
+  private def parsePredicate(s: String): Option[graft.lakehouse.ScanPredicate] =
+    s.split("=", 2) match {
+      case Array(c, rhs) if c.nonEmpty =>
+        if (rhs.contains("..")) {
+          val Array(lo, hi) = rhs.split("\\.\\.", 2).padTo(2, "")
+          Some(graft.lakehouse.ScanPredicate.Range(c,
+            Some(lo).filter(_.nonEmpty), Some(hi).filter(_.nonEmpty)))
+        } else Some(graft.lakehouse.ScanPredicate.EqualTo(c, rhs))
+      case _ => None
+    }
 
   private val usage =
     """usage: graft.Cli lakehouse snapshots <tableDir>

@@ -90,8 +90,6 @@ object AnnIndex {
     */
   def build(spark: SparkSession, embeddings: DataFrame, root: String): AnnIndexHandle = {
     graft.functions.GraftFunctions.register(spark)
-    deleteTree(modelRoot(root))
-    deleteTree(codesRoot(root))
     val e = embeddings
       .withColumn("nrm", sqrt(expr("dotp(embedding, embedding)"))).cache()
     val sc = spark.sparkContext
@@ -101,7 +99,15 @@ object AnnIndex {
     sc.setJobGroup(TrainJobGroup, "ANN index: residual PQ Lloyd passes", interruptOnCancel = false)
     val books = try LlmSimQueries.pqCodebooks(residuals) finally sc.clearJobGroup()
 
-    val model = new LakehouseTable(spark, modelRoot(root))
+    // STAGE the rebuild: train + write into fresh `.staging` roots and
+    // swap in only after BOTH tables are durably written — a crash or
+    // executor failure mid-rebuild must leave the previous index
+    // serving (the maintenance scheduler swallows errors by contract,
+    // so a delete-first build would silently destroy the index)
+    val stagingModel = modelRoot(root) + ".staging"
+    val stagingCodes = codesRoot(root) + ".staging"
+    deleteTree(stagingModel)
+    deleteTree(stagingCodes)
     val modelDf = {
       import spark.implicits._
       (cv.map { case (cid, emb, _) => ("centroid", -1, cid, emb.toSeq) } ++
@@ -109,15 +115,19 @@ object AnnIndex {
           b.map { case (cid, c) => ("book", s, cid, c.toSeq) }
         }).toDF("kind", "sub", "cid", "vec")
     }
-    model.append(modelDf.coalesce(1))
-
-    val codesTable = new LakehouseTable(spark, codesRoot(root))
-    codesTable.append(
+    new LakehouseTable(spark, stagingModel).append(modelDf.coalesce(1))
+    new LakehouseTable(spark, stagingCodes).append(
       LlmSimQueries.pqEncode(residuals, books, keep = Seq("cell")),
       partitionBy = Seq("cell"))
     residuals.unpersist()
     e.unpersist()
-    AnnIndexHandle(cv, books, codesTable.read())
+    // the swap: two directory moves, no training work at risk
+    deleteTree(modelRoot(root))
+    deleteTree(codesRoot(root))
+    Files.createDirectories(Paths.get(root))
+    Files.move(Paths.get(stagingModel), Paths.get(modelRoot(root)))
+    Files.move(Paths.get(stagingCodes), Paths.get(codesRoot(root)))
+    AnnIndexHandle(cv, books, new LakehouseTable(spark, codesRoot(root)).read())
   }
 
   /** Reload the handle from the persisted tables — the restart path.

@@ -59,7 +59,11 @@ final class ChangeFeedReader(table: LakehouseTable, startAfter: Option[Long] = N
         Some((table.scanAtSnapshot(head).withColumn("_change", lit("insert")), head))
     }
     out.foreach { case (_, id) =>
-      if (autoCommit) committed = Some(id) else pending = Some(id)
+      // an auto-commit poll supersedes any uncommitted batch — leaving
+      // the old pending edge live would let a later commit(oldEdge)
+      // silently move the cursor BACKWARDS past this newer commit
+      if (autoCommit) { committed = Some(id); pending = None }
+      else pending = Some(id)
     }
     out
   }
@@ -71,6 +75,8 @@ final class ChangeFeedReader(table: LakehouseTable, startAfter: Option[Long] = N
   def commit(id: Long): Unit = {
     require(pending.contains(id) || committed.contains(id),
       s"commit($id) does not match a polled batch (pending=$pending, committed=$committed)")
+    require(committed.forall(_ <= id),
+      s"commit($id) would move the cursor backwards past committed=$committed")
     if (pending.contains(id)) { committed = Some(id); pending = None }
   }
 

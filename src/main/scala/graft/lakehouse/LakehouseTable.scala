@@ -299,9 +299,13 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     * maintenance lifecycle. Returns sidecars removed.
     */
   def pruneBloomSidecars(): Int = writeLock.synchronized {
+    val live = listSnapshots().flatMap(_.files).toSet
+    // footer-stats cache entries for dropped files go with them — on a
+    // long-lived table under continuous maintenance the map would
+    // otherwise grow one dead entry per rewritten file per column
+    footerStats.keySet.removeIf(k => !live.contains(k._1))
     val bd = rootPath.resolve("_index").resolve("bloom")
     if (!Files.isDirectory(bd)) return 0
-    val live = listSnapshots().flatMap(_.files).toSet
     val dead = Files.walk(bd).iterator().asScala.toSeq
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".bloom"))
       .filterNot { p =>
@@ -544,21 +548,16 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     lit(value).cast(field.dataType)
   }
 
-  /** Point-lookup file pruning: (files to read, skipped count). Files
-    * without a sidecar are always read.
+  /** Point-lookup file pruning: (files to read, skipped count) — the
+    * [[pruneFiles]] equality path (bloom sidecars + footer min/max +
+    * partition dirs; files without evidence always read). One prune
+    * implementation serves the CLI `lookup`, `query col=value` and
+    * `read(preds)` so the paths cannot drift.
     */
   def pointLookupFiles(c: String, value: Any): (Seq[String], Int) = {
     val snap = currentSnapshot().getOrElse(
       throw new IllegalStateException(s"table $root has no snapshots"))
-    // hash the probe through the SAME engine expression the index used
-    val h = spark.range(1).select(xxhash64(probeLit(c, value))).head.getLong(0)
-    val (indexed, unindexed) = snap.files.partition(f => Files.exists(bloomPath(c, f)))
-    val kept = indexed.filter { f =>
-      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(Files.readAllBytes(bloomPath(c, f))))
-      bf.mightContainLong(h)
-    }
-    (kept ++ unindexed, indexed.size - kept.size)
+    pruneFiles(snap, Seq(ScanPredicate.EqualTo(c, value)))
   }
 
   /** Exact point lookup through the bloom index: scans only files the
@@ -635,9 +634,25 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
       case d: java.lang.Double => asDouble(probe).map(p => java.lang.Double.compare(d, p))
       case f: java.lang.Float => asDouble(probe).map(p => java.lang.Double.compare(f.doubleValue, p))
       case b: org.apache.parquet.io.api.Binary =>
-        Some(b.toStringUsingUTF8.compareTo(String.valueOf(probe)))
+        // compare UTF-8 BYTES unsigned — Spark string ordering is
+        // UTF8String's binary compare, and Java String.compareTo
+        // (UTF-16 code units) disagrees above the BMP; a pruning
+        // decision under the wrong ordering silently drops rows
+        Some(utf8Compare(b.getBytes, String.valueOf(probe).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)))
       case _ => None
     }
+  }
+
+  private def utf8Compare(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
   }
 
   /** Footer-stats verdict: can `relFile` hold a row with `c` in
@@ -653,20 +668,38 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
           lo.forall(l => compareStat(mx, l).forall(_ >= 0))
     }
 
-  /** Hive partition-path verdict for `data/sN/col=value/part-*`. */
-  private def partitionMayMatch(relFile: String, c: String,
+  /** Hive partition-path verdict for `data/sN/a=1/b=2/part-*`: EVERY
+    * `col=` segment is consulted (multi-level partitioning), and the
+    * comparison semantics come from the column's DECLARED type in the
+    * snapshot schema — never from whether the path value happens to
+    * parse as a number (a StringType column holding "9"/"10" compares
+    * lexically in the residual filter, so pruning it numerically would
+    * silently drop matching rows). String columns prune on EQUALITY
+    * only (range pruning would need Spark's exact UTF8 ordering on the
+    * raw dir name — not worth the risk); unknown types never prune.
+    */
+  private def partitionMayMatch(relFile: String, c: String, dt: Option[DataType],
       lo: Option[Any], hi: Option[Any]): Boolean = {
-    val seg = relFile.split('/').find(_.contains("=")).map(_.split("=", 2))
-    seg match {
-      case Some(Array(k, v)) if nameKey(k) == nameKey(c) =>
-        def cmp(p: Any): Option[Int] =
-          scala.util.Try(v.trim.toLong).toOption match {
-            case Some(pv) => scala.util.Try(String.valueOf(p).trim.toLong)
-              .toOption.map(java.lang.Long.compare(pv, _))
-            case None => Some(v.compareTo(String.valueOf(p)))
-          }
+    val v = relFile.split('/').filter(_.contains("=")).map(_.split("=", 2))
+      .collectFirst { case Array(k, pv) if nameKey(k) == nameKey(c) => pv }
+      .getOrElse(return true)
+    import org.apache.spark.sql.types._
+    def cmp(p: Any): Option[Int] = dt match {
+      case Some(ByteType | ShortType | IntegerType | LongType) =>
+        for (a <- scala.util.Try(v.trim.toLong).toOption;
+             b <- scala.util.Try(String.valueOf(p).trim.toLong).toOption)
+          yield java.lang.Long.compare(a, b)
+      case Some(FloatType | DoubleType) =>
+        for (a <- scala.util.Try(v.trim.toDouble).toOption;
+             b <- scala.util.Try(String.valueOf(p).trim.toDouble).toOption)
+          yield java.lang.Double.compare(a, b)
+      case _ => None
+    }
+    (lo, hi) match {
+      case (Some(l), Some(h)) if l == h && dt.contains(StringType) =>
+        v == String.valueOf(l) // string equality is ordering-free
+      case _ =>
         hi.forall(h => cmp(h).forall(_ <= 0)) && lo.forall(l => cmp(l).forall(_ >= 0))
-      case _ => true
     }
   }
 
@@ -678,14 +711,19 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
 
   /** (files to read, skipped count) for a predicate set. */
   def pruneFiles(snap: Snapshot, preds: Seq[ScanPredicate]): (Seq[String], Int) = {
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    def declared(c: String): Option[DataType] =
+      schema.fields.find(f => nameKey(f.name) == nameKey(c)).map(_.dataType)
     var kept = snap.files
     preds.foreach {
       case ScanPredicate.EqualTo(c, v) =>
         val h = spark.range(1).select(xxhash64(probeLit(c, v))).head.getLong(0)
+        val dt = declared(c)
         kept = kept.filter(f => bloomMayContain(c, f, h) &&
-          statsMayMatch(f, c, Some(v), Some(v)) && partitionMayMatch(f, c, Some(v), Some(v)))
+          statsMayMatch(f, c, Some(v), Some(v)) && partitionMayMatch(f, c, dt, Some(v), Some(v)))
       case ScanPredicate.Range(c, lo, hi) =>
-        kept = kept.filter(f => statsMayMatch(f, c, lo, hi) && partitionMayMatch(f, c, lo, hi))
+        val dt = declared(c)
+        kept = kept.filter(f => statsMayMatch(f, c, lo, hi) && partitionMayMatch(f, c, dt, lo, hi))
     }
     (kept, snap.files.size - kept.size)
   }
@@ -715,8 +753,13 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
 
   private def readPruned(snap: Snapshot, preds: Seq[ScanPredicate]): DataFrame = {
     val (files, _) = pruneFiles(snap, preds)
-    if (files.isEmpty) read().filter(lit(false))
-    else readFiles(files).filter(residual(preds))
+    // empty prune keeps THE SNAPSHOT'S schema — building the empty
+    // frame off read() would leak the current snapshot's (possibly
+    // widened) schema into a time-traveled scan
+    if (files.isEmpty) {
+      val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else readFiles(files).filter(residual(preds))
   }
 
   def compactZOrder(cols: Seq[String], targetFiles: Int,

@@ -147,8 +147,8 @@ object LlmTextQueries {
     //      b~c must collapse to ONE kept doc even when a≁c directly).
     //      Min-label propagation to fixpoint: O(cluster diameter)
     //      rounds of key-hash joins — the standard distributed CC —
-    //      with the edge set materialized once and each round's labels
-    //      checkpointed so iterative lineage can't stack. ----
+    //      with the edge set materialized once and label lineage
+    //      truncated on a fixed cadence so deep graphs can't stack. ----
     "q77_dedup_clusters" -> ((s, dir) => {
       val (pairs, sh) = ngramJaccardPairs(s, dir)
       import s.implicits._
@@ -176,12 +176,20 @@ object LlmTextQueries {
       var labels = edges.keys.distinct(part.numPartitions)
         .map(v => (v, v)).partitionBy(part).persist(lvl)
       var changed = 1L
+      var round = 0
       while (changed > 0) {
         // edge (x, y): x's label flows to y (symmetry covers both
         // directions); incumbents ride the same reduce
         val msgs = edges.join(labels).map { case (_, (y, lbl)) => (y, lbl) }
         val next = msgs.union(labels)
           .reduceByKey(part, (a: Long, b: Long) => math.min(a, b)).persist(lvl)
+        round += 1
+        // persist() bounds recomputation but not LINEAGE: each round
+        // deepens the dependency graph the scheduler re-walks per job,
+        // so a diameter-D cluster chain would cost O(D²) scheduler
+        // work (and eventually a deep-graph stack overflow). Truncate
+        // periodically — materialized by the count below.
+        if (round % 20 == 0) next.localCheckpoint()
         // co-partitioned → narrow join; one action per round
         changed = labels.join(next)
           .filter { case (_, (prev, now)) => now < prev }.count()

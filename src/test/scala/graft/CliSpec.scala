@@ -164,6 +164,9 @@ class CliSpec extends SparkSpec {
     val (c4, st) = cli("lakehouse", "annstatus", vdir, idxRoot)
     assert(c4 === 0 && st.contains("trained cells") && st.contains("64 coded vectors"), st)
     assert(cli("lakehouse", "annbuild", vdir)._1 === 2)
+    // malformed predicate: usage + exit 2, never a stack trace
+    assert(cli("lakehouse", "query", dir, "current", "5", "id42")._1 === 2)
+    assert(cli("lakehouse", "query", dir, "current", "5", "=42")._1 === 2)
   }
 
   test("unknown / missing command prints usage and exits 2") {

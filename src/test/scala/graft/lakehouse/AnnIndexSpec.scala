@@ -101,6 +101,23 @@ class AnnIndexSpec extends SparkSpec {
     assert(gotCodes.toSeq === wantCodes.toSeq)
   }
 
+  test("rebuild is staged: the swap leaves no staging dirs and replaces the index atomically-enough") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = tmpDir("annidx")
+    AnnIndex.build(spark, emb.filter(col("vec_id") < 200), root)
+    assert(AnnIndex.load(spark, root).codes.count() === 200L)
+    // second build over the grown corpus REPLACES (no leftover rows,
+    // no .staging residue)
+    AnnIndex.build(spark, emb, root)
+    val idx = AnnIndex.load(spark, root)
+    assert(idx.codes.count() === emb.count())
+    assert(idx.codes.select("vec_id").distinct().count() === emb.count())
+    val residue = Files.list(Paths.get(root)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.contains("staging")).toSeq
+    assert(residue.isEmpty, s"staging dirs left behind: $residue")
+  }
+
   test("codes table is cell-partitioned: a probed scan reads only probed-cell files") {
     val root = tmpDir("annidx")
     AnnIndex.build(spark, emb, root)

@@ -106,6 +106,55 @@ class SkippingReadSpec extends SparkSpec {
     assert(t.scanAtSnapshot(firstId, Seq(ScanPredicate.EqualTo("id", 4500L))).count() === 0)
   }
 
+  test("STRING partition column with numeric-looking values: equality prunes, ranges never mis-prune") {
+    import spark.implicits._
+    val t = new LakehouseTable(spark, tmpDir("skipread-strpart"))
+    // partition values "9" and "10": numeric order 9 < 10, lexical
+    // order "10" < "9" — a value-parse-based pruner would drop rows
+    // the string-typed residual filter keeps
+    t.append(Seq((1L, "9"), (2L, "9"), (3L, "10")).toDF("id", "bucket").coalesce(1),
+      partitionBy = Seq("bucket"))
+    // equality on the string partition value prunes exactly
+    val eq = t.read(Seq(ScanPredicate.EqualTo("bucket", "9")))
+    assert(filesRead(eq) === 1 && eq.count() === 2)
+    // ranges: the pruner sees the DECLARED string type (prunes
+    // equality only — conservative), while Spark's partition-type
+    // INFERENCE reads the numeric-looking values back as ints, so the
+    // residual compares numerically. Pruning must never contradict
+    // whatever the residual decides — the unpruned and pruned reads
+    // must agree exactly
+    val want = t.read().filter(col("bucket") >= "10").count()
+    val got = t.read(Seq(ScanPredicate.Range("bucket", Some("10"), None))).count()
+    assert(got === want, "string-range pruning must match the residual filter's semantics")
+  }
+
+  test("multi-level partitioning: predicates on the SECOND partition column still prune") {
+    import spark.implicits._
+    val t = new LakehouseTable(spark, tmpDir("skipread-multipart"))
+    val rows = for (r <- 0 until 2; d <- 0 until 3; i <- 0 until 50)
+      yield ((r * 1000 + d * 100 + i).toLong, r, d)
+    t.append(rows.toDF("id", "region", "day").coalesce(1), partitionBy = Seq("region", "day"))
+    val df = t.read(Seq(ScanPredicate.EqualTo("day", 1)))
+    assert(filesRead(df) === 2, "only the two day=1 directories should be scanned")
+    assert(df.count() === 100)
+    val both = t.read(Seq(ScanPredicate.EqualTo("region", 1), ScanPredicate.EqualTo("day", 2)))
+    assert(filesRead(both) === 1)
+    assert(both.count() === 50)
+  }
+
+  test("time-traveled empty prune keeps the HISTORICAL schema, not the current one") {
+    import spark.implicits._
+    val t = new LakehouseTable(spark, tmpDir("skipread-ttschema"))
+    t.append(Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    val firstId = t.currentSnapshot().get.snapshotId
+    // widen the CURRENT schema
+    t.append(Seq((2L, "b", 9L)).toDF("id", "v", "w").coalesce(1))
+    val empty = t.scanAtSnapshot(firstId, Seq(ScanPredicate.EqualTo("id", -1L)))
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq === Seq("id", "v"),
+      "an emptied time-travel scan must not leak the widened current schema")
+  }
+
   test("string probe against a BIGINT column coerces (the CLI shape); empty prune returns empty") {
     val t = rangedTable()
     val df = t.read(Seq(ScanPredicate.EqualTo("id", "4500")))

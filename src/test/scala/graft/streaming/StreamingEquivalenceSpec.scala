@@ -633,6 +633,16 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(c2 === 2L)
     assert(b2.select("id").as[Long].collect().toSeq === Seq(3L))
     r.commit(2L)
+    // stale-pending regression: an auto-commit poll supersedes an
+    // uncommitted batch, so committing the old edge must fail loudly
+    // instead of silently rewinding the cursor
+    t.append(Seq((4L, "d")).toDF("id", "v"))
+    val (_, c3) = r.poll(autoCommit = false).get
+    assert(c3 === 3L)
+    t.append(Seq((5L, "e")).toDF("id", "v"))
+    assert(r.poll().map(_._2) === Some(4L)) // auto-commit to the new head
+    intercept[IllegalArgumentException](r.commit(3L))
+    assert(r.cursor === Some(4L), "cursor must never move backwards")
   }
 
   test("change-feed Source registers under the graft-changefeed short name (DataSourceRegister)") {
