@@ -29,7 +29,10 @@ object Bench {
     // GC noise distorts the single-thread decode loop
     val cdcMetrics: Map[String, Double] =
       try {
-        val e2e = CdcBench.e2eRuns(spark, n = 100000, partitions = 8)
+        // 5 runs: the e2e number has shown ±40% best-to-median spread
+        // under host steal (round-6/7 driver benches) — the min-of-2
+        // treatment the queries got, applied to the streaming path
+        val e2e = CdcBench.e2eRuns(spark, n = 100000, partitions = 8, k = 5)
         CdcBench.walDecodeBenches() ++ Map(
           // headline is best-of-k steady state; run count + median are
           // recorded beside it so the methodology travels with the number
