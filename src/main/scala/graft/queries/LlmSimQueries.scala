@@ -1058,6 +1058,33 @@ object LlmSimQueries {
     //      FRESH session and serve — zero training jobs on the reload
     //      path (AnnIndexSpec pins that with a job-group listener).
     //      Same oracle as q111: persistence must be bit-lossless. ----
+    // ---- incremental-index serving (the production ingestion story):
+    //      build the IVFPQ index on the BASE three quarters of the
+    //      corpus, APPEND the rest with encode-on-append (frozen
+    //      codebooks — per-batch cost, never corpus cost), reload in a
+    //      fresh session and serve over the mixed index. The oracle
+    //      trains its CTE chain on the same base slice and encodes
+    //      everything against the frozen books, so this gates the
+    //      WHOLE incremental contract: what append writes must be
+    //      exactly what full training on the base would have encoded. ----
+    "q116_ann_index_incremental" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_annincr_" + Integer.toHexString(dir.hashCode)).toString
+      val all = Tables.load(s, dir, "embeddings")
+      graft.lakehouse.AnnIndex.build(s, all.filter(col("vec_id") % 4 =!= 0), root)
+      graft.lakehouse.AnnIndex.append(s, all.filter(col("vec_id") % 4 === 0), root)
+      val s2 = s.newSession()
+      graft.functions.GraftFunctions.register(s2)
+      val idx = graft.lakehouse.AnnIndex.load(s2, root)
+      val e2 = Tables.load(s2, dir, "embeddings")
+        .withColumn("nrm", sqrt(sqnorm("embedding"))).cache()
+      val out = ivfpqServe(s2, e2, idx.centroids, idx.books, idx.codes)
+        .localCheckpoint()
+      e2.unpersist()
+      out.orderBy(col("q_id"), col("rk"))
+    }),
     "q114_ann_index_reuse" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val root = java.nio.file.Paths.get(
@@ -1273,14 +1300,20 @@ object LlmSimQueries {
     * construction), ending at `ranked` (per-vec centroid ranking) and
     * `assigned` (vec_id, embedding, nrm, cell).
     */
-  private def ivfAssignCtes(source: String = "embeddings"): String = {
+  /** `trainPred` restricts TRAINING (seed pick + Lloyd refinement) to a
+    * row subset while the final assignment still covers every row —
+    * the incremental-index contract (q116: centroids frozen on the
+    * base slice, appended vectors assigned against them).
+    */
+  private def ivfAssignCtes(source: String = "embeddings",
+      trainPred: String = "TRUE"): String = {
     val iterCtes = (1 to IvfIters).map { k =>
       s"""
       scored$k AS (
         SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
           ${dotSql("e.embedding", "c.c_emb")}
             / (e.nrm * sqrt(${dotSql("c.c_emb", "c.c_emb")})) AS cscore
-        FROM e CROSS JOIN cents${k - 1} c),
+        FROM e CROSS JOIN cents${k - 1} c WHERE ($trainPred)),
       assigned$k AS (
         SELECT vec_id, embedding, cent_id AS cell FROM (
           SELECT vec_id, embedding, cent_id,
@@ -1302,7 +1335,7 @@ object LlmSimQueries {
           sqrt(${dotSql("embedding", "embedding")}) AS nrm
         FROM $source),
       cents0 AS (SELECT CAST(vec_id AS INT) AS cent_id, embedding AS c_emb
-                 FROM e WHERE vec_id < $IvfC),$iterCtes,
+                 FROM e WHERE ($trainPred) AND vec_id < $IvfC),$iterCtes,
       scored_cells AS (
         SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
           ${dotSql("e.embedding", "c.c_emb")}
@@ -1353,9 +1386,13 @@ object LlmSimQueries {
   /** The per-subspace PQ CTE chain (init → Lloyd iters → encode → LUT),
     * parameterized on the training source (`e` for raw-vector PQ, the
     * residual CTE for IVF-PQ) and the query source (always raw
-    * vectors). Both must expose (vec_id, embedding).
+    * vectors). Both must expose (vec_id, embedding). `encodeSrc`
+    * separates WHO gets encoded from who trained (the incremental
+    * contract: frozen codebooks from the base slice encode everything).
     */
-  private def pqChainCtes(trainSrc: String, querySrc: String): String = {
+  private def pqChainCtes(trainSrc: String, querySrc: String,
+      encodeSrc: Option[String] = None): String = {
+    val encSrc = encodeSrc.getOrElse(trainSrc)
     def sliceOf(expr: String, s: Int): String =
       s"$expr[${s * PqDsub + 1}:${(s + 1) * PqDsub}]"
     (0 until PqM).map { s =>
@@ -1391,7 +1428,7 @@ object LlmSimQueries {
             row_number() OVER (PARTITION BY t.vec_id ORDER BY
               ${dotSql(sliceOf("t.embedding", s), "c.c")} - ${dotSql("c.c", "c.c")} / 2.0 DESC,
               c.cid) AS rk
-          FROM $trainSrc t CROSS JOIN p${s}c$PqIters c) WHERE rk = 1),
+          FROM $encSrc t CROSS JOIN p${s}c$PqIters c) WHERE rk = 1),
       p${s}lut AS (
         SELECT q.vec_id AS q_id, c.cid,
           ${dotSql(sliceOf("q.embedding", s), "c.c")} AS val
@@ -1451,16 +1488,28 @@ object LlmSimQueries {
     * RESIDUALS with LUTs from raw query vectors → coarse offset
     * dot(q, c_cell) + residual ADC → shortlist → exact rerank.
     */
-  private def ivfpqOracleSql: String = {
-    val subCtes = pqChainCtes("resid", "e")
+  private def ivfpqOracleSql: String = ivfpqOracleSqlFor("TRUE")
+
+  /** The q116 twin: the SAME IVFPQ math with training confined to the
+    * base slice (vec_id % 4 <> 0) — centroids and codebooks never see
+    * the appended quarter, every vector (base + appended) encodes
+    * against the frozen books, and serving covers the whole index.
+    * Mirrors AnnIndex.build(base) + AnnIndex.append(rest) exactly.
+    */
+  private def ivfpqIncrementalOracleSql: String =
+    ivfpqOracleSqlFor("vec_id % 4 <> 0")
+
+  private def ivfpqOracleSqlFor(trainPred: String): String = {
+    val subCtes = pqChainCtes("residbase", "e", encodeSrc = Some("resid"))
     val adcSum = (0 until PqM).map(s => s"l$s.val").mkString(" + ")
     pqMaterialize(s"""
-      WITH ${ivfAssignCtes()},
+      WITH ${ivfAssignCtes(trainPred = trainPred)},
       resid AS (
         SELECT a.vec_id, a.cell,
           list_transform(range(1, $AnnDim + 1),
             i -> CAST(CAST(a.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE) AS FLOAT)) AS embedding
-        FROM assigned a JOIN cents$IvfIters c ON c.cent_id = a.cell),$subCtes,
+        FROM assigned a JOIN cents$IvfIters c ON c.cent_id = a.cell),
+      residbase AS (SELECT * FROM resid WHERE ($trainPred)),$subCtes,
       codes AS (
         SELECT e0.vec_id, r.cell, e0.code0${(1 until PqM).map(s => s", e$s.code$s").mkString}
         FROM p0enc e0 $pqCodeJoin JOIN resid r ON r.vec_id = e0.vec_id),
@@ -1533,6 +1582,7 @@ object LlmSimQueries {
     // build → persist → fresh-session reload → serve must be lossless:
     // the reloaded index serves the exact q111 answer
     "q114_ann_index_reuse" -> ivfpqOracleSql,
+    "q116_ann_index_incremental" -> ivfpqIncrementalOracleSql,
     // same trained cells as q63 (shared CTE chain), SemDeDup pruning tail
     "q80_semantic_dedup" -> s"""
       WITH ${ivfAssignCtes()},
