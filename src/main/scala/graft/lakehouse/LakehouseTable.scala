@@ -11,14 +11,37 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.json4s.jackson.Serialization
 
-/** Snapshot manifest: one JSON file per table version (SURVEY.md §7.3). */
+/** Per-column file statistics recorded in the snapshot manifest at
+  * data-file write time (the Iceberg/Delta stats-in-metadata pattern).
+  * `typ` tags how min/max strings decode: "long" | "double" | "string".
+  * Binary columns are recorded ONLY when their parquet logical type is
+  * String — Binary also backs DECIMAL (unscaled bytes) and friends,
+  * where a UTF-8 compare is meaningless and could wrongly prune.
+  * Floats are widened to exact doubles before encoding (Float.toString
+  * re-parsed as a Double is a DIFFERENT value near file boundaries —
+  * a pruning decision off by one ulp silently drops rows).
+  */
+final case class ColumnStat(typ: String, min: String, max: String)
+
+/** Manifest stats for one data file: row count + per-column min/max.
+  * A file PRESENT in the snapshot's stats map never needs its parquet
+  * footer opened at planning time; columns absent from `cols` simply
+  * never prune (no evidence → keep).
+  */
+final case class FileStats(rows: Long, cols: Map[String, ColumnStat])
+
+/** Snapshot manifest: one JSON file per table version (SURVEY.md §7.3).
+  * `stats` maps data-file path → write-time footer stats; None only for
+  * manifests written before stats existed (footer-open fallback).
+  */
 final case class Snapshot(
     snapshotId: Long,
     parentId: Option[Long],
     timestampMs: Long,
     operation: String, // append | upsert | overwrite | rollback | compact
     files: Seq[String], // data-file paths relative to the table root
-    schemaJson: String)
+    schemaJson: String,
+    stats: Option[Map[String, FileStats]] = None)
 
 /** Pushed-down scan predicate for the skipping read path
   * ([[LakehouseTable.read(preds*)]]): equality probes consult bloom
@@ -94,11 +117,34 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
 
   private def nextId(): Long = currentSnapshot().map(_.snapshotId + 1).getOrElse(1L)
 
-  private def writeSnapshot(s: Snapshot): Snapshot = {
+  private def writeSnapshot(s0: Snapshot): Snapshot = {
+    val s = s0.copy(stats = Some(manifestStatsFor(s0.files)))
     Files.createDirectories(snapsDir)
     val p = snapsDir.resolve(f"${s.snapshotId}%09d.json")
     Files.writeString(p, Serialization.write(s))
     s
+  }
+
+  /** Stats map for a snapshot's file set: carried over for files an
+    * earlier snapshot already recorded (files are immutable, so stats
+    * never go stale), collected from the parquet footer — in parallel,
+    * at WRITE time, the one moment the footer is hot — for new files.
+    * Planning then never opens a footer (the Iceberg/Delta shape: scan
+    * planning is a manifest read, object-store-friendly).
+    */
+  private def manifestStatsFor(files: Seq[String]): Map[String, FileStats] = {
+    val missing = files.filterNot(knownStats.containsKey)
+    collectStats(missing).foreach { case (f, st) => knownStats.put(f, st) }
+    files.flatMap(f => Option(knownStats.get(f)).map(f -> _)).toMap
+  }
+
+  /** Every file-stats entry any manifest of this table has recorded
+    * (merged once per table handle, then maintained incrementally).
+    */
+  @transient private lazy val knownStats: java.util.concurrent.ConcurrentHashMap[String, FileStats] = {
+    val m = new java.util.concurrent.ConcurrentHashMap[String, FileStats]()
+    listSnapshots().foreach(_.stats.foreach(_.foreach { case (f, st) => m.put(f, st) }))
+    m
   }
 
   // ---------------- write paths ----------------
@@ -300,16 +346,18 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     */
   def pruneBloomSidecars(): Int = writeLock.synchronized {
     val live = listSnapshots().flatMap(_.files).toSet
-    // footer-stats cache entries for dropped files go with them — on a
-    // long-lived table under continuous maintenance the map would
-    // otherwise grow one dead entry per rewritten file per column
-    footerStats.keySet.removeIf(k => !live.contains(k._1))
+    // cache entries for dropped files go with them — on a long-lived
+    // table under continuous maintenance the maps would otherwise grow
+    // one dead entry per rewritten file
+    footerCache.keySet.removeIf(k => !live.contains(k))
+    bloomCache.keySet.removeIf(k => !live.contains(k._2))
+    knownStats.keySet.removeIf(k => !live.contains(k))
     val bd = rootPath.resolve("_index").resolve("bloom")
     if (!Files.isDirectory(bd)) return 0
     val dead = Files.walk(bd).iterator().asScala.toSeq
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".bloom"))
       .filterNot { p =>
-        val rel = p.getFileName.toString.stripSuffix(".bloom").replace('%', '/')
+        val rel = decodeSidecarName(p.getFileName.toString.stripSuffix(".bloom"))
         live.contains(rel)
       }
     dead.foreach(Files.deleteIfExists(_))
@@ -470,8 +518,20 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
 
   private val bloomDir = rootPath.resolve("_index").resolve("bloom")
 
+  /** Reversible flattening of a data-file path into a sidecar file
+    * name: '%' escapes FIRST so paths that themselves contain '%'
+    * (Spark %XX-escaped partition dirs like `k=a%3Ab`) round-trip —
+    * a lossy encoding made maintenance GC delete live sidecars (their
+    * decoded names never matched any snapshot file).
+    */
+  private[lakehouse] def encodeSidecarName(relFile: String): String =
+    relFile.replace("%", "%25").replace("/", "%2F")
+
+  private[lakehouse] def decodeSidecarName(name: String): String =
+    name.replace("%2F", "/").replace("%25", "%")
+
   private def bloomPath(c: String, relFile: String): Path =
-    bloomDir.resolve(nameKey(c)).resolve(relFile.replace('/', '%') + ".bloom")
+    bloomDir.resolve(nameKey(c)).resolve(encodeSidecarName(relFile) + ".bloom")
 
   /** Build sidecar blooms for every current-snapshot data file that
     * lacks one, in ONE pass: per-file key streams fold into bloom
@@ -530,6 +590,11 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     perFile.foreach { case (rel, bytes) =>
       Files.write(bloomPath(c, rel), bytes)
     }
+    // probes made before this build cached "no sidecar" for these
+    // files — drop those entries or the new index would be invisible
+    // to this handle (absence caching is otherwise correct: it is
+    // conservative, a missing sidecar only ever KEEPS a file)
+    bloomCache.keySet.removeIf(_._1 == nameKey(c))
     perFile.length
   }
 
@@ -574,46 +639,108 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
   //
   // read(preds)/scanAtSnapshot(id, preds) prune the snapshot's file
   // list BEFORE building the scan: bloom sidecars answer equality,
-  // parquet footer min/max (free — written by every parquet writer,
-  // and made selective per-file by z-order clustering) answer equality
-  // and ranges, and hive partition path values answer both. Footer
-  // reads are O(files) driver metadata, cached for the table's
-  // lifetime (data files are immutable). The exact predicate then
-  // re-applies on the scanned rows, so pruning can only skip files
-  // that PROVABLY hold no match.
+  // per-file min/max stats (recorded IN THE MANIFEST at write time —
+  // planning opens no parquet footer; footers are only a fallback for
+  // pre-stats manifests — and made selective per-file by z-order
+  // clustering) answer equality and ranges, and hive partition path
+  // values answer both. The exact predicate then re-applies on the
+  // scanned rows, so pruning can only skip files that PROVABLY hold
+  // no match.
 
-  /** Per-(file, column) footer min/max; None = no usable stats. */
-  @transient private lazy val footerStats =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Option[(Any, Any)]]()
+  // ---- file statistics: manifest-first, footer fallback ----
 
-  private def footerMinMax(relFile: String, c: String): Option[(Any, Any)] =
-    footerStats.computeIfAbsent((relFile, nameKey(c)), { _ =>
+  /** Planning-time footer opens (spec counter: a stats-bearing snapshot
+    * must plan with ZERO of these — manifest stats make scan planning a
+    * metadata read, which at 100 TB file counts is the difference
+    * between O(files) object-store round trips and none).
+    */
+  private[lakehouse] val footerOpens = new java.util.concurrent.atomic.AtomicLong
+  /** Bloom sidecar file loads (spec counter: repeated probes must hit
+    * the in-memory cache, not re-read sidecars).
+    */
+  private[lakehouse] val sidecarLoads = new java.util.concurrent.atomic.AtomicLong
+
+  /** Per-file footer stats cache (fallback for pre-stats manifests). */
+  @transient private lazy val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[FileStats]]()
+
+  /** Read one parquet footer → FileStats (all top-level primitive
+    * columns in one open). Unreadable footer → None (no evidence).
+    */
+  private def footerFileStats(relFile: String): Option[FileStats] =
+    footerCache.computeIfAbsent(relFile, { _ =>
+      footerOpens.incrementAndGet()
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(rootPath.resolve(relFile).toString),
           spark.sessionState.newHadoopConf())
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
-          val chunks = reader.getFooter.getBlocks.asScala.flatMap(
-            _.getColumns.asScala.filter(ch =>
-              nameKey(ch.getPath.toDotString) == nameKey(c)))
-          val stats = chunks.map(_.getStatistics)
-          if (stats.isEmpty || stats.exists(s => s == null || !s.hasNonNullValue)) None
-          else {
-            def pick(worse: Int => Boolean, get: org.apache.parquet.column.statistics.Statistics[_] => Any) =
-              stats.map(get).reduce { (a, b) =>
-                if (worse(a.asInstanceOf[Comparable[Any]].compareTo(b))) b else a
-              }
-            Some((pick(_ > 0, _.genericGetMin), pick(_ < 0, _.genericGetMax)))
-          }
+          val footer = reader.getFooter
+          val rows = footer.getBlocks.asScala.map(_.getRowCount).sum
+          val logicalString = footer.getFileMetaData.getSchema.getFields.asScala
+            .filter(f => f.isPrimitive && f.getLogicalTypeAnnotation.isInstanceOf[
+              org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation])
+            .map(f => nameKey(f.getName)).toSet
+          val byCol = footer.getBlocks.asScala.flatMap(_.getColumns.asScala)
+            .filter(_.getPath.size == 1)
+            .groupBy(ch => nameKey(ch.getPath.toDotString))
+          val cols = byCol.flatMap { case (ck, chunks) =>
+            val stats = chunks.map(_.getStatistics)
+            if (stats.exists(s => s == null || !s.hasNonNullValue)) None
+            else {
+              def pick(worse: Int => Boolean) =
+                stats.flatMap(s => Seq(s.genericGetMin, s.genericGetMax)).reduce { (a, b) =>
+                  if (worse(a.asInstanceOf[Comparable[Any]].compareTo(b))) b else a
+                }
+              encodeStat(pick(_ > 0), pick(_ < 0), logicalString(ck)).map(ck -> _)
+            }
+          }.toMap
+          Some(FileStats(rows, cols))
         } finally reader.close()
       } catch { case _: Exception => None } // unreadable footer → no evidence → keep
     })
 
-  /** Compare a footer stat value to a probe, coercing the probe to the
-    * stat's physical type; None = incomparable (never prunes).
+  /** Encode a (min, max) pair of parquet stat values as a typed
+    * ColumnStat; None = a type the pruner must never decide on.
     */
-  private def compareStat(statVal: Any, probe: Any): Option[Int] = {
+  private def encodeStat(mn: Any, mx: Any, isString: Boolean): Option[ColumnStat] =
+    (mn, mx) match {
+      case (a: java.lang.Long, b: java.lang.Long) =>
+        Some(ColumnStat("long", a.toString, b.toString))
+      case (a: java.lang.Integer, b: java.lang.Integer) =>
+        Some(ColumnStat("long", a.toString, b.toString))
+      case (a: java.lang.Double, b: java.lang.Double) =>
+        Some(ColumnStat("double", a.toString, b.toString))
+      case (a: java.lang.Float, b: java.lang.Float) =>
+        // widen to EXACT doubles first: Float.toString re-parsed as a
+        // double is a different value than f.toDouble near boundaries
+        Some(ColumnStat("double", a.doubleValue.toString, b.doubleValue.toString))
+      case (a: org.apache.parquet.io.api.Binary, b: org.apache.parquet.io.api.Binary)
+          if isString => // Binary also backs DECIMAL etc. — String only
+        Some(ColumnStat("string", a.toStringUsingUTF8, b.toStringUsingUTF8))
+      case _ => None
+    }
+
+  /** Collect footer stats for freshly written files, in parallel on the
+    * driver (write-time cost, once per file ever).
+    */
+  private def collectStats(files: Seq[String]): Map[String, FileStats] = {
+    import java.util.concurrent.CompletableFuture
+    val futs = files.map(f => f -> CompletableFuture.supplyAsync(() => footerFileStats(f)))
+    futs.flatMap { case (f, fut) => fut.join().map(f -> _) }.toMap
+  }
+
+  /** Compare a decoded stat value to a probe under the stat's type tag;
+    * None = incomparable (never prunes). String compares use UTF-8
+    * BYTES unsigned — Spark string ordering is UTF8String's binary
+    * compare, and Java String.compareTo (UTF-16 code units) disagrees
+    * above the BMP; a pruning decision under the wrong ordering
+    * silently drops rows. String stats only compare when the DECLARED
+    * snapshot type is StringType (the probe coerces to that type).
+    */
+  private def compareStat(st: ColumnStat, statVal: String, probe: Any,
+      declared: Option[DataType]): Option[Int] = {
     def asLong(v: Any): Option[Long] = v match {
       case l: Long => Some(l)
       case i: Int => Some(i.toLong)
@@ -628,18 +755,13 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
       case s: String => scala.util.Try(s.trim.toDouble).toOption
       case _ => None
     }
-    statVal match {
-      case l: java.lang.Long => asLong(probe).map(p => java.lang.Long.compare(l, p))
-      case i: java.lang.Integer => asLong(probe).map(p => java.lang.Long.compare(i.longValue, p))
-      case d: java.lang.Double => asDouble(probe).map(p => java.lang.Double.compare(d, p))
-      case f: java.lang.Float => asDouble(probe).map(p => java.lang.Double.compare(f.doubleValue, p))
-      case b: org.apache.parquet.io.api.Binary =>
-        // compare UTF-8 BYTES unsigned — Spark string ordering is
-        // UTF8String's binary compare, and Java String.compareTo
-        // (UTF-16 code units) disagrees above the BMP; a pruning
-        // decision under the wrong ordering silently drops rows
-        Some(utf8Compare(b.getBytes, String.valueOf(probe).getBytes(
-          java.nio.charset.StandardCharsets.UTF_8)))
+    st.typ match {
+      case "long" => asLong(probe).map(p => java.lang.Long.compare(statVal.toLong, p))
+      case "double" => asDouble(probe).map(p => java.lang.Double.compare(statVal.toDouble, p))
+      case "string" if declared.contains(org.apache.spark.sql.types.StringType) =>
+        Some(utf8Compare(
+          statVal.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          String.valueOf(probe).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       case _ => None
     }
   }
@@ -655,18 +777,27 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     a.length - b.length
   }
 
-  /** Footer-stats verdict: can `relFile` hold a row with `c` in
-    * [lo, hi]? Missing stats or incomparable types keep the file.
+  /** Stats verdict: can `relFile` hold a row with `c` in [lo, hi]?
+    * Manifest stats answer first — a file PRESENT in the snapshot's
+    * stats map never opens its footer (even if the column is missing
+    * there: absence already means "no usable stats"). Only files from
+    * pre-stats manifests fall back to a footer open. Missing stats or
+    * incomparable types keep the file.
     */
-  private def statsMayMatch(relFile: String, c: String,
-      lo: Option[Any], hi: Option[Any]): Boolean =
-    footerMinMax(relFile, c) match {
-      case None => true
-      case Some((mn, mx)) =>
-        // overlap test: file min <= hi AND file max >= lo
-        hi.forall(h => compareStat(mn, h).forall(_ <= 0)) &&
-          lo.forall(l => compareStat(mx, l).forall(_ >= 0))
+  private def statsMayMatch(snap: Snapshot, relFile: String, c: String,
+      declared: Option[DataType], lo: Option[Any], hi: Option[Any]): Boolean = {
+    val fs: Option[FileStats] = snap.stats match {
+      case Some(m) if m.contains(relFile) => m.get(relFile)
+      case _ => footerFileStats(relFile)
     }
+    fs.flatMap(_.cols.get(nameKey(c))) match {
+      case None => true
+      case Some(st) =>
+        // overlap test: file min <= hi AND file max >= lo
+        hi.forall(h => compareStat(st, st.min, h, declared).forall(_ <= 0)) &&
+          lo.forall(l => compareStat(st, st.max, l, declared).forall(_ >= 0))
+    }
+  }
 
   /** Hive partition-path verdict for `data/sN/a=1/b=2/part-*`: EVERY
     * `col=` segment is consulted (multi-level partitioning), and the
@@ -680,9 +811,16 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     */
   private def partitionMayMatch(relFile: String, c: String, dt: Option[DataType],
       lo: Option[Any], hi: Option[Any]): Boolean = {
-    val v = relFile.split('/').filter(_.contains("=")).map(_.split("=", 2))
+    val raw = relFile.split('/').filter(_.contains("=")).map(_.split("=", 2))
       .collectFirst { case Array(k, pv) if nameKey(k) == nameKey(c) => pv }
       .getOrElse(return true)
+    // Spark writes hive partition dirs with path-escaping (':' → %3A
+    // etc.) and nulls as __HIVE_DEFAULT_PARTITION__ — compare the
+    // DECODED value or a string like "a:b" would never equal its own
+    // partition's dir value and the file would be wrongly pruned
+    if (raw == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+      return true // null partition: no probe semantics here — never prune
+    val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(raw)
     import org.apache.spark.sql.types._
     def cmp(p: Any): Option[Int] = dt match {
       case Some(ByteType | ShortType | IntegerType | LongType) =>
@@ -703,28 +841,68 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     }
   }
 
-  private def bloomMayContain(c: String, relFile: String, hash: Long): Boolean = {
-    val p = bloomPath(c, relFile)
-    !Files.exists(p) || org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(Files.readAllBytes(p))).mightContainLong(hash)
+  /** Parsed bloom sidecars, cached per (column, file) — a sidecar is
+    * immutable once built, so repeated probes must not re-read it.
+    */
+  @transient private lazy val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Option[org.apache.spark.util.sketch.BloomFilter]]()
+
+  private def bloomMayContain(c: String, relFile: String, hash: Long): Boolean =
+    bloomCache.computeIfAbsent((nameKey(c), relFile), { _ =>
+      val p = bloomPath(c, relFile)
+      if (!Files.exists(p)) None
+      else {
+        sidecarLoads.incrementAndGet()
+        Some(org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(Files.readAllBytes(p))))
+      }
+    }).forall(_.mightContainLong(hash))
+
+  /** xxhash64 of the probe coerced to the column's declared type,
+    * computed DRIVER-SIDE with the same Catalyst expressions the bloom
+    * builder's `xxhash64(col)` compiles to — a sub-millisecond metadata
+    * step, where a `spark.range(1)` job would pay full job-submission
+    * latency per predicate on the planning path.
+    */
+  private def probeHash(value: Any, dt: DataType): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    val l = Literal(value)
+    val coerced = if (l.dataType == dt) l
+      else Cast(l, dt, Option(spark.sessionState.conf.sessionLocalTimeZone))
+    // seed 42 = the xxhash64() SQL function's fixed seed (the bloom
+    // builder indexes xxhash64(col), so the probe must match it)
+    XxHash64(Seq(coerced), 42L).eval(null).asInstanceOf[Long]
   }
 
-  /** (files to read, skipped count) for a predicate set. */
+  /** (files to read, skipped count) for a predicate set. Per-file
+    * verdicts are independent driver-side metadata checks (manifest
+    * stats, cached sidecars, path values) — evaluated in PARALLEL so
+    * planning latency stays flat as file counts grow; any residual IO
+    * (pre-stats footer fallback, first sidecar load) overlaps instead
+    * of serializing.
+    */
   def pruneFiles(snap: Snapshot, preds: Seq[ScanPredicate]): (Seq[String], Int) = {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     def declared(c: String): Option[DataType] =
       schema.fields.find(f => nameKey(f.name) == nameKey(c)).map(_.dataType)
-    var kept = snap.files
-    preds.foreach {
+    // per-predicate metadata resolved once, not per file
+    val compiled: Seq[String => Boolean] = preds.map {
       case ScanPredicate.EqualTo(c, v) =>
-        val h = spark.range(1).select(xxhash64(probeLit(c, v))).head.getLong(0)
         val dt = declared(c)
-        kept = kept.filter(f => bloomMayContain(c, f, h) &&
-          statsMayMatch(f, c, Some(v), Some(v)) && partitionMayMatch(f, c, dt, Some(v), Some(v)))
+        val h = probeHash(v, dt.getOrElse(
+          throw new IllegalArgumentException(
+            s"lookup column '$c' not in snapshot schema ${schema.fieldNames.mkString("[", ", ", "]")}")))
+        (f: String) => bloomMayContain(c, f, h) &&
+          statsMayMatch(snap, f, c, dt, Some(v), Some(v)) &&
+          partitionMayMatch(f, c, dt, Some(v), Some(v))
       case ScanPredicate.Range(c, lo, hi) =>
         val dt = declared(c)
-        kept = kept.filter(f => statsMayMatch(f, c, lo, hi) && partitionMayMatch(f, c, dt, lo, hi))
+        (f: String) => statsMayMatch(snap, f, c, dt, lo, hi) &&
+          partitionMayMatch(f, c, dt, lo, hi)
     }
+    val kept = snap.files.toVector.asJava.parallelStream()
+      .filter(f => compiled.forall(_(f)))
+      .collect(java.util.stream.Collectors.toList[String]).asScala.toSeq
     (kept, snap.files.size - kept.size)
   }
 

@@ -162,4 +162,107 @@ class SkippingReadSpec extends SparkSpec {
     assert(df.count() === 1)
     assert(t.read(Seq(ScanPredicate.EqualTo("id", 999999L))).count() === 0)
   }
+
+  test("pruneFiles runs ZERO Spark jobs — planning is pure driver metadata") {
+    val t = rangedTable()
+    t.buildBloomIndex("payload", expectedPerFile = 2000)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val snap = t.currentSnapshot().get
+      val (files, _) = t.pruneFiles(snap, Seq(
+        ScanPredicate.EqualTo("id", 4500L),
+        ScanPredicate.EqualTo("payload", "v4500"),
+        ScanPredicate.Range("id", Some(4000L), Some(4999L))))
+      assert(files === Seq(snap.files(4)))
+      Thread.sleep(200) // listener bus is async; jobs would have started synchronously anyway
+      assert(jobs.get() === 0,
+        s"file pruning submitted ${jobs.get()} Spark jobs — the probe hash must eval driver-side")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("stats-in-manifest: planning a stats-bearing snapshot opens ZERO parquet footers") {
+    val t = rangedTable()
+    assert(t.currentSnapshot().get.stats.exists(_.size === 16),
+      "every data file must carry write-time stats in the manifest")
+    // a FRESH handle (cold caches, like a new driver) must plan the
+    // pruned scan purely from the manifest
+    val t2 = new LakehouseTable(spark, t.root)
+    val before = t2.footerOpens.get()
+    val df = t2.read(Seq(ScanPredicate.Range("id", Some(1000L), Some(2999L))))
+    assert(filesRead(df) === 2 && df.count() === 2000)
+    assert(t2.footerOpens.get() === before,
+      "manifest stats present — planning must not open any parquet footer")
+  }
+
+  test("compaction/upsert carry stats by reference; rewritten files get fresh stats") {
+    import spark.implicits._
+    val t = rangedTable()
+    t.upsert(Seq((4500L, "UPD")).toDF("id", "payload").coalesce(1), keys = Seq("id"))
+    val snap = t.currentSnapshot().get
+    assert(snap.stats.exists(_.keySet === snap.files.toSet),
+      "every file of the upsert'd snapshot must have stats (carried or fresh)")
+    // and a fresh handle prunes through them with no footer opens
+    val t2 = new LakehouseTable(spark, t.root)
+    val df = t2.read(Seq(ScanPredicate.EqualTo("id", 4500L)))
+    assert(df.collect().map(_.getString(1)).toSeq === Seq("UPD"))
+    assert(t2.footerOpens.get() === 0)
+  }
+
+  test("bloom sidecars load once per (column, file): repeat probes hit the in-memory cache") {
+    val t = rangedTable()
+    t.buildBloomIndex("payload", expectedPerFile = 2000)
+    val t2 = new LakehouseTable(spark, t.root)
+    t2.read(Seq(ScanPredicate.EqualTo("payload", "v1"))).count()
+    val afterFirst = t2.sidecarLoads.get()
+    assert(afterFirst > 0 && afterFirst <= 16)
+    t2.read(Seq(ScanPredicate.EqualTo("payload", "v9999"))).count()
+    t2.read(Seq(ScanPredicate.EqualTo("payload", "v15000"))).count()
+    assert(t2.sidecarLoads.get() === afterFirst,
+      "repeat equality probes must not re-read sidecar files")
+  }
+
+  test("ESCAPED partition values (':' → %3A) compare decoded — no silent row loss") {
+    import spark.implicits._
+    val t = new LakehouseTable(spark, tmpDir("skipread-escpart"))
+    t.append(Seq((1L, "a:b"), (2L, "a:b"), (3L, "c#d"), (4L, "plain"))
+      .toDF("id", "k").coalesce(1), partitionBy = Seq("k"))
+    // the dir on disk is k=a%3Ab — an unescaped compare would prune it
+    val df = t.read(Seq(ScanPredicate.EqualTo("k", "a:b")))
+    assert(df.count() === 2, "rows in an escaped partition dir must survive pruning")
+    assert(filesRead(df) === 1, "equality on the decoded value must still prune the others")
+    assert(t.read(Seq(ScanPredicate.EqualTo("k", "c#d"))).count() === 1)
+  }
+
+  test("null partition (__HIVE_DEFAULT_PARTITION__) is never pruned away") {
+    import spark.implicits._
+    val t = new LakehouseTable(spark, tmpDir("skipread-nullpart"))
+    t.append(Seq((1L, Some("x")), (2L, None), (3L, Some("y")))
+      .toDF("id", "k").coalesce(1), partitionBy = Seq("k"))
+    // pruning on k="x" may skip k=y but must KEEP the null dir (no
+    // probe semantics against null — the residual filter decides)
+    val full = t.read(Seq(ScanPredicate.EqualTo("k", "x")))
+    assert(full.count() === 1)
+    val (files, _) = t.pruneFiles(t.currentSnapshot().get, Seq(ScanPredicate.EqualTo("k", "x")))
+    assert(files.exists(_.contains("HIVE_DEFAULT_PARTITION")),
+      "the null-partition file must stay in the candidate set")
+  }
+
+  test("sidecar names round-trip paths containing '%' — maintenance must not GC live blooms") {
+    import spark.implicits._
+    val t = new LakehouseTable(spark, tmpDir("skipread-pctpart"))
+    // escaped partition dir k=a%3Ab: the data-file path itself contains '%'
+    t.append((0 until 100).map(i => (i.toLong, "a:b")).toDF("id", "k").coalesce(1),
+      partitionBy = Seq("k"))
+    assert(t.buildBloomIndex("id", expectedPerFile = 200) === 1)
+    assert(t.pruneBloomSidecars() === 0,
+      "a live file's sidecar must survive GC even when its path contains '%'")
+    // encode/decode inverse pin
+    val tricky = Seq("data/s1/k=a%3Ab/part-0.parquet", "data/s1/k=a%2F/part.parquet", "%/%25")
+    tricky.foreach(p => assert(t.decodeSidecarName(t.encodeSidecarName(p)) === p))
+  }
 }
