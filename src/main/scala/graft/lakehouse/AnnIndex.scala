@@ -21,12 +21,14 @@ final case class AnnIndexHandle(
 /** Persistent IVF-PQ serving index over the lakehouse (the FAISS IVFPQ
   * architecture, Jégou et al. TPAMI 2011, made restart-durable):
   * [[build]] trains coarse centroids + residual codebooks and writes
-  * TWO lakehouse tables under `root` —
+  * TWO lakehouse tables under `root`, into VERSIONED roots committed
+  * by an atomic pointer-file flip (`root/INDEX.json` names the live
+  * version; see the layout notes on the companion) —
   *
-  *   - `root/model`: (kind, sub, cid, vec) — "centroid" rows carry the
-  *     IVF cells, "book" rows the per-subspace residual codewords.
+  *   - `root/model.v<N>`: (kind, sub, cid, vec) — "centroid" rows carry
+  *     the IVF cells, "book" rows the per-subspace residual codewords.
   *     O(C + M·K) rows of index metadata with full snapshot lineage.
-  *   - `root/codes`: (vec_id, code0..code{M-1}) PARTITIONED BY cell —
+  *   - `root/codes.v<N>`: (vec_id, code0..code{M-1}) PARTITIONED BY cell —
   *     the 16×-compressed corpus. Partitioning by cell means a serve
   *     with nprobe cells is a partition-pruned scan: unprobed files
   *     are never opened, which at 100 TB is the difference between
@@ -53,8 +55,63 @@ object AnnIndex {
     */
   val TrainJobGroup = "ann-index-train"
 
-  private def modelRoot(root: String) = root + "/model"
-  private def codesRoot(root: String) = root + "/codes"
+  // ---- versioned layout + pointer-file commit ----
+  //
+  // A rebuild trains into FRESH versioned roots (`model.v<N>`,
+  // `codes.v<N>`) and publishes by atomically replacing ONE small
+  // pointer file (`INDEX.json`) naming the live version — the same
+  // commit discipline the lakehouse snapshots use. Consequences:
+  //  - no crash window: until the pointer flips, readers resolve the
+  //    previous version; a crash mid-rebuild leaves orphan dirs, never
+  //    a missing index (the directory-move swap this replaces had a
+  //    delete-then-move window that could strand the root empty);
+  //  - rename-free for object storage: the only "atomic" operation is
+  //    a single small-object PUT;
+  //  - in-flight readers survive a rebuild: a handle loaded at version
+  //    N keeps its files until the N+2 build GCs version N (one
+  //    version of grace, like retained snapshots).
+
+  private def pointerPath(root: String) = Paths.get(root, "INDEX.json")
+  private def modelRoot(root: String, v: Long) = s"$root/model.v$v"
+  private def codesRoot(root: String, v: Long) = s"$root/codes.v$v"
+
+  /** The published index version, or None before the first publish. */
+  private[lakehouse] def currentVersion(root: String): Option[Long] = {
+    val p = pointerPath(root)
+    if (!Files.exists(p)) None
+    else {
+      val s = Files.readString(p)
+      val m = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(s).getOrElse(
+        throw new IllegalStateException(s"corrupt index pointer at $p: $s"))
+      Some(m.group(1).toLong)
+    }
+  }
+
+  /** Atomic publish: temp file + single ATOMIC_MOVE of the pointer. */
+  private def publish(root: String, v: Long): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, s"INDEX.json.tmp-$v")
+    Files.writeString(tmp, s"""{"version": $v}""")
+    Files.move(tmp, pointerPath(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Drop versioned roots older than `keepFrom` (publish-time GC: the
+    * PREVIOUS version always survives one rebuild for in-flight
+    * handles).
+    */
+  private def gcVersions(root: String, keepFrom: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(Paths.get(root))) return
+    val ver = """(?:model|codes)\.v(\d+)""".r
+    Files.list(Paths.get(root)).iterator().asScala.toSeq.foreach { p =>
+      p.getFileName.toString match {
+        case ver(v) if v.toLong < keepFrom => deleteTree(p.toString)
+        case _ => ()
+      }
+    }
+  }
 
   private def deleteTree(dir: String): Unit = {
     val p = Paths.get(dir)
@@ -89,6 +146,22 @@ object AnnIndex {
     * partitioned parquet write of the code rows themselves.
     */
   def build(spark: SparkSession, embeddings: DataFrame, root: String): AnnIndexHandle = {
+    val v = stageVersion(spark, embeddings, root)
+    // the commit: one atomic pointer replace — a crash any time before
+    // this line leaves the previous version serving; any time after,
+    // the new one. There is no in-between.
+    publish(root, v)
+    gcVersions(root, keepFrom = v - 1) // previous version survives for in-flight readers
+    load(spark, root)
+  }
+
+  /** Train + durably write the NEXT version's (model, codes) tables
+    * WITHOUT publishing them — [[build]] = stage, then pointer flip.
+    * Package-visible so the crash-injection spec can stop exactly at
+    * the unpublished state.
+    */
+  private[lakehouse] def stageVersion(
+      spark: SparkSession, embeddings: DataFrame, root: String): Long = {
     graft.functions.GraftFunctions.register(spark)
     val e = embeddings
       .withColumn("nrm", sqrt(expr("dotp(embedding, embedding)"))).cache()
@@ -99,15 +172,10 @@ object AnnIndex {
     sc.setJobGroup(TrainJobGroup, "ANN index: residual PQ Lloyd passes", interruptOnCancel = false)
     val books = try LlmSimQueries.pqCodebooks(residuals) finally sc.clearJobGroup()
 
-    // STAGE the rebuild: train + write into fresh `.staging` roots and
-    // swap in only after BOTH tables are durably written — a crash or
-    // executor failure mid-rebuild must leave the previous index
-    // serving (the maintenance scheduler swallows errors by contract,
-    // so a delete-first build would silently destroy the index)
-    val stagingModel = modelRoot(root) + ".staging"
-    val stagingCodes = codesRoot(root) + ".staging"
-    deleteTree(stagingModel)
-    deleteTree(stagingCodes)
+    val v = currentVersion(root).getOrElse(0L) + 1L
+    // an earlier crashed stage may have left a dir at this version
+    deleteTree(modelRoot(root, v))
+    deleteTree(codesRoot(root, v))
     val modelDf = {
       import spark.implicits._
       (cv.map { case (cid, emb, _) => ("centroid", -1, cid, emb.toSeq) } ++
@@ -115,19 +183,13 @@ object AnnIndex {
           b.map { case (cid, c) => ("book", s, cid, c.toSeq) }
         }).toDF("kind", "sub", "cid", "vec")
     }
-    new LakehouseTable(spark, stagingModel).append(modelDf.coalesce(1))
-    new LakehouseTable(spark, stagingCodes).append(
+    new LakehouseTable(spark, modelRoot(root, v)).append(modelDf.coalesce(1))
+    new LakehouseTable(spark, codesRoot(root, v)).append(
       LlmSimQueries.pqEncode(residuals, books, keep = Seq("cell")),
       partitionBy = Seq("cell"))
     residuals.unpersist()
     e.unpersist()
-    // the swap: two directory moves, no training work at risk
-    deleteTree(modelRoot(root))
-    deleteTree(codesRoot(root))
-    Files.createDirectories(Paths.get(root))
-    Files.move(Paths.get(stagingModel), Paths.get(modelRoot(root)))
-    Files.move(Paths.get(stagingCodes), Paths.get(codesRoot(root)))
-    AnnIndexHandle(cv, books, new LakehouseTable(spark, codesRoot(root)).read())
+    v
   }
 
   /** Reload the handle from the persisted tables — the restart path.
@@ -135,7 +197,9 @@ object AnnIndex {
     * scan handle on the codes table. No training jobs, no corpus scan.
     */
   def load(spark: SparkSession, root: String): AnnIndexHandle = {
-    val rows = new LakehouseTable(spark, modelRoot(root)).read()
+    val v = currentVersion(root).getOrElse(throw new IllegalStateException(
+      s"no published index at $root (missing ${pointerPath(root)})"))
+    val rows = new LakehouseTable(spark, modelRoot(root, v)).read()
       .select(col("kind"), col("sub"), col("cid"), col("vec")).collect()
     // centroid norms re-derive with training's exact fold — floats
     // round-trip parquet losslessly, so the handle is bit-identical
@@ -150,22 +214,25 @@ object AnnIndex {
         .map(r => (r.getInt(2), r.getSeq[Float](3).toArray))
         .sortBy(_._1).toIndexedSeq
     }
-    AnnIndexHandle(cv, books, new LakehouseTable(spark, codesRoot(root)).read())
+    AnnIndexHandle(cv, books, new LakehouseTable(spark, codesRoot(root, v)).read())
   }
 
   /** Incremental encode-on-append: assign + residualize + encode the
     * NEW vectors map-side against the FROZEN persisted codebooks, and
-    * append to the codes table. Per-batch cost is the batch, never the
-    * corpus; no training jobs run (the spec pins it). Drift from stale
-    * codebooks is repaired by a scheduled full [[build]].
+    * append to the LIVE version's codes table. Per-batch cost is the
+    * batch, never the corpus; no training jobs run (the spec pins it).
+    * Drift from stale codebooks is repaired by a scheduled full
+    * [[build]].
     */
   def append(spark: SparkSession, newEmbeddings: DataFrame, root: String): Snapshot = {
     graft.functions.GraftFunctions.register(spark)
+    val v = currentVersion(root).getOrElse(throw new IllegalStateException(
+      s"no published index at $root — build before appending"))
     val idx = load(spark, root)
     val e = newEmbeddings
       .withColumn("nrm", sqrt(expr("dotp(embedding, embedding)")))
     val residuals = residualize(spark, LlmSimQueries.ivfAssignV(e, idx.centroids), idx.centroids)
-    new LakehouseTable(spark, codesRoot(root)).append(
+    new LakehouseTable(spark, codesRoot(root, v)).append(
       LlmSimQueries.pqEncode(residuals, idx.books, keep = Seq("cell")),
       partitionBy = Seq("cell"))
   }

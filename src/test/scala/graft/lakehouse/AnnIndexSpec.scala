@@ -101,21 +101,45 @@ class AnnIndexSpec extends SparkSpec {
     assert(gotCodes.toSeq === wantCodes.toSeq)
   }
 
-  test("rebuild is staged: the swap leaves no staging dirs and replaces the index atomically-enough") {
+  test("rebuild publishes via the pointer flip: replaces content, GCs old versions, keeps the previous") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val root = tmpDir("annidx")
     AnnIndex.build(spark, emb.filter(col("vec_id") < 200), root)
+    assert(AnnIndex.currentVersion(root) === Some(1L))
     assert(AnnIndex.load(spark, root).codes.count() === 200L)
-    // second build over the grown corpus REPLACES (no leftover rows,
-    // no .staging residue)
+    // second build over the grown corpus REPLACES (no leftover rows)
     AnnIndex.build(spark, emb, root)
+    assert(AnnIndex.currentVersion(root) === Some(2L))
     val idx = AnnIndex.load(spark, root)
     assert(idx.codes.count() === emb.count())
     assert(idx.codes.select("vec_id").distinct().count() === emb.count())
-    val residue = Files.list(Paths.get(root)).iterator().asScala
-      .map(_.getFileName.toString).filter(_.contains("staging")).toSeq
-    assert(residue.isEmpty, s"staging dirs left behind: $residue")
+    // v1 survives ONE rebuild (in-flight handles), v3 drops it
+    def versionsOnDisk: Set[String] = Files.list(Paths.get(root)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("codes.v")).toSet
+    assert(versionsOnDisk === Set("codes.v1", "codes.v2"))
+    AnnIndex.build(spark, emb, root)
+    assert(versionsOnDisk === Set("codes.v2", "codes.v3"))
+  }
+
+  test("CRASH INJECTION: a rebuild that dies after writing tables but before publish leaves the old index serving") {
+    val root = tmpDir("annidx")
+    val v1 = AnnIndex.build(spark, emb.filter(col("vec_id") < 200), root)
+    val want = AnnIndex.serve(spark, v1, emb).collect()
+    // simulate the crash: stage the next version fully (both tables
+    // durably on disk) and stop before the pointer flip
+    val staged = AnnIndex.stageVersion(spark, emb, root)
+    assert(staged === 2L)
+    // the pointer still names v1 — load() must resolve the OLD index
+    assert(AnnIndex.currentVersion(root) === Some(1L))
+    val idx = AnnIndex.load(spark, root)
+    assert(idx.codes.count() === 200L, "unpublished rebuild must be invisible")
+    assert(AnnIndex.serve(spark, idx, emb).collect().toSeq === want.toSeq,
+      "serving must be unchanged by a crashed rebuild")
+    // recovery: the next build simply re-stages v2 and publishes it
+    val v2 = AnnIndex.build(spark, emb, root)
+    assert(AnnIndex.currentVersion(root) === Some(2L))
+    assert(v2.codes.count() === emb.count())
   }
 
   test("codes table is cell-partitioned: a probed scan reads only probed-cell files") {
