@@ -931,14 +931,24 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
 
   private def readPruned(snap: Snapshot, preds: Seq[ScanPredicate]): DataFrame = {
     val (files, _) = pruneFiles(snap, preds)
-    // empty prune keeps THE SNAPSHOT'S schema — building the empty
-    // frame off read() would leak the current snapshot's (possibly
-    // widened) schema into a time-traveled scan
+    val base = scanFiles(snap, files)
+    if (files.isEmpty) base else base.filter(residual(preds))
+  }
+
+  /** Scan an explicit pruned file subset of `snap` (the DSv2 relation's
+    * entry point). An empty set keeps THE SNAPSHOT'S schema — building
+    * the empty frame off read() would leak the current snapshot's
+    * (possibly widened) schema into a time-traveled scan.
+    */
+  private[lakehouse] def scanFiles(snap: Snapshot, files: Seq[String]): DataFrame =
     if (files.isEmpty) {
       val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else readFiles(files).filter(residual(preds))
-  }
+    } else readFiles(files)
+
+  /** Snapshot by id with the standard invalid-id error. */
+  private[lakehouse] def snapshotOrThrow(id: Long): Snapshot =
+    listSnapshots().find(_.snapshotId == id).getOrElse(throw invalidSnapshot(id))
 
   def compactZOrder(cols: Seq[String], targetFiles: Int,
       buckets: Int = 256): Option[Snapshot] = {

@@ -294,6 +294,50 @@ object CdcOpQueries {
       graft.Fs.deleteRecursively(root)
       rows.toDF("step", "change", "id", "v")
         .orderBy(col("step"), col("change"), col("id"))
+    }),
+    // ---- DSv2 scan surface (round 8): the SAME skipping the bespoke
+    //      read(preds) API provides, reached through a PLAIN
+    //      spark.read.format("graft-lakehouse") DataFrame/SQL filter —
+    //      Catalyst pushes filters into pruneFiles, projections prune
+    //      the parquet schema, snapshotId rides an option. Each step
+    //      records (rows, sum) AND the planner's (files_planned,
+    //      files_total) from ScanEvents, so the oracle hash-gates the
+    //      PRUNING DECISIONS themselves against hand-derived counts —
+    //      a regression that silently stops skipping (or worse,
+    //      over-skips) flips the row hash. ----
+    "q117_lakehouse_dsv2_scan" -> ((s, _) => {
+      import s.implicits._
+      import graft.lakehouse.ScanEvents
+      val root = java.nio.file.Files.createTempDirectory("graft-q117").toString
+      val t = new LakehouseTable(s, root)
+      // 4 one-file appends: file i holds ids [100i, 100i+24], tag p(id%3)
+      (0 until 4).foreach { i =>
+        t.append(((i * 100) until (i * 100 + 25)).map(x => (x.toLong, s"p${x % 3}"))
+          .toDF("id", "tag").coalesce(1))
+      }
+      val histId = 2L // snapshot after two appends (files f0, f1)
+      // upsert: rewrite f0 (drops id 5), add a file holding {5→UPD, 999→NEW}
+      t.upsert(Seq((5L, "UPD"), (999L, "NEW")).toDF("id", "tag").coalesce(1), Seq("id"))
+      def ds(snap: Option[Long]): DataFrame = {
+        val r = s.read.format("graft-lakehouse")
+        snap.fold(r)(id => r.option("snapshotId", id)).load(root)
+      }
+      def audit(step: String, df: DataFrame): (String, Long, Long, Long, Long) = {
+        val r = df.agg(count(lit(1)), coalesce(sum("id"), lit(0L))).collect()(0)
+        val info = ScanEvents.lastScan(root).get
+        (step, r.getLong(0), r.getLong(1), info.filesPlanned.toLong, info.filesTotal.toLong)
+      }
+      val a = audit("1_eq_current", ds(None).filter(col("id") === 5L))
+      val b = audit("2_timetravel", ds(Some(histId)).filter(col("id") === 5L))
+      val c = audit("3_range", ds(None).filter(col("id") >= 210L && col("id") <= 260L))
+      val d = audit("4_strict_bounds", ds(None).filter(col("id") > 24L && col("id") < 101L))
+      val e = audit("5_string_eq", ds(None).filter(col("tag") === "NEW"))
+      ds(None).createOrReplaceTempView("graft_q117_view")
+      val f = audit("6_sql_where", s.sql("SELECT * FROM graft_q117_view WHERE id = 307"))
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+      Seq(a, b, c, d, e, f)
+        .toDF("step", "n_rows", "sum_ids", "files_planned", "files_total")
+        .orderBy(col("step"))
     })
   )
 
@@ -364,6 +408,29 @@ object CdcOpQueries {
         ('4_range',  'insert', 3, 'c'),
         ('4_range',  'insert', 4, 'd'))
       AS t(step, change, id, v)
-      ORDER BY step, change, id"""
+      ORDER BY step, change, id""",
+    // hand-derived: files after the upsert are f0'(ids 0-24 minus 5),
+    // f1[100-124], f2[200-224], f3[300-324], added[{5,999}] — 5 total.
+    //  1: id=5 → stats keep f0'(0-24) + added(5-999) = 2; rows {5=UPD}.
+    //  2: snapshot 2 has {f0, f1}; id=5 keeps f0 only; row tag p2.
+    //  3: 210..260 keeps f2 + added; rows 210..224 (15, Σ=3255).
+    //  4: id>24 AND id<101 — INCLUSIVE prune bounds keep f0'(max 24),
+    //     f1(min 100) and added; strict residual leaves only id=100.
+    //  5: tag='NEW' — string stats: every p-file spans [p0,p2], 'NEW'
+    //     sorts below 'p0', only added([NEW,UPD]) survives; row 999.
+    //  6: SQL WHERE id=307 through a temp view keeps f3 and added —
+    //     the added file's id range spans [5, 999], so every id probe
+    //     inside it survives stats pruning (bloom sidecars are what
+    //     narrows such wide files; none are built here).
+    "q117_lakehouse_dsv2_scan" -> """
+      SELECT * FROM (VALUES
+        ('1_eq_current',    1,    5, 2, 5),
+        ('2_timetravel',    1,    5, 1, 2),
+        ('3_range',        15, 3255, 2, 5),
+        ('4_strict_bounds', 1,  100, 3, 5),
+        ('5_string_eq',     1,  999, 1, 5),
+        ('6_sql_where',     1,  307, 2, 5))
+      AS t(step, n_rows, sum_ids, files_planned, files_total)
+      ORDER BY step"""
   )
 }

@@ -1,0 +1,137 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The DSv2 face: `spark.read.format("graft-lakehouse")` must give a
+  * PLAIN DataFrame/SQL user the same automatic file skipping the
+  * bespoke `read(preds)` API provides — Catalyst filters push into
+  * `pruneFiles`, projections prune the parquet read schema, strict
+  * predicate semantics survive the inclusive prune bounds, and time
+  * travel rides an option. ScanEvents records what each scan actually
+  * planned (post-skipping files, projected columns) so the pruning is
+  * asserted, not assumed.
+  */
+class LakehouseDsv2Spec extends SparkSpec {
+
+  /** 16 files, file i holding the contiguous id range [1000i, 1000i+999]. */
+  private def rangedTable(): LakehouseTable = {
+    import spark.implicits._
+    val t = new LakehouseTable(spark, tmpDir("dsv2"))
+    (0 until 16).foreach { i =>
+      val lo = i.toLong * 1000
+      t.append((lo until lo + 1000).map(id => (id, s"v$id")).toDF("id", "payload").coalesce(1))
+    }
+    t
+  }
+
+  private def dsv2(t: LakehouseTable): DataFrame =
+    spark.read.format("graft-lakehouse").load(t.root)
+
+  test("a PLAIN .filter prunes files through Catalyst pushdown — no bespoke API involved") {
+    val t = rangedTable()
+    val got = dsv2(t).filter(col("id") === 4500L).collect()
+    val info = ScanEvents.lastScan(t.root).get
+    assert(info.filesPlanned === 1 && info.filesTotal === 16,
+      s"equality filter must reach pruneFiles via pushdown: $info")
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((4500L, "v4500")))
+  }
+
+  test("full unfiltered read matches read(); no filter → no pruning") {
+    val t = rangedTable()
+    val got = dsv2(t).count()
+    assert(got === 16000L)
+    assert(ScanEvents.lastScan(t.root).get.filesPlanned === 16)
+  }
+
+  test("STRICT bounds stay strict: pruning is inclusive but the residual is the original filter") {
+    val t = rangedTable()
+    // id > 999: file 0 (max 999) may be kept by the inclusive prune
+    // bound, but row 999 must NOT appear
+    val got = dsv2(t).filter(col("id") > 999L && col("id") < 2001L)
+    assert(got.count() === 1001L, "strict > and < must exclude both boundary rows")
+    assert(ScanEvents.lastScan(t.root).get.filesPlanned <= 3)
+    assert(got.filter(col("id") === 999L).count() === 0L)
+  }
+
+  test("projection pushdown: only the selected columns reach the parquet scan") {
+    val t = rangedTable()
+    val got = dsv2(t).filter(col("id") === 7000L).select("payload").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("v7000"))
+    val info = ScanEvents.lastScan(t.root).get
+    assert(info.columnsRead === Seq("payload") || info.columnsRead.toSet === Set("id", "payload"),
+      s"projection must prune the read schema: $info")
+    // the scan node itself must not output pruned-away columns
+    val scans = spark.read.format("graft-lakehouse").load(t.root)
+      .filter(col("id") === 7000L).select("payload")
+      .queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
+      }
+    assert(scans.nonEmpty)
+  }
+
+  test("pushed filters surface in the physical plan (PushedFilters metadata)") {
+    val t = rangedTable()
+    val plan = dsv2(t).filter(col("id") === 5L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"),
+      s"plan must advertise the pushdown:\n$plan")
+  }
+
+  test("time travel via option(snapshotId): historical rows, historical schema, skipping composes") {
+    import spark.implicits._
+    val t = new LakehouseTable(spark, tmpDir("dsv2-tt"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    val firstId = t.currentSnapshot().get.snapshotId
+    t.append(Seq((3L, "c", 9L)).toDF("id", "v", "w").coalesce(1)) // widen
+    val hist = spark.read.format("graft-lakehouse")
+      .option("snapshotId", firstId).load(t.root)
+    assert(hist.columns.toSeq === Seq("id", "v"), "historical scan must keep the old schema")
+    assert(hist.filter(col("id") === 3L).count() === 0L, "post-snapshot rows must be absent")
+    assert(hist.filter(col("id") === 2L).collect().map(_.getString(1)).toSeq === Seq("b"))
+  }
+
+  test("SQL over a temp view prunes identically (the spark.sql surface)") {
+    val t = rangedTable()
+    dsv2(t).createOrReplaceTempView("dsv2_sql_t")
+    val got = spark.sql("SELECT payload FROM dsv2_sql_t WHERE id = 12345").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("v12345"))
+    assert(ScanEvents.lastScan(t.root).get.filesPlanned === 1,
+      "SQL WHERE must prune through the same pushdown path")
+  }
+
+  test("IN-list filter prunes to the union of its value cells") {
+    val t = rangedTable()
+    val got = dsv2(t).filter(col("id").isin(100L, 8100L)).collect()
+    assert(got.map(_.getLong(0)).sorted.toSeq === Seq(100L, 8100L))
+    assert(ScanEvents.lastScan(t.root).get.filesPlanned === 2,
+      "a two-value IN must plan exactly its two files")
+  }
+
+  test("bloom sidecars prune through the DSv2 path too (scrambled strings)") {
+    import spark.implicits._
+    def scramble(id: Long): String = f"h${(id * 48271L) % 65536L}%05d"
+    val t = new LakehouseTable(spark, tmpDir("dsv2-bloom"))
+    (0 until 16).foreach { i =>
+      val lo = i.toLong * 1000
+      t.append((lo until lo + 1000).map(id => (id, scramble(id)))
+        .toDF("id", "payload").coalesce(1))
+    }
+    t.buildBloomIndex("payload", expectedPerFile = 2000)
+    val got = dsv2(t).filter(col("payload") === scramble(4500L)).collect()
+    assert(got.map(_.getLong(0)).toSet.contains(4500L))
+    assert(ScanEvents.lastScan(t.root).get.filesPlanned <= 3,
+      "a plain string-equality filter must hit the bloom index")
+  }
+
+  test("unsupported predicates are NOT accepted — the engine evaluates them post-scan, answers stay exact") {
+    val t = rangedTable()
+    // endsWith has no ScanPredicate mapping: must fall back, full scan,
+    // exact answer
+    val got = dsv2(t).filter(col("payload").endsWith("500") && col("id") < 2000L)
+    assert(got.count() === 2L) // v500, v1500
+    // inclusive prune bound keeps the min==2000 boundary file too
+    assert(ScanEvents.lastScan(t.root).get.filesPlanned <= 3,
+      "the translatable conjunct must still prune")
+  }
+}
