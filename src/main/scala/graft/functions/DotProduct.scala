@@ -116,6 +116,12 @@ object GraftFunctions {
       CmsEstimate(children.head, children(1))
     }
 
+  private[functions] val wavDecodeBuilder: Seq[Expression] => Expression =
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "wav_decode takes exactly 1 argument")
+      WavDecode(children.head)
+    }
+
   /** CMS sizing knobs, honored by [[register]] (and so by the
     * `GraftExtensions` deployment path, which cannot take parameters):
     * the 4×2048 default is fixture-sized — at production vocabulary the
@@ -153,6 +159,10 @@ object GraftFunctions {
       FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
       cmsEstBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("wav_decode"),
+      new ExpressionInfo(classOf[WavDecode].getName, "wav_decode"),
+      wavDecodeBuilder)
     // the sketch aggregators, SQL-callable (`SELECT simhash_agg(h) ...`)
     // with the library's fixed default families
     import org.apache.spark.sql.functions.udaf
@@ -200,5 +210,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
       GraftFunctions.cmsEstBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("wav_decode"),
+      new ExpressionInfo(classOf[WavDecode].getName, "wav_decode"),
+      GraftFunctions.wavDecodeBuilder))
   }
 }

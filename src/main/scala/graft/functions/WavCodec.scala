@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** RIFF/WAVE binary codec — the REAL multimodal decode behind the
+  * engine's media columns: `wav_decode(blob)` parses an actual WAV
+  * container (RIFF framing, chunk walk, PCM fmt header, interleaved
+  * 16-bit little-endian samples) into typed header fields plus
+  * per-channel integer payload statistics. This is the byte-dissection
+  * discipline of the reference's wire decoder
+  * (`sources/wal/decoder.py:91-127` — fixed-layout headers, lengths,
+  * then typed payload) applied to a public media container format
+  * instead of pgoutput.
+  *
+  * Decode semantics:
+  *  - validates `RIFF`/`WAVE` magic, then WALKS chunks (`fmt `, `data`,
+  *    anything else skipped with even-byte padding) — no assumption
+  *    that data starts at byte 44, so JUNK/LIST chunks real encoders
+  *    emit are handled;
+  *  - requires PCM (`fmt` tag 1) with 16-bit samples — anything else
+  *    decodes to NULL (malformed media must never kill a 100 TB scan;
+  *    a null row is filterable, an exception is a dead executor);
+  *  - statistics are pure INTEGER aggregates (per-channel amplitude
+  *    sums, global absolute peak, frame count), so results are exactly
+  *    portable to any oracle — no float rounding surface.
+  *
+  * The expression stays inside whole-stage codegen via a static call,
+  * one virtual dispatch per row (the NgramHashes discipline).
+  */
+object WavCodec {
+
+  /** Serialize interleaved 16-bit PCM frames as a RIFF/WAVE blob. The
+    * layout deliberately includes a JUNK chunk BEFORE `data` so any
+    * consumer that hard-codes the canonical 44-byte header offset
+    * breaks loudly in tests — real-world WAVs carry such chunks.
+    */
+  def encode(channels: Int, sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(channels > 0, "channels must be positive")
+    require(samples.length % channels == 0, "samples must hold whole frames")
+    val junkLen = 4
+    val dataLen = samples.length * 2
+    val riffSize = 4 + (8 + 16) + (8 + junkLen) + (8 + dataLen)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16.toShort) // bits per sample
+    buf.put("JUNK".getBytes("US-ASCII")).putInt(junkLen).putInt(0)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Result row: (fmt_tag, channels, sample_rate, bits, n_frames,
+    * ch0_sum, ch1_sum, peak); null for anything that is not a valid
+    * 16-bit PCM WAV.
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("fmt_tag", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("ch0_sum", LongType, nullable = false),
+    StructField("ch1_sum", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false)))
+
+  private def u16le(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+  private def u32le(b: Array[Byte], p: Int): Long =
+    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+  private def tag(b: Array[Byte], p: Int): String =
+    new String(b, p, 4, "US-ASCII")
+
+  /** Static decode entry point (also the codegen call target). */
+  def decode(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 12) return null
+    if (tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return null
+    var fmtTag = -1; var channels = -1; var rate = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    var pos = 12
+    while (pos + 8 <= b.length) {
+      val id = tag(b, pos)
+      val size = u32le(b, pos + 4)
+      if (size < 0 || pos + 8 + size > b.length) return null // lying length
+      val body = pos + 8
+      id match {
+        case "fmt " =>
+          if (size < 16) return null
+          fmtTag = u16le(b, body)
+          channels = u16le(b, body + 2)
+          rate = u32le(b, body + 4).toInt
+          bits = u16le(b, body + 14)
+        case "data" =>
+          dataOff = body
+          dataLen = size.toInt
+        case _ => () // JUNK/LIST/...: walked over, never assumed absent
+      }
+      pos = body + size.toInt + (size.toInt & 1) // chunks pad to even
+    }
+    if (fmtTag != 1 || bits != 16 || channels < 1 || dataOff < 0) return null
+    val nSamples = dataLen / 2
+    if (nSamples % channels != 0) return null
+    var ch0 = 0L; var ch1 = 0L; var peak = 0
+    var i = 0
+    while (i < nSamples) {
+      val s = ((b(dataOff + 2 * i) & 0xff) | (b(dataOff + 2 * i + 1) << 8)).toShort.toInt
+      if ((i % channels) == 0) ch0 += s else if ((i % channels) == 1) ch1 += s
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      fmtTag, channels, rate, bits, nSamples / channels, ch0, ch1, peak))
+  }
+}
+
+/** `wav_decode(binary)` — see [[WavCodec]]. */
+case class WavDecode(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"wav_decode requires binary, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = WavCodec.schema
+  override def nullable: Boolean = true // malformed bytes decode to null
+  override def prettyName: String = "wav_decode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WavCodec.decode(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.functions.WavCodec.decode($b);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): WavDecode =
+    copy(child = newChild)
+}

@@ -41,6 +41,42 @@ object LlmTextQueries {
     (0 until QualityD).map(b => (((b * 2654435761L + 12345L) % 201L) - 100L).toInt)
 
   val queries: Map[String, Q] = Map(
+    // ---- REAL multimodal binary decode (round 8, replacing the
+    //      q55/q62 placeholder math as the operator behind the
+    //      multimodal claim): each doc carries an actual RIFF/WAVE
+    //      blob — genuine container bytes with fmt/JUNK/data chunks
+    //      and interleaved 16-bit LE PCM — synthesized from
+    //      (doc_id)-derived parameters, then decoded by the
+    //      `wav_decode` native expression (header fields + per-channel
+    //      integer payload stats). The oracle recomputes every decoded
+    //      field from the generation formula in SQL, so a decoder that
+    //      misreads any header offset, chunk length, sample sign or
+    //      channel interleave hash-mismatches. Encoder and decoder are
+    //      separate code paths, and WavCodecSpec additionally pins the
+    //      decoder against hand-written golden bytes. Scale shape:
+    //      encode+decode are one codegen'd map over the corpus — no
+    //      shuffle before the final sort. ----
+    "q118_wav_decode" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val blobs = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val channels = (1 + id % 2).toInt
+            val rate = (8000 + (id % 3) * 4000).toInt
+            val frames = (8 + id % 9).toInt
+            val samples = Array.tabulate[Short](frames * channels)(i =>
+              (((id * 7919L + i.toLong * 104729L) % 2048L) - 1024L).toShort)
+            (id, graft.functions.WavCodec.encode(channels, rate, samples))
+          }
+        }.toDF("doc_id", "wav")
+      blobs
+        .select(col("doc_id"), expr("wav_decode(wav)").as("w"))
+        .select(col("doc_id"), col("w.fmt_tag"), col("w.channels"),
+          col("w.sample_rate"), col("w.bits"), col("w.n_frames"),
+          col("w.ch0_sum"), col("w.ch1_sum"), col("w.peak"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- exact dedup: group identical content, keep lowest doc_id ----
     "q41_dedup_exact" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -927,6 +963,33 @@ object LlmTextQueries {
       WHERE jaccard >= 0.5"""
 
   val oracle: Map[String, String] = Map(
+    // q118: every decoded field re-derived from the generation formula
+    // — header fields arithmetically, payload stats by re-simulating
+    // the interleaved sample stream (frame f, channel c ↦ interleave
+    // index i = f·channels + c, so channel(i) = i % channels).
+    "q118_wav_decode" -> """
+      WITH params AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(1 + doc_id % 2 AS INT) AS channels,
+               CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+               CAST(8 + doc_id % 9 AS INT) AS n_frames
+        FROM documents),
+      samples AS MATERIALIZED (
+        SELECT p.doc_id, p.channels, g.i,
+               ((p.doc_id * 7919 + g.i * 104729) % 2048) - 1024 AS s
+        FROM params p
+        JOIN (SELECT unnest(range(0, 32)) AS i) g
+          ON g.i < p.n_frames * p.channels),
+      agg AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN i % channels = 0 THEN s ELSE 0 END) AS BIGINT) AS ch0_sum,
+               CAST(SUM(CASE WHEN i % channels = 1 THEN s ELSE 0 END) AS BIGINT) AS ch1_sum,
+               CAST(MAX(ABS(s)) AS INT) AS peak
+        FROM samples GROUP BY doc_id, channels)
+      SELECT p.doc_id, CAST(1 AS INT) AS fmt_tag, p.channels, p.sample_rate,
+             CAST(16 AS INT) AS bits, p.n_frames, a.ch0_sum, a.ch1_sum, a.peak
+      FROM params p JOIN agg a USING (doc_id)
+      ORDER BY p.doc_id""",
     "q68_decontaminate" -> """
       WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
