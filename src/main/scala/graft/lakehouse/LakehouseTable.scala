@@ -34,14 +34,25 @@ final case class FileStats(rows: Long, cols: Map[String, ColumnStat])
   * `stats` maps data-file path → write-time footer stats; None only for
   * manifests written before stats existed (footer-open fallback).
   */
+/** Streaming-transaction mark recorded in a snapshot (the Delta
+  * `SetTransaction` pattern): `(appId, version)` identifies one
+  * exactly-once producer batch — foreachBatch passes its query name
+  * and batchId. A write guarded by a mark whose version is ≤ the
+  * app's last recorded version is a no-op, which is what makes a
+  * replayed micro-batch (wrote, then crashed before the checkpoint
+  * committed) harmless on restart.
+  */
+final case class TxnMark(appId: String, version: Long)
+
 final case class Snapshot(
     snapshotId: Long,
     parentId: Option[Long],
     timestampMs: Long,
-    operation: String, // append | upsert | overwrite | rollback | compact
+    operation: String, // append | upsert | overwrite | rollback | compact | apply
     files: Seq[String], // data-file paths relative to the table root
     schemaJson: String,
-    stats: Option[Map[String, FileStats]] = None)
+    stats: Option[Map[String, FileStats]] = None,
+    txn: Option[TxnMark] = None)
 
 /** Pushed-down scan predicate for the skipping read path
   * ([[LakehouseTable.read(preds*)]]): equality probes consult bloom
@@ -156,6 +167,21 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     * and partition-scoped compaction.
     */
   def append(df0: DataFrame, partitionBy: Seq[String] = Nil): Snapshot = writeLock.synchronized {
+    appendWith(df0, partitionBy, mark = None)
+  }
+
+  /** Append `df` only if `version` is PAST `appId`'s last recorded
+    * transaction mark; None means the batch was already applied (a
+    * streaming replay) and nothing was written. See [[TxnMark]].
+    */
+  def appendIdempotent(df: DataFrame, appId: String, version: Long,
+      partitionBy: Seq[String] = Nil): Option[Snapshot] = writeLock.synchronized {
+    if (lastTxnVersion(appId).exists(_ >= version)) None
+    else Some(appendWith(df, partitionBy, Some(TxnMark(appId, version))))
+  }
+
+  private def appendWith(df0: DataFrame, partitionBy: Seq[String],
+      mark: Option[TxnMark]): Snapshot = {
     requireCompatibleSchema(df0)
     val df = canonicalizedNames(df0)
     val id = nextId()
@@ -163,8 +189,15 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     val parentFiles = currentSnapshot().map(_.files).getOrElse(Nil)
     writeSnapshot(Snapshot(id, currentSnapshot().map(_.snapshotId),
       System.currentTimeMillis(), "append", parentFiles ++ newFiles,
-      evolvedSchemaJson(df)))
+      evolvedSchemaJson(df), txn = mark))
   }
+
+  /** Highest transaction version any snapshot of this table records
+    * for `appId` (the Delta txn-ledger read path). Metadata-only.
+    */
+  def lastTxnVersion(appId: String): Option[Long] =
+    listSnapshots().iterator.flatMap(_.txn).filter(_.appId == appId)
+      .map(_.version).maxOption
 
   /** Rename batch columns to the table's canonical spelling under the
     * session's resolution semantics, so a case-variant name ('ID' for
@@ -273,6 +306,70 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
       writeSnapshot(Snapshot(id, Some(cur.get.snapshotId), System.currentTimeMillis(),
         "upsert", untouched ++ rewritten ++ added, evolvedSchemaJson(df)))
     } finally incoming.unpersist()
+  }
+
+  /** CDC-apply: consume one change-feed batch (rows tagged by a
+    * `_change` column, "insert" | "delete") into this table keyed by
+    * `keys`, as ONE snapshot — the downstream half of the
+    * source→transform→sink replay contract (`pipeline/runner.py:355-383`).
+    * An update arrives from the feed as delete(old)+insert(new) and
+    * lands as an in-place key replacement; a delete whose key has no
+    * accompanying insert removes the key. Only files that actually
+    * hold touched keys are rewritten (the upsert discipline), so the
+    * write cost scales with the batch, not the table.
+    *
+    * `txn = (appId, version)` makes the write idempotent under
+    * streaming replay: the mark is recorded atomically in the same
+    * snapshot manifest as the data change, and a batch at or below
+    * the app's last recorded version returns None without writing.
+    * An EMPTY batch still commits a snapshot so its mark is recorded
+    * — otherwise a crash after an empty batch would replay it forever.
+    */
+  def applyChanges(ch0: DataFrame, keys: Seq[String],
+      txn: Option[(String, Long)] = None): Option[Snapshot] = writeLock.synchronized {
+    require(keys.nonEmpty, "applyChanges requires key columns")
+    require(ch0.columns.contains("_change"),
+      "applyChanges input must carry a _change column (insert|delete)")
+    txn match {
+      case Some((app, v)) if lastTxnVersion(app).exists(_ >= v) => None
+      case _ =>
+        val mark = txn.map { case (a, v) => TxnMark(a, v) }
+        val ch = canonicalizedNames(ch0).cache()
+        try {
+          requireCompatibleSchema(ch.drop("_change"))
+          val inserts = ch.filter(col("_change") === "insert").drop("_change")
+          val cur = currentSnapshot()
+          val id = nextId()
+          cur match {
+            case None =>
+              Some(writeSnapshot(Snapshot(id, None, System.currentTimeMillis(),
+                "apply", writeDataFiles(inserts, id), inserts.schema.json,
+                txn = mark)))
+            case Some(c) =>
+              val touchedKeys = ch.select(keys.map(col): _*).distinct()
+              val existing = readFiles(c.files).withColumn("_file", input_file_name())
+              val touched = existing
+                .join(touchedKeys, keys, "left_semi")
+                .select(col("_file")).distinct()
+                .collect().map(_.getString(0)).toSet
+              val touchedRel = c.files.filter(f => touched.exists(_.endsWith(f)))
+              val rewritten: Seq[String] =
+                if (touchedRel.isEmpty) Nil
+                else writeDataFiles(
+                  readFiles(touchedRel).join(touchedKeys, keys, "left_anti"),
+                  id, suffix = "rw")
+              // an empty-insert batch (pure deletes, or a compaction-only
+              // feed advance) must still snapshot for its txn mark, but
+              // writing zero-row part files would pollute the file list
+              val added =
+                if (inserts.isEmpty) Nil else writeDataFiles(inserts, id)
+              Some(writeSnapshot(Snapshot(id, Some(c.snapshotId),
+                System.currentTimeMillis(), "apply",
+                c.files.diff(touchedRel) ++ rewritten ++ added,
+                evolvedSchemaJson(inserts), txn = mark)))
+          }
+        } finally ch.unpersist()
+    }
   }
 
   /** Replace the whole table content with `df`. */

@@ -249,4 +249,61 @@ class LakehouseTableSpec extends SparkSpec {
     // the expired snapshot's now-unreferenced file is gone from disk
     assert(intercept[IllegalArgumentException](t.scanAtSnapshot(1L)) != null)
   }
+
+  test("applyChanges: keyed CDC apply — update replaces, bare delete removes, empty batch still snapshots") {
+    import org.apache.spark.sql.functions._
+    val t = new LakehouseTable(spark, tmpDir("lh-apply"))
+    def batch(rows: (Long, String, String)*) =
+      rows.toDF("id", "v", "_change")
+    // bootstrap: pure inserts auto-create the table (no _change column lands)
+    t.applyChanges(batch((1L, "a", "insert"), (2L, "b", "insert")), Seq("id"))
+    assert(t.read().columns.toSeq === Seq("id", "v"))
+    assert(t.read().as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    // an update arrives as delete(old)+insert(new); a bare delete removes
+    t.applyChanges(batch((2L, "b", "delete"), (2L, "B2", "insert"),
+      (1L, "a", "delete"), (3L, "c", "insert")), Seq("id"))
+    assert(t.read().as[(Long, String)].collect().toSet === Set((2L, "B2"), (3L, "c")))
+    assert(t.currentSnapshot().get.operation === "apply")
+    // untouched files carry over by reference (the upsert discipline)
+    val before = t.currentSnapshot().get
+    t.append(Seq((100L, "far")).toDF("id", "v"))
+    val appended = t.currentSnapshot().get.files.diff(before.files)
+    t.applyChanges(batch((3L, "c", "delete")), Seq("id"))
+    assert(appended.forall(t.currentSnapshot().get.files.contains),
+      "files without touched keys must not be rewritten")
+    // empty change batch: no data files added, but a snapshot commits
+    val n = t.listSnapshots().size
+    t.applyChanges(batch(), Seq("id"), txn = Some(("app-x", 7L)))
+    assert(t.listSnapshots().size === n + 1)
+    assert(t.lastTxnVersion("app-x") === Some(7L))
+    assert(t.read().as[(Long, String)].collect().toSet ===
+      Set((2L, "B2"), (100L, "far")))
+  }
+
+  test("txn ledger: replayed versions are no-ops for applyChanges and appendIdempotent; marks survive reopen") {
+    val t = new LakehouseTable(spark, tmpDir("lh-txn"))
+    val app = "stream-q"
+    assert(t.lastTxnVersion(app) === None)
+    assert(t.applyChanges(
+      Seq((1L, "a", "insert")).toDF("id", "v", "_change"), Seq("id"),
+      txn = Some((app, 0L))).isDefined)
+    // the same batchId replays after a crash-before-checkpoint: no-op
+    assert(t.applyChanges(
+      Seq((1L, "a", "insert")).toDF("id", "v", "_change"), Seq("id"),
+      txn = Some((app, 0L))).isEmpty)
+    assert(t.read().count() === 1, "replay must not duplicate rows")
+    // an older version is also rejected; a newer one applies
+    assert(t.appendIdempotent(Seq((2L, "b")).toDF("id", "v"), app, 0L).isEmpty)
+    assert(t.appendIdempotent(Seq((2L, "b")).toDF("id", "v"), app, 1L).isDefined)
+    assert(t.appendIdempotent(Seq((2L, "b")).toDF("id", "v"), app, 1L).isEmpty)
+    assert(t.read().count() === 2)
+    // marks are durable manifest state, not handle state: a fresh handle
+    // (a restarted writer process) sees them
+    val reopened = new LakehouseTable(spark, t.root)
+    assert(reopened.lastTxnVersion(app) === Some(1L))
+    // ledgers are per-app: another app's versions are independent
+    assert(reopened.appendIdempotent(Seq((3L, "c")).toDF("id", "v"),
+      "other-app", 0L).isDefined)
+    assert(reopened.lastTxnVersion(app) === Some(1L))
+  }
 }

@@ -701,6 +701,81 @@ class StreamingEquivalenceSpec extends SparkSpec {
     runOnce()
     assert(seen.isEmpty, "a compaction rewrite must stream zero change rows")
   }
+
+  test("E2E compose: changefeed → transform → second lakehouse table; a crash between sink write and checkpoint commit replays without loss or duplication") {
+    import spark.implicits._
+    import graft.lakehouse.LakehouseTable
+    // the full source→transform→sink replay contract
+    // (pipeline/runner.py:355-383) through the engine's OWN storage on
+    // both ends: table A's change feed streams through a filter +
+    // derived column into table B via foreachBatch, where
+    // applyChanges((queryName, batchId)) is the idempotent sink write.
+    val a = new LakehouseTable(spark, tmpDir("e2e-a"))
+    val b = new LakehouseTable(spark, tmpDir("e2e-b"))
+    val ckpt = tmpDir("e2e-ckpt")
+    val appId = "e2e-compose"
+    a.append(Seq((1L, "alpha"), (2L, "beta"), (7L, "Xdrop")).toDF("id", "v"))
+
+    @volatile var crashAfterWrite = false
+    def runOnce(): Option[Throwable] = {
+      val q = spark.readStream
+        .format("graft-changefeed").option("path", a.root).load()
+        .filter(!col("v").startsWith("X"))
+        .withColumn("vlen", length(col("v")))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          b.applyChanges(df, Seq("id"), txn = Some((appId, batchId)))
+          if (crashAfterWrite) {
+            crashAfterWrite = false
+            throw new RuntimeException(
+              "injected crash between sink write and checkpoint commit")
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { assert(q.awaitTermination(120000), "stream did not drain"); None }
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException => Some(e)
+      }
+    }
+    def batchTwin() =
+      a.read().filter(!col("v").startsWith("X")).withColumn("vlen", length(col("v")))
+    def sameMultiset(hint: String): Unit = {
+      val (x, y) = (b.read(), batchTwin())
+      assert(x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty, hint)
+    }
+
+    // run 1: bootstrap batch WRITES to B, then the query dies before the
+    // checkpoint commits the batch — the classic at-least-once window
+    crashAfterWrite = true
+    val err = runOnce()
+    assert(err.exists(e => Option(e.getCause).exists(
+      _.getMessage.contains("injected")) || e.getMessage.contains("injected")),
+      s"first run must crash after the sink write, got $err")
+    // restart: Spark replays the SAME batchId; the txn ledger absorbs it
+    assert(runOnce().isEmpty)
+    sameMultiset("after crash-replay, downstream must equal the batch twin")
+    val versions =
+      b.listSnapshots().flatMap(_.txn).filter(_.appId == appId).map(_.version)
+    assert(versions.distinct.size === versions.size,
+      s"a replayed batch must never commit twice, got marks $versions")
+
+    // upstream advances while the stream is DOWN: update + insert flow
+    // through the transform on restart (only the diff, no re-bootstrap)
+    a.upsert(Seq((2L, "BETA2")).toDF("id", "v"), Seq("id"))
+    a.append(Seq((3L, "gamma")).toDF("id", "v"))
+    assert(runOnce().isEmpty)
+    sameMultiset("restart drains exactly the cursor-range diff")
+
+    // filter-flip updates: a hidden row becomes visible (its delete half
+    // is filtered, the insert lands) and a visible row becomes hidden
+    // (its insert half is filtered, the delete removes the key)
+    a.upsert(Seq((7L, "seven"), (1L, "Xgone")).toDF("id", "v"), Seq("id"))
+    assert(runOnce().isEmpty)
+    sameMultiset("transform-aware deletes: visibility flips in both directions")
+    assert(b.read().select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L, 7L))
+  }
 }
 
 /** Serializable home for helpers captured by stateful-streaming
