@@ -107,7 +107,23 @@ object ChangeFeedSource {
     * InternalRow RDD and wrap it through the session's internal
     * streaming constructor (private[sql], hence the single reflective
     * call — the same path every V1 file/socket source takes).
+    *
+    * Why this source stays V1 rather than a DSv2 `MicroBatchStream`:
+    * a change batch is a DataFrame-level computation (`changesBetween`
+    * is a multiset diff — a shuffle), while DSv2 `planInputPartitions`
+    * must hand Spark fixed partition readers, which would force either
+    * a driver-side collect of the batch or a staging double-write.
+    * Delta Lake's own streaming source makes the same call and remains
+    * a V1 `Source` for the same reason. The reflective hop is pinned
+    * by [[reflectionHealthy]], asserted at spec setup, so a Spark
+    * upgrade that removes the method fails loudly, not silently.
     */
+  private[graft] def reflectionHealthy(spark: org.apache.spark.sql.SparkSession): Boolean = {
+    spark.getClass.getMethod("internalCreateDataFrame",
+      classOf[org.apache.spark.rdd.RDD[_]], classOf[StructType], java.lang.Boolean.TYPE)
+    true
+  }
+
   private def asStreaming(df: DataFrame): DataFrame = {
     val ss = df.sparkSession
     val m = ss.getClass.getMethod("internalCreateDataFrame",

@@ -338,6 +338,79 @@ object CdcOpQueries {
       Seq(a, b, c, d, e, f)
         .toDF("step", "n_rows", "sum_ids", "files_planned", "files_total")
         .orderBy(col("step"))
+    }),
+    // ---- E2E streaming compose (round 8): table A's change feed
+    //      streams through a transform (filter + derived column) into
+    //      table B via foreachBatch, where applyChanges((appId,
+    //      batchId)) is the idempotent sink write — the full
+    //      source→transform→sink replay contract
+    //      (pipeline/runner.py:355-383) through the engine's own
+    //      storage on both ends. The lifecycle injects a crash BETWEEN
+    //      the sink write and the checkpoint commit: the restart
+    //      replays the same batch and the txn ledger absorbs it. The
+    //      output hash-gates the final downstream state (updates,
+    //      inserts, and filter-visibility flips in both directions)
+    //      AND the ledger audit — a duplicate apply, a lost batch, or
+    //      a missed replay all flip the hash. ----
+    "q119_streaming_apply" -> ((s, dir) => {
+      import s.implicits._
+      val nation = graft.Tables.load(s, dir, "nation").select(
+        col("n_nationkey").as("nationkey"), col("n_name").as("name"),
+        col("n_regionkey").as("rk"))
+      // visibility-flip keys, derived (not hardcoded) so the oracle can
+      // re-derive them: the smallest hidden key becomes visible and the
+      // smallest region-0 key becomes hidden
+      val toVisible = nation.filter(col("rk") === 2).agg(min("nationkey")).head.getInt(0)
+      val toHidden = nation.filter(col("rk") === 0).agg(min("nationkey")).head.getInt(0)
+      val rootA = java.nio.file.Files.createTempDirectory("graft-q119a").toString
+      val rootB = java.nio.file.Files.createTempDirectory("graft-q119b").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-q119ck").toString
+      val a = new LakehouseTable(s, rootA)
+      val b = new LakehouseTable(s, rootB)
+      a.append(nation.repartition(2))
+      val appId = "q119"
+      @volatile var crashAfterWrite = false
+      var absorbed = 0
+      def runOnce(): Unit = {
+        val q = s.readStream.format("graft-changefeed").option("path", rootA).load()
+          .filter(col("rk") =!= 2)
+          .withColumn("name_len", length(col("name")))
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            if (b.applyChanges(df, Seq("nationkey"), txn = Some((appId, batchId))).isEmpty)
+              absorbed += 1
+            if (crashAfterWrite) {
+              crashAfterWrite = false
+              throw new RuntimeException("injected crash before checkpoint commit")
+            }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination(120000)
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      }
+      runOnce() // run 1: bootstrap (batch 0)
+      // upstream advances while the stream is DOWN: rename every
+      // region-1 nation, then flip visibility in both directions
+      a.upsert(nation.filter(col("rk") === 1)
+        .withColumn("name", concat(col("name"), lit("_V2"))), Seq("nationkey"))
+      a.upsert(nation.filter(col("nationkey") === toVisible)
+        .withColumn("rk", lit(0)), Seq("nationkey"))
+      a.upsert(nation.filter(col("nationkey") === toHidden)
+        .withColumn("rk", lit(2)), Seq("nationkey"))
+      crashAfterWrite = true
+      runOnce() // run 2: drains the 3-commit diff as ONE batch, then dies post-write
+      runOnce() // run 3: replays the uncommitted batch; the ledger absorbs it
+      val applies = b.listSnapshots().count(_.operation == "apply")
+      val versions = b.listSnapshots().flatMap(_.txn).map(_.version).distinct.size
+      val rows = b.read().select("nationkey", "name", "rk", "name_len")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+      Seq(rootA, rootB, ckpt).foreach(p =>
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(p)))
+      rows.toDF("nationkey", "name", "rk", "name_len")
+        .withColumn("n_applies", lit(applies))
+        .withColumn("n_versions", lit(versions))
+        .withColumn("replays_absorbed", lit(absorbed))
+        .orderBy(col("nationkey"))
     })
   )
 
@@ -431,6 +504,25 @@ object CdcOpQueries {
         ('5_string_eq',     1,  999, 1, 5),
         ('6_sql_where',     1,  307, 2, 5))
       AS t(step, n_rows, sum_ids, files_planned, files_total)
-      ORDER BY step"""
+      ORDER BY step""",
+    // q119: the downstream table must equal transform(filter(final A))
+    // — final A re-derived from nation by replaying the same mutations
+    // in SQL. Ledger audit: 2 applied batches (bootstrap + the single
+    // batch draining all three upstream commits), 2 distinct txn
+    // versions, and exactly 1 absorbed replay of the crashed batch.
+    "q119_streaming_apply" -> """
+      WITH a_final AS (
+        SELECT n_nationkey AS nationkey,
+               CASE WHEN n_regionkey = 1 THEN n_name || '_V2' ELSE n_name END AS name,
+               CASE WHEN n_nationkey =
+                      (SELECT min(n_nationkey) FROM nation WHERE n_regionkey = 2) THEN 0
+                    WHEN n_nationkey =
+                      (SELECT min(n_nationkey) FROM nation WHERE n_regionkey = 0) THEN 2
+                    ELSE n_regionkey END AS rk
+        FROM nation)
+      SELECT nationkey, name, rk, CAST(length(name) AS INT) AS name_len,
+             CAST(2 AS INT) AS n_applies, CAST(2 AS INT) AS n_versions,
+             CAST(1 AS INT) AS replays_absorbed
+      FROM a_final WHERE rk <> 2 ORDER BY nationkey"""
   )
 }

@@ -645,6 +645,15 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(r.cursor === Some(4L), "cursor must never move backwards")
   }
 
+  test("change-feed Source's one private-API dependency exists (fails loudly on a Spark upgrade that removes it)") {
+    // the V1 source wraps batch plans via SparkSession.internalCreateDataFrame
+    // (reflective — the documented single hop the public API doesn't
+    // expose; Delta's source takes the same path). NoSuchMethodException
+    // here means the Spark upgrade broke the stream: fix asStreaming
+    // before anything else.
+    assert(graft.lakehouse.ChangeFeedSource.reflectionHealthy(spark))
+  }
+
   test("change-feed Source registers under the graft-changefeed short name (DataSourceRegister)") {
     import spark.implicits._
     import graft.lakehouse.LakehouseTable
