@@ -122,6 +122,12 @@ object GraftFunctions {
       WavDecode(children.head)
     }
 
+  private[functions] val bmpDecodeBuilder: Seq[Expression] => Expression =
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "bmp_decode takes exactly 1 argument")
+      BmpDecode(children.head)
+    }
+
   /** CMS sizing knobs, honored by [[register]] (and so by the
     * `GraftExtensions` deployment path, which cannot take parameters):
     * the 4×2048 default is fixture-sized — at production vocabulary the
@@ -163,6 +169,10 @@ object GraftFunctions {
       FunctionIdentifier("wav_decode"),
       new ExpressionInfo(classOf[WavDecode].getName, "wav_decode"),
       wavDecodeBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("bmp_decode"),
+      new ExpressionInfo(classOf[BmpDecode].getName, "bmp_decode"),
+      bmpDecodeBuilder)
     // the sketch aggregators, SQL-callable (`SELECT simhash_agg(h) ...`)
     // with the library's fixed default families
     import org.apache.spark.sql.functions.udaf
@@ -214,5 +224,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("wav_decode"),
       new ExpressionInfo(classOf[WavDecode].getName, "wav_decode"),
       GraftFunctions.wavDecodeBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("bmp_decode"),
+      new ExpressionInfo(classOf[BmpDecode].getName, "bmp_decode"),
+      GraftFunctions.bmpDecodeBuilder))
   }
 }

@@ -77,6 +77,39 @@ object LlmTextQueries {
           col("w.ch0_sum"), col("w.ch1_sum"), col("w.peak"))
         .orderBy(col("doc_id"))
     }),
+    // ---- REAL image decode (round 8, the image twin of q118's WAV):
+    //      per-doc 24-bpp BMP containers with doc_id-derived pixels,
+    //      alternating bottom-up/top-down storage orientation and a
+    //      varying header-to-pixels gap, decoded by the `bmp_decode`
+    //      native expression. The oracle recomputes every field from
+    //      the generation formula over LOGICAL pixel indexes — the
+    //      orientation- and offset-handling must be exactly right or
+    //      the order-sensitive lum_moment hash-mismatches. ----
+    "q120_bmp_decode" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val blobs = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (3 + id % 4).toInt
+            val h = (2 + id % 3).toInt
+            val px = Array.tabulate(w * h) { i =>
+              val r = ((id * 31L + i * 7L) % 256L).toInt
+              val g = ((id * 17L + i * 13L) % 256L).toInt
+              val b = ((id * 53L + i * 3L) % 256L).toInt
+              (r << 16) | (g << 8) | b
+            }
+            (id, graft.functions.BmpCodec.encode(w, h, px,
+              topDown = id % 2 == 1, gap = ((id % 3) * 2L).toInt))
+          }
+        }.toDF("doc_id", "bmp")
+      blobs
+        .select(col("doc_id"), expr("bmp_decode(bmp)").as("m"))
+        .select(col("doc_id"), col("m.width"), col("m.height"), col("m.bpp"),
+          col("m.r_sum"), col("m.g_sum"), col("m.b_sum"), col("m.max_lum"),
+          col("m.lum_moment"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- exact dedup: group identical content, keep lowest doc_id ----
     "q41_dedup_exact" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -963,6 +996,36 @@ object LlmTextQueries {
       WHERE jaccard >= 0.5"""
 
   val oracle: Map[String, String] = Map(
+    // q120: every decoded field re-derived from the generation formula
+    // over LOGICAL top-left row-major pixel indexes; storage
+    // orientation and header gap are decoder concerns the oracle
+    // never sees (that's the point).
+    "q120_bmp_decode" -> """
+      WITH params AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(3 + doc_id % 4 AS INT) AS width,
+               CAST(2 + doc_id % 3 AS INT) AS height
+        FROM documents),
+      px AS MATERIALIZED (
+        SELECT p.doc_id, ser.i,
+               (p.doc_id * 31 + ser.i * 7) % 256 AS r,
+               (p.doc_id * 17 + ser.i * 13) % 256 AS g,
+               (p.doc_id * 53 + ser.i * 3) % 256 AS b
+        FROM params p
+        JOIN (SELECT unnest(range(0, 24)) AS i) ser
+          ON ser.i < p.width * p.height),
+      agg AS (
+        SELECT doc_id,
+               CAST(SUM(r) AS BIGINT) AS r_sum,
+               CAST(SUM(g) AS BIGINT) AS g_sum,
+               CAST(SUM(b) AS BIGINT) AS b_sum,
+               CAST(MAX(299*r + 587*g + 114*b) AS BIGINT) AS max_lum,
+               CAST(SUM(i * (299*r + 587*g + 114*b)) AS BIGINT) AS lum_moment
+        FROM px GROUP BY doc_id)
+      SELECT p.doc_id, p.width, p.height, CAST(24 AS INT) AS bpp,
+             a.r_sum, a.g_sum, a.b_sum, a.max_lum, a.lum_moment
+      FROM params p JOIN agg a USING (doc_id)
+      ORDER BY p.doc_id""",
     // q118: every decoded field re-derived from the generation formula
     // — header fields arithmetically, payload stats by re-simulating
     // the interleaved sample stream (frame f, channel c ↦ interleave
