@@ -128,6 +128,12 @@ object GraftFunctions {
       BmpDecode(children.head)
     }
 
+  private[functions] val wavFeaturesBuilder: Seq[Expression] => Expression =
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "wav_features takes exactly 2 arguments")
+      WavFeatures(children.head, children(1))
+    }
+
   /** CMS sizing knobs, honored by [[register]] (and so by the
     * `GraftExtensions` deployment path, which cannot take parameters):
     * the 4×2048 default is fixture-sized — at production vocabulary the
@@ -173,6 +179,10 @@ object GraftFunctions {
       FunctionIdentifier("bmp_decode"),
       new ExpressionInfo(classOf[BmpDecode].getName, "bmp_decode"),
       bmpDecodeBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("wav_features"),
+      new ExpressionInfo(classOf[WavFeatures].getName, "wav_features"),
+      wavFeaturesBuilder)
     // the sketch aggregators, SQL-callable (`SELECT simhash_agg(h) ...`)
     // with the library's fixed default families
     import org.apache.spark.sql.functions.udaf
@@ -228,5 +238,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("bmp_decode"),
       new ExpressionInfo(classOf[BmpDecode].getName, "bmp_decode"),
       GraftFunctions.bmpDecodeBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("wav_features"),
+      new ExpressionInfo(classOf[WavFeatures].getName, "wav_features"),
+      GraftFunctions.wavFeaturesBuilder))
   }
 }

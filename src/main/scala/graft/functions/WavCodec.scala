@@ -83,8 +83,13 @@ object WavCodec {
   private def tag(b: Array[Byte], p: Int): String =
     new String(b, p, 4, "US-ASCII")
 
-  /** Static decode entry point (also the codegen call target). */
-  def decode(b: Array[Byte]): InternalRow = {
+  /** Parsed container header: the chunk walk shared by [[decode]] and
+    * [[features]]. Null for anything that is not valid 16-bit PCM.
+    */
+  private final case class WavInfo(
+      fmtTag: Int, channels: Int, rate: Int, bits: Int, dataOff: Int, nSamples: Int)
+
+  private def parse(b: Array[Byte]): WavInfo = {
     if (b == null || b.length < 12) return null
     if (tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return null
     var fmtTag = -1; var channels = -1; var rate = -1; var bits = -1
@@ -112,17 +117,74 @@ object WavCodec {
     if (fmtTag != 1 || bits != 16 || channels < 1 || dataOff < 0) return null
     val nSamples = dataLen / 2
     if (nSamples % channels != 0) return null
+    WavInfo(fmtTag, channels, rate, bits, dataOff, nSamples)
+  }
+
+  private def sampleAt(b: Array[Byte], dataOff: Int, i: Int): Int =
+    ((b(dataOff + 2 * i) & 0xff) | (b(dataOff + 2 * i + 1) << 8)).toShort.toInt
+
+  /** Static decode entry point (also the codegen call target). */
+  def decode(b: Array[Byte]): InternalRow = {
+    val w = parse(b)
+    if (w == null) return null
     var ch0 = 0L; var ch1 = 0L; var peak = 0
     var i = 0
-    while (i < nSamples) {
-      val s = ((b(dataOff + 2 * i) & 0xff) | (b(dataOff + 2 * i + 1) << 8)).toShort.toInt
-      if ((i % channels) == 0) ch0 += s else if ((i % channels) == 1) ch1 += s
+    while (i < w.nSamples) {
+      val s = sampleAt(b, w.dataOff, i)
+      if ((i % w.channels) == 0) ch0 += s else if ((i % w.channels) == 1) ch1 += s
       val a = math.abs(s)
       if (a > peak) peak = a
       i += 1
     }
     new GenericInternalRow(Array[Any](
-      fmtTag, channels, rate, bits, nSamples / channels, ch0, ch1, peak))
+      w.fmtTag, w.channels, w.rate, w.bits, w.nSamples / w.channels, ch0, ch1, peak))
+  }
+
+  /** Per-window element of [[features]]: exact-integer frame features
+    * over CHANNEL 0 (the deterministic mono view — a mix-down would
+    * drag in integer-division rounding that differs across engines).
+    * `energy` is Σ s² (the un-rooted RMS numerator), `zcr` counts
+    * sign-boundary crossings between consecutive frames WITHIN the
+    * window (`s ≥ 0` vs `s < 0`), `peak` is max |s|. The last window
+    * may be partial.
+    */
+  val featSchema: StructType = StructType(Seq(
+    StructField("win_idx", IntegerType, nullable = false),
+    StructField("energy", LongType, nullable = false),
+    StructField("zcr", IntegerType, nullable = false),
+    StructField("peak", IntegerType, nullable = false)))
+
+  /** Windowed audio featurization (also the codegen call target):
+    * null for invalid WAVs or a non-positive window; empty array for
+    * zero frames. One array element per `win`-frame window.
+    */
+  def features(b: Array[Byte], win: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val w = parse(b)
+    if (w == null || win <= 0) return null
+    val nFrames = w.nSamples / w.channels
+    val nWins = (nFrames + win - 1) / win
+    val out = new Array[Any](nWins)
+    var wi = 0
+    while (wi < nWins) {
+      val lo = wi * win
+      val hi = math.min(lo + win, nFrames)
+      var energy = 0L; var zcr = 0; var peak = 0
+      var prevNonNeg = false
+      var f = lo
+      while (f < hi) {
+        val s = sampleAt(b, w.dataOff, f * w.channels)
+        energy += s.toLong * s.toLong
+        val nonNeg = s >= 0
+        if (f > lo && nonNeg != prevNonNeg) zcr += 1
+        prevNonNeg = nonNeg
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        f += 1
+      }
+      out(wi) = new GenericInternalRow(Array[Any](wi, energy, zcr, peak))
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 
@@ -150,4 +212,36 @@ case class WavDecode(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): WavDecode =
     copy(child = newChild)
+}
+
+/** `wav_features(binary, win)` — windowed audio featurization over the
+  * decoded PCM stream; see [[WavCodec.features]]. Stays codegen'd with
+  * one static call per row, like the decode.
+  */
+case class WavFeatures(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"wav_features requires (binary, int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = ArrayType(WavCodec.featSchema, containsNull = false)
+  override def nullable: Boolean = true // malformed bytes / bad window → null
+  override def prettyName: String = "wav_features"
+
+  override protected def nullSafeEval(blob: Any, win: Any): Any =
+    WavCodec.features(blob.asInstanceOf[Array[Byte]], win.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, w) => s"""
+      ${ev.value} = graft.functions.WavCodec.features($b, $w);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WavFeatures =
+    copy(left = newLeft, right = newRight)
 }

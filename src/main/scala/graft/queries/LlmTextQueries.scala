@@ -77,6 +77,36 @@ object LlmTextQueries {
           col("w.ch0_sum"), col("w.ch1_sum"), col("w.peak"))
         .orderBy(col("doc_id"))
     }),
+    // ---- windowed audio featurization (round 8): the step AFTER
+    //      decode in a training-data pipeline — wav_features(blob, 4)
+    //      computes per-4-frame windows of exact-integer features
+    //      (energy Σs², zero-crossing count, peak |s|) over the
+    //      channel-0 PCM stream of the SAME real WAV containers q118
+    //      decodes, exploded to one row per window. The oracle
+    //      re-simulates the sample stream and recomputes every window
+    //      with a lag-window ZCR — a decoder that misses the channel
+    //      stride, splits windows wrong, or counts boundary crossings
+    //      across windows hash-mismatches. ----
+    "q121_wav_features" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val blobs = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val channels = (1 + id % 2).toInt
+            val rate = (8000 + (id % 3) * 4000).toInt
+            val frames = (8 + id % 9).toInt
+            val samples = Array.tabulate[Short](frames * channels)(i =>
+              (((id * 7919L + i.toLong * 104729L) % 2048L) - 1024L).toShort)
+            (id, graft.functions.WavCodec.encode(channels, rate, samples))
+          }
+        }.toDF("doc_id", "wav")
+      blobs
+        .select(col("doc_id"), explode(expr("wav_features(wav, 4)")).as("f"))
+        .select(col("doc_id"), col("f.win_idx"), col("f.energy"),
+          col("f.zcr"), col("f.peak"))
+        .orderBy(col("doc_id"), col("win_idx"))
+    }),
     // ---- REAL image decode (round 8, the image twin of q118's WAV):
     //      per-doc 24-bpp BMP containers with doc_id-derived pixels,
     //      alternating bottom-up/top-down storage orientation and a
@@ -996,6 +1026,34 @@ object LlmTextQueries {
       WHERE jaccard >= 0.5"""
 
   val oracle: Map[String, String] = Map(
+    // q121: windows re-derived by re-simulating the channel-0 sample
+    // stream (frame f sits at interleave index f·channels); ZCR via
+    // lag() with window-start frames excluded, so crossings never
+    // count across a window boundary — the same contract the
+    // expression implements.
+    "q121_wav_features" -> """
+      WITH params AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(1 + doc_id % 2 AS INT) AS channels,
+               CAST(8 + doc_id % 9 AS INT) AS n_frames
+        FROM documents),
+      mono AS MATERIALIZED (
+        SELECT p.doc_id, ser.f,
+               ((p.doc_id * 7919 + (ser.f * p.channels) * 104729) % 2048) - 1024 AS s
+        FROM params p
+        JOIN (SELECT unnest(range(0, 16)) AS f) ser ON ser.f < p.n_frames),
+      lagged AS (
+        SELECT doc_id, f, s, f // 4 AS w,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+        FROM mono)
+      SELECT doc_id, CAST(w AS INT) AS win_idx,
+             CAST(SUM(s * s) AS BIGINT) AS energy,
+             CAST(SUM(CASE WHEN f % 4 <> 0 AND ((s >= 0) <> (prev >= 0))
+                           THEN 1 ELSE 0 END) AS INT) AS zcr,
+             CAST(MAX(ABS(s)) AS INT) AS peak
+      FROM lagged
+      GROUP BY doc_id, w
+      ORDER BY doc_id, win_idx""",
     // q120: every decoded field re-derived from the generation formula
     // over LOGICAL top-left row-major pixel indexes; storage
     // orientation and header gap are decoder concerns the oracle

@@ -75,6 +75,53 @@ class WavCodecSpec extends SparkSpec {
     assert(WavCodec.decode(alaw) === null)
   }
 
+  test("wav_features: window split, in-window ZCR, partial tail, exact integer energy") {
+    // mono samples [3, -1, 0, 5, -2], window 2:
+    //  w0 [3,-1]: energy 10, one crossing, peak 3
+    //  w1 [0, 5]: energy 25, no crossing (both ≥ 0), peak 5
+    //  w2 [-2]  : partial tail — energy 4, no crossing possible, peak 2
+    val blob = WavCodec.encode(1, 8000, Array[Short](3, -1, 0, 5, -2))
+    val arr = WavCodec.features(blob, 2)
+    assert(arr != null && arr.numElements() === 3)
+    def row(i: Int) = arr.getStruct(i, 4)
+    assert((row(0).getInt(0), row(0).getLong(1), row(0).getInt(2), row(0).getInt(3)) ===
+      ((0, 10L, 1, 3)))
+    assert((row(1).getInt(0), row(1).getLong(1), row(1).getInt(2), row(1).getInt(3)) ===
+      ((1, 25L, 0, 5)))
+    assert((row(2).getInt(0), row(2).getLong(1), row(2).getInt(2), row(2).getInt(3)) ===
+      ((2, 4L, 0, 2)))
+  }
+
+  test("wav_features: stereo uses the channel-0 stride; crossings never count across a window boundary") {
+    // stereo frames (ch0, ch1): (4,-9), (-4,-9), (4,-9), (-4,-9) — ch1 is
+    // all negative noise that must be ignored; ch0 alternates sign every
+    // frame, so with window 2 each window has exactly ONE in-window
+    // crossing (the boundary crossing between frames 1→2 is dropped)
+    val blob = WavCodec.encode(2, 8000, Array[Short](4, -9, -4, -9, 4, -9, -4, -9))
+    val arr = WavCodec.features(blob, 2)
+    assert(arr != null && arr.numElements() === 2)
+    (0 until 2).foreach { i =>
+      val r = arr.getStruct(i, 4)
+      assert(r.getLong(1) === 32L, s"window $i energy must come from ch0 only")
+      assert(r.getInt(2) === 1, s"window $i must count exactly its in-window crossing")
+      assert(r.getInt(3) === 4)
+    }
+  }
+
+  test("wav_features: invalid input or non-positive window → null; SQL surface explodes") {
+    assert(WavCodec.features("junk".getBytes("US-ASCII"), 4) === null)
+    assert(WavCodec.features(WavCodec.encode(1, 8000, Array[Short](1)), 0) === null)
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val got = Seq((1L, WavCodec.encode(1, 8000, Array[Short](3, -1, 0, 5, -2))))
+      .toDF("id", "wav")
+      .selectExpr("id", "explode(wav_features(wav, 2)) AS f")
+      .selectExpr("f.win_idx", "f.energy", "f.zcr", "f.peak")
+      .orderBy("win_idx").collect()
+    assert(got.map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq ===
+      Seq((0, 10L, 1, 3), (1, 25L, 0, 5), (2, 4L, 0, 2)))
+  }
+
   test("wav_decode is SQL-callable, codegen-compatible, and null-propagating") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
