@@ -1,0 +1,78 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.types.StructType
+
+/** Exactly-once streaming Sink for the lakehouse —
+  *
+  * {{{
+  *   df.writeStream.format("graft-lakehouse")
+  *     .option("path", root)
+  *     .option("keys", "id")          // optional: keyed modes
+  *     .option("txnAppId", "my-job")  // optional: ledger namespace
+  *     .option("checkpointLocation", ckpt).start()
+  * }}}
+  *
+  * Every micro-batch commits through the table's transaction ledger
+  * ([[TxnMark]]) under `(txnAppId, batchId)`, so a batch that wrote
+  * but crashed before the engine checkpoint committed is absorbed on
+  * replay — the end-to-end exactly-once contract
+  * (`pipeline/runner.py:355-383`) with NO foreachBatch plumbing. With
+  * this sink, changefeed→lakehouse replication is one line:
+  * `readStream.format("graft-changefeed") … writeStream
+  * .format("graft-lakehouse").option("keys", …)`.
+  *
+  * Batch dispatch:
+  *  - input carries a `_change` column AND `keys` is set → CDC apply
+  *    ([[LakehouseTable.applyChanges]]): updates replace in place,
+  *    bare deletes remove the key;
+  *  - `keys` set, no `_change` → idempotent upsert (latest-by-key
+  *    materialization);
+  *  - no `keys` → idempotent append (fact-stream shape; honors the
+  *    writer's `partitionBy`).
+  *
+  * `txnAppId` defaults to a root-scoped constant — two DIFFERENT
+  * streams writing the same table must set distinct ids or their
+  * batchId sequences would collide in the ledger.
+  */
+final class LakehouseSink(
+    sqlContext: SQLContext, root: String, keys: Seq[String],
+    appId: String, partitionCols: Seq[String]) extends Sink {
+
+  private lazy val table = new LakehouseTable(sqlContext.sparkSession, root)
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the engine hands a frame bound to this batch's INCREMENTAL
+    // execution, which supports exactly one action; re-wrap its RDD as
+    // a plain batch frame so the keyed merge can run its several jobs
+    // (semi/anti probes + two writes). Re-evaluation across those jobs
+    // is deterministic because source batches are pure functions of
+    // their checkpointed offset range.
+    val fresh = LakehouseSink.asBatch(data)
+    // a None result = the ledger absorbed a replayed batch — the
+    // intended no-op, nothing to surface
+    if (keys.nonEmpty && fresh.columns.contains("_change"))
+      table.applyChanges(fresh, keys, txn = Some((appId, batchId)))
+    else if (keys.nonEmpty)
+      table.upsertIdempotent(fresh, keys, appId, batchId)
+    else
+      table.appendIdempotent(fresh, appId, batchId, partitionBy = partitionCols)
+  }
+
+  override def toString: String = s"LakehouseSink[$root]"
+}
+
+object LakehouseSink {
+  /** Wrap a streaming micro-batch frame's evaluated RDD as a plain
+    * batch DataFrame (the mirror of the source's asStreaming hop; same
+    * pinned private API, see [[ChangeFeedSource.reflectionHealthy]]).
+    */
+  private[lakehouse] def asBatch(df: DataFrame): DataFrame = {
+    val ss = df.sparkSession
+    val m = ss.getClass.getMethod("internalCreateDataFrame",
+      classOf[org.apache.spark.rdd.RDD[_]], classOf[StructType], java.lang.Boolean.TYPE)
+    m.invoke(ss, df.queryExecution.toRdd, df.schema, java.lang.Boolean.FALSE)
+      .asInstanceOf[DataFrame]
+  }
+}

@@ -42,14 +42,84 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Reference scope: `lakehouse/time_travel.py:25-31` — predicate-driven
   * snapshot scans as the user-facing query surface.
   */
-final class LakehouseSourceProvider extends TableProvider with DataSourceRegister {
+final class LakehouseSourceProvider extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
 
   override def shortName(): String = "graft-lakehouse"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    LakehouseSource.snapshotFor(SparkSession.active, options.asScala.toMap) match {
-      case (_, snap) => DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+  /** `writeStream.format("graft-lakehouse")` — the exactly-once
+    * streaming sink (see [[LakehouseSink]]). The engine prefers the V1
+    * sink face over the DSv2 table when a provider offers both, which
+    * is exactly right here: the keyed merge is a multi-job DataFrame
+    * computation, not a per-partition writer.
+    */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    val root = LakehouseSource.rootOf(parameters)
+    val keys = parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("keys") => v }
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val appId = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("txnAppId") => v
+    }.getOrElse(s"graft-lakehouse-sink:$root")
+    new LakehouseSink(sqlContext, root, keys, appId, partitionColumns)
+  }
+
+  /** `df.write.format("graft-lakehouse").mode(...).save(root)` — the
+    * batch write face. Append appends (or UPSERTS when a `keys` option
+    * names merge columns), Overwrite replaces the table content,
+    * ErrorIfExists/Ignore follow their SaveMode contracts against
+    * table existence. `partitionBy` option (comma-separated) lays
+    * appends out hive-style for partition-pruned reads.
+    */
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val root = LakehouseSource.rootOf(parameters)
+    val t = new LakehouseTable(sqlContext.sparkSession, root)
+    val exists = t.currentSnapshot().isDefined
+    val keys = parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("keys") => v }
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val partCols = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("partitionBy") => v
+    }.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(s"lakehouse table $root already exists")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Overwrite => t.overwrite(data)
+      case _ => // Append, or first write under ErrorIfExists/default
+        if (keys.nonEmpty) t.upsert(data, keys) else t.append(data, partCols)
     }
+    val ctx = sqlContext
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = data.schema
+      override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+        new LakehouseTable(ctx.sparkSession, root).read().rdd
+    }
+  }
+
+  /** Empty schema (not an exception) when the root has no snapshots:
+    * the streaming WRITER resolves the provider through this same path
+    * before falling back to the V1 sink, and a sink target is
+    * typically auto-created by its first batch. Reads of a missing
+    * table still fail loudly — at scan time instead of here.
+    */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val t = new LakehouseTable(SparkSession.active, LakehouseSource.rootOf(options.asScala.toMap))
+    val snapId = LakehouseSource.snapshotIdOf(options.asScala.toMap)
+    snapId.map(t.snapshotOrThrow).orElse(t.currentSnapshot()) match {
+      case Some(snap) => DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+      case None => new StructType()
+    }
+  }
 
   override def getTable(
       schema: StructType,

@@ -271,6 +271,21 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     * keys are rewritten; untouched files carry over by reference.
     */
   def upsert(df0: DataFrame, keys: Seq[String]): Snapshot = writeLock.synchronized {
+    upsertWith(df0, keys, mark = None)
+  }
+
+  /** Upsert guarded by the transaction ledger — None means `version`
+    * was already applied for `appId` and nothing was written. See
+    * [[TxnMark]].
+    */
+  def upsertIdempotent(df: DataFrame, keys: Seq[String], appId: String,
+      version: Long): Option[Snapshot] = writeLock.synchronized {
+    if (lastTxnVersion(appId).exists(_ >= version)) None
+    else Some(upsertWith(df, keys, Some(TxnMark(appId, version))))
+  }
+
+  private def upsertWith(df0: DataFrame, keys: Seq[String],
+      mark: Option[TxnMark]): Snapshot = {
     require(keys.nonEmpty, "upsert requires key columns")
     requireCompatibleSchema(df0)
     val df = canonicalizedNames(df0)
@@ -279,7 +294,7 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
       val id = nextId()
       val files = writeDataFiles(df, id)
       return writeSnapshot(Snapshot(id, None, System.currentTimeMillis(),
-        "upsert", files, df.schema.json))
+        "upsert", files, df.schema.json, txn = mark))
     }
 
     val id = nextId()
@@ -304,7 +319,7 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
       val added = writeDataFiles(incoming, id)
       val untouched = existingFiles.diff(touchedRel)
       writeSnapshot(Snapshot(id, Some(cur.get.snapshotId), System.currentTimeMillis(),
-        "upsert", untouched ++ rewritten ++ added, evolvedSchemaJson(df)))
+        "upsert", untouched ++ rewritten ++ added, evolvedSchemaJson(df), txn = mark))
     } finally incoming.unpersist()
   }
 

@@ -134,4 +134,52 @@ class LakehouseDsv2Spec extends SparkSpec {
     assert(ScanEvents.lastScan(t.root).get.filesPlanned <= 3,
       "the translatable conjunct must still prune")
   }
+
+  test("batch WRITE face: df.write.format covers append, keyed upsert, overwrite, and SaveMode contracts") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val root = tmpDir("dsv2-write")
+    def w(df: DataFrame) = df.write.format("graft-lakehouse")
+
+    w(Seq((1L, "a"), (2L, "b")).toDF("id", "v")).mode(SaveMode.Append).save(root)
+    w(Seq((3L, "c")).toDF("id", "v")).mode(SaveMode.Append).save(root)
+    val back = spark.read.format("graft-lakehouse").load(root)
+    assert(back.as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")), "append round-trips through the standard API")
+
+    // keys option turns Append into a keyed merge
+    w(Seq((2L, "B2"), (4L, "d")).toDF("id", "v"))
+      .mode(SaveMode.Append).option("keys", "id").save(root)
+    assert(spark.read.format("graft-lakehouse").load(root)
+      .as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+
+    // ErrorIfExists refuses an existing table; Ignore no-ops
+    intercept[Exception](
+      w(Seq((9L, "x")).toDF("id", "v")).mode(SaveMode.ErrorIfExists).save(root))
+    w(Seq((9L, "x")).toDF("id", "v")).mode(SaveMode.Ignore).save(root)
+    assert(spark.read.format("graft-lakehouse").load(root).count() === 4)
+
+    // Overwrite replaces content; history stays time-travelable
+    w(Seq((7L, "z")).toDF("id", "v")).mode(SaveMode.Overwrite).save(root)
+    assert(spark.read.format("graft-lakehouse").load(root)
+      .as[(Long, String)].collect().toSet === Set((7L, "z")))
+    assert(new LakehouseTable(spark, root).listSnapshots().size === 4,
+      "standard-API writes must produce real snapshots (append×2, upsert, overwrite)")
+  }
+
+  test("batch WRITE face: partitionBy option lays appends out hive-style and reads prune on it") {
+    import spark.implicits._
+    val root = tmpDir("dsv2-write-part")
+    Seq((1L, "hot"), (2L, "hot"), (3L, "cold")).toDF("id", "p").coalesce(1)
+      .write.format("graft-lakehouse").option("partitionBy", "p")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(root)
+    val t = new LakehouseTable(spark, root)
+    assert(t.currentSnapshot().get.files.forall(_.contains("p=")),
+      "files must land under hive partition dirs")
+    val got = spark.read.format("graft-lakehouse").load(root).filter(col("p") === "hot")
+    assert(got.count() === 2)
+    assert(ScanEvents.lastScan(root).get.filesPlanned === 1,
+      "a partition-value filter through the public read must prune to the one partition")
+  }
 }
