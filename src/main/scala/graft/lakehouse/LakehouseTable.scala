@@ -116,12 +116,30 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
 
   // ---------------- snapshot bookkeeping ----------------
 
+  /** Snapshot manifests are IMMUTABLE once written (expiry deletes,
+    * nothing rewrites), so parse each file once per handle and key the
+    * cache by file name: a listing still hits the directory every call
+    * (cross-process writers stay visible — a cached handle must never
+    * miss another writer's txn marks or head advance), but per-commit
+    * metadata cost is O(new files), not O(history) JSON re-parsing.
+    */
+  @transient private lazy val snapshotCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Snapshot]()
+
   def listSnapshots(): Seq[Snapshot] = {
     if (!Files.isDirectory(snapsDir)) return Nil
     Files.list(snapsDir).iterator().asScala.toSeq
       .filter(_.toString.endsWith(".json"))
       .sortBy(_.getFileName.toString)
-      .map(p => Serialization.read[Snapshot](Files.readString(p)))
+      .map { p =>
+        val key = p.getFileName.toString
+        var s = snapshotCache.get(key)
+        if (s == null) {
+          s = Serialization.read[Snapshot](Files.readString(p))
+          snapshotCache.put(key, s)
+        }
+        s
+      }
   }
 
   def currentSnapshot(): Option[Snapshot] = listSnapshots().lastOption

@@ -711,6 +711,38 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(seen.isEmpty, "a compaction rewrite must stream zero change rows")
   }
 
+  test("batch CDF read: spark.read.format(graft-changefeed) with a snapshot range equals changesBetween; bare load is the bootstrap") {
+    import spark.implicits._
+    import graft.lakehouse.LakehouseTable
+    val t = new LakehouseTable(spark, tmpDir("cdf-batch"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    t.upsert(Seq((2L, "B2")).toDF("id", "v"), Seq("id"))
+    def cdf(opts: (String, String)*) = {
+      val r = spark.read.format("graft-changefeed")
+      opts.foldLeft(r) { case (rr, (k, v)) => rr.option(k, v) }.load(t.root)
+    }
+    def sameMultiset(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame, hint: String): Unit =
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, hint)
+    // explicit range == the diff API
+    sameMultiset(cdf("startingSnapshot" -> "1"), t.changesBetween(1L, 3L),
+      "ranged batch CDF must equal changesBetween to the head")
+    sameMultiset(cdf("startingSnapshot" -> "1", "endingSnapshot" -> "2"),
+      t.changesBetween(1L, 2L), "explicit ending snapshot must be honored")
+    // bare load: the ending state as pure inserts (bootstrap shape)
+    val boot = cdf()
+    assert(boot.filter(col("_change") =!= "insert").isEmpty)
+    sameMultiset(boot.drop("_change"), t.read(), "bootstrap equals the head state")
+    // empty range drains to zero rows with the feed schema intact
+    val empty = cdf("startingSnapshot" -> "3")
+    assert(empty.isEmpty && empty.columns.contains("_change"))
+    // and it is SQL-queryable like any relation
+    cdf("startingSnapshot" -> "1").createOrReplaceTempView("graft_cdf_v")
+    assert(spark.sql("SELECT count(*) FROM graft_cdf_v WHERE _change = 'delete'")
+      .head.getLong(0) === 1L) // the upsert's delete(2, b)
+  }
+
   test("E2E compose: changefeed → transform → second lakehouse table; a crash between sink write and checkpoint commit replays without loss or duplication") {
     import spark.implicits._
     import graft.lakehouse.LakehouseTable
