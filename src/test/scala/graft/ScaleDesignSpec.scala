@@ -754,4 +754,16 @@ class ScaleDesignSpec extends SparkSpec {
       assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 2)
     } finally bi.unpersist()
   }
+
+  test("q118/q120/q121: media decode is one codegen'd map pass — no shuffle before the final sort") {
+    Seq("q118_wav_decode", "q120_bmp_decode", "q121_wav_features").foreach { q =>
+      val p = plan(q)
+      // encode+decode(+explode) fuse into the scan's stage; the single
+      // exchange is the output ORDER BY — at 100 TB the decode cost is
+      // pure map-side parallelism, the shuffle only carries results
+      assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1,
+        s"$q must not shuffle blobs:\n$p")
+      assert(!p.contains("BroadcastExchange"), s"$q needs no join at all:\n$p")
+    }
+  }
 }
