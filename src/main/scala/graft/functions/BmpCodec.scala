@@ -104,15 +104,20 @@ object BmpCodec {
     val width = i32le(b, 18)
     val rawHeight = i32le(b, 22)
     val topDown = rawHeight < 0
-    val height = math.abs(rawHeight)
+    // abs in Long: abs(Int.MinValue) stays negative in Int
+    val heightL = math.abs(rawHeight.toLong)
     val planes = u16le(b, 26)
     val bpp = u16le(b, 28)
     val compression = i32le(b, 30)
-    if (width <= 0 || height == 0 || planes != 1 || bpp != 24 || compression != 0)
+    if (width <= 0 || heightL <= 0 || planes != 1 || bpp != 24 || compression != 0)
       return null
-    val rowSize = (3 * width + 3) & ~3
-    if (pixelOff < 54 || pixelOff.toLong + rowSize.toLong * height > b.length)
+    // row size in LONG: 3*width overflows Int for hostile widths, and a
+    // wrapped-negative row size would defeat the bounds check below
+    val rowSizeL = (3L * width + 3L) & ~3L
+    if (pixelOff < 54 || pixelOff.toLong + rowSizeL * heightL > b.length)
       return null // lying offset/dims must not read OOB
+    val rowSize = rowSizeL.toInt // fits: bounded by b.length above
+    val height = heightL.toInt
     var rs = 0L; var gs = 0L; var bs = 0L; var maxLum = 0L; var moment = 0L
     var ly = 0
     while (ly < height) {

@@ -113,4 +113,38 @@ class NativeExprFuzzSpec extends SparkSpec {
       assert(diff === 0L, s"n=$n")
     }
   }
+
+  test("media decoders NEVER throw: 10k random and mutated-valid byte blobs → null or a row, no exceptions, no OOB") {
+    // the hostile-input contract the decode docs promise — a bad blob
+    // on a 100 TB scan must yield a filterable null, never a dead task
+    val rnd = new scala.util.Random(20260814L)
+    def randomBlob(): Array[Byte] = {
+      val len = rnd.nextInt(200)
+      val b = new Array[Byte](len); rnd.nextBytes(b); b
+    }
+    def mutatedWav(): Array[Byte] = {
+      val samples = Array.tabulate[Short](8)(i => (i * 100 - 300).toShort)
+      val b = WavCodec.encode(2, 8000, samples)
+      (0 until 3).foreach(_ => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
+      b
+    }
+    def mutatedBmp(): Array[Byte] = {
+      val b = BmpCodec.encode(3, 2, Array.tabulate(6)(i => i * 0x31171))
+      (0 until 3).foreach(_ => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
+      b
+    }
+    (0 until 10000).foreach { i =>
+      val blob = (i % 4: @unchecked) match {
+        case 0 => randomBlob()
+        case 1 => mutatedWav()
+        case 2 => mutatedBmp()
+        case 3 => // valid prefix, truncated mid-structure
+          val full = if (i % 8 < 4) mutatedWav() else mutatedBmp()
+          full.take(rnd.nextInt(full.length + 1))
+      }
+      WavCodec.decode(blob) // null or row — must not throw
+      WavCodec.features(blob, 1 + rnd.nextInt(5))
+      BmpCodec.decode(blob)
+    }
+  }
 }
