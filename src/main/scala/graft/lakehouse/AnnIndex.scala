@@ -237,6 +237,24 @@ object AnnIndex {
       partitionBy = Seq("cell"))
   }
 
+  /** Remove vectors from the LIVE index version by id — the index-
+    * hygiene half of decontamination: when curation drops documents,
+    * their vectors must stop serving. A keyed CDC delete against the
+    * codes table: only the cell-partition files holding the ids are
+    * rewritten (batch cost, never corpus cost — and never a training
+    * job), the hive cell layout is preserved by the rewrite, and
+    * serving reflects the removal immediately because the ADC scan and
+    * the exact re-rank both hydrate from the codes rows. Codebooks and
+    * centroids are untouched (removal cannot drift them; only the
+    * scheduled full rebuild retrains).
+    */
+  def remove(spark: SparkSession, ids: DataFrame, root: String): Snapshot = {
+    val v = currentVersion(root).getOrElse(throw new IllegalStateException(
+      s"no published index at $root — nothing to remove from"))
+    val ch = ids.select(col("vec_id")).withColumn("_change", lit("delete"))
+    new LakehouseTable(spark, codesRoot(root, v)).applyChanges(ch, Seq("vec_id")).get
+  }
+
   /** Serve top-5 cosine neighbors for the index's query convention
     * (vec_id < PqQueryCount) straight from a handle: nprobe-cell
     * partition-pruned code scan, residual ADC shortlist, exact re-rank

@@ -379,6 +379,12 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
                 "apply", writeDataFiles(inserts, id), inserts.schema.json,
                 txn = mark)))
             case Some(c) =>
+              // preserve the table's hive layout: survivors of a
+              // rewritten partition file (and inserts) land back under
+              // the same partition scheme, so partition-pruned reads
+              // (e.g. the ANN codes table's cell dirs) keep their
+              // skipping power across CDC applies
+              val partCols = inferPartitionCols(c.files)
               val touchedKeys = ch.select(keys.map(col): _*).distinct()
               val existing = readFiles(c.files).withColumn("_file", input_file_name())
               val touched = existing
@@ -390,12 +396,14 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
                 if (touchedRel.isEmpty) Nil
                 else writeDataFiles(
                   readFiles(touchedRel).join(touchedKeys, keys, "left_anti"),
-                  id, suffix = "rw")
+                  id, suffix = "rw", partitionCols = partCols)
               // an empty-insert batch (pure deletes, or a compaction-only
               // feed advance) must still snapshot for its txn mark, but
               // writing zero-row part files would pollute the file list
               val added =
-                if (inserts.isEmpty) Nil else writeDataFiles(inserts, id)
+                if (inserts.isEmpty) Nil
+                else writeDataFiles(inserts, id,
+                  partitionCols = partCols.filter(inserts.columns.contains))
               Some(writeSnapshot(Snapshot(id, Some(c.snapshotId),
                 System.currentTimeMillis(), "apply",
                 c.files.diff(touchedRel) ++ rewritten ++ added,
@@ -403,6 +411,18 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
           }
         } finally ch.unpersist()
     }
+  }
+
+  /** The hive partition scheme every file of a snapshot shares, from
+    * its `col=value` path segments — Nil for flat or mixed-layout
+    * lineages (where re-imposing any one scheme would be wrong).
+    */
+  private def inferPartitionCols(files: Seq[String]): Seq[String] = {
+    def colsOf(f: String): Seq[String] = f.split('/').drop(1).dropRight(1)
+      .filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+    files.headOption.map(colsOf)
+      .filter(c => c.nonEmpty && files.forall(f => colsOf(f) == c))
+      .getOrElse(Nil)
   }
 
   /** Replace the whole table content with `df`. */

@@ -1085,6 +1085,34 @@ object LlmSimQueries {
       e2.unpersist()
       out.orderBy(col("q_id"), col("rk"))
     }),
+    // ---- index-hygiene removal (round 8): build on the FULL corpus,
+    //      delete a fifth of the vectors from the live codes table
+    //      (the decontamination → stop-serving path), reload in a
+    //      fresh session, serve. The oracle trains its CTE chain on
+    //      the full corpus but serves only the kept codes
+    //      (servePred), so the gate proves removal touches EXACTLY
+    //      the requested ids — codebooks, centroids and every other
+    //      vector's codes must be bit-unchanged, and no removed id
+    //      may surface in any top-5. ----
+    "q122_ann_index_remove" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_annrm_" + Integer.toHexString(dir.hashCode)).toString
+      val all = Tables.load(s, dir, "embeddings")
+      graft.lakehouse.AnnIndex.build(s, all, root)
+      graft.lakehouse.AnnIndex.remove(s,
+        all.filter(col("vec_id") % 5 === 3).select("vec_id"), root)
+      val s2 = s.newSession()
+      graft.functions.GraftFunctions.register(s2)
+      val idx = graft.lakehouse.AnnIndex.load(s2, root)
+      val e2 = Tables.load(s2, dir, "embeddings")
+        .withColumn("nrm", sqrt(sqnorm("embedding"))).cache()
+      val out = ivfpqServe(s2, e2, idx.centroids, idx.books, idx.codes)
+        .localCheckpoint()
+      e2.unpersist()
+      out.orderBy(col("q_id"), col("rk"))
+    }),
     "q114_ann_index_reuse" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val root = java.nio.file.Paths.get(
@@ -1499,7 +1527,14 @@ object LlmSimQueries {
   private def ivfpqIncrementalOracleSql: String =
     ivfpqOracleSqlFor("vec_id % 4 <> 0")
 
-  private def ivfpqOracleSqlFor(trainPred: String): String = {
+  /** The q122 twin: full-corpus training (centroids and codebooks see
+    * everything — removal must NOT retrain), with serving confined to
+    * the kept codes. Mirrors AnnIndex.build(all) + remove(fifth).
+    */
+  private def ivfpqRemovalOracleSql: String =
+    ivfpqOracleSqlFor("TRUE", servePred = "vec_id % 5 <> 3")
+
+  private def ivfpqOracleSqlFor(trainPred: String, servePred: String = "TRUE"): String = {
     val subCtes = pqChainCtes("residbase", "e", encodeSrc = Some("resid"))
     val adcSum = (0 until PqM).map(s => s"l$s.val").mkString(" + ")
     pqMaterialize(s"""
@@ -1510,9 +1545,10 @@ object LlmSimQueries {
             i -> CAST(CAST(a.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE) AS FLOAT)) AS embedding
         FROM assigned a JOIN cents$IvfIters c ON c.cent_id = a.cell),
       residbase AS (SELECT * FROM resid WHERE ($trainPred)),$subCtes,
-      codes AS (
+      allcodes AS (
         SELECT e0.vec_id, r.cell, e0.code0${(1 until PqM).map(s => s", e$s.code$s").mkString}
         FROM p0enc e0 $pqCodeJoin JOIN resid r ON r.vec_id = e0.vec_id),
+      codes AS (SELECT * FROM allcodes WHERE ($servePred)),
       probes AS (SELECT vec_id AS q_id, cent_id AS cell
                  FROM ranked WHERE vec_id < $PqQueryCount AND crk <= $IvfNprobe),
       offs AS (
@@ -1583,6 +1619,7 @@ object LlmSimQueries {
     // the reloaded index serves the exact q111 answer
     "q114_ann_index_reuse" -> ivfpqOracleSql,
     "q116_ann_index_incremental" -> ivfpqIncrementalOracleSql,
+    "q122_ann_index_remove" -> ivfpqRemovalOracleSql,
     // same trained cells as q63 (shared CTE chain), SemDeDup pruning tail
     "q80_semantic_dedup" -> s"""
       WITH ${ivfAssignCtes()},

@@ -158,4 +158,39 @@ class AnnIndexSpec extends SparkSpec {
         s"scan read unprobed file $f")
     }
   }
+
+  test("remove deletes EXACTLY the requested ids — no training, other codes bit-unchanged, cell layout preserved") {
+    import spark.implicits._
+    val root = tmpDir("annidx-rm")
+    AnnIndex.build(spark, emb, root)
+    val before = AnnIndex.load(spark, root)
+    val beforeCodes = before.codes.collect().map(_.toSeq).toSet
+    val victims = emb.filter(col("vec_id") % 7 === 2).select("vec_id")
+    val victimIds = victims.as[Long].collect().toSet
+
+    val (_, trainJobs) = countTrainJobs(AnnIndex.remove(spark, victims, root))
+    assert(trainJobs === 0, "removal must never retrain")
+
+    val after = AnnIndex.load(spark, root)
+    // codebooks and centroids untouched
+    assert(after.centroids.map(c => (c._1, c._2.toSeq)) ===
+      before.centroids.map(c => (c._1, c._2.toSeq)))
+    assert(after.books.map(_.map { case (i, v) => (i, v.toSeq) }).toSeq ===
+      before.books.map(_.map { case (i, v) => (i, v.toSeq) }).toSeq)
+    // codes = before minus exactly the victims, bit-identical rows
+    val afterCodes = after.codes.collect().map(_.toSeq).toSet
+    assert(afterCodes === beforeCodes.filterNot(r =>
+      victimIds.contains(r.head.asInstanceOf[Long])),
+      "removal must drop exactly the requested ids and leave every other code row bit-unchanged")
+    // the rewrite preserved the hive cell layout (partition-pruned
+    // serving keeps its skipping power)
+    val codesTable = new LakehouseTable(spark,
+      root + "/codes.v" + AnnIndex.currentVersion(root).get)
+    assert(codesTable.currentSnapshot().get.files.forall(_.contains("cell=")),
+      "rewritten survivor files must land back under cell= dirs")
+    // serving never surfaces a removed id
+    val served = AnnIndex.serve(spark, after, emb)
+    assert(served.filter(col("vec_id").isin(victimIds.toSeq: _*)).isEmpty,
+      "a removed vector must never appear in any top-k")
+  }
 }
