@@ -137,6 +137,16 @@ object LakehouseCli {
           s"(${cells} occupied), ${idx.books.map(_.size).sum} codewords, " +
           s"${idx.codes.count()} coded vectors")
         0
+      case "annremove" =>
+        // index hygiene from the operator console: stop serving the
+        // listed vector ids (comma-separated) — a keyed CDC delete
+        // against the live codes table, no retraining
+        if (args.length < 4) { out.println(usage); return 2 }
+        val ids = args(3).split(",").map(_.trim.toLong).toSeq
+        import spark.implicits._
+        graft.lakehouse.AnnIndex.remove(spark, ids.toDF("vec_id"), args(2))
+        out.println(s"annremove: ${ids.size} vector(s) removed from serving")
+        0
       case "lookup" =>
         // point lookup THROUGH the bloom index: prints the pruning
         // stats beside the rows so the skipping is observable
@@ -182,5 +192,6 @@ object LakehouseCli {
       |       graft.Cli lakehouse bloomindex <tableDir> <col>
       |       graft.Cli lakehouse lookup <tableDir> <col> <value>
       |       graft.Cli lakehouse annbuild <vectorTableDir> <indexRoot>
-      |       graft.Cli lakehouse annstatus <tableDir> <indexRoot>""".stripMargin
+      |       graft.Cli lakehouse annstatus <tableDir> <indexRoot>
+      |       graft.Cli lakehouse annremove <tableDir> <indexRoot> <id1,id2,...>""".stripMargin
 }

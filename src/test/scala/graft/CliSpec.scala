@@ -164,6 +164,12 @@ class CliSpec extends SparkSpec {
     val (c4, st) = cli("lakehouse", "annstatus", vdir, idxRoot)
     assert(c4 === 0 && st.contains("trained cells") && st.contains("64 coded vectors"), st)
     assert(cli("lakehouse", "annbuild", vdir)._1 === 2)
+    // removal: the listed ids stop serving, the rest remain
+    val (c5, rm) = cli("lakehouse", "annremove", vdir, idxRoot, "3,7,11")
+    assert(c5 === 0 && rm.contains("3 vector(s) removed"), rm)
+    val (c6, st2) = cli("lakehouse", "annstatus", vdir, idxRoot)
+    assert(c6 === 0 && st2.contains("61 coded vectors"), st2)
+    assert(cli("lakehouse", "annremove", vdir, idxRoot)._1 === 2)
     // malformed predicate: usage + exit 2, never a stack trace
     assert(cli("lakehouse", "query", dir, "current", "5", "id42")._1 === 2)
     assert(cli("lakehouse", "query", dir, "current", "5", "=42")._1 === 2)
