@@ -65,6 +65,29 @@ object Fs {
       finally walk.close() // Files.walk holds a directory handle
     }
   }
+
+  /** `Files.list` materialized with the stream CLOSED — the bare
+    * iterator pattern leaks a directory fd per call until GC, which a
+    * long-lived driver doing per-commit manifest listings exhausts.
+    */
+  def listAll(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(dir)
+    try {
+      val b = Seq.newBuilder[java.nio.file.Path]
+      s.forEach(p => { b += p; () })
+      b.result()
+    } finally s.close()
+  }
+
+  /** `Files.walk` materialized with the stream CLOSED (see [[listAll]]). */
+  def walkAll(root: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.walk(root)
+    try {
+      val b = Seq.newBuilder[java.nio.file.Path]
+      s.forEach(p => { b += p; () })
+      b.result()
+    } finally s.close()
+  }
 }
 
 /** Determinism helpers for the DuckDB-oracle hash contract (SURVEY §7.5):

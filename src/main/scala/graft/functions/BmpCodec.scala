@@ -112,8 +112,12 @@ object BmpCodec {
     if (width <= 0 || heightL <= 0 || planes != 1 || bpp != 24 || compression != 0)
       return null
     // row size in LONG: 3*width overflows Int for hostile widths, and a
-    // wrapped-negative row size would defeat the bounds check below
+    // wrapped-negative row size would defeat the bounds check below.
+    // Each factor must ALSO be individually bounded by the buffer
+    // before multiplying — rowSizeL·heightL itself wraps Long for
+    // width·height ≳ 3e18 (a crafted 60-byte header can claim that)
     val rowSizeL = (3L * width + 3L) & ~3L
+    if (rowSizeL > b.length || heightL > b.length) return null
     if (pixelOff < 54 || pixelOff.toLong + rowSizeL * heightL > b.length)
       return null // lying offset/dims must not read OOB
     val rowSize = rowSizeL.toInt // fits: bounded by b.length above

@@ -105,7 +105,7 @@ object AnnIndex {
     import scala.jdk.CollectionConverters._
     if (!Files.isDirectory(Paths.get(root))) return
     val ver = """(?:model|codes)\.v(\d+)""".r
-    Files.list(Paths.get(root)).iterator().asScala.toSeq.foreach { p =>
+    graft.Fs.listAll(Paths.get(root)).foreach { p =>
       p.getFileName.toString match {
         case ver(v) if v.toLong < keepFrom => deleteTree(p.toString)
         case _ => ()
@@ -116,9 +116,7 @@ object AnnIndex {
   private def deleteTree(dir: String): Unit = {
     val p = Paths.get(dir)
     if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      graft.Fs.deleteRecursively(p)
     }
   }
 

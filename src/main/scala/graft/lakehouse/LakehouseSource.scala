@@ -121,11 +121,29 @@ final class LakehouseSourceProvider extends TableProvider with DataSourceRegiste
     }
   }
 
+  /** The snapshot id is PINNED here, at table resolution: a loaded
+    * DataFrame reads one snapshot for its whole life — across actions
+    * (df.count() then df.collect()), and across multiple scans inside
+    * one query (a self-join) — even while writers commit concurrently.
+    * Without the pin, buildScan would re-resolve the head per action
+    * and a single query could silently mix two snapshots.
+    */
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new LakehouseV2Table(schema, properties.asScala.toMap)
+      properties: JMap[String, String]): Table = {
+    val opts = properties.asScala.toMap
+    val pinned = LakehouseSource.snapshotIdOf(opts) match {
+      case Some(_) => opts // explicit time travel is already a pin
+      case None =>
+        new LakehouseTable(SparkSession.active, LakehouseSource.rootOf(opts))
+          .currentSnapshot() match {
+          case Some(s) => opts + ("snapshotId" -> s.snapshotId.toString)
+          case None => opts // snapshot-less sink target: nothing to pin
+        }
+    }
+    new LakehouseV2Table(schema, pinned)
+  }
 }
 
 private[lakehouse] object LakehouseSource {
@@ -248,8 +266,14 @@ final case class ScanInfo(
     filesPlanned: Int, filesTotal: Int, columnsRead: Seq[String], pushed: Seq[String])
 
 object ScanEvents {
+  private val Cap = 256
   private val last = new java.util.concurrent.ConcurrentHashMap[String, ScanInfo]()
-  private[lakehouse] def record(root: String, info: ScanInfo): Unit = last.put(root, info)
+  private[lakehouse] def record(root: String, info: ScanInfo): Unit = {
+    // observability, not state: bound the per-root map so a long-lived
+    // session scanning many ephemeral roots can't grow driver memory
+    if (last.size >= Cap && !last.containsKey(root)) last.clear()
+    last.put(root, info)
+  }
   def lastScan(root: String): Option[ScanInfo] = Option(last.get(root))
 }
 

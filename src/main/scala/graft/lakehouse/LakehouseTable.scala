@@ -128,7 +128,7 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
 
   def listSnapshots(): Seq[Snapshot] = {
     if (!Files.isDirectory(snapsDir)) return Nil
-    Files.list(snapsDir).iterator().asScala.toSeq
+    graft.Fs.listAll(snapsDir)
       .filter(_.toString.endsWith(".json"))
       .sortBy(_.getFileName.toString)
       .map { p =>
@@ -370,6 +370,15 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
         val ch = canonicalizedNames(ch0).cache()
         try {
           requireCompatibleSchema(ch.drop("_change"))
+          // unknown tags must fail LOUDLY: an unvalidated tag (a typo,
+          // or another feed dialect's "update_postimage") would fall
+          // into the delete path below and silently destroy the row
+          val badTags = ch.filter(!col("_change").isin("insert", "delete"))
+            .select("_change").distinct().limit(5)
+            .collect().map(_.getString(0))
+          require(badTags.isEmpty,
+            s"applyChanges: unsupported _change tag(s) ${badTags.mkString("'", "', '", "'")} " +
+              "(this feed speaks insert|delete; updates arrive as delete(old)+insert(new))")
           val inserts = ch.filter(col("_change") === "insert").drop("_change")
           val cur = currentSnapshot()
           val id = nextId()
@@ -474,12 +483,24 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     val snaps = listSnapshots()
     if (snaps.isEmpty) return 0
     val current = snaps.last
-    val (expired, kept0) = snaps.init.partition(_.timestampMs < cutoffMs)
+    // the exactly-once ledger must survive retention (the Delta
+    // SetTransaction-retention concern): deleting the manifest that
+    // carries an app's LATEST txn mark would let a replayed streaming
+    // batch apply twice after maintenance. Keep the one manifest per
+    // appId holding its highest version — at most one extra manifest
+    // per producer — while older, superseded marks expire normally.
+    val ledgerPinned: Set[Long] = snaps
+      .flatMap(s => s.txn.map(t => (t.appId, t.version, s.snapshotId)))
+      .groupBy(_._1).values
+      .map(_.maxBy(m => (m._2, m._3))._3)
+      .toSet
+    val (expired, kept0) = snaps.init.partition(s =>
+      s.timestampMs < cutoffMs && !ledgerPinned.contains(s.snapshotId))
     val kept = kept0 :+ current
     expired.foreach(s => Files.deleteIfExists(snapsDir.resolve(f"${s.snapshotId}%09d.json")))
     val live = kept.flatMap(_.files).toSet
     if (Files.isDirectory(dataDir)) {
-      Files.walk(dataDir).iterator().asScala.toSeq
+      graft.Fs.walkAll(dataDir)
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
         .filterNot(p => live.contains(rootPath.relativize(p).toString))
         .foreach(Files.deleteIfExists(_))
@@ -504,7 +525,7 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     knownStats.keySet.removeIf(k => !live.contains(k))
     val bd = rootPath.resolve("_index").resolve("bloom")
     if (!Files.isDirectory(bd)) return 0
-    val dead = Files.walk(bd).iterator().asScala.toSeq
+    val dead = graft.Fs.walkAll(bd)
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".bloom"))
       .filterNot { p =>
         val rel = decodeSidecarName(p.getFileName.toString.stripSuffix(".bloom"))
@@ -1187,7 +1208,7 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(outDir.toString)
-    Files.walk(outDir).iterator().asScala.toSeq
+    graft.Fs.walkAll(outDir)
       .filter(p => p.getFileName.toString.startsWith("part-") &&
         p.toString.endsWith(".parquet"))
       .map(p => rootPath.relativize(p).toString)

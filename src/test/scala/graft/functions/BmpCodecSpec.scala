@@ -83,6 +83,17 @@ class BmpCodecSpec extends SparkSpec {
     // lying width blowing past the buffer must not read OOB
     val wide = golden.clone(); wide(19) = 0x7f.toByte
     assert(BmpCodec.decode(wide) === null)
+    // Long-overflow pair: width=0x7FFFFFFF with |height|≈1.5e9 makes
+    // rowSize·height wrap NEGATIVE in Long, which would sail past a
+    // naive sum-bounds check and index out of bounds
+    val huge = golden.clone()
+    huge(18) = 0xff.toByte; huge(19) = 0xff.toByte
+    huge(20) = 0xff.toByte; huge(21) = 0x7f.toByte // width = Int.MaxValue
+    huge(22) = 0x00; huge(23) = 0x00.toByte
+    huge(24) = 0x68.toByte; huge(25) = 0x59.toByte // height = 1,500,512,256
+    assert(BmpCodec.decode(huge) === null)
+    val hugeDown = huge.clone(); hugeDown(25) = (hugeDown(25) | 0x80).toByte // negative height
+    assert(BmpCodec.decode(hugeDown) === null)
   }
 
   test("bmp_decode is SQL-callable and null-propagating") {

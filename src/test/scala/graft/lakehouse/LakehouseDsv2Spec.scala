@@ -168,6 +168,22 @@ class LakehouseDsv2Spec extends SparkSpec {
       "standard-API writes must produce real snapshots (append×2, upsert, overwrite)")
   }
 
+  test("a loaded DataFrame is snapshot-ISOLATED: concurrent commits never leak into later actions") {
+    import spark.implicits._
+    val root = tmpDir("dsv2-pin")
+    val t = new LakehouseTable(spark, root)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val df = spark.read.format("graft-lakehouse").load(root)
+    assert(df.count() === 2)
+    // a writer commits between two actions on the SAME DataFrame
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(df.count() === 2,
+      "the snapshot must be pinned at load — re-resolving the head per action lets one DataFrame mix snapshots")
+    assert(df.as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    // a FRESH load sees the new head
+    assert(spark.read.format("graft-lakehouse").load(root).count() === 3)
+  }
+
   test("batch WRITE face: partitionBy option lays appends out hive-style and reads prune on it") {
     import spark.implicits._
     val root = tmpDir("dsv2-write-part")

@@ -306,4 +306,24 @@ class LakehouseTableSpec extends SparkSpec {
       "other-app", 0L).isDefined)
     assert(reopened.lastTxnVersion(app) === Some(1L))
   }
+
+  test("snapshot expiry never deletes an app's LATEST txn mark (replay safety survives retention)") {
+    val t = new LakehouseTable(spark, tmpDir("lh-txn-expire"))
+    assert(t.appendIdempotent(Seq((1L, "a")).toDF("id", "v"), "stream-a", 5L).isDefined)
+    assert(t.appendIdempotent(Seq((2L, "b")).toDF("id", "v"), "stream-a", 6L).isDefined)
+    assert(t.appendIdempotent(Seq((3L, "c")).toDF("id", "v"), "stream-b", 0L).isDefined)
+    t.append(Seq((4L, "d")).toDF("id", "v")) // unmarked head
+    val dropped = t.expireSnapshotsOlderThan(System.currentTimeMillis() + 60000)
+    // snapshot 1 (stream-a v5, superseded) expires; 2 (stream-a v6) and
+    // 3 (stream-b v0) are ledger-pinned; 4 is current
+    assert(dropped === 1)
+    assert(t.lastTxnVersion("stream-a") === Some(6L),
+      "the latest mark per app must survive maintenance")
+    assert(t.lastTxnVersion("stream-b") === Some(0L))
+    // and the guarantee holds through a fresh handle (manifest truth)
+    val re = new LakehouseTable(spark, t.root)
+    assert(re.applyChanges(Seq((9L, "x", "insert")).toDF("id", "v", "_change"),
+      Seq("id"), txn = Some(("stream-a", 6L))).isEmpty,
+      "a replayed batch must still be absorbed after expiry")
+  }
 }
