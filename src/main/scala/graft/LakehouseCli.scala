@@ -137,6 +137,27 @@ object LakehouseCli {
           s"(${cells} occupied), ${idx.books.map(_.size).sum} codewords, " +
           s"${idx.codes.count()} coded vectors")
         0
+      case "replicate" =>
+        // one-command table replication over the exactly-once sink:
+        // src change feed → dst, resumable (the checkpoint lives with
+        // the destination, keyed by the source) — rerunning catches up
+        // on exactly the diff, a crashed run replays harmlessly
+        // through the txn ledger
+        if (args.length < 4) { out.println(usage); return 2 }
+        val (src, dst, keys) = (args(1), args(2), args(3))
+        val ckpt = java.nio.file.Paths.get(dst,
+          "_replication", Integer.toHexString(src.hashCode)).toString
+        val q = spark.readStream.format("graft-changefeed").option("path", src).load()
+          .writeStream.format("graft-lakehouse")
+          .option("path", dst).option("keys", keys)
+          .option("txnAppId", s"replicate:$src")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(600000)) { out.println("replicate: timed out"); return 1 }
+        val n = new LakehouseTable(spark, dst).read().count()
+        out.println(s"replicate: $src -> $dst caught up ($n rows)")
+        0
       case "annremove" =>
         // index hygiene from the operator console: stop serving the
         // listed vector ids (comma-separated) — a keyed CDC delete
@@ -193,5 +214,6 @@ object LakehouseCli {
       |       graft.Cli lakehouse lookup <tableDir> <col> <value>
       |       graft.Cli lakehouse annbuild <vectorTableDir> <indexRoot>
       |       graft.Cli lakehouse annstatus <tableDir> <indexRoot>
-      |       graft.Cli lakehouse annremove <tableDir> <indexRoot> <id1,id2,...>""".stripMargin
+      |       graft.Cli lakehouse annremove <tableDir> <indexRoot> <id1,id2,...>
+      |       graft.Cli lakehouse replicate <srcTableDir> <dstTableDir> <key1,key2,...>""".stripMargin
 }

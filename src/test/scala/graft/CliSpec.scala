@@ -170,6 +170,20 @@ class CliSpec extends SparkSpec {
     val (c6, st2) = cli("lakehouse", "annstatus", vdir, idxRoot)
     assert(c6 === 0 && st2.contains("61 coded vectors"), st2)
     assert(cli("lakehouse", "annremove", vdir, idxRoot)._1 === 2)
+
+    // one-command replication: initial catch-up, then an incremental
+    // rerun picks up exactly the diff (the checkpoint makes it resume)
+    val dst = tmpDir("cli-lh-dst")
+    val (c7, r1) = cli("lakehouse", "replicate", dir, dst, "id")
+    assert(c7 === 0 && r1.contains("100 rows"), r1)
+    table.upsert(Seq((42L, "V42"), (200L, "v200")).toDF("id", "v"), Seq("id"))
+    val (c8, r2) = cli("lakehouse", "replicate", dir, dst, "id")
+    assert(c8 === 0 && r2.contains("101 rows"), r2)
+    val dstT = new graft.lakehouse.LakehouseTable(spark, dst)
+    assert(dstT.read()
+      .filter(org.apache.spark.sql.functions.col("id") === 42L)
+      .select("v").head.getString(0) === "V42")
+    assert(cli("lakehouse", "replicate", dir, dst)._1 === 2)
     // malformed predicate: usage + exit 2, never a stack trace
     assert(cli("lakehouse", "query", dir, "current", "5", "id42")._1 === 2)
     assert(cli("lakehouse", "query", dir, "current", "5", "=42")._1 === 2)

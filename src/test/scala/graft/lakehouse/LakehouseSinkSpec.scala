@@ -43,6 +43,35 @@ class LakehouseSinkSpec extends SparkSpec {
     assert(versions.distinct.size === versions.size)
   }
 
+  test("widen-only schema evolution flows THROUGH replication on restart") {
+    // the source table gains a column while the stream is down; the
+    // restarted stream's feed schema (fixed at stream start) carries
+    // it, and the sink's apply lands it via the table's widen-only
+    // evolution — pre-evolution downstream rows read back as nulls
+    val a = new LakehouseTable(spark, tmpDir("sink-ev-a"))
+    val bRoot = tmpDir("sink-ev-b")
+    val ckpt = tmpDir("sink-ev-ck")
+    a.append(Seq((1L, "a")).toDF("id", "v"))
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-changefeed").option("path", a.root).load()
+        .writeStream.format("graft-lakehouse")
+        .option("path", bRoot).option("keys", "id")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    drain()
+    a.append(Seq((2L, "b", 0.9)).toDF("id", "v", "score")) // widening append
+    drain()
+    val b = new LakehouseTable(spark, bRoot)
+    assert(b.read().columns.toSet === Set("id", "v", "score"))
+    val rows = b.read().collect().map(r =>
+      (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(rows === Set((1L, "a", None), (2L, "b", Some(0.9))),
+      "pre-evolution rows must null-fill the new column; new rows carry it")
+  }
+
   test("addBatch replay is absorbed by the ledger in all three dispatch modes") {
     import org.apache.spark.sql.SQLContext
     val ctx: SQLContext = spark.sqlContext
