@@ -134,6 +134,12 @@ object GraftFunctions {
       WavFeatures(children.head, children(1))
     }
 
+  private[functions] val urlNormalizeBuilder: Seq[Expression] => Expression =
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "url_normalize takes exactly 1 argument")
+      UrlNormalizeExpr(children.head)
+    }
+
   /** CMS sizing knobs, honored by [[register]] (and so by the
     * `GraftExtensions` deployment path, which cannot take parameters):
     * the 4×2048 default is fixture-sized — at production vocabulary the
@@ -183,6 +189,10 @@ object GraftFunctions {
       FunctionIdentifier("wav_features"),
       new ExpressionInfo(classOf[WavFeatures].getName, "wav_features"),
       wavFeaturesBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("url_normalize"),
+      new ExpressionInfo(classOf[UrlNormalizeExpr].getName, "url_normalize"),
+      urlNormalizeBuilder)
     // the sketch aggregators, SQL-callable (`SELECT simhash_agg(h) ...`)
     // with the library's fixed default families
     import org.apache.spark.sql.functions.udaf
@@ -242,5 +252,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("wav_features"),
       new ExpressionInfo(classOf[WavFeatures].getName, "wav_features"),
       GraftFunctions.wavFeaturesBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("url_normalize"),
+      new ExpressionInfo(classOf[UrlNormalizeExpr].getName, "url_normalize"),
+      GraftFunctions.urlNormalizeBuilder))
   }
 }

@@ -327,14 +327,19 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
         .collect().map(_.getString(0)).toSet
       val touchedRel = existingFiles.filter(f => touched.exists(_.endsWith(f)))
 
+      // preserve the parent's hive layout on rewrite (same discipline
+      // as applyChanges): survivors and merged rows land back under
+      // the partition scheme, keeping partition-pruned reads sharp
+      val partCols = inferPartitionCols(existingFiles)
       val rewritten: Seq[String] =
         if (touchedRel.isEmpty) Nil
         else {
           val survivors = readFiles(touchedRel)
             .join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
-          writeDataFiles(survivors, id, suffix = "rw")
+          writeDataFiles(survivors, id, suffix = "rw", partitionCols = partCols)
         }
-      val added = writeDataFiles(incoming, id)
+      val added = writeDataFiles(incoming, id,
+        partitionCols = partCols.filter(incoming.columns.contains))
       val untouched = existingFiles.diff(touchedRel)
       writeSnapshot(Snapshot(id, Some(cur.get.snapshotId), System.currentTimeMillis(),
         "upsert", untouched ++ rewritten ++ added, evolvedSchemaJson(df), txn = mark))

@@ -77,6 +77,38 @@ object LlmTextQueries {
           col("w.ch0_sum"), col("w.ch1_sum"), col("w.peak"))
         .orderBy(col("doc_id"))
     }),
+    // ---- URL canonicalization dedup (round 8): the step BEFORE
+    //      content dedup in a crawl pipeline — the same page arrives
+    //      as HTTPS://HOST:443/path/?b&a&utm#frag and
+    //      https://host/path?a&b, and only the canonical form lets a
+    //      hash-groupBy collapse them. Spark synthesizes the MESSY
+    //      variants (case, default port, trailing slash, param order,
+    //      tracking params, fragments — all doc_id-derived) and
+    //      normalizes with the `url_normalize` native expression; the
+    //      oracle re-derives the CLEAN form arithmetically from the
+    //      same formula, never parsing anything — any normalization
+    //      bug (missed port, unsorted params, kept utm) mismatches. ----
+    "q123_url_dedup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val str = (c: Column) => c.cast("string")
+      val id = col("doc_id")
+      val messy = Tables.load(s, dir, "documents").select(id).withColumn("url", concat(
+        when(id % 5 === 2, lit("HTTPS")).otherwise(lit("https")), lit("://"),
+        when(id % 3 === 1, concat(lit("H"), str(id % 50), lit(".EXAMPLE.COM")))
+          .otherwise(concat(lit("h"), str(id % 50), lit(".example.com"))),
+        when(id % 4 === 1, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), str(id % 20),
+        when(id % 2 === 1, lit("/")).otherwise(lit("")),
+        lit("?"),
+        when(id % 2 === 0, concat(lit("b="), str(id % 3), lit("&a="), str(id % 7)))
+          .otherwise(concat(lit("a="), str(id % 7), lit("&b="), str(id % 3))),
+        when(id % 3 === 0, lit("&utm_source=feed")).otherwise(lit("")),
+        when(id % 6 === 5, lit("#frag")).otherwise(lit(""))))
+      messy.select(id, expr("url_normalize(url)").as("url_norm"))
+        .withColumn("dup_count", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("url_norm")))
+        .orderBy(id)
+    }),
     // ---- windowed audio featurization (round 8): the step AFTER
     //      decode in a training-data pipeline — wav_features(blob, 4)
     //      computes per-4-frame windows of exact-integer features
@@ -1026,6 +1058,20 @@ object LlmTextQueries {
       WHERE jaccard >= 0.5"""
 
   val oracle: Map[String, String] = Map(
+    // q123: the canonical form re-derived from the generation formula
+    // — scheme/host lowercase, no port, no trailing slash, params in
+    // key order without tracking, no fragment. The oracle never
+    // parses; the expression must normalize every messy variant to
+    // exactly this string.
+    "q123_url_dedup" -> """
+      WITH norm AS MATERIALIZED (
+        SELECT doc_id,
+               'https://h' || (doc_id % 50) || '.example.com/docs/' || (doc_id % 20)
+                 || '?a=' || (doc_id % 7) || '&b=' || (doc_id % 3) AS url_norm
+        FROM documents)
+      SELECT doc_id, url_norm,
+             CAST(COUNT(*) OVER (PARTITION BY url_norm) AS BIGINT) AS dup_count
+      FROM norm ORDER BY doc_id""",
     // q121: windows re-derived by re-simulating the channel-0 sample
     // stream (frame f sits at interleave index f·channels); ZCR via
     // lag() with window-start frames excluded, so crossings never

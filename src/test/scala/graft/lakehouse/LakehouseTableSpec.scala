@@ -170,6 +170,20 @@ class LakehouseTableSpec extends SparkSpec {
     assert(s1.files.forall(s3.files.contains))
   }
 
+  test("upsert into a partitioned table keeps the hive layout (partition pruning survives merges)") {
+    val t = new LakehouseTable(spark, tmpDir("lh-up-part"))
+    t.append(Seq((1L, "hot"), (2L, "hot"), (100L, "cold")).toDF("id", "p")
+      .coalesce(1), partitionBy = Seq("p"))
+    t.upsert(Seq((2L, "hot"), (3L, "hot")).toDF("id", "p"), Seq("id"))
+    assert(t.currentSnapshot().get.files.forall(_.contains("p=")),
+      "rewritten and merged files must land back under partition dirs")
+    assert(t.read().as[(Long, String)].collect().toSet ===
+      Set((1L, "hot"), (2L, "hot"), (3L, "hot"), (100L, "cold")))
+    // the cold partition's file was untouched (carried by reference)
+    val cold = t.listSnapshots().head.files.filter(_.contains("p=cold"))
+    assert(cold.forall(t.currentSnapshot().get.files.contains))
+  }
+
   test("rollback restores old state as a new snapshot; invalid id rejected") {
     val t = new LakehouseTable(spark, tmpDir("lh-rb"))
     val s1 = t.append(Seq((1L, "a")).toDF("id", "v"))
