@@ -144,9 +144,19 @@ object LakehouseCli {
         // on exactly the diff, a crashed run replays harmlessly
         // through the txn ledger
         if (args.length < 4) { out.println(usage); return 2 }
-        val (src, dst, keys) = (args(1), args(2), args(3))
-        val ckpt = java.nio.file.Paths.get(dst,
-          "_replication", Integer.toHexString(src.hashCode)).toString
+        // canonicalize the source path: the checkpoint dir and ledger
+        // appId ARE the replication identity — './tbl' and '/abs/tbl'
+        // must resume the same stream, and a 32-bit hash could collide
+        // two sources into one checkpoint, so use a digest of the
+        // normalized path
+        val src = java.nio.file.Paths.get(args(1)).toAbsolutePath.normalize.toString
+        val (dst, keys) = (args(2), args(3))
+        if (new LakehouseTable(spark, src).currentSnapshot().isEmpty) {
+          out.println(s"replicate: source $src has no snapshots"); return 1
+        }
+        val srcKey = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(src.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+        val ckpt = java.nio.file.Paths.get(dst, "_replication", srcKey).toString
         val q = spark.readStream.format("graft-changefeed").option("path", src).load()
           .writeStream.format("graft-lakehouse")
           .option("path", dst).option("keys", keys)
@@ -154,7 +164,10 @@ object LakehouseCli {
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        if (!q.awaitTermination(600000)) { out.println("replicate: timed out"); return 1 }
+        if (!q.awaitTermination(600000)) {
+          q.stop() // never leave an orphan stream writing to dst
+          out.println("replicate: timed out"); return 1
+        }
         val n = new LakehouseTable(spark, dst).read().count()
         out.println(s"replicate: $src -> $dst caught up ($n rows)")
         0

@@ -66,28 +66,22 @@ object Fs {
     }
   }
 
-  /** `Files.list` materialized with the stream CLOSED — the bare
+  /** Materialize a path stream with the stream CLOSED — the bare
     * iterator pattern leaks a directory fd per call until GC, which a
     * long-lived driver doing per-commit manifest listings exhausts.
     */
-  def listAll(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    val s = java.nio.file.Files.list(dir)
+  private def drain(s: java.util.stream.Stream[java.nio.file.Path]): Seq[java.nio.file.Path] =
     try {
       val b = Seq.newBuilder[java.nio.file.Path]
       s.forEach(p => { b += p; () })
       b.result()
     } finally s.close()
-  }
 
-  /** `Files.walk` materialized with the stream CLOSED (see [[listAll]]). */
-  def walkAll(root: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    val s = java.nio.file.Files.walk(root)
-    try {
-      val b = Seq.newBuilder[java.nio.file.Path]
-      s.forEach(p => { b += p; () })
-      b.result()
-    } finally s.close()
-  }
+  def listAll(dir: java.nio.file.Path): Seq[java.nio.file.Path] =
+    drain(java.nio.file.Files.list(dir))
+
+  def walkAll(root: java.nio.file.Path): Seq[java.nio.file.Path] =
+    drain(java.nio.file.Files.walk(root))
 }
 
 /** Determinism helpers for the DuckDB-oracle hash contract (SURVEY §7.5):

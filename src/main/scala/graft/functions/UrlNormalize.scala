@@ -43,6 +43,9 @@ object UrlNormalize {
     var host = auth.toLowerCase(java.util.Locale.ROOT)
     if (scheme == "http" && host.endsWith(":80")) host = host.dropRight(3)
     if (scheme == "https" && host.endsWith(":443")) host = host.dropRight(4)
+    // "https://:443/x" survives the auth check but strips to no host —
+    // that is a malformed URL, not a canonical form
+    if (host.isEmpty || host.startsWith(":")) return null
     val qi = pathq.indexOf('?')
     var path = if (qi < 0) pathq else pathq.substring(0, qi)
     val query = if (qi < 0) "" else pathq.substring(qi + 1)

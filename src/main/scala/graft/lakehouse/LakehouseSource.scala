@@ -270,8 +270,13 @@ object ScanEvents {
   private val last = new java.util.concurrent.ConcurrentHashMap[String, ScanInfo]()
   private[lakehouse] def record(root: String, info: ScanInfo): Unit = {
     // observability, not state: bound the per-root map so a long-lived
-    // session scanning many ephemeral roots can't grow driver memory
-    if (last.size >= Cap && !last.containsKey(root)) last.clear()
+    // session scanning many ephemeral roots can't grow driver memory.
+    // Evict ONE entry, not the map — clearing would wipe lastScan for
+    // every active root each time an ephemeral one records
+    if (last.size >= Cap && !last.containsKey(root)) {
+      val it = last.keySet.iterator()
+      if (it.hasNext) { it.next(); it.remove() }
+    }
     last.put(root, info)
   }
   def lastScan(root: String): Option[ScanInfo] = Option(last.get(root))
@@ -290,7 +295,18 @@ private[lakehouse] final class LakehouseV1Scan(
 
       override def buildScan(): RDD[Row] = {
         val spark = context.sparkSession
-        val (t, snap) = LakehouseSource.snapshotFor(spark, options)
+        val (t, snap) =
+          try LakehouseSource.snapshotFor(spark, options)
+          catch {
+            case e: IllegalArgumentException =>
+              // the isolation tradeoff surfaced: this DataFrame pinned
+              // its snapshot at load, and retention has since expired
+              // the manifest — the fix is a reload, not a mystery
+              throw new IllegalStateException(
+                s"the snapshot this DataFrame pinned at load time no longer exists " +
+                  s"(snapshot retention likely expired it) — re-run spark.read.load " +
+                  s"to pin the current snapshot. Cause: ${e.getMessage}", e)
+          }
         val files = LakehouseSource.pruneForFilters(t, snap, filters.toSeq)
         val base = t.scanFiles(snap, files)
         val cond = filters.map(LakehouseSource.toCondition)

@@ -210,12 +210,36 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
       evolvedSchemaJson(df), txn = mark))
   }
 
-  /** Highest transaction version any snapshot of this table records
-    * for `appId` (the Delta txn-ledger read path). Metadata-only.
+  /** Txn-ledger FLOOR file: marks folded out of expired manifests so
+    * retention can delete any manifest without ever forgetting an
+    * app's latest version (the Delta SetTransaction-retention shape,
+    * without pinning whole file lists). Monotone per app — expiry only
+    * merges maxes in — and written via temp + ATOMIC_MOVE. Live marks
+    * still ride the manifests; this file only preserves history that
+    * maintenance removed, so a concurrent writer's fresh mark can
+    * never be lost to a racing expiry.
     */
-  def lastTxnVersion(appId: String): Option[Long] =
-    listSnapshots().iterator.flatMap(_.txn).filter(_.appId == appId)
+  private def txnFloorPath: Path = rootPath.resolve("_txn_floor.json")
+
+  private def readTxnFloor(): Map[String, Long] =
+    if (!Files.exists(txnFloorPath)) Map.empty
+    else Serialization.read[Map[String, Long]](Files.readString(txnFloorPath))
+
+  private def writeTxnFloor(m: Map[String, Long]): Unit = {
+    val tmp = rootPath.resolve(s"_txn_floor.json.tmp-${System.nanoTime()}")
+    Files.writeString(tmp, Serialization.write(m))
+    Files.move(tmp, txnFloorPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Highest transaction version recorded for `appId` — across the
+    * surviving manifests AND the retention floor file. Metadata-only.
+    */
+  def lastTxnVersion(appId: String): Option[Long] = {
+    val live = listSnapshots().iterator.flatMap(_.txn).filter(_.appId == appId)
       .map(_.version).maxOption
+    (live.toSeq ++ readTxnFloor().get(appId).toSeq).maxOption
+  }
 
   /** Rename batch columns to the table's canonical spelling under the
     * session's resolution semantics, so a case-variant name ('ID' for
@@ -377,10 +401,14 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
           requireCompatibleSchema(ch.drop("_change"))
           // unknown tags must fail LOUDLY: an unvalidated tag (a typo,
           // or another feed dialect's "update_postimage") would fall
-          // into the delete path below and silently destroy the row
-          val badTags = ch.filter(!col("_change").isin("insert", "delete"))
+          // into the delete path below and silently destroy the row.
+          // NULL needs its own disjunct — under SQL three-valued logic
+          // `!isin(...)` is NULL for a null tag and the filter would
+          // silently drop exactly the row it exists to catch
+          val badTags = ch.filter(
+            col("_change").isNull || !col("_change").isin("insert", "delete"))
             .select("_change").distinct().limit(5)
-            .collect().map(_.getString(0))
+            .collect().map(r => if (r.isNullAt(0)) "NULL" else r.getString(0))
           require(badTags.isEmpty,
             s"applyChanges: unsupported _change tag(s) ${badTags.mkString("'", "', '", "'")} " +
               "(this feed speaks insert|delete; updates arrive as delete(old)+insert(new))")
@@ -488,20 +516,22 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     val snaps = listSnapshots()
     if (snaps.isEmpty) return 0
     val current = snaps.last
+    val (expired, kept0) = snaps.init.partition(_.timestampMs < cutoffMs)
+    val kept = kept0 :+ current
     // the exactly-once ledger must survive retention (the Delta
     // SetTransaction-retention concern): deleting the manifest that
     // carries an app's LATEST txn mark would let a replayed streaming
-    // batch apply twice after maintenance. Keep the one manifest per
-    // appId holding its highest version — at most one extra manifest
-    // per producer — while older, superseded marks expire normally.
-    val ledgerPinned: Set[Long] = snaps
-      .flatMap(s => s.txn.map(t => (t.appId, t.version, s.snapshotId)))
-      .groupBy(_._1).values
-      .map(_.maxBy(m => (m._2, m._3))._3)
-      .toSet
-    val (expired, kept0) = snaps.init.partition(s =>
-      s.timestampMs < cutoffMs && !ledgerPinned.contains(s.snapshotId))
-    val kept = kept0 :+ current
+    // batch apply twice after maintenance. Fold the expiring marks into
+    // the floor file BEFORE deleting — a few bytes per producer — so
+    // data files vacuum freely and the ledger still never forgets.
+    val expiringMarks = expired.flatMap(_.txn)
+    if (expiringMarks.nonEmpty) {
+      val floor = readTxnFloor()
+      val merged = expiringMarks.foldLeft(floor) { (m, t) =>
+        m + (t.appId -> math.max(t.version, m.getOrElse(t.appId, Long.MinValue)))
+      }
+      if (merged != floor) writeTxnFloor(merged)
+    }
     expired.foreach(s => Files.deleteIfExists(snapsDir.resolve(f"${s.snapshotId}%09d.json")))
     val live = kept.flatMap(_.files).toSet
     if (Files.isDirectory(dataDir)) {

@@ -328,12 +328,16 @@ class LakehouseTableSpec extends SparkSpec {
     assert(t.appendIdempotent(Seq((3L, "c")).toDF("id", "v"), "stream-b", 0L).isDefined)
     t.append(Seq((4L, "d")).toDF("id", "v")) // unmarked head
     val dropped = t.expireSnapshotsOlderThan(System.currentTimeMillis() + 60000)
-    // snapshot 1 (stream-a v5, superseded) expires; 2 (stream-a v6) and
-    // 3 (stream-b v0) are ledger-pinned; 4 is current
-    assert(dropped === 1)
+    // every non-current manifest expires (data files vacuum freely) —
+    // the marks they carried fold into the retention floor file
+    assert(dropped === 3)
+    assert(t.listSnapshots().size === 1)
     assert(t.lastTxnVersion("stream-a") === Some(6L),
-      "the latest mark per app must survive maintenance")
+      "the latest mark per app must survive maintenance via the floor file")
     assert(t.lastTxnVersion("stream-b") === Some(0L))
+    // idempotent: a second expiry pass must not lose or regress floors
+    t.expireSnapshotsOlderThan(System.currentTimeMillis() + 60000)
+    assert(t.lastTxnVersion("stream-a") === Some(6L))
     // and the guarantee holds through a fresh handle (manifest truth)
     val re = new LakehouseTable(spark, t.root)
     assert(re.applyChanges(Seq((9L, "x", "insert")).toDF("id", "v", "_change"),
