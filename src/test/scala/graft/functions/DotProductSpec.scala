@@ -67,6 +67,19 @@ class DotProductSpec extends SparkSpec {
       val r = s2.sql("SELECT dotp(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
         "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS v").collect()
       assert(r.head.getDouble(0) === 11.0)
+      // every registry-side function must resolve through the
+      // extensions injector too — a function added to register() but
+      // not to GraftExtensions would work in tests and fail in any
+      // spark.sql.extensions deployment
+      val all = s2.sql("""SELECT
+        url_normalize('HTTPS://H.com:443/x/?b=2&a=1#f') AS u,
+        wav_decode(CAST(NULL AS BINARY)) AS w,
+        bmp_decode(CAST(NULL AS BINARY)) AS b,
+        wav_features(CAST(NULL AS BINARY), 4) AS f,
+        ngram_hashes(array('a','b'), 2, 0) AS n,
+        count_in(array('a'), array('a')) AS c""").collect().head
+      assert(all.getString(0) === "https://h.com/x?a=1&b=2")
+      assert(all.isNullAt(1) && all.isNullAt(2) && all.isNullAt(3))
     } finally {
       prev.foreach { p =>
         SparkSession.setDefaultSession(p)
