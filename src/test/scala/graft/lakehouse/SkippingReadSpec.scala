@@ -265,4 +265,34 @@ class SkippingReadSpec extends SparkSpec {
     val tricky = Seq("data/s1/k=a%3Ab/part-0.parquet", "data/s1/k=a%2F/part.parquet", "%/%25")
     tricky.foreach(p => assert(t.decodeSidecarName(t.encodeSidecarName(p)) === p))
   }
+
+  test("planning stays flat as file counts grow: 1,024-file pruning is sub-second driver metadata") {
+    import spark.implicits._
+    // 1,024 one-row files via 32 appends of 32-partition frames — the
+    // 100× file-count scenario the stats-in-manifest design exists for
+    val t = new LakehouseTable(spark, tmpDir("skipread-1k"))
+    (0 until 32).foreach { a =>
+      val lo = a.toLong * 32
+      t.append((lo until lo + 32).map(id => (id, s"v$id")).toDF("id", "payload")
+        .repartitionByRange(32, col("id"))) // hash repartition leaves empty partitions → missing files
+    }
+    val snap = t.currentSnapshot().get
+    assert(snap.files.size >= 1024, s"expected ≥1024 files, got ${snap.files.size}")
+    val preds = Seq(
+      ScanPredicate.EqualTo("id", 500L),
+      ScanPredicate.Range("id", Some(400L), Some(600L)))
+    // warm the handle (first call folds manifests into the stats map)
+    t.pruneFiles(snap, preds)
+    val t0 = System.nanoTime()
+    val (files, _) = t.pruneFiles(snap, preds)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(files.nonEmpty && files.size < snap.files.size / 4,
+      s"stats must prune the vast majority of 1,024 one-row files (kept ${files.size})")
+    // generous absolute bound: the planning path is parallel in-memory
+    // stat compares — zero footer opens, zero jobs, zero sidecar reads
+    // — so even 64× the base fixture's file count stays far under a
+    // second. A linear-I/O regression (per-file footer opens at ~1 ms
+    // each) would blow straight past this.
+    assert(ms < 1000.0, f"1,024-file planning took $ms%.0f ms — the metadata path regressed to per-file I/O")
+  }
 }
