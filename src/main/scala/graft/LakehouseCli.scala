@@ -165,7 +165,15 @@ object LakehouseCli {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         if (!q.awaitTermination(600000)) {
-          q.stop() // never leave an orphan stream writing to dst
+          // never leave an orphan stream writing to dst — but a wedged
+          // batch may not answer the interrupt either, and the default
+          // stopTimeout of 0 waits forever; bound the stop so the CLI
+          // is guaranteed to exit with its diagnostic
+          spark.conf.set("spark.sql.streaming.stopTimeout", "30s")
+          try q.stop()
+          catch { case e: Throwable =>
+            out.println(s"replicate: stop timed out (${e.getMessage}) — stream thread abandoned")
+          }
           out.println("replicate: timed out"); return 1
         }
         val n = new LakehouseTable(spark, dst).read().count()

@@ -41,8 +41,24 @@ object UrlNormalize {
       if (pi < 0) (rest, "") else (rest.substring(0, pi), rest.substring(pi))
     if (auth.isEmpty) return null
     var host = auth.toLowerCase(java.util.Locale.ROOT)
-    if (scheme == "http" && host.endsWith(":80")) host = host.dropRight(3)
-    if (scheme == "https" && host.endsWith(":443")) host = host.dropRight(4)
+    // port handling per RFC 3986 §6.2.3: the separator after the LAST
+    // ']' (IPv6 literals carry ':' inside brackets) splits host/port;
+    // an EMPTY port is dropped, digits parse numerically (so ':080'
+    // equals ':80' — a literal string compare would canonicalize the
+    // same page to two keys), default ports vanish, non-defaults keep
+    // their canonical digits, and a non-numeric port is malformed
+    val portFrom = host.lastIndexOf(']') + 1
+    val ci = host.indexOf(':', portFrom)
+    if (ci >= 0) {
+      val portStr = host.substring(ci + 1)
+      host = host.substring(0, ci)
+      if (portStr.nonEmpty) {
+        if (!portStr.forall(_.isDigit) || portStr.length > 9) return null
+        val port = portStr.toInt
+        val default = if (scheme == "http") 80 else 443
+        if (port != default) host = host + ":" + port
+      }
+    }
     // "https://:443/x" survives the auth check but strips to no host —
     // that is a malformed URL, not a canonical form
     if (host.isEmpty || host.startsWith(":")) return null

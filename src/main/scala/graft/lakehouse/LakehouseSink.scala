@@ -51,13 +51,27 @@ final class LakehouseSink(
     // their checkpointed offset range.
     val fresh = LakehouseSink.asBatch(data)
     // a None result = the ledger absorbed a replayed batch — the
-    // intended no-op, nothing to surface
-    if (keys.nonEmpty && fresh.columns.contains("_change"))
-      table.applyChanges(fresh, keys, txn = Some((appId, batchId)))
-    else if (keys.nonEmpty)
-      table.upsertIdempotent(fresh, keys, appId, batchId)
-    else
-      table.appendIdempotent(fresh, appId, batchId, partitionBy = partitionCols)
+    // intended no-op for a crash-replay of the LAST batch. Absorption
+    // far below the ledger head is a different animal: it means the
+    // CHECKPOINT restarted from scratch (deleted/moved) while the
+    // ledger kept its versions, and every "replayed" batch is really
+    // new data being silently skipped — warn loudly (the operator
+    // must restore the checkpoint or write under a fresh txnAppId).
+    val applied =
+      if (keys.nonEmpty && fresh.columns.contains("_change"))
+        table.applyChanges(fresh, keys, txn = Some((appId, batchId)))
+      else if (keys.nonEmpty)
+        table.upsertIdempotent(fresh, keys, appId, batchId)
+      else
+        table.appendIdempotent(fresh, appId, batchId, partitionBy = partitionCols)
+    if (applied.isEmpty)
+      table.lastTxnVersion(appId).filter(_ > batchId + 1).foreach { last =>
+        System.err.println(
+          s"[graft-lakehouse sink] WARNING: batch $batchId absorbed but ledger for " +
+            s"'$appId' is at version $last — this looks like a RESET CHECKPOINT " +
+            s"over a live ledger; data in skipped batches does NOT reach $root. " +
+            "Restore the original checkpointLocation or use a fresh txnAppId.")
+      }
   }
 
   override def toString: String = s"LakehouseSink[$root]"

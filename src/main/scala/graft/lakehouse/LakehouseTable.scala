@@ -210,26 +210,48 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
       evolvedSchemaJson(df), txn = mark))
   }
 
-  /** Txn-ledger FLOOR file: marks folded out of expired manifests so
+  /** Txn-ledger FLOOR: marks folded out of expired manifests so
     * retention can delete any manifest without ever forgetting an
     * app's latest version (the Delta SetTransaction-retention shape,
-    * without pinning whole file lists). Monotone per app — expiry only
-    * merges maxes in — and written via temp + ATOMIC_MOVE. Live marks
-    * still ride the manifests; this file only preserves history that
-    * maintenance removed, so a concurrent writer's fresh mark can
-    * never be lost to a racing expiry.
+    * without pinning whole file lists). The floor is a DIRECTORY of
+    * write-once files merged max-per-app on read — a racing pair of
+    * expiries (two handles, two JVMs) each write their OWN file and
+    * GC only the files they actually read, so neither can clobber the
+    * other's folded marks (a single read-modify-write file would have
+    * exactly that lost-update window, and a lost mark re-opens the
+    * replay-double-apply hole the ledger exists to close). Live marks
+    * still ride the manifests; the floor only preserves history that
+    * maintenance removed.
     */
-  private def txnFloorPath: Path = rootPath.resolve("_txn_floor.json")
+  private def txnFloorDir: Path = rootPath.resolve("_txn_floor")
 
-  private def readTxnFloor(): Map[String, Long] =
-    if (!Files.exists(txnFloorPath)) Map.empty
-    else Serialization.read[Map[String, Long]](Files.readString(txnFloorPath))
+  private def txnFloorFiles(): Seq[Path] =
+    if (!Files.isDirectory(txnFloorDir)) Nil
+    else graft.Fs.listAll(txnFloorDir).filter(_.toString.endsWith(".json"))
+      .sortBy(_.getFileName.toString)
 
-  private def writeTxnFloor(m: Map[String, Long]): Unit = {
-    val tmp = rootPath.resolve(s"_txn_floor.json.tmp-${System.nanoTime()}")
-    Files.writeString(tmp, Serialization.write(m))
-    Files.move(tmp, txnFloorPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+  private def readFloorMap(files: Seq[Path]): Map[String, Long] =
+    files.foldLeft(Map.empty[String, Long]) { (acc, p) =>
+      val m =
+        try Serialization.read[Map[String, Long]](Files.readString(p))
+        catch { case _: java.nio.file.NoSuchFileException => Map.empty[String, Long] }
+      m.foldLeft(acc) { case (a, (app, v)) =>
+        a + (app -> math.max(v, a.getOrElse(app, Long.MinValue)))
+      }
+    }
+
+  private def readTxnFloor(): Map[String, Long] = readFloorMap(txnFloorFiles())
+
+  /** Publish `merged` as a fresh write-once floor file, then GC exactly
+    * the files it subsumes (`consumed`). Concurrent writers' files are
+    * untouched and survive to the next merge.
+    */
+  private def writeTxnFloor(merged: Map[String, Long], consumed: Seq[Path]): Unit = {
+    Files.createDirectories(txnFloorDir)
+    val p = txnFloorDir.resolve(
+      f"${System.currentTimeMillis()}%013d-${System.nanoTime() % 1000000}%06d.json")
+    Files.writeString(p, Serialization.write(merged))
+    consumed.foreach(Files.deleteIfExists(_))
   }
 
   /** Highest transaction version recorded for `appId` — across the
@@ -526,11 +548,12 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     // data files vacuum freely and the ledger still never forgets.
     val expiringMarks = expired.flatMap(_.txn)
     if (expiringMarks.nonEmpty) {
-      val floor = readTxnFloor()
+      val consumed = txnFloorFiles()
+      val floor = readFloorMap(consumed)
       val merged = expiringMarks.foldLeft(floor) { (m, t) =>
         m + (t.appId -> math.max(t.version, m.getOrElse(t.appId, Long.MinValue)))
       }
-      if (merged != floor) writeTxnFloor(merged)
+      writeTxnFloor(merged, consumed)
     }
     expired.foreach(s => Files.deleteIfExists(snapsDir.resolve(f"${s.snapshotId}%09d.json")))
     val live = kept.flatMap(_.files).toSet

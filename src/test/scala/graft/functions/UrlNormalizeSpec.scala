@@ -16,6 +16,16 @@ class UrlNormalizeSpec extends SparkSpec {
     assert(n("https://h.com:443/x") === "https://h.com/x")
     assert(n("https://h.com:8443/x") === "https://h.com:8443/x")
     assert(n("http://h.com:443/x") === "http://h.com:443/x") // not http's default
+    // RFC 3986 §6.2.3: empty port dropped; zero-padded ports compare
+    // NUMERICALLY (':080' is port 80), non-defaults keep canonical digits
+    assert(n("https://h.com:/x") === "https://h.com/x")
+    assert(n("http://h.com:080/x") === "http://h.com/x")
+    assert(n("https://h.com:0443/x") === "https://h.com/x")
+    assert(n("https://h.com:08443/x") === "https://h.com:8443/x")
+    assert(n("https://h.com:abc/x") === null) // non-numeric port
+    // IPv6 literal: the in-bracket colons are not port separators
+    assert(n("https://[2001:DB8::1]:443/x") === "https://[2001:db8::1]/x")
+    assert(n("https://[2001:db8::1]:8080/x") === "https://[2001:db8::1]:8080/x")
     // fragment removed
     assert(n("https://h.com/x#frag") === "https://h.com/x")
     assert(n("https://h.com/x?a=1#frag") === "https://h.com/x?a=1")

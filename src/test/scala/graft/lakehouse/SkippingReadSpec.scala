@@ -281,11 +281,17 @@ class SkippingReadSpec extends SparkSpec {
     val preds = Seq(
       ScanPredicate.EqualTo("id", 500L),
       ScanPredicate.Range("id", Some(400L), Some(600L)))
-    // warm the handle (first call folds manifests into the stats map)
+    // warm the handle (first call folds manifests into the stats map),
+    // then time MIN-of-3 — a single sample eats any GC pause or
+    // scheduler stall whole and flakes on a loaded box (the project's
+    // own bench methodology, applied here)
     t.pruneFiles(snap, preds)
-    val t0 = System.nanoTime()
     val (files, _) = t.pruneFiles(snap, preds)
-    val ms = (System.nanoTime() - t0) / 1e6
+    val ms = (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
+      t.pruneFiles(snap, preds)
+      (System.nanoTime() - t0) / 1e6
+    }.min
     assert(files.nonEmpty && files.size < snap.files.size / 4,
       s"stats must prune the vast majority of 1,024 one-row files (kept ${files.size})")
     // generous absolute bound: the planning path is parallel in-memory
