@@ -230,9 +230,16 @@ object AnnIndex {
     val e = newEmbeddings
       .withColumn("nrm", sqrt(expr("dotp(embedding, embedding)")))
     val residuals = residualize(spark, LlmSimQueries.ivfAssignV(e, idx.centroids), idx.centroids)
-    new LakehouseTable(spark, codesRoot(root, v)).append(
+    // keyed by vec_id, not a blind append: re-ingesting an id that is
+    // already in the index (a retried batch, or a doc re-embedded after
+    // an edit) must REPLACE its codes — duplicate code rows would
+    // surface the same vec_id twice in every serve shortlist. For
+    // disjoint new ids the key probe finds no matching files and this
+    // is exactly an append (q116's gate is unchanged); the rewrite
+    // preserves the cell layout.
+    new LakehouseTable(spark, codesRoot(root, v)).upsert(
       LlmSimQueries.pqEncode(residuals, idx.books, keep = Seq("cell")),
-      partitionBy = Seq("cell"))
+      keys = Seq("vec_id"))
   }
 
   /** Remove vectors from the LIVE index version by id — the index-

@@ -159,6 +159,29 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("re-appending existing ids REPLACES their codes — a retried batch can never duplicate serving rows") {
+    import spark.implicits._
+    val root = tmpDir("annidx-reapp")
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val rest = emb.filter(col("vec_id") % 4 === 0)
+    AnnIndex.build(spark, base, root)
+    AnnIndex.append(spark, rest, root)
+    val once = AnnIndex.load(spark, root).codes.collect().map(_.toSeq).sorted(
+      Ordering.by((s: Seq[Any]) => s.head.asInstanceOf[Long]))
+    // the retry: the SAME batch lands again (at-least-once ingestion)
+    AnnIndex.append(spark, rest, root)
+    val twice = AnnIndex.load(spark, root).codes
+    assert(twice.groupBy("vec_id").count().filter(col("count") > 1).isEmpty,
+      "a re-ingested id must never hold two code rows")
+    assert(twice.collect().map(_.toSeq).sorted(
+      Ordering.by((s: Seq[Any]) => s.head.asInstanceOf[Long])).toSeq === once.toSeq,
+      "re-appending the identical batch must be a bit-exact no-op on the codes")
+    // layout still partitioned after the keyed rewrite
+    val codesTable = new LakehouseTable(spark,
+      root + "/codes.v" + AnnIndex.currentVersion(root).get)
+    assert(codesTable.currentSnapshot().get.files.forall(_.contains("cell=")))
+  }
+
   test("remove deletes EXACTLY the requested ids — no training, other codes bit-unchanged, cell layout preserved") {
     import spark.implicits._
     val root = tmpDir("annidx-rm")
