@@ -411,6 +411,48 @@ object CdcOpQueries {
         .withColumn("n_versions", lit(versions))
         .withColumn("replays_absorbed", lit(absorbed))
         .orderBy(col("nationkey"))
+    }),
+    // ---- the SINK FORMAT under the gate (round 8): q119 drives the
+    //      ledger through foreachBatch; this drives it through
+    //      writeStream.format("graft-lakehouse") — the pure-API
+    //      replication pipeline. Table A (from nation) replicates to
+    //      B keyed by nationkey across two drains with upstream
+    //      updates+inserts between them; the output hash-gates the
+    //      final downstream state AND the sink's ledger audit (one
+    //      committed version per engine batch). ----
+    "q124_sink_replicate" -> ((s, dir) => {
+      import s.implicits._
+      val nation = graft.Tables.load(s, dir, "nation").select(
+        col("n_nationkey").as("nationkey"), col("n_name").as("name"),
+        col("n_regionkey").as("rk"))
+      val rootA = java.nio.file.Files.createTempDirectory("graft-q124a").toString
+      val rootB = java.nio.file.Files.createTempDirectory("graft-q124b").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-q124ck").toString
+      val a = new LakehouseTable(s, rootA)
+      a.append(nation.filter(col("rk") < 3).repartition(2))
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-changefeed").option("path", rootA).load()
+          .writeStream.format("graft-lakehouse")
+          .option("path", rootB).option("keys", "nationkey")
+          .option("txnAppId", "q124").option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        require(q.awaitTermination(120000), "q124 stream did not drain")
+      }
+      drain() // bootstrap
+      a.upsert(nation.filter(col("rk") === 1)
+        .withColumn("name", concat(col("name"), lit("_V2"))), Seq("nationkey"))
+      a.append(nation.filter(col("rk") >= 3))
+      drain() // the diff
+      val b = new LakehouseTable(s, rootB)
+      val versions = b.listSnapshots().flatMap(_.txn)
+        .filter(_.appId == "q124").map(_.version).distinct.size
+      val rows = b.read().select("nationkey", "name", "rk")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+      Seq(rootA, rootB, ckpt).foreach(p =>
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(p)))
+      rows.toDF("nationkey", "name", "rk")
+        .withColumn("n_batches", lit(versions))
+        .orderBy(col("nationkey"))
     })
   )
 
@@ -523,6 +565,15 @@ object CdcOpQueries {
       SELECT nationkey, name, rk, CAST(length(name) AS INT) AS name_len,
              CAST(2 AS INT) AS n_applies, CAST(2 AS INT) AS n_versions,
              CAST(1 AS INT) AS replays_absorbed
-      FROM a_final WHERE rk <> 2 ORDER BY nationkey"""
+      FROM a_final WHERE rk <> 2 ORDER BY nationkey""",
+    // q124: pure replication — the downstream must equal final A (all
+    // of nation, region-1 names suffixed by the mid-stream upsert);
+    // 2 engine batches = 2 distinct ledger versions.
+    "q124_sink_replicate" -> """
+      SELECT n_nationkey AS nationkey,
+             CASE WHEN n_regionkey = 1 THEN n_name || '_V2' ELSE n_name END AS name,
+             n_regionkey AS rk,
+             CAST(2 AS INT) AS n_batches
+      FROM nation ORDER BY nationkey"""
   )
 }
