@@ -217,10 +217,14 @@ object AnnIndex {
 
   /** Incremental encode-on-append: assign + residualize + encode the
     * NEW vectors map-side against the FROZEN persisted codebooks, and
-    * append to the LIVE version's codes table. Per-batch cost is the
-    * batch, never the corpus; no training jobs run (the spec pins it).
-    * Drift from stale codebooks is repaired by a scheduled full
-    * [[build]].
+    * land them in the LIVE version's codes table KEYED by vec_id.
+    * Per-batch cost is the batch for disjoint ids (a manifest-stats
+    * range check routes them down the pure-append path — never a
+    * corpus read); a batch whose id range overlaps existing files
+    * additionally pays the keyed replace of those files, which is what
+    * makes retried batches and re-embedded docs safe. No training jobs
+    * run either way (the spec pins it). Drift from stale codebooks is
+    * repaired by a scheduled full [[build]].
     */
   def append(spark: SparkSession, newEmbeddings: DataFrame, root: String): Snapshot = {
     graft.functions.GraftFunctions.register(spark)
@@ -233,13 +237,27 @@ object AnnIndex {
     // keyed by vec_id, not a blind append: re-ingesting an id that is
     // already in the index (a retried batch, or a doc re-embedded after
     // an edit) must REPLACE its codes — duplicate code rows would
-    // surface the same vec_id twice in every serve shortlist. For
-    // disjoint new ids the key probe finds no matching files and this
-    // is exactly an append (q116's gate is unchanged); the rewrite
-    // preserves the cell layout.
-    new LakehouseTable(spark, codesRoot(root, v)).upsert(
-      LlmSimQueries.pqEncode(residuals, idx.books, keep = Seq("cell")),
-      keys = Seq("vec_id"))
+    // surface the same vec_id twice in every serve shortlist. The
+    // batch itself dedupes first (an at-least-once feed can repeat an
+    // id WITHIN one batch; identical rows collapse exactly, and a
+    // conflicting pair was ill-defined input either way). Cost stays
+    // O(batch): a manifest-stats range check (zero file opens, zero
+    // jobs) detects the common disjoint-ids case — monotone ids from
+    // a fresh-documents feed — and takes the pure-append path; only a
+    // batch whose id range OVERLAPS existing files pays upsert's
+    // keyed collision probe over those files.
+    val enc = LlmSimQueries.pqEncode(residuals, idx.books, keep = Seq("cell"))
+      .dropDuplicates("vec_id")
+      .localCheckpoint() // bound: the range agg below and the write reuse it
+    val codes = new LakehouseTable(spark, codesRoot(root, v))
+    val r = enc.agg(min(col("vec_id")), max(col("vec_id"))).head
+    val mayCollide = !r.isNullAt(0) && codes.currentSnapshot().exists { snap =>
+      codes.pruneFiles(snap,
+        Seq(ScanPredicate.Range("vec_id", Some(r.getLong(0)), Some(r.getLong(1)))))
+        ._1.nonEmpty
+    }
+    if (mayCollide) codes.upsert(enc, keys = Seq("vec_id"))
+    else codes.append(enc, partitionBy = Seq("cell"))
   }
 
   /** Remove vectors from the LIVE index version by id — the index-

@@ -387,6 +387,7 @@ object CdcOpQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         try q.awaitTermination(120000)
         catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+        finally if (q.isActive) q.stop() // a wedged drain must not orphan the stream
       }
       runOnce() // run 1: bootstrap (batch 0)
       // upstream advances while the stream is DOWN: rename every
@@ -436,7 +437,8 @@ object CdcOpQueries {
           .option("path", rootB).option("keys", "nationkey")
           .option("txnAppId", "q124").option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        require(q.awaitTermination(120000), "q124 stream did not drain")
+        try require(q.awaitTermination(120000), "q124 stream did not drain")
+        finally if (q.isActive) q.stop() // a wedged drain must not orphan the stream
       }
       drain() // bootstrap
       a.upsert(nation.filter(col("rk") === 1)

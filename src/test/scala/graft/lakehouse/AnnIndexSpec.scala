@@ -180,6 +180,28 @@ class AnnIndexSpec extends SparkSpec {
     val codesTable = new LakehouseTable(spark,
       root + "/codes.v" + AnnIndex.currentVersion(root).get)
     assert(codesTable.currentSnapshot().get.files.forall(_.contains("cell=")))
+
+    // intra-batch duplicates (an at-least-once feed repeating an id
+    // WITHIN one batch) also collapse to one code row
+    val dup = rest.limit(4)
+    AnnIndex.append(spark, dup.unionAll(dup), root)
+    assert(AnnIndex.load(spark, root).codes
+      .groupBy("vec_id").count().filter(col("count") > 1).isEmpty,
+      "duplicate ids inside one batch must not produce duplicate code rows")
+  }
+
+  test("append with DISJOINT ids takes the pure-append path — zero reads of existing code files") {
+    import spark.implicits._
+    val root = tmpDir("annidx-disjoint")
+    AnnIndex.build(spark, emb.filter(col("vec_id") < 192), root)
+    // structural check: the appended snapshot's operation distinguishes
+    // the paths — "append" is the manifest-stats fast path, "upsert"
+    // would mean the collision probe scanned existing code files
+    AnnIndex.append(spark, emb.filter(col("vec_id") >= 192), root)
+    val codesTable = new LakehouseTable(spark,
+      root + "/codes.v" + AnnIndex.currentVersion(root).get)
+    assert(codesTable.currentSnapshot().get.operation === "append",
+      "disjoint-id ingestion must take the O(batch) append path, not the keyed probe")
   }
 
   test("remove deletes EXACTLY the requested ids — no training, other codes bit-unchanged, cell layout preserved") {
