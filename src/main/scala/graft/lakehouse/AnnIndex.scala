@@ -248,15 +248,24 @@ object AnnIndex {
     // keyed collision probe over those files.
     val enc = LlmSimQueries.pqEncode(residuals, idx.books, keep = Seq("cell"))
       .dropDuplicates("vec_id")
-      .localCheckpoint() // bound: the range agg below and the write reuse it
+      .localCheckpoint() // bound: the collision checks below and the write reuse it
     val codes = new LakehouseTable(spark, codesRoot(root, v))
     val r = enc.agg(min(col("vec_id")), max(col("vec_id"))).head
-    val mayCollide = !r.isNullAt(0) && codes.currentSnapshot().exists { snap =>
-      codes.pruneFiles(snap,
-        Seq(ScanPredicate.Range("vec_id", Some(r.getLong(0)), Some(r.getLong(1)))))
-        ._1.nonEmpty
+    val collides = !r.isNullAt(0) && codes.currentSnapshot().exists { snap =>
+      // two-stage collision test, cheapest first: manifest min/max
+      // prunes to candidate files with zero I/O (a disjoint id range —
+      // the monotone-ids norm — exits here); survivors get one EXACT
+      // column-pruned semi-join over only those files' vec_id column,
+      // so interleaved-but-new ids (fresh docs with scattered ids)
+      // still take the pure-append path at one column scan, not the
+      // full keyed rewrite probe
+      val candidates = codes.pruneFiles(snap,
+        Seq(ScanPredicate.Range("vec_id", Some(r.getLong(0)), Some(r.getLong(1)))))._1
+      candidates.nonEmpty && !codes.scanFiles(snap, candidates)
+        .select("vec_id").join(enc.select("vec_id"), Seq("vec_id"), "left_semi")
+        .isEmpty
     }
-    if (mayCollide) codes.upsert(enc, keys = Seq("vec_id"))
+    if (collides) codes.upsert(enc, keys = Seq("vec_id"))
     else codes.append(enc, partitionBy = Seq("cell"))
   }
 
