@@ -29,10 +29,19 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   * internal-streaming constructor (reflective — the one hop the
   * public API doesn't expose), which also severs the batch plan so
   * the micro-batch optimizer never re-touches manifest state.
+  *
+  * `.option("maxSnapshotsPerTrigger", N)` bounds each micro-batch to
+  * N snapshots of backlog (admission control — the Delta
+  * maxFilesPerTrigger analogue); unset, a batch takes everything up
+  * to the head.
   */
-final class ChangeFeedSource(sqlContext: SQLContext, root: String)
+final class ChangeFeedSource(sqlContext: SQLContext, root: String,
+    maxSnapshotsPerTrigger: Option[Long] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  require(maxSnapshotsPerTrigger.forall(_ > 0),
+    s"maxSnapshotsPerTrigger must be positive, got $maxSnapshotsPerTrigger")
 
   private val table = new LakehouseTable(sqlContext.sparkSession, root)
 
@@ -49,12 +58,39 @@ final class ChangeFeedSource(sqlContext: SQLContext, root: String)
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowHead = table.currentSnapshot().map(_.snapshotId)
 
+  /** Admission control (the Delta maxFilesPerTrigger analogue, in this
+    * source's natural unit): `maxSnapshotsPerTrigger` clamps each
+    * micro-batch to at most N snapshots past the committed offset, so
+    * a long-downtime backlog drains as MANY checkpointed batches — a
+    * failure mid-drain replays one clamped batch, not the whole
+    * backlog — and a cold-start bootstrap begins from the EARLIEST
+    * retained snapshot's state instead of materializing the whole
+    * head in one batch. The offset-is-snapshot-id design keeps every
+    * clamped batch a pure function of its range, so the exactly-once
+    * replay contract is untouched. Under Trigger.AvailableNow the
+    * engine keeps cycling batches until the clamped offset reaches
+    * the head pinned at prepare time.
+    */
+  private def clampedHead(
+      start: Option[Long]): Option[Long] = {
+    val head = availableNowHead.orElse(table.currentSnapshot().map(_.snapshotId))
+    (head, maxSnapshotsPerTrigger) match {
+      case (Some(h), Some(n)) =>
+        val from = start.getOrElse {
+          // cold start: bootstrap from the earliest retained snapshot,
+          // then drain forward N at a time
+          table.listSnapshots().headOption.map(_.snapshotId - 1).getOrElse(h)
+        }
+        Some(math.min(h, from + n))
+      case _ => head
+    }
+  }
+
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset =
-    availableNowHead.orElse(table.currentSnapshot().map(_.snapshotId))
-      .map(LongOffset(_)).orNull
+    clampedHead(Option(start).map(_.json.trim.toLong)).map(LongOffset(_)).orNull
 
   override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
     table.currentSnapshot().map(s => LongOffset(s.snapshotId)).orNull
@@ -202,5 +238,6 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source =
-    new ChangeFeedSource(sqlContext, rootOf(parameters))
+    new ChangeFeedSource(sqlContext, rootOf(parameters),
+      maxSnapshotsPerTrigger = longOpt(parameters, "maxSnapshotsPerTrigger"))
 }

@@ -62,9 +62,15 @@ final class LakehouseSourceProvider extends TableProvider with DataSourceRegiste
     val root = LakehouseSource.rootOf(parameters)
     val keys = parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("keys") => v }
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    // the DEFAULT ledger namespace must not depend on the caller's path
+    // SPELLING: './tbl' and '/abs/tbl' are the same table, and distinct
+    // namespaces would silently break replay absorption across restarts
+    // that spell the root differently (the replicate CLI canonicalizes
+    // for the same reason)
     val appId = parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("txnAppId") => v
-    }.getOrElse(s"graft-lakehouse-sink:$root")
+    }.getOrElse("graft-lakehouse-sink:" +
+      java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString)
     new LakehouseSink(sqlContext, root, keys, appId, partitionColumns)
   }
 
@@ -98,11 +104,18 @@ final class LakehouseSourceProvider extends TableProvider with DataSourceRegiste
         if (keys.nonEmpty) t.upsert(data, keys) else t.append(data, partCols)
     }
     val ctx = sqlContext
+    // pin the relation to the snapshot THIS write produced (or found,
+    // under Ignore): scanning it later must not surface a concurrent
+    // writer's rows — the same load-time pinning discipline as the
+    // read face
+    val writtenId = t.currentSnapshot().map(_.snapshotId)
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = ctx
       override def schema: StructType = data.schema
-      override def buildScan(): org.apache.spark.rdd.RDD[Row] =
-        new LakehouseTable(ctx.sparkSession, root).read().rdd
+      override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
+        val tt = new LakehouseTable(ctx.sparkSession, root)
+        writtenId.map(tt.scanAtSnapshot(_)).getOrElse(tt.read()).rdd
+      }
     }
   }
 
@@ -176,43 +189,66 @@ private[lakehouse] object LakehouseSource {
     case sources.LessThanOrEqual(c, v) => col(c) <= lit(v)
     case sources.In(c, vs) => col(c).isin(vs.toIndexedSeq: _*)
     case sources.IsNotNull(c) => col(c).isNotNull
+    case sources.IsNull(c) => col(c).isNull
+    case sources.StringStartsWith(c, p) => col(c).startsWith(p)
+    case sources.Or(l, r) => toCondition(l) || toCondition(r)
     case other => throw new IllegalStateException(s"accepted untranslatable filter $other")
   }
 
   /** Can this filter be enforced exactly by [[toCondition]]? Only such
     * filters are accepted from Catalyst; the rest are returned for the
-    * engine to evaluate post-scan.
+    * engine to evaluate post-scan. `topLevel` is the table's top-level
+    * column set (under the session's name resolution): Spark 4 pushes
+    * NESTED-field predicates with dotted names ("s.x"), which the
+    * pruner's flat schema lookups would reject with a hard error —
+    * those filters must stay with the engine, not the scan.
     */
-  def acceptable(f: Filter): Boolean = f match {
-    case _: sources.EqualTo | _: sources.GreaterThan | _: sources.GreaterThanOrEqual |
-         _: sources.LessThan | _: sources.LessThanOrEqual | _: sources.In |
-         _: sources.IsNotNull => true
-    case _ => false
+  def acceptable(f: Filter, topLevel: String => Boolean): Boolean = {
+    def refsOk = f.references.forall(topLevel)
+    f match {
+      case _: sources.EqualTo | _: sources.GreaterThan | _: sources.GreaterThanOrEqual |
+           _: sources.LessThan | _: sources.LessThanOrEqual | _: sources.In |
+           _: sources.IsNotNull | _: sources.IsNull | _: sources.StringStartsWith => refsOk
+      case sources.Or(l, r) => acceptable(l, topLevel) && acceptable(r, topLevel)
+      case _ => false
+    }
   }
 
-  /** File pruning for the accepted filter set. Conjunctive ranges map
-    * straight onto [[ScanPredicate]]s; an `In` keeps the union of its
-    * per-value keep-sets (capped — a huge IN-list prunes nothing
-    * rather than looping the planner).
+  /** The keep-set for ONE accepted filter, or None when the filter
+    * carries no pruning evidence (keeps everything). Equality and
+    * ranges map onto [[ScanPredicate]]s; `In` unions its per-value
+    * keep-sets (capped — a huge IN-list prunes nothing rather than
+    * looping the planner); `Or` unions its branches' keep-sets, so
+    * `id < 100 OR id > 9000` skips every mid-range file — without Or
+    * pruning those scans read the whole table.
+    */
+  private def keepSetFor(t: LakehouseTable, snap: Snapshot, f: Filter): Option[Set[String]] = {
+    def one(p: ScanPredicate) = Some(t.pruneFiles(snap, Seq(p))._1.toSet)
+    f match {
+      case sources.EqualTo(c, v) => one(ScanPredicate.EqualTo(c, v))
+      case sources.GreaterThan(c, v) => one(ScanPredicate.Range(c, Some(v), None))
+      case sources.GreaterThanOrEqual(c, v) => one(ScanPredicate.Range(c, Some(v), None))
+      case sources.LessThan(c, v) => one(ScanPredicate.Range(c, None, Some(v)))
+      case sources.LessThanOrEqual(c, v) => one(ScanPredicate.Range(c, None, Some(v)))
+      case sources.StringStartsWith(c, p) => one(ScanPredicate.StartsWith(c, p))
+      case sources.IsNull(c) => one(ScanPredicate.IsNull(c))
+      case sources.In(c, vs) if vs.nonEmpty && vs.length <= 32 && !vs.contains(null) =>
+        Some(vs.flatMap(v => t.pruneFiles(snap, Seq(ScanPredicate.EqualTo(c, v)))._1).toSet)
+      case sources.Or(l, r) =>
+        for (a <- keepSetFor(t, snap, l); b <- keepSetFor(t, snap, r)) yield a ++ b
+      case _ => None // IsNotNull, over-long In: no evidence — keep all
+    }
+  }
+
+  /** File pruning for the accepted filter set: the intersection of
+    * every filter's keep-set (conjunctive semantics), in snapshot file
+    * order. All verdicts are driver-side metadata (manifest stats,
+    * cached sidecars, path values).
     */
   def pruneForFilters(t: LakehouseTable, snap: Snapshot, filters: Seq[Filter]): Seq[String] = {
-    val conjunctive: Seq[ScanPredicate] = filters.flatMap {
-      case sources.EqualTo(c, v) => Some(ScanPredicate.EqualTo(c, v))
-      case sources.GreaterThan(c, v) => Some(ScanPredicate.Range(c, Some(v), None))
-      case sources.GreaterThanOrEqual(c, v) => Some(ScanPredicate.Range(c, Some(v), None))
-      case sources.LessThan(c, v) => Some(ScanPredicate.Range(c, None, Some(v)))
-      case sources.LessThanOrEqual(c, v) => Some(ScanPredicate.Range(c, None, Some(v)))
-      case _ => None
-    }
-    var kept = if (conjunctive.isEmpty) snap.files else t.pruneFiles(snap, conjunctive)._1
-    filters.foreach {
-      case sources.In(c, vs) if vs.nonEmpty && vs.length <= 32 && !vs.contains(null) =>
-        val union = vs.flatMap(v =>
-          t.pruneFiles(snap, Seq(ScanPredicate.EqualTo(c, v)))._1).toSet
-        kept = kept.filter(union)
-      case _ => ()
-    }
-    kept
+    val keeps = filters.flatMap(keepSetFor(t, snap, _))
+    if (keeps.isEmpty) snap.files
+    else snap.files.filter(f => keeps.forall(_.contains(f)))
   }
 }
 
@@ -234,13 +270,28 @@ private[lakehouse] final class LakehouseV2Table(
 
 private[lakehouse] final class LakehouseScanBuilder(
     tableSchema: StructType, options: Map[String, String])
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var accepted: Array[Filter] = Array.empty
+  /** Set when a bare COUNT(*) was pushed: the answer, straight from
+    * manifest metadata.
+    */
+  private var pushedCount: Option[Long] = None
+
+  private def nameKey(n: String): String =
+    if (SparkSession.active.sessionState.conf.caseSensitiveAnalysis) n
+    else n.toLowerCase(java.util.Locale.ROOT)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ok, rest) = filters.partition(LakehouseSource.acceptable)
+    // only filters whose referenced columns are TOP-LEVEL table fields
+    // may push: Spark translates nested-struct predicates with dotted
+    // names ("s.x"), which the flat-schema pruner must not see — they
+    // stay with the engine and evaluate post-scan
+    val cols = tableSchema.fieldNames.map(nameKey).toSet
+    val (ok, rest) = filters.partition(
+      LakehouseSource.acceptable(_, r => cols(nameKey(r))))
     accepted = ok
     rest // the engine evaluates what the scan can't enforce
   }
@@ -254,7 +305,55 @@ private[lakehouse] final class LakehouseScanBuilder(
       if (requiredSchema.fields.nonEmpty) requiredSchema
       else StructType(tableSchema.fields.take(1))
 
-  override def build(): Scan = new LakehouseV1Scan(options, required, accepted)
+  /** COUNT(*) answers from O(files) manifest metadata (the
+    * Iceberg/Delta metadata-query shape): every data file's row count
+    * is recorded in the snapshot's stats at write time, so a bare
+    * `SELECT count(*)` needs zero data files and zero Spark scan work.
+    * Only COMPLETE pushdown is claimed, and only when nothing else
+    * constrains the scan: no grouping, no pushed filters (the manifest
+    * can't evaluate them), and a row count resolvable for EVERY file
+    * (manifest-first, footer fallback for pre-stats manifests; any
+    * unreadable file → not pushed, the real scan answers).
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    pushAggregation(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (pushedCount.isDefined) return true // idempotent re-probe
+    val bareCountStar = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (!bareCountStar || accepted.nonEmpty) return false
+    val spark = SparkSession.active
+    val (t, snap) = LakehouseSource.snapshotFor(spark, options)
+    pushedCount = t.manifestRowCount(snap)
+    // the audit surface shows the metadata answer read NO files
+    pushedCount.foreach(_ => ScanEvents.record(LakehouseSource.rootOf(options),
+      ScanInfo(0, snap.files.size, Nil, Seq("COUNT(*)"))))
+    pushedCount.isDefined
+  }
+
+  override def build(): Scan = pushedCount match {
+    case Some(n) => new LakehouseCountScan(n)
+    case None => new LakehouseV1Scan(options, required, accepted)
+  }
+}
+
+/** The pushed-COUNT(*) scan: one row, straight from the manifest. */
+private[lakehouse] final class LakehouseCountScan(count: Long) extends V1Scan {
+  override def readSchema(): StructType = new StructType()
+    .add("count", org.apache.spark.sql.types.LongType, nullable = false)
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = readSchema()
+      override def buildScan(): RDD[Row] =
+        context.sparkSession.sparkContext.parallelize(Seq(Row(count)), 1)
+    }.asInstanceOf[T]
 }
 
 /** Per-root record of the last planned scan — how specs (and humans)

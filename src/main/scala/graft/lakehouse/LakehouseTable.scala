@@ -21,7 +21,8 @@ import org.json4s.jackson.Serialization
   * re-parsed as a Double is a DIFFERENT value near file boundaries —
   * a pruning decision off by one ulp silently drops rows).
   */
-final case class ColumnStat(typ: String, min: String, max: String)
+final case class ColumnStat(typ: String, min: String, max: String,
+    nulls: Option[Long] = None)
 
 /** Manifest stats for one data file: row count + per-column min/max.
   * A file PRESENT in the snapshot's stats map never needs its parquet
@@ -70,6 +71,19 @@ object ScanPredicate {
   /** `lower <= column <= upper` (either bound optional, inclusive). */
   final case class Range(column: String, lower: Option[Any], upper: Option[Any])
       extends ScanPredicate
+  /** `column LIKE 'prefix%'` on a string column: prunes on min/max
+    * UTF-8 byte order (a file may hold a prefix match iff max >= prefix
+    * and min is below the prefix's successor) and on partition-path
+    * values. No byte-increment gymnastics needed: min < successor(p)
+    * ⟺ min starts with p OR min < p.
+    */
+  final case class StartsWith(column: String, prefix: String) extends ScanPredicate
+  /** `column IS NULL`: prunes files whose manifest stats record ZERO
+    * nulls for the column, and hive partition dirs whose path value is
+    * non-null. Files without null counts (pre-round-9 manifests) are
+    * always kept.
+    */
+  final case class IsNull(column: String) extends ScanPredicate
 }
 
 /** "Lakehouse-lite": a snapshot-versioned Parquet table — append/upsert,
@@ -230,17 +244,36 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     else graft.Fs.listAll(txnFloorDir).filter(_.toString.endsWith(".json"))
       .sortBy(_.getFileName.toString)
 
-  private def readFloorMap(files: Seq[Path]): Map[String, Long] =
-    files.foldLeft(Map.empty[String, Long]) { (acc, p) =>
-      val m =
-        try Serialization.read[Map[String, Long]](Files.readString(p))
-        catch { case _: java.nio.file.NoSuchFileException => Map.empty[String, Long] }
-      m.foldLeft(acc) { case (a, (app, v)) =>
-        a + (app -> math.max(v, a.getOrElse(app, Long.MinValue)))
+  /** List + merge the floor directory as ONE consistent view, retrying
+    * when a file vanishes between the listing and its read: that means
+    * another process's expiry GC'd it, and that GC only ever runs
+    * AFTER the merged successor file is durably written — so a re-list
+    * always converges on a view that still contains every mark.
+    * (Swallowing the missing file instead would silently drop folded
+    * marks, regress `lastTxnVersion`, and re-open the replay
+    * double-apply hole the floor exists to close.)
+    */
+  private def listAndReadFloor(): (Seq[Path], Map[String, Long]) = {
+    var lastMiss: java.nio.file.NoSuchFileException = null
+    var attempt = 0
+    while (attempt < 8) {
+      val files = txnFloorFiles()
+      try {
+        val merged = files.foldLeft(Map.empty[String, Long]) { (acc, p) =>
+          Serialization.read[Map[String, Long]](Files.readString(p))
+            .foldLeft(acc) { case (a, (app, v)) =>
+              a + (app -> math.max(v, a.getOrElse(app, Long.MinValue)))
+            }
+        }
+        return (files, merged)
+      } catch {
+        case e: java.nio.file.NoSuchFileException => lastMiss = e; attempt += 1
       }
     }
+    throw lastMiss
+  }
 
-  private def readTxnFloor(): Map[String, Long] = readFloorMap(txnFloorFiles())
+  private def readTxnFloor(): Map[String, Long] = listAndReadFloor()._2
 
   /** Publish `merged` as a fresh write-once floor file, then GC exactly
     * the files it subsumes (`consumed`). Concurrent writers' files are
@@ -348,6 +381,59 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     else Some(upsertWith(df, keys, Some(TxnMark(appId, version))))
   }
 
+  /** Data files of keyed-write stage-2 collision probes — the exact
+    * existing files a keyed write actually had to READ to find key
+    * collisions. Spec counter: a disjoint-key batch (the monotone-CDC
+    * norm) must add ZERO here — stage 1 proves disjointness from
+    * manifest metadata alone.
+    */
+  private[lakehouse] val keyedWriteProbedFiles = new java.util.concurrent.atomic.AtomicLong
+
+  /** Touched-file discovery for a keyed write (upsert / applyChanges):
+    * which of `cur`'s data files hold rows colliding with the batch's
+    * key tuples? Two stages, cheapest first — the AnnIndex.append
+    * collision discipline generalized to every keyed write:
+    *
+    *  1. the batch's per-key-column min/max (ONE tiny agg over the
+    *     already-cached batch) feeds [[pruneFiles]] as conjunctive
+    *     ranges — manifest stats, bloom-backed equality and partition
+    *     paths answer with zero data-file I/O and zero jobs, so a
+    *     key-disjoint batch exits here having read NOTHING of the
+    *     existing table;
+    *  2. only surviving candidate files pay an exact COLUMN-PRUNED
+    *     semi-join over their key columns.
+    *
+    * At 100 TB this is the difference between a CDC micro-batch paying
+    * O(batch) and paying an O(table) key-column scan per commit
+    * (reference upsert contract: `sinks/postgres.py:141-146`,
+    * `sinks/iceberg.py:184`).
+    *
+    * Conservative under evolution/unsupported types: a key column whose
+    * min/max can't compare against a file's stats simply keeps the file
+    * for stage 2. All-null key tuples match nothing under SQL equality,
+    * so an all-null (or empty) batch touches no files by definition.
+    */
+  private def touchedFilesFor(cur: Snapshot, keyRows: DataFrame,
+      keys: Seq[String]): Seq[String] = {
+    val aggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
+    val r = keyRows.agg(aggs.head, aggs.tail: _*).head()
+    val ranges = keys.zipWithIndex.flatMap { case (k, i) =>
+      Option(r.get(2 * i)).map(mn => ScanPredicate.Range(k, Some(mn), Some(r.get(2 * i + 1))))
+    }
+    // no range ⇒ every key column is all-NULL in the batch (or the
+    // batch is empty): a NULL key equals nothing, so nothing is touched
+    if (ranges.isEmpty) return Nil
+    val candidates = pruneFiles(cur, ranges)._1
+    if (candidates.isEmpty) return Nil
+    keyedWriteProbedFiles.addAndGet(candidates.size)
+    val probed = readFiles(candidates)
+      .select(keys.map(col) :+ input_file_name().as("_file"): _*)
+      .join(keyRows, keys, "left_semi")
+      .select(col("_file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    candidates.filter(f => probed.exists(_.endsWith(f)))
+  }
+
   private def upsertWith(df0: DataFrame, keys: Seq[String],
       mark: Option[TxnMark]): Snapshot = {
     require(keys.nonEmpty, "upsert requires key columns")
@@ -365,13 +451,11 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     val existingFiles = cur.get.files
     val incoming = df.cache()
     try {
-      val existing = readFiles(existingFiles).withColumn("_file", input_file_name())
       // which physical files hold rows that collide with incoming keys?
-      val touched = existing
-        .join(incoming.select(keys.map(col): _*).distinct(), keys, "left_semi")
-        .select(col("_file")).distinct()
-        .collect().map(_.getString(0)).toSet
-      val touchedRel = existingFiles.filter(f => touched.exists(_.endsWith(f)))
+      // (two-stage: manifest-stats prune, then an exact column-pruned
+      // semi-join over only the candidates — see touchedFilesFor)
+      val incomingKeys = incoming.select(keys.map(col): _*).distinct()
+      val touchedRel = touchedFilesFor(cur.get, incomingKeys, keys)
 
       // preserve the parent's hive layout on rewrite (same discipline
       // as applyChanges): survivors and merged rows land back under
@@ -381,7 +465,7 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
         if (touchedRel.isEmpty) Nil
         else {
           val survivors = readFiles(touchedRel)
-            .join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
+            .join(incomingKeys, keys, "left_anti")
           writeDataFiles(survivors, id, suffix = "rw", partitionCols = partCols)
         }
       val added = writeDataFiles(incoming, id,
@@ -450,12 +534,10 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
               // skipping power across CDC applies
               val partCols = inferPartitionCols(c.files)
               val touchedKeys = ch.select(keys.map(col): _*).distinct()
-              val existing = readFiles(c.files).withColumn("_file", input_file_name())
-              val touched = existing
-                .join(touchedKeys, keys, "left_semi")
-                .select(col("_file")).distinct()
-                .collect().map(_.getString(0)).toSet
-              val touchedRel = c.files.filter(f => touched.exists(_.endsWith(f)))
+              // two-stage touched-file discovery: manifest-stats prune
+              // first, exact semi-join over candidates only — a
+              // key-disjoint CDC batch reads zero existing files
+              val touchedRel = touchedFilesFor(c, touchedKeys, keys)
               val rewritten: Seq[String] =
                 if (touchedRel.isEmpty) Nil
                 else writeDataFiles(
@@ -548,14 +630,22 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     // data files vacuum freely and the ledger still never forgets.
     val expiringMarks = expired.flatMap(_.txn)
     if (expiringMarks.nonEmpty) {
-      val consumed = txnFloorFiles()
-      val floor = readFloorMap(consumed)
+      // one consistent (files, merged) view: the files GC'd below are
+      // exactly the ones whose marks the new merged file absorbed
+      val (consumed, floor) = listAndReadFloor()
       val merged = expiringMarks.foldLeft(floor) { (m, t) =>
         m + (t.appId -> math.max(t.version, m.getOrElse(t.appId, Long.MinValue)))
       }
       writeTxnFloor(merged, consumed)
     }
-    expired.foreach(s => Files.deleteIfExists(snapsDir.resolve(f"${s.snapshotId}%09d.json")))
+    expired.foreach { s =>
+      val name = f"${s.snapshotId}%09d.json"
+      Files.deleteIfExists(snapsDir.resolve(name))
+      // the parsed entry (full file list + stats maps) must go with the
+      // manifest, or a long-lived handle under continuous commit+expiry
+      // grows driver memory one dead snapshot per cycle
+      snapshotCache.remove(name)
+    }
     val live = kept.flatMap(_.files).toSet
     if (Files.isDirectory(dataDir)) {
       graft.Fs.walkAll(dataDir)
@@ -922,7 +1012,13 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
                 stats.flatMap(s => Seq(s.genericGetMin, s.genericGetMax)).reduce { (a, b) =>
                   if (worse(a.asInstanceOf[Comparable[Any]].compareTo(b))) b else a
                 }
-              encodeStat(pick(_ > 0), pick(_ < 0), logicalString(ck)).map(ck -> _)
+              // null counts power IS NULL skipping; -1 = unknown in any
+              // chunk poisons the whole file's count (never mis-prune)
+              val nulls =
+                if (stats.exists(!_.isNumNullsSet)) None
+                else Some(stats.map(_.getNumNulls).sum)
+              encodeStat(pick(_ > 0), pick(_ < 0), logicalString(ck))
+                .map(st => ck -> st.copy(nulls = nulls))
             }
           }.toMap
           Some(FileStats(rows, cols))
@@ -1013,13 +1109,20 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     * pre-stats manifests fall back to a footer open. Missing stats or
     * incomparable types keep the file.
     */
-  private def statsMayMatch(snap: Snapshot, relFile: String, c: String,
-      declared: Option[DataType], lo: Option[Any], hi: Option[Any]): Boolean = {
-    val fs: Option[FileStats] = snap.stats match {
+  /** Stats for one snapshot file: manifest-first, footer fallback for
+    * pre-stats manifests (a file PRESENT in the stats map never opens
+    * its footer — even with the column absent, absence already means
+    * "no usable stats").
+    */
+  private def fileStatsOf(snap: Snapshot, relFile: String): Option[FileStats] =
+    snap.stats match {
       case Some(m) if m.contains(relFile) => m.get(relFile)
       case _ => footerFileStats(relFile)
     }
-    fs.flatMap(_.cols.get(nameKey(c))) match {
+
+  private def statsMayMatch(snap: Snapshot, relFile: String, c: String,
+      declared: Option[DataType], lo: Option[Any], hi: Option[Any]): Boolean = {
+    fileStatsOf(snap, relFile).flatMap(_.cols.get(nameKey(c))) match {
       case None => true
       case Some(st) =>
         // overlap test: file min <= hi AND file max >= lo
@@ -1027,6 +1130,52 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
           lo.forall(l => compareStat(st, st.max, l, declared).forall(_ >= 0))
     }
   }
+
+  /** Prefix verdict: may `relFile` hold a string starting with
+    * `prefix`? Under UTF-8 byte order (Spark's string ordering): the
+    * file may match iff max >= prefix AND min < successor(prefix) —
+    * the latter without byte-increment gymnastics, because
+    * min < successor(p) ⟺ min starts with p OR min < p. Only decides
+    * when the declared type is StringType and the stat is a string
+    * stat; anything else keeps the file.
+    */
+  private def statsMayMatchPrefix(snap: Snapshot, relFile: String, c: String,
+      declared: Option[DataType], prefix: String): Boolean = {
+    if (!declared.contains(org.apache.spark.sql.types.StringType)) return true
+    fileStatsOf(snap, relFile).flatMap(_.cols.get(nameKey(c))) match {
+      case Some(st) if st.typ == "string" =>
+        val p = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val mn = st.min.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val mx = st.max.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        utf8Compare(mx, p) >= 0 &&
+          (utf8Compare(mn, p) < 0 ||
+            (mn.length >= p.length && java.util.Arrays.equals(
+              java.util.Arrays.copyOf(mn, p.length), p)))
+      case _ => true
+    }
+  }
+
+  /** Null-presence verdict: may `relFile` hold a NULL in `c`? A column
+    * with a recorded zero null count provably can't; a column absent
+    * from the stats (all-null files, schema-evolution gaps, pre-null-
+    * count manifests) always keeps the file.
+    */
+  private def statsMayHaveNull(snap: Snapshot, relFile: String, c: String): Boolean =
+    fileStatsOf(snap, relFile).flatMap(_.cols.get(nameKey(c)))
+      .forall(_.nulls.forall(_ > 0))
+
+  /** The hive partition value of `relFile` for column `c`:
+    * None = not partitioned by c; Some(None) = the null partition;
+    * Some(Some(v)) = the decoded value.
+    */
+  private def partitionValueOf(relFile: String, c: String): Option[Option[String]] =
+    relFile.split('/').filter(_.contains("=")).map(_.split("=", 2))
+      .collectFirst { case Array(k, pv) if nameKey(k) == nameKey(c) =>
+        if (pv == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+          None
+        else
+          Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(pv))
+      }
 
   /** Hive partition-path verdict for `data/sN/a=1/b=2/part-*`: EVERY
     * `col=` segment is consulted (multi-level partitioning), and the
@@ -1103,6 +1252,23 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     XxHash64(Seq(coerced), 42L).eval(null).asInstanceOf[Long]
   }
 
+  /** Exact row count of a snapshot from metadata alone — the sum of
+    * per-file row counts (manifest-first, footer fallback), or None if
+    * any file's count is unresolvable (the caller must fall back to a
+    * real scan). Powers COUNT(*) pushdown: zero data files read, zero
+    * Spark jobs.
+    */
+  private[lakehouse] def manifestRowCount(snap: Snapshot): Option[Long] = {
+    var total = 0L
+    snap.files.foreach { f =>
+      fileStatsOf(snap, f) match {
+        case Some(st) => total += st.rows
+        case None => return None
+      }
+    }
+    Some(total)
+  }
+
   /** (files to read, skipped count) for a predicate set. Per-file
     * verdicts are independent driver-side metadata checks (manifest
     * stats, cached sidecars, path values) — evaluated in PARALLEL so
@@ -1128,6 +1294,21 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
         val dt = declared(c)
         (f: String) => statsMayMatch(snap, f, c, dt, lo, hi) &&
           partitionMayMatch(f, c, dt, lo, hi)
+      case ScanPredicate.StartsWith(c, p) =>
+        val dt = declared(c)
+        (f: String) => statsMayMatchPrefix(snap, f, c, dt, p) &&
+          (partitionValueOf(f, c) match {
+            case Some(Some(v)) if dt.contains(org.apache.spark.sql.types.StringType) =>
+              v.startsWith(p)
+            case Some(None) => false // LIKE never matches NULL
+            case _ => true
+          })
+      case ScanPredicate.IsNull(c) =>
+        (f: String) => statsMayHaveNull(snap, f, c) &&
+          (partitionValueOf(f, c) match {
+            case Some(Some(_)) => false // a non-null partition dir holds no nulls in c
+            case _ => true
+          })
     }
     val kept = snap.files.toVector.asJava.parallelStream()
       .filter(f => compiled.forall(_(f)))
@@ -1141,6 +1322,8 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
       case ScanPredicate.Range(c, lo, hi) =>
         (lo.map(col(c) >= probeLit(c, _)) ++ hi.map(col(c) <= probeLit(c, _)))
           .reduceOption(_ && _).getOrElse(lit(true))
+      case ScanPredicate.StartsWith(c, p) => col(c).startsWith(p)
+      case ScanPredicate.IsNull(c) => col(c).isNull
     }.reduceOption(_ && _).getOrElse(lit(true))
 
   /** Predicate-pruned read of the current snapshot: skipping indexes

@@ -40,9 +40,110 @@ class LakehouseDsv2Spec extends SparkSpec {
 
   test("full unfiltered read matches read(); no filter → no pruning") {
     val t = rangedTable()
-    val got = dsv2(t).count()
-    assert(got === 16000L)
+    // collect (not count — count answers from the manifest now)
+    val got = dsv2(t).collect().length
+    assert(got === 16000)
     assert(ScanEvents.lastScan(t.root).get.filesPlanned === 16)
+  }
+
+  test("COUNT(*) pushes to manifest metadata: zero data files planned, exact answer") {
+    val t = rangedTable()
+    val df = dsv2(t)
+    assert(df.count() === 16000L)
+    val info = ScanEvents.lastScan(t.root).get
+    assert(info.filesPlanned === 0 && info.pushed === Seq("COUNT(*)"),
+      s"a bare count must answer from the manifest, not a scan: $info")
+    // the physical plan carries no parquet scan at all
+    val plan = df.groupBy().count().queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"), s"no file scan expected:\n$plan")
+    // SQL COUNT(*) over a view takes the same path
+    df.createOrReplaceTempView("dsv2_cnt_t")
+    assert(spark.sql("SELECT count(*) AS c FROM dsv2_cnt_t").head.getLong(0) === 16000L)
+    // a FILTERED count must NOT push: the manifest can't evaluate filters
+    // (inclusive prune bounds keep the min==1000 boundary file too)
+    assert(df.filter(col("id") < 1000L).count() === 1000L)
+    val filtered = ScanEvents.lastScan(t.root).get
+    assert(filtered.filesPlanned >= 1 && filtered.filesPlanned <= 2,
+      s"a filtered count must run the real (pruned) scan: $filtered")
+    // count composes with time travel: the pinned snapshot's count
+    val first = t.listSnapshots().head.snapshotId
+    assert(spark.read.format("graft-lakehouse").option("snapshotId", first)
+      .load(t.root).count() === 1000L)
+  }
+
+  test("OR of prunable branches keeps the UNION of their file sets — mid-range files skipped") {
+    val t = rangedTable()
+    val got = dsv2(t).filter(col("id") < 100L || col("id") > 15000L)
+    assert(got.collect().map(_.getLong(0)).forall(id => id < 100L || id > 15000L))
+    assert(got.count() === 100L + 999L)
+    val info = ScanEvents.lastScan(t.root).get
+    assert(info.filesPlanned === 2,
+      s"id<100 OR id>15000 must plan exactly files 0 and 15: $info")
+    // nested OR still unions
+    val three = dsv2(t).filter(col("id") === 50L || (col("id") === 8100L || col("id") === 12345L))
+    assert(three.collect().map(_.getLong(0)).sorted.toSeq === Seq(50L, 8100L, 12345L))
+    assert(ScanEvents.lastScan(t.root).get.filesPlanned === 3)
+    // OR with an unprunable branch keeps everything but stays EXACT
+    val mixed = dsv2(t).filter(col("id") === 50L || col("payload").endsWith("9999"))
+    assert(mixed.collect().map(_.getLong(0)).sorted.toSeq === Seq(50L, 9999L))
+  }
+
+  test("startsWith pushes: prefix pruning on string min/max, exact matches") {
+    val t = rangedTable()
+    val got = dsv2(t).filter(col("payload").startsWith("v1500"))
+    val want = t.read().filter(col("payload").startsWith("v1500")).count()
+    assert(got.count() === want && want === 11L) // v1500 + v15000..v15009
+    val info = ScanEvents.lastScan(t.root).get
+    assert(info.filesPlanned <= 3,
+      s"prefix v1500 overlaps at most files 0/1/15 by min/max: $info")
+  }
+
+  test("IS NULL pushes: null counts in the manifest skip all-non-null files; null partitions prune by path") {
+    import spark.implicits._
+    val t = new LakehouseTable(spark, tmpDir("dsv2-isnull"))
+    t.append(Seq((1L, Some("a")), (2L, Some("b"))).toDF("id", "v").coalesce(1))
+    t.append(Seq((3L, None: Option[String]), (4L, Some("d"))).toDF("id", "v").coalesce(1))
+    val got = spark.read.format("graft-lakehouse").load(t.root).filter(col("v").isNull)
+    assert(got.collect().map(_.getLong(0)).toSeq === Seq(3L))
+    assert(ScanEvents.lastScan(t.root).get.filesPlanned === 1,
+      "the all-non-null file's zero null count must skip it")
+    // hive-partitioned: IS NULL on the partition column keeps only the
+    // __HIVE_DEFAULT_PARTITION__ directory
+    val p = new LakehouseTable(spark, tmpDir("dsv2-isnull-part"))
+    p.append(Seq((1L, Some("x")), (2L, None: Option[String]), (3L, Some("y")))
+      .toDF("id", "k").coalesce(1), partitionBy = Seq("k"))
+    val gp = spark.read.format("graft-lakehouse").load(p.root).filter(col("k").isNull)
+    assert(gp.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(ScanEvents.lastScan(p.root).get.filesPlanned === 1,
+      "IS NULL on a partition column must plan only the null directory")
+  }
+
+  test("NESTED-struct predicates are rejected from pushdown and evaluate post-scan — never a planner error") {
+    import spark.implicits._
+    val t = new LakehouseTable(spark, tmpDir("dsv2-nested"))
+    t.append(Seq((1L, (10L, "a")), (2L, (20L, "b")), (3L, (30L, "c")))
+      .toDF("id", "s").coalesce(1))
+    val df = spark.read.format("graft-lakehouse").load(t.root)
+    // Spark 4 translates this to EqualTo("s._1", 20) — a dotted name the
+    // flat pruner must never see; the query must still answer exactly
+    val got = df.filter(col("s._1") === 20L).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(2L))
+    assert(df.filter(col("s._1") > 10L && col("id") < 3L).count() === 1L)
+  }
+
+  test("the batch WRITE face's returned relation is pinned to the written snapshot") {
+    import spark.implicits._
+    val root = tmpDir("dsv2-write-pin")
+    val p = new LakehouseSourceProvider
+    val rel = p.createRelation(spark.sqlContext, org.apache.spark.sql.SaveMode.Append,
+      Map("path" -> root), Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // a concurrent commit between the write and a scan of the returned
+    // relation must NOT leak into it
+    new LakehouseTable(spark, root).append(Seq((3L, "c")).toDF("id", "v"))
+    val scanned = rel.asInstanceOf[org.apache.spark.sql.sources.TableScan]
+      .buildScan().collect()
+    assert(scanned.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L),
+      "the relation must see exactly the snapshot its write produced")
   }
 
   test("STRICT bounds stay strict: pruning is inclusive but the residual is the original filter") {

@@ -266,6 +266,63 @@ class SkippingReadSpec extends SparkSpec {
     tricky.foreach(p => assert(t.decodeSidecarName(t.encodeSidecarName(p)) === p))
   }
 
+  test("keyed writes: a DISJOINT-key upsert reads ZERO existing data files (two-stage prune)") {
+    import spark.implicits._
+    val t = rangedTable() // ids 0..15999 across 16 stats-bearing files
+    val t2 = new LakehouseTable(spark, t.root) // fresh handle: cold caches, like a new driver
+    val footersBefore = t2.footerOpens.get()
+    val probedBefore = t2.keyedWriteProbedFiles.get()
+    t2.upsert((100000L until 100100L).map(id => (id, s"n$id")).toDF("id", "payload")
+      .coalesce(1), keys = Seq("id"))
+    assert(t2.keyedWriteProbedFiles.get() === probedBefore,
+      "disjoint key ranges must exit at the manifest-stats stage — no existing file read")
+    val snap = t2.currentSnapshot().get
+    val oldFiles = t2.listSnapshots().takeRight(2).head.files
+    assert(oldFiles.forall(snap.files.contains),
+      "every pre-existing file must carry over by reference (nothing rewritten)")
+    // footer opens are write-time stat collection for the NEW files only
+    assert(t2.footerOpens.get() - footersBefore === snap.files.size - oldFiles.size,
+      "stage 1 must answer from manifest stats — no existing file's footer opened")
+    assert(t2.read().count() === 16100)
+  }
+
+  test("keyed writes: an OVERLAPPING batch probes only candidate files and rewrites only touched ones") {
+    import spark.implicits._
+    val t = rangedTable()
+    val before = t.currentSnapshot().get.files
+    val probedBefore = t.keyedWriteProbedFiles.get()
+    t.upsert(Seq((4500L, "UPD"), (4501L, "UPD2")).toDF("id", "payload").coalesce(1),
+      keys = Seq("id"))
+    assert(t.keyedWriteProbedFiles.get() - probedBefore === 1,
+      "ids 4500-4501 overlap exactly one file's [4000,4999] range — only it may be probed")
+    val snap = t.currentSnapshot().get
+    assert(before.count(snap.files.contains) === 15,
+      "exactly one existing file (the touched one) may be rewritten")
+    val got = t.read().filter(col("id").isin(4500L, 4501L)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(4500L -> "UPD", 4501L -> "UPD2"))
+    assert(t.read().count() === 16000)
+  }
+
+  test("applyChanges: disjoint inserts read zero existing files; a targeted delete probes one") {
+    import spark.implicits._
+    val t = rangedTable()
+    val probed0 = t.keyedWriteProbedFiles.get()
+    // CDC batch of brand-new ids: stage 1 proves disjointness from metadata
+    t.applyChanges((200000L until 200010L).map(id => (id, s"c$id", "insert"))
+      .toDF("id", "payload", "_change").coalesce(1), keys = Seq("id"))
+    assert(t.keyedWriteProbedFiles.get() === probed0,
+      "a key-disjoint CDC batch must not read any existing data file")
+    assert(t.read().count() === 16010)
+    // a delete of one existing key probes exactly its candidate file
+    t.applyChanges(Seq((7500L, "x", "delete")).toDF("id", "payload", "_change").coalesce(1),
+      keys = Seq("id"))
+    assert(t.keyedWriteProbedFiles.get() - probed0 === 1,
+      "the delete's key range falls in one file — only it may be probed")
+    assert(t.read().filter(col("id") === 7500L).count() === 0)
+    assert(t.read().count() === 16009)
+  }
+
   test("planning stays flat as file counts grow: 1,024-file pruning is sub-second driver metadata") {
     import spark.implicits._
     // 1,024 one-row files via 32 appends of 32-partition frames — the

@@ -711,6 +711,69 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(seen.isEmpty, "a compaction rewrite must stream zero change rows")
   }
 
+  test("admission control: maxSnapshotsPerTrigger drains a backlog in MANY micro-batches with a bounded cold-start bootstrap") {
+    import spark.implicits._
+    import graft.lakehouse.LakehouseTable
+    val root = tmpDir("cdf-admission")
+    val t = new LakehouseTable(spark, root)
+    // 5-snapshot backlog accumulated while no consumer ran
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    t.upsert(Seq((2L, "B2")).toDF("id", "v"), Seq("id"))
+    t.append(Seq((4L, "d")).toDF("id", "v"))
+    t.applyChanges(Seq((1L, "x", "delete")).toDF("id", "v", "_change"), Seq("id"))
+
+    val batches = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (batchId, rows)
+    val out = new LakehouseTable(spark, tmpDir("cdf-admission-out"))
+    val q = spark.readStream
+      .format("graft-changefeed").option("path", root)
+      .option("maxSnapshotsPerTrigger", "2")
+      .load()
+      .writeStream
+      .option("checkpointLocation", tmpDir("cdf-admission-ckpt"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val n = df.count()
+        batches.synchronized { batches += ((batchId, n)) }
+        out.applyChanges(df, Seq("id"), txn = Some(("admission", batchId)))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "capped drain did not finish")
+
+    // 5 snapshots at ≤2 per trigger: the cold-start bootstrap consumes
+    // snapshots 1-2 (state {1,2,3} = 3 rows), then two capped diff
+    // batches — the whole-backlog-in-one-batch cold start is gone
+    assert(batches.size >= 3,
+      s"a 5-snapshot backlog capped at 2/trigger must take ≥3 micro-batches, took ${batches.toSeq}")
+    assert(batches.head._2 === 3L,
+      s"the bootstrap batch must carry snapshot 2's state (3 rows), not the head, got ${batches.toSeq}")
+    // ...and the drained result equals the head state exactly
+    val (x, y) = (out.read(), t.read())
+    assert(x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty,
+      "capped drain must converge to the same final table")
+
+    // a second AvailableNow run with no new commits drains zero batches
+    // of data (the cap must not manufacture phantom batches)
+    val before = batches.size
+    val q2 = spark.readStream
+      .format("graft-changefeed").option("path", root)
+      .option("maxSnapshotsPerTrigger", "2")
+      .load()
+      .writeStream
+      .option("checkpointLocation", tmpDir("cdf-admission-ckpt2").stripSuffix("/"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batches.synchronized { batches += ((100 + batchId, df.count())) }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q2.awaitTermination(120000))
+    // fresh checkpoint: bootstrap (earliest) + 2 capped diffs again
+    assert(batches.drop(before).map(_._2).sum === batches.take(before).map(_._2).sum,
+      "a re-drain from a fresh checkpoint must deliver the same total change volume")
+  }
+
   test("batch CDF read: spark.read.format(graft-changefeed) with a snapshot range equals changesBetween; bare load is the bootstrap") {
     import spark.implicits._
     import graft.lakehouse.LakehouseTable
