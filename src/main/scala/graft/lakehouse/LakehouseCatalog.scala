@@ -1,0 +1,204 @@
+package graft.lakehouse
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NamespaceAlreadyExistsException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Named-catalog face of the lakehouse — the piece that makes the
+  * engine usable from a PURE SQL session (the Iceberg/Delta catalog
+  * shape):
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.lakehouse.LakehouseCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/graft-warehouse
+  *
+  *   CREATE TABLE graft.db.t (id BIGINT, v STRING) PARTITIONED BY (v)
+  *   INSERT INTO graft.db.t SELECT ...
+  *   INSERT OVERWRITE graft.db.t SELECT ...
+  *   CREATE TABLE graft.db.agg AS SELECT ...      -- CTAS
+  *   SELECT * FROM graft.db.t WHERE id = 5        -- pushdown + skipping
+  *   DROP TABLE graft.db.t
+  * }}}
+  *
+  * Identifier → filesystem mapping: `<warehouse>/<ns...>/<name>` is a
+  * [[LakehouseTable]] root (namespaces are directories). Table schema
+  * lives where it always lives — the snapshot manifests — so a
+  * path-API table is adoptable by name and vice versa; the only
+  * catalog-side state is an optional `_catalog.json` recording the
+  * declared partition columns, applied to every INSERT so the hive
+  * layout (and partition-pruned reads) survive SQL writes.
+  *
+  * Reads resolve through the same pinned-snapshot [[LakehouseV2Table]]
+  * as the path face: every SELECT pins the head at resolution and
+  * keeps it for the query's life, and filter/projection pushdown +
+  * manifest-stats skipping + COUNT(*) metadata answers all apply
+  * unchanged. Reference scope: the iceberg sink's catalog/table-name
+  * surface (`sinks/iceberg.py:68-101` resolves tables by name, not
+  * path).
+  */
+final class LakehouseCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"catalog '$name' requires spark.sql.catalog.$name.warehouse=<dir>")
+    warehouse = Paths.get(w).toAbsolutePath.normalize
+  }
+
+  override def name(): String = catalogName
+
+  /** `<warehouse>/<ns...>/<name>`, refusing path-escape identifiers. */
+  private def rootFor(ident: Identifier): Path = {
+    val parts = ident.namespace.toSeq :+ ident.name
+    parts.foreach(p => require(
+      p.nonEmpty && !p.contains('/') && !p.contains('\\') && p != ".." && p != ".",
+      s"illegal identifier segment '$p'"))
+    parts.foldLeft(warehouse)(_.resolve(_))
+  }
+
+  private def isTableDir(p: Path): Boolean =
+    Files.isDirectory(p.resolve("_snapshots"))
+
+  private def metaPath(root: Path): Path = root.resolve("_catalog.json")
+
+  private def spark: SparkSession = SparkSession.active
+
+  // ---------------- tables ----------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    graft.Fs.listAll(dir)
+      .filter(p => Files.isDirectory(p) && isTableDir(p))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTableDir(rootFor(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootFor(ident)
+    if (!isTableDir(root)) throw new NoSuchTableException(ident)
+    val t = new LakehouseTable(spark, root.toString)
+    val snap = t.currentSnapshot().getOrElse(
+      throw new NoSuchTableException(ident))
+    val partitionBy =
+      if (Files.exists(metaPath(root)))
+        """"partitionBy"\s*:\s*\[([^\]]*)\]""".r
+          .findFirstMatchIn(Files.readString(metaPath(root)))
+          .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      else Nil
+    val opts = Map(
+      "path" -> root.toString,
+      // pinned at resolution — one snapshot per query, like the path face
+      "snapshotId" -> snap.snapshotId.toString) ++
+      (if (partitionBy.nonEmpty) Map("partitionBy" -> partitionBy.mkString(",")) else Map.empty)
+    new LakehouseV2Table(
+      DataType.fromJson(snap.schemaJson).asInstanceOf[StructType], opts)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val root = rootFor(ident)
+    if (isTableDir(root)) throw new TableAlreadyExistsException(ident)
+    val partitionBy = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references()(0).fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog supports identity PARTITIONED BY columns only, got $other")
+    }
+    partitionBy.foreach(c => require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"partition column '$c' not in table schema"))
+    Files.createDirectories(root)
+    new LakehouseTable(spark, root.toString).create(schema)
+    if (partitionBy.nonEmpty)
+      Files.writeString(metaPath(root),
+        partitionBy.map("\"" + _ + "\"").mkString("""{"partitionBy": [""", ", ", "]}"))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; schema evolves widen-only through writes")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootFor(ident)
+    if (!isTableDir(root)) false
+    else { graft.Fs.deleteRecursively(root); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = rootFor(oldIdent)
+    if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
+    val to = rootFor(newIdent)
+    if (isTableDir(to)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+  }
+
+  // ---------------- namespaces (directories) ----------------
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  override def listNamespaces(): Array[Array[String]] =
+    if (!Files.isDirectory(warehouse)) Array.empty
+    else graft.Fs.listAll(warehouse)
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => Array(p.getFileName.toString)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (namespace.nonEmpty && !Files.isDirectory(dir))
+      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    if (!Files.isDirectory(dir)) Array.empty
+    else graft.Fs.listAll(dir)
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => namespace :+ p.getFileName.toString).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      Files.isDirectory(namespace.foldLeft(warehouse)(_.resolve(_)))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit = {
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (Files.isDirectory(dir))
+      throw new NamespaceAlreadyExistsException((catalogName +: namespace.toSeq).toArray)
+    Files.createDirectories(dir)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (!Files.isDirectory(dir)) false
+    else {
+      if (!cascade) require(graft.Fs.listAll(dir).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+      graft.Fs.deleteRecursively(dir)
+      true
+    }
+  }
+}

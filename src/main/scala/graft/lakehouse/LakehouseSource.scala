@@ -165,6 +165,11 @@ private[lakehouse] object LakehouseSource {
       .getOrElse(throw new IllegalArgumentException(
         "graft-lakehouse requires a table root: .load(<root>) or .option(\"path\", <root>)"))
 
+  /** Comma-separated column-list option (keys, partitionBy). */
+  def colListOf(options: Map[String, String], name: String): Seq[String] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
   def snapshotIdOf(options: Map[String, String]): Option[Long] =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase("snapshotId") => v.toLong }
 
@@ -253,7 +258,8 @@ private[lakehouse] object LakehouseSource {
 }
 
 private[lakehouse] final class LakehouseV2Table(
-    tableSchema: StructType, options: Map[String, String]) extends Table with SupportsRead {
+    tableSchema: StructType, options: Map[String, String]) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String =
     "graft_lakehouse:" + LakehouseSource.rootOf(options) +
@@ -262,10 +268,51 @@ private[lakehouse] final class LakehouseV2Table(
   override def schema(): StructType = tableSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
     new LakehouseScanBuilder(tableSchema, options ++ scanOptions.asScala)
+
+  /** V2 write face over the V1 table API (the official V1Write bridge):
+    * `INSERT INTO` appends (honoring the table's stored partition
+    * layout and, with a `keys` option, the keyed merge), `INSERT
+    * OVERWRITE` / truncate replaces content — each as one snapshot
+    * commit, so the SQL surface gets the same lineage/time-travel as
+    * the programmatic one. Reads pinned at load never see these
+    * writes (snapshot isolation); a fresh resolve does.
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var doTruncate = false
+      // per-write options (df.writeTo(...).option("keys", ...)) override
+      // table-level ones (the catalog's stored partitionBy)
+      private val writeOpts = options ++ info.options.asScala
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        doTruncate = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                val t = new LakehouseTable(data.sparkSession,
+                  LakehouseSource.rootOf(options))
+                val keys = LakehouseSource.colListOf(writeOpts, "keys")
+                if (doTruncate || overwrite) { t.overwrite(data); () }
+                else if (keys.nonEmpty) { t.upsert(data, keys); () }
+                else {
+                  t.append(data, LakehouseSource.colListOf(writeOpts, "partitionBy"))
+                  ()
+                }
+              }
+            }
+        }
+    }
 }
 
 private[lakehouse] final class LakehouseScanBuilder(

@@ -579,11 +579,25 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
       System.currentTimeMillis(), "overwrite", files, df.schema.json))
   }
 
+  /** Create the table EMPTY with a declared schema (the catalog
+    * `CREATE TABLE` shape): a zero-file snapshot that pins the schema,
+    * so later writes evolve against it and reads of the fresh table
+    * return an empty frame of the right shape. Fails if the table
+    * already has snapshots.
+    */
+  def create(schema: StructType): Snapshot = writeLock.synchronized {
+    require(currentSnapshot().isEmpty, s"table $root already exists")
+    writeSnapshot(Snapshot(1L, None, System.currentTimeMillis(),
+      "create", Nil, schema.json))
+  }
+
   // ---------------- read paths ----------------
 
-  /** Read the current table state. */
+  /** Read the current table state (empty-but-created tables read as an
+    * empty frame with the declared schema).
+    */
   def read(): DataFrame = currentSnapshot() match {
-    case Some(s) => readFiles(s.files)
+    case Some(s) => scanFiles(s, s.files)
     case None    => throw new IllegalStateException(s"table $root has no snapshots")
   }
 
@@ -591,7 +605,7 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
   def scanAtSnapshot(id: Long, limit: Option[Int] = None): DataFrame = {
     val snap = listSnapshots().find(_.snapshotId == id).getOrElse(
       throw invalidSnapshot(id))
-    val df = readFiles(snap.files)
+    val df = scanFiles(snap, snap.files)
     limit.map(df.limit).getOrElse(df)
   }
 

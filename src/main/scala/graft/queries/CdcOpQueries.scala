@@ -455,6 +455,56 @@ object CdcOpQueries {
       rows.toDF("nationkey", "name", "rk")
         .withColumn("n_batches", lit(versions))
         .orderBy(col("nationkey"))
+    }),
+    // ---- named-catalog SQL face (round 9): the FULL lifecycle through
+    //      pure spark.sql with three-part names — CREATE NAMESPACE,
+    //      CREATE TABLE, two INSERT INTOs, CTAS, INSERT OVERWRITE, a
+    //      cross-table join, DROP — no path API anywhere. The oracle
+    //      re-derives the same pipeline in DuckDB from nation, so a
+    //      catalog-face write or read that drops/dupes/reorders rows
+    //      flips the hash. ----
+    "q125_catalog_sql" -> ((s, dir) => {
+      import s.implicits._
+      val cat = "graft_q125"
+      // a catalog instance caches its warehouse at first resolution, so
+      // the conf (and dir) are fixed per JVM; reps stay deterministic
+      // via DROP TABLE IF EXISTS
+      val wh = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-q125-wh").toString
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.lakehouse.LakehouseCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      }
+      graft.Tables.load(s, dir, "nation").createOrReplaceTempView("q125_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.nation_t")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.region_agg")
+      s.sql(s"CREATE TABLE $cat.db.nation_t (nationkey INT, name STRING, regionkey INT)")
+      s.sql(s"INSERT INTO $cat.db.nation_t SELECT n_nationkey, n_name, n_regionkey " +
+        "FROM q125_src WHERE n_regionkey < 3")
+      s.sql(s"INSERT INTO $cat.db.nation_t SELECT n_nationkey, n_name, n_regionkey " +
+        "FROM q125_src WHERE n_regionkey >= 3")
+      s.sql(s"CREATE TABLE $cat.db.region_agg AS SELECT regionkey, count(*) AS n, " +
+        s"min(name) AS first_name FROM $cat.db.nation_t GROUP BY regionkey")
+      // identical-content INSERT OVERWRITE: the truncate path under the
+      // same gate (a broken overwrite would double or lose agg rows)
+      s.sql(s"INSERT OVERWRITE $cat.db.region_agg SELECT regionkey, count(*) AS n, " +
+        s"min(name) AS first_name FROM $cat.db.nation_t GROUP BY regionkey")
+      val out = s.sql(
+        s"""SELECT t.regionkey AS rk, a.n AS region_n, count(*) AS n_rows,
+                   sum(t.nationkey) AS sum_keys, min(t.name) AS first_name,
+                   a.first_name AS agg_first
+            FROM $cat.db.nation_t t JOIN $cat.db.region_agg a
+              ON t.regionkey = a.regionkey
+            GROUP BY t.regionkey, a.n, a.first_name
+            ORDER BY rk""").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5))).toSeq
+      s.sql(s"DROP TABLE $cat.db.nation_t")
+      s.sql(s"DROP TABLE $cat.db.region_agg")
+      out.toDF("rk", "region_n", "n_rows", "sum_keys", "first_name", "agg_first")
+        .orderBy(col("rk"))
     })
   )
 
@@ -576,6 +626,22 @@ object CdcOpQueries {
              CASE WHEN n_regionkey = 1 THEN n_name || '_V2' ELSE n_name END AS name,
              n_regionkey AS rk,
              CAST(2 AS INT) AS n_batches
-      FROM nation ORDER BY nationkey"""
+      FROM nation ORDER BY nationkey""",
+    // q125: the catalog-face pipeline re-derived straight from nation
+    // (DuckDB sum/count widen to HUGEINT — cast back to BIGINT to match
+    // Spark's LongType).
+    "q125_catalog_sql" -> """
+      WITH nt AS (
+        SELECT n_nationkey AS nationkey, n_name AS name, n_regionkey AS regionkey
+        FROM nation),
+      agg AS (
+        SELECT regionkey, CAST(count(*) AS BIGINT) AS n, min(name) AS first_name
+        FROM nt GROUP BY regionkey)
+      SELECT t.regionkey AS rk, a.n AS region_n, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(t.nationkey) AS BIGINT) AS sum_keys, min(t.name) AS first_name,
+             a.first_name AS agg_first
+      FROM nt t JOIN agg a ON t.regionkey = a.regionkey
+      GROUP BY t.regionkey, a.n, a.first_name
+      ORDER BY rk"""
   )
 }
