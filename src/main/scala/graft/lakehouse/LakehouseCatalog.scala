@@ -88,12 +88,28 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces {
 
   override def tableExists(ident: Identifier): Boolean = isTableDir(rootFor(ident))
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table =
+    loadPinned(ident, _.currentSnapshot().getOrElse(
+      throw new NoSuchTableException(ident)))
+
+  /** SQL time travel: `SELECT * FROM graft.db.t VERSION AS OF 3`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadPinned(ident, t => t.snapshotOrThrow(
+      scala.util.Try(version.toLong).getOrElse(throw new IllegalArgumentException(
+        s"VERSION AS OF takes a numeric snapshot id, got '$version'"))))
+
+  /** SQL time travel: `... TIMESTAMP AS OF '2026-01-01 00:00:00'`.
+    * Spark hands the instant in MICROseconds since epoch.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    loadPinned(ident, t => t.snapshotAsOf(Math.floorDiv(timestamp, 1000L)))
+
+  private def loadPinned(ident: Identifier,
+      resolve: LakehouseTable => Snapshot): Table = {
     val root = rootFor(ident)
     if (!isTableDir(root)) throw new NoSuchTableException(ident)
     val t = new LakehouseTable(spark, root.toString)
-    val snap = t.currentSnapshot().getOrElse(
-      throw new NoSuchTableException(ident))
+    val snap = resolve(t)
     val partitionBy =
       if (Files.exists(metaPath(root)))
         """"partitionBy"\s*:\s*\[([^\]]*)\]""".r

@@ -126,9 +126,11 @@ final class LakehouseSourceProvider extends TableProvider with DataSourceRegiste
     * table still fail loudly — at scan time instead of here.
     */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val t = new LakehouseTable(SparkSession.active, LakehouseSource.rootOf(options.asScala.toMap))
-    val snapId = LakehouseSource.snapshotIdOf(options.asScala.toMap)
-    snapId.map(t.snapshotOrThrow).orElse(t.currentSnapshot()) match {
+    val opts = options.asScala.toMap
+    val t = new LakehouseTable(SparkSession.active, LakehouseSource.rootOf(opts))
+    LakehouseSource.snapshotIdOf(opts).map(t.snapshotOrThrow)
+      .orElse(LakehouseSource.asOfTimestampOf(opts).map(t.snapshotAsOf))
+      .orElse(t.currentSnapshot()) match {
       case Some(snap) => DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
       case None => new StructType()
     }
@@ -149,8 +151,9 @@ final class LakehouseSourceProvider extends TableProvider with DataSourceRegiste
     val pinned = LakehouseSource.snapshotIdOf(opts) match {
       case Some(_) => opts // explicit time travel is already a pin
       case None =>
-        new LakehouseTable(SparkSession.active, LakehouseSource.rootOf(opts))
-          .currentSnapshot() match {
+        val t = new LakehouseTable(SparkSession.active, LakehouseSource.rootOf(opts))
+        LakehouseSource.asOfTimestampOf(opts).map(t.snapshotAsOf)
+          .orElse(t.currentSnapshot()) match {
           case Some(s) => opts + ("snapshotId" -> s.snapshotId.toString)
           case None => opts // snapshot-less sink target: nothing to pin
         }
@@ -172,6 +175,26 @@ private[lakehouse] object LakehouseSource {
 
   def snapshotIdOf(options: Map[String, String]): Option[Long] =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase("snapshotId") => v.toLong }
+
+  /** `.option("asOfTimestamp", ...)` — epoch millis, an ISO-8601
+    * instant, or `yyyy-MM-dd[ HH:mm:ss]` read as UTC (the Delta
+    * timestampAsOf shape).
+    */
+  def asOfTimestampOf(options: Map[String, String]): Option[Long] =
+    options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("asOfTimestamp") => parseTsMillis(v)
+    }
+
+  private def parseTsMillis(s: String): Long = {
+    val t = s.trim
+    if (t.matches("-?\\d+")) t.toLong
+    else try java.time.Instant.parse(t).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        val norm = if (t.contains(' ') || t.contains('T')) t.replace(' ', 'T') else t + "T00:00:00"
+        java.time.LocalDateTime.parse(norm).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+  }
 
   /** (table, resolved snapshot) for an options map. */
   def snapshotFor(spark: SparkSession, options: Map[String, String]): (LakehouseTable, Snapshot) = {
@@ -322,10 +345,10 @@ private[lakehouse] final class LakehouseScanBuilder(
 
   private var required: StructType = tableSchema
   private var accepted: Array[Filter] = Array.empty
-  /** Set when a bare COUNT(*) was pushed: the answer, straight from
-    * manifest metadata.
+  /** Set when a metadata-answerable aggregate was pushed: the one
+    * result row's values + schema, straight from the manifest.
     */
-  private var pushedCount: Option[Long] = None
+  private var pushedAgg: Option[(Seq[Any], StructType)] = None
 
   private def nameKey(n: String): String =
     if (SparkSession.active.sessionState.conf.caseSensitiveAnalysis) n
@@ -352,15 +375,17 @@ private[lakehouse] final class LakehouseScanBuilder(
       if (requiredSchema.fields.nonEmpty) requiredSchema
       else StructType(tableSchema.fields.take(1))
 
-  /** COUNT(*) answers from O(files) manifest metadata (the
-    * Iceberg/Delta metadata-query shape): every data file's row count
-    * is recorded in the snapshot's stats at write time, so a bare
-    * `SELECT count(*)` needs zero data files and zero Spark scan work.
-    * Only COMPLETE pushdown is claimed, and only when nothing else
-    * constrains the scan: no grouping, no pushed filters (the manifest
-    * can't evaluate them), and a row count resolvable for EVERY file
-    * (manifest-first, footer fallback for pre-stats manifests; any
-    * unreadable file → not pushed, the real scan answers).
+  /** COUNT(*) / MIN(col) / MAX(col) answer from O(files) manifest
+    * metadata (the Iceberg/Delta metadata-query shape): per-file row
+    * counts and column min/max are recorded in the snapshot's stats at
+    * write time, so `SELECT count(*), min(id), max(id)` needs zero
+    * data files and zero Spark scan work. Only COMPLETE pushdown is
+    * claimed, and only when nothing else constrains the scan: no
+    * grouping, no pushed filters (the manifest can't evaluate them),
+    * DISTINCT-free aggregates, and every value exactly resolvable for
+    * EVERY file ([[LakehouseTable.manifestRowCount]] /
+    * [[LakehouseTable.manifestMinMax]] spell out the exactness rules —
+    * any ambiguity falls back to the real scan).
     */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
@@ -368,38 +393,60 @@ private[lakehouse] final class LakehouseScanBuilder(
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (pushedCount.isDefined) return true // idempotent re-probe
-    val bareCountStar = agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
-    if (!bareCountStar || accepted.nonEmpty) return false
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (pushedAgg.isDefined) return true // idempotent re-probe
+    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty ||
+      accepted.nonEmpty) return false
     val spark = SparkSession.active
     val (t, snap) = LakehouseSource.snapshotFor(spark, options)
-    pushedCount = t.manifestRowCount(snap)
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[org.apache.spark.sql.types.StructField] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        tableSchema.fields.find(f => nameKey(f.name) == nameKey(r.fieldNames.head))
+      case _ => None
+    }
+    val resolved = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => t.manifestRowCount(snap).map(n =>
+        (n: Any, org.apache.spark.sql.types.StructField(
+          "count_star", org.apache.spark.sql.types.LongType, nullable = false),
+          "COUNT(*)"))
+      case m: Min => fieldOf(m.column).flatMap(f =>
+        t.manifestMinMax(snap, f.name, wantMin = true).map(v =>
+          (v, org.apache.spark.sql.types.StructField(s"min_${f.name}", f.dataType),
+            s"MIN(${f.name})")))
+      case m: Max => fieldOf(m.column).flatMap(f =>
+        t.manifestMinMax(snap, f.name, wantMin = false).map(v =>
+          (v, org.apache.spark.sql.types.StructField(s"max_${f.name}", f.dataType),
+            s"MAX(${f.name})")))
+      case _ => None // sum/avg/count(col)/distinct: the real scan answers
+    }
+    if (resolved.exists(_.isEmpty)) return false
+    val rs = resolved.map(_.get)
+    pushedAgg = Some((rs.map(_._1), StructType(rs.map(_._2))))
     // the audit surface shows the metadata answer read NO files
-    pushedCount.foreach(_ => ScanEvents.record(LakehouseSource.rootOf(options),
-      ScanInfo(0, snap.files.size, Nil, Seq("COUNT(*)"))))
-    pushedCount.isDefined
+    ScanEvents.record(LakehouseSource.rootOf(options),
+      ScanInfo(0, snap.files.size, Nil, rs.map(_._3)))
+    true
   }
 
-  override def build(): Scan = pushedCount match {
-    case Some(n) => new LakehouseCountScan(n)
+  override def build(): Scan = pushedAgg match {
+    case Some((values, aggSchema)) => new LakehouseAggScan(values, aggSchema)
     case None => new LakehouseV1Scan(options, required, accepted)
   }
 }
 
-/** The pushed-COUNT(*) scan: one row, straight from the manifest. */
-private[lakehouse] final class LakehouseCountScan(count: Long) extends V1Scan {
-  override def readSchema(): StructType = new StructType()
-    .add("count", org.apache.spark.sql.types.LongType, nullable = false)
+/** The pushed-aggregate scan: ONE row of manifest-derived values. */
+private[lakehouse] final class LakehouseAggScan(
+    values: Seq[Any], aggSchema: StructType) extends V1Scan {
+  override def readSchema(): StructType = aggSchema
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
-      override def schema: StructType = readSchema()
+      override def schema: StructType = aggSchema
       override def buildScan(): RDD[Row] =
-        context.sparkSession.sparkContext.parallelize(Seq(Row(count)), 1)
+        context.sparkSession.sparkContext.parallelize(Seq(Row(values: _*)), 1)
     }.asInstanceOf[T]
 }
 

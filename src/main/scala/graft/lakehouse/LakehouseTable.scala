@@ -1283,6 +1283,50 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     Some(total)
   }
 
+  /** Exact global MIN or MAX of column `c` at `snap` from metadata
+    * alone, as an EXTERNAL value of the declared type — or None when
+    * the manifest can't answer exactly and the caller must fall back
+    * to a real scan. Exactness demands: every file carries a
+    * ColumnStat for the column (absence is ambiguous between "all
+    * null" and "stats unavailable", and guessing would return a wrong
+    * extremum), and the declared type is one whose stats round-trip
+    * losslessly (integral, double, float — widened to exact doubles at
+    * write time — and string, whose chunk-level parquet stats are
+    * exact, not truncated). Null semantics are SQL's: stats cover only
+    * non-null values, which is exactly what MIN/MAX aggregate.
+    */
+  private[lakehouse] def manifestMinMax(snap: Snapshot, c: String,
+      wantMin: Boolean): Option[Any] = {
+    import org.apache.spark.sql.types._
+    val declared = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+      .fields.find(f => nameKey(f.name) == nameKey(c)).map(_.dataType).getOrElse(return None)
+    if (snap.files.isEmpty) return None // empty table: let the scan return SQL null
+    val stats = snap.files.map(f =>
+      fileStatsOf(snap, f).flatMap(_.cols.get(nameKey(c))).getOrElse(return None))
+    if (stats.exists(_.typ != stats.head.typ)) return None // defensive: never mix tags
+    def foldNum[T](pick: ColumnStat => String, parse: String => T, lt: (T, T) => Boolean): T = {
+      val vs = stats.map(s => parse(pick(s)))
+      vs.reduce((a, b) => if (lt(a, b) == wantMin) a else b)
+    }
+    def side(s: ColumnStat): String = if (wantMin) s.min else s.max
+    (declared, stats.head.typ) match {
+      case (LongType, "long") => Some(foldNum[Long](side, _.toLong, _ < _))
+      case (IntegerType, "long") => Some(foldNum[Long](side, _.toLong, _ < _).toInt)
+      case (ShortType, "long") => Some(foldNum[Long](side, _.toLong, _ < _).toShort)
+      case (ByteType, "long") => Some(foldNum[Long](side, _.toLong, _ < _).toByte)
+      case (DoubleType, "double") => Some(foldNum[Double](side, _.toDouble, _ < _))
+      case (FloatType, "double") =>
+        // write-time widening is exact, so the double→float narrowing
+        // here recovers the original float bit-for-bit
+        Some(foldNum[Double](side, _.toDouble, _ < _).toFloat)
+      case (StringType, "string") =>
+        def bytes(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        Some(stats.map(side).reduce((a, b) =>
+          if ((utf8Compare(bytes(a), bytes(b)) < 0) == wantMin) a else b))
+      case _ => None // date/timestamp/decimal/binary: real scan answers
+    }
+  }
+
   /** (files to read, skipped count) for a predicate set. Per-file
     * verdicts are independent driver-side metadata checks (manifest
     * stats, cached sidecars, path values) — evaluated in PARALLEL so
@@ -1375,6 +1419,22 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
   /** Snapshot by id with the standard invalid-id error. */
   private[lakehouse] def snapshotOrThrow(id: Long): Snapshot =
     listSnapshots().find(_.snapshotId == id).getOrElse(throw invalidSnapshot(id))
+
+  /** The snapshot current AS OF `tsMs` (epoch millis): the latest one
+    * committed at or before that instant — the Delta/Iceberg
+    * timestamp-travel rule. Fails with the valid commit-time range if
+    * the timestamp predates the table (or retention expired that
+    * history).
+    */
+  def snapshotAsOf(tsMs: Long): Snapshot = {
+    val snaps = listSnapshots()
+    snaps.filter(_.timestampMs <= tsMs).lastOption.getOrElse {
+      val range = if (snaps.isEmpty) "table has no snapshots"
+        else s"retained commits span [${snaps.head.timestampMs}, ${snaps.last.timestampMs}] ms"
+      throw new IllegalArgumentException(
+        s"no snapshot of '$root' existed at timestamp $tsMs ($range)")
+    }
+  }
 
   def compactZOrder(cols: Seq[String], targetFiles: Int,
       buckets: Int = 256): Option[Snapshot] = {

@@ -34,6 +34,23 @@ import graft.lakehouse.LakehouseTable
 object CdcOpQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** The gated queries' shared catalog: a LakehouseCatalog named
+    * `graft_q125` over a fixed per-JVM warehouse dir. A catalog
+    * instance caches its warehouse at first resolution, so the conf
+    * (and dir) are fixed per JVM; query reps stay deterministic via
+    * DROP TABLE IF EXISTS. Returns the catalog name.
+    */
+  private def ensureQueryCatalog(s: SparkSession): String = {
+    val cat = "graft_q125"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.lakehouse.LakehouseCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-q125-wh").toString)
+    }
+    cat
+  }
+
   // ---- pgoutput wire builders (public-protocol big-endian framing,
   //      same shapes as the decoder spec's test vectors) ----
   private def u16(v: Int) = ByteBuffer.allocate(2).putShort(v.toShort).array()
@@ -465,17 +482,7 @@ object CdcOpQueries {
     //      flips the hash. ----
     "q125_catalog_sql" -> ((s, dir) => {
       import s.implicits._
-      val cat = "graft_q125"
-      // a catalog instance caches its warehouse at first resolution, so
-      // the conf (and dir) are fixed per JVM; reps stay deterministic
-      // via DROP TABLE IF EXISTS
-      val wh = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft-q125-wh").toString
-      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
-        s.conf.set(s"spark.sql.catalog.$cat",
-          classOf[graft.lakehouse.LakehouseCatalog].getName)
-        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-      }
+      val cat = ensureQueryCatalog(s)
       graft.Tables.load(s, dir, "nation").createOrReplaceTempView("q125_src")
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
       s.sql(s"DROP TABLE IF EXISTS $cat.db.nation_t")
@@ -505,6 +512,39 @@ object CdcOpQueries {
       s.sql(s"DROP TABLE $cat.db.region_agg")
       out.toDF("rk", "region_n", "n_rows", "sum_keys", "first_name", "agg_first")
         .orderBy(col("rk"))
+    }),
+    // ---- metadata aggregates + SQL time travel (round 9): COUNT(*) /
+    //      MIN / MAX over a catalog table answer from manifest stats
+    //      (zero data files — LakehouseDsv2Spec pins the zero-file
+    //      plan; this gates the VALUES), and VERSION AS OF re-answers
+    //      them at a historical snapshot. Two half-corpus INSERTs make
+    //      snapshot 3 (the even-key half) a distinct historical state
+    //      the oracle re-derives with a WHERE. ----
+    "q126_metadata_agg" -> ((s, dir) => {
+      import s.implicits._
+      val cat = ensureQueryCatalog(s)
+      graft.Tables.load(s, dir, "orders").createOrReplaceTempView("q126_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.orders_t")
+      s.sql(s"CREATE TABLE $cat.db.orders_t (okey BIGINT, pri STRING, total DOUBLE)")
+      s.sql(s"INSERT INTO $cat.db.orders_t SELECT o_orderkey, o_orderpriority, " +
+        "o_totalprice FROM q126_src WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO $cat.db.orders_t SELECT o_orderkey, o_orderpriority, " +
+        "o_totalprice FROM q126_src WHERE o_orderkey % 2 = 1")
+      def agg(step: String, from: String) = s.sql(
+        s"""SELECT '$step' AS step, count(*) AS cnt, min(okey) AS min_k,
+               max(okey) AS max_k, min(pri) AS min_p, max(pri) AS max_p,
+               min(total) AS min_t, max(total) AS max_t
+            FROM $from""").collect()(0)
+      // snapshot lineage: CREATE = 1, even-key INSERT = 2, odd = 3 —
+      // so VERSION AS OF 2 is exactly the even-key half
+      val rows = Seq(agg("a_even_half", s"$cat.db.orders_t VERSION AS OF 2"),
+        agg("b_head", s"$cat.db.orders_t"))
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5), r.getDouble(6), r.getDouble(7)))
+      s.sql(s"DROP TABLE $cat.db.orders_t")
+      rows.toDF("step", "cnt", "min_k", "max_k", "min_p", "max_p", "min_t", "max_t")
+        .orderBy(col("step"))
     })
   )
 
@@ -642,6 +682,25 @@ object CdcOpQueries {
              a.first_name AS agg_first
       FROM nt t JOIN agg a ON t.regionkey = a.regionkey
       GROUP BY t.regionkey, a.n, a.first_name
-      ORDER BY rk"""
+      ORDER BY rk""",
+    // q126: both steps re-derived from orders; the even-key half is
+    // exactly VERSION AS OF 2's content.
+    "q126_metadata_agg" -> """
+      WITH src AS (
+        SELECT o_orderkey AS okey, o_orderpriority AS pri, o_totalprice AS total
+        FROM orders),
+      one AS (
+        SELECT 'a_even_half' AS step, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(min(okey) AS BIGINT) AS min_k, CAST(max(okey) AS BIGINT) AS max_k,
+               min(pri) AS min_p, max(pri) AS max_p,
+               min(total) AS min_t, max(total) AS max_t
+        FROM src WHERE okey % 2 = 0),
+      two AS (
+        SELECT 'b_head' AS step, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(min(okey) AS BIGINT) AS min_k, CAST(max(okey) AS BIGINT) AS max_k,
+               min(pri) AS min_p, max(pri) AS max_p,
+               min(total) AS min_t, max(total) AS max_t
+        FROM src)
+      SELECT * FROM one UNION ALL SELECT * FROM two ORDER BY step"""
   )
 }

@@ -114,6 +114,31 @@ class LakehouseCatalogSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, "a"), (2L, "B2"), (3L, "c")))
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF through the catalog") {
+    ensureCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.tt")
+    spark.sql("CREATE TABLE graftcat.db.tt (id BIGINT)")
+    spark.sql("INSERT INTO graftcat.db.tt VALUES (1)")
+    Thread.sleep(15) // commit timestamps must be distinguishable
+    spark.sql("INSERT INTO graftcat.db.tt VALUES (2), (3)")
+    val root = java.nio.file.Paths.get(warehouse, "db", "tt").toString
+    val snaps = new LakehouseTable(spark, root).listSnapshots()
+    // snapshot 2 = the first INSERT (1 = CREATE)
+    assert(spark.sql("SELECT * FROM graftcat.db.tt VERSION AS OF 2").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.tt VERSION AS OF 3")
+      .head.getLong(0) === 3L)
+    val ts = java.time.Instant.ofEpochMilli(snaps(1).timestampMs)
+      .atZone(java.time.ZoneId.systemDefault).toLocalDateTime.toString.replace('T', ' ')
+    assert(spark.sql(s"SELECT * FROM graftcat.db.tt TIMESTAMP AS OF '$ts'").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L),
+      "TIMESTAMP AS OF must resolve the snapshot current at that instant")
+    intercept[Exception](
+      spark.sql("SELECT * FROM graftcat.db.tt VERSION AS OF 99").collect())
+    spark.sql("DROP TABLE graftcat.db.tt")
+  }
+
   test("identifier hygiene: path-escape identifiers are refused") {
     ensureCatalog()
     intercept[Exception](spark.sql("SELECT * FROM graftcat.db.`../escape`"))

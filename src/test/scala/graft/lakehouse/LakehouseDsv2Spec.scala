@@ -71,6 +71,69 @@ class LakehouseDsv2Spec extends SparkSpec {
       .load(t.root).count() === 1000L)
   }
 
+  test("MIN/MAX push to manifest stats: zero files planned, exact values, typed results") {
+    val t = rangedTable()
+    val df = dsv2(t)
+    val r = df.agg(min("id"), max("id"), count(lit(1)), min("payload")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)) ===
+      ((0L, 15999L, 16000L, "v0")))
+    val info = ScanEvents.lastScan(t.root).get
+    assert(info.filesPlanned === 0 &&
+      info.pushed === Seq("MIN(id)", "MAX(id)", "COUNT(*)", "MIN(payload)"),
+      s"min/max/count must answer from the manifest: $info")
+    // string MAX orders by UTF-8 bytes, same as Spark
+    assert(df.agg(max("payload")).head.getString(0) ===
+      t.read().agg(max("payload")).head.getString(0))
+    // a SUM in the mix forces the real scan (manifest can't answer it)
+    val withSum = df.agg(min("id"), sum("id")).collect()(0)
+    assert(withSum.getLong(0) === 0L)
+    assert(ScanEvents.lastScan(t.root).get.filesPlanned === 16,
+      "sum is not metadata-answerable — the whole agg must scan")
+    // filtered min must NOT push either
+    assert(df.filter(col("id") >= 1000L).agg(min("id")).head.getLong(0) === 1000L)
+    assert(ScanEvents.lastScan(t.root).get.filesPlanned > 0)
+  }
+
+  test("MIN/MAX do NOT push when a file's stats are ambiguous (all-null column file)") {
+    import spark.implicits._
+    val t = new LakehouseTable(spark, tmpDir("dsv2-minmax-null"))
+    t.append(Seq((1L, Some(5L)), (2L, Some(9L))).toDF("id", "x").coalesce(1))
+    // second file: x entirely null — it carries NO x stat, which must
+    // disqualify the metadata answer (absence is ambiguous), not skew it
+    t.append(Seq((3L, None: Option[Long])).toDF("id", "x").coalesce(1))
+    val df = spark.read.format("graft-lakehouse").load(t.root)
+    val r = df.agg(min("x"), max("x")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((5L, 9L)))
+    assert(ScanEvents.lastScan(t.root).get.filesPlanned > 0,
+      "an all-null-stat file must force the real scan for min/max")
+    // count(*) still pushes — row counts are never ambiguous
+    assert(df.count() === 3L)
+    assert(ScanEvents.lastScan(t.root).get.filesPlanned === 0)
+  }
+
+  test("asOfTimestamp option: timestamp time travel pins the snapshot current at that instant") {
+    import spark.implicits._
+    val t = new LakehouseTable(spark, tmpDir("dsv2-asof"))
+    t.append(Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    Thread.sleep(15) // commit timestamps must be distinguishable
+    t.append(Seq((2L, "b")).toDF("id", "v").coalesce(1))
+    val snaps = t.listSnapshots()
+    assert(snaps(1).timestampMs > snaps.head.timestampMs, "fixture needs distinct commit times")
+    val hist = spark.read.format("graft-lakehouse")
+      .option("asOfTimestamp", snaps.head.timestampMs.toString).load(t.root)
+    assert(hist.collect().map(_.getLong(0)).toSeq === Seq(1L),
+      "asOfTimestamp must resolve the snapshot current at that instant")
+    // ISO form resolves too (any instant past the head sees everything)
+    val now = spark.read.format("graft-lakehouse")
+      .option("asOfTimestamp", java.time.Instant.ofEpochMilli(
+        snaps(1).timestampMs + 1000).toString).load(t.root)
+    assert(now.count() === 2L)
+    // predating the table is a loud error, not an empty frame
+    intercept[Exception](spark.read.format("graft-lakehouse")
+      .option("asOfTimestamp", (snaps.head.timestampMs - 10000).toString)
+      .load(t.root).collect())
+  }
+
   test("OR of prunable branches keeps the UNION of their file sets — mid-range files skipped") {
     val t = rangedTable()
     val got = dsv2(t).filter(col("id") < 100L || col("id") > 15000L)
