@@ -262,6 +262,29 @@ private[lakehouse] object LakehouseSource {
       case sources.IsNull(c) => one(ScanPredicate.IsNull(c))
       case sources.In(c, vs) if vs.nonEmpty && vs.length <= 32 && !vs.contains(null) =>
         Some(vs.flatMap(v => t.pruneFiles(snap, Seq(ScanPredicate.EqualTo(c, v)))._1).toSet)
+      case sources.In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+        // an over-long IN won't pay per-value probes, but its value
+        // RANGE still skips files: order the literals when they are
+        // homogeneous orderable primitives and range-prune on [lo, hi]
+        val sorted: Option[(Any, Any)] = vs.toSeq match {
+          case all if all.forall(_.isInstanceOf[Long]) =>
+            val l = all.map(_.asInstanceOf[Long]); Some((l.min, l.max))
+          case all if all.forall(_.isInstanceOf[Int]) =>
+            val l = all.map(_.asInstanceOf[Int]); Some((l.min, l.max))
+          case all if all.forall(_.isInstanceOf[Double]) =>
+            val l = all.map(_.asInstanceOf[Double]); Some((l.min, l.max))
+          case all if all.forall(_.isInstanceOf[String]) =>
+            // UTF-8 byte order = Spark's string order
+            implicit val o: Ordering[String] = (a: String, b: String) =>
+              java.util.Arrays.compareUnsigned(
+                a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val l = all.map(_.asInstanceOf[String]); Some((l.min, l.max))
+          case _ => None
+        }
+        sorted.map { case (lo, hi) =>
+          t.pruneFiles(snap, Seq(ScanPredicate.Range(c, Some(lo), Some(hi))))._1.toSet
+        }
       case sources.Or(l, r) =>
         for (a <- keepSetFor(t, snap, l); b <- keepSetFor(t, snap, r)) yield a ++ b
       case _ => None // IsNotNull, over-long In: no evidence — keep all
@@ -282,7 +305,52 @@ private[lakehouse] object LakehouseSource {
 
 private[lakehouse] final class LakehouseV2Table(
     tableSchema: StructType, options: Map[String, String]) extends Table
-    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  private def nameKeyOf(n: String): String =
+    if (SparkSession.active.sessionState.conf.caseSensitiveAnalysis) n
+    else n.toLowerCase(java.util.Locale.ROOT)
+
+  /** SQL `DELETE FROM t WHERE ...`: accepted iff every conjunct is a
+    * filter the pruner + residual understand on top-level columns —
+    * Spark falls back to an analysis error otherwise (row-level MERGE
+    * rewrites are out of scope; updates arrive via the CDC feed).
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    val cols = tableSchema.fieldNames.map(nameKeyOf).toSet
+    filters.forall(LakehouseSource.acceptable(_, r => cols(nameKeyOf(r))))
+  }
+
+  /** File-pruned delete against the CURRENT head (mutations never run
+    * against the read pin): non-candidate files carry by reference,
+    * candidates rewrite without the matching rows — one snapshot.
+    */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val t = new LakehouseTable(spark, LakehouseSource.rootOf(options))
+    val snap = t.currentSnapshot().getOrElse(
+      throw new IllegalStateException("cannot DELETE from a snapshot-less table"))
+    val cond = filters.map(LakehouseSource.toCondition)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val candidates = LakehouseSource.pruneForFilters(t, snap, filters.toSeq)
+    t.deleteWhere(candidates, cond)
+    ()
+  }
+
+  /** SQL `TRUNCATE TABLE t`: one overwrite commit to empty, schema
+    * preserved, history time-travelable.
+    */
+  override def truncateTable(): Boolean = {
+    val spark = SparkSession.active
+    val t = new LakehouseTable(spark, LakehouseSource.rootOf(options))
+    val schema = t.currentSnapshot().map(s =>
+      DataType.fromJson(s.schemaJson).asInstanceOf[StructType]).getOrElse(tableSchema)
+    t.overwrite(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema))
+    true
+  }
 
   override def name(): String =
     "graft_lakehouse:" + LakehouseSource.rootOf(options) +

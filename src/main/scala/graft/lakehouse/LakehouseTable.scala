@@ -571,6 +571,31 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
       .getOrElse(Nil)
   }
 
+  /** SQL DELETE: remove the current snapshot's rows matching `cond`,
+    * where `candidates0` is the pre-pruned file set that can hold
+    * matches (anything else carries over BY REFERENCE — the skipping
+    * indexes prove it holds none). Candidate files rewrite keeping
+    * rows where the condition is false OR null (SQL DELETE only
+    * removes rows where the predicate IS TRUE), preserving the hive
+    * layout. A delete whose predicate pruned to zero candidates
+    * commits nothing and returns the current snapshot.
+    */
+  def deleteWhere(candidates0: Seq[String],
+      cond: org.apache.spark.sql.Column): Snapshot = writeLock.synchronized {
+    val cur = currentSnapshot().getOrElse(
+      throw new IllegalStateException(s"table $root has no snapshots"))
+    // intersect with the files still current under the lock — the
+    // caller pruned against a snapshot read a moment earlier
+    val candidates = cur.files.filter(candidates0.toSet)
+    if (candidates.isEmpty) return cur
+    val id = nextId()
+    val partCols = inferPartitionCols(cur.files)
+    val survivors = readFiles(candidates).filter(coalesce(not(cond), lit(true)))
+    val rewritten = writeDataFiles(survivors, id, suffix = "del", partitionCols = partCols)
+    writeSnapshot(Snapshot(id, Some(cur.snapshotId), System.currentTimeMillis(),
+      "delete", cur.files.diff(candidates) ++ rewritten, cur.schemaJson))
+  }
+
   /** Replace the whole table content with `df`. */
   def overwrite(df: DataFrame): Snapshot = writeLock.synchronized {
     val id = nextId()

@@ -139,6 +139,50 @@ class LakehouseCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graftcat.db.tt")
   }
 
+  test("SQL DELETE FROM is file-pruned; TRUNCATE empties with history intact") {
+    ensureCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.del_t")
+    spark.sql("CREATE TABLE graftcat.db.del_t (id BIGINT, v STRING)")
+    // two disjoint-range files
+    spark.sql("INSERT INTO graftcat.db.del_t SELECT id, concat('v', id) FROM range(0, 100)")
+    spark.sql("INSERT INTO graftcat.db.del_t SELECT id, concat('v', id) FROM range(1000, 1100)")
+    val root = java.nio.file.Paths.get(warehouse, "db", "del_t").toString
+    val t = new LakehouseTable(spark, root)
+    val snapBefore = t.currentSnapshot().get
+    val before = snapBefore.files
+    // the files whose id range provably overlaps the predicate — the
+    // delete may rewrite exactly these and must carry the rest
+    val overlap = t.pruneFiles(snapBefore,
+      Seq(ScanPredicate.Range("id", Some(1050L), None)))._1.toSet
+    assert(overlap.nonEmpty && overlap.size < before.size,
+      s"fixture must leave non-overlapping files (got ${overlap.size}/${before.size})")
+    spark.sql("DELETE FROM graftcat.db.del_t WHERE id >= 1050")
+    val after = t.currentSnapshot().get
+    assert(after.operation === "delete")
+    assert(before.count(after.files.contains) === before.size - overlap.size,
+      "only files whose range overlaps the predicate may be rewritten")
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.del_t").head.getLong(0) === 150L)
+    assert(spark.sql("SELECT max(id) FROM graftcat.db.del_t").head.getLong(0) === 1049L)
+    // OR-predicate delete stays exact
+    spark.sql("DELETE FROM graftcat.db.del_t WHERE id < 5 OR id >= 1045")
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.del_t").head.getLong(0) === 140L)
+    // a no-match delete commits nothing
+    val snapCount = t.listSnapshots().size
+    spark.sql("DELETE FROM graftcat.db.del_t WHERE id = 999999")
+    assert(t.listSnapshots().size === snapCount,
+      "a delete pruned to zero candidates must not commit a snapshot")
+    // TRUNCATE: empty content, schema kept, history time-travelable
+    spark.sql("TRUNCATE TABLE graftcat.db.del_t")
+    assert(spark.sql("SELECT * FROM graftcat.db.del_t").collect().isEmpty)
+    assert(spark.table("graftcat.db.del_t").columns.toSeq === Seq("id", "v"))
+    val lastDelete = t.listSnapshots().filter(_.operation == "delete").last.snapshotId
+    assert(spark.sql(
+      s"SELECT count(*) FROM graftcat.db.del_t VERSION AS OF $lastDelete")
+      .head.getLong(0) === 140L, "pre-truncate history must stay readable")
+    spark.sql("DROP TABLE graftcat.db.del_t")
+  }
+
   test("identifier hygiene: path-escape identifiers are refused") {
     ensureCatalog()
     intercept[Exception](spark.sql("SELECT * FROM graftcat.db.`../escape`"))

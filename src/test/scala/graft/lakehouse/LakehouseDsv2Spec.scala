@@ -272,6 +272,19 @@ class LakehouseDsv2Spec extends SparkSpec {
       "a two-value IN must plan exactly its two files")
   }
 
+  test("over-long IN-list (>32 values) still range-prunes on [min, max]") {
+    val t = rangedTable()
+    // 40 values, all inside files 2-3: per-value probes are capped but
+    // the value range must still skip the other 14 files
+    val vals = (2000L until 4000L by 50).map(java.lang.Long.valueOf)
+    assert(vals.length > 32)
+    val got = dsv2(t).filter(col("id").isin(vals: _*))
+    assert(got.count() === vals.length)
+    val info = ScanEvents.lastScan(t.root).get
+    assert(info.filesPlanned === 2,
+      s"a 40-value IN spanning [2000, 3950] must plan exactly files 2-3: $info")
+  }
+
   test("bloom sidecars prune through the DSv2 path too (scrambled strings)") {
     import spark.implicits._
     def scramble(id: Long): String = f"h${(id * 48271L) % 65536L}%05d"
