@@ -396,10 +396,9 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     *
     *  1. the batch's per-key-column min/max (ONE tiny agg over the
     *     already-cached batch) feeds [[pruneFiles]] as conjunctive
-    *     ranges — manifest stats, bloom-backed equality and partition
-    *     paths answer with zero data-file I/O and zero jobs, so a
-    *     key-disjoint batch exits here having read NOTHING of the
-    *     existing table;
+    *     ranges — manifest stats and partition paths answer with zero
+    *     data-file I/O and zero jobs, so a key-disjoint batch exits
+    *     here having read NOTHING of the existing table;
     *  2. only surviving candidate files pay an exact COLUMN-PRUNED
     *     semi-join over their key columns.
     *
