@@ -256,5 +256,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("url_normalize"),
       new ExpressionInfo(classOf[UrlNormalizeExpr].getName, "url_normalize"),
       GraftFunctions.urlNormalizeBuilder))
+    // the SQL row-mutating verbs over lakehouse tables (UPDATE / MERGE /
+    // full-predicate DELETE); also auto-installed by LakehouseCatalog
+    ext.injectPlannerStrategy(_ => graft.lakehouse.LakehouseDmlStrategy)
   }
 }

@@ -54,6 +54,10 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces {
     require(w != null && w.nonEmpty,
       s"catalog '$name' requires spark.sql.catalog.$name.warehouse=<dir>")
     warehouse = Paths.get(w).toAbsolutePath.normalize
+    // configuring the catalog opts this session into its SQL surface —
+    // including the row-mutating verbs (UPDATE / MERGE / full-predicate
+    // DELETE), whose planning lives in [[LakehouseDmlStrategy]]
+    SparkSession.getActiveSession.foreach(LakehouseDml.install)
   }
 
   override def name(): String = catalogName

@@ -1,0 +1,484 @@
+package graft.lakehouse
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions
+import org.apache.spark.sql.catalyst.{expressions => cexp}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, ExprId, Expression, Literal, PredicateHelper, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateTable}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.functions.{coalesce, col, lit, monotonically_increasing_id, not, when}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** SQL `UPDATE` / `MERGE INTO` / full-predicate `DELETE` over lakehouse
+  * tables — the row-mutating verbs Spark only grants to sources that
+  * bring their own planning (the Delta approach: intercept the analyzed
+  * command and execute it through the table's own copy-on-write
+  * machinery, rather than the DSv2 row-level-operation protocol whose
+  * group-based write face would force a hand-rolled executor-side
+  * parquet writer where [[LakehouseTable]] already owns a better one).
+  *
+  * {{{
+  *   UPDATE graft.db.t SET v = concat(v, '!'), n = n + 1 WHERE id < 100
+  *   MERGE INTO graft.db.t t USING updates s ON t.id = s.id
+  *     WHEN MATCHED AND s.del THEN DELETE
+  *     WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED THEN INSERT *
+  *     WHEN NOT MATCHED BY SOURCE THEN DELETE
+  *   DELETE FROM graft.db.t WHERE v LIKE '%stale%'   -- beyond SupportsDelete
+  * }}}
+  *
+  * All three execute as ONE snapshot commit with the table's
+  * copy-on-write discipline ([[LakehouseTable.sqlMutate]]): manifest
+  * stats prune the candidate file set (UPDATE/DELETE from the WHERE
+  * clause, MERGE from the ON clause's equi-conjuncts via the same
+  * two-stage probe as the keyed writes), non-candidates carry by
+  * reference, and an insert-only MERGE rewrites nothing at all — batch
+  * cost, never table cost, which is what the verbs need at 100 TB.
+  * Mutations run against the HEAD snapshot under the write lock (the
+  * [[LakehouseV2Table]] read pin is a read-side concept).
+  *
+  * Deployment: [[LakehouseCatalog.initialize]] installs the strategy
+  * into the session automatically (configuring the catalog is opting
+  * into its SQL surface), and `GraftExtensions` injects it for
+  * `spark.sql.extensions` deployments.
+  *
+  * Reference scope: the upsert/merge contract of the warehouse sinks
+  * (`sinks/postgres.py:141-146` ON CONFLICT upsert, `sinks/iceberg.py:184`
+  * merge-by-key), surfaced as ANSI SQL.
+  */
+object LakehouseDml {
+
+  /** Idempotently add the DML strategy to a LIVE session (the
+    * programmatic twin of the `GraftExtensions` conf route).
+    */
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraStrategies.contains(LakehouseDmlStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ LakehouseDmlStrategy
+  }
+
+  // -- the two private-API hops, both reflection-pinned (the
+  //    ChangeFeedSource discipline: a Spark upgrade that removes either
+  //    fails loudly in reflectionHealthy's spec assert, never silently)
+
+  private lazy val ofRowsMethod = {
+    val mod = Class.forName("org.apache.spark.sql.classic.Dataset$")
+    (mod.getField("MODULE$").get(null),
+      mod.getMethods.find(m => m.getName == "ofRows" && m.getParameterCount == 2)
+        .getOrElse(throw new NoSuchMethodException("classic.Dataset.ofRows")))
+  }
+
+  private lazy val columnMethod =
+    Class.forName("org.apache.spark.sql.classic.ExpressionUtils")
+      .getMethod("column", classOf[Expression])
+
+  /** DataFrame over an already-analyzed logical plan (attribute ids
+    * preserved — the MERGE source keeps the exprIds its action
+    * expressions reference).
+    */
+  private[lakehouse] def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    ofRowsMethod._2.invoke(ofRowsMethod._1, spark, plan).asInstanceOf[DataFrame]
+
+  /** Column over a catalyst Expression (`ExpressionUtils.column`). */
+  private[lakehouse] def exprColumn(e: Expression): Column =
+    columnMethod.invoke(null, e).asInstanceOf[Column]
+
+  private[graft] def reflectionHealthy(): Boolean = {
+    ofRowsMethod; columnMethod; true
+  }
+
+  private object Preds extends PredicateHelper {
+    def split(e: Expression): Seq[Expression] = splitConjunctivePredicates(e)
+  }
+
+  /** AND-split (the protected PredicateHelper helper, surfaced). */
+  private[lakehouse] def conjuncts(e: Expression): Seq[Expression] = Preds.split(e)
+
+  /** Rebind an analyzed expression for evaluation on re-scanned frames:
+    * every attribute maps to the column name `names` assigns it;
+    * anything unmapped is a planning bug surfaced loudly.
+    */
+  private[lakehouse] def rebind(e: Expression, names: Map[ExprId, String]): Column =
+    exprColumn(e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq(names.getOrElse(a.exprId,
+        throw new IllegalStateException(
+          s"DML expression references unbound attribute '${a.name}'#${a.exprId.id}"))))
+    })
+
+  /** Catalyst predicate → `sources.Filter`, for file PRUNING only (the
+    * residual is always the rebound original condition, so an
+    * untranslated conjunct costs pruning power, never correctness).
+    * Mirrors exactly the shapes [[LakehouseSource.acceptable]] accepts.
+    */
+  private[lakehouse] def translateForPrune(e: Expression): Option[sources.Filter] = {
+    def scala2(l: Literal): Option[Any] =
+      Option(l.value).map(v => CatalystTypeConverters.convertToScala(v, l.dataType))
+    e match {
+      case expressions.EqualTo(a: AttributeReference, l: Literal) =>
+        scala2(l).map(sources.EqualTo(a.name, _))
+      case expressions.EqualTo(l: Literal, a: AttributeReference) =>
+        scala2(l).map(sources.EqualTo(a.name, _))
+      case expressions.GreaterThan(a: AttributeReference, l: Literal) =>
+        scala2(l).map(sources.GreaterThan(a.name, _))
+      case expressions.GreaterThan(l: Literal, a: AttributeReference) =>
+        scala2(l).map(sources.LessThan(a.name, _))
+      case expressions.GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        scala2(l).map(sources.GreaterThanOrEqual(a.name, _))
+      case expressions.GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        scala2(l).map(sources.LessThanOrEqual(a.name, _))
+      case expressions.LessThan(a: AttributeReference, l: Literal) =>
+        scala2(l).map(sources.LessThan(a.name, _))
+      case expressions.LessThan(l: Literal, a: AttributeReference) =>
+        scala2(l).map(sources.GreaterThan(a.name, _))
+      case expressions.LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        scala2(l).map(sources.LessThanOrEqual(a.name, _))
+      case expressions.LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        scala2(l).map(sources.GreaterThanOrEqual(a.name, _))
+      case expressions.In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val conv = vs.map(v => scala2(v.asInstanceOf[Literal]))
+        if (conv.forall(_.isDefined)) Some(sources.In(a.name, conv.map(_.get).toArray))
+        else None
+      case expressions.InSet(a: AttributeReference, set) if !set.contains(null) =>
+        Some(sources.In(a.name,
+          set.map(v => CatalystTypeConverters.convertToScala(v, a.dataType)).toArray))
+      case expressions.IsNull(a: AttributeReference) => Some(sources.IsNull(a.name))
+      case expressions.IsNotNull(a: AttributeReference) => Some(sources.IsNotNull(a.name))
+      case expressions.StartsWith(a: AttributeReference, l: Literal) =>
+        scala2(l).map(p => sources.StringStartsWith(a.name, p.toString))
+      case expressions.Or(x, y) =>
+        for (fx <- translateForPrune(x); fy <- translateForPrune(y))
+          yield sources.Or(fx, fy)
+      case _ => None
+    }
+  }
+}
+
+/** Plans the three DML commands over lakehouse relations; everything
+  * else falls through to the built-in strategies (including translatable
+  * DELETEs, which keep the cheaper metadata-only `SupportsDelete` path).
+  */
+object LakehouseDmlStrategy extends SparkStrategy {
+  import LakehouseDml._
+
+  /** The command's target as (output attributes, table) — matching both
+    * the analyzed relation and the optimizer's scan-relation rewrite
+    * (V2ScanRelationPushDown transforms the target before planning;
+    * kept columns keep their exprIds).
+    */
+  private def lakeRelation(plan: LogicalPlan): Option[(Seq[Attribute], LakehouseV2Table)] =
+    plan.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[LakehouseV2Table] =>
+        (r.output, r.table.asInstanceOf[LakehouseV2Table])
+      case s: DataSourceV2ScanRelation if s.relation.table.isInstanceOf[LakehouseV2Table] =>
+        (s.output, s.relation.table.asInstanceOf[LakehouseV2Table])
+    }
+
+  private def requireNoSubquery(e: Expression, where: String): Unit =
+    if (SubqueryExpression.hasSubquery(e))
+      throw new UnsupportedOperationException(
+        s"graft-lakehouse $where does not support subqueries — " +
+          "stage the subquery result and use MERGE INTO with it as the source")
+
+  private def assignmentPairs(assignments: Seq[Assignment], what: String): Seq[(AttributeReference, Expression)] =
+    assignments.map {
+      case Assignment(key: AttributeReference, value) =>
+        requireNoSubquery(value, what); (key, value)
+      case Assignment(other, _) => throw new UnsupportedOperationException(
+        s"graft-lakehouse $what supports top-level column assignments only, got $other")
+    }
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case u: UpdateTable =>
+      lakeRelation(u.table).map { case (tOut, table) =>
+        u.condition.foreach(requireNoSubquery(_, "UPDATE WHERE"))
+        val sets = assignmentPairs(u.assignments, "UPDATE SET")
+        UpdateLakehouseExec(SparkSession.active, table.options,
+          tOut, sets, u.condition) :: Nil
+      }.getOrElse(Nil)
+
+    case m: MergeIntoTable =>
+      lakeRelation(m.targetTable).map { case (tOut, table) =>
+        if (m.withSchemaEvolution) throw new UnsupportedOperationException(
+          "graft-lakehouse MERGE does not support WITH SCHEMA EVOLUTION; " +
+            "schema evolves widen-only through writes")
+        requireNoSubquery(m.mergeCondition, "MERGE ON")
+        (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions).foreach {
+          case UpdateAction(cond, assigns, _) =>
+            cond.foreach(requireNoSubquery(_, "MERGE WHEN")); assignmentPairs(assigns, "MERGE UPDATE SET")
+          case InsertAction(cond, assigns) =>
+            cond.foreach(requireNoSubquery(_, "MERGE WHEN")); assignmentPairs(assigns, "MERGE INSERT")
+          case DeleteAction(cond) => cond.foreach(requireNoSubquery(_, "MERGE WHEN"))
+          case other => throw new UnsupportedOperationException(
+            s"graft-lakehouse MERGE: unsupported action $other")
+        }
+        MergeLakehouseExec(SparkSession.active, table.options, tOut, m) :: Nil
+      }.getOrElse(Nil)
+
+    // only predicates the SupportsDelete face REFUSES (shapes beyond the
+    // pruner's filter grammar — LIKE '%x', NOT, arithmetic, functions);
+    // translatable deletes keep the built-in metadata-pruned path
+    case d: DeleteFromTable =>
+      lakeRelation(d.table) match {
+        case Some((tOut, table)) if !SubqueryExpression.hasSubquery(d.condition) &&
+            !conjuncts(d.condition).forall(c => translateForPrune(c).isDefined) =>
+          DeleteLakehouseExec(SparkSession.active, table.options, tOut,
+            d.condition) :: Nil
+        case _ => Nil // built-in SupportsDelete / error paths
+      }
+
+    case _ => Nil
+  }
+}
+
+/** Driver-side command node: run once, produce no rows (the v2-command
+  * execution shape — `spark.sql(...)` eagerly collects).
+  */
+private[lakehouse] trait GraftDmlExec extends LeafExecNode {
+  @transient protected def spark: SparkSession
+  protected def run(): Unit
+  @transient private var done = false
+  private def ensure(): Unit = synchronized { if (!done) { run(); done = true } }
+  override def output: Seq[Attribute] = Nil
+  override def executeCollect(): Array[InternalRow] = { ensure(); Array.empty }
+  override protected def doExecute(): RDD[InternalRow] = {
+    ensure(); spark.sparkContext.emptyRDD[InternalRow]
+  }
+}
+
+/** `UPDATE t SET ... [WHERE ...]`: candidate files from the translatable
+  * WHERE conjuncts (manifest stats + partition paths + sidecars), each
+  * rewritten with assigned columns CASEd on the exact original
+  * condition; a WHERE pruned to zero candidates commits nothing.
+  */
+private[lakehouse] final case class UpdateLakehouseExec(
+    @transient spark: SparkSession,
+    tableOptions: Map[String, String],
+    @transient targetOutput: Seq[Attribute],
+    @transient sets: Seq[(AttributeReference, Expression)],
+    @transient condition: Option[Expression]) extends GraftDmlExec {
+
+  override protected def run(): Unit = {
+    val t = new LakehouseTable(spark, LakehouseSource.rootOf(tableOptions))
+    val names: Map[ExprId, String] = targetOutput.map(a => a.exprId -> a.name).toMap
+    val filters = condition.toSeq
+      .flatMap(LakehouseDml.conjuncts)
+      .flatMap(LakehouseDml.translateForPrune)
+    val cond = condition.map(LakehouseDml.rebind(_, names)).getOrElse(lit(true))
+    val setByName = sets.map { case (k, v) => k.name.toLowerCase(java.util.Locale.ROOT) -> v }.toMap
+    t.sqlMutate("update",
+      candidatesOf = snap =>
+        condition.map(_ => LakehouseSource.pruneForFilters(t, snap, filters))
+          .getOrElse(snap.files),
+      compute = (snap, candidates, scan) => {
+        if (candidates.isEmpty) (None, None)
+        else {
+          val fields = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType].fields
+          val projected = fields.map { f =>
+            setByName.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
+              case Some(v) =>
+                // rows where the condition is TRUE take the new value;
+                // false AND null keep the old (SQL UPDATE semantics)
+                when(cond, LakehouseDml.rebind(v, names).cast(f.dataType))
+                  .otherwise(col(f.name)).as(f.name)
+              case None => col(f.name)
+            }
+          }
+          (Some(scan.select(projected.toIndexedSeq: _*)), None)
+        }
+      })
+    ()
+  }
+}
+
+/** `DELETE FROM t WHERE <beyond the filter grammar>`: same file-pruned
+  * copy-on-write as the SupportsDelete path, but the survivors filter
+  * is the FULL original predicate (LIKE, NOT, functions, arithmetic),
+  * with translatable conjuncts still pruning the candidate set.
+  */
+private[lakehouse] final case class DeleteLakehouseExec(
+    @transient spark: SparkSession,
+    tableOptions: Map[String, String],
+    @transient targetOutput: Seq[Attribute],
+    @transient condition: Expression) extends GraftDmlExec {
+
+  override protected def run(): Unit = {
+    val t = new LakehouseTable(spark, LakehouseSource.rootOf(tableOptions))
+    val names: Map[ExprId, String] = targetOutput.map(a => a.exprId -> a.name).toMap
+    val filters = LakehouseDml.conjuncts(condition)
+      .flatMap(LakehouseDml.translateForPrune)
+    val cond = LakehouseDml.rebind(condition, names)
+    t.sqlMutate("delete",
+      candidatesOf = snap => LakehouseSource.pruneForFilters(t, snap, filters),
+      compute = (_, candidates, scan) =>
+        if (candidates.isEmpty) (None, None)
+        // keep rows where the predicate is false OR null (DELETE only
+        // removes rows where it is TRUE) — the deleteWhere discipline
+        else (Some(scan.filter(coalesce(not(cond), lit(true)))), None))
+    ()
+  }
+}
+
+/** `MERGE INTO` — ANSI semantics as one copy-on-write snapshot:
+  *
+  *  - candidate files from the ON clause's target-column equi-conjuncts
+  *    through [[LakehouseTable.touchedFilesFor]] (the keyed-write
+  *    two-stage probe: manifest range prune, then an exact column-pruned
+  *    semi-join over survivors) — correct because a file no source key
+  *    reaches can hold no row matching the full ON condition; a
+  *    NOT-MATCHED-BY-SOURCE clause widens candidates to every file (any
+  *    target row may mutate), and an ON clause with no equi-conjunct
+  *    falls back the same way;
+  *  - matched / not-matched-by-source actions apply first-match-wins via
+  *    chained CASE on the candidate scan joined to the source;
+  *  - a target row matched by >1 source rows fails loudly when matched
+  *    actions exist (the ANSI cardinality rule);
+  *  - an insert-only merge REWRITES NOTHING — new files only.
+  */
+private[lakehouse] final case class MergeLakehouseExec(
+    @transient spark: SparkSession,
+    tableOptions: Map[String, String],
+    @transient targetOutput: Seq[Attribute],
+    @transient merge: MergeIntoTable) extends GraftDmlExec {
+  import LakehouseDml.{exprColumn, rebind}
+
+  override protected def run(): Unit = {
+    val t = new LakehouseTable(spark, LakehouseSource.rootOf(tableOptions))
+    val sourceOutput = merge.sourceTable.output
+    val tIds = targetOutput.map(_.exprId).toSet
+    val sIds = sourceOutput.map(_.exprId).toSet
+    val names: Map[ExprId, String] =
+      targetOutput.zipWithIndex.map { case (a, i) => a.exprId -> s"__gt_$i" }.toMap ++
+        sourceOutput.zipWithIndex.map { case (a, i) => a.exprId -> s"__gs_$i" }
+    val fieldIdxOf: Map[ExprId, Int] = targetOutput.zipWithIndex
+      .map { case (a, i) => a.exprId -> i }.toMap
+
+    // ON-clause equi-conjuncts `t.col = <source-only expr>` drive the
+    // touched-file probe; the source-side expressions evaluate on the
+    // source frame DIRECTLY (same analyzed plan, same exprIds)
+    val equiPairs: Seq[(String, Expression)] =
+      LakehouseDml.conjuncts(merge.mergeCondition).collect {
+        case cexp.EqualTo(a: AttributeReference, r)
+            if tIds(a.exprId) && r.references.forall(x => sIds(x.exprId)) &&
+              r.deterministic && a.dataType == r.dataType =>
+          (a.name, r)
+        case cexp.EqualTo(l, a: AttributeReference)
+            if tIds(a.exprId) && l.references.forall(x => sIds(x.exprId)) &&
+              l.deterministic && a.dataType == l.dataType =>
+          (a.name, l)
+      }
+
+    val sdf0 = LakehouseDml.ofRows(spark, merge.sourceTable)
+    var joinedCache: Option[DataFrame] = None
+    try {
+      t.sqlMutate("merge",
+        candidatesOf = { snap =>
+          if (merge.notMatchedBySourceActions.nonEmpty || equiPairs.isEmpty) snap.files
+          else t.touchedFilesFor(snap,
+            sdf0.select(equiPairs.map { case (n, e) => exprColumn(e).as(n) }: _*).distinct(),
+            equiPairs.map(_._1))
+        },
+        compute = { (snap, candidates, scan) =>
+          val fields = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType].fields
+          val tdf = scan
+            .select(fields.zipWithIndex.map { case (f, i) => col(f.name).as(s"__gt_$i") }.toIndexedSeq: _*)
+            .withColumn("__gt_m", lit(1))
+            .withColumn("__gt_rid", monotonically_increasing_id())
+          val sdf = sdf0.toDF(sourceOutput.indices.map(i => s"__gs_$i"): _*)
+            .withColumn("__gs_m", lit(1))
+          val joinType = if (merge.notMatchedActions.nonEmpty) "full_outer" else "left_outer"
+          val joined = tdf.join(sdf, rebind(merge.mergeCondition, names), joinType).cache()
+          joinedCache = Some(joined)
+          val matchedC = col("__gt_m").isNotNull && col("__gs_m").isNotNull
+
+          if (merge.matchedActions.nonEmpty) {
+            // ANSI cardinality rule: a target row that WOULD take a
+            // matched action must match at most one source row
+            val dup = joined.filter(matchedC).groupBy("__gt_rid").count()
+              .filter(col("count") > 1).limit(1).count()
+            require(dup == 0L,
+              "MERGE cardinality violation: a target row matched more than one " +
+                "source row while matched actions exist — deduplicate the source " +
+                "on the ON-clause keys")
+          }
+
+          def actCond(a: MergeAction): Column =
+            a.condition.map(rebind(_, names)).getOrElse(lit(true))
+          def assignedVal(a: MergeAction, i: Int, default: Column): Column = a match {
+            case UpdateAction(_, assigns, _) =>
+              assigns.collectFirst {
+                case Assignment(k: AttributeReference, v) if fieldIdxOf.get(k.exprId).contains(i) =>
+                  rebind(v, names).cast(fields(i).dataType)
+              }.getOrElse(default)
+            case InsertAction(_, assigns) =>
+              assigns.collectFirst {
+                case Assignment(k: AttributeReference, v) if fieldIdxOf.get(k.exprId).contains(i) =>
+                  rebind(v, names).cast(fields(i).dataType)
+              }.getOrElse(lit(null).cast(fields(i).dataType))
+            case _: DeleteAction => default // row drops; value is moot
+            case other => throw new IllegalStateException(s"unplanned action $other")
+          }
+          // first-match-wins: when(c1, ..).otherwise(when(c2, ..)..)
+          def chainVal(actions: Seq[MergeAction], i: Int, default: Column): Column =
+            actions.foldRight(default)((a, els) =>
+              when(actCond(a), assignedVal(a, i, default)).otherwise(els))
+          def chainKeep(actions: Seq[MergeAction], default: Column): Column =
+            actions.foldRight(default)((a, els) =>
+              when(actCond(a), lit(!a.isInstanceOf[DeleteAction])).otherwise(els))
+
+          val needRewrite = candidates.nonEmpty &&
+            (merge.matchedActions.nonEmpty || merge.notMatchedBySourceActions.nonEmpty)
+          val survivors =
+            if (!needRewrite) None
+            else {
+              // duplicates of one target row exist only when NO matched
+              // action does (the cardinality check above) — then values
+              // are source-independent and dedup by rid is exact
+              val base = joined.filter(col("__gt_m").isNotNull).dropDuplicates("__gt_rid")
+              val keep = when(matchedC, chainKeep(merge.matchedActions, lit(true)))
+                .otherwise(chainKeep(merge.notMatchedBySourceActions, lit(true)))
+              val projected = fields.zipWithIndex.map { case (f, i) =>
+                val orig = col(s"__gt_$i")
+                when(matchedC, chainVal(merge.matchedActions, i, orig))
+                  .otherwise(chainVal(merge.notMatchedBySourceActions, i, orig))
+                  .cast(f.dataType).as(f.name)
+              }
+              Some(base.select((projected :+ keep.as("__keep")).toIndexedSeq: _*)
+                .filter(col("__keep")).drop("__keep"))
+            }
+
+          val inserts =
+            if (merge.notMatchedActions.isEmpty) None
+            else {
+              val srcOnly = joined.filter(col("__gt_m").isNull)
+              val keep = chainKeep2Insert(merge.notMatchedActions, actCond)
+              val projected = fields.zipWithIndex.map { case (f, i) =>
+                merge.notMatchedActions.foldRight(lit(null).cast(f.dataType): Column)(
+                  (a, els) => when(actCond(a), assignedVal(a, i, lit(null).cast(f.dataType)))
+                    .otherwise(els)).as(f.name)
+              }
+              val ins = srcOnly.select((projected :+ keep.as("__keep")).toIndexedSeq: _*)
+                .filter(col("__keep")).drop("__keep")
+              if (ins.isEmpty) None else Some(ins)
+            }
+          (survivors, inserts)
+        })
+      ()
+    } finally {
+      joinedCache.foreach(_.unpersist())
+    }
+  }
+
+  /** Insert keep-chain: true when the FIRST matching action fires (a
+    * source row whose every action condition is false inserts nothing).
+    */
+  private def chainKeep2Insert(actions: Seq[MergeAction],
+      actCond: MergeAction => Column): Column =
+    actions.foldRight(lit(false): Column)((a, els) =>
+      when(actCond(a), lit(true)).otherwise(els))
+}

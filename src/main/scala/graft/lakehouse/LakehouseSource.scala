@@ -304,7 +304,8 @@ private[lakehouse] object LakehouseSource {
 }
 
 private[lakehouse] final class LakehouseV2Table(
-    tableSchema: StructType, options: Map[String, String]) extends Table
+    tableSchema: StructType,
+    private[lakehouse] val options: Map[String, String]) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.TruncatableTable {

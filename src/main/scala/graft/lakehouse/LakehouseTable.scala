@@ -412,7 +412,7 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     * for stage 2. All-null key tuples match nothing under SQL equality,
     * so an all-null (or empty) batch touches no files by definition.
     */
-  private def touchedFilesFor(cur: Snapshot, keyRows: DataFrame,
+  private[lakehouse] def touchedFilesFor(cur: Snapshot, keyRows: DataFrame,
       keys: Seq[String]): Seq[String] = {
     val aggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
     val r = keyRows.agg(aggs.head, aggs.tail: _*).head()
@@ -593,6 +593,46 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     val rewritten = writeDataFiles(survivors, id, suffix = "del", partitionCols = partCols)
     writeSnapshot(Snapshot(id, Some(cur.snapshotId), System.currentTimeMillis(),
       "delete", cur.files.diff(candidates) ++ rewritten, cur.schemaJson))
+  }
+
+  /** Copy-on-write commit primitive for the SQL row-mutating verbs
+    * (UPDATE / MERGE / full-predicate DELETE — [[LakehouseDml]]):
+    * under the write lock, `candidatesOf(head)` names the files that
+    * may hold affected rows (anything else carries BY REFERENCE), and
+    * `compute(head, candidates, candidateScan)` returns
+    * `(survivors, inserts)` — `survivors = Some(df)` rewrites the
+    * candidate set to exactly those rows, `None` leaves every file in
+    * place (an insert-only merge never rewrites); `inserts` appends
+    * new files. `(None, None)` commits nothing and returns None.
+    * Mutations always run against the HEAD snapshot (never a read
+    * pin), the same discipline as [[deleteWhere]]; the table's hive
+    * layout is preserved on both rewrite and insert.
+    */
+  private[lakehouse] def sqlMutate(op: String,
+      candidatesOf: Snapshot => Seq[String],
+      compute: (Snapshot, Seq[String], DataFrame) => (Option[DataFrame], Option[DataFrame]))
+      : Option[Snapshot] = writeLock.synchronized {
+    val cur = currentSnapshot().getOrElse(
+      throw new IllegalStateException(s"table $root has no snapshots"))
+    val curSet = cur.files.toSet
+    val candidates = candidatesOf(cur).filter(curSet)
+    val (survivors, inserts) = compute(cur, candidates, scanFiles(cur, candidates))
+    if (survivors.isEmpty && inserts.isEmpty) return None
+    val id = nextId()
+    val partCols = inferPartitionCols(cur.files)
+    // writers emit a zero-row part file for empty task partitions of a
+    // tiny frame — keep those out of the manifest (the footers are in
+    // the write-time stats cache, so this costs no extra I/O; the files
+    // themselves fall to snapshot expiry like any unreferenced file)
+    def nonEmpty(files: Seq[String]): Seq[String] =
+      files.filter(f => footerFileStats(f).forall(_.rows > 0))
+    val rewritten = survivors.map(df =>
+      nonEmpty(writeDataFiles(df, id, suffix = "rw", partitionCols = partCols))).getOrElse(Nil)
+    val added = inserts.map(df =>
+      nonEmpty(writeDataFiles(df, id, partitionCols = partCols.filter(df.columns.contains)))).getOrElse(Nil)
+    val kept = if (survivors.isDefined) cur.files.diff(candidates) else cur.files
+    Some(writeSnapshot(Snapshot(id, Some(cur.snapshotId), System.currentTimeMillis(),
+      op, kept ++ rewritten ++ added, cur.schemaJson)))
   }
 
   /** Replace the whole table content with `df`. */

@@ -545,6 +545,36 @@ object CdcOpQueries {
       s.sql(s"DROP TABLE $cat.db.orders_t")
       rows.toDF("step", "cnt", "min_k", "max_k", "min_p", "max_p", "min_t", "max_t")
         .orderBy(col("step"))
+    }),
+    // ---- SQL row-mutating verbs (round 9): UPDATE with expression
+    //      assignments, MERGE INTO exercising every clause kind
+    //      (conditional matched DELETE, matched UPDATE fallthrough,
+    //      NOT MATCHED INSERT), and a DELETE whose predicate (LIKE)
+    //      is beyond the pushable filter grammar — each a copy-on-write
+    //      snapshot through the catalog; the oracle re-derives the
+    //      final table state relationally (CASE + outer joins). ----
+    "q127_sql_dml" -> ((s, dir) => {
+      import s.implicits._
+      val cat = ensureQueryCatalog(s)
+      graft.Tables.load(s, dir, "nation").createOrReplaceTempView("q127_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.dml_t")
+      s.sql(s"CREATE TABLE $cat.db.dml_t (k INT, nm STRING, rk INT)")
+      s.sql(s"INSERT INTO $cat.db.dml_t SELECT n_nationkey, n_name, n_regionkey FROM q127_src")
+      s.sql(s"UPDATE $cat.db.dml_t SET nm = concat(nm, '!') WHERE rk = 0")
+      s.sql(
+        s"""MERGE INTO $cat.db.dml_t t
+            USING (SELECT n_nationkey + 10 AS k, lower(n_name) AS unm
+                   FROM q127_src WHERE n_nationkey < 20) s
+            ON t.k = s.k
+            WHEN MATCHED AND t.rk = 2 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET nm = s.unm
+            WHEN NOT MATCHED THEN INSERT (k, nm, rk) VALUES (s.k, s.unm, -1)""")
+      s.sql(s"DELETE FROM $cat.db.dml_t WHERE nm LIKE '%a%' AND k < 100")
+      val out = s.sql(s"SELECT k, nm, rk FROM $cat.db.dml_t ORDER BY k").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+      s.sql(s"DROP TABLE $cat.db.dml_t")
+      out.toDF("k", "nm", "rk").orderBy(col("k"))
     })
   )
 
@@ -701,6 +731,23 @@ object CdcOpQueries {
                min(pri) AS min_p, max(pri) AS max_p,
                min(total) AS min_t, max(total) AS max_t
         FROM src)
-      SELECT * FROM one UNION ALL SELECT * FROM two ORDER BY step"""
+      SELECT * FROM one UNION ALL SELECT * FROM two ORDER BY step""",
+    // q127: the DML lifecycle re-derived relationally — UPDATE as CASE,
+    // MERGE as left join (matched rk=2 rows drop, other matches take
+    // the source value) plus an anti-join insert branch, DELETE as a
+    // negated filter with SQL's null-safe semantics.
+    "q127_sql_dml" -> """
+      WITH t0 AS (SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS rk FROM nation),
+      t1 AS (SELECT k, CASE WHEN rk = 0 THEN nm || '!' ELSE nm END AS nm, rk FROM t0),
+      s AS (SELECT n_nationkey + 10 AS k, lower(n_name) AS unm
+            FROM nation WHERE n_nationkey < 20),
+      m AS (
+        SELECT t1.k, CASE WHEN s.k IS NOT NULL THEN s.unm ELSE t1.nm END AS nm, t1.rk
+        FROM t1 LEFT JOIN s ON t1.k = s.k
+        WHERE s.k IS NULL OR t1.rk <> 2
+        UNION ALL
+        SELECT s.k, s.unm, -1 AS rk FROM s LEFT JOIN t1 ON t1.k = s.k WHERE t1.k IS NULL),
+      f AS (SELECT * FROM m WHERE NOT (nm LIKE '%a%' AND k < 100))
+      SELECT k, nm, rk FROM f ORDER BY k"""
   )
 }

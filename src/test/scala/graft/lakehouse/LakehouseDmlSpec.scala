@@ -1,0 +1,236 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** SQL UPDATE / MERGE INTO / full-predicate DELETE over lakehouse
+  * tables: ANSI semantics, one snapshot per statement, copy-on-write
+  * scoped to the files the statement can actually touch.
+  */
+class LakehouseDmlSpec extends SparkSpec {
+
+  private lazy val warehouse = tmpDir("graft-dml-wh")
+
+  private def ensureCatalog(): Unit = {
+    spark.conf.set("spark.sql.catalog.dmlcat", classOf[LakehouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dmlcat.warehouse", warehouse)
+  }
+
+  private def root(name: String): String =
+    java.nio.file.Paths.get(warehouse, "db", name).toString
+
+  private def freshTable(name: String, ddlCols: String): LakehouseTable = {
+    ensureCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dmlcat.db")
+    spark.sql(s"DROP TABLE IF EXISTS dmlcat.db.$name")
+    spark.sql(s"CREATE TABLE dmlcat.db.$name ($ddlCols)")
+    new LakehouseTable(spark, root(name))
+  }
+
+  test("the two reflection hops the DML module rides stay healthy") {
+    assert(LakehouseDml.reflectionHealthy())
+  }
+
+  test("UPDATE: assignments + WHERE, expression values, analyzer casts") {
+    val t = freshTable("u1", "id BIGINT, v STRING, n BIGINT")
+    spark.sql("INSERT INTO dmlcat.db.u1 VALUES (1,'a',10), (2,'b',20), (3,'c',30)")
+    spark.sql("UPDATE dmlcat.db.u1 SET v = concat(v, '!'), n = n + 1 WHERE id >= 2")
+    val got = spark.sql("SELECT id, v, n FROM dmlcat.db.u1 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, "a", 10L), (2L, "b!", 21L), (3L, "c!", 31L)))
+    assert(t.currentSnapshot().get.operation === "update")
+    // analyzer-inserted cast: int literal into BIGINT column
+    spark.sql("UPDATE dmlcat.db.u1 SET n = 5")
+    assert(spark.sql("SELECT sum(n) FROM dmlcat.db.u1").head.getLong(0) === 15L)
+  }
+
+  test("UPDATE is file-pruned: non-overlapping files carry by reference; no-match commits nothing") {
+    val t = freshTable("u2", "id BIGINT, v STRING")
+    spark.sql("INSERT INTO dmlcat.db.u2 SELECT id, concat('v', id) FROM range(0, 100)")
+    spark.sql("INSERT INTO dmlcat.db.u2 SELECT id, concat('v', id) FROM range(1000, 1100)")
+    val before = t.currentSnapshot().get.files
+    spark.sql("UPDATE dmlcat.db.u2 SET v = 'hit' WHERE id >= 1050")
+    val after = t.currentSnapshot().get
+    val carried = before.filter(after.files.contains)
+    assert(carried.nonEmpty && carried.size < before.size,
+      s"only the id>=1050 file may rewrite (carried ${carried.size}/${before.size})")
+    assert(spark.sql("SELECT count(*) FROM dmlcat.db.u2 WHERE v = 'hit'")
+      .head.getLong(0) === 50L)
+    assert(spark.sql("SELECT count(*) FROM dmlcat.db.u2").head.getLong(0) === 200L)
+    // a WHERE pruned to zero candidate files must not commit a snapshot
+    val snaps = t.listSnapshots().size
+    spark.sql("UPDATE dmlcat.db.u2 SET v = 'x' WHERE id = 999999")
+    assert(t.listSnapshots().size === snaps)
+  }
+
+  test("UPDATE: condition-null rows keep their values; subqueries are refused loudly") {
+    freshTable("u3", "id BIGINT, v STRING")
+    spark.sql("INSERT INTO dmlcat.db.u3 VALUES (1,'a'), (2,NULL), (3,'c')")
+    spark.sql("UPDATE dmlcat.db.u3 SET id = id + 100 WHERE v <> 'a'")
+    // v=NULL makes the predicate NULL, not true: row 2 must NOT update
+    assert(spark.sql("SELECT id FROM dmlcat.db.u3 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 103L))
+    val e = intercept[Exception](spark.sql(
+      "UPDATE dmlcat.db.u3 SET v = 'x' WHERE id IN (SELECT id FROM dmlcat.db.u3)"))
+    assert(e.getMessage.contains("subquer"), e.getMessage)
+  }
+
+  test("DELETE with a predicate beyond the filter grammar (LIKE) runs copy-on-write and stays pruned") {
+    val t = freshTable("d1", "id BIGINT, v STRING")
+    spark.sql("INSERT INTO dmlcat.db.d1 SELECT id, concat('tag', id % 10) FROM range(0, 100)")
+    spark.sql("INSERT INTO dmlcat.db.d1 SELECT id, concat('tag', id % 10) FROM range(1000, 1100)")
+    val snapBefore = t.currentSnapshot().get
+    val before = snapBefore.files
+    val overlap = t.pruneFiles(snapBefore,
+      Seq(ScanPredicate.Range("id", Some(1000L), None)))._1.toSet
+    assert(overlap.nonEmpty && overlap.size < before.size,
+      s"fixture must leave non-overlapping files (got ${overlap.size}/${before.size})")
+    // v LIKE is untranslatable (copy-on-write path); id >= 1000 prunes
+    spark.sql("DELETE FROM dmlcat.db.d1 WHERE id >= 1000 AND v LIKE '%tag3%'")
+    val after = t.currentSnapshot().get
+    assert(after.operation === "delete")
+    assert(before.count(after.files.contains) === before.size - overlap.size,
+      "the translatable conjunct must keep the low-range files untouched")
+    assert(spark.sql("SELECT count(*) FROM dmlcat.db.d1").head.getLong(0) === 190L)
+    assert(spark.sql(
+      "SELECT count(*) FROM dmlcat.db.d1 WHERE id >= 1000 AND v = 'tag3'")
+      .head.getLong(0) === 0L)
+  }
+
+  test("MERGE: matched UPDATE + NOT MATCHED INSERT, key-pruned to touched files") {
+    val t = freshTable("m1", "id BIGINT, v STRING, n BIGINT")
+    spark.sql("INSERT INTO dmlcat.db.m1 SELECT id, concat('v', id), id * 10 FROM range(0, 100)")
+    spark.sql("INSERT INTO dmlcat.db.m1 SELECT id, concat('v', id), id * 10 FROM range(1000, 1100)")
+    val before = t.currentSnapshot().get.files
+    spark.sql(
+      """MERGE INTO dmlcat.db.m1 t
+         USING (SELECT CAST(id AS BIGINT) AS id, concat('NEW', id) AS v FROM range(1050, 1060)
+                UNION ALL SELECT CAST(5000 AS BIGINT), 'fresh') s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET v = s.v
+         WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.v, -1)""")
+    val after = t.currentSnapshot().get
+    assert(after.operation === "merge")
+    // the low-range file holds no source key: it must carry by reference
+    assert(before.count(after.files.contains) === before.size - 1,
+      s"only the 1000-range file may rewrite")
+    assert(spark.sql("SELECT count(*) FROM dmlcat.db.m1").head.getLong(0) === 201L)
+    assert(spark.sql("SELECT v FROM dmlcat.db.m1 WHERE id = 1055").head.getString(0) === "NEW1055")
+    assert(spark.sql("SELECT v, n FROM dmlcat.db.m1 WHERE id = 5000").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("fresh", -1L)))
+    // untouched row of the rewritten file survives with original values
+    assert(spark.sql("SELECT v FROM dmlcat.db.m1 WHERE id = 1001").head.getString(0) === "v1001")
+  }
+
+  test("insert-only MERGE rewrites NOTHING: every original file carries by reference") {
+    val t = freshTable("m2", "id BIGINT, v STRING")
+    spark.sql("INSERT INTO dmlcat.db.m2 VALUES (1,'a'), (2,'b')")
+    val before = t.currentSnapshot().get.files
+    spark.sql(
+      """MERGE INTO dmlcat.db.m2 t
+         USING (SELECT CAST(2 AS BIGINT) AS id, 'dup' AS v
+                UNION ALL SELECT CAST(3 AS BIGINT), 'c') s
+         ON t.id = s.id
+         WHEN NOT MATCHED THEN INSERT *""")
+    val after = t.currentSnapshot().get
+    assert(before.forall(after.files.contains),
+      "an insert-only merge must not rewrite any existing file")
+    assert(after.files.size === before.size + 1)
+    val got = spark.sql("SELECT id, v FROM dmlcat.db.m2 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("MERGE: conditional matched DELETE before UPDATE (first-match-wins) and NOT MATCHED BY SOURCE") {
+    freshTable("m3", "id BIGINT, v STRING, n BIGINT")
+    spark.sql("INSERT INTO dmlcat.db.m3 VALUES (1,'a',10), (2,'b',20), (3,'c',30), (4,'d',40)")
+    spark.sql(
+      """MERGE INTO dmlcat.db.m3 t
+         USING (SELECT CAST(1 AS BIGINT) AS id, true AS del
+                UNION ALL SELECT CAST(2 AS BIGINT), false) s
+         ON t.id = s.id
+         WHEN MATCHED AND s.del THEN DELETE
+         WHEN MATCHED THEN UPDATE SET v = 'kept'
+         WHEN NOT MATCHED BY SOURCE AND t.n >= 40 THEN DELETE
+         WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n = t.n * 2""")
+    val got = spark.sql("SELECT id, v, n FROM dmlcat.db.m3 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // 1 deleted (matched+del), 2 updated, 3 nmbs-doubled, 4 nmbs-deleted
+    assert(got === Seq((2L, "kept", 20L), (3L, "c", 60L)))
+  }
+
+  test("MERGE cardinality rule: >1 source match with matched actions fails loudly") {
+    freshTable("m4", "id BIGINT, v STRING")
+    spark.sql("INSERT INTO dmlcat.db.m4 VALUES (1,'a')")
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO dmlcat.db.m4 t
+         USING (SELECT CAST(1 AS BIGINT) AS id, 'x' AS v
+                UNION ALL SELECT CAST(1 AS BIGINT), 'y') s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET v = s.v"""))
+    assert(e.getMessage.contains("cardinality"), e.getMessage)
+    // without matched actions duplicates are legal: both rows just insert-skip
+    spark.sql(
+      """MERGE INTO dmlcat.db.m4 t
+         USING (SELECT CAST(1 AS BIGINT) AS id, 'x' AS v
+                UNION ALL SELECT CAST(1 AS BIGINT), 'y') s
+         ON t.id = s.id
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT count(*) FROM dmlcat.db.m4").head.getLong(0) === 1L,
+      "a matched source row must not insert, and the target row must not duplicate")
+  }
+
+  test("MERGE preserves the hive partition layout on rewrite and insert") {
+    ensureCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dmlcat.db")
+    spark.sql("DROP TABLE IF EXISTS dmlcat.db.m5")
+    spark.sql("CREATE TABLE dmlcat.db.m5 (id BIGINT, bucket STRING) PARTITIONED BY (bucket)")
+    spark.sql("INSERT INTO dmlcat.db.m5 SELECT id, CASE WHEN id < 50 THEN 'lo' ELSE 'hi' END FROM range(0, 100)")
+    spark.sql(
+      """MERGE INTO dmlcat.db.m5 t
+         USING (SELECT CAST(10 AS BIGINT) AS id, 'lo' AS bucket
+                UNION ALL SELECT CAST(200 AS BIGINT), 'hi') s
+         ON t.id = s.id AND t.bucket = s.bucket
+         WHEN MATCHED THEN UPDATE SET id = t.id + 10000
+         WHEN NOT MATCHED THEN INSERT *""")
+    val t = new LakehouseTable(spark, root("m5"))
+    assert(t.currentSnapshot().get.files.forall(_.contains("bucket=")),
+      "merge output must stay hive-partitioned")
+    assert(spark.sql("SELECT count(*) FROM dmlcat.db.m5 WHERE id = 10010").head.getLong(0) === 1L)
+    assert(spark.sql("SELECT bucket FROM dmlcat.db.m5 WHERE id = 200").head.getString(0) === "hi")
+    assert(spark.sql("SELECT count(*) FROM dmlcat.db.m5").head.getLong(0) === 101L)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION is refused loudly") {
+    freshTable("m6", "id BIGINT, v STRING")
+    spark.sql("INSERT INTO dmlcat.db.m6 VALUES (1,'a')")
+    val e = intercept[Exception](spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO dmlcat.db.m6 t
+         USING (SELECT CAST(1 AS BIGINT) AS id, 'x' AS v, 7 AS extra) s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *"""))
+    assert(e.getMessage.contains("SCHEMA EVOLUTION"), e.getMessage)
+  }
+
+  test("empty-source MERGE with no matches commits nothing") {
+    val t = freshTable("m7", "id BIGINT, v STRING")
+    spark.sql("INSERT INTO dmlcat.db.m7 VALUES (1,'a')")
+    val snaps = t.listSnapshots().size
+    spark.sql(
+      """MERGE INTO dmlcat.db.m7 t
+         USING (SELECT CAST(99 AS BIGINT) AS sid, 'x' AS v FROM range(0)) s
+         ON t.id = s.sid
+         WHEN MATCHED THEN UPDATE SET v = s.v
+         WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.sid, s.v)""")
+    assert(t.listSnapshots().size === snaps,
+      "an empty source with matched+insert actions must not commit")
+    // key-disjoint source with only a matched action: candidates prune to
+    // zero files, nothing to rewrite, nothing to insert -> no commit
+    spark.sql(
+      """MERGE INTO dmlcat.db.m7 t
+         USING (SELECT CAST(500 AS BIGINT) AS id, 'x' AS v) s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET v = s.v""")
+    assert(t.listSnapshots().size === snaps)
+  }
+}
