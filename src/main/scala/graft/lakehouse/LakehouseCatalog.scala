@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NamespaceAlreadyExistsException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Named-catalog face of the lakehouse — the piece that makes the
@@ -43,7 +43,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * surface (`sinks/iceberg.py:68-101` resolves tables by name, not
   * path).
   */
-final class LakehouseCatalog extends TableCatalog with SupportsNamespaces {
+final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -93,8 +94,17 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean = isTableDir(rootFor(ident))
 
   override def loadTable(ident: Identifier): Table =
-    loadPinned(ident, _.currentSnapshot().getOrElse(
-      throw new NoSuchTableException(ident)))
+    LakehouseMeta.metaSuffixOf(ident.name) match {
+      // metadata tables: SELECT * FROM cat.db.`t$snapshots` / `t$files`
+      // / `t$txns` ($history = $snapshots) — driver-side manifest reads
+      case Some((base, kind)) =>
+        val root = rootFor(Identifier.of(ident.namespace, base))
+        if (!isTableDir(root)) throw new NoSuchTableException(ident)
+        LakehouseMeta.table(spark, root.toString, kind)
+      case None =>
+        loadPinned(ident, _.currentSnapshot().getOrElse(
+          throw new NoSuchTableException(ident)))
+    }
 
   /** SQL time travel: `SELECT * FROM graft.db.t VERSION AS OF 3`. */
   override def loadTable(ident: Identifier, version: String): Table =
@@ -150,9 +160,24 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolves widen-only through writes")
+  /** `ALTER TABLE t ADD COLUMNS (...)`: the widen-only evolution
+    * contract as DDL — a schema-only snapshot; existing rows read the
+    * new columns as NULL. Everything else (drop/rename/retype) stays
+    * unsupported by design.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootFor(ident)
+    if (!isTableDir(root)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
+        require(a.isNullable, s"added column '${a.fieldNames.head}' must be nullable")
+        StructField(a.fieldNames.head, a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog supports ALTER TABLE ADD COLUMNS (top-level, nullable) only, got $other")
+    }
+    new LakehouseTable(spark, root.toString).addColumns(adds)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootFor(ident)
@@ -168,6 +193,31 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces {
     Files.createDirectories(to.getParent)
     Files.move(from, to)
   }
+
+  // ---------------- procedures (CALL cat.system.*) ----------------
+
+  /** A procedure's `table` argument is 'db.t' (or 'ns1.ns2.t') under
+    * THIS catalog's warehouse.
+    */
+  private def resolveProcTable(arg: String): String = {
+    val parts = arg.split('.').map(_.trim).filter(_.nonEmpty)
+    require(parts.nonEmpty, s"procedure table argument '$arg' is empty")
+    val ident = Identifier.of(parts.init, parts.last)
+    val root = rootFor(ident)
+    require(isTableDir(root), s"no lakehouse table at '$arg' in catalog $catalogName")
+    root.toString
+  }
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live in the 'system' namespace: CALL $catalogName.system.${ident.name}(...)")
+    LakehouseMeta.procedure(ident.name, resolveProcTable)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      LakehouseMeta.procedureNames.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   // ---------------- namespaces (directories) ----------------
 

@@ -1,0 +1,215 @@
+package graft.lakehouse
+
+import java.util.{Iterator => JIterator}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Metadata tables + SQL maintenance procedures — the operational
+  * surface of the lakehouse from a pure SQL session (the
+  * Iceberg-metadata-table / `CALL catalog.system.*` shape):
+  *
+  * {{{
+  *   SELECT * FROM graft.db.`t$snapshots`   -- commit lineage (+ $history alias)
+  *   SELECT * FROM graft.db.`t$files`       -- current snapshot's files + stats
+  *   SELECT * FROM graft.db.`t$txns`        -- exactly-once ledger state
+  *
+  *   CALL graft.system.expire_snapshots(table => 'db.t', older_than => TIMESTAMP '...')
+  *   CALL graft.system.compact(table => 'db.t', file_threshold => 8)
+  *   CALL graft.system.zorder(table => 'db.t', columns => 'id,ts', target_files => 4)
+  *   CALL graft.system.build_bloom_index(table => 'db.t', column => 'id')
+  *   CALL graft.system.rollback(table => 'db.t', snapshot_id => 3)
+  * }}}
+  *
+  * Everything here is DRIVER-SIDE METADATA (manifest JSON + file sizes
+  * + the txn floor): a metadata query over a 100 TB table costs
+  * O(files) small reads, zero Spark jobs, zero data I/O. Procedures
+  * delegate to the [[LakehouseTable]] maintenance ops the CLI already
+  * drives (`maintenance.py:62-244` scope) and return their audit row
+  * through a [[LocalScan]].
+  */
+object LakehouseMeta {
+
+  /** `name$suffix` → (base table name, metadata kind). */
+  def metaSuffixOf(name: String): Option[(String, String)] = {
+    val i = name.lastIndexOf('$')
+    if (i <= 0) None
+    else {
+      val kind = name.substring(i + 1).toLowerCase(java.util.Locale.ROOT)
+      if (Set("snapshots", "history", "files", "txns")(kind))
+        Some((name.substring(0, i), kind))
+      else None
+    }
+  }
+
+  def table(spark: SparkSession, root: String, kind: String): Table = {
+    val t = new LakehouseTable(spark, root)
+    kind match {
+      case "snapshots" | "history" =>
+        val schema = StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("parent_id", LongType),
+          StructField("committed_at", TimestampType, nullable = false),
+          StructField("operation", StringType, nullable = false),
+          StructField("file_count", IntegerType, nullable = false),
+          StructField("row_count", LongType),
+          StructField("txn_app", StringType),
+          StructField("txn_version", LongType)))
+        val rows = t.listSnapshots().map { s =>
+          Row(s.snapshotId, s.parentId.map(Long.box).orNull,
+            new java.sql.Timestamp(s.timestampMs), s.operation,
+            s.files.size, t.manifestRowCount(s).map(Long.box).orNull,
+            s.txn.map(_.appId).orNull, s.txn.map(m => Long.box(m.version)).orNull)
+        }
+        new LakehouseMetaTable(s"$root$$$kind", schema, rows)
+      case "files" =>
+        val schema = StructType(Seq(
+          StructField("file", StringType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false),
+          StructField("row_count", LongType),
+          StructField("partition", StringType)))
+        val rows = t.currentSnapshot().toSeq.flatMap { s =>
+          s.files.map { f =>
+            val part = f.split('/').drop(1).dropRight(1).filter(_.contains('='))
+            Row(f,
+              java.nio.file.Files.size(java.nio.file.Paths.get(root).resolve(f)),
+              s.stats.flatMap(_.get(f)).map(st => Long.box(st.rows)).orNull,
+              if (part.isEmpty) null else part.mkString("/"))
+          }
+        }
+        new LakehouseMetaTable(s"$root$$files", schema, rows)
+      case "txns" =>
+        val schema = StructType(Seq(
+          StructField("app_id", StringType, nullable = false),
+          StructField("last_version", LongType, nullable = false)))
+        val rows = t.txnVersions().toSeq.sortBy(_._1)
+          .map { case (a, v) => Row(a, v) }
+        new LakehouseMetaTable(s"$root$$txns", schema, rows)
+      case other => throw new IllegalArgumentException(s"unknown metadata table $$$other")
+    }
+  }
+
+  // ---------------- procedures ----------------
+
+  private val string = StringType
+  private def inParam(n: String, dt: DataType) = ProcedureParameter.in(n, dt).build()
+  private def inParamDefault(n: String, dt: DataType, d: String) =
+    ProcedureParameter.in(n, dt).defaultValue(d).build()
+
+  val procedureNames: Seq[String] = Seq(
+    "expire_snapshots", "compact", "zorder", "build_bloom_index",
+    "prune_bloom_sidecars", "rollback")
+
+  /** One result row through a LocalScan (the CALL statement's output). */
+  private def result(schema: StructType, row: Row): JIterator[Scan] = {
+    val scan: Scan = new LocalScan {
+      private val conv = CatalystTypeConverters.createToCatalystConverter(schema)
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] =
+        Array(conv(row).asInstanceOf[InternalRow])
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+
+  /** Build the named maintenance procedure; `resolveRoot` maps the
+    * procedure's `table` argument ('db.t' under the owning catalog) to
+    * a filesystem root.
+    */
+  def procedure(name: String, resolveRoot: String => String): UnboundProcedure = {
+    val procName = name // the anon classes' name() would shadow the param
+    def spark = SparkSession.active
+    def tableOf(arg: String) = new LakehouseTable(spark, resolveRoot(arg))
+
+    def bound(params: Array[ProcedureParameter], out: StructType)(
+        run: InternalRow => Row): BoundProcedure = new BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft-lakehouse $procName"
+      override def parameters(): Array[ProcedureParameter] = params
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): JIterator[Scan] =
+        result(out, run(input))
+    }
+    def unbound(b: => BoundProcedure): UnboundProcedure = new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft-lakehouse $procName"
+      override def bind(inputType: StructType): BoundProcedure = b
+    }
+
+    name match {
+      case "expire_snapshots" => unbound(bound(
+        Array(inParam("table", string), inParam("older_than", TimestampType)),
+        StructType(Seq(StructField("expired_snapshots", IntegerType, nullable = false)))) { in =>
+        Row(tableOf(in.getUTF8String(0).toString)
+          .expireSnapshotsOlderThan(Math.floorDiv(in.getLong(1), 1000L)))
+      })
+      case "compact" => unbound(bound(
+        Array(inParam("table", string),
+          inParamDefault("file_threshold", IntegerType, "8"),
+          inParamDefault("max_rows", LongType, "1000000"),
+          inParamDefault("target_files", IntegerType, "1")),
+        StructType(Seq(StructField("snapshot_id", LongType)))) { in =>
+        Row(tableOf(in.getUTF8String(0).toString)
+          .compact(in.getInt(1), in.getLong(2), in.getInt(3))
+          .map(s => Long.box(s.snapshotId)).orNull)
+      })
+      case "zorder" => unbound(bound(
+        Array(inParam("table", string), inParam("columns", string),
+          inParamDefault("target_files", IntegerType, "1"),
+          inParamDefault("buckets", IntegerType, "256")),
+        StructType(Seq(StructField("snapshot_id", LongType)))) { in =>
+        Row(tableOf(in.getUTF8String(0).toString)
+          .compactZOrder(in.getUTF8String(1).toString.split(',').map(_.trim)
+            .filter(_.nonEmpty).toSeq, in.getInt(2), in.getInt(3))
+          .map(s => Long.box(s.snapshotId)).orNull)
+      })
+      case "build_bloom_index" => unbound(bound(
+        Array(inParam("table", string), inParam("column", string)),
+        StructType(Seq(StructField("files_indexed", IntegerType, nullable = false)))) { in =>
+        Row(tableOf(in.getUTF8String(0).toString)
+          .buildBloomIndex(in.getUTF8String(1).toString))
+      })
+      case "prune_bloom_sidecars" => unbound(bound(
+        Array(inParam("table", string)),
+        StructType(Seq(StructField("removed", IntegerType, nullable = false)))) { in =>
+        Row(tableOf(in.getUTF8String(0).toString).pruneBloomSidecars())
+      })
+      case "rollback" => unbound(bound(
+        Array(inParam("table", string), inParam("snapshot_id", LongType)),
+        StructType(Seq(StructField("new_snapshot_id", LongType, nullable = false)))) { in =>
+        Row(tableOf(in.getUTF8String(0).toString)
+          .rollbackToSnapshot(in.getLong(1)).snapshotId)
+      })
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure '$other' (have: ${procedureNames.mkString(", ")})")
+    }
+  }
+}
+
+/** Read-only driver-side metadata table: rows computed at resolution,
+  * served through [[LocalScan]] (no jobs, no files).
+  */
+private[lakehouse] final class LakehouseMetaTable(
+    tableName: String, tableSchema: StructType, tableRows: Seq[Row])
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        private val conv = CatalystTypeConverters.createToCatalystConverter(tableSchema)
+        override def readSchema(): StructType = tableSchema
+        override def rows(): Array[InternalRow] =
+          tableRows.map(r => conv(r).asInstanceOf[InternalRow]).toArray
+      }
+    }
+}

@@ -296,6 +296,18 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     (live.toSeq ++ readTxnFloor().get(appId).toSeq).maxOption
   }
 
+  /** Every app's latest recorded txn version — live manifest marks
+    * folded with the retention floor (the `$txns` metadata-table
+    * surface; O(snapshots) driver metadata).
+    */
+  def txnVersions(): Map[String, Long] = {
+    val live = listSnapshots().flatMap(_.txn)
+      .groupBy(_.appId).view.mapValues(_.map(_.version).max).toMap
+    val floor = readTxnFloor()
+    (live.keySet ++ floor.keySet).iterator
+      .map(a => a -> (live.get(a).toSeq ++ floor.get(a).toSeq).max).toMap
+  }
+
   /** Rename batch columns to the table's canonical spelling under the
     * session's resolution semantics, so a case-variant name ('ID' for
     * an existing 'id') lands in the data files under ONE spelling —
@@ -642,6 +654,29 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     writeSnapshot(Snapshot(id, currentSnapshot().map(_.snapshotId),
       System.currentTimeMillis(), "overwrite", files, df.schema.json))
   }
+
+  /** `ALTER TABLE ADD COLUMNS`: a schema-only snapshot (same file set,
+    * widened schema) — the widen-only evolution contract as DDL.
+    * Added columns must be nullable (existing files read them back as
+    * NULL via the snapshot-schema alignment in [[scanFiles]]); names
+    * must be fresh under case-insensitive resolution.
+    */
+  def addColumns(cols: Seq[org.apache.spark.sql.types.StructField]): Snapshot =
+    writeLock.synchronized {
+      require(cols.nonEmpty, "ADD COLUMNS requires at least one column")
+      val cur = currentSnapshot().getOrElse(
+        throw new IllegalStateException(s"table $root has no snapshots"))
+      val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+      cols.foreach { f =>
+        require(f.nullable, s"added column '${f.name}' must be nullable " +
+          "(existing rows have no value for it)")
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+          s"column '${f.name}' already exists")
+      }
+      writeSnapshot(Snapshot(nextId(), Some(cur.snapshotId),
+        System.currentTimeMillis(), "alter", cur.files,
+        StructType(schema.fields ++ cols).json, txn = None))
+    }
 
   /** Create the table EMPTY with a declared schema (the catalog
     * `CREATE TABLE` shape): a zero-file snapshot that pins the schema,
@@ -1474,11 +1509,23 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     * the empty frame off read() would leak the current snapshot's
     * (possibly widened) schema into a time-traveled scan.
     */
-  private[lakehouse] def scanFiles(snap: Snapshot, files: Seq[String]): DataFrame =
-    if (files.isEmpty) {
-      val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+  private[lakehouse] def scanFiles(snap: Snapshot, files: Seq[String]): DataFrame = {
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else readFiles(files)
+    else {
+      // align to the SNAPSHOT schema: a column added by ALTER (or a
+      // widening append) that no scanned file carries still reads back
+      // (as NULL), and column order is the declared order regardless of
+      // which file's footer won the merge
+      val df = readFiles(files)
+      val have = df.columns.map(nameKey).toSet
+      val aligned = schema.fields.foldLeft(df)((d, f) =>
+        if (have(nameKey(f.name))) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType)))
+      aligned.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+  }
 
   /** Snapshot by id with the standard invalid-id error. */
   private[lakehouse] def snapshotOrThrow(id: Long): Snapshot =

@@ -575,6 +575,38 @@ object CdcOpQueries {
         .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
       s.sql(s"DROP TABLE $cat.db.dml_t")
       out.toDF("k", "nm", "rk").orderBy(col("k"))
+    }),
+    // ---- SQL maintenance surface (round 9): metadata tables
+    //      (`t$snapshots` row counts straight from manifest stats — no
+    //      scan) + CALL procedures (compact, rollback) + ALTER TABLE
+    //      ADD COLUMNS, gated as one lifecycle whose per-snapshot row
+    //      counts and final content checksum the oracle re-derives. ----
+    "q128_sql_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      val cat = ensureQueryCatalog(s)
+      graft.Tables.load(s, dir, "orders").createOrReplaceTempView("q128_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.maint_t")
+      s.sql(s"CREATE TABLE $cat.db.maint_t (okey BIGINT)")
+      for (m <- 0 to 2)
+        s.sql(s"INSERT INTO $cat.db.maint_t SELECT o_orderkey FROM q128_src " +
+          s"WHERE o_orderkey < 3000 AND o_orderkey % 3 = $m")
+      s.sql(s"CALL $cat.system.compact(table => 'db.maint_t', file_threshold => 2, " +
+        "max_rows => 100000000, target_files => 1)")
+      val preCompact = s.sql(
+        s"SELECT parent_id FROM $cat.db.`maint_t$$snapshots` ORDER BY snapshot_id DESC LIMIT 1")
+        .head.getLong(0)
+      s.sql(s"CALL $cat.system.rollback(table => 'db.maint_t', snapshot_id => $preCompact)")
+      s.sql(s"ALTER TABLE $cat.db.maint_t ADD COLUMNS (flag STRING)")
+      val lineage = s.sql(
+        s"""SELECT snapshot_id AS seq, operation AS op, row_count AS rows
+            FROM $cat.db.`maint_t$$snapshots` ORDER BY snapshot_id""").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val checksum = s.sql(
+        s"SELECT sum(okey) FROM $cat.db.maint_t WHERE flag IS NULL").head.getLong(0)
+      s.sql(s"DROP TABLE $cat.db.maint_t")
+      (lineage :+ ((99L, "content", checksum))).toSeq
+        .toDF("seq", "op", "rows").orderBy(col("seq"))
     })
   )
 
@@ -748,6 +780,25 @@ object CdcOpQueries {
         UNION ALL
         SELECT s.k, s.unm, -1 AS rk FROM s LEFT JOIN t1 ON t1.k = s.k WHERE t1.k IS NULL),
       f AS (SELECT * FROM m WHERE NOT (nm LIKE '%a%' AND k < 100))
-      SELECT k, nm, rk FROM f ORDER BY k"""
+      SELECT k, nm, rk FROM f ORDER BY k""",
+    // q128: the maintenance lifecycle's snapshot lineage — per-snapshot
+    // CUMULATIVE row counts from the three modulo slices, the compact/
+    // rollback/alter rows all carrying the full count, and the content
+    // checksum over the slice (flag added by ALTER is NULL everywhere).
+    "q128_sql_maintenance" -> """
+      WITH slice AS (SELECT o_orderkey AS okey FROM orders WHERE o_orderkey < 3000),
+      n0 AS (SELECT CAST(count(*) AS BIGINT) c FROM slice WHERE okey % 3 = 0),
+      n1 AS (SELECT CAST(count(*) AS BIGINT) c FROM slice WHERE okey % 3 = 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) c FROM slice),
+      lineage AS (
+        SELECT CAST(1 AS BIGINT) AS seq, 'create' AS op, CAST(0 AS BIGINT) AS rows
+        UNION ALL SELECT 2, 'append', (SELECT c FROM n0)
+        UNION ALL SELECT 3, 'append', (SELECT c FROM n0) + (SELECT c FROM n1)
+        UNION ALL SELECT 4, 'append', (SELECT c FROM tot)
+        UNION ALL SELECT 5, 'compact', (SELECT c FROM tot)
+        UNION ALL SELECT 6, 'rollback', (SELECT c FROM tot)
+        UNION ALL SELECT 7, 'alter', (SELECT c FROM tot)
+        UNION ALL SELECT 99, 'content', (SELECT CAST(sum(okey) AS BIGINT) FROM slice))
+      SELECT seq, op, rows FROM lineage ORDER BY seq"""
   )
 }
