@@ -373,7 +373,10 @@ private[lakehouse] final case class MergeLakehouseExec(
           (a.name, l)
       }
 
-    val sdf0 = LakehouseDml.ofRows(spark, merge.sourceTable)
+    // cache the source: it feeds BOTH the candidate-file discovery and
+    // the merge join — two uncached evaluations of a nondeterministic
+    // source could disagree on the key set and silently miss files
+    val sdf0 = LakehouseDml.ofRows(spark, merge.sourceTable).cache()
     var joinedCache: Option[DataFrame] = None
     try {
       t.sqlMutate("merge",
@@ -471,6 +474,8 @@ private[lakehouse] final case class MergeLakehouseExec(
       ()
     } finally {
       joinedCache.foreach(_.unpersist())
+      sdf0.unpersist()
+      ()
     }
   }
 
