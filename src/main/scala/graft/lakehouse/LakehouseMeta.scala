@@ -71,17 +71,19 @@ object LakehouseMeta {
       case "files" =>
         val schema = StructType(Seq(
           StructField("file", StringType, nullable = false),
+          StructField("type", StringType, nullable = false), // data | tombstone
           StructField("size_bytes", LongType, nullable = false),
           StructField("row_count", LongType),
           StructField("partition", StringType)))
         val rows = t.currentSnapshot().toSeq.flatMap { s =>
-          s.files.map { f =>
+          def rowOf(f: String, kind: String) = {
             val part = f.split('/').drop(1).dropRight(1).filter(_.contains('='))
-            Row(f,
+            Row(f, kind,
               java.nio.file.Files.size(java.nio.file.Paths.get(root).resolve(f)),
               s.stats.flatMap(_.get(f)).map(st => Long.box(st.rows)).orNull,
               if (part.isEmpty) null else part.mkString("/"))
           }
+          s.files.map(rowOf(_, "data")) ++ s.tombstones.map(rowOf(_, "tombstone"))
         }
         new LakehouseMetaTable(s"$root$$files", schema, rows)
       case "txns" =>

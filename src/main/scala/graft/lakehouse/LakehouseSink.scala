@@ -38,7 +38,8 @@ import org.apache.spark.sql.types.StructType
   */
 final class LakehouseSink(
     sqlContext: SQLContext, root: String, keys: Seq[String],
-    appId: String, partitionCols: Seq[String]) extends Sink {
+    appId: String, partitionCols: Seq[String],
+    mergeOnRead: Boolean = false) extends Sink {
 
   private lazy val table = new LakehouseTable(sqlContext.sparkSession, root)
 
@@ -59,7 +60,14 @@ final class LakehouseSink(
     // must restore the checkpoint or write under a fresh txnAppId).
     val applied =
       if (keys.nonEmpty && fresh.columns.contains("_change"))
-        table.applyChanges(fresh, keys, txn = Some((appId, batchId)))
+        table.applyChanges(fresh, keys, txn = Some((appId, batchId)),
+          mergeOnRead = mergeOnRead)
+      else if (keys.nonEmpty && mergeOnRead)
+        // an upsert is an all-inserts change batch: MoR lands it as a
+        // pure append (tombstone + data), zero existing-file work
+        table.applyChanges(
+          fresh.withColumn("_change", org.apache.spark.sql.functions.lit("insert")),
+          keys, txn = Some((appId, batchId)), mergeOnRead = true)
       else if (keys.nonEmpty)
         table.upsertIdempotent(fresh, keys, appId, batchId)
       else

@@ -71,7 +71,9 @@ final class LakehouseSourceProvider extends TableProvider with DataSourceRegiste
       case (k, v) if k.equalsIgnoreCase("txnAppId") => v
     }.getOrElse("graft-lakehouse-sink:" +
       java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString)
-    new LakehouseSink(sqlContext, root, keys, appId, partitionColumns)
+    val mor = parameters.exists { case (k, v) =>
+      k.equalsIgnoreCase("mergeOnRead") && v.trim.equalsIgnoreCase("true") }
+    new LakehouseSink(sqlContext, root, keys, appId, partitionColumns, mor)
   }
 
   /** `df.write.format("graft-lakehouse").mode(...).save(root)` — the
@@ -95,13 +97,16 @@ final class LakehouseSourceProvider extends TableProvider with DataSourceRegiste
     val partCols = parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("partitionBy") => v
     }.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val mor = parameters.exists { case (k, v) =>
+      k.equalsIgnoreCase("mergeOnRead") && v.trim.equalsIgnoreCase("true") }
     mode match {
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(s"lakehouse table $root already exists")
       case SaveMode.Ignore if exists => ()
       case SaveMode.Overwrite => t.overwrite(data)
       case _ => // Append, or first write under ErrorIfExists/default
-        if (keys.nonEmpty) t.upsert(data, keys) else t.append(data, partCols)
+        if (keys.nonEmpty) t.upsert(data, keys, mergeOnRead = mor)
+        else t.append(data, partCols)
     }
     val ctx = sqlContext
     // pin the relation to the snapshot THIS write produced (or found,
@@ -395,8 +400,10 @@ private[lakehouse] final class LakehouseV2Table(
                 val t = new LakehouseTable(data.sparkSession,
                   LakehouseSource.rootOf(options))
                 val keys = LakehouseSource.colListOf(writeOpts, "keys")
+                val mor = writeOpts.exists { case (k, v) =>
+                  k.equalsIgnoreCase("mergeOnRead") && v.trim.equalsIgnoreCase("true") }
                 if (doTruncate || overwrite) { t.overwrite(data); () }
-                else if (keys.nonEmpty) { t.upsert(data, keys); () }
+                else if (keys.nonEmpty) { t.upsert(data, keys, mergeOnRead = mor); () }
                 else {
                   t.append(data, LakehouseSource.colListOf(writeOpts, "partitionBy"))
                   ()

@@ -53,7 +53,18 @@ final case class Snapshot(
     files: Seq[String], // data-file paths relative to the table root
     schemaJson: String,
     stats: Option[Map[String, FileStats]] = None,
-    txn: Option[TxnMark] = None)
+    txn: Option[TxnMark] = None,
+    // merge-on-read key tombstones (Iceberg-v2 equality-delete shape):
+    // parquet files of KEY COLUMNS, each masking matching rows in data
+    // files whose origin snapshot is OLDER than the tombstone's — so a
+    // CDC apply is a pure append (data + tombstone, zero rewrites) and
+    // reads pay one anti-join until compaction folds them. Option so
+    // pre-MoR manifests parse as None (the validated json4s
+    // compatibility shape).
+    deletes: Option[Seq[String]] = None) {
+  /** The tombstone file list (empty = plain copy-on-write snapshot). */
+  def tombstones: Seq[String] = deletes.getOrElse(Nil)
+}
 
 /** Pushed-down scan predicate for the skipping read path
   * ([[LakehouseTable.read(preds*)]]): equality probes consult bloom
@@ -218,10 +229,12 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     val df = canonicalizedNames(df0)
     val id = nextId()
     val newFiles = writeDataFiles(df, id, partitionCols = partitionBy)
-    val parentFiles = currentSnapshot().map(_.files).getOrElse(Nil)
-    writeSnapshot(Snapshot(id, currentSnapshot().map(_.snapshotId),
-      System.currentTimeMillis(), "append", parentFiles ++ newFiles,
-      evolvedSchemaJson(df), txn = mark))
+    val parent = currentSnapshot()
+    writeSnapshot(Snapshot(id, parent.map(_.snapshotId),
+      System.currentTimeMillis(), "append",
+      parent.map(_.files).getOrElse(Nil) ++ newFiles,
+      evolvedSchemaJson(df), txn = mark,
+      deletes = parent.flatMap(_.deletes)))
   }
 
   /** Txn-ledger FLOOR: marks folded out of expired manifests so
@@ -379,9 +392,19 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     * with equal key tuples. Only files that actually contain matching
     * keys are rewritten; untouched files carry over by reference.
     */
-  def upsert(df0: DataFrame, keys: Seq[String]): Snapshot = writeLock.synchronized {
-    upsertWith(df0, keys, mark = None)
-  }
+  def upsert(df0: DataFrame, keys: Seq[String]): Snapshot =
+    upsert(df0, keys, mergeOnRead = false)
+
+  /** Keyed upsert; `mergeOnRead = true` lands it as a pure append
+    * (batch keys as a tombstone masking older versions + the batch as
+    * new files — an upsert IS an all-inserts change batch), zero
+    * existing-file reads or rewrites. See [[applyChanges]].
+    */
+  def upsert(df0: DataFrame, keys: Seq[String], mergeOnRead: Boolean): Snapshot =
+    if (mergeOnRead)
+      applyChanges(df0.withColumn("_change", lit("insert")), keys,
+        txn = None, mergeOnRead = true).get
+    else writeLock.synchronized { upsertWith(df0, keys, mark = None) }
 
   /** Upsert guarded by the transaction ledger — None means `version`
     * was already applied for `appId` and nothing was written. See
@@ -475,7 +498,9 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
       val rewritten: Seq[String] =
         if (touchedRel.isEmpty) Nil
         else {
-          val survivors = readFiles(touchedRel)
+          // effective (tombstone-masked) read: a raw read would copy
+          // MoR-deleted rows into a fresh-origin file and resurrect them
+          val survivors = scanFiles(cur.get, touchedRel)
             .join(incomingKeys, keys, "left_anti")
           writeDataFiles(survivors, id, suffix = "rw", partitionCols = partCols)
         }
@@ -483,7 +508,8 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
         partitionCols = partCols.filter(incoming.columns.contains))
       val untouched = existingFiles.diff(touchedRel)
       writeSnapshot(Snapshot(id, Some(cur.get.snapshotId), System.currentTimeMillis(),
-        "upsert", untouched ++ rewritten ++ added, evolvedSchemaJson(df), txn = mark))
+        "upsert", untouched ++ rewritten ++ added, evolvedSchemaJson(df), txn = mark,
+        deletes = cur.get.deletes))
     } finally incoming.unpersist()
   }
 
@@ -505,7 +531,8 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     * — otherwise a crash after an empty batch would replay it forever.
     */
   def applyChanges(ch0: DataFrame, keys: Seq[String],
-      txn: Option[(String, Long)] = None): Option[Snapshot] = writeLock.synchronized {
+      txn: Option[(String, Long)] = None,
+      mergeOnRead: Boolean = false): Option[Snapshot] = writeLock.synchronized {
     require(keys.nonEmpty, "applyChanges requires key columns")
     require(ch0.columns.contains("_change"),
       "applyChanges input must carry a _change column (insert|delete)")
@@ -545,26 +572,44 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
               // skipping power across CDC applies
               val partCols = inferPartitionCols(c.files)
               val touchedKeys = ch.select(keys.map(col): _*).distinct()
-              // two-stage touched-file discovery: manifest-stats prune
-              // first, exact semi-join over candidates only — a
-              // key-disjoint CDC batch reads zero existing files
-              val touchedRel = touchedFilesFor(c, touchedKeys, keys)
-              val rewritten: Seq[String] =
-                if (touchedRel.isEmpty) Nil
-                else writeDataFiles(
-                  readFiles(touchedRel).join(touchedKeys, keys, "left_anti"),
-                  id, suffix = "rw", partitionCols = partCols)
-              // an empty-insert batch (pure deletes, or a compaction-only
-              // feed advance) must still snapshot for its txn mark, but
-              // writing zero-row part files would pollute the file list
               val added =
                 if (inserts.isEmpty) Nil
                 else writeDataFiles(inserts, id,
                   partitionCols = partCols.filter(inserts.columns.contains))
-              Some(writeSnapshot(Snapshot(id, Some(c.snapshotId),
-                System.currentTimeMillis(), "apply",
-                c.files.diff(touchedRel) ++ rewritten ++ added,
-                evolvedSchemaJson(inserts), txn = mark)))
+              if (mergeOnRead) {
+                // MERGE-ON-READ: no existing file is read OR rewritten —
+                // the batch's key set lands as a tombstone that masks
+                // older versions (insert = replace, delete = remove),
+                // and this batch's own inserts (origin == this id) stay
+                // visible. Write amplification is the batch, nothing
+                // else; reads pay the anti-join until compaction folds.
+                val tomb =
+                  if (ch.isEmpty) Nil
+                  else dropEmptyDataFiles(
+                    writeDataFiles(touchedKeys, id, suffix = "tomb"))
+                Some(writeSnapshot(Snapshot(id, Some(c.snapshotId),
+                  System.currentTimeMillis(), "apply",
+                  c.files ++ added, evolvedSchemaJson(inserts), txn = mark,
+                  deletes = Some(c.tombstones ++ tomb).filter(_.nonEmpty))))
+              } else {
+                // two-stage touched-file discovery: manifest-stats prune
+                // first, exact semi-join over candidates only — a
+                // key-disjoint CDC batch reads zero existing files
+                val touchedRel = touchedFilesFor(c, touchedKeys, keys)
+                val rewritten: Seq[String] =
+                  if (touchedRel.isEmpty) Nil
+                  else writeDataFiles(
+                    // effective read — raw would resurrect MoR-deleted rows
+                    scanFiles(c, touchedRel).join(touchedKeys, keys, "left_anti"),
+                    id, suffix = "rw", partitionCols = partCols)
+                // an empty-insert batch (pure deletes, or a compaction-only
+                // feed advance) must still snapshot for its txn mark, but
+                // writing zero-row part files would pollute the file list
+                Some(writeSnapshot(Snapshot(id, Some(c.snapshotId),
+                  System.currentTimeMillis(), "apply",
+                  c.files.diff(touchedRel) ++ rewritten ++ added,
+                  evolvedSchemaJson(inserts), txn = mark, deletes = c.deletes)))
+              }
           }
         } finally ch.unpersist()
     }
@@ -601,10 +646,11 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     if (candidates.isEmpty) return cur
     val id = nextId()
     val partCols = inferPartitionCols(cur.files)
-    val survivors = readFiles(candidates).filter(coalesce(not(cond), lit(true)))
+    val survivors = scanFiles(cur, candidates).filter(coalesce(not(cond), lit(true)))
     val rewritten = writeDataFiles(survivors, id, suffix = "del", partitionCols = partCols)
     writeSnapshot(Snapshot(id, Some(cur.snapshotId), System.currentTimeMillis(),
-      "delete", cur.files.diff(candidates) ++ rewritten, cur.schemaJson))
+      "delete", cur.files.diff(candidates) ++ rewritten, cur.schemaJson,
+      deletes = cur.deletes))
   }
 
   /** Copy-on-write commit primitive for the SQL row-mutating verbs
@@ -632,20 +678,22 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     if (survivors.isEmpty && inserts.isEmpty) return None
     val id = nextId()
     val partCols = inferPartitionCols(cur.files)
-    // writers emit a zero-row part file for empty task partitions of a
-    // tiny frame — keep those out of the manifest (the footers are in
-    // the write-time stats cache, so this costs no extra I/O; the files
-    // themselves fall to snapshot expiry like any unreferenced file)
-    def nonEmpty(files: Seq[String]): Seq[String] =
-      files.filter(f => footerFileStats(f).forall(_.rows > 0))
     val rewritten = survivors.map(df =>
-      nonEmpty(writeDataFiles(df, id, suffix = "rw", partitionCols = partCols))).getOrElse(Nil)
+      dropEmptyDataFiles(writeDataFiles(df, id, suffix = "rw", partitionCols = partCols))).getOrElse(Nil)
     val added = inserts.map(df =>
-      nonEmpty(writeDataFiles(df, id, partitionCols = partCols.filter(df.columns.contains)))).getOrElse(Nil)
+      dropEmptyDataFiles(writeDataFiles(df, id, partitionCols = partCols.filter(df.columns.contains)))).getOrElse(Nil)
     val kept = if (survivors.isDefined) cur.files.diff(candidates) else cur.files
     Some(writeSnapshot(Snapshot(id, Some(cur.snapshotId), System.currentTimeMillis(),
-      op, kept ++ rewritten ++ added, cur.schemaJson)))
+      op, kept ++ rewritten ++ added, cur.schemaJson, deletes = cur.deletes)))
   }
+
+  /** Writers emit a zero-row part file for empty task partitions of a
+    * tiny frame — keep those out of the manifest (the footers are in
+    * the write-time stats cache, so this costs no extra I/O; the files
+    * themselves fall to snapshot expiry like any unreferenced file).
+    */
+  private def dropEmptyDataFiles(files: Seq[String]): Seq[String] =
+    files.filter(f => footerFileStats(f).forall(_.rows > 0))
 
   /** Replace the whole table content with `df`. */
   def overwrite(df: DataFrame): Snapshot = writeLock.synchronized {
@@ -675,7 +723,8 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
       }
       writeSnapshot(Snapshot(nextId(), Some(cur.snapshotId),
         System.currentTimeMillis(), "alter", cur.files,
-        StructType(schema.fields ++ cols).json, txn = None))
+        StructType(schema.fields ++ cols).json, txn = None,
+        deletes = cur.deletes))
     }
 
   /** Create the table EMPTY with a declared schema (the catalog
@@ -716,7 +765,8 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     val snaps = listSnapshots()
     val target = snaps.find(_.snapshotId == id).getOrElse(throw invalidSnapshot(id))
     writeSnapshot(Snapshot(nextId(), currentSnapshot().map(_.snapshotId),
-      System.currentTimeMillis(), "rollback", target.files, target.schemaJson))
+      System.currentTimeMillis(), "rollback", target.files, target.schemaJson,
+      deletes = target.deletes))
   }
 
   private def invalidSnapshot(id: Long) = new IllegalArgumentException(
@@ -759,7 +809,9 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
       // grows driver memory one dead snapshot per cycle
       snapshotCache.remove(name)
     }
-    val live = kept.flatMap(_.files).toSet
+    // tombstone files are live references too — GC'ing one that a
+    // retained snapshot still consults would resurrect its deleted rows
+    val live = kept.flatMap(s => s.files ++ s.tombstones).toSet
     if (Files.isDirectory(dataDir)) {
       graft.Fs.walkAll(dataDir)
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
@@ -804,7 +856,10 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
   def compact(fileThreshold: Int, maxRows: Long, targetFiles: Int = 1): Option[Snapshot] = writeLock.synchronized {
     val cur = currentSnapshot().getOrElse(return None)
     if (cur.files.size < fileThreshold) return None
-    val df = readFiles(cur.files)
+    // effective read: a whole-table compaction FOLDS the MoR tombstones
+    // (masked rows drop here, the new snapshot carries no deletes) —
+    // restoring exact metadata counts and the fast change-feed path
+    val df = scanFiles(cur, cur.files)
     val rows = df.count()
     if (rows > maxRows) return None // too large for in-process compaction
     val id = nextId()
@@ -837,7 +892,7 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     var rewritten = List.empty[String]
     var touched = Set.empty[String]
     candidates.foreach { case (value, files) =>
-      val part = readFiles(files)
+      val part = scanFiles(cur, files) // effective: MoR-masked rows fold out
       if (part.count() <= maxRows) {
         touched ++= files
         // row cap guarantees the partition fits one write task
@@ -847,8 +902,12 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     }
     if (touched.isEmpty) return None
     val untouchedFiles = cur.files.filterNot(touched)
+    // partial rewrite: tombstones must survive (they may mask rows in
+    // the untouched partitions); the rewritten rows' fresh origin puts
+    // them beyond every existing tombstone
     Some(writeSnapshot(Snapshot(id, Some(cur.snapshotId), System.currentTimeMillis(),
-      "compact", untouchedFiles ++ rewritten, cur.schemaJson)))
+      "compact", untouchedFiles ++ rewritten, cur.schemaJson,
+      deletes = cur.deletes)))
   }
 
   /** Row-level changes between two snapshots (the Delta Change-Data-Feed
@@ -886,8 +945,23 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
         if (have(fld.name)) d else d.withColumn(fld.name, lit(null).cast(fld.dataType))
       }.select(unionSchema.fieldNames.map(col): _*)
     }
-    val added = side(toS.files.diff(fromS.files))
-    val removed = side(fromS.files.diff(toS.files))
+    // MoR snapshots break the file-diff shortcut: a new tombstone
+    // deletes rows from files PRESENT ON BOTH SIDES. Fall back to the
+    // effective-content diff (O(both snapshots)); compaction folds the
+    // tombstones and restores the change-volume-cost fast path.
+    val (added, removed) =
+      if (fromS.tombstones.isEmpty && toS.tombstones.isEmpty)
+        (side(toS.files.diff(fromS.files)), side(fromS.files.diff(toS.files)))
+      else {
+        def eff(s: Snapshot): DataFrame = {
+          val base = scanFiles(s, s.files)
+          val have = base.columns.toSet
+          unionSchema.fields.foldLeft(base) { (d, fld) =>
+            if (have(fld.name)) d else d.withColumn(fld.name, lit(null).cast(fld.dataType))
+          }.select(unionSchema.fieldNames.map(col): _*)
+        }
+        (eff(toS), eff(fromS))
+      }
     added.exceptAll(removed).withColumn("_change", lit("insert"))
       .unionByName(removed.exceptAll(added).withColumn("_change", lit("delete")))
   }
@@ -1064,7 +1138,11 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
   def readPointLookup(c: String, value: Any): DataFrame = {
     val (files, _) = pointLookupFiles(c, value)
     if (files.isEmpty) read().filter(lit(false))
-    else readFiles(files).filter(col(c) === probeLit(c, value))
+    else {
+      val snap = currentSnapshot().getOrElse(
+        throw new IllegalStateException(s"table $root has no snapshots"))
+      scanFiles(snap, files).filter(col(c) === probeLit(c, value))
+    }
   }
 
   // ---- predicate-pruned reads (the automatic skipping path) ----
@@ -1372,6 +1450,9 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     * Spark jobs.
     */
   private[lakehouse] def manifestRowCount(snap: Snapshot): Option[Long] = {
+    // MoR tombstones make per-file counts an over-estimate: only the
+    // real (anti-joined) scan answers exactly
+    if (snap.tombstones.nonEmpty) return None
     var total = 0L
     snap.files.foreach { f =>
       fileStatsOf(snap, f) match {
@@ -1400,6 +1481,8 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     val declared = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
       .fields.find(f => nameKey(f.name) == nameKey(c)).map(_.dataType).getOrElse(return None)
     if (snap.files.isEmpty) return None // empty table: let the scan return SQL null
+    // a MoR tombstone may have masked exactly the extreme row
+    if (snap.tombstones.nonEmpty) return None
     val stats = snap.files.map(f =>
       fileStatsOf(snap, f).flatMap(_.cols.get(nameKey(c))).getOrElse(return None))
     if (stats.exists(_.typ != stats.head.typ)) return None // defensive: never mix tags
@@ -1509,6 +1592,18 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     * the empty frame off read() would leak the current snapshot's
     * (possibly widened) schema into a time-traveled scan.
     */
+  /** The snapshot id a file was written under, from its
+    * `data/s<id>[-suffix]/` path segment — the MoR sequencing key: a
+    * tombstone masks only rows from files with a STRICTLY OLDER origin,
+    * so a delete+re-insert of a key in one apply batch (an update)
+    * keeps the re-inserted row visible.
+    */
+  private def originOf(relFile: String): Long = {
+    val m = "^data/s([0-9]+)".r.findFirstMatchIn(relFile).getOrElse(
+      throw new IllegalStateException(s"cannot parse origin snapshot from '$relFile'"))
+    m.group(1).toLong
+  }
+
   private[lakehouse] def scanFiles(snap: Snapshot, files: Seq[String]): DataFrame = {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     if (files.isEmpty)
@@ -1518,13 +1613,42 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
       // widening append) that no scanned file carries still reads back
       // (as NULL), and column order is the declared order regardless of
       // which file's footer won the merge
-      val df = readFiles(files)
+      val df = applyTombstones(snap, readFiles(files))
       val have = df.columns.map(nameKey).toSet
       val aligned = schema.fields.foldLeft(df)((d, f) =>
         if (have(nameKey(f.name))) d
         else d.withColumn(f.name, lit(null).cast(f.dataType)))
       aligned.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     }
+  }
+
+  /** Mask rows the snapshot's key tombstones delete: one LEFT ANTI join
+    * per distinct tombstone KEY SET (all tombstone dirs of that key set
+    * union into ONE small side, so N micro-batch applies cost one join,
+    * not N), on key equality plus `row origin < tombstone origin`.
+    * The row's origin comes from `input_file_name()` evaluated in the
+    * scan stage. Tombstone sides are batch-sized — Spark broadcasts
+    * them — and compaction folds them away entirely.
+    */
+  private def applyTombstones(snap: Snapshot, df0: DataFrame): DataFrame = {
+    if (snap.tombstones.isEmpty) return df0
+    val df = df0.withColumn("__graft_origin",
+      regexp_extract(input_file_name(), "/data/s([0-9]+)", 1).cast("long"))
+    val byDir = snap.tombstones.groupBy(f => f.split('/').take(2).mkString("/"))
+    val perDir: Seq[(Seq[String], DataFrame)] = byDir.toSeq.map { case (dir, fs) =>
+      val origin = originOf(fs.head)
+      val t = spark.read.parquet(fs.map(f => rootPath.resolve(f).toString): _*)
+        .withColumn("__graft_t_origin", lit(origin))
+      (t.columns.filterNot(_ == "__graft_t_origin").sorted.toSeq, t)
+    }
+    val masked = perDir.groupBy(_._1).values.foldLeft(df) { (d, group) =>
+      val tomb = group.map(_._2).reduce(_.unionByName(_)).alias("__t")
+      val keys = group.head._1
+      val cond = keys.map(k => d(k) === tomb(k))
+        .reduce(_ && _) && (d("__graft_origin") < tomb("__graft_t_origin"))
+      d.join(tomb, cond, "left_anti")
+    }
+    masked.drop("__graft_origin")
   }
 
   /** Snapshot by id with the standard invalid-id error. */
@@ -1563,7 +1687,7 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
   private def compactZOrderLocked(cols: Seq[String], targetFiles: Int,
       buckets: Int): Option[Snapshot] = writeLock.synchronized {
     val cur = currentSnapshot().getOrElse(return None)
-    val df = readFiles(cur.files)
+    val df = scanFiles(cur, cur.files) // whole-table rewrite folds tombstones
     val bits = 31 - Integer.numberOfLeadingZeros(buckets)
     val surrogates = cols.map(c => zorderSurrogate(c, df.schema))
     // ONE distributed quantile pass for all curve columns (the r5 form

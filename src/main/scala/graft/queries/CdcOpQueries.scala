@@ -607,6 +607,51 @@ object CdcOpQueries {
       s.sql(s"DROP TABLE $cat.db.maint_t")
       (lineage :+ ((99L, "content", checksum))).toSeq
         .toDF("seq", "op", "rows").orderBy(col("seq"))
+    }),
+    // ---- merge-on-read CDC apply (round 9): change batches land as
+    //      PURE APPENDS (key tombstone + inserts, zero existing files
+    //      read or rewritten — enforced by require below), reads
+    //      anti-join with origin sequencing (same-batch delete+insert =
+    //      update; later re-insert resurrects), and compaction folds
+    //      the tombstones. The oracle re-derives head, the pre-MoR
+    //      time-travel state, and the post-fold state relationally. ----
+    "q129_mor_apply" -> ((s, dir) => {
+      import s.implicits._
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_q129_mor").toString
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+      val t = new graft.lakehouse.LakehouseTable(s, root)
+      val base = graft.Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 6000)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"))
+      t.applyChanges(base.withColumn("_change", lit("insert")), Seq("k"))
+      val preMor = t.currentSnapshot().get.snapshotId
+      def mor(batch: org.apache.spark.sql.DataFrame): Unit = {
+        val before = t.currentSnapshot().get.files
+        t.applyChanges(batch, Seq("k"), mergeOnRead = true)
+        require(before.forall(t.currentSnapshot().get.files.contains),
+          "MoR apply must never rewrite or drop an existing data file")
+        ()
+      }
+      mor(base.filter(col("k") % 10 === 3).withColumn("_change", lit("delete"))
+        .unionByName(base.filter(col("k") % 10 === 4)
+          .withColumn("pri", lower(col("pri"))).withColumn("_change", lit("insert"))))
+      mor(base.filter(col("k") % 100 === 13)
+        .withColumn("pri", lit("RESTORED")).withColumn("_change", lit("insert"))
+        .unionByName(base.filter(col("k") % 500 === 7)
+          .withColumn("k", col("k") + 1000000L).withColumn("pri", lit("NEW"))
+          .withColumn("_change", lit("insert"))))
+      require(t.currentSnapshot().get.tombstones.nonEmpty, "MoR must record tombstones")
+      val head = t.read().select(col("k"), col("pri")).withColumn("step", lit("a_head"))
+      val tt = t.scanAtSnapshot(preMor).select(col("k"), col("pri"))
+        .withColumn("step", lit("b_timetravel"))
+      t.compact(fileThreshold = 1, maxRows = Long.MaxValue, targetFiles = 4)
+      require(t.currentSnapshot().get.tombstones.isEmpty,
+        "whole-table compaction must fold the tombstones")
+      val post = t.read().select(col("k"), col("pri"))
+        .withColumn("step", lit("c_postcompact"))
+      head.unionByName(tt).unionByName(post)
+        .select(col("step"), col("k"), col("pri")).orderBy(col("step"), col("k"))
     })
   )
 
@@ -799,6 +844,24 @@ object CdcOpQueries {
         UNION ALL SELECT 6, 'rollback', (SELECT c FROM tot)
         UNION ALL SELECT 7, 'alter', (SELECT c FROM tot)
         UNION ALL SELECT 99, 'content', (SELECT CAST(sum(okey) AS BIGINT) FROM slice))
-      SELECT seq, op, rows FROM lineage ORDER BY seq"""
+      SELECT seq, op, rows FROM lineage ORDER BY seq""",
+    // q129: head = base minus the %10=3 deletes, %10=4 lowered, %100=13
+    // resurrected as RESTORED (they were deleted — the OR keeps them),
+    // plus the shifted NEW keys; time travel = untouched base; the
+    // post-compaction fold must equal head exactly.
+    "q129_mor_apply" -> """
+      WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri FROM orders
+        WHERE o_orderkey < 6000),
+      head AS (
+        SELECT k, CASE WHEN k % 100 = 13 THEN 'RESTORED'
+                       WHEN k % 10 = 4 THEN lower(pri) ELSE pri END AS pri
+        FROM base WHERE k % 10 <> 3 OR k % 100 = 13
+        UNION ALL
+        SELECT k + 1000000, 'NEW' FROM base WHERE k % 500 = 7)
+      SELECT 'a_head' AS step, k, pri FROM head
+      UNION ALL SELECT 'b_timetravel', k, pri FROM base
+      UNION ALL SELECT 'c_postcompact', k, pri FROM head
+      ORDER BY step, k"""
   )
 }

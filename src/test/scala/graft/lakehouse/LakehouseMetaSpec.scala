@@ -52,7 +52,7 @@ class LakehouseMetaSpec extends SparkSpec {
     spark.sql("INSERT INTO metacat.db.f1 SELECT id, CASE WHEN id < 50 THEN 'lo' ELSE 'hi' END FROM range(0, 100)")
     val t = new LakehouseTable(spark, root("f1"))
     val files = spark.sql(
-      "SELECT file, size_bytes, row_count, partition FROM metacat.db.`f1$files`").collect()
+      "SELECT file, size_bytes, row_count, partition FROM metacat.db.`f1$files` WHERE type = 'data'").collect()
     assert(files.length === t.currentSnapshot().get.files.size)
     assert(files.forall(_.getLong(1) > 0L), "size_bytes from the filesystem")
     assert(files.map(_.getLong(2)).sum === 100L, "stats rows must sum to the row count")
