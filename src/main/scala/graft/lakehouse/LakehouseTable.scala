@@ -945,25 +945,55 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
         if (have(fld.name)) d else d.withColumn(fld.name, lit(null).cast(fld.dataType))
       }.select(unionSchema.fieldNames.map(col): _*)
     }
-    // MoR snapshots break the file-diff shortcut: a new tombstone
-    // deletes rows from files PRESENT ON BOTH SIDES. Fall back to the
-    // effective-content diff (O(both snapshots)); compaction folds the
-    // tombstones and restores the change-volume-cost fast path.
-    val (added, removed) =
-      if (fromS.tombstones.isEmpty && toS.tombstones.isEmpty)
-        (side(toS.files.diff(fromS.files)), side(fromS.files.diff(toS.files)))
-      else {
-        def eff(s: Snapshot): DataFrame = {
-          val base = scanFiles(s, s.files)
-          val have = base.columns.toSet
-          unionSchema.fields.foldLeft(base) { (d, fld) =>
-            if (have(fld.name)) d else d.withColumn(fld.name, lit(null).cast(fld.dataType))
-          }.select(unionSchema.fieldNames.map(col): _*)
+    def align(base: DataFrame): DataFrame = {
+      val have = base.columns.toSet
+      unionSchema.fields.foldLeft(base) { (d, fld) =>
+        if (have(fld.name)) d else d.withColumn(fld.name, lit(null).cast(fld.dataType))
+      }.select(unionSchema.fieldNames.map(col): _*)
+    }
+    // MoR snapshots break the plain file-diff shortcut: a new tombstone
+    // deletes rows from files PRESENT ON BOTH SIDES. But the MoR norm —
+    // pure-append lineage (no file removed) with tombstones only
+    // growing — has its own incremental path: added-file rows (masked
+    // by the to-side tombstones) are the inserts, and the deletes live
+    // ONLY in files the new tombstones' keys can reach, found by the
+    // same two-stage probe as the keyed writes; the except-pair over
+    // that candidate set yields exactly the rows whose visibility
+    // flipped. Cost: change volume + key-local candidates — never the
+    // table. Anything else (rollbacks, mixed CoW rewrites mid-lineage)
+    // falls back to the effective-content diff.
+    val fromSet = fromS.files.toSet
+    val fromTombSet = fromS.tombstones.toSet
+    if (fromS.tombstones.isEmpty && toS.tombstones.isEmpty) {
+      val added = side(toS.files.diff(fromS.files))
+      val removed = side(fromS.files.diff(toS.files))
+      added.exceptAll(removed).withColumn("_change", lit("insert"))
+        .unionByName(removed.exceptAll(added).withColumn("_change", lit("delete")))
+    } else if (fromS.files.forall(toS.files.contains) &&
+        fromS.tombstones.forall(toS.tombstones.contains)) {
+      val addedFiles = toS.files.filterNot(fromSet)
+      val newTombs = toS.tombstones.filterNot(fromTombSet)
+      val inserts = align(
+        if (addedFiles.isEmpty) scanFiles(toS, Nil) else scanFiles(toS, addedFiles))
+      val deletes =
+        if (newTombs.isEmpty) inserts.filter(lit(false))
+        else {
+          val cand = newTombs.groupBy(f => f.split('/').take(2).mkString("/"))
+            .values.toSeq.flatMap { fs =>
+              val keyRows = spark.read.parquet(
+                fs.map(f => rootPath.resolve(f).toString): _*).distinct()
+              touchedFilesFor(fromS, keyRows, keyRows.columns.toSeq)
+            }.distinct
+          align(scanFiles(fromS, cand)).exceptAll(align(scanFiles(toS, cand)))
         }
-        (eff(toS), eff(fromS))
-      }
-    added.exceptAll(removed).withColumn("_change", lit("insert"))
-      .unionByName(removed.exceptAll(added).withColumn("_change", lit("delete")))
+      inserts.withColumn("_change", lit("insert"))
+        .unionByName(deletes.withColumn("_change", lit("delete")))
+    } else {
+      val eff = (s: Snapshot) => align(scanFiles(s, s.files))
+      val (a, r) = (eff(toS), eff(fromS))
+      a.exceptAll(r).withColumn("_change", lit("insert"))
+        .unionByName(r.exceptAll(a).withColumn("_change", lit("delete")))
+    }
   }
 
   /** Z-order clustering compaction (the Delta `OPTIMIZE ZORDER BY`

@@ -109,7 +109,7 @@ class MergeOnReadSpec extends SparkSpec {
     assert(content(t).contains((6L, "V6")))
   }
 
-  test("changesBetween across MoR applies reports row-level diffs (full-diff fallback)") {
+  test("changesBetween across MoR applies reports row-level diffs") {
     val t = newTable("mor-cdf")
     t.applyChanges(ch((1L, "a", "insert"), (2L, "b", "insert")), Seq("id"))
     val s1 = t.currentSnapshot().get.snapshotId
@@ -120,6 +120,34 @@ class MergeOnReadSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
     assert(changes === Seq((1L, "a", "delete"), (2L, "B2", "insert"),
       (2L, "b", "delete"), (3L, "c", "insert")))
+  }
+
+  test("incremental MoR change feed: change-volume cost, never the table") {
+    val t = newTable("mor-cdf-inc")
+    // two key-disjoint bootstrap files
+    t.applyChanges((1L to 50L).map(i => (i, s"v$i", "insert")).toDF("id", "v", "_change"), Seq("id"))
+    t.applyChanges((1000L to 1050L).map(i => (i, s"v$i", "insert")).toDF("id", "v", "_change"), Seq("id"))
+    val s0 = t.currentSnapshot().get.snapshotId
+    // MoR batch touching ONLY the high range
+    t.applyChanges(ch((1005L, "x", "delete"), (1010L, "NEW", "insert"), (2000L, "n", "insert")),
+      Seq("id"), mergeOnRead = true)
+    val s1 = t.currentSnapshot().get.snapshotId
+    val changes = t.changesBetween(s0, s1)
+    val got = changes.select("id", "v", "_change").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    assert(got === Seq((1005L, "v1005", "delete"), (1010L, "NEW", "insert"),
+      (1010L, "v1010", "delete"), (2000L, "n", "insert")))
+    // the diff must read only the added files, the key-candidate files,
+    // and the tombstones — the low-range bootstrap files stay untouched
+    val lowRange = t.snapshotOrThrow(s0).files.filter { f =>
+      val (files, _) = t.pruneFiles(t.snapshotOrThrow(s0),
+        Seq(ScanPredicate.Range("id", Some(1000L), Some(2000L))))
+      !files.contains(f)
+    }
+    assert(lowRange.nonEmpty, "fixture needs files outside the touched key range")
+    val readSet = changes.inputFiles.toSeq
+    assert(!lowRange.exists(lf => readSet.exists(_.endsWith(lf))),
+      s"incremental CDF must not read key-disjoint files: $readSet")
   }
 
   test("snapshot expiry never GCs a tombstone a retained snapshot references") {
