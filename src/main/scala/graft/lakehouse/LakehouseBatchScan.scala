@@ -1,0 +1,299 @@
+package graft.lakehouse
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, Statistics, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile, PartitioningUtils}
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.util.SerializableConfiguration
+
+/** The native DSv2 batch scan over a lakehouse snapshot: the pruned
+  * file list feeds Spark's own vectorized parquet reader factory
+  * directly — columnar batches flow into whole-stage codegen with no
+  * per-action inner-plan build (the V1 bridge's remaining fixed cost)
+  * — and, because this is a real `Batch`, the scan participates in
+  * RUNTIME filtering: a fact⋈dim join hands the dim side's join keys
+  * to [[filter]] at execution time and the manifest (stats ranges,
+  * bloom sidecars, partition paths) drops every fact file that cannot
+  * hold a matching key — dynamic file pruning, the 100 TB star-join
+  * shape. [[estimateStatistics]] reports manifest-exact bytes/rows of
+  * the pruned set, so small lakehouse tables auto-broadcast without a
+  * hint.
+  *
+  * Layout handling: a snapshot may mix flat files and hive-partitioned
+  * files (possibly with different partition column sets across its
+  * lineage). Files are grouped by the set of path-derived columns that
+  * appear in the projection; each group gets its own parquet reader
+  * factory (path columns materialize from `partitionValues`, exactly
+  * as Spark's file sources do) and a zero-copy column permutation
+  * aligns every group to the one projected schema. Schema evolution
+  * (widen-only ADD COLUMNS) rides on the vectorized reader's
+  * missing-column-as-null handling.
+  *
+  * Merge-on-read snapshots (key tombstones needing an anti-join) stay
+  * on the DataFrame-composing V1 path — compaction folds the
+  * tombstones and restores this scan (see
+  * [[LakehouseScanBuilder.build]]).
+  */
+final class LakehouseBatchScan(
+    options: Map[String, String],
+    required: StructType,
+    accepted: Array[Filter])
+  extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
+
+  @transient private lazy val spark = SparkSession.active
+  @transient private lazy val resolved: (LakehouseTable, Snapshot) =
+    LakehouseSource.snapshotFor(spark, options)
+  private def t: LakehouseTable = resolved._1
+  private def snap: Snapshot = resolved._2
+
+  /** Files surviving the STATICALLY pushed filters (planning time). */
+  @transient private lazy val staticFiles: Seq[String] =
+    LakehouseSource.pruneForFilters(t, snap, accepted.toSeq)
+
+  /** Keep-set from runtime (join-driven) filters; None until/unless
+    * [[filter]] runs. Volatile: set on the driver between the two
+    * planInputPartitions calls BatchScanExec makes.
+    */
+  @volatile private var runtimeKeep: Option[Set[String]] = None
+  @volatile private var runtimeDesc: Seq[String] = Nil
+
+  private def currentFiles: Seq[String] =
+    runtimeKeep.fold(staticFiles)(keep => staticFiles.filter(keep))
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-lakehouse native batch scan of ${LakehouseSource.rootOf(options)}, " +
+      s"PushedFilters: [${accepted.mkString(", ")}]"
+
+  // ---------------- runtime filtering (dynamic file pruning) ----------------
+
+  /** Every PROJECTED column is a runtime-pruning candidate: equality/IN
+    * probes consult manifest min/max ranges, bloom sidecars, and hive
+    * path values — there is no separate "partition column" class the
+    * way file sources have (with reuseBroadcastOnly, Spark only injects
+    * a runtime filter when the dim side is broadcast anyway, so
+    * over-reporting costs nothing). Restricted to the scan's output:
+    * Spark resolves these against the pruned relation, and a join key
+    * is necessarily projected.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    required.fieldNames.map(Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeKeep = Some(LakehouseSource.pruneForFilters(t, snap, filters.toSeq).toSet)
+    runtimeDesc = filters.map(f => s"runtime: $f").toSeq
+  }
+
+  // ---------------- statistics (manifest-exact) ----------------
+
+  override def estimateStatistics(): Statistics = {
+    val files = currentFiles
+    val bytes = files.map(t.fileSizeOf(snap, _)).sum
+    val rowsOpt = files.foldLeft(Option(0L)) { (acc, f) =>
+      for (a <- acc; r <- t.fileRowsOf(snap, f)) yield a + r
+    }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(bytes, 1L))
+      override def numRows(): java.util.OptionalLong =
+        rowsOpt.fold(java.util.OptionalLong.empty)(java.util.OptionalLong.of)
+    }
+  }
+
+  // ---------------- partition planning ----------------
+
+  /** `col=` keys of a file's path, in path order, restricted to
+    * projected columns — the group signature.
+    */
+  private def pathColKeys(relFile: String): Seq[String] =
+    relFile.split('/').filter(_.contains("=")).toSeq
+      .map(seg => t.resolvedNameKey(seg.split("=", 2)(0)))
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = currentFiles
+    ScanEvents.record(LakehouseSource.rootOf(options), ScanInfo(
+      filesPlanned = files.size,
+      filesTotal = snap.files.size,
+      columnsRead = required.fieldNames.toSeq,
+      pushed = accepted.map(_.toString).toSeq ++ runtimeDesc))
+    if (files.isEmpty) return Array.empty
+
+    val reqKeys = required.fieldNames.map(t.resolvedNameKey).toSet
+    val grouped = files.groupBy(f => pathColKeys(f).filter(reqKeys)).toSeq
+      .sortBy(_._1.mkString(","))
+
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val sizes: Map[String, Long] = files.map(f => f -> t.fileSizeOf(snap, f)).toMap
+    val maxSplit = FilePartition.maxSplitBytes(spark,
+      sizes.valuesIterator.map(_ + openCost).sum)
+    val zone = java.time.ZoneId.of(conf.sessionLocalTimeZone)
+
+    var globalIdx = 0
+    grouped.flatMap { case (pathKeys, groupFiles) =>
+      val inPath = pathKeys.toSet
+      val dataFields = required.fields.filterNot(f => inPath(t.resolvedNameKey(f.name)))
+      val partFields = required.fields.filter(f => inPath(t.resolvedNameKey(f.name)))
+      val outNames = (dataFields ++ partFields).map(_.name)
+      val perm0 = required.fieldNames.map(n => outNames.indexOf(n))
+      val perm = if (perm0.zipWithIndex.forall { case (s, i) => s == i }) null else perm0
+
+      val pfs = groupFiles.flatMap { f =>
+        val len = sizes(f)
+        val pv = partitionValuesFor(f, partFields, zone)
+        val path = SparkPath.fromPathString(t.absDataPath(f))
+        if (len <= 0L)
+          Seq(PartitionedFile(pv, path, 0L, 0L, Array.empty, 0L, 0L))
+        else (0L until len by maxSplit).map { off =>
+          PartitionedFile(pv, path, off, math.min(maxSplit, len - off),
+            Array.empty, 0L, len)
+        }
+      }
+      // each partition carries its group's reader spec, so a runtime
+      // re-plan can never pair stale group state with fresh partitions
+      val spec = LakehouseGroupSpec(
+        readerFactoryFor(StructType(dataFields), StructType(partFields)),
+        perm, required.fields.map(_.dataType))
+      FilePartition.getFilePartitions(spark, pfs.sortBy(-_.length), maxSplit).map { fp =>
+        val p = LakehouseGroupedPartition(spec, fp.copy(index = globalIdx),
+          fp.preferredLocations())
+        globalIdx += 1
+        p
+      }
+    }.toArray
+  }
+
+  /** Internal partition values of one file, in `partFields` order:
+    * hive path segments decoded with Spark's own unescape + cast
+    * (null partition → SQL null).
+    */
+  private def partitionValuesFor(relFile: String, partFields: Array[StructField],
+      zone: java.time.ZoneId): InternalRow = {
+    if (partFields.isEmpty) return InternalRow.empty
+    val segs = relFile.split('/').filter(_.contains("=")).map(_.split("=", 2))
+    val vals: Array[Any] = partFields.map { f =>
+      val raw = segs.collectFirst {
+        case Array(k, v) if t.resolvedNameKey(k) == t.resolvedNameKey(f.name) => v
+      }.getOrElse(throw new IllegalStateException(
+        s"file $relFile lost its ${f.name}= path segment during grouping"))
+      if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+      else PartitioningUtils.castPartValueToDesiredType(
+        f.dataType, ExternalCatalogUtils.unescapePathName(raw), zone)
+    }
+    new GenericInternalRow(vals)
+  }
+
+  /** One parquet reader factory for a (data, partition) schema split —
+    * the exact conf recipe of Spark's own ParquetScan.createReaderFactory,
+    * so vectorization, timestamp semantics, and case sensitivity match
+    * the built-in source. Pushed filters whose columns live in the data
+    * schema ride along for row-group pruning (exactness is enforced by
+    * the residual Filter node Spark keeps above the scan).
+    */
+  private def readerFactoryFor(
+      readDataSchema: StructType, partSchema: StructType): ParquetPartitionReaderFactory = {
+    val conf = spark.sessionState.conf
+    val hadoopConf = spark.sessionState.newHadoopConfWithOptions(options)
+    val readDataSchemaAsJson = readDataSchema.json
+    hadoopConf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readDataSchemaAsJson)
+    hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, readDataSchemaAsJson)
+    hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, conf.sessionLocalTimeZone)
+    hadoopConf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+      conf.nestedSchemaPruningEnabled)
+    hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key, conf.caseSensitiveAnalysis)
+    ParquetWriteSupport.setSchema(readDataSchema, hadoopConf)
+    hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, conf.isParquetBinaryAsString)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      conf.isParquetINT96AsTimestamp)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      conf.parquetInferTimestampNTZEnabled)
+    hadoopConf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      conf.legacyParquetNanosAsLong)
+    hadoopConf.setBoolean(SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION.key,
+      conf.parquetReaderRespectUnknownTypeAnnotation)
+    val bc = spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
+    val dataKeys = readDataSchema.fieldNames.map(t.resolvedNameKey).toSet
+    val rowGroupFilters = accepted.filter(
+      _.references.forall(r => dataKeys(t.resolvedNameKey(r))))
+    ParquetPartitionReaderFactory(conf, bc, readDataSchema, readDataSchema,
+      partSchema, rowGroupFilters, None, new ParquetOptions(Map.empty[String, String], conf))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakehouseReaderFactory
+}
+
+/** An input partition carrying its layout group's reader spec. */
+private[lakehouse] final case class LakehouseGroupedPartition(
+    spec: LakehouseGroupSpec, fp: FilePartition,
+    locations: Array[String]) extends InputPartition {
+  override def preferredLocations(): Array[String] = locations
+}
+
+private[lakehouse] final case class LakehouseGroupSpec(
+    factory: ParquetPartitionReaderFactory,
+    perm: Array[Int], // null = identity
+    types: Array[DataType])
+
+/** Stateless dispatcher: each partition names its own parquet factory
+  * and column permutation (mixed layouts in one scan).
+  */
+private[lakehouse] final class LakehouseReaderFactory extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = {
+    val p = partition.asInstanceOf[LakehouseGroupedPartition]
+    p.spec.factory.supportColumnarReads(p.fp)
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LakehouseGroupedPartition]
+    val g = p.spec
+    val in = g.factory.createReader(p.fp)
+    if (g.perm == null) in
+    else new PartitionReader[InternalRow] {
+      override def next(): Boolean = in.next()
+      override def get(): InternalRow = {
+        val row = in.get()
+        val vals = new Array[Any](g.perm.length)
+        var i = 0
+        while (i < g.perm.length) { vals(i) = row.get(g.perm(i), g.types(i)); i += 1 }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = in.close()
+    }
+  }
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[LakehouseGroupedPartition]
+    val g = p.spec
+    val in = g.factory.createColumnarReader(p.fp)
+    if (g.perm == null) in
+    else new PartitionReader[ColumnarBatch] {
+      override def next(): Boolean = in.next()
+      override def get(): ColumnarBatch = {
+        val b = in.get()
+        val cols: Array[ColumnVector] = g.perm.map(b.column)
+        val out = new ColumnarBatch(cols)
+        out.setNumRows(b.numRows)
+        out
+      }
+      override def close(): Unit = in.close()
+    }
+  }
+}

@@ -265,31 +265,13 @@ private[lakehouse] object LakehouseSource {
       case sources.LessThanOrEqual(c, v) => one(ScanPredicate.Range(c, None, Some(v)))
       case sources.StringStartsWith(c, p) => one(ScanPredicate.StartsWith(c, p))
       case sources.IsNull(c) => one(ScanPredicate.IsNull(c))
-      case sources.In(c, vs) if vs.nonEmpty && vs.length <= 32 && !vs.contains(null) =>
-        Some(vs.flatMap(v => t.pruneFiles(snap, Seq(ScanPredicate.EqualTo(c, v)))._1).toSet)
-      case sources.In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
-        // an over-long IN won't pay per-value probes, but its value
-        // RANGE still skips files: order the literals when they are
-        // homogeneous orderable primitives and range-prune on [lo, hi]
-        val sorted: Option[(Any, Any)] = vs.toSeq match {
-          case all if all.forall(_.isInstanceOf[Long]) =>
-            val l = all.map(_.asInstanceOf[Long]); Some((l.min, l.max))
-          case all if all.forall(_.isInstanceOf[Int]) =>
-            val l = all.map(_.asInstanceOf[Int]); Some((l.min, l.max))
-          case all if all.forall(_.isInstanceOf[Double]) =>
-            val l = all.map(_.asInstanceOf[Double]); Some((l.min, l.max))
-          case all if all.forall(_.isInstanceOf[String]) =>
-            // UTF-8 byte order = Spark's string order
-            implicit val o: Ordering[String] = (a: String, b: String) =>
-              java.util.Arrays.compareUnsigned(
-                a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-                b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            val l = all.map(_.asInstanceOf[String]); Some((l.min, l.max))
-          case _ => None
-        }
-        sorted.map { case (lo, hi) =>
-          t.pruneFiles(snap, Seq(ScanPredicate.Range(c, Some(lo), Some(hi))))._1.toSet
-        }
+      case sources.In(c, vs) if vs.nonEmpty =>
+        // ANY list size prunes exactly: InSet sorts the probes once and
+        // each file answers with a binary search against its manifest
+        // range (+ bloom refinement) — the path a RUNTIME join filter
+        // with thousands of dim keys needs (a per-value probe loop
+        // would pay O(values · files) planning)
+        one(ScanPredicate.InSet(c, vs.toSeq))
       case sources.Or(l, r) =>
         for (a <- keepSetFor(t, snap, l); b <- keepSetFor(t, snap, r)) yield a ++ b
       case _ => None // IsNotNull, over-long In: no evidence — keep all
@@ -436,10 +418,14 @@ private[lakehouse] final class LakehouseScanBuilder(
     // names ("s.x"), which the flat-schema pruner must not see — they
     // stay with the engine and evaluate post-scan
     val cols = tableSchema.fieldNames.map(nameKey).toSet
-    val (ok, rest) = filters.partition(
+    accepted = filters.filter(
       LakehouseSource.acceptable(_, r => cols(nameKey(r))))
-    accepted = ok
-    rest // the engine evaluates what the scan can't enforce
+    // EVERYTHING returns as post-scan residual (the partial-pushdown
+    // contract): accepted filters drive file skipping and parquet
+    // row-group pruning, while the engine's retained Filter node
+    // enforces exactness — strict bounds stay strict even though
+    // pruning evidence is inclusive
+    filters
   }
 
   override def pushedFilters(): Array[Filter] = accepted
@@ -508,7 +494,20 @@ private[lakehouse] final class LakehouseScanBuilder(
 
   override def build(): Scan = pushedAgg match {
     case Some((values, aggSchema)) => new LakehouseAggScan(values, aggSchema)
-    case None => new LakehouseV1Scan(options, required, accepted)
+    case None =>
+      // merge-on-read snapshots need the tombstone anti-join the
+      // DataFrame-composing V1 path provides; everything else takes
+      // the native vectorized batch (runtime file pruning, manifest
+      // statistics, no per-action inner-plan build). A root that
+      // doesn't resolve (snapshot-less sink target, expired pin)
+      // also stays on the V1 path so its error surfaces at action
+      // time with the established message.
+      val mor = try {
+        val (_, snap) = LakehouseSource.snapshotFor(SparkSession.active, options)
+        snap.tombstones.nonEmpty
+      } catch { case _: Exception => true }
+      if (mor) new LakehouseV1Scan(options, required, accepted)
+      else new LakehouseBatchScan(options, required, accepted)
   }
 }
 
@@ -590,9 +589,10 @@ private[lakehouse] final class LakehouseV1Scan(
           }
         val files = LakehouseSource.pruneForFilters(t, snap, filters.toSeq)
         val base = t.scanFiles(snap, files)
-        val cond = filters.map(LakehouseSource.toCondition)
-          .reduceOption(_ && _).getOrElse(lit(true))
-        val df = base.filter(cond).select(required.fieldNames.map(col).toIndexedSeq: _*)
+        // exactness: the residual Filter node Spark keeps above the
+        // scan re-applies every pushed predicate (pushFilters returns
+        // its whole input), so this path only prunes + projects
+        val df = base.select(required.fieldNames.map(col).toIndexedSeq: _*)
         ScanEvents.record(LakehouseSource.rootOf(options), ScanInfo(
           filesPlanned = files.size,
           filesTotal = snap.files.size,

@@ -29,7 +29,11 @@ final case class ColumnStat(typ: String, min: String, max: String,
   * footer opened at planning time; columns absent from `cols` simply
   * never prune (no evidence → keep).
   */
-final case class FileStats(rows: Long, cols: Map[String, ColumnStat])
+final case class FileStats(rows: Long, cols: Map[String, ColumnStat],
+    // on-disk bytes, recorded at write time: split planning and join-size
+    // estimation then run off the manifest alone (no per-file fs calls).
+    // Option so pre-round-9 manifests parse as None (fs-size fallback).
+    bytes: Option[Long] = None)
 
 /** Snapshot manifest: one JSON file per table version (SURVEY.md §7.3).
   * `stats` maps data-file path → write-time footer stats; None only for
@@ -95,6 +99,94 @@ object ScanPredicate {
     * always kept.
     */
   final case class IsNull(column: String) extends ScanPredicate
+  /** `column IN (values)` at ANY list size: the probe list sorts once,
+    * then each file answers with a binary search against its manifest
+    * [min, max] — O(log n) per file where per-value equality probes
+    * would pay O(n · files) planning. This is what a RUNTIME join
+    * filter (dynamic file pruning) sends: the dim side's distinct keys,
+    * often thousands of them. Small in-range slices refine through the
+    * bloom sidecar; null probes drop (IN never matches on null), and an
+    * all-null list prunes every file.
+    */
+  final case class InSet(column: String, values: Seq[Any]) extends ScanPredicate
+}
+
+/** One IN probe list, prepared once per predicate: sorted arrays for
+  * range binary-search (per stat type tag), sets for partition-path
+  * membership, memoized bloom hashes. None where the values don't all
+  * coerce to that stat type (no evidence — files keep).
+  */
+private[lakehouse] final class InProbes(values: Seq[Any]) {
+  val nonNull: Seq[Any] = values.filterNot(_ == null)
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case s: String => scala.util.Try(s.trim.toLong).toOption
+    case _ => None
+  }
+  private def asDouble(v: Any): Option[Double] = v match {
+    case d: Double => Some(d)
+    case f: Float => Some(f.toDouble)
+    case l: Long => Some(l.toDouble)
+    case i: Int => Some(i.toDouble)
+    case s: String => scala.util.Try(s.trim.toDouble).toOption
+    case _ => None
+  }
+
+  lazy val longs: Option[Array[Long]] = {
+    val conv = nonNull.map(asLong)
+    if (conv.exists(_.isEmpty)) None else Some(conv.flatten.toArray.sorted)
+  }
+  lazy val doubles: Option[Array[Double]] = {
+    val conv = nonNull.map(asDouble)
+    if (conv.exists(_.isEmpty)) None else Some(conv.flatten.toArray.sorted)
+  }
+  /** UTF-8 byte images, sorted under Spark's string order. */
+  lazy val strings: Array[Array[Byte]] =
+    nonNull.map(v => String.valueOf(v).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .toArray.sortWith((a, b) => InProbes.utf8Cmp(a, b) < 0)
+
+  lazy val longSet: Option[Set[Long]] = longs.map(_.toSet)
+  lazy val doubleSet: Option[Set[Double]] = doubles.map(_.toSet)
+  lazy val stringSet: Set[String] = nonNull.map(String.valueOf).toSet
+
+  /** Memoized xxhash64 per probe value (bloom sidecar refinement) —
+    * concurrent because pruneFiles verdicts run in parallel.
+    */
+  private val hashes = new java.util.concurrent.ConcurrentHashMap[Any, java.lang.Long]()
+  def hashOf(v: Any, compute: Any => Long): Long =
+    hashes.computeIfAbsent(v, compute(_)).longValue()
+}
+
+private[lakehouse] object InProbes {
+  /** Probes in a file's [min, max] beyond this count skip the bloom
+    * refinement (range evidence already did the heavy pruning).
+    */
+  val BloomProbeCap = 16
+
+  def utf8Cmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Smallest index whose element is >= key (insertion point). */
+  def lowerBound[T](arr: Array[T], key: T, cmp: (T, T) => Int): Int = {
+    var lo = 0; var hi = arr.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cmp(arr(mid), key) < 0) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
 }
 
 /** "Lakehouse-lite": a snapshot-versioned Parquet table — append/upsert,
@@ -1242,7 +1334,9 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
                 .map(st => ck -> st.copy(nulls = nulls))
             }
           }.toMap
-          Some(FileStats(rows, cols))
+          val bytes = try Some(Files.size(rootPath.resolve(relFile)))
+            catch { case _: Exception => None }
+          Some(FileStats(rows, cols, bytes))
         } finally reader.close()
       } catch { case _: Exception => None } // unreadable footer → no evidence → keep
     })
@@ -1335,6 +1429,27 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     * its footer — even with the column absent, absence already means
     * "no usable stats").
     */
+  /** Absolute filesystem path of a root-relative data file (the native
+    * batch scan hands these to the parquet reader factory).
+    */
+  private[lakehouse] def absDataPath(relFile: String): String =
+    rootPath.resolve(relFile).toString
+
+  /** On-disk bytes of a data file: manifest-recorded (write-time) when
+    * available, one fs stat as the legacy-manifest fallback. Powers
+    * split planning and join-size estimation off metadata alone.
+    */
+  private[lakehouse] def fileSizeOf(snap: Snapshot, relFile: String): Long =
+    fileStatsOf(snap, relFile).flatMap(_.bytes).getOrElse(
+      try Files.size(rootPath.resolve(relFile)) catch { case _: Exception => 0L })
+
+  /** Manifest row count of one file (exactness contract of
+    * [[manifestRowCount]], per file). */
+  private[lakehouse] def fileRowsOf(snap: Snapshot, relFile: String): Option[Long] =
+    fileStatsOf(snap, relFile).map(_.rows)
+
+  private[lakehouse] def resolvedNameKey(n: String): String = nameKey(n)
+
   private def fileStatsOf(snap: Snapshot, relFile: String): Option[FileStats] =
     snap.stats match {
       case Some(m) if m.contains(relFile) => m.get(relFile)
@@ -1579,6 +1694,12 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
             case Some(Some(_)) => false // a non-null partition dir holds no nulls in c
             case _ => true
           })
+      case ScanPredicate.InSet(c, values) =>
+        val dt = declared(c)
+        val probes = new InProbes(values)
+        if (probes.nonNull.isEmpty) (_: String) => false // IN (all null): matches nothing
+        else (f: String) => inSetMayMatch(snap, f, c, dt, probes) &&
+          partitionMayMatchSet(f, c, dt, probes)
     }
     val kept = snap.files.toVector.asJava.parallelStream()
       .filter(f => compiled.forall(_(f)))
@@ -1594,7 +1715,79 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
           .reduceOption(_ && _).getOrElse(lit(true))
       case ScanPredicate.StartsWith(c, p) => col(c).startsWith(p)
       case ScanPredicate.IsNull(c) => col(c).isNull
+      case ScanPredicate.InSet(c, vs) =>
+        val nn = vs.filterNot(_ == null)
+        if (nn.isEmpty) lit(false) else col(c).isin(nn: _*)
     }.reduceOption(_ && _).getOrElse(lit(true))
+
+  /** IN-list stats verdict: may `relFile` hold ANY of the probe values?
+    * Binary search of the sorted probe list against the file's
+    * [min, max]; when the in-range slice is small, each surviving
+    * candidate must also pass the bloom sidecar (when one exists for
+    * the column). Missing stats or incomparable types keep the file.
+    */
+  private def inSetMayMatch(snap: Snapshot, relFile: String, c: String,
+      declared: Option[DataType], probes: InProbes): Boolean = {
+    fileStatsOf(snap, relFile).flatMap(_.cols.get(nameKey(c))) match {
+      case None => true
+      case Some(st) =>
+        def bloomAny(inRange: Seq[Any]): Boolean =
+          declared.forall { dt =>
+            inRange.size > InProbes.BloomProbeCap ||
+              inRange.exists(v => bloomMayContain(c, relFile,
+                probes.hashOf(v, probeHash(_, dt))))
+          }
+        st.typ match {
+          case "long" => probes.longs.forall { arr =>
+            val lo = st.min.toLong; val hi = st.max.toLong
+            val from = InProbes.lowerBound[Long](arr, lo, java.lang.Long.compare)
+            var until = from
+            while (until < arr.length && arr(until) <= hi) until += 1
+            from < until && bloomAny(arr.slice(from, until).toSeq)
+          }
+          case "double" => probes.doubles.forall { arr =>
+            val lo = st.min.toDouble; val hi = st.max.toDouble
+            val from = InProbes.lowerBound[Double](arr, lo, java.lang.Double.compare)
+            var until = from
+            while (until < arr.length && arr(until) <= hi) until += 1
+            from < until && bloomAny(arr.slice(from, until).toSeq)
+          }
+          case "string" if declared.contains(org.apache.spark.sql.types.StringType) =>
+            val arr = probes.strings
+            val lo = st.min.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val hi = st.max.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val from = InProbes.lowerBound[Array[Byte]](arr, lo, InProbes.utf8Cmp)
+            var until = from
+            while (until < arr.length && InProbes.utf8Cmp(arr(until), hi) <= 0) until += 1
+            from < until && bloomAny(arr.slice(from, until).toSeq.map(
+              b => new String(b, java.nio.charset.StandardCharsets.UTF_8)))
+          case _ => true
+        }
+    }
+  }
+
+  /** Hive-path verdict for IN: the dir's decoded value must be a member
+    * (typed by the DECLARED column type); the null partition never
+    * matches a non-null probe list. Unparsable values keep the file.
+    */
+  private def partitionMayMatchSet(relFile: String, c: String,
+      declared: Option[DataType], probes: InProbes): Boolean = {
+    import org.apache.spark.sql.types._
+    partitionValueOf(relFile, c) match {
+      case None => true
+      case Some(None) => false // null partition: IN (non-null ...) can't match
+      case Some(Some(v)) => declared match {
+        case Some(ByteType | ShortType | IntegerType | LongType) =>
+          scala.util.Try(v.trim.toLong).toOption.forall(pv =>
+            probes.longSet.forall(_.contains(pv)))
+        case Some(FloatType | DoubleType) =>
+          scala.util.Try(v.trim.toDouble).toOption.forall(pv =>
+            probes.doubleSet.forall(_.contains(pv)))
+        case Some(StringType) => probes.stringSet.contains(v)
+        case _ => true
+      }
+    }
+  }
 
   /** Predicate-pruned read of the current snapshot: skipping indexes
     * consulted automatically, exact predicate re-applied on the scan.

@@ -652,6 +652,49 @@ object CdcOpQueries {
         .withColumn("step", lit("c_postcompact"))
       head.unionByName(tt).unionByName(post)
         .select(col("step"), col("k"), col("pri")).orderBy(col("step"), col("k"))
+    }),
+    // ---- runtime file pruning (round 9): the native DSv2 batch scan
+    //      receives the dim side's join keys AT EXECUTION TIME and the
+    //      manifest drops every fact file whose stats range can't hold
+    //      a matching key — dynamic file pruning, the 100 TB star-join
+    //      shape, with zero hints. Each step records the join result
+    //      AND the fact scan's (files_planned, files_total), so a
+    //      regression that stops runtime pruning (or over-prunes) flips
+    //      the hash. Step 3 gates the arbitrary-size IN path: 120
+    //      literals spread over 3 of 8 ranges must plan exactly 3 files
+    //      (the old ≤32-probe cap would have range-kept all 8). ----
+    "q130_runtime_prune" -> ((s, _) => {
+      import s.implicits._
+      import graft.lakehouse.ScanEvents
+      val factRoot = java.nio.file.Files.createTempDirectory("graft-q130f").toString
+      val dimRoot = java.nio.file.Files.createTempDirectory("graft-q130d").toString
+      val fact = new LakehouseTable(s, factRoot)
+      (0 until 8).foreach { i =>
+        fact.append(((i * 1000L) until (i * 1000L + 1000L)).map(id => (id, s"v$id"))
+          .toDF("id", "payload").coalesce(1))
+      }
+      val dim = new LakehouseTable(s, dimRoot)
+      Seq(3000L, 6000L).foreach { base =>
+        dim.append((0L until 40L).map(k => (base + k, if ((base + k) % 2 == 0) "keep" else "drop"))
+          .toDF("id", "cat").coalesce(1))
+      }
+      def lake(root: String): DataFrame = s.read.format("graft-lakehouse").load(root)
+      def audit(step: String, df: DataFrame): (String, Long, Long, Long, Long) = {
+        val r = df.agg(count(lit(1)), coalesce(sum("id"), lit(0L))).collect()(0)
+        val info = ScanEvents.lastScan(factRoot).get
+        (step, r.getLong(0), r.getLong(1), info.filesPlanned.toLong, info.filesTotal.toLong)
+      }
+      val keepDim = lake(dimRoot).filter(col("cat") === "keep").select("id")
+      val a = audit("1_star_join", lake(factRoot).join(keepDim, "id"))
+      val b = audit("2_static_and_runtime",
+        lake(factRoot).filter(col("id") < 4000L).join(keepDim, "id"))
+      val inVals = (0 until 40).flatMap(k => Seq(500L + 3 * k, 2500L + 3 * k, 7010L + 3 * k))
+      val c = audit("3_large_in", lake(factRoot).filter(col("id").isin(inVals: _*)))
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(factRoot))
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(dimRoot))
+      Seq(a, b, c)
+        .toDF("step", "n_rows", "sum_ids", "files_planned", "files_total")
+        .orderBy(col("step"))
     })
   )
 
@@ -862,6 +905,39 @@ object CdcOpQueries {
       SELECT 'a_head' AS step, k, pri FROM head
       UNION ALL SELECT 'b_timetravel', k, pri FROM base
       UNION ALL SELECT 'c_postcompact', k, pri FROM head
-      ORDER BY step, k"""
+      ORDER BY step, k""",
+    // q130: join results re-derived over generated ranges; planner file
+    // counts are hand-derived constants — dim keys land in fact ranges
+    // 3 and 6 (2 files), the static id<4000 cut leaves range 3 (1), and
+    // the 120-literal IN spreads over ranges 0/2/7 (3 of 8).
+    "q130_runtime_prune" -> """
+      WITH fact AS (
+        SELECT CAST(k AS BIGINT) AS id FROM generate_series(0, 7999) t(k)),
+      keep AS (
+        SELECT id FROM (
+          SELECT CAST(3000 + k AS BIGINT) AS id FROM generate_series(0, 39) t(k)
+          UNION ALL
+          SELECT CAST(6000 + k AS BIGINT) FROM generate_series(0, 39) t(k)) d
+        WHERE id % 2 = 0),
+      inlist AS (
+        SELECT CAST(500 + 3 * k AS BIGINT) AS id FROM generate_series(0, 39) t(k)
+        UNION ALL
+        SELECT CAST(2500 + 3 * k AS BIGINT) FROM generate_series(0, 39) t(k)
+        UNION ALL
+        SELECT CAST(7010 + 3 * k AS BIGINT) FROM generate_series(0, 39) t(k))
+      SELECT * FROM (
+        SELECT '1_star_join' AS step, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(f.id) AS BIGINT) AS sum_ids,
+               2 AS files_planned, 8 AS files_total
+        FROM fact f JOIN keep d ON f.id = d.id
+        UNION ALL
+        SELECT '2_static_and_runtime', CAST(count(*) AS BIGINT),
+               CAST(sum(f.id) AS BIGINT), 1, 8
+        FROM fact f JOIN keep d ON f.id = d.id WHERE f.id < 4000
+        UNION ALL
+        SELECT '3_large_in', CAST(count(*) AS BIGINT),
+               CAST(sum(f.id) AS BIGINT), 3, 8
+        FROM fact f WHERE f.id IN (SELECT id FROM inlist)) r
+      ORDER BY step"""
   )
 }

@@ -230,9 +230,12 @@ class LakehouseDsv2Spec extends SparkSpec {
     val scans = spark.read.format("graft-lakehouse").load(t.root)
       .filter(col("id") === 7000L).select("payload")
       .queryExecution.executedPlan.collect {
-        case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
       }
     assert(scans.nonEmpty)
+    // id survives (the residual filter needs it) but nothing beyond the
+    // two referenced columns may reach the scan output
+    assert(scans.head.output.map(_.name).toSet.subsetOf(Set("id", "payload")))
   }
 
   test("pushed filters surface in the physical plan (PushedFilters metadata)") {
