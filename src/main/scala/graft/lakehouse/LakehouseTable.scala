@@ -49,6 +49,24 @@ final case class FileStats(rows: Long, cols: Map[String, ColumnStat],
   */
 final case class TxnMark(appId: String, version: Long)
 
+/** Another process published this table version between this writer's
+  * head read and its manifest publish — detected by the atomic
+  * put-if-absent commit ([[LakehouseTable]]'s `writeSnapshot`).
+  * Append-shaped commits absorb it internally by REBASING onto the new
+  * head (appends add files and remove nothing, so they can never
+  * conflict — the Delta blind-append rule); rewrite-shaped commits
+  * (upsert / CDC apply / delete / compact / SQL DML / overwrite /
+  * rollback / alter) surface it, because the files they planned to
+  * rewrite were chosen against a head that is no longer current — the
+  * caller re-runs the operation against the new head (the Delta
+  * `ConcurrentModificationException` contract).
+  */
+final class ConcurrentCommitException(val table: String, val version: Long)
+    extends java.util.ConcurrentModificationException(
+      s"concurrent commit on '$table': snapshot $version was published by " +
+        "another writer between this commit's head read and its publish; " +
+        "re-run the operation against the new table head")
+
 final case class Snapshot(
     snapshotId: Long,
     parentId: Option[Long],
@@ -212,7 +230,19 @@ private[lakehouse] object InProbes {
   * rewrites only the files that actually contain matching keys (read
   * amplification bounded by key locality, the same trick Iceberg/Delta
   * MERGE uses); compaction is per-partition-directory with a row cap.
-  * Single-writer (the reference serializes writes with a lock too).
+  *
+  * Concurrency: writers in ONE process serialize on [[writeLock]] (the
+  * reference serializes its writers with a lock too); ACROSS processes
+  * the commit is optimistic — manifests publish via an atomic
+  * put-if-absent, appends rebase past a lost race (data files are
+  * never rewritten; the same files re-commit on the new head, with
+  * txn marks re-checked so racing replicas of one streaming batch
+  * can't double-apply), and rewrite-shaped commits surface
+  * [[ConcurrentCommitException]] for the caller to re-run. Data
+  * directories carry a per-write nonce so racing claimants of one
+  * version can't clobber each other's uncommitted files, and vacuum
+  * gives unreferenced files the retention-cutoff grace before deleting
+  * (another process's in-flight write looks exactly like an orphan).
   */
 final class LakehouseTable(spark: SparkSession, val root: String) {
   private implicit val fmts: Formats = DefaultFormats
@@ -221,11 +251,14 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
   private val snapsDir = rootPath.resolve("_snapshots")
   private val dataDir = rootPath.resolve("data")
 
-  /** Single-writer exclusion: every snapshot-creating operation (sink
-    * writes AND maintenance) serializes on this lock — the engine-side
-    * form of the reference's shared asyncio write lock between the
-    * iceberg sink and its maintenance loops (`sinks/iceberg.py:93-101`,
-    * `lakehouse/maintenance.py:62-104`). Readers never take it:
+  /** In-process writer exclusion: every snapshot-creating operation
+    * (sink writes AND maintenance) serializes on this lock — the
+    * engine-side form of the reference's shared asyncio write lock
+    * between the iceberg sink and its maintenance loops
+    * (`sinks/iceberg.py:93-101`, `lakehouse/maintenance.py:62-104`).
+    * It is an OPTIMIZATION, not the safety story: cross-process (and
+    * cross-handle) writers are serialized by the atomic put-if-absent
+    * manifest publish in [[writeSnapshot]]. Readers never take it:
     * manifests are immutable once written, so a read sees a consistent
     * snapshot regardless of concurrent writes.
     */
@@ -263,11 +296,37 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
 
   private def nextId(): Long = currentSnapshot().map(_.snapshotId + 1).getOrElse(1L)
 
+  /** Test seam for the commit protocol: runs after a commit's snapshot
+    * body is final but BEFORE its atomic publish attempt, so a spec can
+    * inject a concurrent writer at exactly the race window and exercise
+    * the rebase/conflict paths deterministically. Production no-op.
+    */
+  private[graft] var onBeforePublish: () => Unit = () => ()
+
+  /** Publish a manifest ATOMICALLY with put-if-absent semantics: the
+    * body lands in a hidden temp file first, then hard-links to its
+    * final `<id>.json` name — a reader can never observe a torn
+    * manifest, and of two processes claiming the same version EXACTLY
+    * ONE wins the link (the loser gets [[ConcurrentCommitException]]
+    * and rebases or surfaces it). This is the filesystem form of a
+    * conditional PUT (if-none-match); an object-store port swaps the
+    * link for exactly that request.
+    */
   private def writeSnapshot(s0: Snapshot): Snapshot = {
     val s = s0.copy(stats = Some(manifestStatsFor(s0.files)))
     Files.createDirectories(snapsDir)
+    onBeforePublish()
     val p = snapsDir.resolve(f"${s.snapshotId}%09d.json")
-    Files.writeString(p, Serialization.write(s))
+    val tmp = Files.createTempFile(snapsDir, ".commit-", ".tmp")
+    try {
+      Files.writeString(tmp, Serialization.write(s))
+      try Files.createLink(p, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new ConcurrentCommitException(root, s.snapshotId)
+      }
+    } finally Files.deleteIfExists(tmp)
+    snapshotCache.put(p.getFileName.toString, s)
     s
   }
 
@@ -303,30 +362,67 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     */
   def append(df0: DataFrame, partitionBy: Seq[String] = Nil): Snapshot = writeLock.synchronized {
     appendWith(df0, partitionBy, mark = None)
+      .getOrElse(sys.error("unreachable: an unmarked append cannot be absorbed"))
   }
 
   /** Append `df` only if `version` is PAST `appId`'s last recorded
     * transaction mark; None means the batch was already applied (a
-    * streaming replay) and nothing was written. See [[TxnMark]].
+    * streaming replay, possibly by a RACING replica of the same app in
+    * another process) and nothing was committed. See [[TxnMark]].
     */
   def appendIdempotent(df: DataFrame, appId: String, version: Long,
       partitionBy: Seq[String] = Nil): Option[Snapshot] = writeLock.synchronized {
+    // cheap pre-check saves the data write for an already-applied batch;
+    // appendWith re-checks the mark against each rebased head anyway
     if (lastTxnVersion(appId).exists(_ >= version)) None
-    else Some(appendWith(df, partitionBy, Some(TxnMark(appId, version))))
+    else appendWith(df, partitionBy, Some(TxnMark(appId, version)))
   }
 
+  /** Append with cross-process rebase (the Delta blind-append rule):
+    * the data files are written ONCE; if another process claims the
+    * target version between this writer's head read and its publish,
+    * the commit REBASES — the same physical files re-commit on top of
+    * the new head (an append removes nothing, so it can never
+    * conflict). Schema compatibility re-validates against each new head
+    * (a racing writer may have evolved it), and a txn-marked append
+    * re-checks its mark per attempt: if the racing commit was a replica
+    * of the SAME producer batch (two instances of one streaming app),
+    * this one is absorbed (None) instead of double-applying.
+    */
   private def appendWith(df0: DataFrame, partitionBy: Seq[String],
-      mark: Option[TxnMark]): Snapshot = {
+      mark: Option[TxnMark]): Option[Snapshot] = {
     requireCompatibleSchema(df0)
     val df = canonicalizedNames(df0)
-    val id = nextId()
-    val newFiles = writeDataFiles(df, id, partitionCols = partitionBy)
-    val parent = currentSnapshot()
-    writeSnapshot(Snapshot(id, parent.map(_.snapshotId),
-      System.currentTimeMillis(), "append",
-      parent.map(_.files).getOrElse(Nil) ++ newFiles,
-      evolvedSchemaJson(df), txn = mark,
-      deletes = parent.flatMap(_.deletes)))
+    val claimedId = nextId()
+    val baseTombs = currentSnapshot().map(_.tombstones.toSet).getOrElse(Set.empty)
+    val newFiles = writeDataFiles(df, claimedId, partitionCols = partitionBy)
+    var attempt = 0
+    while (attempt < 16) {
+      if (mark.exists(m => lastTxnVersion(m.appId).exists(_ >= m.version)))
+        return None // a racing replica of this exact batch already landed
+      val parent = currentSnapshot()
+      requireCompatibleSchema(df) // the head (and its schema) may have moved
+      // MoR masking sequences on the PATH-derived origin (= claimedId
+      // here), so a racing CDC apply whose tombstone is newer than our
+      // claimed id would mask this append's rows as if they predated
+      // it. That one interleaving is a genuine conflict — surface it;
+      // every other racer (append/compact/rewrite) rebases safely.
+      val racedTombs = parent.map(_.tombstones.toSet).getOrElse(Set.empty) -- baseTombs
+      if (racedTombs.exists(originOf(_) > claimedId))
+        throw new ConcurrentCommitException(root, claimedId)
+      try {
+        return Some(writeSnapshot(Snapshot(nextId(), parent.map(_.snapshotId),
+          System.currentTimeMillis(), "append",
+          parent.map(_.files).getOrElse(Nil) ++ newFiles,
+          evolvedSchemaJson(df), txn = mark,
+          deletes = parent.flatMap(_.deletes))))
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt >= 16) throw e // livelock guard; the caller retries
+      }
+    }
+    sys.error("unreachable: loop exits only by return/throw")
   }
 
   /** Txn-ledger FLOOR: marks folded out of expired manifests so
@@ -908,6 +1004,19 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
       graft.Fs.walkAll(dataDir)
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
         .filterNot(p => live.contains(rootPath.relativize(p).toString))
+        // a file no manifest references may be ANOTHER PROCESS'S
+        // in-flight write (data lands before its manifest publishes) —
+        // vacuum it only once it is older than the retention cutoff,
+        // the same grace Delta's VACUUM gives uncommitted files
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoffMs)
+        .foreach(Files.deleteIfExists(_))
+    }
+    // orphaned commit temps (a writer that crashed mid-publish) age out
+    // on the same clock; live temps are seconds old and stay
+    if (Files.isDirectory(snapsDir)) {
+      graft.Fs.listAll(snapsDir)
+        .filter(_.getFileName.toString.endsWith(".tmp"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoffMs)
         .foreach(Files.deleteIfExists(_))
     }
     pruneBloomSidecars()
@@ -1969,14 +2078,21 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     dfs.reduceLeft(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** Write `df` as parquet under `data/s<id>[-suffix]/`, returning the
-    * root-relative paths of the files produced (hive-style `col=value`
-    * sub-dirs when `partitionCols` is set).
+  /** Write `df` as parquet under `data/s<id>[-suffix]-w<nonce>/`,
+    * returning the root-relative paths of the files produced
+    * (hive-style `col=value` sub-dirs when `partitionCols` is set).
+    * The per-write nonce makes the directory unique to THIS write
+    * attempt: two processes that both claimed version `id` can never
+    * clobber each other's uncommitted files (the dir name is a label —
+    * the manifest is the truth, and [[originOf]] reads only the digits,
+    * which stay correct under an append rebase because a rebased append
+    * carries no tombstones and masks nothing).
     */
   private def writeDataFiles(
       df: DataFrame, id: Long, suffix: String = "",
       partitionCols: Seq[String] = Nil): Seq[String] = {
-    val dirName = if (suffix.isEmpty) s"s$id" else s"s$id-$suffix"
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dirName = (if (suffix.isEmpty) s"s$id" else s"s$id-$suffix") + s"-w$nonce"
     val outDir = dataDir.resolve(dirName)
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)

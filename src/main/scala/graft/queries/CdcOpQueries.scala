@@ -695,6 +695,58 @@ object CdcOpQueries {
       Seq(a, b, c)
         .toDF("step", "n_rows", "sum_ids", "files_planned", "files_total")
         .orderBy(col("step"))
+    }),
+    // ---- cross-process commit protocol (round 9): two table handles
+    //      over one root stand in for two PROCESSES (separate locks,
+    //      separate caches) and the publish seam injects a racing
+    //      commit at exactly the window between head read and manifest
+    //      publish. Gates all three protocol verdicts end-to-end:
+    //      an append losing the race REBASES (both writers' rows land,
+    //      one winner per version), racing replicas of one txn-marked
+    //      streaming batch land ONCE, and a rewrite losing the race
+    //      surfaces ConcurrentCommitException and succeeds on re-run
+    //      against the new head. The oracle re-derives the final table
+    //      and the six-snapshot lineage relationally. ----
+    "q131_concurrent_commits" -> ((s, dir) => {
+      import s.implicits._
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_q131_occ").toString
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+      val a = new LakehouseTable(s, root)
+      val b = new LakehouseTable(s, root) // the "other process"
+      def raceOnce(body: => Unit): Unit =
+        a.onBeforePublish = () => { a.onBeforePublish = () => (); body }
+      val orders = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"))
+      def part(m: Int) = orders.filter(col("k") % 4 === m)
+
+      a.append(part(0)) // s1
+      // race 1 — blind-append rebase: b commits while a is mid-publish
+      raceOnce { b.append(part(2)) } // s2 (wins a's claimed version)
+      a.append(part(1)) // s3, rebased onto b's head
+      // race 2 — replica absorption: the SAME txn-marked batch from two
+      // instances of one streaming app; exactly one may land
+      raceOnce { require(b.appendIdempotent(part(3), "q131-app", 1L).isDefined) }
+      require(a.appendIdempotent(part(3), "q131-app", 1L).isEmpty,
+        "racing replica of an applied batch must absorb, not double-apply") // s4 is b's
+      // race 3 — rewrite conflict: a keyed upsert planned against a head
+      // that moves mid-publish must refuse, then succeed on re-run
+      val racer4 = orders.filter(col("k") % 10 === 5)
+        .withColumn("k", col("k") + 2000000L).withColumn("pri", lit("RACER4"))
+      val patch = part(0).filter(col("k") % 8 === 4).withColumn("pri", lit("PATCHED"))
+      raceOnce { b.append(racer4) } // s5
+      val conflicted =
+        try { a.upsert(patch, Seq("k")); false }
+        catch { case _: graft.lakehouse.ConcurrentCommitException => true }
+      require(conflicted,
+        "a rewrite losing the publish race must surface ConcurrentCommitException")
+      a.upsert(patch, Seq("k")) // s6, re-run against the new head
+      val lineage = a.listSnapshots()
+        .map(sn => (s"z_lineage", sn.snapshotId, sn.operation))
+        .toDF("step", "k", "pri")
+      a.read().select(lit("a_rows").as("step"), col("k"), col("pri"))
+        .unionByName(lineage)
+        .orderBy(col("step"), col("k"), col("pri"))
     })
   )
 
@@ -938,6 +990,24 @@ object CdcOpQueries {
         SELECT '3_large_in', CAST(count(*) AS BIGINT),
                CAST(sum(f.id) AS BIGINT), 3, 8
         FROM fact f WHERE f.id IN (SELECT id FROM inlist)) r
-      ORDER BY step"""
+      ORDER BY step""",
+    // q131: all four append batches land exactly once (the %4 classes
+    // cover every order; the racing replica pair contributes ONE copy
+    // of class 3), the racer's shifted RACER4 rows survive the losing
+    // upsert's failed attempt, and the re-run upsert patches exactly
+    // the k%8=4 keys. Lineage is five appends then the one upsert —
+    // one winner per version, rebased or re-run.
+    "q131_concurrent_commits" -> """
+      WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri FROM orders),
+      final AS (
+        SELECT k, CASE WHEN k % 8 = 4 THEN 'PATCHED' ELSE pri END AS pri FROM o
+        UNION ALL
+        SELECT k + 2000000, 'RACER4' FROM o WHERE k % 10 = 5)
+      SELECT 'a_rows' AS step, CAST(k AS BIGINT) AS k, pri FROM final
+      UNION ALL
+      SELECT 'z_lineage', CAST(s AS BIGINT), op FROM (VALUES
+        (1, 'append'), (2, 'append'), (3, 'append'),
+        (4, 'append'), (5, 'append'), (6, 'upsert')) t(s, op)
+      ORDER BY step, k, pri"""
   )
 }
