@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, Statistics, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, Statistics, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile, PartitioningUtils}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
@@ -51,7 +52,8 @@ final class LakehouseBatchScan(
     options: Map[String, String],
     required: StructType,
     accepted: Array[Filter])
-  extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
+  extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics
+  with SupportsReportPartitioning {
 
   @transient private lazy val spark = SparkSession.active
   @transient private lazy val resolved: (LakehouseTable, Snapshot) =
@@ -94,8 +96,64 @@ final class LakehouseBatchScan(
     required.fieldNames.map(Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit = {
+    // Under storage-partitioned-join reporting Spark REQUIRES runtime
+    // filtering to preserve the set of partition keys (BatchScanExec
+    // re-groups and refuses a changed key set), so the scan skips
+    // file-level runtime pruning there — SPJ already removed the
+    // shuffle, which is the bigger win; row-group/row filtering still
+    // applies inside the readers.
+    if (spjFields.nonEmpty) return
     runtimeKeep = Some(LakehouseSource.pruneForFilters(t, snap, filters.toSeq).toSet)
     runtimeDesc = filters.map(f => s"runtime: $f").toSeq
+  }
+
+  // ---------------- storage-partitioned joins ----------------
+
+  /** Projected fields backing the hive partition columns, in path
+    * order — non-empty iff this scan can report
+    * [[KeyGroupedPartitioning]]: the session opted in
+    * (`spark.sql.sources.v2.bucketing.enabled`), EVERY snapshot file is
+    * hive-partitioned under the SAME column set, and all of those
+    * columns are projected (the clustering expressions must resolve
+    * against the scan output). Two lakehouse tables laid out on the
+    * same keys then JOIN WITHOUT A SHUFFLE — each task reads one
+    * matching partition-value group from each side (the Iceberg SPJ
+    * shape, the 100 TB fact⋈fact story where broadcast can't help).
+    */
+  @transient private lazy val spjFields: Array[StructField] = {
+    if (!spark.sessionState.conf.v2BucketingEnabled) Array.empty
+    else {
+      val perFile = staticFiles.map(pathColKeys).distinct
+      perFile match {
+        case Seq(cols) if cols.nonEmpty =>
+          val byKey = required.fields.map(f => t.resolvedNameKey(f.name) -> f).toMap
+          val fields = cols.flatMap(byKey.get)
+          if (fields.size == cols.size) fields.toArray else Array.empty[StructField]
+        case _ => Array.empty[StructField]
+      }
+    }
+  }
+
+  override def outputPartitioning(): Partitioning =
+    if (spjFields.isEmpty) new UnknownPartitioning(0)
+    else new KeyGroupedPartitioning(
+      spjFields.map(f => Expressions.identity(f.name): org.apache.spark.sql.connector.expressions.Expression),
+      spjKeyOf.values.toSet.size)
+
+  /** raw path-segment partition values of a file for the SPJ columns,
+    * keyed per file (grouping signature; decoded values become the
+    * partition key row).
+    */
+  @transient private lazy val spjKeyOf: Map[String, Seq[String]] = {
+    if (spjFields.isEmpty) Map.empty
+    else {
+      val wanted = spjFields.map(f => t.resolvedNameKey(f.name))
+      staticFiles.map { f =>
+        val segs = f.split('/').filter(_.contains("=")).map(_.split("=", 2))
+          .map { case Array(k, v) => t.resolvedNameKey(k) -> v }.toMap
+        f -> wanted.map(segs(_)).toSeq
+      }.toMap
+    }
   }
 
   // ---------------- statistics (manifest-exact) ----------------
@@ -133,8 +191,13 @@ final class LakehouseBatchScan(
     if (files.isEmpty) return Array.empty
 
     val reqKeys = required.fieldNames.map(t.resolvedNameKey).toSet
-    val grouped = files.groupBy(f => pathColKeys(f).filter(reqKeys)).toSeq
-      .sortBy(_._1.mkString(","))
+    // under SPJ each group is ONE partition-value tuple (tasks align
+    // value-for-value across the join); otherwise groups are layout
+    // signatures only and files pack freely
+    val grouped = files
+      .groupBy(f => (pathColKeys(f).filter(reqKeys), spjKeyOf.get(f).getOrElse(Nil)))
+      .toSeq.sortBy { case ((sig, key), _) => (sig.mkString(","), key.mkString(",")) }
+      .map { case ((sig, _), fs) => (sig, fs) }
 
     val conf = spark.sessionState.conf
     val openCost = conf.filesOpenCostInBytes
@@ -168,9 +231,14 @@ final class LakehouseBatchScan(
       val spec = LakehouseGroupSpec(
         readerFactoryFor(StructType(dataFields), StructType(partFields)),
         perm, required.fields.map(_.dataType))
+      // SPJ key row (decoded partition values in clustering order);
+      // same-key partitions merge into one task group in BatchScanExec
+      val keyRow =
+        if (spjFields.isEmpty) null
+        else partitionValuesFor(groupFiles.head, spjFields, zone)
       FilePartition.getFilePartitions(spark, pfs.sortBy(-_.length), maxSplit).map { fp =>
         val p = LakehouseGroupedPartition(spec, fp.copy(index = globalIdx),
-          fp.preferredLocations())
+          fp.preferredLocations(), keyRow)
         globalIdx += 1
         p
       }
@@ -239,11 +307,21 @@ final class LakehouseBatchScan(
     new LakehouseReaderFactory
 }
 
-/** An input partition carrying its layout group's reader spec. */
+/** An input partition carrying its layout group's reader spec, plus —
+  * when the scan reports storage-partitioned-join clustering — the
+  * decoded partition-value key Spark groups tasks by (`key` is null
+  * outside SPJ, where `partitionKey` is never consulted: Spark only
+  * calls it when the scan reported [[KeyGroupedPartitioning]]).
+  */
 private[lakehouse] final case class LakehouseGroupedPartition(
     spec: LakehouseGroupSpec, fp: FilePartition,
-    locations: Array[String]) extends InputPartition {
+    locations: Array[String], key: InternalRow = null)
+  extends InputPartition with HasPartitionKey {
   override def preferredLocations(): Array[String] = locations
+  override def partitionKey(): InternalRow = {
+    require(key != null, "partitionKey consulted outside SPJ reporting")
+    key
+  }
 }
 
 private[lakehouse] final case class LakehouseGroupSpec(

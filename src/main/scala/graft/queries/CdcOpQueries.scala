@@ -747,6 +747,47 @@ object CdcOpQueries {
       a.read().select(lit("a_rows").as("step"), col("k"), col("pri"))
         .unionByName(lineage)
         .orderBy(col("step"), col("k"), col("pri"))
+    }),
+    // ---- storage-partitioned join (round 9): two lakehouse tables
+    //      laid out on the same hive partition column aggregate AND
+    //      join with ZERO shuffle exchanges — the scan reports
+    //      KeyGroupedPartitioning and Spark aligns tasks
+    //      value-for-value (the Iceberg SPJ shape; the 100 TB
+    //      fact⋈fact join broadcast can't save). The plan's shuffle
+    //      count rides in the output as a hash-gated row, so a
+    //      regression that reintroduces the exchange flips the gate,
+    //      not just a spec. ----
+    "q132_spj" -> ((s, dir) => {
+      import s.implicits._
+      val lroot = java.nio.file.Files.createTempDirectory("graft-q132l").toString
+      val rroot = java.nio.file.Files.createTempDirectory("graft-q132r").toString
+      val orders = graft.Tables.load(s, dir, "orders")
+        .select((col("o_orderkey") % 8).as("cell"), col("o_orderkey").as("k"))
+      new LakehouseTable(s, lroot).append(orders, partitionBy = Seq("cell"))
+      new LakehouseTable(s, rroot).append(
+        orders.filter(col("k") % 3 === 0), partitionBy = Seq("cell"))
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        def side(root: String, names: String*) =
+          s.read.format("graft-lakehouse").load(root)
+            .groupBy("cell").agg(count(lit(1)), sum("k")).toDF("cell" +: names: _*)
+        val j = side(lroot, "lcnt", "lsum").join(side(rroot, "rcnt", "rsum"), "cell")
+        val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(
+          j.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))).size
+        val rows = j.collect().map(r0 =>
+          (r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getLong(3), r0.getLong(4)))
+        (rows.toSeq :+ ((-1L, exchanges.toLong, 0L, 0L, 0L)))
+          .toDF("cell", "lcnt", "lsum", "rcnt", "rsum").orderBy("cell")
+      } finally {
+        s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        s.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(lroot))
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(rroot))
+      }
     })
   )
 
@@ -1008,6 +1049,20 @@ object CdcOpQueries {
       SELECT 'z_lineage', CAST(s AS BIGINT), op FROM (VALUES
         (1, 'append'), (2, 'append'), (3, 'append'),
         (4, 'append'), (5, 'append'), (6, 'upsert')) t(s, op)
-      ORDER BY step, k, pri"""
+      ORDER BY step, k, pri""",
+    // q132: per-cell aggregates re-derived relationally; the -1 row is
+    // the PLAN gate — lcnt carries the shuffle-exchange count of the
+    // agg+join, which storage-partitioned execution must hold at ZERO.
+    "q132_spj" -> """
+      WITH o AS (SELECT o_orderkey % 8 AS cell, o_orderkey AS k FROM orders),
+      l AS (SELECT cell, count(*) AS lcnt, CAST(sum(k) AS BIGINT) AS lsum
+            FROM o GROUP BY cell),
+      r AS (SELECT cell, count(*) AS rcnt, CAST(sum(k) AS BIGINT) AS rsum
+            FROM o WHERE k % 3 = 0 GROUP BY cell)
+      SELECT CAST(l.cell AS BIGINT) AS cell, lcnt, lsum, rcnt, rsum
+      FROM l JOIN r ON l.cell = r.cell
+      UNION ALL
+      SELECT -1, 0, 0, 0, 0
+      ORDER BY cell"""
   )
 }

@@ -1,0 +1,107 @@
+package graft.lakehouse
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Storage-partitioned joins: two lakehouse tables laid out on the
+  * same hive partition columns join (and pre-aggregate) with ZERO
+  * shuffle — the scan reports `KeyGroupedPartitioning` and Spark
+  * aligns tasks value-for-value (the Iceberg SPJ shape; at 100 TB this
+  * is the fact⋈fact join broadcast can't save). Opt-in via
+  * `spark.sql.sources.v2.bucketing.enabled`, exactly like Iceberg.
+  */
+class LakehouseSpjSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(prefix: String, rows: Seq[(Long, Long, String)]): String = {
+    val root = tmpDir(prefix)
+    val t = new LakehouseTable(spark, root)
+    // two appends → several files per cell (SPJ must merge same-key files)
+    val (a, b) = rows.splitAt(rows.size / 2)
+    t.append(a.toDF("cell", "id", "v"), partitionBy = Seq("cell"))
+    t.append(b.toDF("cell", "id", "v"), partitionBy = Seq("cell"))
+    root
+  }
+  private def lake(root: String): DataFrame =
+    spark.read.format("graft-lakehouse").load(root)
+
+  private def perCellJoin(l: String, r: String): DataFrame =
+    lake(l).groupBy("cell").agg(sum("id").as("lsum"))
+      .join(lake(r).groupBy("cell").agg(sum("id").as("rsum")), "cell")
+
+  private def fmt(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def shuffles(df: DataFrame): Int =
+    "\\(\\d+\\) Exchange".r.findAllIn(fmt(df)).size
+
+  private def withSpj[A](on: Boolean)(body: => A): A = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", on.toString)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("co-partitioned agg + join runs with ZERO shuffles under SPJ; same result as the shuffle plan") {
+    val l = mkTable("spj-l", (0L until 400L).map(i => (i % 4, i, s"l$i")))
+    val r = mkTable("spj-r", (0L until 400L).map(i => (i % 4, i * 3, s"r$i")))
+    val expected = withSpj(on = false) {
+      val df = perCellJoin(l, r)
+      assert(shuffles(df) > 0, "baseline must be the shuffling plan")
+      df.collect().toSet
+    }
+    withSpj(on = true) {
+      val df = perCellJoin(l, r)
+      assert(shuffles(df) === 0,
+        s"co-partitioned agg+join must not shuffle:\n${fmt(df)}")
+      assert(df.collect().toSet === expected)
+    }
+  }
+
+  test("partition-value sets may differ across sides (push-down part values pads the gap)") {
+    // left covers cells 0..3, right only 0..2 — SPJ must not lose or
+    // fabricate rows for the uncovered cell
+    val l = mkTable("spj-miss-l", (0L until 400L).map(i => (i % 4, i, s"l$i")))
+    val r = mkTable("spj-miss-r", (0L until 300L).map(i => (i % 3, i, s"r$i")))
+    val expected = withSpj(on = false) { perCellJoin(l, r).collect().toSet }
+    withSpj(on = true) {
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      try assert(perCellJoin(l, r).collect().toSet === expected)
+      finally spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+    }
+  }
+
+  test("unpartitioned and mixed-layout tables stay on UnknownPartitioning (correct, shuffled)") {
+    val flatRoot = tmpDir("spj-flat")
+    new LakehouseTable(spark, flatRoot)
+      .append((0L until 100L).map(i => (i % 4, i, s"f$i")).toDF("cell", "id", "v"))
+    // mixed lineage: one hive append + one flat append → ineligible
+    val mixedRoot = tmpDir("spj-mixed")
+    val mt = new LakehouseTable(spark, mixedRoot)
+    mt.append((0L until 50L).map(i => (i % 4, i, s"m$i")).toDF("cell", "id", "v"),
+      partitionBy = Seq("cell"))
+    mt.append((50L until 100L).map(i => (i % 4, i, s"m$i")).toDF("cell", "id", "v"))
+    withSpj(on = true) {
+      Seq(flatRoot, mixedRoot).foreach { root =>
+        val df = lake(root).groupBy("cell").agg(sum("id").as("s"))
+        assert(shuffles(df) > 0, "ineligible layouts must keep the shuffle")
+        assert(df.count() === 4)
+      }
+    }
+  }
+
+  test("SPJ-reporting scan still answers filters correctly (runtime pruning stands down)") {
+    val l = mkTable("spj-filter-l", (0L until 400L).map(i => (i % 4, i, s"l$i")))
+    val r = mkTable("spj-filter-r", (0L until 400L).map(i => (i % 4, i, s"r$i")))
+    withSpj(on = true) {
+      val j = lake(l).filter(col("id") < 100L)
+        .join(lake(r).groupBy("cell").agg(count(lit(1)).as("n")), "cell")
+      assert(j.count() === 100L)
+    }
+  }
+}
