@@ -34,14 +34,30 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   * N snapshots of backlog (admission control — the Delta
   * maxFilesPerTrigger analogue); unset, a batch takes everything up
   * to the head.
+  *
+  * `.option("maxFilesPerTrigger", M)` additionally bounds the
+  * BOOTSTRAP: a cold start against a table whose initial snapshot is
+  * the whole dataset (the bulk-load norm) would otherwise arrive as
+  * ONE micro-batch no matter what the snapshot cap says — at 100 TB
+  * that means no incremental checkpoint progress and a failure
+  * anywhere replays everything. With M set, the bootstrap snapshot's
+  * file list (immutable, manifest-ordered) drains as ⌈files/M⌉
+  * checkpointed batches through mid-bootstrap offsets
+  * (`{"s":snapshot,"f":filesDelivered}`), each a pure function of its
+  * pinned range — a restart resumes at the recorded file index, never
+  * from zero. Incremental batches stay snapshot-granular (they cost
+  * change volume, not table size).
   */
 final class ChangeFeedSource(sqlContext: SQLContext, root: String,
-    maxSnapshotsPerTrigger: Option[Long] = None)
+    maxSnapshotsPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   require(maxSnapshotsPerTrigger.forall(_ > 0),
     s"maxSnapshotsPerTrigger must be positive, got $maxSnapshotsPerTrigger")
+  require(maxFilesPerTrigger.forall(_ > 0),
+    s"maxFilesPerTrigger must be positive, got $maxFilesPerTrigger")
 
   private val table = new LakehouseTable(sqlContext.sparkSession, root)
 
@@ -71,26 +87,45 @@ final class ChangeFeedSource(sqlContext: SQLContext, root: String,
     * engine keeps cycling batches until the clamped offset reaches
     * the head pinned at prepare time.
     */
-  private def clampedHead(
-      start: Option[Long]): Option[Long] = {
-    val head = availableNowHead.orElse(table.currentSnapshot().map(_.snapshotId))
-    (head, maxSnapshotsPerTrigger) match {
-      case (Some(h), Some(n)) =>
-        val from = start.getOrElse {
-          // cold start: bootstrap from the earliest retained snapshot,
-          // then drain forward N at a time
-          table.listSnapshots().headOption.map(_.snapshotId - 1).getOrElse(h)
-        }
-        Some(math.min(h, from + n))
-      case _ => head
-    }
-  }
+  private def filesOf(s: Long): Seq[String] = table.snapshotOrThrow(s).files
 
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : org.apache.spark.sql.connector.read.streaming.Offset =
-    clampedHead(Option(start).map(_.json.trim.toLong)).map(LongOffset(_)).orNull
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val head = availableNowHead.orElse(table.currentSnapshot().map(_.snapshotId))
+      .getOrElse(return null)
+    Option(start).map(o => ChangeFeedSource.parsePos(o.json)) match {
+      case None =>
+        // cold start: with a snapshot cap, bootstrap from the earliest
+        // retained snapshot and drain forward N at a time; otherwise
+        // bootstrap the head state directly
+        val bootEnd = maxSnapshotsPerTrigger match {
+          case Some(n) =>
+            val from = table.listSnapshots().headOption
+              .map(_.snapshotId - 1).getOrElse(head)
+            math.min(head, from + n)
+          case None => head
+        }
+        maxFilesPerTrigger match {
+          case Some(m) if filesOf(bootEnd).size > m =>
+            FileSliceOffset(bootEnd, m) // begin a chunked bootstrap
+          case _ => LongOffset(bootEnd)
+        }
+      case Some(Right((s, k))) =>
+        // mid-bootstrap: advance the file cursor; the final slice lands
+        // on the plain snapshot offset, ending the bootstrap phase (if
+        // the cap was removed across a restart, the remainder is one
+        // batch)
+        maxFilesPerTrigger match {
+          case Some(m) if k + m < filesOf(s).size => FileSliceOffset(s, k + m)
+          case _ => LongOffset(s)
+        }
+      case Some(Left(s)) =>
+        val end = maxSnapshotsPerTrigger.fold(head)(n => math.min(head, s + n))
+        LongOffset(math.max(end, s)) // the head never regresses below a committed offset
+    }
+  }
 
   override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
     table.currentSnapshot().map(s => LongOffset(s.snapshotId)).orNull
@@ -98,13 +133,37 @@ final class ChangeFeedSource(sqlContext: SQLContext, root: String,
   override def getOffset: Option[Offset] =
     table.currentSnapshot().map(s => LongOffset(s.snapshotId))
 
+  /** Bootstrap file slice [from, until) of snapshot `s`, as inserts —
+    * the manifest-ordered immutable file list makes every slice a pure
+    * function of its offsets (tombstones, if any, mask per-row, so
+    * slicing commutes with masking).
+    */
+  private def bootSlice(s: Long, from: Long, until: Long): DataFrame = {
+    val snap = table.snapshotOrThrow(s)
+    table.scanFiles(snap, snap.files.slice(from.toInt, until.toInt))
+      .withColumn("_change", lit("insert"))
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val endId = ChangeFeedSource.offsetId(end)
-    val batch = start.map(ChangeFeedSource.offsetId) match {
-      case Some(s) if s >= endId =>
+    import ChangeFeedSource.parsePos
+    val batch = (start.map(o => parsePos(o.json)), parsePos(end.json)) match {
+      case (None, Right((s, k))) => bootSlice(s, 0L, k)
+      case (None, Left(e)) =>
+        table.scanAtSnapshot(e).withColumn("_change", lit("insert"))
+      case (Some(Right((s1, k1))), Right((s2, k2))) =>
+        require(s1 == s2 && k1 < k2,
+          s"non-monotone bootstrap range ($s1,$k1) -> ($s2,$k2)")
+        bootSlice(s1, k1, k2)
+      case (Some(Right((s, k))), Left(e)) =>
+        // the bootstrap's final slice; a same-batch head advance (e > s)
+        // appends the incremental diff — still a pure function of range
+        val rest = bootSlice(s, k, filesOf(s).size.toLong)
+        if (e > s) rest.unionByName(table.changesBetween(s, e)) else rest
+      case (Some(Left(s)), Left(e)) if s >= e =>
         table.read().filter(lit(false)).withColumn("_change", lit(""))
-      case Some(s) => table.changesBetween(s, endId)
-      case None => table.scanAtSnapshot(endId).withColumn("_change", lit("insert"))
+      case (Some(Left(s)), Left(e)) => table.changesBetween(s, e)
+      case (Some(Left(s)), Right((s2, _))) => throw new IllegalStateException(
+        s"bootstrap offset ($s2) cannot follow a committed snapshot offset ($s)")
     }
     // conform to the declared stream schema (widen-only evolution may
     // have grown the table since the stream started; late columns
@@ -125,7 +184,30 @@ final class ChangeFeedSource(sqlContext: SQLContext, root: String,
   override def stop(): Unit = ()
 }
 
+/** Mid-bootstrap position: snapshot `snap`'s first `files` manifest
+  * files have been delivered. Ends at the plain snapshot offset.
+  */
+private[lakehouse] final case class FileSliceOffset(snap: Long, files: Long)
+    extends Offset {
+  override val json: String = s"""{"s":$snap,"f":$files}"""
+}
+
 object ChangeFeedSource {
+  private val slicePattern = """\{"s":(\d+),"f":(\d+)\}""".r
+
+  /** Offset positions: `Left(snapshotId)` for the committed-snapshot
+    * form (plain long json, the only form pre-chunked-bootstrap
+    * checkpoints contain), `Right((snapshot, filesDelivered))` for a
+    * mid-bootstrap cursor. Restart hands back checkpointed json as
+    * `SerializedOffset`; live cycles hand the typed offsets — parsing
+    * the json covers both.
+    */
+  private[lakehouse] def parsePos(json: String): Either[Long, (Long, Long)] =
+    json.trim match {
+      case slicePattern(s, f) => Right((s.toLong, f.toLong))
+      case t => Left(t.toLong)
+    }
+
   /** Table schema + the `_change` tag, fixed at stream start. */
   private[lakehouse] def feedSchema(table: LakehouseTable): StructType = {
     val snap = table.currentSnapshot().getOrElse(throw new IllegalStateException(
@@ -133,11 +215,6 @@ object ChangeFeedSource {
     val base = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     StructType(base.fields :+ StructField("_change", StringType, nullable = false))
   }
-
-  /** Restart hands back the checkpointed JSON as a `SerializedOffset`;
-    * a live cycle hands `LongOffset` — `json` is the long either way.
-    */
-  private def offsetId(o: Offset): Long = o.json.trim.toLong
 
   /** Rebuild `df` as an isStreaming DataFrame: evaluate its plan to an
     * InternalRow RDD and wrap it through the session's internal
@@ -239,5 +316,6 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
       providerName: String,
       parameters: Map[String, String]): Source =
     new ChangeFeedSource(sqlContext, rootOf(parameters),
-      maxSnapshotsPerTrigger = longOpt(parameters, "maxSnapshotsPerTrigger"))
+      maxSnapshotsPerTrigger = longOpt(parameters, "maxSnapshotsPerTrigger"),
+      maxFilesPerTrigger = longOpt(parameters, "maxFilesPerTrigger"))
 }

@@ -774,6 +774,74 @@ class StreamingEquivalenceSpec extends SparkSpec {
       "a re-drain from a fresh checkpoint must deliver the same total change volume")
   }
 
+  test("chunked bootstrap: maxFilesPerTrigger splits a bulk-load snapshot into resumable file-slice batches") {
+    import spark.implicits._
+    import graft.lakehouse.{ChangeFeedSource, LakehouseTable}
+    val root = tmpDir("cdf-boot")
+    val t = new LakehouseTable(spark, root)
+    // the 100 TB bulk-load shape: ONE snapshot carrying the whole
+    // dataset (8 files) — snapshot-granular admission control alone
+    // cannot split it
+    t.append((0L until 800L).map(i => (i, s"v$i")).toDF("id", "v").repartition(8))
+    t.append(Seq((9000L, "late")).toDF("id", "v")) // an incremental tail
+
+    val batches = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val out = new LakehouseTable(spark, tmpDir("cdf-boot-out"))
+    val q = spark.readStream
+      .format("graft-changefeed").option("path", root)
+      .option("maxSnapshotsPerTrigger", "1")
+      .option("maxFilesPerTrigger", "3")
+      .load()
+      .writeStream
+      .option("checkpointLocation", tmpDir("cdf-boot-ckpt"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batches.synchronized { batches += ((batchId, df.count())) }
+        out.applyChanges(df, Seq("id"), txn = Some(("boot", batchId)))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "chunked bootstrap did not drain")
+
+    // 8 bootstrap files at ≤3/trigger = 3 slices, then the 1-row diff:
+    // incremental checkpoint progress instead of one table-sized batch
+    assert(batches.size === 4,
+      s"8 files at 3/trigger + 1 diff must be 4 batches, got ${batches.toSeq}")
+    assert(batches.map(_._2).toSeq === Seq(300L, 300L, 200L, 1L),
+      s"slice sizes must follow the manifest file order, got ${batches.toSeq}")
+    val (x, y) = (out.read(), t.read())
+    assert(x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty,
+      "chunked bootstrap must converge to the head state")
+
+    // mid-bootstrap crash/restart at the SOURCE level: a fresh source
+    // resuming from a checkpointed file-slice offset replays the exact
+    // pinned slice (pure function of range), then continues — never
+    // from zero
+    import org.apache.spark.sql.execution.streaming.SerializedOffset
+    def src() = new ChangeFeedSource(spark.sqlContext, root,
+      maxSnapshotsPerTrigger = None, maxFilesPerTrigger = Some(4))
+    // getBatch hands back isStreaming frames (the engine's contract;
+    // batch actions refuse them) wrapping an already-materialized
+    // InternalRow RDD — count that RDD directly, as the engine would
+    def rows(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.logical
+        .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd.count()
+    val s1 = src()
+    val o1 = s1.latestOffset(null, null)
+    assert(o1.json === """{"s":2,"f":4}""", s"got ${o1.json}")
+    assert(rows(s1.getBatch(None, SerializedOffset(o1.json))) === 400)
+    val s2 = src() // the restarted process
+    val o2 = s2.latestOffset(o1, null)
+    assert(o2.json === """{"s":2,"f":8}""")
+    assert(rows(s2.getBatch(Some(SerializedOffset(o1.json)), SerializedOffset(o2.json))) === 400)
+    val o3 = s2.latestOffset(o2, null)
+    assert(o3.json === "2", "the final slice lands on the plain snapshot offset")
+    // the 9th file (the late row); head == s, so no diff rides along
+    assert(rows(s2.getBatch(Some(SerializedOffset(o2.json)), SerializedOffset(o3.json))) === 1)
+    // replay purity: the same pinned range returns the identical slice
+    assert(rows(s2.getBatch(None, SerializedOffset(o1.json))) === 400)
+  }
+
   test("batch CDF read: spark.read.format(graft-changefeed) with a snapshot range equals changesBetween; bare load is the bootstrap") {
     import spark.implicits._
     import graft.lakehouse.LakehouseTable
