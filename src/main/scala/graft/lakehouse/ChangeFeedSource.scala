@@ -47,10 +47,19 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   * pinned range — a restart resumes at the recorded file index, never
   * from zero. Incremental batches stay snapshot-granular (they cost
   * change volume, not table size).
+  *
+  * `.option("maxBytesPerTrigger", B)` is the byte-denominated form
+  * (the Delta analogue), answered ENTIRELY from manifest-recorded file
+  * sizes — zero I/O: bootstrap slices stop growing at B bytes, and an
+  * incremental batch takes the furthest snapshot range whose
+  * cumulative added-file bytes fit. Both caps compose (whichever
+  * binds first); each batch always makes at least one file / one
+  * snapshot of progress so the stream can't stall.
   */
 final class ChangeFeedSource(sqlContext: SQLContext, root: String,
     maxSnapshotsPerTrigger: Option[Long] = None,
-    maxFilesPerTrigger: Option[Long] = None)
+    maxFilesPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -58,6 +67,8 @@ final class ChangeFeedSource(sqlContext: SQLContext, root: String,
     s"maxSnapshotsPerTrigger must be positive, got $maxSnapshotsPerTrigger")
   require(maxFilesPerTrigger.forall(_ > 0),
     s"maxFilesPerTrigger must be positive, got $maxFilesPerTrigger")
+  require(maxBytesPerTrigger.forall(_ > 0),
+    s"maxBytesPerTrigger must be positive, got $maxBytesPerTrigger")
 
   private val table = new LakehouseTable(sqlContext.sparkSession, root)
 
@@ -89,6 +100,51 @@ final class ChangeFeedSource(sqlContext: SQLContext, root: String,
     */
   private def filesOf(s: Long): Seq[String] = table.snapshotOrThrow(s).files
 
+  /** Bootstrap cursor advance from file index `from` of snapshot `s`:
+    * take files while BOTH caps hold (manifest-recorded byte sizes —
+    * zero I/O), always at least one so the stream can't stall.
+    */
+  private def nextSliceEnd(s: Long, from: Long): Long = {
+    val snap = table.snapshotOrThrow(s)
+    val countCap = maxFilesPerTrigger.getOrElse(Long.MaxValue)
+    val bytesCap = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    var i = from
+    var acc = 0L
+    var cont = true
+    while (cont && i < snap.files.size && (i - from) < countCap) {
+      val sz = table.fileSizeOf(snap, snap.files(i.toInt))
+      if (i > from && acc + sz > bytesCap) cont = false
+      else { acc += sz; i += 1 }
+    }
+    i
+  }
+
+  /** Incremental range end past committed snapshot `s`: the furthest
+    * snapshot whose cumulative ADDED-file bytes stay within the bytes
+    * cap (manifest sizes, metadata-only), intersected with the
+    * snapshot-count cap; always at least one snapshot of progress.
+    */
+  private def incrementalEnd(s: Long, head: Long): Long = {
+    val bySnaps = maxSnapshotsPerTrigger.fold(head)(n => math.min(head, s + n))
+    maxBytesPerTrigger match {
+      case Some(b) if bySnaps > s =>
+        val snaps = table.listSnapshots()
+        var prev = snaps.find(_.snapshotId == s).map(_.files.toSet).getOrElse(Set.empty)
+        var e = s
+        var acc = 0L
+        snaps.filter(x => x.snapshotId > s && x.snapshotId <= bySnaps)
+          .takeWhile { sn =>
+            val bytes = sn.files.filterNot(prev)
+              .map(f => table.fileSizeOf(sn, f)).sum
+            val fits = e == s || acc + bytes <= b
+            if (fits) { acc += bytes; e = sn.snapshotId; prev = sn.files.toSet }
+            fits
+          }
+        e
+      case _ => bySnaps
+    }
+  }
+
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
@@ -107,23 +163,19 @@ final class ChangeFeedSource(sqlContext: SQLContext, root: String,
             math.min(head, from + n)
           case None => head
         }
-        maxFilesPerTrigger match {
-          case Some(m) if filesOf(bootEnd).size > m =>
-            FileSliceOffset(bootEnd, m) // begin a chunked bootstrap
-          case _ => LongOffset(bootEnd)
-        }
+        val cut = nextSliceEnd(bootEnd, 0L)
+        if (cut < filesOf(bootEnd).size) FileSliceOffset(bootEnd, cut)
+        else LongOffset(bootEnd)
       case Some(Right((s, k))) =>
         // mid-bootstrap: advance the file cursor; the final slice lands
         // on the plain snapshot offset, ending the bootstrap phase (if
-        // the cap was removed across a restart, the remainder is one
+        // the caps were removed across a restart, the remainder is one
         // batch)
-        maxFilesPerTrigger match {
-          case Some(m) if k + m < filesOf(s).size => FileSliceOffset(s, k + m)
-          case _ => LongOffset(s)
-        }
+        val cut = nextSliceEnd(s, k)
+        if (cut < filesOf(s).size) FileSliceOffset(s, cut) else LongOffset(s)
       case Some(Left(s)) =>
-        val end = maxSnapshotsPerTrigger.fold(head)(n => math.min(head, s + n))
-        LongOffset(math.max(end, s)) // the head never regresses below a committed offset
+        // the head never regresses below a committed offset
+        LongOffset(math.max(incrementalEnd(s, head), s))
     }
   }
 
@@ -317,5 +369,6 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
       parameters: Map[String, String]): Source =
     new ChangeFeedSource(sqlContext, rootOf(parameters),
       maxSnapshotsPerTrigger = longOpt(parameters, "maxSnapshotsPerTrigger"),
-      maxFilesPerTrigger = longOpt(parameters, "maxFilesPerTrigger"))
+      maxFilesPerTrigger = longOpt(parameters, "maxFilesPerTrigger"),
+      maxBytesPerTrigger = longOpt(parameters, "maxBytesPerTrigger"))
 }

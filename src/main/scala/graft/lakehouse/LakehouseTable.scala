@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.json4s.jackson.Serialization
@@ -1943,13 +1943,26 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     else {
       // align to the SNAPSHOT schema: a column added by ALTER (or a
       // widening append) that no scanned file carries still reads back
-      // (as NULL), and column order is the declared order regardless of
-      // which file's footer won the merge
+      // (as NULL), a column whose PHYSICAL type drifted from the
+      // declared one casts back (hive partition-path values are
+      // type-INFERRED on read — `cell=3` for a LONG column comes back
+      // as INT; the snapshot schema, written from the frame's true
+      // types, is authoritative — the DSv2 scan already casts path
+      // values this way), and column order is the declared order
+      // regardless of which file's footer won the merge
       val df = applyTombstones(snap, readFiles(files))
-      val have = df.columns.map(nameKey).toSet
+      val have = df.columns.map(c => nameKey(c) -> c).toMap
       val aligned = schema.fields.foldLeft(df)((d, f) =>
-        if (have(nameKey(f.name))) d
-        else d.withColumn(f.name, lit(null).cast(f.dataType)))
+        have.get(nameKey(f.name)) match {
+          case None => d.withColumn(f.name, lit(null).cast(f.dataType))
+          // nullability-insensitive: ARRAY<FLOAT> variants that differ
+          // only in containsNull must NOT cast (uncastable and
+          // semantically identical); INT-inferred partition values
+          // against a LONG column must
+          case Some(c) if !sameIgnoringNullability(d.schema(c).dataType, f.dataType) =>
+            d.withColumn(c, col(c).cast(f.dataType))
+          case _ => d
+        })
       aligned.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     }
   }
@@ -1981,6 +1994,25 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
       d.join(tomb, cond, "left_anti")
     }
     masked.drop("__graft_origin")
+  }
+
+  /** Structural type equality ignoring nullability at every level (the
+    * contract Spark's private `DataType.sameType` provides): the scan
+    * alignment cast must fire on genuine type drift (path-inferred INT
+    * vs declared LONG) but never on a bare containsNull difference.
+    */
+  private def sameIgnoringNullability(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (x: ArrayType, y: ArrayType) =>
+      sameIgnoringNullability(x.elementType, y.elementType)
+    case (x: MapType, y: MapType) =>
+      sameIgnoringNullability(x.keyType, y.keyType) &&
+        sameIgnoringNullability(x.valueType, y.valueType)
+    case (x: StructType, y: StructType) =>
+      x.fields.length == y.fields.length &&
+        x.fields.zip(y.fields).forall { case (f1, f2) =>
+          f1.name == f2.name && sameIgnoringNullability(f1.dataType, f2.dataType)
+        }
+    case _ => a == b
   }
 
   /** Snapshot by id with the standard invalid-id error. */

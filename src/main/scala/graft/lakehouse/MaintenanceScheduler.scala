@@ -7,7 +7,12 @@ package graft.lakehouse
   * (the reference shares an asyncio lock between the iceberg sink and
   * both loops — here the lock lives inside [[LakehouseTable]], so
   * exclusion is intrinsic rather than caller-supplied). Errors are
-  * swallowed per-run: maintenance must never take the pipeline down.
+  * swallowed per-run: maintenance must never take the pipeline down —
+  * including [[ConcurrentCommitException]] when ANOTHER PROCESS wins
+  * the publish race against a compaction/expiry (rewrite-shaped
+  * commits don't rebase): the cycle skips and the next interval
+  * re-plans against the new head, which is the correct OCC response
+  * for idempotent maintenance.
   */
 final class MaintenanceScheduler(
     table: LakehouseTable,

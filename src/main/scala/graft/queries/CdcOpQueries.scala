@@ -788,6 +788,52 @@ object CdcOpQueries {
         graft.Fs.deleteRecursively(java.nio.file.Paths.get(lroot))
         graft.Fs.deleteRecursively(java.nio.file.Paths.get(rroot))
       }
+    }),
+    // ---- chunked change-feed bootstrap (round 9): a bulk-loaded table
+    //      (ONE snapshot carrying everything — the shape snapshot caps
+    //      can't split) drains as file-slice micro-batches under
+    //      maxFilesPerTrigger, then the incremental tail. The gate
+    //      hash-pins the PER-BATCH row counts (deterministic: one file
+    //      per cell=k%8 hive dir, manifest-ordered) and the replicated
+    //      table's checksum — admission control and convergence in one
+    //      oracle. ----
+    "q133_chunked_bootstrap" -> ((s, dir) => {
+      import s.implicits._
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_q133_boot").toString
+      val outRoot = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_q133_out").toString
+      Seq(root, outRoot).foreach(p => graft.Fs.deleteRecursively(java.nio.file.Paths.get(p)))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-q133-ckpt").toString
+      val t = new LakehouseTable(s, root)
+      val orders = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), (col("o_orderkey") % 8).as("cell"))
+      // one bulk snapshot, exactly one file per cell (repartition puts
+      // each cell wholly in one task; partitionBy writes per-cell dirs)
+      t.append(orders.repartition(col("cell")), partitionBy = Seq("cell"))
+      t.append(Seq((900000001L, 900000001L % 8)).toDF("k", "cell"),
+        partitionBy = Seq("cell")) // the incremental tail
+      require(t.currentSnapshot().get.files.size == 9,
+        s"q133 expects 8 bulk files + 1 tail, got ${t.currentSnapshot().get.files.size}")
+      val batches = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val out = new LakehouseTable(s, outRoot)
+      val q = s.readStream
+        .format("graft-changefeed").option("path", root)
+        .option("maxSnapshotsPerTrigger", "1")
+        .option("maxFilesPerTrigger", "3")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          batches.synchronized { batches += ((bid, df.count())) }
+          out.applyChanges(df, Seq("k"), txn = Some(("q133", bid)))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000), "q133 drain did not finish")
+      val checksum = out.read().agg(sum(col("k"))).head.getLong(0)
+      (batches.map { case (b, n) => (s"b$b", n) }.toSeq :+ (("z_checksum", checksum)))
+        .toDF("step", "n").orderBy(col("step"))
     })
   )
 
@@ -1063,6 +1109,17 @@ object CdcOpQueries {
       FROM l JOIN r ON l.cell = r.cell
       UNION ALL
       SELECT -1, 0, 0, 0, 0
-      ORDER BY cell"""
+      ORDER BY cell""",
+    // q133: batch sizes re-derived from the k%8 cell populations in
+    // manifest file order (cells 0-2, 3-5, 6-7, then the 1-row tail);
+    // the checksum proves the chunked drain converged to the source.
+    "q133_chunked_bootstrap" -> """
+      WITH o AS (SELECT o_orderkey AS k, o_orderkey % 8 AS cell FROM orders)
+      SELECT 'b0' AS step, CAST(count(*) AS BIGINT) AS n FROM o WHERE cell IN (0, 1, 2)
+      UNION ALL SELECT 'b1', CAST(count(*) AS BIGINT) FROM o WHERE cell IN (3, 4, 5)
+      UNION ALL SELECT 'b2', CAST(count(*) AS BIGINT) FROM o WHERE cell IN (6, 7)
+      UNION ALL SELECT 'b3', 1
+      UNION ALL SELECT 'z_checksum', CAST(sum(k) + 900000001 AS BIGINT) FROM o
+      ORDER BY step"""
   )
 }

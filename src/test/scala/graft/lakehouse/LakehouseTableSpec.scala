@@ -344,4 +344,15 @@ class LakehouseTableSpec extends SparkSpec {
       Seq("id"), txn = Some(("stream-a", 6L))).isEmpty,
       "a replayed batch must still be absorbed after expiry")
   }
+
+  test("hive partition values read back with the DECLARED type (path-inference cast)") {
+    import spark.implicits._
+    val t = new LakehouseTable(spark, tmpDir("lh-ptype"))
+    // partition paths like part=7 type-INFER as INT on read; the
+    // snapshot schema (LONG, from the written frame) must win on the
+    // V1 scan path exactly as the DSv2 path already casts
+    t.append(Seq((1L, 7L), (2L, 8L)).toDF("id", "part"), partitionBy = Seq("part"))
+    assert(t.read().schema("part").dataType === org.apache.spark.sql.types.LongType)
+    assert(t.read().as[(Long, Long)].collect().toSet === Set((1L, 7L), (2L, 8L)))
+  }
 }

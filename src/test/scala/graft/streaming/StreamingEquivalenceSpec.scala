@@ -842,6 +842,38 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(rows(s2.getBatch(None, SerializedOffset(o1.json))) === 400)
   }
 
+  test("maxBytesPerTrigger: byte-denominated admission from manifest sizes (bootstrap slices and incremental ranges)") {
+    import spark.implicits._
+    import graft.lakehouse.{ChangeFeedSource, LakehouseTable}
+    import org.apache.spark.sql.execution.streaming.SerializedOffset
+    val root = tmpDir("cdf-bytes")
+    val t = new LakehouseTable(spark, root)
+    t.append((0L until 300L).map(i => (i, s"v$i")).toDF("id", "v").repartition(3)) // s1: 3 files
+    t.append(Seq((900L, "x")).toDF("id", "v")) // s2
+    t.append(Seq((901L, "y")).toDF("id", "v")) // s3
+    t.append(Seq((902L, "z")).toDF("id", "v")) // s4
+
+    // a 1-byte cap is below every file: each batch still makes exactly
+    // ONE file / ONE snapshot of progress (the no-stall floor)
+    val strict = new ChangeFeedSource(spark.sqlContext, root,
+      maxSnapshotsPerTrigger = None, maxFilesPerTrigger = None,
+      maxBytesPerTrigger = Some(1L))
+    val o1 = strict.latestOffset(null, null)
+    assert(o1.json === """{"s":4,"f":1}""",
+      s"bootstrap slice must stop at the byte cap (one-file floor), got ${o1.json}")
+    assert(strict.latestOffset(SerializedOffset("1"), null).json === "2",
+      "incremental progress under a sub-file byte cap is one snapshot")
+    assert(strict.latestOffset(SerializedOffset("2"), null).json === "3")
+
+    // a generous cap takes the whole backlog in one range
+    val loose = new ChangeFeedSource(spark.sqlContext, root,
+      maxSnapshotsPerTrigger = None, maxFilesPerTrigger = None,
+      maxBytesPerTrigger = Some(1L << 30))
+    assert(loose.latestOffset(SerializedOffset("1"), null).json === "4")
+    assert(loose.latestOffset(null, null).json === "4",
+      "a bootstrap within budget needs no file slicing")
+  }
+
   test("batch CDF read: spark.read.format(graft-changefeed) with a snapshot range equals changesBetween; bare load is the bootstrap") {
     import spark.implicits._
     import graft.lakehouse.LakehouseTable
