@@ -157,7 +157,26 @@ object LakehouseCli {
         val srcKey = java.security.MessageDigest.getInstance("SHA-256")
           .digest(src.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
         val ckpt = java.nio.file.Paths.get(dst, "_replication", srcKey).toString
-        val q = spark.readStream.format("graft-changefeed").option("path", src).load()
+        // optional admission flags — a huge backlog (or a bulk-loaded
+        // source) drains as bounded, checkpointed batches instead of
+        // one table-sized one; the run is AvailableNow either way, so
+        // a rerun resumes exactly where a timeout/crash left off
+        val flagMap = Map(
+          "--max-snapshots" -> "maxSnapshotsPerTrigger",
+          "--max-files" -> "maxFilesPerTrigger",
+          "--max-bytes" -> "maxBytesPerTrigger")
+        val admission: Seq[(String, String)] = args.drop(4).toSeq.map { a =>
+          a.split("=", 2) match {
+            case Array(f, v) if flagMap.contains(f) && v.forall(_.isDigit) && v.nonEmpty =>
+              flagMap(f) -> v
+            case _ =>
+              out.println(s"replicate: unknown flag '$a' " +
+                s"(expected ${flagMap.keys.mkString("|")}=N)"); return 2
+          }
+        }
+        val reader0 = spark.readStream.format("graft-changefeed").option("path", src)
+        val reader = admission.foldLeft(reader0) { case (r, (k, v)) => r.option(k, v) }
+        val q = reader.load()
           .writeStream.format("graft-lakehouse")
           .option("path", dst).option("keys", keys)
           .option("txnAppId", s"replicate:$src")
@@ -236,5 +255,5 @@ object LakehouseCli {
       |       graft.Cli lakehouse annbuild <vectorTableDir> <indexRoot>
       |       graft.Cli lakehouse annstatus <tableDir> <indexRoot>
       |       graft.Cli lakehouse annremove <tableDir> <indexRoot> <id1,id2,...>
-      |       graft.Cli lakehouse replicate <srcTableDir> <dstTableDir> <key1,key2,...>""".stripMargin
+      |       graft.Cli lakehouse replicate <srcTableDir> <dstTableDir> <key1,key2,...> [--max-snapshots=N] [--max-files=N] [--max-bytes=N]""".stripMargin
 }

@@ -184,6 +184,14 @@ class CliSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("id") === 42L)
       .select("v").head.getString(0) === "V42")
     assert(cli("lakehouse", "replicate", dir, dst)._1 === 2)
+    // admission flags: a bounded re-drain converges identically, and a
+    // bad flag is usage (exit 2), never a stack trace
+    table.upsert(Seq((300L, "v300")).toDF("id", "v"), Seq("id"))
+    val (c9, r3) = cli("lakehouse", "replicate", dir, dst, "id",
+      "--max-snapshots=1", "--max-files=2", "--max-bytes=1048576")
+    assert(c9 === 0 && r3.contains("102 rows"), r3)
+    assert(cli("lakehouse", "replicate", dir, dst, "id", "--max-files=abc")._1 === 2)
+    assert(cli("lakehouse", "replicate", dir, dst, "id", "--bogus=1")._1 === 2)
     // malformed predicate: usage + exit 2, never a stack trace
     assert(cli("lakehouse", "query", dir, "current", "5", "id42")._1 === 2)
     assert(cli("lakehouse", "query", dir, "current", "5", "=42")._1 === 2)
