@@ -95,6 +95,36 @@ class LakehouseSpjSpec extends SparkSpec {
     }
   }
 
+  test("pure-SQL SPJ: catalog PARTITIONED BY tables join with zero shuffles") {
+    val warehouse = tmpDir("spj-sql-wh")
+    spark.conf.set("spark.sql.catalog.spjcat", classOf[LakehouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjcat.warehouse", warehouse)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS spjcat.db")
+      spark.sql("CREATE TABLE spjcat.db.sl (cell BIGINT, id BIGINT) PARTITIONED BY (cell)")
+      spark.sql("CREATE TABLE spjcat.db.sr (cell BIGINT, id BIGINT) PARTITIONED BY (cell)")
+      spark.sql("INSERT INTO spjcat.db.sl SELECT id % 4, id FROM range(400)")
+      spark.sql("INSERT INTO spjcat.db.sr SELECT id % 4, id * 2 FROM range(400)")
+      val q = """SELECT l.cell, l.ls, r.rs FROM
+                   (SELECT cell, sum(id) AS ls FROM spjcat.db.sl GROUP BY cell) l
+                   JOIN
+                   (SELECT cell, sum(id) AS rs FROM spjcat.db.sr GROUP BY cell) r
+                   ON l.cell = r.cell"""
+      val expected = withSpj(on = false) { spark.sql(q).collect().toSet }
+      withSpj(on = true) {
+        val df = spark.sql(q)
+        assert(shuffles(df) === 0,
+          s"SQL-declared co-partitioned tables must join shuffle-free:\n${fmt(df)}")
+        assert(df.collect().toSet === expected)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spjcat.db.sl")
+      spark.sql("DROP TABLE IF EXISTS spjcat.db.sr")
+      spark.conf.unset("spark.sql.catalog.spjcat")
+      spark.conf.unset("spark.sql.catalog.spjcat.warehouse")
+    }
+  }
+
   test("SPJ-reporting scan still answers filters correctly (runtime pruning stands down)") {
     val l = mkTable("spj-filter-l", (0L until 400L).map(i => (i % 4, i, s"l$i")))
     val r = mkTable("spj-filter-r", (0L until 400L).map(i => (i % 4, i, s"r$i")))
