@@ -39,9 +39,11 @@ import org.apache.spark.sql.types.StructType
 final class LakehouseSink(
     sqlContext: SQLContext, root: String, keys: Seq[String],
     appId: String, partitionCols: Seq[String],
-    mergeOnRead: Boolean = false) extends Sink {
+    mergeOnRead: Boolean = false,
+    optimizeWrite: Boolean = false) extends Sink {
 
-  private lazy val table = new LakehouseTable(sqlContext.sparkSession, root)
+  private lazy val table =
+    new LakehouseTable(sqlContext.sparkSession, root, optimizeWrite = optimizeWrite)
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the engine hands a frame bound to this batch's INCREMENTAL

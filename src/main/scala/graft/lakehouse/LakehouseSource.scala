@@ -73,7 +73,8 @@ final class LakehouseSourceProvider extends TableProvider with DataSourceRegiste
       java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString)
     val mor = parameters.exists { case (k, v) =>
       k.equalsIgnoreCase("mergeOnRead") && v.trim.equalsIgnoreCase("true") }
-    new LakehouseSink(sqlContext, root, keys, appId, partitionColumns, mor)
+    new LakehouseSink(sqlContext, root, keys, appId, partitionColumns, mor,
+      optimizeWrite = LakehouseSource.boolOpt(parameters, "optimizeWrite"))
   }
 
   /** `df.write.format("graft-lakehouse").mode(...).save(root)` — the
@@ -90,7 +91,8 @@ final class LakehouseSourceProvider extends TableProvider with DataSourceRegiste
       data: org.apache.spark.sql.DataFrame): BaseRelation = {
     import org.apache.spark.sql.SaveMode
     val root = LakehouseSource.rootOf(parameters)
-    val t = new LakehouseTable(sqlContext.sparkSession, root)
+    val t = new LakehouseTable(sqlContext.sparkSession, root,
+      optimizeWrite = LakehouseSource.boolOpt(parameters, "optimizeWrite"))
     val exists = t.currentSnapshot().isDefined
     val keys = parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("keys") => v }
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
@@ -177,6 +179,11 @@ private[lakehouse] object LakehouseSource {
   def colListOf(options: Map[String, String], name: String): Seq[String] =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  /** Case-insensitive boolean option (mergeOnRead, optimizeWrite). */
+  def boolOpt(options: Map[String, String], name: String): Boolean =
+    options.exists { case (k, v) =>
+      k.equalsIgnoreCase(name) && v.trim.equalsIgnoreCase("true") }
 
   def snapshotIdOf(options: Map[String, String]): Option[Long] =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase("snapshotId") => v.toLong }

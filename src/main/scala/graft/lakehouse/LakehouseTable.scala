@@ -244,7 +244,19 @@ private[lakehouse] object InProbes {
   * gives unreferenced files the retention-cutoff grace before deleting
   * (another process's in-flight write looks exactly like an orphan).
   */
-final class LakehouseTable(spark: SparkSession, val root: String) {
+final class LakehouseTable(spark: SparkSession, val root: String,
+    /** Cluster each partitioned write by its partition columns before
+      * writing (the Delta `optimizeWrite` / Iceberg
+      * write.distribution-mode=hash shape): a W-task batch into a
+      * P-partition layout otherwise writes up to W×P small files —
+      * at 1000 executors that is the small-file explosion that kills
+      * scan planning; clustered, each partition value lands in ONE
+      * task and writes ONE file per batch. Costs one extra shuffle of
+      * the batch (batch-sized, never table-sized). Off by default:
+      * single-task batches (the micro-batch norm) don't need it, and
+      * tests pin exact file layouts.
+      */
+    val optimizeWrite: Boolean = false) {
   private implicit val fmts: Formats = DefaultFormats
 
   private val rootPath = Paths.get(root)
@@ -2126,7 +2138,14 @@ final class LakehouseTable(spark: SparkSession, val root: String) {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dirName = (if (suffix.isEmpty) s"s$id" else s"s$id-$suffix") + s"-w$nonce"
     val outDir = dataDir.resolve(dirName)
-    val writer = df.write.mode(SaveMode.Overwrite)
+    // optimize-write: cluster the batch on its partition columns so
+    // each partition value writes from ONE task (one file per value
+    // per batch, not tasks×values)
+    val clustered =
+      if (optimizeWrite && partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(col): _*)
+      else df
+    val writer = clustered.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(outDir.toString)
     graft.Fs.walkAll(outDir)

@@ -355,4 +355,28 @@ class LakehouseTableSpec extends SparkSpec {
     assert(t.read().schema("part").dataType === org.apache.spark.sql.types.LongType)
     assert(t.read().as[(Long, Long)].collect().toSet === Set((1L, 7L), (2L, 8L)))
   }
+
+  test("optimizeWrite clusters a wide batch to one file per partition value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a 4-task batch into an 8-value layout writes up to 4x8 files
+    // unclustered; with optimizeWrite each value lands in ONE task
+    val batch = (0L until 800L).map(i => (i, i % 8)).toDF("id", "cell").repartition(4)
+    val plain = new LakehouseTable(spark, tmpDir("lh-ow-plain"))
+    plain.append(batch, partitionBy = Seq("cell"))
+    val opt = new LakehouseTable(spark, tmpDir("lh-ow-opt"), optimizeWrite = true)
+    opt.append(batch, partitionBy = Seq("cell"))
+    assert(opt.currentSnapshot().get.files.size === 8,
+      s"one file per partition value, got ${opt.currentSnapshot().get.files}")
+    assert(plain.currentSnapshot().get.files.size > 8,
+      "the unclustered control writes tasks x values files (else this spec tests nothing)")
+    assert(opt.read().as[(Long, Long)].collect().toSet ===
+      plain.read().as[(Long, Long)].collect().toSet)
+    // the write faces expose it as an option
+    val viaFace = tmpDir("lh-ow-face")
+    batch.write.format("graft-lakehouse")
+      .option("partitionBy", "cell").option("optimizeWrite", "true")
+      .mode("append").save(viaFace)
+    assert(new LakehouseTable(spark, viaFace).currentSnapshot().get.files.size === 8)
+  }
 }
