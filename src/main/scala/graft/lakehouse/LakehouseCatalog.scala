@@ -131,11 +131,15 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
           .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
             .filter(_.nonEmpty).toSeq).getOrElse(Nil)
       else Nil
+    val optimizeWrite = Files.exists(metaPath(root)) &&
+      """"optimizeWrite"\s*:\s*true""".r
+        .findFirstIn(Files.readString(metaPath(root))).isDefined
     val opts = Map(
       "path" -> root.toString,
       // pinned at resolution — one snapshot per query, like the path face
       "snapshotId" -> snap.snapshotId.toString) ++
-      (if (partitionBy.nonEmpty) Map("partitionBy" -> partitionBy.mkString(",")) else Map.empty)
+      (if (partitionBy.nonEmpty) Map("partitionBy" -> partitionBy.mkString(",")) else Map.empty) ++
+      (if (optimizeWrite) Map("optimizeWrite" -> "true") else Map.empty)
     new LakehouseV2Table(
       DataType.fromJson(snap.schemaJson).asInstanceOf[StructType], opts)
   }
@@ -154,9 +158,20 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
       s"partition column '$c' not in table schema"))
     Files.createDirectories(root)
     new LakehouseTable(spark, root.toString).create(schema)
-    if (partitionBy.nonEmpty)
-      Files.writeString(metaPath(root),
-        partitionBy.map("\"" + _ + "\"").mkString("""{"partitionBy": [""", ", ", "]}"))
+    // persisted table metadata: the declared partition layout, plus
+    // TBLPROPERTIES('optimizeWrite'='true') so every later INSERT
+    // clusters to one file per partition value (the property travels
+    // with the table, not the writer)
+    val optimizeWrite = Option(properties.get("optimizeWrite"))
+      .exists(_.trim.equalsIgnoreCase("true"))
+    if (partitionBy.nonEmpty || optimizeWrite) {
+      val parts = Seq(
+        if (partitionBy.nonEmpty)
+          Some(partitionBy.map("\"" + _ + "\"").mkString("\"partitionBy\": [", ", ", "]"))
+        else None,
+        if (optimizeWrite) Some("\"optimizeWrite\": true") else None).flatten
+      Files.writeString(metaPath(root), parts.mkString("{", ", ", "}"))
+    }
     loadTable(ident)
   }
 

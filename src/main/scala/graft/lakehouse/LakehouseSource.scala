@@ -387,7 +387,8 @@ private[lakehouse] final class LakehouseV2Table(
               override def insert(data: org.apache.spark.sql.DataFrame,
                   overwrite: Boolean): Unit = {
                 val t = new LakehouseTable(data.sparkSession,
-                  LakehouseSource.rootOf(options))
+                  LakehouseSource.rootOf(options),
+                  optimizeWrite = LakehouseSource.boolOpt(writeOpts, "optimizeWrite"))
                 val keys = LakehouseSource.colListOf(writeOpts, "keys")
                 val mor = writeOpts.exists { case (k, v) =>
                   k.equalsIgnoreCase("mergeOnRead") && v.trim.equalsIgnoreCase("true") }

@@ -187,4 +187,19 @@ class LakehouseCatalogSpec extends SparkSpec {
     ensureCatalog()
     intercept[Exception](spark.sql("SELECT * FROM graftcat.db.`../escape`"))
   }
+
+  test("TBLPROPERTIES optimizeWrite travels with the table: INSERTs cluster per partition value") {
+    spark.sql("CREATE TABLE graftcat.db.ow_t (id BIGINT, cell BIGINT) " +
+      "PARTITIONED BY (cell) TBLPROPERTIES ('optimizeWrite'='true')")
+    try {
+      spark.sql("INSERT INTO graftcat.db.ow_t " +
+        "SELECT id, id % 8 FROM range(800) DISTRIBUTE BY id % 4")
+      val warehouseRoot = spark.conf.get("spark.sql.catalog.graftcat.warehouse")
+      val root = java.nio.file.Paths.get(warehouseRoot, "db", "ow_t").toString
+      val t = new LakehouseTable(spark, root)
+      assert(t.currentSnapshot().get.files.size === 8,
+        s"property-driven optimize-write must land one file per cell, got ${t.currentSnapshot().get.files}")
+      assert(spark.sql("SELECT count(*) FROM graftcat.db.ow_t").head.getLong(0) === 800L)
+    } finally spark.sql("DROP TABLE IF EXISTS graftcat.db.ow_t")
+  }
 }
