@@ -834,6 +834,37 @@ object CdcOpQueries {
       val checksum = out.read().agg(sum(col("k"))).head.getLong(0)
       (batches.map { case (b, n) => (s"b$b", n) }.toSeq :+ (("z_checksum", checksum)))
         .toDF("step", "n").orderBy(col("step"))
+    }),
+    // ---- optimize-write as a TABLE property (round 9): a pure-SQL
+    //      table created with TBLPROPERTIES('optimizeWrite'='true')
+    //      clusters every INSERT to one file per partition value —
+    //      each multi-task INSERT here covers 4 of the 8 k%8 cells
+    //      (even keys then odd keys), so the snapshot file counts are
+    //      exactly 4 then 8; without the property the DISTRIBUTE BY
+    //      spread would write tasks×cells files and flip the gate. ----
+    "q134_optimize_write" -> ((s, dir) => {
+      import s.implicits._
+      val cat = ensureQueryCatalog(s)
+      graft.Tables.load(s, dir, "orders").createOrReplaceTempView("q134_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.ow_t")
+      s.sql(s"CREATE TABLE $cat.db.ow_t (k BIGINT, cell BIGINT) PARTITIONED BY (cell) " +
+        "TBLPROPERTIES ('optimizeWrite'='true')")
+      s.sql(s"INSERT INTO $cat.db.ow_t SELECT o_orderkey, o_orderkey % 8 FROM q134_src " +
+        "WHERE o_orderkey % 2 = 0 DISTRIBUTE BY o_orderkey % 5")
+      s.sql(s"INSERT INTO $cat.db.ow_t SELECT o_orderkey, o_orderkey % 8 FROM q134_src " +
+        "WHERE o_orderkey % 2 = 1 DISTRIBUTE BY o_orderkey % 5")
+      val warehouse = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val t = new LakehouseTable(s,
+        java.nio.file.Paths.get(warehouse, "db", "ow_t").toString)
+      val snaps = t.listSnapshots()
+      val rows = Seq(
+        ("a_snap2_files", snaps(1).files.size.toLong),
+        ("b_snap3_files", snaps(2).files.size.toLong),
+        ("c_rows", s.sql(s"SELECT count(*) FROM $cat.db.ow_t").head.getLong(0)),
+        ("d_checksum", s.sql(s"SELECT sum(k) FROM $cat.db.ow_t").head.getLong(0)))
+      s.sql(s"DROP TABLE $cat.db.ow_t")
+      rows.toDF("step", "n").orderBy(col("step"))
     })
   )
 
@@ -1120,6 +1151,17 @@ object CdcOpQueries {
       UNION ALL SELECT 'b2', CAST(count(*) AS BIGINT) FROM o WHERE cell IN (6, 7)
       UNION ALL SELECT 'b3', 1
       UNION ALL SELECT 'z_checksum', CAST(sum(k) + 900000001 AS BIGINT) FROM o
+      ORDER BY step""",
+    // q134: the file counts are the optimize-write CONTRACT (one file
+    // per covered partition value per INSERT: evens cover 4 of the 8
+    // k%8 cells, odds the other 4); rows + checksum prove clustering
+    // lost nothing.
+    "q134_optimize_write" -> """
+      WITH o AS (SELECT o_orderkey AS k FROM orders)
+      SELECT 'a_snap2_files' AS step, CAST(4 AS BIGINT) AS n
+      UNION ALL SELECT 'b_snap3_files', 8
+      UNION ALL SELECT 'c_rows', (SELECT count(*) FROM o)
+      UNION ALL SELECT 'd_checksum', (SELECT CAST(sum(k) AS BIGINT) FROM o)
       ORDER BY step"""
   )
 }
