@@ -43,9 +43,17 @@ import org.apache.spark.util.SerializableConfiguration
   * (widen-only ADD COLUMNS) rides on the vectorized reader's
   * missing-column-as-null handling.
   *
-  * Merge-on-read snapshots (key tombstones needing an anti-join) stay
-  * on the DataFrame-composing V1 path — compaction folds the
-  * tombstones and restores this scan (see
+  * Merge-on-read snapshots stay NATIVE: the tombstone key sets load
+  * once at plan time into broadcast hash maps ([[MorMaskData]] — the
+  * same batch-sized volume the V1 anti-join broadcast), files that
+  * could hold a masked key (manifest-stats probe + origin compare)
+  * land in per-origin "masked" partitions whose row readers drop
+  * masked tuples, and every UNAFFECTED partition keeps pure columnar
+  * reads. Runtime file pruning, SPJ, and manifest statistics all stay
+  * on — the MoR norm (tombstones present between compactions on a
+  * busy CDC target) no longer forfeits the native path. Only key
+  * types outside [[LakehouseMor.canon]]'s space (binary/decimal/
+  * nested) fall back to the V1 composing scan (see
   * [[LakehouseScanBuilder.build]]).
   */
 final class LakehouseBatchScan(
@@ -75,11 +83,56 @@ final class LakehouseBatchScan(
   private def currentFiles: Seq[String] =
     runtimeKeep.fold(staticFiles)(keep => staticFiles.filter(keep))
 
+  // ---------------- merge-on-read masking (native path) ----------------
+
+  /** Tombstone masks of this snapshot, one per key set — plan-time
+    * driver collect of the batch-sized key tombstones (empty for plain
+    * copy-on-write snapshots and all-null-key tombstones).
+    */
+  @transient private lazy val morMasks: Seq[MorMaskData] =
+    if (snap.tombstones.isEmpty) Nil else LakehouseMor.build(spark, t, snap)
+
+  @transient private lazy val maskBcs
+      : Seq[org.apache.spark.broadcast.Broadcast[MorMaskData]] =
+    morMasks.map(spark.sparkContext.broadcast(_))
+
+  /** Files a tombstone could actually mask rows in → their origin id.
+    * Metadata-only: per mask, the file must be OLDER than the mask's
+    * newest tombstone AND its manifest stats / partition path must
+    * admit at least one masked key value per key column (the
+    * conjunctive InSet probe — a superset of truly affected files;
+    * the per-row probe is exact). Everything else reads columnar with
+    * zero masking work.
+    */
+  @transient private lazy val affectedOrigin: Map[String, Long] =
+    if (morMasks.isEmpty) Map.empty
+    else {
+      val originOf = staticFiles.map(f => f -> t.originOfFile(f)).toMap
+      morMasks.flatMap { m =>
+        val preds = m.keyNames.zipWithIndex.map { case (k, i) =>
+          ScanPredicate.InSet(k, m.byKey.keysIterator.map(_(i)).toSeq.distinct)
+        }
+        val kept = t.pruneFiles(snap, preds)._1.toSet
+        staticFiles.filter(f => kept(f) && originOf(f) < m.maxOrigin)
+      }.toSet.iterator.map(f => f -> originOf(f)).toMap
+    }
+
+  /** Snapshot-schema fields backing every mask key column (the reader
+    * schemas widen with these when the projection lacks them).
+    */
+  @transient private lazy val maskKeyFieldsAll: Array[StructField] = {
+    val schema = DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[StructType]
+    val wanted = morMasks.flatMap(_.keyNames).map(t.resolvedNameKey).toSet
+    schema.fields.filter(f => wanted(t.resolvedNameKey(f.name)))
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-lakehouse native batch scan of ${LakehouseSource.rootOf(options)}, " +
-      s"PushedFilters: [${accepted.mkString(", ")}]"
+      s"PushedFilters: [${accepted.mkString(", ")}]" +
+      (if (snap.tombstones.isEmpty) "" else ", MoR: masked")
 
   // ---------------- runtime filtering (dynamic file pruning) ----------------
 
@@ -161,9 +214,13 @@ final class LakehouseBatchScan(
   override def estimateStatistics(): Statistics = {
     val files = currentFiles
     val bytes = files.map(t.fileSizeOf(snap, _)).sum
-    val rowsOpt = files.foldLeft(Option(0L)) { (acc, f) =>
-      for (a <- acc; r <- t.fileRowsOf(snap, f)) yield a + r
-    }
+    // under MoR the per-file counts over-estimate (masked rows still
+    // counted) — report bytes only, never a wrong exact row count
+    val rowsOpt =
+      if (snap.tombstones.nonEmpty) None
+      else files.foldLeft(Option(0L)) { (acc, f) =>
+        for (a <- acc; r <- t.fileRowsOf(snap, f)) yield a + r
+      }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(bytes, 1L))
@@ -190,14 +247,19 @@ final class LakehouseBatchScan(
       pushed = accepted.map(_.toString).toSeq ++ runtimeDesc))
     if (files.isEmpty) return Array.empty
 
-    val reqKeys = required.fieldNames.map(t.resolvedNameKey).toSet
     // under SPJ each group is ONE partition-value tuple (tasks align
     // value-for-value across the join); otherwise groups are layout
-    // signatures only and files pack freely
+    // signatures only and files pack freely. MoR-affected files
+    // additionally group per ORIGIN snapshot (the mask compare is
+    // origin-vs-tombstone, uniform per partition) and their partitions
+    // read row-based with the mask probe; unaffected files keep pure
+    // columnar reads.
     val grouped = files
-      .groupBy(f => (pathColKeys(f).filter(reqKeys), spjKeyOf.get(f).getOrElse(Nil)))
-      .toSeq.sortBy { case ((sig, key), _) => (sig.mkString(","), key.mkString(",")) }
-      .map { case ((sig, _), fs) => (sig, fs) }
+      .groupBy(f => (pathColKeys(f), spjKeyOf.get(f).getOrElse(Nil), affectedOrigin.get(f)))
+      .toSeq
+      .sortBy { case ((sig, key, mo), _) =>
+        (sig.mkString(","), key.mkString(","), mo.getOrElse(-1L)) }
+      .map { case ((sig, _, mo), fs) => (sig, mo, fs) }
 
     val conf = spark.sessionState.conf
     val openCost = conf.filesOpenCostInBytes
@@ -207,13 +269,40 @@ final class LakehouseBatchScan(
     val zone = java.time.ZoneId.of(conf.sessionLocalTimeZone)
 
     var globalIdx = 0
-    grouped.flatMap { case (pathKeys, groupFiles) =>
+    grouped.flatMap { case (pathKeys, maskOrigin, groupFiles) =>
       val inPath = pathKeys.toSet
-      val dataFields = required.fields.filterNot(f => inPath(t.resolvedNameKey(f.name)))
-      val partFields = required.fields.filter(f => inPath(t.resolvedNameKey(f.name)))
-      val outNames = (dataFields ++ partFields).map(_.name)
+      def nk(f: StructField): String = t.resolvedNameKey(f.name)
+      val dataFields0 = required.fields.filterNot(f => inPath(nk(f)))
+      val partFields0 = required.fields.filter(f => inPath(nk(f)))
+      // masked groups widen the reader schemas with any mask key column
+      // the projection lacks: path columns materialize from the dir
+      // values, everything else reads from the data files (a key column
+      // a file predates arrives as NULL = masks nothing there)
+      val maskExtra: Array[StructField] =
+        if (maskOrigin.isEmpty) Array.empty
+        else {
+          val projected = required.fields.map(nk).toSet
+          maskKeyFieldsAll.filterNot(f => projected(nk(f)))
+        }
+      val (maskPartExtra, maskDataExtra) = maskExtra.partition(f => inPath(nk(f)))
+      val dataFields = dataFields0 ++ maskDataExtra
+      val partFields = partFields0 ++ maskPartExtra
+      val outFields = dataFields ++ partFields
+      val outNames = outFields.map(_.name)
       val perm0 = required.fieldNames.map(n => outNames.indexOf(n))
-      val perm = if (perm0.zipWithIndex.forall { case (s, i) => s == i }) null else perm0
+      val perm =
+        if (perm0.length == outNames.length &&
+          perm0.zipWithIndex.forall { case (s, i) => s == i }) null
+        else perm0
+      val masks: Array[MorMaskSpec] =
+        if (maskOrigin.isEmpty) Array.empty
+        else morMasks.zip(maskBcs).map { case (m, bc) =>
+          val ords = m.keyNames.map(k0 =>
+            outFields.indexWhere(f => nk(f) == t.resolvedNameKey(k0)))
+          require(ords.forall(_ >= 0),
+            s"mask key ${m.keyNames.mkString(",")} missing from reader schema")
+          MorMaskSpec(bc, ords.toArray, ords.map(o => outFields(o).dataType).toArray)
+        }.toArray
 
       val pfs = groupFiles.flatMap { f =>
         val len = sizes(f)
@@ -230,7 +319,7 @@ final class LakehouseBatchScan(
       // re-plan can never pair stale group state with fresh partitions
       val spec = LakehouseGroupSpec(
         readerFactoryFor(StructType(dataFields), StructType(partFields)),
-        perm, required.fields.map(_.dataType))
+        perm, required.fields.map(_.dataType), masks, maskOrigin.getOrElse(-1L))
       // SPJ key row (decoded partition values in clustering order);
       // same-key partitions merge into one task group in BatchScanExec
       val keyRow =
@@ -327,31 +416,50 @@ private[lakehouse] final case class LakehouseGroupedPartition(
 private[lakehouse] final case class LakehouseGroupSpec(
     factory: ParquetPartitionReaderFactory,
     perm: Array[Int], // null = identity
-    types: Array[DataType])
+    types: Array[DataType],
+    /** MoR masks to probe per row (empty = no masking; reader schemas
+      * were widened with the mask key columns when non-empty). */
+    masks: Array[MorMaskSpec] = Array.empty,
+    /** Origin snapshot of every file in this partition (uniform by
+      * grouping); only consulted when `masks` is non-empty. */
+    maskOrigin: Long = -1L)
 
-/** Stateless dispatcher: each partition names its own parquet factory
-  * and column permutation (mixed layouts in one scan).
+/** Stateless dispatcher: each partition names its own parquet factory,
+  * column permutation, and (for MoR-affected partitions) tombstone
+  * mask (mixed layouts in one scan).
   */
 private[lakehouse] final class LakehouseReaderFactory extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = {
     val p = partition.asInstanceOf[LakehouseGroupedPartition]
-    p.spec.factory.supportColumnarReads(p.fp)
+    p.spec.masks.isEmpty && p.spec.factory.supportColumnarReads(p.fp)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LakehouseGroupedPartition]
     val g = p.spec
     val in = g.factory.createReader(p.fp)
-    if (g.perm == null) in
+    if (g.perm == null && g.masks.isEmpty) in
     else new PartitionReader[InternalRow] {
-      override def next(): Boolean = in.next()
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (in.next()) {
+          val row = in.get()
+          if (g.masks.isEmpty || !LakehouseMor.masked(row, g.masks, g.maskOrigin)) {
+            cur = row
+            return true
+          }
+        }
+        false
+      }
       override def get(): InternalRow = {
-        val row = in.get()
-        val vals = new Array[Any](g.perm.length)
-        var i = 0
-        while (i < g.perm.length) { vals(i) = row.get(g.perm(i), g.types(i)); i += 1 }
-        new GenericInternalRow(vals)
+        if (g.perm == null) cur
+        else {
+          val vals = new Array[Any](g.perm.length)
+          var i = 0
+          while (i < g.perm.length) { vals(i) = cur.get(g.perm(i), g.types(i)); i += 1 }
+          new GenericInternalRow(vals)
+        }
       }
       override def close(): Unit = in.close()
     }

@@ -72,14 +72,22 @@ object LakehouseMeta {
         val schema = StructType(Seq(
           StructField("file", StringType, nullable = false),
           StructField("type", StringType, nullable = false), // data | tombstone
-          StructField("size_bytes", LongType, nullable = false),
+          StructField("size_bytes", LongType),
           StructField("row_count", LongType),
           StructField("partition", StringType)))
         val rows = t.currentSnapshot().toSeq.flatMap { s =>
           def rowOf(f: String, kind: String) = {
             val part = f.split('/').drop(1).dropRight(1).filter(_.contains('='))
-            Row(f, kind,
-              java.nio.file.Files.size(java.nio.file.Paths.get(root).resolve(f)),
+            // size from the manifest's write-time FileStats (the
+            // driver-metadata-only contract); per-file fs stat only for
+            // pre-bytes manifests and tombstones, swallowing a
+            // concurrent vacuum's NoSuchFileException to NULL instead
+            // of failing the whole metadata query
+            val size = s.stats.flatMap(_.get(f)).flatMap(_.bytes).orElse(
+              try Some(java.nio.file.Files.size(
+                java.nio.file.Paths.get(root).resolve(f)))
+              catch { case _: Exception => None })
+            Row(f, kind, size.map(Long.box).orNull,
               s.stats.flatMap(_.get(f)).map(st => Long.box(st.rows)).orNull,
               if (part.isEmpty) null else part.mkString("/"))
           }

@@ -1,0 +1,150 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Key-tombstone mask data for the NATIVE merge-on-read scan
+  * ([[LakehouseBatchScan]]): one entry per distinct tombstone KEY SET,
+  * holding every masked key tuple (canonicalized) with the max origin
+  * snapshot of a tombstone carrying it. A data row in a file with
+  * origin `o` is masked iff its key tuple maps to an origin `> o` —
+  * exactly the anti-join-with-origin-sequencing semantics the V1
+  * composing path evaluates ([[LakehouseTable.applyTombstones]]),
+  * folded into a hash probe the partition readers run per row.
+  *
+  * Scale shape: tombstones are CDC-batch-sized (each MoR apply writes
+  * its batch's keys), so the mask is the same data volume the V1 path
+  * broadcast per anti-join — built once at plan time, shipped once as
+  * a Spark broadcast, and gone after compaction folds the tombstones.
+  * This is what keeps a busy replication target on the vectorized
+  * reader + runtime file pruning + SPJ BETWEEN compactions, instead of
+  * dropping to the composing path exactly when the table is hot.
+  */
+final case class MorMaskData(
+    keyNames: Seq[String],
+    keyTypes: Seq[DataType],
+    /** canonicalized key tuple → newest tombstone origin masking it */
+    byKey: Map[List[Any], Long],
+    maxOrigin: Long) extends Serializable
+
+/** Per-partition mask spec: where the key columns sit in the reader's
+  * output row (the group's widened (data ++ partition) schema) and the
+  * broadcast mask to probe.
+  */
+final case class MorMaskSpec(
+    bc: org.apache.spark.broadcast.Broadcast[MorMaskData],
+    ordinals: Array[Int],
+    types: Array[DataType]) extends Serializable
+
+object LakehouseMor {
+
+  /** Canonical equality representation for a key value, applied
+    * IDENTICALLY to tombstone rows (driver, at mask build) and data
+    * rows (executor, per probe) — both read through
+    * `InternalRow.get(i, dt)`, so strings arrive as UTF8String and
+    * date/timestamp as their int/long encodings. Integral widths fold
+    * to Long so a (future) type-widened lineage still matches.
+    */
+  def canon(dt: DataType, v: Any): Any = dt match {
+    case StringType => v.toString
+    case ByteType => v.asInstanceOf[Byte].toLong
+    case ShortType => v.asInstanceOf[Short].toLong
+    case IntegerType | DateType => v.asInstanceOf[Int].toLong
+    case LongType | TimestampType | TimestampNTZType => v.asInstanceOf[Long]
+    case FloatType | DoubleType | BooleanType => v
+    case other => throw new IllegalStateException(
+      s"unsupported MoR mask key type $other (typesSupported must gate this)")
+  }
+
+  private def typeOk(dt: DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | DateType | LongType |
+         TimestampType | TimestampNTZType | FloatType | DoubleType | BooleanType => true
+    case _ => false
+  }
+
+  /** Can every tombstone key set of `snap` drive the native hash-probe
+    * mask? Schema-only check (one footer read per tombstone dir, plan
+    * time, no jobs); binary/decimal/nested keys — whose internal
+    * representations don't hash-canonicalize safely — send the scan to
+    * the V1 composing path instead.
+    */
+  def typesSupported(spark: SparkSession, t: LakehouseTable, snap: Snapshot): Boolean =
+    snap.tombstones.groupBy(dirOf).values.forall { fs =>
+      try spark.read.parquet(t.absDataPath(fs.head)).schema.fields.forall(f => typeOk(f.dataType))
+      catch { case _: Exception => false }
+    }
+
+  private def dirOf(relFile: String): String = relFile.split('/').take(2).mkString("/")
+
+  /** Build the masks: per tombstone dir group, read the key parquet and
+    * fold tuples into `byKey` at that dir's origin; dirs sharing one
+    * key set merge max-origin-wins. Null-key tuples drop (SQL equality:
+    * a null key masks nothing). Driver-side collect of batch-sized key
+    * sets — the same volume the V1 anti-join broadcasts.
+    */
+  def build(spark: SparkSession, t: LakehouseTable, snap: Snapshot): Seq[MorMaskData] = {
+    val perDir = snap.tombstones.groupBy(dirOf).toSeq.sortBy(_._1).map { case (_, fs) =>
+      val origin = t.originOfFile(fs.head)
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(fs.map(t.absDataPath): _*)
+      val names = df.columns.sorted.toSeq
+      (names, names.map(n => df.schema(n).dataType), origin,
+        df.select(names.map(col): _*))
+    }
+    perDir.groupBy(_._1).toSeq.sortBy(_._1.mkString(",")).map { case (names, group) =>
+      val types = group.head._2
+      val acc = scala.collection.mutable.HashMap.empty[List[Any], Long]
+      group.foreach { case (_, ts, origin, df) =>
+        require(ts == types,
+          s"tombstone key set ${names.mkString(",")} drifted types across dirs: $ts vs $types")
+        df.queryExecution.toRdd.toLocalIterator.foreach { row =>
+          var i = 0
+          var ok = true
+          val vals = new Array[Any](types.length)
+          while (i < types.length && ok) {
+            if (row.isNullAt(i)) ok = false
+            else { vals(i) = canon(types(i), row.get(i, types(i))); i += 1 }
+          }
+          if (ok) {
+            val key = vals.toList
+            val prev = acc.getOrElse(key, Long.MinValue)
+            if (origin > prev) acc(key) = origin
+          }
+        }
+      }
+      MorMaskData(names, types, acc.toMap,
+        group.map(_._3).max)
+    }.filter(_.byKey.nonEmpty)
+  }
+
+  /** Is `row` (the reader's widened output row) masked given its file's
+    * origin snapshot? True iff ANY mask holds its full non-null key
+    * tuple at a strictly newer origin.
+    */
+  def masked(row: org.apache.spark.sql.catalyst.InternalRow,
+      masks: Array[MorMaskSpec], origin: Long): Boolean = {
+    var m = 0
+    while (m < masks.length) {
+      val sp = masks(m)
+      val data = sp.bc.value
+      if (data.maxOrigin > origin) {
+        val n = sp.ordinals.length
+        val vals = new Array[Any](n)
+        var i = 0
+        var ok = true
+        while (i < n && ok) {
+          val ord = sp.ordinals(i)
+          if (row.isNullAt(ord)) ok = false
+          else { vals(i) = canon(sp.types(i), row.get(ord, sp.types(i))); i += 1 }
+        }
+        if (ok) data.byKey.get(vals.toList) match {
+          case Some(to) if to > origin => return true
+          case _ => ()
+        }
+      }
+      m += 1
+    }
+    false
+  }
+}

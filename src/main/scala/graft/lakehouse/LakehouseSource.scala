@@ -503,19 +503,21 @@ private[lakehouse] final class LakehouseScanBuilder(
   override def build(): Scan = pushedAgg match {
     case Some((values, aggSchema)) => new LakehouseAggScan(values, aggSchema)
     case None =>
-      // merge-on-read snapshots need the tombstone anti-join the
-      // DataFrame-composing V1 path provides; everything else takes
-      // the native vectorized batch (runtime file pruning, manifest
-      // statistics, no per-action inner-plan build). A root that
-      // doesn't resolve (snapshot-less sink target, expired pin)
-      // also stays on the V1 path so its error surfaces at action
-      // time with the established message.
-      val mor = try {
-        val (_, snap) = LakehouseSource.snapshotFor(SparkSession.active, options)
-        snap.tombstones.nonEmpty
-      } catch { case _: Exception => true }
-      if (mor) new LakehouseV1Scan(options, required, accepted)
-      else new LakehouseBatchScan(options, required, accepted)
+      // the native vectorized batch serves everything — INCLUDING
+      // merge-on-read snapshots, whose tombstone masks ride the
+      // partition readers as broadcast hash probes — except tombstone
+      // KEY TYPES outside the mask's canonical space (binary/decimal/
+      // nested), which keep the V1 composing anti-join. A root that
+      // doesn't resolve (snapshot-less sink target, expired pin) also
+      // stays on the V1 path so its error surfaces at action time
+      // with the established message.
+      val nativeOk = try {
+        val spark = SparkSession.active
+        val (t, snap) = LakehouseSource.snapshotFor(spark, options)
+        snap.tombstones.isEmpty || LakehouseMor.typesSupported(spark, t, snap)
+      } catch { case _: Exception => false }
+      if (nativeOk) new LakehouseBatchScan(options, required, accepted)
+      else new LakehouseV1Scan(options, required, accepted)
   }
 }
 

@@ -371,6 +371,15 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     * hive-style (`col=value/` dirs) — the partition spec of
     * `sinks/iceberg.py` auto-create — enabling partition-pruned reads
     * and partition-scoped compaction.
+    *
+    * @throws ConcurrentCommitException in two narrow cross-process
+    *   races (a blind append otherwise always rebases past a lost
+    *   race): a racing MERGE-ON-READ apply published a tombstone NEWER
+    *   than this append's claimed origin mid-rebase (re-run resolves),
+    *   or [[LakehouseTable.MaxCommitAttempts]] consecutive publish
+    *   races were lost (livelock guard under sustained contention; the
+    *   loop backs off with jitter between attempts, and the caller
+    *   retries).
     */
   def append(df0: DataFrame, partitionBy: Seq[String] = Nil): Snapshot = writeLock.synchronized {
     appendWith(df0, partitionBy, mark = None)
@@ -381,6 +390,8 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     * transaction mark; None means the batch was already applied (a
     * streaming replay, possibly by a RACING replica of the same app in
     * another process) and nothing was committed. See [[TxnMark]].
+    *
+    * @throws ConcurrentCommitException same narrow races as [[append]].
     */
   def appendIdempotent(df: DataFrame, appId: String, version: Long,
       partitionBy: Seq[String] = Nil): Option[Snapshot] = writeLock.synchronized {
@@ -409,7 +420,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     val baseTombs = currentSnapshot().map(_.tombstones.toSet).getOrElse(Set.empty)
     val newFiles = writeDataFiles(df, claimedId, partitionCols = partitionBy)
     var attempt = 0
-    while (attempt < 16) {
+    while (attempt < LakehouseTable.MaxCommitAttempts) {
       if (mark.exists(m => lastTxnVersion(m.appId).exists(_ >= m.version)))
         return None // a racing replica of this exact batch already landed
       val parent = currentSnapshot()
@@ -431,7 +442,14 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       } catch {
         case e: ConcurrentCommitException =>
           attempt += 1
-          if (attempt >= 16) throw e // livelock guard; the caller retries
+          if (attempt >= LakehouseTable.MaxCommitAttempts)
+            throw e // livelock guard; the caller retries
+          // jittered backoff: under sustained cross-process contention
+          // N lock-step retry loops would otherwise keep colliding on
+          // every version until the attempt cap fires for someone
+          Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current()
+              .nextLong(1L, math.min(128L, 4L << math.min(attempt, 5)) + 1))
       }
     }
     sys.error("unreachable: loop exits only by return/throw")
@@ -665,7 +683,34 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       .join(keyRows, keys, "left_semi")
       .select(col("_file")).distinct()
       .collect().map(_.getString(0)).toSet
-    candidates.filter(f => probed.exists(_.endsWith(f)))
+    // map each probed URI back to its manifest-relative path ONCE and
+    // intersect sets — O(candidates + probed) driver work (the r9 form
+    // rescanned the probed set per candidate via endsWith: quadratic at
+    // a 100k-candidate rewrite, and suffix-match could over-rewrite)
+    val probedRel = probed.map(relDataPathOf)
+    candidates.filter(probedRel)
+  }
+
+  /** Absolute data-file URI (as `input_file_name()` reports it) →
+    * root-relative manifest path. Accepts both the literal table root
+    * and its canonical (symlink-resolved) form — Spark may report
+    * either — and fails loudly otherwise: a silently-wrong key would
+    * desync file bookkeeping from the manifest.
+    */
+  @transient private lazy val dataRootPair: (String, String) = {
+    val lit = dataDir.toUri.getPath
+    val real = try dataDir.toRealPath().toString
+      catch { case _: java.io.IOException => lit }
+    (lit, real)
+  }
+
+  private[lakehouse] def relDataPathOf(fileUri: String): String = {
+    val p = new java.net.URI(fileUri).getPath
+    val (litRoot, realRoot) = dataRootPair
+    val i0 = p.indexOf(litRoot)
+    val (i, r) = if (i0 >= 0) (i0, litRoot) else (p.indexOf(realRoot), realRoot)
+    require(i >= 0, s"data file $p not under table data root $litRoot")
+    "data/" + p.substring(i + r.length).stripPrefix("/")
   }
 
   private def upsertWith(df0: DataFrame, keys: Seq[String],
@@ -1948,6 +1993,9 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     m.group(1).toLong
   }
 
+  /** [[originOf]] for the native scan's MoR masking. */
+  private[lakehouse] def originOfFile(relFile: String): Long = originOf(relFile)
+
   private[lakehouse] def scanFiles(snap: Snapshot, files: Seq[String]): DataFrame = {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     if (files.isEmpty)
@@ -1989,8 +2037,14 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     */
   private def applyTombstones(snap: Snapshot, df0: DataFrame): DataFrame = {
     if (snap.tombstones.isEmpty) return df0
+    // greedy ^.* anchors the match to the LAST '/data/s<digits>' segment
+    // — always the table's own data dir (partition segments contain '='
+    // and escape '/', so nothing after it can re-match). An unanchored
+    // first-match parse would mis-derive the origin for every row of a
+    // table whose ROOT path itself contains '/data/s<digit>' (e.g.
+    // /data/s3cache/warehouse/t), silently corrupting MoR masking.
     val df = df0.withColumn("__graft_origin",
-      regexp_extract(input_file_name(), "/data/s([0-9]+)", 1).cast("long"))
+      regexp_extract(input_file_name(), "^.*/data/s([0-9]+)", 1).cast("long"))
     val byDir = snap.tombstones.groupBy(f => f.split('/').take(2).mkString("/"))
     val perDir: Seq[(Seq[String], DataFrame)] = byDir.toSeq.map { case (dir, fs) =>
       val origin = originOf(fs.head)
@@ -2154,4 +2208,13 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       .map(p => rootPath.relativize(p).toString)
       .sorted
   }
+}
+
+object LakehouseTable {
+  /** Cap on consecutive lost publish races before an append-shaped
+    * commit stops rebasing and surfaces [[ConcurrentCommitException]]
+    * (livelock guard — load-dependent, paired with jittered backoff in
+    * the rebase loop; the caller's retry re-enters with fresh backoff).
+    */
+  val MaxCommitAttempts = 16
 }

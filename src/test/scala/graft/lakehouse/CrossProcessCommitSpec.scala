@@ -31,9 +31,10 @@ class CrossProcessCommitSpec extends SparkSpec {
 
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
-    val cp = Seq(
-      "/root/repo/target/scala-2.13/test-classes",
-      "/root/repo/target/scala-2.13/classes", "/opt/spark/jars/*").mkString(":")
+    // the parent JVM already carries the right classpath (sbt-built
+    // classes + Spark jars) — inherit it instead of hardcoding checkout
+    // and install locations
+    val cp = System.getProperty("java.class.path")
     val cmd = (Seq(javaBin) ++ opens ++ Seq("-Xmx2g", "-cp", cp,
       "graft.lakehouse.CommitRaceMain", root, "B", n.toString, markers)).toArray
     val pb = new ProcessBuilder(cmd: _*)

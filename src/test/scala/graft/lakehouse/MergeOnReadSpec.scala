@@ -58,6 +58,20 @@ class MergeOnReadSpec extends SparkSpec {
     assert(content(mor) === Seq((2L, "b2"), (3L, "c3"), (4L, "d"), (5L, "e")))
   }
 
+  test("origin parse anchors to the table's own data dir, not a '/data/s<digit>' in the ROOT path") {
+    // a root like .../data/s3cache/warehouse/t would satisfy an
+    // UNANCHORED '/data/s([0-9]+)' first-match with origin 3 for every
+    // row — masking a batch's own re-inserts as if they predated their
+    // tombstone (MoR updates would lose their new version)
+    val root = java.nio.file.Paths.get(tmpDir("mor-evil"), "data", "s3cache", "warehouse", "t")
+    java.nio.file.Files.createDirectories(root)
+    val t = new LakehouseTable(spark, root.toString)
+    t.applyChanges(ch((1L, "a", "insert"), (2L, "b", "insert")), Seq("id"), mergeOnRead = true)
+    t.applyChanges(ch((1L, "a", "delete"), (1L, "A2", "insert")), Seq("id"), mergeOnRead = true)
+    t.applyChanges(ch((2L, "b", "delete")), Seq("id"), mergeOnRead = true)
+    assert(content(t) === Seq((1L, "A2")))
+  }
+
   test("origin sequencing: same-batch delete+insert is an update; later re-insert resurrects") {
     val t = newTable("mor-seq")
     t.applyChanges(ch((1L, "a", "insert")), Seq("id"), mergeOnRead = true)
