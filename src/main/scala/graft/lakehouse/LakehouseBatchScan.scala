@@ -110,11 +110,12 @@ final class LakehouseBatchScan(
       val originOf = staticFiles.map(f => f -> t.originOfFile(f)).toMap
       morMasks.flatMap { m =>
         val preds = m.keyNames.zipWithIndex.map { case (k, i) =>
-          ScanPredicate.InSet(k, m.byKey.keysIterator.map(_(i)).toSeq.distinct)
+          ScanPredicate.InSet(k, m.byKey.keysIterator
+            .map(tup => LakehouseMor.decanon(m.keyTypes(i), tup(i))).toSeq.distinct)
         }
         val kept = t.pruneFiles(snap, preds)._1.toSet
         staticFiles.filter(f => kept(f) && originOf(f) < m.maxOrigin)
-      }.toSet.iterator.map(f => f -> originOf(f)).toMap
+      }.distinct.map(f => f -> originOf(f)).toMap
     }
 
   /** Snapshot-schema fields backing every mask key column (the reader
@@ -319,7 +320,8 @@ final class LakehouseBatchScan(
       // re-plan can never pair stale group state with fresh partitions
       val spec = LakehouseGroupSpec(
         readerFactoryFor(StructType(dataFields), StructType(partFields)),
-        perm, required.fields.map(_.dataType), masks, maskOrigin.getOrElse(-1L))
+        perm, required.fields.map(_.dataType), masks, maskOrigin.getOrElse(-1L),
+        StructType(outFields))
       // SPJ key row (decoded partition values in clustering order);
       // same-key partitions merge into one task group in BatchScanExec
       val keyRow =
@@ -422,17 +424,31 @@ private[lakehouse] final case class LakehouseGroupSpec(
     masks: Array[MorMaskSpec] = Array.empty,
     /** Origin snapshot of every file in this partition (uniform by
       * grouping); only consulted when `masks` is non-empty. */
-    maskOrigin: Long = -1L)
+    maskOrigin: Long = -1L,
+    /** The reader's natural (data ++ partition) output schema — what a
+      * masked partition's survivor-copy vectors allocate as. */
+    outSchema: StructType = new StructType())
 
 /** Stateless dispatcher: each partition names its own parquet factory,
   * column permutation, and (for MoR-affected partitions) tombstone
   * mask (mixed layouts in one scan).
+  *
+  * Columnar handling under MoR: Spark's PARTITION_DEFINED mode requires
+  * EVERY partition of a scan to agree on columnar-vs-row, so masked
+  * partitions must stay columnar alongside their unaffected siblings.
+  * They do — the mask probe runs per BATCH: a batch holding no masked
+  * row passes through zero-copy (the overwhelmingly common case, since
+  * affected files were already manifest-pruned to those that could hold
+  * a masked key), and a batch that does hold one copies only the
+  * SURVIVORS into fresh on-heap vectors (Spark's own
+  * [[RowToColumnConverter]]). Vectorized parquet decode is never
+  * forfeited; the worst case pays one row-copy of the masked batch.
   */
 private[lakehouse] final class LakehouseReaderFactory extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = {
     val p = partition.asInstanceOf[LakehouseGroupedPartition]
-    p.spec.masks.isEmpty && p.spec.factory.supportColumnarReads(p.fp)
+    p.spec.factory.supportColumnarReads(p.fp)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -468,7 +484,10 @@ private[lakehouse] final class LakehouseReaderFactory extends PartitionReaderFac
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[LakehouseGroupedPartition]
     val g = p.spec
-    val in = g.factory.createColumnarReader(p.fp)
+    val in0 = g.factory.createColumnarReader(p.fp)
+    val in =
+      if (g.masks.isEmpty) in0
+      else new MaskingColumnarReader(in0, g.outSchema, g.masks, g.maskOrigin)
     if (g.perm == null) in
     else new PartitionReader[ColumnarBatch] {
       override def next(): Boolean = in.next()
@@ -482,4 +501,60 @@ private[lakehouse] final class LakehouseReaderFactory extends PartitionReaderFac
       override def close(): Unit = in.close()
     }
   }
+}
+
+/** Columnar MoR masking: per input batch, probe every row against the
+  * broadcast tombstone masks. No hit → the batch flows through
+  * UNTOUCHED (zero copy); any hit → the surviving rows copy into fresh
+  * on-heap vectors (GC-managed — no off-heap lifecycle to track) via
+  * Spark's own row→column converter. A fully-masked batch is skipped.
+  */
+private[lakehouse] final class MaskingColumnarReader(
+    in: PartitionReader[ColumnarBatch],
+    outSchema: StructType,
+    masks: Array[MorMaskSpec],
+    origin: Long) extends PartitionReader[ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.GraftColumnarAccess
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+
+  @transient private lazy val converter = GraftColumnarAccess.converter(outSchema)
+  private var cur: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    while (in.next()) {
+      val b = in.get()
+      var anyMasked = false
+      val probe = b.rowIterator()
+      while (!anyMasked && probe.hasNext) {
+        if (LakehouseMor.masked(probe.next(), masks, origin)) anyMasked = true
+      }
+      if (!anyMasked) {
+        LakehouseMor.batchesPassedThrough.incrementAndGet()
+        cur = b; return true
+      }
+      LakehouseMor.batchesCopied.incrementAndGet()
+      val vectors = OnHeapColumnVector.allocateColumns(b.numRows, outSchema)
+      var kept = 0
+      val it = b.rowIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        if (!LakehouseMor.masked(row, masks, origin)) {
+          converter.convert(row, vectors.asInstanceOf[Array[
+            org.apache.spark.sql.execution.vectorized.WritableColumnVector]])
+          kept += 1
+        }
+      }
+      if (kept > 0) {
+        val out = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
+        out.setNumRows(kept)
+        cur = out
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): ColumnarBatch = cur
+  override def close(): Unit = in.close()
 }

@@ -39,6 +39,13 @@ final case class MorMaskSpec(
 
 object LakehouseMor {
 
+  /** Test observability (local-mode exact, cluster-mode per-executor):
+    * batches that flowed through the masked columnar reader untouched
+    * vs batches that paid the survivor copy.
+    */
+  val batchesPassedThrough = new java.util.concurrent.atomic.AtomicLong
+  val batchesCopied = new java.util.concurrent.atomic.AtomicLong
+
   /** Canonical equality representation for a key value, applied
     * IDENTICALLY to tombstone rows (driver, at mask build) and data
     * rows (executor, per probe) — both read through
@@ -55,6 +62,31 @@ object LakehouseMor {
     case FloatType | DoubleType | BooleanType => v
     case other => throw new IllegalStateException(
       s"unsupported MoR mask key type $other (typesSupported must gate this)")
+  }
+
+  /** External-typed probe value for a canon'd key. The manifest prune
+    * path ([[ScanPredicate.InSet]]) feeds probes through
+    * `Literal()`/`Cast` for bloom hashing — a raw canon Long for a DATE
+    * key would be an impossible cast there and could wrongly DROP an
+    * affected file (resurrecting deleted rows). De-canon restores the
+    * exact external type: int/long/string keys (the CDC norm) keep
+    * full stats+bloom pruning; date/timestamp/boolean keys merely
+    * prune less — never wrongly.
+    */
+  def decanon(dt: DataType, v: Any): Any = dt match {
+    case ByteType => v.asInstanceOf[Long].toByte
+    case ShortType => v.asInstanceOf[Long].toShort
+    case IntegerType => v.asInstanceOf[Long].toInt
+    case DateType => java.time.LocalDate.ofEpochDay(v.asInstanceOf[Long])
+    case TimestampType =>
+      val us = v.asInstanceOf[Long]
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000L)
+    case TimestampNTZType =>
+      val us = v.asInstanceOf[Long]
+      java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+    case _ => v
   }
 
   private def typeOk(dt: DataType): Boolean = dt match {
@@ -98,7 +130,10 @@ object LakehouseMor {
       group.foreach { case (_, ts, origin, df) =>
         require(ts == types,
           s"tombstone key set ${names.mkString(",")} drifted types across dirs: $ts vs $types")
-        df.queryExecution.toRdd.toLocalIterator.foreach { row =>
+        // .copy() is load-bearing: the scan REUSES its UnsafeRow per
+        // partition, so an uncopied localIterator yields N references
+        // to the LAST row — every tombstone key but one would vanish
+        df.queryExecution.toRdd.map(_.copy()).toLocalIterator.foreach { row =>
           var i = 0
           var ok = true
           val vals = new Array[Any](types.length)
