@@ -101,14 +101,57 @@ object LakehouseDml {
 
   /** Rebind an analyzed expression for evaluation on re-scanned frames:
     * every attribute maps to the column name `names` assigns it;
-    * anything unmapped is a planning bug surfaced loudly.
+    * anything unmapped is a planning bug surfaced loudly — EXCEPT when
+    * the expression embeds subqueries, whose internal attributes
+    * legitimately live outside the map (their plans re-analyze intact
+    * inside the new query; only UNCORRELATED subqueries reach here, so
+    * no subquery-internal attribute can reference the outer frame).
     */
-  private[lakehouse] def rebind(e: Expression, names: Map[ExprId, String]): Column =
+  private[lakehouse] def rebind(e: Expression, names: Map[ExprId, String]): Column = {
+    val lenient = SubqueryExpression.hasSubquery(e)
     exprColumn(e.transform {
-      case a: AttributeReference => UnresolvedAttribute(Seq(names.getOrElse(a.exprId,
-        throw new IllegalStateException(
-          s"DML expression references unbound attribute '${a.name}'#${a.exprId.id}"))))
+      case a: AttributeReference => names.get(a.exprId) match {
+        case Some(n) => UnresolvedAttribute(Seq(n))
+        case None if lenient => a
+        case None => throw new IllegalStateException(
+          s"DML expression references unbound attribute '${a.name}'#${a.exprId.id}")
+      }
     })
+  }
+
+  /** Loud refusal for CORRELATED subqueries only — an uncorrelated
+    * subquery evaluates natively inside the rewrite scan (Spark plans
+    * it as a semi/anti/scalar-subquery join, distributed, no driver
+    * collect), which is the decontamination DELETE shape
+    * (`DELETE FROM corpus WHERE doc_id IN (SELECT doc_id FROM flagged)`).
+    */
+  private[lakehouse] def requireUncorrelated(e: Expression, where: String): Unit =
+    e.foreach {
+      case s: SubqueryExpression if s.isCorrelated =>
+        throw new UnsupportedOperationException(
+          s"graft-lakehouse $where supports only UNCORRELATED subqueries — " +
+            "rewrite the correlated shape as MERGE INTO with the subquery as source")
+      case _ => ()
+    }
+
+  /** Candidate-file pruning from positive, uncorrelated, single-column
+    * `col IN (SELECT …)` top-level conjuncts: each runs its subquery
+    * DISTINCT and feeds the keyed two-stage probe (manifest range prune
+    * + exact column-pruned semi-join over survivors) — subquery-volume
+    * cost, never table cost. None = no such conjunct contributed
+    * evidence (other subquery shapes — NOT IN, EXISTS, scalar — prune
+    * nothing but stay CORRECT through the full rewrite filter).
+    */
+  private[lakehouse] def subqueryCandidates(spark: SparkSession, t: LakehouseTable,
+      snap: Snapshot, conj: Seq[Expression], names: Map[ExprId, String]): Option[Set[String]] =
+    conj.collect {
+      case cexp.InSubquery(Seq(a: AttributeReference), lq: cexp.ListQuery)
+          if !lq.isCorrelated && lq.plan.output.size == 1 &&
+            lq.plan.output.head.dataType == a.dataType && names.contains(a.exprId) =>
+        val keyName = names(a.exprId)
+        val keys = ofRows(spark, lq.plan).toDF(keyName).distinct()
+        t.touchedFilesFor(snap, keys, Seq(keyName)).toSet
+    }.reduceOption(_ intersect _)
 
   /** Catalyst predicate → `sources.Filter`, for file PRUNING only (the
     * residual is always the rebound original condition, so an
@@ -188,7 +231,7 @@ object LakehouseDmlStrategy extends SparkStrategy {
   private def assignmentPairs(assignments: Seq[Assignment], what: String): Seq[(AttributeReference, Expression)] =
     assignments.map {
       case Assignment(key: AttributeReference, value) =>
-        requireNoSubquery(value, what); (key, value)
+        requireUncorrelated(value, what); (key, value)
       case Assignment(other, _) => throw new UnsupportedOperationException(
         s"graft-lakehouse $what supports top-level column assignments only, got $other")
     }
@@ -196,10 +239,10 @@ object LakehouseDmlStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case u: UpdateTable =>
       lakeRelation(u.table).map { case (tOut, table) =>
-        u.condition.foreach(requireNoSubquery(_, "UPDATE WHERE"))
+        u.condition.foreach(requireUncorrelated(_, "UPDATE WHERE"))
         val sets = assignmentPairs(u.assignments, "UPDATE SET")
         UpdateLakehouseExec(SparkSession.active, table.options,
-          tOut, sets, u.condition) :: Nil
+          new DmlPayload((tOut, sets, u.condition))) :: Nil
       }.getOrElse(Nil)
 
     case m: MergeIntoTable =>
@@ -220,21 +263,37 @@ object LakehouseDmlStrategy extends SparkStrategy {
         MergeLakehouseExec(SparkSession.active, table.options, tOut, m) :: Nil
       }.getOrElse(Nil)
 
-    // only predicates the SupportsDelete face REFUSES (shapes beyond the
-    // pruner's filter grammar — LIKE '%x', NOT, arithmetic, functions);
-    // translatable deletes keep the built-in metadata-pruned path
+    // predicates the SupportsDelete face REFUSES: shapes beyond the
+    // pruner's filter grammar (LIKE '%x', NOT, arithmetic, functions)
+    // AND uncorrelated-subquery shapes (IN (SELECT…)/EXISTS/scalar —
+    // the decontamination DELETE); translatable deletes keep the
+    // built-in metadata-pruned path, correlated subqueries refuse loudly
     case d: DeleteFromTable =>
       lakeRelation(d.table) match {
-        case Some((tOut, table)) if !SubqueryExpression.hasSubquery(d.condition) &&
-            !conjuncts(d.condition).forall(c => translateForPrune(c).isDefined) =>
-          DeleteLakehouseExec(SparkSession.active, table.options, tOut,
-            d.condition) :: Nil
+        case Some((tOut, table)) if SubqueryExpression.hasSubquery(d.condition) =>
+          requireUncorrelated(d.condition, "DELETE WHERE")
+          DeleteLakehouseExec(SparkSession.active, table.options,
+            new DmlPayload((tOut, d.condition))) :: Nil
+        case Some((tOut, table))
+            if !conjuncts(d.condition).forall(c => translateForPrune(c).isDefined) =>
+          DeleteLakehouseExec(SparkSession.active, table.options,
+            new DmlPayload((tOut, d.condition))) :: Nil
         case _ => Nil // built-in SupportsDelete / error paths
       }
 
     case _ => Nil
   }
 }
+
+/** Opaque expression holder: keeps analyzed expressions INVISIBLE to
+  * Spark's physical-plan rewrites. A SparkPlan's Expression-typed case
+  * fields are walked by prepare rules — `PlanSubqueries` would replace
+  * a logical subquery inside the stored condition with a PHYSICAL
+  * InSubqueryExec (breaking rebind), and `V2TableRefreshUtil` then
+  * class-casts it as a LogicalPlan and dies. The execs re-plan their
+  * expressions themselves through [[LakehouseDml.rebind]].
+  */
+private[lakehouse] final class DmlPayload[T](@transient val value: T) extends Serializable
 
 /** Driver-side command node: run once, produce no rows (the v2-command
   * execution shape — `spark.sql(...)` eagerly collects).
@@ -259,22 +318,25 @@ private[lakehouse] trait GraftDmlExec extends LeafExecNode {
 private[lakehouse] final case class UpdateLakehouseExec(
     @transient spark: SparkSession,
     tableOptions: Map[String, String],
-    @transient targetOutput: Seq[Attribute],
-    @transient sets: Seq[(AttributeReference, Expression)],
-    @transient condition: Option[Expression]) extends GraftDmlExec {
+    payload: DmlPayload[(Seq[Attribute], Seq[(AttributeReference, Expression)], Option[Expression])])
+  extends GraftDmlExec {
+
+  @transient private lazy val (targetOutput, sets, condition) = payload.value
 
   override protected def run(): Unit = {
     val t = new LakehouseTable(spark, LakehouseSource.rootOf(tableOptions))
     val names: Map[ExprId, String] = targetOutput.map(a => a.exprId -> a.name).toMap
-    val filters = condition.toSeq
-      .flatMap(LakehouseDml.conjuncts)
-      .flatMap(LakehouseDml.translateForPrune)
+    val conj = condition.toSeq.flatMap(LakehouseDml.conjuncts)
+    val filters = conj.flatMap(LakehouseDml.translateForPrune)
     val cond = condition.map(LakehouseDml.rebind(_, names)).getOrElse(lit(true))
     val setByName = sets.map { case (k, v) => k.name.toLowerCase(java.util.Locale.ROOT) -> v }.toMap
     t.sqlMutate("update",
-      candidatesOf = snap =>
-        condition.map(_ => LakehouseSource.pruneForFilters(t, snap, filters))
-          .getOrElse(snap.files),
+      candidatesOf = { snap =>
+        val base = condition.map(_ => LakehouseSource.pruneForFilters(t, snap, filters))
+          .getOrElse(snap.files)
+        LakehouseDml.subqueryCandidates(spark, t, snap, conj, names)
+          .fold(base)(keep => base.filter(keep))
+      },
       compute = (snap, candidates, scan) => {
         if (candidates.isEmpty) (None, None)
         else {
@@ -283,8 +345,13 @@ private[lakehouse] final case class UpdateLakehouseExec(
             setByName.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
               case Some(v) =>
                 // rows where the condition is TRUE take the new value;
-                // false AND null keep the old (SQL UPDATE semantics)
-                when(cond, LakehouseDml.rebind(v, names).cast(f.dataType))
+                // false AND null keep the old (SQL UPDATE semantics).
+                // `<=> TRUE` is load-bearing for subquery conditions:
+                // it is the canonical row-level-op shape Spark's
+                // subquery planning handles null-correctly (a bare
+                // `when(cond, …)` planned NOT IN over a null-bearing
+                // set as non-null-aware and updated protected rows)
+                when(cond <=> lit(true), LakehouseDml.rebind(v, names).cast(f.dataType))
                   .otherwise(col(f.name)).as(f.name)
               case None => col(f.name)
             }
@@ -304,22 +371,33 @@ private[lakehouse] final case class UpdateLakehouseExec(
 private[lakehouse] final case class DeleteLakehouseExec(
     @transient spark: SparkSession,
     tableOptions: Map[String, String],
-    @transient targetOutput: Seq[Attribute],
-    @transient condition: Expression) extends GraftDmlExec {
+    payload: DmlPayload[(Seq[Attribute], Expression)]) extends GraftDmlExec {
+
+  @transient private lazy val (targetOutput, condition) = payload.value
 
   override protected def run(): Unit = {
     val t = new LakehouseTable(spark, LakehouseSource.rootOf(tableOptions))
     val names: Map[ExprId, String] = targetOutput.map(a => a.exprId -> a.name).toMap
-    val filters = LakehouseDml.conjuncts(condition)
-      .flatMap(LakehouseDml.translateForPrune)
+    val conj = LakehouseDml.conjuncts(condition)
+    val filters = conj.flatMap(LakehouseDml.translateForPrune)
     val cond = LakehouseDml.rebind(condition, names)
     t.sqlMutate("delete",
-      candidatesOf = snap => LakehouseSource.pruneForFilters(t, snap, filters),
+      candidatesOf = { snap =>
+        val base = LakehouseSource.pruneForFilters(t, snap, filters)
+        // IN-subquery conjuncts prune further: subquery keys through the
+        // keyed two-stage probe (the decontamination shape, batch cost)
+        LakehouseDml.subqueryCandidates(spark, t, snap, conj, names)
+          .fold(base)(keep => base.filter(keep))
+      },
       compute = (_, candidates, scan) =>
         if (candidates.isEmpty) (None, None)
         // keep rows where the predicate is false OR null (DELETE only
-        // removes rows where it is TRUE) — the deleteWhere discipline
-        else (Some(scan.filter(coalesce(not(cond), lit(true)))), None))
+        // removes rows where it is TRUE), spelled NOT(cond <=> TRUE) —
+        // Spark's own RewriteDeleteFromTable shape, the one its subquery
+        // planning handles null-correctly (a coalesce(not(cond), true)
+        // nesting planned the IN-subquery as a non-null-aware existence
+        // join and silently deleted NOT-IN rows a NULL should protect)
+        else (Some(scan.filter(not(cond <=> lit(true)))), None))
     ()
   }
 }

@@ -549,10 +549,12 @@ object CdcOpQueries {
     // ---- SQL row-mutating verbs (round 9): UPDATE with expression
     //      assignments, MERGE INTO exercising every clause kind
     //      (conditional matched DELETE, matched UPDATE fallthrough,
-    //      NOT MATCHED INSERT), and a DELETE whose predicate (LIKE)
-    //      is beyond the pushable filter grammar — each a copy-on-write
-    //      snapshot through the catalog; the oracle re-derives the
-    //      final table state relationally (CASE + outer joins). ----
+    //      NOT MATCHED INSERT), a DELETE whose predicate (LIKE)
+    //      is beyond the pushable filter grammar, and (round 10) the
+    //      UNCORRELATED-SUBQUERY verbs: UPDATE … WHERE k IN (SELECT …)
+    //      and the decontamination DELETE … WHERE k IN (SELECT …) —
+    //      each a copy-on-write snapshot through the catalog; the
+    //      oracle re-derives the final table state relationally. ----
     "q127_sql_dml" -> ((s, dir) => {
       import s.implicits._
       val cat = ensureQueryCatalog(s)
@@ -571,6 +573,10 @@ object CdcOpQueries {
             WHEN MATCHED THEN UPDATE SET nm = s.unm
             WHEN NOT MATCHED THEN INSERT (k, nm, rk) VALUES (s.k, s.unm, -1)""")
       s.sql(s"DELETE FROM $cat.db.dml_t WHERE nm LIKE '%a%' AND k < 100")
+      s.sql(s"UPDATE $cat.db.dml_t SET rk = rk + 100 " +
+        s"WHERE k IN (SELECT n_nationkey + 10 FROM q127_src WHERE n_regionkey = 3)")
+      s.sql(s"DELETE FROM $cat.db.dml_t " +
+        s"WHERE k IN (SELECT n_nationkey * 3 FROM q127_src WHERE n_regionkey = 1)")
       val out = s.sql(s"SELECT k, nm, rk FROM $cat.db.dml_t ORDER BY k").collect()
         .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
       s.sql(s"DROP TABLE $cat.db.dml_t")
@@ -1037,8 +1043,14 @@ object CdcOpQueries {
         WHERE s.k IS NULL OR t1.rk <> 2
         UNION ALL
         SELECT s.k, s.unm, -1 AS rk FROM s LEFT JOIN t1 ON t1.k = s.k WHERE t1.k IS NULL),
-      f AS (SELECT * FROM m WHERE NOT (nm LIKE '%a%' AND k < 100))
-      SELECT k, nm, rk FROM f ORDER BY k""",
+      f AS (SELECT * FROM m WHERE NOT (nm LIKE '%a%' AND k < 100)),
+      g AS (SELECT k, nm,
+              CASE WHEN k IN (SELECT n_nationkey + 10 FROM nation WHERE n_regionkey = 3)
+                   THEN rk + 100 ELSE rk END AS rk
+            FROM f),
+      h AS (SELECT * FROM g
+            WHERE k NOT IN (SELECT n_nationkey * 3 FROM nation WHERE n_regionkey = 1))
+      SELECT k, nm, rk FROM h ORDER BY k""",
     // q128: the maintenance lifecycle's snapshot lineage — per-snapshot
     // CUMULATIVE row counts from the three modulo slices, the compact/
     // rollback/alter rows all carrying the full count, and the content

@@ -63,7 +63,7 @@ class LakehouseDmlSpec extends SparkSpec {
     assert(t.listSnapshots().size === snaps)
   }
 
-  test("UPDATE: condition-null rows keep their values; subqueries are refused loudly") {
+  test("UPDATE: condition-null rows keep their values; correlated subqueries are refused loudly") {
     freshTable("u3", "id BIGINT, v STRING")
     spark.sql("INSERT INTO dmlcat.db.u3 VALUES (1,'a'), (2,NULL), (3,'c')")
     spark.sql("UPDATE dmlcat.db.u3 SET id = id + 100 WHERE v <> 'a'")
@@ -71,8 +71,75 @@ class LakehouseDmlSpec extends SparkSpec {
     assert(spark.sql("SELECT id FROM dmlcat.db.u3 ORDER BY id").collect()
       .map(_.getLong(0)).toSeq === Seq(1L, 2L, 103L))
     val e = intercept[Exception](spark.sql(
-      "UPDATE dmlcat.db.u3 SET v = 'x' WHERE id IN (SELECT id FROM dmlcat.db.u3)"))
-    assert(e.getMessage.contains("subquer"), e.getMessage)
+      "UPDATE dmlcat.db.u3 SET v = 'x' WHERE EXISTS (" +
+        "SELECT 1 FROM dmlcat.db.u3 o WHERE o.id = dmlcat.db.u3.id + 1)"))
+    assert(e.getMessage.toLowerCase.contains("uncorrelated"), e.getMessage)
+  }
+
+  test("DELETE WHERE k IN (SELECT …): the decontamination shape, file-pruned at subquery cost") {
+    val t = freshTable("dsub", "id BIGINT, v STRING")
+    spark.sql("INSERT INTO dmlcat.db.dsub SELECT id, concat('v', id) FROM range(0, 100)")
+    spark.sql("INSERT INTO dmlcat.db.dsub SELECT id, concat('v', id) FROM range(1000, 1100)")
+    freshTable("flagged", "doc BIGINT")
+    spark.sql("INSERT INTO dmlcat.db.flagged VALUES (1005), (1007), (2)")
+    spark.sql("DELETE FROM dmlcat.db.flagged WHERE doc = 2") // keep only the 1000-range keys
+    val before = t.currentSnapshot().get.files
+
+    spark.sql("DELETE FROM dmlcat.db.dsub WHERE id IN (SELECT doc FROM dmlcat.db.flagged)")
+    assert(spark.sql("SELECT count(*) FROM dmlcat.db.dsub").head.getLong(0) === 198L)
+    assert(spark.sql(
+      "SELECT count(*) FROM dmlcat.db.dsub WHERE id IN (1005, 1007)").head.getLong(0) === 0L)
+    val after = t.currentSnapshot().get
+    assert(after.operation === "delete")
+    // the 0-99 file holds no flagged key: it must carry by REFERENCE
+    // (two-stage keyed prune), only the 1000-range file rewrites
+    val carried = before.filter(after.files.contains)
+    assert(carried.nonEmpty && carried.size < before.size,
+      s"subquery keys hit one file; the other must carry (carried ${carried.size}/${before.size})")
+  }
+
+  test("DELETE WHERE NOT IN / EXISTS (uncorrelated): SQL null semantics ride Spark's own planning") {
+    freshTable("dnin", "id BIGINT, v STRING")
+    spark.sql("INSERT INTO dmlcat.db.dnin VALUES (1,'a'), (2,'b'), (3,'c')")
+    freshTable("keep", "k BIGINT")
+    spark.sql("INSERT INTO dmlcat.db.keep VALUES (1), (NULL)")
+    // NOT IN over a set containing NULL matches NO row — nothing deletes
+    spark.sql("DELETE FROM dmlcat.db.dnin WHERE id NOT IN (SELECT k FROM dmlcat.db.keep)")
+    assert(spark.sql("SELECT count(*) FROM dmlcat.db.dnin").head.getLong(0) === 3L)
+    // uncorrelated EXISTS is all-or-nothing: non-empty subquery → all match
+    spark.sql("DELETE FROM dmlcat.db.dnin WHERE id > 2 AND EXISTS (SELECT 1 FROM dmlcat.db.keep)")
+    assert(spark.sql("SELECT id FROM dmlcat.db.dnin ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
+  test("UPDATE with IN-subquery WHERE and scalar-subquery SET") {
+    freshTable("usub", "id BIGINT, v STRING, n BIGINT")
+    spark.sql("INSERT INTO dmlcat.db.usub VALUES (1,'a',10), (2,'b',20), (3,'c',30)")
+    freshTable("hot", "k BIGINT")
+    spark.sql("INSERT INTO dmlcat.db.hot VALUES (2), (3)")
+    spark.sql("UPDATE dmlcat.db.usub SET n = (SELECT max(k) FROM dmlcat.db.hot) * 100 " +
+      "WHERE id IN (SELECT k FROM dmlcat.db.hot) AND v <> 'c'")
+    assert(spark.sql("SELECT id, n FROM dmlcat.db.usub ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 10L), (2L, 300L), (3L, 30L)))
+    // NOT IN over a null-bearing set is NULL for every row — nothing
+    // may update (the non-null-aware existence-join trap)
+    freshTable("nullk", "k BIGINT")
+    spark.sql("INSERT INTO dmlcat.db.nullk VALUES (1), (NULL)")
+    spark.sql("UPDATE dmlcat.db.usub SET n = 0 WHERE id NOT IN (SELECT k FROM dmlcat.db.nullk)")
+    assert(spark.sql("SELECT sum(n) FROM dmlcat.db.usub").head.getLong(0) === 340L,
+      "NULL-guarded NOT IN must update no row")
+  }
+
+  test("correlated DELETE subquery refuses with the MERGE hint") {
+    freshTable("dcor", "id BIGINT, v STRING")
+    spark.sql("INSERT INTO dmlcat.db.dcor VALUES (1,'a')")
+    freshTable("dcor2", "id BIGINT")
+    spark.sql("INSERT INTO dmlcat.db.dcor2 VALUES (1)")
+    val e = intercept[Exception](spark.sql(
+      "DELETE FROM dmlcat.db.dcor WHERE EXISTS (" +
+        "SELECT 1 FROM dmlcat.db.dcor2 s WHERE s.id = dmlcat.db.dcor.id)"))
+    assert(e.getMessage.toLowerCase.contains("uncorrelated"), e.getMessage)
   }
 
   test("DELETE with a predicate beyond the filter grammar (LIKE) runs copy-on-write and stays pruned") {
