@@ -63,6 +63,17 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** Filesystem root of a table of THIS catalog, for the streaming
+    * by-name faces (`.option("table", "cat.db.t")`) — the table must
+    * already exist (streaming sources need a snapshot lineage; sink
+    * targets auto-create only through CREATE TABLE or a path write).
+    */
+  private[lakehouse] def tableRoot(ident: Identifier): String = {
+    val root = rootFor(ident)
+    if (!isTableDir(root)) throw new NoSuchTableException(ident)
+    root.toString
+  }
+
   /** `<warehouse>/<ns...>/<name>`, refusing path-escape identifiers. */
   private def rootFor(ident: Identifier): Path = {
     val parts = ident.namespace.toSeq :+ ident.name
@@ -183,14 +194,30 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootFor(ident)
     if (!isTableDir(root)) throw new NoSuchTableException(ident)
-    val adds = changes.map {
+    val t = new LakehouseTable(spark, root.toString)
+    // ADD COLUMNS batches into one schema-only snapshot; RENAME COLUMN
+    // and ALTER COLUMN TYPE (lossless widening) commit one each — all
+    // metadata-only, zero data files rewritten
+    val adds = changes.collect {
       case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
         require(a.isNullable, s"added column '${a.fieldNames.head}' must be nullable")
         StructField(a.fieldNames.head, a.dataType, nullable = true)
-      case other => throw new UnsupportedOperationException(
-        s"graft catalog supports ALTER TABLE ADD COLUMNS (top-level, nullable) only, got $other")
     }
-    new LakehouseTable(spark, root.toString).addColumns(adds)
+    changes.foreach {
+      case _: TableChange.AddColumn => () // collected above
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"RENAME COLUMN supports top-level columns only, got ${r.fieldNames.mkString(".")}")
+        t.renameColumn(r.fieldNames.head, r.newName)
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          s"ALTER COLUMN TYPE supports top-level columns only, got ${u.fieldNames.mkString(".")}")
+        t.widenColumn(u.fieldNames.head, u.newDataType)
+      case other => throw new UnsupportedOperationException(
+        "graft catalog supports ALTER TABLE ADD COLUMNS (top-level, nullable), " +
+          s"RENAME COLUMN, and ALTER COLUMN TYPE (lossless widening) only, got $other")
+    }
+    if (adds.nonEmpty) t.addColumns(adds)
     loadTable(ident)
   }
 

@@ -116,6 +116,8 @@ object LakehouseMor {
     * sets — the same volume the V1 anti-join broadcasts.
     */
   def build(spark: SparkSession, t: LakehouseTable, snap: Snapshot): Seq[MorMaskData] = {
+    val declared = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+      .fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
     val perDir = snap.tombstones.groupBy(dirOf).toSeq.sortBy(_._1).map { case (_, fs) =>
       val origin = t.originOfFile(fs.head)
       val df = spark.read.option("mergeSchema", "true")
@@ -125,11 +127,14 @@ object LakehouseMor {
         df.select(names.map(col): _*))
     }
     perDir.groupBy(_._1).toSeq.sortBy(_._1.mkString(",")).map { case (names, group) =>
-      val types = group.head._2
+      // recorded key types are the DECLARED (widest) ones: canon folds
+      // integral widths to Long, so a tombstone written before a type
+      // widening still matches data read at the wide type — each dir's
+      // rows decode with the dir's OWN physical types below
+      val types = names.map(n =>
+        declared.getOrElse(n.toLowerCase(java.util.Locale.ROOT), group.head._2(names.indexOf(n))))
       val acc = scala.collection.mutable.HashMap.empty[List[Any], Long]
       group.foreach { case (_, ts, origin, df) =>
-        require(ts == types,
-          s"tombstone key set ${names.mkString(",")} drifted types across dirs: $ts vs $types")
         // .copy() is load-bearing: the scan REUSES its UnsafeRow per
         // partition, so an uncopied localIterator yields N references
         // to the LAST row — every tombstone key but one would vanish
@@ -138,8 +143,10 @@ object LakehouseMor {
           var ok = true
           val vals = new Array[Any](types.length)
           while (i < types.length && ok) {
+            // decode with the dir's OWN physical type (ts), canon folds
+            // widths so pre-widening tombstones match wide data rows
             if (row.isNullAt(i)) ok = false
-            else { vals(i) = canon(types(i), row.get(i, types(i))); i += 1 }
+            else { vals(i) = canon(ts(i), row.get(i, ts(i))); i += 1 }
           }
           if (ok) {
             val key = vals.toList

@@ -172,8 +172,43 @@ final class LakehouseSourceProvider extends TableProvider with DataSourceRegiste
 private[lakehouse] object LakehouseSource {
   def rootOf(options: Map[String, String]): String =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .orElse(options.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("table") => resolveTableName(v) })
       .getOrElse(throw new IllegalArgumentException(
-        "graft-lakehouse requires a table root: .load(<root>) or .option(\"path\", <root>)"))
+        "graft-lakehouse requires a table root: .load(<root>), .option(\"path\", " +
+          "<root>), or .option(\"table\", \"<catalog>.<ns>.<name>\")"))
+
+  /** Resolve a catalog-qualified table name (`cat.db.t`, or `db.t`
+    * under the session's CURRENT catalog when it is a graft one) to
+    * its filesystem root — the streaming faces' by-name route: batch
+    * SQL got first-class names from the catalog (round 9), and a
+    * replication pipeline should be expressible without a path string
+    * on either end.
+    */
+  def resolveTableName(name: String): String = {
+    val spark = SparkSession.active
+    val cm = spark.sessionState.catalogManager
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(name)
+    require(parts.size >= 2,
+      s"table name '$name' must be at least '<namespace>.<table>'")
+    val (cat, ns, tbl) =
+      try {
+        val c = cm.catalog(parts.head)
+        require(parts.size >= 2, s"'$name' names a catalog, not a table")
+        (c, parts.tail.init, parts.last)
+      } catch {
+        case _: org.apache.spark.sql.connector.catalog.CatalogNotFoundException =>
+          (cm.currentCatalog, parts.init, parts.last)
+      }
+    cat match {
+      case lc: LakehouseCatalog =>
+        lc.tableRoot(org.apache.spark.sql.connector.catalog.Identifier.of(
+          ns.toArray, tbl))
+      case other => throw new IllegalArgumentException(
+        s"table '$name' resolves to catalog '${other.name()}', which is not a " +
+          "graft-lakehouse catalog — the streaming by-name faces serve graft tables only")
+    }
+  }
 
   /** Comma-separated column-list option (keys, partitionBy). */
   def colListOf(options: Map[String, String], name: String): Seq[String] =
@@ -514,7 +549,10 @@ private[lakehouse] final class LakehouseScanBuilder(
       val nativeOk = try {
         val spark = SparkSession.active
         val (t, snap) = LakehouseSource.snapshotFor(spark, options)
-        snap.tombstones.isEmpty || LakehouseMor.typesSupported(spark, t, snap)
+        (snap.tombstones.isEmpty || LakehouseMor.typesSupported(spark, t, snap)) &&
+          // pre-rename files carry former column names only the V1
+          // path's alias resolution understands; compaction heals
+          !t.hasLegacyNamedFiles(snap)
       } catch { case _: Exception => false }
       if (nativeOk) new LakehouseBatchScan(options, required, accepted)
       else new LakehouseV1Scan(options, required, accepted)

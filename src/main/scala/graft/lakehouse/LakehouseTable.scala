@@ -49,6 +49,16 @@ final case class FileStats(rows: Long, cols: Map[String, ColumnStat],
   */
 final case class TxnMark(appId: String, version: Long)
 
+/** One FORMER name of a column (`ALTER TABLE … RENAME COLUMN`), with
+  * the snapshot that applied the rename: data files whose origin
+  * snapshot predates `renamedAt` may physically carry this name, and
+  * the read paths resolve it back to the current column (coalesce —
+  * a file holds exactly one of the name variants). Once compaction has
+  * rewritten every pre-rename file, the entry is inert (the native-scan
+  * dispatch checks live file origins, not the entry's existence).
+  */
+final case class AliasEntry(name: String, renamedAt: Long)
+
 /** Another process published this table version between this writer's
   * head read and its manifest publish — detected by the atomic
   * put-if-absent commit ([[LakehouseTable]]'s `writeSnapshot`).
@@ -83,9 +93,17 @@ final case class Snapshot(
     // reads pay one anti-join until compaction folds them. Option so
     // pre-MoR manifests parse as None (the validated json4s
     // compatibility shape).
-    deletes: Option[Seq[String]] = None) {
+    deletes: Option[Seq[String]] = None,
+    // cumulative column-rename lineage: CURRENT column name → its former
+    // names (oldest first), each with the snapshot that renamed it away.
+    // Carried on every snapshot (self-contained under snapshot expiry
+    // and time travel — no lineage walk needed at read time). Option so
+    // pre-rename manifests parse as None.
+    renames: Option[Map[String, List[AliasEntry]]] = None) {
   /** The tombstone file list (empty = plain copy-on-write snapshot). */
   def tombstones: Seq[String] = deletes.getOrElse(Nil)
+  /** Current-name → former-names map (empty = never renamed). */
+  def aliases: Map[String, List[AliasEntry]] = renames.getOrElse(Map.empty)
 }
 
 /** Pushed-down scan predicate for the skipping read path
@@ -324,7 +342,13 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     * conditional PUT (if-none-match); an object-store port swaps the
     * link for exactly that request.
     */
-  private def writeSnapshot(s0: Snapshot): Snapshot = {
+  private def writeSnapshot(s00: Snapshot): Snapshot = {
+    // rename lineage is cumulative: every committed snapshot carries it
+    // forward unless the writer set it explicitly (rollback restores the
+    // TARGET's lineage, overwrite resets to Some(empty) — the sentinel
+    // distinguishing "reset" from "inherit")
+    val s0 = if (s00.renames.isEmpty)
+      s00.copy(renames = currentSnapshot().flatMap(_.renames)) else s00
     val s = s0.copy(stats = Some(manifestStatsFor(s0.files)))
     Files.createDirectories(snapsDir)
     onBeforePublish()
@@ -549,13 +573,48 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     currentSnapshot() match {
       case None => df
       case Some(cur) =>
-        val canon = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
-          .fieldNames.map(n => nameKey(n) -> n).toMap
-        df.columns.foldLeft(df) { (d, c) =>
-          canon.get(nameKey(c)).filter(_ != c)
+        val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+        val canon = schema.fieldNames.map(n => nameKey(n) -> n).toMap
+        // a FORMER name (rename lineage) canonicalizes to the current
+        // one too: an upstream CDC feed that lags a rename keeps landing
+        // in the right column instead of forking a ghost sibling
+        val aliasCanon = cur.aliases.flatMap { case (current, olds) =>
+          olds.map(a => nameKey(a.name) -> current)
+        }
+        val named = df.columns.foldLeft(df) { (d, c) =>
+          canon.get(nameKey(c)).orElse(aliasCanon.get(nameKey(c))).filter(_ != c)
             .map(t => d.withColumnRenamed(c, t)).getOrElse(d)
         }
+        // NARROWER batch columns cast UP to the table's declared type at
+        // write time (exact by the lossless-widening lattice) so every
+        // file of one snapshot era shares one physical width
+        val declared = schema.fields.map(f => nameKey(f.name) -> f.dataType).toMap
+        named.columns.foldLeft(named) { (d, c) =>
+          declared.get(nameKey(c)) match {
+            case Some(t) if canWiden(d.schema(c).dataType, t) =>
+              d.withColumn(c, col(c).cast(t))
+            case _ => d
+          }
+        }
     }
+
+  /** The lossless type-widening lattice (the schema-monitor "widen ok"
+    * policy, applied at the table): may a value of type `from` flow
+    * into a column of type `to` with zero information loss, and may
+    * the union schema take `to` where it held `from`? Matches what the
+    * parquet readers upcast natively (int32→bigger integral,
+    * float→double), so widened lineages keep vectorized reads.
+    */
+  private[lakehouse] def canWiden(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
 
   /** Widen-only schema evolution (the schema-monitor policy applied at
     * the table: additive columns flow, type changes stop the writer):
@@ -585,11 +644,16 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     currentSnapshot().foreach { cur =>
       val curFields = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
         .fields.map(f => nameKey(f.name) -> f.dataType).toMap
+      val aliasToCurrent = cur.aliases.flatMap { case (current, olds) =>
+        olds.map(a => nameKey(a.name) -> nameKey(current))
+      }
       df.schema.fields.foreach { f =>
-        curFields.get(nameKey(f.name)).foreach { t =>
-          require(t == f.dataType,
+        val key = aliasToCurrent.getOrElse(nameKey(f.name), nameKey(f.name))
+        curFields.get(key).foreach { t =>
+          require(t == f.dataType || canWiden(t, f.dataType) || canWiden(f.dataType, t),
             s"incompatible type change for column '${f.name}': $t -> ${f.dataType} " +
-              "(widen-only evolution; narrowing/retyping must go through overwrite)")
+              "(widen-only evolution: lossless widening flows, narrower batches " +
+              "cast up at write; anything else must go through overwrite)")
         }
       }
     }
@@ -601,8 +665,16 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       case Some(cur) =>
         val curSchema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
         val known = curSchema.fieldNames.map(nameKey).toSet
-        val widened = curSchema.fields ++
-          df.schema.fields.filterNot(f => known(nameKey(f.name)))
+        val incoming = df.schema.fields.map(f => nameKey(f.name) -> f.dataType).toMap
+        // a shared column arriving WIDER evolves the union schema to the
+        // wide type; old files cast on read (the parquet readers upcast
+        // natively, so this costs nothing on the scan path)
+        val widened = curSchema.fields.map { f =>
+          incoming.get(nameKey(f.name)) match {
+            case Some(t) if canWiden(f.dataType, t) => f.copy(dataType = t)
+            case _ => f
+          }
+        } ++ df.schema.fields.filterNot(f => known(nameKey(f.name)))
         StructType(widened).json
     }
 
@@ -678,7 +750,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     val candidates = pruneFiles(cur, ranges)._1
     if (candidates.isEmpty) return Nil
     keyedWriteProbedFiles.addAndGet(candidates.size)
-    val probed = readFiles(candidates)
+    val probed = readFiles(cur, candidates)
       .select(keys.map(col) :+ input_file_name().as("_file"): _*)
       .join(keyRows, keys, "left_semi")
       .select(col("_file")).distinct()
@@ -940,12 +1012,16 @@ final class LakehouseTable(spark: SparkSession, val root: String,
   private def dropEmptyDataFiles(files: Seq[String]): Seq[String] =
     files.filter(f => footerFileStats(f).forall(_.rows > 0))
 
-  /** Replace the whole table content with `df`. */
+  /** Replace the whole table content with `df` (schema AND rename
+    * lineage reset — no pre-overwrite file survives, so no alias can
+    * ever resolve again).
+    */
   def overwrite(df: DataFrame): Snapshot = writeLock.synchronized {
     val id = nextId()
     val files = writeDataFiles(df, id)
     writeSnapshot(Snapshot(id, currentSnapshot().map(_.snapshotId),
-      System.currentTimeMillis(), "overwrite", files, df.schema.json))
+      System.currentTimeMillis(), "overwrite", files, df.schema.json,
+      renames = Some(Map.empty)))
   }
 
   /** `ALTER TABLE ADD COLUMNS`: a schema-only snapshot (same file set,
@@ -965,12 +1041,106 @@ final class LakehouseTable(spark: SparkSession, val root: String,
           "(existing rows have no value for it)")
         require(!schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
           s"column '${f.name}' already exists")
+        requireNotFormerName(cur, f.name)
       }
       writeSnapshot(Snapshot(nextId(), Some(cur.snapshotId),
         System.currentTimeMillis(), "alter", cur.files,
         StructType(schema.fields ++ cols).json, txn = None,
         deletes = cur.deletes))
     }
+
+  /** True when some live data file may physically carry a FORMER column
+    * name (its origin snapshot predates a rename): such snapshots read
+    * through the V1 composing path — which resolves aliases — until
+    * compaction rewrites the files under their current names, after
+    * which the native vectorized scan serves the table again (the same
+    * heal-by-compaction contract MoR tombstones had before round 10).
+    */
+  private[lakehouse] def hasLegacyNamedFiles(snap: Snapshot): Boolean = {
+    val cuts = snap.aliases.valuesIterator.flatten.map(_.renamedAt)
+    if (cuts.isEmpty) false
+    else {
+      val newest = cuts.max
+      snap.files.exists(f => originOfFile(f) < newest)
+    }
+  }
+
+  /** A name may never be REUSED while files that carry its old meaning
+    * can still be alive: the alias resolution matches by NAME (no
+    * Iceberg field ids), so a reused name would be ambiguous between
+    * the renamed-away column's old files and the new column.
+    */
+  private def requireNotFormerName(cur: Snapshot, name: String): Unit = {
+    val hit = cur.aliases.collectFirst {
+      case (current, olds) if olds.exists(a => nameKey(a.name) == nameKey(name)) => current
+    }
+    require(hit.isEmpty, s"column name '$name' is a FORMER name of column " +
+      s"'${hit.getOrElse("")}' (renamed lineage); reusing it would make old " +
+      "data files ambiguous — pick a fresh name")
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN old TO new`: a schema-only snapshot.
+    * Data files never rewrite — the snapshot records the former name
+    * with the renaming snapshot id ([[AliasEntry]]), reads resolve old
+    * physical columns back to the new name, and compaction re-writes
+    * files under the current name (after which the native scan treats
+    * the table as never renamed). Live MoR tombstones keyed on the
+    * renamed column would desync the mask keys, so rename requires a
+    * compacted (tombstone-free) table — run `compact()` first.
+    */
+  def renameColumn(oldName: String, newName: String): Snapshot =
+    writeLock.synchronized {
+      val cur = currentSnapshot().getOrElse(
+        throw new IllegalStateException(s"table $root has no snapshots"))
+      require(cur.tombstones.isEmpty,
+        "RENAME COLUMN with live merge-on-read tombstones is unsupported " +
+          "(tombstone key files carry the old name); run compact() first")
+      val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+      val field = schema.fields.find(f => nameKey(f.name) == nameKey(oldName))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no such column '$oldName' in ${schema.fieldNames.mkString("[", ", ", "]")}"))
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+        s"column '$newName' already exists")
+      requireNotFormerName(cur, newName)
+      val id = nextId()
+      val renamed = StructType(schema.fields.map(f =>
+        if (nameKey(f.name) == nameKey(oldName)) f.copy(name = newName) else f))
+      // the renamed column inherits its own alias lineage plus the name
+      // it is losing; the map re-keys to the new current name
+      val lineage = cur.aliases.getOrElse(field.name,
+        cur.aliases.collectFirst {
+          case (k, v) if nameKey(k) == nameKey(field.name) => v }.getOrElse(Nil))
+      val aliases = cur.aliases.filterNot { case (k, _) =>
+        nameKey(k) == nameKey(field.name) } +
+        (newName -> (lineage :+ AliasEntry(field.name, id)))
+      writeSnapshot(Snapshot(id, Some(cur.snapshotId),
+        System.currentTimeMillis(), "alter", cur.files, renamed.json,
+        txn = None, deletes = cur.deletes, renames = Some(aliases)))
+    }
+
+  /** `ALTER TABLE … ALTER COLUMN c TYPE <wider>`: lossless type
+    * widening as a schema-only snapshot — old files keep their narrow
+    * physical type and CAST on read (the parquet readers upcast
+    * int32→long, float→double natively, so the vectorized path stays
+    * on). Anything outside the lossless lattice refuses loudly.
+    */
+  def widenColumn(name: String, to: DataType): Snapshot = writeLock.synchronized {
+    val cur = currentSnapshot().getOrElse(
+      throw new IllegalStateException(s"table $root has no snapshots"))
+    val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+    val field = schema.fields.find(f => nameKey(f.name) == nameKey(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no such column '$name' in ${schema.fieldNames.mkString("[", ", ", "]")}"))
+    require(canWiden(field.dataType, to),
+      s"ALTER COLUMN '$name' ${field.dataType.simpleString} -> ${to.simpleString} " +
+        "is not a lossless widening (allowed: byte/short/int -> wider integral, " +
+        "float -> double); narrowing/retyping must go through overwrite")
+    writeSnapshot(Snapshot(nextId(), Some(cur.snapshotId),
+      System.currentTimeMillis(), "alter", cur.files,
+      StructType(schema.fields.map(f =>
+        if (nameKey(f.name) == nameKey(name)) f.copy(dataType = to) else f)).json,
+      txn = None, deletes = cur.deletes))
+  }
 
   /** Create the table EMPTY with a declared schema (the catalog
     * `CREATE TABLE` shape): a zero-file snapshot that pins the schema,
@@ -1011,7 +1181,8 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     val target = snaps.find(_.snapshotId == id).getOrElse(throw invalidSnapshot(id))
     writeSnapshot(Snapshot(nextId(), currentSnapshot().map(_.snapshotId),
       System.currentTimeMillis(), "rollback", target.files, target.schemaJson,
-      deletes = target.deletes))
+      deletes = target.deletes,
+      renames = target.renames.orElse(Some(Map.empty))))
   }
 
   private def invalidSnapshot(id: Long) = new IllegalArgumentException(
@@ -1192,12 +1363,12 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       val known = f.fieldNames.toSet
       StructType(f.fields ++ t.fields.filterNot(x => known(x.name)))
     }
-    def side(files: Seq[String]): DataFrame = {
+    def side(s: Snapshot, files: Seq[String]): DataFrame = {
       val base =
         if (files.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], unionSchema)
-        else readFiles(files)
+        else readFiles(s, files)
       val have = base.columns.toSet
       unionSchema.fields.foldLeft(base) { (d, fld) =>
         if (have(fld.name)) d else d.withColumn(fld.name, lit(null).cast(fld.dataType))
@@ -1223,8 +1394,8 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     val fromSet = fromS.files.toSet
     val fromTombSet = fromS.tombstones.toSet
     if (fromS.tombstones.isEmpty && toS.tombstones.isEmpty) {
-      val added = side(toS.files.diff(fromS.files))
-      val removed = side(fromS.files.diff(toS.files))
+      val added = side(toS, toS.files.diff(fromS.files))
+      val removed = side(fromS, fromS.files.diff(toS.files))
       added.exceptAll(removed).withColumn("_change", lit("insert"))
         .unionByName(removed.exceptAll(added).withColumn("_change", lit("delete")))
     } else if (fromS.files.forall(toS.files.contains) &&
@@ -1367,7 +1538,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     implicit val str: org.apache.spark.sql.Encoder[String] = Encoders.STRING
     implicit val tup: org.apache.spark.sql.Encoder[(String, Long)] =
       Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
-    val perFile = readFiles(missing)
+    val perFile = readFiles(snap, missing)
       .select(input_file_name().as("f"), xxhash64(col(c)).as("h"))
       .as[(String, Long)]
       .groupByKey { case (f, _) =>
@@ -2010,7 +2181,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       // types, is authoritative — the DSv2 scan already casts path
       // values this way), and column order is the declared order
       // regardless of which file's footer won the merge
-      val df = applyTombstones(snap, readFiles(files))
+      val df = applyTombstones(snap, readFiles(snap, files))
       val have = df.columns.map(c => nameKey(c) -> c).toMap
       val aligned = schema.fields.foldLeft(df)((d, f) =>
         have.get(nameKey(f.name)) match {
@@ -2151,29 +2322,51 @@ final class LakehouseTable(spark: SparkSession, val root: String,
 
   // ---------------- helpers ----------------
 
-  private def readFiles(relFiles: Seq[String]): DataFrame = {
+  private def readFiles(snap: Snapshot, relFiles: Seq[String]): DataFrame = {
     require(relFiles.nonEmpty, "empty file list")
+    val declared = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    // EXPLICIT physical-union schema instead of mergeSchema: every
+    // declared column at its declared (WIDEST) type — a narrow physical
+    // file upcasts in the reader (int32→long, float→double), where a
+    // footer-schema merge would refuse the width mix outright — plus
+    // every FORMER column name (rename lineage) at the same type, so a
+    // pre-rename file's physical column lands in its alias slot. Files
+    // hold a subset; absent columns read as NULL.
+    val aliasOf: Map[String, List[String]] = declared.fields.map { f =>
+      f.name -> snap.aliases.collectFirst {
+        case (k, olds) if nameKey(k) == nameKey(f.name) => olds.map(_.name)
+      }.getOrElse(Nil)
+    }.toMap
+    val phys = StructType(declared.fields.flatMap { f =>
+      (f.name +: aliasOf(f.name)).map(n =>
+        org.apache.spark.sql.types.StructField(n, f.dataType, nullable = true))
+    })
     // hive-partitioned files (col=value path segments) need a basePath
     // per snapshot dir so partition columns materialize; flat files read
     // directly. A snapshot may mix both layouts across its lineage.
     val (partitioned, flat) = relFiles.partition(_.contains("="))
-    // mergeSchema: one multi-file read otherwise serves an arbitrary
-    // footer's schema, silently dropping columns a widening append
-    // added (schema evolution)
     val dfs =
       flat.headOption.map(_ =>
-        spark.read.option("mergeSchema", "true")
+        spark.read.schema(phys)
           .parquet(flat.map(f => rootPath.resolve(f).toString): _*)).toSeq ++
         partitioned.groupBy(_.split('/').take(2).mkString("/")).toSeq.sortBy(_._1)
           .map { case (sDir, files) =>
             spark.read
-              .option("mergeSchema", "true")
+              .schema(phys)
               .option("basePath", rootPath.resolve(sDir).toString)
               .parquet(files.map(f => rootPath.resolve(f).toString): _*)
           }
-    // allowMissingColumns: files written before a widening append lack
-    // the newer columns — they read back as nulls (schema evolution)
-    dfs.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+    val df = dfs.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+    // resolve renames: a file carries exactly ONE of a column's name
+    // variants, so coalesce is exact; alias slots drop afterwards
+    declared.fields.foldLeft(df) { (d, f) =>
+      aliasOf(f.name) match {
+        case Nil => d
+        case olds => d
+          .withColumn(f.name, coalesce((f.name +: olds).map(col): _*))
+          .drop(olds: _*)
+      }
+    }
   }
 
   /** Write `df` as parquet under `data/s<id>[-suffix]-w<nonce>/`,

@@ -871,6 +871,39 @@ object CdcOpQueries {
         ("d_checksum", s.sql(s"SELECT sum(k) FROM $cat.db.ow_t").head.getLong(0)))
       s.sql(s"DROP TABLE $cat.db.ow_t")
       rows.toDF("step", "n").orderBy(col("step"))
+    }),
+    // ---- schema evolution lifecycle (round 10): INT→BIGINT widening
+    //      (ALTER COLUMN TYPE — old narrow files upcast on read),
+    //      RENAME COLUMN (schema-only; pre-rename files resolve through
+    //      the alias lineage), a post-rename insert, VERSION AS OF
+    //      seeing the pre-rename shape, and compaction rewriting files
+    //      under current names. Head detail rows + the time-travel
+    //      checksum row are oracle-derived from nation relationally. ----
+    "q135_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val cat = ensureQueryCatalog(s)
+      graft.Tables.load(s, dir, "nation").createOrReplaceTempView("q135_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.ev_t")
+      s.sql(s"CREATE TABLE $cat.db.ev_t (k INT, nm STRING)") // snap 1
+      s.sql(s"INSERT INTO $cat.db.ev_t SELECT n_nationkey, n_name FROM q135_src") // snap 2
+      s.sql(s"ALTER TABLE $cat.db.ev_t ALTER COLUMN k TYPE BIGINT") // snap 3
+      s.sql(s"INSERT INTO $cat.db.ev_t " + // snap 4: BIGINT keys past INT range shape
+        s"SELECT CAST(n_nationkey AS BIGINT) + 5000000000, lower(n_name) FROM q135_src")
+      s.sql(s"ALTER TABLE $cat.db.ev_t RENAME COLUMN nm TO label") // snap 5
+      s.sql(s"INSERT INTO $cat.db.ev_t " + // snap 6: post-rename insert
+        s"SELECT CAST(n_nationkey AS BIGINT) + 9000000000, concat(n_name, '_x') FROM q135_src")
+      // pre-rename, post-widen state: columns (k BIGINT, nm)
+      val v4 = s.sql(s"SELECT count(*), sum(k), sum(length(nm)) " +
+        s"FROM $cat.db.ev_t VERSION AS OF 4").head
+      s.sql(s"CALL $cat.system.compact(table => 'db.ev_t', file_threshold => 1, " +
+        "max_rows => 100000000, target_files => 1)") // snap 7: heals to current names
+      val detail = s.sql(s"SELECT k, label FROM $cat.db.ev_t ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      s.sql(s"DROP TABLE $cat.db.ev_t")
+      (detail :+ ((v4.getLong(0) * 1000000000000L + v4.getLong(1) + v4.getLong(2),
+        "zz_v4_checksum")))
+        .toDF("k", "label").orderBy(col("k"))
     })
   )
 
@@ -1074,6 +1107,24 @@ object CdcOpQueries {
     // resurrected as RESTORED (they were deleted — the OR keeps them),
     // plus the shifted NEW keys; time travel = untouched base; the
     // post-compaction fold must equal head exactly.
+    // q135: head = three nation slices (original, widened +5e9 lowered,
+    // post-rename +9e9 suffixed); the zz row packs the VERSION AS OF 4
+    // aggregate (pre-rename, post-widen: first two slices) into one key.
+    "q135_schema_evolution" -> """
+      WITH base AS (SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm FROM nation),
+      head AS (
+        SELECT k, nm AS label FROM base
+        UNION ALL SELECT k + 5000000000, lower(nm) FROM base
+        UNION ALL SELECT k + 9000000000, nm || '_x' FROM base),
+      v4src AS (SELECT k, nm FROM base
+        UNION ALL SELECT k + 5000000000, lower(nm) FROM base),
+      v4 AS (SELECT CAST(count(*) AS BIGINT) AS c, CAST(sum(k) AS BIGINT) AS sk,
+                    CAST(sum(length(nm)) AS BIGINT) AS sl FROM v4src)
+      SELECT k, label FROM (
+        SELECT k, label FROM head
+        UNION ALL
+        SELECT (SELECT c * 1000000000000 + sk + sl FROM v4), 'zz_v4_checksum')
+      ORDER BY k""",
     "q129_mor_apply" -> """
       WITH base AS (
         SELECT o_orderkey AS k, o_orderpriority AS pri FROM orders
