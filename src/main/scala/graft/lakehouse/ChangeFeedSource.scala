@@ -323,8 +323,14 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
   override def shortName(): String = "graft-changefeed"
 
   private def rootOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft-changefeed requires .option(\"path\", <table root>)"))
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .orElse(parameters.collectFirst {
+        // changefeed-by-name: resolve through the session's catalogs
+        case (k, v) if k.equalsIgnoreCase("table") =>
+          LakehouseSource.resolveTableName(v) })
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-changefeed requires .option(\"path\", <table root>) " +
+          "or .option(\"table\", \"<catalog>.<ns>.<name>\")"))
 
   private def longOpt(parameters: Map[String, String], name: String): Option[Long] =
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v.toLong }

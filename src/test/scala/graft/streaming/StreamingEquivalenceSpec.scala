@@ -980,6 +980,54 @@ class StreamingEquivalenceSpec extends SparkSpec {
     sameMultiset("transform-aware deletes: visibility flips in both directions")
     assert(b.read().select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L, 7L))
   }
+
+  test("catalog-name streaming: changefeed→sink replication driven purely by table names") {
+    import spark.implicits._
+    import graft.lakehouse.{LakehouseCatalog, LakehouseTable}
+    val wh = tmpDir("name-stream-wh")
+    spark.conf.set("spark.sql.catalog.strcat", classOf[LakehouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.strcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS strcat.db")
+    spark.sql("DROP TABLE IF EXISTS strcat.db.src_t")
+    spark.sql("DROP TABLE IF EXISTS strcat.db.dst_t")
+    spark.sql("CREATE TABLE strcat.db.src_t (id BIGINT, v STRING)")
+    spark.sql("CREATE TABLE strcat.db.dst_t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO strcat.db.src_t VALUES (1,'a'), (2,'b')")
+
+    val ckpt = tmpDir("name-stream-ckpt")
+    def runOnce(): Unit = {
+      // NO path strings anywhere: source and sink both resolve by name
+      val q = spark.readStream
+        .format("graft-changefeed").option("table", "strcat.db.src_t")
+        .load()
+        .writeStream
+        .format("graft-lakehouse").option("table", "strcat.db.dst_t")
+        .option("keys", "id")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "by-name replication did not drain")
+    }
+    runOnce()
+    assert(spark.sql("SELECT id, v FROM strcat.db.dst_t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "a"), (2L, "b")))
+
+    // upstream mutates through SQL; the restarted stream drains the diff
+    spark.sql("INSERT INTO strcat.db.src_t VALUES (3,'c')")
+    val src = new LakehouseTable(spark,
+      java.nio.file.Paths.get(wh, "db", "src_t").toString)
+    src.applyChanges(Seq((1L, "a", "delete")).toDF("id", "v", "_change"), Seq("id"))
+    runOnce()
+    assert(spark.sql("SELECT id, v FROM strcat.db.dst_t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((2L, "b"), (3L, "c")))
+
+    // an unknown name fails loudly at resolution, not silently at runtime
+    val e = intercept[Exception](spark.readStream
+      .format("graft-changefeed").option("table", "strcat.db.nope").load())
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+    spark.sql("DROP TABLE strcat.db.src_t")
+    spark.sql("DROP TABLE strcat.db.dst_t")
+  }
 }
 
 /** Serializable home for helpers captured by stateful-streaming
