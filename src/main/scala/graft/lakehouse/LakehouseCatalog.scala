@@ -145,12 +145,18 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     val optimizeWrite = Files.exists(metaPath(root)) &&
       """"optimizeWrite"\s*:\s*true""".r
         .findFirstIn(Files.readString(metaPath(root))).isDefined
+    val owTarget: Option[String] =
+      if (Files.exists(metaPath(root)))
+        """"optimizeWriteTargetBytes"\s*:\s*([0-9]+)""".r
+          .findFirstMatchIn(Files.readString(metaPath(root))).map(_.group(1))
+      else None
     val opts = Map(
       "path" -> root.toString,
       // pinned at resolution — one snapshot per query, like the path face
       "snapshotId" -> snap.snapshotId.toString) ++
       (if (partitionBy.nonEmpty) Map("partitionBy" -> partitionBy.mkString(",")) else Map.empty) ++
-      (if (optimizeWrite) Map("optimizeWrite" -> "true") else Map.empty)
+      (if (optimizeWrite) Map("optimizeWrite" -> "true") else Map.empty) ++
+      owTarget.map("optimizeWriteTargetBytes" -> _).toMap
     new LakehouseV2Table(
       DataType.fromJson(snap.schemaJson).asInstanceOf[StructType], opts)
   }
@@ -175,12 +181,17 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     // with the table, not the writer)
     val optimizeWrite = Option(properties.get("optimizeWrite"))
       .exists(_.trim.equalsIgnoreCase("true"))
-    if (partitionBy.nonEmpty || optimizeWrite) {
+    // TBLPROPERTIES('optimizeWrite.targetBytes'='134217728'): bin each
+    // clustered write to ≈target-sized files (skew-proof optimize-write)
+    val owTarget = Option(properties.get("optimizeWrite.targetBytes"))
+      .map(_.trim.toLong)
+    if (partitionBy.nonEmpty || optimizeWrite || owTarget.isDefined) {
       val parts = Seq(
         if (partitionBy.nonEmpty)
           Some(partitionBy.map("\"" + _ + "\"").mkString("\"partitionBy\": [", ", ", "]"))
         else None,
-        if (optimizeWrite) Some("\"optimizeWrite\": true") else None).flatten
+        if (optimizeWrite) Some("\"optimizeWrite\": true") else None,
+        owTarget.map(t => s""""optimizeWriteTargetBytes": $t""")).flatten
       Files.writeString(metaPath(root), parts.mkString("{", ", ", "}"))
     }
     loadTable(ident)

@@ -40,10 +40,12 @@ final class LakehouseSink(
     sqlContext: SQLContext, root: String, keys: Seq[String],
     appId: String, partitionCols: Seq[String],
     mergeOnRead: Boolean = false,
-    optimizeWrite: Boolean = false) extends Sink {
+    optimizeWrite: Boolean = false,
+    optimizeWriteTargetBytes: Option[Long] = None) extends Sink {
 
   private lazy val table =
-    new LakehouseTable(sqlContext.sparkSession, root, optimizeWrite = optimizeWrite)
+    new LakehouseTable(sqlContext.sparkSession, root, optimizeWrite = optimizeWrite,
+      optimizeWriteTargetBytes = optimizeWriteTargetBytes)
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the engine hands a frame bound to this batch's INCREMENTAL

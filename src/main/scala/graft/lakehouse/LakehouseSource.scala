@@ -74,7 +74,9 @@ final class LakehouseSourceProvider extends TableProvider with DataSourceRegiste
     val mor = parameters.exists { case (k, v) =>
       k.equalsIgnoreCase("mergeOnRead") && v.trim.equalsIgnoreCase("true") }
     new LakehouseSink(sqlContext, root, keys, appId, partitionColumns, mor,
-      optimizeWrite = LakehouseSource.boolOpt(parameters, "optimizeWrite"))
+      optimizeWrite = LakehouseSource.boolOpt(parameters, "optimizeWrite"),
+      optimizeWriteTargetBytes =
+        LakehouseSource.longOptOf(parameters, "optimizeWriteTargetBytes"))
   }
 
   /** `df.write.format("graft-lakehouse").mode(...).save(root)` — the
@@ -92,7 +94,9 @@ final class LakehouseSourceProvider extends TableProvider with DataSourceRegiste
     import org.apache.spark.sql.SaveMode
     val root = LakehouseSource.rootOf(parameters)
     val t = new LakehouseTable(sqlContext.sparkSession, root,
-      optimizeWrite = LakehouseSource.boolOpt(parameters, "optimizeWrite"))
+      optimizeWrite = LakehouseSource.boolOpt(parameters, "optimizeWrite"),
+      optimizeWriteTargetBytes =
+        LakehouseSource.longOptOf(parameters, "optimizeWriteTargetBytes"))
     val exists = t.currentSnapshot().isDefined
     val keys = parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("keys") => v }
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
@@ -219,6 +223,10 @@ private[lakehouse] object LakehouseSource {
   def boolOpt(options: Map[String, String], name: String): Boolean =
     options.exists { case (k, v) =>
       k.equalsIgnoreCase(name) && v.trim.equalsIgnoreCase("true") }
+
+  /** Case-insensitive long option (optimizeWriteTargetBytes). */
+  def longOptOf(options: Map[String, String], name: String): Option[Long] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v.trim.toLong }
 
   def snapshotIdOf(options: Map[String, String]): Option[Long] =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase("snapshotId") => v.toLong }
@@ -423,7 +431,9 @@ private[lakehouse] final class LakehouseV2Table(
                   overwrite: Boolean): Unit = {
                 val t = new LakehouseTable(data.sparkSession,
                   LakehouseSource.rootOf(options),
-                  optimizeWrite = LakehouseSource.boolOpt(writeOpts, "optimizeWrite"))
+                  optimizeWrite = LakehouseSource.boolOpt(writeOpts, "optimizeWrite"),
+                  optimizeWriteTargetBytes =
+                    LakehouseSource.longOptOf(writeOpts, "optimizeWriteTargetBytes"))
                 val keys = LakehouseSource.colListOf(writeOpts, "keys")
                 val mor = writeOpts.exists { case (k, v) =>
                   k.equalsIgnoreCase("mergeOnRead") && v.trim.equalsIgnoreCase("true") }

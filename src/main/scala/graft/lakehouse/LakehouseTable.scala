@@ -274,7 +274,16 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       * single-task batches (the micro-batch norm) don't need it, and
       * tests pin exact file layouts.
       */
-    val optimizeWrite: Boolean = false) {
+    val optimizeWrite: Boolean = false,
+    /** Target on-disk bytes per file for optimize-write (the Delta
+      * bin-packing shape): a SKEWED partition value would otherwise
+      * land its whole batch share in one giant file (bad splits, bad
+      * compaction units). With a target, the writer caps records per
+      * file at target / (manifest-estimated bytes-per-row of the head
+      * snapshot) — the estimate costs zero I/O; a fresh table (no
+      * estimate yet) writes uncapped and self-corrects from batch 2.
+      */
+    val optimizeWriteTargetBytes: Option[Long] = None) {
   private implicit val fmts: Formats = DefaultFormats
 
   private val rootPath = Paths.get(root)
@@ -2369,6 +2378,20 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** Average on-disk bytes per row of the HEAD snapshot, from manifest
+    * stats alone (files whose stats carry both rows and bytes) — the
+    * zero-I/O estimate size-targeted optimize-write bins with. None
+    * until the table has at least one stats-bearing data file.
+    */
+  private def manifestBytesPerRow: Option[Double] =
+    currentSnapshot().flatMap { cur =>
+      val sts = cur.files.flatMap(f => fileStatsOf(cur, f))
+        .filter(st => st.bytes.exists(_ > 0) && st.rows > 0)
+      val rows = sts.map(_.rows).sum
+      if (rows <= 0) None
+      else Some(sts.flatMap(_.bytes).sum.toDouble / rows)
+    }
+
   /** Write `df` as parquet under `data/s<id>[-suffix]-w<nonce>/`,
     * returning the root-relative paths of the files produced
     * (hive-style `col=value` sub-dirs when `partitionCols` is set).
@@ -2392,7 +2415,14 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       if (optimizeWrite && partitionCols.nonEmpty)
         df.repartition(partitionCols.map(col): _*)
       else df
-    val writer = clustered.write.mode(SaveMode.Overwrite)
+    val writer0 = clustered.write.mode(SaveMode.Overwrite)
+    // size-targeted optimize-write: cap records per output file from
+    // the head manifest's bytes-per-row estimate, so a skewed partition
+    // value bins into ≈targetBytes files instead of one giant one
+    val writer = (if (optimizeWrite) optimizeWriteTargetBytes else None)
+      .flatMap(t => manifestBytesPerRow.map(bpr =>
+        math.max(1L, (t / math.max(bpr, 1e-9)).toLong)))
+      .fold(writer0)(n => writer0.option("maxRecordsPerFile", n))
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(outDir.toString)
     graft.Fs.walkAll(outDir)

@@ -379,4 +379,57 @@ class LakehouseTableSpec extends SparkSpec {
       .mode("append").save(viaFace)
     assert(new LakehouseTable(spark, viaFace).currentSnapshot().get.files.size === 8)
   }
+
+  test("size-targeted optimizeWrite bins a SKEWED partition value into ≈targetBytes files") {
+    import spark.implicits._
+    val target = 64L * 1024
+    val t = new LakehouseTable(spark, tmpDir("lh-ow-target"),
+      optimizeWrite = true, optimizeWriteTargetBytes = Some(target))
+    def rows(n: Long, p: String) = (0L until n).map(i =>
+      (i, s"payload-$i-${i * 2654435761L}%016x-${"x" * 40}", p)).toDF("id", "v", "p")
+    // seed batch: establishes the manifest bytes-per-row estimate
+    // (a FRESH table has no estimate and writes uncapped — by design)
+    t.append(rows(2000, "seed").repartition(2), partitionBy = Seq("p"))
+    val seedFiles = t.currentSnapshot().get.files
+
+    // skewed batch: one hot value dominating, one cold value
+    t.append((rows(20000, "hot").union(rows(100, "cold"))).repartition(4),
+      partitionBy = Seq("p"))
+    val newFiles = t.currentSnapshot().get.files.diff(seedFiles)
+    val hot = newFiles.filter(_.contains("p=hot"))
+    val cold = newFiles.filter(_.contains("p=cold"))
+    assert(cold.size === 1, s"the cold value stays one file, got $cold")
+    assert(hot.size >= 3,
+      s"the hot value must BIN into multiple ≈${target}B files, got ${hot.size}")
+    // every binned file lands in the target's ballpark (parquet framing
+    // and the estimate's batch-vs-batch drift allow slack, not 10×)
+    val sizes = hot.map(f => java.nio.file.Files.size(
+      java.nio.file.Paths.get(t.root).resolve(f)))
+    assert(sizes.forall(_ <= target * 3),
+      s"no hot file may stay giant: ${sizes.mkString(",")} vs target $target")
+    // content is unaffected by the binning
+    assert(t.read().where(org.apache.spark.sql.functions.col("p") === "hot").count() === 20000L)
+    assert(t.read().where(org.apache.spark.sql.functions.col("p") === "cold").count() === 100L)
+
+    // the property travels with a catalog table
+    val wh = tmpDir("lh-ow-target-wh")
+    spark.conf.set("spark.sql.catalog.owcat", classOf[LakehouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.owcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS owcat.db")
+    spark.sql("DROP TABLE IF EXISTS owcat.db.owt")
+    spark.sql("CREATE TABLE owcat.db.owt (id BIGINT, v STRING, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('optimizeWrite'='true', " +
+      s"'optimizeWrite.targetBytes'='$target')")
+    rows(2000, "seed").write.format("graft-lakehouse").mode("append")
+      .option("partitionBy", "p")
+      .save(java.nio.file.Paths.get(wh, "db", "owt").toString)
+    spark.sql("INSERT INTO owcat.db.owt SELECT id, v, p FROM " +
+      "(SELECT id, concat('payload-', id, '-', repeat('x', 56)) AS v, 'hot' AS p " +
+      " FROM range(20000))")
+    val ct = new LakehouseTable(spark, java.nio.file.Paths.get(wh, "db", "owt").toString)
+    val ctHot = ct.currentSnapshot().get.files.filter(_.contains("p=hot"))
+    assert(ctHot.size >= 3,
+      s"TBLPROPERTIES targetBytes must bin the skewed INSERT, got ${ctHot.size}")
+    spark.sql("DROP TABLE owcat.db.owt")
+  }
 }
