@@ -74,6 +74,31 @@ object Bench {
     // (q77/q53/q28 history). Caches clear between reps, so rep2 is
     // steady-state compute, not cache replay; rep1 travels alongside
     // so the warmup cost stays observable.
+    // CALIBRATION row (harness-variance control): a fixed compute-bound
+    // job — xxhash64 fold over a synthetic range, no table data, no
+    // shuffle — whose price moves ONLY with host conditions, never with
+    // engine changes. Measured before and after the query phase; a
+    // cross-round comparison that sees shared queries inflate while the
+    // calibration rows hold steady is looking at a real regression, and
+    // one that sees both inflate together is looking at a noisy window
+    // (the r09 driver bench inflated unchanged shuffle-heavy rows 4.2×).
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, cpus.toInt)
+        .select(xxhash64(org.apache.spark.sql.functions.col("id")).as("h"))
+        .agg(sum("h")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadavg(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+
+    val load0 = loadavg()
+    calibrate() // untimed warmup of the range/codegen path
+    val calibPre = math.min(calibrate(), calibrate())
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -91,6 +116,8 @@ object Bench {
       val rep2 = once()
       (name, math.min(rep1, rep2), rep1)
     }
+    val calibPost = math.min(calibrate(), calibrate())
+    val load1 = loadavg()
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val qs = jmap(results.map { case (k, v, _) => (k, v) })
@@ -99,7 +126,8 @@ object Bench {
     val cdcJson = cdcMetrics.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + f"\":$v%.1f" }.mkString("{", ",", "}")
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":2,"agg":"min","queries":$qs,"queries_rep1":$rep1s,"cdc":$cdcJson,"sf":"$sfDir"}""")
+    val calib = f"""{"compute_sec_pre":$calibPre%.3f,"compute_sec_post":$calibPost%.3f,"loadavg_start":$load0%.2f,"loadavg_end":$load1%.2f}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":2,"agg":"min","queries":$qs,"queries_rep1":$rep1s,"cdc":$cdcJson,"calibration":$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

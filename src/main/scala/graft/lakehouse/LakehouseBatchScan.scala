@@ -156,7 +156,7 @@ final class LakehouseBatchScan(
     // file-level runtime pruning there — SPJ already removed the
     // shuffle, which is the bigger win; row-group/row filtering still
     // applies inside the readers.
-    if (spjFields.nonEmpty) return
+    if (spjFields.nonEmpty || bucketSpj.isDefined) return
     runtimeKeep = Some(LakehouseSource.pruneForFilters(t, snap, filters.toSeq).toSet)
     runtimeDesc = filters.map(f => s"runtime: $f").toSeq
   }
@@ -175,7 +175,7 @@ final class LakehouseBatchScan(
     * shape, the 100 TB fact⋈fact story where broadcast can't help).
     */
   @transient private lazy val spjFields: Array[StructField] = {
-    if (!spark.sessionState.conf.v2BucketingEnabled) Array.empty
+    if (!spark.sessionState.conf.v2BucketingEnabled || bucketSpj.isDefined) Array.empty
     else {
       val perFile = staticFiles.map(pathColKeys).distinct
       perFile match {
@@ -188,11 +188,50 @@ final class LakehouseBatchScan(
     }
   }
 
-  override def outputPartitioning(): Partitioning =
-    if (spjFields.isEmpty) new UnknownPartitioning(0)
-    else new KeyGroupedPartitioning(
+  /** `bucket(N, col)` SPJ reporting: the table's declared bucket spec
+    * (catalog metadata, travels in the scan options), live iff the
+    * session opted into v2 bucketing, the bucket SOURCE column is
+    * projected, and EVERY snapshot file carries its `<col>_bucket=`
+    * path segment. Two tables bucketed the same way then join with
+    * zero shuffle — the high-cardinality fact⋈fact shape identity
+    * partitioning can't serve (the Iceberg SPJ norm). The transform
+    * resolves through [[LakehouseCatalog.loadFunction]]'s `bucket`.
+    */
+  @transient private lazy val bucketSpj: Option[(Int, StructField)] = {
+    if (!spark.sessionState.conf.v2BucketingEnabled) None
+    else options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("partitionBy") => v
+    }.toSeq.flatMap(LakehouseSource.splitTopLevel).collectFirst {
+      case LakehouseTable.BucketSpecRe(n, c) => (n.toInt, c)
+    }.flatMap { case (n, c) =>
+      val field = required.fields.find(f =>
+        t.resolvedNameKey(f.name) == t.resolvedNameKey(c))
+      field.filter { _ =>
+        staticFiles.nonEmpty &&
+          staticFiles.forall(f => bucketIdOfFile(f, c).isDefined)
+      }.map((n, _))
+    }
+  }
+
+  /** Bucket id from a file's `<col>_bucket=` path segment. */
+  private def bucketIdOfFile(relFile: String, c: String): Option[Int] = {
+    val dirKey = t.resolvedNameKey(s"${c}_bucket")
+    relFile.split('/').filter(_.contains("=")).map(_.split("=", 2)).collectFirst {
+      case Array(k, v) if t.resolvedNameKey(k) == dirKey =>
+        scala.util.Try(v.toInt).toOption
+    }.flatten
+  }
+
+  override def outputPartitioning(): Partitioning = bucketSpj match {
+    case Some((n, f)) =>
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(n, f.name): org.apache.spark.sql.connector.expressions.Expression),
+        staticFiles.flatMap(bucketIdOfFile(_, f.name)).distinct.size)
+    case None if spjFields.isEmpty => new UnknownPartitioning(0)
+    case None => new KeyGroupedPartitioning(
       spjFields.map(f => Expressions.identity(f.name): org.apache.spark.sql.connector.expressions.Expression),
       spjKeyOf.values.toSet.size)
+  }
 
   /** raw path-segment partition values of a file for the SPJ columns,
     * keyed per file (grouping signature; decoded values become the
@@ -256,11 +295,12 @@ final class LakehouseBatchScan(
     // read row-based with the mask probe; unaffected files keep pure
     // columnar reads.
     val grouped = files
-      .groupBy(f => (pathColKeys(f), spjKeyOf.get(f).getOrElse(Nil), affectedOrigin.get(f)))
+      .groupBy(f => (pathColKeys(f), spjKeyOf.get(f).getOrElse(Nil), affectedOrigin.get(f),
+        bucketSpj.flatMap { case (_, bf) => bucketIdOfFile(f, bf.name) }))
       .toSeq
-      .sortBy { case ((sig, key, mo), _) =>
-        (sig.mkString(","), key.mkString(","), mo.getOrElse(-1L)) }
-      .map { case ((sig, _, mo), fs) => (sig, mo, fs) }
+      .sortBy { case ((sig, key, mo, bid), _) =>
+        (sig.mkString(","), key.mkString(","), mo.getOrElse(-1L), bid.getOrElse(-1)) }
+      .map { case ((sig, _, mo, bid), fs) => (sig, mo, bid, fs) }
 
     val conf = spark.sessionState.conf
     val openCost = conf.filesOpenCostInBytes
@@ -270,7 +310,7 @@ final class LakehouseBatchScan(
     val zone = java.time.ZoneId.of(conf.sessionLocalTimeZone)
 
     var globalIdx = 0
-    grouped.flatMap { case (pathKeys, maskOrigin, groupFiles) =>
+    grouped.flatMap { case (pathKeys, maskOrigin, bucketId, groupFiles) =>
       val inPath = pathKeys.toSet
       def nk(f: StructField): String = t.resolvedNameKey(f.name)
       val dataFields0 = required.fields.filterNot(f => inPath(nk(f)))
@@ -322,10 +362,15 @@ final class LakehouseBatchScan(
         readerFactoryFor(StructType(dataFields), StructType(partFields)),
         perm, required.fields.map(_.dataType), masks, maskOrigin.getOrElse(-1L),
         StructType(outFields))
-      // SPJ key row (decoded partition values in clustering order);
-      // same-key partitions merge into one task group in BatchScanExec
+      // SPJ key row (decoded partition values in clustering order, or
+      // the bucket id under bucket clustering); same-key partitions
+      // merge into one task group in BatchScanExec
       val keyRow =
-        if (spjFields.isEmpty) null
+        if (bucketSpj.isDefined)
+          new GenericInternalRow(Array[Any](bucketId.getOrElse(
+            throw new IllegalStateException(
+              s"bucket id lost during grouping for ${groupFiles.head}"))))
+        else if (spjFields.isEmpty) null
         else partitionValuesFor(groupFiles.head, spjFields, zone)
       FilePartition.getFilePartitions(spark, pfs.sortBy(-_.length), maxSplit).map { fp =>
         val p = LakehouseGroupedPartition(spec, fp.copy(index = globalIdx),

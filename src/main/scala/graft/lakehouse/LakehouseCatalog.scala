@@ -44,7 +44,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * path).
   */
 final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -139,8 +140,9 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
       if (Files.exists(metaPath(root)))
         """"partitionBy"\s*:\s*\[([^\]]*)\]""".r
           .findFirstMatchIn(Files.readString(metaPath(root)))
-          .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-            .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+          .map(m => LakehouseSource.splitTopLevel(m.group(1))
+            .map(_.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+          .getOrElse(Nil)
       else Nil
     val optimizeWrite = Files.exists(metaPath(root)) &&
       """"optimizeWrite"\s*:\s*true""".r
@@ -168,11 +170,27 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     val partitionBy = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references()(0).fieldNames.mkString(".")
+      // PARTITIONED BY (bucket(N, col)): high-cardinality keys get
+      // co-partitioned layout (`col_bucket=` dirs) — two tables
+      // bucketed the same way JOIN WITHOUT A SHUFFLE (SPJ; the Iceberg
+      // bucket-transform norm). Spec string travels in _catalog.json.
+      case t if t.name == "bucket" && t.references.length == 1 =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.toString.toInt
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"bucket transform needs a literal bucket count, got $t"))
+        s"bucket($n,${t.references()(0).fieldNames.mkString(".")})"
       case other => throw new UnsupportedOperationException(
-        s"graft catalog supports identity PARTITIONED BY columns only, got $other")
+        s"graft catalog supports identity and bucket(N, col) PARTITIONED BY only, got $other")
     }
-    partitionBy.foreach(c => require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
-      s"partition column '$c' not in table schema"))
+    partitionBy.foreach {
+      case LakehouseTable.BucketSpecRe(_, c) =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"bucket column '$c' not in table schema")
+      case c => require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"partition column '$c' not in table schema")
+    }
     Files.createDirectories(root)
     new LakehouseTable(spark, root.toString).create(schema)
     // persisted table metadata: the declared partition layout, plus
@@ -237,6 +255,27 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     if (!isTableDir(root)) false
     else { graft.Fs.deleteRecursively(root); true }
   }
+
+  // ---------------- functions (SPJ transform resolution) ----------------
+
+  /** The `bucket` function, resolvable by name: Spark's
+    * storage-partitioned-join machinery resolves a scan's reported
+    * `bucket(N, col)` transform through the TABLE'S catalog
+    * (FunctionCatalog) — without this, a bucketed layout would never
+    * reach KeyGroupedPartitioning compatibility and every bucketed
+    * join would shuffle. The bound function computes the exact
+    * write-path hash ([[LakehouseTable.bucketId]]).
+    */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.name.equalsIgnoreCase("bucket")
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val from = rootFor(oldIdent)
@@ -322,6 +361,41 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
         s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
       graft.Fs.deleteRecursively(dir)
       true
+    }
+  }
+}
+
+/** The catalog-visible `bucket(numBuckets, value)` function — bound
+  * per value type, producing [[LakehouseTable.bucketId]] (pmod of
+  * xxhash64, seed 42) so the SQL-resolvable function, the write
+  * layout, and any probe agree bit-for-bit. `canonicalName` is what
+  * storage-partitioned-join compatibility compares across the two
+  * sides of a join: one shared definition → equal names → equal
+  * clustering.
+  */
+private[lakehouse] object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, value): pmod(xxhash64(value), numBuckets) — the graft layout hash"
+
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket() takes (numBuckets INT, value), got ${inputType.simpleString}")
+    val dt = inputType.fields(1).dataType
+    new org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = s"graft.bucket(${dt.catalogString})"
+      override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+        if (input.isNullAt(1)) null
+        else Integer.valueOf(
+          LakehouseTable.bucketId(input.get(1, dt), dt, input.getInt(0)))
+      }
     }
   }
 }

@@ -214,10 +214,27 @@ private[lakehouse] object LakehouseSource {
     }
   }
 
-  /** Comma-separated column-list option (keys, partitionBy). */
+  /** Comma-separated column-list option (keys, partitionBy) — commas
+    * inside parentheses don't split, so `bucket(8,k)` stays one entry.
+    */
   def colListOf(options: Map[String, String], name: String): Seq[String] =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .map(splitTopLevel).getOrElse(Nil)
+
+  /** Split on commas at parenthesis depth 0 only. */
+  def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    out += cur.result().trim
+    out.result().filter(_.nonEmpty)
+  }
 
   /** Case-insensitive boolean option (mergeOnRead, optimizeWrite). */
   def boolOpt(options: Map[String, String], name: String): Boolean =

@@ -2403,17 +2403,31 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     * carries no tombstones and masks nothing).
     */
   private def writeDataFiles(
-      df: DataFrame, id: Long, suffix: String = "",
+      df0: DataFrame, id: Long, suffix: String = "",
       partitionCols: Seq[String] = Nil): Seq[String] = {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dirName = (if (suffix.isEmpty) s"s$id" else s"s$id-$suffix") + s"-w$nonce"
     val outDir = dataDir.resolve(dirName)
+    // a `bucket(N, col)` spec entry lays out by the DERIVED bucket id
+    // (`<col>_bucket=<pmod(xxhash64(col), N)>` dirs — the Iceberg bucket
+    // transform shape): the source column's data stays IN the files,
+    // the dir value is pure layout, and two tables bucketed the same
+    // way join with zero shuffle (storage-partitioned join). The hash
+    // is [[LakehouseTable.bucketId]] — identical on the write path, the
+    // catalog's SQL function, and any future probe.
+    val (df, physCols) = partitionCols.foldLeft((df0, Seq.empty[String])) {
+      case ((d, acc), LakehouseTable.BucketSpecRe(n, c)) =>
+        val dir = s"${c}_bucket"
+        (d.withColumn(dir,
+          pmod(xxhash64(col(c)), lit(n.toInt)).cast("int")), acc :+ dir)
+      case ((d, acc), c) => (d, acc :+ c)
+    }
     // optimize-write: cluster the batch on its partition columns so
     // each partition value writes from ONE task (one file per value
     // per batch, not tasks×values)
     val clustered =
-      if (optimizeWrite && partitionCols.nonEmpty)
-        df.repartition(partitionCols.map(col): _*)
+      if (optimizeWrite && physCols.nonEmpty)
+        df.repartition(physCols.map(col): _*)
       else df
     val writer0 = clustered.write.mode(SaveMode.Overwrite)
     // size-targeted optimize-write: cap records per output file from
@@ -2423,7 +2437,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       .flatMap(t => manifestBytesPerRow.map(bpr =>
         math.max(1L, (t / math.max(bpr, 1e-9)).toLong)))
       .fold(writer0)(n => writer0.option("maxRecordsPerFile", n))
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+    (if (physCols.nonEmpty) writer.partitionBy(physCols: _*) else writer)
       .parquet(outDir.toString)
     graft.Fs.walkAll(outDir)
       .filter(p => p.getFileName.toString.startsWith("part-") &&
@@ -2434,6 +2448,22 @@ final class LakehouseTable(spark: SparkSession, val root: String,
 }
 
 object LakehouseTable {
+  /** `bucket(N, col)` partition-spec entry (whitespace-tolerant). */
+  private[lakehouse] val BucketSpecRe =
+    """(?i)bucket\(\s*([0-9]+)\s*,\s*([^)\s]+)\s*\)""".r
+
+  /** THE bucket function: `pmod(xxhash64(value), n)` — one definition
+    * shared by the write layout, the catalog's SQL-visible function
+    * (storage-partitioned-join resolution), and any probe, because two
+    * sides of a zero-shuffle join must agree on it bit-for-bit.
+    * Seed 42 = the xxhash64() SQL function's fixed seed.
+    */
+  private[lakehouse] def bucketId(value: Any, dt: org.apache.spark.sql.types.DataType,
+      n: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(value, dt, 42L)
+    (((h % n) + n) % n).toInt
+  }
+
   /** Cap on consecutive lost publish races before an append-shaped
     * commit stops rebasing and surfaces [[ConcurrentCommitException]]
     * (livelock guard — load-dependent, paired with jittered backoff in

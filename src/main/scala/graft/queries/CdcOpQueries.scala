@@ -785,7 +785,34 @@ object CdcOpQueries {
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))).size
         val rows = j.collect().map(r0 =>
           (r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getLong(3), r0.getLong(4)))
-        (rows.toSeq :+ ((-1L, exchanges.toLong, 0L, 0L, 0L)))
+
+        // round 10: the BUCKET-transform variant — high-cardinality raw
+        // keys co-partitioned by bucket(8, k) through the catalog (the
+        // transform resolves via the catalog's bucket function); the
+        // row-level join runs with zero exchanges too, gated the same way
+        val cat = ensureQueryCatalog(s)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.spj_bl")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.spj_br")
+        graft.Tables.load(s, dir, "orders").createOrReplaceTempView("q132_src")
+        s.sql(s"CREATE TABLE $cat.db.spj_bl (k BIGINT, lv BIGINT) " +
+          "PARTITIONED BY (bucket(8, k))")
+        s.sql(s"CREATE TABLE $cat.db.spj_br (k BIGINT, rv BIGINT) " +
+          "PARTITIONED BY (bucket(8, k))")
+        s.sql(s"INSERT INTO $cat.db.spj_bl SELECT o_orderkey, o_orderkey * 2 FROM q132_src")
+        s.sql(s"INSERT INTO $cat.db.spj_br SELECT o_orderkey, o_orderkey * 5 " +
+          "FROM q132_src WHERE o_orderkey % 3 = 0")
+        val bj = s.sql(s"SELECT l.k, l.lv, r.rv FROM $cat.db.spj_bl l " +
+          s"JOIN $cat.db.spj_br r ON l.k = r.k")
+        val bExchanges = "\\(\\d+\\) Exchange".r.findAllIn(
+          bj.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))).size
+        val agg = bj.agg(count(lit(1)), sum(col("lv") + col("rv"))).head
+        s.sql(s"DROP TABLE $cat.db.spj_bl")
+        s.sql(s"DROP TABLE $cat.db.spj_br")
+
+        (rows.toSeq :+ ((-1L, exchanges.toLong, 0L, 0L, 0L))
+          :+ ((-2L, bExchanges.toLong, agg.getLong(0), agg.getLong(1), 0L)))
           .toDF("cell", "lcnt", "lsum", "rcnt", "rsum").orderBy("cell")
       } finally {
         s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
@@ -1203,6 +1230,12 @@ object CdcOpQueries {
       FROM l JOIN r ON l.cell = r.cell
       UNION ALL
       SELECT -1, 0, 0, 0, 0
+      UNION ALL
+      -- the bucket(8,k) row-level join: every k%3=0 key matches; the
+      -- joined checksum is sum(2k + 5k) over those keys; 0 exchanges
+      SELECT -2, 0, CAST(count(*) AS BIGINT),
+             CAST(sum(k * 7) AS BIGINT), 0
+      FROM o WHERE k % 3 = 0
       ORDER BY cell""",
     // q133: batch sizes re-derived from the k%8 cell populations in
     // manifest file order (cells 0-2, 3-5, 6-7, then the 1-row tail);

@@ -125,6 +125,68 @@ class LakehouseSpjSpec extends SparkSpec {
     }
   }
 
+  test("bucket(N, col) SPJ: high-cardinality keys join with ZERO shuffles through the catalog") {
+    val warehouse = tmpDir("spj-bkt-wh")
+    spark.conf.set("spark.sql.catalog.bktcat", classOf[LakehouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bktcat.warehouse", warehouse)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS bktcat.db")
+      // high-cardinality join key: identity partitioning would need one
+      // dir per key; bucket(8, k) co-partitions both sides into 8 cells
+      spark.sql("CREATE TABLE bktcat.db.bl (k BIGINT, lv BIGINT) " +
+        "PARTITIONED BY (bucket(8, k))")
+      spark.sql("CREATE TABLE bktcat.db.br (k BIGINT, rv BIGINT) " +
+        "PARTITIONED BY (bucket(8, k))")
+      spark.sql("INSERT INTO bktcat.db.bl SELECT id, id * 10 FROM range(4000)")
+      spark.sql("INSERT INTO bktcat.db.br SELECT id, id * 100 FROM range(2000, 6000)")
+      // the physical layout really is bucketed: 8 k_bucket= dirs/table
+      val blRoot = java.nio.file.Paths.get(warehouse, "db", "bl").toString
+      val buckets = new LakehouseTable(spark, blRoot).currentSnapshot().get.files
+        .flatMap(_.split('/').find(_.startsWith("k_bucket="))).distinct
+      assert(buckets.size === 8, s"bucketed layout must span 8 cells, got $buckets")
+
+      val q = """SELECT l.k, l.lv, r.rv FROM bktcat.db.bl l
+                 JOIN bktcat.db.br r ON l.k = r.k"""
+      val expected = withSpj(on = false) {
+        val df = spark.sql(q)
+        assert(shuffles(df) > 0, "baseline must be the shuffling plan")
+        df.collect().toSet
+      }
+      assert(expected.size === 2000)
+      withSpj(on = true) {
+        val df = spark.sql(q)
+        assert(shuffles(df) === 0,
+          s"same-bucketed tables must join shuffle-free:\n${fmt(df)}")
+        assert(df.collect().toSet === expected)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bktcat.db.bl")
+      spark.sql("DROP TABLE IF EXISTS bktcat.db.br")
+      spark.conf.unset("spark.sql.catalog.bktcat")
+      spark.conf.unset("spark.sql.catalog.bktcat.warehouse")
+    }
+  }
+
+  test("bucket layout reads back correctly without SPJ (bucket dir is layout, not data)") {
+    val warehouse = tmpDir("spj-bkt2-wh")
+    spark.conf.set("spark.sql.catalog.bkt2cat", classOf[LakehouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bkt2cat.warehouse", warehouse)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS bkt2cat.db")
+      spark.sql("CREATE TABLE bkt2cat.db.b2 (k BIGINT, v STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+      spark.sql("INSERT INTO bkt2cat.db.b2 SELECT id, concat('v', id) FROM range(100)")
+      assert(spark.sql("SELECT count(*) FROM bkt2cat.db.b2 WHERE k < 50")
+        .head.getLong(0) === 50L)
+      assert(spark.sql("SELECT v FROM bkt2cat.db.b2 WHERE k = 7").head.getString(0) === "v7")
+      assert(spark.sql("SELECT count(DISTINCT k) FROM bkt2cat.db.b2").head.getLong(0) === 100L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt2cat.db.b2")
+      spark.conf.unset("spark.sql.catalog.bkt2cat")
+      spark.conf.unset("spark.sql.catalog.bkt2cat.warehouse")
+    }
+  }
+
   test("SPJ-reporting scan still answers filters correctly (runtime pruning stands down)") {
     val l = mkTable("spj-filter-l", (0L until 400L).map(i => (i % 4, i, s"l$i")))
     val r = mkTable("spj-filter-r", (0L until 400L).map(i => (i % 4, i, s"r$i")))
