@@ -69,9 +69,16 @@ final class LakehouseBatchScan(
   private def t: LakehouseTable = resolved._1
   private def snap: Snapshot = resolved._2
 
+  /** The table's declared bucket layout (pruning uses it regardless of
+    * the SPJ opt-in conf — a point lookup on a bucketed key always
+    * skips to its bucket's files).
+    */
+  @transient private lazy val declaredBucket: Option[(Int, String)] =
+    LakehouseSource.bucketSpecOf(options)
+
   /** Files surviving the STATICALLY pushed filters (planning time). */
   @transient private lazy val staticFiles: Seq[String] =
-    LakehouseSource.pruneForFilters(t, snap, accepted.toSeq)
+    LakehouseSource.pruneForFilters(t, snap, accepted.toSeq, declaredBucket)
 
   /** Keep-set from runtime (join-driven) filters; None until/unless
     * [[filter]] runs. Volatile: set on the driver between the two
@@ -157,7 +164,8 @@ final class LakehouseBatchScan(
     // shuffle, which is the bigger win; row-group/row filtering still
     // applies inside the readers.
     if (spjFields.nonEmpty || bucketSpj.isDefined) return
-    runtimeKeep = Some(LakehouseSource.pruneForFilters(t, snap, filters.toSeq).toSet)
+    runtimeKeep = Some(
+      LakehouseSource.pruneForFilters(t, snap, filters.toSeq, declaredBucket).toSet)
     runtimeDesc = filters.map(f => s"runtime: $f").toSeq
   }
 
@@ -199,11 +207,7 @@ final class LakehouseBatchScan(
     */
   @transient private lazy val bucketSpj: Option[(Int, StructField)] = {
     if (!spark.sessionState.conf.v2BucketingEnabled) None
-    else options.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("partitionBy") => v
-    }.toSeq.flatMap(LakehouseSource.splitTopLevel).collectFirst {
-      case LakehouseTable.BucketSpecRe(n, c) => (n.toInt, c)
-    }.flatMap { case (n, c) =>
+    else declaredBucket.flatMap { case (n, c) =>
       val field = required.fields.find(f =>
         t.resolvedNameKey(f.name) == t.resolvedNameKey(c))
       field.filter { _ =>

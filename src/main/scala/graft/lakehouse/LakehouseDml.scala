@@ -332,8 +332,8 @@ private[lakehouse] final case class UpdateLakehouseExec(
     val setByName = sets.map { case (k, v) => k.name.toLowerCase(java.util.Locale.ROOT) -> v }.toMap
     t.sqlMutate("update",
       candidatesOf = { snap =>
-        val base = condition.map(_ => LakehouseSource.pruneForFilters(t, snap, filters))
-          .getOrElse(snap.files)
+        val base = condition.map(_ => LakehouseSource.pruneForFilters(t, snap, filters,
+            LakehouseSource.bucketSpecOf(tableOptions))).getOrElse(snap.files)
         LakehouseDml.subqueryCandidates(spark, t, snap, conj, names)
           .fold(base)(keep => base.filter(keep))
       },
@@ -383,7 +383,8 @@ private[lakehouse] final case class DeleteLakehouseExec(
     val cond = LakehouseDml.rebind(condition, names)
     t.sqlMutate("delete",
       candidatesOf = { snap =>
-        val base = LakehouseSource.pruneForFilters(t, snap, filters)
+        val base = LakehouseSource.pruneForFilters(t, snap, filters,
+          LakehouseSource.bucketSpecOf(tableOptions))
         // IN-subquery conjuncts prune further: subquery keys through the
         // keyed two-stage probe (the decontamination shape, batch cost)
         LakehouseDml.subqueryCandidates(spark, t, snap, conj, names)

@@ -221,6 +221,15 @@ private[lakehouse] object LakehouseSource {
     options.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
       .map(splitTopLevel).getOrElse(Nil)
 
+  /** The table's declared `bucket(N, col)` layout, from the partition
+    * spec carried in the scan/write options (catalog metadata).
+    */
+  def bucketSpecOf(options: Map[String, String]): Option[(Int, String)] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase("partitionBy") => v }
+      .toSeq.flatMap(splitTopLevel).collectFirst {
+        case LakehouseTable.BucketSpecRe(n, c) => (n.toInt, c)
+      }
+
   /** Split on commas at parenthesis depth 0 only. */
   def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -348,12 +357,50 @@ private[lakehouse] object LakehouseSource {
   /** File pruning for the accepted filter set: the intersection of
     * every filter's keep-set (conjunctive semantics), in snapshot file
     * order. All verdicts are driver-side metadata (manifest stats,
-    * cached sidecars, path values).
+    * cached sidecars, path values). With a bucket layout declared
+    * (`bucketSpec`), equality/IN probes on the bucketed column
+    * additionally prune by `<col>_bucket=` path dirs — a point lookup
+    * reads 1/N of the files, and a runtime join filter (the dim side's
+    * keys) prunes a bucketed fact to exactly the touched buckets.
     */
-  def pruneForFilters(t: LakehouseTable, snap: Snapshot, filters: Seq[Filter]): Seq[String] = {
-    val keeps = filters.flatMap(keepSetFor(t, snap, _))
+  def pruneForFilters(t: LakehouseTable, snap: Snapshot, filters: Seq[Filter],
+      bucketSpec: Option[(Int, String)] = None): Seq[String] = {
+    val keeps = filters.flatMap(keepSetFor(t, snap, _)) ++
+      bucketSpec.toSeq.flatMap { case (n, c) =>
+        filters.flatMap(bucketKeepSet(t, snap, _, n, c)) }
     if (keeps.isEmpty) snap.files
     else snap.files.filter(f => keeps.forall(_.contains(f)))
+  }
+
+  /** Bucket-dir keep-set for one filter, or None (no evidence). A file
+    * WITHOUT the bucket dir always keeps (mixed lineage written before
+    * the spec); a probe that can't hash (cast failure) prunes nothing —
+    * over-keeping is safe, a wrong drop would resurrect deletes.
+    */
+  private def bucketKeepSet(t: LakehouseTable, snap: Snapshot, filter: Filter,
+      n: Int, c: String): Option[Set[String]] = {
+    val key = t.resolvedNameKey(c)
+    val dirKey = t.resolvedNameKey(s"${c}_bucket")
+    def dt = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[StructType].fields
+      .find(f => t.resolvedNameKey(f.name) == key).map(_.dataType)
+    def idOf(v: Any): Option[Int] = dt.flatMap(d =>
+      scala.util.Try(((t.probeHashOf(v, d) % n + n) % n).toInt).toOption)
+    def keep(ids: Set[Int]): Set[String] = snap.files.filter { f =>
+      f.split('/').filter(_.contains("=")).map(_.split("=", 2)).collectFirst {
+        case Array(k, v) if t.resolvedNameKey(k) == dirKey =>
+          scala.util.Try(v.toInt).toOption.forall(ids.contains)
+      }.getOrElse(true)
+    }.toSet
+    filter match {
+      case sources.EqualTo(a, v) if t.resolvedNameKey(a) == key && v != null =>
+        idOf(v).map(id => keep(Set(id)))
+      case sources.In(a, vs) if t.resolvedNameKey(a) == key =>
+        val ids = vs.filter(_ != null).map(idOf)
+        if (ids.isEmpty || ids.exists(_.isEmpty)) None
+        else Some(keep(ids.flatten.toSet))
+      case _ => None
+    }
   }
 }
 
@@ -389,7 +436,8 @@ private[lakehouse] final class LakehouseV2Table(
       throw new IllegalStateException("cannot DELETE from a snapshot-less table"))
     val cond = filters.map(LakehouseSource.toCondition)
       .reduceOption(_ && _).getOrElse(lit(true))
-    val candidates = LakehouseSource.pruneForFilters(t, snap, filters.toSeq)
+    val candidates = LakehouseSource.pruneForFilters(t, snap, filters.toSeq,
+      LakehouseSource.bucketSpecOf(options))
     t.deleteWhere(candidates, cond)
     ()
   }
@@ -662,7 +710,8 @@ private[lakehouse] final class LakehouseV1Scan(
                   s"(snapshot retention likely expired it) — re-run spark.read.load " +
                   s"to pin the current snapshot. Cause: ${e.getMessage}", e)
           }
-        val files = LakehouseSource.pruneForFilters(t, snap, filters.toSeq)
+        val files = LakehouseSource.pruneForFilters(t, snap, filters.toSeq,
+          LakehouseSource.bucketSpecOf(options))
         val base = t.scanFiles(snap, files)
         // exactness: the residual Filter node Spark keeps above the
         // scan re-applies every pushed predicate (pushFilters returns

@@ -1796,6 +1796,15 @@ final class LakehouseTable(spark: SparkSession, val root: String,
 
   private[lakehouse] def resolvedNameKey(n: String): String = nameKey(n)
 
+  /** xxhash64(seed 42) of `value` coerced to `dt` — the write-path
+    * bucket hash base ([[LakehouseTable.bucketId]]) and the bloom probe
+    * hash, exposed for bucket-dir pruning (the probe's bucket must be
+    * computed with EXACTLY the layout hash or pruning would wrongly
+    * drop files).
+    */
+  private[lakehouse] def probeHashOf(value: Any, dt: DataType): Long =
+    probeHash(value, dt)
+
   private def fileStatsOf(snap: Snapshot, relFile: String): Option[FileStats] =
     snap.stats match {
       case Some(m) if m.contains(relFile) => m.get(relFile)

@@ -179,6 +179,12 @@ class LakehouseSpjSpec extends SparkSpec {
       assert(spark.sql("SELECT count(*) FROM bkt2cat.db.b2 WHERE k < 50")
         .head.getLong(0) === 50L)
       assert(spark.sql("SELECT v FROM bkt2cat.db.b2 WHERE k = 7").head.getString(0) === "v7")
+      // bucket-dir PRUNING: a point lookup on the bucketed key plans
+      // only its bucket's files (1/4 of the table), no SPJ conf needed
+      val root = java.nio.file.Paths.get(warehouse, "db", "b2").toString
+      val info = ScanEvents.lastScan(root).get
+      assert(info.filesPlanned * 4 <= info.filesTotal * 2,
+        s"k=7 must skip to its bucket's files: $info")
       assert(spark.sql("SELECT count(DISTINCT k) FROM bkt2cat.db.b2").head.getLong(0) === 100L)
     } finally {
       spark.sql("DROP TABLE IF EXISTS bkt2cat.db.b2")
