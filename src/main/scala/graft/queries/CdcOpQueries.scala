@@ -931,6 +931,47 @@ object CdcOpQueries {
       (detail :+ ((v4.getLong(0) * 1000000000000L + v4.getLong(1) + v4.getLong(2),
         "zz_v4_checksum")))
         .toDF("k", "label").orderBy(col("k"))
+    }),
+    // ---- native merge-on-read scan audit (round 10): a snapshot with
+    //      LIVE tombstones must stay on the native vectorized batch
+    //      scan — plan-shape flags (BatchScanExec present, columnar,
+    //      at least one batch paid the survivor copy) ride the hash
+    //      gate next to the masked aggregate the oracle re-derives, so
+    //      a regression that silently drops MoR reads back to the
+    //      composing path (or stops masking) flips the gate. ----
+    "q136_native_mor_scan" -> ((s, dir) => {
+      import s.implicits._
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_q136_nmor").toString
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+      val t = new graft.lakehouse.LakehouseTable(s, root)
+      val base = graft.Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 4000)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"))
+      t.append(base.repartitionByRange(4, col("k")))
+      // one MoR apply: delete k%10=7, update k%10=4 (lowered priority)
+      t.applyChanges(
+        base.filter(col("k") % 10 === 7).withColumn("_change", lit("delete"))
+          .unionByName(base.filter(col("k") % 10 === 4)
+            .withColumn("pri", lower(col("pri"))).withColumn("_change", lit("insert"))),
+        Seq("k"), mergeOnRead = true)
+      require(t.currentSnapshot().get.tombstones.nonEmpty, "tombstones must be live")
+
+      val df = s.read.format("graft-lakehouse").load(root)
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      graft.lakehouse.LakehouseMor.batchesCopied.set(0)
+      val agg = df.agg(count(lit(1)), sum(col("k")), sum(length(col("pri")))).head
+      val rows = Seq(
+        ("a_native_scan", if (scans.nonEmpty) 1L else 0L),
+        ("b_columnar", if (scans.headOption.exists(_.supportsColumnar)) 1L else 0L),
+        ("c_survivor_copied", if (graft.lakehouse.LakehouseMor.batchesCopied.get() > 0) 1L else 0L),
+        ("d_count", agg.getLong(0)),
+        ("e_sum_k", agg.getLong(1)),
+        ("f_pri_len", agg.getLong(2)))
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+      rows.toDF("step", "n").orderBy(col("step"))
     })
   )
 
@@ -1152,6 +1193,23 @@ object CdcOpQueries {
         UNION ALL
         SELECT (SELECT c * 1000000000000 + sk + sl FROM v4), 'zz_v4_checksum')
       ORDER BY k""",
+    // q136: masked head state re-derived from orders (k<4000, minus the
+    // %10=7 deletes, %10=4 priorities lowered — the update's re-insert
+    // wins by origin); the plan-shape flags are constants 1.
+    "q136_native_mor_scan" -> """
+      WITH head AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 10 = 4 THEN lower(o_orderpriority)
+                    ELSE o_orderpriority END AS pri
+        FROM orders WHERE o_orderkey < 4000 AND o_orderkey % 10 <> 7)
+      SELECT step, n FROM (
+        SELECT 'a_native_scan' AS step, CAST(1 AS BIGINT) AS n
+        UNION ALL SELECT 'b_columnar', 1
+        UNION ALL SELECT 'c_survivor_copied', 1
+        UNION ALL SELECT 'd_count', (SELECT CAST(count(*) AS BIGINT) FROM head)
+        UNION ALL SELECT 'e_sum_k', (SELECT CAST(sum(k) AS BIGINT) FROM head)
+        UNION ALL SELECT 'f_pri_len', (SELECT CAST(sum(length(pri)) AS BIGINT) FROM head))
+      ORDER BY step""",
     "q129_mor_apply" -> """
       WITH base AS (
         SELECT o_orderkey AS k, o_orderpriority AS pri FROM orders
