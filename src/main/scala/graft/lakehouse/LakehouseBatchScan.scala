@@ -135,6 +135,39 @@ final class LakehouseBatchScan(
     schema.fields.filter(f => wanted(t.resolvedNameKey(f.name)))
   }
 
+  // ---------------- rename lineage (native path) ----------------
+
+  /** Current-name-key → former names with their rename points. A data
+    * file whose origin snapshot predates a rename physically carries
+    * the OLD column name; the scan groups files by rename epoch and
+    * gives each group a reader schema in its epoch's physical names,
+    * relabelled positionally to current names — vectorized reads, no
+    * V1 fallback, no waiting for compaction.
+    */
+  @transient private lazy val renameCuts: Map[String, List[AliasEntry]] =
+    snap.aliases.map { case (k, v) => t.resolvedNameKey(k) -> v }
+
+  /** The physical name `field` had at snapshot `origin`: the FIRST
+    * alias whose rename point is after the origin (entries are
+    * oldest-first), or the current name.
+    */
+  private def physNameOf(field: StructField, origin: Long): String =
+    renameCuts.get(t.resolvedNameKey(field.name)) match {
+      case None => field.name
+      case Some(entries) =>
+        entries.find(e => origin < e.renamedAt).map(_.name).getOrElse(field.name)
+    }
+
+  /** Rename-epoch signature of a file (grouping key component; empty
+    * when the table never renamed).
+    */
+  private def renameEpochOf(relFile: String): Seq[String] =
+    if (renameCuts.isEmpty) Nil
+    else {
+      val o = t.originOfFile(relFile)
+      (required.fields ++ maskKeyFieldsAll).map(physNameOf(_, o)).toSeq
+    }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -300,11 +333,13 @@ final class LakehouseBatchScan(
     // columnar reads.
     val grouped = files
       .groupBy(f => (pathColKeys(f), spjKeyOf.get(f).getOrElse(Nil), affectedOrigin.get(f),
-        bucketSpj.flatMap { case (_, bf) => bucketIdOfFile(f, bf.name) }))
+        bucketSpj.flatMap { case (_, bf) => bucketIdOfFile(f, bf.name) },
+        renameEpochOf(f)))
       .toSeq
-      .sortBy { case ((sig, key, mo, bid), _) =>
-        (sig.mkString(","), key.mkString(","), mo.getOrElse(-1L), bid.getOrElse(-1)) }
-      .map { case ((sig, _, mo, bid), fs) => (sig, mo, bid, fs) }
+      .sortBy { case ((sig, key, mo, bid, ep), _) =>
+        (sig.mkString(","), key.mkString(","), mo.getOrElse(-1L), bid.getOrElse(-1),
+          ep.mkString(",")) }
+      .map { case ((sig, _, mo, bid, _), fs) => (sig, mo, bid, fs) }
 
     val conf = spark.sessionState.conf
     val openCost = conf.filesOpenCostInBytes
@@ -317,8 +352,19 @@ final class LakehouseBatchScan(
     grouped.flatMap { case (pathKeys, maskOrigin, bucketId, groupFiles) =>
       val inPath = pathKeys.toSet
       def nk(f: StructField): String = t.resolvedNameKey(f.name)
-      val dataFields0 = required.fields.filterNot(f => inPath(nk(f)))
-      val partFields0 = required.fields.filter(f => inPath(nk(f)))
+      // this group's PHYSICAL name per field (rename epoch, uniform by
+      // grouping): path membership, reader schemas, and partition-value
+      // extraction all speak the epoch's names; outFields keep CURRENT
+      // names (alignment is positional, so perm/masks are unaffected)
+      val phys: StructField => StructField =
+        if (renameCuts.isEmpty) identity
+        else {
+          val origin = t.originOfFile(groupFiles.head)
+          f => f.copy(name = physNameOf(f, origin))
+        }
+      def inPathPhys(f: StructField): Boolean = inPath(nk(phys(f)))
+      val dataFields0 = required.fields.filterNot(inPathPhys)
+      val partFields0 = required.fields.filter(inPathPhys)
       // masked groups widen the reader schemas with any mask key column
       // the projection lacks: path columns materialize from the dir
       // values, everything else reads from the data files (a key column
@@ -329,7 +375,7 @@ final class LakehouseBatchScan(
           val projected = required.fields.map(nk).toSet
           maskKeyFieldsAll.filterNot(f => projected(nk(f)))
         }
-      val (maskPartExtra, maskDataExtra) = maskExtra.partition(f => inPath(nk(f)))
+      val (maskPartExtra, maskDataExtra) = maskExtra.partition(inPathPhys)
       val dataFields = dataFields0 ++ maskDataExtra
       val partFields = partFields0 ++ maskPartExtra
       val outFields = dataFields ++ partFields
@@ -349,9 +395,11 @@ final class LakehouseBatchScan(
           MorMaskSpec(bc, ords.toArray, ords.map(o => outFields(o).dataType).toArray)
         }.toArray
 
+      val dataFieldsPhys = dataFields.map(phys)
+      val partFieldsPhys = partFields.map(phys)
       val pfs = groupFiles.flatMap { f =>
         val len = sizes(f)
-        val pv = partitionValuesFor(f, partFields, zone)
+        val pv = partitionValuesFor(f, partFieldsPhys, zone)
         val path = SparkPath.fromPathString(t.absDataPath(f))
         if (len <= 0L)
           Seq(PartitionedFile(pv, path, 0L, 0L, Array.empty, 0L, 0L))
@@ -363,7 +411,7 @@ final class LakehouseBatchScan(
       // each partition carries its group's reader spec, so a runtime
       // re-plan can never pair stale group state with fresh partitions
       val spec = LakehouseGroupSpec(
-        readerFactoryFor(StructType(dataFields), StructType(partFields)),
+        readerFactoryFor(StructType(dataFieldsPhys), StructType(partFieldsPhys)),
         perm, required.fields.map(_.dataType), masks, maskOrigin.getOrElse(-1L),
         StructType(outFields))
       // SPJ key row (decoded partition values in clustering order, or

@@ -624,10 +624,9 @@ private[lakehouse] final class LakehouseScanBuilder(
       val nativeOk = try {
         val spark = SparkSession.active
         val (t, snap) = LakehouseSource.snapshotFor(spark, options)
-        (snap.tombstones.isEmpty || LakehouseMor.typesSupported(spark, t, snap)) &&
-          // pre-rename files carry former column names only the V1
-          // path's alias resolution understands; compaction heals
-          !t.hasLegacyNamedFiles(snap)
+        // renamed lineages stay native too: the batch scan groups files
+        // by rename epoch and reads each group in its physical names
+        snap.tombstones.isEmpty || LakehouseMor.typesSupported(spark, t, snap)
       } catch { case _: Exception => false }
       if (nativeOk) new LakehouseBatchScan(options, required, accepted)
       else new LakehouseV1Scan(options, required, accepted)

@@ -1058,22 +1058,6 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         deletes = cur.deletes))
     }
 
-  /** True when some live data file may physically carry a FORMER column
-    * name (its origin snapshot predates a rename): such snapshots read
-    * through the V1 composing path — which resolves aliases — until
-    * compaction rewrites the files under their current names, after
-    * which the native vectorized scan serves the table again (the same
-    * heal-by-compaction contract MoR tombstones had before round 10).
-    */
-  private[lakehouse] def hasLegacyNamedFiles(snap: Snapshot): Boolean = {
-    val cuts = snap.aliases.valuesIterator.flatten.map(_.renamedAt)
-    if (cuts.isEmpty) false
-    else {
-      val newest = cuts.max
-      snap.files.exists(f => originOfFile(f) < newest)
-    }
-  }
-
   /** A name may never be REUSED while files that carry its old meaning
     * can still be alive: the alias resolution matches by NAME (no
     * Iceberg field ids), so a reused name would be ambiguous between

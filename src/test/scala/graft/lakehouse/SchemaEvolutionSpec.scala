@@ -14,10 +14,11 @@ import graft.SparkSpec
   * upcast in the parquet readers, so the vectorized path stays on), a
   * NARROWER batch casts up at write. Renames: ALTER TABLE RENAME
   * COLUMN is a schema-only snapshot carrying the former name with its
-  * rename point ([[AliasEntry]]); reads resolve old physical columns
-  * (V1 path, coalesce per name variant), and compaction rewrites files
-  * under current names — after which the NATIVE scan serves the table
-  * again. Time travel sees each snapshot's own shape.
+  * rename point ([[AliasEntry]]); the NATIVE scan groups files by
+  * rename epoch and reads each group in its physical names (the V1
+  * composing path coalesces name variants for the programmatic
+  * faces), and compaction folds epochs back to one. Time travel sees
+  * each snapshot's own shape.
   */
 class SchemaEvolutionSpec extends SparkSpec {
   import spark.implicits._
@@ -91,19 +92,24 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(e.getMessage.contains("lossless"))
   }
 
-  test("RENAME COLUMN: schema-only, old files resolve through the alias, compaction heals to native") {
+  test("RENAME COLUMN: schema-only, old files read NATIVE through epoch grouping, compaction folds epochs") {
     val t = new LakehouseTable(spark, tmpDir("ev-rename"))
     t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))
     val preRename = t.currentSnapshot().get.snapshotId
     val files0 = t.currentSnapshot().get.files
     t.renameColumn("k", "id")
     assert(t.currentSnapshot().get.files === files0, "rename rewrites nothing")
-    // reads resolve the OLD physical name into the new column
+    // reads resolve the OLD physical name into the new column — and
+    // stay NATIVE: files group by rename epoch, each group reads in
+    // its physical names, relabelled positionally to current names
     val df = dsv2(t)
     assert(df.columns.toSeq === Seq("id", "v"))
     assert(df.select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
       === Set((1L, "a"), (2L, "b")))
-    assert(!isNative(df), "pre-rename files read through the V1 alias-resolving path")
+    assert(isNative(df), "pre-rename files must read NATIVE via epoch grouping")
+    assert(df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.supportsColumnar }.contains(true),
+      "renamed lineage must keep columnar reads")
     // new writes land under the current name and mix with old files
     t.append(Seq((3L, "c")).toDF("id", "v").coalesce(1))
     assert(dsv2(t).select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
@@ -112,10 +118,10 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(dsv2(t).select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L))
     // time travel BEFORE the rename sees the old shape
     assert(t.scanAtSnapshot(preRename).columns.toSeq === Seq("k", "v"))
-    // compaction rewrites under current names → native scan returns
+    // compaction rewrites under current names (single epoch again)
     t.compact(fileThreshold = 1, maxRows = 100000000L)
     val healed = dsv2(t)
-    assert(isNative(healed), "post-compaction the table reads native again")
+    assert(isNative(healed), "post-compaction the table keeps native reads")
     assert(healed.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L))
   }
 
