@@ -1350,18 +1350,36 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     val snaps = listSnapshots()
     val fromS = snaps.find(_.snapshotId == fromId).getOrElse(throw invalidSnapshot(fromId))
     val toS = snaps.find(_.snapshotId == toId).getOrElse(throw invalidSnapshot(toId))
+    // rename-aware alignment: a column RENAMED between the snapshots is
+    // the SAME column — the from side maps to the TO side's current
+    // names through the to-snapshot's alias lineage, or a metadata-only
+    // rename would diff as a full-table delete+insert churn (a
+    // streaming replica would replay the whole table). A rename rolled
+    // back OUT of the to-side's lineage can't map and diffs as
+    // drop+add — rollback across a rename is a destructive shape.
+    def currentNameOf(fromName: String): String =
+      toS.aliases.collectFirst {
+        case (cur, olds) if olds.exists(a => nameKey(a.name) == nameKey(fromName)) => cur
+      }.getOrElse(fromName)
     val unionSchema = {
       val f = DataType.fromJson(fromS.schemaJson).asInstanceOf[StructType]
       val t = DataType.fromJson(toS.schemaJson).asInstanceOf[StructType]
-      val known = f.fieldNames.toSet
-      StructType(f.fields ++ t.fields.filterNot(x => known(x.name)))
+      val mapped = f.fields.map(fld => fld.copy(name = currentNameOf(fld.name)))
+      val known = mapped.map(x => nameKey(x.name)).toSet
+      StructType(mapped ++ t.fields.filterNot(x => known(nameKey(x.name))))
     }
+    /** from-side frames rename to the to-side's current names first. */
+    def toNames(df: DataFrame): DataFrame =
+      df.columns.foldLeft(df) { (d, c) =>
+        val cur = currentNameOf(c)
+        if (cur == c) d else d.withColumnRenamed(c, cur)
+      }
     def side(s: Snapshot, files: Seq[String]): DataFrame = {
       val base =
         if (files.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], unionSchema)
-        else readFiles(s, files)
+        else toNames(readFiles(s, files))
       val have = base.columns.toSet
       unionSchema.fields.foldLeft(base) { (d, fld) =>
         if (have(fld.name)) d else d.withColumn(fld.name, lit(null).cast(fld.dataType))
@@ -1386,12 +1404,18 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     // falls back to the effective-content diff.
     val fromSet = fromS.files.toSet
     val fromTombSet = fromS.tombstones.toSet
+    // a rename BETWEEN the snapshots sends the MoR-incremental branch
+    // to the full-content fallback: its tombstone-key probe would speak
+    // to-side names at from-side files (rename + new tombstones in one
+    // range is a rare double-event; correctness over the shortcut)
+    val renamedBetween = DataType.fromJson(fromS.schemaJson).asInstanceOf[StructType]
+      .fieldNames.exists(n => currentNameOf(n) != n)
     if (fromS.tombstones.isEmpty && toS.tombstones.isEmpty) {
       val added = side(toS, toS.files.diff(fromS.files))
       val removed = side(fromS, fromS.files.diff(toS.files))
       added.exceptAll(removed).withColumn("_change", lit("insert"))
         .unionByName(removed.exceptAll(added).withColumn("_change", lit("delete")))
-    } else if (fromS.files.forall(toS.files.contains) &&
+    } else if (!renamedBetween && fromS.files.forall(toS.files.contains) &&
         fromS.tombstones.forall(toS.tombstones.contains)) {
       val addedFiles = toS.files.filterNot(fromSet)
       val newTombs = toS.tombstones.filterNot(fromTombSet)
@@ -1406,12 +1430,15 @@ final class LakehouseTable(spark: SparkSession, val root: String,
                 fs.map(f => rootPath.resolve(f).toString): _*).distinct()
               touchedFilesFor(fromS, keyRows, keyRows.columns.toSeq)
             }.distinct
-          align(scanFiles(fromS, cand)).exceptAll(align(scanFiles(toS, cand)))
+          align(toNames(scanFiles(fromS, cand)))
+            .exceptAll(align(scanFiles(toS, cand)))
         }
       inserts.withColumn("_change", lit("insert"))
         .unionByName(deletes.withColumn("_change", lit("delete")))
     } else {
-      val eff = (s: Snapshot) => align(scanFiles(s, s.files))
+      val eff = (s: Snapshot) =>
+        if (s.snapshotId == fromS.snapshotId) align(toNames(scanFiles(s, s.files)))
+        else align(scanFiles(s, s.files))
       val (a, r) = (eff(toS), eff(fromS))
       a.exceptAll(r).withColumn("_change", lit("insert"))
         .unionByName(r.exceptAll(a).withColumn("_change", lit("delete")))

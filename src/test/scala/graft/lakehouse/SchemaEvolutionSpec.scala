@@ -174,6 +174,35 @@ class SchemaEvolutionSpec extends SparkSpec {
     spark.sql("DROP TABLE evcat.db.ev")
   }
 
+  test("changesBetween across a rename: metadata-only rename diffs EMPTY, later changes speak current names") {
+    val t = new LakehouseTable(spark, tmpDir("ev-cdf-rename"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(1))
+    val s1 = t.currentSnapshot().get.snapshotId
+    t.renameColumn("k", "id")
+    val s2 = t.currentSnapshot().get.snapshotId
+    // a rename rewrites no data: the change feed must be SILENT (the
+    // naive union would pair k-null against id-null rows and replay the
+    // whole table as delete+insert churn into every streaming replica)
+    assert(t.changesBetween(s1, s2).count() === 0L,
+      "a metadata-only rename must produce zero change rows")
+    // changes across the rename boundary arrive under CURRENT names
+    t.upsert(Seq((2L, "B2")).toDF("id", "v"), Seq("id"))
+    val s3 = t.currentSnapshot().get.snapshotId
+    val ch = t.changesBetween(s1, s3).collect()
+      .map(r => (r.getAs[String]("_change"), r.getAs[Long]("id"), r.getAs[String]("v")))
+      .toSet
+    assert(ch === Set(("insert", 2L, "B2"), ("delete", 2L, "b")),
+      s"diff across the rename must align the renamed column, got ${ch.mkString(",")}")
+    // MoR tombstones landing AFTER a rename still diff correctly
+    // (full-content fallback — correctness over the shortcut)
+    t.applyChanges(Seq((1L, "a", "delete")).toDF("id", "v", "_change"),
+      Seq("id"), mergeOnRead = true)
+    val s4 = t.currentSnapshot().get.snapshotId
+    val ch2 = t.changesBetween(s1, s4).collect()
+      .map(r => (r.getAs[String]("_change"), r.getAs[Long]("id"))).toSet
+    assert(ch2 === Set(("insert", 2L), ("delete", 2L), ("delete", 1L)), ch2.mkString(","))
+  }
+
   test("rename lineage survives snapshot expiry and a second rename chains aliases") {
     val t = new LakehouseTable(spark, tmpDir("ev-rename-chain"))
     t.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
