@@ -61,6 +61,26 @@ object BridgeBench {
     println(f"""{"rows": $rows, "full_dsv2_s": ${r("full_dsv2")}%.3f, "full_parquet_s": ${r(
         "full_parquet")}%.3f, "proj_dsv2_s": ${r("proj_dsv2")}%.3f, "proj_parquet_s": ${r(
         "proj_parquet")}%.3f}""")
+
+    // merge-on-read read pricing: tombstone ~1% of the keys, then read
+    // the masked table through the NATIVE batch scan (broadcast hash
+    // masks, columnar, zero-copy passthrough for unaffected batches)
+    // vs the V1 COMPOSING path (per-action inner plan + anti-join) —
+    // the round-10 "busy CDC target between compactions" number.
+    val t = new graft.lakehouse.LakehouseTable(spark, root)
+    t.applyChanges(
+      li.filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .withColumn("_change", lit("delete")),
+      Seq("l_orderkey", "l_linenumber"), mergeOnRead = true)
+    require(t.currentSnapshot().get.tombstones.nonEmpty)
+    def composing = t.read()
+    fullAgg(dsv2); fullAgg(composing) // warm
+    val morNative = time(fullAgg(dsv2))
+    val morComposing = time(fullAgg(composing))
+    val maskedRows = dsv2.count()
+    println(f"""{"mor_masked_rows": $maskedRows, "mor_native_s": $morNative%.3f, "mor_composing_s": $morComposing%.3f}""")
+
     graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
     spark.stop()
   }
