@@ -85,8 +85,10 @@ object Bench {
     def calibrate(): Double = {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
+      // pmod bounds the sum (full-range xxhash64 values overflow a
+      // LONG sum under ANSI after ~a dozen rows)
       spark.range(0L, 50000000L, 1L, cpus.toInt)
-        .select(xxhash64(org.apache.spark.sql.functions.col("id")).as("h"))
+        .select(pmod(xxhash64(org.apache.spark.sql.functions.col("id")), lit(1000L)).as("h"))
         .agg(sum("h")).collect()
       (System.nanoTime() - t0) / 1e9
     }
