@@ -71,6 +71,18 @@ class ScaleDesignSpec extends SparkSpec {
     }
   }
 
+  test("q51/q52: the bench's volatile shuffle-heavy rows keep their exchange floors") {
+    // these two rows have repeatedly inflated in noisy driver-bench
+    // windows (r06/r09, up to 4.2×) with UNCHANGED code — pin their
+    // plan shape so a REAL regression (an extra shuffle creeping in)
+    // is caught deterministically in CI instead of hiding in the
+    // bench's noise band (VERDICT r9 #5)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan("q51_simhash")).size <= 2,
+      "q51 simhash: band-bucket join must keep ≤2 shuffles")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan("q52_minhash_lsh")).size <= 1,
+      "q52 minhash+LSH: the bucket join must stay single-shuffle")
+  }
+
   test("q53: LSH candidate set is sub-quadratic (o(n_q·n) pairs reach the re-rank)") {
     val n = Tables.load(spark, sf, "embeddings").count()
     val nQ = 20L
