@@ -831,7 +831,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
           writeDataFiles(survivors, id, suffix = "rw", partitionCols = partCols)
         }
       val added = writeDataFiles(incoming, id,
-        partitionCols = partCols.filter(incoming.columns.contains))
+        partitionCols = partCols.filter(pc => incoming.columns.contains(specSourceCol(pc))))
       val untouched = existingFiles.diff(touchedRel)
       writeSnapshot(Snapshot(id, Some(cur.get.snapshotId), System.currentTimeMillis(),
         "upsert", untouched ++ rewritten ++ added, evolvedSchemaJson(df), txn = mark,
@@ -901,7 +901,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
               val added =
                 if (inserts.isEmpty) Nil
                 else writeDataFiles(inserts, id,
-                  partitionCols = partCols.filter(inserts.columns.contains))
+                  partitionCols = partCols.filter(pc => inserts.columns.contains(specSourceCol(pc))))
               if (mergeOnRead) {
                 // MERGE-ON-READ: no existing file is read OR rewritten —
                 // the batch's key set lands as a tombstone that masks
@@ -946,11 +946,36 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     * lineages (where re-imposing any one scheme would be wrong).
     */
   private def inferPartitionCols(files: Seq[String]): Seq[String] = {
-    def colsOf(f: String): Seq[String] = f.split('/').drop(1).dropRight(1)
-      .filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
-    files.headOption.map(colsOf)
-      .filter(c => c.nonEmpty && files.forall(f => colsOf(f) == c))
-      .getOrElse(Nil)
+    // the DECLARED spec wins when the root carries catalog metadata —
+    // dir inference can't reconstruct a bucket(N, col) transform (the
+    // dirs only show `col_bucket=`, not N), so a keyed CDC apply into
+    // a bucketed catalog table would otherwise land its inserts FLAT
+    // (mixed layout, SPJ stood down until compaction)
+    val metaPath = rootPath.resolve("_catalog.json")
+    val declared =
+      if (Files.exists(metaPath))
+        """"partitionBy"\s*:\s*\[([^\]]*)\]""".r
+          .findFirstMatchIn(Files.readString(metaPath))
+          .map(m => LakehouseSource.splitTopLevel(m.group(1))
+            .map(_.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+          .getOrElse(Nil)
+      else Nil
+    if (declared.nonEmpty) declared
+    else {
+      def colsOf(f: String): Seq[String] = f.split('/').drop(1).dropRight(1)
+        .filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+      files.headOption.map(colsOf)
+        .filter(c => c.nonEmpty && files.forall(f => colsOf(f) == c))
+        .getOrElse(Nil)
+    }
+  }
+
+  /** The DATA column a partition-spec entry consumes: the bucket
+    * transform's source column, or the identity column itself.
+    */
+  private def specSourceCol(spec: String): String = spec match {
+    case LakehouseTable.BucketSpecRe(_, c) => c
+    case c => c
   }
 
   /** SQL DELETE: remove the current snapshot's rows matching `cond`,
@@ -1007,7 +1032,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     val rewritten = survivors.map(df =>
       dropEmptyDataFiles(writeDataFiles(df, id, suffix = "rw", partitionCols = partCols))).getOrElse(Nil)
     val added = inserts.map(df =>
-      dropEmptyDataFiles(writeDataFiles(df, id, partitionCols = partCols.filter(df.columns.contains)))).getOrElse(Nil)
+      dropEmptyDataFiles(writeDataFiles(df, id, partitionCols = partCols.filter(pc => df.columns.contains(specSourceCol(pc)))))).getOrElse(Nil)
     val kept = if (survivors.isDefined) cur.files.diff(candidates) else cur.files
     Some(writeSnapshot(Snapshot(id, Some(cur.snapshotId), System.currentTimeMillis(),
       op, kept ++ rewritten ++ added, cur.schemaJson, deletes = cur.deletes)))

@@ -193,6 +193,48 @@ class LakehouseSpjSpec extends SparkSpec {
     }
   }
 
+  test("keyed writes into a bucketed catalog table KEEP the bucket layout (SPJ stays eligible)") {
+    import spark.implicits._
+    val warehouse = tmpDir("spj-bkt3-wh")
+    spark.conf.set("spark.sql.catalog.bkt3cat", classOf[LakehouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bkt3cat.warehouse", warehouse)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS bkt3cat.db")
+      spark.sql("CREATE TABLE bkt3cat.db.b3 (k BIGINT, v STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+      spark.sql("INSERT INTO bkt3cat.db.b3 SELECT id, concat('v', id) FROM range(200)")
+      val root = java.nio.file.Paths.get(warehouse, "db", "b3").toString
+      val t = new LakehouseTable(spark, root)
+      // a keyed CDC apply (the replication-sink shape): the upsert's
+      // rewrites AND inserts must land under k_bucket= dirs — dir
+      // inference alone can't reconstruct bucket(N, k), the declared
+      // catalog spec must win
+      t.applyChanges(Seq((5L, "UP", "insert"), (300L, "NEW", "insert"),
+        (7L, "x", "delete")).toDF("k", "v", "_change"), Seq("k"))
+      // SQL MERGE keeps the layout too
+      spark.sql("MERGE INTO bkt3cat.db.b3 t USING (SELECT 10 AS k, 'M' AS v) s " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+      val files = t.currentSnapshot().get.files
+      assert(files.forall(_.contains("k_bucket=")),
+        s"every file must stay bucket-laid-out: ${files.filterNot(_.contains("k_bucket="))}")
+      assert(spark.sql("SELECT v FROM bkt3cat.db.b3 WHERE k = 5").head.getString(0) === "UP")
+      assert(spark.sql("SELECT v FROM bkt3cat.db.b3 WHERE k = 10").head.getString(0) === "M")
+      assert(spark.sql("SELECT count(*) FROM bkt3cat.db.b3 WHERE k = 7").head.getLong(0) === 0L)
+      assert(spark.sql("SELECT count(*) FROM bkt3cat.db.b3").head.getLong(0) === 200L)
+      // the maintained layout still serves a zero-shuffle join
+      withSpj(on = true) {
+        val df = spark.sql("SELECT a.k FROM bkt3cat.db.b3 a JOIN bkt3cat.db.b3 b ON a.k = b.k")
+        assert(shuffles(df) === 0, s"post-write bucket layout must keep SPJ:\n${fmt(df)}")
+        assert(df.count() === 200L)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt3cat.db.b3")
+      spark.conf.unset("spark.sql.catalog.bkt3cat")
+      spark.conf.unset("spark.sql.catalog.bkt3cat.warehouse")
+    }
+  }
+
   test("SPJ-reporting scan still answers filters correctly (runtime pruning stands down)") {
     val l = mkTable("spj-filter-l", (0L until 400L).map(i => (i % 4, i, s"l$i")))
     val r = mkTable("spj-filter-r", (0L until 400L).map(i => (i % 4, i, s"r$i")))
