@@ -1113,6 +1113,23 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       require(cur.tombstones.isEmpty,
         "RENAME COLUMN with live merge-on-read tombstones is unsupported " +
           "(tombstone key files carry the old name); run compact() first")
+      // a DECLARED layout (catalog metadata) that references the column
+      // would break every later INSERT (the spec string keeps the old
+      // name and the write path resolves it against the batch)
+      val metaP = rootPath.resolve("_catalog.json")
+      val declaredSpec: Seq[String] =
+        if (Files.exists(metaP))
+          """"partitionBy"\s*:\s*\[([^\]]*)\]""".r
+            .findFirstMatchIn(Files.readString(metaP))
+            .map(m => LakehouseSource.splitTopLevel(m.group(1))
+              .map(_.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+            .getOrElse(Nil)
+        else Nil
+      require(!declaredSpec.exists(p =>
+        nameKey(specSourceCol(p)) == nameKey(oldName)),
+        s"cannot rename '$oldName': the declared partition layout references it " +
+          s"(${declaredSpec.mkString(", ")}) — re-create the table with the new " +
+          "layout (CTAS / overwrite) instead")
       val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
       val field = schema.fields.find(f => nameKey(f.name) == nameKey(oldName))
         .getOrElse(throw new IllegalArgumentException(

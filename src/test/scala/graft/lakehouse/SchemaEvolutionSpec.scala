@@ -203,6 +203,32 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(ch2 === Set(("insert", 2L), ("delete", 2L), ("delete", 1L)), ch2.mkString(","))
   }
 
+  test("renaming a declared partition or bucket-source column refuses (later INSERTs would break)") {
+    val wh = tmpDir("ev-rename-part-wh")
+    spark.conf.set("spark.sql.catalog.evrcat", classOf[LakehouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.evrcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evrcat.db")
+    spark.sql("DROP TABLE IF EXISTS evrcat.db.pt")
+    spark.sql("DROP TABLE IF EXISTS evrcat.db.bt")
+    spark.sql("CREATE TABLE evrcat.db.pt (k BIGINT, cell STRING) PARTITIONED BY (cell)")
+    spark.sql("INSERT INTO evrcat.db.pt VALUES (1, 'a')")
+    val e1 = intercept[Exception](
+      spark.sql("ALTER TABLE evrcat.db.pt RENAME COLUMN cell TO zone"))
+    assert(e1.getMessage.contains("partition layout"), e1.getMessage)
+    spark.sql("CREATE TABLE evrcat.db.bt (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO evrcat.db.bt VALUES (1, 'a')")
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE evrcat.db.bt RENAME COLUMN k TO id"))
+    assert(e2.getMessage.contains("partition layout"), e2.getMessage)
+    // a NON-layout column renames fine on the same tables
+    spark.sql("ALTER TABLE evrcat.db.bt RENAME COLUMN v TO label")
+    spark.sql("INSERT INTO evrcat.db.bt VALUES (2, 'b')")
+    assert(spark.sql("SELECT label FROM evrcat.db.bt ORDER BY k").collect()
+      .map(_.getString(0)).toSeq === Seq("a", "b"))
+    spark.sql("DROP TABLE evrcat.db.pt")
+    spark.sql("DROP TABLE evrcat.db.bt")
+  }
+
   test("rename lineage survives snapshot expiry and a second rename chains aliases") {
     val t = new LakehouseTable(spark, tmpDir("ev-rename-chain"))
     t.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
