@@ -1028,6 +1028,42 @@ class StreamingEquivalenceSpec extends SparkSpec {
     spark.sql("DROP TABLE strcat.db.src_t")
     spark.sql("DROP TABLE strcat.db.dst_t")
   }
+
+  test("replication across an upstream RENAME: apply the DDL on both ends, the checkpoint survives") {
+    // the operational contract for CDC schema drift: a rename is a DDL
+    // event the operator applies to BOTH tables (the feed carries data
+    // rows, not DDL); the existing checkpoint keeps working because
+    // (a) a metadata-only rename emits ZERO change rows, and (b) the
+    // engine binds replaced streaming sources by POSITION, so the new
+    // name flows through the restarted stream unchanged
+    import spark.implicits._
+    import graft.lakehouse.LakehouseTable
+    val src = new LakehouseTable(spark, tmpDir("ren-stream-src"))
+    val dst = new LakehouseTable(spark, tmpDir("ren-stream-dst"))
+    src.applyChanges(Seq((1L, "a", "insert"), (2L, "b", "insert"))
+      .toDF("k", "v", "_change"), Seq("k"))
+    val ckpt = tmpDir("ren-stream-ckpt")
+    def runOnce(keys: String): Unit = {
+      val q = spark.readStream.format("graft-changefeed").option("path", src.root).load()
+        .writeStream.format("graft-lakehouse").option("path", dst.root)
+        .option("keys", keys).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "drain did not finish")
+    }
+    runOnce("k")
+    assert(dst.read().columns.toSeq === Seq("k", "v"))
+
+    // upstream DDL: rename on BOTH ends while the stream is down
+    src.renameColumn("k", "id")
+    dst.renameColumn("k", "id")
+    // post-rename data flows under the new name from the OLD checkpoint
+    src.applyChanges(Seq((3L, "c", "insert"), (1L, "a", "delete"))
+      .toDF("id", "v", "_change"), Seq("id"))
+    runOnce("id")
+    assert(dst.read().columns.toSeq === Seq("id", "v"))
+    assert(dst.read().select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === Set((2L, "b"), (3L, "c")))
+  }
 }
 
 /** Serializable home for helpers captured by stateful-streaming
