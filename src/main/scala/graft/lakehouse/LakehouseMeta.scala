@@ -42,7 +42,7 @@ object LakehouseMeta {
     if (i <= 0) None
     else {
       val kind = name.substring(i + 1).toLowerCase(java.util.Locale.ROOT)
-      if (Set("snapshots", "history", "files", "txns")(kind))
+      if (Set("snapshots", "history", "files", "txns", "columns")(kind))
         Some((name.substring(0, i), kind))
       else None
     }
@@ -94,6 +94,44 @@ object LakehouseMeta {
           s.files.map(rowOf(_, "data")) ++ s.tombstones.map(rowOf(_, "tombstone"))
         }
         new LakehouseMetaTable(s"$root$$files", schema, rows)
+      case "columns" =>
+        // the schema-evolution surface: declared type per column, the
+        // FORMER names a rename lineage carries (oldest first) with the
+        // last rename point, and the declared layout role (identity
+        // partition / bucket(N) source) — all driver-side metadata
+        val schema = StructType(Seq(
+          StructField("column", StringType, nullable = false),
+          StructField("type", StringType, nullable = false),
+          StructField("nullable", BooleanType, nullable = false),
+          StructField("former_names", StringType),
+          StructField("renamed_at", LongType),
+          StructField("layout", StringType)))
+        val rows = t.currentSnapshot().toSeq.flatMap { snap =>
+          val declared = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+          val metaP = java.nio.file.Paths.get(root).resolve("_catalog.json")
+          val spec: Seq[String] =
+            if (java.nio.file.Files.exists(metaP))
+              """"partitionBy"\s*:\s*\[([^\]]*)\]""".r
+                .findFirstMatchIn(java.nio.file.Files.readString(metaP))
+                .map(m => LakehouseSource.splitTopLevel(m.group(1))
+                  .map(_.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+                .getOrElse(Nil)
+            else Nil
+          def layoutOf(n: String): String = spec.collectFirst {
+            case LakehouseTable.BucketSpecRe(nb, c) if c.equalsIgnoreCase(n) => s"bucket($nb)"
+            case c if c.equalsIgnoreCase(n) => "identity"
+          }.orNull
+          declared.fields.toSeq.map { f =>
+            val olds = snap.aliases.collectFirst {
+              case (k, v) if k.equalsIgnoreCase(f.name) => v
+            }.getOrElse(Nil)
+            Row(f.name, f.dataType.simpleString, f.nullable,
+              if (olds.isEmpty) null else olds.map(_.name).mkString(","),
+              olds.lastOption.map(a => Long.box(a.renamedAt)).orNull,
+              layoutOf(f.name))
+          }
+        }
+        new LakehouseMetaTable(s"$root$$columns", schema, rows)
       case "txns" =>
         val schema = StructType(Seq(
           StructField("app_id", StringType, nullable = false),

@@ -146,6 +146,30 @@ class LakehouseMetaSpec extends SparkSpec {
     assert(e.getMessage.contains("ADD COLUMNS"), e.getMessage)
   }
 
+  test("$columns exposes the schema, rename lineage, and declared layout roles") {
+    ensureCatalog()
+    spark.sql("DROP TABLE IF EXISTS metacat.db.c1")
+    spark.sql("CREATE TABLE metacat.db.c1 (k BIGINT, v STRING, cell STRING) " +
+      "PARTITIONED BY (cell)")
+    spark.sql("INSERT INTO metacat.db.c1 VALUES (1, 'a', 'x')")
+    spark.sql("ALTER TABLE metacat.db.c1 RENAME COLUMN v TO label")
+    val got = spark.sql(
+      "SELECT column, type, former_names, layout FROM metacat.db.`c1$columns` ORDER BY column")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSeq
+    assert(got === Seq(
+      ("cell", "string", None, Some("identity")),
+      ("k", "bigint", None, None),
+      ("label", "string", Some("v"), None)))
+    // bucket layout surfaces its transform
+    spark.sql("DROP TABLE IF EXISTS metacat.db.c2")
+    spark.sql("CREATE TABLE metacat.db.c2 (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+    assert(spark.sql("SELECT layout FROM metacat.db.`c2$columns` WHERE column = 'k'")
+      .head.getString(0) === "bucket(4)")
+    spark.sql("DROP TABLE metacat.db.c1")
+    spark.sql("DROP TABLE metacat.db.c2")
+  }
+
   test("metadata tables and procedures refuse unknown names loudly") {
     ensureCatalog()
     intercept[Exception](spark.sql("SELECT * FROM metacat.db.`missing$snapshots`").collect())
