@@ -233,7 +233,11 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
         StructField(a.fieldNames.head, a.dataType, nullable = true)
     }
     changes.foreach {
-      case _: TableChange.AddColumn => () // collected above
+      case a: TableChange.AddColumn if a.fieldNames.length > 1 =>
+        throw new UnsupportedOperationException(
+          s"nested column add unsupported: ${a.fieldNames.mkString(".")} " +
+            "(graft catalog adds top-level nullable columns only)")
+      case _: TableChange.AddColumn => () // single-name, collected above
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           s"RENAME COLUMN supports top-level columns only, got ${r.fieldNames.mkString(".")}")

@@ -59,7 +59,12 @@ object LakehouseMor {
     case ShortType => v.asInstanceOf[Short].toLong
     case IntegerType | DateType => v.asInstanceOf[Int].toLong
     case LongType | TimestampType | TimestampNTZType => v.asInstanceOf[Long]
-    case FloatType | DoubleType | BooleanType => v
+    // Float folds to Double so a float→double-widened lineage still
+    // matches: tombstones written pre-widening decode as Float while
+    // data rows probe at the declared (Double) width — without the
+    // fold the native scan would stop masking and resurrect deletes.
+    case FloatType => v.asInstanceOf[Float].toDouble
+    case DoubleType | BooleanType => v
     case other => throw new IllegalStateException(
       s"unsupported MoR mask key type $other (typesSupported must gate this)")
   }
@@ -74,6 +79,7 @@ object LakehouseMor {
     * prune less — never wrongly.
     */
   def decanon(dt: DataType, v: Any): Any = dt match {
+    case FloatType => v.asInstanceOf[Double].toFloat
     case ByteType => v.asInstanceOf[Long].toByte
     case ShortType => v.asInstanceOf[Long].toShort
     case IntegerType => v.asInstanceOf[Long].toInt

@@ -656,6 +656,9 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       val aliasToCurrent = cur.aliases.flatMap { case (current, olds) =>
         olds.map(a => nameKey(a.name) -> nameKey(current))
       }
+      // computed lazily: one tiny metadata-file read, and only when a
+      // batch actually arrives wider than the declared schema
+      lazy val bucketSrcs = bucketSourceKeys
       df.schema.fields.foreach { f =>
         val key = aliasToCurrent.getOrElse(nameKey(f.name), nameKey(f.name))
         curFields.get(key).foreach { t =>
@@ -663,6 +666,14 @@ final class LakehouseTable(spark: SparkSession, val root: String,
             s"incompatible type change for column '${f.name}': $t -> ${f.dataType} " +
               "(widen-only evolution: lossless widening flows, narrower batches " +
               "cast up at write; anything else must go through overwrite)")
+          // a WIDER batch column would auto-widen the union schema
+          // (evolvedSchemaJson) — refused for bucket sources for the
+          // same width-sensitive-hash reason widenColumn refuses
+          require(!(canWiden(t, f.dataType) && t != f.dataType && bucketSrcs(key)),
+            s"batch widens bucket-transform source column '${f.name}' " +
+              s"($t -> ${f.dataType}): the bucket hash is width-sensitive; " +
+              "cast the batch to the declared type or re-create the table " +
+              "with the wide type")
         }
       }
     }
@@ -978,6 +989,33 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     case c => c
   }
 
+  /** The declared partition layout from the catalog metadata file
+    * (empty for tables created outside the catalog or laid out flat).
+    */
+  private def declaredPartitionSpec: Seq[String] = {
+    val metaP = rootPath.resolve("_catalog.json")
+    if (Files.exists(metaP))
+      """"partitionBy"\s*:\s*\[([^\]]*)\]""".r
+        .findFirstMatchIn(Files.readString(metaP))
+        .map(m => LakehouseSource.splitTopLevel(m.group(1))
+          .map(_.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+        .getOrElse(Nil)
+    else Nil
+  }
+
+  /** Source columns of `bucket(N, col)` entries in the declared layout,
+    * as [[nameKey]]s. Type-widening these is refused everywhere:
+    * xxhash64 hashes Int and Long (and Float and Double) to DIFFERENT
+    * values, so widening a bucket source would leave pre-widen files in
+    * stale `<col>_bucket=` dirs — bucket-dir pruning would silently
+    * drop rows and SPJ would report a partitioning the files no longer
+    * honor.
+    */
+  private def bucketSourceKeys: Set[String] =
+    declaredPartitionSpec.collect {
+      case LakehouseTable.BucketSpecRe(_, c) => nameKey(c)
+    }.toSet
+
   /** SQL DELETE: remove the current snapshot's rows matching `cond`,
     * where `candidates0` is the pre-pruned file set that can hold
     * matches (anything else carries over BY REFERENCE — the skipping
@@ -1116,15 +1154,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       // a DECLARED layout (catalog metadata) that references the column
       // would break every later INSERT (the spec string keeps the old
       // name and the write path resolves it against the batch)
-      val metaP = rootPath.resolve("_catalog.json")
-      val declaredSpec: Seq[String] =
-        if (Files.exists(metaP))
-          """"partitionBy"\s*:\s*\[([^\]]*)\]""".r
-            .findFirstMatchIn(Files.readString(metaP))
-            .map(m => LakehouseSource.splitTopLevel(m.group(1))
-              .map(_.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
-            .getOrElse(Nil)
-        else Nil
+      val declaredSpec = declaredPartitionSpec
       require(!declaredSpec.exists(p =>
         nameKey(specSourceCol(p)) == nameKey(oldName)),
         s"cannot rename '$oldName': the declared partition layout references it " +
@@ -1170,6 +1200,14 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       s"ALTER COLUMN '$name' ${field.dataType.simpleString} -> ${to.simpleString} " +
         "is not a lossless widening (allowed: byte/short/int -> wider integral, " +
         "float -> double); narrowing/retyping must go through overwrite")
+    // bucket hashes are width-SENSITIVE (xxhash64(Int) != xxhash64(Long)):
+    // widening a bucket-transform source would orphan pre-widen files in
+    // stale bucket dirs — pruning and SPJ would silently miss rows
+    require(!bucketSourceKeys.contains(nameKey(name)),
+      s"cannot widen '$name': it is a bucket-transform source column " +
+        s"(${declaredPartitionSpec.mkString(", ")}) and the bucket hash is " +
+        "width-sensitive — re-create the table with the wide type (CTAS / " +
+        "overwrite) instead")
     writeSnapshot(Snapshot(nextId(), Some(cur.snapshotId),
       System.currentTimeMillis(), "alter", cur.files,
       StructType(schema.fields.map(f =>

@@ -183,6 +183,25 @@ class LakehouseCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graftcat.db.del_t")
   }
 
+  test("nested ADD COLUMNS refuses loudly instead of silently adding nothing") {
+    ensureCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.nest")
+    spark.sql("CREATE TABLE graftcat.db.nest (id BIGINT, point STRUCT<x: INT>)")
+    val cat = spark.sessionState.catalogManager.catalog("graftcat")
+      .asInstanceOf[LakehouseCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "nest")
+    val e = intercept[UnsupportedOperationException](cat.alterTable(ident,
+      org.apache.spark.sql.connector.catalog.TableChange.addColumn(
+        Array("point", "z"), org.apache.spark.sql.types.IntegerType)))
+    assert(e.getMessage.contains("nested"), e.getMessage)
+    // a top-level add on the same table still works
+    cat.alterTable(ident, org.apache.spark.sql.connector.catalog.TableChange.addColumn(
+      Array("tag"), org.apache.spark.sql.types.StringType))
+    assert(spark.table("graftcat.db.nest").columns.contains("tag"))
+    spark.sql("DROP TABLE graftcat.db.nest")
+  }
+
   test("identifier hygiene: path-escape identifiers are refused") {
     ensureCatalog()
     intercept[Exception](spark.sql("SELECT * FROM graftcat.db.`../escape`"))

@@ -151,6 +151,28 @@ class NativeMorScanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(df.select("v").collect().map(_.getString(0)).toSeq === Seq("b"))
   }
 
+  test("float→double widening across live tombstones: the mask still drops deleted rows") {
+    val t = new LakehouseTable(spark, tmpDir("nmor-float"))
+    t.append(Seq((1.5f, "a"), (2.5f, "b"), (3.5f, "c")).toDF("k", "v").coalesce(1))
+    // tombstone written at FLOAT width …
+    t.applyChanges(Seq((2.5f, "x", "delete")).toDF("k", "v", "_change"),
+      Seq("k"), mergeOnRead = true)
+    // … then the key column widens (widenColumn permits live tombstones):
+    // canon folds Float→Double, so the pre-widen tombstone still equals
+    // the data-row probe read at the declared (Double) width
+    t.widenColumn("k", org.apache.spark.sql.types.DoubleType)
+    val df = dsv2(t)
+    assert(batchScans(df).nonEmpty, "widened MoR lineage stays native")
+    assert(df.select("k").collect().map(_.getDouble(0)).toSet === Set(1.5d, 3.5d),
+      "the float-width tombstone must keep masking after the widen")
+    // a post-widen tombstone at DOUBLE width masks pre-widen float data
+    t.applyChanges(Seq((3.5d, "x", "delete")).toDF("k", "v", "_change"),
+      Seq("k"), mergeOnRead = true)
+    val df2 = dsv2(t)
+    assert(batchScans(df2).nonEmpty)
+    assert(df2.select("k").collect().map(_.getDouble(0)).toSet === Set(1.5d))
+  }
+
   test("hive-partitioned MoR table: masking composes with path-derived columns") {
     val t = new LakehouseTable(spark, tmpDir("nmor-hive"))
     t.append(Seq((1L, "a", "lo"), (2L, "b", "lo"), (3L, "c", "hi"))

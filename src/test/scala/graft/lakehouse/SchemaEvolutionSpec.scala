@@ -229,6 +229,39 @@ class SchemaEvolutionSpec extends SparkSpec {
     spark.sql("DROP TABLE evrcat.db.bt")
   }
 
+  test("widening a bucket-source column refuses: the bucket hash is width-sensitive") {
+    val wh = tmpDir("ev-widen-bucket-wh")
+    spark.conf.set("spark.sql.catalog.evwcat", classOf[LakehouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.evwcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evwcat.db")
+    spark.sql("DROP TABLE IF EXISTS evwcat.db.bw")
+    spark.sql("CREATE TABLE evwcat.db.bw (k INT, x FLOAT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO evwcat.db.bw VALUES (1, 1.5, 'a'), (2, 2.5, 'b')")
+    // DDL widening of the bucket source refuses loudly
+    val e1 = intercept[Exception](
+      spark.sql("ALTER TABLE evwcat.db.bw ALTER COLUMN k TYPE BIGINT"))
+    assert(e1.getMessage.contains("width-sensitive"), e1.getMessage)
+    // append-driven widening (a WIDER batch) refuses the same way — it
+    // would silently evolve the union schema and orphan bucket dirs
+    val root = java.nio.file.Paths.get(wh, "db", "bw").toString
+    val t = new LakehouseTable(spark, root)
+    val e2 = intercept[IllegalArgumentException](
+      t.append(Seq((3L, 3.5f, "c")).toDF("k", "x", "v")))
+    assert(e2.getMessage.contains("width-sensitive"), e2.getMessage)
+    // a NON-layout column still widens fine on the same table, and a
+    // NARROWER-or-equal batch still flows
+    spark.sql("ALTER TABLE evwcat.db.bw ALTER COLUMN x TYPE DOUBLE")
+    spark.sql("INSERT INTO evwcat.db.bw VALUES (3, 3.5, 'c')")
+    assert(spark.sql("SELECT v FROM evwcat.db.bw WHERE k = 3").head.getString(0) === "c")
+    // bucket pruning still answers every key exactly (nothing orphaned)
+    (1 to 3).foreach { k =>
+      assert(spark.sql(s"SELECT count(*) AS c FROM evwcat.db.bw WHERE k = $k")
+        .head.getLong(0) === 1L, s"key $k must stay reachable")
+    }
+    spark.sql("DROP TABLE evwcat.db.bw")
+  }
+
   test("rename lineage survives snapshot expiry and a second rename chains aliases") {
     val t = new LakehouseTable(spark, tmpDir("ev-rename-chain"))
     t.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
