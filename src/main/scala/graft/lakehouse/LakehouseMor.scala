@@ -65,6 +65,15 @@ object LakehouseMor {
     // fold the native scan would stop masking and resurrect deletes.
     case FloatType => v.asInstanceOf[Float].toDouble
     case DoubleType | BooleanType => v
+    // decimal normalizes scale-insensitively (stripTrailingZeros): the
+    // tombstone dir's physical (precision, scale) and the declared
+    // type agree today, but equality must not hinge on it — financial
+    // CDC keys are routinely DECIMAL and must keep the native scan
+    case _: DecimalType =>
+      val jbd = v.asInstanceOf[Decimal].toJavaBigDecimal.stripTrailingZeros
+      // BigDecimal("0E-7").stripTrailingZeros keeps its scale pre-Java-8
+      // semantics for zero on some paths — pin zero to ONE image
+      if (jbd.signum == 0) java.math.BigDecimal.ZERO else jbd
     case other => throw new IllegalStateException(
       s"unsupported MoR mask key type $other (typesSupported must gate this)")
   }
@@ -75,8 +84,9 @@ object LakehouseMor {
     * key would be an impossible cast there and could wrongly DROP an
     * affected file (resurrecting deleted rows). De-canon restores the
     * exact external type: int/long/string keys (the CDC norm) keep
-    * full stats+bloom pruning; date/timestamp/boolean keys merely
-    * prune less — never wrongly.
+    * full stats+bloom pruning; date/timestamp/boolean/decimal keys
+    * merely prune less — never wrongly. (Decimal canon is already a
+    * java BigDecimal, which Literal()/lit() take directly.)
     */
   def decanon(dt: DataType, v: Any): Any = dt match {
     case FloatType => v.asInstanceOf[Double].toFloat
@@ -98,12 +108,13 @@ object LakehouseMor {
   private def typeOk(dt: DataType): Boolean = dt match {
     case StringType | ByteType | ShortType | IntegerType | DateType | LongType |
          TimestampType | TimestampNTZType | FloatType | DoubleType | BooleanType => true
+    case _: DecimalType => true
     case _ => false
   }
 
   /** Can every tombstone key set of `snap` drive the native hash-probe
     * mask? Schema-only check (one footer read per tombstone dir, plan
-    * time, no jobs); binary/decimal/nested keys — whose internal
+    * time, no jobs); binary/nested keys — whose internal
     * representations don't hash-canonicalize safely — send the scan to
     * the V1 composing path instead.
     */

@@ -13,7 +13,7 @@ import graft.SparkSpec
   * readers stay COLUMNAR (zero-copy passthrough for batches holding no
   * masked row; survivor copy otherwise). Runtime join-driven file
   * pruning keeps working on tombstoned snapshots. Key types outside
-  * the mask's canonical space (decimal/binary/nested) still fall back
+  * the mask's canonical space (binary/nested) still fall back
   * to the composing path, loudly correct.
   *
   * This is the busy-CDC-table shape: tombstones are PRESENT between
@@ -139,15 +139,43 @@ class NativeMorScanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       === Set(("a", 1L), ("c", 30L)))
   }
 
-  test("a decimal tombstone key falls back to the composing path — loudly correct, never wrong") {
+  test("decimal tombstone keys mask through the NATIVE path (scale-insensitive canon)") {
     val t = new LakehouseTable(spark, tmpDir("nmor-dec"))
     val mk = (k: BigDecimal, v: String) => (k, v)
-    t.append(Seq(mk(BigDecimal(1), "a"), mk(BigDecimal(2), "b")).toDF("k", "v").coalesce(1))
-    t.applyChanges(Seq((BigDecimal(1), "x", "delete")).toDF("k", "v", "_change"),
+    t.append(Seq(mk(BigDecimal("1.50"), "a"), mk(BigDecimal("2.25"), "b"),
+      mk(BigDecimal("3.00"), "c")).toDF("k", "v").coalesce(1))
+    t.applyChanges(Seq((BigDecimal("1.50"), "x", "delete"),
+      (BigDecimal("3.00"), "C3", "insert"), (BigDecimal("3.00"), "x", "delete"))
+      .toDF("k", "v", "_change"), Seq("k"), mergeOnRead = true)
+    val df = dsv2(t)
+    assert(batchScans(df).nonEmpty,
+      "decimal keys canonicalize (unscaled, scale-stripped): native scan must plan")
+    assert(df.select("v").collect().map(_.getString(0)).toSet === Set("b", "C3"))
+    // wide-precision decimals (beyond 18 digits, byte-array backed) too
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DecimalType, StringType, StructField, StructType}
+    val t2 = new LakehouseTable(spark, tmpDir("nmor-dec-wide"))
+    val big = new java.math.BigDecimal("123456789012345678901.123")
+    val wideS = StructType(Seq(StructField("k", DecimalType(25, 3)), StructField("v", StringType)))
+    t2.append(spark.createDataFrame(
+      java.util.List.of(Row(big, "x"), Row(big.add(java.math.BigDecimal.ONE), "y")),
+      wideS).coalesce(1))
+    t2.applyChanges(spark.createDataFrame(
+      java.util.List.of(Row(big, "z", "delete")),
+      wideS.add(StructField("_change", StringType))), Seq("k"), mergeOnRead = true)
+    val df2 = dsv2(t2)
+    assert(batchScans(df2).nonEmpty)
+    assert(df2.select("v").collect().map(_.getString(0)).toSeq === Seq("y"))
+  }
+
+  test("a binary tombstone key falls back to the composing path — loudly correct, never wrong") {
+    val t = new LakehouseTable(spark, tmpDir("nmor-bin"))
+    t.append(Seq((Array[Byte](1), "a"), (Array[Byte](2), "b")).toDF("k", "v").coalesce(1))
+    t.applyChanges(Seq((Array[Byte](1), "x", "delete")).toDF("k", "v", "_change"),
       Seq("k"), mergeOnRead = true)
     val df = dsv2(t)
     assert(batchScans(df).isEmpty,
-      "decimal keys are outside the mask canon space: must NOT plan the native scan")
+      "binary keys are outside the mask canon space: must NOT plan the native scan")
     assert(df.select("v").collect().map(_.getString(0)).toSeq === Seq("b"))
   }
 
