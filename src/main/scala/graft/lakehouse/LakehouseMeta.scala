@@ -18,6 +18,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * {{{
   *   SELECT * FROM graft.db.`t$snapshots`   -- commit lineage (+ $history alias)
   *   SELECT * FROM graft.db.`t$files`       -- current snapshot's files + stats
+  *   SELECT * FROM graft.db.`t$partitions`  -- per-partition file/row/byte counts
   *   SELECT * FROM graft.db.`t$txns`        -- exactly-once ledger state
   *
   *   CALL graft.system.expire_snapshots(table => 'db.t', older_than => TIMESTAMP '...')
@@ -42,7 +43,7 @@ object LakehouseMeta {
     if (i <= 0) None
     else {
       val kind = name.substring(i + 1).toLowerCase(java.util.Locale.ROOT)
-      if (Set("snapshots", "history", "files", "txns", "columns")(kind))
+      if (Set("snapshots", "history", "files", "txns", "columns", "partitions")(kind))
         Some((name.substring(0, i), kind))
       else None
     }
@@ -60,12 +61,20 @@ object LakehouseMeta {
           StructField("file_count", IntegerType, nullable = false),
           StructField("row_count", LongType),
           StructField("txn_app", StringType),
-          StructField("txn_version", LongType)))
+          StructField("txn_version", LongType),
+          // live MoR tombstone volume (manifest stats, zero jobs) —
+          // the maintenance auto-fold budget input, surfaced where an
+          // operator can watch it grow between compactions
+          StructField("tombstone_files", IntegerType, nullable = false),
+          StructField("tombstone_keys", LongType, nullable = false),
+          StructField("tombstone_bytes", LongType, nullable = false)))
         val rows = t.listSnapshots().map { s =>
+          val (tf, tk, tb) = t.tombstoneVolume(s)
           Row(s.snapshotId, s.parentId.map(Long.box).orNull,
             new java.sql.Timestamp(s.timestampMs), s.operation,
             s.files.size, t.manifestRowCount(s).map(Long.box).orNull,
-            s.txn.map(_.appId).orNull, s.txn.map(m => Long.box(m.version)).orNull)
+            s.txn.map(_.appId).orNull, s.txn.map(m => Long.box(m.version)).orNull,
+            tf, tk, tb)
         }
         new LakehouseMetaTable(s"$root$$$kind", schema, rows)
       case "files" =>
@@ -132,6 +141,43 @@ object LakehouseMeta {
           }
         }
         new LakehouseMetaTable(s"$root$$columns", schema, rows)
+      case "partitions" =>
+        // per-partition-value file/row/byte counts from manifest stats
+        // (zero jobs at any table size) — the operator-facing layout
+        // view, and the input a partition-scoped compaction or the
+        // tombstone budget reads to pick WHERE to act. Unpartitioned
+        // tables report one NULL-partition row; tombstone files are
+        // counted separately (their rows are masked keys, not data).
+        val schema = StructType(Seq(
+          StructField("partition", StringType),
+          StructField("file_count", IntegerType, nullable = false),
+          StructField("row_count", LongType),
+          StructField("size_bytes", LongType),
+          StructField("tombstone_files", IntegerType, nullable = false)))
+        val rows = t.currentSnapshot().toSeq.flatMap { s =>
+          def partOf(f: String): String = {
+            val segs = f.split('/').drop(1).dropRight(1).filter(_.contains('='))
+            if (segs.isEmpty) null else segs.mkString("/")
+          }
+          def statsOf(f: String) = s.stats.flatMap(_.get(f))
+          val tombByPart = s.tombstones.groupBy(partOf)
+          val byPart = s.files.groupBy(partOf)
+          // tombstone key files are typically UNPARTITIONED (they land
+          // flat even on a partitioned table) — a partition key present
+          // only on the tombstone side must still surface
+          val allParts = (byPart.keySet ++ tombByPart.keySet).toSeq
+            .sortBy(p => Option(p).getOrElse(""))
+          allParts.map { part =>
+            val fs = byPart.getOrElse(part, Nil)
+            val rc = fs.map(statsOf(_).map(_.rows))
+            val bc = fs.map(statsOf(_).flatMap(_.bytes))
+            Row(part, fs.size,
+              if (rc.exists(_.isEmpty)) null else Long.box(rc.flatten.sum),
+              if (bc.exists(_.isEmpty)) null else Long.box(bc.flatten.sum),
+              tombByPart.getOrElse(part, Nil).size)
+          }
+        }
+        new LakehouseMetaTable(s"$root$$partitions", schema, rows)
       case "txns" =>
         val schema = StructType(Seq(
           StructField("app_id", StringType, nullable = false),

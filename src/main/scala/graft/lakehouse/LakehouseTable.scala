@@ -962,15 +962,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     // dirs only show `col_bucket=`, not N), so a keyed CDC apply into
     // a bucketed catalog table would otherwise land its inserts FLAT
     // (mixed layout, SPJ stood down until compaction)
-    val metaPath = rootPath.resolve("_catalog.json")
-    val declared =
-      if (Files.exists(metaPath))
-        """"partitionBy"\s*:\s*\[([^\]]*)\]""".r
-          .findFirstMatchIn(Files.readString(metaPath))
-          .map(m => LakehouseSource.splitTopLevel(m.group(1))
-            .map(_.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
-          .getOrElse(Nil)
-      else Nil
+    val declared = declaredPartitionSpec
     if (declared.nonEmpty) declared
     else {
       def colsOf(f: String): Seq[String] = f.split('/').drop(1).dropRight(1)
@@ -1410,6 +1402,70 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     Some(writeSnapshot(Snapshot(id, Some(cur.snapshotId), System.currentTimeMillis(),
       "compact", untouchedFiles ++ rewritten, cur.schemaJson,
       deletes = cur.deletes)))
+  }
+
+  /** Live MoR tombstone volume of `snap` — (tombstone files, total
+    * keys, total bytes) from manifest stats (footer fallback for
+    * pre-stats manifests; an unreadable/vacuumed file counts zero).
+    * Driver-side metadata, zero jobs: the budget input for the
+    * maintenance auto-fold and the `$snapshots` / health surface.
+    * Masks accumulate across MoR applies with nothing else bounding
+    * them — this is what a compaction trigger can finally read.
+    */
+  def tombstoneVolume(snap: Snapshot): (Int, Long, Long) = {
+    var keys = 0L
+    var bytes = 0L
+    snap.tombstones.foreach { f =>
+      fileStatsOf(snap, f).foreach { st =>
+        keys += st.rows
+        bytes += st.bytes.getOrElse(0L)
+      }
+    }
+    (snap.tombstones.size, keys, bytes)
+  }
+
+  /** Fold the current snapshot's MoR tombstones WITHOUT a whole-table
+    * rewrite: rewrite only the affected-file superset (per mask, files
+    * older than its newest tombstone whose manifest stats / partition
+    * path admit at least one masked key — the same metadata pre-prune
+    * the native scan runs), drop every tombstone from the manifest, and
+    * carry everything else by reference. Cost scales with
+    * tombstone-TOUCHED data, not table size — the auto-fold a budget
+    * trigger can afford to fire between full compactions. Key types
+    * outside the mask canon space fold every file older than the newest
+    * tombstone (correct, coarser). No-op without tombstones.
+    */
+  def foldTombstones(): Option[Snapshot] = writeLock.synchronized {
+    val cur = currentSnapshot().getOrElse(return None)
+    if (cur.tombstones.isEmpty) return None
+    val byOrigin = cur.files.map(f => f -> originOf(f)).toMap
+    val affected: Seq[String] =
+      if (LakehouseMor.typesSupported(spark, this, cur))
+        LakehouseMor.build(spark, this, cur).flatMap { m =>
+          val preds = m.keyNames.zipWithIndex.map { case (k, i) =>
+            ScanPredicate.InSet(k, m.byKey.keysIterator
+              .map(tup => LakehouseMor.decanon(m.keyTypes(i), tup(i))).toSeq.distinct)
+          }
+          val kept = pruneFiles(cur, preds)._1.toSet
+          cur.files.filter(f => kept(f) && byOrigin(f) < m.maxOrigin)
+        }.distinct
+      else {
+        val maxOrigin = cur.tombstones.map(originOf).max
+        cur.files.filter(byOrigin(_) < maxOrigin)
+      }
+    val id = nextId()
+    // effective read of ONLY the affected files: scanFiles masks per-row
+    // by origin, so survivors re-land at a fresh origin beyond every
+    // tombstone; untouched files hold no maskable row (the prune is a
+    // superset), so dropping ALL tombstones is exact
+    val partCols = inferPartitionCols(cur.files)
+    val rewritten =
+      if (affected.isEmpty) Nil
+      else dropEmptyDataFiles(writeDataFiles(
+        scanFiles(cur, affected), id, suffix = "fold", partitionCols = partCols))
+    Some(writeSnapshot(Snapshot(id, Some(cur.snapshotId),
+      System.currentTimeMillis(), "fold",
+      cur.files.filterNot(affected.toSet) ++ rewritten, cur.schemaJson)))
   }
 
   /** Row-level changes between two snapshots (the Delta Change-Data-Feed

@@ -24,15 +24,27 @@ final class MaintenanceScheduler(
     zorderCols: Seq[String] = Nil,
     bloomIndexCols: Seq[String] = Nil,
     annIndexRoot: Option[String] = None,
-    annRebuildIntervalMs: Long = 0L) {
+    annRebuildIntervalMs: Long = 0L,
+    /** MoR tombstone-volume budget (0 = off): when the live tombstone
+      * KEY count (or byte size) crosses the budget, the next
+      * maintenance tick runs a targeted [[LakehouseTable.foldTombstones]]
+      * — count-triggered compaction alone lets masks accumulate
+      * unboundedly on a target that keeps missing its compaction
+      * window, inflating every plan's broadcast mask.
+      */
+    maxTombstoneKeys: Long = 0L,
+    maxTombstoneBytes: Long = 0L) {
 
   @volatile private var expiredTotal = 0
   @volatile private var compactionsTotal = 0
   @volatile private var bloomFilesTotal = 0
   @volatile private var annRebuildsTotal = 0
+  @volatile private var foldsTotal = 0
   private var timer: Option[java.util.Timer] = None
 
   def stats: (Int, Int) = (expiredTotal, compactionsTotal)
+
+  def foldStats: Int = foldsTotal
 
   def bloomStats: Int = bloomFilesTotal
 
@@ -92,6 +104,27 @@ final class MaintenanceScheduler(
     n
   }
 
+  /** One tombstone-budget check: folds iff a budget is configured AND
+    * the live volume (manifest stats, zero jobs) crosses it. Runs on
+    * the compaction cadence, BEFORE the count-triggered pass — a fold
+    * both shrinks the mask and adds rewrite files the count trigger
+    * may then coalesce.
+    */
+  def runTombstoneFold(): Option[Snapshot] = {
+    val over = (maxTombstoneKeys > 0 || maxTombstoneBytes > 0) &&
+      table.currentSnapshot().exists { s =>
+        val (_, keys, bytes) = table.tombstoneVolume(s)
+        (maxTombstoneKeys > 0 && keys > maxTombstoneKeys) ||
+          (maxTombstoneBytes > 0 && bytes > maxTombstoneBytes)
+      }
+    if (!over) None
+    else {
+      val s = table.foldTombstones()
+      if (s.isDefined) foldsTotal += 1
+      s
+    }
+  }
+
   /** One full ANN-index retrain over the table's CURRENT rows — the
     * codebook-drift repair for [[AnnIndex.append]]'s frozen-codebook
     * incremental encodes (append keeps ingestion cheap; this cadence
@@ -111,7 +144,8 @@ final class MaintenanceScheduler(
   def start(): Unit = {
     val t = new java.util.Timer("lakehouse-maintenance", true)
     t.scheduleAtFixedRate(task(() => runExpiry()), expireIntervalMs, expireIntervalMs)
-    t.scheduleAtFixedRate(task(() => runCompaction()), compactIntervalMs, compactIntervalMs)
+    t.scheduleAtFixedRate(task(() => { runTombstoneFold(); runCompaction() }),
+      compactIntervalMs, compactIntervalMs)
     if (annIndexRoot.isDefined && annRebuildIntervalMs > 0)
       t.scheduleAtFixedRate(task(() => runAnnRebuild()), annRebuildIntervalMs, annRebuildIntervalMs)
     timer = Some(t)

@@ -972,6 +972,68 @@ object CdcOpQueries {
         ("f_pri_len", agg.getLong(2)))
       graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
       rows.toDF("step", "n").orderBy(col("step"))
+    }),
+    // ---- tombstone budget + $partitions (round 11): MoR masks
+    //      accumulate across applies with nothing else bounding them;
+    //      the $snapshots tombstone-volume columns and the $partitions
+    //      layout view surface the pressure from manifest stats alone
+    //      (zero jobs), and the budget-triggered maintenance fold
+    //      rewrites only tombstone-affected files, drops every
+    //      tombstone, and preserves content exactly — volumes, per-
+    //      partition rows pre/post, and content all re-derived
+    //      relationally by the oracle. ----
+    "q137_tombstone_budget" -> ((s, dir) => {
+      import s.implicits._
+      val cat = ensureQueryCatalog(s)
+      graft.Tables.load(s, dir, "orders").createOrReplaceTempView("q137_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.tomb_t")
+      s.sql(s"CREATE TABLE $cat.db.tomb_t (k BIGINT, pri STRING, cell INT) " +
+        "PARTITIONED BY (cell)")
+      s.sql(s"INSERT INTO $cat.db.tomb_t SELECT o_orderkey, o_orderpriority, " +
+        "CAST(o_orderkey % 4 AS INT) FROM q137_src WHERE o_orderkey < 4000")
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-q125-wh", "db", "tomb_t").toString
+      val t = new LakehouseTable(s, root)
+      def batch(where: String, pri: String, change: String) =
+        s.sql(s"SELECT o_orderkey AS k, $pri AS pri, " +
+          s"CAST(o_orderkey % 4 AS INT) AS cell, '$change' AS _change " +
+          s"FROM q137_src WHERE o_orderkey < 4000 AND $where")
+      // two MoR applies: masks ACCUMULATE (pure appends, zero rewrites)
+      t.applyChanges(batch("o_orderkey % 10 = 3", "o_orderpriority", "delete"),
+        Seq("k"), mergeOnRead = true)
+      t.applyChanges(batch("o_orderkey % 100 = 44", "'HOT'", "insert"),
+        Seq("k"), mergeOnRead = true)
+      val vol = s.sql(s"SELECT tombstone_keys FROM $cat.db.`tomb_t$$snapshots` " +
+        "ORDER BY snapshot_id DESC LIMIT 1").head.getLong(0)
+      val preParts = s.sql(s"SELECT partition, row_count " +
+        s"FROM $cat.db.`tomb_t$$partitions` WHERE partition IS NOT NULL").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // unpartitioned tombstone key files surface on the NULL-partition row
+      require(s.sql(s"SELECT tombstone_files FROM $cat.db.`tomb_t$$partitions` " +
+        "WHERE partition IS NULL").head.getInt(0) > 0,
+        "tombstone files must surface in $partitions")
+      // budget crossed → the maintenance tick folds (count trigger off)
+      val sched = new graft.lakehouse.MaintenanceScheduler(t,
+        expireOlderThanMs = Long.MaxValue / 2, expireIntervalMs = 3600000,
+        compactIntervalMs = 3600000, compactFileThreshold = Int.MaxValue,
+        compactMaxRows = Long.MaxValue, maxTombstoneKeys = 1)
+      val folded = sched.runTombstoneFold()
+      require(folded.exists(_.operation == "fold"), "budget crossing must fold")
+      val postVol = t.tombstoneVolume(t.currentSnapshot().get)._2
+      val postParts = s.sql(s"SELECT partition, row_count " +
+        s"FROM $cat.db.`tomb_t$$partitions` WHERE partition IS NOT NULL").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val content = s.sql(s"SELECT count(*), sum(k) FROM $cat.db.tomb_t").head
+      val hot = s.sql(s"SELECT count(*), coalesce(sum(k), 0) " +
+        s"FROM $cat.db.tomb_t WHERE pri = 'HOT'").head
+      val rows = Seq(("a_volume", vol, 2L)) ++
+        preParts.toSeq.sortBy(_._1).map { case (p, r) => (s"b_$p", r, postParts(p)) } ++
+        Seq(("c_folded", 1L, postVol),
+          ("d_content", content.getLong(0), content.getLong(1)),
+          ("e_hot", hot.getLong(0), hot.getLong(1)))
+      s.sql(s"DROP TABLE $cat.db.tomb_t")
+      rows.toDF("step", "v1", "v2").orderBy(col("step"))
     })
   )
 
@@ -1209,6 +1271,32 @@ object CdcOpQueries {
         UNION ALL SELECT 'd_count', (SELECT CAST(count(*) AS BIGINT) FROM head)
         UNION ALL SELECT 'e_sum_k', (SELECT CAST(sum(k) AS BIGINT) FROM head)
         UNION ALL SELECT 'f_pri_len', (SELECT CAST(sum(length(pri)) AS BIGINT) FROM head))
+      ORDER BY step""",
+    // q137: tombstone volume = the two batches' key counts; pre-fold
+    // per-cell physical rows = inserts (MoR applies are pure appends,
+    // masked rows still on disk); post-fold = live rows; content after
+    // the fold = base minus the %10=3 deletes with %100=44 re-priced.
+    "q137_tombstone_budget" -> """
+      WITH src AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 4000),
+      agg AS (
+        SELECT CAST(k % 4 AS INT) AS cell,
+               CAST(count(*) AS BIGINT) AS base,
+               CAST(count(*) FILTER (WHERE k % 10 = 3) AS BIGINT) AS dels,
+               CAST(count(*) FILTER (WHERE k % 100 = 44) AS BIGINT) AS reins
+        FROM src GROUP BY 1),
+      live AS (SELECT k FROM src WHERE k % 10 <> 3)
+      SELECT step, v1, v2 FROM (
+        SELECT 'a_volume' AS step,
+               (SELECT CAST(sum(dels) + sum(reins) AS BIGINT) FROM agg) AS v1,
+               CAST(2 AS BIGINT) AS v2
+        UNION ALL SELECT 'b_cell=' || cell, base + reins, base - dels FROM agg
+        UNION ALL SELECT 'c_folded', 1, 0
+        UNION ALL SELECT 'd_content',
+               (SELECT CAST(count(*) AS BIGINT) FROM live),
+               (SELECT CAST(sum(k) AS BIGINT) FROM live)
+        UNION ALL SELECT 'e_hot',
+               (SELECT CAST(count(*) AS BIGINT) FROM src WHERE k % 100 = 44),
+               (SELECT CAST(coalesce(sum(k), 0) AS BIGINT) FROM src WHERE k % 100 = 44))
       ORDER BY step""",
     "q129_mor_apply" -> """
       WITH base AS (

@@ -60,6 +60,37 @@ class LakehouseMetaSpec extends SparkSpec {
       "partition column must surface the hive dir")
   }
 
+  test("$partitions: per-partition file/row/byte counts; tombstone volume in $snapshots") {
+    import spark.implicits._
+    fresh("p1", "id BIGINT, cell STRING")
+    spark.sql("DROP TABLE IF EXISTS metacat.db.p1")
+    spark.sql("CREATE TABLE metacat.db.p1 (id BIGINT, cell STRING) PARTITIONED BY (cell)")
+    spark.sql("INSERT INTO metacat.db.p1 SELECT id, CASE WHEN id < 60 THEN 'lo' ELSE 'hi' END " +
+      "FROM range(0, 100)")
+    val parts = spark.sql("SELECT partition, file_count, row_count, size_bytes, " +
+      "tombstone_files FROM metacat.db.`p1$partitions` ORDER BY partition").collect()
+    assert(parts.map(r => (r.getString(0), r.getLong(2), r.getInt(4))).toSeq
+      === Seq(("cell=hi", 40L, 0), ("cell=lo", 60L, 0)))
+    assert(parts.forall(r => r.getInt(1) > 0 && r.getLong(3) > 0L))
+    // a MoR apply lands UNPARTITIONED tombstone key files: they surface
+    // on a null-partition row, and $snapshots carries the volume
+    val t = new LakehouseTable(spark, root("p1"))
+    t.applyChanges(Seq((5L, "lo", "delete"), (7L, "lo", "delete"))
+      .toDF("id", "cell", "_change"), Seq("id"), mergeOnRead = true)
+    val nullRow = spark.sql("SELECT file_count, tombstone_files FROM " +
+      "metacat.db.`p1$partitions` WHERE partition IS NULL").collect()
+    assert(nullRow.length === 1 && nullRow.head.getInt(0) === 0
+      && nullRow.head.getInt(1) > 0, "tombstone-only partitions must surface")
+    val vol = spark.sql("SELECT tombstone_files, tombstone_keys, tombstone_bytes " +
+      "FROM metacat.db.`p1$snapshots` ORDER BY snapshot_id DESC LIMIT 1").head
+    assert(vol.getInt(0) > 0 && vol.getLong(1) === 2L && vol.getLong(2) > 0L)
+    // an unpartitioned table reads as one NULL-partition row
+    fresh("p2", "id BIGINT")
+    spark.sql("INSERT INTO metacat.db.p2 SELECT id FROM range(0, 10)")
+    val flat = spark.sql("SELECT partition, row_count FROM metacat.db.`p2$partitions`").collect()
+    assert(flat.length === 1 && flat.head.isNullAt(0) && flat.head.getLong(1) === 10L)
+  }
+
   test("$txns surfaces the exactly-once ledger (marks + floor)") {
     fresh("x1", "id BIGINT")
     val t = new LakehouseTable(spark, root("x1"))

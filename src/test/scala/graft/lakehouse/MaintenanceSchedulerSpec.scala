@@ -30,6 +30,45 @@ class MaintenanceSchedulerSpec extends SparkSpec {
     assert(sched.stats === ((expired, 1)))
   }
 
+  test("tombstone budget: crossing triggers a targeted fold; under-budget leaves masks alone") {
+    import org.apache.spark.sql.functions.col
+    val t = new LakehouseTable(spark, tmpDir("maint-tomb"))
+    (0 until 4).foreach { i =>
+      val lo = i.toLong * 1000
+      t.append((lo until lo + 1000).map(id => (id, s"v$id")).toDF("id", "v").coalesce(1))
+    }
+    // two MoR applies: masks ACCUMULATE (this is the unbudgeted shape)
+    t.applyChanges(Seq((100L, "x", "delete")).toDF("id", "v", "_change"),
+      Seq("id"), mergeOnRead = true)
+    t.applyChanges(Seq((2100L, "x", "delete"), (2200L, "x", "delete"))
+      .toDF("id", "v", "_change"), Seq("id"), mergeOnRead = true)
+    val snap = t.currentSnapshot().get
+    val (tf, tk, tb) = t.tombstoneVolume(snap)
+    assert(tf >= 2 && tk === 3L && tb > 0L, s"volume ($tf, $tk, $tb)")
+    def sched(maxKeys: Long) = new MaintenanceScheduler(t,
+      expireOlderThanMs = 0, expireIntervalMs = 3600000,
+      compactIntervalMs = 3600000, compactFileThreshold = 100,
+      compactMaxRows = 1000000, maxTombstoneKeys = maxKeys)
+    // under budget: no fold, masks stay
+    assert(sched(maxKeys = 10).runTombstoneFold().isEmpty)
+    assert(t.currentSnapshot().get.tombstones.nonEmpty)
+    // over budget: the fold fires, rewrites ONLY the affected files
+    // (ranges are disjoint: files 0 and 2), and drops every tombstone
+    val folded = sched(maxKeys = 2).runTombstoneFold()
+    assert(folded.exists(_.operation === "fold"))
+    val cur = t.currentSnapshot().get
+    assert(cur.tombstones.isEmpty, "fold must drop all tombstones")
+    assert(t.tombstoneVolume(cur) === ((0, 0L, 0L)))
+    assert(snap.files.count(cur.files.contains) === 2,
+      "unaffected files must carry by reference")
+    // content exact; the native scan no longer plans any mask
+    val df = spark.read.format("graft-lakehouse").load(t.root)
+    assert(df.count() === 3997L)
+    assert(df.filter(col("id") === 2100L).collect().isEmpty)
+    assert(df.filter(col("id") === 500L).select("v").head.getString(0) === "v500")
+    assert(!df.queryExecution.executedPlan.toString.contains("MoR: masked"))
+  }
+
   test("zorder-configured compaction pass clusters instead of plain coalesce") {
     val table = new LakehouseTable(spark, tmpDir("maint-z"))
     (1 to 4).foreach(i => table.append(
