@@ -104,12 +104,86 @@ object LakehouseDml {
     * anything unmapped is a planning bug surfaced loudly — EXCEPT when
     * the expression embeds subqueries, whose internal attributes
     * legitimately live outside the map (their plans re-analyze intact
-    * inside the new query; only UNCORRELATED subqueries reach here, so
-    * no subquery-internal attribute can reference the outer frame).
+    * inside the new query).
+    *
+    * CORRELATED subqueries re-seat: each `OuterReference(a)` inside the
+    * subquery plan becomes an UnresolvedAttribute naming the column the
+    * rewrite frame gives `a`, and the subquery expression rebuilds with
+    * empty outerAttrs/joinCond so the new query's analyzer re-resolves
+    * the correlation from scratch (Spark then plans the usual
+    * null-aware semi/anti/lateral join — distributed, no driver
+    * collect). CALLERS MUST evaluate the result on a frame whose
+    * column names cannot collide with names inside the subquery plan
+    * (the `__g…` unique-name projections) — an outer reference demoted
+    * to a bare name would otherwise re-bind to a SUBQUERY-local column
+    * of the same name and silently change semantics.
     */
   private[lakehouse] def rebind(e: Expression, names: Map[ExprId, String]): Column = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project => LProject}
     val lenient = SubqueryExpression.hasSubquery(e)
+    // pulled-up join conditions carry the outer side as a BARE
+    // AttributeReference (not OuterReference-wrapped): anything outside
+    // the subquery plan's own output that maps re-seats by name
+    def reseat(x: Expression, planOut: cexp.AttributeSet): Expression = x.transform {
+      case cexp.OuterReference(a: AttributeReference) if names.contains(a.exprId) =>
+        UnresolvedAttribute(Seq(names(a.exprId)))
+      case a: AttributeReference if !planOut.contains(a) && names.contains(a.exprId) =>
+        UnresolvedAttribute(Seq(names(a.exprId)))
+    }
     exprColumn(e.transform {
+      case s: SubqueryExpression if s.isCorrelated =>
+        // by planning time the optimizer's PullupCorrelatedPredicates
+        // has hoisted the correlated predicates out of `plan` into
+        // `joinCond` (widening the plan's output with the inner join
+        // attrs) — re-plant them as a Filter ON TOP, re-seat the outer
+        // references as names, and hand the analyzer the PRE-pullup
+        // shape to re-decorrelate inside the new query
+        val reseatedPlan = s.plan.transformAllExpressions {
+          case cexp.OuterReference(a: AttributeReference) if names.contains(a.exprId) =>
+            UnresolvedAttribute(Seq(names(a.exprId)))
+        }
+        val joinCond: Seq[Expression] = s match {
+          case ex: cexp.Exists => ex.joinCond
+          case lq: cexp.ListQuery => lq.joinCond
+          case sc: cexp.ScalarSubquery => sc.joinCond
+          case _ => Nil
+        }
+        val withCond =
+          if (joinCond.isEmpty) reseatedPlan
+          else LFilter(joinCond.map(reseat(_, s.plan.outputSet)).reduce(cexp.And),
+            reseatedPlan)
+        s match {
+          case _: cexp.Exists => cexp.Exists(withCond)
+          case lq: cexp.ListQuery =>
+            // the IN value columns are the FIRST numCols of the
+            // (possibly pullup-widened) output
+            val n = if (lq.numCols > 0) lq.numCols else lq.plan.output.size
+            cexp.ListQuery(LProject(lq.plan.output.take(n), withCond))
+          case sc: cexp.ScalarSubquery =>
+            // the COUNT shape maps empty groups to a non-NULL value
+            // (defaultResult), which the Filter-on-top reconstruction
+            // would turn into NULL — refuse exactly that; max/min/sum/
+            // avg are NULL-on-empty and reconstruct losslessly
+            // (mayHaveCountBug alone is conservatively true for ANY
+            // correlated aggregate under decorrelateInnerQuery)
+            val nonNullOnEmpty = sc.plan match {
+              case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+                agg.aggregateExpressions.exists(_.exists {
+                  case ae: cexp.aggregate.AggregateExpression =>
+                    ae.aggregateFunction.defaultResult.exists(_.value != null)
+                  case _ => false
+                })
+              case _ => false
+            }
+            if (nonNullOnEmpty)
+              throw new UnsupportedOperationException(
+                "graft-lakehouse DML: correlated scalar subquery whose aggregate " +
+                  "is non-NULL on empty input (the COUNT shape) is unsupported in " +
+                  "WHERE — wrap a SUM in coalesce, or rewrite as MERGE")
+            cexp.ScalarSubquery(LProject(Seq(sc.plan.output.head), withCond))
+          case other => throw new UnsupportedOperationException(
+            s"graft-lakehouse DML: unsupported correlated subquery shape $other")
+        }
       case a: AttributeReference => names.get(a.exprId) match {
         case Some(n) => UnresolvedAttribute(Seq(n))
         case None if lenient => a
@@ -119,18 +193,20 @@ object LakehouseDml {
     })
   }
 
-  /** Loud refusal for CORRELATED subqueries only — an uncorrelated
-    * subquery evaluates natively inside the rewrite scan (Spark plans
-    * it as a semi/anti/scalar-subquery join, distributed, no driver
-    * collect), which is the decontamination DELETE shape
-    * (`DELETE FROM corpus WHERE doc_id IN (SELECT doc_id FROM flagged)`).
+  /** Loud refusal for CORRELATED subqueries in the places that still
+    * host expressions inside PROJECTIONS (SET values, MERGE WHEN/
+    * action expressions) — an uncorrelated subquery there evaluates
+    * natively (Spark plans it as a semi/anti/scalar-subquery join,
+    * distributed, no driver collect). UPDATE/DELETE WHERE predicates
+    * take correlated subqueries through the FILTER-planted paths.
     */
   private[lakehouse] def requireUncorrelated(e: Expression, where: String): Unit =
     e.foreach {
       case s: SubqueryExpression if s.isCorrelated =>
         throw new UnsupportedOperationException(
           s"graft-lakehouse $where supports only UNCORRELATED subqueries — " +
-            "rewrite the correlated shape as MERGE INTO with the subquery as source")
+            "correlate through UPDATE/DELETE WHERE, or rewrite as MERGE INTO " +
+            "with the subquery as source")
       case _ => ()
     }
 
@@ -152,6 +228,62 @@ object LakehouseDml {
         val keys = ofRows(spark, lq.plan).toDF(keyName).distinct()
         t.touchedFilesFor(snap, keys, Seq(keyName)).toSet
     }.reduceOption(_ intersect _)
+
+  /** Candidate-file pruning from positive CORRELATED `EXISTS (SELECT …
+    * FROM inner WHERE inner_expr = t.col [AND uncorrelated rest])`
+    * top-level conjuncts: when the subquery is a plain Project/Filter
+    * whose every correlated conjunct is such an equi-pair, the touched
+    * files are exactly those the inner side's key tuples can reach —
+    * the keyed two-stage probe at SUBQUERY cost (the dedup-purge DELETE
+    * shape: `WHERE EXISTS (SELECT 1 FROM dup d WHERE d.k = t.k AND
+    * d.rank > 1)`). Any other correlated shape contributes no evidence
+    * (prunes nothing; the full rewrite filter keeps it correct).
+    */
+  private[lakehouse] def existsCandidates(spark: SparkSession, t: LakehouseTable,
+      snap: Snapshot, conj: Seq[Expression], names: Map[ExprId, String]): Option[Set[String]] = {
+    def hasOuter(e: Expression): Boolean = e.exists(_.isInstanceOf[cexp.OuterReference])
+    def probe(ex: cexp.Exists): Option[Set[String]] = {
+      // by planning time PullupCorrelatedPredicates holds the
+      // correlation in joinCond (uncorrelated residue stays filtered
+      // inside the plan, whose output is widened with the inner attrs)
+      val planCorrelated = ex.plan.collectFirst {
+        case pl if pl.expressions.exists(hasOuter) => pl }.nonEmpty
+      if (ex.joinCond.isEmpty || planCorrelated) None
+      else {
+        // the pulled-up outer side is a BARE attribute outside the
+        // plan's own output (the pre-pullup OuterReference wrap is gone)
+        def outerAttr(x: Expression): Option[AttributeReference] = x match {
+          case cexp.OuterReference(a: AttributeReference) => Some(a)
+          case a: AttributeReference if !ex.plan.outputSet.contains(a) => Some(a)
+          case _ => None
+        }
+        def innerOk(inner: Expression): Boolean =
+          !hasOuter(inner) && inner.deterministic &&
+            inner.references.subsetOf(ex.plan.outputSet)
+        val pairs = ex.joinCond.map {
+          case cexp.EqualTo(inner, o) if outerAttr(o).exists(a =>
+              names.contains(a.exprId) && inner.dataType == a.dataType) && innerOk(inner) =>
+            Some(inner -> names(outerAttr(o).get.exprId))
+          case cexp.EqualTo(o, inner) if outerAttr(o).exists(a =>
+              names.contains(a.exprId) && inner.dataType == a.dataType) && innerOk(inner) =>
+            Some(inner -> names(outerAttr(o).get.exprId))
+          case _ => None
+        }
+        val ps = pairs.flatten
+        if (pairs.exists(_.isEmpty) || ps.map(_._2).distinct.size != ps.size) None
+        else {
+          val keys = ofRows(spark, ex.plan)
+            .select(ps.map { case (e, n) => exprColumn(e).as(n) }: _*).distinct()
+          Some(t.touchedFilesFor(snap, keys, ps.map(_._2)).toSet)
+        }
+      }
+    }
+    // pruning is a heuristic: a probe that fails for ANY reason must
+    // degrade to "no evidence" (full candidate set), never fail the DML
+    conj.collect { case ex: cexp.Exists if ex.isCorrelated =>
+      try probe(ex) catch { case _: Exception => None }
+    }.flatten.reduceOption(_ intersect _)
+  }
 
   /** Catalyst predicate → `sources.Filter`, for file PRUNING only (the
     * residual is always the rebound original condition, so an
@@ -239,7 +371,7 @@ object LakehouseDmlStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case u: UpdateTable =>
       lakeRelation(u.table).map { case (tOut, table) =>
-        u.condition.foreach(requireUncorrelated(_, "UPDATE WHERE"))
+        // WHERE takes correlated subqueries (filter-planted in the exec)
         val sets = assignmentPairs(u.assignments, "UPDATE SET")
         UpdateLakehouseExec(SparkSession.active, table.options,
           new DmlPayload((tOut, sets, u.condition))) :: Nil
@@ -250,13 +382,15 @@ object LakehouseDmlStrategy extends SparkStrategy {
         if (m.withSchemaEvolution) throw new UnsupportedOperationException(
           "graft-lakehouse MERGE does not support WITH SCHEMA EVOLUTION; " +
             "schema evolves widen-only through writes")
+        // ON hosts the JOIN condition — Spark itself cannot plan a
+        // subquery inside a join condition, so the refusal is structural
         requireNoSubquery(m.mergeCondition, "MERGE ON")
         (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions).foreach {
           case UpdateAction(cond, assigns, _) =>
-            cond.foreach(requireNoSubquery(_, "MERGE WHEN")); assignmentPairs(assigns, "MERGE UPDATE SET")
+            cond.foreach(requireUncorrelated(_, "MERGE WHEN")); assignmentPairs(assigns, "MERGE UPDATE SET")
           case InsertAction(cond, assigns) =>
-            cond.foreach(requireNoSubquery(_, "MERGE WHEN")); assignmentPairs(assigns, "MERGE INSERT")
-          case DeleteAction(cond) => cond.foreach(requireNoSubquery(_, "MERGE WHEN"))
+            cond.foreach(requireUncorrelated(_, "MERGE WHEN")); assignmentPairs(assigns, "MERGE INSERT")
+          case DeleteAction(cond) => cond.foreach(requireUncorrelated(_, "MERGE WHEN"))
           case other => throw new UnsupportedOperationException(
             s"graft-lakehouse MERGE: unsupported action $other")
         }
@@ -265,13 +399,13 @@ object LakehouseDmlStrategy extends SparkStrategy {
 
     // predicates the SupportsDelete face REFUSES: shapes beyond the
     // pruner's filter grammar (LIKE '%x', NOT, arithmetic, functions)
-    // AND uncorrelated-subquery shapes (IN (SELECT…)/EXISTS/scalar —
-    // the decontamination DELETE); translatable deletes keep the
-    // built-in metadata-pruned path, correlated subqueries refuse loudly
+    // AND subquery shapes — uncorrelated (IN (SELECT…)/EXISTS/scalar,
+    // the decontamination DELETE) and correlated (EXISTS/IN/scalar
+    // keyed on target columns, the dedup-purge DELETE); translatable
+    // deletes keep the built-in metadata-pruned path
     case d: DeleteFromTable =>
       lakeRelation(d.table) match {
         case Some((tOut, table)) if SubqueryExpression.hasSubquery(d.condition) =>
-          requireUncorrelated(d.condition, "DELETE WHERE")
           DeleteLakehouseExec(SparkSession.active, table.options,
             new DmlPayload((tOut, d.condition))) :: Nil
         case Some((tOut, table))
@@ -328,35 +462,56 @@ private[lakehouse] final case class UpdateLakehouseExec(
     val names: Map[ExprId, String] = targetOutput.map(a => a.exprId -> a.name).toMap
     val conj = condition.toSeq.flatMap(LakehouseDml.conjuncts)
     val filters = conj.flatMap(LakehouseDml.translateForPrune)
-    val cond = condition.map(LakehouseDml.rebind(_, names)).getOrElse(lit(true))
     val setByName = sets.map { case (k, v) => k.name.toLowerCase(java.util.Locale.ROOT) -> v }.toMap
     t.sqlMutate("update",
       candidatesOf = { snap =>
         val base = condition.map(_ => LakehouseSource.pruneForFilters(t, snap, filters,
             LakehouseSource.bucketSpecOf(tableOptions))).getOrElse(snap.files)
-        LakehouseDml.subqueryCandidates(spark, t, snap, conj, names)
+        Seq(LakehouseDml.subqueryCandidates(spark, t, snap, conj, names),
+            LakehouseDml.existsCandidates(spark, t, snap, conj, names)).flatten
+          .reduceOption(_ intersect _)
           .fold(base)(keep => base.filter(keep))
       },
       compute = (snap, candidates, scan) => {
         if (candidates.isEmpty) (None, None)
         else {
           val fields = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType].fields
-          val projected = fields.map { f =>
-            setByName.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
-              case Some(v) =>
-                // rows where the condition is TRUE take the new value;
-                // false AND null keep the old (SQL UPDATE semantics).
-                // `<=> TRUE` is load-bearing for subquery conditions:
-                // it is the canonical row-level-op shape Spark's
-                // subquery planning handles null-correctly (a bare
-                // `when(cond, …)` planned NOT IN over a null-bearing
-                // set as non-null-aware and updated protected rows)
-                when(cond <=> lit(true), LakehouseDml.rebind(v, names).cast(f.dataType))
-                  .otherwise(col(f.name)).as(f.name)
-              case None => col(f.name)
-            }
-          }
-          (Some(scan.select(projected.toIndexedSeq: _*)), None)
+          // evaluate on a UNIQUE-name projection: a correlated
+          // subquery's demoted outer references must never collide
+          // with a subquery-internal column name (see [[rebind]])
+          val fieldIdx = fields.zipWithIndex.map { case (f, i) =>
+            f.name.toLowerCase(java.util.Locale.ROOT) -> i }.toMap
+          val uniq: Map[ExprId, String] = targetOutput.flatMap(a =>
+            fieldIdx.get(a.name.toLowerCase(java.util.Locale.ROOT))
+              .map(i => a.exprId -> s"__go_$i")).toMap
+          val scan2 = scan.select(fields.zipWithIndex.map { case (f, i) =>
+            col(f.name).as(s"__go_$i") }.toIndexedSeq: _*)
+          val cond2 = condition.map(LakehouseDml.rebind(_, uniq)).getOrElse(lit(true))
+          def assigned(f: org.apache.spark.sql.types.StructField, i: Int): Option[Column] =
+            setByName.get(f.name.toLowerCase(java.util.Locale.ROOT))
+              .map(v => LakehouseDml.rebind(v, uniq).cast(f.dataType))
+          val survivors2 =
+            if (condition.exists(SubqueryExpression.hasSubquery)) {
+              // subquery conditions evaluate in FILTERS — the shape
+              // Spark's subquery planning handles (null-aware for
+              // NOT IN, semi/anti joins for EXISTS/IN, correlated
+              // included); hit rows take new values unconditionally,
+              // false-AND-null rows carry unchanged (SQL UPDATE)
+              val hit = scan2.filter(cond2 <=> lit(true))
+                .select(fields.zipWithIndex.map { case (f, i) =>
+                  assigned(f, i).getOrElse(col(s"__go_$i")).as(s"__go_$i")
+                }.toIndexedSeq: _*)
+              val miss = scan2.filter(not(cond2 <=> lit(true)))
+              hit.unionByName(miss)
+            } else
+              scan2.select(fields.zipWithIndex.map { case (f, i) =>
+                assigned(f, i)
+                  .map(v => when(cond2 <=> lit(true), v)
+                    .otherwise(col(s"__go_$i")).as(s"__go_$i"))
+                  .getOrElse(col(s"__go_$i"))
+              }.toIndexedSeq: _*)
+          (Some(survivors2.select(fields.zipWithIndex.map { case (f, i) =>
+            col(s"__go_$i").as(f.name) }.toIndexedSeq: _*)), None)
         }
       })
     ()
@@ -380,25 +535,43 @@ private[lakehouse] final case class DeleteLakehouseExec(
     val names: Map[ExprId, String] = targetOutput.map(a => a.exprId -> a.name).toMap
     val conj = LakehouseDml.conjuncts(condition)
     val filters = conj.flatMap(LakehouseDml.translateForPrune)
-    val cond = LakehouseDml.rebind(condition, names)
     t.sqlMutate("delete",
       candidatesOf = { snap =>
         val base = LakehouseSource.pruneForFilters(t, snap, filters,
           LakehouseSource.bucketSpecOf(tableOptions))
-        // IN-subquery conjuncts prune further: subquery keys through the
-        // keyed two-stage probe (the decontamination shape, batch cost)
-        LakehouseDml.subqueryCandidates(spark, t, snap, conj, names)
+        // IN-subquery and correlated-EXISTS conjuncts prune further:
+        // subquery keys through the keyed two-stage probe (the
+        // decontamination/dedup-purge shapes, subquery cost)
+        Seq(LakehouseDml.subqueryCandidates(spark, t, snap, conj, names),
+            LakehouseDml.existsCandidates(spark, t, snap, conj, names)).flatten
+          .reduceOption(_ intersect _)
           .fold(base)(keep => base.filter(keep))
       },
-      compute = (_, candidates, scan) =>
+      compute = (snap, candidates, scan) =>
         if (candidates.isEmpty) (None, None)
-        // keep rows where the predicate is false OR null (DELETE only
-        // removes rows where it is TRUE), spelled NOT(cond <=> TRUE) —
-        // Spark's own RewriteDeleteFromTable shape, the one its subquery
-        // planning handles null-correctly (a coalesce(not(cond), true)
-        // nesting planned the IN-subquery as a non-null-aware existence
-        // join and silently deleted NOT-IN rows a NULL should protect)
-        else (Some(scan.filter(not(cond <=> lit(true)))), None))
+        else {
+          // keep rows where the predicate is false OR null (DELETE only
+          // removes rows where it is TRUE), spelled NOT(cond <=> TRUE) —
+          // Spark's own RewriteDeleteFromTable shape, the one its
+          // subquery planning handles null-correctly (a
+          // coalesce(not(cond), true) nesting planned the IN-subquery
+          // as a non-null-aware existence join and silently deleted
+          // NOT-IN rows a NULL should protect). Evaluated on a
+          // UNIQUE-name projection so a correlated subquery's demoted
+          // outer references can never collide with subquery-internal
+          // column names (see [[rebind]]).
+          val fields = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType].fields
+          val fieldIdx = fields.zipWithIndex.map { case (f, i) =>
+            f.name.toLowerCase(java.util.Locale.ROOT) -> i }.toMap
+          val uniq: Map[ExprId, String] = targetOutput.flatMap(a =>
+            fieldIdx.get(a.name.toLowerCase(java.util.Locale.ROOT))
+              .map(i => a.exprId -> s"__go_$i")).toMap
+          val scan2 = scan.select(fields.zipWithIndex.map { case (f, i) =>
+            col(f.name).as(s"__go_$i") }.toIndexedSeq: _*)
+          val kept = scan2.filter(not(LakehouseDml.rebind(condition, uniq) <=> lit(true)))
+          (Some(kept.select(fields.zipWithIndex.map { case (f, i) =>
+            col(s"__go_$i").as(f.name) }.toIndexedSeq: _*)), None)
+        })
     ()
   }
 }

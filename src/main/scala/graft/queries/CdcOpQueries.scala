@@ -577,6 +577,12 @@ object CdcOpQueries {
         s"WHERE k IN (SELECT n_nationkey + 10 FROM q127_src WHERE n_regionkey = 3)")
       s.sql(s"DELETE FROM $cat.db.dml_t " +
         s"WHERE k IN (SELECT n_nationkey * 3 FROM q127_src WHERE n_regionkey = 1)")
+      // round 11: CORRELATED subqueries — an EXISTS-gated UPDATE and a
+      // correlated-EXISTS DELETE (the dedup-purge statement shape)
+      s.sql(s"UPDATE $cat.db.dml_t SET nm = upper(nm) WHERE EXISTS (" +
+        s"SELECT 1 FROM q127_src x WHERE x.n_nationkey = dml_t.k AND x.n_regionkey = 2)")
+      s.sql(s"DELETE FROM $cat.db.dml_t WHERE EXISTS (" +
+        s"SELECT 1 FROM q127_src y WHERE y.n_nationkey * 2 = dml_t.k AND y.n_regionkey = 4)")
       val out = s.sql(s"SELECT k, nm, rk FROM $cat.db.dml_t ORDER BY k").collect()
         .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
       s.sql(s"DROP TABLE $cat.db.dml_t")
@@ -1212,8 +1218,16 @@ object CdcOpQueries {
                    THEN rk + 100 ELSE rk END AS rk
             FROM f),
       h AS (SELECT * FROM g
-            WHERE k NOT IN (SELECT n_nationkey * 3 FROM nation WHERE n_regionkey = 1))
-      SELECT k, nm, rk FROM h ORDER BY k""",
+            WHERE k NOT IN (SELECT n_nationkey * 3 FROM nation WHERE n_regionkey = 1)),
+      i AS (SELECT k,
+              CASE WHEN EXISTS (SELECT 1 FROM nation x
+                                WHERE x.n_nationkey = h.k AND x.n_regionkey = 2)
+                   THEN upper(nm) ELSE nm END AS nm, rk
+            FROM h),
+      j AS (SELECT * FROM i
+            WHERE NOT EXISTS (SELECT 1 FROM nation y
+                              WHERE y.n_nationkey * 2 = i.k AND y.n_regionkey = 4))
+      SELECT k, nm, rk FROM j ORDER BY k""",
     // q128: the maintenance lifecycle's snapshot lineage — per-snapshot
     // CUMULATIVE row counts from the three modulo slices, the compact/
     // rollback/alter rows all carrying the full count, and the content

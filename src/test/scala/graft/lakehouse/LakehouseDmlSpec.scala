@@ -63,17 +63,20 @@ class LakehouseDmlSpec extends SparkSpec {
     assert(t.listSnapshots().size === snaps)
   }
 
-  test("UPDATE: condition-null rows keep their values; correlated subqueries are refused loudly") {
+  test("UPDATE: condition-null rows keep their values; correlated EXISTS WHERE updates exactly") {
     freshTable("u3", "id BIGINT, v STRING")
     spark.sql("INSERT INTO dmlcat.db.u3 VALUES (1,'a'), (2,NULL), (3,'c')")
     spark.sql("UPDATE dmlcat.db.u3 SET id = id + 100 WHERE v <> 'a'")
     // v=NULL makes the predicate NULL, not true: row 2 must NOT update
     assert(spark.sql("SELECT id FROM dmlcat.db.u3 ORDER BY id").collect()
       .map(_.getLong(0)).toSeq === Seq(1L, 2L, 103L))
-    val e = intercept[Exception](spark.sql(
-      "UPDATE dmlcat.db.u3 SET v = 'x' WHERE EXISTS (" +
-        "SELECT 1 FROM dmlcat.db.u3 o WHERE o.id = dmlcat.db.u3.id + 1)"))
-    assert(e.getMessage.toLowerCase.contains("uncorrelated"), e.getMessage)
+    // correlated self-EXISTS (reads the PRE-update snapshot, ANSI):
+    // only id=1 has a successor (2) in the table
+    spark.sql("UPDATE dmlcat.db.u3 SET v = 'x' WHERE EXISTS (" +
+      "SELECT 1 FROM dmlcat.db.u3 o WHERE o.id = dmlcat.db.u3.id + 1)")
+    assert(spark.sql("SELECT id, v FROM dmlcat.db.u3 ORDER BY id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("-"))).toSeq
+      === Seq((1L, "x"), (2L, "-"), (103L, "c")))
   }
 
   test("DELETE WHERE k IN (SELECT …): the decontamination shape, file-pruned at subquery cost") {
@@ -131,15 +134,66 @@ class LakehouseDmlSpec extends SparkSpec {
       "NULL-guarded NOT IN must update no row")
   }
 
-  test("correlated DELETE subquery refuses with the MERGE hint") {
-    freshTable("dcor", "id BIGINT, v STRING")
-    spark.sql("INSERT INTO dmlcat.db.dcor VALUES (1,'a')")
-    freshTable("dcor2", "id BIGINT")
-    spark.sql("INSERT INTO dmlcat.db.dcor2 VALUES (1)")
-    val e = intercept[Exception](spark.sql(
-      "DELETE FROM dmlcat.db.dcor WHERE EXISTS (" +
-        "SELECT 1 FROM dmlcat.db.dcor2 s WHERE s.id = dmlcat.db.dcor.id)"))
-    assert(e.getMessage.toLowerCase.contains("uncorrelated"), e.getMessage)
+  test("correlated DELETE EXISTS (the dedup-purge shape): exact, file-pruned at subquery cost") {
+    val t = freshTable("dcor", "id BIGINT, v STRING")
+    spark.sql("INSERT INTO dmlcat.db.dcor SELECT id, concat('v', id) FROM range(0, 100)")
+    spark.sql("INSERT INTO dmlcat.db.dcor SELECT id, concat('v', id) FROM range(1000, 1100)")
+    // dup table with rank: ONLY rank>1 rows purge, keys all in file 2
+    freshTable("dup", "k BIGINT, rank INT")
+    spark.sql("INSERT INTO dmlcat.db.dup VALUES (1005, 2), (1007, 3), (1009, 1), (50, 1)")
+    val before = t.currentSnapshot().get.files
+    spark.sql("DELETE FROM dmlcat.db.dcor WHERE EXISTS (" +
+      "SELECT 1 FROM dmlcat.db.dup d WHERE d.k = dmlcat.db.dcor.id AND d.rank > 1)")
+    assert(spark.sql("SELECT count(*) FROM dmlcat.db.dcor").head.getLong(0) === 198L)
+    assert(spark.sql("SELECT count(*) FROM dmlcat.db.dcor WHERE id IN (1005, 1007)")
+      .head.getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM dmlcat.db.dcor WHERE id IN (1009, 50)")
+      .head.getLong(0) === 2L, "rank=1 rows must survive")
+    // the EXISTS equi-probe confines the rewrite: rank>1 keys live in
+    // the 1000-range file only; the 0-99 file carries by reference
+    val after = t.currentSnapshot().get.files
+    val carried = before.filter(after.contains)
+    assert(carried.nonEmpty && carried.size < before.size,
+      s"EXISTS keys hit one file; the other must carry (carried ${carried.size}/${before.size})")
+  }
+
+  test("correlated DELETE: name collisions, NOT EXISTS, correlated IN, correlated scalar") {
+    // the inner table shares the OUTER column's name — the unique-name
+    // projection must keep the demoted outer reference from re-binding
+    // to the subquery-local column
+    freshTable("dnc", "id BIGINT, v STRING")
+    spark.sql("INSERT INTO dmlcat.db.dnc VALUES (1,'a'), (2,'b'), (3,'c')")
+    freshTable("dnc2", "id BIGINT")
+    spark.sql("INSERT INTO dmlcat.db.dnc2 VALUES (2)")
+    spark.sql("DELETE FROM dmlcat.db.dnc WHERE EXISTS (" +
+      "SELECT 1 FROM dmlcat.db.dnc2 s WHERE s.id = dmlcat.db.dnc.id)")
+    assert(spark.sql("SELECT id FROM dmlcat.db.dnc ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L),
+      "a collision-rebound EXISTS would have deleted ALL rows (s.id = s.id)")
+    // NOT EXISTS (anti shape): remaining ids {1, 3}; only 1+1=2 exists
+    // in dnc2, so id=3 deletes and id=1 survives
+    spark.sql("DELETE FROM dmlcat.db.dnc WHERE NOT EXISTS (" +
+      "SELECT 1 FROM dmlcat.db.dnc2 s WHERE s.id = dmlcat.db.dnc.id + 1)")
+    assert(spark.sql("SELECT id FROM dmlcat.db.dnc").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+    // correlated IN: membership keyed on an outer column
+    freshTable("din", "id BIGINT, grp STRING")
+    spark.sql("INSERT INTO dmlcat.db.din VALUES (1,'a'), (2,'b'), (3,'a')")
+    freshTable("din2", "k BIGINT, grp STRING")
+    spark.sql("INSERT INTO dmlcat.db.din2 VALUES (1,'a'), (2,'z'), (3,'a')")
+    spark.sql("DELETE FROM dmlcat.db.din WHERE id IN (" +
+      "SELECT k FROM dmlcat.db.din2 d WHERE d.grp = dmlcat.db.din.grp)")
+    assert(spark.sql("SELECT id FROM dmlcat.db.din ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+    // correlated scalar in WHERE
+    freshTable("dsc", "id BIGINT, n BIGINT")
+    spark.sql("INSERT INTO dmlcat.db.dsc VALUES (1, 5), (2, 50), (3, 7)")
+    freshTable("cap", "k BIGINT, cap BIGINT")
+    spark.sql("INSERT INTO dmlcat.db.cap VALUES (1, 10), (2, 10), (3, 10)")
+    spark.sql("DELETE FROM dmlcat.db.dsc WHERE n > (" +
+      "SELECT max(c.cap) FROM dmlcat.db.cap c WHERE c.k = dmlcat.db.dsc.id)")
+    assert(spark.sql("SELECT id FROM dmlcat.db.dsc ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L))
   }
 
   test("DELETE with a predicate beyond the filter grammar (LIKE) runs copy-on-write and stays pruned") {
@@ -277,6 +331,33 @@ class LakehouseDmlSpec extends SparkSpec {
          ON t.id = s.id
          WHEN MATCHED THEN UPDATE SET *"""))
     assert(e.getMessage.contains("SCHEMA EVOLUTION"), e.getMessage)
+  }
+
+  test("MERGE WHEN conditions take uncorrelated subqueries; MERGE ON refuses them") {
+    freshTable("m8", "id BIGINT, v STRING")
+    spark.sql("INSERT INTO dmlcat.db.m8 VALUES (1,'a'), (2,'b'), (3,'c')")
+    freshTable("vip", "k BIGINT")
+    spark.sql("INSERT INTO dmlcat.db.vip VALUES (1), (3)")
+    // the WHEN gate consults another table per row (uncorrelated IN)
+    spark.sql(
+      """MERGE INTO dmlcat.db.m8 t
+         USING (SELECT CAST(id + 1 AS BIGINT) AS sid, concat('s', id) AS sv
+                FROM range(0, 4)) s
+         ON t.id = s.sid
+         WHEN MATCHED AND t.id IN (SELECT k FROM dmlcat.db.vip) THEN
+           UPDATE SET v = s.sv
+         WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT id, v FROM dmlcat.db.m8 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "s0"), (3L, "s2")), "VIP rows update, non-VIP matched rows delete")
+    // a subquery inside ON is a JOIN-condition subquery — Spark itself
+    // cannot plan it; the refusal is structural and loud
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO dmlcat.db.m8 t
+         USING (SELECT CAST(1 AS BIGINT) AS sid) s
+         ON t.id = s.sid AND t.id IN (SELECT k FROM dmlcat.db.vip)
+         WHEN MATCHED THEN DELETE"""))
+    assert(e.getMessage.contains("MERGE ON"), e.getMessage)
   }
 
   test("empty-source MERGE with no matches commits nothing") {
