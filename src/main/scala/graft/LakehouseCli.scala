@@ -174,7 +174,10 @@ object LakehouseCli {
                 s"(expected ${flagMap.keys.mkString("|")}=N)"); return 2
           }
         }
+        // schema-history channel ON: upstream RENAME/WIDEN/ADD DDL
+        // replicates automatically (the sink applies it idempotently)
         val reader0 = spark.readStream.format("graft-changefeed").option("path", src)
+          .option("emitSchemaChanges", "true")
         val reader = admission.foldLeft(reader0) { case (r, (k, v)) => r.option(k, v) }
         val q = reader.load()
           .writeStream.format("graft-lakehouse")

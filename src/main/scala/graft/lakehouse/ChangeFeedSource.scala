@@ -59,7 +59,16 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
 final class ChangeFeedSource(sqlContext: SQLContext, root: String,
     maxSnapshotsPerTrigger: Option[Long] = None,
     maxFilesPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    /** `.option("emitSchemaChanges", true)`: ship upstream DDL through
+      * the feed as `_change = 'schema'` rows carrying a `_ddl` record
+      * ([[LakehouseTable.schemaChangesBetween]]) — the Debezium
+      * schema-history-topic shape. The lakehouse SINK applies them
+      * idempotently before each data batch, so RENAME/WIDEN/ADD
+      * replicate end-to-end with no manual downstream DDL. Off by
+      * default (the plain feed's schema is unchanged).
+      */
+    emitSchemaChanges: Boolean = false)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -72,7 +81,8 @@ final class ChangeFeedSource(sqlContext: SQLContext, root: String,
 
   private val table = new LakehouseTable(sqlContext.sparkSession, root)
 
-  override val schema: StructType = ChangeFeedSource.feedSchema(table)
+  override val schema: StructType =
+    ChangeFeedSource.feedSchema(table, withDdl = emitSchemaChanges)
 
   // Trigger.AvailableNow: pin the head at prepare time so the run
   // drains exactly the snapshots that existed when it started, then
@@ -198,33 +208,74 @@ final class ChangeFeedSource(sqlContext: SQLContext, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     import ChangeFeedSource.parsePos
-    val batch = (start.map(o => parsePos(o.json)), parsePos(end.json)) match {
-      case (None, Right((s, k))) => bootSlice(s, 0L, k)
+    val (batch, ddlRange) = (start.map(o => parsePos(o.json)), parsePos(end.json)) match {
+      case (None, Right((s, k))) => (bootSlice(s, 0L, k), None)
       case (None, Left(e)) =>
-        table.scanAtSnapshot(e).withColumn("_change", lit("insert"))
+        (table.scanAtSnapshot(e).withColumn("_change", lit("insert")), None)
       case (Some(Right((s1, k1))), Right((s2, k2))) =>
         require(s1 == s2 && k1 < k2,
           s"non-monotone bootstrap range ($s1,$k1) -> ($s2,$k2)")
-        bootSlice(s1, k1, k2)
+        (bootSlice(s1, k1, k2), None)
       case (Some(Right((s, k))), Left(e)) =>
         // the bootstrap's final slice; a same-batch head advance (e > s)
         // appends the incremental diff — still a pure function of range
         val rest = bootSlice(s, k, filesOf(s).size.toLong)
-        if (e > s) rest.unionByName(table.changesBetween(s, e)) else rest
+        if (e > s) (rest.unionByName(table.changesBetween(s, e)), Some((s, e)))
+        else (rest, None)
       case (Some(Left(s)), Left(e)) if s >= e =>
-        table.read().filter(lit(false)).withColumn("_change", lit(""))
-      case (Some(Left(s)), Left(e)) => table.changesBetween(s, e)
+        (table.read().filter(lit(false)).withColumn("_change", lit("")), None)
+      case (Some(Left(s)), Left(e)) => (table.changesBetween(s, e), Some((s, e)))
       case (Some(Left(s)), Right((s2, _))) => throw new IllegalStateException(
         s"bootstrap offset ($s2) cannot follow a committed snapshot offset ($s)")
     }
     // conform to the declared stream schema (widen-only evolution may
     // have grown the table since the stream started; late columns
-    // surface when the consumer restarts with a fresh checkpoint)
-    val have = batch.columns.toSet
-    val conformed = schema.fields.foldLeft(batch) { (d, f) =>
-      if (have(f.name)) d else d.withColumn(f.name, lit(null).cast(f.dataType))
-    }.select(schema.fieldNames.map(col): _*)
-    ChangeFeedSource.asStreaming(conformed)
+    // surface when the consumer restarts with a fresh checkpoint). A
+    // column RENAMED since the stream pinned its schema maps back to
+    // the pinned name through the alias lineage — metadata-only, the
+    // sink's write path resolves former names forward again — and a
+    // WIDENED column casts back to the pinned width (under ANSI an
+    // overflowing post-widen value fails loudly; a restart re-pins
+    // the wide schema and resumes from the checkpointed snapshot).
+    def lk(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val aliasOf: Map[String, String] = table.currentSnapshot()
+      .map(_.aliases.flatMap { case (curName, olds) =>
+        olds.map(a => lk(a.name) -> curName) })
+      .getOrElse(Map.empty)
+    val conformed0 = schema.fields.foldLeft(batch) { (d, f) =>
+      val have = d.columns.map(lk).toSet
+      if (have(lk(f.name))) d
+      else aliasOf.get(lk(f.name)).filter(c => have(lk(c))) match {
+        case Some(c) => d.withColumnRenamed(c, f.name)
+        case None => d.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+    }
+    val conformed = conformed0.select(schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    // the schema-history side channel: DDL records for the range, as
+    // `_change = 'schema'` rows (all data columns NULL); the sink
+    // applies them before the batch's data rows
+    val withDdl =
+      if (!emitSchemaChanges) conformed
+      else {
+        val ddl = ddlRange.map { case (s, e) => table.schemaChangesBetween(s, e) }
+          .getOrElse(Nil)
+        if (ddl.isEmpty) conformed
+        else {
+          val rows: java.util.List[org.apache.spark.sql.Row] =
+            new java.util.ArrayList[org.apache.spark.sql.Row]()
+          ddl.foreach { j =>
+            rows.add(org.apache.spark.sql.Row.fromSeq(schema.fields.toSeq.map {
+              case f if f.name == "_change" => "schema"
+              case f if f.name == "_ddl" => j
+              case _ => null
+            }))
+          }
+          conformed.unionByName(
+            sqlContext.sparkSession.createDataFrame(rows, schema))
+        }
+      }
+    ChangeFeedSource.asStreaming(withDdl)
   }
 
   /** The engine checkpoint has durably recorded everything ≤ `end` —
@@ -260,12 +311,16 @@ object ChangeFeedSource {
       case t => Left(t.toLong)
     }
 
-  /** Table schema + the `_change` tag, fixed at stream start. */
-  private[lakehouse] def feedSchema(table: LakehouseTable): StructType = {
+  /** Table schema + the `_change` tag, fixed at stream start; with the
+    * schema-history channel on, also the nullable `_ddl` record column.
+    */
+  private[lakehouse] def feedSchema(
+      table: LakehouseTable, withDdl: Boolean = false): StructType = {
     val snap = table.currentSnapshot().getOrElse(throw new IllegalStateException(
       "change-feed stream requires a table with at least one snapshot"))
     val base = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    StructType(base.fields :+ StructField("_change", StringType, nullable = false))
+    val fixed = base.fields :+ StructField("_change", StringType, nullable = false)
+    StructType(if (withDdl) fixed :+ StructField("_ddl", StringType) else fixed)
   }
 
   /** Rebuild `df` as an isStreaming DataFrame: evaluate its plan to an
@@ -335,6 +390,10 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
   private def longOpt(parameters: Map[String, String], name: String): Option[Long] =
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v.toLong }
 
+  private def boolOpt(parameters: Map[String, String], name: String): Boolean =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) => v.trim.toBoolean }.getOrElse(false)
+
   override def createRelation(
       sqlContext: SQLContext,
       parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
@@ -365,7 +424,8 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     (shortName(), ChangeFeedSource.feedSchema(
-      new LakehouseTable(sqlContext.sparkSession, rootOf(parameters))))
+      new LakehouseTable(sqlContext.sparkSession, rootOf(parameters)),
+      withDdl = boolOpt(parameters, "emitSchemaChanges")))
 
   override def createSource(
       sqlContext: SQLContext,
@@ -376,5 +436,6 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
     new ChangeFeedSource(sqlContext, rootOf(parameters),
       maxSnapshotsPerTrigger = longOpt(parameters, "maxSnapshotsPerTrigger"),
       maxFilesPerTrigger = longOpt(parameters, "maxFilesPerTrigger"),
-      maxBytesPerTrigger = longOpt(parameters, "maxBytesPerTrigger"))
+      maxBytesPerTrigger = longOpt(parameters, "maxBytesPerTrigger"),
+      emitSchemaChanges = boolOpt(parameters, "emitSchemaChanges"))
 }

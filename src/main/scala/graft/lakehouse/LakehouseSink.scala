@@ -54,7 +54,24 @@ final class LakehouseSink(
     // (semi/anti probes + two writes). Re-evaluation across those jobs
     // is deterministic because source batches are pure functions of
     // their checkpointed offset range.
-    val fresh = LakehouseSink.asBatch(data)
+    val fresh0 = LakehouseSink.asBatch(data)
+    // schema-history channel (source option emitSchemaChanges): apply
+    // the batch's DDL records — ordered by their seq stamps — BEFORE
+    // the data rows, so a rename/widen upstream lands downstream with
+    // no manual DDL. Application is idempotent (a crash-replayed batch
+    // skips already-applied records structurally), so exactly-once
+    // holds without the records entering the txn ledger.
+    val fresh =
+      if (!fresh0.columns.contains("_ddl")) fresh0
+      else {
+        import org.apache.spark.sql.functions.col
+        val seqRe = """"seq":(\d+)""".r
+        val ddl = fresh0.filter(col("_ddl").isNotNull)
+          .select("_ddl").collect().map(_.getString(0))
+          .sortBy(j => seqRe.findFirstMatchIn(j).map(_.group(1).toLong).getOrElse(0L))
+        ddl.foreach(table.applySchemaChange)
+        fresh0.filter(col("_ddl").isNull).drop("_ddl")
+      }
     // a None result = the ledger absorbed a replayed batch — the
     // intended no-op for a crash-replay of the LAST batch. Absorption
     // far below the ledger head is a different animal: it means the

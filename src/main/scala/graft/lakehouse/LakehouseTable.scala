@@ -1207,6 +1207,59 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       txn = None, deletes = cur.deletes))
   }
 
+  /** Idempotently apply one [[schemaChangesBetween]] record to THIS
+    * table — the replication sink's DDL-application half. Replays are
+    * absorbed structurally (a rename whose target name already exists,
+    * a widen already at the wide type, an add of a present column all
+    * SKIP); a record that can apply but hits a guard (live tombstones
+    * before a rename) self-heals by folding first; a record that fits
+    * neither state throws loudly (the target has diverged — silently
+    * continuing would desync every later batch).
+    */
+  def applySchemaChange(json: String): Unit = {
+    val rename = """"op":"rename","from":"([^"]+)","to":"([^"]+)"""".r
+    val retype = """"op":"(widen|add)","column":"([^"]+)","type":"([^"]+)"""".r
+    val cur = currentSnapshot().getOrElse(
+      throw new IllegalStateException(s"table $root has no snapshots"))
+    val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+    def field(n: String) = schema.fields.find(f => nameKey(f.name) == nameKey(n))
+    rename.findFirstMatchIn(json) match {
+      case Some(m) =>
+        val (from, to) = (m.group(1), m.group(2))
+        if (field(to).isDefined) () // already applied
+        else if (field(from).isDefined) {
+          if (cur.tombstones.nonEmpty) foldTombstones()
+          renameColumn(from, to)
+          ()
+        } else throw new IllegalStateException(
+          s"cannot replay schema change $json: neither '$from' nor '$to' " +
+            s"exists in ${schema.fieldNames.mkString("[", ", ", "]")} — the " +
+            "replication target has diverged from the source lineage")
+      case None => retype.findFirstMatchIn(json) match {
+        case Some(m) =>
+          val (op, name) = (m.group(1), m.group(2))
+          val to = DataType.fromDDL(m.group(3))
+          (op, field(name)) match {
+            case (_, Some(f)) if f.dataType == to => () // already applied
+            case ("widen", Some(f)) if canWiden(f.dataType, to) =>
+              widenColumn(f.name, to); ()
+            case ("add", None) =>
+              addColumns(Seq(org.apache.spark.sql.types.StructField(
+                name, to, nullable = true))); ()
+            case ("add", Some(f)) => throw new IllegalStateException(
+              s"cannot replay schema change $json: column exists as ${f.dataType.simpleString}")
+            case ("widen", Some(f)) => throw new IllegalStateException(
+              s"cannot replay schema change $json: ${f.dataType.simpleString} -> " +
+                s"${to.simpleString} is not a lossless widening")
+            case ("widen", None) => throw new IllegalStateException(
+              s"cannot replay schema change $json: no such column '$name'")
+            case _ => throw new IllegalStateException(s"unparseable schema change: $json")
+          }
+        case None => throw new IllegalStateException(s"unparseable schema change: $json")
+      }
+    }
+  }
+
   /** Create the table EMPTY with a declared schema (the catalog
     * `CREATE TABLE` shape): a zero-file snapshot that pins the schema,
     * so later writes evolve against it and reads of the fresh table
@@ -1466,6 +1519,51 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     Some(writeSnapshot(Snapshot(id, Some(cur.snapshotId),
       System.currentTimeMillis(), "fold",
       cur.files.filterNot(affected.toSet) ++ rewritten, cur.schemaJson)))
+  }
+
+  /** SCHEMA changes in the snapshot range (fromId, toId], as ordered
+    * JSON records — the schema-history side channel the change feed
+    * ships so replication can apply upstream DDL downstream (the
+    * Debezium schema-history-topic shape). One record per ALTER-op
+    * effect, `seq`-stamped in application order:
+    *
+    *  - `{"seq":N,"op":"rename","from":"a","to":"b"}`
+    *  - `{"seq":N,"op":"widen","column":"c","type":"bigint"}`
+    *  - `{"seq":N,"op":"add","column":"c","type":"string"}`
+    *
+    * Types travel as `catalogString` (parse with `DataType.fromDDL`).
+    * Driver-side manifest reads only; empty for ranges without alters.
+    */
+  def schemaChangesBetween(fromId: Long, toId: Long): Seq[String] = {
+    val all = listSnapshots()
+    var seq = 0
+    def next(): Int = { seq += 1; seq }
+    all.filter(s => s.snapshotId > fromId && s.snapshotId <= toId &&
+        s.operation == "alter").sortBy(_.snapshotId).flatMap { s =>
+      all.find(p => s.parentId.contains(p.snapshotId)).toSeq.flatMap { p =>
+        val ps = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+        val cs = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+        val pByKey = ps.fields.map(f => nameKey(f.name) -> f).toMap
+        // renames RECORDED AT this snapshot (alias entries carry it)
+        val renames = s.aliases.toSeq.flatMap { case (cur, olds) =>
+          olds.filter(_.renamedAt == s.snapshotId).map(a => (a.name, cur))
+        }.sortBy(_._2)
+        val rIdx = renames.map { case (o, n) => nameKey(n) -> o }.toMap
+        val rjson = renames.map { case (o, n) =>
+          s"""{"seq":${next()},"op":"rename","from":"$o","to":"$n"}""" }
+        val rest = cs.fields.toSeq.flatMap { f =>
+          val oldName = rIdx.getOrElse(nameKey(f.name), f.name)
+          pByKey.get(nameKey(oldName)) match {
+            case Some(pf) if pf.dataType != f.dataType =>
+              Some(s"""{"seq":${next()},"op":"widen","column":"${f.name}","type":"${f.dataType.catalogString}"}""")
+            case Some(_) => None
+            case None =>
+              Some(s"""{"seq":${next()},"op":"add","column":"${f.name}","type":"${f.dataType.catalogString}"}""")
+          }
+        }
+        rjson ++ rest
+      }
+    }
   }
 
   /** Row-level changes between two snapshots (the Delta Change-Data-Feed

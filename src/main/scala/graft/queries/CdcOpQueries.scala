@@ -1040,6 +1040,56 @@ object CdcOpQueries {
           ("e_hot", hot.getLong(0), hot.getLong(1)))
       s.sql(s"DROP TABLE $cat.db.tomb_t")
       rows.toDF("step", "v1", "v2").orderBy(col("step"))
+    }),
+    // ---- DDL replication through the change feed (round 11): the
+    //      schema-history channel (emitSchemaChanges) ships upstream
+    //      RENAME/WIDEN/ADD as `_change='schema'` records the sink
+    //      applies idempotently BEFORE each data batch — end-to-end
+    //      replication with NO manual downstream DDL. The gate hashes
+    //      the downstream schema signature AND the converged content,
+    //      both oracle-re-derived from nation. ----
+    "q138_ddl_replication" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StringType, StructField}
+      val nation = graft.Tables.load(s, dir, "nation").select(
+        col("n_nationkey").as("k"), col("n_name").as("nm"), col("n_regionkey").as("rk"))
+      val rootA = java.nio.file.Files.createTempDirectory("graft-q138a").toString
+      val rootB = java.nio.file.Files.createTempDirectory("graft-q138b").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-q138ck").toString
+      val a = new LakehouseTable(s, rootA)
+      a.append(nation.filter(col("rk") < 3).repartition(2))
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-changefeed").option("path", rootA)
+          .option("emitSchemaChanges", "true").load()
+          .writeStream.format("graft-lakehouse")
+          .option("path", rootB).option("keys", "k")
+          .option("txnAppId", "q138").option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try require(q.awaitTermination(120000), "q138 stream did not drain")
+        finally if (q.isActive) q.stop()
+      }
+      drain() // bootstrap
+      // upstream DDL burst + post-DDL data, all while the stream is down
+      a.widenColumn("k", LongType)
+      a.renameColumn("nm", "label")
+      a.addColumns(Seq(StructField("src", StringType)))
+      a.upsert(nation.filter(col("rk") === 1).select(
+        col("k").cast("long").as("k"), upper(col("nm")).as("label"),
+        col("rk"), lit("v2").as("src")), Seq("k"))
+      a.append(nation.filter(col("rk") >= 3).select(
+        col("k").cast("long").as("k"), col("nm").as("label"),
+        col("rk"), lit(null).cast("string").as("src")))
+      drain() // DDL records + diff, one feed
+      val b = new LakehouseTable(s, rootB)
+      val got = b.read()
+      val sig = s"k:${got.schema("k").dataType.simpleString}|${got.columns.mkString(",")}"
+      val rows = got.select("k", "label", "rk", "src").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+          Option(r.getString(3)).orNull)).toSeq
+      Seq(rootA, rootB, ckpt).foreach(p =>
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(p)))
+      rows.toDF("k", "label", "rk", "src")
+        .withColumn("schema_sig", lit(sig)).orderBy(col("k"))
     })
   )
 
@@ -1247,6 +1297,21 @@ object CdcOpQueries {
         UNION ALL SELECT 7, 'alter', (SELECT c FROM tot)
         UNION ALL SELECT 99, 'content', (SELECT CAST(sum(okey) AS BIGINT) FROM slice))
       SELECT seq, op, rows FROM lineage ORDER BY seq""",
+    // q138: downstream after automatic DDL replication = rk<3 with rk=1
+    // re-priced by the upsert, plus the rk>=3 post-DDL appends; the
+    // schema signature is a constant once the widen+rename+add landed.
+    "q138_ddl_replication" -> """
+      WITH n AS (SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS rk FROM nation),
+      head AS (
+        SELECT CAST(k AS BIGINT) AS k,
+               CASE WHEN rk = 1 THEN upper(nm) ELSE nm END AS label,
+               CAST(rk AS INT) AS rk,
+               CASE WHEN rk = 1 THEN 'v2' ELSE NULL END AS src
+        FROM n WHERE rk < 3
+        UNION ALL
+        SELECT CAST(k AS BIGINT), nm, CAST(rk AS INT), NULL FROM n WHERE rk >= 3)
+      SELECT k, label, rk, src, 'k:bigint|k,label,rk,src' AS schema_sig
+      FROM head ORDER BY k""",
     // q129: head = base minus the %10=3 deletes, %10=4 lowered, %100=13
     // resurrected as RESTORED (they were deleted — the OR keeps them),
     // plus the shifted NEW keys; time travel = untouched base; the

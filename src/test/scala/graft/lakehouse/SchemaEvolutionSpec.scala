@@ -262,6 +262,40 @@ class SchemaEvolutionSpec extends SparkSpec {
     spark.sql("DROP TABLE evwcat.db.bw")
   }
 
+  test("schemaChangesBetween + applySchemaChange: schema-history records replay idempotently") {
+    val t = new LakehouseTable(spark, tmpDir("ev-ddl-src"))
+    t.append(Seq((1, "a")).toDF("k", "v").coalesce(1))
+    val s1 = t.currentSnapshot().get.snapshotId
+    t.widenColumn("k", LongType)
+    t.renameColumn("v", "label")
+    t.addColumns(Seq(StructField("tag", StringType)))
+    val s4 = t.currentSnapshot().get.snapshotId
+    val ddl = t.schemaChangesBetween(s1, s4)
+    assert(ddl.size === 3, ddl.mkString("\n"))
+    assert(ddl(0).contains(""""op":"widen","column":"k","type":"bigint""""), ddl(0))
+    assert(ddl(1).contains(""""op":"rename","from":"v","to":"label""""), ddl(1))
+    assert(ddl(2).contains(""""op":"add","column":"tag","type":"string""""), ddl(2))
+    // an empty range and a data-only range carry no records
+    assert(t.schemaChangesBetween(s4, s4).isEmpty)
+    assert(t.schemaChangesBetween(s1, s1).isEmpty)
+    // apply to a twin: schemas converge; replaying is a no-op
+    val twin = new LakehouseTable(spark, tmpDir("ev-ddl-twin"))
+    twin.append(Seq((1, "a")).toDF("k", "v").coalesce(1))
+    ddl.foreach(twin.applySchemaChange)
+    def shape(x: LakehouseTable) = DataType.fromJson(x.currentSnapshot().get.schemaJson)
+      .asInstanceOf[StructType].fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(twin) === shape(t))
+    val snaps = twin.listSnapshots().size
+    ddl.foreach(twin.applySchemaChange)
+    assert(twin.listSnapshots().size === snaps, "replay must be structurally absorbed")
+    // a diverged target fails loudly
+    val stranger = new LakehouseTable(spark, tmpDir("ev-ddl-str"))
+    stranger.append(Seq((1, "z")).toDF("x", "y").coalesce(1))
+    val e = intercept[IllegalStateException](
+      stranger.applySchemaChange("""{"seq":1,"op":"rename","from":"v","to":"label"}"""))
+    assert(e.getMessage.contains("diverged"), e.getMessage)
+  }
+
   test("rename lineage survives snapshot expiry and a second rename chains aliases") {
     val t = new LakehouseTable(spark, tmpDir("ev-rename-chain"))
     t.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))

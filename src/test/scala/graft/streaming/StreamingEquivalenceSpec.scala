@@ -1029,6 +1029,70 @@ class StreamingEquivalenceSpec extends SparkSpec {
     spark.sql("DROP TABLE strcat.db.dst_t")
   }
 
+  test("schema-history channel: upstream RENAME/WIDEN/ADD replicate with NO manual downstream DDL") {
+    import spark.implicits._
+    import graft.lakehouse.LakehouseTable
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val src = new LakehouseTable(spark, tmpDir("ddl-stream-src"))
+    val dst = new LakehouseTable(spark, tmpDir("ddl-stream-dst"))
+    src.applyChanges(Seq((1, "a", "insert"), (2, "b", "insert"))
+      .toDF("k", "v", "_change"), Seq("k"))
+    val ckpt = tmpDir("ddl-stream-ckpt")
+    def stream() = spark.readStream.format("graft-changefeed")
+      .option("path", src.root).option("emitSchemaChanges", "true").load()
+      .writeStream.format("graft-lakehouse").option("path", dst.root)
+      .option("keys", "k").option("checkpointLocation", ckpt)
+
+    // phase 1 — LIVE stream, no restart: a rename lands mid-stream.
+    // The feed's pinned schema still says 'v'; the diff's renamed
+    // column maps back through the alias lineage, the DDL record rides
+    // the same batch, and the sink renames the target BEFORE applying
+    // the data — zero manual DDL, zero restarts.
+    val q = stream().trigger(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      assert(dst.read().columns.toSeq === Seq("k", "v"))
+      src.renameColumn("v", "label")
+      src.applyChanges(Seq((3, "c", "insert"), (1, "x", "delete"))
+        .toDF("k", "label", "_change"), Seq("k"))
+      q.processAllAvailable()
+      assert(dst.read().columns.toSeq === Seq("k", "label"),
+        "the rename must arrive downstream through the feed itself")
+      assert(dst.read().select("k", "label").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet === Set((2, "b"), (3, "c")))
+    } finally q.stop()
+
+    // phase 2 — DDL while the stream is DOWN: widen the key column and
+    // add a column; the restarted stream (old checkpoint) replays the
+    // records and the data batch in order
+    src.widenColumn("k", LongType)
+    src.addColumns(Seq(StructField("tag", StringType)))
+    src.applyChanges(Seq((4L, "d", "T", "insert")).toDF("k", "label", "tag", "_change"),
+      Seq("k"))
+    val q2 = stream().trigger(
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q2.awaitTermination(120000), "restarted drain did not finish")
+    val got = dst.read()
+    assert(got.schema("k").dataType === LongType, "the widen must replicate")
+    assert(got.columns.toSeq === Seq("k", "label", "tag"), "the add must replicate")
+    assert(got.select("k", "label", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)).getOrElse("-"))).toSet
+      === Set((2L, "b", "-"), (3L, "c", "-"), (4L, "d", "T")))
+    // replaying the whole feed from a FRESH checkpoint (bootstrap) into
+    // a throwaway target still converges (DDL records replay absorbed)
+    val dst2 = new LakehouseTable(spark, tmpDir("ddl-stream-dst2"))
+    val q3 = spark.readStream.format("graft-changefeed")
+      .option("path", src.root).option("emitSchemaChanges", "true").load()
+      .writeStream.format("graft-lakehouse").option("path", dst2.root)
+      .option("keys", "k").option("checkpointLocation", tmpDir("ddl-stream-ckpt2"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q3.awaitTermination(120000))
+    assert(dst2.read().select("k", "label").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
   test("replication across an upstream RENAME: apply the DDL on both ends, the checkpoint survives") {
     // the operational contract for CDC schema drift: a rename is a DDL
     // event the operator applies to BOTH tables (the feed carries data
