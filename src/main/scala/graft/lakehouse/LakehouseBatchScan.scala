@@ -59,7 +59,12 @@ import org.apache.spark.util.SerializableConfiguration
 final class LakehouseBatchScan(
     options: Map[String, String],
     required: StructType,
-    accepted: Array[Filter])
+    accepted: Array[Filter],
+    /** Restrict the scan to this manifest-relative file subset (the
+      * micro-batch stream's per-batch added-file slice); None = the
+      * whole snapshot.
+      */
+    fileSubset: Option[Set[String]] = None)
   extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics
   with SupportsReportPartitioning {
 
@@ -69,6 +74,18 @@ final class LakehouseBatchScan(
   private def t: LakehouseTable = resolved._1
   private def snap: Snapshot = resolved._2
 
+  /** Append-only micro-batch streaming over the catalog table
+    * (`spark.readStream.table("graft.db.t")`): each batch reads the
+    * files ADDED by its snapshot range through this same native scan
+    * machinery. Change-shaped commits (rewrites/deletes/tombstones)
+    * fail loudly, or skip under `.option("skipChangeCommits", true)` —
+    * CHANGEFEED semantics stay with `format("graft-changefeed")`,
+    * whose diff batches aren't partition-hostable.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new LakehouseMicroBatchStream(options, required, accepted)
+
   /** The table's declared bucket layout (pruning uses it regardless of
     * the SPJ opt-in conf — a point lookup on a bucketed key always
     * skips to its bucket's files).
@@ -76,9 +93,13 @@ final class LakehouseBatchScan(
   @transient private lazy val declaredBucket: Option[(Int, String)] =
     LakehouseSource.bucketSpecOf(options)
 
-  /** Files surviving the STATICALLY pushed filters (planning time). */
-  @transient private lazy val staticFiles: Seq[String] =
-    LakehouseSource.pruneForFilters(t, snap, accepted.toSeq, declaredBucket)
+  /** Files surviving the STATICALLY pushed filters (planning time),
+    * intersected with the micro-batch subset when one is set.
+    */
+  @transient private lazy val staticFiles: Seq[String] = {
+    val pruned = LakehouseSource.pruneForFilters(t, snap, accepted.toSeq, declaredBucket)
+    fileSubset.fold(pruned)(sub => pruned.filter(sub))
+  }
 
   /** Keep-set from runtime (join-driven) filters; None until/unless
     * [[filter]] runs. Volatile: set on the driver between the two

@@ -463,6 +463,9 @@ private[lakehouse] final class LakehouseV2Table(
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      // append-only readStream.table (LakehouseMicroBatchStream);
+      // row-level change streams stay with format("graft-changefeed")
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =

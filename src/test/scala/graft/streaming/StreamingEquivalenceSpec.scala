@@ -1029,6 +1029,60 @@ class StreamingEquivalenceSpec extends SparkSpec {
     spark.sql("DROP TABLE strcat.db.dst_t")
   }
 
+  test("readStream.table: append-only micro-batch stream by catalog name; rewrites fail loudly or skip") {
+    import spark.implicits._
+    import graft.lakehouse.{LakehouseCatalog, LakehouseTable}
+    val wh = tmpDir("rst-wh")
+    spark.conf.set("spark.sql.catalog.rstcat", classOf[LakehouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rstcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rstcat.db")
+    spark.sql("DROP TABLE IF EXISTS rstcat.db.tail")
+    spark.sql("CREATE TABLE rstcat.db.tail (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO rstcat.db.tail VALUES (1,'a'), (2,'b')")
+    val t = new LakehouseTable(spark, java.nio.file.Paths.get(wh, "db", "tail").toString)
+
+    val sinkDir = tmpDir("rst-sink")
+    val ckpt = tmpDir("rst-ckpt")
+    def drainTo(extra: (String, String)*): Unit = {
+      val r0 = spark.readStream
+      val reader = extra.foldLeft(r0) { case (r, (k, v)) => r.option(k, v) }
+      val q = reader.table("rstcat.db.tail")
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "append stream did not drain")
+    }
+    def sunk(): Set[(Long, String)] = spark.read.parquet(sinkDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    drainTo() // bootstrap batch = stream-start state
+    assert(sunk() === Set((1L, "a"), (2L, "b")))
+    // appends stream incrementally (only the ADDED files are read)
+    spark.sql("INSERT INTO rstcat.db.tail VALUES (3,'c')")
+    spark.sql("INSERT INTO rstcat.db.tail VALUES (4,'d')")
+    drainTo()
+    assert(sunk() === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // a schema-only ALTER adds no files and passes through silently
+    spark.sql("ALTER TABLE rstcat.db.tail ADD COLUMNS (tag STRING)")
+    spark.sql("INSERT INTO rstcat.db.tail VALUES (5,'e', NULL)")
+    drainTo()
+    assert(sunk().contains((5L, "e")))
+    // a REWRITE snapshot (upsert) fails the stream loudly …
+    t.upsert(Seq((1L, "A2")).toDF("id", "v"), Seq("id"))
+    val e = intercept[Exception] { drainTo() }
+    def rootCause(x: Throwable): Throwable =
+      if (x.getCause == null || x.getCause == x) x else rootCause(x.getCause)
+    assert((e.getMessage + rootCause(e).getMessage).contains("APPEND-ONLY"),
+      s"${e.getMessage} / ${rootCause(e).getMessage}")
+    // … and skipChangeCommits skips it (no replay of rewritten data),
+    // while later appends keep flowing
+    spark.sql("INSERT INTO rstcat.db.tail VALUES (6,'f', 'T')")
+    drainTo("skipChangeCommits" -> "true")
+    assert(sunk().contains((6L, "f")))
+    assert(!sunk().contains((1L, "A2")), "a skipped rewrite's output must not stream")
+    spark.sql("DROP TABLE rstcat.db.tail")
+  }
+
   test("schema-history channel: upstream RENAME/WIDEN/ADD replicate with NO manual downstream DDL") {
     import spark.implicits._
     import graft.lakehouse.LakehouseTable
