@@ -264,9 +264,14 @@ final class LakehouseBatchScan(
     else declaredBucket.flatMap { case (n, c) =>
       val field = required.fields.find(f =>
         t.resolvedNameKey(f.name) == t.resolvedNameKey(c))
+      // spec evolution: a pre-evolution file's bucket dir may encode a
+      // DIFFERENT N — SPJ stands down until compaction rewrites the
+      // lineage under the current spec (all origins past the change)
+      val since = t.partitionSpecSince
       field.filter { _ =>
         staticFiles.nonEmpty &&
-          staticFiles.forall(f => bucketIdOfFile(f, c).isDefined)
+          staticFiles.forall(f => bucketIdOfFile(f, c).isDefined &&
+            t.originOfFile(f) > since)
       }.map((n, _))
     }
   }

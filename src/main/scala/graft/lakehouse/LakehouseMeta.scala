@@ -198,7 +198,7 @@ object LakehouseMeta {
 
   val procedureNames: Seq[String] = Seq(
     "expire_snapshots", "compact", "zorder", "build_bloom_index",
-    "prune_bloom_sidecars", "rollback")
+    "prune_bloom_sidecars", "rollback", "set_partition_spec")
 
   /** One result row through a LocalScan (the CALL statement's output). */
   private def result(schema: StructType, row: Row): JIterator[Scan] = {
@@ -272,6 +272,18 @@ object LakehouseMeta {
         Array(inParam("table", string)),
         StructType(Seq(StructField("removed", IntegerType, nullable = false)))) { in =>
         Row(tableOf(in.getUTF8String(0).toString).pruneBloomSidecars())
+      })
+      // partition-spec evolution: CALL cat.system.set_partition_spec(
+      //   table => 'db.t', spec => 'bucket(8, k), cell')  — '' = flat.
+      // New writes take the new layout; old files stay readable; bucket
+      // pruning/SPJ apply only past the change until compaction heals.
+      case "set_partition_spec" => unbound(bound(
+        Array(inParam("table", string), inParam("spec", string)),
+        StructType(Seq(StructField("partition_spec_since", LongType, nullable = false)))) { in =>
+        val t = tableOf(in.getUTF8String(0).toString)
+        t.setPartitionSpec(LakehouseSource.splitTopLevel(in.getUTF8String(1).toString)
+          .map(_.trim).filter(_.nonEmpty))
+        Row(t.partitionSpecSince)
       })
       case "rollback" => unbound(bound(
         Array(inParam("table", string), inParam("snapshot_id", LongType)),

@@ -386,11 +386,17 @@ private[lakehouse] object LakehouseSource {
       .find(f => t.resolvedNameKey(f.name) == key).map(_.dataType)
     def idOf(v: Any): Option[Int] = dt.flatMap(d =>
       scala.util.Try(((t.probeHashOf(v, d) % n + n) % n).toInt).toOption)
+    // spec evolution: a file written under a PREVIOUS spec may carry a
+    // bucket dir computed with a different N — its dir value must never
+    // drive a drop (5 mod 8 ≠ 5 mod 4); only post-evolution files prune
+    val since = t.partitionSpecSince
     def keep(ids: Set[Int]): Set[String] = snap.files.filter { f =>
-      f.split('/').filter(_.contains("=")).map(_.split("=", 2)).collectFirst {
-        case Array(k, v) if t.resolvedNameKey(k) == dirKey =>
-          scala.util.Try(v.toInt).toOption.forall(ids.contains)
-      }.getOrElse(true)
+      t.originOfFile(f) <= since || {
+        f.split('/').filter(_.contains("=")).map(_.split("=", 2)).collectFirst {
+          case Array(k, v) if t.resolvedNameKey(k) == dirKey =>
+            scala.util.Try(v.toInt).toOption.forall(ids.contains)
+        }.getOrElse(true)
+      }
     }.toSet
     filter match {
       case sources.EqualTo(a, v) if t.resolvedNameKey(a) == key && v != null =>

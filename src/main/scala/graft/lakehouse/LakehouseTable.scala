@@ -995,6 +995,58 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     else Nil
   }
 
+  /** Iceberg-style partition-spec EVOLUTION: declare a NEW layout for
+    * future writes. Old files keep their dirs and stay readable (the
+    * scan already groups mixed layouts); every spec-version-sensitive
+    * optimization — bucket-dir pruning and bucket SPJ, whose hash→dir
+    * mapping depends on N — applies only to files written AFTER the
+    * change ([[partitionSpecSince]]), so a probe can never mis-prune a
+    * pre-evolution file; compaction rewrites everything under the new
+    * spec and heals SPJ. This is also the escape hatch the
+    * rename/widen layout guards point at: evolve the column OUT of the
+    * spec, then rename/widen it.
+    */
+  def setPartitionSpec(spec: Seq[String]): Unit = writeLock.synchronized {
+    val cur = currentSnapshot().getOrElse(
+      throw new IllegalStateException(s"table $root has no snapshots"))
+    val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+    val cols = schema.fieldNames.map(nameKey).toSet
+    spec.foreach {
+      case p @ LakehouseTable.BucketSpecRe(n, c) =>
+        require(n.toInt > 0, s"bucket count must be positive in '$p'")
+        require(cols(nameKey(c)), s"unknown bucket source column '$c' in '$p'")
+      case c => require(cols(nameKey(c)), s"unknown partition column '$c'")
+    }
+    val metaP = rootPath.resolve("_catalog.json")
+    val existing = if (Files.exists(metaP)) Files.readString(metaP) else "{}"
+    val inner = existing
+      .replaceAll(""""partitionBy"\s*:\s*\[[^\]]*\]\s*,?\s*""", "")
+      .replaceAll(""""partitionSpecSince"\s*:\s*\d+\s*,?\s*""", "")
+      .trim.stripPrefix("{").stripSuffix("}").trim
+      .replaceAll("^\\s*,", "").replaceAll(",\\s*$", "").trim
+    val parts = Seq(
+      if (spec.nonEmpty)
+        Some(spec.map("\"" + _ + "\"").mkString("\"partitionBy\": [", ", ", "]"))
+      else None,
+      Some(s""""partitionSpecSince": ${cur.snapshotId}"""),
+      if (inner.nonEmpty) Some(inner) else None).flatten
+    Files.writeString(metaP, parts.mkString("{", ", ", "}"))
+    ()
+  }
+
+  /** Snapshot id of the last partition-spec evolution: files whose
+    * origin is AFTER this id were written under the current declared
+    * spec (0 = the spec never changed; every file qualifies).
+    */
+  private[lakehouse] def partitionSpecSince: Long = {
+    val metaP = rootPath.resolve("_catalog.json")
+    if (Files.exists(metaP))
+      """"partitionSpecSince"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(Files.readString(metaP))
+        .map(_.group(1).toLong).getOrElse(0L)
+    else 0L
+  }
+
   /** Source columns of `bucket(N, col)` entries in the declared layout,
     * as [[nameKey]]s. Type-widening these is refused everywhere:
     * xxhash64 hashes Int and Long (and Float and Double) to DIFFERENT
@@ -1150,8 +1202,9 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       require(!declaredSpec.exists(p =>
         nameKey(specSourceCol(p)) == nameKey(oldName)),
         s"cannot rename '$oldName': the declared partition layout references it " +
-          s"(${declaredSpec.mkString(", ")}) — re-create the table with the new " +
-          "layout (CTAS / overwrite) instead")
+          s"(${declaredSpec.mkString(", ")}) — evolve the layout first " +
+          "(setPartitionSpec / CALL <catalog>.system.set_partition_spec), " +
+          "then rename")
       val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
       val field = schema.fields.find(f => nameKey(f.name) == nameKey(oldName))
         .getOrElse(throw new IllegalArgumentException(
@@ -1410,7 +1463,12 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     val rows = df.count()
     if (rows > maxRows) return None // too large for in-process compaction
     val id = nextId()
-    val files = writeDataFiles(df.repartition(targetFiles), id, suffix = "compact")
+    // a DECLARED layout re-imposes on the rewrite: compaction is what
+    // HEALS a spec-evolved (or renamed) lineage back to one uniform
+    // layout — post-compact every file carries the current spec's dirs
+    // (bucket SPJ and bucket-dir pruning resume across the whole table)
+    val files = writeDataFiles(df.repartition(targetFiles), id, suffix = "compact",
+      partitionCols = declaredPartitionSpec)
     Some(writeSnapshot(Snapshot(id, Some(cur.snapshotId), System.currentTimeMillis(),
       "compact", files, cur.schemaJson)))
   }

@@ -262,6 +262,56 @@ class SchemaEvolutionSpec extends SparkSpec {
     spark.sql("DROP TABLE evwcat.db.bw")
   }
 
+  test("partition-spec evolution: old files never mis-prune, SPJ stands down, compaction heals, layout columns unblock") {
+    val wh = tmpDir("ev-spec-wh")
+    spark.conf.set("spark.sql.catalog.evscat", classOf[LakehouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.evscat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evscat.db")
+    Seq("sp", "dim").foreach(n => spark.sql(s"DROP TABLE IF EXISTS evscat.db.$n"))
+    spark.sql("CREATE TABLE evscat.db.sp (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO evscat.db.sp SELECT id, concat('v', id) FROM range(0, 200)")
+    // evolve bucket(4) → bucket(8): new files new layout
+    spark.sql("CALL evscat.system.set_partition_spec(table => 'db.sp', spec => 'bucket(8, k)')")
+    spark.sql("INSERT INTO evscat.db.sp SELECT id, concat('v', id) FROM range(200, 400)")
+    // the mis-prune trap: a key in a PRE-evolution file whose old dir id
+    // (mod 4) differs from its new id (mod 8) must still be found
+    (0L until 200L by 17L).foreach { k =>
+      assert(spark.sql(s"SELECT v FROM evscat.db.sp WHERE k = $k").collect()
+        .map(_.getString(0)).toSeq === Seq(s"v$k"), s"pre-evolution key $k lost")
+    }
+    assert(spark.sql("SELECT count(*) FROM evscat.db.sp").head.getLong(0) === 400L)
+    // SPJ against a bucket(8, k) dim STANDS DOWN on the mixed lineage …
+    spark.sql("CREATE TABLE evscat.db.dim (k BIGINT, tag STRING) PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO evscat.db.dim SELECT id, 'd' FROM range(0, 400)")
+    def exchanges(): Int = {
+      // join-only plan: a global aggregate would add its own exchange
+      val df = spark.sql("SELECT a.k, b.tag FROM evscat.db.sp a JOIN evscat.db.dim b ON a.k = b.k")
+      "\\(\\d+\\) Exchange".r.findAllIn(
+        df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))).size
+    }
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(exchanges() > 0, "mixed-spec lineage must NOT report bucket SPJ")
+      // … and compaction heals: one uniform bucket(8) layout, zero-shuffle join
+      spark.sql("CALL evscat.system.compact(table => 'db.sp', file_threshold => 1, " +
+        "max_rows => 100000000, target_files => 1)")
+      assert(exchanges() === 0, "post-compaction the bucket(8) SPJ must resume")
+      assert(spark.sql("SELECT count(*) FROM evscat.db.sp").head.getLong(0) === 400L)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    // evolving a column OUT of the layout unblocks its rename (the
+    // formerly PERMANENT refusal)
+    spark.sql("CALL evscat.system.set_partition_spec(table => 'db.sp', spec => '')")
+    spark.sql("ALTER TABLE evscat.db.sp RENAME COLUMN k TO id")
+    spark.sql("INSERT INTO evscat.db.sp VALUES (9999, 'z')")
+    assert(spark.sql("SELECT count(*) FROM evscat.db.sp WHERE id >= 0").head.getLong(0) === 401L)
+    Seq("sp", "dim").foreach(n => spark.sql(s"DROP TABLE evscat.db.$n"))
+  }
+
   test("schemaChangesBetween + applySchemaChange: schema-history records replay idempotently") {
     val t = new LakehouseTable(spark, tmpDir("ev-ddl-src"))
     t.append(Seq((1, "a")).toDF("k", "v").coalesce(1))
