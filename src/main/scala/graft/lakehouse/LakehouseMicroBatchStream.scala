@@ -45,6 +45,56 @@ private[lakehouse] final class LakehouseMicroBatchStream(
   private val skipChangeCommits = options.exists { case (k, v) =>
     k.equalsIgnoreCase("skipChangeCommits") && v.trim.equalsIgnoreCase("true") }
 
+  private def longOpt(name: String): Option[Long] = options.collectFirst {
+    case (k, v) if k.equalsIgnoreCase(name) => v.trim.toLong }
+
+  /** Admission control (the changefeed caps, in this face's natural
+    * unit): `maxSnapshotsPerTrigger` clamps each batch to N snapshots
+    * past the committed offset — a cold start then bootstraps from the
+    * EARLIEST retained snapshot's state and drains forward N at a
+    * time; `maxBytesPerTrigger` additionally stops the range where the
+    * cumulative ADDED-file bytes (manifest sizes, zero I/O) cross the
+    * cap, always making one snapshot of progress.
+    */
+  private val maxSnapshotsPerTrigger = longOpt("maxSnapshotsPerTrigger")
+  private val maxBytesPerTrigger = longOpt("maxBytesPerTrigger")
+  require(maxSnapshotsPerTrigger.forall(_ > 0),
+    s"maxSnapshotsPerTrigger must be positive, got $maxSnapshotsPerTrigger")
+  require(maxBytesPerTrigger.forall(_ > 0),
+    s"maxBytesPerTrigger must be positive, got $maxBytesPerTrigger")
+
+  /** Clamped range end past offset `s` toward `head`. */
+  private def clampedEnd(s: Long, head: Long): Long = {
+    val from =
+      if (s > 0L) s
+      else maxSnapshotsPerTrigger.fold(head)(_ =>
+        // bounded cold start: begin at the earliest retained snapshot
+        // (its state is the first batch) instead of one head-sized one
+        table.listSnapshots().headOption.map(_.snapshotId - 1).getOrElse(head))
+    val bySnaps = maxSnapshotsPerTrigger.fold(head)(n => math.min(head, from + n))
+    maxBytesPerTrigger match {
+      case Some(cap) if bySnaps > from && s > 0L =>
+        // byte-clamp INCREMENTAL ranges from manifest sizes (the
+        // bootstrap batch is snapshot-state-shaped; the snapshot cap
+        // bounds it instead)
+        val snaps = table.listSnapshots()
+        val byId = snaps.map(x => x.snapshotId -> x).toMap
+        var e = from
+        var acc = 0L
+        snaps.filter(x => x.snapshotId > from && x.snapshotId <= bySnaps)
+          .takeWhile { sn =>
+            val pf = sn.parentId.flatMap(byId.get).map(_.files.toSet)
+              .getOrElse(Set.empty[String])
+            val bytes = sn.files.filterNot(pf).map(f => table.fileSizeOf(sn, f)).sum
+            val fits = e == from || acc + bytes <= cap
+            if (fits) { acc += bytes; e = sn.snapshotId }
+            fits
+          }
+        e
+      case _ => bySnaps
+    }
+  }
+
   // Trigger.AvailableNow: pin the head at prepare time and cycle
   // batches until the stream reaches it (without the trait Spark
   // falls back to single-batch execution, and a WAL-replayed batch
@@ -61,12 +111,18 @@ private[lakehouse] final class LakehouseMicroBatchStream(
       .map(LongOffset(_)).orNull
 
   /** SupportsAdmissionControl face (required by the AvailableNow
-    * trait): no read limits here — admission-controlled consumption
-    * belongs to the changefeed source's snapshot/file/byte caps.
+    * trait): honors the source-option caps; the engine-side ReadLimit
+    * arg is unused (Delta's shape — caps are source options).
     */
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val head = availableNowHead.orElse(table.currentSnapshot().map(_.snapshotId))
+      .getOrElse(return null)
+    if (maxSnapshotsPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
+      return LongOffset(head)
+    val s = Option(start).map(_.json.trim.toLong).getOrElse(0L)
+    LongOffset(math.max(clampedEnd(s, head), s))
+  }
 
   override def deserializeOffset(json: String): Offset =
     LongOffset(json.trim.toLong)

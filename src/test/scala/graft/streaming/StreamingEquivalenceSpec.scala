@@ -1083,6 +1083,50 @@ class StreamingEquivalenceSpec extends SparkSpec {
     spark.sql("DROP TABLE rstcat.db.tail")
   }
 
+  test("readStream.table admission control: snapshot/byte caps drain a backlog in bounded batches") {
+    import spark.implicits._
+    import graft.lakehouse.LakehouseTable
+    val t = new LakehouseTable(spark, tmpDir("rst-adm"))
+    (0 until 6).foreach { i =>
+      t.append(((i * 10L) until (i * 10L + 10L)).map(id => (id, s"v$id"))
+        .toDF("id", "v").coalesce(1))
+    }
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream
+      .option("maxSnapshotsPerTrigger", "2")
+      .format("graft-lakehouse").load(t.root)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.synchronized { batches += ((id, df.count())) }
+        ()
+      }
+      .option("checkpointLocation", tmpDir("rst-adm-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "clamped drain did not finish")
+    val total = batches.map(_._2).sum
+    assert(total === 60L, s"all rows must arrive exactly once: $batches")
+    // 6 append snapshots, clamp 2: bounded cold start from the earliest
+    // retained snapshot, then 2-snapshot increments — ≥3 real batches,
+    // none carrying the whole table
+    val nonEmpty = batches.filter(_._2 > 0)
+    assert(nonEmpty.size >= 3, s"backlog must drain in MANY batches: $batches")
+    assert(nonEmpty.forall(_._2 < 60L), s"no batch may carry the whole table: $batches")
+    // byte cap: a fresh checkpoint with a tiny byte budget still makes
+    // progress (one snapshot per batch) and converges to the same total
+    val batches2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = spark.readStream
+      .option("maxSnapshotsPerTrigger", "5").option("maxBytesPerTrigger", "1")
+      .format("graft-lakehouse").load(t.root)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches2.synchronized { batches2 += df.count() }
+        ()
+      }
+      .option("checkpointLocation", tmpDir("rst-adm-ckpt2"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q2.awaitTermination(120000), "byte-clamped drain did not finish")
+    assert(batches2.sum === 60L, s"byte-capped drain must converge: $batches2")
+    assert(batches2.count(_ > 0) >= 2, s"byte cap must split the backlog: $batches2")
+  }
+
   test("schema-history channel: upstream RENAME/WIDEN/ADD replicate with NO manual downstream DDL") {
     import spark.implicits._
     import graft.lakehouse.LakehouseTable
