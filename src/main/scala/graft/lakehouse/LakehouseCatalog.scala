@@ -246,9 +246,14 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
         require(u.fieldNames.length == 1,
           s"ALTER COLUMN TYPE supports top-level columns only, got ${u.fieldNames.mkString(".")}")
         t.widenColumn(u.fieldNames.head, u.newDataType)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"DROP COLUMN supports top-level columns only, got ${d.fieldNames.mkString(".")}")
+        t.dropColumn(d.fieldNames.head)
       case other => throw new UnsupportedOperationException(
         "graft catalog supports ALTER TABLE ADD COLUMNS (top-level, nullable), " +
-          s"RENAME COLUMN, and ALTER COLUMN TYPE (lossless widening) only, got $other")
+          "RENAME COLUMN, DROP COLUMN, and ALTER COLUMN TYPE (lossless " +
+          s"widening) only, got $other")
     }
     if (adds.nonEmpty) t.addColumns(adds)
     loadTable(ident)

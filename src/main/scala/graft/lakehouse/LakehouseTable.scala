@@ -99,11 +99,20 @@ final case class Snapshot(
     // Carried on every snapshot (self-contained under snapshot expiry
     // and time travel — no lineage walk needed at read time). Option so
     // pre-rename manifests parse as None.
-    renames: Option[Map[String, List[AliasEntry]]] = None) {
+    renames: Option[Map[String, List[AliasEntry]]] = None,
+    // cumulative DROPPED-column registry: former column name → the
+    // snapshot that dropped it. Kept while pre-drop files could still
+    // carry the column's physical data (alias resolution is by NAME,
+    // so re-adding the name would resurrect stale values); compaction
+    // — which rewrites every file — clears it. Carried forward like
+    // `renames`; Option so older manifests parse as None.
+    drops: Option[Map[String, Long]] = None) {
   /** The tombstone file list (empty = plain copy-on-write snapshot). */
   def tombstones: Seq[String] = deletes.getOrElse(Nil)
   /** Current-name → former-names map (empty = never renamed). */
   def aliases: Map[String, List[AliasEntry]] = renames.getOrElse(Map.empty)
+  /** Dropped-name → dropping-snapshot map (empty = nothing dropped). */
+  def droppedCols: Map[String, Long] = drops.getOrElse(Map.empty)
 }
 
 /** Pushed-down scan predicate for the skipping read path
@@ -356,8 +365,12 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     // forward unless the writer set it explicitly (rollback restores the
     // TARGET's lineage, overwrite resets to Some(empty) — the sentinel
     // distinguishing "reset" from "inherit")
-    val s0 = if (s00.renames.isEmpty)
+    val s0a = if (s00.renames.isEmpty)
       s00.copy(renames = currentSnapshot().flatMap(_.renames)) else s00
+    // the dropped-column registry is cumulative the same way (compact
+    // and overwrite reset it explicitly with Some(empty))
+    val s0 = if (s0a.drops.isEmpty)
+      s0a.copy(drops = currentSnapshot().flatMap(_.drops)) else s0a
     val s = s0.copy(stats = Some(manifestStatsFor(s0.files)))
     Files.createDirectories(snapsDir)
     onBeforePublish()
@@ -590,7 +603,17 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         val aliasCanon = cur.aliases.flatMap { case (current, olds) =>
           olds.map(a => nameKey(a.name) -> current)
         }
-        val named = df.columns.foldLeft(df) { (d, c) =>
+        // a DROPPED column (or any of its former names) still arriving
+        // in a batch is discarded — the column no longer exists; an
+        // upstream CDC stream pinned pre-drop keeps sending it, and
+        // treating it as additive would resurrect stale data under a
+        // re-added name
+        val droppedKeys = cur.droppedCols.keySet.map(nameKey)
+        val pruned =
+          if (droppedKeys.isEmpty) df
+          else df.columns.filter(c => droppedKeys(nameKey(c)))
+            .foldLeft(df)((d, c) => d.drop(c))
+        val named = pruned.columns.foldLeft(pruned) { (d, c) =>
           canon.get(nameKey(c)).orElse(aliasCanon.get(nameKey(c))).filter(_ != c)
             .map(t => d.withColumnRenamed(c, t)).getOrElse(d)
         }
@@ -1137,7 +1160,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     val files = writeDataFiles(df, id)
     writeSnapshot(Snapshot(id, currentSnapshot().map(_.snapshotId),
       System.currentTimeMillis(), "overwrite", files, df.schema.json,
-      renames = Some(Map.empty)))
+      renames = Some(Map.empty), drops = Some(Map.empty)))
   }
 
   /** `ALTER TABLE ADD COLUMNS`: a schema-only snapshot (same file set,
@@ -1158,6 +1181,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         require(!schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
           s"column '${f.name}' already exists")
         requireNotFormerName(cur, f.name)
+        requireNotDropped(cur, f.name)
       }
       writeSnapshot(Snapshot(nextId(), Some(cur.snapshotId),
         System.currentTimeMillis(), "alter", cur.files,
@@ -1178,6 +1202,62 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       s"'${hit.getOrElse("")}' (renamed lineage); reusing it would make old " +
       "data files ambiguous — pick a fresh name")
   }
+
+  /** `ALTER TABLE … DROP COLUMN c`: a schema-only snapshot — data
+    * files never rewrite; old files keep the column's physical bytes,
+    * which readers simply never project. The dropped name (and its
+    * whole rename lineage) enters the snapshot's dropped registry:
+    * re-ADDING the name refuses while pre-drop files survive (alias
+    * resolution is by name — stale values would resurrect), and a
+    * lagging batch still carrying the column writes WITHOUT it
+    * (definitionally discarded — the CDC-replication contract: a
+    * pinned upstream stream keeps sending it). Compaction rewrites
+    * every file and CLEARS the registry, unblocking re-use.
+    */
+  def dropColumn(name: String): Snapshot = writeLock.synchronized {
+    val cur = currentSnapshot().getOrElse(
+      throw new IllegalStateException(s"table $root has no snapshots"))
+    require(cur.tombstones.isEmpty,
+      "DROP COLUMN with live merge-on-read tombstones is unsupported " +
+        "(tombstone key files may reference it); run compact() or " +
+        "foldTombstones() first")
+    val declaredSpec = declaredPartitionSpec
+    require(!declaredSpec.exists(p => nameKey(specSourceCol(p)) == nameKey(name)),
+      s"cannot drop '$name': the declared partition layout references it " +
+        s"(${declaredSpec.mkString(", ")}) — evolve the layout first " +
+        "(setPartitionSpec / CALL <catalog>.system.set_partition_spec), then drop")
+    val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+    val field = schema.fields.find(f => nameKey(f.name) == nameKey(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no such column '$name' in ${schema.fieldNames.mkString("[", ", ", "]")}"))
+    require(schema.fields.length > 1, "cannot drop the table's last column")
+    val id = nextId()
+    // the dropped column's FORMER names are equally stale in old files
+    val lineage = cur.aliases.collectFirst {
+      case (k, v) if nameKey(k) == nameKey(field.name) => v }.getOrElse(Nil)
+    val aliases = cur.aliases.filterNot { case (k, _) =>
+      nameKey(k) == nameKey(field.name) }
+    val dropped = cur.droppedCols ++
+      (lineage.map(_.name) :+ field.name).map(n => n -> id)
+    writeSnapshot(Snapshot(id, Some(cur.snapshotId),
+      System.currentTimeMillis(), "alter", cur.files,
+      StructType(schema.fields.filterNot(f =>
+        nameKey(f.name) == nameKey(field.name))).json,
+      txn = None, deletes = cur.deletes,
+      renames = Some(aliases), drops = Some(dropped)))
+  }
+
+  /** A name may not be (re-)introduced while old files could still
+    * carry a DROPPED column's physical data under it.
+    */
+  private def requireNotDropped(cur: Snapshot, name: String): Unit =
+    cur.droppedCols.collectFirst {
+      case (d, at) if nameKey(d) == nameKey(name) => at
+    }.foreach { at =>
+      throw new IllegalArgumentException(
+        s"column name '$name' was DROPPED at snapshot $at and pre-drop files " +
+          "may still carry its data — compact() first, then re-add")
+    }
 
   /** `ALTER TABLE … RENAME COLUMN old TO new`: a schema-only snapshot.
     * Data files never rewrite — the snapshot records the former name
@@ -1212,6 +1292,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
         s"column '$newName' already exists")
       requireNotFormerName(cur, newName)
+      requireNotDropped(cur, newName)
       val id = nextId()
       val renamed = StructType(schema.fields.map(f =>
         if (nameKey(f.name) == nameKey(oldName)) f.copy(name = newName) else f))
@@ -1271,6 +1352,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     */
   def applySchemaChange(json: String): Unit = {
     val rename = """"op":"rename","from":"([^"]+)","to":"([^"]+)"""".r
+    val drop = """"op":"drop","column":"([^"]+)"""".r
     val retype = """"op":"(widen|add)","column":"([^"]+)","type":"([^"]+)"""".r
     val cur = currentSnapshot().getOrElse(
       throw new IllegalStateException(s"table $root has no snapshots"))
@@ -1288,6 +1370,14 @@ final class LakehouseTable(spark: SparkSession, val root: String,
           s"cannot replay schema change $json: neither '$from' nor '$to' " +
             s"exists in ${schema.fieldNames.mkString("[", ", ", "]")} — the " +
             "replication target has diverged from the source lineage")
+      case None if drop.findFirstMatchIn(json).isDefined =>
+        val name = drop.findFirstMatchIn(json).get.group(1)
+        if (field(name).isEmpty) () // already applied
+        else {
+          if (cur.tombstones.nonEmpty) foldTombstones()
+          dropColumn(name)
+          ()
+        }
       case None => retype.findFirstMatchIn(json) match {
         case Some(m) =>
           val (op, name) = (m.group(1), m.group(2))
@@ -1353,7 +1443,8 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     writeSnapshot(Snapshot(nextId(), currentSnapshot().map(_.snapshotId),
       System.currentTimeMillis(), "rollback", target.files, target.schemaJson,
       deletes = target.deletes,
-      renames = target.renames.orElse(Some(Map.empty))))
+      renames = target.renames.orElse(Some(Map.empty)),
+      drops = target.drops.orElse(Some(Map.empty))))
   }
 
   private def invalidSnapshot(id: Long) = new IllegalArgumentException(
@@ -1469,8 +1560,10 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     // (bucket SPJ and bucket-dir pruning resume across the whole table)
     val files = writeDataFiles(df.repartition(targetFiles), id, suffix = "compact",
       partitionCols = declaredPartitionSpec)
+    // every pre-drop file is gone after a whole-table rewrite: the
+    // dropped-column registry clears, unblocking name re-use
     Some(writeSnapshot(Snapshot(id, Some(cur.snapshotId), System.currentTimeMillis(),
-      "compact", files, cur.schemaJson)))
+      "compact", files, cur.schemaJson, drops = Some(Map.empty))))
   }
 
   /** Partition-scoped compaction (`maintenance.py:178-244`): only
@@ -1619,7 +1712,14 @@ final class LakehouseTable(spark: SparkSession, val root: String,
               Some(s"""{"seq":${next()},"op":"add","column":"${f.name}","type":"${f.dataType.catalogString}"}""")
           }
         }
-        rjson ++ rest
+        // parent fields gone from the snapshot (and not merely renamed
+        // away at it) were DROPPED here
+        val csKeys = cs.fields.map(f => nameKey(f.name)).toSet
+        val renamedAway = renames.map { case (o, _) => nameKey(o) }.toSet
+        val dropsJ = ps.fields.toSeq
+          .filterNot(f => csKeys(nameKey(f.name)) || renamedAway(nameKey(f.name)))
+          .map(f => s"""{"seq":${next()},"op":"drop","column":"${f.name}"}""")
+        rjson ++ rest ++ dropsJ
       }
     }
   }
@@ -1656,7 +1756,13 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     val unionSchema = {
       val f = DataType.fromJson(fromS.schemaJson).asInstanceOf[StructType]
       val t = DataType.fromJson(toS.schemaJson).asInstanceOf[StructType]
+      // the feed speaks the TO side's schema: a column DROPPED between
+      // the snapshots is excluded — including it would make every
+      // surviving row diff as changed (old value vs NULL) and replay
+      // the whole table as churn into every streaming replica
+      val droppedNow = toS.droppedCols.keySet.map(nameKey)
       val mapped = f.fields.map(fld => fld.copy(name = currentNameOf(fld.name)))
+        .filterNot(x => droppedNow(nameKey(x.name)))
       val known = mapped.map(x => nameKey(x.name)).toSet
       StructType(mapped ++ t.fields.filterNot(x => known(nameKey(x.name))))
     }

@@ -172,8 +172,10 @@ class LakehouseMetaSpec extends SparkSpec {
     // time travel to before the ALTER sees the narrow schema
     assert(spark.sql(s"SELECT * FROM metacat.db.a1 VERSION AS OF $preAlter")
       .columns.toSeq === Seq("id", "v"))
-    // non-add changes stay refused
-    val e = intercept[Exception](spark.sql("ALTER TABLE metacat.db.a1 DROP COLUMN v"))
+    // DROP COLUMN works as of round 11 (SchemaEvolutionSpec owns its
+    // contract); unsupported shapes still refuse loudly
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE metacat.db.a1 ALTER COLUMN v COMMENT 'nope'"))
     assert(e.getMessage.contains("ADD COLUMNS"), e.getMessage)
   }
 

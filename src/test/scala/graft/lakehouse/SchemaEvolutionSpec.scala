@@ -312,6 +312,91 @@ class SchemaEvolutionSpec extends SparkSpec {
     Seq("sp", "dim").foreach(n => spark.sql(s"DROP TABLE evscat.db.$n"))
   }
 
+  test("DROP COLUMN: schema-only, stale data can't resurrect, lagging batches discard, compaction unblocks re-use") {
+    val t = new LakehouseTable(spark, tmpDir("ev-drop"))
+    t.append(Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "x").coalesce(1))
+    val preDrop = t.currentSnapshot().get.snapshotId
+    val files0 = t.currentSnapshot().get.files
+    t.dropColumn("x")
+    assert(t.currentSnapshot().get.files === files0, "drop rewrites nothing")
+    assert(t.currentSnapshot().get.operation === "alter")
+    val df = dsv2(t)
+    assert(df.columns.toSeq === Seq("k", "v"))
+    assert(isNative(df), "post-drop reads stay on the native scan")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a"), (2L, "b")))
+    // time travel BEFORE the drop still sees the column + its values
+    assert(t.scanAtSnapshot(preDrop).select("x").collect()
+      .map(_.getInt(0)).toSet === Set(10, 20))
+    // a LAGGING batch still carrying x writes WITHOUT it (discarded) —
+    // the CDC-replication contract, not an additive re-add
+    t.append(Seq((3L, "c", 30)).toDF("k", "v", "x").coalesce(1))
+    assert(dsv2(t).columns.toSeq === Seq("k", "v"))
+    assert(dsv2(t).count() === 3L)
+    // re-ADDING the name refuses while pre-drop files survive …
+    val e1 = intercept[Exception](t.addColumns(Seq(StructField("x", StringType))))
+    assert(e1.getMessage.contains("DROPPED"), e1.getMessage)
+    val e2 = intercept[Exception](t.renameColumn("v", "x"))
+    assert(e2.getMessage.contains("DROPPED"), e2.getMessage)
+    // … and compaction (full rewrite) unblocks it; old values are GONE
+    t.compact(fileThreshold = 1, maxRows = 100000000L)
+    t.addColumns(Seq(StructField("x", StringType)))
+    val re = dsv2(t)
+    assert(re.columns.toSeq === Seq("k", "v", "x"))
+    assert(re.select("x").collect().forall(_.isNullAt(0)),
+      "re-added column must read NULL everywhere — stale values must not resurrect")
+    // guards: last column, missing column, live tombstones
+    val g = new LakehouseTable(spark, tmpDir("ev-drop-g"))
+    g.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    intercept[IllegalArgumentException](g.dropColumn("nope"))
+    g.dropColumn("v")
+    val e3 = intercept[IllegalArgumentException](g.dropColumn("k"))
+    assert(e3.getMessage.contains("last column"), e3.getMessage)
+    val m = new LakehouseTable(spark, tmpDir("ev-drop-mor"))
+    m.append(Seq((1L, "a", 1)).toDF("k", "v", "x").coalesce(1))
+    m.applyChanges(Seq((1L, "z", 1, "delete")).toDF("k", "v", "x", "_change"),
+      Seq("k"), mergeOnRead = true)
+    val e4 = intercept[Exception](m.dropColumn("x"))
+    assert(e4.getMessage.contains("tombstone"), e4.getMessage)
+  }
+
+  test("DROP COLUMN via catalog DDL and the schema-history channel") {
+    val wh = tmpDir("ev-dropcat-wh")
+    spark.conf.set("spark.sql.catalog.evdcat", classOf[LakehouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.evdcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evdcat.db")
+    spark.sql("DROP TABLE IF EXISTS evdcat.db.dt")
+    spark.sql("CREATE TABLE evdcat.db.dt (k BIGINT, v STRING, x INT)")
+    spark.sql("INSERT INTO evdcat.db.dt VALUES (1, 'a', 10)")
+    spark.sql("ALTER TABLE evdcat.db.dt DROP COLUMN x")
+    assert(spark.table("evdcat.db.dt").columns.toSeq === Seq("k", "v"))
+    spark.sql("INSERT INTO evdcat.db.dt VALUES (2, 'b')")
+    assert(spark.sql("SELECT k, v FROM evdcat.db.dt ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "a"), (2L, "b")))
+    // the schema-history record replays the drop on a twin idempotently
+    val root = java.nio.file.Paths.get(wh, "db", "dt").toString
+    val t = new LakehouseTable(spark, root)
+    val snaps = t.listSnapshots()
+    val ddl = t.schemaChangesBetween(snaps.head.snapshotId, snaps.last.snapshotId)
+    assert(ddl.exists(_.contains(""""op":"drop","column":"x"""")), ddl.mkString("\n"))
+    import spark.implicits._
+    val twin = new LakehouseTable(spark, tmpDir("ev-dropcat-twin"))
+    twin.append(Seq((1L, "a", 10)).toDF("k", "v", "x").coalesce(1))
+    ddl.filter(_.contains("\"drop\"")).foreach(twin.applySchemaChange)
+    assert(twin.read().columns.toSeq === Seq("k", "v"))
+    val n = twin.listSnapshots().size
+    ddl.filter(_.contains("\"drop\"")).foreach(twin.applySchemaChange)
+    assert(twin.listSnapshots().size === n, "drop replay must absorb")
+    // the change feed diffs a drop as EMPTY (metadata-only), and
+    // cross-drop diffs speak the post-drop schema
+    val s1 = snaps.head.snapshotId
+    val dropSnap = t.listSnapshots().find(_.operation == "alter").get
+    assert(t.changesBetween(dropSnap.parentId.get, dropSnap.snapshotId).count() === 0L)
+    val ch = t.changesBetween(s1, t.currentSnapshot().get.snapshotId)
+    assert(!ch.columns.contains("x"), "cross-drop diffs must speak the TO-side schema")
+    spark.sql("DROP TABLE evdcat.db.dt")
+  }
+
   test("schemaChangesBetween + applySchemaChange: schema-history records replay idempotently") {
     val t = new LakehouseTable(spark, tmpDir("ev-ddl-src"))
     t.append(Seq((1, "a")).toDF("k", "v").coalesce(1))

@@ -1177,6 +1177,20 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(got.select("k", "label", "tag").collect()
       .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)).getOrElse("-"))).toSet
       === Set((2L, "b", "-"), (3L, "c", "-"), (4L, "d", "T")))
+    // phase 3 — DROP COLUMN propagates too: upstream drops 'tag' while
+    // the stream is down; the restarted stream ships the record and the
+    // sink drops it downstream before the data batch
+    src.dropColumn("tag")
+    src.applyChanges(Seq((5L, "e", "insert")).toDF("k", "label", "_change"), Seq("k"))
+    val qd = stream().trigger(
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(qd.awaitTermination(120000), "post-drop drain did not finish")
+    assert(dst.read().columns.toSeq === Seq("k", "label"),
+      "the drop must arrive downstream through the feed itself")
+    assert(dst.read().select("k", "label").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+
     // replaying the whole feed from a FRESH checkpoint (bootstrap) into
     // a throwaway target still converges (DDL records replay absorbed)
     val dst2 = new LakehouseTable(spark, tmpDir("ddl-stream-dst2"))
@@ -1188,7 +1202,7 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(q3.awaitTermination(120000))
     assert(dst2.read().select("k", "label").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
-      === Set((2L, "b"), (3L, "c"), (4L, "d")))
+      === Set((2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
   }
 
   test("replication across an upstream RENAME: apply the DDL on both ends, the checkpoint survives") {
