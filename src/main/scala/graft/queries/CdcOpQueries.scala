@@ -1080,15 +1080,20 @@ object CdcOpQueries {
         col("k").cast("long").as("k"), col("nm").as("label"),
         col("rk"), lit(null).cast("string").as("src")))
       drain() // DDL records + diff, one feed
+      // phase 3: DROP COLUMN replicates too — the fourth DDL verb
+      a.dropColumn("src")
+      a.upsert(nation.filter(col("rk") === 0).select(
+        col("k").cast("long").as("k"), lower(col("nm")).as("label"), col("rk")),
+        Seq("k"))
+      drain()
       val b = new LakehouseTable(s, rootB)
       val got = b.read()
       val sig = s"k:${got.schema("k").dataType.simpleString}|${got.columns.mkString(",")}"
-      val rows = got.select("k", "label", "rk", "src").collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
-          Option(r.getString(3)).orNull)).toSeq
+      val rows = got.select("k", "label", "rk").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
       Seq(rootA, rootB, ckpt).foreach(p =>
         graft.Fs.deleteRecursively(java.nio.file.Paths.get(p)))
-      rows.toDF("k", "label", "rk", "src")
+      rows.toDF("k", "label", "rk")
         .withColumn("schema_sig", lit(sig)).orderBy(col("k"))
     })
   )
@@ -1297,20 +1302,21 @@ object CdcOpQueries {
         UNION ALL SELECT 7, 'alter', (SELECT c FROM tot)
         UNION ALL SELECT 99, 'content', (SELECT CAST(sum(okey) AS BIGINT) FROM slice))
       SELECT seq, op, rows FROM lineage ORDER BY seq""",
-    // q138: downstream after automatic DDL replication = rk<3 with rk=1
-    // re-priced by the upsert, plus the rk>=3 post-DDL appends; the
-    // schema signature is a constant once the widen+rename+add landed.
+    // q138: downstream after automatic DDL replication (widen + rename
+    // + add + DROP) = rk<3 with rk=1 re-priced UPPER and rk=0 re-priced
+    // lower, plus the rk>=3 post-DDL appends; src was dropped again, so
+    // the schema signature ends at rk.
     "q138_ddl_replication" -> """
       WITH n AS (SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS rk FROM nation),
       head AS (
         SELECT CAST(k AS BIGINT) AS k,
-               CASE WHEN rk = 1 THEN upper(nm) ELSE nm END AS label,
-               CAST(rk AS INT) AS rk,
-               CASE WHEN rk = 1 THEN 'v2' ELSE NULL END AS src
+               CASE WHEN rk = 1 THEN upper(nm)
+                    WHEN rk = 0 THEN lower(nm) ELSE nm END AS label,
+               CAST(rk AS INT) AS rk
         FROM n WHERE rk < 3
         UNION ALL
-        SELECT CAST(k AS BIGINT), nm, CAST(rk AS INT), NULL FROM n WHERE rk >= 3)
-      SELECT k, label, rk, src, 'k:bigint|k,label,rk,src' AS schema_sig
+        SELECT CAST(k AS BIGINT), nm, CAST(rk AS INT) FROM n WHERE rk >= 3)
+      SELECT k, label, rk, 'k:bigint|k,label,rk' AS schema_sig
       FROM head ORDER BY k""",
     // q129: head = base minus the %10=3 deletes, %10=4 lowered, %100=13
     // resurrected as RESTORED (they were deleted — the OR keeps them),
