@@ -33,7 +33,15 @@ final class MaintenanceScheduler(
       * window, inflating every plan's broadcast mask.
       */
     maxTombstoneKeys: Long = 0L,
-    maxTombstoneBytes: Long = 0L) {
+    maxTombstoneBytes: Long = 0L,
+    /** Partition-scoped compaction (`compactPartitioned`): only
+      * partitions whose file count exceeds the threshold rewrite, each
+      * within the row cap, untouched partitions carry by reference —
+      * the form that still works when the TABLE outgrows in-process
+      * whole-table compaction but each partition fits. Unset = the
+      * whole-table pass.
+      */
+    compactPartitionCol: Option[String] = None) {
 
   @volatile private var expiredTotal = 0
   @volatile private var compactionsTotal = 0
@@ -78,7 +86,10 @@ final class MaintenanceScheduler(
             }
           table.compactZOrder(zorderCols, targetFiles = target)
         } else None
-      } else table.compact(compactFileThreshold, compactMaxRows)
+      } else compactPartitionCol match {
+        case Some(c) => table.compactPartitioned(c, compactFileThreshold, compactMaxRows)
+        case None => table.compact(compactFileThreshold, compactMaxRows)
+      }
     if (s.isDefined) compactionsTotal += 1
     // bloom sidecars ride the compaction cadence: data files are
     // immutable, so only files NEW since the last pass (appends, the

@@ -69,6 +69,29 @@ class MaintenanceSchedulerSpec extends SparkSpec {
     assert(!df.queryExecution.executedPlan.toString.contains("MoR: masked"))
   }
 
+  test("partition-scoped compaction pass: hot partitions coalesce, cold ones carry by reference") {
+    val t = new LakehouseTable(spark, tmpDir("maint-part"))
+    // 'a': 3 files (over threshold 3); 'b': 2 files (under)
+    (1 to 3).foreach(i => t.append(Seq((i.toLong, "a")).toDF("id", "cell"),
+      partitionBy = Seq("cell")))
+    (4 to 5).foreach(i => t.append(Seq((i.toLong, "b")).toDF("id", "cell"),
+      partitionBy = Seq("cell")))
+    val before = t.currentSnapshot().get.files
+    val sched = new MaintenanceScheduler(t,
+      expireOlderThanMs = 0, expireIntervalMs = 3600000,
+      compactIntervalMs = 3600000, compactFileThreshold = 3,
+      compactMaxRows = 1000000, compactPartitionCol = Some("cell"))
+    assert(sched.runCompaction().isDefined)
+    val after = t.currentSnapshot().get.files
+    assert(before.count(f => f.contains("cell=b") && after.contains(f)) === 2,
+      "the under-threshold partition must carry by reference")
+    assert(after.count(_.contains("cell=a")) === 1,
+      "the hot partition must coalesce to one file")
+    assert(t.read().count() === 5)
+    // below threshold everywhere now: the pass is a no-op
+    assert(sched.runCompaction().isEmpty)
+  }
+
   test("zorder-configured compaction pass clusters instead of plain coalesce") {
     val table = new LakehouseTable(spark, tmpDir("maint-z"))
     (1 to 4).foreach(i => table.append(
