@@ -2743,8 +2743,9 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         .sortWithinPartitions(col("__graft_z"))
         .drop("__graft_z"),
       id, suffix = "zorder")
+    // whole-table rewrite: pre-drop files are gone, registry clears
     Some(writeSnapshot(Snapshot(id, Some(cur.snapshotId), System.currentTimeMillis(),
-      "compact", files, cur.schemaJson)))
+      "compact", files, cur.schemaJson, drops = Some(Map.empty))))
   }
 
   // ---------------- helpers ----------------
