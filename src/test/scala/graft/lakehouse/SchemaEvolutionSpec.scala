@@ -312,6 +312,35 @@ class SchemaEvolutionSpec extends SparkSpec {
     Seq("sp", "dim").foreach(n => spark.sql(s"DROP TABLE evscat.db.$n"))
   }
 
+  test("partition-spec evolution preserves the other catalog metadata keys") {
+    val wh = tmpDir("ev-spec-meta-wh")
+    spark.conf.set("spark.sql.catalog.evmcat", classOf[LakehouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.evmcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evmcat.db")
+    spark.sql("DROP TABLE IF EXISTS evmcat.db.mp")
+    spark.sql("CREATE TABLE evmcat.db.mp (k BIGINT, cell STRING) PARTITIONED BY (cell) " +
+      "TBLPROPERTIES ('optimizeWrite' = 'true')")
+    spark.sql("INSERT INTO evmcat.db.mp VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CALL evmcat.system.set_partition_spec(table => 'db.mp', spec => 'bucket(4, k)')")
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(wh, "db", "mp", "_catalog.json"))
+    assert(meta.contains("\"optimizeWrite\": true"), s"optimizeWrite clobbered: $meta")
+    assert(meta.contains("bucket(4, k)") && meta.contains("partitionSpecSince"), meta)
+    // new writes take the NEW layout (bucket dirs, not cell dirs)
+    spark.sql("INSERT INTO evmcat.db.mp VALUES (3, 'c')")
+    val t = new LakehouseTable(spark, java.nio.file.Paths.get(wh, "db", "mp").toString)
+    val newest = t.currentSnapshot().get.files.filter(_.contains("k_bucket="))
+    assert(newest.nonEmpty, "post-evolution writes must carry the bucket layout")
+    assert(spark.sql("SELECT count(*) FROM evmcat.db.mp").head.getLong(0) === 3L)
+    // evolving again replaces the since marker, not duplicates it
+    spark.sql("CALL evmcat.system.set_partition_spec(table => 'db.mp', spec => 'cell')")
+    val meta2 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(wh, "db", "mp", "_catalog.json"))
+    assert("partitionSpecSince".r.findAllIn(meta2).size === 1, meta2)
+    assert(meta2.contains("\"optimizeWrite\": true"), meta2)
+    spark.sql("DROP TABLE evmcat.db.mp")
+  }
+
   test("DROP COLUMN: schema-only, stale data can't resurrect, lagging batches discard, compaction unblocks re-use") {
     val t = new LakehouseTable(spark, tmpDir("ev-drop"))
     t.append(Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "x").coalesce(1))
