@@ -208,26 +208,30 @@ final class ChangeFeedSource(sqlContext: SQLContext, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     import ChangeFeedSource.parsePos
-    val (batch, ddlRange) = (start.map(o => parsePos(o.json)), parsePos(end.json)) match {
-      case (None, Right((s, k))) => (bootSlice(s, 0L, k), None)
-      case (None, Left(e)) =>
-        (table.scanAtSnapshot(e).withColumn("_change", lit("insert")), None)
-      case (Some(Right((s1, k1))), Right((s2, k2))) =>
-        require(s1 == s2 && k1 < k2,
-          s"non-monotone bootstrap range ($s1,$k1) -> ($s2,$k2)")
-        (bootSlice(s1, k1, k2), None)
-      case (Some(Right((s, k))), Left(e)) =>
-        // the bootstrap's final slice; a same-batch head advance (e > s)
-        // appends the incremental diff — still a pure function of range
-        val rest = bootSlice(s, k, filesOf(s).size.toLong)
-        if (e > s) (rest.unionByName(table.changesBetween(s, e)), Some((s, e)))
-        else (rest, None)
-      case (Some(Left(s)), Left(e)) if s >= e =>
-        (table.read().filter(lit(false)).withColumn("_change", lit("")), None)
-      case (Some(Left(s)), Left(e)) => (table.changesBetween(s, e), Some((s, e)))
-      case (Some(Left(s)), Right((s2, _))) => throw new IllegalStateException(
-        s"bootstrap offset ($s2) cannot follow a committed snapshot offset ($s)")
-    }
+    val (parts, ddlRange): (Seq[DataFrame], Option[(Long, Long)]) =
+      (start.map(o => parsePos(o.json)), parsePos(end.json)) match {
+        case (None, Right((s, k))) => (Seq(bootSlice(s, 0L, k)), None)
+        case (None, Left(e)) =>
+          (Seq(table.scanAtSnapshot(e).withColumn("_change", lit("insert"))), None)
+        case (Some(Right((s1, k1))), Right((s2, k2))) =>
+          require(s1 == s2 && k1 < k2,
+            s"non-monotone bootstrap range ($s1,$k1) -> ($s2,$k2)")
+          (Seq(bootSlice(s1, k1, k2)), None)
+        case (Some(Right((s, k))), Left(e)) =>
+          // the bootstrap's final slice; a same-batch head advance
+          // (e > s) appends the incremental diff — still a pure
+          // function of range. The two sides may SPEAK DIFFERENT
+          // SCHEMAS (a rename/drop between them), so each conforms
+          // separately below before the union.
+          val rest = bootSlice(s, k, filesOf(s).size.toLong)
+          if (e > s) (Seq(rest, table.changesBetween(s, e)), Some((s, e)))
+          else (Seq(rest), None)
+        case (Some(Left(s)), Left(e)) if s >= e =>
+          (Seq(table.read().filter(lit(false)).withColumn("_change", lit(""))), None)
+        case (Some(Left(s)), Left(e)) => (Seq(table.changesBetween(s, e)), Some((s, e)))
+        case (Some(Left(s)), Right((s2, _))) => throw new IllegalStateException(
+          s"bootstrap offset ($s2) cannot follow a committed snapshot offset ($s)")
+      }
     // conform to the declared stream schema (widen-only evolution may
     // have grown the table since the stream started; late columns
     // surface when the consumer restarts with a fresh checkpoint). A
@@ -237,21 +241,27 @@ final class ChangeFeedSource(sqlContext: SQLContext, root: String,
     // WIDENED column casts back to the pinned width (under ANSI an
     // overflowing post-widen value fails loudly; a restart re-pins
     // the wide schema and resumes from the checkpointed snapshot).
+    // Each side of a union conforms SEPARATELY (a mid-bootstrap final
+    // slice speaks its snapshot's names while the same-batch diff
+    // speaks current names — a raw union of the two would throw).
     def lk(n: String) = n.toLowerCase(java.util.Locale.ROOT)
     val aliasOf: Map[String, String] = table.currentSnapshot()
       .map(_.aliases.flatMap { case (curName, olds) =>
         olds.map(a => lk(a.name) -> curName) })
       .getOrElse(Map.empty)
-    val conformed0 = schema.fields.foldLeft(batch) { (d, f) =>
-      val have = d.columns.map(lk).toSet
-      if (have(lk(f.name))) d
-      else aliasOf.get(lk(f.name)).filter(c => have(lk(c))) match {
-        case Some(c) => d.withColumnRenamed(c, f.name)
-        case None => d.withColumn(f.name, lit(null).cast(f.dataType))
+    def conform(df0: DataFrame): DataFrame = {
+      val filled = schema.fields.foldLeft(df0) { (d, f) =>
+        val have = d.columns.map(lk).toSet
+        if (have(lk(f.name))) d
+        else aliasOf.get(lk(f.name)).filter(c => have(lk(c))) match {
+          case Some(c) => d.withColumnRenamed(c, f.name)
+          case None => d.withColumn(f.name, lit(null).cast(f.dataType))
+        }
       }
+      filled.select(schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     }
-    val conformed = conformed0.select(schema.fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val conformed = parts.map(conform).reduce(_.unionByName(_))
     // the schema-history side channel: DDL records for the range, as
     // `_change = 'schema'` rows (all data columns NULL); the sink
     // applies them before the batch's data rows
@@ -260,6 +270,26 @@ final class ChangeFeedSource(sqlContext: SQLContext, root: String,
       else {
         val ddl = ddlRange.map { case (s, e) => table.schemaChangesBetween(s, e) }
           .getOrElse(Nil)
+        // an ADD mid-stream is the one shape the pinned schema cannot
+        // carry: the new column's VALUES have no slot, so delivering
+        // the batch would silently null them downstream forever (the
+        // checkpoint advances past them). Fail LOUDLY instead — the
+        // offset is uncommitted, a restart re-pins the wide schema and
+        // redelivers this exact range with the column. (If the column
+        // was dropped again by head, restart can't fix it and the
+        // values are moot — deliver without it.)
+        val pinned = schema.fieldNames.map(lk).toSet
+        val headSchema = table.currentSnapshot().map(s =>
+          DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+            .fieldNames.map(lk).toSet).getOrElse(Set.empty)
+        val addRe = """"op":"add","column":"([^"]+)"""".r
+        ddl.flatMap(j => addRe.findFirstMatchIn(j).map(_.group(1))).foreach { c =>
+          if (!pinned(lk(c)) && headSchema(lk(c)))
+            throw new IllegalStateException(
+              s"upstream added column '$c' mid-stream: the stream's pinned " +
+                "schema cannot carry its values — restart the stream (the " +
+                "checkpoint resumes here and re-pins the evolved schema)")
+        }
         if (ddl.isEmpty) conformed
         else {
           val rows: java.util.List[org.apache.spark.sql.Row] =
@@ -312,14 +342,18 @@ object ChangeFeedSource {
     }
 
   /** Table schema + the `_change` tag, fixed at stream start; with the
-    * schema-history channel on, also the nullable `_ddl` record column.
+    * schema-history channel on, also the nullable `_ddl` record column
+    * — and every DATA column declared nullable, because the channel's
+    * `_change='schema'` rows carry NULL there (a non-nullable
+    * declaration would let consumer codegen read garbage primitives).
     */
   private[lakehouse] def feedSchema(
       table: LakehouseTable, withDdl: Boolean = false): StructType = {
     val snap = table.currentSnapshot().getOrElse(throw new IllegalStateException(
       "change-feed stream requires a table with at least one snapshot"))
-    val base = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    val fixed = base.fields :+ StructField("_change", StringType, nullable = false)
+    val base0 = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val base = if (withDdl) base0.fields.map(_.copy(nullable = true)) else base0.fields
+    val fixed = base :+ StructField("_change", StringType, nullable = false)
     StructType(if (withDdl) fixed :+ StructField("_ddl", StringType) else fixed)
   }
 
@@ -391,8 +425,7 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v.toLong }
 
   private def boolOpt(parameters: Map[String, String], name: String): Boolean =
-    parameters.collectFirst {
-      case (k, v) if k.equalsIgnoreCase(name) => v.trim.toBoolean }.getOrElse(false)
+    LakehouseSource.boolOpt(parameters, name)
 
   override def createRelation(
       sqlContext: SQLContext,

@@ -165,16 +165,31 @@ object LakehouseDml {
             // would turn into NULL — refuse exactly that; max/min/sum/
             // avg are NULL-on-empty and reconstruct losslessly
             // (mayHaveCountBug alone is conservatively true for ANY
-            // correlated aggregate under decorrelateInnerQuery)
-            val nonNullOnEmpty = sc.plan match {
-              case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-                agg.aggregateExpressions.exists(_.exists {
-                  case ae: cexp.aggregate.AggregateExpression =>
-                    ae.aggregateFunction.defaultResult.exists(_.value != null)
-                  case _ => false
-                })
-              case _ => false
-            }
+            // correlated aggregate under decorrelateInnerQuery). The
+            // aggregate may sit under Project/Filter wrappers (HAVING)
+            // — walk through them; any DEEPER unrecognized shape that
+            // still contains an aggregate refuses conservatively.
+            def countLike(agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate) =
+              agg.aggregateExpressions.exists(_.exists {
+                case ae: cexp.aggregate.AggregateExpression =>
+                  ae.aggregateFunction.defaultResult.exists(_.value != null)
+                case _ => false
+              })
+            @scala.annotation.tailrec
+            def scan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+              p match {
+                case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+                  countLike(agg)
+                case f: LFilter => scan(f.child)
+                case pr: LProject => scan(pr.child)
+                case other =>
+                  // unknown shape: refuse iff an aggregate hides below
+                  // (a plain non-aggregate scalar reconstructs exactly)
+                  other.collectFirst {
+                    case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => () }
+                    .nonEmpty
+              }
+            val nonNullOnEmpty = scan(sc.plan)
             if (nonNullOnEmpty)
               throw new UnsupportedOperationException(
                 "graft-lakehouse DML: correlated scalar subquery whose aggregate " +

@@ -42,11 +42,7 @@ private[lakehouse] final class LakehouseMicroBatchStream(
   @transient private lazy val table =
     new LakehouseTable(spark, LakehouseSource.rootOf(options))
 
-  private val skipChangeCommits = options.exists { case (k, v) =>
-    k.equalsIgnoreCase("skipChangeCommits") && v.trim.equalsIgnoreCase("true") }
-
-  private def longOpt(name: String): Option[Long] = options.collectFirst {
-    case (k, v) if k.equalsIgnoreCase(name) => v.trim.toLong }
+  private val skipChangeCommits = LakehouseSource.boolOpt(options, "skipChangeCommits")
 
   /** Admission control (the changefeed caps, in this face's natural
     * unit): `maxSnapshotsPerTrigger` clamps each batch to N snapshots
@@ -56,8 +52,10 @@ private[lakehouse] final class LakehouseMicroBatchStream(
     * cumulative ADDED-file bytes (manifest sizes, zero I/O) cross the
     * cap, always making one snapshot of progress.
     */
-  private val maxSnapshotsPerTrigger = longOpt("maxSnapshotsPerTrigger")
-  private val maxBytesPerTrigger = longOpt("maxBytesPerTrigger")
+  private val maxSnapshotsPerTrigger =
+    LakehouseSource.longOptOf(options, "maxSnapshotsPerTrigger")
+  private val maxBytesPerTrigger =
+    LakehouseSource.longOptOf(options, "maxBytesPerTrigger")
   require(maxSnapshotsPerTrigger.forall(_ > 0),
     s"maxSnapshotsPerTrigger must be positive, got $maxSnapshotsPerTrigger")
   require(maxBytesPerTrigger.forall(_ > 0),

@@ -57,21 +57,53 @@ final class LakehouseSink(
     val fresh0 = LakehouseSink.asBatch(data)
     // schema-history channel (source option emitSchemaChanges): apply
     // the batch's DDL records — ordered by their seq stamps — BEFORE
-    // the data rows, so a rename/widen upstream lands downstream with
-    // no manual DDL. Application is idempotent (a crash-replayed batch
-    // skips already-applied records structurally), so exactly-once
-    // holds without the records entering the txn ledger.
-    val fresh =
-      if (!fresh0.columns.contains("_ddl")) fresh0
-      else {
-        import org.apache.spark.sql.functions.col
-        val seqRe = """"seq":(\d+)""".r
-        val ddl = fresh0.filter(col("_ddl").isNotNull)
-          .select("_ddl").collect().map(_.getString(0))
-          .sortBy(j => seqRe.findFirstMatchIn(j).map(_.group(1).toLong).getOrElse(0L))
-        ddl.foreach(table.applySchemaChange)
-        fresh0.filter(col("_ddl").isNull).drop("_ddl")
-      }
+    // the data rows, so a rename/widen/drop upstream lands downstream
+    // with no manual DDL. Application is idempotent (a crash-replayed
+    // batch skips already-applied records structurally), so
+    // exactly-once holds without the records entering the txn ledger.
+    // The batch is CACHED for the channel's extra pass (the DDL-row
+    // collect would otherwise re-evaluate the whole diff plan).
+    val ddlMode = fresh0.columns.contains("_ddl")
+    val cached = if (ddlMode) fresh0.cache() else fresh0
+    try {
+      val fresh =
+        if (!ddlMode) cached
+        else {
+          import org.apache.spark.sql.functions.col
+          val seqRe = """"seq":(\d+)""".r
+          val ddl = cached.filter(col("_ddl").isNotNull)
+            .select("_ddl").collect().map(_.getString(0))
+            .sortBy(j => seqRe.findFirstMatchIn(j).map(_.group(1).toLong).getOrElse(0L))
+          ddl.foreach(table.applySchemaChange)
+          val data0 = cached.filter(col("_ddl").isNull).drop("_ddl")
+          // under the channel the TARGET SCHEMA is authoritative: a
+          // batch column the target doesn't declare is a column the
+          // DDL history dropped (the pinned upstream stream keeps
+          // sending it as NULL — even after a downstream compaction
+          // cleared the dropped registry, it must NOT re-enter as an
+          // additive column and diverge the replica's schema)
+          table.currentSnapshot() match {
+            case Some(snap) =>
+              val declared = org.apache.spark.sql.types.DataType
+                .fromJson(snap.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
+                .fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+              val aliases = snap.aliases.flatMap { case (_, olds) =>
+                olds.map(_.name.toLowerCase(java.util.Locale.ROOT)) }.toSet
+              data0.columns
+                .filterNot(c => c == "_change" ||
+                  declared(c.toLowerCase(java.util.Locale.ROOT)) ||
+                  aliases(c.toLowerCase(java.util.Locale.ROOT)))
+                .foldLeft(data0)((d, c) => d.drop(c))
+            case None => data0 // first batch auto-creates the target
+          }
+        }
+      addBatchInner(batchId, fresh)
+    } finally {
+      if (ddlMode) { cached.unpersist(); () }
+    }
+  }
+
+  private def addBatchInner(batchId: Long, fresh: DataFrame): Unit = {
     // a None result = the ledger absorbed a replayed batch — the
     // intended no-op for a crash-replay of the LAST batch. Absorption
     // far below the ledger head is a different animal: it means the

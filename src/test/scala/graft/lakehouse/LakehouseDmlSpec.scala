@@ -194,6 +194,17 @@ class LakehouseDmlSpec extends SparkSpec {
       "SELECT max(c.cap) FROM dmlcat.db.cap c WHERE c.k = dmlcat.db.dsc.id)")
     assert(spark.sql("SELECT id FROM dmlcat.db.dsc ORDER BY id").collect()
       .map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // the COUNT shape refuses even under a HAVING wrapper (a Filter
+    // above the Aggregate must not slip past the non-NULL-on-empty
+    // guard: the reconstruction would turn empty-group 0 into NULL)
+    val eCnt = intercept[Exception](spark.sql(
+      "DELETE FROM dmlcat.db.dsc WHERE (SELECT count(*) FROM dmlcat.db.cap c " +
+        "WHERE c.k = dmlcat.db.dsc.id HAVING count(*) >= 0) = 0"))
+    assert(eCnt.getMessage.contains("COUNT shape"), eCnt.getMessage)
+    val eCnt2 = intercept[Exception](spark.sql(
+      "DELETE FROM dmlcat.db.dsc WHERE (SELECT count(*) FROM dmlcat.db.cap c " +
+        "WHERE c.k = dmlcat.db.dsc.id) = 0"))
+    assert(eCnt2.getMessage.contains("COUNT shape"), eCnt2.getMessage)
   }
 
   test("DELETE with a predicate beyond the filter grammar (LIKE) runs copy-on-write and stays pruned") {

@@ -426,6 +426,31 @@ class SchemaEvolutionSpec extends SparkSpec {
     spark.sql("DROP TABLE evdcat.db.dt")
   }
 
+  test("mid-bootstrap final slice + same-batch rename: both union sides conform to the pinned schema") {
+    val t = new LakehouseTable(spark, tmpDir("ev-bootslice"))
+    t.append(Seq((1L, "a")).toDF("k", "v").coalesce(1)) // snap 1
+    t.append(Seq((2L, "b")).toDF("k", "v").coalesce(1)) // snap 2 (2 files)
+    // pin the stream schema at (k, v, _change) …
+    val src = new ChangeFeedSource(spark.sqlContext, t.root)
+    // … then rename and append under the NEW name before the
+    // bootstrap's final slice delivers
+    t.renameColumn("v", "label") // snap 3
+    t.append(Seq((3L, "c")).toDF("k", "label").coalesce(1)) // snap 4
+    // final slice of the bootstrap snapshot (file 2 of 2) + the
+    // incremental diff in ONE batch: the slice speaks (k, v), the diff
+    // speaks (k, label) — a raw union would throw; both must conform
+    val batch = src.getBatch(
+      Some(FileSliceOffset(2L, 1L)),
+      org.apache.spark.sql.execution.streaming.runtime.LongOffset(4L))
+    assert(batch.columns.toSeq === Seq("k", "v", "_change"))
+    // the frame is isStreaming: read its already-evaluated RDD directly
+    val got = batch.queryExecution.logical
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
+      .collect().map(r => (r.getLong(0), r.getUTF8String(1).toString)).toSet
+    assert(got === Set((2L, "b"), (3L, "c")),
+      "the renamed diff column must map back to the pinned name, not NULL out")
+  }
+
   test("schemaChangesBetween + applySchemaChange: schema-history records replay idempotently") {
     val t = new LakehouseTable(spark, tmpDir("ev-ddl-src"))
     t.append(Seq((1, "a")).toDF("k", "v").coalesce(1))

@@ -1159,15 +1159,25 @@ class StreamingEquivalenceSpec extends SparkSpec {
         "the rename must arrive downstream through the feed itself")
       assert(dst.read().select("k", "label").collect()
         .map(r => (r.getInt(0), r.getString(1))).toSet === Set((2, "b"), (3, "c")))
+      // an ADD mid-stream is the one shape the pinned schema cannot
+      // carry: the stream must FAIL LOUDLY (silently nulling the new
+      // column's values downstream would be permanent divergence) …
+      src.addColumns(Seq(StructField("tag", StringType)))
+      src.applyChanges(Seq((4, "d", "T", "insert")).toDF("k", "label", "tag", "_change"),
+        Seq("k"))
+      val eAdd = intercept[Exception] { q.processAllAvailable() }
+      def rc(x: Throwable): Throwable =
+        if (x.getCause == null || x.getCause == x) x else rc(x.getCause)
+      assert((eAdd.getMessage + rc(eAdd).getMessage).contains("restart the stream"),
+        s"${eAdd.getMessage} / ${rc(eAdd).getMessage}")
     } finally q.stop()
 
-    // phase 2 — DDL while the stream is DOWN: widen the key column and
-    // add a column; the restarted stream (old checkpoint) replays the
-    // records and the data batch in order
+    // phase 2 — DDL while the stream is DOWN: widen the key column; the
+    // restarted stream (old checkpoint, offset NOT advanced past the
+    // failed batch) re-pins the wide schema and REDELIVERS the add +
+    // its data — tag='T' must arrive intact, not as the silent NULL the
+    // failed batch would have produced
     src.widenColumn("k", LongType)
-    src.addColumns(Seq(StructField("tag", StringType)))
-    src.applyChanges(Seq((4L, "d", "T", "insert")).toDF("k", "label", "tag", "_change"),
-      Seq("k"))
     val q2 = stream().trigger(
       org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     assert(q2.awaitTermination(120000), "restarted drain did not finish")
@@ -1177,32 +1187,46 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(got.select("k", "label", "tag").collect()
       .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)).getOrElse("-"))).toSet
       === Set((2L, "b", "-"), (3L, "c", "-"), (4L, "d", "T")))
-    // phase 3 — DROP COLUMN propagates too: upstream drops 'tag' while
-    // the stream is down; the restarted stream ships the record and the
-    // sink drops it downstream before the data batch
-    src.dropColumn("tag")
-    src.applyChanges(Seq((5L, "e", "insert")).toDF("k", "label", "_change"), Seq("k"))
-    val qd = stream().trigger(
-      org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    assert(qd.awaitTermination(120000), "post-drop drain did not finish")
-    assert(dst.read().columns.toSeq === Seq("k", "label"),
-      "the drop must arrive downstream through the feed itself")
-    assert(dst.read().select("k", "label").collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSet
-      === Set((2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // phase 3 — DROP COLUMN propagates LIVE (pinned schema still
+    // carries 'tag'; the feed null-fills it, the record drops it
+    // downstream), and a downstream compaction mid-stream must not let
+    // the still-pinned column resurrect as an additive NULL column
+    val q3 = stream().trigger(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      q3.processAllAvailable()
+      src.dropColumn("tag")
+      src.applyChanges(Seq((5L, "e", "insert")).toDF("k", "label", "_change"), Seq("k"))
+      q3.processAllAvailable()
+      assert(dst.read().columns.toSeq === Seq("k", "label"),
+        "the drop must arrive downstream through the feed itself")
+      assert(dst.read().select("k", "label").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+        === Set((2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+      // downstream housekeeping clears dst's dropped registry …
+      dst.compact(fileThreshold = 1, maxRows = Long.MaxValue)
+      // … and the pinned stream still sends 'tag' (as NULL): the sink's
+      // schema-authoritative mode must keep it out
+      src.applyChanges(Seq((6L, "g", "insert")).toDF("k", "label", "_change"), Seq("k"))
+      q3.processAllAvailable()
+      assert(dst.read().columns.toSeq === Seq("k", "label"),
+        "a compaction-cleared registry must not let the pinned stream " +
+          "resurrect the dropped column")
+      assert(dst.read().count() === 5L)
+    } finally q3.stop()
 
     // replaying the whole feed from a FRESH checkpoint (bootstrap) into
     // a throwaway target still converges (DDL records replay absorbed)
     val dst2 = new LakehouseTable(spark, tmpDir("ddl-stream-dst2"))
-    val q3 = spark.readStream.format("graft-changefeed")
+    val qb = spark.readStream.format("graft-changefeed")
       .option("path", src.root).option("emitSchemaChanges", "true").load()
       .writeStream.format("graft-lakehouse").option("path", dst2.root)
       .option("keys", "k").option("checkpointLocation", tmpDir("ddl-stream-ckpt2"))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    assert(q3.awaitTermination(120000))
+    assert(qb.awaitTermination(120000))
     assert(dst2.read().select("k", "label").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
-      === Set((2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+      === Set((2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"), (6L, "g")))
   }
 
   test("replication across an upstream RENAME: apply the DDL on both ends, the checkpoint survives") {
