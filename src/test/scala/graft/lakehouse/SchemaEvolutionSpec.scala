@@ -137,9 +137,16 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(e1.getMessage.contains("FORMER name"), e1.getMessage)
     val e2 = intercept[Exception](t.renameColumn("v", "k"))
     assert(e2.getMessage.contains("FORMER name"), e2.getMessage)
-    // MoR tombstones block rename until compaction
+    // MoR tombstones keyed on the RENAMED column still mask rows in
+    // pre-rename files (the reader's epoch schema exposes the current
+    // name; old-name stats merely prune less, never wrongly)
     t.applyChanges(Seq((5L, "x", "delete")).toDF("id", "v", "_change"),
       Seq("id"), mergeOnRead = true)
+    val morDf = dsv2(t)
+    assert(morDf.collect().length === 99,
+      "a tombstone on the renamed key must mask the pre-rename file's row")
+    assert(morDf.filter(org.apache.spark.sql.functions.col("id") === 5L)
+      .collect().isEmpty)
     val e3 = intercept[Exception](t.renameColumn("v", "w"))
     assert(e3.getMessage.contains("compact"), e3.getMessage)
     t.compact(fileThreshold = 1, maxRows = 100000000L)
