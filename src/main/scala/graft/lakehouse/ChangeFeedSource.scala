@@ -284,7 +284,12 @@ final class ChangeFeedSource(sqlContext: SQLContext, root: String,
             .fieldNames.map(lk).toSet).getOrElse(Set.empty)
         val addRe = """"op":"add","column":"([^"]+)"""".r
         ddl.flatMap(j => addRe.findFirstMatchIn(j).map(_.group(1))).foreach { c =>
-          if (!pinned(lk(c)) && headSchema(lk(c)))
+          // "still alive at head" must look THROUGH the alias lineage:
+          // an add-then-rename within one range would otherwise slip
+          // past the guard (headSchema holds the new name) and lose
+          // the column's values silently
+          val aliveAtHead = headSchema(lk(c)) || aliasOf.contains(lk(c))
+          if (!pinned(lk(c)) && aliveAtHead)
             throw new IllegalStateException(
               s"upstream added column '$c' mid-stream: the stream's pinned " +
                 "schema cannot carry its values — restart the stream (the " +

@@ -300,6 +300,27 @@ object LakehouseDml {
     }.flatten.reduceOption(_ intersect _)
   }
 
+  /** Unique-name (`__go_i`) evaluation frame for the Update/Delete
+    * rewrite paths: a correlated subquery's demoted outer references
+    * must never collide with a same-named subquery-local column (see
+    * [[rebind]]). Returns (exprId → unique name, the renamed scan, and
+    * the select list that restores the declared names).
+    */
+  private[lakehouse] def uniqueNameFrame(
+      targetOutput: Seq[Attribute],
+      fields: Array[org.apache.spark.sql.types.StructField],
+      scan: DataFrame): (Map[ExprId, String], DataFrame, Seq[Column]) = {
+    val lk = (n: String) => n.toLowerCase(java.util.Locale.ROOT)
+    val fieldIdx = fields.zipWithIndex.map { case (f, i) => lk(f.name) -> i }.toMap
+    val uniq: Map[ExprId, String] = targetOutput.flatMap(a =>
+      fieldIdx.get(lk(a.name)).map(i => a.exprId -> s"__go_$i")).toMap
+    val scan2 = scan.select(fields.zipWithIndex.map { case (f, i) =>
+      col(f.name).as(s"__go_$i") }.toIndexedSeq: _*)
+    val restore = fields.zipWithIndex.map { case (f, i) =>
+      col(s"__go_$i").as(f.name) }.toIndexedSeq
+    (uniq, scan2, restore)
+  }
+
   /** Catalyst predicate → `sources.Filter`, for file PRUNING only (the
     * residual is always the rebound original condition, so an
     * untranslated conjunct costs pruning power, never correctness).
@@ -471,8 +492,9 @@ private[lakehouse] final case class UpdateLakehouseExec(
   extends GraftDmlExec {
 
   @transient private lazy val (targetOutput, sets, condition) = payload.value
+  @transient private var scanCache: Option[DataFrame] = None
 
-  override protected def run(): Unit = {
+  override protected def run(): Unit = try {
     val t = new LakehouseTable(spark, LakehouseSource.rootOf(tableOptions))
     val names: Map[ExprId, String] = targetOutput.map(a => a.exprId -> a.name).toMap
     val conj = condition.toSeq.flatMap(LakehouseDml.conjuncts)
@@ -491,22 +513,18 @@ private[lakehouse] final case class UpdateLakehouseExec(
         if (candidates.isEmpty) (None, None)
         else {
           val fields = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType].fields
-          // evaluate on a UNIQUE-name projection: a correlated
-          // subquery's demoted outer references must never collide
-          // with a subquery-internal column name (see [[rebind]])
-          val fieldIdx = fields.zipWithIndex.map { case (f, i) =>
-            f.name.toLowerCase(java.util.Locale.ROOT) -> i }.toMap
-          val uniq: Map[ExprId, String] = targetOutput.flatMap(a =>
-            fieldIdx.get(a.name.toLowerCase(java.util.Locale.ROOT))
-              .map(i => a.exprId -> s"__go_$i")).toMap
-          val scan2 = scan.select(fields.zipWithIndex.map { case (f, i) =>
-            col(f.name).as(s"__go_$i") }.toIndexedSeq: _*)
+          val (uniq, scan2raw, restore) =
+            LakehouseDml.uniqueNameFrame(targetOutput, fields, scan)
+          val hasSub = condition.exists(SubqueryExpression.hasSubquery)
+          // the hit/miss split scans candidates twice — cache them once
+          val scan2 = if (hasSub) { val c = scan2raw.cache(); scanCache = Some(c); c }
+            else scan2raw
           val cond2 = condition.map(LakehouseDml.rebind(_, uniq)).getOrElse(lit(true))
           def assigned(f: org.apache.spark.sql.types.StructField, i: Int): Option[Column] =
             setByName.get(f.name.toLowerCase(java.util.Locale.ROOT))
               .map(v => LakehouseDml.rebind(v, uniq).cast(f.dataType))
           val survivors2 =
-            if (condition.exists(SubqueryExpression.hasSubquery)) {
+            if (hasSub) {
               // subquery conditions evaluate in FILTERS — the shape
               // Spark's subquery planning handles (null-aware for
               // NOT IN, semi/anti joins for EXISTS/IN, correlated
@@ -525,11 +543,13 @@ private[lakehouse] final case class UpdateLakehouseExec(
                     .otherwise(col(s"__go_$i")).as(s"__go_$i"))
                   .getOrElse(col(s"__go_$i"))
               }.toIndexedSeq: _*)
-          (Some(survivors2.select(fields.zipWithIndex.map { case (f, i) =>
-            col(s"__go_$i").as(f.name) }.toIndexedSeq: _*)), None)
+          (Some(survivors2.select(restore: _*)), None)
         }
       })
     ()
+  } finally {
+    scanCache.foreach(_.unpersist())
+    scanCache = None
   }
 }
 
@@ -576,16 +596,10 @@ private[lakehouse] final case class DeleteLakehouseExec(
           // outer references can never collide with subquery-internal
           // column names (see [[rebind]]).
           val fields = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType].fields
-          val fieldIdx = fields.zipWithIndex.map { case (f, i) =>
-            f.name.toLowerCase(java.util.Locale.ROOT) -> i }.toMap
-          val uniq: Map[ExprId, String] = targetOutput.flatMap(a =>
-            fieldIdx.get(a.name.toLowerCase(java.util.Locale.ROOT))
-              .map(i => a.exprId -> s"__go_$i")).toMap
-          val scan2 = scan.select(fields.zipWithIndex.map { case (f, i) =>
-            col(f.name).as(s"__go_$i") }.toIndexedSeq: _*)
+          val (uniq, scan2, restore) =
+            LakehouseDml.uniqueNameFrame(targetOutput, fields, scan)
           val kept = scan2.filter(not(LakehouseDml.rebind(condition, uniq) <=> lit(true)))
-          (Some(kept.select(fields.zipWithIndex.map { case (f, i) =>
-            col(s"__go_$i").as(f.name) }.toIndexedSeq: _*)), None)
+          (Some(kept.select(restore: _*)), None)
         })
     ()
   }

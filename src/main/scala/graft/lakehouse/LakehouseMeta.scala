@@ -69,7 +69,8 @@ object LakehouseMeta {
           StructField("tombstone_keys", LongType, nullable = false),
           StructField("tombstone_bytes", LongType, nullable = false)))
         val rows = t.listSnapshots().map { s =>
-          val (tf, tk, tb) = t.tombstoneVolume(s)
+          // stats-only: a lineage listing must not open parquet footers
+          val (tf, tk, tb) = t.tombstoneVolume(s, footerFallback = false)
           Row(s.snapshotId, s.parentId.map(Long.box).orNull,
             new java.sql.Timestamp(s.timestampMs), s.operation,
             s.files.size, t.manifestRowCount(s).map(Long.box).orNull,

@@ -63,7 +63,11 @@ final class LakehouseSink(
     // exactly-once holds without the records entering the txn ledger.
     // The batch is CACHED for the channel's extra pass (the DDL-row
     // collect would otherwise re-evaluate the whole diff plan).
-    val ddlMode = fresh0.columns.contains("_ddl")
+    // DDL mode needs BOTH channel markers — the `_ddl` record column
+    // AND the `_change` tag its rows are stamped with — so an ordinary
+    // stream that merely has a user column named `_ddl` is not
+    // misrouted into schema application
+    val ddlMode = fresh0.columns.contains("_ddl") && fresh0.columns.contains("_change")
     val cached = if (ddlMode) fresh0.cache() else fresh0
     try {
       val fresh =
@@ -71,11 +75,14 @@ final class LakehouseSink(
         else {
           import org.apache.spark.sql.functions.col
           val seqRe = """"seq":(\d+)""".r
-          val ddl = cached.filter(col("_ddl").isNotNull)
+          val ddl = cached
+            .filter(col("_change") === "schema" && col("_ddl").isNotNull)
             .select("_ddl").collect().map(_.getString(0))
             .sortBy(j => seqRe.findFirstMatchIn(j).map(_.group(1).toLong).getOrElse(0L))
           ddl.foreach(table.applySchemaChange)
-          val data0 = cached.filter(col("_ddl").isNull).drop("_ddl")
+          // null-safe: only rows POSITIVELY tagged 'schema' are records
+          val data0 = cached.filter(
+            org.apache.spark.sql.functions.not(col("_change") <=> "schema")).drop("_ddl")
           // under the channel the TARGET SCHEMA is authoritative: a
           // batch column the target doesn't declare is a column the
           // DDL history dropped (the pinned upstream stream keeps

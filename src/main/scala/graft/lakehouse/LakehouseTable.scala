@@ -1221,10 +1221,18 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       "DROP COLUMN with live merge-on-read tombstones is unsupported " +
         "(tombstone key files may reference it); run compact() or " +
         "foldTombstones() first")
-    val declaredSpec = declaredPartitionSpec
-    require(!declaredSpec.exists(p => nameKey(specSourceCol(p)) == nameKey(name)),
-      s"cannot drop '$name': the declared partition layout references it " +
-        s"(${declaredSpec.mkString(", ")}) — evolve the layout first " +
+    // guard BOTH layout sources: the declared spec AND — for path-based
+    // tables without catalog metadata — the layout the write path
+    // INFERS from the surviving hive dirs (dropping that column would
+    // brick every later keyed write: writeDataFiles would partition by
+    // a column the canonicalized batch no longer carries)
+    val layoutSpec = {
+      val d = declaredPartitionSpec
+      if (d.nonEmpty) d else inferPartitionCols(cur.files)
+    }
+    require(!layoutSpec.exists(p => nameKey(specSourceCol(p)) == nameKey(name)),
+      s"cannot drop '$name': the table's partition layout references it " +
+        s"(${layoutSpec.mkString(", ")}) — evolve the layout first " +
         "(setPartitionSpec / CALL <catalog>.system.set_partition_spec), then drop")
     val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
     val field = schema.fields.find(f => nameKey(f.name) == nameKey(name))
@@ -1275,13 +1283,17 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       require(cur.tombstones.isEmpty,
         "RENAME COLUMN with live merge-on-read tombstones is unsupported " +
           "(tombstone key files carry the old name); run compact() first")
-      // a DECLARED layout (catalog metadata) that references the column
-      // would break every later INSERT (the spec string keeps the old
-      // name and the write path resolves it against the batch)
-      val declaredSpec = declaredPartitionSpec
+      // a layout (declared in catalog metadata, or INFERRED from hive
+      // dirs for path tables) that references the column would break
+      // every later write (the spec keeps the old name and the write
+      // path resolves it against the batch)
+      val declaredSpec = {
+        val d = declaredPartitionSpec
+        if (d.nonEmpty) d else inferPartitionCols(cur.files)
+      }
       require(!declaredSpec.exists(p =>
         nameKey(specSourceCol(p)) == nameKey(oldName)),
-        s"cannot rename '$oldName': the declared partition layout references it " +
+        s"cannot rename '$oldName': the table's partition layout references it " +
           s"(${declaredSpec.mkString(", ")}) — evolve the layout first " +
           "(setPartitionSpec / CALL <catalog>.system.set_partition_spec), " +
           "then rename")
@@ -1361,7 +1373,15 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     rename.findFirstMatchIn(json) match {
       case Some(m) =>
         val (from, to) = (m.group(1), m.group(2))
-        if (field(to).isDefined) () // already applied
+        if (field(to).isDefined && field(from).isDefined)
+          // BOTH names live: not a replay — the target grew its own
+          // column under the destination name; absorbing would desync
+          // every later batch silently
+          throw new IllegalStateException(
+            s"cannot replay schema change $json: both '$from' and '$to' exist " +
+              s"in ${schema.fieldNames.mkString("[", ", ", "]")} — the " +
+              "replication target has diverged from the source lineage")
+        else if (field(to).isDefined) () // already applied
         else if (field(from).isDefined) {
           if (cur.tombstones.nonEmpty) foldTombstones()
           renameColumn(from, to)
@@ -1616,13 +1636,23 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     * Masks accumulate across MoR applies with nothing else bounding
     * them — this is what a compaction trigger can finally read.
     */
-  def tombstoneVolume(snap: Snapshot): (Int, Long, Long) = {
+  def tombstoneVolume(snap: Snapshot): (Int, Long, Long) =
+    tombstoneVolume(snap, footerFallback = true)
+
+  /** [[tombstoneVolume]] with the footer fallback optional: a metadata
+    * listing over a LONG lineage ($snapshots) must stay zero-I/O even
+    * for pre-stats manifests — manifest stats only, missing entries
+    * count zero (the budget path keeps the exact fallback form).
+    */
+  def tombstoneVolume(snap: Snapshot, footerFallback: Boolean): (Int, Long, Long) = {
     var keys = 0L
     var bytes = 0L
     snap.tombstones.foreach { f =>
-      fileStatsOf(snap, f).foreach { st =>
-        keys += st.rows
-        bytes += st.bytes.getOrElse(0L)
+      val st = if (footerFallback) fileStatsOf(snap, f)
+        else snap.stats.flatMap(_.get(f))
+      st.foreach { s =>
+        keys += s.rows
+        bytes += s.bytes.getOrElse(0L)
       }
     }
     (snap.tombstones.size, keys, bytes)
@@ -1753,19 +1783,14 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       toS.aliases.collectFirst {
         case (cur, olds) if olds.exists(a => nameKey(a.name) == nameKey(fromName)) => cur
       }.getOrElse(fromName)
-    val unionSchema = {
-      val f = DataType.fromJson(fromS.schemaJson).asInstanceOf[StructType]
-      val t = DataType.fromJson(toS.schemaJson).asInstanceOf[StructType]
-      // the feed speaks the TO side's schema: a column DROPPED between
-      // the snapshots is excluded — including it would make every
-      // surviving row diff as changed (old value vs NULL) and replay
-      // the whole table as churn into every streaming replica
-      val droppedNow = toS.droppedCols.keySet.map(nameKey)
-      val mapped = f.fields.map(fld => fld.copy(name = currentNameOf(fld.name)))
-        .filterNot(x => droppedNow(nameKey(x.name)))
-      val known = mapped.map(x => nameKey(x.name)).toSet
-      StructType(mapped ++ t.fields.filterNot(x => known(nameKey(x.name))))
-    }
+    // the feed speaks the TO side's schema, EXACTLY: from-side frames
+    // map their renamed columns forward; a from-side-only column is
+    // dropped history (the dropped registry may already have been
+    // cleared by a compaction in the range, so the to-side schema —
+    // not the registry — is the authority) and carrying it would make
+    // every surviving row diff as changed (old value vs NULL),
+    // replaying the whole table as churn into every streaming replica
+    val unionSchema = DataType.fromJson(toS.schemaJson).asInstanceOf[StructType]
     /** from-side frames rename to the to-side's current names first. */
     def toNames(df: DataFrame): DataFrame =
       df.columns.foldLeft(df) { (d, c) =>

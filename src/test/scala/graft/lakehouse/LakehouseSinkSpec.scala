@@ -102,4 +102,18 @@ class LakehouseSinkSpec extends SparkSpec {
     assert(new LakehouseTable(spark, apRoot).read().count() === 2,
       "replays dedupe by batchId, identical payloads in new batches do not")
   }
+
+  test("a user column that merely NAMES itself _ddl is data, not a schema record") {
+    // DDL mode requires BOTH channel markers (_ddl AND _change): an
+    // ordinary stream with its own `_ddl` column must land it as data
+    // instead of being misrouted into applySchemaChange (which would
+    // kill the stream with 'unparseable schema change')
+    val ctx = spark.sqlContext
+    val root = tmpDir("sink-ddlname")
+    val s = new LakehouseSink(ctx, root, Nil, "app-ddlname", Nil)
+    s.addBatch(0, Seq((1L, "whatever")).toDF("id", "_ddl"))
+    val got = new LakehouseTable(spark, root).read()
+    assert(got.columns.toSeq === Seq("id", "_ddl"), "the column must survive as data")
+    assert(got.count() === 1L)
+  }
 }

@@ -484,12 +484,66 @@ class SchemaEvolutionSpec extends SparkSpec {
     val snaps = twin.listSnapshots().size
     ddl.foreach(twin.applySchemaChange)
     assert(twin.listSnapshots().size === snaps, "replay must be structurally absorbed")
-    // a diverged target fails loudly
+    // a diverged target fails loudly — neither name present …
     val stranger = new LakehouseTable(spark, tmpDir("ev-ddl-str"))
     stranger.append(Seq((1, "z")).toDF("x", "y").coalesce(1))
     val e = intercept[IllegalStateException](
       stranger.applySchemaChange("""{"seq":1,"op":"rename","from":"v","to":"label"}"""))
     assert(e.getMessage.contains("diverged"), e.getMessage)
+    // … and BOTH names present is divergence too, not a replay (a
+    // silent skip would desync every later batch)
+    val both = new LakehouseTable(spark, tmpDir("ev-ddl-both"))
+    both.append(Seq((1, "a", "b")).toDF("k", "v", "label").coalesce(1))
+    val e2 = intercept[IllegalStateException](
+      both.applySchemaChange("""{"seq":1,"op":"rename","from":"v","to":"label"}"""))
+    assert(e2.getMessage.contains("diverged"), e2.getMessage)
+  }
+
+  test("drop/rename of an INFERRED (path-layout) partition column refuses; feed diffs stay dropped-column-free across compaction") {
+    import org.apache.spark.sql.functions.col
+    // path table, no catalog metadata: layout only inferable from dirs
+    val t = new LakehouseTable(spark, tmpDir("ev-inferred"))
+    t.append(Seq((1L, "x", "a"), (2L, "y", "b")).toDF("k", "v", "cell"),
+      partitionBy = Seq("cell"))
+    val e1 = intercept[Exception](t.dropColumn("cell"))
+    assert(e1.getMessage.contains("partition layout"), e1.getMessage)
+    val e2 = intercept[Exception](t.renameColumn("cell", "zone"))
+    assert(e2.getMessage.contains("partition layout"), e2.getMessage)
+    // non-layout columns still drop/rename fine on the same table
+    t.dropColumn("v")
+    assert(t.read().columns.toSeq === Seq("k", "cell"))
+    // feed semantics: a diff range spanning drop + COMPACTION (which
+    // clears the dropped registry) must still speak the to-side schema
+    val d = new LakehouseTable(spark, tmpDir("ev-dropfeed"))
+    d.append(Seq((1L, "a", 1), (2L, "b", 2)).toDF("k", "v", "x").coalesce(1))
+    val s1 = d.currentSnapshot().get.snapshotId
+    d.dropColumn("x")
+    d.compact(fileThreshold = 1, maxRows = 100000000L) // registry clears
+    d.upsert(Seq((2L, "B2")).toDF("k", "v"), Seq("k"))
+    val ch = d.changesBetween(s1, d.currentSnapshot().get.snapshotId)
+    assert(!ch.columns.contains("x"),
+      "cross-drop diffs must exclude the dropped column even after the " +
+        "registry cleared — including it would replay the table as churn")
+    val got = ch.collect().map(r =>
+      (r.getAs[String]("_change"), r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+    assert(got === Set(("insert", 2L, "B2"), ("delete", 2L, "b")), got.mkString(","))
+    t.read().count() // keeps the inferred-layout table exercised post-drop
+    assert(t.read().filter(col("cell") === "a").count() === 1L)
+  }
+
+  test("mid-stream ADD guard survives an add-then-rename in one range (values must not silently drop)") {
+    val t = new LakehouseTable(spark, tmpDir("ev-addrename"))
+    t.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    val pinAt = t.currentSnapshot().get.snapshotId
+    val src = new ChangeFeedSource(spark.sqlContext, t.root, emitSchemaChanges = true)
+    t.addColumns(Seq(StructField("c", StringType)))
+    t.append(Seq((2L, "b", "C2")).toDF("k", "v", "c").coalesce(1))
+    t.renameColumn("c", "d") // the add's name is gone from head — but alive as 'd'
+    val head = t.currentSnapshot().get.snapshotId
+    val e = intercept[IllegalStateException](src.getBatch(
+      Some(org.apache.spark.sql.execution.streaming.runtime.LongOffset(pinAt)),
+      org.apache.spark.sql.execution.streaming.runtime.LongOffset(head)))
+    assert(e.getMessage.contains("restart the stream"), e.getMessage)
   }
 
   test("rename lineage survives snapshot expiry and a second rename chains aliases") {
