@@ -371,7 +371,11 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     // and overwrite reset it explicitly with Some(empty))
     val s0 = if (s0a.drops.isEmpty)
       s0a.copy(drops = currentSnapshot().flatMap(_.drops)) else s0a
-    val s = s0.copy(stats = Some(manifestStatsFor(s0.files)))
+    // TOMBSTONE key files get manifest stats too: the tombstone-volume
+    // surface ($snapshots, the maintenance budget) must answer from the
+    // manifest alone — without this, a lineage listing would need a
+    // parquet footer read per tombstone file per snapshot
+    val s = s0.copy(stats = Some(manifestStatsFor(s0.files ++ s0.tombstones)))
     Files.createDirectories(snapsDir)
     onBeforePublish()
     val p = snapsDir.resolve(f"${s.snapshotId}%09d.json")
