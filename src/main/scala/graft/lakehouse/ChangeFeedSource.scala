@@ -258,8 +258,35 @@ final class ChangeFeedSource(sqlContext: SQLContext, root: String,
           case None => d.withColumn(f.name, lit(null).cast(f.dataType))
         }
       }
-      filled.select(schema.fields.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      // the loud-failure contract for a post-widen value that cannot
+      // round-trip to the pinned width is ANSI's overflow error; with
+      // ANSI off (non-default on Spark 4, but a session conf) the cast
+      // would silently WRAP the value into the replication feed — guard
+      // integral narrowing casts explicitly with a round-trip check
+      // (exactly the pairs ANSI itself throws on; float→double never
+      // narrows back here because widening is the only evolution)
+      val ansi = sqlContext.sparkSession.sessionState.conf.ansiEnabled
+      val integral: Set[DataType] = Set(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+      filled.select(schema.fields.map { f =>
+        val srcType = filled.schema.fields
+          .find(x => lk(x.name) == lk(f.name)).map(_.dataType).getOrElse(f.dataType)
+        val casted = col(f.name).cast(f.dataType)
+        val guarded =
+          if (ansi || srcType == f.dataType ||
+              !integral(srcType) || !integral(f.dataType)) casted
+          else when(col(f.name).isNotNull && casted.cast(srcType) =!= col(f.name),
+            raise_error(concat(
+              lit(s"change-feed: value of widened column '${f.name}' overflows " +
+                s"the stream's pinned ${f.dataType.simpleString} — restart the " +
+                "stream (the checkpoint resumes here and re-pins the evolved " +
+                "schema); value: "),
+              col(f.name).cast(org.apache.spark.sql.types.StringType))))
+            .otherwise(casted)
+        guarded.as(f.name)
+      }.toIndexedSeq: _*)
     }
     val conformed = parts.map(conform).reduce(_.unionByName(_))
     // the schema-history side channel: DDL records for the range, as
@@ -282,8 +309,8 @@ final class ChangeFeedSource(sqlContext: SQLContext, root: String,
         val headSchema = table.currentSnapshot().map(s =>
           DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
             .fieldNames.map(lk).toSet).getOrElse(Set.empty)
-        val addRe = """"op":"add","column":"([^"]+)"""".r
-        ddl.flatMap(j => addRe.findFirstMatchIn(j).map(_.group(1))).foreach { c =>
+        ddl.map(DdlRecord.parse).filter(_.op == "add")
+          .flatMap(_.column).foreach { c =>
           // "still alive at head" must look THROUGH the alias lineage:
           // an add-then-rename within one range would otherwise slip
           // past the guard (headSchema holds the new name) and lose
@@ -357,6 +384,17 @@ object ChangeFeedSource {
     val snap = table.currentSnapshot().getOrElse(throw new IllegalStateException(
       "change-feed stream requires a table with at least one snapshot"))
     val base0 = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    // the feed RESERVES its marker columns: a user column under either
+    // name would duplicate the stream schema (or misroute user rows
+    // into the sink's schema-application path) — fail at stream start
+    val reserved = if (withDdl) Seq("_change", "_ddl") else Seq("_change")
+    reserved.foreach { r =>
+      require(!base0.fieldNames.exists(_.equalsIgnoreCase(r)),
+        s"change-feed: the source table already declares a column named " +
+          s"'$r', which the feed reserves" +
+          (if (r == "_ddl") " when emitSchemaChanges is on" else "") +
+          " — rename the column before streaming")
+    }
     val base = if (withDdl) base0.fields.map(_.copy(nullable = true)) else base0.fields
     val fixed = base :+ StructField("_change", StringType, nullable = false)
     StructType(if (withDdl) fixed :+ StructField("_ddl", StringType) else fixed)

@@ -118,7 +118,14 @@ final class LakehouseBatchScan(
     * copy-on-write snapshots and all-null-key tombstones).
     */
   @transient private lazy val morMasks: Seq[MorMaskData] =
-    if (snap.tombstones.isEmpty) Nil else LakehouseMor.build(spark, t, snap)
+    // ignoreMorMasks: the micro-batch stream's INCREMENTAL batches plan
+    // tombstone-free — appended files deliver as-committed, so a
+    // skipChangeCommits batch spanning append-then-MoR-apply can't let
+    // the later masks retro-filter the earlier rows (delivered content
+    // must not depend on trigger boundaries)
+    if (snap.tombstones.isEmpty ||
+        LakehouseSource.boolOpt(options, "ignoreMorMasks")) Nil
+    else LakehouseMor.build(spark, t, snap)
 
   @transient private lazy val maskBcs
       : Seq[org.apache.spark.broadcast.Broadcast[MorMaskData]] =

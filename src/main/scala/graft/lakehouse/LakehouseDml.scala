@@ -321,6 +321,26 @@ object LakehouseDml {
     (uniq, scan2, restore)
   }
 
+  /** Stage every uncorrelated SCALAR subquery in `e`: run its plan once
+    * (one distributed job — exactly what Spark's own subquery execution
+    * does before injecting the value into the enclosing plan) and plant
+    * the result as a Literal, with the ANSI more-than-one-row check.
+    * This is what lets MERGE ON carry `t.k = (SELECT max(…) …)` shapes:
+    * ON is a join condition, where Spark cannot host subquery
+    * expressions — post-staging the condition is subquery-free, so the
+    * ON-clause equi-pair file pruning sees the literal too.
+    */
+  private[lakehouse] def stageScalarSubqueries(
+      spark: SparkSession, e: Expression): Expression =
+    e.transform {
+      case sc: cexp.ScalarSubquery if !sc.isCorrelated =>
+        val rows = ofRows(spark, sc.plan).limit(2).collect()
+        if (rows.length > 1)
+          throw new IllegalStateException(
+            "MERGE ON scalar subquery returned more than one row")
+        Literal.create(if (rows.isEmpty) null else rows(0).get(0), sc.dataType)
+    }
+
   /** Catalyst predicate → `sources.Filter`, for file PRUNING only (the
     * residual is always the rebound original condition, so an
     * untranslated conjunct costs pruning power, never correctness).
@@ -390,11 +410,26 @@ object LakehouseDmlStrategy extends SparkStrategy {
         (s.output, s.relation.table.asInstanceOf[LakehouseV2Table])
     }
 
-  private def requireNoSubquery(e: Expression, where: String): Unit =
-    if (SubqueryExpression.hasSubquery(e))
-      throw new UnsupportedOperationException(
-        s"graft-lakehouse $where does not support subqueries — " +
-          "stage the subquery result and use MERGE INTO with it as the source")
+  /** MERGE ON hosts the JOIN condition, where Spark cannot plan
+    * subqueries at all. UNCORRELATED SCALAR subqueries stage instead
+    * (evaluated once, injected as a literal — see
+    * [[MergeLakehouseExec]]); every other shape refuses loudly with
+    * the staging recipe.
+    */
+  private def requireOnlyStageableSubqueries(e: Expression, where: String): Unit =
+    e.foreach {
+      case s: SubqueryExpression if s.isCorrelated =>
+        throw new UnsupportedOperationException(
+          s"graft-lakehouse $where supports only UNCORRELATED scalar subqueries " +
+            "(staged before the merge join) — correlated subqueries cannot live " +
+            "in a join condition; fold the correlation into the USING source")
+      case s: SubqueryExpression if !s.isInstanceOf[cexp.ScalarSubquery] =>
+        throw new UnsupportedOperationException(
+          s"graft-lakehouse $where supports only scalar subqueries (staged to a " +
+            "literal before the merge join) — stage IN/EXISTS results into the " +
+            "USING source instead")
+      case _ => ()
+    }
 
   private def assignmentPairs(assignments: Seq[Assignment], what: String): Seq[(AttributeReference, Expression)] =
     assignments.map {
@@ -419,8 +454,10 @@ object LakehouseDmlStrategy extends SparkStrategy {
           "graft-lakehouse MERGE does not support WITH SCHEMA EVOLUTION; " +
             "schema evolves widen-only through writes")
         // ON hosts the JOIN condition — Spark itself cannot plan a
-        // subquery inside a join condition, so the refusal is structural
-        requireNoSubquery(m.mergeCondition, "MERGE ON")
+        // subquery inside a join condition. Uncorrelated SCALARS stage
+        // (the exec evaluates them once and plants literals); other
+        // shapes refuse structurally.
+        requireOnlyStageableSubqueries(m.mergeCondition, "MERGE ON")
         (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions).foreach {
           case UpdateAction(cond, assigns, _) =>
             cond.foreach(requireUncorrelated(_, "MERGE WHEN")); assignmentPairs(assigns, "MERGE UPDATE SET")
@@ -639,11 +676,16 @@ private[lakehouse] final case class MergeLakehouseExec(
     val fieldIdxOf: Map[ExprId, Int] = targetOutput.zipWithIndex
       .map { case (a, i) => a.exprId -> i }.toMap
 
+    // uncorrelated scalar subqueries in ON stage to literals FIRST (a
+    // join condition cannot host them); the staged condition then
+    // feeds both the file probe and the merge join
+    val mergeCond = LakehouseDml.stageScalarSubqueries(spark, merge.mergeCondition)
+
     // ON-clause equi-conjuncts `t.col = <source-only expr>` drive the
     // touched-file probe; the source-side expressions evaluate on the
     // source frame DIRECTLY (same analyzed plan, same exprIds)
     val equiPairs: Seq[(String, Expression)] =
-      LakehouseDml.conjuncts(merge.mergeCondition).collect {
+      LakehouseDml.conjuncts(mergeCond).collect {
         case cexp.EqualTo(a: AttributeReference, r)
             if tIds(a.exprId) && r.references.forall(x => sIds(x.exprId)) &&
               r.deterministic && a.dataType == r.dataType =>
@@ -676,7 +718,7 @@ private[lakehouse] final case class MergeLakehouseExec(
           val sdf = sdf0.toDF(sourceOutput.indices.map(i => s"__gs_$i"): _*)
             .withColumn("__gs_m", lit(1))
           val joinType = if (merge.notMatchedActions.nonEmpty) "full_outer" else "left_outer"
-          val joined = tdf.join(sdf, rebind(merge.mergeCondition, names), joinType).cache()
+          val joined = tdf.join(sdf, rebind(mergeCond, names), joinType).cache()
           joinedCache = Some(joined)
           val matchedC = col("__gt_m").isNotNull && col("__gs_m").isNotNull
 

@@ -5,15 +5,17 @@ import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFacto
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Append-only DSv2 micro-batch stream over a lakehouse table — the
   * `spark.readStream.table("graft.db.t")` face (the Delta
   * `skipChangeCommits` shape):
   *
-  *  - Offset = snapshot id; the FIRST batch (from offset 0) is the
-  *    stream-start snapshot's full state (the bootstrap), read through
-  *    the native scan (MoR masks included).
+  *  - Offset = snapshot id, or a mid-bootstrap file cursor
+  *    (`{"s":snapshot,"f":filesDelivered}` — [[FileSliceOffset]], the
+  *    same composite the changefeed uses); the FIRST batch (from
+  *    offset 0) is the stream-start snapshot's full state (the
+  *    bootstrap), read through the native scan (MoR masks included).
   *  - Every later batch delivers exactly the files ADDED by its
   *    snapshot range — partition-hostable, which is why the DSv2 face
   *    exists for the ingest-tail case while CHANGEFEED semantics (diff
@@ -23,14 +25,26 @@ import org.apache.spark.sql.types.StructType
   *    delete/compact) or tombstones changed (MoR apply) — fails the
   *    stream LOUDLY, or is skipped entirely under
   *    `.option("skipChangeCommits", true)` (its added files are NOT
-  *    delivered, mirroring Delta). Schema-only alters add no files and
-  *    pass through silently.
+  *    delivered, mirroring Delta). A schema-only alter passes through
+  *    UNLESS it ADDs a column that survives at head: the stream's
+  *    schema is pinned at start, so the new column's values have no
+  *    slot — delivering the batch would silently undeliver them
+  *    forever. That shape fails loudly (uncommitted offset: a restart
+  *    re-pins the evolved schema and redelivers the range WITH the
+  *    column), mirroring the changefeed's contract.
   *
   * Each batch plans through a snapshot-pinned [[LakehouseBatchScan]]
   * restricted to the batch's file slice, so the vectorized readers,
   * layout grouping, and rename-epoch handling are the SAME code the
   * batch face runs; [[LakehouseReaderFactory]] dispatches on the spec
   * each partition carries, so one factory serves every batch.
+  * Incremental batches plan MASK-FREE (`ignoreMorMasks`): appended
+  * files must deliver as-committed — under `skipChangeCommits` a batch
+  * spanning append(A) then MoR-apply(B) would otherwise let B's
+  * tombstones retro-filter A's rows, making delivered content depend
+  * on trigger timing. (In loud mode the two plans agree: a mask can
+  * only affect files OLDER than itself, and any tombstone change in
+  * the range fails the stream anyway.)
   */
 private[lakehouse] final class LakehouseMicroBatchStream(
     options: Map[String, String],
@@ -45,52 +59,102 @@ private[lakehouse] final class LakehouseMicroBatchStream(
   private val skipChangeCommits = LakehouseSource.boolOpt(options, "skipChangeCommits")
 
   /** Admission control (the changefeed caps, in this face's natural
-    * unit): `maxSnapshotsPerTrigger` clamps each batch to N snapshots
+    * units): `maxSnapshotsPerTrigger` clamps each batch to N snapshots
     * past the committed offset — a cold start then bootstraps from the
     * EARLIEST retained snapshot's state and drains forward N at a
-    * time; `maxBytesPerTrigger` additionally stops the range where the
-    * cumulative ADDED-file bytes (manifest sizes, zero I/O) cross the
-    * cap, always making one snapshot of progress.
+    * time. `maxFilesPerTrigger` additionally bounds the BOOTSTRAP: a
+    * table bulk-loaded in ONE snapshot would otherwise arrive as a
+    * single batch no matter what the snapshot cap says — with M set,
+    * the bootstrap snapshot's file list (immutable, manifest-ordered)
+    * drains as ⌈files/M⌉ checkpointed batches through mid-bootstrap
+    * [[FileSliceOffset]]s, each a pure function of its pinned range —
+    * a restart resumes at the recorded file index, never from zero.
+    * `maxBytesPerTrigger` is the byte-denominated form, answered
+    * ENTIRELY from manifest-recorded file sizes (zero I/O): bootstrap
+    * slices stop growing at B bytes, incremental ranges stop where the
+    * cumulative ADDED-file bytes cross it. All caps compose (whichever
+    * binds first); each batch always makes one file / one snapshot of
+    * progress so the stream can't stall.
     */
   private val maxSnapshotsPerTrigger =
     LakehouseSource.longOptOf(options, "maxSnapshotsPerTrigger")
+  private val maxFilesPerTrigger =
+    LakehouseSource.longOptOf(options, "maxFilesPerTrigger")
   private val maxBytesPerTrigger =
     LakehouseSource.longOptOf(options, "maxBytesPerTrigger")
   require(maxSnapshotsPerTrigger.forall(_ > 0),
     s"maxSnapshotsPerTrigger must be positive, got $maxSnapshotsPerTrigger")
+  require(maxFilesPerTrigger.forall(_ > 0),
+    s"maxFilesPerTrigger must be positive, got $maxFilesPerTrigger")
   require(maxBytesPerTrigger.forall(_ > 0),
     s"maxBytesPerTrigger must be positive, got $maxBytesPerTrigger")
 
-  /** Clamped range end past offset `s` toward `head`. */
-  private def clampedEnd(s: Long, head: Long): Long = {
-    val from =
-      if (s > 0L) s
-      else maxSnapshotsPerTrigger.fold(head)(_ =>
-        // bounded cold start: begin at the earliest retained snapshot
-        // (its state is the first batch) instead of one head-sized one
-        table.listSnapshots().headOption.map(_.snapshotId - 1).getOrElse(head))
-    val bySnaps = maxSnapshotsPerTrigger.fold(head)(n => math.min(head, from + n))
+  /** Column names (lowercased) the stream PINNED at start — the
+    * mid-stream-ADD guard's reference. Computed EAGERLY: construction
+    * is run start, the same moment the engine resolves the query's
+    * schema; a lazy pin could slip past an upstream ADD and let the
+    * guard wave the batch through.
+    */
+  private val pinnedNames: Set[String] =
+    table.currentSnapshot().map(s =>
+      DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+        .fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+      .getOrElse(Set.empty)
+
+  /** Bootstrap cursor advance from file index `from` of snapshot `s`:
+    * take files while BOTH the file-count and byte caps hold (manifest
+    * byte sizes — zero I/O), always at least one.
+    */
+  private def sliceEnd(s: Long, from: Long): Long = {
+    val snap = table.snapshotOrThrow(s)
+    val countCap = maxFilesPerTrigger.getOrElse(Long.MaxValue)
+    val bytesCap = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    var i = from
+    var acc = 0L
+    var cont = true
+    while (cont && i < snap.files.size && (i - from) < countCap) {
+      val sz = table.fileSizeOf(snap, snap.files(i.toInt))
+      if (i > from && acc + sz > bytesCap) cont = false
+      else { acc += sz; i += 1 }
+    }
+    i
+  }
+
+  /** Clamped INCREMENTAL range end past committed snapshot `s` toward
+    * `head` (snapshot-count and added-file-byte caps).
+    */
+  private def incrementalEnd(s: Long, head: Long): Long = {
+    val bySnaps = maxSnapshotsPerTrigger.fold(head)(n => math.min(head, s + n))
     maxBytesPerTrigger match {
-      case Some(cap) if bySnaps > from && s > 0L =>
-        // byte-clamp INCREMENTAL ranges from manifest sizes (the
-        // bootstrap batch is snapshot-state-shaped; the snapshot cap
-        // bounds it instead)
+      case Some(cap) if bySnaps > s =>
         val snaps = table.listSnapshots()
         val byId = snaps.map(x => x.snapshotId -> x).toMap
-        var e = from
+        var e = s
         var acc = 0L
-        snaps.filter(x => x.snapshotId > from && x.snapshotId <= bySnaps)
+        snaps.filter(x => x.snapshotId > s && x.snapshotId <= bySnaps)
           .takeWhile { sn =>
             val pf = sn.parentId.flatMap(byId.get).map(_.files.toSet)
               .getOrElse(Set.empty[String])
             val bytes = sn.files.filterNot(pf).map(f => table.fileSizeOf(sn, f)).sum
-            val fits = e == from || acc + bytes <= cap
+            val fits = e == s || acc + bytes <= cap
             if (fits) { acc += bytes; e = sn.snapshotId }
             fits
           }
         e
       case _ => bySnaps
     }
+  }
+
+  /** The bootstrap snapshot for a cold start toward `head`: the
+    * earliest retained snapshot clamped forward under a snapshot cap
+    * (bounded cold start), the head state otherwise.
+    */
+  private def bootSnapshot(head: Long): Long = maxSnapshotsPerTrigger match {
+    case Some(n) =>
+      val from = table.listSnapshots().headOption
+        .map(_.snapshotId - 1).getOrElse(head)
+      math.min(head, from + n)
+    case None => head
   }
 
   // Trigger.AvailableNow: pin the head at prepare time and cycle
@@ -116,25 +180,43 @@ private[lakehouse] final class LakehouseMicroBatchStream(
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val head = availableNowHead.orElse(table.currentSnapshot().map(_.snapshotId))
       .getOrElse(return null)
-    if (maxSnapshotsPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
+    if (maxSnapshotsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty &&
+        maxBytesPerTrigger.isEmpty)
       return LongOffset(head)
-    val s = Option(start).map(_.json.trim.toLong).getOrElse(0L)
-    LongOffset(math.max(clampedEnd(s, head), s))
+    Option(start).map(o => ChangeFeedSource.parsePos(o.json)) match {
+      case None | Some(Left(0L)) =>
+        // cold start: bootstrap snapshot under the snapshot cap, its
+        // file list under the file/byte caps
+        val bootEnd = bootSnapshot(head)
+        val cut = sliceEnd(bootEnd, 0L)
+        if (cut < table.snapshotOrThrow(bootEnd).files.size) FileSliceOffset(bootEnd, cut)
+        else LongOffset(bootEnd)
+      case Some(Right((s, k))) =>
+        // mid-bootstrap: advance the file cursor; the final slice lands
+        // on the plain snapshot offset, ending the bootstrap phase (if
+        // the caps were removed across a restart, the remainder is one
+        // batch)
+        val cut = sliceEnd(s, k)
+        if (cut < table.snapshotOrThrow(s).files.size) FileSliceOffset(s, cut)
+        else LongOffset(s)
+      case Some(Left(s)) =>
+        // the head never regresses below a committed offset
+        LongOffset(math.max(incrementalEnd(s, head), s))
+    }
   }
 
   override def deserializeOffset(json: String): Offset =
-    LongOffset(json.trim.toLong)
+    ChangeFeedSource.parsePos(json) match {
+      case Left(s) => LongOffset(s)
+      case Right((s, k)) => FileSliceOffset(s, k)
+    }
 
   override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
 
-  /** Files to deliver for (start, end]: the bootstrap state when
-    * start = 0, otherwise the per-snapshot added files under the
-    * append-only contract.
-    */
+  /** Files ADDED in (start, end] under the append-only contract. */
   private def deliveredFiles(start: Long, end: Long): Set[String] = {
-    if (start == 0L) return table.snapshotOrThrow(end).files.toSet
     val snaps = table.listSnapshots()
     val byId = snaps.map(s => s.snapshotId -> s).toMap
     snaps.filter(s => s.snapshotId > start && s.snapshotId <= end).flatMap { s =>
@@ -162,20 +244,88 @@ private[lakehouse] final class LakehouseMicroBatchStream(
     }.toSet
   }
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    // handles both live LongOffsets and checkpoint-restored serialized
-    // forms (plain long json either way)
-    val s = start.json.trim.toLong
-    val e = end.json.trim.toLong
-    if (e <= s) return Array.empty
-    val files = deliveredFiles(s, e)
+  /** The mid-stream-ADD guard (the changefeed's contract, ported): an
+    * `alter` in the range that ADDs a column still alive at head — the
+    * alias lineage counts, or an add-then-rename would slip past — is
+    * the one shape the pinned schema cannot carry; fail LOUDLY so the
+    * uncommitted offset redelivers the range with the column after a
+    * restart re-pins. (Dropped again by head → values are moot →
+    * deliver without it.)
+    */
+  private def guardMidStreamAdd(start: Long, end: Long): Unit = {
+    if (pinnedNames.isEmpty) return
+    def lk(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    lazy val headSnap = table.currentSnapshot()
+    lazy val headNames = headSnap.map(s =>
+      DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+        .fieldNames.map(lk).toSet).getOrElse(Set.empty)
+    lazy val aliasNames = headSnap.map(_.aliases.values.flatten.map(a => lk(a.name)).toSet)
+      .getOrElse(Set.empty[String])
+    table.schemaChangesBetween(start, end).map(DdlRecord.parse)
+      .filter(_.op == "add").flatMap(_.column).foreach { c =>
+        val aliveAtHead = headNames(lk(c)) || aliasNames(lk(c))
+        if (!pinnedNames(lk(c)) && aliveAtHead)
+          throw new IllegalStateException(
+            s"upstream added column '$c' mid-stream: the stream's pinned " +
+              "schema cannot carry its values — restart the stream (the " +
+              "checkpoint resumes here and re-pins the evolved schema)")
+      }
+  }
+
+  /** Partitions for one snapshot-pinned slice; `masked=false` plans
+    * tombstone-free (incremental appended files — see class doc).
+    */
+  private def partitionsFor(pinSnapshot: Long, files: Set[String],
+      masked: Boolean): Array[InputPartition] = {
     if (files.isEmpty) return Array.empty
-    // snapshot-pinned per-batch scan over exactly this slice: replays
-    // after a crash read the identical immutable range
-    val batchScan = new LakehouseBatchScan(
-      options + ("snapshotId" -> e.toString), required, accepted,
-      fileSubset = Some(files))
-    batchScan.planInputPartitions()
+    val opts = options + ("snapshotId" -> pinSnapshot.toString) ++
+      (if (masked) Map.empty[String, String]
+       else Map("ignoreMorMasks" -> "true"))
+    new LakehouseBatchScan(opts, required, accepted, fileSubset = Some(files))
+      .planInputPartitions()
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    // handles live offsets and checkpoint-restored serialized forms
+    // (both parse from json); replays after a crash read the identical
+    // immutable range — every case is a pure function of its offsets
+    import ChangeFeedSource.parsePos
+    (parsePos(start.json), parsePos(end.json)) match {
+      case (Left(0L), Left(e)) =>
+        if (e <= 0L) Array.empty
+        // bootstrap = the snapshot's full state, MoR masks included
+        else partitionsFor(e, table.snapshotOrThrow(e).files.toSet, masked = true)
+      case (Left(0L), Right((bs, k))) =>
+        // bootstrap's first file slice (tombstones mask per-row, so
+        // slicing commutes with masking)
+        partitionsFor(bs,
+          table.snapshotOrThrow(bs).files.take(k.toInt).toSet, masked = true)
+      case (Right((s1, k1)), Right((s2, k2))) =>
+        require(s1 == s2 && k1 < k2,
+          s"non-monotone bootstrap range ($s1,$k1) -> ($s2,$k2)")
+        partitionsFor(s1, table.snapshotOrThrow(s1)
+          .files.slice(k1.toInt, k2.toInt).toSet, masked = true)
+      case (Right((s, k)), Left(e)) =>
+        // the bootstrap's final slice; a same-batch head advance
+        // (e > s) appends the incremental files — still pure functions
+        // of the range, each pinned at its own snapshot
+        val snap = table.snapshotOrThrow(s)
+        val rest = partitionsFor(s,
+          snap.files.drop(k.toInt).toSet, masked = true)
+        if (e <= s) rest
+        else {
+          guardMidStreamAdd(s, e)
+          rest ++ partitionsFor(e, deliveredFiles(s, e), masked = false)
+        }
+      case (Left(s), Left(e)) =>
+        if (e <= s) Array.empty
+        else {
+          guardMidStreamAdd(s, e)
+          partitionsFor(e, deliveredFiles(s, e), masked = false)
+        }
+      case (Left(s), Right((s2, _))) => throw new IllegalStateException(
+        s"bootstrap offset ($s2) cannot follow a committed snapshot offset ($s)")
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

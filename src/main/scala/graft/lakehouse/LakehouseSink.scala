@@ -74,11 +74,10 @@ final class LakehouseSink(
         if (!ddlMode) cached
         else {
           import org.apache.spark.sql.functions.col
-          val seqRe = """"seq":(\d+)""".r
           val ddl = cached
             .filter(col("_change") === "schema" && col("_ddl").isNotNull)
             .select("_ddl").collect().map(_.getString(0))
-            .sortBy(j => seqRe.findFirstMatchIn(j).map(_.group(1).toLong).getOrElse(0L))
+            .sortBy(DdlRecord.seqOf)
           ddl.foreach(table.applySchemaChange)
           // null-safe: only rows POSITIVELY tagged 'schema' are records
           val data0 = cached.filter(

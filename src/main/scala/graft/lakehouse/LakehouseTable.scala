@@ -106,7 +106,16 @@ final case class Snapshot(
     // so re-adding the name would resurrect stale values); compaction
     // — which rewrites every file — clears it. Carried forward like
     // `renames`; Option so older manifests parse as None.
-    drops: Option[Map[String, Long]] = None) {
+    drops: Option[Map[String, Long]] = None,
+    // partition-spec EVOLUTION marker: set only on the `alter` snapshot
+    // [[LakehouseTable.setPartitionSpec]] commits, carrying the NEW
+    // declared layout — which is how the change makes the schema-history
+    // channel (schemaChangesBetween emits a set_spec DdlRecord for it),
+    // so replica layouts follow the source instead of silently keeping
+    // their own bucket-pruning/SPJ geometry. NOT cumulative (one-shot
+    // event, unlike renames/drops); Option so older manifests parse as
+    // None.
+    specChange: Option[Seq[String]] = None) {
   /** The tombstone file list (empty = plain copy-on-write snapshot). */
   def tombstones: Seq[String] = deletes.getOrElse(Nil)
   /** Current-name → former-names map (empty = never renamed). */
@@ -1044,20 +1053,32 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         require(cols(nameKey(c)), s"unknown bucket source column '$c' in '$p'")
       case c => require(cols(nameKey(c)), s"unknown partition column '$c'")
     }
+    // the evolution is a REAL alter snapshot (same files, same schema,
+    // specChange set): that is what puts it on the schema-history
+    // channel — schemaChangesBetween emits a set_spec record for it, so
+    // replicas adopt the layout instead of silently diverging their
+    // bucket-pruning/SPJ geometry. Committed FIRST: a concurrent-commit
+    // loss leaves the declared layout untouched (retry cleanly), while
+    // the reverse order could declare a layout no snapshot records.
+    val snap = writeSnapshot(Snapshot(nextId(), Some(cur.snapshotId),
+      System.currentTimeMillis(), "alter", cur.files, cur.schemaJson,
+      deletes = cur.deletes, specChange = Some(spec.toList)))
+    // declared layout + prune-gating version in _catalog.json, parsed
+    // and re-rendered as real JSON (every other catalog key preserved;
+    // the former regex surgery corrupted quote-bearing values)
     val metaP = rootPath.resolve("_catalog.json")
-    val existing = if (Files.exists(metaP)) Files.readString(metaP) else "{}"
-    val inner = existing
-      .replaceAll(""""partitionBy"\s*:\s*\[[^\]]*\]\s*,?\s*""", "")
-      .replaceAll(""""partitionSpecSince"\s*:\s*\d+\s*,?\s*""", "")
-      .trim.stripPrefix("{").stripSuffix("}").trim
-      .replaceAll("^\\s*,", "").replaceAll(",\\s*$", "").trim
-    val parts = Seq(
-      if (spec.nonEmpty)
-        Some(spec.map("\"" + _ + "\"").mkString("\"partitionBy\": [", ", ", "]"))
-      else None,
-      Some(s""""partitionSpecSince": ${cur.snapshotId}"""),
-      if (inner.nonEmpty) Some(inner) else None).flatten
-    Files.writeString(metaP, parts.mkString("{", ", ", "}"))
+    val others = (if (Files.exists(metaP))
+        JsonMethods.parse(Files.readString(metaP)) else JObject()) match {
+      case JObject(fields) =>
+        fields.filterNot(f => f._1 == "partitionBy" || f._1 == "partitionSpecSince")
+      case _ => Nil
+    }
+    val updated = JObject(
+      (if (spec.nonEmpty)
+         List(JField("partitionBy", JArray(spec.map(JString(_)).toList)))
+       else Nil) ++
+        List(JField("partitionSpecSince", JLong(snap.snapshotId))) ++ others)
+    Files.writeString(metaP, JsonMethods.compact(JsonMethods.render(updated)))
     ()
   }
 
@@ -1367,16 +1388,19 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     * continuing would desync every later batch).
     */
   def applySchemaChange(json: String): Unit = {
-    val rename = """"op":"rename","from":"([^"]+)","to":"([^"]+)"""".r
-    val drop = """"op":"drop","column":"([^"]+)"""".r
-    val retype = """"op":"(widen|add)","column":"([^"]+)","type":"([^"]+)"""".r
+    val rec = DdlRecord.parse(json)
     val cur = currentSnapshot().getOrElse(
       throw new IllegalStateException(s"table $root has no snapshots"))
     val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
     def field(n: String) = schema.fields.find(f => nameKey(f.name) == nameKey(n))
-    rename.findFirstMatchIn(json) match {
-      case Some(m) =>
-        val (from, to) = (m.group(1), m.group(2))
+    def fieldOf(rec: DdlRecord, what: String): String = rec.column.getOrElse(
+      throw new IllegalStateException(s"schema change record lacks $what: $json"))
+    rec.op match {
+      case "rename" =>
+        val from = rec.from.getOrElse(
+          throw new IllegalStateException(s"schema change record lacks from: $json"))
+        val to = rec.to.getOrElse(
+          throw new IllegalStateException(s"schema change record lacks to: $json"))
         if (field(to).isDefined && field(from).isDefined)
           // BOTH names live: not a replay — the target grew its own
           // column under the destination name; absorbing would desync
@@ -1394,36 +1418,40 @@ final class LakehouseTable(spark: SparkSession, val root: String,
           s"cannot replay schema change $json: neither '$from' nor '$to' " +
             s"exists in ${schema.fieldNames.mkString("[", ", ", "]")} — the " +
             "replication target has diverged from the source lineage")
-      case None if drop.findFirstMatchIn(json).isDefined =>
-        val name = drop.findFirstMatchIn(json).get.group(1)
+      case "drop" =>
+        val name = fieldOf(rec, "column")
         if (field(name).isEmpty) () // already applied
         else {
           if (cur.tombstones.nonEmpty) foldTombstones()
           dropColumn(name)
           ()
         }
-      case None => retype.findFirstMatchIn(json) match {
-        case Some(m) =>
-          val (op, name) = (m.group(1), m.group(2))
-          val to = DataType.fromDDL(m.group(3))
-          (op, field(name)) match {
-            case (_, Some(f)) if f.dataType == to => () // already applied
-            case ("widen", Some(f)) if canWiden(f.dataType, to) =>
-              widenColumn(f.name, to); ()
-            case ("add", None) =>
-              addColumns(Seq(org.apache.spark.sql.types.StructField(
-                name, to, nullable = true))); ()
-            case ("add", Some(f)) => throw new IllegalStateException(
-              s"cannot replay schema change $json: column exists as ${f.dataType.simpleString}")
-            case ("widen", Some(f)) => throw new IllegalStateException(
-              s"cannot replay schema change $json: ${f.dataType.simpleString} -> " +
-                s"${to.simpleString} is not a lossless widening")
-            case ("widen", None) => throw new IllegalStateException(
-              s"cannot replay schema change $json: no such column '$name'")
-            case _ => throw new IllegalStateException(s"unparseable schema change: $json")
-          }
-        case None => throw new IllegalStateException(s"unparseable schema change: $json")
-      }
+      case "set_spec" =>
+        val spec = rec.spec.getOrElse(
+          throw new IllegalStateException(s"schema change record lacks spec: $json"))
+        // idempotent on the DECLARED layout (a replayed record, or a
+        // bootstrap replaying the whole lineage, re-applies as a no-op)
+        if (declaredPartitionSpec != spec) { setPartitionSpec(spec); () }
+      case op @ ("widen" | "add") =>
+        val name = fieldOf(rec, "column")
+        val to = DataType.fromDDL(rec.`type`.getOrElse(
+          throw new IllegalStateException(s"schema change record lacks type: $json")))
+        (op, field(name)) match {
+          case (_, Some(f)) if f.dataType == to => () // already applied
+          case ("widen", Some(f)) if canWiden(f.dataType, to) =>
+            widenColumn(f.name, to); ()
+          case ("add", None) =>
+            addColumns(Seq(org.apache.spark.sql.types.StructField(
+              name, to, nullable = true))); ()
+          case ("add", Some(f)) => throw new IllegalStateException(
+            s"cannot replay schema change $json: column exists as ${f.dataType.simpleString}")
+          case ("widen", Some(f)) => throw new IllegalStateException(
+            s"cannot replay schema change $json: ${f.dataType.simpleString} -> " +
+              s"${to.simpleString} is not a lossless widening")
+          case _ => throw new IllegalStateException(
+            s"cannot replay schema change $json: no such column '$name'")
+        }
+      case _ => throw new IllegalStateException(s"unparseable schema change: $json")
     }
   }
 
@@ -1709,15 +1737,12 @@ final class LakehouseTable(spark: SparkSession, val root: String,
   /** SCHEMA changes in the snapshot range (fromId, toId], as ordered
     * JSON records — the schema-history side channel the change feed
     * ships so replication can apply upstream DDL downstream (the
-    * Debezium schema-history-topic shape). One record per ALTER-op
-    * effect, `seq`-stamped in application order:
-    *
-    *  - `{"seq":N,"op":"rename","from":"a","to":"b"}`
-    *  - `{"seq":N,"op":"widen","column":"c","type":"bigint"}`
-    *  - `{"seq":N,"op":"add","column":"c","type":"string"}`
-    *
-    * Types travel as `catalogString` (parse with `DataType.fromDDL`).
-    * Driver-side manifest reads only; empty for ranges without alters.
+    * Debezium schema-history-topic shape). One [[DdlRecord]] per
+    * ALTER-op effect, `seq`-stamped in application order: rename /
+    * widen / add / drop, plus `set_spec` for partition-spec evolution
+    * (the alter snapshot [[setPartitionSpec]] commits carries the new
+    * layout). Driver-side manifest reads only; empty for ranges
+    * without alters.
     */
   def schemaChangesBetween(fromId: Long, toId: Long): Seq[String] = {
     val all = listSnapshots()
@@ -1734,16 +1759,15 @@ final class LakehouseTable(spark: SparkSession, val root: String,
           olds.filter(_.renamedAt == s.snapshotId).map(a => (a.name, cur))
         }.sortBy(_._2)
         val rIdx = renames.map { case (o, n) => nameKey(n) -> o }.toMap
-        val rjson = renames.map { case (o, n) =>
-          s"""{"seq":${next()},"op":"rename","from":"$o","to":"$n"}""" }
+        val rjson = renames.map { case (o, n) => DdlRecord.rename(next(), o, n).json }
         val rest = cs.fields.toSeq.flatMap { f =>
           val oldName = rIdx.getOrElse(nameKey(f.name), f.name)
           pByKey.get(nameKey(oldName)) match {
             case Some(pf) if pf.dataType != f.dataType =>
-              Some(s"""{"seq":${next()},"op":"widen","column":"${f.name}","type":"${f.dataType.catalogString}"}""")
+              Some(DdlRecord.widen(next(), f.name, f.dataType.catalogString).json)
             case Some(_) => None
             case None =>
-              Some(s"""{"seq":${next()},"op":"add","column":"${f.name}","type":"${f.dataType.catalogString}"}""")
+              Some(DdlRecord.add(next(), f.name, f.dataType.catalogString).json)
           }
         }
         // parent fields gone from the snapshot (and not merely renamed
@@ -1752,8 +1776,9 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         val renamedAway = renames.map { case (o, _) => nameKey(o) }.toSet
         val dropsJ = ps.fields.toSeq
           .filterNot(f => csKeys(nameKey(f.name)) || renamedAway(nameKey(f.name)))
-          .map(f => s"""{"seq":${next()},"op":"drop","column":"${f.name}"}""")
-        rjson ++ rest ++ dropsJ
+          .map(f => DdlRecord.drop(next(), f.name).json)
+        val specJ = s.specChange.map(sp => DdlRecord.setSpec(next(), sp).json)
+        rjson ++ rest ++ dropsJ ++ specJ
       }
     }
   }

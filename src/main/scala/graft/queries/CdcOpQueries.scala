@@ -583,6 +583,15 @@ object CdcOpQueries {
         s"SELECT 1 FROM q127_src x WHERE x.n_nationkey = dml_t.k AND x.n_regionkey = 2)")
       s.sql(s"DELETE FROM $cat.db.dml_t WHERE EXISTS (" +
         s"SELECT 1 FROM q127_src y WHERE y.n_nationkey * 2 = dml_t.k AND y.n_regionkey = 4)")
+      // round 12: MERGE ON with a STAGED uncorrelated scalar subquery —
+      // the join condition hosts `s.sk + (SELECT max …)`, evaluated once
+      // and planted as a literal (the Delta staging shape), so both the
+      // merge join and the equi-pair file probe see it
+      s.sql(
+        s"""MERGE INTO $cat.db.dml_t t
+            USING (SELECT n_nationkey AS sk FROM q127_src WHERE n_regionkey = 3) s
+            ON t.k = s.sk + (SELECT max(n_regionkey) FROM q127_src)
+            WHEN MATCHED THEN UPDATE SET nm = concat(nm, '#')""")
       val out = s.sql(s"SELECT k, nm, rk FROM $cat.db.dml_t ORDER BY k").collect()
         .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
       s.sql(s"DROP TABLE $cat.db.dml_t")
@@ -1086,15 +1095,77 @@ object CdcOpQueries {
         col("k").cast("long").as("k"), lower(col("nm")).as("label"), col("rk")),
         Seq("k"))
       drain()
+      // phase 4 (round 12): partition-spec evolution is the FIFTH verb —
+      // setPartitionSpec commits an alter snapshot the channel ships as
+      // a set_spec record; the replica adopts the layout (its catalog
+      // metadata and its next writes), keeping bucket-pruning/SPJ
+      // geometry aligned across the fleet
+      a.setPartitionSpec(Seq("bucket(4, k)"))
+      a.upsert(nation.filter(col("rk") === 2).select(
+        col("k").cast("long").as("k"), concat(col("nm"), lit("_B")).as("label"),
+        col("rk")), Seq("k"))
+      drain()
       val b = new LakehouseTable(s, rootB)
+      val specB = {
+        val p = java.nio.file.Paths.get(rootB, "_catalog.json")
+        if (!java.nio.file.Files.exists(p)) ""
+        else """"partitionBy"\s*:\s*\[([^\]]*)\]""".r
+          .findFirstMatchIn(java.nio.file.Files.readString(p))
+          .map(_.group(1).replace("\"", "")).getOrElse("")
+      }
       val got = b.read()
-      val sig = s"k:${got.schema("k").dataType.simpleString}|${got.columns.mkString(",")}"
+      val sig = s"k:${got.schema("k").dataType.simpleString}|" +
+        s"${got.columns.mkString(",")}|spec:$specB"
       val rows = got.select("k", "label", "rk").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
       Seq(rootA, rootB, ckpt).foreach(p =>
         graft.Fs.deleteRecursively(java.nio.file.Paths.get(p)))
       rows.toDF("k", "label", "rk")
         .withColumn("schema_sig", lit(sig)).orderBy(col("k"))
+    }),
+    // ---- file-granular readStream.table bootstrap (round 12): the
+    //      DSv2 face gets the changefeed's {s,f} file-slice offsets —
+    //      a table bulk-loaded in ONE snapshot (8 files, one per
+    //      cell=k%8 hive dir, manifest-ordered) drains as ⌈files/M⌉
+    //      checkpointed micro-batches instead of one table-sized one,
+    //      then the incremental tail. Gate hash-pins the per-batch row
+    //      counts and the keyed-sink checksum — admission control and
+    //      convergence in one oracle (the q133 shape, on the
+    //      readStream.table face). ----
+    "q139_table_bootstrap_chunked" -> ((s, dir) => {
+      import s.implicits._
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_q139_boot").toString
+      val outRoot = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_q139_out").toString
+      Seq(root, outRoot).foreach(p => graft.Fs.deleteRecursively(java.nio.file.Paths.get(p)))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-q139-ckpt").toString
+      val t = new LakehouseTable(s, root)
+      val orders = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), (col("o_orderkey") % 8).as("cell"))
+      t.append(orders.repartition(col("cell")), partitionBy = Seq("cell"))
+      t.append(Seq((900000001L, 900000001L % 8)).toDF("k", "cell"),
+        partitionBy = Seq("cell")) // the incremental tail
+      require(t.currentSnapshot().get.files.size == 9,
+        s"q139 expects 8 bulk files + 1 tail, got ${t.currentSnapshot().get.files.size}")
+      val batches = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val out = new LakehouseTable(s, outRoot)
+      val q = s.readStream
+        .option("maxSnapshotsPerTrigger", "1")
+        .option("maxFilesPerTrigger", "3")
+        .format("graft-lakehouse").load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          batches.synchronized { batches += ((bid, df.count())) }
+          out.upsertIdempotent(df, Seq("k"), "q139", bid)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000), "q139 drain did not finish")
+      val checksum = out.read().agg(sum(col("k"))).head.getLong(0)
+      (batches.map { case (b, n) => (s"b$b", n) }.toSeq :+ (("z_checksum", checksum)))
+        .toDF("step", "n").orderBy(col("step"))
     })
   )
 
@@ -1281,8 +1352,13 @@ object CdcOpQueries {
             FROM h),
       j AS (SELECT * FROM i
             WHERE NOT EXISTS (SELECT 1 FROM nation y
-                              WHERE y.n_nationkey * 2 = i.k AND y.n_regionkey = 4))
-      SELECT k, nm, rk FROM j ORDER BY k""",
+                              WHERE y.n_nationkey * 2 = i.k AND y.n_regionkey = 4)),
+      z AS (SELECT k,
+              CASE WHEN k IN (SELECT n_nationkey + (SELECT max(n_regionkey) FROM nation)
+                              FROM nation WHERE n_regionkey = 3)
+                   THEN nm || '#' ELSE nm END AS nm, rk
+            FROM j)
+      SELECT k, nm, rk FROM z ORDER BY k""",
     // q128: the maintenance lifecycle's snapshot lineage — per-snapshot
     // CUMULATIVE row counts from the three modulo slices, the compact/
     // rollback/alter rows all carrying the full count, and the content
@@ -1303,20 +1379,23 @@ object CdcOpQueries {
         UNION ALL SELECT 99, 'content', (SELECT CAST(sum(okey) AS BIGINT) FROM slice))
       SELECT seq, op, rows FROM lineage ORDER BY seq""",
     // q138: downstream after automatic DDL replication (widen + rename
-    // + add + DROP) = rk<3 with rk=1 re-priced UPPER and rk=0 re-priced
-    // lower, plus the rk>=3 post-DDL appends; src was dropped again, so
-    // the schema signature ends at rk.
+    // + add + DROP + SET_SPEC) = rk<3 with rk=1 re-priced UPPER, rk=0
+    // re-priced lower, rk=2 re-priced '_B' by the post-spec-evolution
+    // upsert, plus the rk>=3 post-DDL appends; src was dropped again,
+    // so the schema signature ends at rk — and carries the REPLICA's
+    // adopted partition spec.
     "q138_ddl_replication" -> """
       WITH n AS (SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS rk FROM nation),
       head AS (
         SELECT CAST(k AS BIGINT) AS k,
                CASE WHEN rk = 1 THEN upper(nm)
-                    WHEN rk = 0 THEN lower(nm) ELSE nm END AS label,
+                    WHEN rk = 0 THEN lower(nm)
+                    WHEN rk = 2 THEN nm || '_B' ELSE nm END AS label,
                CAST(rk AS INT) AS rk
         FROM n WHERE rk < 3
         UNION ALL
         SELECT CAST(k AS BIGINT), nm, CAST(rk AS INT) FROM n WHERE rk >= 3)
-      SELECT k, label, rk, 'k:bigint|k,label,rk' AS schema_sig
+      SELECT k, label, rk, 'k:bigint|k,label,rk|spec:bucket(4, k)' AS schema_sig
       FROM head ORDER BY k""",
     // q129: head = base minus the %10=3 deletes, %10=4 lowered, %100=13
     // resurrected as RESTORED (they were deleted — the OR keeps them),
@@ -1472,6 +1551,18 @@ object CdcOpQueries {
     // manifest file order (cells 0-2, 3-5, 6-7, then the 1-row tail);
     // the checksum proves the chunked drain converged to the source.
     "q133_chunked_bootstrap" -> """
+      WITH o AS (SELECT o_orderkey AS k, o_orderkey % 8 AS cell FROM orders)
+      SELECT 'b0' AS step, CAST(count(*) AS BIGINT) AS n FROM o WHERE cell IN (0, 1, 2)
+      UNION ALL SELECT 'b1', CAST(count(*) AS BIGINT) FROM o WHERE cell IN (3, 4, 5)
+      UNION ALL SELECT 'b2', CAST(count(*) AS BIGINT) FROM o WHERE cell IN (6, 7)
+      UNION ALL SELECT 'b3', 1
+      UNION ALL SELECT 'z_checksum', CAST(sum(k) + 900000001 AS BIGINT) FROM o
+      ORDER BY step""",
+    // q139: the q133 batch-size derivation, on the readStream.table
+    // face (cells 0-2, 3-5, 6-7 in manifest file order, then the
+    // 1-row incremental tail); the checksum proves the chunked drain
+    // converged through the keyed sink.
+    "q139_table_bootstrap_chunked" -> """
       WITH o AS (SELECT o_orderkey AS k, o_orderkey % 8 AS cell FROM orders)
       SELECT 'b0' AS step, CAST(count(*) AS BIGINT) AS n FROM o WHERE cell IN (0, 1, 2)
       UNION ALL SELECT 'b1', CAST(count(*) AS BIGINT) FROM o WHERE cell IN (3, 4, 5)

@@ -371,6 +371,58 @@ class LakehouseDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("MERGE ON"), e.getMessage)
   }
 
+  test("MERGE ON stages uncorrelated scalar subqueries to literals (round 12)") {
+    val t = freshTable("m9", "id BIGINT, v STRING")
+    spark.sql("INSERT INTO dmlcat.db.m9 VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    freshTable("thr", "cut BIGINT")
+    spark.sql("INSERT INTO dmlcat.db.thr VALUES (2)")
+    val before = t.currentSnapshot().get.files
+    // the scalar stages to a literal INSIDE an ON equi-conjunct, so the
+    // merge join AND the equi-pair file probe both see it
+    spark.sql(
+      """MERGE INTO dmlcat.db.m9 t
+         USING (SELECT CAST(id AS BIGINT) AS sid, concat('s', id) AS sv
+                FROM range(0, 4)) s
+         ON t.id = s.sid + (SELECT max(cut) FROM dmlcat.db.thr)
+         WHEN MATCHED THEN UPDATE SET v = s.sv
+         WHEN NOT MATCHED THEN INSERT (id, v) VALUES
+           (s.sid + (SELECT max(cut) FROM dmlcat.db.thr), s.sv)""")
+    assert(spark.sql("SELECT id, v FROM dmlcat.db.m9 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "s0"), (3L, "s1"), (4L, "s2"), (5L, "s3")))
+    assert(before.nonEmpty, "sanity")
+    // a scalar that returns >1 row fails with the ANSI cardinality rule
+    spark.sql("INSERT INTO dmlcat.db.thr VALUES (7)")
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO dmlcat.db.m9 t
+         USING (SELECT CAST(1 AS BIGINT) AS sid) s
+         ON t.id = (SELECT cut FROM dmlcat.db.thr)
+         WHEN MATCHED THEN DELETE"""))
+    assert(e.getMessage.contains("more than one row"), e.getMessage)
+  }
+
+  test("MERGE USING source carrying subqueries plans and materializes once") {
+    val t = freshTable("m10", "id BIGINT, v STRING")
+    spark.sql("INSERT INTO dmlcat.db.m10 VALUES (1,'a'), (2,'b'), (3,'c')")
+    freshTable("keep10", "k BIGINT")
+    spark.sql("INSERT INTO dmlcat.db.keep10 VALUES (2), (9)")
+    val snaps = t.listSnapshots().size
+    // the USING source is a full query with its own IN-subquery — it
+    // resolves and stages through the source materialization (cache),
+    // so candidate discovery and the merge join agree on the key set
+    spark.sql(
+      """MERGE INTO dmlcat.db.m10 t
+         USING (SELECT CAST(id AS BIGINT) AS sid, 'hit' AS sv FROM range(0, 10)
+                WHERE id IN (SELECT k FROM dmlcat.db.keep10)) s
+         ON t.id = s.sid
+         WHEN MATCHED THEN UPDATE SET v = s.sv
+         WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.sid, s.sv)""")
+    assert(spark.sql("SELECT id, v FROM dmlcat.db.m10 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "hit"), (3L, "c"), (9L, "hit")))
+    assert(t.listSnapshots().size === snaps + 1, "one snapshot per MERGE")
+  }
+
   test("empty-source MERGE with no matches commits nothing") {
     val t = freshTable("m7", "id BIGINT, v STRING")
     spark.sql("INSERT INTO dmlcat.db.m7 VALUES (1,'a')")

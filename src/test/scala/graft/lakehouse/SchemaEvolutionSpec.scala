@@ -331,7 +331,8 @@ class SchemaEvolutionSpec extends SparkSpec {
     spark.sql("CALL evmcat.system.set_partition_spec(table => 'db.mp', spec => 'bucket(4, k)')")
     val meta = java.nio.file.Files.readString(
       java.nio.file.Paths.get(wh, "db", "mp", "_catalog.json"))
-    assert(meta.contains("\"optimizeWrite\": true"), s"optimizeWrite clobbered: $meta")
+    assert(meta.replace(" ", "").contains("\"optimizeWrite\":true"),
+      s"optimizeWrite clobbered: $meta")
     assert(meta.contains("bucket(4, k)") && meta.contains("partitionSpecSince"), meta)
     // new writes take the NEW layout (bucket dirs, not cell dirs)
     spark.sql("INSERT INTO evmcat.db.mp VALUES (3, 'c')")
@@ -344,7 +345,7 @@ class SchemaEvolutionSpec extends SparkSpec {
     val meta2 = java.nio.file.Files.readString(
       java.nio.file.Paths.get(wh, "db", "mp", "_catalog.json"))
     assert("partitionSpecSince".r.findAllIn(meta2).size === 1, meta2)
-    assert(meta2.contains("\"optimizeWrite\": true"), meta2)
+    assert(meta2.replace(" ", "").contains("\"optimizeWrite\":true"), meta2)
     spark.sql("DROP TABLE evmcat.db.mp")
   }
 
@@ -557,5 +558,69 @@ class SchemaEvolutionSpec extends SparkSpec {
     // drop every pre-rename manifest: the head stays self-contained
     t.expireSnapshotsOlderThan(System.currentTimeMillis() + 60000)
     assert(t.read().select("id").head.getLong(0) === 1L)
+  }
+
+  test("partition-spec evolution SHIPS through the schema-history channel: replicas adopt the source layout") {
+    // round 12: setPartitionSpec is a real `alter` snapshot carrying the
+    // new layout, schemaChangesBetween emits a set_spec record for it,
+    // and applySchemaChange applies it idempotently — a replica fleet's
+    // bucket-pruning/SPJ geometry follows the source instead of
+    // silently diverging (the round-11 by-design gap, closed)
+    val src = new LakehouseTable(spark, tmpDir("ev-spec-src"))
+    val dst = new LakehouseTable(spark, tmpDir("ev-spec-dst"))
+    src.applyChanges(Seq((1L, "a", "insert"), (2L, "b", "insert"))
+      .toDF("k", "v", "_change"), Seq("k"))
+    val ckpt = tmpDir("ev-spec-ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-changefeed")
+        .option("path", src.root).option("emitSchemaChanges", "true").load()
+        .writeStream.format("graft-lakehouse").option("path", dst.root)
+        .option("keys", "k").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "drain did not finish")
+    }
+    drain() // bootstrap
+    val preSpecHead = src.currentSnapshot().get.snapshotId
+    src.setPartitionSpec(Seq("bucket(4, k)"))
+    // the evolution is an alter SNAPSHOT on the channel …
+    val alterSnap = src.currentSnapshot().get
+    assert(alterSnap.operation === "alter" &&
+      alterSnap.specChange === Some(List("bucket(4, k)")))
+    val recs = src.schemaChangesBetween(preSpecHead, alterSnap.snapshotId)
+      .map(DdlRecord.parse)
+    assert(recs.map(_.op) === Seq("set_spec"))
+    assert(recs.head.spec === Some(Seq("bucket(4, k)")))
+    src.applyChanges(Seq((3L, "c", "insert")).toDF("k", "v", "_change"), Seq("k"))
+    drain() // the record + the post-evolution data, one feed
+    // … and the REPLICA declares the same layout: its next keyed write
+    // lands bucket dirs, so compaction then heals the replica to the
+    // source's geometry (bucket pruning / SPJ resume there too)
+    assert(dst.read().select("k").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L))
+    dst.applyChanges(Seq((4L, "d", "insert")).toDF("k", "v", "_change"), Seq("k"))
+    val dstNew = dst.currentSnapshot().get.files.filter(_.contains("k_bucket="))
+    assert(dstNew.nonEmpty, "replica writes must carry the replicated bucket layout")
+    assert(dst.partitionSpecSince > 0L, "replica prune gating must be versioned")
+    // a replayed record re-applies as a no-op (bootstrap convergence)
+    val before = dst.listSnapshots().size
+    dst.applySchemaChange(recs.head.json)
+    assert(dst.listSnapshots().size === before, "replayed set_spec must absorb")
+  }
+
+  test("schema-history records survive JSON-hostile column names end-to-end") {
+    val src = new LakehouseTable(spark, tmpDir("ev-evil-src"))
+    val dst = new LakehouseTable(spark, tmpDir("ev-evil-dst"))
+    src.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    dst.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    val pin = src.currentSnapshot().get.snapshotId
+    val evil = """he"said\so"""
+    src.addColumns(Seq(StructField(evil, StringType)))
+    val recs = src.schemaChangesBetween(pin, src.currentSnapshot().get.snapshotId)
+    assert(recs.size === 1)
+    // the former regex emit produced a malformed record here; the codec
+    // round-trips and the apply lands the exact name
+    dst.applySchemaChange(recs.head)
+    assert(dst.read().columns.contains(evil),
+      s"evil column lost: ${dst.read().columns.mkString(",")}")
   }
 }

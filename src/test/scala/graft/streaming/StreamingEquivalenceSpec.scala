@@ -1127,6 +1127,146 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(batches2.count(_ > 0) >= 2, s"byte cap must split the backlog: $batches2")
   }
 
+  test("readStream.table file-granular bootstrap: a bulk snapshot drains in file slices; a crash resumes at the file index") {
+    import spark.implicits._
+    import graft.lakehouse.LakehouseTable
+    val t = new LakehouseTable(spark, tmpDir("rst-boot"))
+    // ONE bulk snapshot carrying 6 files — the shape the snapshot cap
+    // cannot split (the round-11 unbounded first batch)
+    t.append((0L until 60L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(6, col("id")))
+    val out = new LakehouseTable(spark, tmpDir("rst-boot-out"))
+    val ckpt = tmpDir("rst-boot-ckpt")
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    @volatile var crashAt = -1 // batch ordinal to crash AFTER writing
+    def drain(): Boolean = {
+      val q = spark.readStream.option("maxFilesPerTrigger", "2")
+        .format("graft-lakehouse").load(t.root)
+        .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val n = df.count()
+          batches.synchronized { batches += n }
+          out.upsertIdempotent(df, Seq("id"), "rst-boot", bid)
+          if (batches.size == crashAt)
+            throw new RuntimeException("injected mid-bootstrap crash")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000)
+      catch { case _: Exception => q.stop(); false }
+    }
+    crashAt = 2
+    assert(!drain(), "the injected crash must fail the run")
+    crashAt = -1
+    assert(drain(), "the restarted drain must finish")
+    // convergence: the keyed sink absorbed the redelivered slice
+    assert(out.read().count() === 60L)
+    assert(out.read().agg(sum(col("id"))).head.getLong(0) === (0L until 60L).sum)
+    // the bootstrap went through in 2-file slices — no batch carried
+    // the whole table, and the crash point was REDELIVERED, not skipped
+    assert(batches.forall(_ <= 20L), s"no batch may exceed its file slice: $batches")
+    assert(batches.count(_ > 0) >= 4, s"the bulk snapshot must split: $batches")
+    assert(batches.sum >= 60L + 20L, s"the uncommitted slice must redeliver: $batches")
+  }
+
+  test("readStream.table: a LIVE mid-stream upstream ADD fails loudly; restart re-pins and redelivers the values") {
+    import spark.implicits._
+    import graft.lakehouse.LakehouseTable
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val t = new LakehouseTable(spark, tmpDir("rst-addlive"))
+    t.append(Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    val ckpt = tmpDir("rst-addlive-ckpt")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    def sink(df: org.apache.spark.sql.DataFrame): Unit = {
+      val has = df.columns.contains("tag")
+      df.collect().foreach { r =>
+        val tag = if (has) Option(r.getString(2)).getOrElse("-") else "-"
+        seen.synchronized { seen += ((r.getLong(0), r.getString(1), tag)) }
+      }
+    }
+    val q = spark.readStream.format("graft-lakehouse").load(t.root)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink(df); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable() // bootstrap pins (id, v)
+      assert(seen.synchronized(seen.toSet) === Set((1L, "a", "-")))
+      // an upstream ADD whose column survives at head: the pinned
+      // schema cannot carry its values — the stream must fail LOUDLY
+      // (silently undelivering tag='T' forever is the round-11 gap)
+      t.addColumns(Seq(StructField("tag", StringType)))
+      t.append(Seq((2L, "b", "T")).toDF("id", "v", "tag").coalesce(1))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def rc(x: Throwable): Throwable =
+        if (x.getCause == null || x.getCause == x) x else rc(x.getCause)
+      assert((e.getMessage + rc(e).getMessage).contains("restart the stream"),
+        s"${e.getMessage} / ${rc(e).getMessage}")
+    } finally q.stop()
+    // the offset was NOT committed: the restarted stream re-pins the
+    // wide schema and REDELIVERS the range WITH the column's values
+    val q2 = spark.readStream.format("graft-lakehouse").load(t.root)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink(df); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q2.awaitTermination(120000), "restarted drain did not finish")
+    assert(seen.synchronized(seen.toSet).contains((2L, "b", "T")),
+      s"the added column's values must redeliver: ${seen.synchronized(seen.toSeq)}")
+    // an ADD dropped again by head is moot — a fresh stream over the
+    // same checkpoint keeps flowing (no throw)
+    t.append(Seq((3L, "c", null.asInstanceOf[String])).toDF("id", "v", "tag").coalesce(1))
+    t.dropColumn("tag")
+    t.append(Seq((4L, "d")).toDF("id", "v").coalesce(1))
+    val q3 = spark.readStream.format("graft-lakehouse").load(t.root)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink(df); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q3.awaitTermination(120000))
+    assert(seen.synchronized(seen.toSet).exists(_._1 == 4L))
+  }
+
+  test("skipChangeCommits: a batch spanning append then MoR-apply delivers the appended rows AS-COMMITTED") {
+    // the round-11 ADVICE item: the per-batch scan pinned at range-end
+    // let a later MoR tombstone retro-filter rows appended earlier in
+    // the SAME batch — delivered content depended on trigger timing
+    import spark.implicits._
+    import graft.lakehouse.LakehouseTable
+    val t = new LakehouseTable(spark, tmpDir("rst-retro"))
+    t.append(Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    val sunk = scala.collection.mutable.Set.empty[(Long, String)]
+    val ckpt = tmpDir("rst-retro-ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.option("skipChangeCommits", "true")
+        .format("graft-lakehouse").load(t.root)
+        .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r =>
+            sunk.synchronized { sunk += ((r.getLong(0), r.getString(1))) })
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "drain did not finish")
+    }
+    drain() // bootstrap: offset = snapshot 1
+    // while the stream is DOWN: an append, then a MoR delete of one of
+    // the appended keys — the next trigger spans BOTH commits
+    t.append(Seq((2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    t.applyChanges(Seq((2L, "b", "delete")).toDF("id", "v", "_change"),
+      Seq("id"), mergeOnRead = true)
+    drain()
+    // id=2 was COMMITTED by the append; the delete is a skipped change
+    // commit — two separate triggers would deliver it, so one spanning
+    // batch must too (as-committed, not retro-masked)
+    assert(sunk.synchronized(sunk.toSet) === Set((1L, "a"), (2L, "b"), (3L, "c")),
+      s"got: ${sunk.synchronized(sunk.toSet)}")
+  }
+
   test("schema-history channel: upstream RENAME/WIDEN/ADD replicate with NO manual downstream DDL") {
     import spark.implicits._
     import graft.lakehouse.LakehouseTable
@@ -1227,6 +1367,70 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(dst2.read().select("k", "label").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
       === Set((2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"), (6L, "g")))
+  }
+
+  test("a widened value that overflows the pinned width fails LOUDLY even with ANSI off") {
+    // the conform() cast-back relies on ANSI overflow errors; a session
+    // with ANSI off would silently WRAP the value into the feed — the
+    // explicit round-trip guard must throw the same restart message
+    import spark.implicits._
+    import graft.lakehouse.LakehouseTable
+    val t = new LakehouseTable(spark, tmpDir("ansi-ov"))
+    t.append(Seq((1, "a")).toDF("k", "v").coalesce(1)) // k: INT
+    val ckpt = tmpDir("ansi-ov-ckpt")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    val q = spark.readStream.format("graft-changefeed").option("path", t.root).load()
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect(); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable() // bootstrap pins k: INT
+      t.widenColumn("k", org.apache.spark.sql.types.LongType)
+      // a round-trippable long still flows (no false positives) …
+      t.append(Seq((2L, "ok")).toDF("k", "v").coalesce(1))
+      q.processAllAvailable()
+      // … an overflowing one fails the stream with the restart contract
+      t.append(Seq((5000000000L, "big")).toDF("k", "v").coalesce(1))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def rc(x: Throwable): Throwable =
+        if (x.getCause == null || x.getCause == x) x else rc(x.getCause)
+      assert((e.getMessage + rc(e).getMessage).contains("overflows the stream's pinned"),
+        s"${e.getMessage} / ${rc(e).getMessage}")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.ansi.enabled")
+    }
+  }
+
+  test("a source column named _change or _ddl refuses at stream start, not at runtime") {
+    import spark.implicits._
+    import graft.lakehouse.LakehouseTable
+    val t = new LakehouseTable(spark, tmpDir("resv-col"))
+    t.append(Seq((1L, "i")).toDF("k", "_change").coalesce(1))
+    val e = intercept[Exception](spark.readStream
+      .format("graft-changefeed").option("path", t.root).load())
+    assert(e.getMessage.contains("reserves"), e.getMessage)
+    val t2 = new LakehouseTable(spark, tmpDir("resv-col2"))
+    t2.append(Seq((1L, "r")).toDF("k", "_ddl").coalesce(1))
+    val e2 = intercept[Exception](spark.readStream
+      .format("graft-changefeed").option("path", t2.root)
+      .option("emitSchemaChanges", "true").load())
+    assert(e2.getMessage.contains("reserves"), e2.getMessage)
+    // without the channel, a user `_ddl` column is NOT reserved — the
+    // plain feed carries it as data
+    val ckpt = tmpDir("resv-ckpt")
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-changefeed").option("path", t2.root).load()
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows.synchronized { rows += df.count() }; ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    assert(rows.sum === 1L)
   }
 
   test("replication across an upstream RENAME: apply the DDL on both ends, the checkpoint survives") {
