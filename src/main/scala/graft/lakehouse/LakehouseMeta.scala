@@ -107,15 +107,24 @@ object LakehouseMeta {
       case "columns" =>
         // the schema-evolution surface: declared type per column, the
         // FORMER names a rename lineage carries (oldest first) with the
-        // last rename point, and the declared layout role (identity
-        // partition / bucket(N) source) — all driver-side metadata
+        // last rename point, the declared layout role (identity
+        // partition / bucket(N) source), the immutable field id
+        // (FIELD_IDS.md; NULL only for a lineage that predates ids and
+        // has not committed since), and the DROPPED registry — every
+        // name blocked for re-add until compaction appears as a
+        // status='dropped' row with the snapshot that dropped it, so an
+        // operator can see WHY a re-add refuses without reading
+        // manifests — all driver-side metadata
         val schema = StructType(Seq(
           StructField("column", StringType, nullable = false),
           StructField("type", StringType, nullable = false),
           StructField("nullable", BooleanType, nullable = false),
           StructField("former_names", StringType),
           StructField("renamed_at", LongType),
-          StructField("layout", StringType)))
+          StructField("layout", StringType),
+          StructField("field_id", IntegerType),
+          StructField("status", StringType, nullable = false),
+          StructField("dropped_at", LongType)))
         val rows = t.currentSnapshot().toSeq.flatMap { snap =>
           val declared = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
           val metaP = java.nio.file.Paths.get(root).resolve("_catalog.json")
@@ -131,15 +140,46 @@ object LakehouseMeta {
             case LakehouseTable.BucketSpecRe(nb, c) if c.equalsIgnoreCase(n) => s"bucket($nb)"
             case c if c.equalsIgnoreCase(n) => "identity"
           }.orNull
-          declared.fields.toSeq.map { f =>
+          val idOf: Map[String, Int] = snap.fieldIds
+            .map(_.ids.map { case (n, i) => n.toLowerCase(java.util.Locale.ROOT) -> i })
+            .getOrElse(Map.empty)
+          val live = declared.fields.toSeq.map { f =>
             val olds = snap.aliases.collectFirst {
               case (k, v) if k.equalsIgnoreCase(f.name) => v
             }.getOrElse(Nil)
             Row(f.name, f.dataType.simpleString, f.nullable,
               if (olds.isEmpty) null else olds.map(_.name).mkString(","),
               olds.lastOption.map(a => Long.box(a.renamedAt)).orNull,
-              layoutOf(f.name))
+              layoutOf(f.name),
+              idOf.get(f.name.toLowerCase(java.util.Locale.ROOT))
+                .map(Int.box).orNull,
+              "live", null)
           }
+          // the dropped registry: type and field id recover from the
+          // dropping snapshot's PARENT schema when that manifest still
+          // exists (snapshot expiry may have taken it — then 'unknown')
+          val byId = t.listSnapshots().map(s => s.snapshotId -> s).toMap
+          val droppedRows = snap.droppedCols.toSeq.sortBy(_._1).map { case (n, at) =>
+            val pre = byId.get(at).flatMap(_.parentId).flatMap(byId.get)
+            // a registry entry may be a FORMER name of the dropped
+            // column — resolve it through the pre-drop alias lineage to
+            // the name the pre-drop schema declares
+            val declaredName = pre.map { p =>
+              p.aliases.collectFirst {
+                case (cur, lineage)
+                    if lineage.exists(_.name.equalsIgnoreCase(n)) => cur
+              }.getOrElse(n)
+            }.getOrElse(n)
+            val f = pre.flatMap(p => DataType.fromJson(p.schemaJson)
+              .asInstanceOf[StructType].fields
+              .find(_.name.equalsIgnoreCase(declaredName)))
+            val fid = pre.flatMap(_.fieldIds).flatMap(_.ids.collectFirst {
+              case (k, i) if k.equalsIgnoreCase(declaredName) => i })
+            Row(n, f.map(_.dataType.simpleString).getOrElse("unknown"),
+              f.forall(_.nullable), null, null, null,
+              fid.map(Int.box).orNull, "dropped", Long.box(at))
+          }
+          live ++ droppedRows
         }
         new LakehouseMetaTable(s"$root$$columns", schema, rows)
       case "partitions" =>

@@ -272,6 +272,56 @@ private[lakehouse] final class LakehouseMicroBatchStream(
       }
   }
 
+  /** The PINNED schema re-expressed in the pin snapshot's CURRENT
+    * names (same types, same positions — the engine consumes rows
+    * positionally, so the stream's output keeps the pinned names).
+    * A pinned column RENAMED inside the stream's range would otherwise
+    * ask the scan for a name the pin snapshot no longer declares and
+    * silently null-fill the values (the changefeed face maps through
+    * the alias lineage; this is the DSv2 face's equivalent). Chains
+    * come from the current head — the one manifest that knows every
+    * rename ever — and resolve to the name as-of the pin snapshot.
+    * Width guard: a pin-snapshot type WIDER than the pinned one is a
+    * live mid-stream widen — the pinned slot cannot carry the wide
+    * values (the parquet readers refuse a narrowing request), so fail
+    * LOUDLY with the restart contract (the uncommitted offset means a
+    * restart re-pins the widened schema and redelivers the range).
+    * The inverse (pin narrower — a bootstrap slice predating a later
+    * widen) reads fine: parquet upcasts natively.
+    */
+  private def requiredAt(pinSnapshot: Long): StructType = {
+    def lk(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val pinSnap = table.snapshotOrThrow(pinSnapshot)
+    val pinByKey = DataType.fromJson(pinSnap.schemaJson).asInstanceOf[StructType]
+      .fields.map(f => lk(f.name) -> f).toMap
+    val chains: Seq[(List[AliasEntry], String)] =
+      table.currentSnapshot().map(_.aliases.toSeq.map {
+        case (cur, lineage) => (lineage, cur)
+      }).getOrElse(Nil)
+    // a column's name as-of the pin: the first lineage entry renamed
+    // away AFTER the pin still named it then; otherwise the current name
+    def nameAt(lineage: List[AliasEntry], cur: String): String =
+      lineage.find(_.renamedAt > pinSnapshot).map(_.name).getOrElse(cur)
+    StructType(required.fields.map { f =>
+      val k = lk(f.name)
+      val resolved =
+        if (pinByKey.contains(k)) f.name
+        else chains.collectFirst {
+          case (lineage, cur) if lk(cur) == k || lineage.exists(a => lk(a.name) == k) =>
+            nameAt(lineage, cur)
+        }.getOrElse(f.name) // added-after-pin / dropped: null-fills
+      pinByKey.get(lk(resolved)).foreach { pf =>
+        if (pf.dataType != f.dataType && !table.canWiden(pf.dataType, f.dataType))
+          throw new IllegalStateException(
+            s"upstream widened column '${f.name}' to ${pf.dataType.simpleString} " +
+              s"mid-stream: the stream's pinned ${f.dataType.simpleString} cannot " +
+              "carry its values — restart the stream (the checkpoint resumes " +
+              "here and re-pins the evolved schema)")
+      }
+      f.copy(name = resolved)
+    })
+  }
+
   /** Partitions for one snapshot-pinned slice; `masked=false` plans
     * tombstone-free (incremental appended files — see class doc).
     */
@@ -281,8 +331,8 @@ private[lakehouse] final class LakehouseMicroBatchStream(
     val opts = options + ("snapshotId" -> pinSnapshot.toString) ++
       (if (masked) Map.empty[String, String]
        else Map("ignoreMorMasks" -> "true"))
-    new LakehouseBatchScan(opts, required, accepted, fileSubset = Some(files))
-      .planInputPartitions()
+    new LakehouseBatchScan(opts, requiredAt(pinSnapshot), accepted,
+      fileSubset = Some(files)).planInputPartitions()
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

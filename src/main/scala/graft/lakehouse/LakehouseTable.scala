@@ -59,6 +59,18 @@ final case class TxnMark(appId: String, version: Long)
   */
 final case class AliasEntry(name: String, renamedAt: Long)
 
+/** Iceberg-style FIELD IDS, assigned at commit time (see FIELD_IDS.md
+  * for the design spike): `ids` maps each live column's DECLARED name
+  * to its immutable id, `next` is the never-decreasing allocation
+  * high-water mark — a dropped column's id is RETIRED forever (re-adding
+  * the name after compaction allocates a fresh id), and a rename carries
+  * the old name's id to the new name. Round 12 stamps ids on every new
+  * snapshot (older manifests parse as None and backfill positionally at
+  * their next commit) but resolution stays name-based; the note records
+  * the migration path to id-based resolution.
+  */
+final case class FieldIdState(ids: Map[String, Int], next: Int)
+
 /** Another process published this table version between this writer's
   * head read and its manifest publish — detected by the atomic
   * put-if-absent commit ([[LakehouseTable]]'s `writeSnapshot`).
@@ -115,7 +127,12 @@ final case class Snapshot(
     // their own bucket-pruning/SPJ geometry. NOT cumulative (one-shot
     // event, unlike renames/drops); Option so older manifests parse as
     // None.
-    specChange: Option[Seq[String]] = None) {
+    specChange: Option[Seq[String]] = None,
+    // field-id assignment state ([[FieldIdState]]): stamped by
+    // writeSnapshot on every new commit, restored by rollback from its
+    // target (with the high-water mark clamped monotone). Option so
+    // pre-round-12 manifests parse as None.
+    fieldIds: Option[FieldIdState] = None) {
   /** The tombstone file list (empty = plain copy-on-write snapshot). */
   def tombstones: Seq[String] = deletes.getOrElse(Nil)
   /** Current-name → former-names map (empty = never renamed). */
@@ -378,8 +395,20 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       s00.copy(renames = currentSnapshot().flatMap(_.renames)) else s00
     // the dropped-column registry is cumulative the same way (compact
     // and overwrite reset it explicitly with Some(empty))
-    val s0 = if (s0a.drops.isEmpty)
+    val s0b = if (s0a.drops.isEmpty)
       s0a.copy(drops = currentSnapshot().flatMap(_.drops)) else s0a
+    // field ids stamp on EVERY commit: same name (or rename lineage)
+    // keeps its id, fresh names allocate monotonically, dropped ids
+    // retire forever. A writer that set the state explicitly (rollback
+    // restoring its target's ids) still gets the high-water mark
+    // clamped against the head — ids must never be re-allocated even
+    // across a rollback that rewinds past later ADDs.
+    val s0 = s0b.fieldIds match {
+      case None => s0b.copy(fieldIds = Some(assignFieldIds(currentSnapshot(), s0b)))
+      case Some(st) =>
+        val headNext = currentSnapshot().flatMap(_.fieldIds).map(_.next).getOrElse(1)
+        s0b.copy(fieldIds = Some(st.copy(next = math.max(st.next, headNext))))
+    }
     // TOMBSTONE key files get manifest stats too: the tombstone-volume
     // surface ($snapshots, the maintenance budget) must answer from the
     // manifest alone — without this, a lineage listing would need a
@@ -399,6 +428,45 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     } finally Files.deleteIfExists(tmp)
     snapshotCache.put(p.getFileName.toString, s)
     s
+  }
+
+  /** Field-id assignment for a new snapshot (FIELD_IDS.md): inherit by
+    * current name from the parent state, carry a rename committed AT
+    * this snapshot through its alias lineage, allocate `next++` for
+    * genuinely new names. A parent lineage that predates field ids
+    * backfills its declared schema positionally (1..n) first, so
+    * existing tables adopt ids deterministically at their next commit.
+    * Dropped names simply stop being carried — and because `next` never
+    * decreases, their ids are never reused (re-add after compaction
+    * gets a FRESH id, which is what makes ids a future-proof identity
+    * where names are not).
+    */
+  private def assignFieldIds(parent: Option[Snapshot], snap: Snapshot): FieldIdState = {
+    val fields = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType].fields
+    val pState = parent.flatMap(_.fieldIds).getOrElse {
+      parent match {
+        case Some(p) =>
+          val pf = DataType.fromJson(p.schemaJson).asInstanceOf[StructType].fields
+          FieldIdState(pf.zipWithIndex.map { case (f, i) => f.name -> (i + 1) }.toMap,
+            pf.length + 1)
+        case None => FieldIdState(Map.empty, 1)
+      }
+    }
+    val byKey = pState.ids.map { case (n, i) => nameKey(n) -> i }
+    var next = pState.next
+    val ids = fields.map { f =>
+      val inherited = byKey.get(nameKey(f.name)).orElse(
+        // renamed at THIS snapshot: the last alias entry carries the
+        // old name the parent state knows
+        snap.aliases.collectFirst {
+          case (cur, lineage) if nameKey(cur) == nameKey(f.name) =>
+            lineage.lastOption.filter(_.renamedAt == snap.snapshotId)
+              .flatMap(a => byKey.get(nameKey(a.name)))
+        }.flatten)
+      val id = inherited.getOrElse { val n = next; next += 1; n }
+      f.name -> id
+    }
+    FieldIdState(ids.toMap, next)
   }
 
   /** Stats map for a snapshot's file set: carried over for files an
@@ -1496,7 +1564,11 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       System.currentTimeMillis(), "rollback", target.files, target.schemaJson,
       deletes = target.deletes,
       renames = target.renames.orElse(Some(Map.empty)),
-      drops = target.drops.orElse(Some(Map.empty))))
+      drops = target.drops.orElse(Some(Map.empty)),
+      // restore the TARGET's field ids (its schema is what reads see);
+      // writeSnapshot clamps `next` against the head so ids allocated
+      // after the target never get re-issued
+      fieldIds = target.fieldIds))
   }
 
   private def invalidSnapshot(id: Long) = new IllegalArgumentException(
@@ -2902,7 +2974,30 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       if (optimizeWrite && physCols.nonEmpty)
         df.repartition(physCols.map(col): _*)
       else df
-    val writer0 = clustered.write.mode(SaveMode.Overwrite)
+    // FIELD_IDS.md step 1: stamp head-CONFIRMED field ids into the
+    // files (`parquet.field.id` column metadata — Spark's parquet
+    // writer emits the native field-id attribute for schema fields
+    // that carry it). Only ids the committed head already assigned are
+    // stamped: a column THIS commit introduces stays unstamped until
+    // its next rewrite, so a lost-publish rebase can never leave a
+    // file carrying an id the final manifest assigned differently
+    // (ids are write-once). Resolution is still name-based this round;
+    // the stamps are the forward-compat groundwork (and make every
+    // post-round-12 file Iceberg-grade identifiable).
+    val idsByName: Map[String, Int] = currentSnapshot().flatMap(_.fieldIds)
+      .map(_.ids.map { case (n, i) => nameKey(n) -> i })
+      .getOrElse(Map.empty)
+    val stamped =
+      if (idsByName.isEmpty) clustered
+      else clustered.select(clustered.schema.fields.map { f =>
+        idsByName.get(nameKey(f.name)).fold(col(f.name)) { i =>
+          col(f.name).as(f.name,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).putLong("parquet.field.id", i.toLong)
+              .build())
+        }
+      }.toIndexedSeq: _*)
+    val writer0 = stamped.write.mode(SaveMode.Overwrite)
     // size-targeted optimize-write: cap records per output file from
     // the head manifest's bytes-per-row estimate, so a skewed partition
     // value bins into ≈targetBytes files instead of one giant one

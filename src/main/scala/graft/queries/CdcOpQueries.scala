@@ -625,8 +625,28 @@ object CdcOpQueries {
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       val checksum = s.sql(
         s"SELECT sum(okey) FROM $cat.db.maint_t WHERE flag IS NULL").head.getLong(0)
+      // round 12: DROP COLUMN enters the $columns dropped registry
+      // (name + pre-drop type + dropping snapshot + retired field id),
+      // re-add refuses while it holds, compaction clears it
+      s.sql(s"ALTER TABLE $cat.db.maint_t DROP COLUMN flag")
+      val reg = s.sql(
+        s"""SELECT column, type, dropped_at, field_id
+            FROM $cat.db.`maint_t$$columns` WHERE status = 'dropped'""").collect()
+      require(reg.length == 1, s"expected one dropped-registry row, got ${reg.length}")
+      val refused =
+        try { s.sql(s"ALTER TABLE $cat.db.maint_t ADD COLUMNS (flag STRING)"); 0L }
+        catch { case _: Exception => 1L }
+      s.sql(s"CALL $cat.system.compact(table => 'db.maint_t', file_threshold => 1, " +
+        "max_rows => 100000000, target_files => 1)")
+      val regAfter = s.sql(
+        s"SELECT count(*) FROM $cat.db.`maint_t$$columns` WHERE status = 'dropped'")
+        .head.getLong(0)
+      val dropRow = (96L,
+        s"dropped:${reg(0).getString(0)}:${reg(0).getString(1)}" +
+          s"@${reg(0).getLong(2)}#${reg(0).getInt(3)}", refused)
       s.sql(s"DROP TABLE $cat.db.maint_t")
-      (lineage :+ ((99L, "content", checksum))).toSeq
+      (lineage ++ Seq(dropRow, (97L, "registry_after_compact", regAfter),
+        (99L, "content", checksum))).toSeq
         .toDF("seq", "op", "rows").orderBy(col("seq"))
     }),
     // ---- merge-on-read CDC apply (round 9): change batches land as
@@ -1376,6 +1396,12 @@ object CdcOpQueries {
         UNION ALL SELECT 5, 'compact', (SELECT c FROM tot)
         UNION ALL SELECT 6, 'rollback', (SELECT c FROM tot)
         UNION ALL SELECT 7, 'alter', (SELECT c FROM tot)
+        -- round 12: DROP COLUMN flag = snapshot 8; the registry row
+        -- carries name:pre-drop-type@drop-snapshot#retired-field-id
+        -- (flag was the table's 2nd-ever column → id 2), the re-add
+        -- refusal flag, and the post-compaction registry count
+        UNION ALL SELECT 96, 'dropped:flag:string@8#2', 1
+        UNION ALL SELECT 97, 'registry_after_compact', 0
         UNION ALL SELECT 99, 'content', (SELECT CAST(sum(okey) AS BIGINT) FROM slice))
       SELECT seq, op, rows FROM lineage ORDER BY seq""",
     // q138: downstream after automatic DDL replication (widen + rename

@@ -203,6 +203,38 @@ class LakehouseMetaSpec extends SparkSpec {
     spark.sql("DROP TABLE metacat.db.c2")
   }
 
+  test("$columns surfaces the DROPPED registry (name, pre-drop type, drop snapshot) and field ids") {
+    ensureCatalog()
+    spark.sql("DROP TABLE IF EXISTS metacat.db.c3")
+    spark.sql("CREATE TABLE metacat.db.c3 (k BIGINT, v STRING, extra INT)")
+    spark.sql("INSERT INTO metacat.db.c3 VALUES (1, 'a', 7)")
+    spark.sql("ALTER TABLE metacat.db.c3 DROP COLUMN extra")
+    val t = new LakehouseTable(spark, root("c3"))
+    val dropSnap = t.currentSnapshot().get.snapshotId
+    val rows = spark.sql(
+      "SELECT column, type, status, dropped_at, field_id FROM metacat.db.`c3$columns` " +
+        "ORDER BY status, column").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4))).toSeq
+    // dropped row: pre-drop type recovered from the dropping snapshot's
+    // parent manifest, field id 3 retired with it
+    assert(rows === Seq(
+      ("extra", "int", "dropped", dropSnap, 3),
+      ("k", "bigint", "live", -1L, 1),
+      ("v", "string", "live", -1L, 2)))
+    // re-add refuses WHILE the registry holds the name; compaction
+    // clears it and the re-added column gets a FRESH id (never 3)
+    intercept[Exception](spark.sql("ALTER TABLE metacat.db.c3 ADD COLUMNS (extra INT)"))
+    t.compact(fileThreshold = 1, maxRows = Long.MaxValue, targetFiles = 1)
+    assert(spark.sql("SELECT count(*) FROM metacat.db.`c3$columns` WHERE status = 'dropped'")
+      .head.getLong(0) === 0L, "compaction must clear the dropped registry")
+    spark.sql("ALTER TABLE metacat.db.c3 ADD COLUMNS (extra INT)")
+    assert(spark.sql("SELECT field_id FROM metacat.db.`c3$columns` WHERE column = 'extra'")
+      .head.getInt(0) === 4, "a re-added name must get a fresh field id, not the retired one")
+    spark.sql("DROP TABLE metacat.db.c3")
+  }
+
   test("metadata tables and procedures refuse unknown names loudly") {
     ensureCatalog()
     intercept[Exception](spark.sql("SELECT * FROM metacat.db.`missing$snapshots`").collect())

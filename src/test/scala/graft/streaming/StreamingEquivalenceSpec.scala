@@ -1231,6 +1231,75 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(seen.synchronized(seen.toSet).exists(_._1 == 4L))
   }
 
+  test("readStream.table: a LIVE mid-stream RENAME delivers values under the pinned name; a LIVE WIDEN fails with the restart contract") {
+    import spark.implicits._
+    import graft.lakehouse.LakehouseTable
+    // RENAME: post-rename files carry the NEW physical name while the
+    // running stream's schema pins the OLD one — the per-batch required
+    // schema translates through the alias lineage, so the values flow
+    // (round-12 fix: this silently null-filled before)
+    val t = new LakehouseTable(spark, tmpDir("rst-renlive"))
+    t.append(Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[String])]
+    val q = spark.readStream.format("graft-lakehouse").load(t.root)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= df.collect().map(r => (r.getLong(0), Option(r.getString(1))))
+        }
+        ()
+      }
+      .option("checkpointLocation", tmpDir("rst-renlive-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable()
+      t.renameColumn("v", "label")
+      t.append(Seq((2L, "b")).toDF("id", "label").coalesce(1))
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.toSet) === Set((1L, Some("a")), (2L, Some("b"))),
+        s"renamed column's values must deliver under the pinned name: " +
+          seen.synchronized(seen.toList))
+    } finally q.stop()
+
+    // WIDEN: the pinned slot cannot carry the wide values (parquet
+    // refuses a narrowing read) — the stream fails LOUDLY with the
+    // restart message, and a restart re-pins and redelivers
+    val t2 = new LakehouseTable(spark, tmpDir("rst-widlive"))
+    t2.append(Seq((1, "a")).toDF("id", "v").coalesce(1))
+    val seen2 = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def sink2(df: org.apache.spark.sql.DataFrame): Unit =
+      seen2.synchronized { seen2 ++= df.collect().map(r => (r.getLong(0), r.getString(1))) }
+    val ckpt2 = tmpDir("rst-widlive-ckpt")
+    val q2 = spark.readStream.format("graft-lakehouse").load(t2.root)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink2(df.withColumn("id", col("id").cast("long"))); ()
+      }
+      .option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      q2.processAllAvailable()
+      t2.widenColumn("id", org.apache.spark.sql.types.LongType)
+      t2.append(Seq((5000000000L, "big"), (7L, "ok")).toDF("id", "v").coalesce(1))
+      val e = intercept[Exception] { q2.processAllAvailable() }
+      def rc(x: Throwable): Throwable =
+        if (x.getCause == null || x.getCause == x) x else rc(x.getCause)
+      assert((e.getMessage + rc(e).getMessage).contains("restart the stream"),
+        s"${e.getMessage} / ${rc(e).getMessage}")
+    } finally q2.stop()
+    val q3 = spark.readStream.format("graft-lakehouse").load(t2.root)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink2(df.withColumn("id", col("id").cast("long"))); ()
+      }
+      .option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q3.awaitTermination(120000), "post-widen restart did not drain")
+    assert(seen2.synchronized(seen2.toSet) ===
+      Set((1L, "a"), (5000000000L, "big"), (7L, "ok")),
+      s"restart must re-pin and redeliver the widened values: " +
+        seen2.synchronized(seen2.toList))
+  }
+
   test("skipChangeCommits: a batch spanning append then MoR-apply delivers the appended rows AS-COMMITTED") {
     // the round-11 ADVICE item: the per-batch scan pinned at range-end
     // let a later MoR tombstone retro-filter rows appended earlier in
