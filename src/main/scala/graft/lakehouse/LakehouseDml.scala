@@ -450,9 +450,12 @@ object LakehouseDmlStrategy extends SparkStrategy {
 
     case m: MergeIntoTable =>
       lakeRelation(m.targetTable).map { case (tOut, table) =>
-        if (m.withSchemaEvolution) throw new UnsupportedOperationException(
-          "graft-lakehouse MERGE does not support WITH SCHEMA EVOLUTION; " +
-            "schema evolves widen-only through writes")
+        // WITH SCHEMA EVOLUTION is the ANALYZER's job (the table
+        // advertises AUTOMATIC_SCHEMA_EVOLUTION): by planning time the
+        // target relation has been altered through the catalog (adds /
+        // widens as ordinary alter snapshots — they replicate through
+        // the schema-history channel) and star actions re-expanded over
+        // the evolved schema, so the exec sees a plain resolved MERGE.
         // ON hosts the JOIN condition — Spark itself cannot plan a
         // subquery inside a join condition. Uncorrelated SCALARS stage
         // (the exec evaluates them once and plants literals); other

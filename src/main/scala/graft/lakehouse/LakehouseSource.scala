@@ -472,7 +472,20 @@ private[lakehouse] final class LakehouseV2Table(
       // append-only readStream.table (LakehouseMicroBatchStream);
       // row-level change streams stay with format("graft-changefeed")
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      // MERGE WITH SCHEMA EVOLUTION: the analyzer computes the source-
+      // minus-target TableChanges, applies them through the catalog's
+      // alterTable (widen-only lattice + nested refusals enforced
+      // there), re-resolves the target relation, and re-expands star
+      // actions over the evolved schema — so the adds land as ordinary
+      // alter snapshots and replicate through the schema-history
+      // channel. Caveat (upstream Spark's analysis-time design, Delta
+      // shares it): the DDL commits at ANALYSIS — an EXPLAIN of an
+      // evolving merge, or a merge that later fails its cardinality
+      // check, still evolves the schema. The change is additive,
+      // idempotent, and widen-only, so this is surprising but never
+      // destructive.
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
     new LakehouseScanBuilder(tableSchema, options ++ scanOptions.asScala)

@@ -592,10 +592,24 @@ object CdcOpQueries {
             USING (SELECT n_nationkey AS sk FROM q127_src WHERE n_regionkey = 3) s
             ON t.k = s.sk + (SELECT max(n_regionkey) FROM q127_src)
             WHEN MATCHED THEN UPDATE SET nm = concat(nm, '#')""")
-      val out = s.sql(s"SELECT k, nm, rk FROM $cat.db.dml_t ORDER BY k").collect()
-        .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+      // round 12: MERGE WITH SCHEMA EVOLUTION — the analyzer alters the
+      // target through the catalog (the add lands as an alter snapshot,
+      // so it REPLICATES via the schema-history channel) and re-expands
+      // the star actions over the evolved schema: matched rows take ev,
+      // unmatched source rows insert with nm/rk NULL, untouched target
+      // rows read ev NULL
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.db.dml_t t
+            USING (SELECT n_nationkey * 2 + 1 AS k, concat('e', n_regionkey) AS ev
+                   FROM q127_src WHERE n_regionkey >= 3) s
+            ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+      val out = s.sql(s"SELECT k, nm, rk, ev FROM $cat.db.dml_t ORDER BY k").collect()
+        .map(r => (r.getInt(0), Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)), Option(r.getString(3)))).toSeq
       s.sql(s"DROP TABLE $cat.db.dml_t")
-      out.toDF("k", "nm", "rk").orderBy(col("k"))
+      out.toDF("k", "nm", "rk", "ev").orderBy(col("k"))
     }),
     // ---- SQL maintenance surface (round 9): metadata tables
     //      (`t$snapshots` row counts straight from manifest stats — no
@@ -1377,8 +1391,18 @@ object CdcOpQueries {
               CASE WHEN k IN (SELECT n_nationkey + (SELECT max(n_regionkey) FROM nation)
                               FROM nation WHERE n_regionkey = 3)
                    THEN nm || '#' ELSE nm END AS nm, rk
-            FROM j)
-      SELECT k, nm, rk FROM z ORDER BY k""",
+            FROM j),
+      -- round 12 schema-evolution MERGE: source (k, ev) star-updates
+      -- matched rows' ev, inserts unmatched with nm/rk NULL
+      s2 AS (SELECT n_nationkey * 2 + 1 AS k,
+                    'e' || CAST(n_regionkey AS VARCHAR) AS ev
+             FROM nation WHERE n_regionkey >= 3),
+      fin AS (
+        SELECT z.k, z.nm, z.rk, s2.ev FROM z LEFT JOIN s2 ON z.k = s2.k
+        UNION ALL
+        SELECT s2.k, CAST(NULL AS VARCHAR), CAST(NULL AS INT), s2.ev
+        FROM s2 LEFT JOIN z ON z.k = s2.k WHERE z.k IS NULL)
+      SELECT k, nm, rk, ev FROM fin ORDER BY k""",
     // q128: the maintenance lifecycle's snapshot lineage — per-snapshot
     // CUMULATIVE row counts from the three modulo slices, the compact/
     // rollback/alter rows all carrying the full count, and the content

@@ -333,15 +333,19 @@ class LakehouseDmlSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM dmlcat.db.m5").head.getLong(0) === 101L)
   }
 
-  test("MERGE WITH SCHEMA EVOLUTION is refused loudly") {
+  test("plain MERGE (no WITH SCHEMA EVOLUTION) never evolves the target schema") {
     freshTable("m6", "id BIGINT, v STRING")
     spark.sql("INSERT INTO dmlcat.db.m6 VALUES (1,'a')")
-    val e = intercept[Exception](spark.sql(
-      """MERGE WITH SCHEMA EVOLUTION INTO dmlcat.db.m6 t
+    // explicit assignments that ignore the extra source column: runs,
+    // schema unchanged — evolution is strictly opt-in via the keyword
+    spark.sql(
+      """MERGE INTO dmlcat.db.m6 t
          USING (SELECT CAST(1 AS BIGINT) AS id, 'x' AS v, 7 AS extra) s
          ON t.id = s.id
-         WHEN MATCHED THEN UPDATE SET *"""))
-    assert(e.getMessage.contains("SCHEMA EVOLUTION"), e.getMessage)
+         WHEN MATCHED THEN UPDATE SET v = s.v""")
+    assert(spark.table("dmlcat.db.m6").schema.fieldNames.toSeq === Seq("id", "v"),
+      "a plain MERGE must not add the source-only column")
+    assert(spark.sql("SELECT v FROM dmlcat.db.m6").head.getString(0) === "x")
   }
 
   test("MERGE WHEN conditions take uncorrelated subqueries; MERGE ON refuses them") {
@@ -369,6 +373,56 @@ class LakehouseDmlSpec extends SparkSpec {
          ON t.id = s.sid AND t.id IN (SELECT k FROM dmlcat.db.vip)
          WHEN MATCHED THEN DELETE"""))
     assert(e.getMessage.contains("MERGE ON"), e.getMessage)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: new source columns add, types widen, star actions re-expand (round 12)") {
+    val t = freshTable("me1", "id BIGINT, v STRING")
+    spark.sql("INSERT INTO dmlcat.db.me1 VALUES (1,'a'), (2,'b')")
+    // the analyzer computes the source-minus-target changes, applies
+    // them through the catalog (alter snapshots — they ride the
+    // schema-history channel like hand-written DDL), and re-expands
+    // the star actions over the evolved schema
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO dmlcat.db.me1 t
+         USING (SELECT CAST(2 AS BIGINT) AS id, 'B' AS v, 'T' AS tag
+                UNION ALL SELECT CAST(3 AS BIGINT), 'c', 'U') s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    val got = spark.sql("SELECT id, v, tag FROM dmlcat.db.me1 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSeq
+    assert(got === Seq((1L, "a", None), (2L, "B", Some("T")), (3L, "c", Some("U"))))
+    // the evolution rode an alter snapshot → it REPLICATES: the add is
+    // on the schema-history channel for the merge's range
+    val snaps = t.listSnapshots().map(_.snapshotId)
+    val ddl = t.schemaChangesBetween(snaps.head, snaps.last).map(DdlRecord.parse)
+    assert(ddl.exists(r => r.op == "add" && r.column.contains("tag")),
+      s"the evolution must ship as an add record: $ddl")
+    // widen direction: a BIGINT source key evolves an INT target column
+    val t2 = freshTable("me2", "id INT, v STRING")
+    spark.sql("INSERT INTO dmlcat.db.me2 VALUES (1,'a')")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO dmlcat.db.me2 t
+         USING (SELECT CAST(5000000000 AS BIGINT) AS id, 'big' AS v) s
+         ON t.id = s.id
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.table("dmlcat.db.me2").schema("id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql("SELECT sum(id) FROM dmlcat.db.me2").head.getLong(0) === 5000000001L)
+    assert(t2.currentSnapshot() !== null)
+    // the catalog's guards hold through this path: widening a BUCKET
+    // SOURCE column refuses (xxhash64 is width-sensitive — a widen
+    // would strand pre-widen files in stale bucket dirs)
+    ensureCatalog()
+    spark.sql("DROP TABLE IF EXISTS dmlcat.db.me3")
+    spark.sql("CREATE TABLE dmlcat.db.me3 (id INT, v STRING) PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO dmlcat.db.me3 VALUES (1,'a')")
+    val e = intercept[Exception](spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO dmlcat.db.me3 t
+         USING (SELECT CAST(2 AS BIGINT) AS id, 'b' AS v) s
+         ON t.id = s.id
+         WHEN NOT MATCHED THEN INSERT *"""))
+    assert(e.getMessage.toLowerCase.contains("bucket"), e.getMessage)
   }
 
   test("MERGE ON stages uncorrelated scalar subqueries to literals (round 12)") {
