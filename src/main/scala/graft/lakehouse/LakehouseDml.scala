@@ -722,6 +722,9 @@ private[lakehouse] final case class MergeLakehouseExec(
             .withColumn("__gs_m", lit(1))
           val joinType = if (merge.notMatchedActions.nonEmpty) "full_outer" else "left_outer"
           val joined = tdf.join(sdf, rebind(mergeCond, names), joinType).cache()
+          // a sqlMutate auto-retry (lost cross-process race) re-enters
+          // compute: drop the failed attempt's cached join first
+          joinedCache.foreach(_.unpersist())
           joinedCache = Some(joined)
           val matchedC = col("__gt_m").isNotNull && col("__gs_m").isNotNull
 

@@ -1215,10 +1215,42 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     * pin), the same discipline as [[deleteWhere]]; the table's hive
     * layout is preserved on both rewrite and insert.
     */
+  /** One SQL DML statement (UPDATE / DELETE / MERGE) as one snapshot —
+    * with AUTO-RETRY past lost cross-process races (the Delta conflict
+    * behavior for SQL statements): unlike the programmatic rewrite
+    * faces (upsert / applyChanges / compact), which surface
+    * [[ConcurrentCommitException]] to callers that may hold app-level
+    * retry logic, a SQL user cannot catch mid-statement — so a lost
+    * publish race here RE-RUNS the whole statement against the new
+    * head (fresh candidates, fresh compute, fresh files; always
+    * serializable because nothing of the failed attempt survives), with
+    * the append loop's jittered backoff and the same livelock cap. A
+    * failed attempt's data files are unreferenced and age out with
+    * vacuum's grace like any orphan.
+    */
   private[lakehouse] def sqlMutate(op: String,
       candidatesOf: Snapshot => Seq[String],
       compute: (Snapshot, Seq[String], DataFrame) => (Option[DataFrame], Option[DataFrame]))
       : Option[Snapshot] = writeLock.synchronized {
+    var attempt = 0
+    while (true) {
+      try return sqlMutateOnce(op, candidatesOf, compute)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt >= LakehouseTable.MaxCommitAttempts) throw e
+          Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current()
+              .nextLong(1L, math.min(128L, 4L << math.min(attempt, 5)) + 1))
+      }
+    }
+    sys.error("unreachable: loop exits only by return/throw")
+  }
+
+  private def sqlMutateOnce(op: String,
+      candidatesOf: Snapshot => Seq[String],
+      compute: (Snapshot, Seq[String], DataFrame) => (Option[DataFrame], Option[DataFrame]))
+      : Option[Snapshot] = {
     val cur = currentSnapshot().getOrElse(
       throw new IllegalStateException(s"table $root has no snapshots"))
     val curSet = cur.files.toSet

@@ -78,6 +78,32 @@ class CommitProtocolSpec extends SparkSpec {
       Set((1L, "new"), (2L, "keep"), (9L, "racer")))
   }
 
+  test("SQL DML auto-retries past a lost race: the statement re-plans against the new head") {
+    val root = tmpDir("occ-dml")
+    val a = new LakehouseTable(spark, root)
+    val b = new LakehouseTable(spark, root)
+    a.append(Seq((1L, "x"), (2L, "x")).toDF("id", "v"))
+
+    // b's racer lands between a's head read and publish — the SQL
+    // statement (a SQL user cannot catch mid-statement) must RE-RUN
+    // with fresh candidates instead of surfacing the exception the
+    // programmatic faces keep (upsert's contract is pinned above)
+    raceOnce(a) { b.append(Seq((3L, "x")).toDF("id", "v")) }
+    var computeRuns = 0
+    val snap = a.sqlMutate("update",
+      candidatesOf = _.files,
+      compute = { (_, _, scan) =>
+        computeRuns += 1
+        (Some(scan.withColumn("v", org.apache.spark.sql.functions.lit("hit"))), None)
+      })
+    assert(snap.isDefined)
+    assert(computeRuns === 2, "the losing attempt must re-run compute against the new head")
+    assert(a.read().as[(Long, String)].collect().toSet ===
+      Set((1L, "hit"), (2L, "hit"), (3L, "hit")),
+      "the retry re-planned candidates, so the racer's row is covered too " +
+        "(statement-level serializability)")
+  }
+
   test("append racing a NEWER MoR tombstone conflicts instead of committing maskable rows") {
     val root = tmpDir("occ-tomb")
     val a = new LakehouseTable(spark, root)
