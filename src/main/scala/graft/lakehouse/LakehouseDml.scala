@@ -557,8 +557,12 @@ private[lakehouse] final case class UpdateLakehouseExec(
             LakehouseDml.uniqueNameFrame(targetOutput, fields, scan)
           val hasSub = condition.exists(SubqueryExpression.hasSubquery)
           // the hit/miss split scans candidates twice — cache them once
-          val scan2 = if (hasSub) { val c = scan2raw.cache(); scanCache = Some(c); c }
-            else scan2raw
+          // (a sqlMutate auto-retry re-enters compute: drop the failed
+          // attempt's cache first)
+          val scan2 = if (hasSub) {
+            scanCache.foreach(_.unpersist())
+            val c = scan2raw.cache(); scanCache = Some(c); c
+          } else scan2raw
           val cond2 = condition.map(LakehouseDml.rebind(_, uniq)).getOrElse(lit(true))
           def assigned(f: org.apache.spark.sql.types.StructField, i: Int): Option[Column] =
             setByName.get(f.name.toLowerCase(java.util.Locale.ROOT))

@@ -607,6 +607,35 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(dst.listSnapshots().size === before, "replayed set_spec must absorb")
   }
 
+  test("replica FIELD IDS converge with the source through the schema-history channel") {
+    // the DDL records are name-keyed, but because both sides run the
+    // SAME deterministic assignment algebra (FIELD_IDS.md) and the
+    // records replay in source order, a replica that starts from the
+    // source's initial shape ends with IDENTICAL ids — the property a
+    // future id-keyed channel (DdlRecord v2) will rely on, frozen here
+    val src = new LakehouseTable(spark, tmpDir("fid-src"))
+    src.append(Seq((1, "a", 0.5)).toDF("k", "v", "w").coalesce(1))
+    val from = src.currentSnapshot().get.snapshotId
+    val rep = new LakehouseTable(spark, tmpDir("fid-rep"))
+    rep.append(Seq((1, "a", 0.5)).toDF("k", "v", "w").coalesce(1))
+    // the full DDL lifecycle: add, rename (carries the id), widen
+    // (keeps it), drop (retires it), spec evolution (no id effect)
+    src.addColumns(Seq(StructField("tag", StringType, nullable = true)))
+    src.renameColumn("v", "label")
+    src.widenColumn("k", LongType)
+    src.dropColumn("w")
+    src.setPartitionSpec(Seq("tag"))
+    src.schemaChangesBetween(from, src.currentSnapshot().get.snapshotId)
+      .foreach(rep.applySchemaChange)
+    val sIds = src.currentSnapshot().get.fieldIds.get
+    val rIds = rep.currentSnapshot().get.fieldIds.get
+    assert(rIds.ids === sIds.ids,
+      s"replica ids must converge with the source: src=$sIds rep=$rIds")
+    assert(rIds.next === sIds.next, "the allocation high-water mark converges too")
+    assert(sIds.ids === Map("k" -> 1, "label" -> 2, "tag" -> 4),
+      "and the converged assignment is the algebra FieldIdSpec pins")
+  }
+
   test("schema-history records survive JSON-hostile column names end-to-end") {
     val src = new LakehouseTable(spark, tmpDir("ev-evil-src"))
     val dst = new LakehouseTable(spark, tmpDir("ev-evil-dst"))

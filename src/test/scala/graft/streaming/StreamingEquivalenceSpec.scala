@@ -100,6 +100,47 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("RocksDB state store: the stateful ops run unchanged on the spill-to-disk provider") {
+    // at 100 TB the HDFS-backed (heap) state store is the scale limit
+    // for big keyspaces — every stateful op here must run unchanged on
+    // Spark's RocksDB provider (native lib ships with the Spark jars)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (dir, schema) = eventsAsJsonFiles(4)
+      val ckpt = tmpDir("rocksdb-ckpt")
+      val q = streamed(dir, schema)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+        .writeStream.format("memory").queryName("rocksdedup")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val got = spark.sql("SELECT user_id, event_type FROM rocksdedup")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = Tables.load(spark, sf, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === want, "RocksDB-backed dedup must equal the batch answer")
+      // prove the provider actually engaged: RocksDB writes
+      // zip/changelog artifacts where the HDFS provider writes .delta
+      val stateFiles = graft.Fs.walkAll(java.nio.file.Paths.get(ckpt, "state"))
+        .map(_.getFileName.toString)
+      assert(stateFiles.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+        s"expected RocksDB state artifacts under the checkpoint, got: " +
+          stateFiles.take(20).mkString(", "))
+      assert(!stateFiles.exists(_.endsWith(".delta")),
+        "the HDFS provider must not have engaged")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful latest-by-key via flatMapGroupsWithState == batch window answer") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
