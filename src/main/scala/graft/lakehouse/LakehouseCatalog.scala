@@ -6,6 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NamespaceAlreadyExistsException, TableAlreadyExistsException}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
@@ -89,6 +91,64 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
 
   private def metaPath(root: Path): Path = root.resolve("_catalog.json")
 
+  private def readMetaFields(root: Path): List[JField] =
+    if (!Files.exists(metaPath(root))) Nil
+    else JsonMethods.parse(Files.readString(metaPath(root))) match {
+      case JObject(fields) => fields
+      case _ => Nil
+    }
+
+  private def writeMetaFields(root: Path, fields: List[JField]): Unit = {
+    Files.writeString(metaPath(root),
+      JsonMethods.compact(JsonMethods.render(JObject(fields))))
+    ()
+  }
+
+  /** The free-form TBLPROPERTIES map stored under `"properties"`. */
+  private def metaProps(root: Path): Map[String, String] =
+    readMetaFields(root).collectFirst {
+      case JField("properties", JObject(ps)) =>
+        ps.collect { case JField(k, JString(v)) => k -> v }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Spark-managed property names a user may not SET/UNSET. */
+  private val reservedProps =
+    Set("provider", "location", "external", "owner", "format")
+
+  /** Apply SET/UNSET TBLPROPERTIES to `_catalog.json`, preserving every
+    * other key. The two write knobs map onto their dedicated top-level
+    * keys (the ones the write path reads), so
+    * `ALTER TABLE t SET TBLPROPERTIES('optimizeWrite'='true')` takes
+    * effect on the very next INSERT; everything else lands in the
+    * free-form `"properties"` object.
+    */
+  private def updateMetaProps(root: Path,
+      set: Map[String, String], unset: Seq[String]): Unit = {
+    (set.keys ++ unset).foreach(k => require(!reservedProps(k.toLowerCase(java.util.Locale.ROOT)),
+      s"table property '$k' is reserved"))
+    def knobKey(k: String): Option[String] = k match {
+      case "optimizeWrite" => Some("optimizeWrite")
+      case "optimizeWrite.targetBytes" => Some("optimizeWriteTargetBytes")
+      case _ => None
+    }
+    val (knobSets, propSets) = set.partition { case (k, _) => knobKey(k).isDefined }
+    val (knobUnsets, propUnsets) = unset.partition(k => knobKey(k).isDefined)
+    val knobJson: Map[String, JValue] = knobSets.map {
+      case ("optimizeWrite", v) => "optimizeWrite" -> JBool(v.trim.equalsIgnoreCase("true"))
+      case ("optimizeWrite.targetBytes", v) => "optimizeWriteTargetBytes" -> JLong(v.trim.toLong)
+      case other => throw new IllegalStateException(s"unreachable knob $other")
+    }
+    val droppedKnobs = knobUnsets.flatMap(knobKey).toSet
+    val props = metaProps(root) ++ propSets -- propUnsets
+    val others = readMetaFields(root).filterNot { case JField(k, _) =>
+      k == "properties" || knobJson.contains(k) || droppedKnobs(k) }
+    writeMetaFields(root,
+      others ++ knobJson.map { case (k, v) => JField(k, v) } ++
+        (if (props.isEmpty) Nil
+         else List(JField("properties",
+           JObject(props.toList.sortBy(_._1).map { case (k, v) => JField(k, JString(v)) })))))
+  }
+
   private def spark: SparkSession = SparkSession.active
 
   // ---------------- tables ----------------
@@ -160,7 +220,8 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
       (if (optimizeWrite) Map("optimizeWrite" -> "true") else Map.empty) ++
       owTarget.map("optimizeWriteTargetBytes" -> _).toMap
     new LakehouseV2Table(
-      DataType.fromJson(snap.schemaJson).asInstanceOf[StructType], opts)
+      DataType.fromJson(snap.schemaJson).asInstanceOf[StructType], opts,
+      catalogProps = metaProps(root))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -203,14 +264,25 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     // clustered write to ≈target-sized files (skew-proof optimize-write)
     val owTarget = Option(properties.get("optimizeWrite.targetBytes"))
       .map(_.trim.toLong)
-    if (partitionBy.nonEmpty || optimizeWrite || owTarget.isDefined) {
-      val parts = Seq(
-        if (partitionBy.nonEmpty)
-          Some(partitionBy.map("\"" + _ + "\"").mkString("\"partitionBy\": [", ", ", "]"))
-        else None,
-        if (optimizeWrite) Some("\"optimizeWrite\": true") else None,
-        owTarget.map(t => s""""optimizeWriteTargetBytes": $t""")).flatten
-      Files.writeString(metaPath(root), parts.mkString("{", ", ", "}"))
+    // every other CREATE-time property persists verbatim (readable via
+    // SHOW TBLPROPERTIES, mutable via ALTER TABLE SET/UNSET) — minus
+    // the Spark-managed reserved names and per-write `option.` keys
+    val userProps = properties.asScala.toMap.filter { case (k, _) =>
+      !reservedProps(k.toLowerCase(java.util.Locale.ROOT)) &&
+        !k.startsWith("option.") &&
+        k != "optimizeWrite" && k != "optimizeWrite.targetBytes"
+    }
+    if (partitionBy.nonEmpty || optimizeWrite || owTarget.isDefined || userProps.nonEmpty) {
+      val fields =
+        (if (partitionBy.nonEmpty)
+           List(JField("partitionBy", JArray(partitionBy.map(JString(_)).toList)))
+         else Nil) ++
+          (if (optimizeWrite) List(JField("optimizeWrite", JBool(true))) else Nil) ++
+          owTarget.map(t => JField("optimizeWriteTargetBytes", JLong(t))).toList ++
+          (if (userProps.isEmpty) Nil
+           else List(JField("properties", JObject(
+             userProps.toList.sortBy(_._1).map { case (k, v) => JField(k, JString(v)) }))))
+      writeMetaFields(root, fields)
     }
     loadTable(ident)
   }
@@ -250,10 +322,18 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
         require(d.fieldNames.length == 1,
           s"DROP COLUMN supports top-level columns only, got ${d.fieldNames.mkString(".")}")
         t.dropColumn(d.fieldNames.head)
+      case c: TableChange.UpdateColumnComment =>
+        require(c.fieldNames.length == 1,
+          s"ALTER COLUMN COMMENT supports top-level columns only, got ${c.fieldNames.mkString(".")}")
+        t.commentColumn(c.fieldNames.head, c.newComment)
+      case s: TableChange.SetProperty =>
+        updateMetaProps(root, Map(s.property -> s.value), Nil)
+      case r: TableChange.RemoveProperty =>
+        updateMetaProps(root, Map.empty, Seq(r.property))
       case other => throw new UnsupportedOperationException(
         "graft catalog supports ALTER TABLE ADD COLUMNS (top-level, nullable), " +
-          "RENAME COLUMN, DROP COLUMN, and ALTER COLUMN TYPE (lossless " +
-          s"widening) only, got $other")
+          "RENAME COLUMN, DROP COLUMN, ALTER COLUMN TYPE (lossless widening), " +
+          s"ALTER COLUMN COMMENT, and SET/UNSET TBLPROPERTIES only, got $other")
     }
     if (adds.nonEmpty) t.addColumns(adds)
     loadTable(ident)

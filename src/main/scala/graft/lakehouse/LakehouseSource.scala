@@ -412,14 +412,107 @@ private[lakehouse] object LakehouseSource {
 
 private[lakehouse] final class LakehouseV2Table(
     tableSchema: StructType,
-    private[lakehouse] val options: Map[String, String]) extends Table
+    private[lakehouse] val options: Map[String, String],
+    catalogProps: Map[String, String] = Map.empty) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
   private def nameKeyOf(n: String): String =
     if (SparkSession.active.sessionState.conf.caseSensitiveAnalysis) n
     else n.toLowerCase(java.util.Locale.ROOT)
+
+  /** SHOW TBLPROPERTIES / DESCRIBE EXTENDED: the stored free-form
+    * properties plus the live write knobs.
+    */
+  override def properties(): java.util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    (Map("provider" -> "graft-lakehouse") ++
+      options.get("optimizeWrite").map("optimizeWrite" -> _) ++
+      options.get("optimizeWriteTargetBytes").map("optimizeWrite.targetBytes" -> _) ++
+      catalogProps).asJava
+  }
+
+  // ---------------- partition surface (SHOW PARTITIONS) ----------------
+
+  /** The IDENTITY partition columns of the declared spec, in spec
+    * order — what `SHOW PARTITIONS` enumerates. Bucket transforms are
+    * layout, not partitions (their volume view is `t$partitions`).
+    */
+  override def partitionSchema(): StructType = {
+    val spec = options.get("partitionBy")
+      .map(LakehouseSource.splitTopLevel).getOrElse(Nil)
+    StructType(spec.filterNot(LakehouseTable.BucketSpecRe.findFirstIn(_).isDefined)
+      .flatMap(c => tableSchema.fields.find(f => nameKeyOf(f.name) == nameKeyOf(c))))
+  }
+
+  /** Distinct live partition-value tuples from the current snapshot's
+    * hive paths (driver-side manifest read, zero jobs; the values
+    * decode with Spark's own unescape + cast). `names`/`ident` filter
+    * on a prefix of the partition columns (the `SHOW PARTITIONS t
+    * PARTITION (p='x')` form).
+    */
+  override def listPartitionIdentifiers(
+      names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val pf = partitionSchema().fields
+    if (pf.isEmpty) return Array.empty
+    val spark = SparkSession.active
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val t = new LakehouseTable(spark, LakehouseSource.rootOf(options))
+    val snap = LakehouseSource.snapshotIdOf(options)
+      .map(t.snapshotOrThrow).orElse(t.currentSnapshot())
+      .getOrElse(return Array.empty)
+    val wantIdx = names.map(n => pf.indexWhere(f => nameKeyOf(f.name) == nameKeyOf(n)))
+    require(wantIdx.forall(_ >= 0),
+      s"unknown partition column(s) ${names.mkString(", ")}")
+    val tuples = snap.files.map { f =>
+      val segs = f.split('/').filter(_.contains("=")).map(_.split("=", 2))
+      pf.map { field =>
+        segs.collectFirst {
+          case Array(k, v) if nameKeyOf(k) == nameKeyOf(field.name) =>
+            if (v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+            else org.apache.spark.sql.execution.datasources.PartitioningUtils
+              .castPartValueToDesiredType(field.dataType,
+                org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v),
+                zone)
+        }.getOrElse(null)
+      }.toSeq
+    }.distinct
+    tuples.filter { vals =>
+      wantIdx.zipWithIndex.forall { case (pi, ni) =>
+        val want = ident.get(ni, pf(pi).dataType)
+        val got = vals(pi)
+        (want == null && got == null) || (want != null && want == got)
+      }
+    }.map(vals => new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      vals.toArray)).toArray
+  }
+
+  override def createPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft-lakehouse partitions are derived from data (hive-style dirs " +
+        "per write) — ADD PARTITION is meaningless; write rows instead")
+
+  override def dropPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    throw new UnsupportedOperationException(
+      "graft-lakehouse DROP PARTITION is unsupported — DELETE FROM t " +
+        "WHERE <partition predicate> removes the rows (file-pruned)")
+
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft-lakehouse partitions carry no metadata")
+
+  override def loadPartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow): java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
 
   /** SQL `DELETE FROM t WHERE ...`: accepted iff every conjunct is a
     * filter the pruner + residual understand on top-level columns —

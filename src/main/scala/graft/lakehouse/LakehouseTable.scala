@@ -1314,6 +1314,24 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         deletes = cur.deletes))
     }
 
+  /** `ALTER TABLE … ALTER COLUMN c COMMENT '…'`: a schema-only snapshot
+    * carrying the comment in the column's metadata (every schema-compat
+    * and alignment check compares dataTypes only, so comments ride the
+    * manifest schema without touching any read or write path).
+    */
+  def commentColumn(name: String, comment: String): Snapshot = writeLock.synchronized {
+    val cur = currentSnapshot().getOrElse(
+      throw new IllegalStateException(s"table $root has no snapshots"))
+    val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+    require(schema.fields.exists(f => nameKey(f.name) == nameKey(name)),
+      s"no such column '$name' in ${schema.fieldNames.mkString("[", ", ", "]")}")
+    writeSnapshot(Snapshot(nextId(), Some(cur.snapshotId),
+      System.currentTimeMillis(), "alter", cur.files,
+      StructType(schema.fields.map(f =>
+        if (nameKey(f.name) == nameKey(name)) f.withComment(comment) else f)).json,
+      txn = None, deletes = cur.deletes))
+  }
+
   /** A name may never be REUSED while files that carry its old meaning
     * can still be alive: the alias resolution matches by NAME (no
     * Iceberg field ids), so a reused name would be ambiguous between

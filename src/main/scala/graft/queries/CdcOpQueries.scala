@@ -1200,6 +1200,48 @@ object CdcOpQueries {
       val checksum = out.read().agg(sum(col("k"))).head.getLong(0)
       (batches.map { case (b, n) => (s"b$b", n) }.toSeq :+ (("z_checksum", checksum)))
         .toDF("step", "n").orderBy(col("step"))
+    }),
+    // ---- operational SQL surface (round 12): SHOW PARTITIONS from the
+    //      manifest (zero jobs, values typed), SET/UNSET TBLPROPERTIES
+    //      persisted in catalog metadata, ALTER COLUMN COMMENT as a
+    //      schema-only snapshot — the operator-facing DDL an engine
+    //      needs beyond data DDL, gated against a literal oracle. ----
+    "q140_catalog_ops" -> ((s, dir) => {
+      import s.implicits._
+      val cat = ensureQueryCatalog(s)
+      graft.Tables.load(s, dir, "nation").createOrReplaceTempView("q140_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.ops_t")
+      s.sql(s"CREATE TABLE $cat.db.ops_t (k BIGINT, nm STRING, rk INT) " +
+        "PARTITIONED BY (rk) TBLPROPERTIES ('team'='ml-data')")
+      s.sql(s"INSERT INTO $cat.db.ops_t SELECT n_nationkey, n_name, n_regionkey FROM q140_src")
+      // SHOW PARTITIONS must enumerate exactly the live hive dirs
+      val shown = s.sql(s"SHOW PARTITIONS $cat.db.ops_t")
+        .collect().map(_.getString(0)).toSet
+      val derived = s.sql(s"SELECT DISTINCT rk FROM $cat.db.ops_t")
+        .collect().map(r => s"rk=${r.getInt(0)}").toSet
+      require(shown == derived,
+        s"SHOW PARTITIONS ($shown) must equal the data-derived set ($derived)")
+      val partRows = s.sql(
+        s"SELECT concat('rk=', CAST(rk AS STRING)) AS k, CAST(count(*) AS STRING) AS v " +
+          s"FROM $cat.db.ops_t GROUP BY rk").collect()
+        .map(r => ("p", r.getString(0), r.getString(1))).toSeq
+      // property lifecycle: create-time prop, SET a new one, UNSET the old
+      s.sql(s"ALTER TABLE $cat.db.ops_t SET TBLPROPERTIES ('pii'='scrubbed')")
+      s.sql(s"ALTER TABLE $cat.db.ops_t UNSET TBLPROPERTIES ('team')")
+      val props = s.sql(s"SHOW TBLPROPERTIES $cat.db.ops_t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val propRows = Seq(
+        ("prop", "pii", props.getOrElse("pii", "<missing>")),
+        ("prop", "team", props.getOrElse("team", "<unset>")))
+      // column comment rides the manifest schema into DESCRIBE
+      s.sql(s"ALTER TABLE $cat.db.ops_t ALTER COLUMN nm COMMENT 'the nation label'")
+      val cmt = s.sql(s"DESCRIBE TABLE $cat.db.ops_t").collect()
+        .collectFirst { case r if r.getString(0) == "nm" => r.getString(2) }
+        .getOrElse("<none>")
+      val out = (partRows ++ propRows :+ (("q", "comment:nm", cmt))).toDF("step", "k", "v")
+      s.sql(s"DROP TABLE $cat.db.ops_t")
+      out.orderBy(col("step"), col("k"))
     })
   )
 
@@ -1630,6 +1672,18 @@ object CdcOpQueries {
       UNION ALL SELECT 'b_snap3_files', 8
       UNION ALL SELECT 'c_rows', (SELECT count(*) FROM o)
       UNION ALL SELECT 'd_checksum', (SELECT CAST(sum(k) AS BIGINT) FROM o)
-      ORDER BY step"""
+      ORDER BY step""",
+    // q140: SHOW PARTITIONS must equal the data-derived partition set
+    // (the gate REQUIREs it, then emits per-partition counts); the
+    // property lifecycle ends with pii set and team unset; the column
+    // comment survives into DESCRIBE.
+    "q140_catalog_ops" -> """
+      SELECT 'p' AS step, 'rk=' || CAST(n_regionkey AS VARCHAR) AS k,
+             CAST(count(*) AS VARCHAR) AS v
+      FROM nation GROUP BY n_regionkey
+      UNION ALL SELECT 'prop', 'pii', 'scrubbed'
+      UNION ALL SELECT 'prop', 'team', '<unset>'
+      UNION ALL SELECT 'q', 'comment:nm', 'the nation label'
+      ORDER BY step, k"""
   )
 }

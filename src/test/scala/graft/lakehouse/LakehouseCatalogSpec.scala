@@ -221,4 +221,70 @@ class LakehouseCatalogSpec extends SparkSpec {
       assert(spark.sql("SELECT count(*) FROM graftcat.db.ow_t").head.getLong(0) === 800L)
     } finally spark.sql("DROP TABLE IF EXISTS graftcat.db.ow_t")
   }
+
+  test("SHOW PARTITIONS enumerates live hive partitions from the manifest (zero jobs)") {
+    ensureCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.sp_t")
+    spark.sql("CREATE TABLE graftcat.db.sp_t (id BIGINT, p STRING, n INT) " +
+      "PARTITIONED BY (p, n)")
+    spark.sql("INSERT INTO graftcat.db.sp_t VALUES (1,'x',1), (2,'x',2), (3,'y',1)")
+    val got = spark.sql("SHOW PARTITIONS graftcat.db.sp_t")
+      .collect().map(_.getString(0)).toSet
+    assert(got === Set("p=x/n=1", "p=x/n=2", "p=y/n=1"))
+    // the PARTITION filter form (prefix on any subset of columns)
+    assert(spark.sql("SHOW PARTITIONS graftcat.db.sp_t PARTITION (p='x')")
+      .collect().map(_.getString(0)).toSet === Set("p=x/n=1", "p=x/n=2"))
+    // INT partition values decode typed, not as strings
+    assert(spark.sql("SHOW PARTITIONS graftcat.db.sp_t PARTITION (n=2)")
+      .collect().map(_.getString(0)).toSet === Set("p=x/n=2"))
+    // ADD/DROP PARTITION are meaningless for data-derived partitions
+    intercept[Exception](
+      spark.sql("ALTER TABLE graftcat.db.sp_t ADD PARTITION (p='z', n=9)"))
+    spark.sql("DROP TABLE graftcat.db.sp_t")
+  }
+
+  test("SET/UNSET TBLPROPERTIES persist, survive other metadata, and drive live knobs") {
+    ensureCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.tp_t")
+    spark.sql("CREATE TABLE graftcat.db.tp_t (id BIGINT, cell BIGINT) " +
+      "PARTITIONED BY (cell) TBLPROPERTIES ('team'='ml-data')")
+    def props(): Map[String, String] =
+      spark.sql("SHOW TBLPROPERTIES graftcat.db.tp_t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props().get("team") === Some("ml-data"))
+    spark.sql("ALTER TABLE graftcat.db.tp_t SET TBLPROPERTIES ('pii'='scrubbed')")
+    assert(props().get("pii") === Some("scrubbed") && props().get("team") === Some("ml-data"))
+    spark.sql("ALTER TABLE graftcat.db.tp_t UNSET TBLPROPERTIES ('team')")
+    assert(props().get("team").isEmpty && props().get("pii") === Some("scrubbed"))
+    // the write knob set by ALTER engages on the very NEXT insert
+    spark.sql("ALTER TABLE graftcat.db.tp_t SET TBLPROPERTIES ('optimizeWrite'='true')")
+    spark.sql("INSERT INTO graftcat.db.tp_t " +
+      "SELECT id, id % 4 FROM range(400) DISTRIBUTE BY id % 8")
+    val warehouseRoot = spark.conf.get("spark.sql.catalog.graftcat.warehouse")
+    val t = new LakehouseTable(spark,
+      java.nio.file.Paths.get(warehouseRoot, "db", "tp_t").toString)
+    assert(t.currentSnapshot().get.files.size === 4,
+      s"ALTER-set optimizeWrite must cluster (one file per cell): ${t.currentSnapshot().get.files}")
+    // the partition layout survived the property edits
+    assert(t.currentSnapshot().get.files.forall(_.contains("cell=")))
+    spark.sql("DROP TABLE graftcat.db.tp_t")
+  }
+
+  test("ALTER COLUMN COMMENT: a schema-only snapshot; DESCRIBE shows it; reads unchanged") {
+    ensureCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.cc_t")
+    spark.sql("CREATE TABLE graftcat.db.cc_t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graftcat.db.cc_t VALUES (1, 'a')")
+    spark.sql("ALTER TABLE graftcat.db.cc_t ALTER COLUMN v COMMENT 'the payload'")
+    val desc = spark.sql("DESCRIBE TABLE graftcat.db.cc_t").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(desc.get("v") === Some("the payload"))
+    assert(spark.sql("SELECT v FROM graftcat.db.cc_t").head.getString(0) === "a")
+    spark.sql("INSERT INTO graftcat.db.cc_t VALUES (2, 'b')")
+    assert(spark.sql("SELECT count(*) FROM graftcat.db.cc_t").head.getLong(0) === 2L)
+    spark.sql("DROP TABLE graftcat.db.cc_t")
+  }
 }

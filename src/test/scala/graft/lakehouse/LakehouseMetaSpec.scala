@@ -172,10 +172,11 @@ class LakehouseMetaSpec extends SparkSpec {
     // time travel to before the ALTER sees the narrow schema
     assert(spark.sql(s"SELECT * FROM metacat.db.a1 VERSION AS OF $preAlter")
       .columns.toSeq === Seq("id", "v"))
-    // DROP COLUMN works as of round 11 (SchemaEvolutionSpec owns its
-    // contract); unsupported shapes still refuse loudly
+    // DROP COLUMN works as of round 11, ALTER COLUMN COMMENT as of
+    // round 12 (SchemaEvolutionSpec / LakehouseCatalogSpec own those
+    // contracts); unsupported shapes still refuse loudly
     val e = intercept[Exception](
-      spark.sql("ALTER TABLE metacat.db.a1 ALTER COLUMN v COMMENT 'nope'"))
+      spark.sql("ALTER TABLE metacat.db.a1 ALTER COLUMN v AFTER tag"))
     assert(e.getMessage.contains("ADD COLUMNS"), e.getMessage)
   }
 
