@@ -580,8 +580,15 @@ private[lakehouse] final class LakehouseV2Table(
       // destructive.
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
-  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // internal-only: the micro-batch stream plans its incremental
+    // slices mask-free by constructing the batch scan DIRECTLY — as a
+    // user read option this would silently resurrect deleted rows
+    require(!options.keys.exists(_.equalsIgnoreCase("ignoreMorMasks")) &&
+      !scanOptions.containsKey("ignoreMorMasks"),
+      "'ignoreMorMasks' is an internal planning flag, not a read option")
     new LakehouseScanBuilder(tableSchema, options ++ scanOptions.asScala)
+  }
 
   /** V2 write face over the V1 table API (the official V1Write bridge):
     * `INSERT INTO` appends (honoring the table's stored partition

@@ -64,6 +64,14 @@ class NativeMorScanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(df.filter(col("id") === 500L).select("v").head.getString(0) === "v500")
   }
 
+  test("ignoreMorMasks is internal-only: as a user read option it refuses (would resurrect deletes)") {
+    val t = rangedMor("nmor-ign")
+    val e = intercept[Exception](
+      spark.read.format("graft-lakehouse")
+        .option("ignoreMorMasks", "true").load(t.root).collect())
+    assert(e.getMessage.contains("internal planning flag"), e.getMessage)
+  }
+
   test("only batches holding a masked row pay the survivor copy; the rest pass through zero-copy") {
     val t = rangedMor("nmor-copy")
     t.applyChanges(ch((1500L, "x", "delete")), Seq("id"), mergeOnRead = true)
