@@ -178,11 +178,15 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
           throw new NoSuchTableException(ident)))
     }
 
-  /** SQL time travel: `SELECT * FROM graft.db.t VERSION AS OF 3`. */
+  /** SQL time travel: `SELECT * FROM graft.db.t VERSION AS OF 3`, or a
+    * snapshot TAG — `VERSION AS OF 'corpus-v1'` (the reproducible
+    * corpus-version pin: `CALL <cat>.system.set_tag(...)`).
+    */
   override def loadTable(ident: Identifier, version: String): Table =
-    loadPinned(ident, t => t.snapshotOrThrow(
-      scala.util.Try(version.toLong).getOrElse(throw new IllegalArgumentException(
-        s"VERSION AS OF takes a numeric snapshot id, got '$version'"))))
+    loadPinned(ident, t => scala.util.Try(version.toLong).toOption match {
+      case Some(id) => t.snapshotOrThrow(id)
+      case None => t.snapshotForTag(version)
+    })
 
   /** SQL time travel: `... TIMESTAMP AS OF '2026-01-01 00:00:00'`.
     * Spark hands the instant in MICROseconds since epoch.

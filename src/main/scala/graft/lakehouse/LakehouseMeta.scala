@@ -43,7 +43,7 @@ object LakehouseMeta {
     if (i <= 0) None
     else {
       val kind = name.substring(i + 1).toLowerCase(java.util.Locale.ROOT)
-      if (Set("snapshots", "history", "files", "txns", "columns", "partitions")(kind))
+      if (Set("snapshots", "history", "files", "txns", "columns", "partitions", "refs")(kind))
         Some((name.substring(0, i), kind))
       else None
     }
@@ -226,6 +226,18 @@ object LakehouseMeta {
         val rows = t.txnVersions().toSeq.sortBy(_._1)
           .map { case (a, v) => Row(a, v) }
         new LakehouseMetaTable(s"$root$$txns", schema, rows)
+      case "refs" =>
+        // snapshot tags: the reproducible-corpus-version registry —
+        // each tag pins its snapshot against retention and resolves
+        // via VERSION AS OF '<tag>'
+        val schema = StructType(Seq(
+          StructField("tag", StringType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("created_at", TimestampType, nullable = false)))
+        val rows = t.tags.toSeq.sortBy(_._1).map { case (n, (id, at)) =>
+          Row(n, id, new java.sql.Timestamp(at))
+        }
+        new LakehouseMetaTable(s"$root$$refs", schema, rows)
       case other => throw new IllegalArgumentException(s"unknown metadata table $$$other")
     }
   }
@@ -239,7 +251,8 @@ object LakehouseMeta {
 
   val procedureNames: Seq[String] = Seq(
     "expire_snapshots", "compact", "zorder", "build_bloom_index",
-    "prune_bloom_sidecars", "rollback", "set_partition_spec")
+    "prune_bloom_sidecars", "rollback", "set_partition_spec",
+    "set_tag", "drop_tag")
 
   /** One result row through a LocalScan (the CALL statement's output). */
   private def result(schema: StructType, row: Row): JIterator[Scan] = {
@@ -331,6 +344,29 @@ object LakehouseMeta {
         StructType(Seq(StructField("new_snapshot_id", LongType, nullable = false)))) { in =>
         Row(tableOf(in.getUTF8String(0).toString)
           .rollbackToSnapshot(in.getLong(1)).snapshotId)
+      })
+      // snapshot tags: CALL cat.system.set_tag(table => 'db.t',
+      //   tag => 'corpus-v1'[, snapshot_id => N])  — default = current
+      // head. A tagged snapshot survives expire_snapshots until the
+      // tag drops; reads resolve it via VERSION AS OF 'corpus-v1'.
+      case "set_tag" => unbound(bound(
+        Array(inParam("table", string), inParam("tag", string),
+          inParamDefault("snapshot_id", LongType, "-1")),
+        StructType(Seq(StructField("snapshot_id", LongType, nullable = false)))) { in =>
+        val t = tableOf(in.getUTF8String(0).toString)
+        val id = in.getLong(2) match {
+          case -1L => t.currentSnapshot().getOrElse(throw new IllegalStateException(
+            "cannot tag a snapshot-less table")).snapshotId
+          case v => v
+        }
+        t.setTag(in.getUTF8String(1).toString, id)
+        Row(id)
+      })
+      case "drop_tag" => unbound(bound(
+        Array(inParam("table", string), inParam("tag", string)),
+        StructType(Seq(StructField("dropped", BooleanType, nullable = false)))) { in =>
+        Row(tableOf(in.getUTF8String(0).toString)
+          .dropTag(in.getUTF8String(1).toString))
       })
       case other => throw new IllegalArgumentException(
         s"unknown procedure '$other' (have: ${procedureNames.mkString(", ")})")

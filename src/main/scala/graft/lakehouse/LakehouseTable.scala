@@ -1625,6 +1625,63 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     s"Snapshot $id not found in table '$root'. " +
       s"Valid snapshot IDs: ${listSnapshots().map(_.snapshotId).sorted.mkString("[", ", ", "]")}")
 
+  // ---------------- snapshot tags (named refs) ----------------
+
+  /** Tags live under `_refs/<name>.json` — one write-once-replaceable
+    * file per tag (atomic temp+move, so a reader never sees a torn
+    * pointer and of two racing SET_TAGs one cleanly wins). A tag pins a
+    * snapshot AGAINST RETENTION (expiry keeps tagged snapshots and
+    * their files) and resolves through `VERSION AS OF '<tag>'` — the
+    * reproducible-corpus-version primitive: tag the snapshot a training
+    * run consumed and that exact table state stays addressable.
+    */
+  private def refsDir: Path = rootPath.resolve("_refs")
+
+  private def refPath(name: String): Path = refsDir.resolve(name + ".json")
+
+  /** Point tag `name` at snapshot `snapshotId` (REPLACES an existing
+    * tag — tags are movable pointers, the Iceberg ref shape).
+    */
+  def setTag(name: String, snapshotId: Long): Unit = writeLock.synchronized {
+    require(name.nonEmpty && !name.startsWith(".") &&
+      name.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"illegal tag name '$name' (letters, digits, '-', '_', '.'; no leading dot)")
+    snapshotOrThrow(snapshotId)
+    Files.createDirectories(refsDir)
+    val tmp = Files.createTempFile(refsDir, ".ref-", ".tmp")
+    Files.writeString(tmp,
+      s"""{"snapshot":$snapshotId,"createdMs":${System.currentTimeMillis()}}""")
+    Files.move(tmp, refPath(name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Drop tag `name`; false when it never existed. */
+  def dropTag(name: String): Boolean = writeLock.synchronized {
+    Files.deleteIfExists(refPath(name))
+  }
+
+  /** All tags: name → (snapshot id, created-at millis). */
+  def tags: Map[String, (Long, Long)] =
+    if (!Files.isDirectory(refsDir)) Map.empty
+    else graft.Fs.listAll(refsDir)
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".json") &&
+        !p.getFileName.toString.startsWith("."))
+      .flatMap { p =>
+        val body = Files.readString(p)
+        val id = """"snapshot"\s*:\s*(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
+        val at = """"createdMs"\s*:\s*(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
+        id.map(i => p.getFileName.toString.stripSuffix(".json") -> (i, at.getOrElse(0L)))
+      }.toMap
+
+  /** Resolve a tag to its snapshot; unknown tags list what exists. */
+  def snapshotForTag(name: String): Snapshot =
+    tags.get(name).map { case (id, _) => snapshotOrThrow(id) }.getOrElse(
+      throw new IllegalArgumentException(
+        s"tag '$name' not found in table '$root'. " +
+          s"Available tags: ${tags.keys.toSeq.sorted.mkString("[", ", ", "]")}"))
+
   // ---------------- maintenance ----------------
 
   /** Drop snapshot manifests older than `cutoffMs` (keeping the current
@@ -1635,7 +1692,12 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     val snaps = listSnapshots()
     if (snaps.isEmpty) return 0
     val current = snaps.last
-    val (expired, kept0) = snaps.init.partition(_.timestampMs < cutoffMs)
+    // TAGGED snapshots survive retention regardless of age — a tag is
+    // a promise that this exact table state stays addressable (drop
+    // the tag to let it expire)
+    val tagged = tags.values.map(_._1).toSet
+    val (expired, kept0) = snaps.init.partition(s =>
+      s.timestampMs < cutoffMs && !tagged(s.snapshotId))
     val kept = kept0 :+ current
     // the exactly-once ledger must survive retention (the Delta
     // SetTransaction-retention concern): deleting the manifest that

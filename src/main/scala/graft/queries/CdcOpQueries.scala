@@ -1242,6 +1242,52 @@ object CdcOpQueries {
       val out = (partRows ++ propRows :+ (("q", "comment:nm", cmt))).toDF("step", "k", "v")
       s.sql(s"DROP TABLE $cat.db.ops_t")
       out.orderBy(col("step"), col("k"))
+    }),
+    // ---- snapshot tags (round 12): the reproducible-corpus-version
+    //      primitive — tag the snapshot a training run consumed;
+    //      VERSION AS OF '<tag>' keeps reading that exact state, the
+    //      tag pins it AGAINST retention (expire_snapshots keeps it
+    //      with its files), and dropping the tag releases it. ----
+    "q141_snapshot_tags" -> ((s, dir) => {
+      import s.implicits._
+      val cat = ensureQueryCatalog(s)
+      graft.Tables.load(s, dir, "nation").createOrReplaceTempView("q141_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.tag_t")
+      s.sql(s"CREATE TABLE $cat.db.tag_t (k BIGINT, nm STRING)")
+      s.sql(s"INSERT INTO $cat.db.tag_t " +
+        "SELECT n_nationkey, n_name FROM q141_src WHERE n_regionkey < 3")
+      s.sql(s"CALL $cat.system.set_tag(table => 'db.tag_t', tag => 'baseline')")
+      s.sql(s"INSERT INTO $cat.db.tag_t " +
+        "SELECT n_nationkey, n_name FROM q141_src WHERE n_regionkey >= 3")
+      s.sql(s"CALL $cat.system.set_tag(table => 'db.tag_t', tag => 'full')")
+      def agg(of: String): (Long, Long) = {
+        val r = s.sql(s"SELECT count(*), coalesce(sum(k), 0) FROM $of").head
+        (r.getLong(0), r.getLong(1))
+      }
+      val base = agg(s"$cat.db.tag_t VERSION AS OF 'baseline'")
+      val full = agg(s"$cat.db.tag_t VERSION AS OF 'full'")
+      val refs = s.sql(s"SELECT count(*) FROM $cat.db.`tag_t$$refs`").head.getLong(0)
+      // retention: the tagged baseline snapshot must survive a
+      // take-everything cutoff WITH its data
+      s.sql(s"CALL $cat.system.expire_snapshots(table => 'db.tag_t', " +
+        s"older_than => TIMESTAMP '2100-01-01 00:00:00')")
+      val survived = agg(s"$cat.db.tag_t VERSION AS OF 'baseline'")
+      // dropping the tag releases it to the next expiry
+      s.sql(s"CALL $cat.system.drop_tag(table => 'db.tag_t', tag => 'baseline')")
+      s.sql(s"CALL $cat.system.expire_snapshots(table => 'db.tag_t', " +
+        s"older_than => TIMESTAMP '2100-01-01 00:00:00')")
+      val refused =
+        try { s.sql(s"SELECT * FROM $cat.db.tag_t VERSION AS OF 'baseline'").collect(); 0L }
+        catch { case _: Exception => 1L }
+      val out = Seq(
+        ("a_baseline_rows", base._1), ("b_baseline_sum", base._2),
+        ("c_full_rows", full._1), ("d_full_sum", full._2),
+        ("e_refs", refs),
+        ("f_survived_rows", survived._1), ("g_survived_sum", survived._2),
+        ("h_dropped_refusal", refused)).toDF("step", "n")
+      s.sql(s"DROP TABLE $cat.db.tag_t")
+      out.orderBy(col("step"))
     })
   )
 
@@ -1684,6 +1730,23 @@ object CdcOpQueries {
       UNION ALL SELECT 'prop', 'pii', 'scrubbed'
       UNION ALL SELECT 'prop', 'team', '<unset>'
       UNION ALL SELECT 'q', 'comment:nm', 'the nation label'
-      ORDER BY step, k"""
+      ORDER BY step, k""",
+    // q141: baseline = the rk<3 slice (tag pinned pre-append), full =
+    // all of nation; the tagged state survives a take-everything expiry
+    // (f/g repeat a/b), then dropping the tag releases it (refusal 1).
+    "q141_snapshot_tags" -> """
+      WITH base AS (SELECT CAST(count(*) AS BIGINT) c, CAST(sum(n_nationkey) AS BIGINT) s
+                    FROM nation WHERE n_regionkey < 3),
+      alln AS (SELECT CAST(count(*) AS BIGINT) c, CAST(sum(n_nationkey) AS BIGINT) s
+               FROM nation)
+      SELECT 'a_baseline_rows' AS step, (SELECT c FROM base) AS n
+      UNION ALL SELECT 'b_baseline_sum', (SELECT s FROM base)
+      UNION ALL SELECT 'c_full_rows', (SELECT c FROM alln)
+      UNION ALL SELECT 'd_full_sum', (SELECT s FROM alln)
+      UNION ALL SELECT 'e_refs', 2
+      UNION ALL SELECT 'f_survived_rows', (SELECT c FROM base)
+      UNION ALL SELECT 'g_survived_sum', (SELECT s FROM base)
+      UNION ALL SELECT 'h_dropped_refusal', 1
+      ORDER BY step"""
   )
 }

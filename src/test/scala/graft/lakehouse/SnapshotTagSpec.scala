@@ -1,0 +1,82 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Snapshot TAGS (named refs): `setTag`/`dropTag`/`tags`, resolution
+  * via `VERSION AS OF '<tag>'`, the `$refs` registry, the SQL CALL
+  * face, and the retention contract — a tagged snapshot (and its
+  * files) survives `expire_snapshots` until the tag drops. The
+  * reproducible-corpus-version primitive: tag what a training run
+  * consumed, and that exact table state stays addressable.
+  */
+class SnapshotTagSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("set / resolve / re-point / drop; unknown tags list what exists") {
+    val t = new LakehouseTable(spark, tmpDir("tag-basic"))
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    val s1 = t.currentSnapshot().get.snapshotId
+    t.append(Seq((2L, "b")).toDF("k", "v"))
+    t.setTag("corpus-v1", s1)
+    assert(t.tags.keySet === Set("corpus-v1"))
+    assert(t.snapshotForTag("corpus-v1").snapshotId === s1)
+    // tags are movable pointers: re-point replaces
+    t.setTag("corpus-v1", t.currentSnapshot().get.snapshotId)
+    assert(t.snapshotForTag("corpus-v1").snapshotId !== s1)
+    val e = intercept[IllegalArgumentException](t.snapshotForTag("nope"))
+    assert(e.getMessage.contains("corpus-v1"), e.getMessage)
+    assert(t.dropTag("corpus-v1") && !t.dropTag("corpus-v1"))
+    // hygiene: a tag name is a filename
+    intercept[IllegalArgumentException](t.setTag("../escape", 1L))
+    intercept[IllegalArgumentException](t.setTag(".hidden", 1L))
+    // tagging a snapshot that does not exist refuses
+    intercept[IllegalArgumentException](t.setTag("ok", 999L))
+  }
+
+  test("a tagged snapshot and its files survive retention until the tag drops") {
+    val t = new LakehouseTable(spark, tmpDir("tag-retain"))
+    t.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    val s1 = t.currentSnapshot().get.snapshotId
+    t.overwrite(Seq((9L, "z")).toDF("k", "v").coalesce(1)) // s1's files now unreferenced by head
+    t.setTag("pinned", s1)
+    Thread.sleep(15)
+    val cutoff = System.currentTimeMillis() + 60000
+    t.expireSnapshotsOlderThan(cutoff)
+    // the tagged snapshot is still addressable WITH its data
+    assert(t.scanAtSnapshot(s1).as[(Long, String)].collect().toSet === Set((1L, "a")),
+      "tagged snapshot must survive expiry with its files")
+    assert(t.snapshotForTag("pinned").snapshotId === s1)
+    // drop the tag → the next expiry takes it
+    t.dropTag("pinned")
+    t.expireSnapshotsOlderThan(System.currentTimeMillis() + 60000)
+    intercept[IllegalArgumentException](t.scanAtSnapshot(s1))
+  }
+
+  test("SQL face: CALL set_tag (default = head) / drop_tag, VERSION AS OF '<tag>', $refs") {
+    val wh = tmpDir("tag-wh")
+    spark.conf.set("spark.sql.catalog.tagcat", classOf[LakehouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tagcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tagcat.db")
+    spark.sql("DROP TABLE IF EXISTS tagcat.db.t")
+    spark.sql("CREATE TABLE tagcat.db.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO tagcat.db.t VALUES (1, 'a')")
+    val tagged = spark.sql(
+      "CALL tagcat.system.set_tag(table => 'db.t', tag => 'corpus-v1')")
+      .head.getLong(0)
+    spark.sql("INSERT INTO tagcat.db.t VALUES (2, 'b')")
+    // head moved on; the tag still reads the pinned state
+    assert(spark.sql("SELECT count(*) FROM tagcat.db.t").head.getLong(0) === 2L)
+    assert(spark.sql("SELECT k, v FROM tagcat.db.t VERSION AS OF 'corpus-v1'")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet === Set((1L, "a")))
+    val refs = spark.sql("SELECT tag, snapshot_id FROM tagcat.db.`t$refs`").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(refs === Seq(("corpus-v1", tagged)))
+    assert(spark.sql("CALL tagcat.system.drop_tag(table => 'db.t', tag => 'corpus-v1')")
+      .head.getBoolean(0))
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM tagcat.db.t VERSION AS OF 'corpus-v1'").collect())
+    assert(e.getMessage.contains("not found"), e.getMessage)
+    spark.sql("DROP TABLE tagcat.db.t")
+  }
+}
