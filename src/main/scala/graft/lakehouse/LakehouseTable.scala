@@ -59,6 +59,9 @@ final case class TxnMark(appId: String, version: Long)
   */
 final case class AliasEntry(name: String, renamedAt: Long)
 
+/** One snapshot-tag ref file's body (`_refs/<name>.json`). */
+final case class TagRef(snapshot: Long, createdMs: Long)
+
 /** Iceberg-style FIELD IDS, assigned at commit time (see FIELD_IDS.md
   * for the design spike): `ids` maps each live column's DECLARED name
   * to its immutable id, `next` is the never-decreasing allocation
@@ -1649,8 +1652,8 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     snapshotOrThrow(snapshotId)
     Files.createDirectories(refsDir)
     val tmp = Files.createTempFile(refsDir, ".ref-", ".tmp")
-    Files.writeString(tmp,
-      s"""{"snapshot":$snapshotId,"createdMs":${System.currentTimeMillis()}}""")
+    Files.writeString(tmp, Serialization.write(
+      TagRef(snapshotId, System.currentTimeMillis())))
     Files.move(tmp, refPath(name),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -1668,11 +1671,9 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     else graft.Fs.listAll(refsDir)
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".json") &&
         !p.getFileName.toString.startsWith("."))
-      .flatMap { p =>
-        val body = Files.readString(p)
-        val id = """"snapshot"\s*:\s*(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
-        val at = """"createdMs"\s*:\s*(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
-        id.map(i => p.getFileName.toString.stripSuffix(".json") -> (i, at.getOrElse(0L)))
+      .map { p =>
+        val ref = Serialization.read[TagRef](Files.readString(p))
+        p.getFileName.toString.stripSuffix(".json") -> (ref.snapshot, ref.createdMs)
       }.toMap
 
   /** Resolve a tag to its snapshot; unknown tags list what exists. */
