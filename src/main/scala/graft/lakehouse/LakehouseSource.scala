@@ -140,6 +140,7 @@ final class LakehouseSourceProvider extends TableProvider with DataSourceRegiste
     val opts = options.asScala.toMap
     val t = new LakehouseTable(SparkSession.active, LakehouseSource.rootOf(opts))
     LakehouseSource.snapshotIdOf(opts).map(t.snapshotOrThrow)
+      .orElse(LakehouseSource.tagOf(opts).map(t.snapshotForTag))
       .orElse(LakehouseSource.asOfTimestampOf(opts).map(t.snapshotAsOf))
       .orElse(t.currentSnapshot()) match {
       case Some(snap) => DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
@@ -163,7 +164,8 @@ final class LakehouseSourceProvider extends TableProvider with DataSourceRegiste
       case Some(_) => opts // explicit time travel is already a pin
       case None =>
         val t = new LakehouseTable(SparkSession.active, LakehouseSource.rootOf(opts))
-        LakehouseSource.asOfTimestampOf(opts).map(t.snapshotAsOf)
+        LakehouseSource.tagOf(opts).map(t.snapshotForTag)
+          .orElse(LakehouseSource.asOfTimestampOf(opts).map(t.snapshotAsOf))
           .orElse(t.currentSnapshot()) match {
           case Some(s) => opts + ("snapshotId" -> s.snapshotId.toString)
           case None => opts // snapshot-less sink target: nothing to pin
@@ -256,6 +258,13 @@ private[lakehouse] object LakehouseSource {
 
   def snapshotIdOf(options: Map[String, String]): Option[Long] =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase("snapshotId") => v.toLong }
+
+  /** `.option("snapshotTag", "corpus-v1")` — the path-face form of
+    * `VERSION AS OF '<tag>'` (resolved to a pinned snapshot id at
+    * table resolution, like every other time-travel shape).
+    */
+  def tagOf(options: Map[String, String]): Option[String] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase("snapshotTag") => v }
 
   /** `.option("asOfTimestamp", ...)` — epoch millis, an ISO-8601
     * instant, or `yyyy-MM-dd[ HH:mm:ss]` read as UTC (the Delta

@@ -53,6 +53,22 @@ class SnapshotTagSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.scanAtSnapshot(s1))
   }
 
+  test("path face: .option(snapshotTag) pins the tagged snapshot like VERSION AS OF") {
+    val t = new LakehouseTable(spark, tmpDir("tag-path"))
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    t.setTag("v1", t.currentSnapshot().get.snapshotId)
+    t.append(Seq((2L, "b")).toDF("k", "v"))
+    val pinned = spark.read.format("graft-lakehouse")
+      .option("snapshotTag", "v1").load(t.root)
+    assert(pinned.as[(Long, String)].collect().toSet === Set((1L, "a")))
+    // the pin holds across actions even if the tag MOVES mid-query
+    t.setTag("v1", t.currentSnapshot().get.snapshotId)
+    assert(pinned.count() === 1L, "a loaded frame keeps its resolved pin")
+    intercept[IllegalArgumentException](
+      spark.read.format("graft-lakehouse")
+        .option("snapshotTag", "missing").load(t.root))
+  }
+
   test("SQL face: CALL set_tag (default = head) / drop_tag, VERSION AS OF '<tag>', $refs") {
     val wh = tmpDir("tag-wh")
     spark.conf.set("spark.sql.catalog.tagcat", classOf[LakehouseCatalog].getName)
