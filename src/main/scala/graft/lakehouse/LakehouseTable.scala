@@ -1739,9 +1739,10 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         .foreach(Files.deleteIfExists(_))
     }
     // orphaned commit temps (a writer that crashed mid-publish) age out
-    // on the same clock; live temps are seconds old and stay
-    if (Files.isDirectory(snapsDir)) {
-      graft.Fs.listAll(snapsDir)
+    // on the same clock; live temps are seconds old and stay — tag-ref
+    // temps (a crashed setTag) ride the same sweep
+    Seq(snapsDir, refsDir).filter(Files.isDirectory(_)).foreach { dir =>
+      graft.Fs.listAll(dir)
         .filter(_.getFileName.toString.endsWith(".tmp"))
         .filter(p => Files.getLastModifiedTime(p).toMillis < cutoffMs)
         .foreach(Files.deleteIfExists(_))
