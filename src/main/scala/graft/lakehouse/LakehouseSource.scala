@@ -301,6 +301,7 @@ private[lakehouse] object LakehouseSource {
     */
   def toCondition(f: Filter): Column = f match {
     case sources.EqualTo(c, v) => col(c) === lit(v)
+    case sources.EqualNullSafe(c, v) => col(c) <=> lit(v)
     case sources.GreaterThan(c, v) => col(c) > lit(v)
     case sources.GreaterThanOrEqual(c, v) => col(c) >= lit(v)
     case sources.LessThan(c, v) => col(c) < lit(v)
@@ -324,8 +325,9 @@ private[lakehouse] object LakehouseSource {
   def acceptable(f: Filter, topLevel: String => Boolean): Boolean = {
     def refsOk = f.references.forall(topLevel)
     f match {
-      case _: sources.EqualTo | _: sources.GreaterThan | _: sources.GreaterThanOrEqual |
-           _: sources.LessThan | _: sources.LessThanOrEqual | _: sources.In |
+      case _: sources.EqualTo | _: sources.EqualNullSafe | _: sources.GreaterThan |
+           _: sources.GreaterThanOrEqual | _: sources.LessThan |
+           _: sources.LessThanOrEqual | _: sources.In |
            _: sources.IsNotNull | _: sources.IsNull | _: sources.StringStartsWith => refsOk
       case sources.Or(l, r) => acceptable(l, topLevel) && acceptable(r, topLevel)
       case _ => false
@@ -344,6 +346,10 @@ private[lakehouse] object LakehouseSource {
     def one(p: ScanPredicate) = Some(t.pruneFiles(snap, Seq(p))._1.toSet)
     f match {
       case sources.EqualTo(c, v) => one(ScanPredicate.EqualTo(c, v))
+      // null-safe equality: a non-null probe prunes like EqualTo (null
+      // rows can never match it); a null probe prunes like IS NULL
+      case sources.EqualNullSafe(c, v) =>
+        if (v == null) one(ScanPredicate.IsNull(c)) else one(ScanPredicate.EqualTo(c, v))
       case sources.GreaterThan(c, v) => one(ScanPredicate.Range(c, Some(v), None))
       case sources.GreaterThanOrEqual(c, v) => one(ScanPredicate.Range(c, Some(v), None))
       case sources.LessThan(c, v) => one(ScanPredicate.Range(c, None, Some(v)))
@@ -431,6 +437,19 @@ private[lakehouse] final class LakehouseV2Table(
   private def nameKeyOf(n: String): String =
     if (SparkSession.active.sessionState.conf.caseSensitiveAnalysis) n
     else n.toLowerCase(java.util.Locale.ROOT)
+
+  /** The declared layout as connector Transforms — what lets the
+    * analyzer resolve `INSERT OVERWRITE t PARTITION (p='x')` (static
+    * partition overwrite) and DESCRIBE show the partitioning.
+    */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    options.get("partitionBy").map(LakehouseSource.splitTopLevel).getOrElse(Nil)
+      .map {
+        case LakehouseTable.BucketSpecRe(n, c) => Expressions.bucket(n.toInt, c)
+        case c => Expressions.identity(c)
+      }.toArray
+  }
 
   /** SHOW TBLPROPERTIES / DESCRIBE EXTENDED: the stored free-form
     * properties plus the live write knobs.
@@ -587,7 +606,15 @@ private[lakehouse] final class LakehouseV2Table(
       // check, still evolves the schema. The change is additive,
       // idempotent, and widen-only, so this is surprising but never
       // destructive.
-      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION,
+      // partition-scoped overwrite (the daily backfill shape):
+      // INSERT OVERWRITE ... PARTITION (p='x') plans OverwriteByExpression
+      // (one snapshot: matching rows out, new data in). OVERWRITE_DYNAMIC
+      // is deliberately NOT advertised: Spark has no V1-bridge exec for
+      // OverwritePartitionsDynamic (only append and overwrite-by-filter
+      // fall back), so SQL dynamic mode fails loudly either way — the
+      // programmatic LakehouseTable.overwriteDynamic covers the shape
+      TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // internal-only: the micro-batch stream plans its incremental
@@ -611,13 +638,29 @@ private[lakehouse] final class LakehouseV2Table(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsTruncate {
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var doTruncate = false
+      private var overwriteBy: Option[Seq[Filter]] = None
       // per-write options (df.writeTo(...).option("keys", ...)) override
       // table-level ones (the catalog's stored partitionBy)
       private val writeOpts = options ++ info.options.asScala
       override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
         doTruncate = true; this
+      }
+      /** `INSERT OVERWRITE t PARTITION (p='x')` and friends: the
+        * analyzer's delete-expression arrives as source filters; all-
+        * AlwaysTrue (a full INSERT OVERWRITE) keeps the truncate path.
+        */
+      override def overwrite(filters: Array[Filter])
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        if (filters.forall(_.isInstanceOf[sources.AlwaysTrue])) doTruncate = true
+        else overwriteBy = Some(filters.toSeq)
+        this
+      }
+      override def canOverwrite(filters: Array[Filter]): Boolean = {
+        val cols = tableSchema.fieldNames.map(nameKeyOf).toSet
+        filters.forall(f => f.isInstanceOf[sources.AlwaysTrue] ||
+          LakehouseSource.acceptable(f, r => cols(nameKeyOf(r))))
       }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
@@ -633,7 +676,8 @@ private[lakehouse] final class LakehouseV2Table(
                 val keys = LakehouseSource.colListOf(writeOpts, "keys")
                 val mor = writeOpts.exists { case (k, v) =>
                   k.equalsIgnoreCase("mergeOnRead") && v.trim.equalsIgnoreCase("true") }
-                if (doTruncate || overwrite) { t.overwrite(data); () }
+                if (overwriteBy.isDefined) { t.overwriteWhere(data, overwriteBy.get); () }
+                else if (doTruncate || overwrite) { t.overwrite(data); () }
                 else if (keys.nonEmpty) { t.upsert(data, keys, mergeOnRead = mor); () }
                 else {
                   t.append(data, LakehouseSource.colListOf(writeOpts, "partitionBy"))

@@ -4,7 +4,9 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 import org.json4s._
@@ -1091,6 +1093,14 @@ final class LakehouseTable(spark: SparkSession, val root: String,
   /** The declared partition layout from the catalog metadata file
     * (empty for tables created outside the catalog or laid out flat).
     */
+  /** The declared `bucket(N, col)` entry, if any — the pruner's
+    * bucket-dir evidence input.
+    */
+  private def declaredBucketSpec: Option[(Int, String)] =
+    declaredPartitionSpec.collectFirst {
+      case LakehouseTable.BucketSpecRe(n, c) => (n.toInt, c)
+    }
+
   private def declaredPartitionSpec: Seq[String] = {
     val metaP = rootPath.resolve("_catalog.json")
     if (Files.exists(metaP))
@@ -1289,6 +1299,114 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     writeSnapshot(Snapshot(id, currentSnapshot().map(_.snapshotId),
       System.currentTimeMillis(), "overwrite", files, df.schema.json,
       renames = Some(Map.empty), drops = Some(Map.empty)))
+  }
+
+  /** Filter-scoped overwrite — `INSERT OVERWRITE t PARTITION (p='x')`,
+    * the daily partition-backfill statement: ONE snapshot that removes
+    * every row matching `filters` (candidates from the same pruning
+    * grammar as DELETE; partition-scoped filters prune to exactly the
+    * partition's files) and lands `df`. Rows where the condition is
+    * NULL survive, like DELETE. Declared schema and lineage are
+    * UNTOUCHED (unlike full [[overwrite]], this is a row-set
+    * operation), so the batch must conform to the declared column
+    * types — the SQL path always does (the analyzer casts). Lost
+    * cross-process races auto-retry like every SQL statement.
+    */
+  def overwriteWhere(df: DataFrame, filters: Seq[sources.Filter]): Option[Snapshot] = {
+    val cond = filters.map(LakehouseSource.toCondition)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val data = requireDeclaredTypes(canonicalizedNames(df), "overwriteWhere")
+    sqlMutate("overwrite",
+      candidatesOf = snap =>
+        LakehouseSource.pruneForFilters(this, snap, filters, declaredBucketSpec),
+      compute = (_, cands, scan) =>
+        (if (cands.isEmpty) None
+         else Some(scan.filter(not(cond <=> lit(true)))),
+          Some(data)))
+  }
+
+  /** Dynamic partition overwrite — replace EXACTLY the partitions
+    * present in the incoming data (`spark.sql.sources.
+    * partitionOverwriteMode=dynamic` + INSERT OVERWRITE): candidate
+    * files match the batch's distinct partition-value tuples (decoded
+    * from hive paths with the same typed cast the readers use), their
+    * rows drop wholesale, the batch lands. Identity partitions only —
+    * bucket transforms carry no value semantics to key on.
+    */
+  def overwriteDynamic(df: DataFrame): Option[Snapshot] = {
+    val spec = {
+      val d = declaredPartitionSpec
+      if (d.nonEmpty) d
+      else inferPartitionCols(currentSnapshot().map(_.files).getOrElse(Nil))
+    }
+    require(spec.nonEmpty,
+      "dynamic partition overwrite requires a partitioned table " +
+        "(declared or hive-inferred layout)")
+    require(!spec.exists(p => LakehouseTable.BucketSpecRe.findFirstIn(p).isDefined),
+      "dynamic partition overwrite is undefined over bucket transforms " +
+        "(a bucket id is layout, not a partition value) — use identity " +
+        "partitions or INSERT OVERWRITE ... PARTITION (...)")
+    val data = requireDeclaredTypes(canonicalizedNames(df), "overwriteDynamic")
+    data.cache()
+    try {
+      val schema = data.schema
+      spec.foreach(c => require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"dynamic overwrite batch lacks partition column '$c'"))
+      val fields = spec.map(c => schema.fields.find(_.name.equalsIgnoreCase(c)).get)
+      // the batch's partition tuples, as CATALYST values — the same
+      // representation the typed path-segment decode produces, so the
+      // match can never depend on string formatting
+      val conv = fields.map(f =>
+        CatalystTypeConverters.createToCatalystConverter(f.dataType))
+      val tuples: Set[Seq[Any]] = data
+        .select(fields.map(f => col(f.name)).toIndexedSeq: _*).distinct()
+        .collect().map(r => fields.indices.map(i => conv(i)(r.get(i))).toSeq).toSet
+      val zone = java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      def tupleOf(relFile: String): Option[Seq[Any]] = {
+        val segs = relFile.split('/').filter(_.contains("=")).map(_.split("=", 2))
+        val vals = fields.map { f =>
+          segs.collectFirst {
+            case Array(k, v) if nameKey(k) == nameKey(f.name) =>
+              if (v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+                null
+              else org.apache.spark.sql.execution.datasources.PartitioningUtils
+                .castPartValueToDesiredType(f.dataType,
+                  org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                    .unescapePathName(v), zone)
+          }
+        }
+        if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
+      }
+      sqlMutate("overwrite",
+        candidatesOf = snap =>
+          snap.files.filter(f => tupleOf(f).exists(tuples.contains)),
+        compute = (_, cands, scan) =>
+          (if (cands.isEmpty) None else Some(scan.filter(lit(false))),
+            Some(data)))
+    } finally { data.unpersist(); () }
+  }
+
+  /** A row-set write (partial overwrite) must conform to the declared
+    * column types — it keeps the snapshot schema, so a WIDER batch
+    * would strand wide physical files under a narrow declared type
+    * (the readers refuse narrowing). The SQL path always conforms (the
+    * analyzer casts); this guards the programmatic face.
+    */
+  private def requireDeclaredTypes(df: DataFrame, what: String): DataFrame = {
+    currentSnapshot().foreach { cur =>
+      val declared = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+        .fields.map(f => nameKey(f.name) -> f.dataType).toMap
+      df.schema.fields.foreach { f =>
+        declared.get(nameKey(f.name)).foreach { t =>
+          require(sameIgnoringNullability(t, f.dataType),
+            s"$what batch column '${f.name}' is ${f.dataType.simpleString} but " +
+              s"the table declares ${t.simpleString} — cast the batch (partial " +
+              "overwrites never evolve the schema)")
+        }
+      }
+    }
+    df
   }
 
   /** `ALTER TABLE ADD COLUMNS`: a schema-only snapshot (same file set,

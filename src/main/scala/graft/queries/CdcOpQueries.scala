@@ -1288,6 +1288,41 @@ object CdcOpQueries {
         ("h_dropped_refusal", refused)).toDF("step", "n")
       s.sql(s"DROP TABLE $cat.db.tag_t")
       out.orderBy(col("step"))
+    }),
+    // ---- partition-scoped overwrite (round 12): the daily backfill
+    //      statement — INSERT OVERWRITE ... PARTITION (rk=1) replaces
+    //      ONE partition in ONE snapshot (other partitions' files
+    //      carried by reference — REQUIREd), then the programmatic
+    //      dynamic form replaces exactly the partitions in its batch.
+    //      The oracle re-derives the final content + the op lineage. ----
+    "q142_partition_overwrite" -> ((s, dir) => {
+      import s.implicits._
+      val cat = ensureQueryCatalog(s)
+      graft.Tables.load(s, dir, "nation").createOrReplaceTempView("q142_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.pow_t")
+      s.sql(s"CREATE TABLE $cat.db.pow_t (k INT, nm STRING, rk INT) PARTITIONED BY (rk)")
+      s.sql(s"INSERT INTO $cat.db.pow_t SELECT n_nationkey, n_name, n_regionkey FROM q142_src")
+      val t = new LakehouseTable(s, java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-q125-wh", "db", "pow_t").toString)
+      val preStatic = t.currentSnapshot().get
+      s.sql(s"INSERT OVERWRITE $cat.db.pow_t PARTITION (rk = 1) " +
+        "SELECT n_nationkey + 100, upper(n_name) FROM q142_src WHERE n_regionkey = 1")
+      val postStatic = t.currentSnapshot().get
+      require(postStatic.parentId.contains(preStatic.snapshotId),
+        "static partition overwrite must be ONE snapshot")
+      require(preStatic.files.filter(postStatic.files.contains)
+        .forall(!_.contains("rk=1")),
+        "non-matching partitions must carry by reference")
+      t.overwriteDynamic(
+        s.sql("SELECT CAST(n_nationkey + 200 AS INT) AS k, lower(n_name) AS nm, " +
+          "CAST(n_regionkey AS INT) AS rk FROM q142_src WHERE n_regionkey = 3"))
+      val ops = t.listSnapshots().map(_.operation).mkString(",")
+      val out = s.sql(s"SELECT k, nm, rk FROM $cat.db.pow_t").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq :+
+        ((9999, ops, -1))
+      s.sql(s"DROP TABLE $cat.db.pow_t")
+      out.toDF("k", "nm", "rk").orderBy(col("k"), col("rk"))
     })
   )
 
@@ -1747,6 +1782,21 @@ object CdcOpQueries {
       UNION ALL SELECT 'f_survived_rows', (SELECT c FROM base)
       UNION ALL SELECT 'g_survived_sum', (SELECT s FROM base)
       UNION ALL SELECT 'h_dropped_refusal', 1
-      ORDER BY step"""
+      ORDER BY step""",
+    // q142: rk=1 re-priced by the static PARTITION overwrite (+100,
+    // upper), rk=3 by the dynamic overwrite (+200, lower), everything
+    // else original; the sentinel row pins the snapshot-op lineage
+    // (create, append, one overwrite per statement).
+    "q142_partition_overwrite" -> """
+      WITH n AS (SELECT CAST(n_nationkey AS INT) AS k, n_name AS nm,
+                        CAST(n_regionkey AS INT) AS rk FROM nation),
+      head AS (
+        SELECT k, nm, rk FROM n WHERE rk NOT IN (1, 3)
+        UNION ALL SELECT k + 100, upper(nm), 1 FROM n WHERE rk = 1
+        UNION ALL SELECT k + 200, lower(nm), 3 FROM n WHERE rk = 3)
+      SELECT k, nm, rk FROM (
+        SELECT k, nm, rk FROM head
+        UNION ALL SELECT 9999, 'create,append,overwrite,overwrite', -1)
+      ORDER BY k, rk"""
   )
 }

@@ -1,0 +1,116 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Partition-scoped overwrites — the daily backfill statement on a
+  * partitioned corpus: `INSERT OVERWRITE t PARTITION (p='x')` (static,
+  * OverwriteByExpression → one snapshot: matching rows out, new data
+  * in, everything else carried BY REFERENCE) and dynamic mode
+  * (`partitionOverwriteMode=dynamic`: replace exactly the partitions
+  * present in the incoming data). Both refuse nothing silently: NULL
+  * partition rows survive a value-scoped overwrite, bucket layouts
+  * refuse dynamic mode, and a full INSERT OVERWRITE still truncates.
+  */
+class PartitionOverwriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse = tmpDir("graft-pow-wh")
+
+  private def ensureCatalog(): Unit = {
+    spark.conf.set("spark.sql.catalog.powcat", classOf[LakehouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.powcat.warehouse", warehouse)
+  }
+
+  private def fresh(name: String): LakehouseTable = {
+    ensureCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS powcat.db")
+    spark.sql(s"DROP TABLE IF EXISTS powcat.db.$name")
+    spark.sql(s"CREATE TABLE powcat.db.$name (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO powcat.db.$name VALUES (1,'x'), (2,'y'), (3,'z'), (4,'x')")
+    new LakehouseTable(spark, java.nio.file.Paths.get(warehouse, "db", name).toString)
+  }
+
+  private def rows(name: String): Set[(Long, String)] =
+    spark.sql(s"SELECT id, p FROM powcat.db.$name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("static PARTITION overwrite replaces only the named partition, one snapshot, file-pruned") {
+    val t = fresh("s1")
+    val before = t.currentSnapshot().get
+    spark.sql("INSERT OVERWRITE powcat.db.s1 PARTITION (p='x') SELECT 10 AS id")
+    assert(rows("s1") === Set((10L, "x"), (2L, "y"), (3L, "z")))
+    val after = t.currentSnapshot().get
+    assert(after.operation === "overwrite")
+    assert(after.parentId === Some(before.snapshotId), "exactly ONE snapshot")
+    // other partitions' files carried by reference, not rewritten
+    val carried = before.files.filter(after.files.contains)
+    assert(carried.nonEmpty && carried.forall(!_.contains("p=x")),
+      s"non-matching partitions must carry by reference: kept $carried")
+    assert(after.files.exists(_.contains("p=x")), "the new partition data landed")
+  }
+
+  test("overwriting a partition with no existing rows is a pure insert; NULL partition rows survive") {
+    val t = fresh("s2")
+    spark.sql("INSERT INTO powcat.db.s2 VALUES (9, NULL)")
+    spark.sql("INSERT OVERWRITE powcat.db.s2 PARTITION (p='new') SELECT 20 AS id")
+    assert(rows("s2").contains((20L, "new")))
+    assert(spark.sql("SELECT count(*) FROM powcat.db.s2 WHERE p IS NULL")
+      .head.getLong(0) === 1L, "NULL-partition rows are not matched by a value filter")
+    // a value-scoped overwrite never touches the null partition either
+    spark.sql("INSERT OVERWRITE powcat.db.s2 PARTITION (p='new') SELECT 21 AS id")
+    assert(spark.sql("SELECT count(*) FROM powcat.db.s2 WHERE p IS NULL")
+      .head.getLong(0) === 1L)
+    assert(rows("s2").contains((21L, "new")) && !rows("s2").contains((20L, "new")))
+    assert(t.currentSnapshot().get.operation === "overwrite")
+  }
+
+  test("programmatic overwriteDynamic replaces exactly the incoming partitions; SQL dynamic mode refuses loudly") {
+    val t = fresh("d1")
+    // the programmatic backfill API: one snapshot, matching partitions
+    // replaced wholesale, others carried by reference
+    val before = t.currentSnapshot().get
+    t.overwriteDynamic(Seq((20L, "x"), (30L, "z")).toDF("id", "p"))
+    assert(rows("d1") === Set((20L, "x"), (30L, "z"), (2L, "y")),
+      "partitions x and z replaced, y untouched")
+    val after = t.currentSnapshot().get
+    assert(after.parentId === Some(before.snapshotId) && after.operation === "overwrite")
+    assert(before.files.filter(after.files.contains).forall(_.contains("p=y")),
+      "only the untouched partition's files carry by reference")
+    // bucket transforms carry no partition values to key on
+    val tb = new LakehouseTable(spark,
+      java.nio.file.Paths.get(warehouse, "db", "d2").toString)
+    spark.sql("DROP TABLE IF EXISTS powcat.db.d2")
+    spark.sql("CREATE TABLE powcat.db.d2 (id BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO powcat.db.d2 VALUES (1,'a')")
+    val eb = intercept[IllegalArgumentException](
+      tb.overwriteDynamic(Seq((2L, "b")).toDF("id", "v")))
+    assert(eb.getMessage.contains("bucket"), eb.getMessage)
+    // SQL dynamic mode cannot ride the V1 write bridge (Spark has no
+    // dynamic-overwrite V1 exec) — it must refuse LOUDLY, never
+    // silently truncate
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val e = intercept[Exception](
+        spark.sql("INSERT OVERWRITE powcat.db.d1 VALUES (40,'x')"))
+      assert(e.getMessage.contains("dynamic overwrite"), e.getMessage)
+      assert(rows("d1") === Set((20L, "x"), (30L, "z"), (2L, "y")), "nothing changed")
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // full overwrite semantics hold in static mode
+    spark.sql("INSERT OVERWRITE powcat.db.d1 VALUES (99,'q')")
+    assert(rows("d1") === Set((99L, "q")), "static full overwrite truncates")
+  }
+
+  test("programmatic overwriteWhere refuses a batch wider than the declared types") {
+    val t = fresh("g1")
+    val wide = Seq((5000000000L, 1L, "x")).toDF("id", "extra", "p")
+      .select(col("id"), col("p"), col("extra").cast("decimal(38,0)").as("id2"))
+    // same-name column with a DIFFERENT type is the dangerous shape
+    val bad = Seq(("oops", "x")).toDF("id", "p")
+    val e = intercept[IllegalArgumentException](
+      t.overwriteWhere(bad, Seq(org.apache.spark.sql.sources.EqualTo("p", "x"))))
+    assert(e.getMessage.contains("declares"), e.getMessage)
+    assert(wide.columns.length === 3) // keep the frame used
+  }
+}
