@@ -102,6 +102,32 @@ class PartitionOverwriteSpec extends SparkSpec {
     assert(rows("d1") === Set((99L, "q")), "static full overwrite truncates")
   }
 
+  test("overwrites never resurrect MoR-masked rows; multi-column PARTITION clauses replace exactly") {
+    // the candidate scan is tombstone-masked (scanFiles applies the
+    // MoR anti-join), so rewriting a partition that holds a masked row
+    // writes the SURVIVORS only — the delete holds through the rewrite
+    val t = new LakehouseTable(spark, tmpDir("pow-mor"))
+    t.append(Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "p"), partitionBy = Seq("p"))
+    t.applyChanges(Seq((2L, "x", "delete")).toDF("id", "p", "_change"),
+      Seq("id"), mergeOnRead = true)
+    t.overwriteWhere(Seq((30L, "y")).toDF("id", "p"),
+      Seq(org.apache.spark.sql.sources.EqualTo("p", "y")))
+    assert(t.read().as[(Long, String)].collect().toSet === Set((1L, "x"), (30L, "y")))
+    t.overwriteWhere(Seq((10L, "x")).toDF("id", "p"),
+      Seq(org.apache.spark.sql.sources.EqualTo("p", "x")))
+    assert(t.read().as[(Long, String)].collect().toSet === Set((10L, "x"), (30L, "y")),
+      "the masked row must not resurrect through the partition rewrite")
+    // a multi-column PARTITION clause conjuncts its filters
+    ensureCatalog()
+    spark.sql("DROP TABLE IF EXISTS powcat.db.m1")
+    spark.sql("CREATE TABLE powcat.db.m1 (id BIGINT, p STRING, n INT) PARTITIONED BY (p, n)")
+    spark.sql("INSERT INTO powcat.db.m1 VALUES (1,'x',1), (2,'x',2), (3,'y',1)")
+    spark.sql("INSERT OVERWRITE powcat.db.m1 PARTITION (p='x', n=1) SELECT 10 AS id")
+    assert(spark.sql("SELECT id, p, n FROM powcat.db.m1").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet ===
+      Set((10L, "x", 1), (2L, "x", 2), (3L, "y", 1)))
+  }
+
   test("programmatic overwriteWhere refuses a batch wider than the declared types") {
     val t = fresh("g1")
     val wide = Seq((5000000000L, 1L, "x")).toDF("id", "extra", "p")
