@@ -479,9 +479,11 @@ final class LakehouseBatchScan(
         case Array(k, v) if t.resolvedNameKey(k) == t.resolvedNameKey(f.name) => v
       }.getOrElse(throw new IllegalStateException(
         s"file $relFile lost its ${f.name}= path segment during grouping"))
+      // raw segment: castPartValueToDesiredType applies Spark's (single)
+      // path-unescape itself for escape-sensitive types — pre-unescaping
+      // would double-decode literal %XX sequences (ADVICE r12)
       if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
-      else PartitioningUtils.castPartValueToDesiredType(
-        f.dataType, ExternalCatalogUtils.unescapePathName(raw), zone)
+      else PartitioningUtils.castPartValueToDesiredType(f.dataType, raw, zone)
     }
     new GenericInternalRow(vals)
   }

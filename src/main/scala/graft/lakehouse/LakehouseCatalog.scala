@@ -126,17 +126,23 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
       set: Map[String, String], unset: Seq[String]): Unit = {
     (set.keys ++ unset).foreach(k => require(!reservedProps(k.toLowerCase(java.util.Locale.ROOT)),
       s"table property '$k' is reserved"))
-    def knobKey(k: String): Option[String] = k match {
-      case "optimizeWrite" => Some("optimizeWrite")
-      case "optimizeWrite.targetBytes" => Some("optimizeWriteTargetBytes")
-      case _ => None
-    }
+    // case-INSENSITIVE, like the reservedProps check — SET
+    // TBLPROPERTIES('OptimizeWrite'='true') must reach the write knob,
+    // not silently land in the free-form properties object
+    def knobKey(k: String): Option[String] =
+      k.toLowerCase(java.util.Locale.ROOT) match {
+        case "optimizewrite" => Some("optimizeWrite")
+        case "optimizewrite.targetbytes" => Some("optimizeWriteTargetBytes")
+        case _ => None
+      }
     val (knobSets, propSets) = set.partition { case (k, _) => knobKey(k).isDefined }
     val (knobUnsets, propUnsets) = unset.partition(k => knobKey(k).isDefined)
-    val knobJson: Map[String, JValue] = knobSets.map {
-      case ("optimizeWrite", v) => "optimizeWrite" -> JBool(v.trim.equalsIgnoreCase("true"))
-      case ("optimizeWrite.targetBytes", v) => "optimizeWriteTargetBytes" -> JLong(v.trim.toLong)
-      case other => throw new IllegalStateException(s"unreachable knob $other")
+    val knobJson: Map[String, JValue] = knobSets.map { case (k, v) =>
+      knobKey(k) match {
+        case Some("optimizeWrite") => "optimizeWrite" -> JBool(v.trim.equalsIgnoreCase("true"))
+        case Some("optimizeWriteTargetBytes") => "optimizeWriteTargetBytes" -> JLong(v.trim.toLong)
+        case other => throw new IllegalStateException(s"unreachable knob $other")
+      }
     }
     val droppedKnobs = knobUnsets.flatMap(knobKey).toSet
     val props = metaProps(root) ++ propSets -- propUnsets
@@ -184,7 +190,17 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     */
   override def loadTable(ident: Identifier, version: String): Table =
     loadPinned(ident, t => scala.util.Try(version.toLong).toOption match {
-      case Some(id) => t.snapshotOrThrow(id)
+      // an ALL-DIGIT tag name (e.g. '20260816') parses as a Long too:
+      // snapshot ids win, but when no such snapshot exists the tag
+      // namespace is consulted before failing — otherwise such tags
+      // would be reachable from .option("snapshotTag") yet never from
+      // VERSION AS OF (ADVICE r12)
+      case Some(id) =>
+        scala.util.Try(t.snapshotOrThrow(id)).getOrElse(
+          scala.util.Try(t.snapshotForTag(version)).getOrElse(
+            throw new IllegalArgumentException(
+              s"VERSION AS OF '$version': neither a snapshot id nor a tag " +
+                s"of this table")))
       case None => t.snapshotForTag(version)
     })
 

@@ -496,18 +496,25 @@ private[lakehouse] final class LakehouseV2Table(
     val wantIdx = names.map(n => pf.indexWhere(f => nameKeyOf(f.name) == nameKeyOf(n)))
     require(wantIdx.forall(_ >= 0),
       s"unknown partition column(s) ${names.mkString(", ")}")
-    val tuples = snap.files.map { f =>
+    // enumeration is manifest-based (zero jobs): file-path tuples,
+    // deliberately tombstone-blind — a partition whose rows are all
+    // MoR-masked still lists until compaction folds its files away.
+    // Files missing a hive segment for ANY spec column (pre-spec flat
+    // lineage) are SKIPPED: their values are unknown, not null, and an
+    // all-NULL tuple would fabricate a __HIVE_DEFAULT_PARTITION__ row.
+    // The raw segment goes to castPartValueToDesiredType, which applies
+    // Spark's (single) path-unescape itself for escape-sensitive types.
+    val tuples = snap.files.flatMap { f =>
       val segs = f.split('/').filter(_.contains("=")).map(_.split("=", 2))
-      pf.map { field =>
+      val vals = pf.map { field =>
         segs.collectFirst {
           case Array(k, v) if nameKeyOf(k) == nameKeyOf(field.name) =>
             if (v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
             else org.apache.spark.sql.execution.datasources.PartitioningUtils
-              .castPartValueToDesiredType(field.dataType,
-                org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v),
-                zone)
-        }.getOrElse(null)
-      }.toSeq
+              .castPartValueToDesiredType(field.dataType, v, zone)
+        }
+      }
+      if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get).toSeq)
     }.distinct
     tuples.filter { vals =>
       wantIdx.zipWithIndex.forall { case (pi, ni) =>

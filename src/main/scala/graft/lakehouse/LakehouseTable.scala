@@ -1358,9 +1358,10 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       // match can never depend on string formatting
       val conv = fields.map(f =>
         CatalystTypeConverters.createToCatalystConverter(f.dataType))
-      val tuples: Set[Seq[Any]] = data
-        .select(fields.map(f => col(f.name)).toIndexedSeq: _*).distinct()
-        .collect().map(r => fields.indices.map(i => conv(i)(r.get(i))).toSeq).toSet
+      val batchRows = data
+        .select(fields.map(f => col(f.name)).toIndexedSeq: _*).distinct().collect()
+      val tuples: Set[Seq[Any]] = batchRows
+        .map(r => fields.indices.map(i => conv(i)(r.get(i))).toSeq).toSet
       val zone = java.time.ZoneId.of(
         spark.sessionState.conf.sessionLocalTimeZone)
       def tupleOf(relFile: String): Option[Seq[Any]] = {
@@ -1370,19 +1371,43 @@ final class LakehouseTable(spark: SparkSession, val root: String,
             case Array(k, v) if nameKey(k) == nameKey(f.name) =>
               if (v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
                 null
+              // the RAW path segment: castPartValueToDesiredType applies
+              // Spark's (single) path-unescape itself for the
+              // escape-sensitive types (string/date/timestamp/binary) —
+              // pre-unescaping here double-decoded values containing
+              // literal %XX sequences, so 'a%25b' never matched its own
+              // partition's files and the overwrite duplicated rows
               else org.apache.spark.sql.execution.datasources.PartitioningUtils
-                .castPartValueToDesiredType(f.dataType,
-                  org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                    .unescapePathName(v), zone)
+                .castPartValueToDesiredType(f.dataType, v, zone)
           }
         }
         if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
       }
+      // row-level form of the same membership test, for candidate files
+      // whose partition tuple is NOT path-decodable (pre-spec files
+      // written flat before set_partition_spec declared the layout):
+      // `<=>` composed with AND/OR is never null, so `!matches` keeps
+      // exactly the rows outside every incoming partition
+      val matchesIncoming: org.apache.spark.sql.Column = batchRows.map { r =>
+        fields.zipWithIndex.map { case (f, i) =>
+          val v = r.get(i)
+          col(f.name) <=> (if (v == null) lit(null).cast(f.dataType)
+                           else lit(v).cast(f.dataType))
+        }.reduce(_ && _)
+      }.reduceOption(_ || _).getOrElse(lit(false))
       sqlMutate("overwrite",
         candidatesOf = snap =>
-          snap.files.filter(f => tupleOf(f).exists(tuples.contains)),
+          // files with no decodable tuple may still hold rows of an
+          // incoming partition (mixed lineage) — they are candidates
+          // whose surviving rows rewrite through the row filter, so a
+          // dynamic overwrite can never silently keep old rows of a
+          // replaced partition
+          snap.files.filter(f => tupleOf(f).fold(true)(tuples.contains)),
         compute = (_, cands, scan) =>
-          (if (cands.isEmpty) None else Some(scan.filter(lit(false))),
+          (if (cands.isEmpty) None
+           else if (cands.forall(f => tupleOf(f).isDefined))
+             Some(scan.filter(lit(false))) // all-decoded: rows drop wholesale
+           else Some(scan.filter(!matchesIncoming)),
             Some(data)))
     } finally { data.unpersist(); () }
   }

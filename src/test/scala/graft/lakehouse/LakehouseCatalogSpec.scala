@@ -269,6 +269,17 @@ class LakehouseCatalogSpec extends SparkSpec {
       s"ALTER-set optimizeWrite must cluster (one file per cell): ${t.currentSnapshot().get.files}")
     // the partition layout survived the property edits
     assert(t.currentSnapshot().get.files.forall(_.contains("cell=")))
+    // knob keys match case-INSENSITIVELY like reserved names — a
+    // differently-cased SET must flip the knob, not silently land in
+    // the free-form properties object (ADVICE r12)
+    spark.sql("ALTER TABLE graftcat.db.tp_t SET TBLPROPERTIES ('OPTIMIZEWRITE'='false')")
+    val metaJson = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      warehouseRoot, "db", "tp_t", "_catalog.json"))
+    assert(metaJson.contains("\"optimizeWrite\":false"),
+      s"the differently-cased SET must reach the write knob: $metaJson")
+    assert(!metaJson.contains("OPTIMIZEWRITE") &&
+      props().get("OPTIMIZEWRITE").isEmpty,
+      "a knob set never leaks into the free-form properties")
     spark.sql("DROP TABLE graftcat.db.tp_t")
   }
 

@@ -128,6 +128,57 @@ class PartitionOverwriteSpec extends SparkSpec {
       Set((10L, "x", 1), (2L, "x", 2), (3L, "y", 1)))
   }
 
+  test("dynamic overwrite matches partition values containing literal %XX sequences") {
+    // 'a%25b' path-escapes to 'a%2525b' on disk; the decode must apply
+    // Spark's unescape exactly ONCE (castPartValueToDesiredType does it
+    // internally) — a double decode read the dir back as 'a%b', so the
+    // partition's files were never candidates and the overwrite
+    // silently DUPLICATED rows instead of replacing them (ADVICE r12)
+    val t = new LakehouseTable(spark, tmpDir("pow-esc"))
+    t.append(Seq((1L, "a%25b"), (2L, "plain"), (3L, "a:b")).toDF("id", "p"),
+      partitionBy = Seq("p"))
+    t.overwriteDynamic(Seq((10L, "a%25b"), (30L, "a:b")).toDF("id", "p"))
+    assert(t.read().as[(Long, String)].collect().toSet ===
+      Set((10L, "a%25b"), (2L, "plain"), (30L, "a:b")),
+      "escaped-value partitions replace exactly once, never duplicate")
+    // SHOW PARTITIONS decodes the same way: Spark's display RE-escapes
+    // the decoded value ('a%25b' renders as the path fragment
+    // 'p=a%2525b') — the pre-fix double decode would have rendered
+    // 'p=a%25b', i.e. the WRONG stored value round-tripped
+    ensureCatalog()
+    spark.sql("DROP TABLE IF EXISTS powcat.db.esc")
+    spark.sql("CREATE TABLE powcat.db.esc (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO powcat.db.esc VALUES (1, 'a%25b')")
+    val shown = spark.sql("SHOW PARTITIONS powcat.db.esc").collect().map(_.getString(0))
+    assert(shown.toSet === Set("p=a%2525b"), shown.mkString(","))
+  }
+
+  test("dynamic overwrite over a mixed-lineage table rewrites pre-spec flat files' matching rows") {
+    // files written BEFORE the declared layout carry no hive segments:
+    // their rows may belong to an incoming partition, so they must be
+    // candidates (row-filtered rewrite), or the replaced partition ends
+    // up holding both old and new rows with no error (ADVICE r12)
+    val t = new LakehouseTable(spark, tmpDir("pow-mixed"))
+    t.append(Seq((1L, "x"), (2L, "y")).toDF("id", "p")) // flat, pre-spec
+    t.setPartitionSpec(Seq("p"))
+    t.append(Seq((3L, "x"), (4L, "z")).toDF("id", "p"), partitionBy = Seq("p"))
+    t.overwriteDynamic(Seq((10L, "x")).toDF("id", "p"))
+    assert(t.read().as[(Long, String)].collect().toSet ===
+      Set((10L, "x"), (2L, "y"), (4L, "z")),
+      "the flat file's x-row is replaced too; its y-row survives the rewrite")
+    // SHOW PARTITIONS skips the undecodable flat lineage instead of
+    // fabricating an all-__HIVE_DEFAULT_PARTITION__ row
+    ensureCatalog()
+    spark.sql("DROP TABLE IF EXISTS powcat.db.mix")
+    spark.sql("CREATE TABLE powcat.db.mix (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO powcat.db.mix VALUES (1, 'x')")
+    val tm = new LakehouseTable(spark,
+      java.nio.file.Paths.get(warehouse, "db", "mix").toString)
+    tm.append(Seq((9L, "w")).toDF("id", "p")) // flat append, no layout
+    val shown = spark.sql("SHOW PARTITIONS powcat.db.mix").collect().map(_.getString(0))
+    assert(shown.toSet === Set("p=x"), shown.mkString(","))
+  }
+
   test("programmatic overwriteWhere refuses a batch wider than the declared types") {
     val t = fresh("g1")
     val wide = Seq((5000000000L, 1L, "x")).toDF("id", "extra", "p")

@@ -95,4 +95,31 @@ class SnapshotTagSpec extends SparkSpec {
     assert(e.getMessage.contains("not found"), e.getMessage)
     spark.sql("DROP TABLE tagcat.db.t")
   }
+
+  test("an ALL-DIGIT tag resolves through VERSION AS OF when no such snapshot id exists") {
+    // '20260816' Long-parses, so snapshot-id resolution is tried first —
+    // but when the table has no snapshot 20260816 the tag namespace must
+    // answer, or date-shaped tags are reachable from .option(snapshotTag)
+    // yet never from SQL (ADVICE r12)
+    val wh = tmpDir("tag-digit-wh")
+    spark.conf.set("spark.sql.catalog.tagdig", classOf[LakehouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tagdig.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tagdig.db")
+    spark.sql("CREATE TABLE tagdig.db.t (k BIGINT)")
+    spark.sql("INSERT INTO tagdig.db.t VALUES (1)")
+    spark.sql("CALL tagdig.system.set_tag(table => 'db.t', tag => '20260816')")
+    spark.sql("INSERT INTO tagdig.db.t VALUES (2)")
+    assert(spark.sql("SELECT count(*) FROM tagdig.db.t VERSION AS OF '20260816'")
+      .head.getLong(0) === 1L)
+    // a REAL snapshot id still wins over any same-spelled tag lookup
+    val headId = spark.sql("SELECT max(snapshot_id) FROM tagdig.db.`t$snapshots`")
+      .head.getLong(0)
+    assert(spark.sql(s"SELECT count(*) FROM tagdig.db.t VERSION AS OF $headId")
+      .head.getLong(0) === 2L)
+    // neither a snapshot nor a tag: the error says so
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM tagdig.db.t VERSION AS OF '99990101'").collect())
+    assert(e.getMessage.contains("neither a snapshot id nor a tag"), e.getMessage)
+    spark.sql("DROP TABLE tagdig.db.t")
+  }
 }
