@@ -175,22 +175,29 @@ final class LakehouseBatchScan(
   @transient private lazy val renameCuts: Map[String, List[AliasEntry]] =
     snap.aliases.map { case (k, v) => t.resolvedNameKey(k) -> v }
 
-  /** The physical name `field` had at snapshot `origin`: the FIRST
-    * alias whose rename point is after the origin (entries are
-    * oldest-first), or the current name.
+  /** Does any identity need per-era resolution at all? (Renamed
+    * lineages AND reborn floors — [[LakehouseTable.physNameAt]].)
+    */
+  private def epochsActive: Boolean =
+    renameCuts.nonEmpty || snap.rebornFloors.nonEmpty
+
+  /** The physical name `field` had at snapshot `origin`
+    * ([[LakehouseTable.physNameAt]] — identity resolution). A FLOORED
+    * identity (reborn column, file older than its floor) maps to a
+    * reserved impossible name: the parquet readers null-fill requested
+    * columns absent from a file, which serves the column as NULL with
+    * the vectorized path fully on — retired same-named bytes are never
+    * requested.
     */
   private def physNameOf(field: StructField, origin: Long): String =
-    renameCuts.get(t.resolvedNameKey(field.name)) match {
-      case None => field.name
-      case Some(entries) =>
-        entries.find(e => origin < e.renamedAt).map(_.name).getOrElse(field.name)
-    }
+    t.physNameAt(snap, field.name, origin).getOrElse(
+      "__graft_absent__" + t.resolvedNameKey(field.name))
 
-  /** Rename-epoch signature of a file (grouping key component; empty
-    * when the table never renamed).
+  /** Resolution-epoch signature of a file (grouping key component;
+    * empty when the table never renamed or rebirthed a column).
     */
   private def renameEpochOf(relFile: String): Seq[String] =
-    if (renameCuts.isEmpty) Nil
+    if (!epochsActive) Nil
     else {
       val o = t.originOfFile(relFile)
       (required.fields ++ maskKeyFieldsAll).map(physNameOf(_, o)).toSeq
@@ -251,7 +258,17 @@ final class LakehouseBatchScan(
         case Seq(cols) if cols.nonEmpty =>
           val byKey = required.fields.map(f => t.resolvedNameKey(f.name) -> f).toMap
           val fields = cols.flatMap(byKey.get)
-          if (fields.size == cols.size) fields.toArray else Array.empty[StructField]
+          // a REBORN partition column stands SPJ down while pre-floor
+          // files are live: their dir values belong to the retired
+          // namesake while their rows serve NULL — a key-grouped join
+          // on the stale dir value would co-locate rows wrongly
+          val floored = fields.exists(f =>
+            snap.rebornFloors.exists { case (n, b) =>
+              t.resolvedNameKey(n) == t.resolvedNameKey(f.name) &&
+                staticFiles.exists(t.originOfFile(_) < b)
+            })
+          if (fields.size == cols.size && !floored) fields.toArray
+          else Array.empty[StructField]
         case _ => Array.empty[StructField]
       }
     }
@@ -390,7 +407,7 @@ final class LakehouseBatchScan(
       // extraction all speak the epoch's names; outFields keep CURRENT
       // names (alignment is positional, so perm/masks are unaffected)
       val phys: StructField => StructField =
-        if (renameCuts.isEmpty) identity
+        if (!epochsActive) identity
         else {
           val origin = t.originOfFile(groupFiles.head)
           f => f.copy(name = physNameOf(f, origin))

@@ -321,16 +321,36 @@ object LakehouseDml {
     (uniq, scan2, restore)
   }
 
-  /** Stage every uncorrelated SCALAR subquery in `e`: run its plan once
-    * (one distributed job — exactly what Spark's own subquery execution
-    * does before injecting the value into the enclosing plan) and plant
-    * the result as a Literal, with the ANSI more-than-one-row check.
-    * This is what lets MERGE ON carry `t.k = (SELECT max(…) …)` shapes:
-    * ON is a join condition, where Spark cannot host subquery
-    * expressions — post-staging the condition is subquery-free, so the
-    * ON-clause equi-pair file pruning sees the literal too.
+  /** How many IN-subquery rows MERGE ON will stage into a literal
+    * probe list before refusing. The staged list lives in the plan
+    * (driver memory, broadcast with the condition), so it must stay
+    * modest; beyond the cap the USING-source fold is the right tool
+    * and the refusal says so. 100k probe values is ~a few MB — well
+    * inside what [[ScanPredicate.InSet]]'s sorted binary search and
+    * the join condition evaluate comfortably.
     */
-  private[lakehouse] def stageScalarSubqueries(
+  val MaxStagedInRows = 100000
+
+  /** Stage every uncorrelated subquery in `e` — MERGE ON is a JOIN
+    * condition, where Spark cannot host subquery expressions at all,
+    * so each shape evaluates ONCE up front (one distributed job,
+    * exactly what Spark's own subquery execution does) and plants a
+    * subquery-free equivalent:
+    *
+    *  - SCALAR `(SELECT max(…) …)` → a Literal, with the ANSI
+    *    more-than-one-row check — so the ON-clause equi-pair file
+    *    probe sees the literal too;
+    *  - single-column `x IN (SELECT …)` → `In(x, literals)` (exact SQL
+    *    IN semantics, nulls included), capped at [[MaxStagedInRows]] —
+    *    the decontamination-join shape; the staged list also feeds the
+    *    InSet file pruning;
+    *  - `EXISTS (SELECT …)` → a constant Boolean (uncorrelated EXISTS
+    *    references neither side, so it is one).
+    *
+    * Correlated shapes and multi-column IN keep the structural refusal
+    * in [[LakehouseDmlStrategy]] with the fold-into-USING recipe.
+    */
+  private[lakehouse] def stageOnSubqueries(
       spark: SparkSession, e: Expression): Expression =
     e.transform {
       case sc: cexp.ScalarSubquery if !sc.isCorrelated =>
@@ -339,6 +359,19 @@ object LakehouseDml {
           throw new IllegalStateException(
             "MERGE ON scalar subquery returned more than one row")
         Literal.create(if (rows.isEmpty) null else rows(0).get(0), sc.dataType)
+      case cexp.InSubquery(Seq(value), lq: cexp.ListQuery) if !lq.isCorrelated =>
+        val dt = lq.plan.output.head.dataType
+        val rows = ofRows(spark, lq.plan).limit(MaxStagedInRows + 1).collect()
+        if (rows.length > MaxStagedInRows)
+          throw new UnsupportedOperationException(
+            s"MERGE ON IN subquery returned more than $MaxStagedInRows rows — " +
+              "a probe list that large belongs in the merge join itself: fold " +
+              "the membership into the USING source (JOIN / LEFT SEMI JOIN " +
+              "the subquery there) instead of the ON clause")
+        expressions.In(value, rows.toSeq.map(r => Literal.create(r.get(0), dt)))
+      case ex: cexp.Exists if !ex.isCorrelated =>
+        // NOT EXISTS arrives as Not(Exists(…)) and negates the literal
+        Literal(ofRows(spark, ex.plan).limit(1).collect().nonEmpty)
     }
 
   /** Catalyst predicate → `sources.Filter`, for file PRUNING only (the
@@ -411,23 +444,30 @@ object LakehouseDmlStrategy extends SparkStrategy {
     }
 
   /** MERGE ON hosts the JOIN condition, where Spark cannot plan
-    * subqueries at all. UNCORRELATED SCALAR subqueries stage instead
-    * (evaluated once, injected as a literal — see
-    * [[MergeLakehouseExec]]); every other shape refuses loudly with
-    * the staging recipe.
+    * subqueries at all. UNCORRELATED scalar / single-column IN /
+    * EXISTS subqueries stage instead (evaluated once, injected as
+    * literals — see [[LakehouseDml.stageOnSubqueries]]); correlated
+    * shapes and multi-column IN refuse loudly with the staging recipe.
     */
   private def requireOnlyStageableSubqueries(e: Expression, where: String): Unit =
     e.foreach {
       case s: SubqueryExpression if s.isCorrelated =>
         throw new UnsupportedOperationException(
-          s"graft-lakehouse $where supports only UNCORRELATED scalar subqueries " +
+          s"graft-lakehouse $where supports only UNCORRELATED subqueries " +
             "(staged before the merge join) — correlated subqueries cannot live " +
             "in a join condition; fold the correlation into the USING source")
-      case s: SubqueryExpression if !s.isInstanceOf[cexp.ScalarSubquery] =>
+      case in: cexp.InSubquery if in.values.length != 1 =>
         throw new UnsupportedOperationException(
-          s"graft-lakehouse $where supports only scalar subqueries (staged to a " +
-            "literal before the merge join) — stage IN/EXISTS results into the " +
-            "USING source instead")
+          s"graft-lakehouse $where stages single-column IN subqueries only " +
+            "(tuple IN has no portable null semantics as a staged probe list) — " +
+            "fold the multi-column membership into the USING source")
+      // ListQuery is the (already-vetted) child of an allowed InSubquery
+      case _: cexp.ScalarSubquery | _: cexp.InSubquery | _: cexp.Exists |
+           _: cexp.ListQuery => ()
+      case s: SubqueryExpression =>
+        throw new UnsupportedOperationException(
+          s"graft-lakehouse $where cannot stage ${s.getClass.getSimpleName} — " +
+            "fold it into the USING source instead")
       case _ => ()
     }
 
@@ -683,10 +723,10 @@ private[lakehouse] final case class MergeLakehouseExec(
     val fieldIdxOf: Map[ExprId, Int] = targetOutput.zipWithIndex
       .map { case (a, i) => a.exprId -> i }.toMap
 
-    // uncorrelated scalar subqueries in ON stage to literals FIRST (a
-    // join condition cannot host them); the staged condition then
-    // feeds both the file probe and the merge join
-    val mergeCond = LakehouseDml.stageScalarSubqueries(spark, merge.mergeCondition)
+    // uncorrelated scalar / IN / EXISTS subqueries in ON stage to
+    // literals FIRST (a join condition cannot host them); the staged
+    // condition then feeds both the file probe and the merge join
+    val mergeCond = LakehouseDml.stageOnSubqueries(spark, merge.mergeCondition)
 
     // ON-clause equi-conjuncts `t.col = <source-only expr>` drive the
     // touched-file probe; the source-side expressions evaluate on the
@@ -711,10 +751,38 @@ private[lakehouse] final case class MergeLakehouseExec(
     try {
       t.sqlMutate("merge",
         candidatesOf = { snap =>
-          if (merge.notMatchedBySourceActions.nonEmpty || equiPairs.isEmpty) snap.files
-          else t.touchedFilesFor(snap,
-            sdf0.select(equiPairs.map { case (n, e) => exprColumn(e).as(n) }: _*).distinct(),
-            equiPairs.map(_._1))
+          // NOT MATCHED BY SOURCE needs every target row in the join —
+          // no pruning is sound then
+          if (merge.notMatchedBySourceActions.nonEmpty) snap.files
+          else if (LakehouseDml.conjuncts(mergeCond).exists(c =>
+              c.foldable && { val v = c.eval(null); v == null || v == false }))
+            // a staged conjunct folded to FALSE (e.g. EXISTS over an
+            // empty table): no target row can ever match — zero
+            // candidate files, and a matched-only merge commits nothing
+            Nil
+          else {
+            val base =
+              if (equiPairs.isEmpty) snap.files
+              else t.touchedFilesFor(snap,
+                sdf0.select(equiPairs.map { case (n, e) =>
+                  exprColumn(e).as(n) }: _*).distinct(),
+                equiPairs.map(_._1))
+            // TARGET-ONLY literal conjuncts (notably a staged
+            // `t.k IN (…)` probe list) prune further: a file none of
+            // whose rows can satisfy the conjunct can satisfy no
+            // matched action either — `MERGE … ON t.k IN (SELECT bad)`
+            // touches only the files holding flagged keys, not the
+            // table
+            val targetOnly = LakehouseDml.conjuncts(mergeCond).filter(c =>
+              c.references.nonEmpty && c.deterministic &&
+                c.references.forall(x => tIds(x.exprId)))
+              .flatMap(LakehouseDml.translateForPrune)
+            if (targetOnly.isEmpty) base
+            else {
+              val keep = LakehouseSource.pruneForFilters(t, snap, targetOnly).toSet
+              base.filter(keep)
+            }
+          }
         },
         compute = { (snap, candidates, scan) =>
           val fields = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType].fields

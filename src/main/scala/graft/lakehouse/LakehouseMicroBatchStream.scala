@@ -16,6 +16,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    same composite the changefeed uses); the FIRST batch (from
   *    offset 0) is the stream-start snapshot's full state (the
   *    bootstrap), read through the native scan (MoR masks included).
+  *    `startingVersion` / `startingTimestamp` / `startingTag` pin the
+  *    bootstrap at a historical snapshot (a release tag's state) and
+  *    stream increments from there — ignored once a checkpoint exists.
   *  - Every later batch delivers exactly the files ADDED by its
   *    snapshot range — partition-hostable, which is why the DSv2 face
   *    exists for the ingest-tail case while CHANGEFEED semantics (diff
@@ -88,6 +91,36 @@ private[lakehouse] final class LakehouseMicroBatchStream(
     s"maxFilesPerTrigger must be positive, got $maxFilesPerTrigger")
   require(maxBytesPerTrigger.forall(_ > 0),
     s"maxBytesPerTrigger must be positive, got $maxBytesPerTrigger")
+
+  /** Stream-start pin — `.option("startingVersion", 3)` /
+    * `.option("startingTimestamp", "2026-01-01 00:00:00")` (epoch
+    * millis accepted too) / `.option("startingTag", "corpus-v1")`: a
+    * FRESH checkpoint bootstraps the PINNED snapshot's full state and
+    * follows increments from there, instead of replaying the
+    * head-state bootstrap — how a 100 TB corpus table streams from a
+    * pinned release tag without rereading history it doesn't want.
+    * The Delta option pair plus the tag form q141's refs make natural.
+    * Resolved LAZILY (only a cold start consults it): once a
+    * checkpoint exists the committed offset wins and the option is
+    * ignored — so a tag dropped after the stream first started can
+    * never wedge a restart.
+    */
+  @transient private lazy val startSnapshot: Option[Long] = {
+    val v = options.get("startingVersion")
+    val ts = options.get("startingTimestamp")
+    val tag = options.get("startingTag")
+    require(Seq(v, ts, tag).count(_.isDefined) <= 1,
+      "startingVersion / startingTimestamp / startingTag are mutually exclusive")
+    v.map(x => table.snapshotOrThrow(
+        scala.util.Try(x.trim.toLong).getOrElse(throw new IllegalArgumentException(
+          s"startingVersion must be a snapshot id, got '$x'"))).snapshotId)
+      .orElse(ts.map { x =>
+        val ms = scala.util.Try(x.trim.toLong).getOrElse(
+          java.sql.Timestamp.valueOf(x.trim).getTime)
+        table.snapshotAsOf(ms).snapshotId
+      })
+      .orElse(tag.map(g => table.snapshotForTag(g).snapshotId))
+  }
 
   /** Column names (lowercased) the stream PINNED at start — the
     * mid-stream-ADD guard's reference. Computed EAGERLY: construction
@@ -180,14 +213,18 @@ private[lakehouse] final class LakehouseMicroBatchStream(
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val head = availableNowHead.orElse(table.currentSnapshot().map(_.snapshotId))
       .getOrElse(return null)
+    val pos = Option(start).map(o => ChangeFeedSource.parsePos(o.json))
+    val cold = pos.forall(_ == Left(0L))
     if (maxSnapshotsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty &&
-        maxBytesPerTrigger.isEmpty)
+        maxBytesPerTrigger.isEmpty && !(cold && startSnapshot.isDefined))
       return LongOffset(head)
-    Option(start).map(o => ChangeFeedSource.parsePos(o.json)) match {
+    pos match {
       case None | Some(Left(0L)) =>
-        // cold start: bootstrap snapshot under the snapshot cap, its
-        // file list under the file/byte caps
-        val bootEnd = bootSnapshot(head)
+        // cold start: bootstrap snapshot — the explicit stream-start
+        // pin when given (the pin wins over the snapshot cap; the
+        // file/byte caps still slice its file list), else the earliest
+        // retained snapshot clamped forward under the snapshot cap
+        val bootEnd = startSnapshot.map(math.min(_, head)).getOrElse(bootSnapshot(head))
         val cut = sliceEnd(bootEnd, 0L)
         if (cut < table.snapshotOrThrow(bootEnd).files.size) FileSliceOffset(bootEnd, cut)
         else LongOffset(bootEnd)

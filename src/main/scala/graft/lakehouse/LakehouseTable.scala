@@ -137,13 +137,26 @@ final case class Snapshot(
     // writeSnapshot on every new commit, restored by rollback from its
     // target (with the high-water mark clamped monotone). Option so
     // pre-round-12 manifests parse as None.
-    fieldIds: Option[FieldIdState] = None) {
+    fieldIds: Option[FieldIdState] = None,
+    // REBORN-column floors (FIELD_IDS.md step 2 — id-based resolution):
+    // current column name → the alter snapshot that RE-introduced the
+    // name over retired bytes (a re-add of a dropped name, or an add of
+    // a renamed-away former name). Files whose origin snapshot is older
+    // than the floor NEVER serve the column physically — any
+    // same-named bytes they hold belong to a retired field id and read
+    // as NULL, which is what lets drop-then-re-add and former-name
+    // reuse work WITHOUT waiting for compaction. Cumulative like
+    // `renames`/`drops` (compact/overwrite reset it explicitly);
+    // Option so pre-round-13 manifests parse as None.
+    reborn: Option[Map[String, Long]] = None) {
   /** The tombstone file list (empty = plain copy-on-write snapshot). */
   def tombstones: Seq[String] = deletes.getOrElse(Nil)
   /** Current-name → former-names map (empty = never renamed). */
   def aliases: Map[String, List[AliasEntry]] = renames.getOrElse(Map.empty)
   /** Dropped-name → dropping-snapshot map (empty = nothing dropped). */
   def droppedCols: Map[String, Long] = drops.getOrElse(Map.empty)
+  /** Reborn-name → floor-snapshot map (empty = no name ever reused). */
+  def rebornFloors: Map[String, Long] = reborn.getOrElse(Map.empty)
 }
 
 /** Pushed-down scan predicate for the skipping read path
@@ -382,6 +395,13 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     */
   private[graft] var onBeforePublish: () => Unit = () => ()
 
+  /** Test seam for the tag-vs-expiry arbitration: runs at the top of
+    * an expiry sweep BEFORE the ref lock is taken, so a spec can land
+    * a concurrent tag at exactly the window the round-12 race lived
+    * in and prove the locked listing protects it. Production no-op.
+    */
+  private[graft] var onBeforeExpireSweep: () => Unit = () => ()
+
   /** Publish a manifest ATOMICALLY with put-if-absent semantics: the
     * body lands in a hidden temp file first, then hard-links to its
     * final `<id>.json` name — a reader can never observe a torn
@@ -400,8 +420,11 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       s00.copy(renames = currentSnapshot().flatMap(_.renames)) else s00
     // the dropped-column registry is cumulative the same way (compact
     // and overwrite reset it explicitly with Some(empty))
-    val s0b = if (s0a.drops.isEmpty)
+    val s0b0 = if (s0a.drops.isEmpty)
       s0a.copy(drops = currentSnapshot().flatMap(_.drops)) else s0a
+    // reborn floors are cumulative too — same reset sentinel
+    val s0b = if (s0b0.reborn.isEmpty)
+      s0b0.copy(reborn = currentSnapshot().flatMap(_.reborn)) else s0b0
     // field ids stamp on EVERY commit: same name (or rename lineage)
     // keeps its id, fresh names allocate monotonically, dropped ids
     // retire forever. A writer that set the state explicitly (rollback
@@ -685,10 +708,12 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         val canon = schema.fieldNames.map(n => nameKey(n) -> n).toMap
         // a FORMER name (rename lineage) canonicalizes to the current
         // one too: an upstream CDC feed that lags a rename keeps landing
-        // in the right column instead of forking a ghost sibling
+        // in the right column instead of forking a ghost sibling. A
+        // former name RE-INTRODUCED as a live column (reborn) is its
+        // own identity now — the current name shadows the alias.
         val aliasCanon = cur.aliases.flatMap { case (current, olds) =>
           olds.map(a => nameKey(a.name) -> current)
-        }
+        }.filterNot { case (k, _) => canon.contains(k) }
         // a DROPPED column (or any of its former names) still arriving
         // in a batch is discarded — the column no longer exists; an
         // upstream CDC stream pinned pre-drop keeps sending it, and
@@ -762,9 +787,11 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     currentSnapshot().foreach { cur =>
       val curFields = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
         .fields.map(f => nameKey(f.name) -> f.dataType).toMap
+      // a current column shadows any alias entry under the same name
+      // (a reborn former name is its own identity, type-checked as such)
       val aliasToCurrent = cur.aliases.flatMap { case (current, olds) =>
         olds.map(a => nameKey(a.name) -> nameKey(current))
-      }
+      }.filterNot { case (k, _) => curFields.contains(k) }
       // computed lazily: one tiny metadata-file read, and only when a
       // batch actually arrives wider than the declared schema
       lazy val bucketSrcs = bucketSourceKeys
@@ -1298,7 +1325,8 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     val files = writeDataFiles(df, id)
     writeSnapshot(Snapshot(id, currentSnapshot().map(_.snapshotId),
       System.currentTimeMillis(), "overwrite", files, df.schema.json,
-      renames = Some(Map.empty), drops = Some(Map.empty)))
+      renames = Some(Map.empty), drops = Some(Map.empty),
+      reborn = Some(Map.empty)))
   }
 
   /** Filter-scoped overwrite — `INSERT OVERWRITE t PARTITION (p='x')`,
@@ -1446,18 +1474,35 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       val cur = currentSnapshot().getOrElse(
         throw new IllegalStateException(s"table $root has no snapshots"))
       val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+      val id = nextId()
+      // RE-INTRODUCING a name that old files may still carry bytes for
+      // (a DROPPED column, or a FORMER name in some column's rename
+      // lineage) is legal: the new column is a NEW field id, and a
+      // reborn FLOOR pins the boundary — files whose origin predates
+      // this alter never serve the name physically (identity-resolved
+      // reads return NULL there, so retired bytes can never resurrect).
+      // This retires the old compact-first refusals (FIELD_IDS.md
+      // step 2/3).
+      var drops = cur.droppedCols
+      var floors = cur.rebornFloors
       cols.foreach { f =>
         require(f.nullable, s"added column '${f.name}' must be nullable " +
           "(existing rows have no value for it)")
         require(!schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
           s"column '${f.name}' already exists")
-        requireNotFormerName(cur, f.name)
-        requireNotDropped(cur, f.name)
+        val wasDropped = drops.keys.exists(d => nameKey(d) == nameKey(f.name))
+        val wasFormer = cur.aliases.values.exists(
+          _.exists(a => nameKey(a.name) == nameKey(f.name)))
+        if (wasDropped)
+          drops = drops.filterNot { case (d, _) => nameKey(d) == nameKey(f.name) }
+        if (wasDropped || wasFormer)
+          floors = floors + (f.name -> id)
       }
-      writeSnapshot(Snapshot(nextId(), Some(cur.snapshotId),
+      writeSnapshot(Snapshot(id, Some(cur.snapshotId),
         System.currentTimeMillis(), "alter", cur.files,
         StructType(schema.fields ++ cols).json, txn = None,
-        deletes = cur.deletes))
+        deletes = cur.deletes,
+        drops = Some(drops), reborn = Some(floors)))
     }
 
   /** `ALTER TABLE … ALTER COLUMN c COMMENT '…'`: a schema-only snapshot
@@ -1478,30 +1523,16 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       txn = None, deletes = cur.deletes))
   }
 
-  /** A name may never be REUSED while files that carry its old meaning
-    * can still be alive: the alias resolution matches by NAME (no
-    * Iceberg field ids), so a reused name would be ambiguous between
-    * the renamed-away column's old files and the new column.
-    */
-  private def requireNotFormerName(cur: Snapshot, name: String): Unit = {
-    val hit = cur.aliases.collectFirst {
-      case (current, olds) if olds.exists(a => nameKey(a.name) == nameKey(name)) => current
-    }
-    require(hit.isEmpty, s"column name '$name' is a FORMER name of column " +
-      s"'${hit.getOrElse("")}' (renamed lineage); reusing it would make old " +
-      "data files ambiguous — pick a fresh name")
-  }
-
   /** `ALTER TABLE … DROP COLUMN c`: a schema-only snapshot — data
     * files never rewrite; old files keep the column's physical bytes,
     * which readers simply never project. The dropped name (and its
-    * whole rename lineage) enters the snapshot's dropped registry:
-    * re-ADDING the name refuses while pre-drop files survive (alias
-    * resolution is by name — stale values would resurrect), and a
+    * whole rename lineage) enters the snapshot's dropped registry: a
     * lagging batch still carrying the column writes WITHOUT it
     * (definitionally discarded — the CDC-replication contract: a
-    * pinned upstream stream keeps sending it). Compaction rewrites
-    * every file and CLEARS the registry, unblocking re-use.
+    * pinned upstream stream keeps sending it), and re-ADDING the name
+    * allocates a FRESH field id with a reborn floor (pre-drop files
+    * serve NULL for it — identity resolution, FIELD_IDS.md step 2).
+    * Compaction rewrites every file and CLEARS both registries.
     */
   def dropColumn(name: String): Snapshot = writeLock.synchronized {
     val cur = currentSnapshot().getOrElse(
@@ -1536,25 +1567,18 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       nameKey(k) == nameKey(field.name) }
     val dropped = cur.droppedCols ++
       (lineage.map(_.name) :+ field.name).map(n => n -> id)
+    // a REBORN column being dropped again: its floor entry retires into
+    // the drops registry (a future re-add computes a fresh, higher floor
+    // that over-covers every earlier era)
+    val floors = cur.rebornFloors.filterNot { case (n, _) =>
+      nameKey(n) == nameKey(field.name) }
     writeSnapshot(Snapshot(id, Some(cur.snapshotId),
       System.currentTimeMillis(), "alter", cur.files,
       StructType(schema.fields.filterNot(f =>
         nameKey(f.name) == nameKey(field.name))).json,
       txn = None, deletes = cur.deletes,
-      renames = Some(aliases), drops = Some(dropped)))
+      renames = Some(aliases), drops = Some(dropped), reborn = Some(floors)))
   }
-
-  /** A name may not be (re-)introduced while old files could still
-    * carry a DROPPED column's physical data under it.
-    */
-  private def requireNotDropped(cur: Snapshot, name: String): Unit =
-    cur.droppedCols.collectFirst {
-      case (d, at) if nameKey(d) == nameKey(name) => at
-    }.foreach { at =>
-      throw new IllegalArgumentException(
-        s"column name '$name' was DROPPED at snapshot $at and pre-drop files " +
-          "may still carry its data — compact() first, then re-add")
-    }
 
   /** `ALTER TABLE … RENAME COLUMN old TO new`: a schema-only snapshot.
     * Data files never rewrite — the snapshot records the former name
@@ -1592,8 +1616,6 @@ final class LakehouseTable(spark: SparkSession, val root: String,
           s"no such column '$oldName' in ${schema.fieldNames.mkString("[", ", ", "]")}"))
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
         s"column '$newName' already exists")
-      requireNotFormerName(cur, newName)
-      requireNotDropped(cur, newName)
       val id = nextId()
       val renamed = StructType(schema.fields.map(f =>
         if (nameKey(f.name) == nameKey(oldName)) f.copy(name = newName) else f))
@@ -1605,9 +1627,26 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       val aliases = cur.aliases.filterNot { case (k, _) =>
         nameKey(k) == nameKey(field.name) } +
         (newName -> (lineage :+ AliasEntry(field.name, id)))
+      // renaming TO a retired name is legal under identity resolution:
+      // the column's alias lineage maps every old era to ITS era name
+      // (never the destination name), so retired bytes under `newName`
+      // are simply never requested for pre-rename origins. The name
+      // leaves the dropped registry (it is live again — append
+      // canonicalization must stop discarding it); any reborn floor the
+      // column already carries follows it under the new key.
+      val drops = cur.droppedCols.filterNot { case (d, _) =>
+        nameKey(d) == nameKey(newName) }
+      val floors = {
+        val carried = cur.rebornFloors.collectFirst {
+          case (n, b) if nameKey(n) == nameKey(field.name) => b }
+        cur.rebornFloors.filterNot { case (n, _) =>
+          nameKey(n) == nameKey(field.name) } ++
+          carried.map(newName -> _)
+      }
       writeSnapshot(Snapshot(id, Some(cur.snapshotId),
         System.currentTimeMillis(), "alter", cur.files, renamed.json,
-        txn = None, deletes = cur.deletes, renames = Some(aliases)))
+        txn = None, deletes = cur.deletes, renames = Some(aliases),
+        drops = Some(drops), reborn = Some(floors)))
     }
 
   /** `ALTER TABLE … ALTER COLUMN c TYPE <wider>`: lossless type
@@ -1761,6 +1800,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       deletes = target.deletes,
       renames = target.renames.orElse(Some(Map.empty)),
       drops = target.drops.orElse(Some(Map.empty)),
+      reborn = target.reborn.orElse(Some(Map.empty)),
       // restore the TARGET's field ids (its schema is what reads see);
       // writeSnapshot clamps `next` against the head so ids allocated
       // after the target never get re-issued
@@ -1785,21 +1825,70 @@ final class LakehouseTable(spark: SparkSession, val root: String,
 
   private def refPath(name: String): Path = refsDir.resolve(name + ".json")
 
+  /** Cross-PROCESS mutual exclusion between the two ref-sensitive
+    * critical sections: a tag WRITE (validate the snapshot exists,
+    * then land the pointer) and an expiry's { authoritative tag
+    * listing → manifest delete } pass. Without it, a setTag racing a
+    * remote expiry could validate against a manifest the sweep deletes
+    * a moment later — a dangling tag with no error anywhere (round-12
+    * What's-wrong #2). The lock is a put-if-absent file (`_refs/
+    * .lock`, `Files.createFile` — the same conditional-PUT shape the
+    * commit protocol uses), held for milliseconds; a crashed holder's
+    * lock ages out after [[LakehouseTable.RefLockStaleMs]]. With it,
+    * the race has exactly two linearizations: the tag lands first (the
+    * sweep's in-lock listing sees it — the snapshot survives) or the
+    * sweep deletes first (setTag's in-lock validation fails LOUDLY) —
+    * never a silently lost tag.
+    */
+  private def withRefsLock[T](body: => T): T = {
+    Files.createDirectories(refsDir)
+    val lock = refsDir.resolve(".lock")
+    val deadline = System.currentTimeMillis() + LakehouseTable.RefLockWaitMs
+    var held = false
+    while (!held) {
+      try { Files.createFile(lock); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // a live holder's lock is milliseconds old; a crashed one
+          // ages out (losing the delete race is fine — createFile
+          // stays the single arbiter)
+          try {
+            if (Files.getLastModifiedTime(lock).toMillis <
+                System.currentTimeMillis() - LakehouseTable.RefLockStaleMs)
+              Files.deleteIfExists(lock)
+          } catch { case _: java.io.IOException => () }
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"could not acquire the ref lock '$lock' within " +
+                s"${LakehouseTable.RefLockWaitMs} ms — a concurrent expiry " +
+                "or tag write is wedged (a crashed holder ages out after " +
+                s"${LakehouseTable.RefLockStaleMs} ms)")
+          Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(2L, 16L))
+      }
+    }
+    try body finally { Files.deleteIfExists(lock); () }
+  }
+
   /** Point tag `name` at snapshot `snapshotId` (REPLACES an existing
-    * tag — tags are movable pointers, the Iceberg ref shape).
+    * tag — tags are movable pointers, the Iceberg ref shape). The
+    * validate-then-write pair runs under [[withRefsLock]]: a snapshot
+    * a concurrent expiry already swept fails here LOUDLY instead of
+    * leaving a dangling pointer.
     */
   def setTag(name: String, snapshotId: Long): Unit = writeLock.synchronized {
     require(name.nonEmpty && !name.startsWith(".") &&
       name.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       s"illegal tag name '$name' (letters, digits, '-', '_', '.'; no leading dot)")
-    snapshotOrThrow(snapshotId)
-    Files.createDirectories(refsDir)
-    val tmp = Files.createTempFile(refsDir, ".ref-", ".tmp")
-    Files.writeString(tmp, Serialization.write(
-      TagRef(snapshotId, System.currentTimeMillis())))
-    Files.move(tmp, refPath(name),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    withRefsLock {
+      snapshotOrThrow(snapshotId)
+      val tmp = Files.createTempFile(refsDir, ".ref-", ".tmp")
+      Files.writeString(tmp, Serialization.write(
+        TagRef(snapshotId, System.currentTimeMillis())))
+      Files.move(tmp, refPath(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     ()
   }
 
@@ -1833,39 +1922,48 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     * references (`maintenance.py:106-124`).
     */
   def expireSnapshotsOlderThan(cutoffMs: Long): Int = writeLock.synchronized {
-    val snaps = listSnapshots()
-    if (snaps.isEmpty) return 0
-    val current = snaps.last
-    // TAGGED snapshots survive retention regardless of age — a tag is
-    // a promise that this exact table state stays addressable (drop
-    // the tag to let it expire)
-    val tagged = tags.values.map(_._1).toSet
-    val (expired, kept0) = snaps.init.partition(s =>
-      s.timestampMs < cutoffMs && !tagged(s.snapshotId))
-    val kept = kept0 :+ current
-    // the exactly-once ledger must survive retention (the Delta
-    // SetTransaction-retention concern): deleting the manifest that
-    // carries an app's LATEST txn mark would let a replayed streaming
-    // batch apply twice after maintenance. Fold the expiring marks into
-    // the floor file BEFORE deleting — a few bytes per producer — so
-    // data files vacuum freely and the ledger still never forgets.
-    val expiringMarks = expired.flatMap(_.txn)
-    if (expiringMarks.nonEmpty) {
-      // one consistent (files, merged) view: the files GC'd below are
-      // exactly the ones whose marks the new merged file absorbed
-      val (consumed, floor) = listAndReadFloor()
-      val merged = expiringMarks.foldLeft(floor) { (m, t) =>
-        m + (t.appId -> math.max(t.version, m.getOrElse(t.appId, Long.MinValue)))
+    if (listSnapshots().isEmpty) return 0
+    onBeforeExpireSweep()
+    // the { authoritative tag listing → manifest delete } pass runs
+    // under the cross-process ref lock: a tag landing concurrently is
+    // either visible to THIS listing (its snapshot survives) or its
+    // setTag fails loudly against the already-deleted manifest — the
+    // two legal linearizations, never a silently dangling ref
+    val (kept, expiredCount) = withRefsLock {
+      val snaps = listSnapshots()
+      val current = snaps.last
+      // TAGGED snapshots survive retention regardless of age — a tag
+      // is a promise that this exact table state stays addressable
+      // (drop the tag to let it expire)
+      val tagged = tags.values.map(_._1).toSet
+      val (expired, kept0) = snaps.init.partition(s =>
+        s.timestampMs < cutoffMs && !tagged(s.snapshotId))
+      // the exactly-once ledger must survive retention (the Delta
+      // SetTransaction-retention concern): deleting the manifest that
+      // carries an app's LATEST txn mark would let a replayed streaming
+      // batch apply twice after maintenance. Fold the expiring marks
+      // into the floor file BEFORE deleting — a few bytes per
+      // producer — so data files vacuum freely and the ledger still
+      // never forgets.
+      val expiringMarks = expired.flatMap(_.txn)
+      if (expiringMarks.nonEmpty) {
+        // one consistent (files, merged) view: the files GC'd below are
+        // exactly the ones whose marks the new merged file absorbed
+        val (consumed, floor) = listAndReadFloor()
+        val merged = expiringMarks.foldLeft(floor) { (m, t) =>
+          m + (t.appId -> math.max(t.version, m.getOrElse(t.appId, Long.MinValue)))
+        }
+        writeTxnFloor(merged, consumed)
       }
-      writeTxnFloor(merged, consumed)
-    }
-    expired.foreach { s =>
-      val name = f"${s.snapshotId}%09d.json"
-      Files.deleteIfExists(snapsDir.resolve(name))
-      // the parsed entry (full file list + stats maps) must go with the
-      // manifest, or a long-lived handle under continuous commit+expiry
-      // grows driver memory one dead snapshot per cycle
-      snapshotCache.remove(name)
+      expired.foreach { s =>
+        val name = f"${s.snapshotId}%09d.json"
+        Files.deleteIfExists(snapsDir.resolve(name))
+        // the parsed entry (full file list + stats maps) must go with
+        // the manifest, or a long-lived handle under continuous
+        // commit+expiry grows driver memory one dead snapshot per cycle
+        snapshotCache.remove(name)
+      }
+      (kept0 :+ current, expired.size)
     }
     // tombstone files are live references too — GC'ing one that a
     // retained snapshot still consults would resurrect its deleted rows
@@ -1891,7 +1989,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         .foreach(Files.deleteIfExists(_))
     }
     pruneBloomSidecars()
-    expired.size
+    expiredCount
   }
 
   /** Delete bloom sidecars whose data file no retained snapshot
@@ -1942,9 +2040,11 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     val files = writeDataFiles(df.repartition(targetFiles), id, suffix = "compact",
       partitionCols = declaredPartitionSpec)
     // every pre-drop file is gone after a whole-table rewrite: the
-    // dropped-column registry clears, unblocking name re-use
+    // dropped-column registry clears (and reborn floors fall inert —
+    // every surviving file's origin is past any floor)
     Some(writeSnapshot(Snapshot(id, Some(cur.snapshotId), System.currentTimeMillis(),
-      "compact", files, cur.schemaJson, drops = Some(Map.empty))))
+      "compact", files, cur.schemaJson, drops = Some(Map.empty),
+      reborn = Some(Map.empty))))
   }
 
   /** Partition-scoped compaction (`maintenance.py:178-244`): only
@@ -2775,6 +2875,12 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     if (snap.files.isEmpty) return None // empty table: let the scan return SQL null
     // a MoR tombstone may have masked exactly the extreme row
     if (snap.tombstones.nonEmpty) return None
+    // a REBORN column's pre-floor files carry stats written for the
+    // retired namesake — those rows serve NULL, so only the real scan
+    // answers exactly while any such file is live
+    snap.rebornFloors.collectFirst {
+      case (n, b) if nameKey(n) == nameKey(c) && snap.files.exists(originOf(_) < b) => ()
+    }.foreach(_ => return None)
     val stats = snap.files.map(f =>
       fileStatsOf(snap, f).flatMap(_.cols.get(nameKey(c))).getOrElse(return None))
     if (stats.exists(_.typ != stats.head.typ)) return None // defensive: never mix tags
@@ -2813,7 +2919,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     def declared(c: String): Option[DataType] =
       schema.fields.find(f => nameKey(f.name) == nameKey(c)).map(_.dataType)
     // per-predicate metadata resolved once, not per file
-    val compiled: Seq[String => Boolean] = preds.map {
+    val compiled0: Seq[String => Boolean] = preds.map {
       case ScanPredicate.EqualTo(c, v) =>
         val dt = declared(c)
         val h = probeHash(v, dt.getOrElse(
@@ -2848,6 +2954,24 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         else (f: String) => inSetMayMatch(snap, f, c, dt, probes) &&
           partitionMayMatchSet(f, c, dt, probes)
     }
+    // REBORN floors override every stats/bloom/path verdict: a file
+    // older than its predicate column's floor serves the column as
+    // all-NULL (identity resolution), so its recorded evidence —
+    // written for the RETIRED namesake — must not drive the decision.
+    // IS NULL definitely matches (keep); every value predicate
+    // definitely cannot (prune).
+    val compiled: Seq[String => Boolean] =
+      if (snap.rebornFloors.isEmpty) compiled0
+      else preds.zip(compiled0).map { case (p, fn) =>
+        snap.rebornFloors.collectFirst {
+          case (n, b) if nameKey(n) == nameKey(p.column) => b
+        } match {
+          case Some(b) =>
+            val nullVerdict = p.isInstanceOf[ScanPredicate.IsNull]
+            (f: String) => if (originOf(f) < b) nullVerdict else fn(f)
+          case None => fn
+        }
+      }
     val kept = snap.files.toVector.asJava.parallelStream()
       .filter(f => compiled.forall(_(f)))
       .collect(java.util.stream.Collectors.toList[String]).asScala.toSeq
@@ -2976,6 +3100,29 @@ final class LakehouseTable(spark: SparkSession, val root: String,
 
   /** [[originOf]] for the native scan's MoR masking. */
   private[lakehouse] def originOfFile(relFile: String): Long = originOf(relFile)
+
+  /** IDENTITY resolution (FIELD_IDS.md step 2): the physical name
+    * column `current` had in data files of origin snapshot `o` under
+    * `snap`'s registries — or None when such files must serve the
+    * column as NULL (the column's reborn floor is newer than the file,
+    * so any same-named bytes in it belong to a RETIRED field id and
+    * must never resurrect). The rename boundary is `o <= renamedAt`: a
+    * lost-race append commits files written under the PRE-rename
+    * schema (dir id = its claimed version) at a later snapshot than a
+    * rename that won that claimed id, while no post-rename writer can
+    * ever produce a file whose dir id is <= the rename's snapshot —
+    * so origin == renamedAt always means the OLD name.
+    */
+  private[lakehouse] def physNameAt(snap: Snapshot, current: String,
+      o: Long): Option[String] = {
+    if (snap.rebornFloors.exists { case (n, b) =>
+        nameKey(n) == nameKey(current) && o < b }) None
+    else Some(
+      snap.aliases.collectFirst {
+        case (k, entries) if nameKey(k) == nameKey(current) =>
+          entries.find(o <= _.renamedAt).map(_.name)
+      }.flatten.getOrElse(current))
+  }
 
   private[lakehouse] def scanFiles(snap: Snapshot, files: Seq[String]): DataFrame = {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
@@ -3126,9 +3273,10 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         .sortWithinPartitions(col("__graft_z"))
         .drop("__graft_z"),
       id, suffix = "zorder")
-    // whole-table rewrite: pre-drop files are gone, registry clears
+    // whole-table rewrite: pre-drop files are gone, registries clear
     Some(writeSnapshot(Snapshot(id, Some(cur.snapshotId), System.currentTimeMillis(),
-      "compact", files, cur.schemaJson, drops = Some(Map.empty))))
+      "compact", files, cur.schemaJson, drops = Some(Map.empty),
+      reborn = Some(Map.empty))))
   }
 
   // ---------------- helpers ----------------
@@ -3136,48 +3284,50 @@ final class LakehouseTable(spark: SparkSession, val root: String,
   private def readFiles(snap: Snapshot, relFiles: Seq[String]): DataFrame = {
     require(relFiles.nonEmpty, "empty file list")
     val declared = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    // EXPLICIT physical-union schema instead of mergeSchema: every
-    // declared column at its declared (WIDEST) type — a narrow physical
-    // file upcasts in the reader (int32→long, float→double), where a
-    // footer-schema merge would refuse the width mix outright — plus
-    // every FORMER column name (rename lineage) at the same type, so a
-    // pre-rename file's physical column lands in its alias slot. Files
-    // hold a subset; absent columns read as NULL.
-    val aliasOf: Map[String, List[String]] = declared.fields.map { f =>
-      f.name -> snap.aliases.collectFirst {
-        case (k, olds) if nameKey(k) == nameKey(f.name) => olds.map(_.name)
-      }.getOrElse(Nil)
-    }.toMap
-    val phys = StructType(declared.fields.flatMap { f =>
-      (f.name +: aliasOf(f.name)).map(n =>
-        org.apache.spark.sql.types.StructField(n, f.dataType, nullable = true))
-    })
-    // hive-partitioned files (col=value path segments) need a basePath
-    // per snapshot dir so partition columns materialize; flat files read
-    // directly. A snapshot may mix both layouts across its lineage.
+    // IDENTITY resolution ([[physNameAt]], FIELD_IDS.md step 2): each
+    // file reads EXACTLY the physical name its column identities had at
+    // the file's origin snapshot — renamed eras read their era names,
+    // reborn floors read NULL — where the old name-union + coalesce
+    // could not tell a retired column's bytes from a reborn namesake's.
+    // Every requested type is the declared (WIDEST) one: a narrow
+    // physical file upcasts in the reader (int32→long, float→double),
+    // where a footer-schema merge would refuse the width mix outright.
+    // Files group by resolution signature (flat) or by snapshot dir
+    // (hive-partitioned — which need a per-dir basePath anyway), so the
+    // read count is bounded by the retained snapshot count and
+    // compaction folds it back to one.
+    def sigOf(o: Long): Seq[Option[String]] =
+      declared.fields.toSeq.map(f => physNameAt(snap, f.name, o))
     val (partitioned, flat) = relFiles.partition(_.contains("="))
-    val dfs =
-      flat.headOption.map(_ =>
-        spark.read.schema(phys)
-          .parquet(flat.map(f => rootPath.resolve(f).toString): _*)).toSeq ++
+    val groups: Seq[(Seq[Option[String]], Option[String], Seq[String])] =
+      flat.groupBy(f => sigOf(originOf(f))).toSeq
+        .sortBy(_._2.head)
+        .map { case (sig, fs) => (sig, None, fs) } ++
         partitioned.groupBy(_.split('/').take(2).mkString("/")).toSeq.sortBy(_._1)
-          .map { case (sDir, files) =>
-            spark.read
-              .schema(phys)
-              .option("basePath", rootPath.resolve(sDir).toString)
-              .parquet(files.map(f => rootPath.resolve(f).toString): _*)
-          }
-    val df = dfs.reduceLeft(_.unionByName(_, allowMissingColumns = true))
-    // resolve renames: a file carries exactly ONE of a column's name
-    // variants, so coalesce is exact; alias slots drop afterwards
-    declared.fields.foldLeft(df) { (d, f) =>
-      aliasOf(f.name) match {
-        case Nil => d
-        case olds => d
-          .withColumn(f.name, coalesce((f.name +: olds).map(col): _*))
-          .drop(olds: _*)
+          .map { case (sDir, fs) => (sigOf(originOf(fs.head)), Some(sDir), fs) }
+    val dfs = groups.map { case (sig, base, fs) =>
+      val physFields = declared.fields.toSeq.zip(sig).collect {
+        case (f, Some(n)) =>
+          org.apache.spark.sql.types.StructField(n, f.dataType, nullable = true)
       }
+      // every column floored (all identities reborn after this era):
+      // request one impossible name so the reader still yields the
+      // file's ROW COUNT (all-null rows survive COUNT/DELETE semantics)
+      val phys = StructType(
+        if (physFields.nonEmpty) physFields
+        else Seq(org.apache.spark.sql.types.StructField(
+          "__graft_absent__", org.apache.spark.sql.types.LongType, nullable = true)))
+      val reader0 = spark.read.schema(phys)
+      val reader = base.fold(reader0)(d =>
+        reader0.option("basePath", rootPath.resolve(d).toString))
+      val df = reader.parquet(fs.map(f => rootPath.resolve(f).toString): _*)
+      // era names -> current names; floored identities materialize NULL
+      df.select(declared.fields.toSeq.zip(sig).map {
+        case (f, Some(n)) => col(n).as(f.name)
+        case (f, None) => lit(null).cast(f.dataType).as(f.name)
+      }: _*)
     }
+    dfs.reduceLeft(_.unionByName(_))
   }
 
   /** Average on-disk bytes per row of the HEAD snapshot, from manifest
@@ -3295,4 +3445,9 @@ object LakehouseTable {
     * the rebase loop; the caller's retry re-enters with fresh backoff).
     */
   val MaxCommitAttempts = 16
+
+  /** How long a ref-lock acquirer spins before giving up loudly. */
+  val RefLockWaitMs = 30000L
+  /** Age past which a ref lock is presumed crashed and broken. */
+  val RefLockStaleMs = 60000L
 }

@@ -605,6 +605,15 @@ object CdcOpQueries {
             ON t.k = s.k
             WHEN MATCHED THEN UPDATE SET *
             WHEN NOT MATCHED THEN INSERT *""")
+      // round 13: MERGE ON with a STAGED uncorrelated IN subquery —
+      // the decontamination shape: the probe list evaluates once,
+      // plants as literals (visible to the candidate-file pruning),
+      // and the matched delete touches only files holding flagged keys
+      s.sql(
+        s"""MERGE INTO $cat.db.dml_t t
+            USING (SELECT 1 AS one) s
+            ON t.k IN (SELECT n_nationkey * 5 FROM q127_src WHERE n_regionkey = 0)
+            WHEN MATCHED THEN DELETE""")
       val out = s.sql(s"SELECT k, nm, rk, ev FROM $cat.db.dml_t ORDER BY k").collect()
         .map(r => (r.getInt(0), Option(r.getString(1)),
           if (r.isNullAt(2)) None else Some(r.getInt(2)), Option(r.getString(3)))).toSeq
@@ -640,16 +649,25 @@ object CdcOpQueries {
       val checksum = s.sql(
         s"SELECT sum(okey) FROM $cat.db.maint_t WHERE flag IS NULL").head.getLong(0)
       // round 12: DROP COLUMN enters the $columns dropped registry
-      // (name + pre-drop type + dropping snapshot + retired field id),
-      // re-add refuses while it holds, compaction clears it
+      // (name + pre-drop type + dropping snapshot + retired field id).
+      // Round 13 (identity resolution): re-ADDING the name succeeds
+      // IMMEDIATELY — the name leaves the registry, the reborn column
+      // gets a fresh field id with a floor, and pre-drop files serve
+      // it as NULL (the retired bytes can never resurrect); the `1`
+      // below is earned by exactly that contract holding.
       s.sql(s"ALTER TABLE $cat.db.maint_t DROP COLUMN flag")
       val reg = s.sql(
         s"""SELECT column, type, dropped_at, field_id
             FROM $cat.db.`maint_t$$columns` WHERE status = 'dropped'""").collect()
       require(reg.length == 1, s"expected one dropped-registry row, got ${reg.length}")
-      val refused =
-        try { s.sql(s"ALTER TABLE $cat.db.maint_t ADD COLUMNS (flag STRING)"); 0L }
-        catch { case _: Exception => 1L }
+      val readdOk =
+        try {
+          s.sql(s"ALTER TABLE $cat.db.maint_t ADD COLUMNS (flag STRING)")
+          val resurrected = s.sql(
+            s"SELECT count(*) FROM $cat.db.maint_t WHERE flag IS NOT NULL")
+            .head.getLong(0)
+          if (resurrected == 0L) 1L else 0L
+        } catch { case _: Exception => 0L }
       s.sql(s"CALL $cat.system.compact(table => 'db.maint_t', file_threshold => 1, " +
         "max_rows => 100000000, target_files => 1)")
       val regAfter = s.sql(
@@ -657,7 +675,7 @@ object CdcOpQueries {
         .head.getLong(0)
       val dropRow = (96L,
         s"dropped:${reg(0).getString(0)}:${reg(0).getString(1)}" +
-          s"@${reg(0).getLong(2)}#${reg(0).getInt(3)}", refused)
+          s"@${reg(0).getLong(2)}#${reg(0).getInt(3)}", readdOk)
       s.sql(s"DROP TABLE $cat.db.maint_t")
       (lineage ++ Seq(dropRow, (97L, "registry_after_compact", regAfter),
         (99L, "content", checksum))).toSeq
@@ -1323,6 +1341,91 @@ object CdcOpQueries {
         ((9999, ops, -1))
       s.sql(s"DROP TABLE $cat.db.pow_t")
       out.toDF("k", "nm", "rk").orderBy(col("k"), col("rk"))
+    }),
+    // ---- reborn-column lifecycle (round 13, FIELD_IDS.md step 2):
+    //      DROP COLUMN then re-ADD the same name under a DIFFERENT type
+    //      with ZERO compaction — identity resolution gives the reborn
+    //      name a fresh field id with a floor, so pre-drop files serve
+    //      it as NULL (their same-named bytes belong to the retired id
+    //      and must never resurrect), while VERSION AS OF still serves
+    //      the retired identity at its own snapshot. A RENAME of the
+    //      reborn column carries the floor; min/max fall back to the
+    //      real scan (pre-floor stats describe the retired column). ----
+    "q143_reborn_column" -> ((s, dir) => {
+      import s.implicits._
+      val cat = ensureQueryCatalog(s)
+      graft.Tables.load(s, dir, "nation").createOrReplaceTempView("q143_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.rb_t")
+      s.sql(s"CREATE TABLE $cat.db.rb_t (k BIGINT, nm STRING, x INT)") // snap 1
+      s.sql(s"INSERT INTO $cat.db.rb_t " + // snap 2
+        "SELECT n_nationkey, n_name, n_regionkey FROM q143_src")
+      s.sql(s"ALTER TABLE $cat.db.rb_t DROP COLUMN x") // snap 3
+      s.sql(s"ALTER TABLE $cat.db.rb_t ADD COLUMNS (x STRING)") // snap 4: reborn
+      s.sql(s"INSERT INTO $cat.db.rb_t SELECT n_nationkey + 100, lower(n_name), " +
+        "concat('r', n_regionkey) FROM q143_src") // snap 5
+      s.sql(s"ALTER TABLE $cat.db.rb_t RENAME COLUMN x TO tag") // snap 6: floor follows
+      s.sql(s"INSERT INTO $cat.db.rb_t SELECT n_nationkey + 200, concat(n_name, '_x'), " +
+        "concat('t', n_regionkey) FROM q143_src") // snap 7
+      // the RETIRED identity still serves its own snapshot (time travel)
+      val v2x = s.sql(s"SELECT sum(x) FROM $cat.db.rb_t VERSION AS OF 2").head.getLong(0)
+      // pre-floor rows are NULL for the reborn identity
+      val nulls = s.sql(s"SELECT count(*) FROM $cat.db.rb_t WHERE tag IS NULL")
+        .head.getLong(0)
+      // min/max must fall back to the real scan, never the stale stats
+      val mm = s.sql(s"SELECT min(tag), max(tag) FROM $cat.db.rb_t").head
+      val detail = s.sql(s"SELECT k, nm, tag FROM $cat.db.rb_t").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) null else r.getString(2))).toSeq
+      s.sql(s"DROP TABLE $cat.db.rb_t")
+      (detail :+ ((9990000000000L + nulls * 1000000L + v2x,
+        mm.getString(0), mm.getString(1))))
+        .toDF("k", "nm", "tag").orderBy(col("k"), col("nm"))
+    }),
+    // ---- stream-from-tag (round 13): readStream.table pinned at a
+    //      release tag — the FRESH stream bootstraps the TAGGED
+    //      snapshot's state (never the full head history) and follows
+    //      increments from there; a restart on the same checkpoint
+    //      ignores the option (the committed offset wins) and delivers
+    //      only the new commit. The training-corpus consumer shape:
+    //      start from the release you pinned, stream the growth. ----
+    "q144_stream_from_tag" -> ((s, dir) => {
+      import s.implicits._
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_q144_src").toString
+      val outRoot = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_q144_out").toString
+      Seq(root, outRoot).foreach(p => graft.Fs.deleteRecursively(java.nio.file.Paths.get(p)))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-q144-ckpt").toString
+      val t = new LakehouseTable(s, root)
+      val base = graft.Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 3000).select(col("o_orderkey").as("k"))
+      t.append(base.coalesce(2)) // snap 1: the historical bulk
+      t.append(Seq(1000000001L, 1000000002L).toDF("k").coalesce(1)) // snap 2
+      t.setTag("rel", t.currentSnapshot().get.snapshotId) // the pinned release
+      t.append(Seq(2000000001L, 2000000002L).toDF("k").coalesce(1)) // snap 3
+      t.append(Seq(3000000001L, 3000000002L).toDF("k").coalesce(1)) // snap 4
+      val batches = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val out = new LakehouseTable(s, outRoot)
+      def drain(): Unit = {
+        val q = s.readStream.option("startingTag", "rel")
+          .format("graft-lakehouse").load(root)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+            batches.synchronized { batches += ((bid, df.count())) }
+            out.upsertIdempotent(df, Seq("k"), "q144", bid)
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(180000), "q144 drain did not finish")
+      }
+      drain() // b0 = tagged state (snaps 1-2), b1 = increments (snaps 3-4)
+      t.append(Seq(4000000001L, 4000000002L).toDF("k").coalesce(1)) // snap 5
+      drain() // b2 = the new commit only — the option is inert now
+      val checksum = out.read().agg(sum(col("k"))).head.getLong(0)
+      (batches.map { case (b, n) => (s"b$b", n) }.toSeq :+ (("z_checksum", checksum)))
+        .toDF("step", "n").orderBy(col("step"))
     })
   )
 
@@ -1520,11 +1623,14 @@ object CdcOpQueries {
       s2 AS (SELECT n_nationkey * 2 + 1 AS k,
                     'e' || CAST(n_regionkey AS VARCHAR) AS ev
              FROM nation WHERE n_regionkey >= 3),
-      fin AS (
+      fin0 AS (
         SELECT z.k, z.nm, z.rk, s2.ev FROM z LEFT JOIN s2 ON z.k = s2.k
         UNION ALL
         SELECT s2.k, CAST(NULL AS VARCHAR), CAST(NULL AS INT), s2.ev
-        FROM s2 LEFT JOIN z ON z.k = s2.k WHERE z.k IS NULL)
+        FROM s2 LEFT JOIN z ON z.k = s2.k WHERE z.k IS NULL),
+      -- round 13 staged-IN decontamination MERGE: flagged keys delete
+      fin AS (SELECT * FROM fin0
+              WHERE k NOT IN (SELECT n_nationkey * 5 FROM nation WHERE n_regionkey = 0))
       SELECT k, nm, rk, ev FROM fin ORDER BY k""",
     // q128: the maintenance lifecycle's snapshot lineage — per-snapshot
     // CUMULATIVE row counts from the three modulo slices, the compact/
@@ -1797,6 +1903,39 @@ object CdcOpQueries {
       SELECT k, nm, rk FROM (
         SELECT k, nm, rk FROM head
         UNION ALL SELECT 9999, 'create,append,overwrite,overwrite', -1)
-      ORDER BY k, rk"""
+      ORDER BY k, rk""",
+    // q143: head = original nation rows with the reborn column NULL
+    // (their on-disk x bytes belong to the retired INT identity), the
+    // +100 slice written as x pre-rename, the +200 slice written as tag
+    // post-rename; the zz row packs count-of-NULLs, the scan-answered
+    // min/max, and the VERSION AS OF 2 sum over the RETIRED identity.
+    "q143_reborn_column" -> """
+      WITH base AS (SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm,
+                           CAST(n_regionkey AS BIGINT) AS r FROM nation),
+      head AS (
+        SELECT k, nm, CAST(NULL AS VARCHAR) AS tag FROM base
+        UNION ALL SELECT k + 100, lower(nm), 'r' || CAST(r AS VARCHAR) FROM base
+        UNION ALL SELECT k + 200, nm || '_x', 't' || CAST(r AS VARCHAR) FROM base)
+      SELECT k, nm, tag FROM (
+        SELECT k, nm, tag FROM head
+        UNION ALL
+        SELECT CAST(9990000000000
+                 + (SELECT count(*) FROM head WHERE tag IS NULL) * 1000000
+                 + (SELECT sum(r) FROM base) AS BIGINT),
+               (SELECT min(tag) FROM head), (SELECT max(tag) FROM head))
+      ORDER BY k, nm""",
+    // q144: b0 = the tagged state (base bulk + snap-2 tail), b1 = the
+    // two commits past the tag in one AvailableNow cycle, b2 = the
+    // post-restart commit; checksum = everything delivered.
+    "q144_stream_from_tag" -> """
+      WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders
+                    WHERE o_orderkey < 3000),
+      b AS (SELECT CAST(count(*) AS BIGINT) AS c, CAST(sum(k) AS BIGINT) AS s FROM base)
+      SELECT step, n FROM (
+        SELECT 'b0' AS step, (SELECT c FROM b) + 2 AS n
+        UNION ALL SELECT 'b1', 4
+        UNION ALL SELECT 'b2', 2
+        UNION ALL SELECT 'z_checksum', (SELECT s FROM b) + 20000000012)
+      ORDER BY step"""
   )
 }

@@ -75,6 +75,78 @@ class CrossProcessCommitSpec extends SparkSpec {
     }
   }
 
+  test("racing setTag (child JVM) vs expiry: every OK tag resolves, every failed one left no ref") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("tagrace-2jvm")
+    val markers = tmpDir("tagrace-2jvm-markers")
+    val n = 20
+    val t = new LakehouseTable(spark, root)
+    // n historical snapshots (all expire-eligible under a future
+    // cutoff) + whatever the child manages to pin
+    (1 to n).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1)))
+
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val cp = System.getProperty("java.class.path")
+    val cmd = (Seq(javaBin) ++ opens ++ Seq("-Xmx2g", "-cp", cp,
+      "graft.lakehouse.TagRaceMain", root, n.toString, markers)).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val child = pb.start()
+    try {
+      val ready = java.nio.file.Paths.get(markers, "child-ready")
+      val done = java.nio.file.Paths.get(markers, "tags-done")
+      val deadline = System.currentTimeMillis() + 120000
+      while (!java.nio.file.Files.exists(ready)) {
+        assert(child.isAlive, "child JVM died before becoming ready: " + drain(child))
+        assert(System.currentTimeMillis() < deadline, "child never became ready")
+        Thread.sleep(100)
+      }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(markers, "go"), "go")
+      // sweep continuously while the child tags: every sweep lists tags
+      // UNDER the ref lock, so each attempt linearizes cleanly
+      val sweepDeadline = System.currentTimeMillis() + 120000
+      while (!java.nio.file.Files.exists(done)) {
+        assert(child.isAlive, "child JVM died mid-race: " + drain(child))
+        assert(System.currentTimeMillis() < sweepDeadline, "child never finished tagging")
+        t.expireSnapshotsOlderThan(System.currentTimeMillis() + 3600000L)
+        Thread.sleep(2)
+      }
+      val out = drain(child)
+      assert(child.waitFor() === 0, s"child exit=${child.exitValue}: $out")
+      t.expireSnapshotsOlderThan(System.currentTimeMillis() + 3600000L) // one final sweep
+      val results = java.nio.file.Files.readString(done).split("\n")
+        .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+      assert(results.size === n)
+      val tags = t.tags
+      results.foreach { case (tag, st) =>
+        if (st == "ok")
+          assert(tags.contains(tag) &&
+            scala.util.Try(t.snapshotForTag(tag)).isSuccess,
+            s"OK tag '$tag' must survive every sweep and resolve — " +
+              s"retained: ${t.listSnapshots().map(_.snapshotId)}, tags: ${tags.keySet}")
+        else
+          assert(!tags.contains(tag),
+            s"failed setTag '$tag' must leave NO ref behind")
+      }
+      // no dangling pointer anywhere, under any interleaving
+      tags.keys.foreach(k => t.snapshotForTag(k))
+      // the tagged snapshots' data files survived the sweeps too
+      tags.values.map(_._1).foreach { sid =>
+        t.snapshotOrThrow(sid).files.foreach { f =>
+          assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, f)),
+            s"tagged snapshot $sid lost data file $f")
+        }
+      }
+      // the race genuinely exercised expiry: untagged old snapshots died
+      assert(t.listSnapshots().size < n + 1,
+        "the sweeps should have expired at least one untagged snapshot")
+      assert(t.read().select(col("id")).collect().nonEmpty)
+    } finally {
+      if (child.isAlive) child.destroyForcibly()
+    }
+  }
+
   private def drain(p: Process): String = {
     val buf = new Array[Byte](1 << 16)
     val sb = new StringBuilder

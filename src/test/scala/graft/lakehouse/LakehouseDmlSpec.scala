@@ -365,14 +365,24 @@ class LakehouseDmlSpec extends SparkSpec {
     assert(spark.sql("SELECT id, v FROM dmlcat.db.m8 ORDER BY id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
       === Seq((1L, "s0"), (3L, "s2")), "VIP rows update, non-VIP matched rows delete")
-    // a subquery inside ON is a JOIN-condition subquery — Spark itself
-    // cannot plan it; the refusal is structural and loud
-    val e = intercept[Exception](spark.sql(
+    // an uncorrelated IN inside ON STAGES to a literal probe list
+    // (round 13): state is now (1,'s0'), (3,'s2') and vip = {1,3} —
+    // the staged membership scopes the matched delete to id=1
+    spark.sql(
       """MERGE INTO dmlcat.db.m8 t
          USING (SELECT CAST(1 AS BIGINT) AS sid) s
          ON t.id = s.sid AND t.id IN (SELECT k FROM dmlcat.db.vip)
+         WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT id FROM dmlcat.db.m8").collect()
+      .map(_.getLong(0)).toSeq === Seq(3L))
+    // CORRELATED subqueries stay structurally refused — a join
+    // condition cannot host the correlation
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO dmlcat.db.m8 t
+         USING (SELECT CAST(3 AS BIGINT) AS sid) s
+         ON t.id = s.sid AND EXISTS (SELECT 1 FROM dmlcat.db.vip w WHERE w.k = t.id)
          WHEN MATCHED THEN DELETE"""))
-    assert(e.getMessage.contains("MERGE ON"), e.getMessage)
+    assert(e.getMessage.contains("UNCORRELATED"), e.getMessage)
   }
 
   test("MERGE WITH SCHEMA EVOLUTION: new source columns add, types widen, star actions re-expand (round 12)") {
@@ -453,6 +463,57 @@ class LakehouseDmlSpec extends SparkSpec {
          ON t.id = (SELECT cut FROM dmlcat.db.thr)
          WHEN MATCHED THEN DELETE"""))
     assert(e.getMessage.contains("more than one row"), e.getMessage)
+  }
+
+  test("MERGE ON stages uncorrelated IN/EXISTS; the staged probe list prunes candidate files (round 13)") {
+    val t = freshTable("m11", "id BIGINT, v STRING")
+    // three files, keyed ranges — the decontamination shape needs the
+    // staged IN to prune to the files actually holding flagged keys
+    spark.sql("INSERT INTO dmlcat.db.m11 VALUES (1,'a'), (2,'b')")
+    spark.sql("INSERT INTO dmlcat.db.m11 VALUES (10,'c'), (11,'d')")
+    spark.sql("INSERT INTO dmlcat.db.m11 VALUES (20,'e'), (21,'f')")
+    freshTable("contam", "bad BIGINT")
+    spark.sql("INSERT INTO dmlcat.db.contam VALUES (10), (11)")
+    val before = t.currentSnapshot().get.files
+    spark.sql(
+      """MERGE INTO dmlcat.db.m11 t
+         USING (SELECT 1 AS one) s
+         ON t.id IN (SELECT bad FROM dmlcat.db.contam)
+         WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT id FROM dmlcat.db.m11 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 20L, 21L),
+      "exactly the flagged keys delete")
+    val after = t.currentSnapshot().get.files
+    val rewrote = before.size - before.count(after.contains)
+    assert(rewrote >= 1 && rewrote <= 2,
+      s"the staged probe list must prune candidates to the files holding " +
+        s"flagged keys: rewrote $rewrote of ${before.size}")
+    // uncorrelated EXISTS stages to a constant: empty flag table means
+    // the whole merge is a no-op (nothing matches, nothing commits)
+    freshTable("flag", "x BIGINT")
+    val head = t.currentSnapshot().get.snapshotId
+    spark.sql(
+      """MERGE INTO dmlcat.db.m11 t
+         USING (SELECT CAST(1 AS BIGINT) AS sid) s
+         ON t.id = s.sid AND EXISTS (SELECT 1 FROM dmlcat.db.flag)
+         WHEN MATCHED THEN DELETE""")
+    assert(t.currentSnapshot().get.snapshotId === head, "EXISTS() over empty = no-op")
+    // …and NOT EXISTS over the same empty table lets the equi-match fire
+    spark.sql(
+      """MERGE INTO dmlcat.db.m11 t
+         USING (SELECT CAST(1 AS BIGINT) AS sid) s
+         ON t.id = s.sid AND NOT EXISTS (SELECT 1 FROM dmlcat.db.flag)
+         WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT id FROM dmlcat.db.m11 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L, 20L, 21L))
+    // multi-column IN keeps the structural refusal (no portable null
+    // semantics as a staged list)
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO dmlcat.db.m11 t
+         USING (SELECT CAST(2 AS BIGINT) AS sid) s
+         ON (t.id, t.v) IN (SELECT bad, 'b' FROM dmlcat.db.contam)
+         WHEN MATCHED THEN DELETE"""))
+    assert(e.getMessage.contains("single-column"), e.getMessage)
   }
 
   test("MERGE USING source carrying subqueries plans and materializes once") {

@@ -224,15 +224,16 @@ class LakehouseMetaSpec extends SparkSpec {
       ("extra", "int", "dropped", dropSnap, 3),
       ("k", "bigint", "live", -1L, 1),
       ("v", "string", "live", -1L, 2)))
-    // re-add refuses WHILE the registry holds the name; compaction
-    // clears it and the re-added column gets a FRESH id (never 3)
-    intercept[Exception](spark.sql("ALTER TABLE metacat.db.c3 ADD COLUMNS (extra INT)"))
-    t.compact(fileThreshold = 1, maxRows = Long.MaxValue, targetFiles = 1)
-    assert(spark.sql("SELECT count(*) FROM metacat.db.`c3$columns` WHERE status = 'dropped'")
-      .head.getLong(0) === 0L, "compaction must clear the dropped registry")
+    // re-add works IMMEDIATELY (identity resolution, round 13): the
+    // name leaves the dropped registry, the reborn column gets a FRESH
+    // id (never 3), and pre-drop files serve it as NULL
     spark.sql("ALTER TABLE metacat.db.c3 ADD COLUMNS (extra INT)")
+    assert(spark.sql("SELECT count(*) FROM metacat.db.`c3$columns` WHERE status = 'dropped'")
+      .head.getLong(0) === 0L, "a re-added name must leave the dropped registry")
     assert(spark.sql("SELECT field_id FROM metacat.db.`c3$columns` WHERE column = 'extra'")
       .head.getInt(0) === 4, "a re-added name must get a fresh field id, not the retired one")
+    assert(spark.sql("SELECT extra FROM metacat.db.c3").head.isNullAt(0),
+      "pre-drop files serve the reborn column as NULL, never the retired bytes")
     spark.sql("DROP TABLE metacat.db.c3")
   }
 

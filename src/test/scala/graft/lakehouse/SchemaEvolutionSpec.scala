@@ -133,10 +133,19 @@ class SchemaEvolutionSpec extends SparkSpec {
     // (old files' stats are keyed by the old name — no wrong pruning)
     assert(t.read(Seq(ScanPredicate.EqualTo("id", 7L))).select("v")
       .head.getString(0) === "v7")
-    val e1 = intercept[Exception](t.addColumns(Seq(StructField("k", StringType))))
-    assert(e1.getMessage.contains("FORMER name"), e1.getMessage)
-    val e2 = intercept[Exception](t.renameColumn("v", "k"))
-    assert(e2.getMessage.contains("FORMER name"), e2.getMessage)
+    // FORMER-name reuse is legal under identity resolution (FIELD_IDS
+    // step 2): the reborn namesake is a NEW field id with a floor —
+    // pre-floor files serve it as NULL (their physical 'k' bytes belong
+    // to 'id' and keep resolving THERE), with zero compaction needed
+    t.addColumns(Seq(StructField("k", StringType)))
+    val reused = dsv2(t)
+    assert(reused.columns.toSeq === Seq("id", "v", "k"))
+    assert(reused.select("id").collect().map(_.getLong(0)).toSet
+      === (1L to 100L).toSet, "the renamed column still reads its old bytes")
+    assert(reused.select("k").collect().forall(_.isNullAt(0)),
+      "the reborn namesake must read NULL from pre-floor files — " +
+        "the old physical 'k' bytes belong to 'id', not to new 'k'")
+    t.dropColumn("k") // restore the original shape for the MoR half below
     // MoR tombstones keyed on the RENAMED column still mask rows in
     // pre-rename files (the reader's epoch schema exposes the current
     // name; old-name stats merely prune less, never wrongly)
@@ -370,18 +379,27 @@ class SchemaEvolutionSpec extends SparkSpec {
     t.append(Seq((3L, "c", 30)).toDF("k", "v", "x").coalesce(1))
     assert(dsv2(t).columns.toSeq === Seq("k", "v"))
     assert(dsv2(t).count() === 3L)
-    // re-ADDING the name refuses while pre-drop files survive …
-    val e1 = intercept[Exception](t.addColumns(Seq(StructField("x", StringType))))
-    assert(e1.getMessage.contains("DROPPED"), e1.getMessage)
-    val e2 = intercept[Exception](t.renameColumn("v", "x"))
-    assert(e2.getMessage.contains("DROPPED"), e2.getMessage)
-    // … and compaction (full rewrite) unblocks it; old values are GONE
-    t.compact(fileThreshold = 1, maxRows = 100000000L)
+    // re-ADDING the name works IMMEDIATELY (identity resolution,
+    // FIELD_IDS step 2): the reborn column is a NEW field id with a
+    // floor — pre-drop files keep their stale 'x' bytes on disk but
+    // serve NULL, with zero compaction needed
     t.addColumns(Seq(StructField("x", StringType)))
     val re = dsv2(t)
     assert(re.columns.toSeq === Seq("k", "v", "x"))
+    assert(isNative(re), "a reborn lineage must stay on the native scan")
     assert(re.select("x").collect().forall(_.isNullAt(0)),
       "re-added column must read NULL everywhere — stale values must not resurrect")
+    // post-floor writes serve the NEW identity; pre-floor rows stay NULL
+    t.append(Seq((4L, "d", "fresh")).toDF("k", "v", "x").coalesce(1))
+    assert(dsv2(t).collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+      === Set((1L, None), (2L, None), (3L, None), (4L, Some("fresh"))))
+    // compaction still heals the lineage physically (stale bytes GONE,
+    // registries clear) and values are unchanged
+    t.compact(fileThreshold = 1, maxRows = 100000000L)
+    assert(t.currentSnapshot().get.rebornFloors.isEmpty,
+      "a whole-table rewrite clears the reborn floors")
+    assert(dsv2(t).collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+      === Set((1L, None), (2L, None), (3L, None), (4L, Some("fresh"))))
     // guards: last column, missing column, live tombstones
     val g = new LakehouseTable(spark, tmpDir("ev-drop-g"))
     g.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
@@ -652,4 +670,65 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(dst.read().columns.contains(evil),
       s"evil column lost: ${dst.read().columns.mkString(",")}")
   }
+  test("reborn identity: re-add with a DIFFERENT type, floor-aware pruning, DML, min/max fallback") {
+    val t = new LakehouseTable(spark, tmpDir("ev-reborn"))
+    t.append(Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "x").coalesce(1))
+    t.dropColumn("x")
+    // re-add under a DIFFERENT type: the name-union read could never
+    // mix int bytes with a string request — identity resolution never
+    // requests the retired bytes at all
+    t.addColumns(Seq(StructField("x", StringType)))
+    t.append(Seq((3L, "c", "s3"), (4L, "d", "s4")).toDF("k", "v", "x").coalesce(1))
+    val all = dsv2(t).collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+    assert(all === Set((1L, None), (2L, None), (3L, Some("s3")), (4L, Some("s4"))))
+    // floor-aware skipping: a value probe EXCLUDES pre-floor files
+    // (their rows serve NULL — and their stale stats speak for the
+    // retired int column anyway); IS NULL KEEPS them
+    val snap = t.currentSnapshot().get
+    val (keptEq, _) = t.pruneFiles(snap, Seq(ScanPredicate.EqualTo("x", "s3")))
+    assert(keptEq.size === 1 && keptEq.forall(t.originOfFile(_) > 2),
+      s"value probe must exclude pre-floor files: $keptEq")
+    val (keptNull, _) = t.pruneFiles(snap, Seq(ScanPredicate.IsNull("x")))
+    assert(keptNull.exists(t.originOfFile(_) <= 2),
+      s"IS NULL must keep pre-floor files (every row matches): $keptNull")
+    assert(t.read(Seq(ScanPredicate.IsNull("x"))).collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L))
+    // min/max metadata answers must NOT come from the retired stats
+    val mm = dsv2(t).agg(min("x"), max("x")).head
+    assert((mm.getString(0), mm.getString(1)) === ("s3", "s4"),
+      "min/max over a reborn column must fall back to the real scan")
+    // DML over the floor: DELETE WHERE x IS NULL removes exactly the
+    // pre-floor rows (candidates INCLUDE the floored files)
+    t.deleteWhere(t.pruneFiles(t.currentSnapshot().get,
+      Seq(ScanPredicate.IsNull("x")))._1, col("x").isNull)
+    assert(dsv2(t).collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      === Set((3L, "s3"), (4L, "s4")))
+  }
+
+  test("reborn identity: the floor survives a rename and replicates through the DDL channel") {
+    val t = new LakehouseTable(spark, tmpDir("ev-reborn-ren"))
+    t.append(Seq((1L, 10), (2L, 20)).toDF("k", "x").coalesce(1))
+    val s1 = t.currentSnapshot().get.snapshotId
+    t.dropColumn("x")
+    t.addColumns(Seq(StructField("x", LongType)))
+    t.append(Seq((3L, 30L)).toDF("k", "x").coalesce(1))
+    // rename the REBORN column: the floor follows the identity under
+    // its new name — old files keep serving NULL, new files the value
+    t.renameColumn("x", "score")
+    assert(t.currentSnapshot().get.rebornFloors.keySet === Set("score"))
+    assert(dsv2(t).collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      === Set((1L, None), (2L, None), (3L, Some(30L))))
+    // the schema-history channel replays drop + re-add on a twin; the
+    // twin computes its OWN floor against its OWN files
+    val ddl = t.schemaChangesBetween(s1, t.currentSnapshot().get.snapshotId)
+    val twin = new LakehouseTable(spark, tmpDir("ev-reborn-twin"))
+    twin.append(Seq((1L, 10), (2L, 20)).toDF("k", "x").coalesce(1))
+    ddl.foreach(twin.applySchemaChange)
+    assert(twin.currentSnapshot().get.rebornFloors.keySet === Set("score"),
+      s"twin floors: ${twin.currentSnapshot().get.rebornFloors}")
+    assert(twin.read().collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      === Set((1L, None), (2L, None)),
+      "the twin's pre-floor files must serve the reborn column as NULL")
+  }
+
 }

@@ -122,4 +122,43 @@ class SnapshotTagSpec extends SparkSpec {
     assert(e.getMessage.contains("neither a snapshot id nor a tag"), e.getMessage)
     spark.sql("DROP TABLE tagdig.db.t")
   }
+  test("tag-vs-expiry arbitration: a tag landing in the sweep window survives; late tags fail loudly; stale locks break") {
+    val root = tmpDir("tag-arb")
+    val t = new LakehouseTable(spark, root)
+    t.append(Seq((1L, "a")).toDF("k", "v").coalesce(1)) // snap 1 (old)
+    Thread.sleep(15)
+    t.append(Seq((2L, "b")).toDF("k", "v").coalesce(1)) // snap 2 (current)
+    val other = new LakehouseTable(spark, root) // the "remote" writer
+    // 1. the round-12 race window: the tag lands AFTER the sweep
+    //    started but BEFORE its locked listing — the in-lock listing
+    //    must see it and keep the snapshot
+    t.onBeforeExpireSweep = () => {
+      other.setTag("pinned", 1L)
+      t.onBeforeExpireSweep = () => ()
+    }
+    try t.expireSnapshotsOlderThan(System.currentTimeMillis() + 3600000L)
+    finally t.onBeforeExpireSweep = () => ()
+    assert(t.snapshotForTag("pinned").snapshotId === 1L)
+    assert(t.listSnapshots().map(_.snapshotId).contains(1L),
+      "the racing tag must protect its snapshot from the same sweep")
+    // 2. the other linearization: once the sweep deleted the manifest,
+    //    a setTag against it fails LOUDLY and leaves no ref
+    t.dropTag("pinned")
+    t.expireSnapshotsOlderThan(System.currentTimeMillis() + 3600000L)
+    assert(t.listSnapshots().map(_.snapshotId) === Seq(2L))
+    val e = intercept[IllegalArgumentException](other.setTag("late", 1L))
+    assert(e.getMessage.contains("not found"), e.getMessage)
+    assert(!t.tags.contains("late"), "a failed setTag must leave no ref")
+    // 3. a crashed holder's lock ages out: setTag breaks it and lands
+    val lock = java.nio.file.Paths.get(root, "_refs", ".lock")
+    java.nio.file.Files.createDirectories(lock.getParent)
+    java.nio.file.Files.createFile(lock)
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - LakehouseTable.RefLockStaleMs - 60000L))
+    t.setTag("after-stale", 2L)
+    assert(t.snapshotForTag("after-stale").snapshotId === 2L)
+    assert(!java.nio.file.Files.exists(lock), "the lock releases after the write")
+  }
+
 }

@@ -1210,6 +1210,64 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(batches.sum >= 60L + 20L, s"the uncommitted slice must redeliver: $batches")
   }
 
+  test("readStream.table: startingTag/startingVersion pin the bootstrap; the checkpoint overrides the option on restart") {
+    import spark.implicits._
+    import graft.lakehouse.LakehouseTable
+    val t = new LakehouseTable(spark, tmpDir("rst-stv"))
+    t.append(Seq((1L, "a")).toDF("id", "v").coalesce(1)) // snap 1
+    t.append(Seq((2L, "b")).toDF("id", "v").coalesce(1)) // snap 2
+    t.setTag("rel", t.currentSnapshot().get.snapshotId)
+    t.append(Seq((3L, "c")).toDF("id", "v").coalesce(1)) // snap 3
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    def drain(ckpt: String, opts: (String, String)*): Unit = {
+      var r = spark.readStream.format("graft-lakehouse")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(t.root)
+        .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = df.select("id").collect().map(_.getLong(0)).toSet
+          batches.synchronized { if (ids.nonEmpty) batches += ids }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000)); ()
+    }
+    // a fresh stream from the TAG: the bootstrap is the TAGGED state
+    // (snapshots 1-2), then the increment past it — never a full
+    // head-state bootstrap that replays history the consumer pinned away
+    val ckpt = tmpDir("rst-stv-ckpt")
+    drain(ckpt, "startingTag" -> "rel")
+    assert(batches.head === Set(1L, 2L),
+      s"the bootstrap must be the tagged snapshot's state: $batches")
+    assert(batches.flatten.toSet === Set(1L, 2L, 3L), s"got $batches")
+    // restart on the SAME checkpoint after more commits: the committed
+    // offset wins — only the new increment arrives, the option is inert
+    batches.clear()
+    t.append(Seq((4L, "d")).toDF("id", "v").coalesce(1)) // snap 4
+    drain(ckpt, "startingTag" -> "rel")
+    assert(batches.toSeq === Seq(Set(4L)),
+      s"a checkpointed stream must ignore startingTag: $batches")
+    // startingVersion composes with the file caps (sliced bootstrap),
+    // and startingTimestamp resolves the snapshot current at an instant
+    batches.clear()
+    drain(tmpDir("rst-stv-ckpt2"), "startingVersion" -> "1",
+      "maxFilesPerTrigger" -> "1")
+    assert(batches.head === Set(1L),
+      s"startingVersion bootstrap must be snapshot 1's state: $batches")
+    assert(batches.flatten.toSet === Set(1L, 2L, 3L, 4L), s"got $batches")
+    // an unknown tag on a FRESH checkpoint fails loudly at start
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft-lakehouse")
+        .option("startingTag", "nope").load(t.root)
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmpDir("rst-stv-ckpt3"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      q.stop()
+    }
+    assert(e.getMessage.contains("nope") || e.getCause != null, e.getMessage)
+  }
+
   test("readStream.table: a LIVE mid-stream upstream ADD fails loudly; restart re-pins and redelivers the values") {
     import spark.implicits._
     import graft.lakehouse.LakehouseTable
