@@ -142,7 +142,8 @@ final class ChangeFeedSource(sqlContext: SQLContext, root: String,
         var prev = snaps.find(_.snapshotId == s).map(_.files.toSet).getOrElse(Set.empty)
         var e = s
         var acc = 0L
-        snaps.filter(x => x.snapshotId > s && x.snapshotId <= bySnaps)
+        snaps.filter(x => x.snapshotId > s && x.snapshotId <= bySnaps &&
+            x.branch.isEmpty) // branch commits are invisible until published
           .takeWhile { sn =>
             val bytes = sn.files.filterNot(prev)
               .map(f => table.fileSizeOf(sn, f)).sum
@@ -170,7 +171,12 @@ final class ChangeFeedSource(sqlContext: SQLContext, root: String,
           case Some(n) =>
             val from = table.listSnapshots().headOption
               .map(_.snapshotId - 1).getOrElse(head)
-            math.min(head, from + n)
+            // round DOWN to a MAIN snapshot: a bootstrap end must never
+            // pin an unpublished branch commit
+            val cand = math.min(head, from + n)
+            val mains = table.listSnapshots().filter(_.branch.isEmpty)
+            mains.filter(_.snapshotId <= cand).lastOption
+              .getOrElse(mains.head).snapshotId
           case None => head
         }
         val cut = nextSliceEnd(bootEnd, 0L)

@@ -198,10 +198,17 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
       case Some(id) =>
         scala.util.Try(t.snapshotOrThrow(id)).getOrElse(
           scala.util.Try(t.snapshotForTag(version)).getOrElse(
-            throw new IllegalArgumentException(
-              s"VERSION AS OF '$version': neither a snapshot id nor a tag " +
-                s"of this table")))
-      case None => t.snapshotForTag(version)
+            scala.util.Try(t.branchHead(version)).getOrElse(
+              throw new IllegalArgumentException(
+                s"VERSION AS OF '$version': neither a snapshot id, a tag, " +
+                  s"nor a branch of this table"))))
+      case None =>
+        // tags win over branches on a name collision (a tag is the
+        // sharper pin); branches resolve for the AUDIT read of
+        // write-audit-publish
+        scala.util.Try(t.snapshotForTag(version)).getOrElse(
+          scala.util.Try(t.branchHead(version)).getOrElse(
+            t.snapshotForTag(version))) // re-throw the tag error (lists tags)
     })
 
   /** SQL time travel: `... TIMESTAMP AS OF '2026-01-01 00:00:00'`.
@@ -234,6 +241,10 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
       else None
     val opts = Map(
       "path" -> root.toString,
+      // marks a CATALOG-resolved table: unlocks the SQL dynamic
+      // partition overwrite capability pair (the catalog installed the
+      // strategy that plans the verb)
+      "graft.catalogTable" -> "true",
       // pinned at resolution — one snapshot per query, like the path face
       "snapshotId" -> snap.snapshotId.toString) ++
       (if (partitionBy.nonEmpty) Map("partitionBy" -> partitionBy.mkString(",")) else Map.empty) ++

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions
 import org.apache.spark.sql.catalyst.{expressions => cexp}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, ExprId, Expression, Literal, PredicateHelper, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, OverwritePartitionsDynamic, UpdateAction, UpdateTable}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 import org.apache.spark.sql.functions.{coalesce, col, lit, monotonically_increasing_id, not, when}
@@ -488,6 +488,12 @@ object LakehouseDmlStrategy extends SparkStrategy {
           new DmlPayload((tOut, sets, u.condition))) :: Nil
       }.getOrElse(Nil)
 
+    case o: OverwritePartitionsDynamic =>
+      lakeRelation(o.table).map { case (_, table) =>
+        DynamicOverwriteLakehouseExec(SparkSession.active, table.options,
+          o.query) :: Nil
+      }.getOrElse(Nil)
+
     case m: MergeIntoTable =>
       lakeRelation(m.targetTable).map { case (tOut, table) =>
         // WITH SCHEMA EVOLUTION is the ANALYZER's job (the table
@@ -557,6 +563,32 @@ private[lakehouse] trait GraftDmlExec extends LeafExecNode {
   override def executeCollect(): Array[InternalRow] = { ensure(); Array.empty }
   override protected def doExecute(): RDD[InternalRow] = {
     ensure(); spark.sparkContext.emptyRDD[InternalRow]
+  }
+}
+
+/** SQL DYNAMIC partition overwrite (`INSERT OVERWRITE t SELECT …`
+  * under `spark.sql.sources.partitionOverwriteMode=dynamic`): the
+  * analyzed query feeds [[LakehouseTable.overwriteDynamic]] — ONE
+  * snapshot replacing exactly the partitions present in the batch,
+  * candidates file-pruned on the batch's typed partition tuples. An
+  * unpartitioned table degenerates to a full overwrite (everything is
+  * one partition — Spark's own dynamic-mode semantics there).
+  */
+private[lakehouse] final case class DynamicOverwriteLakehouseExec(
+    @transient spark: SparkSession,
+    tableOptions: Map[String, String],
+    @transient query: LogicalPlan) extends GraftDmlExec {
+  override protected def run(): Unit = {
+    val t = new LakehouseTable(spark, LakehouseSource.rootOf(tableOptions),
+      optimizeWrite = LakehouseSource.boolOpt(tableOptions, "optimizeWrite"),
+      optimizeWriteTargetBytes =
+        LakehouseSource.longOptOf(tableOptions, "optimizeWriteTargetBytes"))
+    val df = LakehouseDml.ofRows(spark, query)
+    if (LakehouseSource.colListOf(tableOptions, "partitionBy").nonEmpty ||
+        t.currentSnapshot().exists(_.files.exists(_.contains("=")))) {
+      t.overwriteDynamic(df)
+    } else t.overwrite(df)
+    ()
   }
 }
 

@@ -67,7 +67,10 @@ object LakehouseMeta {
           // operator can watch it grow between compactions
           StructField("tombstone_files", IntegerType, nullable = false),
           StructField("tombstone_keys", LongType, nullable = false),
-          StructField("tombstone_bytes", LongType, nullable = false)))
+          StructField("tombstone_bytes", LongType, nullable = false),
+          // write-audit-publish: NULL = main lineage; a name marks an
+          // unpublished branch commit
+          StructField("branch", StringType, nullable = true)))
         val rows = t.listSnapshots().map { s =>
           // stats-only: a lineage listing must not open parquet footers
           val (tf, tk, tb) = t.tombstoneVolume(s, footerFallback = false)
@@ -75,7 +78,7 @@ object LakehouseMeta {
             new java.sql.Timestamp(s.timestampMs), s.operation,
             s.files.size, t.manifestRowCount(s).map(Long.box).orNull,
             s.txn.map(_.appId).orNull, s.txn.map(m => Long.box(m.version)).orNull,
-            tf, tk, tb)
+            tf, tk, tb, s.branch.orNull)
         }
         new LakehouseMetaTable(s"$root$$$kind", schema, rows)
       case "files" =>
@@ -233,9 +236,20 @@ object LakehouseMeta {
         val schema = StructType(Seq(
           StructField("tag", StringType, nullable = false),
           StructField("snapshot_id", LongType, nullable = false),
-          StructField("created_at", TimestampType, nullable = false)))
-        val rows = t.tags.toSeq.sortBy(_._1).map { case (n, (id, at)) =>
-          Row(n, id, new java.sql.Timestamp(at))
+          StructField("created_at", TimestampType, nullable = false),
+          // the tag's own retention: NULL = lives until dropped;
+          // otherwise the next expiry sweep at/after expires_at drops it
+          StructField("max_ref_age_ms", LongType, nullable = true),
+          StructField("expires_at", TimestampType, nullable = true),
+          StructField("kind", StringType, nullable = false))) // tag | branch
+        val rows = t.tagRefs.toSeq.sortBy(_._1).map { case (n, r) =>
+          Row(n, r.snapshot, new java.sql.Timestamp(r.createdMs),
+            r.maxRefAgeMs.map(Long.box).orNull,
+            r.maxRefAgeMs.map(a => new java.sql.Timestamp(r.createdMs + a)).orNull,
+            "tag")
+        } ++ t.branches.toSeq.sortBy(_._1).map { case (n, ref) =>
+          Row(n, t.branchHead(n).snapshotId, new java.sql.Timestamp(ref.createdMs),
+            null, null, "branch")
         }
         new LakehouseMetaTable(s"$root$$refs", schema, rows)
       case other => throw new IllegalArgumentException(s"unknown metadata table $$$other")
@@ -252,7 +266,7 @@ object LakehouseMeta {
   val procedureNames: Seq[String] = Seq(
     "expire_snapshots", "compact", "zorder", "build_bloom_index",
     "prune_bloom_sidecars", "rollback", "set_partition_spec",
-    "set_tag", "drop_tag")
+    "set_tag", "drop_tag", "fork_branch", "publish_branch", "drop_branch")
 
   /** One result row through a LocalScan (the CALL statement's output). */
   private def result(schema: StructType, row: Row): JIterator[Scan] = {
@@ -351,7 +365,10 @@ object LakehouseMeta {
       // tag drops; reads resolve it via VERSION AS OF 'corpus-v1'.
       case "set_tag" => unbound(bound(
         Array(inParam("table", string), inParam("tag", string),
-          inParamDefault("snapshot_id", LongType, "-1")),
+          inParamDefault("snapshot_id", LongType, "-1"),
+          // -1 = no age: the tag lives until dropped; otherwise the
+          // first expiry sweep past created+age drops the ref
+          inParamDefault("max_ref_age_ms", LongType, "-1")),
         StructType(Seq(StructField("snapshot_id", LongType, nullable = false)))) { in =>
         val t = tableOf(in.getUTF8String(0).toString)
         val id = in.getLong(2) match {
@@ -359,7 +376,8 @@ object LakehouseMeta {
             "cannot tag a snapshot-less table")).snapshotId
           case v => v
         }
-        t.setTag(in.getUTF8String(1).toString, id)
+        t.setTag(in.getUTF8String(1).toString, id,
+          Some(in.getLong(3)).filter(_ >= 0))
         Row(id)
       })
       case "drop_tag" => unbound(bound(
@@ -367,6 +385,32 @@ object LakehouseMeta {
         StructType(Seq(StructField("dropped", BooleanType, nullable = false)))) { in =>
         Row(tableOf(in.getUTF8String(0).toString)
           .dropTag(in.getUTF8String(1).toString))
+      })
+      // write-audit-publish: CALL cat.system.fork_branch(table => 'db.t',
+      // branch => 'audit-1'[, from_snapshot => 3]) — write to the branch
+      // programmatically, audit via VERSION AS OF 'audit-1' /
+      // .option("snapshotBranch", ...), then publish_branch fast-forwards
+      // main onto the audited state (or drop_branch abandons it)
+      case "fork_branch" => unbound(bound(
+        Array(inParam("table", string), inParam("branch", string),
+          inParamDefault("from_snapshot", LongType, "-1")),
+        StructType(Seq(StructField("fork", LongType, nullable = false)))) { in =>
+        val t = tableOf(in.getUTF8String(0).toString)
+        val from = Some(in.getLong(2)).filter(_ >= 0)
+        t.forkBranch(in.getUTF8String(1).toString, from)
+        Row(t.branches(in.getUTF8String(1).toString).fork)
+      })
+      case "publish_branch" => unbound(bound(
+        Array(inParam("table", string), inParam("branch", string)),
+        StructType(Seq(StructField("snapshot_id", LongType, nullable = false)))) { in =>
+        Row(tableOf(in.getUTF8String(0).toString)
+          .publishBranch(in.getUTF8String(1).toString).snapshotId)
+      })
+      case "drop_branch" => unbound(bound(
+        Array(inParam("table", string), inParam("branch", string)),
+        StructType(Seq(StructField("dropped", BooleanType, nullable = false)))) { in =>
+        Row(tableOf(in.getUTF8String(0).toString)
+          .dropBranch(in.getUTF8String(1).toString))
       })
       case other => throw new IllegalArgumentException(
         s"unknown procedure '$other' (have: ${procedureNames.mkString(", ")})")

@@ -111,15 +111,20 @@ private[lakehouse] final class LakehouseMicroBatchStream(
     val tag = options.get("startingTag")
     require(Seq(v, ts, tag).count(_.isDefined) <= 1,
       "startingVersion / startingTimestamp / startingTag are mutually exclusive")
-    v.map(x => table.snapshotOrThrow(
+    val resolved = v.map(x => table.snapshotOrThrow(
         scala.util.Try(x.trim.toLong).getOrElse(throw new IllegalArgumentException(
-          s"startingVersion must be a snapshot id, got '$x'"))).snapshotId)
+          s"startingVersion must be a snapshot id, got '$x'"))))
       .orElse(ts.map { x =>
         val ms = scala.util.Try(x.trim.toLong).getOrElse(
           java.sql.Timestamp.valueOf(x.trim).getTime)
-        table.snapshotAsOf(ms).snapshotId
+        table.snapshotAsOf(ms)
       })
-      .orElse(tag.map(g => table.snapshotForTag(g).snapshotId))
+      .orElse(tag.map(g => table.snapshotForTag(g)))
+    resolved.foreach(sn => require(sn.branch.isEmpty,
+      s"stream-start snapshot ${sn.snapshotId} belongs to branch " +
+        s"'${sn.branch.get}' — a main stream cannot start from unpublished " +
+        "state; publish the branch first"))
+    resolved.map(_.snapshotId)
   }
 
   /** Column names (lowercased) the stream PINNED at start — the
@@ -164,7 +169,8 @@ private[lakehouse] final class LakehouseMicroBatchStream(
         val byId = snaps.map(x => x.snapshotId -> x).toMap
         var e = s
         var acc = 0L
-        snaps.filter(x => x.snapshotId > s && x.snapshotId <= bySnaps)
+        snaps.filter(x => x.snapshotId > s && x.snapshotId <= bySnaps &&
+            x.branch.isEmpty) // branch commits are invisible until published
           .takeWhile { sn =>
             val pf = sn.parentId.flatMap(byId.get).map(_.files.toSet)
               .getOrElse(Set.empty[String])
@@ -186,8 +192,19 @@ private[lakehouse] final class LakehouseMicroBatchStream(
     case Some(n) =>
       val from = table.listSnapshots().headOption
         .map(_.snapshotId - 1).getOrElse(head)
-      math.min(head, from + n)
+      mainAtOrBefore(math.min(head, from + n))
     case None => head
+  }
+
+  /** Round a candidate offset DOWN to a MAIN-lineage snapshot id — a
+    * batch end must never pin a BRANCH commit (unpublished state).
+    * Falls to the earliest main snapshot when every id at or below the
+    * candidate is branch-side (the cap overshoots by at most the
+    * branch commits in the window — admission control, not exactness).
+    */
+  private def mainAtOrBefore(id: Long): Long = {
+    val mains = table.listSnapshots().filter(_.branch.isEmpty)
+    mains.filter(_.snapshotId <= id).lastOption.getOrElse(mains.head).snapshotId
   }
 
   // Trigger.AvailableNow: pin the head at prepare time and cycle
@@ -256,7 +273,8 @@ private[lakehouse] final class LakehouseMicroBatchStream(
   private def deliveredFiles(start: Long, end: Long): Set[String] = {
     val snaps = table.listSnapshots()
     val byId = snaps.map(s => s.snapshotId -> s).toMap
-    snaps.filter(s => s.snapshotId > start && s.snapshotId <= end).flatMap { s =>
+    snaps.filter(s => s.snapshotId > start && s.snapshotId <= end &&
+        s.branch.isEmpty).flatMap { s =>
       s.parentId.flatMap(byId.get) match {
         case None if s.parentId.isDefined =>
           // the parent expired out of retention: the diff is

@@ -141,6 +141,7 @@ final class LakehouseSourceProvider extends TableProvider with DataSourceRegiste
     val t = new LakehouseTable(SparkSession.active, LakehouseSource.rootOf(opts))
     LakehouseSource.snapshotIdOf(opts).map(t.snapshotOrThrow)
       .orElse(LakehouseSource.tagOf(opts).map(t.snapshotForTag))
+      .orElse(LakehouseSource.branchOf(opts).map(t.branchHead))
       .orElse(LakehouseSource.asOfTimestampOf(opts).map(t.snapshotAsOf))
       .orElse(t.currentSnapshot()) match {
       case Some(snap) => DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
@@ -165,6 +166,7 @@ final class LakehouseSourceProvider extends TableProvider with DataSourceRegiste
       case None =>
         val t = new LakehouseTable(SparkSession.active, LakehouseSource.rootOf(opts))
         LakehouseSource.tagOf(opts).map(t.snapshotForTag)
+          .orElse(LakehouseSource.branchOf(opts).map(t.branchHead))
           .orElse(LakehouseSource.asOfTimestampOf(opts).map(t.snapshotAsOf))
           .orElse(t.currentSnapshot()) match {
           case Some(s) => opts + ("snapshotId" -> s.snapshotId.toString)
@@ -265,6 +267,13 @@ private[lakehouse] object LakehouseSource {
     */
   def tagOf(options: Map[String, String]): Option[String] =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase("snapshotTag") => v }
+
+  /** `.option("snapshotBranch", "audit-1")` — read a BRANCH head (the
+    * AUDIT read of write-audit-publish), pinned at resolution like
+    * every other time-travel shape.
+    */
+  def branchOf(options: Map[String, String]): Option[String] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase("snapshotBranch") => v }
 
   /** `.option("asOfTimestamp", ...)` — epoch millis, an ISO-8601
     * instant, or `yyyy-MM-dd[ HH:mm:ss]` read as UTC (the Delta
@@ -616,12 +625,31 @@ private[lakehouse] final class LakehouseV2Table(
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION,
       // partition-scoped overwrite (the daily backfill shape):
       // INSERT OVERWRITE ... PARTITION (p='x') plans OverwriteByExpression
-      // (one snapshot: matching rows out, new data in). OVERWRITE_DYNAMIC
-      // is deliberately NOT advertised: Spark has no V1-bridge exec for
-      // OverwritePartitionsDynamic (only append and overwrite-by-filter
-      // fall back), so SQL dynamic mode fails loudly either way — the
-      // programmatic LakehouseTable.overwriteDynamic covers the shape
-      TableCapability.OVERWRITE_BY_FILTER)
+      // (one snapshot: matching rows out, new data in)
+      TableCapability.OVERWRITE_BY_FILTER) match {
+      case caps =>
+        // CATALOG-resolved tables additionally advertise the SQL
+        // dynamic partition overwrite pair (round 13): OVERWRITE_DYNAMIC
+        // because `INSERT OVERWRITE` under partitionOverwriteMode=
+        // dynamic analyzes to OverwritePartitionsDynamic (planned by
+        // [[LakehouseDmlStrategy]], which the catalog installs; the
+        // write builder's SupportsDynamicOverwrite face exists only to
+        // get the node past the optimizer, and its marker Write fails
+        // loudly if the strategy is somehow absent), and BATCH_WRITE
+        // because TableCapabilityCheck demands the REAL capability for
+        // this one verb (no V1-fallback clause) — safe for catalog
+        // tables since every other write shape dispatches on the WRITE
+        // OBJECT type and ours stay V1Write. The PATH face must NOT
+        // carry BATCH_WRITE: DataFrameWriter.save() would switch from
+        // the V1 CreatableRelationProvider (auto-create, keyed
+        // upserts) to the V2 AppendData path and break against a
+        // snapshot-less root.
+        if (options.keys.exists(_.equalsIgnoreCase("graft.catalogTable"))) {
+          caps.add(TableCapability.OVERWRITE_DYNAMIC)
+          caps.add(TableCapability.BATCH_WRITE)
+        }
+        caps
+    }
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // internal-only: the micro-batch stream plans its incremental
@@ -645,9 +673,15 @@ private[lakehouse] final class LakehouseV2Table(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsOverwrite {
+        with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       private var doTruncate = false
+      private var dynamicMode = false
       private var overwriteBy: Option[Seq[Filter]] = None
+      override def overwriteDynamicPartitions()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        dynamicMode = true; this
+      }
       // per-write options (df.writeTo(...).option("keys", ...)) override
       // table-level ones (the catalog's stored partitionBy)
       private val writeOpts = options ++ info.options.asScala
@@ -669,7 +703,19 @@ private[lakehouse] final class LakehouseV2Table(
         filters.forall(f => f.isInstanceOf[sources.AlwaysTrue] ||
           LakehouseSource.acceptable(f, r => cols(nameKeyOf(r))))
       }
-      override def build(): org.apache.spark.sql.connector.write.Write =
+      override def build(): org.apache.spark.sql.connector.write.Write = {
+        // dynamic mode executes through LakehouseDmlStrategy
+        // (DynamicOverwriteLakehouseExec) — this Write is a MARKER the
+        // strategy never consumes; reaching toBatch means the strategy
+        // is not installed, which must fail loudly, never append
+        if (dynamicMode) return new org.apache.spark.sql.connector.write.Write {
+          override def description(): String = "graft-lakehouse dynamic-overwrite marker"
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            throw new UnsupportedOperationException(
+              "graft-lakehouse dynamic partition overwrite plans through the " +
+                "DML strategy — configure the table's catalog (which installs " +
+                "it) or use LakehouseTable.overwriteDynamic")
+        }
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
             new org.apache.spark.sql.sources.InsertableRelation {
@@ -693,6 +739,7 @@ private[lakehouse] final class LakehouseV2Table(
               }
             }
         }
+      }
     }
 }
 

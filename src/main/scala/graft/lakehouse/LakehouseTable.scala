@@ -61,8 +61,22 @@ final case class TxnMark(appId: String, version: Long)
   */
 final case class AliasEntry(name: String, renamedAt: Long)
 
-/** One snapshot-tag ref file's body (`_refs/<name>.json`). */
-final case class TagRef(snapshot: Long, createdMs: Long)
+/** One BRANCH ref file's body (`_refs/branches/<name>.json`): the
+  * FORK snapshot the branch grew from. The branch HEAD is derived —
+  * the newest snapshot carrying `branch = Some(name)`, or the fork
+  * itself before any branch commit — so the ref never needs to move.
+  */
+final case class BranchRef(fork: Long, createdMs: Long)
+
+/** One snapshot-tag ref file's body (`_refs/<name>.json`).
+  * `maxRefAgeMs` is the tag's own retention: once `createdMs +
+  * maxRefAgeMs` passes, the next expiry sweep drops the REF (and with
+  * it the pin) — how a CI that tags every run keeps `_refs/` bounded.
+  * None = the tag lives until dropped (the round-12 default). Option
+  * so round-12 ref files parse unchanged.
+  */
+final case class TagRef(snapshot: Long, createdMs: Long,
+    maxRefAgeMs: Option[Long] = None)
 
 /** Iceberg-style FIELD IDS, assigned at commit time (see FIELD_IDS.md
   * for the design spike): `ids` maps each live column's DECLARED name
@@ -138,6 +152,12 @@ final case class Snapshot(
     // target (with the high-water mark clamped monotone). Option so
     // pre-round-12 manifests parse as None.
     fieldIds: Option[FieldIdState] = None,
+    // WRITE-AUDIT-PUBLISH branch membership: Some(name) marks a
+    // snapshot committed to a BRANCH — invisible to main reads,
+    // streams, TIMESTAMP AS OF, and replication until a fast-forward
+    // publish adopts the branch head's state as a main commit. Option
+    // so every earlier manifest parses as main.
+    branch: Option[String] = None,
     // REBORN-column floors (FIELD_IDS.md step 2 — id-based resolution):
     // current column name → the alter snapshot that RE-introduced the
     // name over retired bytes (a re-add of a dropped name, or an add of
@@ -384,9 +404,17 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       }
   }
 
-  def currentSnapshot(): Option[Snapshot] = listSnapshots().lastOption
+  /** The MAIN head: branch commits (write-audit-publish) are invisible
+    * until published.
+    */
+  def currentSnapshot(): Option[Snapshot] =
+    listSnapshots().reverseIterator.find(_.branch.isEmpty)
 
-  private def nextId(): Long = currentSnapshot().map(_.snapshotId + 1).getOrElse(1L)
+  /** Version ids are GLOBAL across main and branches (one id space,
+    * one put-if-absent arbiter per id).
+    */
+  private def nextId(): Long =
+    listSnapshots().lastOption.map(_.snapshotId + 1).getOrElse(1L)
 
   /** Test seam for the commit protocol: runs after a commit's snapshot
     * body is final but BEFORE its atomic publish attempt, so a spec can
@@ -703,7 +731,14 @@ final class LakehouseTable(spark: SparkSession, val root: String,
   private def canonicalizedNames(df: DataFrame): DataFrame =
     currentSnapshot() match {
       case None => df
-      case Some(cur) =>
+      case Some(cur) => canonicalizedNamesAt(cur, df)
+    }
+
+  /** [[canonicalizedNames]] against an explicit head (branch writes
+    * canonicalize against the BRANCH head, not main).
+    */
+  private def canonicalizedNamesAt(cur: Snapshot, df: DataFrame): DataFrame = {
+    {
         val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
         val canon = schema.fieldNames.map(n => nameKey(n) -> n).toMap
         // a FORMER name (rename lineage) canonicalizes to the current
@@ -740,6 +775,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
           }
         }
     }
+  }
 
   /** The lossless type-widening lattice (the schema-monitor "widen ok"
     * policy, applied at the table): may a value of type `from` flow
@@ -779,12 +815,16 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     if (spark.conf.get("spark.sql.caseSensitive", "false").toBoolean) n
     else n.toLowerCase(java.util.Locale.ROOT)
 
-  private def requireCompatibleSchema(df: DataFrame): Unit = {
+  private def requireCompatibleSchema(df: DataFrame): Unit =
+    requireCompatibleSchemaAt(currentSnapshot(), df)
+
+  /** [[requireCompatibleSchema]] against an explicit head. */
+  private def requireCompatibleSchemaAt(head: Option[Snapshot], df: DataFrame): Unit = {
     val dupes = df.schema.fieldNames.groupBy(nameKey).filter(_._2.length > 1)
     require(dupes.isEmpty,
       s"batch schema has columns equal under spark.sql.caseSensitive resolution: " +
         dupes.values.map(_.mkString("/")).mkString(", "))
-    currentSnapshot().foreach { cur =>
+    head.foreach { cur =>
       val curFields = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
         .fields.map(f => nameKey(f.name) -> f.dataType).toMap
       // a current column shadows any alias entry under the same name
@@ -816,7 +856,11 @@ final class LakehouseTable(spark: SparkSession, val root: String,
   }
 
   private def evolvedSchemaJson(df: DataFrame): String =
-    currentSnapshot() match {
+    evolvedSchemaJsonAt(currentSnapshot(), df)
+
+  /** [[evolvedSchemaJson]] against an explicit head. */
+  private def evolvedSchemaJsonAt(head: Option[Snapshot], df: DataFrame): String =
+    head match {
       case None => df.schema.json
       case Some(cur) =>
         val curSchema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
@@ -1795,6 +1839,9 @@ final class LakehouseTable(spark: SparkSession, val root: String,
   def rollbackToSnapshot(id: Long): Snapshot = writeLock.synchronized {
     val snaps = listSnapshots()
     val target = snaps.find(_.snapshotId == id).getOrElse(throw invalidSnapshot(id))
+    require(target.branch.isEmpty,
+      s"snapshot $id belongs to branch '${target.branch.get}' — main cannot " +
+        "roll back onto a branch state; publish the branch instead")
     writeSnapshot(Snapshot(nextId(), currentSnapshot().map(_.snapshotId),
       System.currentTimeMillis(), "rollback", target.files, target.schemaJson,
       deletes = target.deletes,
@@ -1876,15 +1923,18 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     * a concurrent expiry already swept fails here LOUDLY instead of
     * leaving a dangling pointer.
     */
-  def setTag(name: String, snapshotId: Long): Unit = writeLock.synchronized {
+  def setTag(name: String, snapshotId: Long,
+      maxRefAgeMs: Option[Long] = None): Unit = writeLock.synchronized {
     require(name.nonEmpty && !name.startsWith(".") &&
       name.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       s"illegal tag name '$name' (letters, digits, '-', '_', '.'; no leading dot)")
+    require(maxRefAgeMs.forall(_ > 0),
+      s"maxRefAgeMs must be positive, got $maxRefAgeMs")
     withRefsLock {
       snapshotOrThrow(snapshotId)
       val tmp = Files.createTempFile(refsDir, ".ref-", ".tmp")
       Files.writeString(tmp, Serialization.write(
-        TagRef(snapshotId, System.currentTimeMillis())))
+        TagRef(snapshotId, System.currentTimeMillis(), maxRefAgeMs)))
       Files.move(tmp, refPath(name),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -1899,13 +1949,17 @@ final class LakehouseTable(spark: SparkSession, val root: String,
 
   /** All tags: name → (snapshot id, created-at millis). */
   def tags: Map[String, (Long, Long)] =
+    tagRefs.map { case (n, r) => n -> (r.snapshot, r.createdMs) }
+
+  /** All tags with their full ref bodies (incl. the max-ref-age). */
+  def tagRefs: Map[String, TagRef] =
     if (!Files.isDirectory(refsDir)) Map.empty
     else graft.Fs.listAll(refsDir)
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".json") &&
         !p.getFileName.toString.startsWith("."))
       .map { p =>
-        val ref = Serialization.read[TagRef](Files.readString(p))
-        p.getFileName.toString.stripSuffix(".json") -> (ref.snapshot, ref.createdMs)
+        p.getFileName.toString.stripSuffix(".json") ->
+          Serialization.read[TagRef](Files.readString(p))
       }.toMap
 
   /** Resolve a tag to its snapshot; unknown tags list what exists. */
@@ -1914,6 +1968,145 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       throw new IllegalArgumentException(
         s"tag '$name' not found in table '$root'. " +
           s"Available tags: ${tags.keys.toSeq.sorted.mkString("[", ", ", "]")}"))
+
+  // ---------------- branches (write-audit-publish) ----------------
+
+  private def branchesDir: Path = refsDir.resolve("branches")
+
+  private def branchPath(name: String): Path = branchesDir.resolve(name + ".json")
+
+  /** All branches: name → ref (fork snapshot + creation time). */
+  def branches: Map[String, BranchRef] =
+    if (!Files.isDirectory(branchesDir)) Map.empty
+    else graft.Fs.listAll(branchesDir)
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".json") &&
+        !p.getFileName.toString.startsWith("."))
+      .map(p => p.getFileName.toString.stripSuffix(".json") ->
+        Serialization.read[BranchRef](Files.readString(p)))
+      .toMap
+
+  /** Create branch `name` forking from `fromSnapshot` (default: the
+    * main head) — the Iceberg write-audit-publish entry point: commits
+    * to the branch are invisible to main consumers until
+    * [[publishBranch]] fast-forwards them in. The ref write shares the
+    * tag machinery's cross-process arbitration ([[withRefsLock]]).
+    */
+  def forkBranch(name: String, fromSnapshot: Option[Long] = None): Unit =
+    writeLock.synchronized {
+      require(name.nonEmpty && !name.startsWith(".") &&
+        name.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+        s"illegal branch name '$name' (letters, digits, '-', '_', '.'; no leading dot)")
+      withRefsLock {
+        require(!branches.contains(name), s"branch '$name' already exists")
+        val fork = fromSnapshot.getOrElse(currentSnapshot().getOrElse(
+          throw new IllegalStateException(
+            s"cannot branch a snapshot-less table $root")).snapshotId)
+        val target = snapshotOrThrow(fork)
+        require(target.branch.isEmpty,
+          s"snapshot $fork belongs to branch '${target.branch.get}' — branches " +
+            "fork from the main lineage")
+        Files.createDirectories(branchesDir)
+        val tmp = Files.createTempFile(branchesDir, ".ref-", ".tmp")
+        Files.writeString(tmp, Serialization.write(
+          BranchRef(fork, System.currentTimeMillis())))
+        Files.move(tmp, branchPath(name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      ()
+    }
+
+  /** The branch HEAD: the newest snapshot committed to the branch, or
+    * its fork snapshot before any commit landed.
+    */
+  def branchHead(name: String): Snapshot = {
+    val ref = branches.getOrElse(name, throw new IllegalArgumentException(
+      s"branch '$name' not found in table '$root'. " +
+        s"Available branches: ${branches.keys.toSeq.sorted.mkString("[", ", ", "]")}"))
+    listSnapshots().reverseIterator.find(_.branch.contains(name))
+      .getOrElse(snapshotOrThrow(ref.fork))
+  }
+
+  /** Append `df` to branch `name` — the WRITE of write-audit-publish.
+    * Ordinary snapshot, global version id, put-if-absent commit; the
+    * parent is the BRANCH head and every registry inherits from it
+    * (the branch lineage is a pure extension of main as of the fork,
+    * so era resolution, floors, and field ids stay coherent). Lost
+    * races against main or other branch writers rebase like a main
+    * append (the files are written once).
+    */
+  def appendToBranch(df0: DataFrame, name: String,
+      partitionBy: Seq[String] = Nil): Snapshot = writeLock.synchronized {
+    val head0 = branchHead(name) // also validates the branch exists
+    val df = canonicalizedNamesAt(head0, df0)
+    requireCompatibleSchemaAt(Some(head0), df)
+    val claimedId = nextId()
+    val newFiles = writeDataFiles(df, claimedId, partitionCols = partitionBy)
+    var attempt = 0
+    while (attempt < LakehouseTable.MaxCommitAttempts) {
+      val head = branchHead(name)
+      requireCompatibleSchemaAt(Some(head), df)
+      try {
+        return writeSnapshot(Snapshot(nextId(), Some(head.snapshotId),
+          System.currentTimeMillis(), "append",
+          head.files ++ newFiles,
+          evolvedSchemaJsonAt(Some(head), df),
+          deletes = head.deletes, branch = Some(name),
+          renames = head.renames.orElse(Some(Map.empty)),
+          drops = head.drops.orElse(Some(Map.empty)),
+          reborn = head.reborn.orElse(Some(Map.empty)),
+          fieldIds = Some(assignFieldIds(Some(head),
+            Snapshot(0L, None, 0L, "append", Nil,
+              evolvedSchemaJsonAt(Some(head), df))))))
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt >= LakehouseTable.MaxCommitAttempts) throw e
+          Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current()
+              .nextLong(1L, math.min(128L, 4L << math.min(attempt, 5)) + 1))
+      }
+    }
+    sys.error("unreachable: loop exits only by return/throw")
+  }
+
+  /** FAST-FORWARD publish — the PUBLISH of write-audit-publish: one
+    * main commit adopting the branch head's exact state (files by
+    * reference, schema, registries, field ids), then the branch ref
+    * drops. Refuses if main advanced past the fork (a fast-forward
+    * must not discard main commits — re-fork and replay the branch,
+    * the Iceberg rule). Auditing happens before this call: read the
+    * branch head via `.option("snapshotBranch", …)` / `VERSION AS OF`
+    * and run the gate queries against it.
+    */
+  def publishBranch(name: String): Snapshot = writeLock.synchronized {
+    val ref = branches.getOrElse(name, throw new IllegalArgumentException(
+      s"branch '$name' not found in table '$root'"))
+    val head = branchHead(name)
+    val main = currentSnapshot().getOrElse(
+      throw new IllegalStateException(s"table $root has no snapshots"))
+    require(main.snapshotId == ref.fork,
+      s"cannot fast-forward branch '$name': main advanced from fork " +
+        s"${ref.fork} to ${main.snapshotId} — re-fork from the current head " +
+        "and replay the branch, then publish")
+    val published = writeSnapshot(Snapshot(nextId(), Some(main.snapshotId),
+      System.currentTimeMillis(), "publish", head.files, head.schemaJson,
+      deletes = head.deletes,
+      renames = head.renames.orElse(Some(Map.empty)),
+      drops = head.drops.orElse(Some(Map.empty)),
+      reborn = head.reborn.orElse(Some(Map.empty)),
+      fieldIds = head.fieldIds))
+    dropBranch(name)
+    published
+  }
+
+  /** Abandon branch `name`: the ref drops, its snapshots lose head
+    * protection and age out of retention like any unreferenced
+    * history. False when the branch never existed.
+    */
+  def dropBranch(name: String): Boolean = writeLock.synchronized {
+    Files.deleteIfExists(branchPath(name))
+  }
 
   // ---------------- maintenance ----------------
 
@@ -1931,13 +2124,33 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     // two legal linearizations, never a silently dangling ref
     val (kept, expiredCount) = withRefsLock {
       val snaps = listSnapshots()
-      val current = snaps.last
+      // the protected "current" is the MAIN head — the newest GLOBAL
+      // snapshot may be a branch commit, whose survival is the branch
+      // ref's business below
+      val current = currentSnapshot().getOrElse(snaps.last)
+      // a tag past its own max-ref-age drops FIRST (its pin ends with
+      // it): the age sweep and the tagged listing share the lock, so a
+      // ref is either young enough to protect its snapshot through
+      // this whole sweep or gone before the listing
+      val nowMs = System.currentTimeMillis()
+      tagRefs.foreach { case (n, r) =>
+        if (r.maxRefAgeMs.exists(a => r.createdMs + a <= nowMs)) {
+          Files.deleteIfExists(refPath(n)); ()
+        }
+      }
       // TAGGED snapshots survive retention regardless of age — a tag
       // is a promise that this exact table state stays addressable
-      // (drop the tag to let it expire)
-      val tagged = tags.values.map(_._1).toSet
-      val (expired, kept0) = snaps.init.partition(s =>
-        s.timestampMs < cutoffMs && !tagged(s.snapshotId))
+      // (drop the tag, or let its max-ref-age lapse, to let it expire).
+      // Live BRANCH HEADS (and each branch's fork point) survive the
+      // same way: an in-flight write-audit-publish must stay
+      // publishable through maintenance; intermediate branch snapshots
+      // age out like main history.
+      val branchKept = branches.flatMap { case (n, ref) =>
+        Seq(branchHead(n).snapshotId, ref.fork)
+      }.toSet
+      val tagged = tags.values.map(_._1).toSet ++ branchKept
+      val (expired, kept0) = snaps.filterNot(_.snapshotId == current.snapshotId)
+        .partition(s => s.timestampMs < cutoffMs && !tagged(s.snapshotId))
       // the exactly-once ledger must survive retention (the Delta
       // SetTransaction-retention concern): deleting the manifest that
       // carries an app's LATEST txn mark would let a replayed streaming
@@ -2178,7 +2391,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     var seq = 0
     def next(): Int = { seq += 1; seq }
     all.filter(s => s.snapshotId > fromId && s.snapshotId <= toId &&
-        s.operation == "alter").sortBy(_.snapshotId).flatMap { s =>
+        s.operation == "alter" && s.branch.isEmpty).sortBy(_.snapshotId).flatMap { s =>
       all.find(p => s.parentId.contains(p.snapshotId)).toSeq.flatMap { p =>
         val ps = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
         val cs = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
@@ -3220,7 +3433,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     * history).
     */
   def snapshotAsOf(tsMs: Long): Snapshot = {
-    val snaps = listSnapshots()
+    val snaps = listSnapshots().filter(_.branch.isEmpty) // the MAIN timeline
     snaps.filter(_.timestampMs <= tsMs).lastOption.getOrElse {
       val range = if (snaps.isEmpty) "table has no snapshots"
         else s"retained commits span [${snaps.head.timestampMs}, ${snaps.last.timestampMs}] ms"

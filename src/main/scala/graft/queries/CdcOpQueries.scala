@@ -1335,6 +1335,14 @@ object CdcOpQueries {
       t.overwriteDynamic(
         s.sql("SELECT CAST(n_nationkey + 200 AS INT) AS k, lower(n_name) AS nm, " +
           "CAST(n_regionkey AS INT) AS rk FROM q142_src WHERE n_regionkey = 3"))
+      // round 13: the SQL dynamic form — partitionOverwriteMode=dynamic
+      // plans through the DML strategy and replaces exactly the
+      // partitions present in the incoming rows (rk=4 here)
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(s"INSERT OVERWRITE $cat.db.pow_t " +
+        "SELECT CAST(n_nationkey + 300 AS INT), concat(n_name, '_d'), " +
+        "CAST(n_regionkey AS INT) FROM q142_src WHERE n_regionkey = 4")
+      finally s.conf.unset("spark.sql.sources.partitionOverwriteMode")
       val ops = t.listSnapshots().map(_.operation).mkString(",")
       val out = s.sql(s"SELECT k, nm, rk FROM $cat.db.pow_t").collect()
         .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq :+
@@ -1426,6 +1434,57 @@ object CdcOpQueries {
       val checksum = out.read().agg(sum(col("k"))).head.getLong(0)
       (batches.map { case (b, n) => (s"b$b", n) }.toSeq :+ (("z_checksum", checksum)))
         .toDF("step", "n").orderBy(col("step"))
+    }),
+    // ---- write-audit-publish branches (round 13): fork a branch from
+    //      main, append candidate slices to it (ordinary snapshots,
+    //      invisible to main consumers), AUDIT the branch head via
+    //      VERSION AS OF '<branch>', fast-forward PUBLISH main onto the
+    //      audited state; a second branch whose fork main outran
+    //      REFUSES to fast-forward and is abandoned — the Iceberg WAP
+    //      shape a curation pipeline promotes corpus versions with. ----
+    "q145_branch_wap" -> ((s, dir) => {
+      import s.implicits._
+      val cat = ensureQueryCatalog(s)
+      graft.Tables.load(s, dir, "nation").createOrReplaceTempView("q145_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.wap_t")
+      s.sql(s"CREATE TABLE $cat.db.wap_t (k BIGINT, nm STRING)") // snap 1
+      s.sql(s"INSERT INTO $cat.db.wap_t " + // snap 2
+        "SELECT n_nationkey, n_name FROM q145_src WHERE n_regionkey < 2")
+      s.sql(s"CALL $cat.system.fork_branch(table => 'db.wap_t', branch => 'wap')")
+      val warehouse = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val t = new LakehouseTable(s,
+        java.nio.file.Paths.get(warehouse, "db", "wap_t").toString)
+      t.appendToBranch(s.sql( // snap 3 (branch)
+        "SELECT CAST(n_nationkey + 100 AS BIGINT) AS k, lower(n_name) AS nm " +
+          "FROM q145_src WHERE n_regionkey = 2"), "wap")
+      t.appendToBranch(s.sql( // snap 4 (branch)
+        "SELECT CAST(n_nationkey + 200 AS BIGINT) AS k, upper(n_name) AS nm " +
+          "FROM q145_src WHERE n_regionkey = 3"), "wap")
+      // AUDIT: branch head has the candidates, main does not
+      val auditN = s.sql(
+        s"SELECT count(*) FROM $cat.db.wap_t VERSION AS OF 'wap'").head.getLong(0)
+      val mainN = s.sql(s"SELECT count(*) FROM $cat.db.wap_t").head.getLong(0)
+      s.sql(s"CALL $cat.system.publish_branch(table => 'db.wap_t', branch => 'wap')") // snap 5
+      // a second branch whose fork main then outruns cannot fast-forward
+      s.sql(s"CALL $cat.system.fork_branch(table => 'db.wap_t', branch => 'wap2')")
+      t.appendToBranch(s.sql( // snap 6 (branch)
+        "SELECT CAST(n_nationkey + 300 AS BIGINT) AS k, nm FROM " +
+          "(SELECT n_nationkey, n_name AS nm FROM q145_src WHERE n_regionkey = 4)"), "wap2")
+      s.sql(s"INSERT INTO $cat.db.wap_t VALUES (9001, 'tail')") // snap 7 (main)
+      val refused =
+        try { t.publishBranch("wap2"); 0L }
+        catch { case e: IllegalArgumentException if e.getMessage.contains("advanced") => 1L }
+      t.dropBranch("wap2")
+      val ops = t.listSnapshots()
+        .map(x => x.operation + x.branch.fold("")("@" + _)).mkString(",")
+      val detail = s.sql(s"SELECT k, nm FROM $cat.db.wap_t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      s.sql(s"DROP TABLE $cat.db.wap_t")
+      (detail ++ Seq(
+        (9950001L, s"audit:$auditN"), (9950002L, s"main_during_audit:$mainN"),
+        (9950003L, s"ff_refused:$refused"), (9950004L, s"ops:$ops")))
+        .toDF("k", "nm").orderBy(col("k"), col("nm"))
     })
   )
 
@@ -1897,12 +1956,13 @@ object CdcOpQueries {
       WITH n AS (SELECT CAST(n_nationkey AS INT) AS k, n_name AS nm,
                         CAST(n_regionkey AS INT) AS rk FROM nation),
       head AS (
-        SELECT k, nm, rk FROM n WHERE rk NOT IN (1, 3)
+        SELECT k, nm, rk FROM n WHERE rk NOT IN (1, 3, 4)
         UNION ALL SELECT k + 100, upper(nm), 1 FROM n WHERE rk = 1
-        UNION ALL SELECT k + 200, lower(nm), 3 FROM n WHERE rk = 3)
+        UNION ALL SELECT k + 200, lower(nm), 3 FROM n WHERE rk = 3
+        UNION ALL SELECT k + 300, nm || '_d', 4 FROM n WHERE rk = 4)
       SELECT k, nm, rk FROM (
         SELECT k, nm, rk FROM head
-        UNION ALL SELECT 9999, 'create,append,overwrite,overwrite', -1)
+        UNION ALL SELECT 9999, 'create,append,overwrite,overwrite,overwrite', -1)
       ORDER BY k, rk""",
     // q143: head = original nation rows with the reborn column NULL
     // (their on-disk x bytes belong to the retired INT identity), the
@@ -1936,6 +1996,33 @@ object CdcOpQueries {
         UNION ALL SELECT 'b1', 4
         UNION ALL SELECT 'b2', 2
         UNION ALL SELECT 'z_checksum', (SELECT s FROM b) + 20000000012)
-      ORDER BY step"""
+      ORDER BY step""",
+    // q145: head = base (rk<2) + the two published branch slices + the
+    // main tail; the abandoned wap2 slice (rk=4, +300) never lands.
+    // zz rows pin the audit counts, the fast-forward refusal, and the
+    // full ops lineage with branch marks.
+    "q145_branch_wap" -> """
+      WITH base AS (SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm
+                    FROM nation WHERE n_regionkey < 2),
+      a AS (SELECT CAST(n_nationkey + 100 AS BIGINT) AS k, lower(n_name) AS nm
+            FROM nation WHERE n_regionkey = 2),
+      b AS (SELECT CAST(n_nationkey + 200 AS BIGINT) AS k, upper(n_name) AS nm
+            FROM nation WHERE n_regionkey = 3),
+      head AS (SELECT k, nm FROM base UNION ALL SELECT k, nm FROM a
+               UNION ALL SELECT k, nm FROM b
+               UNION ALL SELECT 9001, 'tail'),
+      c AS (SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS cb,
+                   CAST((SELECT count(*) FROM a) AS BIGINT) AS ca,
+                   CAST((SELECT count(*) FROM b) AS BIGINT) AS cbb)
+      SELECT k, nm FROM (
+        SELECT k, nm FROM head
+        UNION ALL SELECT 9950001,
+          'audit:' || CAST((SELECT cb + ca + cbb FROM c) AS VARCHAR)
+        UNION ALL SELECT 9950002,
+          'main_during_audit:' || CAST((SELECT cb FROM c) AS VARCHAR)
+        UNION ALL SELECT 9950003, 'ff_refused:1'
+        UNION ALL SELECT 9950004,
+          'ops:create,append,append@wap,append@wap,publish,append@wap2,append')
+      ORDER BY k, nm"""
   )
 }

@@ -87,15 +87,19 @@ class PartitionOverwriteSpec extends SparkSpec {
     val eb = intercept[IllegalArgumentException](
       tb.overwriteDynamic(Seq((2L, "b")).toDF("id", "v")))
     assert(eb.getMessage.contains("bucket"), eb.getMessage)
-    // SQL dynamic mode cannot ride the V1 write bridge (Spark has no
-    // dynamic-overwrite V1 exec) — it must refuse LOUDLY, never
-    // silently truncate
+    // SQL dynamic mode (round 13): plans through the DML strategy —
+    // replaces exactly the partitions present in the incoming rows
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      val e = intercept[Exception](
-        spark.sql("INSERT OVERWRITE powcat.db.d1 VALUES (40,'x')"))
-      assert(e.getMessage.contains("dynamic overwrite"), e.getMessage)
-      assert(rows("d1") === Set((20L, "x"), (30L, "z"), (2L, "y")), "nothing changed")
+      val before2 = t.currentSnapshot().get
+      spark.sql("INSERT OVERWRITE powcat.db.d1 VALUES (40,'x')")
+      assert(rows("d1") === Set((40L, "x"), (30L, "z"), (2L, "y")),
+        "dynamic SQL overwrite replaces only partition x")
+      val after2 = t.currentSnapshot().get
+      assert(after2.parentId === Some(before2.snapshotId) &&
+        after2.operation === "overwrite", "one snapshot")
+      assert(before2.files.filter(after2.files.contains).forall(!_.contains("p=x")),
+        "untouched partitions carry by reference")
     } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     // full overwrite semantics hold in static mode
     spark.sql("INSERT OVERWRITE powcat.db.d1 VALUES (99,'q')")

@@ -119,7 +119,7 @@ class SnapshotTagSpec extends SparkSpec {
     // neither a snapshot nor a tag: the error says so
     val e = intercept[Exception](
       spark.sql("SELECT * FROM tagdig.db.t VERSION AS OF '99990101'").collect())
-    assert(e.getMessage.contains("neither a snapshot id nor a tag"), e.getMessage)
+    assert(e.getMessage.contains("neither a snapshot id"), e.getMessage)
     spark.sql("DROP TABLE tagdig.db.t")
   }
   test("tag-vs-expiry arbitration: a tag landing in the sweep window survives; late tags fail loudly; stale locks break") {
@@ -159,6 +159,37 @@ class SnapshotTagSpec extends SparkSpec {
     t.setTag("after-stale", 2L)
     assert(t.snapshotForTag("after-stale").snapshotId === 2L)
     assert(!java.nio.file.Files.exists(lock), "the lock releases after the write")
+  }
+
+  test("max-ref-age: an aged tag drops at the next sweep and its snapshot expires with it") {
+    val t = new LakehouseTable(spark, tmpDir("tag-age"))
+    t.append(Seq((1L, "a")).toDF("k", "v").coalesce(1)) // snap 1
+    Thread.sleep(15)
+    t.append(Seq((2L, "b")).toDF("k", "v").coalesce(1)) // snap 2 (current)
+    t.setTag("ephemeral", 1L, maxRefAgeMs = Some(40L))
+    t.setTag("forever", 1L) // no age: lives until dropped
+    // $refs surfaces the age and the computed expiry instant
+    val wh = tmpDir("tag-age-wh") // path-less: use the programmatic face
+    assert(wh.nonEmpty)
+    assert(t.tagRefs("ephemeral").maxRefAgeMs === Some(40L))
+    assert(t.tagRefs("forever").maxRefAgeMs === None)
+    // young enough: the first sweep keeps both refs and the snapshot
+    t.expireSnapshotsOlderThan(System.currentTimeMillis() + 3600000L)
+    assert(t.tags.keySet === Set("ephemeral", "forever"))
+    assert(t.listSnapshots().map(_.snapshotId).contains(1L))
+    // past its age: the sweep drops the ref; 'forever' still pins
+    Thread.sleep(60)
+    t.expireSnapshotsOlderThan(System.currentTimeMillis() + 3600000L)
+    assert(t.tags.keySet === Set("forever"),
+      "an aged ref must drop at the sweep")
+    assert(t.listSnapshots().map(_.snapshotId).contains(1L),
+      "the un-aged tag still pins the snapshot")
+    // drop the survivor: the next sweep takes the snapshot too
+    t.dropTag("forever")
+    t.expireSnapshotsOlderThan(System.currentTimeMillis() + 3600000L)
+    assert(t.listSnapshots().map(_.snapshotId) === Seq(2L))
+    // zero/negative ages refuse
+    intercept[IllegalArgumentException](t.setTag("bad", 2L, Some(0L)))
   }
 
 }
