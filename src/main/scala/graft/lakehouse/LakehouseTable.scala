@@ -1998,6 +1998,12 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         s"illegal branch name '$name' (letters, digits, '-', '_', '.'; no leading dot)")
       withRefsLock {
         require(!branches.contains(name), s"branch '$name' already exists")
+        // a DROPPED branch's snapshots keep their branch marker until
+        // retention takes them — re-using the name would make
+        // branchHead resolve the DEAD incarnation's last commit
+        require(!listSnapshots().exists(_.branch.contains(name)),
+          s"a previous branch '$name' still has unexpired snapshots — " +
+            "expire them (expireSnapshotsOlderThan) or pick a fresh name")
         val fork = fromSnapshot.getOrElse(currentSnapshot().getOrElse(
           throw new IllegalStateException(
             s"cannot branch a snapshot-less table $root")).snapshotId)
@@ -2194,8 +2200,9 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     }
     // orphaned commit temps (a writer that crashed mid-publish) age out
     // on the same clock; live temps are seconds old and stay — tag-ref
-    // temps (a crashed setTag) ride the same sweep
-    Seq(snapsDir, refsDir).filter(Files.isDirectory(_)).foreach { dir =>
+    // temps (a crashed setTag) and branch-ref temps (a crashed
+    // forkBranch) ride the same sweep
+    Seq(snapsDir, refsDir, branchesDir).filter(Files.isDirectory(_)).foreach { dir =>
       graft.Fs.listAll(dir)
         .filter(_.getFileName.toString.endsWith(".tmp"))
         .filter(p => Files.getLastModifiedTime(p).toMillis < cutoffMs)
@@ -2476,7 +2483,15 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         else toNames(readFiles(s, files))
       val have = base.columns.toSet
       unionSchema.fields.foldLeft(base) { (d, fld) =>
-        if (have(fld.name)) d else d.withColumn(fld.name, lit(null).cast(fld.dataType))
+        if (!have(fld.name)) d.withColumn(fld.name, lit(null).cast(fld.dataType))
+        // a REBORN column whose floor postdates this side's snapshot:
+        // the side's same-named values belong to the RETIRED identity
+        // (a range spanning drop → re-add) and must not flow into the
+        // reborn column — identity resolution, not name resolution
+        else if (toS.rebornFloors.exists { case (n, b) =>
+            nameKey(n) == nameKey(fld.name) && s.snapshotId < b })
+          d.withColumn(fld.name, lit(null).cast(fld.dataType))
+        else d
       }.select(unionSchema.fieldNames.map(col): _*)
     }
     def align(base: DataFrame): DataFrame = {

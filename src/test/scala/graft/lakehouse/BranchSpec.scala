@@ -124,4 +124,33 @@ class BranchSpec extends SparkSpec {
       .head.getBoolean(0))
     spark.sql("DROP TABLE brcat.db.t")
   }
+  test("branches compose with MoR masks; a dropped branch name cannot be re-forked over unexpired snapshots") {
+    val t = new LakehouseTable(spark, tmpDir("br-mor"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))
+    t.applyChanges(Seq((2L, "b", "delete")).toDF("k", "v", "_change"),
+      Seq("k"), mergeOnRead = true)
+    t.forkBranch("wap")
+    t.appendToBranch(Seq((10L, "x")).toDF("k", "v").coalesce(1), "wap")
+    // the branch head carries the MAIN head's tombstones: the masked
+    // row stays masked on the audit read
+    assert(spark.read.format("graft-lakehouse")
+      .option("snapshotBranch", "wap").load(t.root)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 10L))
+    t.publishBranch("wap")
+    assert(t.read().collect().map(_.getLong(0)).toSet === Set(1L, 10L))
+    // re-forking a dropped name over its unexpired snapshots refuses:
+    // branchHead would otherwise resolve the DEAD incarnation
+    t.forkBranch("ghost")
+    t.appendToBranch(Seq((99L, "dead")).toDF("k", "v").coalesce(1), "ghost")
+    t.dropBranch("ghost")
+    val e = intercept[IllegalArgumentException](t.forkBranch("ghost"))
+    assert(e.getMessage.contains("unexpired"), e.getMessage)
+    // expiry takes the dead snapshots, then the name frees up
+    Thread.sleep(15)
+    t.expireSnapshotsOlderThan(System.currentTimeMillis() + 3600000L)
+    t.forkBranch("ghost")
+    assert(t.branchHead("ghost").snapshotId === t.currentSnapshot().get.snapshotId,
+      "the re-forked branch heads at its fork, never the dead lineage")
+  }
+
 }

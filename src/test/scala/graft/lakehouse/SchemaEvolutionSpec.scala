@@ -731,4 +731,55 @@ class SchemaEvolutionSpec extends SparkSpec {
       "the twin's pre-floor files must serve the reborn column as NULL")
   }
 
+  test("reborn identity composes with MoR masks and a retired PARTITION layout") {
+    // the riskiest composite: the dead column was a PARTITION column
+    // (stale x=v hive dirs on disk), tombstones mask rows keyed on
+    // ANOTHER column, and the reborn namesake must still serve NULL
+    // from pre-floor files while the masks keep holding
+    val t = new LakehouseTable(spark, tmpDir("ev-reborn-mor"))
+    t.append(Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 10))
+      .toDF("k", "v", "x"), partitionBy = Seq("x"))
+    t.applyChanges(Seq((2L, "b", 20, "delete")).toDF("k", "v", "x", "_change"),
+      Seq("k"), mergeOnRead = true)
+    t.foldTombstones() // drop/rename require a tombstone-free table
+    // evolve the DECLARED layout off x first (the drop guard consults
+    // the declared spec, or the path-inferred one when none exists —
+    // declaring v leaves the stale x=v dirs in place as the hazard)
+    t.setPartitionSpec(Seq("v"))
+    t.dropColumn("x")
+    t.addColumns(Seq(StructField("x", StringType)))
+    t.append(Seq((4L, "d", "fresh")).toDF("k", "v", "x").coalesce(1))
+    // masked row stays masked; pre-floor rows serve x NULL despite the
+    // stale x=10/x=20 dirs physically under their paths
+    assert(dsv2(t).collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+      === Set((1L, None), (3L, None), (4L, Some("fresh"))))
+    // a fresh MoR delete keyed on k still masks a pre-floor row
+    t.applyChanges(Seq((3L, "c", "zz", "delete")).toDF("k", "v", "x", "_change"),
+      Seq("k"), mergeOnRead = true)
+    assert(dsv2(t).collect().map(_.getLong(0)).toSet === Set(1L, 4L))
+    // predicate pushdown on the reborn column over the stale dirs:
+    // IS NULL keeps the pre-floor files, equality excludes them
+    assert(t.read(Seq(ScanPredicate.IsNull("x"))).collect()
+      .map(_.getLong(0)).toSet === Set(1L))
+    assert(t.read(Seq(ScanPredicate.EqualTo("x", "fresh"))).collect()
+      .map(_.getLong(0)).toSet === Set(4L))
+  }
+
+  test("changesBetween across a drop→re-add keeps the retired identity out of the feed") {
+    val t = new LakehouseTable(spark, tmpDir("ev-reborn-feed"))
+    t.append(Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "x").coalesce(1))
+    val s1 = t.currentSnapshot().get.snapshotId
+    t.dropColumn("x")
+    t.addColumns(Seq(StructField("x", StringType)))
+    t.append(Seq((3L, "c", "s3")).toDF("k", "v", "x").coalesce(1))
+    val to = t.currentSnapshot().get.snapshotId
+    val ch = t.changesBetween(s1, to).collect()
+    // rows 1-2: unchanged under the TO-side schema (their retired x
+    // values are dropped history, NOT the reborn column's values) —
+    // the only change is the genuine insert; without identity
+    // resolution the whole table would replay as delete+insert churn
+    assert(ch.length === 1, ch.mkString("\n"))
+    assert(ch.head.getLong(0) === 3L && ch.head.getString(2) === "s3")
+  }
+
 }
