@@ -25,6 +25,15 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * `drop(column)` | `set_spec(spec)`. Types travel as `catalogString`
   * (parse with `DataType.fromDDL`); `spec` is the declared partition
   * layout (identity columns and `bucket(N, col)` transforms).
+  *
+  * `fieldId` (round 13, FIELD_IDS.md step 3) makes the channel
+  * IDENTITY-keyed: rename/widen/drop records carry the column's
+  * immutable field id, `add` records the id the source allocated. A
+  * replica whose name resolution fails (it missed an earlier rename)
+  * re-derives the target column BY ID and self-heals instead of
+  * refusing — see [[LakehouseTable.applySchemaChange]]. Additive and
+  * optional, so the format version stays 1: old readers ignore it,
+  * old records parse with None.
   */
 final case class DdlRecord(
     v: Int,
@@ -34,7 +43,8 @@ final case class DdlRecord(
     to: Option[String] = None,
     column: Option[String] = None,
     `type`: Option[String] = None,
-    spec: Option[Seq[String]] = None) {
+    spec: Option[Seq[String]] = None,
+    fieldId: Option[Int] = None) {
   def json: String = DdlRecord.encode(this)
 }
 
@@ -44,14 +54,20 @@ object DdlRecord {
 
   private implicit val fmts: Formats = DefaultFormats
 
-  def rename(seq: Int, from: String, to: String): DdlRecord =
-    DdlRecord(V, seq, "rename", from = Some(from), to = Some(to))
-  def widen(seq: Int, column: String, tpe: String): DdlRecord =
-    DdlRecord(V, seq, "widen", column = Some(column), `type` = Some(tpe))
-  def add(seq: Int, column: String, tpe: String): DdlRecord =
-    DdlRecord(V, seq, "add", column = Some(column), `type` = Some(tpe))
-  def drop(seq: Int, column: String): DdlRecord =
-    DdlRecord(V, seq, "drop", column = Some(column))
+  def rename(seq: Int, from: String, to: String,
+      fieldId: Option[Int] = None): DdlRecord =
+    DdlRecord(V, seq, "rename", from = Some(from), to = Some(to),
+      fieldId = fieldId)
+  def widen(seq: Int, column: String, tpe: String,
+      fieldId: Option[Int] = None): DdlRecord =
+    DdlRecord(V, seq, "widen", column = Some(column), `type` = Some(tpe),
+      fieldId = fieldId)
+  def add(seq: Int, column: String, tpe: String,
+      fieldId: Option[Int] = None): DdlRecord =
+    DdlRecord(V, seq, "add", column = Some(column), `type` = Some(tpe),
+      fieldId = fieldId)
+  def drop(seq: Int, column: String, fieldId: Option[Int] = None): DdlRecord =
+    DdlRecord(V, seq, "drop", column = Some(column), fieldId = fieldId)
   def setSpec(seq: Int, spec: Seq[String]): DdlRecord =
     DdlRecord(V, seq, "set_spec", spec = Some(spec))
 
@@ -93,9 +109,14 @@ object DdlRecord {
       case JArray(xs) => Some(xs.collect { case JString(s) => s })
       case _ => None
     }
+    val fid = jv \ "fieldId" match {
+      case JInt(n) => Some(n.toInt)
+      case JLong(n) => Some(n.toInt)
+      case _ => None
+    }
     DdlRecord(ver, num("seq", 0), op,
       from = str("from"), to = str("to"), column = str("column"),
-      `type` = str("type"), spec = spec)
+      `type` = str("type"), spec = spec, fieldId = fid)
   }
 
   /** The record's `seq`, or 0 when unparseable (the sink's sort key —

@@ -1742,13 +1742,33 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     def field(n: String) = schema.fields.find(f => nameKey(f.name) == nameKey(n))
     def fieldOf(rec: DdlRecord, what: String): String = rec.column.getOrElse(
       throw new IllegalStateException(s"schema change record lacks $what: $json"))
+    // IDENTITY key (round 13, FIELD_IDS.md step 3): a record carrying
+    // the source's immutable field id resolves its target column BY ID
+    // when name resolution fails or misleads — a replica that missed a
+    // rename record self-heals from the next identity-keyed record,
+    // and a record replayed past a reborn namesake can never hit the
+    // wrong (new) column. Name-only records keep the round-12 rules.
+    def idOf(f: org.apache.spark.sql.types.StructField): Option[Int] =
+      cur.fieldIds.flatMap(_.ids.collectFirst {
+        case (n, i) if nameKey(n) == nameKey(f.name) => i })
+    def byId: Option[String] = rec.fieldId.flatMap(id =>
+      cur.fieldIds.flatMap(_.ids.collectFirst {
+        case (n, i) if i == id => n }).flatMap(n => field(n).map(_.name)))
     rec.op match {
       case "rename" =>
         val from = rec.from.getOrElse(
           throw new IllegalStateException(s"schema change record lacks from: $json"))
         val to = rec.to.getOrElse(
           throw new IllegalStateException(s"schema change record lacks to: $json"))
-        if (field(to).isDefined && field(from).isDefined)
+        val toIdConfirmed = field(to).exists(f =>
+          rec.fieldId.isDefined && idOf(f) == rec.fieldId)
+        if (toIdConfirmed)
+          // identity-confirmed replay: the destination column carries
+          // the record's id — absorbed even when a REBORN namesake has
+          // since re-taken the source name (which the name-only rule
+          // below would mis-read as divergence)
+          ()
+        else if (field(to).isDefined && field(from).isDefined)
           // BOTH names live: not a replay — the target grew its own
           // column under the destination name; absorbing would desync
           // every later batch silently
@@ -1761,17 +1781,40 @@ final class LakehouseTable(spark: SparkSession, val root: String,
           if (cur.tombstones.nonEmpty) foldTombstones()
           renameColumn(from, to)
           ()
-        } else throw new IllegalStateException(
-          s"cannot replay schema change $json: neither '$from' nor '$to' " +
-            s"exists in ${schema.fieldNames.mkString("[", ", ", "]")} — the " +
-            "replication target has diverged from the source lineage")
+        } else byId match {
+          case Some(stale) =>
+            // the identity lives under a STALE name (the replica missed
+            // an earlier rename record): heal by id
+            if (cur.tombstones.nonEmpty) foldTombstones()
+            renameColumn(stale, to)
+            ()
+          case None => throw new IllegalStateException(
+            s"cannot replay schema change $json: neither '$from' nor '$to' " +
+              s"exists in ${schema.fieldNames.mkString("[", ", ", "]")} — the " +
+              "replication target has diverged from the source lineage")
+        }
       case "drop" =>
         val name = fieldOf(rec, "column")
-        if (field(name).isEmpty) () // already applied
-        else {
-          if (cur.tombstones.nonEmpty) foldTombstones()
-          dropColumn(name)
-          ()
+        field(name) match {
+          case None => byId match {
+            case Some(stale) =>
+              // missed-rename heal: the doomed identity lives under a
+              // stale name — drop THAT, not nothing
+              if (cur.tombstones.nonEmpty) foldTombstones()
+              dropColumn(stale)
+              ()
+            case None => () // already applied
+          }
+          case Some(f) if rec.fieldId.isDefined && idOf(f).isDefined &&
+              idOf(f) != rec.fieldId =>
+            // the name now belongs to a REBORN namesake (different
+            // identity): the drop's target is already gone — dropping
+            // the new column would destroy data the record never meant
+            ()
+          case Some(f) =>
+            if (cur.tombstones.nonEmpty) foldTombstones()
+            dropColumn(f.name)
+            ()
         }
       case "set_spec" =>
         val spec = rec.spec.getOrElse(
@@ -1783,7 +1826,11 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         val name = fieldOf(rec, "column")
         val to = DataType.fromDDL(rec.`type`.getOrElse(
           throw new IllegalStateException(s"schema change record lacks type: $json")))
-        (op, field(name)) match {
+        // widen resolves by id when the name misses (missed rename);
+        // add is a NEW identity — no id fallback to resolve
+        val target = field(name).orElse(
+          if (op == "widen") byId.flatMap(field) else None)
+        (op, target) match {
           case (_, Some(f)) if f.dataType == to => () // already applied
           case ("widen", Some(f)) if canWiden(f.dataType, to) =>
             widenColumn(f.name, to); ()
@@ -2408,15 +2455,25 @@ final class LakehouseTable(spark: SparkSession, val root: String,
           olds.filter(_.renamedAt == s.snapshotId).map(a => (a.name, cur))
         }.sortBy(_._2)
         val rIdx = renames.map { case (o, n) => nameKey(n) -> o }.toMap
-        val rjson = renames.map { case (o, n) => DdlRecord.rename(next(), o, n).json }
+        // identity key (round 13): rename/widen carry the column's id
+        // at THIS snapshot, drop carries the retired id from the
+        // parent — replicas resolve by id when names mislead
+        val sIds: Map[String, Int] = s.fieldIds
+          .map(_.ids.map { case (n, i) => nameKey(n) -> i }).getOrElse(Map.empty)
+        val pIds: Map[String, Int] = p.fieldIds
+          .map(_.ids.map { case (n, i) => nameKey(n) -> i }).getOrElse(Map.empty)
+        val rjson = renames.map { case (o, n) =>
+          DdlRecord.rename(next(), o, n, sIds.get(nameKey(n))).json }
         val rest = cs.fields.toSeq.flatMap { f =>
           val oldName = rIdx.getOrElse(nameKey(f.name), f.name)
           pByKey.get(nameKey(oldName)) match {
             case Some(pf) if pf.dataType != f.dataType =>
-              Some(DdlRecord.widen(next(), f.name, f.dataType.catalogString).json)
+              Some(DdlRecord.widen(next(), f.name, f.dataType.catalogString,
+                sIds.get(nameKey(f.name))).json)
             case Some(_) => None
             case None =>
-              Some(DdlRecord.add(next(), f.name, f.dataType.catalogString).json)
+              Some(DdlRecord.add(next(), f.name, f.dataType.catalogString,
+                sIds.get(nameKey(f.name))).json)
           }
         }
         // parent fields gone from the snapshot (and not merely renamed
@@ -2425,7 +2482,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         val renamedAway = renames.map { case (o, _) => nameKey(o) }.toSet
         val dropsJ = ps.fields.toSeq
           .filterNot(f => csKeys(nameKey(f.name)) || renamedAway(nameKey(f.name)))
-          .map(f => DdlRecord.drop(next(), f.name).json)
+          .map(f => DdlRecord.drop(next(), f.name, pIds.get(nameKey(f.name))).json)
         val specJ = s.specChange.map(sp => DdlRecord.setSpec(next(), sp).json)
         rjson ++ rest ++ dropsJ ++ specJ
       }

@@ -782,4 +782,49 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(ch.head.getLong(0) === 3L && ch.head.getString(2) === "s3")
   }
 
+  test("identity-keyed DDL records: a replica that missed a rename self-heals by field id") {
+    val src = new LakehouseTable(spark, tmpDir("ev-id-src"))
+    src.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    val s1 = src.currentSnapshot().get.snapshotId
+    src.renameColumn("v", "label") // rec 1 (missed by the replica)
+    val afterRename = src.currentSnapshot().get.snapshotId
+    src.renameColumn("label", "title") // rec 2
+    val ddl = src.schemaChangesBetween(s1, src.currentSnapshot().get.snapshotId)
+    assert(ddl.forall(_.contains("\"fieldId\":")), ddl.mkString("\n"))
+    // the replica applies ONLY the records past the first rename: name
+    // resolution fails (it has 'v', not 'label'), the field id heals it
+    val rep = new LakehouseTable(spark, tmpDir("ev-id-rep"))
+    rep.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    val missed = src.schemaChangesBetween(afterRename, src.currentSnapshot().get.snapshotId)
+    missed.foreach(rep.applySchemaChange)
+    assert(rep.read().columns.toSeq === Seq("k", "title"),
+      s"missed-rename heal by id: ${rep.read().columns.toSeq}")
+    assert(rep.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a")), "the healed rename keeps serving the old bytes")
+  }
+
+  test("identity-keyed DDL records: a drop replayed past a REBORN namesake never hits the new column") {
+    val src = new LakehouseTable(spark, tmpDir("ev-id-reborn-src"))
+    src.append(Seq((1L, "a", 10)).toDF("k", "v", "x").coalesce(1))
+    val s1 = src.currentSnapshot().get.snapshotId
+    src.dropColumn("x") // rec: drop x (retired id)
+    val afterDrop = src.currentSnapshot().get.snapshotId
+    val dropRec = src.schemaChangesBetween(s1, afterDrop)
+    assert(dropRec.size === 1 && dropRec.head.contains("\"fieldId\":3"), dropRec)
+    // the replica has ALREADY applied the drop and re-added the name
+    // (a reborn namesake with a fresh id); the replayed drop record
+    // must absorb — dropping the new column would destroy its data
+    val rep = new LakehouseTable(spark, tmpDir("ev-id-reborn-rep"))
+    rep.append(Seq((1L, "a", 10)).toDF("k", "v", "x").coalesce(1))
+    rep.dropColumn("x")
+    rep.addColumns(Seq(StructField("x", StringType)))
+    rep.append(Seq((2L, "b", "keep")).toDF("k", "v", "x").coalesce(1))
+    val snaps = rep.listSnapshots().size
+    dropRec.foreach(rep.applySchemaChange)
+    assert(rep.listSnapshots().size === snaps, "the replayed drop must absorb")
+    assert(rep.read().collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+      === Set((1L, None), (2L, Some("keep"))),
+      "the reborn column's data survives the replay")
+  }
+
 }
