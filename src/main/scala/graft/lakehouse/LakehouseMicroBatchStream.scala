@@ -106,9 +106,13 @@ private[lakehouse] final class LakehouseMicroBatchStream(
     * never wedge a restart.
     */
   @transient private lazy val startSnapshot: Option[Long] = {
-    val v = options.get("startingVersion")
-    val ts = options.get("startingTimestamp")
-    val tag = options.get("startingTag")
+    // case-insensitive like every other option (some option paths
+    // lowercase keys through CaseInsensitiveStringMap)
+    def opt(name: String): Option[String] =
+      options.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    val v = opt("startingVersion")
+    val ts = opt("startingTimestamp")
+    val tag = opt("startingTag")
     require(Seq(v, ts, tag).count(_.isDefined) <= 1,
       "startingVersion / startingTimestamp / startingTag are mutually exclusive")
     val resolved = v.map(x => table.snapshotOrThrow(

@@ -105,21 +105,39 @@ final class LakehouseSourceProvider extends TableProvider with DataSourceRegiste
     }.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val mor = parameters.exists { case (k, v) =>
       k.equalsIgnoreCase("mergeOnRead") && v.trim.equalsIgnoreCase("true") }
-    mode match {
-      case SaveMode.ErrorIfExists if exists =>
-        throw new IllegalStateException(s"lakehouse table $root already exists")
-      case SaveMode.Ignore if exists => ()
-      case SaveMode.Overwrite => t.overwrite(data)
-      case _ => // Append, or first write under ErrorIfExists/default
-        if (keys.nonEmpty) t.upsert(data, keys, mergeOnRead = mor)
-        else t.append(data, partCols)
+    // write-audit-publish: `.option("branch", "wap")` appends to a
+    // BRANCH (invisible to main until publishBranch) — the batch half
+    // of the WAP ingest story. Branch writes are append-shaped: keyed
+    // upserts and overwrites against a branch head would need
+    // branch-scoped candidate rewrites, so they refuse loudly rather
+    // than silently targeting main.
+    val branch = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("branch") => v.trim }.filter(_.nonEmpty)
+    branch match {
+      case Some(b) =>
+        require(mode == SaveMode.Append,
+          s"branch writes are APPEND-only (write-audit-publish), got $mode")
+        require(keys.isEmpty && !mor,
+          "branch writes are append-only — keyed upsert / mergeOnRead are " +
+            "main-head operations; publish the branch first")
+        t.appendToBranch(data, b, partCols)
+      case None => mode match {
+        case SaveMode.ErrorIfExists if exists =>
+          throw new IllegalStateException(s"lakehouse table $root already exists")
+        case SaveMode.Ignore if exists => ()
+        case SaveMode.Overwrite => t.overwrite(data)
+        case _ => // Append, or first write under ErrorIfExists/default
+          if (keys.nonEmpty) t.upsert(data, keys, mergeOnRead = mor)
+          else t.append(data, partCols)
+      }
     }
     val ctx = sqlContext
     // pin the relation to the snapshot THIS write produced (or found,
     // under Ignore): scanning it later must not surface a concurrent
     // writer's rows — the same load-time pinning discipline as the
-    // read face
-    val writtenId = t.currentSnapshot().map(_.snapshotId)
+    // read face. A branch write pins the BRANCH head it landed.
+    val writtenId = branch.map(b => t.branchHead(b).snapshotId)
+      .orElse(t.currentSnapshot().map(_.snapshotId))
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = ctx
       override def schema: StructType = data.schema

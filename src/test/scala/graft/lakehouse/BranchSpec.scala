@@ -153,4 +153,28 @@ class BranchSpec extends SparkSpec {
       "the re-forked branch heads at its fork, never the dead lineage")
   }
 
+  test("df.write .option(branch): the batch write face appends to a branch; non-append shapes refuse") {
+    val t = new LakehouseTable(spark, tmpDir("br-write"))
+    t.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    t.forkBranch("wap")
+    Seq((10L, "x")).toDF("k", "v").coalesce(1)
+      .write.format("graft-lakehouse").mode("append")
+      .option("branch", "wap").save(t.root)
+    assert(t.read().collect().map(_.getLong(0)).toSet === Set(1L),
+      "a branch write is invisible to main")
+    assert(spark.read.format("graft-lakehouse").option("snapshotBranch", "wap")
+      .load(t.root).collect().map(_.getLong(0)).toSet === Set(1L, 10L))
+    // keyed / overwrite shapes refuse loudly on a branch
+    val e1 = intercept[Exception](
+      Seq((11L, "y")).toDF("k", "v").write.format("graft-lakehouse")
+        .mode("append").option("branch", "wap").option("keys", "k").save(t.root))
+    assert(e1.getMessage.contains("append-only"), e1.getMessage)
+    val e2 = intercept[Exception](
+      Seq((11L, "y")).toDF("k", "v").write.format("graft-lakehouse")
+        .mode("overwrite").option("branch", "wap").save(t.root))
+    assert(e2.getMessage.contains("APPEND-only"), e2.getMessage)
+    t.publishBranch("wap")
+    assert(t.read().collect().map(_.getLong(0)).toSet === Set(1L, 10L))
+  }
+
 }
