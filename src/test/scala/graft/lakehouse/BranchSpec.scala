@@ -177,4 +177,29 @@ class BranchSpec extends SparkSpec {
     assert(t.read().collect().map(_.getLong(0)).toSet === Set(1L, 10L))
   }
 
+  test("racing branch writers rebase like main appends: both commits land, none lost") {
+    val root = tmpDir("br-race")
+    val a = new LakehouseTable(spark, root)
+    a.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    a.forkBranch("wap")
+    val b = new LakehouseTable(spark, root) // a second handle = remote writer
+    // inject B's branch append at exactly A's publish window: A loses
+    // the put-if-absent link and must rebase onto B's branch head
+    a.onBeforePublish = () => {
+      a.onBeforePublish = () => ()
+      b.appendToBranch(Seq((20L, "B")).toDF("k", "v").coalesce(1), "wap")
+    }
+    try a.appendToBranch(Seq((10L, "A")).toDF("k", "v").coalesce(1), "wap")
+    finally a.onBeforePublish = () => ()
+    assert(a.branchHead("wap").parentId.isDefined)
+    assert(spark.read.format("graft-lakehouse").option("snapshotBranch", "wap")
+      .load(root).collect().map(_.getLong(0)).toSet === Set(1L, 10L, 20L),
+      "both racing branch appends must land")
+    // the lineage is a clean chain: fork <- B <- A (or fork <- A <- B)
+    val ids = a.listSnapshots().filter(_.branch.contains("wap")).map(_.snapshotId)
+    assert(ids.size === 2 && ids.distinct.size === 2)
+    a.publishBranch("wap")
+    assert(a.read().collect().map(_.getLong(0)).toSet === Set(1L, 10L, 20L))
+  }
+
 }
