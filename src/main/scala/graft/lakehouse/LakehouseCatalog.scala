@@ -188,7 +188,14 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     * snapshot TAG — `VERSION AS OF 'corpus-v1'` (the reproducible
     * corpus-version pin: `CALL <cat>.system.set_tag(...)`).
     */
-  override def loadTable(ident: Identifier, version: String): Table =
+  override def loadTable(ident: Identifier, version: String): Table = {
+    // only the NOT-FOUND shape (IllegalArgumentException from
+    // snapshotOrThrow/snapshotForTag/branchHead) falls through to the
+    // next namespace — an I/O or parse failure on a VALID snapshot id
+    // must propagate, never silently resolve an identically-named tag
+    // pointing somewhere else (ADVICE r13)
+    def orNotFound(primary: => Snapshot)(fallback: => Snapshot): Snapshot =
+      try primary catch { case _: IllegalArgumentException => fallback }
     loadPinned(ident, t => scala.util.Try(version.toLong).toOption match {
       // an ALL-DIGIT tag name (e.g. '20260816') parses as a Long too:
       // snapshot ids win, but when no such snapshot exists the tag
@@ -196,9 +203,9 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
       // would be reachable from .option("snapshotTag") yet never from
       // VERSION AS OF (ADVICE r12)
       case Some(id) =>
-        scala.util.Try(t.snapshotOrThrow(id)).getOrElse(
-          scala.util.Try(t.snapshotForTag(version)).getOrElse(
-            scala.util.Try(t.branchHead(version)).getOrElse(
+        orNotFound(t.snapshotOrThrow(id))(
+          orNotFound(t.snapshotForTag(version))(
+            orNotFound(t.branchHead(version))(
               throw new IllegalArgumentException(
                 s"VERSION AS OF '$version': neither a snapshot id, a tag, " +
                   s"nor a branch of this table"))))
@@ -206,10 +213,11 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
         // tags win over branches on a name collision (a tag is the
         // sharper pin); branches resolve for the AUDIT read of
         // write-audit-publish
-        scala.util.Try(t.snapshotForTag(version)).getOrElse(
-          scala.util.Try(t.branchHead(version)).getOrElse(
+        orNotFound(t.snapshotForTag(version))(
+          orNotFound(t.branchHead(version))(
             t.snapshotForTag(version))) // re-throw the tag error (lists tags)
     })
+  }
 
   /** SQL time travel: `... TIMESTAMP AS OF '2026-01-01 00:00:00'`.
     * Spark hands the instant in MICROseconds since epoch.

@@ -322,14 +322,17 @@ object LakehouseDml {
   }
 
   /** How many IN-subquery rows MERGE ON will stage into a literal
-    * probe list before refusing. The staged list lives in the plan
-    * (driver memory, broadcast with the condition), so it must stay
-    * modest; beyond the cap the USING-source fold is the right tool
-    * and the refusal says so. 100k probe values is ~a few MB — well
-    * inside what [[ScanPredicate.InSet]]'s sorted binary search and
-    * the join condition evaluate comfortably.
+    * probe list before refusing. The staged list lives in the PLAN —
+    * the `In` node feeds rebind, the join condition, and the action
+    * when() chains, so an over-large list risks codegen blowup /
+    * interpreted fallback and multi-MB driver-side plans (ADVICE r13;
+    * the optimizer folds lists past its InSet threshold, but the
+    * expression tree is still copied per consumer). 10k probe values
+    * stays comfortably inside codegen while covering every realistic
+    * staged decontamination list; beyond the cap the USING-source fold
+    * is the right tool and the refusal says so.
     */
-  val MaxStagedInRows = 100000
+  val MaxStagedInRows = 10000
 
   /** Stage every uncorrelated subquery in `e` — MERGE ON is a JOIN
     * condition, where Spark cannot host subquery expressions at all,

@@ -105,22 +105,27 @@ final class LakehouseSourceProvider extends TableProvider with DataSourceRegiste
     }.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val mor = parameters.exists { case (k, v) =>
       k.equalsIgnoreCase("mergeOnRead") && v.trim.equalsIgnoreCase("true") }
-    // write-audit-publish: `.option("branch", "wap")` appends to a
+    // write-audit-publish: `.option("branch", "wap")` writes to a
     // BRANCH (invisible to main until publishBranch) — the batch half
-    // of the WAP ingest story. Branch writes are append-shaped: keyed
-    // upserts and overwrites against a branch head would need
-    // branch-scoped candidate rewrites, so they refuse loudly rather
-    // than silently targeting main.
+    // of the WAP ingest story. Appends AND keyed writes (a `keys`
+    // option upserts against the branch head; with a `_change` column
+    // it CDC-applies) — a WAP audit over a CDC-replicated table needs
+    // keyed branch writes. Overwrites still refuse: replacing a branch
+    // is re-forking, which is what forkBranch is for.
     val branch = parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("branch") => v.trim }.filter(_.nonEmpty)
     branch match {
       case Some(b) =>
         require(mode == SaveMode.Append,
-          s"branch writes are APPEND-only (write-audit-publish), got $mode")
-        require(keys.isEmpty && !mor,
-          "branch writes are append-only — keyed upsert / mergeOnRead are " +
-            "main-head operations; publish the branch first")
-        t.appendToBranch(data, b, partCols)
+          s"branch writes are append/upsert-shaped (write-audit-publish), got " +
+            s"$mode — to replace a branch, drop and re-fork it")
+        if (keys.nonEmpty && data.columns.contains("_change"))
+          t.applyChangesToBranch(data, keys, b, mergeOnRead = mor)
+        else if (keys.nonEmpty) t.upsertToBranch(data, keys, b, mergeOnRead = mor)
+        else {
+          require(!mor, "mergeOnRead on a branch needs `keys` (tombstones are keyed)")
+          t.appendToBranch(data, b, partCols)
+        }
       case None => mode match {
         case SaveMode.ErrorIfExists if exists =>
           throw new IllegalStateException(s"lakehouse table $root already exists")

@@ -63,10 +63,18 @@ final case class AliasEntry(name: String, renamedAt: Long)
 
 /** One BRANCH ref file's body (`_refs/branches/<name>.json`): the
   * FORK snapshot the branch grew from. The branch HEAD is derived —
-  * the newest snapshot carrying `branch = Some(name)`, or the fork
-  * itself before any branch commit — so the ref never needs to move.
+  * the newest snapshot carrying `branch = Some(name)` AND this ref's
+  * `epoch`, or the fork itself before any branch commit — so the ref
+  * never needs to move. `epoch` keys the branch INCARNATION (ADVICE
+  * r13): a dropped/published branch's surviving snapshots carry the
+  * dead incarnation's epoch, so the standard WAP pattern of a fixed
+  * branch name per pipeline run re-forks immediately — the dead
+  * lineage can never resolve as the new branch's head. Option so
+  * round-13 refs parse unchanged (their snapshots carry no epoch
+  * either, and None == None keeps them paired).
   */
-final case class BranchRef(fork: Long, createdMs: Long)
+final case class BranchRef(fork: Long, createdMs: Long,
+    epoch: Option[Long] = None)
 
 /** One snapshot-tag ref file's body (`_refs/<name>.json`).
   * `maxRefAgeMs` is the tag's own retention: once `createdMs +
@@ -158,6 +166,18 @@ final case class Snapshot(
     // publish adopts the branch head's state as a main commit. Option
     // so every earlier manifest parses as main.
     branch: Option[String] = None,
+    // the branch INCARNATION this commit belongs to — [[BranchRef.epoch]]
+    // of the ref that was live when it committed. A later same-named
+    // branch (new epoch) never resolves this snapshot as its head.
+    // Option so pre-round-14 manifests parse as None (paired with
+    // epoch-less refs).
+    branchEpoch: Option[Long] = None,
+    // set on the MAIN commit a publishBranch produced: "<name>@<epoch>"
+    // — the idempotence marker that makes publish crash-atomic (ADVICE
+    // r13): a retry that finds its marker already on main completes the
+    // ref drop instead of refusing forever. Option: absent on every
+    // other commit.
+    publishOf: Option[String] = None,
     // REBORN-column floors (FIELD_IDS.md step 2 — id-based resolution):
     // current column name → the alter snapshot that RE-introduced the
     // name over retired bytes (a re-add of a dropped name, or an add of
@@ -1934,34 +1954,108 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     * sweep deletes first (setTag's in-lock validation fails LOUDLY) —
     * never a silently lost tag.
     */
+  /** Stale threshold for THIS handle's ref-lock arbitration — an
+    * instance var so a spec can race breakers against a live holder
+    * without perturbing other suites. Production value:
+    * [[LakehouseTable.RefLockStaleMs]].
+    */
+  private[graft] var refLockStaleMs: Long = LakehouseTable.RefLockStaleMs
+
   private def withRefsLock[T](body: => T): T = {
     Files.createDirectories(refsDir)
     val lock = refsDir.resolve(".lock")
+    // unique token written into the lock: a breaker re-verifies WHICH
+    // lock it renamed aside before discarding it (ADVICE r13 — a bare
+    // mtime-check + delete could destroy a lock another process created
+    // between the check and the delete)
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + LakehouseTable.RefLockWaitMs
     var held = false
     while (!held) {
-      try { Files.createFile(lock); held = true }
-      catch {
+      try {
+        Files.createFile(lock) // the single atomic arbiter (put-if-absent)
+        // content lands right after the claim; a reader seeing the
+        // empty window sees a lock milliseconds old, which no breaker
+        // ever touches
+        Files.writeString(lock, token)
+        held = true
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          // a live holder's lock is milliseconds old; a crashed one
-          // ages out (losing the delete race is fine — createFile
-          // stays the single arbiter)
-          try {
-            if (Files.getLastModifiedTime(lock).toMillis <
-                System.currentTimeMillis() - LakehouseTable.RefLockStaleMs)
-              Files.deleteIfExists(lock)
-          } catch { case _: java.io.IOException => () }
+          tryBreakStaleRefLock(lock)
           if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"could not acquire the ref lock '$lock' within " +
                 s"${LakehouseTable.RefLockWaitMs} ms — a concurrent expiry " +
                 "or tag write is wedged (a crashed holder ages out after " +
-                s"${LakehouseTable.RefLockStaleMs} ms)")
+                s"$refLockStaleMs ms)")
           Thread.sleep(
             java.util.concurrent.ThreadLocalRandom.current().nextLong(2L, 16L))
       }
     }
-    try body finally { Files.deleteIfExists(lock); () }
+    // heartbeat: a long-running critical section (a slow-storage expiry
+    // sweep) refreshes its own lock's mtime, so "mtime older than the
+    // stale threshold" really does mean a CRASHED holder — a live one
+    // can only look stale across a JVM pause longer than the margin
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val hb = new Thread(() => {
+      val interval = math.max(50L, refLockStaleMs / 6)
+      while (!done.await(interval, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try Files.setLastModifiedTime(lock,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        catch { case _: java.io.IOException => () } // broken/raced: acquire arbiter rules
+      }
+    }, s"graft-ref-lock-heartbeat-${rootPath.getFileName}")
+    hb.setDaemon(true)
+    hb.start()
+    try body finally {
+      done.countDown()
+      hb.join(1000)
+      // delete only OUR lock: if a breaker displaced it (pause longer
+      // than the stale margin), the current lock belongs to someone else
+      try {
+        if (Files.readString(lock) == token) { Files.deleteIfExists(lock); () }
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Test seam: run `body` holding the ref lock (heartbeat active), so
+    * specs can pin the live-holder-survives-breakers contract without
+    * reaching into the private acquire path.
+    */
+  private[graft] def refsLockedForTest[T](body: => T): T = withRefsLock(body)
+
+  /** Break `lock` iff it is genuinely stale, without ever destroying a
+    * live holder's claim: rename it ASIDE first (atomic — of N racing
+    * breakers exactly one wins; the losers see NoSuchFile and simply
+    * retry the acquire), then re-verify the renamed file's age. If the
+    * rename caught a FRESH lock (the stale one vanished and a new
+    * holder claimed between this breaker's mtime read and its rename),
+    * the aside file moves straight back — the breaker held the only
+    * reference, so the restore can only fail if yet another acquirer
+    * claimed meanwhile, in which case the displaced fresh lock is
+    * dropped and its holder's release degrades to a no-op (token
+    * mismatch), never a wrong delete.
+    */
+  private def tryBreakStaleRefLock(lock: Path): Unit = {
+    val aside = refsDir.resolve(
+      s".lock-breaking-${java.util.UUID.randomUUID().toString.take(12)}")
+    try {
+      val now = System.currentTimeMillis()
+      if (Files.getLastModifiedTime(lock).toMillis >= now - refLockStaleMs) return
+      Files.move(lock, aside, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // won the break: re-verify the file we actually renamed
+      val fresh = try
+        Files.getLastModifiedTime(aside).toMillis >=
+          System.currentTimeMillis() - refLockStaleMs
+      catch { case _: java.io.IOException => false }
+      if (fresh) {
+        // raced a new holder — restore its claim
+        try Files.move(aside, lock, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.io.IOException => Files.deleteIfExists(aside); () }
+      } else { Files.deleteIfExists(aside); () }
+    } catch {
+      case _: java.io.IOException => () // lost the break race: retry acquire
+    }
   }
 
   /** Point tag `name` at snapshot `snapshotId` (REPLACES an existing
@@ -2045,12 +2139,10 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         s"illegal branch name '$name' (letters, digits, '-', '_', '.'; no leading dot)")
       withRefsLock {
         require(!branches.contains(name), s"branch '$name' already exists")
-        // a DROPPED branch's snapshots keep their branch marker until
-        // retention takes them — re-using the name would make
-        // branchHead resolve the DEAD incarnation's last commit
-        require(!listSnapshots().exists(_.branch.contains(name)),
-          s"a previous branch '$name' still has unexpired snapshots — " +
-            "expire them (expireSnapshotsOlderThan) or pick a fresh name")
+        // name REUSE is fine (the fixed-branch-name-per-pipeline-run WAP
+        // pattern): the fresh incarnation epoch below keys membership,
+        // so a dead incarnation's unexpired snapshots can never resolve
+        // as the new branch's head (ADVICE r13)
         val fork = fromSnapshot.getOrElse(currentSnapshot().getOrElse(
           throw new IllegalStateException(
             s"cannot branch a snapshot-less table $root")).snapshotId)
@@ -2061,7 +2153,8 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         Files.createDirectories(branchesDir)
         val tmp = Files.createTempFile(branchesDir, ".ref-", ".tmp")
         Files.writeString(tmp, Serialization.write(
-          BranchRef(fork, System.currentTimeMillis())))
+          BranchRef(fork, System.currentTimeMillis(), epoch = Some(
+            java.util.concurrent.ThreadLocalRandom.current().nextLong()))))
         Files.move(tmp, branchPath(name),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -2069,14 +2162,21 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       ()
     }
 
-  /** The branch HEAD: the newest snapshot committed to the branch, or
-    * its fork snapshot before any commit landed.
+  /** Does snapshot `s` belong to the CURRENT incarnation of branch
+    * `name` (ref `ref`)? Epochs must pair exactly — a legacy epoch-less
+    * ref pairs only with legacy epoch-less markers.
+    */
+  private def inBranch(s: Snapshot, name: String, ref: BranchRef): Boolean =
+    s.branch.contains(name) && s.branchEpoch == ref.epoch
+
+  /** The branch HEAD: the newest snapshot committed to THIS incarnation
+    * of the branch, or its fork snapshot before any commit landed.
     */
   def branchHead(name: String): Snapshot = {
     val ref = branches.getOrElse(name, throw new IllegalArgumentException(
       s"branch '$name' not found in table '$root'. " +
         s"Available branches: ${branches.keys.toSeq.sorted.mkString("[", ", ", "]")}"))
-    listSnapshots().reverseIterator.find(_.branch.contains(name))
+    listSnapshots().reverseIterator.find(inBranch(_, name, ref))
       .getOrElse(snapshotOrThrow(ref.fork))
   }
 
@@ -2090,7 +2190,9 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     */
   def appendToBranch(df0: DataFrame, name: String,
       partitionBy: Seq[String] = Nil): Snapshot = writeLock.synchronized {
-    val head0 = branchHead(name) // also validates the branch exists
+    val ref = branches.getOrElse(name, throw new IllegalArgumentException(
+      s"branch '$name' not found in table '$root'"))
+    val head0 = branchHead(name)
     val df = canonicalizedNamesAt(head0, df0)
     requireCompatibleSchemaAt(Some(head0), df)
     val claimedId = nextId()
@@ -2104,7 +2206,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
           System.currentTimeMillis(), "append",
           head.files ++ newFiles,
           evolvedSchemaJsonAt(Some(head), df),
-          deletes = head.deletes, branch = Some(name),
+          deletes = head.deletes, branch = Some(name), branchEpoch = ref.epoch,
           renames = head.renames.orElse(Some(Map.empty)),
           drops = head.drops.orElse(Some(Map.empty)),
           reborn = head.reborn.orElse(Some(Map.empty)),
@@ -2123,34 +2225,209 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     sys.error("unreachable: loop exits only by return/throw")
   }
 
-  /** FAST-FORWARD publish — the PUBLISH of write-audit-publish: one
-    * main commit adopting the branch head's exact state (files by
-    * reference, schema, registries, field ids), then the branch ref
-    * drops. Refuses if main advanced past the fork (a fast-forward
-    * must not discard main commits — re-fork and replay the branch,
-    * the Iceberg rule). Auditing happens before this call: read the
-    * branch head via `.option("snapshotBranch", …)` / `VERSION AS OF`
-    * and run the gate queries against it.
+  /** Keyed UPSERT against branch `name`'s head — a WAP audit flow over
+    * a CDC-replicated table wants keyed writes on the branch, not just
+    * appends. Same latest-by-key materialization as [[upsert]], against
+    * the BRANCH head: touched fork-lineage files rewrite into branch
+    * files, untouched ones carry by reference. A branch that rewrote
+    * fork files can only publish by fast-forward (publish refuses a
+    * rebase — the rewrite's survivor set was computed against the fork,
+    * so main advancing makes it stale).
+    */
+  def upsertToBranch(df0: DataFrame, keys: Seq[String], name: String,
+      mergeOnRead: Boolean = false): Snapshot = writeLock.synchronized {
+    if (mergeOnRead)
+      applyChangesToBranch(df0.withColumn("_change", lit("insert")), keys,
+        name, mergeOnRead = true)
+    else {
+      val ref = branches.getOrElse(name, throw new IllegalArgumentException(
+        s"branch '$name' not found in table '$root'"))
+      val head = branchHead(name)
+      require(keys.nonEmpty, "upsert requires key columns")
+      val df = canonicalizedNamesAt(head, df0)
+      requireCompatibleSchemaAt(Some(head), df)
+      val id = nextId()
+      val incoming = df.cache()
+      try {
+        val incomingKeys = incoming.select(keys.map(col): _*).distinct()
+        val touchedRel = touchedFilesFor(head, incomingKeys, keys)
+        val partCols = inferPartitionCols(head.files)
+        val rewritten: Seq[String] =
+          if (touchedRel.isEmpty) Nil
+          else writeDataFiles(
+            scanFiles(head, touchedRel).join(incomingKeys, keys, "left_anti"),
+            id, suffix = "rw", partitionCols = partCols)
+        val added = writeDataFiles(incoming, id,
+          partitionCols = partCols.filter(pc => incoming.columns.contains(specSourceCol(pc))))
+        writeSnapshot(Snapshot(id, Some(head.snapshotId), System.currentTimeMillis(),
+          "upsert", head.files.diff(touchedRel) ++ rewritten ++ added,
+          evolvedSchemaJsonAt(Some(head), df),
+          deletes = head.deletes, branch = Some(name), branchEpoch = ref.epoch,
+          renames = head.renames.orElse(Some(Map.empty)),
+          drops = head.drops.orElse(Some(Map.empty)),
+          reborn = head.reborn.orElse(Some(Map.empty)),
+          fieldIds = Some(assignFieldIds(Some(head),
+            Snapshot(0L, None, 0L, "upsert", Nil,
+              evolvedSchemaJsonAt(Some(head), df))))))
+      } finally { incoming.unpersist(); () }
+    }
+  }
+
+  /** CDC-apply against branch `name`'s head — [[applyChanges]] scoped
+    * to the branch lineage (insert = replace in place, bare delete =
+    * remove the key; `mergeOnRead` lands the batch as tombstone+append
+    * with zero fork-file rewrites). No txn ledger on branches: the WAP
+    * audit flow replays by re-forking, not by ledger absorption.
+    */
+  def applyChangesToBranch(ch0: DataFrame, keys: Seq[String], name: String,
+      mergeOnRead: Boolean = false): Snapshot = writeLock.synchronized {
+    require(keys.nonEmpty, "applyChanges requires key columns")
+    require(ch0.columns.contains("_change"),
+      "applyChanges input must carry a _change column (insert|delete)")
+    val ref = branches.getOrElse(name, throw new IllegalArgumentException(
+      s"branch '$name' not found in table '$root'"))
+    val head = branchHead(name)
+    val ch = canonicalizedNamesAt(head, ch0).cache()
+    try {
+      requireCompatibleSchemaAt(Some(head), ch.drop("_change"))
+      val badTags = ch.filter(
+        col("_change").isNull || !col("_change").isin("insert", "delete"))
+        .select("_change").distinct().limit(5)
+        .collect().map(r => if (r.isNullAt(0)) "NULL" else r.getString(0))
+      require(badTags.isEmpty,
+        s"applyChanges: unsupported _change tag(s) ${badTags.mkString("'", "', '", "'")} " +
+          "(this feed speaks insert|delete; updates arrive as delete(old)+insert(new))")
+      val inserts = ch.filter(col("_change") === "insert").drop("_change")
+      val id = nextId()
+      val partCols = inferPartitionCols(head.files)
+      val touchedKeys = ch.select(keys.map(col): _*).distinct()
+      val added =
+        if (inserts.isEmpty) Nil
+        else writeDataFiles(inserts, id,
+          partitionCols = partCols.filter(pc => inserts.columns.contains(specSourceCol(pc))))
+      val (files, deletes, op) =
+        if (mergeOnRead) {
+          val tomb =
+            if (ch.isEmpty) Nil
+            else dropEmptyDataFiles(writeDataFiles(touchedKeys, id, suffix = "tomb"))
+          (head.files ++ added,
+            Some(head.tombstones ++ tomb).filter(_.nonEmpty), "apply")
+        } else {
+          val touchedRel = touchedFilesFor(head, touchedKeys, keys)
+          val rewritten: Seq[String] =
+            if (touchedRel.isEmpty) Nil
+            else writeDataFiles(
+              scanFiles(head, touchedRel).join(touchedKeys, keys, "left_anti"),
+              id, suffix = "rw", partitionCols = partCols)
+          (head.files.diff(touchedRel) ++ rewritten ++ added, head.deletes, "apply")
+        }
+      writeSnapshot(Snapshot(id, Some(head.snapshotId), System.currentTimeMillis(),
+        op, files, evolvedSchemaJsonAt(Some(head), inserts),
+        deletes = deletes, branch = Some(name), branchEpoch = ref.epoch,
+        renames = head.renames.orElse(Some(Map.empty)),
+        drops = head.drops.orElse(Some(Map.empty)),
+        reborn = head.reborn.orElse(Some(Map.empty)),
+        fieldIds = Some(assignFieldIds(Some(head),
+          Snapshot(0L, None, 0L, op, Nil,
+            evolvedSchemaJsonAt(Some(head), inserts))))))
+    } finally { ch.unpersist(); () }
+  }
+
+  /** PUBLISH — the PUBLISH of write-audit-publish: one main commit
+    * adopting the branch's state, then the branch ref drops.
+    *
+    *  - Main still at the fork → FAST-FORWARD: the head's exact state
+    *    (files by reference, schema, registries, field ids) becomes a
+    *    main commit.
+    *  - Main advanced past the fork → REBASE: when the branch lineage
+    *    is pure APPEND and main's advance is compatible (schema and
+    *    rename/drop/reborn registries unchanged since the fork, no new
+    *    tombstones), the branch's added files re-commit on TOP of the
+    *    main head — one metadata-only cherry-pick, so a WAP audit on a
+    *    busy table publishes instead of starving. Genuine conflicts
+    *    (the branch rewrote fork files via keyed writes, either side
+    *    changed schema or registries, main landed deletes) refuse with
+    *    the re-fork recipe — a rebase there could resurrect deleted
+    *    rows or desync era resolution.
+    *
+    * CRASH-ATOMIC: the publish commit carries a `publishOf` marker
+    * ("name@epoch"); a retry that finds its marker already on main
+    * (crash between the commit and the ref drop) completes the ref
+    * drop idempotently and returns the published snapshot (ADVICE r13).
     */
   def publishBranch(name: String): Snapshot = writeLock.synchronized {
     val ref = branches.getOrElse(name, throw new IllegalArgumentException(
       s"branch '$name' not found in table '$root'"))
+    val pubKey = s"$name@${ref.epoch.getOrElse(0L)}"
+    // already-published detection FIRST: a crash between the publish
+    // commit and the ref drop must recover, not refuse forever
+    listSnapshots().reverseIterator
+      .find(s => s.branch.isEmpty && s.publishOf.contains(pubKey)) match {
+      case Some(done) => dropBranch(name); return done
+      case None => ()
+    }
     val head = branchHead(name)
     val main = currentSnapshot().getOrElse(
       throw new IllegalStateException(s"table $root has no snapshots"))
-    require(main.snapshotId == ref.fork,
-      s"cannot fast-forward branch '$name': main advanced from fork " +
-        s"${ref.fork} to ${main.snapshotId} — re-fork from the current head " +
-        "and replay the branch, then publish")
-    val published = writeSnapshot(Snapshot(nextId(), Some(main.snapshotId),
-      System.currentTimeMillis(), "publish", head.files, head.schemaJson,
-      deletes = head.deletes,
-      renames = head.renames.orElse(Some(Map.empty)),
-      drops = head.drops.orElse(Some(Map.empty)),
-      reborn = head.reborn.orElse(Some(Map.empty)),
-      fieldIds = head.fieldIds))
+    val published =
+      if (main.snapshotId == ref.fork)
+        writeSnapshot(Snapshot(nextId(), Some(main.snapshotId),
+          System.currentTimeMillis(), "publish", head.files, head.schemaJson,
+          deletes = head.deletes, publishOf = Some(pubKey),
+          renames = head.renames.orElse(Some(Map.empty)),
+          drops = head.drops.orElse(Some(Map.empty)),
+          reborn = head.reborn.orElse(Some(Map.empty)),
+          fieldIds = head.fieldIds))
+      else rebasePublish(name, ref, pubKey, head, main)
     dropBranch(name)
     published
+  }
+
+  /** The rebase half of [[publishBranch]]: cherry-pick a pure-append
+    * branch lineage onto a main head that advanced past the fork.
+    * Every precondition below guards a REAL corruption vector, not a
+    * formality — see the refusal messages.
+    */
+  private def rebasePublish(name: String, ref: BranchRef, pubKey: String,
+      head: Snapshot, main: Snapshot): Snapshot = {
+    def refuse(why: String): Nothing = throw new IllegalStateException(
+      s"cannot publish branch '$name': main advanced from fork ${ref.fork} " +
+        s"to ${main.snapshotId} and $why — re-fork from the current head " +
+        "and replay the branch, then publish")
+    val fork = snapshotOrThrow(ref.fork)
+    val lineage = listSnapshots().filter(inBranch(_, name, ref))
+    // keyed branch writes rewrote fork files: their survivor sets were
+    // computed against the fork, so stacking them on a moved main could
+    // drop main's rows or resurrect the branch's rewritten ones
+    if (!lineage.forall(_.operation == "append"))
+      refuse("the branch holds keyed writes (upsert/applyChanges), which " +
+        "rewrote fork-lineage files against the fork state")
+    if ((fork.files.toSet -- head.files.toSet).nonEmpty)
+      refuse("the branch removed fork files")
+    // era resolution ties physical names to origin-vs-registry boundaries;
+    // a rename/drop/reborn on EITHER side since the fork would make the
+    // branch's files (origins newer than main's DDL) resolve wrongly
+    def schemaOf(s: Snapshot) =
+      DataType.fromJson(s.schemaJson).asInstanceOf[StructType].fields
+        .map(f => (nameKey(f.name), f.dataType)).toSeq.sortBy(_._1)
+    if (schemaOf(main) != schemaOf(fork) || schemaOf(head) != schemaOf(fork))
+      refuse("the schema changed since the fork (on main or on the branch)")
+    if (main.aliases != fork.aliases || main.droppedCols != fork.droppedCols ||
+        main.rebornFloors != fork.rebornFloors)
+      refuse("main's rename/drop/reborn registries changed since the fork")
+    // a tombstone main landed after the fork masks rows in files with
+    // OLDER origins — which can include the branch's appends (the same
+    // interleaving appendWith surfaces as a conflict)
+    if ((main.tombstones.toSet -- fork.tombstones.toSet).nonEmpty)
+      refuse("main landed merge-on-read deletes since the fork")
+    val added = head.files.filterNot(fork.files.toSet)
+    writeSnapshot(Snapshot(nextId(), Some(main.snapshotId),
+      System.currentTimeMillis(), "publish", main.files ++ added,
+      main.schemaJson, deletes = main.deletes, publishOf = Some(pubKey),
+      renames = main.renames.orElse(Some(Map.empty)),
+      drops = main.drops.orElse(Some(Map.empty)),
+      reborn = main.reborn.orElse(Some(Map.empty)),
+      fieldIds = main.fieldIds))
   }
 
   /** Abandon branch `name`: the ref drops, its snapshots lose head

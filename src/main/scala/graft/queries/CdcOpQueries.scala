@@ -1435,13 +1435,16 @@ object CdcOpQueries {
       (batches.map { case (b, n) => (s"b$b", n) }.toSeq :+ (("z_checksum", checksum)))
         .toDF("step", "n").orderBy(col("step"))
     }),
-    // ---- write-audit-publish branches (round 13): fork a branch from
-    //      main, append candidate slices to it (ordinary snapshots,
-    //      invisible to main consumers), AUDIT the branch head via
-    //      VERSION AS OF '<branch>', fast-forward PUBLISH main onto the
-    //      audited state; a second branch whose fork main outran
-    //      REFUSES to fast-forward and is abandoned — the Iceberg WAP
-    //      shape a curation pipeline promotes corpus versions with. ----
+    // ---- write-audit-publish branches (rounds 13-14): fork a branch
+    //      from main, append candidate slices to it (ordinary
+    //      snapshots, invisible to main consumers), AUDIT the branch
+    //      head via VERSION AS OF '<branch>', fast-forward PUBLISH main
+    //      onto the audited state. Round 14: the branch NAME is reused
+    //      run after run (incarnation epochs — the fixed-WAP-name
+    //      pipeline pattern), a pure-append branch whose fork main
+    //      outran REBASE-publishes (main's mid-audit append and the
+    //      branch rows both land), and a KEYED branch write + main
+    //      advance — the genuine conflict — still refuses loudly. ----
     "q145_branch_wap" -> ((s, dir) => {
       import s.implicits._
       val cat = ensureQueryCatalog(s)
@@ -1466,16 +1469,29 @@ object CdcOpQueries {
         s"SELECT count(*) FROM $cat.db.wap_t VERSION AS OF 'wap'").head.getLong(0)
       val mainN = s.sql(s"SELECT count(*) FROM $cat.db.wap_t").head.getLong(0)
       s.sql(s"CALL $cat.system.publish_branch(table => 'db.wap_t', branch => 'wap')") // snap 5
-      // a second branch whose fork main then outruns cannot fast-forward
-      s.sql(s"CALL $cat.system.fork_branch(table => 'db.wap_t', branch => 'wap2')")
-      t.appendToBranch(s.sql( // snap 6 (branch)
+      // run 2 re-forks the SAME name immediately (the dead incarnation's
+      // snapshots are unexpired — epoch keying makes that fine); main
+      // receives an unrelated append MID-AUDIT, and publish still lands
+      // by REBASE: one metadata-only cherry-pick of the branch's appends
+      s.sql(s"CALL $cat.system.fork_branch(table => 'db.wap_t', branch => 'wap')")
+      t.appendToBranch(s.sql( // snap 6 (branch, incarnation 2)
         "SELECT CAST(n_nationkey + 300 AS BIGINT) AS k, nm FROM " +
-          "(SELECT n_nationkey, n_name AS nm FROM q145_src WHERE n_regionkey = 4)"), "wap2")
-      s.sql(s"INSERT INTO $cat.db.wap_t VALUES (9001, 'tail')") // snap 7 (main)
+          "(SELECT n_nationkey, n_name AS nm FROM q145_src WHERE n_regionkey = 4)"), "wap")
+      s.sql(s"INSERT INTO $cat.db.wap_t VALUES (9001, 'tail')") // snap 7 (main, mid-audit)
+      val rebased = t.publishBranch("wap") // snap 8: rebase publish
+      val rebasedOk =
+        if (rebased.operation == "publish" && rebased.parentId.contains(7L)) 1L else 0L
+      // run 3: a KEYED branch write (upsert against the branch head)
+      // plus a main advance is a GENUINE conflict — publish refuses
+      // with the re-fork recipe instead of silently stacking stale
+      // survivor sets
+      s.sql(s"CALL $cat.system.fork_branch(table => 'db.wap_t', branch => 'wap')")
+      t.upsertToBranch(Seq((9100L, "cand")).toDF("k", "nm"), Seq("k"), "wap") // snap 9
+      s.sql(s"INSERT INTO $cat.db.wap_t VALUES (9002, 'tail2')") // snap 10 (main)
       val refused =
-        try { t.publishBranch("wap2"); 0L }
-        catch { case e: IllegalArgumentException if e.getMessage.contains("advanced") => 1L }
-      t.dropBranch("wap2")
+        try { t.publishBranch("wap"); 0L }
+        catch { case e: IllegalStateException if e.getMessage.contains("keyed writes") => 1L }
+      t.dropBranch("wap")
       val ops = t.listSnapshots()
         .map(x => x.operation + x.branch.fold("")("@" + _)).mkString(",")
       val detail = s.sql(s"SELECT k, nm FROM $cat.db.wap_t").collect()
@@ -1483,7 +1499,8 @@ object CdcOpQueries {
       s.sql(s"DROP TABLE $cat.db.wap_t")
       (detail ++ Seq(
         (9950001L, s"audit:$auditN"), (9950002L, s"main_during_audit:$mainN"),
-        (9950003L, s"ff_refused:$refused"), (9950004L, s"ops:$ops")))
+        (9950003L, s"rebased:$rebasedOk"), (9950004L, s"keyed_refused:$refused"),
+        (9950005L, s"ops:$ops")))
         .toDF("k", "nm").orderBy(col("k"), col("nm"))
     })
   )
@@ -1997,10 +2014,12 @@ object CdcOpQueries {
         UNION ALL SELECT 'b2', 2
         UNION ALL SELECT 'z_checksum', (SELECT s FROM b) + 20000000012)
       ORDER BY step""",
-    // q145: head = base (rk<2) + the two published branch slices + the
-    // main tail; the abandoned wap2 slice (rk=4, +300) never lands.
-    // zz rows pin the audit counts, the fast-forward refusal, and the
-    // full ops lineage with branch marks.
+    // q145: head = base (rk<2) + the two fast-forward-published branch
+    // slices + the REBASE-published +300 slice + both main tails; the
+    // keyed wap incarnation (9100,'cand') never lands. zz rows pin the
+    // audit counts, the rebase success, the keyed-conflict refusal,
+    // and the full ops lineage with branch marks (the same reused
+    // branch NAME across three incarnations).
     "q145_branch_wap" -> """
       WITH base AS (SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm
                     FROM nation WHERE n_regionkey < 2),
@@ -2008,9 +2027,13 @@ object CdcOpQueries {
             FROM nation WHERE n_regionkey = 2),
       b AS (SELECT CAST(n_nationkey + 200 AS BIGINT) AS k, upper(n_name) AS nm
             FROM nation WHERE n_regionkey = 3),
+      d AS (SELECT CAST(n_nationkey + 300 AS BIGINT) AS k, n_name AS nm
+            FROM nation WHERE n_regionkey = 4),
       head AS (SELECT k, nm FROM base UNION ALL SELECT k, nm FROM a
                UNION ALL SELECT k, nm FROM b
-               UNION ALL SELECT 9001, 'tail'),
+               UNION ALL SELECT k, nm FROM d
+               UNION ALL SELECT 9001, 'tail'
+               UNION ALL SELECT 9002, 'tail2'),
       c AS (SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS cb,
                    CAST((SELECT count(*) FROM a) AS BIGINT) AS ca,
                    CAST((SELECT count(*) FROM b) AS BIGINT) AS cbb)
@@ -2020,9 +2043,10 @@ object CdcOpQueries {
           'audit:' || CAST((SELECT cb + ca + cbb FROM c) AS VARCHAR)
         UNION ALL SELECT 9950002,
           'main_during_audit:' || CAST((SELECT cb FROM c) AS VARCHAR)
-        UNION ALL SELECT 9950003, 'ff_refused:1'
-        UNION ALL SELECT 9950004,
-          'ops:create,append,append@wap,append@wap,publish,append@wap2,append')
+        UNION ALL SELECT 9950003, 'rebased:1'
+        UNION ALL SELECT 9950004, 'keyed_refused:1'
+        UNION ALL SELECT 9950005,
+          'ops:create,append,append@wap,append@wap,publish,append@wap,append,publish,upsert@wap,append')
       ORDER BY k, nm"""
   )
 }

@@ -42,28 +42,53 @@ class BranchSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.branchHead("audit-1"))
   }
 
-  test("fast-forward refuses when main advanced; abandon lets retention take the branch") {
-    val t = new LakehouseTable(spark, tmpDir("br-ff"))
+  test("rebase publish: a pure-append branch lands on a main that advanced past the fork") {
+    val t = new LakehouseTable(spark, tmpDir("br-rebase"))
     t.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
     t.forkBranch("wap")
     t.appendToBranch(Seq((10L, "x")).toDF("k", "v").coalesce(1), "wap")
-    Thread.sleep(15)
-    // main moves past the fork: the fast-forward must refuse LOUDLY
-    // (publishing would discard main's commit)
+    // main moves past the fork with an unrelated append mid-audit —
+    // the long-audit-on-a-busy-table shape that used to starve
     t.append(Seq((2L, "b")).toDF("k", "v").coalesce(1))
-    val e = intercept[IllegalArgumentException](t.publishBranch("wap"))
-    assert(e.getMessage.contains("advanced"), e.getMessage)
-    // the branch is still auditable; expiry keeps its head + fork
-    // while the ref lives
+    // still auditable; expiry keeps head + fork while the ref lives
     t.expireSnapshotsOlderThan(System.currentTimeMillis() + 3600000L)
     assert(spark.read.format("graft-lakehouse")
       .option("snapshotBranch", "wap").load(t.root).count() === 2L)
+    val pub = t.publishBranch("wap")
+    assert(pub.operation === "publish", "rebase lands as a publish commit")
+    assert(t.read().as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (10L, "x")),
+      "main's mid-audit append AND the branch rows both survive the rebase")
+    assert(t.branches.isEmpty, "publish drops the ref")
+  }
+
+  test("rebase publish refuses GENUINE conflicts: main deletes, schema change, keyed branch writes") {
+    // main landed MoR deletes since the fork → refuse (a tombstone
+    // newer than the branch's appends would mask them)
+    val t = new LakehouseTable(spark, tmpDir("br-conflict"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))
+    t.forkBranch("wap")
+    t.appendToBranch(Seq((10L, "x")).toDF("k", "v").coalesce(1), "wap")
+    t.applyChanges(Seq((2L, "b", "delete")).toDF("k", "v", "_change"),
+      Seq("k"), mergeOnRead = true)
+    val e1 = intercept[IllegalStateException](t.publishBranch("wap"))
+    assert(e1.getMessage.contains("merge-on-read deletes"), e1.getMessage)
+    assert(t.dropBranch("wap"))
+    // main changed the SCHEMA since the fork → refuse (era resolution)
+    val t2 = new LakehouseTable(spark, tmpDir("br-conflict2"))
+    t2.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    t2.forkBranch("wap")
+    t2.appendToBranch(Seq((10L, "x")).toDF("k", "v").coalesce(1), "wap")
+    t2.renameColumn("v", "label")
+    val e2 = intercept[IllegalStateException](t2.publishBranch("wap"))
+    assert(e2.getMessage.contains("schema changed") ||
+      e2.getMessage.contains("registries changed"), e2.getMessage)
     // ABANDON: the ref drops; the next sweep takes the branch snapshots
-    assert(t.dropBranch("wap") && !t.dropBranch("wap"))
-    t.expireSnapshotsOlderThan(System.currentTimeMillis() + 3600000L)
-    assert(t.listSnapshots().forall(_.branch.isEmpty),
+    assert(t2.dropBranch("wap") && !t2.dropBranch("wap"))
+    Thread.sleep(15)
+    t2.expireSnapshotsOlderThan(System.currentTimeMillis() + 3600000L)
+    assert(t2.listSnapshots().forall(_.branch.isEmpty),
       "an abandoned branch's snapshots age out of retention")
-    assert(t.read().as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
   }
 
   test("a main stream never delivers branch commits; TIMESTAMP AS OF skips them") {
@@ -138,22 +163,57 @@ class BranchSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet === Set(1L, 10L))
     t.publishBranch("wap")
     assert(t.read().collect().map(_.getLong(0)).toSet === Set(1L, 10L))
-    // re-forking a dropped name over its unexpired snapshots refuses:
-    // branchHead would otherwise resolve the DEAD incarnation
+    // IMMEDIATE name reuse (the fixed-WAP-name-per-run pattern): the
+    // fresh incarnation epoch keys membership, so the dead lineage's
+    // unexpired snapshots never resolve as the new branch's head
     t.forkBranch("ghost")
     t.appendToBranch(Seq((99L, "dead")).toDF("k", "v").coalesce(1), "ghost")
     t.dropBranch("ghost")
-    val e = intercept[IllegalArgumentException](t.forkBranch("ghost"))
-    assert(e.getMessage.contains("unexpired"), e.getMessage)
-    // expiry takes the dead snapshots, then the name frees up
-    Thread.sleep(15)
-    t.expireSnapshotsOlderThan(System.currentTimeMillis() + 3600000L)
-    t.forkBranch("ghost")
+    t.forkBranch("ghost") // same name, zero expiry needed (ADVICE r13)
     assert(t.branchHead("ghost").snapshotId === t.currentSnapshot().get.snapshotId,
       "the re-forked branch heads at its fork, never the dead lineage")
+    assert(spark.read.format("graft-lakehouse").option("snapshotBranch", "ghost")
+      .load(t.root).collect().map(_.getLong(0)).toSet === Set(1L, 10L),
+      "the dead incarnation's rows never surface through the reborn name")
+    t.appendToBranch(Seq((77L, "new")).toDF("k", "v").coalesce(1), "ghost")
+    assert(spark.read.format("graft-lakehouse").option("snapshotBranch", "ghost")
+      .load(t.root).collect().map(_.getLong(0)).toSet === Set(1L, 10L, 77L))
   }
 
-  test("df.write .option(branch): the batch write face appends to a branch; non-append shapes refuse") {
+  test("the fixed-WAP-name loop: fork 'wap' -> write -> publish, repeated back-to-back") {
+    val t = new LakehouseTable(spark, tmpDir("br-loop"))
+    t.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    (2 to 4).foreach { i =>
+      t.forkBranch("wap")
+      t.appendToBranch(Seq((i * 10L, s"r$i")).toDF("k", "v").coalesce(1), "wap")
+      t.publishBranch("wap")
+    }
+    assert(t.read().collect().map(_.getLong(0)).toSet === Set(1L, 20L, 30L, 40L),
+      "every run's rows publish; no run is blocked by the last run's markers")
+  }
+
+  test("publish is crash-atomic: a retry past a lost ref drop completes idempotently") {
+    val t = new LakehouseTable(spark, tmpDir("br-crash"))
+    t.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    t.forkBranch("wap")
+    t.appendToBranch(Seq((10L, "x")).toDF("k", "v").coalesce(1), "wap")
+    // simulate the crash window between the publish commit and the ref
+    // drop: stash the ref file, publish, restore the ref
+    val refPath = java.nio.file.Paths.get(t.root, "_refs", "branches", "wap.json")
+    val refBody = java.nio.file.Files.readString(refPath)
+    val pub = t.publishBranch("wap")
+    java.nio.file.Files.createDirectories(refPath.getParent)
+    java.nio.file.Files.writeString(refPath, refBody) // "the drop was lost"
+    assert(t.branches.contains("wap"))
+    // retry finds its publishOf marker on main, completes the drop,
+    // returns the published snapshot — never "re-fork and replay"
+    val again = t.publishBranch("wap")
+    assert(again.snapshotId === pub.snapshotId)
+    assert(t.branches.isEmpty, "the retry completed the ref drop")
+    assert(t.read().collect().map(_.getLong(0)).toSet === Set(1L, 10L))
+  }
+
+  test("df.write .option(branch): appends AND keyed writes land on the branch; overwrite refuses") {
     val t = new LakehouseTable(spark, tmpDir("br-write"))
     t.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
     t.forkBranch("wap")
@@ -164,17 +224,42 @@ class BranchSpec extends SparkSpec {
       "a branch write is invisible to main")
     assert(spark.read.format("graft-lakehouse").option("snapshotBranch", "wap")
       .load(t.root).collect().map(_.getLong(0)).toSet === Set(1L, 10L))
-    // keyed / overwrite shapes refuse loudly on a branch
-    val e1 = intercept[Exception](
-      Seq((11L, "y")).toDF("k", "v").write.format("graft-lakehouse")
-        .mode("append").option("branch", "wap").option("keys", "k").save(t.root))
-    assert(e1.getMessage.contains("append-only"), e1.getMessage)
+    // keyed upsert against the BRANCH head (the CDC-replicated-table
+    // WAP shape): replaces (1,'a') in place, invisible to main
+    Seq((1L, "A2"), (11L, "y")).toDF("k", "v").coalesce(1)
+      .write.format("graft-lakehouse").mode("append")
+      .option("branch", "wap").option("keys", "k").save(t.root)
+    assert(spark.read.format("graft-lakehouse").option("snapshotBranch", "wap")
+      .load(t.root).as[(Long, String)].collect().toSet ===
+      Set((1L, "A2"), (10L, "x"), (11L, "y")))
+    assert(t.read().as[(Long, String)].collect().toSet === Set((1L, "a")),
+      "keyed branch writes stay invisible to main")
+    // a change-feed batch CDC-applies on the branch (bare delete removes)
+    Seq((10L, "x", "delete")).toDF("k", "v", "_change")
+      .write.format("graft-lakehouse").mode("append")
+      .option("branch", "wap").option("keys", "k").save(t.root)
+    assert(spark.read.format("graft-lakehouse").option("snapshotBranch", "wap")
+      .load(t.root).collect().map(_.getLong(0)).toSet === Set(1L, 11L))
+    // overwrite still refuses (replacing a branch = re-forking)
     val e2 = intercept[Exception](
       Seq((11L, "y")).toDF("k", "v").write.format("graft-lakehouse")
         .mode("overwrite").option("branch", "wap").save(t.root))
-    assert(e2.getMessage.contains("APPEND-only"), e2.getMessage)
+    assert(e2.getMessage.contains("append/upsert"), e2.getMessage)
+    // a branch that rewrote fork files publishes by fast-forward only
     t.publishBranch("wap")
-    assert(t.read().collect().map(_.getLong(0)).toSet === Set(1L, 10L))
+    assert(t.read().as[(Long, String)].collect().toSet ===
+      Set((1L, "A2"), (11L, "y")))
+  }
+
+  test("keyed branch writes + main advance = genuine conflict: publish refuses with the re-fork recipe") {
+    val t = new LakehouseTable(spark, tmpDir("br-keyed-conflict"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))
+    t.forkBranch("wap")
+    t.upsertToBranch(Seq((1L, "A2")).toDF("k", "v").coalesce(1), Seq("k"), "wap")
+    t.append(Seq((3L, "c")).toDF("k", "v").coalesce(1)) // main advances
+    val e = intercept[IllegalStateException](t.publishBranch("wap"))
+    assert(e.getMessage.contains("keyed writes"), e.getMessage)
+    assert(e.getMessage.contains("re-fork"), e.getMessage)
   }
 
   test("racing branch writers rebase like main appends: both commits land, none lost") {

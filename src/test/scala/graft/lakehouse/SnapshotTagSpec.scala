@@ -161,6 +161,57 @@ class SnapshotTagSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(lock), "the lock releases after the write")
   }
 
+  test("a LIVE holder's long critical section survives breakers: the heartbeat refreshes the lock") {
+    val root = tmpDir("tag-hb")
+    val a = new LakehouseTable(spark, root)
+    a.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    val b = new LakehouseTable(spark, root)
+    // stale threshold far BELOW the critical-section length: without
+    // the heartbeat, b would break a's live lock mid-section (the
+    // ADVICE r13 two-holders race); with it, mtime never ages past the
+    // threshold and b waits for the real release
+    a.refLockStaleMs = 250L
+    b.refLockStaleMs = 250L
+    val aInside = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val overlap = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val holder = new Thread(() => a.refsLockedForTest {
+      aInside.set(true); Thread.sleep(1200); aInside.set(false)
+    })
+    holder.start()
+    Thread.sleep(400) // a's lock is now older than the naive threshold
+    b.refsLockedForTest { if (aInside.get) overlap.set(true) }
+    holder.join(10000)
+    assert(!overlap.get,
+      "a second holder entered while the live holder was still inside " +
+        "its critical section — the heartbeat failed to protect the lock")
+  }
+
+  test("racing breakers over a genuinely stale lock: one wins the rename-aside, all land") {
+    val root = tmpDir("tag-brk")
+    val t = new LakehouseTable(spark, root)
+    t.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    val lock = java.nio.file.Paths.get(root, "_refs", ".lock")
+    java.nio.file.Files.createDirectories(lock.getParent)
+    java.nio.file.Files.writeString(lock, "crashed-holder-token")
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - LakehouseTable.RefLockStaleMs - 60000L))
+    val handles = (0 until 4).map(_ => new LakehouseTable(spark, root))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = handles.zipWithIndex.map { case (h, i) =>
+      new Thread(() => try h.setTag(s"brk-$i", 1L)
+        catch { case e: Throwable => errs.add(e); () })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(30000))
+    assert(errs.isEmpty, s"racing breakers must all land: ${errs.peek()}")
+    assert((0 until 4).forall(i => t.tags.contains(s"brk-$i")))
+    assert(!java.nio.file.Files.exists(lock))
+    // no leftover break-in-progress files either
+    val leftovers = graft.Fs.listAll(lock.getParent)
+      .filter(_.getFileName.toString.startsWith(".lock-breaking"))
+    assert(leftovers.isEmpty, s"leaked aside files: $leftovers")
+  }
+
   test("max-ref-age: an aged tag drops at the next sweep and its snapshot expires with it") {
     val t = new LakehouseTable(spark, tmpDir("tag-age"))
     t.append(Seq((1L, "a")).toDF("k", "v").coalesce(1)) // snap 1
