@@ -16,7 +16,24 @@ import graft.queries.LlmSimQueries
 final case class AnnIndexHandle(
     centroids: Seq[(Int, Array[Float], Double)],
     books: Array[IndexedSeq[(Int, Array[Float])]],
-    codes: DataFrame)
+    codes: DataFrame,
+    /** What this index was BUILT on (None for indexes built from a bare
+      * DataFrame, and for pre-provenance pointers).
+      */
+    provenance: Option[CorpusProvenance] = None)
+
+/** The corpus pin an index build trained on — which table, which exact
+  * snapshot, and (when the build was tag-addressed) which release tag.
+  * Recorded in the index pointer at publish, read back by [[AnnIndex
+  * .load]]/[[AnnIndex.provenance]], so a serving handle answers "which
+  * corpus version am I serving?" — paired with a tag-pinned stream
+  * (q144) this gives end-to-end reproducible retrieval: the same tag
+  * names the corpus state, the training input, and the serving index's
+  * lineage. Appends/removals advance the index CONTENT past the pin
+  * (the pin describes the build; a scheduled rebuild re-pins).
+  */
+final case class CorpusProvenance(table: String, snapshotId: Long,
+    tag: Option[String] = None)
 
 /** Persistent IVF-PQ serving index over the lakehouse (the FAISS IVFPQ
   * architecture, Jégou et al. TPAMI 2011, made restart-durable):
@@ -75,23 +92,41 @@ object AnnIndex {
   private def modelRoot(root: String, v: Long) = s"$root/model.v$v"
   private def codesRoot(root: String, v: Long) = s"$root/codes.v$v"
 
-  /** The published index version, or None before the first publish. */
-  private[lakehouse] def currentVersion(root: String): Option[Long] = {
+  /** The pointer body: live version + the build's corpus provenance.
+    * Options keep pre-provenance pointers parsing unchanged.
+    */
+  private final case class IndexPointer(version: Long,
+      provenance: Option[CorpusProvenance] = None)
+
+  private implicit val ptrFormats: org.json4s.Formats =
+    org.json4s.DefaultFormats
+
+  private def readPointer(root: String): Option[IndexPointer] = {
     val p = pointerPath(root)
     if (!Files.exists(p)) None
     else {
       val s = Files.readString(p)
-      val m = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(s).getOrElse(
-        throw new IllegalStateException(s"corrupt index pointer at $p: $s"))
-      Some(m.group(1).toLong)
+      try Some(org.json4s.jackson.Serialization.read[IndexPointer](s))
+      catch { case e: Exception =>
+        throw new IllegalStateException(s"corrupt index pointer at $p: $s", e) }
     }
   }
 
+  /** The published index version, or None before the first publish. */
+  private[lakehouse] def currentVersion(root: String): Option[Long] =
+    readPointer(root).map(_.version)
+
+  /** The corpus pin recorded at the live version's publish, if any. */
+  def provenance(root: String): Option[CorpusProvenance] =
+    readPointer(root).flatMap(_.provenance)
+
   /** Atomic publish: temp file + single ATOMIC_MOVE of the pointer. */
-  private def publish(root: String, v: Long): Unit = {
+  private def publish(root: String, v: Long,
+      prov: Option[CorpusProvenance] = None): Unit = {
     Files.createDirectories(Paths.get(root))
     val tmp = Paths.get(root, s"INDEX.json.tmp-$v")
-    Files.writeString(tmp, s"""{"version": $v}""")
+    Files.writeString(tmp,
+      org.json4s.jackson.Serialization.write(IndexPointer(v, prov)))
     Files.move(tmp, pointerPath(root),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -143,14 +178,41 @@ object AnnIndex {
     * codeword-literal argmax; the only corpus-sized motion is the
     * partitioned parquet write of the code rows themselves.
     */
-  def build(spark: SparkSession, embeddings: DataFrame, root: String): AnnIndexHandle = {
+  def build(spark: SparkSession, embeddings: DataFrame, root: String,
+      provenance: Option[CorpusProvenance] = None): AnnIndexHandle = {
     val v = stageVersion(spark, embeddings, root)
     // the commit: one atomic pointer replace — a crash any time before
     // this line leaves the previous version serving; any time after,
     // the new one. There is no in-between.
-    publish(root, v)
+    publish(root, v, provenance)
     gcVersions(root, keepFrom = v - 1) // previous version survives for in-flight readers
     load(spark, root)
+  }
+
+  /** [[build]] pinned to a CORPUS VERSION: train on lakehouse table
+    * `corpusRoot` exactly as of `tag` / `snapshotId` (default: the
+    * current head, still pinned to its id) and record that pin in the
+    * index pointer. The corpus advancing after the build never leaks
+    * into training (snapshot isolation), and [[load]]/[[provenance]]
+    * read the lineage back — the reproducible-retrieval composition
+    * with tag-pinned streams (q144/q146).
+    */
+  def buildFromCorpus(spark: SparkSession, corpusRoot: String, root: String,
+      tag: Option[String] = None,
+      snapshotId: Option[Long] = None): AnnIndexHandle = {
+    require(tag.isEmpty || snapshotId.isEmpty,
+      "tag and snapshotId are mutually exclusive corpus pins")
+    val corpus = new LakehouseTable(spark, corpusRoot)
+    val snap = tag.map(corpus.snapshotForTag)
+      .orElse(snapshotId.map(corpus.snapshotOrThrow))
+      .orElse(corpus.currentSnapshot())
+      .getOrElse(throw new IllegalStateException(
+        s"corpus table $corpusRoot has no snapshots"))
+    require(snap.branch.isEmpty,
+      s"corpus snapshot ${snap.snapshotId} belongs to branch " +
+        s"'${snap.branch.get}' — train on published corpus state only")
+    build(spark, corpus.scanAtSnapshot(snap.snapshotId), root,
+      provenance = Some(CorpusProvenance(corpusRoot, snap.snapshotId, tag)))
   }
 
   /** Train + durably write the NEXT version's (model, codes) tables
@@ -195,8 +257,9 @@ object AnnIndex {
     * scan handle on the codes table. No training jobs, no corpus scan.
     */
   def load(spark: SparkSession, root: String): AnnIndexHandle = {
-    val v = currentVersion(root).getOrElse(throw new IllegalStateException(
+    val ptr = readPointer(root).getOrElse(throw new IllegalStateException(
       s"no published index at $root (missing ${pointerPath(root)})"))
+    val v = ptr.version
     val rows = new LakehouseTable(spark, modelRoot(root, v)).read()
       .select(col("kind"), col("sub"), col("cid"), col("vec")).collect()
     // centroid norms re-derive with training's exact fold — floats
@@ -212,7 +275,9 @@ object AnnIndex {
         .map(r => (r.getInt(2), r.getSeq[Float](3).toArray))
         .sortBy(_._1).toIndexedSeq
     }
-    AnnIndexHandle(cv, books, new LakehouseTable(spark, codesRoot(root, v)).read())
+    AnnIndexHandle(cv, books,
+      new LakehouseTable(spark, codesRoot(root, v)).read(),
+      provenance = ptr.provenance)
   }
 
   /** Incremental encode-on-append: assign + residualize + encode the

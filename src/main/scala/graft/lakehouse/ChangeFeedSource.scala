@@ -68,7 +68,21 @@ final class ChangeFeedSource(sqlContext: SQLContext, root: String,
       * replicate end-to-end with no manual downstream DDL. Off by
       * default (the plain feed's schema is unchanged).
       */
-    emitSchemaChanges: Boolean = false)
+    emitSchemaChanges: Boolean = false,
+    /** Stream-start pins, raw option strings (the readStream.table
+      * triple, q144, on the changefeed face — with the CHANGEFEED's own
+      * semantics): a FRESH checkpoint starts at the pinned snapshot and
+      * delivers CHANGES after it — no head-state bootstrap — exactly
+      * what `startingSnapshot` means on this provider's batch face, and
+      * the "replica already holds release X, stream me everything
+      * since" replication shape (the state-bootstrap form lives on
+      * readStream.table's startingTag). Resolved LAZILY — a committed
+      * offset always wins, so a tag dropped after the stream first
+      * started can never wedge a restart.
+      */
+    startingVersionOpt: Option[String] = None,
+    startingTimestampOpt: Option[String] = None,
+    startingTagOpt: Option[String] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -78,8 +92,31 @@ final class ChangeFeedSource(sqlContext: SQLContext, root: String,
     s"maxFilesPerTrigger must be positive, got $maxFilesPerTrigger")
   require(maxBytesPerTrigger.forall(_ > 0),
     s"maxBytesPerTrigger must be positive, got $maxBytesPerTrigger")
+  require(Seq(startingVersionOpt, startingTimestampOpt, startingTagOpt)
+    .count(_.isDefined) <= 1,
+    "startingVersion / startingTimestamp / startingTag are mutually exclusive")
 
   private val table = new LakehouseTable(sqlContext.sparkSession, root)
+
+  /** The pinned bootstrap snapshot (see the constructor doc); branch
+    * snapshots refuse — a main feed cannot start from unpublished state.
+    */
+  @transient private lazy val startSnapshot: Option[Long] = {
+    val resolved = startingVersionOpt.map(x => table.snapshotOrThrow(
+        scala.util.Try(x.trim.toLong).getOrElse(throw new IllegalArgumentException(
+          s"startingVersion must be a snapshot id, got '$x'"))))
+      .orElse(startingTimestampOpt.map { x =>
+        val ms = scala.util.Try(x.trim.toLong).getOrElse(
+          java.sql.Timestamp.valueOf(x.trim).getTime)
+        table.snapshotAsOf(ms)
+      })
+      .orElse(startingTagOpt.map(g => table.snapshotForTag(g)))
+    resolved.foreach(sn => require(sn.branch.isEmpty,
+      s"stream-start snapshot ${sn.snapshotId} belongs to branch " +
+        s"'${sn.branch.get}' — a change feed cannot start from unpublished " +
+        "state; publish the branch first"))
+    resolved.map(_.snapshotId)
+  }
 
   override val schema: StructType =
     ChangeFeedSource.feedSchema(table, withDdl = emitSchemaChanges)
@@ -163,6 +200,13 @@ final class ChangeFeedSource(sqlContext: SQLContext, root: String,
     val head = availableNowHead.orElse(table.currentSnapshot().map(_.snapshotId))
       .getOrElse(return null)
     Option(start).map(o => ChangeFeedSource.parsePos(o.json)) match {
+      case None if startSnapshot.isDefined =>
+        // pinned cold start: behave as if the pin were the committed
+        // offset — the first batch is changesBetween(pin, clamped end),
+        // never a state bootstrap (the batch face's startingSnapshot
+        // contract; the state-bootstrap pin is readStream.table's)
+        val pin = startSnapshot.get
+        LongOffset(math.max(incrementalEnd(pin, head), pin))
       case None =>
         // cold start: with a snapshot cap, bootstrap from the earliest
         // retained snapshot and drain forward N at a time; otherwise
@@ -217,6 +261,12 @@ final class ChangeFeedSource(sqlContext: SQLContext, root: String,
     val (parts, ddlRange): (Seq[DataFrame], Option[(Long, Long)]) =
       (start.map(o => parsePos(o.json)), parsePos(end.json)) match {
         case (None, Right((s, k))) => (Seq(bootSlice(s, 0L, k)), None)
+        case (None, Left(e)) if startSnapshot.isDefined =>
+          // pinned cold start: the first batch is the changes AFTER the
+          // pin (empty when the head hasn't moved past it yet)
+          val pin = startSnapshot.get
+          if (e > pin) (Seq(table.changesBetween(pin, e)), Some((pin, e)))
+          else (Seq(table.read().filter(lit(false)).withColumn("_change", lit(""))), None)
         case (None, Left(e)) =>
           (Seq(table.scanAtSnapshot(e).withColumn("_change", lit("insert"))), None)
         case (Some(Right((s1, k1))), Right((s2, k2))) =>
@@ -476,6 +526,29 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
   private def boolOpt(parameters: Map[String, String], name: String): Boolean =
     LakehouseSource.boolOpt(parameters, name)
 
+  private def strOpt(parameters: Map[String, String], name: String): Option[String] =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+
+  /** The batch face's starting pin: `startingSnapshot` (id), or —
+    * round-14 symmetry with the stream pins — `startingTag` /
+    * `startingTimestamp`, each resolved to the snapshot it names so
+    * `changesBetween(pin, end)` reads "everything since that release".
+    */
+  private def startingIdOf(t: LakehouseTable,
+      parameters: Map[String, String]): Option[Long] = {
+    val sid = longOpt(parameters, "startingSnapshot")
+    val tag = strOpt(parameters, "startingTag")
+    val ts = strOpt(parameters, "startingTimestamp")
+    require(Seq(sid, tag, ts).count(_.isDefined) <= 1,
+      "startingSnapshot / startingTag / startingTimestamp are mutually exclusive")
+    sid.orElse(tag.map(g => t.snapshotForTag(g).snapshotId))
+      .orElse(ts.map { x =>
+        val ms = scala.util.Try(x.trim.toLong).getOrElse(
+          java.sql.Timestamp.valueOf(x.trim).getTime)
+        t.snapshotAsOf(ms).snapshotId
+      })
+  }
+
   override def createRelation(
       sqlContext: SQLContext,
       parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
@@ -484,7 +557,7 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
       .orElse(t.currentSnapshot().map(_.snapshotId))
       .getOrElse(throw new IllegalStateException(
         s"change-feed read requires a table with at least one snapshot"))
-    val changes = longOpt(parameters, "startingSnapshot") match {
+    val changes = startingIdOf(t, parameters) match {
       case Some(s) if s >= endId =>
         t.scanAtSnapshot(endId).filter(lit(false)).withColumn("_change", lit(""))
       case Some(s) => t.changesBetween(s, endId)
@@ -519,5 +592,8 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
       maxSnapshotsPerTrigger = longOpt(parameters, "maxSnapshotsPerTrigger"),
       maxFilesPerTrigger = longOpt(parameters, "maxFilesPerTrigger"),
       maxBytesPerTrigger = longOpt(parameters, "maxBytesPerTrigger"),
-      emitSchemaChanges = boolOpt(parameters, "emitSchemaChanges"))
+      emitSchemaChanges = boolOpt(parameters, "emitSchemaChanges"),
+      startingVersionOpt = strOpt(parameters, "startingVersion"),
+      startingTimestampOpt = strOpt(parameters, "startingTimestamp"),
+      startingTagOpt = strOpt(parameters, "startingTag"))
 }

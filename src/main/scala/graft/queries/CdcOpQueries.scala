@@ -1502,6 +1502,62 @@ object CdcOpQueries {
         (9950003L, s"rebased:$rebasedOk"), (9950004L, s"keyed_refused:$refused"),
         (9950005L, s"ops:$ops")))
         .toDF("k", "nm").orderBy(col("k"), col("nm"))
+    }),
+    // ---- changefeed-from-tag (round 14): the replication shape where
+    //      the replica ALREADY HOLDS a pinned release — `format("graft-
+    //      changefeed").option("startingTag", ...)` starts the stream
+    //      at the tagged snapshot and delivers CHANGES after it (the
+    //      batch face's startingSnapshot contract; never a state
+    //      bootstrap), keyed-applied into the replica; a restart on the
+    //      same checkpoint ignores the pin (committed offset wins) and
+    //      delivers only the new commit. ----
+    "q146_changefeed_from_tag" -> ((s, dir) => {
+      import s.implicits._
+      val nation = graft.Tables.load(s, dir, "nation").select(
+        col("n_nationkey").as("nationkey"), col("n_name").as("name"),
+        col("n_regionkey").as("rk"))
+      val rootA = java.nio.file.Files.createTempDirectory("graft-q146a").toString
+      val rootB = java.nio.file.Files.createTempDirectory("graft-q146b").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-q146ck").toString
+      val a = new LakehouseTable(s, rootA)
+      a.append(nation.filter(col("rk") < 3).repartition(2)) // snap 1: the release
+      a.setTag("rel", a.currentSnapshot().get.snapshotId)
+      // the replica is pre-seeded with the tagged release out of band
+      // (a snapshot export) — exactly why it wants changes-only
+      val b = new LakehouseTable(s, rootB)
+      b.append(a.scanAtSnapshot(1L))
+      // the source advances past the release
+      a.upsert(nation.filter(col("rk") === 1)
+        .withColumn("name", concat(col("name"), lit("_V2"))), Seq("nationkey")) // snap 2
+      a.append(nation.filter(col("rk") >= 3)) // snap 3
+      val delivered = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-changefeed").option("path", rootA)
+          .option("startingTag", "rel").load()
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+            delivered.synchronized { delivered += ((bid, df.count())) }
+            b.applyChanges(df, Seq("nationkey"), txn = Some(("q146", bid)))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        require(q.awaitTermination(180000), "q146 drain did not finish")
+      }
+      drain() // changes AFTER the tag: upsert's delete+insert pairs + the append
+      a.append(Seq((991, "late_a", 9), (992, "late_b", 9))
+        .toDF("nationkey", "name", "rk").coalesce(1)) // snap 4
+      drain() // restart: the pin is inert, only snap 4 arrives
+      val d = delivered.filter(_._2 > 0L).toSeq
+      val rows = b.read().select("nationkey", "name", "rk")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+      Seq(rootA, rootB, ckpt).foreach(p =>
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(p)))
+      (rows ++ Seq(
+        (990001, s"delivered_changes_only:${d.head._2}", -1),
+        (990002, s"delivered_after_restart:${d.last._2}", -1),
+        (990003, s"nonempty_batches:${d.size}", -1)))
+        .toDF("nationkey", "name", "rk")
+        .orderBy(col("nationkey"), col("name"))
     })
   )
 
@@ -2047,6 +2103,28 @@ object CdcOpQueries {
         UNION ALL SELECT 9950004, 'keyed_refused:1'
         UNION ALL SELECT 9950005,
           'ops:create,append,append@wap,append@wap,publish,append@wap,append,publish,upsert@wap,append')
-      ORDER BY k, nm"""
+      ORDER BY k, nm""",
+    // q146: the replica ends at the source head (rk<3 seeded, rk=1
+    // renamed by the replicated upsert, rk>=3 and the late pair
+    // replicated); the zz rows pin that drain 1 delivered ONLY the
+    // post-tag changes (delete+insert per upserted key + the appended
+    // rows — never the tagged state) and drain 2 only the new commit.
+    "q146_changefeed_from_tag" -> """
+      WITH nat AS (SELECT CAST(n_nationkey AS INT) AS nationkey, n_name AS name,
+                          CAST(n_regionkey AS INT) AS rk FROM nation),
+      head AS (
+        SELECT nationkey,
+               CASE WHEN rk = 1 THEN name || '_V2' ELSE name END AS name, rk
+        FROM nat
+        UNION ALL SELECT 991, 'late_a', 9
+        UNION ALL SELECT 992, 'late_b', 9)
+      SELECT nationkey, name, rk FROM (
+        SELECT nationkey, name, rk FROM head
+        UNION ALL SELECT 990001, 'delivered_changes_only:' ||
+          CAST(2 * (SELECT count(*) FROM nat WHERE rk = 1)
+               + (SELECT count(*) FROM nat WHERE rk >= 3) AS VARCHAR), -1
+        UNION ALL SELECT 990002, 'delivered_after_restart:2', -1
+        UNION ALL SELECT 990003, 'nonempty_batches:2', -1)
+      ORDER BY nationkey, name"""
   )
 }

@@ -1131,6 +1131,56 @@ object LlmSimQueries {
       e2.unpersist()
       out.orderBy(col("q_id"), col("rk"))
     }),
+    // ---- index × corpus versioning (round 14, q114 family): build the
+    //      persisted IVF-PQ index FROM a lakehouse corpus table pinned
+    //      at a release TAG; the pin is recorded in the index pointer,
+    //      a fresh-session load reads the lineage back, time travel to
+    //      the recorded snapshot reproduces exactly the training input
+    //      (the corpus advancing past the release never leaks into the
+    //      index), and the reloaded index serves the full query set —
+    //      end-to-end reproducible retrieval with q144/q146's pinned
+    //      streams. ----
+    "q147_ann_provenance" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val corpusRoot = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_anncorp_" + Integer.toHexString(dir.hashCode)).toString
+      val idxRoot = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_annprov_" + Integer.toHexString(dir.hashCode)).toString
+      Seq(corpusRoot, idxRoot).foreach(p =>
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(p)))
+      val corpus = new graft.lakehouse.LakehouseTable(s, corpusRoot)
+      corpus.append(Tables.load(s, dir, "embeddings").repartition(2)) // snap 1
+      corpus.setTag("corpus-v1", 1L)
+      graft.lakehouse.AnnIndex.buildFromCorpus(
+        s, corpusRoot, idxRoot, tag = Some("corpus-v1"))
+      // the corpus advances past the release — invisible to the index
+      corpus.append(Seq((900001L, Seq.fill(AnnDim)(0.25f), 0))
+        .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>")).coalesce(1)) // snap 2
+      val s2 = s.newSession()
+      graft.functions.GraftFunctions.register(s2)
+      val idx = graft.lakehouse.AnnIndex.load(s2, idxRoot)
+      val prov = idx.provenance.getOrElse(
+        sys.error("q147: the reloaded index lost its corpus provenance"))
+      val pinned = new graft.lakehouse.LakehouseTable(s2, prov.table)
+        .scanAtSnapshot(prov.snapshotId).collect().length
+      val now = new graft.lakehouse.LakehouseTable(s2, prov.table)
+        .read().collect().length
+      val e2 = Tables.load(s2, dir, "embeddings")
+        .withColumn("nrm", sqrt(sqnorm("embedding"))).cache()
+      val served = ivfpqServe(s2, e2, idx.centroids, idx.books, idx.codes).count()
+      e2.unpersist()
+      Seq(
+        ("built_on_snapshot", prov.snapshotId.toString),
+        ("corpus_rows_at_pin", pinned.toString),
+        ("corpus_rows_now", now.toString),
+        ("served_rows", served.toString),
+        ("tag", prov.tag.getOrElse("-")))
+        .toDF("step", "v").orderBy(col("step"))
+    }),
     // ---- embedding near-dup, production path: sign-LSH candidates +
     //      exact re-check. Same output contract (and DuckDB all-pairs
     //      oracle) as the q50 baseline, but the pair space is
@@ -1618,6 +1668,19 @@ object LlmSimQueries {
     // build → persist → fresh-session reload → serve must be lossless:
     // the reloaded index serves the exact q111 answer
     "q114_ann_index_reuse" -> ivfpqOracleSql,
+    // q147: the provenance pin (snapshot 1, the tag), the pinned-vs-now
+    // corpus counts, and the reloaded index serving the full query set
+    // (PqQueryCount queries × top-5).
+    "q147_ann_provenance" -> s"""
+      SELECT step, v FROM (
+        SELECT 'built_on_snapshot' AS step, '1' AS v
+        UNION ALL SELECT 'corpus_rows_at_pin',
+          CAST((SELECT count(*) FROM embeddings) AS VARCHAR)
+        UNION ALL SELECT 'corpus_rows_now',
+          CAST((SELECT count(*) FROM embeddings) + 1 AS VARCHAR)
+        UNION ALL SELECT 'served_rows', '${PqQueryCount * 5}'
+        UNION ALL SELECT 'tag', 'corpus-v1')
+      ORDER BY step""",
     "q116_ann_index_incremental" -> ivfpqIncrementalOracleSql,
     "q122_ann_index_remove" -> ivfpqRemovalOracleSql,
     // same trained cells as q63 (shared CTE chain), SemDeDup pruning tail

@@ -43,6 +43,43 @@ class AnnIndexSpec extends SparkSpec {
 
   private def emb = Tables.load(spark, sf, "embeddings")
 
+  test("buildFromCorpus pins the corpus version, records provenance, and never sees later corpus commits") {
+    import spark.implicits._
+    val corpusRoot = tmpDir("ann-prov-corpus")
+    val idxRoot = tmpDir("ann-prov-idx")
+    val corpus = new LakehouseTable(spark, corpusRoot)
+    corpus.append(emb.repartition(2)) // snap 1: the release
+    corpus.setTag("corpus-v1", 1L)
+    val built = AnnIndex.buildFromCorpus(spark, corpusRoot, idxRoot,
+      tag = Some("corpus-v1"))
+    assert(built.provenance ===
+      Some(CorpusProvenance(corpusRoot, 1L, Some("corpus-v1"))))
+    // the corpus advances past the release — invisible to the index
+    corpus.append(Seq((900001L, Seq.fill(LlmSimQueries.AnnDim)(0.25f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>")).coalesce(1)) // snap 2
+    val reloaded = AnnIndex.load(spark, idxRoot)
+    val prov = reloaded.provenance.get
+    assert(prov === CorpusProvenance(corpusRoot, 1L, Some("corpus-v1")))
+    // the lineage is actionable: time travel to the recorded snapshot
+    // reproduces EXACTLY the training input, not the advanced head
+    val t = new LakehouseTable(spark, prov.table)
+    assert(t.scanAtSnapshot(prov.snapshotId).collect().length ===
+      emb.collect().length)
+    assert(t.read().collect().length === emb.collect().length + 1)
+    // the index content matches the pin too: the post-pin vector is
+    // not in the codes table
+    assert(reloaded.codes.filter(col("vec_id") === 900001L).collect().isEmpty)
+    // a plain build keeps None; an OLD pointer (no provenance field)
+    // parses as None — pre-round-14 indexes load unchanged
+    val bare = AnnIndex.build(spark, emb, tmpDir("ann-prov-bare"))
+    assert(bare.provenance.isEmpty)
+    val ptr = java.nio.file.Paths.get(idxRoot, "INDEX.json")
+    java.nio.file.Files.writeString(ptr, """{"version": 1}""")
+    assert(AnnIndex.load(spark, idxRoot).provenance.isEmpty)
+    assert(AnnIndex.provenance(idxRoot).isEmpty)
+  }
+
   test("build trains; load+serve runs zero training jobs and matches the build-session answer") {
     val root = tmpDir("annidx")
     val (built, buildTrainJobs) = countTrainJobs(AnnIndex.build(spark, emb, root))

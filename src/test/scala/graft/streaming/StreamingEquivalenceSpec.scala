@@ -1268,6 +1268,68 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(e.getMessage.contains("nope") || e.getCause != null, e.getMessage)
   }
 
+  test("changefeed startingTag: a fresh stream delivers CHANGES after the pin, never a bootstrap; checkpoint wins on restart") {
+    import spark.implicits._
+    import graft.lakehouse.LakehouseTable
+    val t = new LakehouseTable(spark, tmpDir("cf-stv"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)) // snap 1
+    t.setTag("rel", 1L)
+    t.applyChanges(Seq((2L, "b2", "insert"), (1L, "a", "delete"))
+      .toDF("id", "v", "_change"), Seq("id")) // snap 2: update 2, delete 1
+    t.append(Seq((3L, "c")).toDF("id", "v").coalesce(1)) // snap 3
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String)]]
+    def drain(ckpt: String, opts: (String, String)*): Unit = {
+      var r = spark.readStream.format("graft-changefeed").option("path", t.root)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load()
+        .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.select("id", "_change").collect()
+            .map(x => (x.getLong(0), x.getString(1))).toSeq.sorted
+          batches.synchronized { if (rows.nonEmpty) batches += rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000)); ()
+    }
+    // fresh stream from the tag: ONLY the post-tag changes arrive —
+    // the update's delete+insert pair, the bare delete, the append —
+    // never snapshot 1's state as a bootstrap
+    val ckpt = tmpDir("cf-stv-ckpt")
+    drain(ckpt, "startingTag" -> "rel")
+    assert(batches.flatten.toSet ===
+      Set((1L, "delete"), (2L, "delete"), (2L, "insert"), (3L, "insert")),
+      s"changes after the tag only: $batches")
+    // restart on the same checkpoint: the pin is inert, the committed
+    // offset wins — only the new commit arrives
+    batches.clear()
+    t.append(Seq((4L, "d")).toDF("id", "v").coalesce(1)) // snap 4
+    drain(ckpt, "startingTag" -> "rel")
+    assert(batches.flatten.toSet === Set((4L, "insert")), s"got $batches")
+    // startingVersion / startingTimestamp are the same pin by id/time;
+    // the three are mutually exclusive
+    batches.clear()
+    drain(tmpDir("cf-stv-ckpt2"), "startingVersion" -> "3")
+    assert(batches.flatten.toSet === Set((4L, "insert")), s"got $batches")
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-changefeed").option("path", t.root)
+        .option("startingTag", "rel").option("startingVersion", "1").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmpDir("cf-stv-ckpt3"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        .awaitTermination(120000)
+    }
+    assert(e.getMessage.contains("mutually exclusive") ||
+      Option(e.getCause).exists(_.getMessage.contains("mutually exclusive")),
+      e.getMessage)
+    // the BATCH face takes the tag pin too (symmetry): changes since
+    // the release, bounded by endingSnapshot if given
+    val batch = spark.read.format("graft-changefeed").option("path", t.root)
+      .option("startingTag", "rel").option("endingSnapshot", "3").load()
+      .select("id", "_change").collect().map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(batch === Set((1L, "delete"), (2L, "delete"), (2L, "insert"), (3L, "insert")))
+  }
+
   test("readStream.table: a LIVE mid-stream upstream ADD fails loudly; restart re-pins and redelivers the values") {
     import spark.implicits._
     import graft.lakehouse.LakehouseTable
