@@ -61,52 +61,54 @@ final class LakehouseSink(
     // with no manual DDL. Application is idempotent (a crash-replayed
     // batch skips already-applied records structurally), so
     // exactly-once holds without the records entering the txn ledger.
-    // The batch is CACHED for the channel's extra pass (the DDL-row
-    // collect would otherwise re-evaluate the whole diff plan).
+    // The record collect is a COLUMN-PRUNED extra pass over the batch
+    // (two tiny columns): this replaces the former whole-batch
+    // `.cache()` — at scale, pinning a full micro-batch in executor
+    // memory to save one narrow pass was the wrong trade, and the
+    // keyed apply below caches its own input for its multi-job merge
+    // anyway. (Keyless DDL streams don't reach this sink at all any
+    // more — the DSv2 face diverts the records through its commit
+    // messages in ONE pass; see [[LakehouseDsv2Write]].)
     // DDL mode needs BOTH channel markers — the `_ddl` record column
     // AND the `_change` tag its rows are stamped with — so an ordinary
     // stream that merely has a user column named `_ddl` is not
     // misrouted into schema application
     val ddlMode = fresh0.columns.contains("_ddl") && fresh0.columns.contains("_change")
-    val cached = if (ddlMode) fresh0.cache() else fresh0
-    try {
-      val fresh =
-        if (!ddlMode) cached
-        else {
-          import org.apache.spark.sql.functions.col
-          val ddl = cached
-            .filter(col("_change") === "schema" && col("_ddl").isNotNull)
-            .select("_ddl").collect().map(_.getString(0))
-            .sortBy(DdlRecord.seqOf)
-          ddl.foreach(table.applySchemaChange)
-          // null-safe: only rows POSITIVELY tagged 'schema' are records
-          val data0 = cached.filter(
-            org.apache.spark.sql.functions.not(col("_change") <=> "schema")).drop("_ddl")
-          // under the channel the TARGET SCHEMA is authoritative: a
-          // batch column the target doesn't declare is a column the
-          // DDL history dropped (the pinned upstream stream keeps
-          // sending it as NULL — even after a downstream compaction
-          // cleared the dropped registry, it must NOT re-enter as an
-          // additive column and diverge the replica's schema)
-          table.currentSnapshot() match {
-            case Some(snap) =>
-              val declared = org.apache.spark.sql.types.DataType
-                .fromJson(snap.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
-                .fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-              val aliases = snap.aliases.flatMap { case (_, olds) =>
-                olds.map(_.name.toLowerCase(java.util.Locale.ROOT)) }.toSet
-              data0.columns
-                .filterNot(c => c == "_change" ||
-                  declared(c.toLowerCase(java.util.Locale.ROOT)) ||
-                  aliases(c.toLowerCase(java.util.Locale.ROOT)))
-                .foldLeft(data0)((d, c) => d.drop(c))
-            case None => data0 // first batch auto-creates the target
-          }
+    val fresh =
+      if (!ddlMode) fresh0
+      else {
+        import org.apache.spark.sql.functions.col
+        val ddl = fresh0
+          .select("_change", "_ddl")
+          .filter(col("_change") === "schema" && col("_ddl").isNotNull)
+          .select("_ddl").collect().map(_.getString(0))
+          .sortBy(DdlRecord.seqOf)
+        ddl.foreach(table.applySchemaChange)
+        // null-safe: only rows POSITIVELY tagged 'schema' are records
+        val data0 = fresh0.filter(
+          org.apache.spark.sql.functions.not(col("_change") <=> "schema")).drop("_ddl")
+        // under the channel the TARGET SCHEMA is authoritative: a
+        // batch column the target doesn't declare is a column the
+        // DDL history dropped (the pinned upstream stream keeps
+        // sending it as NULL — even after a downstream compaction
+        // cleared the dropped registry, it must NOT re-enter as an
+        // additive column and diverge the replica's schema)
+        table.currentSnapshot() match {
+          case Some(snap) =>
+            val declared = org.apache.spark.sql.types.DataType
+              .fromJson(snap.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
+              .fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+            val aliases = snap.aliases.flatMap { case (_, olds) =>
+              olds.map(_.name.toLowerCase(java.util.Locale.ROOT)) }.toSet
+            data0.columns
+              .filterNot(c => c == "_change" ||
+                declared(c.toLowerCase(java.util.Locale.ROOT)) ||
+                aliases(c.toLowerCase(java.util.Locale.ROOT)))
+              .foldLeft(data0)((d, c) => d.drop(c))
+          case None => data0 // first batch auto-creates the target
         }
-      addBatchInner(batchId, fresh)
-    } finally {
-      if (ddlMode) { cached.unpersist(); () }
-    }
+      }
+    addBatchInner(batchId, fresh)
   }
 
   private def addBatchInner(batchId: Long, fresh: DataFrame): Unit = {

@@ -670,6 +670,25 @@ private[lakehouse] final class LakehouseV2Table(
         if (options.keys.exists(_.equalsIgnoreCase("graft.catalogTable"))) {
           caps.add(TableCapability.OVERWRITE_DYNAMIC)
           caps.add(TableCapability.BATCH_WRITE)
+          // round 14: catalog tables are FULLY DSv2 on the write side —
+          // V1_BATCH_WRITE must go, because the planner gives it
+          // priority over BATCH_WRITE (a table declaring it must hand
+          // back V1Writes); with it gone, INSERT INTO / CTAS / INSERT
+          // OVERWRITE / keyed writeTo all plan the v2 execs over
+          // [[LakehouseDsv2Write]]'s executor-side writers
+          caps.remove(TableCapability.V1_BATCH_WRITE)
+        }
+        // round 14: the DSv2 STREAMING write face serves the KEYLESS
+        // append stream (executor-side writers + the offset-aware
+        // epoch-marked commit — see [[LakehouseDsv2Write]]). Keyed /
+        // merge-on-read streams stay on the V1 sink (their merges are
+        // multi-job DataFrame computations, not per-partition writers),
+        // and a snapshot-less root keeps V1 too: its first batch
+        // auto-creates the table, later restarts ride DSv2.
+        if (tableSchema.fields.nonEmpty &&
+            LakehouseSource.colListOf(options, "keys").isEmpty &&
+            !LakehouseSource.boolOpt(options, "mergeOnRead")) {
+          caps.add(TableCapability.STREAMING_WRITE)
         }
         caps
     }
@@ -738,6 +757,52 @@ private[lakehouse] final class LakehouseV2Table(
               "graft-lakehouse dynamic partition overwrite plans through the " +
                 "DML strategy — configure the table's catalog (which installs " +
                 "it) or use LakehouseTable.overwriteDynamic")
+        }
+        // the DSv2 write face (round 14): executor-side parquet
+        // writers, one metadata-only commit. CATALOG tables (real
+        // BATCH_WRITE, V1_BATCH_WRITE dropped) take it for EVERY batch
+        // shape — append / CTAS / full and filter overwrite / keyed
+        // writeTo — each as a commit mode over the same writers. The
+        // PATH face keeps V1 batch writes (V1_BATCH_WRITE +
+        // CreatableRelationProvider) while its keyless STREAMING rides
+        // the same DSv2 face through toStreaming.
+        val keys = LakehouseSource.colListOf(writeOpts, "keys")
+        val mor = writeOpts.exists { case (k, v) =>
+          k.equalsIgnoreCase("mergeOnRead") && v.trim.equalsIgnoreCase("true") }
+        if (options.keys.exists(_.equalsIgnoreCase("graft.catalogTable"))) {
+          val mode =
+            if (doTruncate) Dsv2CommitMode.Truncate
+            else if (overwriteBy.isDefined) Dsv2CommitMode.OverwriteBy(overwriteBy.get)
+            else if (keys.nonEmpty) Dsv2CommitMode.Keyed(keys, mor)
+            else Dsv2CommitMode.Append
+          return new LakehouseDsv2Write(
+            LakehouseSource.rootOf(options), writeOpts, info.schema(), mode)
+        }
+        if (!doTruncate && overwriteBy.isEmpty && keys.isEmpty && !mor) {
+          val dsv2 = new LakehouseDsv2Write(
+            LakehouseSource.rootOf(options), writeOpts, info.schema())
+          return new org.apache.spark.sql.connector.write.V1Write {
+            override def toInsertableRelation
+                : org.apache.spark.sql.sources.InsertableRelation =
+              new org.apache.spark.sql.sources.InsertableRelation {
+                override def insert(data: org.apache.spark.sql.DataFrame,
+                    overwrite: Boolean): Unit = {
+                  val t = new LakehouseTable(data.sparkSession,
+                    LakehouseSource.rootOf(options),
+                    optimizeWrite = LakehouseSource.boolOpt(writeOpts, "optimizeWrite"),
+                    optimizeWriteTargetBytes =
+                      LakehouseSource.longOptOf(writeOpts, "optimizeWriteTargetBytes"))
+                  if (overwrite) { t.overwrite(data); () }
+                  else {
+                    t.append(data, LakehouseSource.colListOf(writeOpts, "partitionBy"))
+                    ()
+                  }
+                }
+              }
+            override def toStreaming
+                : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+              dsv2.toStreaming
+          }
         }
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =

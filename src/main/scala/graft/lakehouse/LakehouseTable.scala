@@ -658,6 +658,254 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     sys.error("unreachable: loop exits only by return/throw")
   }
 
+  // ---------------- DSv2 executor-write primitives ----------------
+
+  /** Absolute table root, for executor-side writers. */
+  private[lakehouse] def rootAbsPath: String = rootPath.toAbsolutePath.toString
+
+  /** Claim a data-dir name for a DSv2 write: the next version id (the
+    * origin the dir digits record — the same claim-then-maybe-rebase
+    * discipline as [[appendWith]]) plus a per-write nonce so two
+    * claimants can never clobber each other's uncommitted files.
+    */
+  private[lakehouse] def claimWriteDir(tag: String): (Long, String) = {
+    val id = nextId()
+    (id, s"s$id-$tag-w${java.util.UUID.randomUUID().toString.take(8)}")
+  }
+
+  /** The canonicalization rules of [[canonicalizedNamesAt]] as a COLUMN
+    * PLAN the DSv2 executors run without a DataFrame: dropped columns
+    * (and their former names) discard, former names land under the
+    * current spelling, narrower batch columns cast UP to the declared
+    * type, and head-confirmed field ids stamp (`stampIds`).
+    */
+  private[lakehouse] def writeColumnPlan(head: Option[Snapshot],
+      query: StructType, stampIds: Boolean): Seq[WriteColPlan] = head match {
+    case None =>
+      query.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        WriteColPlan(i, f.name, f.dataType, f.dataType, None)
+      }
+    case Some(cur) =>
+      val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+      val canon = schema.fieldNames.map(n => nameKey(n) -> n).toMap
+      val aliasCanon = cur.aliases.flatMap { case (current, olds) =>
+        olds.map(a => nameKey(a.name) -> current)
+      }.filterNot { case (k, _) => canon.contains(k) }
+      val droppedKeys = cur.droppedCols.keySet.map(nameKey)
+      val declared = schema.fields.map(f => nameKey(f.name) -> f.dataType).toMap
+      val ids: Map[String, Int] =
+        if (!stampIds) Map.empty
+        else cur.fieldIds.map(_.ids.map { case (n, i) => nameKey(n) -> i })
+          .getOrElse(Map.empty)
+      query.fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
+        if (droppedKeys(nameKey(f.name))) None
+        else {
+          val name = canon.getOrElse(nameKey(f.name),
+            aliasCanon.getOrElse(nameKey(f.name), f.name))
+          val to = declared.get(nameKey(name)) match {
+            case Some(t) if canWiden(f.dataType, t) => t
+            case _ => f.dataType
+          }
+          Some(WriteColPlan(i, name, f.dataType, to, ids.get(nameKey(name))))
+        }
+      }
+  }
+
+  /** Commit EXECUTOR-WRITTEN files as one append snapshot — the
+    * metadata half of the DSv2 write face. Identical contract to
+    * [[appendWith]] minus the data write: cross-process REBASE on a
+    * lost publish race (the files re-commit on the new head), schema
+    * compatibility re-validated per attempt, a txn `mark` absorbed
+    * (None returned, the CALLER discards the files) when a racing
+    * replica of the same producer batch already landed, and the one
+    * genuine conflict — a raced MoR tombstone newer than this write's
+    * claimed origin — surfaced as [[ConcurrentCommitException]].
+    * `targetAuthoritative` pins the snapshot schema to the head
+    * (schema-channel mode: the DDL records are the only evolution
+    * authority) instead of evolving additively from the batch.
+    */
+  private[lakehouse] def commitWrittenFiles(newFiles: Seq[String],
+      batchSchema: StructType, claimedId: Long, mark: Option[TxnMark],
+      targetAuthoritative: Boolean): Option[Snapshot] = writeLock.synchronized {
+    var attempt = 0
+    while (attempt < LakehouseTable.MaxCommitAttempts) {
+      if (mark.exists(m => lastTxnVersion(m.appId).exists(_ >= m.version)))
+        return None // a racing replica of this exact batch already landed
+      val parent = currentSnapshot()
+      requireCompatibleSchemaFor(parent, batchSchema)
+      // a raced tombstone NEWER than this write's claimed origin would
+      // mask the new rows as if they predated it — the appendWith rule
+      if (parent.exists(_.tombstones.exists(originOf(_) > claimedId)))
+        throw new ConcurrentCommitException(root, claimedId)
+      val schemaJson =
+        if (targetAuthoritative)
+          parent.map(_.schemaJson).getOrElse(batchSchema.json)
+        else evolvedSchemaJsonFor(parent, batchSchema)
+      try {
+        return Some(writeSnapshot(Snapshot(nextId(), parent.map(_.snapshotId),
+          System.currentTimeMillis(), "append",
+          parent.map(_.files).getOrElse(Nil) ++ newFiles,
+          schemaJson, txn = mark, deletes = parent.flatMap(_.deletes))))
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt >= LakehouseTable.MaxCommitAttempts) throw e
+          Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current()
+              .nextLong(1L, math.min(128L, 4L << math.min(attempt, 5)) + 1))
+      }
+    }
+    sys.error("unreachable: loop exits only by return/throw")
+  }
+
+  /** Full-overwrite commit over EXECUTOR-WRITTEN files: the DSv2 form
+    * of [[overwrite]] — content replaced, schema reset to the batch's,
+    * registries cleared (no pre-overwrite file survives).
+    */
+  private[lakehouse] def commitOverwriteFiles(newFiles: Seq[String],
+      batchSchema: StructType): Snapshot = writeLock.synchronized {
+    writeSnapshot(Snapshot(nextId(), currentSnapshot().map(_.snapshotId),
+      System.currentTimeMillis(), "overwrite", newFiles, batchSchema.json,
+      renames = Some(Map.empty), drops = Some(Map.empty),
+      reborn = Some(Map.empty)))
+  }
+
+  /** Filter-scoped overwrite over EXECUTOR-WRITTEN files: the DSv2 form
+    * of [[overwriteWhere]] — ONE snapshot that rewrites the pruned
+    * candidates without their matching rows (NULL-condition rows
+    * survive, the DELETE rule) and adopts the staged files as the new
+    * data. Declared schema and lineage untouched (a row-set operation);
+    * lost cross-process races auto-retry like every SQL statement.
+    */
+  private[lakehouse] def commitOverwriteWhereFiles(staged: Seq[String],
+      filters: Seq[sources.Filter]): Option[Snapshot] = writeLock.synchronized {
+    val cond = filters.map(LakehouseSource.toCondition)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    var attempt = 0
+    while (attempt < LakehouseTable.MaxCommitAttempts) {
+      val cur = currentSnapshot().getOrElse(throw new IllegalStateException(
+        s"table $root has no snapshots"))
+      val candidates = LakehouseSource.pruneForFilters(this, cur, filters,
+        declaredBucketSpec).filter(cur.files.toSet)
+      val id = nextId()
+      val partCols = inferPartitionCols(cur.files)
+      val rewritten =
+        if (candidates.isEmpty) Nil
+        else dropEmptyDataFiles(writeDataFiles(
+          scanFiles(cur, candidates).filter(not(cond <=> lit(true))),
+          id, suffix = "rw", partitionCols = partCols))
+      try {
+        return Some(writeSnapshot(Snapshot(id, Some(cur.snapshotId),
+          System.currentTimeMillis(), "overwrite",
+          cur.files.diff(candidates) ++ rewritten ++ staged,
+          cur.schemaJson, deletes = cur.deletes)))
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt >= LakehouseTable.MaxCommitAttempts) throw e
+          Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current()
+              .nextLong(1L, math.min(128L, 4L << math.min(attempt, 5)) + 1))
+      }
+    }
+    sys.error("unreachable: loop exits only by return/throw")
+  }
+
+  /** Keyed upsert over EXECUTOR-WRITTEN files: the DSv2 form of
+    * [[upsert]]/merge-on-read — the staged files ARE the added side
+    * (no second write of the batch), touched existing files discover
+    * through the same two-stage probe and either rewrite (copy-on-
+    * write) or a key tombstone masks them (merge-on-read; the
+    * tombstone writes under the STAGED files' claimed origin so the
+    * batch's own rows stay visible — masking is strictly-older).
+    */
+  private[lakehouse] def commitUpsertFiles(staged: Seq[String],
+      batchSchema: StructType, claimedId: Long, keys: Seq[String],
+      mergeOnRead: Boolean): Snapshot = writeLock.synchronized {
+    require(keys.nonEmpty, "upsert requires key columns")
+    val cur = currentSnapshot()
+    requireCompatibleSchemaFor(cur, batchSchema)
+    cur match {
+      case None =>
+        writeSnapshot(Snapshot(nextId(), None, System.currentTimeMillis(),
+          "upsert", staged, batchSchema.json))
+      case Some(c) if staged.isEmpty => // empty batch: schema-only evolution
+        writeSnapshot(Snapshot(nextId(), Some(c.snapshotId),
+          System.currentTimeMillis(), "upsert", c.files,
+          evolvedSchemaJsonFor(Some(c), batchSchema), deletes = c.deletes))
+      case Some(c) =>
+        // read the staged files back for their KEY tuples only —
+        // basePath reconstitutes identity-partitioned key columns; the
+        // explicit cast pins path-inferred types to the batch's
+        val dir = staged.head.split('/').take(2).mkString("/")
+        val stagedDf = spark.read
+          .option("basePath", rootPath.resolve(dir).toString)
+          .parquet(staged.map(f => rootPath.resolve(f).toString): _*)
+        val canon = batchSchema.fields.map(f => nameKey(f.name) -> f).toMap
+        val incomingKeys = stagedDf.select(keys.map { k =>
+          val f = canon.getOrElse(nameKey(k), throw new IllegalArgumentException(
+            s"upsert key '$k' not in the batch schema ${batchSchema.simpleString}"))
+          col(f.name).cast(f.dataType).as(f.name)
+        }: _*).distinct()
+        if (mergeOnRead) {
+          val tomb = dropEmptyDataFiles(
+            writeDataFiles(incomingKeys, claimedId, suffix = "tomb"))
+          writeSnapshot(Snapshot(nextId(), Some(c.snapshotId),
+            System.currentTimeMillis(), "apply", c.files ++ staged,
+            evolvedSchemaJsonFor(Some(c), batchSchema),
+            deletes = Some(c.tombstones ++ tomb).filter(_.nonEmpty)))
+        } else {
+          val touched = touchedFilesFor(c, incomingKeys, keys)
+          val id = nextId()
+          val partCols = inferPartitionCols(c.files)
+          val rewritten =
+            if (touched.isEmpty) Nil
+            else writeDataFiles(
+              scanFiles(c, touched).join(incomingKeys, keys, "left_anti"),
+              id, suffix = "rw", partitionCols = partCols)
+          writeSnapshot(Snapshot(id, Some(c.snapshotId),
+            System.currentTimeMillis(), "upsert",
+            c.files.diff(touched) ++ rewritten ++ staged,
+            evolvedSchemaJsonFor(Some(c), batchSchema), deletes = c.deletes))
+        }
+    }
+  }
+
+  /** Drop uncommitted executor-written files (aborted job, absorbed
+    * replay) and their now-empty claim dirs.
+    */
+  private[lakehouse] def discardWrittenFiles(files: Seq[String]): Unit = {
+    files.foreach { f =>
+      try { Files.deleteIfExists(rootPath.resolve(f)); () }
+      catch { case _: java.io.IOException => () }
+    }
+    files.map(_.split('/').take(2).mkString("/")).distinct.foreach { d =>
+      try graft.Fs.deleteRecursively(rootPath.resolve(d))
+      catch { case _: Exception => () }
+    }
+  }
+
+  /** RE-CLAIM a DSv2 write dir under a fresh version id: one directory
+    * rename, paths remapped. Used when the SAME epoch carried schema-
+    * channel DDL records — those apply as snapshots first, and the
+    * data files' origin must POSTDATE them or era resolution
+    * ([[physNameAt]]'s `origin <= renamedAt` boundary) would request a
+    * renamed column's OLD physical name from files that carry the new
+    * one. (An object-store port would record origin in the manifest
+    * instead of the path; on a filesystem the rename is O(1).)
+    */
+  private[lakehouse] def reclaimWriteDir(files: Seq[String]): (Long, Seq[String]) =
+    writeLock.synchronized {
+      require(files.nonEmpty, "nothing to re-claim")
+      val oldDir = files.head.split('/').take(2).mkString("/")
+      require(files.forall(_.startsWith(oldDir + "/")),
+        s"re-claim expects one write dir, got ${files.map(_.split('/')(1)).distinct}")
+      val id = nextId()
+      val newDirName = s"s$id-dsv2r-w${java.util.UUID.randomUUID().toString.take(8)}"
+      Files.move(rootPath.resolve(oldDir), dataDir.resolve(newDirName))
+      (id, files.map(f => "data/" + newDirName + f.stripPrefix(oldDir)))
+    }
+
   /** Txn-ledger FLOOR: marks folded out of expired manifests so
     * retention can delete any manifest without ever forgetting an
     * app's latest version (the Delta SetTransaction-retention shape,
@@ -839,8 +1087,15 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     requireCompatibleSchemaAt(currentSnapshot(), df)
 
   /** [[requireCompatibleSchema]] against an explicit head. */
-  private def requireCompatibleSchemaAt(head: Option[Snapshot], df: DataFrame): Unit = {
-    val dupes = df.schema.fieldNames.groupBy(nameKey).filter(_._2.length > 1)
+  private def requireCompatibleSchemaAt(head: Option[Snapshot], df: DataFrame): Unit =
+    requireCompatibleSchemaFor(head, df.schema)
+
+  /** The schema-only form — the DSv2 write face validates its column
+    * plan without materializing a DataFrame.
+    */
+  private[lakehouse] def requireCompatibleSchemaFor(
+      head: Option[Snapshot], schema: StructType): Unit = {
+    val dupes = schema.fieldNames.groupBy(nameKey).filter(_._2.length > 1)
     require(dupes.isEmpty,
       s"batch schema has columns equal under spark.sql.caseSensitive resolution: " +
         dupes.values.map(_.mkString("/")).mkString(", "))
@@ -855,7 +1110,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       // computed lazily: one tiny metadata-file read, and only when a
       // batch actually arrives wider than the declared schema
       lazy val bucketSrcs = bucketSourceKeys
-      df.schema.fields.foreach { f =>
+      schema.fields.foreach { f =>
         val key = aliasToCurrent.getOrElse(nameKey(f.name), nameKey(f.name))
         curFields.get(key).foreach { t =>
           require(t == f.dataType || canWiden(t, f.dataType) || canWiden(f.dataType, t),
@@ -880,12 +1135,17 @@ final class LakehouseTable(spark: SparkSession, val root: String,
 
   /** [[evolvedSchemaJson]] against an explicit head. */
   private def evolvedSchemaJsonAt(head: Option[Snapshot], df: DataFrame): String =
+    evolvedSchemaJsonFor(head, df.schema)
+
+  /** The schema-only form (the DSv2 write face's commit path). */
+  private[lakehouse] def evolvedSchemaJsonFor(
+      head: Option[Snapshot], schema: StructType): String =
     head match {
-      case None => df.schema.json
+      case None => schema.json
       case Some(cur) =>
         val curSchema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
         val known = curSchema.fieldNames.map(nameKey).toSet
-        val incoming = df.schema.fields.map(f => nameKey(f.name) -> f.dataType).toMap
+        val incoming = schema.fields.map(f => nameKey(f.name) -> f.dataType).toMap
         // a shared column arriving WIDER evolves the union schema to the
         // wide type; old files cast on read (the parquet readers upcast
         // natively, so this costs nothing on the scan path)
@@ -894,7 +1154,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
             case Some(t) if canWiden(f.dataType, t) => f.copy(dataType = t)
             case _ => f
           }
-        } ++ df.schema.fields.filterNot(f => known(nameKey(f.name)))
+        } ++ schema.fields.filterNot(f => known(nameKey(f.name)))
         StructType(widened).json
     }
 

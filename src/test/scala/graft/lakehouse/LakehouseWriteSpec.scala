@@ -1,0 +1,225 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The DSv2 write face (round 14): executor-side parquet writers + a
+  * metadata-only driver commit, replacing the V1Write bridge for the
+  * append shapes — batch (`INSERT INTO` catalog tables) and the
+  * keyless streaming sink (offset-aware epoch-marked commits).
+  */
+class LakehouseWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkCatalog(name: String): String = {
+    if (spark.conf.getOption(s"spark.sql.catalog.$name").isEmpty) {
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[LakehouseCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", tmpDir(s"$name-wh"))
+    }
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+    name
+  }
+
+  test("a 100-partition INSERT INTO commits ONE snapshot of executor-written files") {
+    val cat = mkCatalog("dsv2w")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.wide")
+    spark.sql(s"CREATE TABLE $cat.db.wide (id BIGINT, v STRING)") // snap 1
+    val before = LakehouseWriteStats.writersCreated.get()
+    spark.range(0, 1000).select(col("id"), concat(lit("v"), col("id")).as("v"))
+      .repartition(100)
+      .createOrReplaceTempView("wide_src")
+    spark.sql(s"INSERT INTO $cat.db.wide SELECT id, v FROM wide_src") // snap 2
+    val writers = LakehouseWriteStats.writersCreated.get() - before
+    assert(writers === 100L,
+      s"every input partition must get its own EXECUTOR-side writer, got $writers")
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val t = new LakehouseTable(spark,
+      java.nio.file.Paths.get(wh, "db", "wide").toString)
+    val snaps = t.listSnapshots()
+    assert(snaps.size === 2, s"ONE commit for the whole write: ${snaps.map(_.operation)}")
+    assert(snaps.last.operation === "append")
+    assert(snaps.last.files.size === 100,
+      "one file per non-empty input partition, written by the tasks")
+    // files are ordinary stats-bearing manifest entries: pruning works
+    assert(snaps.last.stats.exists(_.nonEmpty))
+    // and the rows read back exactly (through the native scan)
+    assert(spark.sql(s"SELECT count(*), sum(id) FROM $cat.db.wide").head ===
+      org.apache.spark.sql.Row(1000L, (0L until 1000L).sum))
+    assert(spark.sql(s"SELECT v FROM $cat.db.wide WHERE id = 7").head.getString(0) === "v7")
+    spark.sql(s"DROP TABLE $cat.db.wide")
+  }
+
+  test("DSv2 INSERT INTO honors the stored hive layout and bucket transforms") {
+    val cat = mkCatalog("dsv2w")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.parts")
+    spark.sql(s"CREATE TABLE $cat.db.parts (id BIGINT, cell INT, v STRING) " +
+      "PARTITIONED BY (cell)")
+    spark.sql(s"INSERT INTO $cat.db.parts SELECT id, CAST(id % 3 AS INT), " +
+      "concat('v', id) FROM range(30)")
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val t = new LakehouseTable(spark,
+      java.nio.file.Paths.get(wh, "db", "parts").toString)
+    val files = t.currentSnapshot().get.files
+    assert(files.forall(_.contains("cell=")), s"hive layout expected: $files")
+    // partition pruning sees the executor-written dirs
+    val pruned = spark.sql(s"SELECT count(*) FROM $cat.db.parts WHERE cell = 1")
+    assert(pruned.head.getLong(0) === 10L)
+    val info = ScanEvents.lastScan(
+      java.nio.file.Paths.get(wh, "db", "parts").toString).get
+    assert(info.filesPlanned < info.filesTotal,
+      s"cell=1 must prune executor-written hive dirs: $info")
+    // NULL partition values land in the default-partition dir and read back
+    spark.sql(s"INSERT INTO $cat.db.parts VALUES (99, NULL, 'vn')")
+    assert(spark.sql(s"SELECT v FROM $cat.db.parts WHERE cell IS NULL")
+      .head.getString(0) === "vn")
+    // bucket transform: the dir carries the layout hash, source col stays
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.bkt")
+    spark.sql(s"CREATE TABLE $cat.db.bkt (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $cat.db.bkt SELECT id, concat('v', id) FROM range(40)")
+    val bt = new LakehouseTable(spark,
+      java.nio.file.Paths.get(wh, "db", "bkt").toString)
+    val bfiles = bt.currentSnapshot().get.files
+    assert(bfiles.forall(_.contains("k_bucket=")), s"bucket dirs expected: $bfiles")
+    val ks = spark.sql(s"SELECT k FROM $cat.db.bkt ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ks === (0L until 40L), "the bucket SOURCE column stays in the files")
+    // the dir value is THE layout hash — point lookups bucket-prune
+    val expect = LakehouseTable.bucketId(7L, org.apache.spark.sql.types.LongType, 4)
+    assert(bfiles.filter(_.contains(s"k_bucket=$expect")).nonEmpty)
+    spark.sql(s"DROP TABLE $cat.db.parts"); spark.sql(s"DROP TABLE $cat.db.bkt")
+  }
+
+  test("keyless writeStream rides the DSv2 face: executor writers, epoch txn marks, replay absorbed") {
+    val root = tmpDir("dsv2-stream")
+    val t = new LakehouseTable(spark, root)
+    t.append(Seq((0L, "seed")).toDF("id", "v").coalesce(1)) // table exists -> DSv2 face
+    val src = tmpDir("dsv2-stream-src")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").json(src)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val before = LakehouseWriteStats.writersCreated.get()
+    def drain(ckpt: String): Unit = {
+      val q = spark.readStream.schema(schema).json(src)
+        .writeStream.format("graft-lakehouse")
+        .option("path", root).option("txnAppId", "dsv2s")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000)); ()
+    }
+    val ckpt = tmpDir("dsv2-stream-ckpt")
+    drain(ckpt)
+    assert(LakehouseWriteStats.writersCreated.get() > before,
+      "the keyless stream must take the DSv2 executor-writer path")
+    assert(t.read().as[(Long, String)].collect().toSet ===
+      Set((0L, "seed"), (1L, "a"), (2L, "b")))
+    // the epoch landed as a txn mark — the offset-aware commit
+    assert(t.lastTxnVersion("dsv2s") === Some(0L))
+    // a REPLAYED epoch absorbs: same checkpoint, fresh engine run with
+    // no new files -> no duplicate rows, no new snapshot
+    val snapsBefore = t.listSnapshots().size
+    drain(ckpt)
+    assert(t.read().count() === 3L, "replay must not duplicate rows")
+    assert(t.listSnapshots().size === snapsBefore, "an absorbed epoch commits nothing")
+    // orphaned claim dirs from the absorbed attempt are cleaned
+    val dataDirs = graft.Fs.listAll(java.nio.file.Paths.get(root, "data"))
+      .filter(java.nio.file.Files.isDirectory(_)).map(_.getFileName.toString)
+    val live = t.currentSnapshot().get.files.map(_.split('/')(1)).toSet
+    assert(dataDirs.forall(live), s"absorbed-epoch files must be discarded: $dataDirs vs $live")
+  }
+
+  test("keyed / merge-on-read streams keep the V1 sink (multi-job merges are not per-partition writers)") {
+    val root = tmpDir("dsv2-keyed")
+    val t = new LakehouseTable(spark, root)
+    t.append(Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    val src = tmpDir("dsv2-keyed-src")
+    Seq((1L, "A2"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").json(src)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val before = LakehouseWriteStats.writersCreated.get()
+    val q = spark.readStream.schema(schema).json(src)
+      .writeStream.format("graft-lakehouse")
+      .option("path", root).option("keys", "id")
+      .option("checkpointLocation", tmpDir("dsv2-keyed-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    assert(LakehouseWriteStats.writersCreated.get() === before,
+      "keyed streams must stay on the V1 sink")
+    assert(t.read().as[(Long, String)].collect().toSet ===
+      Set((1L, "A2"), (2L, "b")), "the keyed upsert semantics are unchanged")
+  }
+
+  test("DSv2 commit REBASES past a racing writer: both commits land, files written once") {
+    // the race, staged deterministically at the commit primitive: the
+    // DSv2 write CLAIMS its dir against snapshot 1, a racing writer
+    // lands snapshot 2 before the commit, and commitWrittenFiles
+    // re-commits the SAME files on the new head (the blind-append rule)
+    val root = tmpDir("dsv2-race")
+    val t = new LakehouseTable(spark, root)
+    t.append(Seq(1L).toDF("id").coalesce(1)) // snap 1
+    val (claimed, dirName) = t.claimWriteDir("spec")
+    // "executor-written" file in the claimed dir
+    val tmp = tmpDir("dsv2-race-stage")
+    spark.range(10, 13).toDF("id").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = graft.Fs.listAll(java.nio.file.Paths.get(tmp))
+      .find(p => p.getFileName.toString.startsWith("part-") &&
+        p.toString.endsWith(".parquet")).get
+    val rel = s"data/$dirName/part-00000-spec.parquet"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "data", dirName))
+    java.nio.file.Files.copy(part, java.nio.file.Paths.get(root, rel))
+    // the race: another writer claims and lands the version first
+    new LakehouseTable(spark, root).append(Seq(100L).toDF("id").coalesce(1)) // snap 2
+    val snap = t.commitWrittenFiles(Seq(rel),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))),
+      claimed, mark = None, targetAuthoritative = false).get
+    assert(snap.parentId === Some(2L), "the commit rebased onto the racing head")
+    assert(t.read().collect().map(_.getLong(0)).toSet ===
+      Set(1L, 100L, 10L, 11L, 12L), "both commits' rows land")
+    // the genuine conflict: a raced MoR tombstone NEWER than the claim
+    val (claimed2, dirName2) = t.claimWriteDir("spec")
+    val rel2 = s"data/$dirName2/part-00000-spec.parquet"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "data", dirName2))
+    java.nio.file.Files.copy(part, java.nio.file.Paths.get(root, rel2))
+    t.append(Seq(200L).toDF("id").coalesce(1)) // the claim's id is taken
+    t.applyChanges(Seq((1L, "delete")).toDF("id", "_change"), Seq("id"),
+      mergeOnRead = true) // a tombstone with origin STRICTLY > claimed2
+    intercept[ConcurrentCommitException] {
+      t.commitWrittenFiles(Seq(rel2),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))),
+        claimed2, mark = None, targetAuthoritative = false)
+    }
+  }
+
+  test("DSv2 batch files carry field-id stamps and write-time footer stats prune") {
+    val cat = mkCatalog("dsv2w")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.stamped")
+    spark.sql(s"CREATE TABLE $cat.db.stamped (id BIGINT, v STRING)") // snap 1: ids confirmed
+    spark.sql(s"INSERT INTO $cat.db.stamped SELECT id, concat('v', id) FROM range(100)")
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val root = java.nio.file.Paths.get(wh, "db", "stamped").toString
+    val t = new LakehouseTable(spark, root)
+    val file = t.currentSnapshot().get.files.head
+    // the executor-written footer carries the head-confirmed field ids
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      new org.apache.hadoop.conf.Configuration(),
+      new org.apache.hadoop.fs.Path(java.nio.file.Paths.get(root, file).toString))
+    val idByName = footer.getFileMetaData.getSchema.getFields
+      .toArray.map(_.asInstanceOf[org.apache.parquet.schema.Type])
+      .map(f => f.getName -> Option(f.getId).map(_.intValue)).toMap
+    assert(idByName("id") === Some(1) && idByName("v") === Some(2),
+      s"executor-written files must stamp parquet.field.id: $idByName")
+    // manifest stats recorded at commit: a range probe prunes files
+    assert(t.currentSnapshot().get.stats.exists(_.get(file).exists(_.cols.nonEmpty)))
+    spark.sql(s"DROP TABLE $cat.db.stamped")
+  }
+}
