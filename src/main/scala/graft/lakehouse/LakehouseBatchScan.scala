@@ -203,6 +203,55 @@ final class LakehouseBatchScan(
       (required.fields ++ maskKeyFieldsAll).map(physNameOf(_, o)).toSeq
     }
 
+  // ---------------- stamped field-id resolution (FIELD_IDS.md final step) ----------------
+
+  /** The snapshot's field ids for every column this scan touches —
+    * Some iff complete. ID-keyed resolution needs an id per requested
+    * column (every committed snapshot assigns them; None only for a
+    * pre-round-12 head).
+    */
+  @transient private lazy val idsForRead: Option[Map[String, Int]] =
+    snap.fieldIds.map(_.ids.map { case (n, i) => t.resolvedNameKey(n) -> i })
+      .filter(ids => (required.fields ++ maskKeyFieldsAll)
+        .forall(f => ids.contains(t.resolvedNameKey(f.name))))
+
+  /** Route `relFile` to STAMPED-ID resolution — the PRIMARY resolution
+    * for fully-stamped files (FIELD_IDS.md final step): the file must
+    * be fully stamped (manifest flag, zero plan-time I/O) and every
+    * PATH-derived column era-stable for it (dirs carry names, not ids
+    * — a renamed or floored partition column keeps the era path). Data
+    * columns resolve BY ID in the parquet readers — a renamed column's
+    * old physical name matches through its unchanged id, and a reborn
+    * identity's fresh id is simply absent from pre-floor files (nulls)
+    * — with NO registry consulted, which makes resolution independent
+    * of registry reconstruction; unstamped lineages keep the exact
+    * era-name fallback ([[physNameOf]]), and compaction — one rewrite
+    * stamping every live file — is the per-table cutover lever.
+    */
+  private def idRouteOf(relFile: String): Boolean =
+    idsForRead.isDefined && t.fileFullyStamped(snap, relFile) && {
+      !epochsActive || {
+        val o = t.originOfFile(relFile)
+        val pathKeys = pathColKeys(relFile).toSet
+        (required.fields ++ maskKeyFieldsAll).forall { f =>
+          val pn = physNameOf(f, o)
+          pn == f.name || !pathKeys(t.resolvedNameKey(pn))
+        }
+      }
+    }
+
+  /** The requested fields with their `parquet.field.id` metadata — what
+    * flips the parquet readers into id-keyed column matching.
+    */
+  private def withReadIds(fields: Array[StructField]): Array[StructField] = {
+    val ids = idsForRead.getOrElse(
+      throw new IllegalStateException("id routing without complete field ids"))
+    fields.map(f => f.copy(metadata =
+      new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+        .putLong("parquet.field.id", ids(t.resolvedNameKey(f.name)).toLong)
+        .build()))
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -382,14 +431,20 @@ final class LakehouseBatchScan(
     // read row-based with the mask probe; unaffected files keep pure
     // columnar reads.
     val grouped = files
-      .groupBy(f => (pathColKeys(f), spjKeyOf.get(f).getOrElse(Nil), affectedOrigin.get(f),
-        bucketSpj.flatMap { case (_, bf) => bucketIdOfFile(f, bf.name) },
-        renameEpochOf(f)))
+      .groupBy { f =>
+        val idr = idRouteOf(f)
+        (pathColKeys(f), spjKeyOf.get(f).getOrElse(Nil), affectedOrigin.get(f),
+          bucketSpj.flatMap { case (_, bf) => bucketIdOfFile(f, bf.name) },
+          // id-routed files MERGE across rename eras: their resolution
+          // is registry-free (stamped ids), so era signatures don't
+          // split them into per-era reads
+          if (idr) Nil else renameEpochOf(f), idr)
+      }
       .toSeq
-      .sortBy { case ((sig, key, mo, bid, ep), _) =>
+      .sortBy { case ((sig, key, mo, bid, ep, idr), _) =>
         (sig.mkString(","), key.mkString(","), mo.getOrElse(-1L), bid.getOrElse(-1),
-          ep.mkString(",")) }
-      .map { case ((sig, _, mo, bid, _), fs) => (sig, mo, bid, fs) }
+          ep.mkString(","), idr) }
+      .map { case ((sig, _, mo, bid, _, idr), fs) => (sig, mo, bid, idr, fs) }
 
     val conf = spark.sessionState.conf
     val openCost = conf.filesOpenCostInBytes
@@ -399,15 +454,18 @@ final class LakehouseBatchScan(
     val zone = java.time.ZoneId.of(conf.sessionLocalTimeZone)
 
     var globalIdx = 0
-    grouped.flatMap { case (pathKeys, maskOrigin, bucketId, groupFiles) =>
+    grouped.flatMap { case (pathKeys, maskOrigin, bucketId, idRouted, groupFiles) =>
+      if (idRouted) LakehouseBatchScan.idRoutedFiles.addAndGet(groupFiles.size)
       val inPath = pathKeys.toSet
       def nk(f: StructField): String = t.resolvedNameKey(f.name)
       // this group's PHYSICAL name per field (rename epoch, uniform by
       // grouping): path membership, reader schemas, and partition-value
       // extraction all speak the epoch's names; outFields keep CURRENT
-      // names (alignment is positional, so perm/masks are unaffected)
+      // names (alignment is positional, so perm/masks are unaffected).
+      // An ID-ROUTED group keeps current names — the readers match
+      // columns by the stamped parquet.field.id, no registry consulted
       val phys: StructField => StructField =
-        if (!epochsActive) identity
+        if (!epochsActive || idRouted) identity
         else {
           val origin = t.originOfFile(groupFiles.head)
           f => f.copy(name = physNameOf(f, origin))
@@ -460,8 +518,12 @@ final class LakehouseBatchScan(
       }
       // each partition carries its group's reader spec, so a runtime
       // re-plan can never pair stale group state with fresh partitions
+      val readSchema =
+        if (idRouted) StructType(withReadIds(dataFieldsPhys))
+        else StructType(dataFieldsPhys)
       val spec = LakehouseGroupSpec(
-        readerFactoryFor(StructType(dataFieldsPhys), StructType(partFieldsPhys)),
+        readerFactoryFor(readSchema, StructType(partFieldsPhys),
+          useFieldIds = idRouted),
         perm, required.fields.map(_.dataType), masks, maskOrigin.getOrElse(-1L),
         StructType(outFields))
       // SPJ key row (decoded partition values in clustering order, or
@@ -513,9 +575,14 @@ final class LakehouseBatchScan(
     * the residual Filter node Spark keeps above the scan).
     */
   private def readerFactoryFor(
-      readDataSchema: StructType, partSchema: StructType): ParquetPartitionReaderFactory = {
+      readDataSchema: StructType, partSchema: StructType,
+      useFieldIds: Boolean = false): ParquetPartitionReaderFactory = {
     val conf = spark.sessionState.conf
     val hadoopConf = spark.sessionState.newHadoopConfWithOptions(options)
+    // stamped-id routing: the readers match requested columns by their
+    // parquet.field.id metadata instead of names (the conf gates it;
+    // the ids ride readDataSchema's field metadata)
+    hadoopConf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, useFieldIds)
     val readDataSchemaAsJson = readDataSchema.json
     hadoopConf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[ParquetReadSupport].getName)
@@ -545,6 +612,13 @@ final class LakehouseBatchScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakehouseReaderFactory
+}
+
+object LakehouseBatchScan {
+  /** Spec seam: cumulative count of data files planned through
+    * STAMPED-ID resolution (vs era-name groups).
+    */
+  val idRoutedFiles = new java.util.concurrent.atomic.AtomicLong
 }
 
 /** An input partition carrying its layout group's reader spec, plus —

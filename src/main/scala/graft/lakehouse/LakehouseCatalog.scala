@@ -258,9 +258,15 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
       (if (partitionBy.nonEmpty) Map("partitionBy" -> partitionBy.mkString(",")) else Map.empty) ++
       (if (optimizeWrite) Map("optimizeWrite" -> "true") else Map.empty) ++
       owTarget.map("optimizeWriteTargetBytes" -> _).toMap
-    new LakehouseV2Table(
-      DataType.fromJson(snap.schemaJson).asInstanceOf[StructType], opts,
-      catalogProps = metaProps(root))
+    // the merge-evolution rule's re-load must see the STAGED schema
+    // (analysis resolves star actions and casts against it); every
+    // other load sees exactly the committed snapshot shape
+    val base = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val schema =
+      if (LakehouseDml.inMergeEvolutionRule)
+        LakehouseDml.evolvedSchema(root.toString, base)
+      else base
+    new LakehouseV2Table(schema, opts, catalogProps = metaProps(root))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -334,6 +340,16 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootFor(ident)
     if (!isTableDir(root)) throw new NoSuchTableException(ident)
+    // MERGE WITH SCHEMA EVOLUTION calls alterTable FROM THE ANALYZER —
+    // committing here would make even an EXPLAIN of an evolving merge
+    // alter the table (the round-12/13 documented trade). Those changes
+    // STAGE instead ([[LakehouseDml.stageEvolution]]); the analyzer's
+    // own re-load sees the staged shape and the merge EXEC commits the
+    // DDL when it actually runs. User ALTER TABLE commits here as ever.
+    if (LakehouseDml.inMergeEvolutionRule) {
+      LakehouseDml.stageEvolution(root.toString, changes.toSeq)
+      return loadTable(ident)
+    }
     val t = new LakehouseTable(spark, root.toString)
     // ADD COLUMNS batches into one schema-only snapshot; RENAME COLUMN
     // and ALTER COLUMN TYPE (lossless widening) commit one each — all

@@ -321,6 +321,117 @@ object LakehouseDml {
     (uniq, scan2, restore)
   }
 
+  // ---------------- staged MERGE schema evolution (round 14) ----------------
+
+  /** MERGE WITH SCHEMA EVOLUTION, made DRY-RUN HONEST: Spark's analyzer
+    * (`ResolveMergeIntoSchemaEvolution`) applies the source-minus-target
+    * TableChanges through `catalog.alterTable` AT ANALYSIS — so through
+    * round 13 even an EXPLAIN of an evolving merge committed real DDL
+    * (the upstream design; Delta shares it). Now the catalog STAGES
+    * those changes here instead (detected by the analyzer rule on the
+    * call stack — the one signal Spark exposes), serves the evolved
+    * schema back to that rule's re-load so analysis completes
+    * unchanged, and [[MergeLakehouseExec]] COMMITS the staged DDL only
+    * when the merge actually RUNS. An abandoned plan (EXPLAIN, a merge
+    * never executed) leaves the table untouched; ordinary reads never
+    * see the staged overlay (it is only visible to the evolution
+    * rule's own re-load). Keyed by the table's canonical root; bounded;
+    * applied TOLERANTLY at commit (a column added independently in
+    * between is skipped, a type already wide enough is kept) so
+    * interleaved statements can't wedge a merge.
+    */
+  private val stagedEvolution =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Seq[org.apache.spark.sql.connector.catalog.TableChange]]()
+
+  private[lakehouse] def canonicalRoot(root: String): String =
+    java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
+
+  private[lakehouse] def stageEvolution(root: String,
+      changes: Seq[org.apache.spark.sql.connector.catalog.TableChange]): Unit = {
+    if (stagedEvolution.size > 64) stagedEvolution.clear() // abandoned-EXPLAIN bound
+    val key = canonicalRoot(root)
+    val prev = Option(stagedEvolution.get(key)).getOrElse(Nil)
+    stagedEvolution.put(key, prev ++ changes)
+    ()
+  }
+
+  private[lakehouse] def stagedEvolutionFor(root: String)
+      : Option[Seq[org.apache.spark.sql.connector.catalog.TableChange]] =
+    Option(stagedEvolution.get(canonicalRoot(root)))
+
+  /** The staged changes applied to `base` IN MEMORY — what the
+    * evolution rule's re-load sees (analysis proceeds over the evolved
+    * shape with nothing committed).
+    */
+  private[lakehouse] def evolvedSchema(root: String,
+      base: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    import org.apache.spark.sql.types.StructField
+    stagedEvolutionFor(root).fold(base) { changes =>
+      changes.foldLeft(base) { (s, c) =>
+        c match {
+          case a: TableChange.AddColumn if a.fieldNames.length == 1 &&
+              !s.fieldNames.exists(_.equalsIgnoreCase(a.fieldNames.head)) =>
+            org.apache.spark.sql.types.StructType(
+              s.fields :+ StructField(a.fieldNames.head, a.dataType, nullable = true))
+          case u: TableChange.UpdateColumnType if u.fieldNames.length == 1 =>
+            org.apache.spark.sql.types.StructType(s.fields.map(f =>
+              if (f.name.equalsIgnoreCase(u.fieldNames.head))
+                f.copy(dataType = u.newDataType) else f))
+          case _ => s // evolution emits adds + widens only
+        }
+      }
+    }
+  }
+
+  /** Commit the staged DDL for `root` as REAL alter snapshots — called
+    * by [[MergeLakehouseExec]] at execution start, the moment the
+    * evolution becomes observable. Tolerant: a change the table
+    * already carries (landed independently since analysis) absorbs.
+    */
+  private[lakehouse] def commitStagedEvolution(
+      spark: SparkSession, root: String): Unit = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val changes = Option(stagedEvolution.remove(canonicalRoot(root))).getOrElse(return)
+    val t = new LakehouseTable(spark, root)
+    val cur = t.currentSnapshot().getOrElse(return)
+    val declared = org.apache.spark.sql.types.DataType.fromJson(cur.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // DEDUPE within the staged list too: an EXPLAIN followed by the
+    // real merge stages the same change twice (each analysis re-derives
+    // the source-minus-target diff) — applying both would commit a
+    // duplicate column
+    val adds = changes.collect {
+      case a: TableChange.AddColumn if a.fieldNames.length == 1 &&
+          !declared.fieldNames.exists(_.equalsIgnoreCase(a.fieldNames.head)) =>
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, nullable = true)
+    }.foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) { (acc, f) =>
+      if (acc.exists(_.name.equalsIgnoreCase(f.name))) acc else acc :+ f
+    }
+    if (adds.nonEmpty) t.addColumns(adds)
+    // widens: last staged type per column wins, applied once, absorbed
+    // when the table already carries it
+    changes.collect {
+      case u: TableChange.UpdateColumnType if u.fieldNames.length == 1 =>
+        u.fieldNames.head.toLowerCase(java.util.Locale.ROOT) -> u
+    }.toMap.values.foreach { u =>
+      val already = declared.fields.exists(f =>
+        f.name.equalsIgnoreCase(u.fieldNames.head) && f.dataType == u.newDataType)
+      if (!already) { t.widenColumn(u.fieldNames.head, u.newDataType); () }
+    }
+  }
+
+  /** Is the current call inside Spark's merge-evolution analyzer rule?
+    * The rule calls `catalog.alterTable` + `loadTable` directly with no
+    * marker — the stack is the one discriminator it leaves us.
+    */
+  private[lakehouse] def inMergeEvolutionRule: Boolean =
+    Thread.currentThread.getStackTrace.exists(_.getClassName.startsWith(
+      "org.apache.spark.sql.catalyst.analysis.ResolveMergeIntoSchemaEvolution"))
+
   /** How many IN-subquery rows MERGE ON will stage into a literal
     * probe list before refusing. The staged list lives in the PLAN —
     * the `In` node feeds rebind, the join condition, and the action
@@ -748,6 +859,10 @@ private[lakehouse] final case class MergeLakehouseExec(
   import LakehouseDml.{exprColumn, rebind}
 
   override protected def run(): Unit = {
+    // WITH SCHEMA EVOLUTION: the analyzer STAGED the DDL (dry-run
+    // honest — EXPLAIN commits nothing); it becomes real alter
+    // snapshots now, the moment the merge executes
+    LakehouseDml.commitStagedEvolution(spark, LakehouseSource.rootOf(tableOptions))
     val t = new LakehouseTable(spark, LakehouseSource.rootOf(tableOptions))
     val sourceOutput = merge.sourceTable.output
     val tIds = targetOutput.map(_.exprId).toSet

@@ -634,17 +634,14 @@ private[lakehouse] final class LakehouseV2Table(
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       // MERGE WITH SCHEMA EVOLUTION: the analyzer computes the source-
-      // minus-target TableChanges, applies them through the catalog's
-      // alterTable (widen-only lattice + nested refusals enforced
-      // there), re-resolves the target relation, and re-expands star
-      // actions over the evolved schema — so the adds land as ordinary
-      // alter snapshots and replicate through the schema-history
-      // channel. Caveat (upstream Spark's analysis-time design, Delta
-      // shares it): the DDL commits at ANALYSIS — an EXPLAIN of an
-      // evolving merge, or a merge that later fails its cardinality
-      // check, still evolves the schema. The change is additive,
-      // idempotent, and widen-only, so this is surprising but never
-      // destructive.
+      // minus-target TableChanges and calls the catalog's alterTable —
+      // which, for that caller, STAGES them (round 14, dry-run honest:
+      // see [[LakehouseDml.stageEvolution]]); analysis re-resolves the
+      // target over the staged shape and star actions re-expand, and
+      // the merge EXEC commits the DDL as ordinary alter snapshots
+      // (replicating through the schema-history channel) only when it
+      // actually RUNS — an EXPLAIN of an evolving merge leaves the
+      // table untouched.
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION,
       // partition-scoped overwrite (the daily backfill shape):
       // INSERT OVERWRITE ... PARTITION (p='x') plans OverwriteByExpression

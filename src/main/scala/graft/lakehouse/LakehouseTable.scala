@@ -35,7 +35,14 @@ final case class FileStats(rows: Long, cols: Map[String, ColumnStat],
     // on-disk bytes, recorded at write time: split planning and join-size
     // estimation then run off the manifest alone (no per-file fs calls).
     // Option so pre-round-9 manifests parse as None (fs-size fallback).
-    bytes: Option[Long] = None)
+    bytes: Option[Long] = None,
+    // Some(true) iff EVERY top-level column in the footer carries a
+    // `parquet.field.id` stamp — recorded at write time (the one moment
+    // the footer is hot), so the read planner can route fully-stamped
+    // files to ID-KEYED parquet resolution (FIELD_IDS.md final step)
+    // with zero plan-time I/O. Option so older manifests parse as None
+    // (those files keep name/era resolution — the safe fallback).
+    fids: Option[Boolean] = None)
 
 /** Snapshot manifest: one JSON file per table version (SURVEY.md §7.3).
   * `stats` maps data-file path → write-time footer stats; None only for
@@ -672,6 +679,16 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     val id = nextId()
     (id, s"s$id-$tag-w${java.util.UUID.randomUUID().toString.take(8)}")
   }
+
+  /** Size-targeted optimize-write as a per-file record cap (the
+    * writeDataFiles maxRecordsPerFile computation, for the DSv2
+    * executor writers): None unless the table opted in AND a
+    * bytes-per-row estimate exists.
+    */
+  private[lakehouse] def writeBinRecordsPerFile: Option[Long] =
+    (if (optimizeWrite) optimizeWriteTargetBytes else None)
+      .flatMap(t => manifestBytesPerRow.map(bpr =>
+        math.max(1L, (t / math.max(bpr, 1e-9)).toLong)))
 
   /** The canonicalization rules of [[canonicalizedNamesAt]] as a COLUMN
     * PLAN the DSv2 executors run without a DataFrame: dropped columns
@@ -3396,7 +3413,12 @@ final class LakehouseTable(spark: SparkSession, val root: String,
           }.toMap
           val bytes = try Some(Files.size(rootPath.resolve(relFile)))
             catch { case _: Exception => None }
-          Some(FileStats(rows, cols, bytes))
+          // fully-stamped = every top-level column carries a field id
+          // (a column THIS commit introduced stays unstamped, so such
+          // files route name-based until their next rewrite)
+          val fields = footer.getFileMetaData.getSchema.getFields.asScala
+          val stamped = fields.nonEmpty && fields.forall(_.getId != null)
+          Some(FileStats(rows, cols, bytes, fids = Some(stamped)))
         } finally reader.close()
       } catch { case _: Exception => None } // unreadable footer → no evidence → keep
     })
@@ -3524,6 +3546,13 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       case Some(m) if m.contains(relFile) => m.get(relFile)
       case _ => footerFileStats(relFile)
     }
+
+  /** Is `relFile` known (from its MANIFEST entry — zero plan-time I/O)
+    * to carry `parquet.field.id` stamps on every column? Gates the
+    * ID-KEYED read routing; None/absent keeps name/era resolution.
+    */
+  private[lakehouse] def fileFullyStamped(snap: Snapshot, relFile: String): Boolean =
+    snap.stats.exists(_.get(relFile).exists(_.fids.contains(true)))
 
   private def statsMayMatch(snap: Snapshot, relFile: String, c: String,
       declared: Option[DataType], lo: Option[Any], hi: Option[Any]): Boolean = {

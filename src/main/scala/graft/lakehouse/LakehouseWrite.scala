@@ -229,7 +229,9 @@ private[lakehouse] final class LakehouseDsv2Write(
       conf.sessionLocalTimeZone, parquetConf,
       conf.getConfString("spark.sql.parquet.compression.codec", "snappy"),
       ddlMode, if (ddlMode) idxOf("_change") else -1,
-      if (ddlMode) idxOf("_ddl") else -1)
+      if (ddlMode) idxOf("_ddl") else -1,
+      // size-targeted optimize-write: roll files at ≈targetBytes
+      maxRecordsPerFile = t.writeBinRecordsPerFile)
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -324,13 +326,15 @@ private[lakehouse] final class LakehouseWriterFactory(
     rootAbs: String, dirName: String,
     plan: Seq[WriteColPlan], partCols: Seq[WritePartCol],
     tz: String, parquetConf: Map[String, String], codec: String,
-    ddlMode: Boolean, changeIdx: Int, ddlIdx: Int)
+    ddlMode: Boolean, changeIdx: Int, ddlIdx: Int,
+    maxRecordsPerFile: Option[Long] = None)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     LakehouseWriteStats.writersCreated.incrementAndGet()
     new LakehouseDataWriter(rootAbs, dirName, plan, partCols, tz,
-      parquetConf, codec, ddlMode, changeIdx, ddlIdx, partitionId, taskId)
+      parquetConf, codec, ddlMode, changeIdx, ddlIdx, partitionId, taskId,
+      maxRecordsPerFile)
   }
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -358,7 +362,8 @@ private[lakehouse] final class LakehouseDataWriter(
     plan: Seq[WriteColPlan], partCols: Seq[WritePartCol],
     tz: String, parquetConf: Map[String, String], codec: String,
     ddlMode: Boolean, changeIdx: Int, ddlIdx: Int,
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long,
+    maxRecordsPerFile: Option[Long] = None)
     extends DataWriter[InternalRow] {
 
   private val identityPlanIdx: Set[Int] =
@@ -412,12 +417,14 @@ private[lakehouse] final class LakehouseDataWriter(
   private val ddl = mutable.ArrayBuffer.empty[String]
   private val nonce = java.util.UUID.randomUUID().toString.take(8)
   private var fileSeq = 0
-  // suffix -> (relative path, open record writer)
+  // files already rolled shut (size-targeted optimize-write)
+  private val closed = mutable.ArrayBuffer.empty[String]
+  // suffix -> (relative path, open record writer, rows written)
   private val open = mutable.LinkedHashMap.empty[String,
-    (String, org.apache.hadoop.mapreduce.RecordWriter[Void, InternalRow])]
+    (String, org.apache.hadoop.mapreduce.RecordWriter[Void, InternalRow], Long)]
 
   private def openWriter(suffix: String)
-      : (String, org.apache.hadoop.mapreduce.RecordWriter[Void, InternalRow]) = {
+      : (String, org.apache.hadoop.mapreduce.RecordWriter[Void, InternalRow], Long) = {
     val rel = "data/" + dirName +
       (if (suffix.isEmpty) "" else "/" + suffix) +
       f"/part-$partitionId%05d-$taskId-$nonce-$fileSeq.parquet"
@@ -432,7 +439,7 @@ private[lakehouse] final class LakehouseDataWriter(
       catch { case _: IllegalArgumentException => CompressionCodecName.SNAPPY }
     val rw = new ParquetOutputFormat[InternalRow]().getRecordWriter(
       conf, new HPath(rootAbs + "/" + rel), codecName)
-    (rel, rw)
+    (rel, rw, 0L)
   }
 
   override def write(row: InternalRow): Unit = {
@@ -446,18 +453,27 @@ private[lakehouse] final class LakehouseDataWriter(
     // the record consumer serializes the row into parquet buffers
     // immediately, so the projection's reused row needs no copy
     w._2.write(null, proj(row))
+    val n = w._3 + 1
+    // size-targeted optimize-write: roll the file shut at the record
+    // cap so a skewed partition value bins into ≈targetBytes files
+    if (maxRecordsPerFile.exists(n >= _)) {
+      w._2.close(null)
+      closed += w._1
+      open.remove(suffix)
+      ()
+    } else open.update(suffix, (w._1, w._2, n))
   }
 
   override def commit(): WriterCommitMessage = {
     open.values.foreach(_._2.close(null))
-    LakehouseWriteMessage(open.keys.toSeq.map(k => open(k)._1), ddl.toSeq)
+    LakehouseWriteMessage(closed.toSeq ++ open.values.map(_._1).toSeq, ddl.toSeq)
   }
 
   override def abort(): Unit = {
-    open.values.foreach { case (_, w) =>
+    open.values.foreach { case (_, w, _) =>
       try w.close(null) catch { case _: Exception => () }
     }
-    open.values.foreach { case (rel, _) =>
+    (closed.toSeq ++ open.values.map(_._1).toSeq).foreach { rel =>
       try { java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(rootAbs, rel)); () }
       catch { case _: Exception => () }

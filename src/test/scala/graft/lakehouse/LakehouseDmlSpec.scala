@@ -435,6 +435,36 @@ class LakehouseDmlSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("bucket"), e.getMessage)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION is DRY-RUN honest: EXPLAIN commits nothing (round 14)") {
+    val t = freshTable("medry", "id BIGINT, v STRING")
+    spark.sql("INSERT INTO dmlcat.db.medry VALUES (1,'a')")
+    val snapsBefore = t.listSnapshots().map(_.snapshotId)
+    val mergeSql =
+      """MERGE WITH SCHEMA EVOLUTION INTO dmlcat.db.medry t
+         USING (SELECT CAST(2 AS BIGINT) AS id, 'b' AS v, 'T' AS tag) s
+         ON t.id = s.id
+         WHEN NOT MATCHED THEN INSERT *"""
+    // EXPLAIN analyzes the evolving merge (the round-12/13 behavior
+    // committed the ADD here) — the table must be UNTOUCHED
+    spark.sql(s"EXPLAIN $mergeSql").collect()
+    assert(t.listSnapshots().map(_.snapshotId) === snapsBefore,
+      "EXPLAIN of an evolving merge must commit NO snapshot")
+    assert(!spark.table("dmlcat.db.medry").schema.fieldNames.contains("tag"),
+      "EXPLAIN of an evolving merge must not evolve the schema")
+    // EXECUTING the same merge commits the staged DDL then the data
+    spark.sql(mergeSql)
+    assert(spark.sql("SELECT id, v, tag FROM dmlcat.db.medry ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSeq ===
+      Seq((1L, "a", None), (2L, "b", Some("T"))))
+    val ops = t.listSnapshots().drop(snapsBefore.size).map(_.operation)
+    assert(ops === Seq("alter", "merge"),
+      s"the staged evolution lands as an alter snapshot AT EXECUTION: $ops")
+    // and the add still rides the schema-history channel
+    val snaps = t.listSnapshots().map(_.snapshotId)
+    val ddl = t.schemaChangesBetween(snaps.head, snaps.last).map(DdlRecord.parse)
+    assert(ddl.exists(r => r.op == "add" && r.column.contains("tag")), s"$ddl")
+  }
+
   test("MERGE ON stages uncorrelated scalar subqueries to literals (round 12)") {
     val t = freshTable("m9", "id BIGINT, v STRING")
     spark.sql("INSERT INTO dmlcat.db.m9 VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
