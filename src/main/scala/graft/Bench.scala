@@ -2,6 +2,34 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Quiet-window gate for benchmark runs (round 14, verdict #8): the
+  * round-13 driver artifact started at loadavg 4.8 and shipped
+  * inflated numbers for every lexicographically-early row, costing a
+  * judge re-measure. The gate polls the 1-minute loadavg and HOLDS the
+  * bench until it drops below the threshold — bounded (the bench must
+  * always run), with the wait recorded in the calibration block
+  * (`waited_s`) so an artifact that ran anyway on a loud box says so.
+  * Pure logic (injectable load/sleep) so the spec can drive it.
+  */
+object BenchGate {
+  /** Poll `load` every `pollMs` until it reports ≤ `threshold` or the
+    * `maxWaitMs` budget is spent; returns the milliseconds waited.
+    * A NEGATIVE load reading (platform can't say) counts as quiet —
+    * never wedge the bench on a blind box.
+    */
+  def waitForQuiet(load: () => Double, threshold: Double, maxWaitMs: Long,
+      pollMs: Long, sleep: Long => Unit = Thread.sleep): Long = {
+    var waited = 0L
+    def loud(): Boolean = { val l = load(); l >= 0 && l > threshold }
+    while (loud() && waited < maxWaitMs) {
+      val step = math.min(pollMs, maxWaitMs - waited)
+      sleep(step)
+      waited += step
+    }
+    waited
+  }
+}
+
 /** Benchmark main (driver contract): runs every declared query on
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query wall
   * seconds. Results are fully materialized via a noop-format write
@@ -11,6 +39,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // bench-artifact self-defense: hold for a quiet window before ANY
+    // timed phase (the CDC throughput runs are as load-sensitive as the
+    // queries). Threshold/budget overridable; the wait ships in the
+    // calibration block so a loud-box artifact is self-describing.
+    def sysLoad(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    val quietThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "3.0").toDouble
+    val quietBudgetMs =
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_MS", "300000").toLong
+    val waitedMs = BenchGate.waitForQuiet(
+      sysLoad _, quietThreshold, quietBudgetMs, pollMs = 5000L)
+    if (waitedMs > 0)
+      System.err.println(f"[bench] waited ${waitedMs / 1000.0}%.0f s for a " +
+        f"quiet window (loadavg threshold $quietThreshold%.1f, now ${sysLoad()}%.2f)")
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -128,7 +174,7 @@ object Bench {
     val cdcJson = cdcMetrics.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + f"\":$v%.1f" }.mkString("{", ",", "}")
 
-    val calib = f"""{"compute_sec_pre":$calibPre%.3f,"compute_sec_post":$calibPost%.3f,"loadavg_start":$load0%.2f,"loadavg_end":$load1%.2f}"""
+    val calib = f"""{"compute_sec_pre":$calibPre%.3f,"compute_sec_post":$calibPost%.3f,"loadavg_start":$load0%.2f,"loadavg_end":$load1%.2f,"waited_s":${waitedMs / 1000.0}%.1f}"""
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":2,"agg":"min","queries":$qs,"queries_rep1":$rep1s,"cdc":$cdcJson,"calibration":$calib,"sf":"$sfDir"}"""
     println(line)
     // the driver captures a truncated stdout tail (2,000 chars — most
