@@ -350,9 +350,11 @@ object LakehouseDml {
   private[lakehouse] def stageEvolution(root: String,
       changes: Seq[org.apache.spark.sql.connector.catalog.TableChange]): Unit = {
     if (stagedEvolution.size > 64) stagedEvolution.clear() // abandoned-EXPLAIN bound
-    val key = canonicalRoot(root)
-    val prev = Option(stagedEvolution.get(key)).getOrElse(Nil)
-    stagedEvolution.put(key, prev ++ changes)
+    // REPLACE, never append: each merge analysis derives its own full
+    // source-minus-target diff against the COMMITTED schema, so the
+    // latest staging is self-contained — appending would let an
+    // abandoned EXPLAIN's changes ride a later statement's commit
+    stagedEvolution.put(canonicalRoot(root), changes)
     ()
   }
 
@@ -392,9 +394,22 @@ object LakehouseDml {
     * already carries (landed independently since analysis) absorbs.
     */
   private[lakehouse] def commitStagedEvolution(
-      spark: SparkSession, root: String): Unit = {
+      spark: SparkSession, root: String,
+      sourceCols: Set[String] = Set.empty): Unit = {
     import org.apache.spark.sql.connector.catalog.TableChange
-    val changes = Option(stagedEvolution.remove(canonicalRoot(root))).getOrElse(return)
+    val staged0 = Option(stagedEvolution.remove(canonicalRoot(root))).getOrElse(return)
+    // commit only changes THIS merge's source can have derived — a
+    // staging left by an abandoned EXPLAIN of a different statement
+    // (other columns) must not ride this commit
+    val changes =
+      if (sourceCols.isEmpty) staged0
+      else staged0.filter {
+        case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
+          sourceCols(a.fieldNames.head.toLowerCase(java.util.Locale.ROOT))
+        case u: TableChange.UpdateColumnType if u.fieldNames.length == 1 =>
+          sourceCols(u.fieldNames.head.toLowerCase(java.util.Locale.ROOT))
+        case _ => true
+      }
     val t = new LakehouseTable(spark, root)
     val cur = t.currentSnapshot().getOrElse(return)
     val declared = org.apache.spark.sql.types.DataType.fromJson(cur.schemaJson)
@@ -861,8 +876,13 @@ private[lakehouse] final case class MergeLakehouseExec(
   override protected def run(): Unit = {
     // WITH SCHEMA EVOLUTION: the analyzer STAGED the DDL (dry-run
     // honest — EXPLAIN commits nothing); it becomes real alter
-    // snapshots now, the moment the merge executes
-    LakehouseDml.commitStagedEvolution(spark, LakehouseSource.rootOf(tableOptions))
+    // snapshots now, the moment the merge executes. Gated on THIS
+    // merge's flag: a plain merge must never flush a staging some
+    // abandoned EXPLAIN left behind
+    if (merge.withSchemaEvolution)
+      LakehouseDml.commitStagedEvolution(spark, LakehouseSource.rootOf(tableOptions),
+        sourceCols = merge.sourceTable.output
+          .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet)
     val t = new LakehouseTable(spark, LakehouseSource.rootOf(tableOptions))
     val sourceOutput = merge.sourceTable.output
     val tIds = targetOutput.map(_.exprId).toSet

@@ -902,27 +902,6 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     }
   }
 
-  /** RE-CLAIM a DSv2 write dir under a fresh version id: one directory
-    * rename, paths remapped. Used when the SAME epoch carried schema-
-    * channel DDL records — those apply as snapshots first, and the
-    * data files' origin must POSTDATE them or era resolution
-    * ([[physNameAt]]'s `origin <= renamedAt` boundary) would request a
-    * renamed column's OLD physical name from files that carry the new
-    * one. (An object-store port would record origin in the manifest
-    * instead of the path; on a filesystem the rename is O(1).)
-    */
-  private[lakehouse] def reclaimWriteDir(files: Seq[String]): (Long, Seq[String]) =
-    writeLock.synchronized {
-      require(files.nonEmpty, "nothing to re-claim")
-      val oldDir = files.head.split('/').take(2).mkString("/")
-      require(files.forall(_.startsWith(oldDir + "/")),
-        s"re-claim expects one write dir, got ${files.map(_.split('/')(1)).distinct}")
-      val id = nextId()
-      val newDirName = s"s$id-dsv2r-w${java.util.UUID.randomUUID().toString.take(8)}"
-      Files.move(rootPath.resolve(oldDir), dataDir.resolve(newDirName))
-      (id, files.map(f => "data/" + newDirName + f.stripPrefix(oldDir)))
-    }
-
   /** Txn-ledger FLOOR: marks folded out of expired manifests so
     * retention can delete any manifest without ever forgetting an
     * app's latest version (the Delta SetTransaction-retention shape,
@@ -1130,7 +1109,12 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       schema.fields.foreach { f =>
         val key = aliasToCurrent.getOrElse(nameKey(f.name), nameKey(f.name))
         curFields.get(key).foreach { t =>
-          require(t == f.dataType || canWiden(t, f.dataType) || canWiden(f.dataType, t),
+          // nullability-INSENSITIVE equality: an INSERT VALUES array
+          // literal arrives as ARRAY<T> with containsNull=false against
+          // a declared containsNull=true — semantically identical (the
+          // scan alignment already treats them so), never a type change
+          require(sameIgnoringNullability(t, f.dataType) ||
+              canWiden(t, f.dataType) || canWiden(f.dataType, t),
             s"incompatible type change for column '${f.name}': $t -> ${f.dataType} " +
               "(widen-only evolution: lossless widening flows, narrower batches " +
               "cast up at write; anything else must go through overwrite)")

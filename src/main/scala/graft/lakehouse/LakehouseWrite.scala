@@ -86,10 +86,10 @@ object Dsv2CommitMode {
   *    handful of DDL rows instead of caching the whole batch for a
   *    second driver pass (the round-11 trade this face retires), the
   *    driver applies them idempotently before the data commit, and a
-  *    DDL-carrying epoch's data dir is RE-CLAIMED (one directory
-  *    rename) so its files' origin postdates the DDL snapshots — era
-  *    resolution ([[LakehouseTable.physNameAt]]) then reads a renamed
-  *    column's post-rename physical names correctly.
+  *    DDL-carrying epoch's data lands through the driver-side append
+  *    (re-canonicalized against the POST-DDL schema — see the commit
+  *    doc), so era resolution stays exact whichever side of a rename
+  *    the batch's names speak.
   *
   * Keyed shapes (upsert / CDC apply) are DataFrame-level multi-job
   * computations (collision probes + rewrites), not per-partition
@@ -279,29 +279,76 @@ private[lakehouse] final class LakehouseDsv2Write(
       messages.toSeq.collect { case m: LakehouseWriteMessage => m.files }.flatten)
   }
 
-  /** STREAMING commit — the offset-aware half: DDL records first
-    * (idempotent; a replay re-absorbs structurally), a DDL-carrying
-    * epoch's dir re-claims so file origins postdate the DDL snapshots,
-    * then the data files commit UNDER the epoch's transaction mark.
-    * An absorbed replay (crash between the table commit and the
-    * checkpoint commit) discards its files and warns on the
-    * reset-checkpoint shape, exactly the V1 sink's contract.
+  /** STREAMING commit — the offset-aware half: the data files commit
+    * UNDER the epoch's transaction mark, an absorbed replay (crash
+    * between the table commit and the checkpoint commit) discards its
+    * files and warns on the reset-checkpoint shape — exactly the V1
+    * sink's contract.
+    *
+    * A DDL-CARRYING epoch (the schema-channel records rode the commit
+    * messages — one pass, no whole-batch cache) applies the records
+    * first, idempotently, then lands its data through the DRIVER-side
+    * append: the staged files re-read, re-canonicalized against the
+    * POST-DDL schema (a rename record plus data still under the
+    * stream's pinned OLD name must land in the renamed column — the
+    * alias mapping only exists after the DDL applies, so the
+    * executor-written files' names can be stale in either direction),
+    * and written once more. DDL epochs are rare (schema changes, not
+    * data volume), so the double-write is bounded by change frequency;
+    * every DDL-free epoch commits the executor files directly.
     */
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val t = table()
-    val (claimed0, batchSchema) = staged
+    val (claimed, batchSchema) = staged
     val appId = writeOpts.collectFirst {
       case (k, v) if k.equalsIgnoreCase("txnAppId") => v
     }.getOrElse("graft-lakehouse-sink:" +
       java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString)
     val ddl = ddlOf(messages)
-    ddl.foreach(t.applySchemaChange)
-    val files0 = filesOf(messages)
-    val (claimed, files) =
-      if (ddl.nonEmpty && files0.nonEmpty) t.reclaimWriteDir(files0)
-      else (claimed0, files0)
-    val applied = t.commitWrittenFiles(files, batchSchema, claimed,
-      mark = Some(TxnMark(appId, epochId)), targetAuthoritative = ddlMode)
+    val files = filesOf(messages)
+    val applied =
+      if (ddl.isEmpty)
+        t.commitWrittenFiles(files, batchSchema, claimed,
+          mark = Some(TxnMark(appId, epochId)), targetAuthoritative = ddlMode)
+      else {
+        ddl.foreach(t.applySchemaChange)
+        val out =
+          if (files.isEmpty)
+            t.commitWrittenFiles(Nil, batchSchema, claimed,
+              mark = Some(TxnMark(appId, epochId)), targetAuthoritative = true)
+          else {
+            val dir = files.head.split('/').take(2).mkString("/")
+            val stagedDf = spark.read
+              .option("basePath",
+                java.nio.file.Paths.get(t.rootAbsPath, dir).toString)
+              .parquet(files.map(f =>
+                java.nio.file.Paths.get(t.rootAbsPath, f).toString): _*)
+            // target-authoritative column drop (the V1 sink rule): a
+            // batch column the post-DDL target doesn't declare — and no
+            // alias explains — was dropped by the history; additive
+            // re-entry would diverge the replica
+            val snap = t.currentSnapshot()
+            val keep: String => Boolean = snap match {
+              case Some(s) =>
+                val declared = org.apache.spark.sql.types.DataType
+                  .fromJson(s.schemaJson).asInstanceOf[StructType]
+                  .fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+                val aliases = s.aliases.flatMap { case (_, olds) =>
+                  olds.map(_.name.toLowerCase(java.util.Locale.ROOT)) }.toSet
+                c => c == "_change" ||
+                  declared(c.toLowerCase(java.util.Locale.ROOT)) ||
+                  aliases(c.toLowerCase(java.util.Locale.ROOT))
+              case None => _ => true
+            }
+            val conformed = stagedDf.columns.filterNot(keep)
+              .foldLeft(stagedDf)((d, c) => d.drop(c))
+            val res = t.appendIdempotent(conformed, appId, epochId,
+              partitionBy = partSpec)
+            t.discardWrittenFiles(files)
+            res
+          }
+        out
+      }
     if (applied.isEmpty) {
       t.discardWrittenFiles(files)
       t.lastTxnVersion(appId).filter(_ > epochId + 1).foreach { last =>

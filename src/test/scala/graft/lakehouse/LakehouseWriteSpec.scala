@@ -200,6 +200,74 @@ class LakehouseWriteSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 writes round-trip every column type the V1 writer handled") {
+    val cat = mkCatalog("dsv2w")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.typed")
+    spark.sql(s"CREATE TABLE $cat.db.typed (id BIGINT, ts TIMESTAMP, d DATE, " +
+      "dec DECIMAL(12,4), f FLOAT, bl BOOLEAN, bin BINARY, " +
+      "arr ARRAY<DOUBLE>, m MAP<STRING,INT>, st STRUCT<a:INT,b:STRING>)")
+    spark.sql(s"""INSERT INTO $cat.db.typed VALUES
+      (1, TIMESTAMP'2026-03-01 12:34:56.789', DATE'2026-03-01', 1234.5678,
+       CAST(1.5 AS FLOAT), true, CAST('xy' AS BINARY),
+       array(1.0D, 2.5D), map('k', 7), named_struct('a', 3, 'b', 'z')),
+      (2, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)""")
+    val got = spark.sql(s"SELECT * FROM $cat.db.typed ORDER BY id").collect()
+    assert(got.length === 2)
+    val r = got(0)
+    assert(r.getTimestamp(1) === java.sql.Timestamp.valueOf("2026-03-01 12:34:56.789"))
+    assert(r.getDate(2) === java.sql.Date.valueOf("2026-03-01"))
+    assert(r.getDecimal(3) === new java.math.BigDecimal("1234.5678"))
+    assert(r.getFloat(4) === 1.5f && r.getBoolean(5))
+    assert(new String(r.getAs[Array[Byte]](6), "UTF-8") === "xy")
+    assert(r.getSeq[Double](7) === Seq(1.0, 2.5))
+    assert(r.getMap[String, Int](8).toMap === Map("k" -> 7))
+    assert(r.getStruct(9).getInt(0) === 3 && r.getStruct(9).getString(1) === "z")
+    assert((1 to 9).forall(got(1).isNullAt), "null row round-trips")
+    spark.sql(s"DROP TABLE $cat.db.typed")
+  }
+
+  test("keyless DDL-channel epoch through DSv2: rename + pinned-name data in ONE epoch land correctly") {
+    import org.apache.spark.sql.streaming.Trigger
+    // SOURCE table with the schema channel; keyless SINK — the DSv2
+    // streaming face must route the `_change='schema'` records through
+    // its commit messages and land the SAME epoch's data (which the
+    // feed still speaks in its PINNED pre-rename name) in the RENAMED
+    // column — the one-epoch rename+data interleave
+    val src = new LakehouseTable(spark, tmpDir("dsv2-ddl-src"))
+    src.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    val dst = new LakehouseTable(spark, tmpDir("dsv2-ddl-dst"))
+    dst.append(Seq((0L, "seed")).toDF("k", "v").coalesce(1)) // exists -> DSv2 face
+    val ckpt = tmpDir("dsv2-ddl-ckpt")
+    val before = LakehouseWriteStats.writersCreated.get()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-changefeed")
+        .option("path", src.root).option("emitSchemaChanges", "true").load()
+        .writeStream.format("graft-lakehouse")
+        .option("path", dst.root).option("txnAppId", "dsv2ddl")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000)); ()
+    }
+    drain() // epoch 0: bootstrap (no DDL) — pure executor-file commit
+    assert(LakehouseWriteStats.writersCreated.get() > before,
+      "the keyless DDL-channel stream must ride the DSv2 face")
+    // ONE epoch carrying rename DDL + data rows (feed speaks 'v' still)
+    src.renameColumn("v", "label")
+    src.append(Seq((2L, "post")).toDF("k", "label").coalesce(1))
+    drain() // epoch 1: schema rows + data rows together
+    assert(dst.currentSnapshot().map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+        .filterNot(_ == "_change")).get === Set("k", "label"),
+      "the rename record applied downstream")
+    val got = spark.read.format("graft-lakehouse").load(dst.root)
+      .select("k", "label").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((0L, "seed"), (1L, "a"), (2L, "post")),
+      "the rename epoch's data rows must land in the RENAMED column, " +
+        "not null out under a stale physical name")
+  }
+
   test("DSv2 batch files carry field-id stamps and write-time footer stats prune") {
     val cat = mkCatalog("dsv2w")
     spark.sql(s"DROP TABLE IF EXISTS $cat.db.stamped")
