@@ -1558,6 +1558,45 @@ object CdcOpQueries {
         (990003, s"nonempty_batches:${d.size}", -1)))
         .toDF("nationkey", "name", "rk")
         .orderBy(col("nationkey"), col("name"))
+    }),
+    // ---- DSv2 write face (round 14): every catalog batch write shape
+    //      through the executor-side writers — hive-partitioned INSERT
+    //      INTO appends, a static-PARTITION INSERT OVERWRITE, and a
+    //      keyed writeTo upsert whose staged task files ARE the added
+    //      side — each ONE snapshot, content + op lineage + layout
+    //      hash-gated against the DuckDB re-derivation. ----
+    "q148_dsv2_write" -> ((s, dir) => {
+      import s.implicits._
+      val cat = ensureQueryCatalog(s)
+      graft.Tables.load(s, dir, "nation").createOrReplaceTempView("q148_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.dsv2_t")
+      s.sql(s"CREATE TABLE $cat.db.dsv2_t (k BIGINT, nm STRING, rk INT) " +
+        "PARTITIONED BY (rk)") // snap 1
+      s.sql(s"INSERT INTO $cat.db.dsv2_t " + // snap 2: DSv2 append, hive layout
+        "SELECT n_nationkey, n_name, n_regionkey FROM q148_src")
+      s.sql(s"INSERT INTO $cat.db.dsv2_t " + // snap 3: second append
+        "SELECT n_nationkey + 100, n_name, n_regionkey FROM q148_src WHERE n_regionkey = 1")
+      s.sql(s"INSERT OVERWRITE $cat.db.dsv2_t PARTITION (rk = 2) " + // snap 4: filter overwrite
+        "SELECT n_nationkey + 200, upper(n_name) FROM q148_src WHERE n_regionkey = 2")
+      // snap 5: keyed upsert — the staged executor files land as the
+      // added side, touched files rewrite
+      Seq((0L, "ZERO", 0), (901L, "new", 9)).toDF("k", "nm", "rk")
+        .writeTo(s"$cat.db.dsv2_t").option("keys", "k").append()
+      val warehouse = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val t = new LakehouseTable(s,
+        java.nio.file.Paths.get(warehouse, "db", "dsv2_t").toString)
+      val ops = t.listSnapshots().map(_.operation).mkString(",")
+      // the executor writers produced the hive layout end-to-end
+      val hive =
+        if (t.currentSnapshot().get.files.forall(_.contains("rk="))) "all" else "mixed"
+      val detail = s.sql(s"SELECT k, nm, rk FROM $cat.db.dsv2_t").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+      s.sql(s"DROP TABLE $cat.db.dsv2_t")
+      (detail ++ Seq(
+        (9960001L, s"ops:$ops", -1),
+        (9960002L, s"hive:$hive", -1)))
+        .toDF("k", "nm", "rk").orderBy(col("k"), col("nm"), col("rk"))
     })
   )
 
@@ -2125,6 +2164,25 @@ object CdcOpQueries {
                + (SELECT count(*) FROM nat WHERE rk >= 3) AS VARCHAR), -1
         UNION ALL SELECT 990002, 'delivered_after_restart:2', -1
         UNION ALL SELECT 990003, 'nonempty_batches:2', -1)
-      ORDER BY nationkey, name"""
+      ORDER BY nationkey, name""",
+    // q148: base rows minus the replaced rk=2 partition, plus the +100
+    // rk=1 append, the overwritten rk=2 slice, the keyed upsert of k=0
+    // and the inserted 901; markers pin the one-snapshot-per-write op
+    // lineage and the executor-written hive layout.
+    "q148_dsv2_write" -> """
+      WITH nat AS (SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm,
+                          CAST(n_regionkey AS INT) AS rk FROM nation),
+      base AS (
+        SELECT k, nm, rk FROM nat WHERE rk <> 2
+        UNION ALL SELECT k + 100, nm, rk FROM nat WHERE rk = 1
+        UNION ALL SELECT k + 200, upper(nm), 2 FROM nat WHERE rk = 2),
+      head AS (
+        SELECT k, CASE WHEN k = 0 THEN 'ZERO' ELSE nm END AS nm, rk FROM base
+        UNION ALL SELECT 901, 'new', 9)
+      SELECT k, nm, rk FROM (
+        SELECT k, nm, rk FROM head
+        UNION ALL SELECT 9960001, 'ops:create,append,append,overwrite,upsert', -1
+        UNION ALL SELECT 9960002, 'hive:all', -1)
+      ORDER BY k, nm, rk"""
   )
 }
