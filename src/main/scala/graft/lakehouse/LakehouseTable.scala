@@ -2665,6 +2665,15 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         "rewrote fork-lineage files against the fork state")
     if ((fork.files.toSet -- head.files.toSet).nonEmpty)
       refuse("the branch removed fork files")
+    // STATE-derived guards, not just op evidence: retention may have
+    // expired an intermediate branch snapshot (only head + fork are
+    // pinned), hiding a keyed write's operation tag — but a rewrite
+    // always leaves a fork file missing (caught above) and a
+    // merge-on-read apply always leaves a tombstone, which a rebase
+    // onto main.deletes would silently DROP (resurrecting the branch's
+    // deleted rows in the published state)
+    if ((head.tombstones.toSet -- fork.tombstones.toSet).nonEmpty)
+      refuse("the branch landed merge-on-read deletes")
     // era resolution ties physical names to origin-vs-registry boundaries;
     // a rename/drop/reborn on EITHER side since the fork would make the
     // branch's files (origins newer than main's DDL) resolve wrongly
@@ -2681,7 +2690,12 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     // interleaving appendWith surfaces as a conflict)
     if ((main.tombstones.toSet -- fork.tombstones.toSet).nonEmpty)
       refuse("main landed merge-on-read deletes since the fork")
-    val added = head.files.filterNot(fork.files.toSet)
+    // files main ALREADY references add nothing: if the publishOf
+    // marker expired between a crashed publish and its retry, the
+    // branch's files are in main's lineage already — re-adding them
+    // would double every row; the filtered re-publish converges to a
+    // no-op commit instead
+    val added = head.files.filterNot(fork.files.toSet).filterNot(main.files.toSet)
     writeSnapshot(Snapshot(nextId(), Some(main.snapshotId),
       System.currentTimeMillis(), "publish", main.files ++ added,
       main.schemaJson, deletes = main.deletes, publishOf = Some(pubKey),

@@ -251,6 +251,27 @@ class BranchSpec extends SparkSpec {
       Set((1L, "A2"), (11L, "y")))
   }
 
+  test("rebase guards are STATE-derived: expiry hiding a branch MoR apply's op tag cannot drop its tombstones") {
+    val t = new LakehouseTable(spark, tmpDir("br-expired-mor"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)) // snap 1
+    t.forkBranch("wap")
+    // branch MoR apply: pure file-ADD + a tombstone (op 'apply')
+    t.applyChangesToBranch(Seq((1L, "a", "delete")).toDF("k", "v", "_change"),
+      Seq("k"), "wap", mergeOnRead = true) // snap 2
+    t.appendToBranch(Seq((9L, "z")).toDF("k", "v").coalesce(1), "wap") // snap 3 (head)
+    Thread.sleep(15)
+    // retention expires the INTERMEDIATE branch snapshot — only the
+    // head and the fork are pinned — hiding the 'apply' op evidence
+    t.expireSnapshotsOlderThan(System.currentTimeMillis() + 3600000L)
+    assert(!t.listSnapshots().exists(_.snapshotId == 2L),
+      "the intermediate branch snapshot must expire for this probe")
+    t.append(Seq((5L, "e")).toDF("k", "v").coalesce(1)) // main advances
+    // the rebase must refuse off the STATE (the head carries tombstones
+    // the fork lacks), never proceed and silently drop the branch delete
+    val e = intercept[IllegalStateException](t.publishBranch("wap"))
+    assert(e.getMessage.contains("merge-on-read deletes"), e.getMessage)
+  }
+
   test("keyed branch writes + main advance = genuine conflict: publish refuses with the re-fork recipe") {
     val t = new LakehouseTable(spark, tmpDir("br-keyed-conflict"))
     t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))
