@@ -549,11 +549,31 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
       })
   }
 
+  /** The batch face's ending pin: `endingSnapshot` (id), `endingTag`,
+    * or `endingTimestamp` — so "the changes between release tags"
+    * (`startingTag` → `endingTag`) is expressible without snapshot-id
+    * bookkeeping.
+    */
+  private def endingIdOf(t: LakehouseTable,
+      parameters: Map[String, String]): Option[Long] = {
+    val sid = longOpt(parameters, "endingSnapshot")
+    val tag = strOpt(parameters, "endingTag")
+    val ts = strOpt(parameters, "endingTimestamp")
+    require(Seq(sid, tag, ts).count(_.isDefined) <= 1,
+      "endingSnapshot / endingTag / endingTimestamp are mutually exclusive")
+    sid.orElse(tag.map(g => t.snapshotForTag(g).snapshotId))
+      .orElse(ts.map { x =>
+        val ms = scala.util.Try(x.trim.toLong).getOrElse(
+          java.sql.Timestamp.valueOf(x.trim).getTime)
+        t.snapshotAsOf(ms).snapshotId
+      })
+  }
+
   override def createRelation(
       sqlContext: SQLContext,
       parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
     val t = new LakehouseTable(sqlContext.sparkSession, rootOf(parameters))
-    val endId = longOpt(parameters, "endingSnapshot")
+    val endId = endingIdOf(t, parameters)
       .orElse(t.currentSnapshot().map(_.snapshotId))
       .getOrElse(throw new IllegalStateException(
         s"change-feed read requires a table with at least one snapshot"))

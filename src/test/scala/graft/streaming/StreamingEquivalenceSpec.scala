@@ -1328,6 +1328,17 @@ class StreamingEquivalenceSpec extends SparkSpec {
       .option("startingTag", "rel").option("endingSnapshot", "3").load()
       .select("id", "_change").collect().map(x => (x.getLong(0), x.getString(1))).toSet
     assert(batch === Set((1L, "delete"), (2L, "delete"), (2L, "insert"), (3L, "insert")))
+    // and tag-to-tag: "the changes between two releases" with zero
+    // snapshot-id bookkeeping
+    t.setTag("rel2", 3L)
+    val between = spark.read.format("graft-changefeed").option("path", t.root)
+      .option("startingTag", "rel").option("endingTag", "rel2").load()
+      .select("id", "_change").collect().map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(between === Set((1L, "delete"), (2L, "delete"), (2L, "insert"), (3L, "insert")))
+    val e2 = intercept[Exception](
+      spark.read.format("graft-changefeed").option("path", t.root)
+        .option("endingTag", "rel2").option("endingSnapshot", "3").load().collect())
+    assert(e2.getMessage.contains("mutually exclusive"), e2.getMessage)
   }
 
   test("readStream.table: a LIVE mid-stream upstream ADD fails loudly; restart re-pins and redelivers the values") {
