@@ -496,7 +496,24 @@ private[lakehouse] final class LakehouseDataWriter(
       return
     }
     val suffix = if (partRender.isEmpty) "" else partRender.map(_(row)).mkString("/")
-    val w = open.getOrElseUpdate(suffix, openWriter(suffix))
+    val w = open.getOrElse(suffix, {
+      // bound OPEN writers: an unclustered task spanning many partition
+      // values would otherwise hold a parquet buffer set per value
+      // (the 100 TB date-partitioned-append OOM). Evict the least-
+      // recently-opened writer; a re-appearing value rolls a new file —
+      // bounded memory for a few extra small files, and optimizeWrite
+      // clustering avoids the spread entirely
+      if (open.size >= LakehouseDataWriter.MaxOpenWriters) {
+        val (oldSuffix, oldW) = open.head
+        oldW._2.close(null)
+        closed += oldW._1
+        open.remove(oldSuffix)
+        ()
+      }
+      val fresh = openWriter(suffix)
+      open.put(suffix, fresh)
+      fresh
+    })
     // the record consumer serializes the row into parquet buffers
     // immediately, so the projection's reused row needs no copy
     w._2.write(null, proj(row))
@@ -528,4 +545,14 @@ private[lakehouse] final class LakehouseDataWriter(
   }
 
   override def close(): Unit = ()
+}
+
+object LakehouseDataWriter {
+  /** Cap on concurrently OPEN per-partition-value parquet writers in
+    * one task — beyond it the least-recently-opened rolls shut (its
+    * value re-appearing opens a fresh file). Each open writer holds a
+    * row-group buffer set, so unbounded spread is an executor OOM at
+    * scale; clustered writes (optimizeWrite) never approach the cap.
+    */
+  val MaxOpenWriters = 64
 }

@@ -842,6 +842,9 @@ class SchemaEvolutionSpec extends SparkSpec {
     t.renameColumn("x", "tag")                                     // snap 6: id follows the rename
     t.append(Seq((4L, "d", "t4")).toDF("k", "nm", "tag").coalesce(1)) // snap 7: stamped as tag
     val before = LakehouseBatchScan.idRoutedFiles.get()
+    // the id-routed read stays on the NATIVE vectorized scan — id
+    // resolution must never cost the columnar path
+    assert(isNative(dsv2(t)), "stamped-id reads must plan BatchScanExec")
     val got = dsv2(t).collect()
       .map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) null else r.getString(2))).toSet
