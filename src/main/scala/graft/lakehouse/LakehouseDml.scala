@@ -340,16 +340,40 @@ object LakehouseDml {
     * between is skipped, a type already wide enough is kept) so
     * interleaved statements can't wedge a merge.
     */
-  private val stagedEvolution =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      Seq[org.apache.spark.sql.connector.catalog.TableChange]]()
+  // access-ordered LRU bounded at 64 roots: the eldest (least-recently
+  // staged/served) entry evicts on overflow, so an abandoned EXPLAIN's
+  // staging ages out WITHOUT wiping a concurrent session's merge that
+  // sits between analysis and execution (a wholesale clear() did
+  // exactly that — ADVICE r14). Synchronized wrapper: stage/serve/
+  // remove are single-op, metadata-rate calls.
+  private val stagedEvolution: java.util.Map[String,
+      Seq[org.apache.spark.sql.connector.catalog.TableChange]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String,
+          Seq[org.apache.spark.sql.connector.catalog.TableChange]](
+          16, 0.75f, /*accessOrder=*/ true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String,
+            Seq[org.apache.spark.sql.connector.catalog.TableChange]]): Boolean =
+          size > 64
+      })
 
   private[lakehouse] def canonicalRoot(root: String): String =
     java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
 
+  /** Spec seam: counts stagings that arrived THROUGH the analyzer's
+    * merge-evolution rule. The whole staged-evolution mechanism rests
+    * on stack-sniffing `ResolveMergeIntoSchemaEvolution` — a Spark
+    * upgrade that renames or moves that rule would silently disable it
+    * (merges would evolve nothing); the spec asserting this counter
+    * moves across a real MERGE WITH SCHEMA EVOLUTION catches the
+    * regression loudly.
+    */
+  private[graft] val evolutionRuleHits =
+    new java.util.concurrent.atomic.AtomicLong
+
   private[lakehouse] def stageEvolution(root: String,
       changes: Seq[org.apache.spark.sql.connector.catalog.TableChange]): Unit = {
-    if (stagedEvolution.size > 64) stagedEvolution.clear() // abandoned-EXPLAIN bound
+    evolutionRuleHits.incrementAndGet()
     // REPLACE, never append: each merge analysis derives its own full
     // source-minus-target diff against the COMMITTED schema, so the
     // latest staging is self-contained — appending would let an

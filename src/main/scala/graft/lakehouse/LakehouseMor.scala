@@ -124,7 +124,7 @@ object LakehouseMor {
       catch { case _: Exception => false }
     }
 
-  private def dirOf(relFile: String): String = relFile.split('/').take(2).mkString("/")
+  private def dirOf(relFile: String): String = LakehouseTable.claimDirOf(relFile)
 
   /** Build the masks: per tombstone dir group, read the key parquet and
     * fold tuples into `byKey` at that dir's origin; dirs sharing one

@@ -93,6 +93,15 @@ final case class BranchRef(fork: Long, createdMs: Long,
 final case class TagRef(snapshot: Long, createdMs: Long,
     maxRefAgeMs: Option[Long] = None)
 
+/** Provenance of a cloned table root (`_clone.json`, written by
+  * [[LakehouseTable.cloneAtTag]]/[[LakehouseTable.cloneAtSnapshot]]):
+  * where the seed came from, which source tag PINS the referenced
+  * files against source expiry (the GC contract — None for deep
+  * clones, which own their bytes), and whether bytes were copied.
+  */
+final case class CloneInfo(sourceRoot: String, snapshotId: Long,
+    pinTag: Option[String], deep: Boolean, createdMs: Long)
+
 /** Iceberg-style FIELD IDS, assigned at commit time (see FIELD_IDS.md
   * for the design spike): `ids` maps each live column's DECLARED name
   * to its immutable id, `next` is the never-decreasing allocation
@@ -1262,8 +1271,17 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     val (litRoot, realRoot) = dataRootPair
     val i0 = p.indexOf(litRoot)
     val (i, r) = if (i0 >= 0) (i0, litRoot) else (p.indexOf(realRoot), realRoot)
-    require(i >= 0, s"data file $p not under table data root $litRoot")
-    "data/" + p.substring(i + r.length).stripPrefix("/")
+    if (i >= 0) "data/" + p.substring(i + r.length).stripPrefix("/")
+    else {
+      // not under this root: a shallow CLONE's foreign reference, whose
+      // manifest key IS the absolute path. Anything else is the
+      // silently-wrong-key hazard — fail loudly, not approximately.
+      require(currentSnapshot().exists(s =>
+        s.files.contains(p) || s.tombstones.contains(p)),
+        s"data file $p not under table data root $litRoot and not a " +
+          "foreign reference of the current snapshot")
+      p
+    }
   }
 
   private def upsertWith(df0: DataFrame, keys: Seq[String],
@@ -2261,9 +2279,25 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     val hb = new Thread(() => {
       val interval = math.max(50L, refLockStaleMs / 6)
       while (!done.await(interval, java.util.concurrent.TimeUnit.MILLISECONDS)) {
-        try Files.setLastModifiedTime(lock,
-          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-        catch { case _: java.io.IOException => () } // broken/raced: acquire arbiter rules
+        // refresh only OUR OWN lock's mtime: if the slot now holds a
+        // different token (a breaker displaced this holder and lost
+        // the restore to a third acquirer), touching it would keep a
+        // FOREIGN lock artificially fresh; warn once instead — the
+        // residual two-holder window is documented at
+        // [[tryBreakStaleRefLock]]
+        try {
+          if (Files.readString(lock) == token)
+            Files.setLastModifiedTime(lock,
+              java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          else {
+            System.err.println(s"[graft-lakehouse] WARNING: ref lock '$lock' " +
+              "was broken from under a live holder (JVM pause longer than " +
+              s"the $refLockStaleMs ms stale margin?) — another process may " +
+              "be in the refs critical section concurrently; ref writes are " +
+              "atomic renames, so the damage bound is a lost tag update")
+            done.await() // stop heartbeating a lock that is no longer ours
+          }
+        } catch { case _: java.io.IOException => () } // broken/raced: acquire arbiter rules
       }
     }, s"graft-ref-lock-heartbeat-${rootPath.getFileName}")
     hb.setDaemon(true)
@@ -2293,9 +2327,16 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     * holder claimed between this breaker's mtime read and its rename),
     * the aside file moves straight back — the breaker held the only
     * reference, so the restore can only fail if yet another acquirer
-    * claimed meanwhile, in which case the displaced fresh lock is
-    * dropped and its holder's release degrades to a no-op (token
-    * mismatch), never a wrong delete.
+    * claimed meanwhile. The restore RETRIES briefly (the third
+    * acquirer's critical sections are short), so the displaced fresh
+    * holder gets its claim back in almost every interleaving; if every
+    * retry loses, the aside is dropped and a RESIDUAL TWO-HOLDER WINDOW
+    * remains: the displaced holder runs its critical section
+    * concurrently with the new acquirer until its heartbeat notices the
+    * foreign token and warns (its release degrades to a token-mismatch
+    * no-op, never a wrong delete). The sections this lock guards are
+    * themselves atomic ref-file renames, so the damage bound of that
+    * window is a lost tag/ref update, not corruption.
     */
   private def tryBreakStaleRefLock(lock: Path): Unit = {
     val aside = refsDir.resolve(
@@ -2310,9 +2351,21 @@ final class LakehouseTable(spark: SparkSession, val root: String,
           System.currentTimeMillis() - refLockStaleMs
       catch { case _: java.io.IOException => false }
       if (fresh) {
-        // raced a new holder — restore its claim
-        try Files.move(aside, lock, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.io.IOException => Files.deleteIfExists(aside); () }
+        // raced a new holder — restore its claim, retrying briefly past
+        // third acquirers that grab the slot mid-restore (see Scaladoc)
+        var restored = false
+        var tries = 0
+        while (!restored && tries < 25) {
+          try {
+            Files.move(aside, lock, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            restored = true
+          } catch {
+            case _: java.io.IOException =>
+              tries += 1
+              Thread.sleep(2)
+          }
+        }
+        if (!restored) { Files.deleteIfExists(aside); () }
       } else { Files.deleteIfExists(aside); () }
     } catch {
       case _: java.io.IOException => () // lost the break race: retry acquire
@@ -2370,6 +2423,157 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       throw new IllegalArgumentException(
         s"tag '$name' not found in table '$root'. " +
           s"Available tags: ${tags.keys.toSeq.sorted.mkString("[", ", ", "]")}"))
+
+  // ---------------- snapshot clone / export ----------------
+
+  /** ZERO-COPY SHALLOW CLONE at a tag: a new table root whose seed
+    * manifest references this table's data files (and MoR tombstones)
+    * BY ABSOLUTE PATH — O(metadata), no byte moves (the Delta
+    * `CREATE TABLE … SHALLOW CLONE` shape). The clone is a full,
+    * independent table after the fork: its own snapshots, tags,
+    * branches, DML, compaction, changefeed; nothing it does ever
+    * touches the source (its vacuum walks only its own data dir, its
+    * writes land under its own root).
+    *
+    * Era metadata travels with the seed — schema, rename/drop/reborn
+    * registries, field-id state, per-file stats (copied, zero footer
+    * reads) and the declared partition layout — so the referenced
+    * files resolve in the clone exactly as a time-travel read at the
+    * tag resolves them here, stats pruning and SPJ included. The seed's
+    * snapshot id EQUALS the source snapshot's, which keeps every
+    * referenced file's path-derived origin strictly ≤ the fork id:
+    * MoR masking and era resolution stay exact, and the clone's own
+    * commits continue from the fork id.
+    *
+    * GC CONTRACT (expiry-vs-clone arbitration): the TAG is the pin.
+    * Tagged snapshots survive the source's retention sweeps, so the
+    * clone's foreign references outlive any source expiry while the
+    * tag stands. Dropping the tag (or letting its max-ref-age lapse)
+    * hands those files back to the source's expiry — call [[deepen]]
+    * on the clone FIRST to localize them. A deep clone (`deep = true`)
+    * copies bytes at clone time and needs no pin at all.
+    */
+  def cloneAtTag(destRoot: String, tag: String,
+      deep: Boolean = false): LakehouseTable =
+    cloneImpl(destRoot, snapshotForTag(tag),
+      pinTag = if (deep) None else Some(tag), deep)
+
+  /** [[cloneAtTag]] at a bare snapshot id. A SHALLOW clone creates a
+    * protective source tag (`clone-pin-s<id>-<nonce>`, returned via the
+    * clone's [[cloneProvenance]]) so the referenced snapshot survives
+    * source expiry — the same pin contract, made explicit because no
+    * user tag exists to carry it. [[deepen]] drops the auto-pin once
+    * the clone owns its bytes.
+    */
+  def cloneAtSnapshot(destRoot: String, snapshotId: Long,
+      deep: Boolean = false): LakehouseTable = writeLock.synchronized {
+    val snap = snapshotOrThrow(snapshotId)
+    val pin =
+      if (deep) None
+      else {
+        val name = s"clone-pin-s$snapshotId-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        setTag(name, snapshotId)
+        Some(name)
+      }
+    cloneImpl(destRoot, snap, pin, deep)
+  }
+
+  private def cloneImpl(destRoot: String, snap: Snapshot,
+      pinTag: Option[String], deep: Boolean): LakehouseTable = {
+    require(snap.branch.isEmpty,
+      s"snapshot ${snap.snapshotId} is a branch commit — publish the " +
+        "branch (or clone a main/tagged state) first")
+    val destPath = Paths.get(destRoot).toAbsolutePath.normalize
+    require(!Files.isDirectory(destPath.resolve("_snapshots")) ||
+      graft.Fs.listAll(destPath.resolve("_snapshots")).isEmpty,
+      s"clone destination '$destRoot' already holds a table")
+    require(destPath != rootPath.toAbsolutePath.normalize,
+      "cannot clone a table onto itself")
+    Files.createDirectories(destPath)
+    def absOf(rel: String): String = rootPath.resolve(rel).toAbsolutePath.toString
+    def localOf(rel: String): String = {
+      // byte-copy into the SAME claim-dir-relative path, preserving the
+      // path-derived origin id and hive partition dirs
+      val local = LakehouseTable.claimDirRelative(rel)
+      val dst = destPath.resolve(local)
+      Files.createDirectories(dst.getParent)
+      if (!Files.exists(dst)) { Files.copy(rootPath.resolve(rel), dst); () }
+      local
+    }
+    val mapEntry: String => String = if (deep) localOf else absOf
+    val fileMap = (snap.files ++ snap.tombstones).map(f => f -> mapEntry(f)).toMap
+    val dest = new LakehouseTable(spark, destPath.toString)
+    // seed the clone's stats cache under the remapped keys: the seed
+    // commit then records per-file stats with ZERO footer reads
+    snap.stats.getOrElse(Map.empty).foreach { case (k, st) =>
+      fileMap.get(k).foreach(nk => dest.knownStats.put(nk, st))
+    }
+    // the declared partition layout (and prune-gating spec version)
+    // travels verbatim — bucket pruning/SPJ behave as at the source
+    val metaP = rootPath.resolve("_catalog.json")
+    if (Files.exists(metaP)) {
+      Files.copy(metaP, destPath.resolve("_catalog.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    dest.writeSnapshot(Snapshot(snap.snapshotId, None,
+      System.currentTimeMillis(), "clone",
+      snap.files.map(fileMap), snap.schemaJson,
+      deletes = Some(snap.tombstones.map(fileMap)).filter(_.nonEmpty),
+      renames = Some(snap.aliases), drops = Some(snap.droppedCols),
+      reborn = Some(snap.rebornFloors), fieldIds = snap.fieldIds))
+    Files.writeString(destPath.resolve("_clone.json"), Serialization.write(
+      CloneInfo(rootPath.toAbsolutePath.normalize.toString, snap.snapshotId,
+        pinTag, deep, System.currentTimeMillis())))
+    dest
+  }
+
+  /** Clone provenance of THIS root, if it was created by a clone. */
+  def cloneProvenance: Option[CloneInfo] = {
+    val p = rootPath.resolve("_clone.json")
+    if (Files.exists(p)) Some(Serialization.read[CloneInfo](Files.readString(p)))
+    else None
+  }
+
+  /** LOCALIZE a shallow clone: copy every foreign (absolute) file and
+    * tombstone the CURRENT snapshot references into this root's own
+    * data dir — same claim-dir-relative paths, so origins and hive
+    * layout carry — and commit ONE `deepen` snapshot over the local
+    * entries (stats carry, no footer reads). After it, the clone owns
+    * its bytes: the source may expire, vacuum, or vanish. Drops the
+    * auto-created pin tag on the source when provenance records one
+    * (best effort — an unreachable source just keeps the tag). Returns
+    * files localized (0 = nothing foreign: already deep, or deepened
+    * before, or every foreign file was rewritten away by DML/compact).
+    */
+  def deepen(): Int = writeLock.synchronized {
+    val cur = currentSnapshot().getOrElse(return 0)
+    def isForeign(f: String) = Paths.get(f).isAbsolute
+    val foreign = (cur.files ++ cur.tombstones).filter(isForeign).distinct
+    if (foreign.isEmpty) return 0
+    val remap = foreign.map { f =>
+      val local = LakehouseTable.claimDirRelative(f)
+      val dst = rootPath.resolve(local)
+      Files.createDirectories(dst.getParent)
+      if (!Files.exists(dst)) { Files.copy(Paths.get(f), dst); () }
+      f -> local
+    }.toMap
+    cur.stats.getOrElse(Map.empty).foreach { case (k, st) =>
+      remap.get(k).foreach(knownStats.put(_, st))
+    }
+    writeSnapshot(Snapshot(nextId(), Some(cur.snapshotId),
+      System.currentTimeMillis(), "deepen",
+      cur.files.map(f => remap.getOrElse(f, f)), cur.schemaJson,
+      deletes = Some(cur.tombstones.map(f => remap.getOrElse(f, f)))
+        .filter(_.nonEmpty)))
+    // release the auto-pin: the clone no longer depends on the source
+    cloneProvenance.filter(_.pinTag.exists(_.startsWith("clone-pin-"))).foreach { ci =>
+      try { new LakehouseTable(spark, ci.sourceRoot).dropTag(ci.pinTag.get); () }
+      catch { case _: Exception => () }
+    }
+    foreign.size
+  }
 
   // ---------------- branches (write-audit-publish) ----------------
 
@@ -3142,7 +3346,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       val deletes =
         if (newTombs.isEmpty) inserts.filter(lit(false))
         else {
-          val cand = newTombs.groupBy(f => f.split('/').take(2).mkString("/"))
+          val cand = newTombs.groupBy(LakehouseTable.claimDirOf)
             .values.toSeq.flatMap { fs =>
               val keyRows = spark.read.parquet(
                 fs.map(f => rootPath.resolve(f).toString): _*).distinct()
@@ -3942,7 +4146,13 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     * keeps the re-inserted row visible.
     */
   private def originOf(relFile: String): Long = {
-    val m = "^data/s([0-9]+)".r.findFirstMatchIn(relFile).getOrElse(
+    // greedy prefix anchors to the LAST 'data/s<digits>' segment — the
+    // owning table's claim dir both for root-relative entries and for
+    // the ABSOLUTE source references a shallow clone's manifest carries
+    // (partition segments contain '=', so nothing after the claim dir
+    // can re-match; an unanchored first match would mis-parse a root
+    // path that itself contains '/data/s<digit>')
+    val m = "^(?:.*/)?data/s([0-9]+)".r.findFirstMatchIn(relFile).getOrElse(
       throw new IllegalStateException(s"cannot parse origin snapshot from '$relFile'"))
     m.group(1).toLong
   }
@@ -4022,7 +4232,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     // /data/s3cache/warehouse/t), silently corrupting MoR masking.
     val df = df0.withColumn("__graft_origin",
       regexp_extract(input_file_name(), "^.*/data/s([0-9]+)", 1).cast("long"))
-    val byDir = snap.tombstones.groupBy(f => f.split('/').take(2).mkString("/"))
+    val byDir = snap.tombstones.groupBy(LakehouseTable.claimDirOf)
     val perDir: Seq[(Seq[String], DataFrame)] = byDir.toSeq.map { case (dir, fs) =>
       val origin = originOf(fs.head)
       val t = spark.read.parquet(fs.map(f => rootPath.resolve(f).toString): _*)
@@ -4152,7 +4362,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       flat.groupBy(f => sigOf(originOf(f))).toSeq
         .sortBy(_._2.head)
         .map { case (sig, fs) => (sig, None, fs) } ++
-        partitioned.groupBy(_.split('/').take(2).mkString("/")).toSeq.sortBy(_._1)
+        partitioned.groupBy(LakehouseTable.claimDirOf).toSeq.sortBy(_._1)
           .map { case (sDir, fs) => (sigOf(originOf(fs.head)), Some(sDir), fs) }
     val dfs = groups.map { case (sig, base, fs) =>
       val physFields = declared.fields.toSeq.zip(sig).collect {
@@ -4275,6 +4485,31 @@ object LakehouseTable {
   /** `bucket(N, col)` partition-spec entry (whitespace-tolerant). */
   private[lakehouse] val BucketSpecRe =
     """(?i)bucket\(\s*([0-9]+)\s*,\s*([^)\s]+)\s*\)""".r
+
+  /** The CLAIM DIR of a manifest file entry — the path prefix through
+    * its `data/s<id>-…` segment, the per-dir grouping key tombstone and
+    * scan-group operations use. Matches the LAST `data` segment so both
+    * root-relative entries and the ABSOLUTE source references a shallow
+    * clone carries group correctly (partition segments always contain
+    * '=', so no segment after the claim dir can be named `data`).
+    */
+  private[lakehouse] def claimDirOf(entry: String): String = {
+    val segs = entry.split('/')
+    val i = segs.lastIndexWhere(_ == "data")
+    if (i >= 0 && i + 1 < segs.length) segs.take(i + 2).mkString("/")
+    else segs.take(2).mkString("/")
+  }
+
+  /** [[claimDirOf]]'s root-relative form: the entry's path FROM its
+    * `data` segment — where a clone localizes a foreign file, keeping
+    * the path-derived origin id and hive partition dirs intact.
+    */
+  private[lakehouse] def claimDirRelative(entry: String): String = {
+    val segs = entry.split('/')
+    val i = segs.lastIndexWhere(_ == "data")
+    require(i >= 0, s"cannot derive a table-relative data path from '$entry'")
+    segs.drop(i).mkString("/")
+  }
 
   /** THE bucket function: `pmod(xxhash64(value), n)` — one definition
     * shared by the write layout, the catalog's SQL-visible function

@@ -125,10 +125,14 @@ private[lakehouse] final class LakehouseDsv2Write(
   private val partSpec: Seq[String] =
     LakehouseSource.colListOf(writeOpts, "partitionBy")
 
-  /** Schema-channel mode, decided from the QUERY schema (both marker
-    * columns present — same detection rule as the V1 sink).
+  /** Schema-channel detection, from the QUERY schema (both marker
+    * columns present — same rule as the V1 sink). Effective ONLY on the
+    * streaming face: a BATCH write carrying `_ddl`+`_change` columns
+    * (e.g. materializing a raw changefeed) writes them as ordinary data
+    * — the batch commit has no DDL channel, so diverting rows there
+    * would silently drop them (ADVICE r14).
     */
-  private val ddlMode =
+  private val schemaChannel =
     querySchema.fieldNames.exists(_.equalsIgnoreCase("_ddl")) &&
       querySchema.fieldNames.exists(_.equalsIgnoreCase("_change"))
 
@@ -154,8 +158,20 @@ private[lakehouse] final class LakehouseDsv2Write(
     */
   @volatile private var staged: (Long, StructType) = _
 
-  private def makeFactory(): LakehouseWriterFactory = {
+  private def makeFactory(streaming: Boolean): LakehouseWriterFactory = {
+    val ddlMode = schemaChannel && streaming
     val t = table()
+    // declare the op column at stream BOOTSTRAP so its declaration never
+    // depends on which commit path the first epochs take: executor-file
+    // epochs pin the target schema (additions invisible) while a
+    // DDL-carrying epoch's driver-side append evolves additively —
+    // without this, `_change` became readable only after the first
+    // unrelated DDL epoch (round-14 what's-wrong #2)
+    if (ddlMode) t.currentSnapshot().foreach { s =>
+      val declared = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+      if (!declared.fieldNames.exists(_.equalsIgnoreCase("_change")))
+        t.addColumns(Seq(StructField("_change", StringType, nullable = true)))
+    }
     val head = t.currentSnapshot()
     val plan = mode match {
       case Dsv2CommitMode.Truncate =>
@@ -235,10 +251,11 @@ private[lakehouse] final class LakehouseDsv2Write(
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    makeFactory()
+    makeFactory(streaming = false)
 
   override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): StreamingDataWriterFactory = makeFactory()
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    makeFactory(streaming = true)
 
   private def filesOf(messages: Array[WriterCommitMessage]): Seq[String] =
     messages.toSeq.collect { case m: LakehouseWriteMessage => m.files }
@@ -309,20 +326,52 @@ private[lakehouse] final class LakehouseDsv2Write(
     val applied =
       if (ddl.isEmpty)
         t.commitWrittenFiles(files, batchSchema, claimed,
-          mark = Some(TxnMark(appId, epochId)), targetAuthoritative = ddlMode)
+          mark = Some(TxnMark(appId, epochId)), targetAuthoritative = schemaChannel)
       else {
         ddl.foreach(t.applySchemaChange)
+        // ORTHOGONALITY: when no record renames/drops/retypes/adds a
+        // column name the staged files carry, the executor files are
+        // already post-DDL-correct — commit them directly and skip the
+        // driver re-write (the common rename-elsewhere case costs one
+        // write, not two). Any touching record falls back to the
+        // driver-side re-canonicalization below.
+        def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+        val batchNames = batchSchema.fieldNames.map(lc).toSet
+        val ddlTouchesBatch = ddl.map(DdlRecord.parse).exists { r =>
+          r.op match {
+            case "rename" => (r.from.toSeq ++ r.to.toSeq).exists(n => batchNames(lc(n)))
+            case "drop" | "widen" | "add" => r.column.exists(n => batchNames(lc(n)))
+            case _ => true // set_spec / future ops: conservative
+          }
+        }
         val out =
           if (files.isEmpty)
             t.commitWrittenFiles(Nil, batchSchema, claimed,
               mark = Some(TxnMark(appId, epochId)), targetAuthoritative = true)
+          else if (!ddlTouchesBatch)
+            t.commitWrittenFiles(files, batchSchema, claimed,
+              mark = Some(TxnMark(appId, epochId)), targetAuthoritative = true)
           else {
             val dir = files.head.split('/').take(2).mkString("/")
-            val stagedDf = spark.read
+            val stagedDf0 = spark.read
               .option("basePath",
                 java.nio.file.Paths.get(t.rootAbsPath, dir).toString)
               .parquet(files.map(f =>
                 java.nio.file.Paths.get(t.rootAbsPath, f).toString): _*)
+            // pin path-inferred identity-partition types back to the
+            // staged batch schema (a digit-only string partition value
+            // re-infers numeric, and appendIdempotent's compatibility
+            // check would then wedge the epoch on every retry) — the
+            // same explicit cast commitUpsertFiles applies
+            val stagedTypes = batchSchema.fields.map(f =>
+              f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+            val stagedDf = stagedDf0.select(stagedDf0.columns.map { c =>
+              stagedTypes.get(c.toLowerCase(java.util.Locale.ROOT)) match {
+                case Some(f) => org.apache.spark.sql.functions.col(c)
+                  .cast(f.dataType).as(f.name)
+                case None => org.apache.spark.sql.functions.col(c)
+              }
+            }.toSeq: _*)
             // target-authoritative column drop (the V1 sink rule): a
             // batch column the post-DDL target doesn't declare — and no
             // alias explains — was dropped by the history; additive
@@ -443,11 +492,20 @@ private[lakehouse] final class LakehouseDataWriter(
     case WritePartCol(i, Some(n)) =>
       val p = plan(i)
       val dir = s"${p.name}_bucket"
+      // CAST-then-hash, like the V1 layout: the input row holds the
+      // QUERY type, so reading it with the widened declared type would
+      // zero-extend negative ints (UnsafeRow) or throw (generic rows)
+      // and land rows in the wrong bucket dir (ADVICE r14)
+      val widen = UnsafeProjection.create(Seq[Expression]({
+        val br = BoundReference(p.inputIdx, p.from, nullable = true)
+        if (p.from == p.to) br else Cast(br, p.to, Option(tz))
+      }))
       row => {
         // xxhash64(NULL) leaves the seed untouched — the exact
         // pmod(xxhash64(col), n) the V1 layout writes
-        val h = if (row.isNullAt(p.inputIdx)) 42L
-          else XxHash64Function.hash(row.get(p.inputIdx, p.to), p.to, 42L)
+        val w = widen(row)
+        val h = if (w.isNullAt(0)) 42L
+          else XxHash64Function.hash(w.get(0, p.to), p.to, 42L)
         ExternalCatalogUtils.getPartitionPathString(dir, (((h % n) + n) % n).toString)
       }
     case WritePartCol(i, None) =>
@@ -496,13 +554,16 @@ private[lakehouse] final class LakehouseDataWriter(
       return
     }
     val suffix = if (partRender.isEmpty) "" else partRender.map(_(row)).mkString("/")
-    val w = open.getOrElse(suffix, {
-      // bound OPEN writers: an unclustered task spanning many partition
-      // values would otherwise hold a parquet buffer set per value
-      // (the 100 TB date-partitioned-append OOM). Evict the least-
-      // recently-opened writer; a re-appearing value rolls a new file —
-      // bounded memory for a few extra small files, and optimizeWrite
-      // clustering avoids the spread entirely
+    // bound OPEN writers: an unclustered task spanning many partition
+    // values would otherwise hold a parquet buffer set per value (the
+    // 100 TB date-partitioned-append OOM). True LRU: a hit REMOVES and
+    // re-inserts at the tail below, so the head really is the least-
+    // recently-USED writer (a least-recently-OPENED head would evict
+    // the writer a round-robin interleave is about to need next —
+    // worst case one file per row). A re-appearing evicted value rolls
+    // a new file — bounded memory for a few extra small files, and
+    // optimizeWrite clustering avoids the spread entirely
+    val w = open.remove(suffix).getOrElse {
       if (open.size >= LakehouseDataWriter.MaxOpenWriters) {
         val (oldSuffix, oldW) = open.head
         oldW._2.close(null)
@@ -510,10 +571,8 @@ private[lakehouse] final class LakehouseDataWriter(
         open.remove(oldSuffix)
         ()
       }
-      val fresh = openWriter(suffix)
-      open.put(suffix, fresh)
-      fresh
-    })
+      openWriter(suffix)
+    }
     // the record consumer serializes the row into parquet buffers
     // immediately, so the projection's reused row needs no copy
     w._2.write(null, proj(row))
@@ -523,9 +582,8 @@ private[lakehouse] final class LakehouseDataWriter(
     if (maxRecordsPerFile.exists(n >= _)) {
       w._2.close(null)
       closed += w._1
-      open.remove(suffix)
       ()
-    } else open.update(suffix, (w._1, w._2, n))
+    } else open.put(suffix, (w._1, w._2, n))
   }
 
   override def commit(): WriterCommitMessage = {
@@ -549,7 +607,7 @@ private[lakehouse] final class LakehouseDataWriter(
 
 object LakehouseDataWriter {
   /** Cap on concurrently OPEN per-partition-value parquet writers in
-    * one task — beyond it the least-recently-opened rolls shut (its
+    * one task — beyond it the least-recently-USED rolls shut (its
     * value re-appearing opens a fresh file). Each open writer holds a
     * row-group buffer set, so unbounded spread is an executor OOM at
     * scale; clustered writes (optimizeWrite) never approach the cap.

@@ -1597,6 +1597,78 @@ object CdcOpQueries {
         (9960001L, s"ops:$ops", -1),
         (9960002L, s"hive:$hive", -1)))
         .toDF("k", "nm", "rk").orderBy(col("k"), col("nm"), col("rk"))
+    }),
+    // ---- zero-copy snapshot clone (round 15): cloneAtTag seeds a
+    //      replica in O(metadata) — the release's files BY REFERENCE,
+    //      one metadata commit, zero data bytes moved — replacing the
+    //      hand-rolled full-rewrite export q146's scenario used. The
+    //      two roots then advance INDEPENDENTLY, the changefeed's
+    //      startingTag drains the post-release changes into the clone
+    //      (keyed apply), and deepen() localizes the bytes so the
+    //      clone outlives any source expiry. Final state + the fork/
+    //      isolation/zero-copy invariants hash-gate against DuckDB. ----
+    "q149_snapshot_clone" -> ((s, dir) => {
+      import s.implicits._
+      val nation = graft.Tables.load(s, dir, "nation").select(
+        col("n_nationkey").as("nationkey"), col("n_name").as("name"),
+        col("n_regionkey").as("rk"))
+      val rootA = java.nio.file.Files.createTempDirectory("graft-q149a").toString
+      val rootC = java.nio.file.Files.createTempDirectory("graft-q149c").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-q149ck").toString
+      val a = new LakehouseTable(s, rootA)
+      a.append(nation.filter(col("rk") < 2).repartition(2)) // snap 1
+      a.append(nation.filter(col("rk") === 2)) // snap 2: the release
+      a.setTag("rel", a.currentSnapshot().get.snapshotId)
+      // THE CLONE: one metadata-only commit referencing the release
+      val c = a.cloneAtTag(rootC, "rel")
+      val forkRows = c.read().count()
+      val cloneData = java.nio.file.Paths.get(rootC, "data")
+      val zeroCopy =
+        if (!java.nio.file.Files.isDirectory(cloneData) ||
+          graft.Fs.walkAll(cloneData).forall(p => !p.toString.endsWith(".parquet")))
+          1L else 0L
+      // fork reads are IDENTICAL to a time travel at the tag
+      val atTag = a.scanAtSnapshot(a.snapshotForTag("rel").snapshotId)
+      val identical =
+        if (c.read().exceptAll(atTag).isEmpty && atTag.exceptAll(c.read()).isEmpty)
+          1L else 0L
+      // both sides advance independently after the fork
+      a.upsert(nation.filter(col("rk") === 1)
+        .withColumn("name", concat(col("name"), lit("_V2"))), Seq("nationkey")) // snap 3
+      a.append(nation.filter(col("rk") === 3)) // snap 4
+      c.append(Seq((801, "clone_local", 8))
+        .toDF("nationkey", "name", "rk").coalesce(1))
+      val sourceIsolated =
+        if (a.read().filter(col("nationkey") === 801).isEmpty) 1L else 0L
+      // the changefeed picks up exactly where the clone's seed ends:
+      // startingTag delivers the post-release changes, keyed-applied
+      val q = s.readStream.format("graft-changefeed").option("path", rootA)
+        .option("startingTag", "rel").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          c.applyChanges(df, Seq("nationkey"), txn = Some(("q149", bid)))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      require(q.awaitTermination(180000), "q149 drain did not finish")
+      // localize: after deepen the clone owns every byte it reads
+      val localized = c.deepen()
+      val cur = c.currentSnapshot().get
+      val foreignLeft = (cur.files ++ cur.tombstones)
+        .count(f => java.nio.file.Paths.get(f).isAbsolute)
+      val rows = c.read().select("nationkey", "name", "rk")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+      Seq(rootA, rootC, ckpt).foreach(p =>
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(p)))
+      (rows ++ Seq(
+        (980001, s"fork_rows:$forkRows", -1),
+        (980002, s"zero_copy:$zeroCopy", -1),
+        (980003, s"fork_identical:$identical", -1),
+        (980004, s"source_isolated:$sourceIsolated", -1),
+        (980005, s"deepen_localized:${if (localized > 0) 1 else 0}", -1),
+        (980006, s"foreign_after_deepen:$foreignLeft", -1)))
+        .toDF("nationkey", "name", "rk")
+        .orderBy(col("nationkey"), col("name"))
     })
   )
 
@@ -2183,6 +2255,29 @@ object CdcOpQueries {
         SELECT k, nm, rk FROM head
         UNION ALL SELECT 9960001, 'ops:create,append,append,overwrite,upsert', -1
         UNION ALL SELECT 9960002, 'hive:all', -1)
-      ORDER BY k, nm, rk"""
+      ORDER BY k, nm, rk""",
+    // q149: the clone ends at the source head for rk<=3 (the seeded
+    // release rk<=2, the replicated rk=1 rename and rk=3 append) plus
+    // its own clone-local row the source never sees; the signal rows
+    // pin fork size, the zero-copy seed, fork-read identity, source
+    // isolation, and the deepen localization contract.
+    "q149_snapshot_clone" -> """
+      WITH nat AS (SELECT CAST(n_nationkey AS INT) AS nationkey, n_name AS name,
+                          CAST(n_regionkey AS INT) AS rk FROM nation),
+      head AS (
+        SELECT nationkey,
+               CASE WHEN rk = 1 THEN name || '_V2' ELSE name END AS name, rk
+        FROM nat WHERE rk <= 3
+        UNION ALL SELECT 801, 'clone_local', 8)
+      SELECT nationkey, name, rk FROM (
+        SELECT nationkey, name, rk FROM head
+        UNION ALL SELECT 980001, 'fork_rows:' ||
+          CAST((SELECT count(*) FROM nat WHERE rk <= 2) AS VARCHAR), -1
+        UNION ALL SELECT 980002, 'zero_copy:1', -1
+        UNION ALL SELECT 980003, 'fork_identical:1', -1
+        UNION ALL SELECT 980004, 'source_isolated:1', -1
+        UNION ALL SELECT 980005, 'deepen_localized:1', -1
+        UNION ALL SELECT 980006, 'foreign_after_deepen:0', -1)
+      ORDER BY nationkey, name"""
   )
 }

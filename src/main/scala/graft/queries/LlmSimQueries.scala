@@ -1166,9 +1166,9 @@ object LlmSimQueries {
       val prov = idx.provenance.getOrElse(
         sys.error("q147: the reloaded index lost its corpus provenance"))
       val pinned = new graft.lakehouse.LakehouseTable(s2, prov.table)
-        .scanAtSnapshot(prov.snapshotId).collect().length
+        .scanAtSnapshot(prov.snapshotId).count()
       val now = new graft.lakehouse.LakehouseTable(s2, prov.table)
-        .read().collect().length
+        .read().count()
       val e2 = Tables.load(s2, dir, "embeddings")
         .withColumn("nrm", sqrt(sqnorm("embedding"))).cache()
       val served = ivfpqServe(s2, e2, idx.centroids, idx.books, idx.codes).count()

@@ -1,0 +1,174 @@
+package graft.lakehouse
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Zero-copy snapshot clone/export (round 15): a new table root seeded
+  * from a tag/snapshot with files BY REFERENCE (absolute paths,
+  * O(metadata)), independent lineage after the fork, a tag-based pin
+  * contract against source expiry, and `deepen()` to localize bytes.
+  */
+class CloneSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Source with the hard parts live: hive partitions, a rename (era
+    * resolution), and a MoR tombstone (masking + origin ordering).
+    */
+  private def buildSource(): LakehouseTable = {
+    val t = new LakehouseTable(spark, tmpDir("clone-src"))
+    t.append(Seq((1L, 0, "a"), (2L, 1, "b"), (3L, 0, "c"))
+      .toDF("id", "cell", "v"), partitionBy = Seq("cell")) // snap 1
+    t.renameColumn("v", "label") // snap 2
+    t.append(Seq((4L, 1, "d")).toDF("id", "cell", "label"),
+      partitionBy = Seq("cell")) // snap 3
+    t.applyChanges(Seq((2L, "delete")).toDF("id", "_change"), Seq("id"),
+      mergeOnRead = true) // snap 4: tombstone masks id=2
+    t
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, String)] =
+    df.select("id", "cell", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+
+  private val expected = Set((1L, 0, "a"), (3L, 0, "c"), (4L, 1, "d"))
+
+  test("shallow clone at a tag: zero bytes copied, reads identical through BOTH scan paths") {
+    val t = buildSource()
+    t.setTag("rel", t.currentSnapshot().get.snapshotId)
+    val cloneRoot = tmpDir("clone-dst")
+    val c = t.cloneAtTag(cloneRoot, "rel")
+    // ZERO data bytes under the clone root — pure metadata
+    val dataDir = java.nio.file.Paths.get(cloneRoot, "data")
+    assert(!java.nio.file.Files.isDirectory(dataDir) ||
+      graft.Fs.walkAll(dataDir).forall(p => !p.toString.endsWith(".parquet")),
+      "a shallow clone must not copy data files")
+    // programmatic scan: era resolution + MoR masking over foreign files
+    assert(rowsOf(c.read()) === expected)
+    // native DSv2 scan too (origin parsing, per-dir basePath, stats)
+    assert(rowsOf(spark.read.format("graft-lakehouse").load(cloneRoot)) === expected)
+    // per-file stats carried into the seed with no footer reads: the
+    // seed's stats map covers every referenced file
+    val seed = c.currentSnapshot().get
+    assert(seed.operation === "clone")
+    assert((seed.files ++ seed.tombstones).forall(f =>
+      seed.stats.exists(_.contains(f))), "seed must carry per-file stats")
+    // the seed id EQUALS the fork id: referenced-file origins stay <=
+    // it, so clone-side MoR tombstones (origin > fork) mask correctly
+    assert(seed.snapshotId === t.snapshotForTag("rel").snapshotId)
+    // provenance: the user tag is the pin
+    assert(c.cloneProvenance.map(ci => (ci.pinTag, ci.deep)) ===
+      Some((Some("rel"), false)))
+  }
+
+  test("clone and source advance independently after the fork") {
+    val t = buildSource()
+    t.setTag("rel", t.currentSnapshot().get.snapshotId)
+    val c = t.cloneAtTag(tmpDir("clone-ind"), "rel")
+    // source advances: invisible to the clone
+    t.append(Seq((9L, 0, "src-only")).toDF("id", "cell", "label"),
+      partitionBy = Seq("cell"))
+    assert(rowsOf(c.read()) === expected)
+    // clone advances: append + a MoR delete of a PRE-FORK key (the
+    // tombstone's origin must out-order the foreign files' origins)
+    c.append(Seq((10L, 1, "clone-only")).toDF("id", "cell", "label"),
+      partitionBy = Seq("cell"))
+    c.applyChanges(Seq((1L, "delete")).toDF("id", "_change"), Seq("id"),
+      mergeOnRead = true)
+    assert(rowsOf(c.read()) === Set((3L, 0, "c"), (4L, 1, "d"), (10L, 1, "clone-only")))
+    // ...and none of it reached the source
+    assert(rowsOf(t.read()) === expected + ((9L, 0, "src-only")))
+    // clone-side SQL-path operations work over the mixed file set
+    assert(c.read().where(col("cell") === 0).count() === 1L)
+  }
+
+  test("expiry-vs-clone arbitration: the tag pins; deepen() localizes; a dropped pin is fatal") {
+    val t = buildSource()
+    t.setTag("rel", t.currentSnapshot().get.snapshotId)
+    val c = t.cloneAtTag(tmpDir("clone-exp"), "rel")
+    t.append(Seq((9L, 0, "head")).toDF("id", "cell", "label"),
+      partitionBy = Seq("cell"))
+    // COMPACT rewrites the head so the fork's files stop being
+    // head-referenced, then expire everything old: the TAGGED fork
+    // state alone keeps those files alive — the pin doing its job
+    assert(t.compact(fileThreshold = 1, maxRows = 1000000L).isDefined)
+    t.expireSnapshotsOlderThan(System.currentTimeMillis() + 60000)
+    assert(rowsOf(c.read()) === expected,
+      "tagged fork files must survive source expiry (the pin contract)")
+    // deepen: bytes localize, reads unchanged, nothing foreign remains
+    val localized = c.deepen()
+    assert(localized > 0)
+    val after = c.currentSnapshot().get
+    assert((after.files ++ after.tombstones).forall(f =>
+      !java.nio.file.Paths.get(f).isAbsolute),
+      s"deepen must leave only root-relative entries: ${after.files}")
+    assert(rowsOf(c.read()) === expected)
+    assert(rowsOf(spark.read.format("graft-lakehouse").load(c.root)) === expected)
+    assert(c.deepen() === 0, "deepen is idempotent")
+    // now the pin can go: source expiry deletes the fork's files and
+    // the DEEPENED clone does not care
+    t.dropTag("rel")
+    t.expireSnapshotsOlderThan(System.currentTimeMillis() + 60000)
+    assert(rowsOf(c.read()) === expected)
+    // contrast: a shallow clone whose pin was dropped WITHOUT deepen
+    // fails loudly once the source expires (the documented contract)
+    val t2 = buildSource()
+    t2.setTag("rel2", t2.currentSnapshot().get.snapshotId)
+    val c2 = t2.cloneAtTag(tmpDir("clone-broken"), "rel2")
+    t2.append(Seq((9L, 0, "head")).toDF("id", "cell", "label"),
+      partitionBy = Seq("cell"))
+    t2.dropTag("rel2")
+    assert(t2.compact(fileThreshold = 1, maxRows = 1000000L).isDefined)
+    t2.expireSnapshotsOlderThan(System.currentTimeMillis() + 60000)
+    intercept[Exception](rowsOf(c2.read()))
+  }
+
+  test("cloneAtSnapshot auto-pins the source; deepen releases the pin") {
+    val t = buildSource()
+    val forkId = t.currentSnapshot().get.snapshotId
+    val c = t.cloneAtSnapshot(tmpDir("clone-snap"), forkId)
+    val pin = c.cloneProvenance.flatMap(_.pinTag)
+    assert(pin.exists(_.startsWith("clone-pin-")), s"auto-pin expected: $pin")
+    assert(t.tags.get(pin.get).map(_._1) === Some(forkId),
+      "the auto-pin tag must point at the fork snapshot in the SOURCE")
+    assert(rowsOf(c.read()) === expected)
+    assert(c.deepen() > 0)
+    assert(t.tags.get(pin.get).isEmpty, "deepen must release the auto-pin")
+  }
+
+  test("deep clone copies bytes at clone time: no pin, survives source removal") {
+    val t = buildSource()
+    t.setTag("rel", t.currentSnapshot().get.snapshotId)
+    val c = t.cloneAtTag(tmpDir("clone-deep"), "rel", deep = true)
+    assert(c.cloneProvenance.map(_.pinTag) === Some(None), "deep clones need no pin")
+    val seed = c.currentSnapshot().get
+    assert((seed.files ++ seed.tombstones).forall(f =>
+      !java.nio.file.Paths.get(f).isAbsolute))
+    // the source can VANISH entirely
+    graft.Fs.deleteRecursively(java.nio.file.Paths.get(t.root))
+    assert(rowsOf(c.read()) === expected)
+    assert(rowsOf(spark.read.format("graft-lakehouse").load(c.root)) === expected)
+  }
+
+  test("clone refuses a busy destination and branch commits") {
+    val t = buildSource()
+    t.setTag("rel", t.currentSnapshot().get.snapshotId)
+    val other = new LakehouseTable(spark, tmpDir("clone-busy"))
+    other.append(Seq((1L, "x")).toDF("id", "v"))
+    intercept[IllegalArgumentException](t.cloneAtTag(other.root, "rel"))
+    intercept[IllegalArgumentException](
+      t.cloneAtSnapshot(t.root, t.currentSnapshot().get.snapshotId))
+  }
+
+  test("compaction on a shallow clone naturally localizes every file") {
+    val t = buildSource()
+    t.setTag("rel", t.currentSnapshot().get.snapshotId)
+    val c = t.cloneAtTag(tmpDir("clone-compact"), "rel")
+    assert(c.compact(fileThreshold = 1, maxRows = 1000000L).isDefined)
+    val cur = c.currentSnapshot().get
+    assert(cur.files.nonEmpty &&
+      (cur.files ++ cur.tombstones).forall(f =>
+        !java.nio.file.Paths.get(f).isAbsolute),
+      s"compaction rewrites locally: ${cur.files}")
+    assert(rowsOf(c.read()) === expected)
+  }
+}

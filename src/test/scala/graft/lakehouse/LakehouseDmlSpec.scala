@@ -435,6 +435,50 @@ class LakehouseDmlSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("bucket"), e.getMessage)
   }
 
+  test("the merge-evolution analyzer rule still FIRES on this Spark (stack-sniff upgrade guard)") {
+    // the whole staged-evolution mechanism rests on detecting Spark's
+    // ResolveMergeIntoSchemaEvolution rule on the call stack — a Spark
+    // upgrade that renames or moves that rule would silently disable
+    // evolution (merges would add nothing, with no error). Pin the
+    // detection LOUDLY: the stage counter must move across a real
+    // evolving merge, and the column must actually land.
+    val t = freshTable("merule", "id BIGINT, v STRING")
+    spark.sql("INSERT INTO dmlcat.db.merule VALUES (1,'a')")
+    val before = LakehouseDml.evolutionRuleHits.get()
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO dmlcat.db.merule t
+         USING (SELECT CAST(2 AS BIGINT) AS id, 'b' AS v, 'N' AS newcol) s
+         ON t.id = s.id
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(LakehouseDml.evolutionRuleHits.get() > before,
+      "stageEvolution never ran through the analyzer rule — the " +
+        "ResolveMergeIntoSchemaEvolution stack-sniff no longer matches " +
+        "this Spark version; update LakehouseDml.inMergeEvolutionRule")
+    assert(spark.table("dmlcat.db.merule").schema.fieldNames.contains("newcol"))
+    assert(t.currentSnapshot().isDefined)
+  }
+
+  test("a staged evolution survives 64 unrelated stagings (LRU eviction, not wholesale clear)") {
+    // round-14 ADVICE: the overflow bound cleared the WHOLE staging map,
+    // wiping a concurrent merge sitting between analysis and execution.
+    // Eviction is now eldest-entry LRU — a recently staged root survives
+    // a burst of unrelated stagings well past the 64 bound.
+    val add = org.apache.spark.sql.connector.catalog.TableChange.addColumn(
+      Array("x"), org.apache.spark.sql.types.IntegerType)
+    LakehouseDml.stageEvolution("/graft-lru-victim", Seq(add))
+    (0 until 64).foreach { i =>
+      // each unrelated staging REFRESHES the victim (access-order LRU
+      // would age it out otherwise; a real merge re-reads its staging
+      // between analysis and exec the same way)
+      assert(LakehouseDml.stagedEvolutionFor("/graft-lru-victim").isDefined,
+        s"staging evicted after only $i unrelated stagings")
+      LakehouseDml.stageEvolution(s"/graft-lru-noise-$i", Seq(add))
+    }
+    assert(LakehouseDml.stagedEvolutionFor("/graft-lru-victim").isDefined)
+    // leftover fake-root stagings are harmless: no real merge ever
+    // resolves these roots, and the 64-entry bound ages them out
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION is DRY-RUN honest: EXPLAIN commits nothing (round 14)") {
     val t = freshTable("medry", "id BIGINT, v STRING")
     spark.sql("INSERT INTO dmlcat.db.medry VALUES (1,'a')")

@@ -268,6 +268,161 @@ class LakehouseWriteSpec extends SparkSpec {
         "not null out under a stale physical name")
   }
 
+  test("open-writer eviction is true LRU: a hot partition value interleaved past the cap keeps ONE file") {
+    // one HOT value recurring between a stream of 320 cold values, all
+    // from a single task, cap 64: true LRU keeps the hot writer
+    // resident (a hit repositions it), so the hot dir gets exactly one
+    // file — the round-14 least-recently-OPENED head evicted the hot
+    // writer every ~63 cold values and sprayed it across several files
+    val cat = mkCatalog("dsv2w")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.lru")
+    spark.sql(s"CREATE TABLE $cat.db.lru (id BIGINT, pv STRING) PARTITIONED BY (pv)")
+    val rows = (0 until 320).flatMap(i => Seq((i.toLong, "hot"), (i.toLong, s"c$i")))
+    rows.toDF("id", "pv").coalesce(1).createOrReplaceTempView("lru_src")
+    spark.sql(s"INSERT INTO $cat.db.lru SELECT id, pv FROM lru_src")
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val t = new LakehouseTable(spark,
+      java.nio.file.Paths.get(wh, "db", "lru").toString)
+    val files = t.currentSnapshot().get.files
+    val hotFiles = files.filter(_.contains("pv=hot/"))
+    assert(hotFiles.size === 1,
+      s"the hot (always-just-used) writer must never evict: $hotFiles")
+    assert(files.size === 321, s"one file per partition value, got ${files.size}")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.lru WHERE pv = 'hot'")
+      .head.getLong(0) === 320L)
+    spark.sql(s"DROP TABLE $cat.db.lru")
+  }
+
+  test("a BATCH write carrying _ddl+_change columns keeps them as DATA (no silent channel divert)") {
+    // the schema channel is a STREAMING contract; a batch INSERT that
+    // legitimately materializes a raw changefeed (op + ddl columns as
+    // data) must land every row — the round-14 face diverted
+    // `_change='schema'` rows into commit messages the batch commit
+    // never read, silently dropping them (ADVICE r14)
+    val cat = mkCatalog("dsv2w")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.rawfeed")
+    spark.sql(s"CREATE TABLE $cat.db.rawfeed (id BIGINT, _change STRING, _ddl STRING)")
+    Seq((1L, "insert", null), (2L, "schema", """{"v":1,"seq":0,"op":"add"}"""),
+      (3L, "delete", null))
+      .toDF("id", "_change", "_ddl").coalesce(1)
+      .createOrReplaceTempView("rawfeed_src")
+    spark.sql(s"INSERT INTO $cat.db.rawfeed SELECT * FROM rawfeed_src")
+    val got = spark.sql(s"SELECT id, _change FROM $cat.db.rawfeed ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "insert"), (2L, "schema"), (3L, "delete")),
+      "batch writes have no DDL channel — schema-marked rows are data")
+    spark.sql(s"DROP TABLE $cat.db.rawfeed")
+  }
+
+  test("DDL-mode stream declares _change at bootstrap, independent of commit path") {
+    // round-14 what's-wrong #2: whether `_change` entered the DECLARED
+    // schema depended on which commit path the first epochs took
+    // (executor-file commits pin the target schema; driver-side DDL
+    // epochs evolve additively). Rule now: declared at stream bootstrap
+    import org.apache.spark.sql.streaming.Trigger
+    val src = new LakehouseTable(spark, tmpDir("dsv2-boot-src"))
+    src.append(Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    val dst = new LakehouseTable(spark, tmpDir("dsv2-boot-dst"))
+    dst.append(Seq((0L, "seed")).toDF("k", "v").coalesce(1))
+    val q = spark.readStream.format("graft-changefeed")
+      .option("path", src.root).option("emitSchemaChanges", "true").load()
+      .writeStream.format("graft-lakehouse")
+      .option("path", dst.root).option("txnAppId", "dsv2boot")
+      .option("checkpointLocation", tmpDir("dsv2-boot-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    // epoch 0 carried NO DDL (pure executor-file commit) — _change must
+    // already be declared
+    val declared = org.apache.spark.sql.types.DataType
+      .fromJson(dst.currentSnapshot().get.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    assert(declared.exists(_.equalsIgnoreCase("_change")),
+      s"_change must be declared at stream bootstrap, got ${declared.toSeq}")
+    assert(spark.read.format("graft-lakehouse").load(dst.root)
+      .select("_change").where(col("_change") === "insert").count() === 1L)
+  }
+
+  test("a DDL epoch ORTHOGONAL to the batch's columns commits the executor files directly") {
+    // rename of a column the feed never carries: the staged files are
+    // already post-DDL-correct, so they land as-is (one write) instead
+    // of the driver re-read/re-append (round-14 double-write)
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpDir("dsv2-orth")
+    val t = new LakehouseTable(spark, root)
+    t.append(Seq((0L, "seed", "x")).toDF("id", "v", "other").coalesce(1))
+    val src = tmpDir("dsv2-orth-src")
+    val rename = DdlRecord.rename(0, "other", "renamed").json
+    Seq((1L, "a", "insert", null), (2L, "b", "insert", null),
+      (-1L, null, "schema", rename))
+      .toDF("id", "v", "_change", "_ddl").coalesce(1)
+      .write.mode("overwrite").json(src)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_change", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_ddl", org.apache.spark.sql.types.StringType)))
+    val filesBefore = t.currentSnapshot().get.files.toSet
+    val q = spark.readStream.schema(schema).json(src)
+      .writeStream.format("graft-lakehouse")
+      .option("path", root).option("txnAppId", "dsv2orth")
+      .option("checkpointLocation", tmpDir("dsv2-orth-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    // the rename applied...
+    val declared = org.apache.spark.sql.types.DataType
+      .fromJson(t.currentSnapshot().get.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    assert(declared.contains("renamed") && !declared.contains("other"))
+    // ...and the epoch's data files are the EXECUTOR-written ones (the
+    // dsv2-claimed dir), not a driver re-write (s<id>-w<nonce> dirs)
+    val added = t.currentSnapshot().get.files.toSet -- filesBefore
+    assert(added.nonEmpty && added.forall(_.contains("-dsv2-")),
+      s"orthogonal-DDL epoch must reuse the staged executor files: $added")
+    val got = spark.read.format("graft-lakehouse").load(root)
+      .select("id", "v", "renamed").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got === Seq((0L, "seed", "x"), (1L, "a", null), (2L, "b", null)))
+  }
+
+  test("bucket dirs hash the CAST value when the column plan widens (negative ints land right)") {
+    // ADVICE r14: reading the unprojected row with the widened type
+    // zero-extends negative ints (wrong bucket) or throws on generic
+    // rows — the writer must cast-then-hash like the V1 layout
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val rootAbs = tmpDir("dsv2-widen-bkt")
+    val conf = spark.sessionState.conf
+    val parquetConf = Map(
+      org.apache.spark.sql.internal.SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key ->
+        conf.getConf(org.apache.spark.sql.internal.SQLConf.PARQUET_WRITE_LEGACY_FORMAT).toString,
+      org.apache.spark.sql.internal.SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key ->
+        conf.getConf(org.apache.spark.sql.internal.SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE).toString,
+      org.apache.spark.sql.internal.SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key -> "true",
+      org.apache.spark.sql.internal.SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key ->
+        conf.getConf(org.apache.spark.sql.internal.SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString,
+      org.apache.spark.sql.internal.SQLConf.SESSION_LOCAL_TIMEZONE.key ->
+        conf.sessionLocalTimeZone)
+    // the batch speaks INT for a BIGINT-declared bucket column — the
+    // stale-loaded-schema / DSv2-stream shape
+    val plan = Seq(
+      WriteColPlan(0, "k", IntegerType, LongType, None),
+      WriteColPlan(1, "v", StringType, StringType, None))
+    val w = new LakehouseDataWriter(rootAbs, "s1-spec-w1", plan,
+      Seq(WritePartCol(0, Some(4))), conf.sessionLocalTimeZone, parquetConf,
+      "snappy", ddlMode = false, changeIdx = -1, ddlIdx = -1,
+      partitionId = 0, taskId = 0L)
+    // a GenericInternalRow (int slot) — round 14 threw ClassCastException
+    val ks = Seq(-7, -1, 3)
+    ks.foreach(k => w.write(InternalRow(k, UTF8String.fromString(s"v$k"))))
+    val msg = w.commit().asInstanceOf[LakehouseWriteMessage]
+    ks.foreach { k =>
+      val expect = LakehouseTable.bucketId(k.toLong, LongType, 4)
+      assert(msg.files.exists(_.contains(s"k_bucket=$expect")),
+        s"k=$k must hash its WIDENED value into bucket $expect: ${msg.files}")
+    }
+  }
+
   test("DSv2 batch files carry field-id stamps and write-time footer stats prune") {
     val cat = mkCatalog("dsv2w")
     spark.sql(s"DROP TABLE IF EXISTS $cat.db.stamped")
