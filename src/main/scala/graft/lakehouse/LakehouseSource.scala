@@ -675,16 +675,14 @@ private[lakehouse] final class LakehouseV2Table(
           // [[LakehouseDsv2Write]]'s executor-side writers
           caps.remove(TableCapability.V1_BATCH_WRITE)
         }
-        // round 14: the DSv2 STREAMING write face serves the KEYLESS
-        // append stream (executor-side writers + the offset-aware
-        // epoch-marked commit — see [[LakehouseDsv2Write]]). Keyed /
-        // merge-on-read streams stay on the V1 sink (their merges are
-        // multi-job DataFrame computations, not per-partition writers),
-        // and a snapshot-less root keeps V1 too: its first batch
+        // round 15: the DSv2 STREAMING write face serves EVERY stream
+        // shape — keyless appends (round 14) AND keyed / merge-on-read
+        // applies, whose writers split data rows from executor-written
+        // key files so the epoch commit is metadata-only (MoR) or a
+        // probe+rewrite (CoW) — see [[LakehouseDsv2Write]]. Only a
+        // snapshot-less root keeps the V1 sink: its first batch
         // auto-creates the table, later restarts ride DSv2.
-        if (tableSchema.fields.nonEmpty &&
-            LakehouseSource.colListOf(options, "keys").isEmpty &&
-            !LakehouseSource.boolOpt(options, "mergeOnRead")) {
+        if (tableSchema.fields.nonEmpty) {
           caps.add(TableCapability.STREAMING_WRITE)
         }
         caps
@@ -823,6 +821,17 @@ private[lakehouse] final class LakehouseV2Table(
                 }
               }
             }
+          // round 15: KEYED streams ride the DSv2 face too (split
+          // writers + commitApplyStagedFiles) — this V1Write serves
+          // their batch shape, so its streaming half routes to the
+          // keyed commit mode; overwrite-shaped streams stay illegal
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            require(keys.nonEmpty && !doTruncate && overwriteBy.isEmpty,
+              "graft-lakehouse streaming writes are append- or keyed-shaped")
+            new LakehouseDsv2Write(LakehouseSource.rootOf(options), writeOpts,
+              info.schema(), Dsv2CommitMode.Keyed(keys, mor)).toStreaming
+          }
         }
       }
     }

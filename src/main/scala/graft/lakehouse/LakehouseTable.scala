@@ -897,6 +897,78 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** KEYED STREAMING epoch commit over EXECUTOR-WRITTEN halves (round
+    * 15 — the DSv2 form of [[applyChanges]]/[[upsert]] for streams):
+    * `dataFiles` are the batch's insert rows, `tombFiles` its deduped
+    * touched-key tuples — both staged task-side, the driver never
+    * touches row data on the MoR path.
+    *
+    *  - merge-on-read: ONE metadata commit — data files add, the tomb
+    *    files become the snapshot's key tombstone (they were written
+    *    at the batch's claimed origin, so the batch's own rows stay
+    *    visible: masking is strictly-older). The V1 path wrote the
+    *    same tombstone driver-side from the batch; here it already
+    *    exists.
+    *  - copy-on-write: the tomb keys drive the two-stage touched-file
+    *    probe; touched files rewrite minus matching keys, the staged
+    *    data files land as the added side. The caller discards the
+    *    tomb files (transport only).
+    *
+    * `mark` is the epoch's exactly-once transaction mark: an absorbed
+    * replay returns None (caller discards every staged file). An empty
+    * epoch still commits so its mark is recorded. `cdc` only names the
+    * op lineage (`apply` vs `upsert`) — semantics are identical.
+    */
+  private[lakehouse] def commitApplyStagedFiles(dataFiles: Seq[String],
+      tombFiles: Seq[String], batchSchema: StructType, claimedId: Long,
+      keys: Seq[String], mergeOnRead: Boolean, cdc: Boolean,
+      mark: Option[TxnMark]): Option[Snapshot] = writeLock.synchronized {
+    require(keys.nonEmpty, "keyed commit requires key columns")
+    if (mark.exists(m => lastTxnVersion(m.appId).exists(_ >= m.version)))
+      return None // a racing replica of this exact epoch already landed
+    val op = if (cdc || mergeOnRead) "apply" else "upsert"
+    currentSnapshot() match {
+      case None =>
+        // bootstrap: the staged data files become the table (nothing
+        // exists for the keys to touch; a pure-delete batch still
+        // commits for its mark). Caller discards the tomb files.
+        Some(writeSnapshot(Snapshot(nextId(), None, System.currentTimeMillis(),
+          op, dataFiles, batchSchema.json, txn = mark)))
+      case Some(c) =>
+        requireCompatibleSchemaFor(Some(c), batchSchema)
+        if (mergeOnRead) {
+          Some(writeSnapshot(Snapshot(nextId(), Some(c.snapshotId),
+            System.currentTimeMillis(), op, c.files ++ dataFiles,
+            evolvedSchemaJsonFor(Some(c), batchSchema), txn = mark,
+            deletes = Some(c.tombstones ++ tombFiles).filter(_.nonEmpty))))
+        } else {
+          val canon = batchSchema.fields.map(f => nameKey(f.name) -> f).toMap
+          val incoming =
+            if (tombFiles.isEmpty) None
+            else Some(spark.read.parquet(tombFiles.map(f =>
+              rootPath.resolve(f).toString): _*)
+              .select(keys.map { k =>
+                val f = canon.getOrElse(nameKey(k), throw new IllegalArgumentException(
+                  s"keys column '$k' not in the batch schema ${batchSchema.simpleString}"))
+                col(f.name).cast(f.dataType).as(f.name)
+              }: _*).distinct())
+          val touched = incoming.map(touchedFilesFor(c, _, keys)).getOrElse(Nil)
+          val id = nextId()
+          val partCols = inferPartitionCols(c.files)
+          val rewritten =
+            if (touched.isEmpty) Nil
+            else writeDataFiles(
+              scanFiles(c, touched).join(incoming.get, keys, "left_anti"),
+              id, suffix = "rw", partitionCols = partCols)
+          Some(writeSnapshot(Snapshot(id, Some(c.snapshotId),
+            System.currentTimeMillis(), op,
+            c.files.diff(touched) ++ rewritten ++ dataFiles,
+            evolvedSchemaJsonFor(Some(c), batchSchema), txn = mark,
+            deletes = c.deletes)))
+        }
+    }
+  }
+
   /** Drop uncommitted executor-written files (aborted job, absorbed
     * replay) and their now-empty claim dirs.
     */

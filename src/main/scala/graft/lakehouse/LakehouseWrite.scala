@@ -21,9 +21,14 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   * parquet files it produced (written EXECUTOR-SIDE, straight into the
   * table's claimed data dir) plus any schema-channel DDL records its
   * rows carried (`_change = 'schema'` rows — a handful per batch, never
-  * data volume).
+  * data volume). KEYED STREAMS (round 15) additionally ship two
+  * executor-written KEY file sets: `tombFiles` (the distinct key tuples
+  * of every touched row — the MoR tombstone / CoW probe side) and
+  * `delFiles` (the delete-tagged keys alone — commit transport for the
+  * rare DDL-epoch driver fallback, never referenced by a manifest).
   */
-final case class LakehouseWriteMessage(files: Seq[String], ddl: Seq[String])
+final case class LakehouseWriteMessage(files: Seq[String], ddl: Seq[String],
+    tombFiles: Seq[String] = Nil, delFiles: Seq[String] = Nil)
     extends WriterCommitMessage
 
 /** One query column's canonical landing spot in the table: input
@@ -91,10 +96,19 @@ object Dsv2CommitMode {
   *    doc), so era resolution stays exact whichever side of a rename
   *    the batch's names speak.
   *
-  * Keyed shapes (upsert / CDC apply) are DataFrame-level multi-job
-  * computations (collision probes + rewrites), not per-partition
-  * writers — they stay on the V1 sink / programmatic faces by design
-  * (the same call Delta's streaming sink makes).
+  * KEYED STREAMS (round 15) ride the same executor writers with a
+  * per-task SPLIT: data rows to the data files, every touched row's
+  * deduped key tuple to a `-tomb` key file, delete-tagged keys to a
+  * `-del` file. The epoch commit
+  * ([[LakehouseTable.commitApplyStagedFiles]]) is then pure metadata
+  * for merge-on-read (data files add, the tomb files ARE the
+  * tombstone — the V1 path wrote them driver-side) and a probe +
+  * touched-file rewrite for copy-on-write; semantics are the V1
+  * applyChanges/upsert contract exactly (tag validation, strictly-
+  * older masking, txn absorption). Only a DDL-CARRYING keyed epoch
+  * reconstructs the batch driver-side — the same bounded trade as the
+  * keyless face. The V1 sink remains solely for snapshot-less roots
+  * (batch 1 auto-creates; restarts ride this face).
   */
 private[lakehouse] final class LakehouseDsv2Write(
     root: String, writeOpts: Map[String, String], querySchema: StructType,
@@ -105,8 +119,9 @@ private[lakehouse] final class LakehouseDsv2Write(
   override def description(): String = s"graft-lakehouse $mode $root"
   override def toBatch: BatchWrite = this
   override def toStreaming: StreamingWrite = {
-    require(mode == Dsv2CommitMode.Append,
-      s"graft-lakehouse streaming writes are append-shaped, got $mode")
+    require(mode == Dsv2CommitMode.Append ||
+      mode.isInstanceOf[Dsv2CommitMode.Keyed],
+      s"graft-lakehouse streaming writes are append- or keyed-shaped, got $mode")
     this
   }
 
@@ -160,14 +175,17 @@ private[lakehouse] final class LakehouseDsv2Write(
 
   private def makeFactory(streaming: Boolean): LakehouseWriterFactory = {
     val ddlMode = schemaChannel && streaming
+    val keyedStream = streaming && mode.isInstanceOf[Dsv2CommitMode.Keyed]
     val t = table()
-    // declare the op column at stream BOOTSTRAP so its declaration never
-    // depends on which commit path the first epochs take: executor-file
-    // epochs pin the target schema (additions invisible) while a
-    // DDL-carrying epoch's driver-side append evolves additively —
-    // without this, `_change` became readable only after the first
-    // unrelated DDL epoch (round-14 what's-wrong #2)
-    if (ddlMode) t.currentSnapshot().foreach { s =>
+    // declare the op column at KEYLESS stream BOOTSTRAP so its
+    // declaration never depends on which commit path the first epochs
+    // take: executor-file epochs pin the target schema (additions
+    // invisible) while a DDL-carrying epoch's driver-side append
+    // evolves additively — without this, `_change` became readable
+    // only after the first unrelated DDL epoch (round-14 what's-wrong
+    // #2). KEYED streams never declare it: the apply drops the op
+    // column before writing (the V1 applyChanges contract).
+    if (ddlMode && !keyedStream) t.currentSnapshot().foreach { s =>
       val declared = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
       if (!declared.fieldNames.exists(_.equalsIgnoreCase("_change")))
         t.addColumns(Seq(StructField("_change", StringType, nullable = true)))
@@ -241,13 +259,32 @@ private[lakehouse] final class LakehouseDsv2Write(
       SQLConf.SESSION_LOCAL_TIMEZONE.key -> conf.sessionLocalTimeZone)
     def idxOf(n: String): Int =
       querySchema.fieldNames.indexWhere(_.equalsIgnoreCase(n))
+    // keyed STREAMING (round 15): the writers split — data rows to data
+    // files, key tuples to a -tomb key file, delete keys to -del — so
+    // the epoch commit is pure metadata (MoR) or probe+rewrite (CoW)
+    // over executor-written halves. The `_change` slot index routes
+    // delete tags even without the full schema channel.
+    val keyIdxs: Seq[Int] =
+      if (!keyedStream) Nil
+      else mode match {
+        case Dsv2CommitMode.Keyed(keys, _) => keys.map { k =>
+          val i = plan.indexWhere(_.name.equalsIgnoreCase(k))
+          require(i >= 0, s"keys column '$k' not in the write schema " +
+            querySchema.simpleString)
+          i
+        }
+        case _ => Nil
+      }
+    val cdcStream = keyedStream &&
+      querySchema.fieldNames.exists(_.equalsIgnoreCase("_change"))
     new LakehouseWriterFactory(t.rootAbsPath, dirName, plan, partCols,
       conf.sessionLocalTimeZone, parquetConf,
       conf.getConfString("spark.sql.parquet.compression.codec", "snappy"),
-      ddlMode, if (ddlMode) idxOf("_change") else -1,
+      ddlMode, if (ddlMode || cdcStream) idxOf("_change") else -1,
       if (ddlMode) idxOf("_ddl") else -1,
       // size-targeted optimize-write: roll files at ≈targetBytes
-      maxRecordsPerFile = t.writeBinRecordsPerFile)
+      maxRecordsPerFile = t.writeBinRecordsPerFile,
+      keyIdxs = keyIdxs)
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -314,6 +351,117 @@ private[lakehouse] final class LakehouseDsv2Write(
     * data volume), so the double-write is bounded by change frequency;
     * every DDL-free epoch commits the executor files directly.
     */
+  /** The batch reconstructed from staged parquet halves (driver
+    * fallback for DDL-carrying epochs): basePath restores identity-
+    * partition columns, explicit casts pin path-inferred types to the
+    * staged schema. Empty file sets read as an empty frame.
+    */
+  private def readStaged(t: LakehouseTable, fs: Seq[String],
+      schema: StructType): org.apache.spark.sql.DataFrame =
+    if (fs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val dir = fs.head.split('/').take(2).mkString("/")
+      val df0 = spark.read
+        .option("basePath", java.nio.file.Paths.get(t.rootAbsPath, dir).toString)
+        .parquet(fs.map(f =>
+          java.nio.file.Paths.get(t.rootAbsPath, f).toString): _*)
+      val types = schema.fields.map(f =>
+        f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+      df0.select(df0.columns.map { c =>
+        types.get(c.toLowerCase(java.util.Locale.ROOT)) match {
+          case Some(f) => org.apache.spark.sql.functions.col(c)
+            .cast(f.dataType).as(f.name)
+          case None => org.apache.spark.sql.functions.col(c)
+        }
+      }.toSeq: _*)
+    }
+
+  /** Target-authoritative column drop (the V1 sink rule): a batch
+    * column the post-DDL target doesn't declare — and no alias
+    * explains — was dropped by the history; additive re-entry would
+    * diverge the replica. `_change` always survives (op channel).
+    */
+  private def conformToTarget(t: LakehouseTable,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val keep: String => Boolean = t.currentSnapshot() match {
+      case Some(s) =>
+        val declared = org.apache.spark.sql.types.DataType
+          .fromJson(s.schemaJson).asInstanceOf[StructType]
+          .fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        val aliases = s.aliases.flatMap { case (_, olds) =>
+          olds.map(_.name.toLowerCase(java.util.Locale.ROOT)) }.toSet
+        c => c == "_change" ||
+          declared(c.toLowerCase(java.util.Locale.ROOT)) ||
+          aliases(c.toLowerCase(java.util.Locale.ROOT))
+      case None => _ => true
+    }
+    df.columns.filterNot(keep).foldLeft(df)((d, c) => d.drop(c))
+  }
+
+  /** KEYED streaming epoch (round 15): the staged executor halves —
+    * data files, deduped `-tomb` key files, `-del` delete keys —
+    * commit through [[LakehouseTable.commitApplyStagedFiles]] under
+    * the epoch's txn mark: MoR is a pure metadata commit (data files
+    * add, tomb files become THE tombstone), CoW probes with the tomb
+    * keys and rewrites only touched files. A DDL-carrying epoch falls
+    * back to the driver-side apply (the batch reconstructed from the
+    * staged halves, re-canonicalized post-DDL) — rare, bounded by
+    * schema-change frequency, the same trade as the keyless face.
+    */
+  private def commitKeyedEpoch(t: LakehouseTable, keys: Seq[String],
+      mor: Boolean, claimed: Long, batchSchema: StructType,
+      ddl: Seq[String], files: Seq[String], tombs: Seq[String],
+      dels: Seq[String], appId: String, epochId: Long): Option[Snapshot] = {
+    val dataSchema0 = StructType(batchSchema.filterNot(f =>
+      f.name.equalsIgnoreCase("_change") || f.name.equalsIgnoreCase("_ddl")))
+    // under the SCHEMA CHANNEL the target is authoritative on DDL-free
+    // epochs too: a batch column the target doesn't declare (and no
+    // alias explains) was dropped by the history — the pinned upstream
+    // keeps sending it as NULL, and even after a downstream compaction
+    // cleared the dropped registry it must NOT re-enter additively and
+    // diverge the replica (the V1 sink conformed every batch this way)
+    val dataSchema =
+      if (!schemaChannel) dataSchema0
+      else t.currentSnapshot() match {
+        case Some(s) =>
+          val declared = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+            .fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+          val aliases = s.aliases.flatMap { case (_, olds) =>
+            olds.map(_.name.toLowerCase(java.util.Locale.ROOT)) }.toSet
+          StructType(dataSchema0.filter(f =>
+            declared(f.name.toLowerCase(java.util.Locale.ROOT)) ||
+              aliases(f.name.toLowerCase(java.util.Locale.ROOT))))
+        case None => dataSchema0
+      }
+    val cdcShape = querySchema.fieldNames.exists(_.equalsIgnoreCase("_change"))
+    if (ddl.isEmpty) {
+      val r = t.commitApplyStagedFiles(files, tombs, dataSchema, claimed,
+        keys, mergeOnRead = mor, cdc = cdcShape,
+        mark = Some(TxnMark(appId, epochId)))
+      // -del files are commit transport only; CoW keeps no tomb either
+      if (r.isDefined) t.discardWrittenFiles(dels ++ (if (mor) Nil else tombs))
+      r
+    } else {
+      ddl.foreach(t.applySchemaChange)
+      val keyFields = StructType(keys.map(k =>
+        dataSchema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+          throw new IllegalArgumentException(
+            s"keys column '$k' not in the staged schema ${dataSchema.simpleString}"))))
+      import org.apache.spark.sql.functions.lit
+      val ch0 = readStaged(t, files, dataSchema)
+        .withColumn("_change", lit("insert"))
+        .unionByName(
+          readStaged(t, dels, keyFields).withColumn("_change", lit("delete")),
+          allowMissingColumns = true)
+      val r = t.applyChanges(conformToTarget(t, ch0), keys,
+        txn = Some((appId, epochId)), mergeOnRead = mor)
+      t.discardWrittenFiles(files ++ tombs ++ dels)
+      r
+    }
+  }
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val t = table()
     val (claimed, batchSchema) = staged
@@ -323,6 +471,21 @@ private[lakehouse] final class LakehouseDsv2Write(
       java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString)
     val ddl = ddlOf(messages)
     val files = filesOf(messages)
+    val tombs = messages.toSeq.collect {
+      case m: LakehouseWriteMessage => m.tombFiles }.flatten.sorted
+    val dels = messages.toSeq.collect {
+      case m: LakehouseWriteMessage => m.delFiles }.flatten.sorted
+    mode match {
+      case Dsv2CommitMode.Keyed(keys, mor) =>
+        val applied = commitKeyedEpoch(t, keys, mor, claimed, batchSchema,
+          ddl, files, tombs, dels, appId, epochId)
+        if (applied.isEmpty) {
+          t.discardWrittenFiles(files ++ tombs ++ dels)
+          warnOnResetCheckpoint(t, appId, epochId)
+        }
+        return
+      case _ => ()
+    }
     val applied =
       if (ddl.isEmpty)
         t.commitWrittenFiles(files, batchSchema, claimed,
@@ -352,45 +515,13 @@ private[lakehouse] final class LakehouseDsv2Write(
             t.commitWrittenFiles(files, batchSchema, claimed,
               mark = Some(TxnMark(appId, epochId)), targetAuthoritative = true)
           else {
-            val dir = files.head.split('/').take(2).mkString("/")
-            val stagedDf0 = spark.read
-              .option("basePath",
-                java.nio.file.Paths.get(t.rootAbsPath, dir).toString)
-              .parquet(files.map(f =>
-                java.nio.file.Paths.get(t.rootAbsPath, f).toString): _*)
-            // pin path-inferred identity-partition types back to the
-            // staged batch schema (a digit-only string partition value
-            // re-infers numeric, and appendIdempotent's compatibility
-            // check would then wedge the epoch on every retry) — the
-            // same explicit cast commitUpsertFiles applies
-            val stagedTypes = batchSchema.fields.map(f =>
-              f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
-            val stagedDf = stagedDf0.select(stagedDf0.columns.map { c =>
-              stagedTypes.get(c.toLowerCase(java.util.Locale.ROOT)) match {
-                case Some(f) => org.apache.spark.sql.functions.col(c)
-                  .cast(f.dataType).as(f.name)
-                case None => org.apache.spark.sql.functions.col(c)
-              }
-            }.toSeq: _*)
-            // target-authoritative column drop (the V1 sink rule): a
-            // batch column the post-DDL target doesn't declare — and no
-            // alias explains — was dropped by the history; additive
-            // re-entry would diverge the replica
-            val snap = t.currentSnapshot()
-            val keep: String => Boolean = snap match {
-              case Some(s) =>
-                val declared = org.apache.spark.sql.types.DataType
-                  .fromJson(s.schemaJson).asInstanceOf[StructType]
-                  .fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-                val aliases = s.aliases.flatMap { case (_, olds) =>
-                  olds.map(_.name.toLowerCase(java.util.Locale.ROOT)) }.toSet
-                c => c == "_change" ||
-                  declared(c.toLowerCase(java.util.Locale.ROOT)) ||
-                  aliases(c.toLowerCase(java.util.Locale.ROOT))
-              case None => _ => true
-            }
-            val conformed = stagedDf.columns.filterNot(keep)
-              .foldLeft(stagedDf)((d, c) => d.drop(c))
+            // readStaged pins path-inferred identity-partition types
+            // back to the staged batch schema (a digit-only string
+            // partition value re-infers numeric, and appendIdempotent's
+            // compatibility check would then wedge the epoch on every
+            // retry); conformToTarget applies the V1 sink's target-
+            // authoritative column drop over the post-DDL head
+            val conformed = conformToTarget(t, readStaged(t, files, batchSchema))
             val res = t.appendIdempotent(conformed, appId, epochId,
               partitionBy = partSpec)
             t.discardWrittenFiles(files)
@@ -400,15 +531,19 @@ private[lakehouse] final class LakehouseDsv2Write(
       }
     if (applied.isEmpty) {
       t.discardWrittenFiles(files)
-      t.lastTxnVersion(appId).filter(_ > epochId + 1).foreach { last =>
-        System.err.println(
-          s"[graft-lakehouse sink] WARNING: batch $epochId absorbed but ledger for " +
-            s"'$appId' is at version $last — this looks like a RESET CHECKPOINT " +
-            s"over a live ledger; data in skipped batches does NOT reach $root. " +
-            "Restore the original checkpointLocation or use a fresh txnAppId.")
-      }
+      warnOnResetCheckpoint(t, appId, epochId)
     }
   }
+
+  private def warnOnResetCheckpoint(t: LakehouseTable, appId: String,
+      epochId: Long): Unit =
+    t.lastTxnVersion(appId).filter(_ > epochId + 1).foreach { last =>
+      System.err.println(
+        s"[graft-lakehouse sink] WARNING: batch $epochId absorbed but ledger for " +
+          s"'$appId' is at version $last — this looks like a RESET CHECKPOINT " +
+          s"over a live ledger; data in skipped batches does NOT reach $root. " +
+          "Restore the original checkpointLocation or use a fresh txnAppId.")
+    }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     abort(messages)
@@ -423,14 +558,15 @@ private[lakehouse] final class LakehouseWriterFactory(
     plan: Seq[WriteColPlan], partCols: Seq[WritePartCol],
     tz: String, parquetConf: Map[String, String], codec: String,
     ddlMode: Boolean, changeIdx: Int, ddlIdx: Int,
-    maxRecordsPerFile: Option[Long] = None)
+    maxRecordsPerFile: Option[Long] = None,
+    keyIdxs: Seq[Int] = Nil)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     LakehouseWriteStats.writersCreated.incrementAndGet()
     new LakehouseDataWriter(rootAbs, dirName, plan, partCols, tz,
       parquetConf, codec, ddlMode, changeIdx, ddlIdx, partitionId, taskId,
-      maxRecordsPerFile)
+      maxRecordsPerFile, keyIdxs)
   }
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -459,19 +595,55 @@ private[lakehouse] final class LakehouseDataWriter(
     tz: String, parquetConf: Map[String, String], codec: String,
     ddlMode: Boolean, changeIdx: Int, ddlIdx: Int,
     partitionId: Int, taskId: Long,
-    maxRecordsPerFile: Option[Long] = None)
+    maxRecordsPerFile: Option[Long] = None,
+    keyIdxs: Seq[Int] = Nil)
     extends DataWriter[InternalRow] {
+
+  /** Keyed-stream split mode (round 15): data rows land in the data
+    * files, every touched row's key tuple lands (deduped per task) in
+    * a `-tomb` key file, and with a CDC `_change` column delete-tagged
+    * rows land ONLY their keys (`-del` file too) — the executor-side
+    * halves of [[LakehouseTable.commitApplyStagedFiles]].
+    */
+  private val keyed = keyIdxs.nonEmpty
+  private val cdc = keyed && changeIdx >= 0
 
   private val identityPlanIdx: Set[Int] =
     partCols.collect { case WritePartCol(i, None) => i }.toSet
+
+  /** Channel marker columns never enter KEYED data files — the V1
+    * apply drops `_change` (and `_ddl`) before writing, and the keyed
+    * commit's schema does the same.
+    */
+  private def isChannelCol(p: WriteColPlan): Boolean =
+    keyed && (p.name.equalsIgnoreCase("_change") || p.name.equalsIgnoreCase("_ddl"))
 
   /** File columns = the plan minus identity partition columns (their
     * values live in the path, the hive layout writeDataFiles produces).
     */
   private val fileCols: Seq[WriteColPlan] =
-    plan.zipWithIndex.collect { case (p, i) if !identityPlanIdx(i) => p }
+    plan.zipWithIndex.collect {
+      case (p, i) if !identityPlanIdx(i) && !isChannelCol(p) => p
+    }
   require(fileCols.nonEmpty,
     "cannot write files with every column consumed by the partition spec")
+
+  private val keySchema: StructType = StructType(keyIdxs.map { i =>
+    StructField(plan(i).name, plan(i).to, nullable = true)
+  })
+
+  private lazy val keyProj: UnsafeProjection = UnsafeProjection.create(
+    keyIdxs.map { i =>
+      val p = plan(i)
+      val br: Expression = BoundReference(p.inputIdx, p.from, nullable = true)
+      if (p.from == p.to) br else Cast(br, p.to, Option(tz))
+    })
+
+  // per-task key dedup (insertion-ordered for deterministic files):
+  // batch-sized key tuples — the same volume the V1 path's driver-side
+  // `touchedKeys.distinct()` materializes
+  private val tombKeys = mutable.LinkedHashSet.empty[InternalRow]
+  private val delKeys = mutable.LinkedHashSet.empty[InternalRow]
 
   private val fileSchema: StructType = StructType(fileCols.map { p =>
     val md = p.fieldId.fold(org.apache.spark.sql.types.Metadata.empty) { id =>
@@ -534,17 +706,39 @@ private[lakehouse] final class LakehouseDataWriter(
       (if (suffix.isEmpty) "" else "/" + suffix) +
       f"/part-$partitionId%05d-$taskId-$nonce-$fileSeq.parquet"
     fileSeq += 1
+    (rel, openParquet(rel, fileSchema), 0L)
+  }
+
+  private def openParquet(rel: String, schema: StructType)
+      : org.apache.hadoop.mapreduce.RecordWriter[Void, InternalRow] = {
     val conf = new org.apache.hadoop.conf.Configuration()
     parquetConf.foreach { case (k, v) => conf.set(k, v) }
-    ParquetWriteSupport.setSchema(fileSchema, conf)
+    ParquetWriteSupport.setSchema(schema, conf)
     conf.set(ParquetOutputFormat.WRITE_SUPPORT_CLASS,
       classOf[ParquetWriteSupport].getName)
     val codecName =
       try CompressionCodecName.valueOf(codec.toUpperCase(java.util.Locale.ROOT))
       catch { case _: IllegalArgumentException => CompressionCodecName.SNAPPY }
-    val rw = new ParquetOutputFormat[InternalRow]().getRecordWriter(
+    new ParquetOutputFormat[InternalRow]().getRecordWriter(
       conf, new HPath(rootAbs + "/" + rel), codecName)
-    (rel, rw, 0L)
+  }
+
+  /** Flush a deduped key set to ONE parquet key file in a SIBLING
+    * claim dir (`<dirName>-<kind>` — same path-derived origin id as
+    * the data files, so MoR masking stays strictly-older). None for
+    * an empty set.
+    */
+  private def writeKeyFile(kind: String,
+      rows: Iterable[InternalRow]): Option[String] = {
+    if (rows.isEmpty) None
+    else {
+      val rel = s"data/$dirName-$kind" +
+        f"/part-$partitionId%05d-$taskId-$nonce-k.parquet"
+      val rw = openParquet(rel, keySchema)
+      rows.foreach(rw.write(null, _))
+      rw.close(null)
+      Some(rel)
+    }
   }
 
   override def write(row: InternalRow): Unit = {
@@ -553,6 +747,24 @@ private[lakehouse] final class LakehouseDataWriter(
       if (!row.isNullAt(ddlIdx)) ddl += row.getUTF8String(ddlIdx).toString
       return
     }
+    if (cdc) {
+      // the V1 applyChanges tag contract, enforced at the row: unknown
+      // tags (a typo, another dialect's "update_postimage") and NULL
+      // must fail LOUDLY — falling through would silently corrupt the
+      // replica (this feed speaks insert|delete; updates arrive as
+      // delete(old)+insert(new))
+      val tag = if (row.isNullAt(changeIdx)) null
+        else row.getUTF8String(changeIdx).toString
+      require(tag == "insert" || tag == "delete",
+        s"applyChanges: unsupported _change tag '${if (tag == null) "NULL" else tag}' " +
+          "(this feed speaks insert|delete; updates arrive as delete(old)+insert(new))")
+      val k = keyProj(row).copy()
+      tombKeys += k
+      if (tag == "delete") {
+        delKeys += k
+        return // delete rows carry keys only — never data
+      }
+    } else if (keyed) tombKeys += keyProj(row).copy()
     val suffix = if (partRender.isEmpty) "" else partRender.map(_(row)).mkString("/")
     // bound OPEN writers: an unclustered task spanning many partition
     // values would otherwise hold a parquet buffer set per value (the
@@ -588,7 +800,9 @@ private[lakehouse] final class LakehouseDataWriter(
 
   override def commit(): WriterCommitMessage = {
     open.values.foreach(_._2.close(null))
-    LakehouseWriteMessage(closed.toSeq ++ open.values.map(_._1).toSeq, ddl.toSeq)
+    LakehouseWriteMessage(closed.toSeq ++ open.values.map(_._1).toSeq, ddl.toSeq,
+      tombFiles = writeKeyFile("tomb", tombKeys).toSeq,
+      delFiles = writeKeyFile("del", delKeys).toSeq)
   }
 
   override def abort(): Unit = {

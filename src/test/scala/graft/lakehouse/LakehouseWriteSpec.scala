@@ -130,27 +130,99 @@ class LakehouseWriteSpec extends SparkSpec {
     assert(dataDirs.forall(live), s"absorbed-epoch files must be discarded: $dataDirs vs $live")
   }
 
-  test("keyed / merge-on-read streams keep the V1 sink (multi-job merges are not per-partition writers)") {
+  test("keyed MoR stream rides DSv2: split writers, ONE metadata commit, replay absorbed") {
     val root = tmpDir("dsv2-keyed")
     val t = new LakehouseTable(spark, root)
-    t.append(Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
     val src = tmpDir("dsv2-keyed-src")
-    Seq((1L, "A2"), (2L, "b")).toDF("id", "v").coalesce(1)
+    Seq((1L, "A2"), (3L, "c")).toDF("id", "v").coalesce(1)
       .write.mode("overwrite").json(src)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
     val before = LakehouseWriteStats.writersCreated.get()
+    val ckpt = tmpDir("dsv2-keyed-ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema).json(src)
+        .writeStream.format("graft-lakehouse")
+        .option("path", root).option("keys", "id")
+        .option("mergeOnRead", "true").option("txnAppId", "dsv2k")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000)); ()
+    }
+    drain()
+    assert(LakehouseWriteStats.writersCreated.get() > before,
+      "keyed streams must ride the DSv2 executor-writer path now")
+    assert(t.read().as[(Long, String)].collect().toSet ===
+      Set((1L, "A2"), (2L, "b"), (3L, "c")), "keyed upsert semantics unchanged")
+    // MoR: one metadata commit — the staged data files landed directly
+    // and the executor-written tomb key file IS the tombstone
+    val snap = t.currentSnapshot().get
+    assert(snap.operation === "apply")
+    val added = snap.files.filterNot(_.startsWith("data/s1"))
+    assert(added.nonEmpty && added.forall(_.contains("-dsv2-")),
+      s"staged executor files must commit directly: $added")
+    assert(snap.tombstones.nonEmpty && snap.tombstones.forall(_.contains("-tomb")),
+      s"the executor-written key file is the tombstone: ${snap.tombstones}")
+    assert(t.lastTxnVersion("dsv2k") === Some(0L))
+    // a REPLAYED epoch absorbs: no new snapshot, no duplicate rows,
+    // and the replay's staged halves (data + tomb) are discarded
+    val snapsBefore = t.listSnapshots().size
+    drain()
+    assert(t.read().count() === 3L, "replay must not duplicate rows")
+    assert(t.listSnapshots().size === snapsBefore, "an absorbed epoch commits nothing")
+    val live = (t.currentSnapshot().get.files ++
+      t.currentSnapshot().get.tombstones).map(_.split('/')(1)).toSet
+    val dataDirs = graft.Fs.listAll(java.nio.file.Paths.get(root, "data"))
+      .filter(java.nio.file.Files.isDirectory(_)).map(_.getFileName.toString)
+    assert(dataDirs.forall(live),
+      s"absorbed-epoch staged files must be discarded: $dataDirs vs $live")
+  }
+
+  test("keyed CoW CDC stream through DSv2: delete tags remove, inserts replace, bad tags fail loudly") {
+    val root = tmpDir("dsv2-cdc")
+    val t = new LakehouseTable(spark, root)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    val src = tmpDir("dsv2-cdc-src")
+    Seq((1L, null.asInstanceOf[String], "delete"), (3L, "c", "insert"))
+      .toDF("id", "v", "_change").coalesce(1)
+      .write.mode("overwrite").json(src)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_change", org.apache.spark.sql.types.StringType)))
+    val before = LakehouseWriteStats.writersCreated.get()
     val q = spark.readStream.schema(schema).json(src)
       .writeStream.format("graft-lakehouse")
-      .option("path", root).option("keys", "id")
-      .option("checkpointLocation", tmpDir("dsv2-keyed-ckpt"))
+      .option("path", root).option("keys", "id").option("txnAppId", "dsv2c")
+      .option("checkpointLocation", tmpDir("dsv2-cdc-ckpt"))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     assert(q.awaitTermination(120000))
-    assert(LakehouseWriteStats.writersCreated.get() === before,
-      "keyed streams must stay on the V1 sink")
+    assert(LakehouseWriteStats.writersCreated.get() > before)
     assert(t.read().as[(Long, String)].collect().toSet ===
-      Set((1L, "A2"), (2L, "b")), "the keyed upsert semantics are unchanged")
+      Set((2L, "b"), (3L, "c")),
+      "delete removes the key, insert lands, untouched rows survive")
+    val snap = t.currentSnapshot().get
+    assert(snap.operation === "apply")
+    assert(snap.tombstones.isEmpty, "CoW keeps no tombstone")
+    // the declared schema never adopts the op channel (V1 parity)
+    assert(!org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.exists(_.equalsIgnoreCase("_change")))
+    // an unknown tag fails the epoch loudly instead of corrupting
+    Seq((9L, "x", "update_postimage")).toDF("id", "v", "_change").coalesce(1)
+      .write.mode("overwrite").json(src)
+    val q2 = spark.readStream.schema(schema).json(src)
+      .writeStream.format("graft-lakehouse")
+      .option("path", root).option("keys", "id").option("txnAppId", "dsv2c2")
+      .option("checkpointLocation", tmpDir("dsv2-cdc-ckpt2"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    assert(failed.getMessage.contains("unsupported _change tag") ||
+      Option(failed.getCause).exists(_.getMessage.contains("unsupported _change tag")))
   }
 
   test("DSv2 commit REBASES past a racing writer: both commits land, files written once") {
