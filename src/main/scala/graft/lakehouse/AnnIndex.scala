@@ -35,6 +35,15 @@ final case class AnnIndexHandle(
 final case class CorpusProvenance(table: String, snapshotId: Long,
     tag: Option[String] = None)
 
+/** Per-cell occupancy of the live codes table ([[AnnIndex.occupancy]]):
+  * the drift probe frozen-codebook appends need — `skew` (max/mean)
+  * climbing past a few means one IVF cell is absorbing the corpus
+  * drift and serve-time partition pruning is degrading; trigger
+  * [[AnnIndex.rebalance]].
+  */
+final case class CellOccupancy(cells: Int, rows: Long, min: Long,
+    max: Long, mean: Double, skew: Double)
+
 /** Persistent IVF-PQ serving index over the lakehouse (the FAISS IVFPQ
   * architecture, Jégou et al. TPAMI 2011, made restart-durable):
   * [[build]] trains coarse centroids + residual codebooks and writes
@@ -218,10 +227,12 @@ object AnnIndex {
   /** Train + durably write the NEXT version's (model, codes) tables
     * WITHOUT publishing them — [[build]] = stage, then pointer flip.
     * Package-visible so the crash-injection spec can stop exactly at
-    * the unpublished state.
+    * the unpublished state. `fixedBooks` (the [[rebalance]] path)
+    * SKIPS codebook training and re-encodes against the given books.
     */
   private[lakehouse] def stageVersion(
-      spark: SparkSession, embeddings: DataFrame, root: String): Long = {
+      spark: SparkSession, embeddings: DataFrame, root: String,
+      fixedBooks: Option[Array[IndexedSeq[(Int, Array[Float])]]] = None): Long = {
     graft.functions.GraftFunctions.register(spark)
     val e = embeddings
       .withColumn("nrm", sqrt(expr("dotp(embedding, embedding)"))).cache()
@@ -229,8 +240,10 @@ object AnnIndex {
     sc.setJobGroup(TrainJobGroup, "ANN index: IVF Lloyd passes", interruptOnCancel = false)
     val cv = try LlmSimQueries.ivfCentroidValues(e) finally sc.clearJobGroup()
     val residuals = residualize(spark, LlmSimQueries.ivfAssignV(e, cv), cv).cache()
-    sc.setJobGroup(TrainJobGroup, "ANN index: residual PQ Lloyd passes", interruptOnCancel = false)
-    val books = try LlmSimQueries.pqCodebooks(residuals) finally sc.clearJobGroup()
+    val books = fixedBooks.getOrElse {
+      sc.setJobGroup(TrainJobGroup, "ANN index: residual PQ Lloyd passes", interruptOnCancel = false)
+      try LlmSimQueries.pqCodebooks(residuals) finally sc.clearJobGroup()
+    }
 
     val v = currentVersion(root).getOrElse(0L) + 1L
     // an earlier crashed stage may have left a dir at this version
@@ -332,6 +345,82 @@ object AnnIndex {
     }
     if (collides) codes.upsert(enc, keys = Seq("vec_id"))
     else codes.append(enc, partitionBy = Seq("cell"))
+  }
+
+  /** Per-cell OCCUPANCY of the live codes table — the drift probe for
+    * frozen-codebook appends: ZERO file opens, answered from manifest
+    * row counts + the hive `cell=` partition paths (the reason codes
+    * partition by cell in the first place). `skew` = max/mean — the
+    * rebalance trigger a maintenance scheduler watches (a healthy
+    * Lloyd layout sits near 1–3; a corpus that drifted into one cell
+    * climbs unboundedly, and with it serve-time partition pruning
+    * degrades toward a full scan). Falls back to one column-pruned
+    * scan only when MoR tombstones make manifest counts inexact.
+    */
+  def occupancy(spark: SparkSession, root: String): CellOccupancy = {
+    val v = currentVersion(root).getOrElse(throw new IllegalStateException(
+      s"no published index at $root"))
+    val codes = new LakehouseTable(spark, codesRoot(root, v))
+    val snap = codes.currentSnapshot().getOrElse(
+      throw new IllegalStateException(s"index codes table at $root is empty"))
+    val counts: Map[Int, Long] =
+      if (snap.tombstones.nonEmpty)
+        codes.read().groupBy("cell").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      else
+        snap.files.flatMap { f =>
+          val cell = f.split('/').collectFirst {
+            case seg if seg.startsWith("cell=") => seg.stripPrefix("cell=").toInt
+          }
+          cell.map(_ -> codes.fileRowsOf(snap, f).getOrElse(0L))
+        }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum }
+    val vals = counts.values
+    val mean = if (counts.isEmpty) 0.0 else vals.sum.toDouble / counts.size
+    CellOccupancy(counts.size, vals.sum, if (counts.isEmpty) 0L else vals.min,
+      if (counts.isEmpty) 0L else vals.max,
+      mean, if (mean <= 0) 0.0 else vals.max / mean)
+  }
+
+  /** REBALANCE the live index against corpus drift: retrain ONLY the
+    * coarse IVF centroids on `embeddings` (the current corpus) and
+    * re-encode every vector's residual against the KEPT published
+    * codebooks — the cheap half of a rebuild (one Lloyd chain + a
+    * map-side encode; PQ codebook training, the expensive half, is
+    * skipped, and serve-time ADC tables stay valid because the books
+    * are bit-identical). Publishes as a new version with a provenance
+    * bump, same atomic pointer flip + one-version GC grace as
+    * [[build]]. Use when [[occupancy]] shows skewed cells after
+    * frozen-codebook appends; a full [[build]] remains the codebook-
+    * drift repair.
+    */
+  def rebalance(spark: SparkSession, embeddings: DataFrame, root: String,
+      provenance: Option[CorpusProvenance] = None): AnnIndexHandle = {
+    val prev = load(spark, root)
+    val v = stageVersion(spark, embeddings, root, fixedBooks = Some(prev.books))
+    publish(root, v, provenance.orElse(AnnIndex.provenance(root)))
+    gcVersions(root, keepFrom = v - 1)
+    load(spark, root)
+  }
+
+  /** [[rebalance]] pinned to a corpus version — the [[buildFromCorpus]]
+    * twin: re-cluster on table `corpusRoot` as of `tag`/`snapshotId`
+    * (default: current head, pinned to its id) and record the NEW pin
+    * in the pointer, so [[provenance]] answers "which corpus state is
+    * this layout balanced for" across the maintenance cycle.
+    */
+  def rebalanceFromCorpus(spark: SparkSession, corpusRoot: String, root: String,
+      tag: Option[String] = None,
+      snapshotId: Option[Long] = None): AnnIndexHandle = {
+    require(tag.isEmpty || snapshotId.isEmpty,
+      "tag and snapshotId are mutually exclusive corpus pins")
+    val corpus = new LakehouseTable(spark, corpusRoot)
+    val snap = tag.map(corpus.snapshotForTag)
+      .orElse(snapshotId.map(corpus.snapshotOrThrow))
+      .orElse(corpus.currentSnapshot())
+      .getOrElse(throw new IllegalStateException(
+        s"corpus table $corpusRoot has no snapshots"))
+    rebalance(spark, corpus.scanAtSnapshot(snap.snapshotId), root,
+      provenance = Some(CorpusProvenance(corpusRoot, snap.snapshotId, tag)))
   }
 
   /** Remove vectors from the LIVE index version by id — the index-

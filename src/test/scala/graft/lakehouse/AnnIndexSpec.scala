@@ -241,6 +241,50 @@ class AnnIndexSpec extends SparkSpec {
       "disjoint-id ingestion must take the O(batch) append path, not the keyed probe")
   }
 
+  test("occupancy probes drift from the manifest; rebalance retrains cells ONLY — books bit-identical, skew repaired") {
+    import spark.implicits._
+    val root = tmpDir("ann-rebal")
+    val built = AnnIndex.build(spark, emb, root)
+    val occ0 = AnnIndex.occupancy(spark, root)
+    assert(occ0.rows === emb.count() && occ0.cells > 1)
+    // corpus DRIFT: five tight far-apart blobs of 60 vectors each —
+    // frozen centroids pile them into whichever old cell(s) sit
+    // nearest, so occupancy skews; a re-clustered layout gives each
+    // blob its own cell
+    val drift = (0 until 300).map { i =>
+      val g = i / 60
+      (5000L + i, Seq.tabulate(LlmSimQueries.AnnDim)(d =>
+        (if (d >= g * 12 && d < g * 12 + 12) 30.0f else 0.0f) +
+          0.01f * ((i + d) % 5)), 0)
+    }.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val (_, appendJobs) = countTrainJobs(AnnIndex.append(spark, drift, root))
+    assert(appendJobs === 0)
+    val occ1 = AnnIndex.occupancy(spark, root)
+    assert(occ1.rows === occ0.rows + 300)
+    assert(occ1.skew > occ0.skew && occ1.max > occ0.max,
+      s"the frozen-codebook drift must show in the probe: $occ0 -> $occ1")
+    val v1 = AnnIndex.currentVersion(root).get
+    // REBALANCE on the current corpus: coarse cells retrain, books keep
+    val rebal = AnnIndex.rebalance(spark, emb.unionByName(drift), root)
+    def flat(b: Array[IndexedSeq[(Int, Array[Float])]]) =
+      b.toSeq.map(_.map { case (c, a) => (c, a.toSeq) })
+    assert(flat(rebal.books) === flat(built.books),
+      "rebalance must keep the published codebooks bit-identical")
+    val occ2 = AnnIndex.occupancy(spark, root)
+    assert(occ2.rows === occ1.rows, "rebalance re-encodes, never drops rows")
+    assert(occ2.skew < occ1.skew && occ2.max < occ1.max,
+      s"re-clustering must repair the skew: $occ1 -> $occ2")
+    // published as a NEW version (pointer flip), previous kept for
+    // in-flight readers, and the rebalanced handle serves
+    assert(AnnIndex.currentVersion(root) === Some(v1 + 1))
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(root, s"codes.v$v1")))
+    val served = AnnIndex.serve(spark, rebal,
+      emb.unionByName(drift))
+    assert(served.count() > 0)
+  }
+
   test("remove deletes EXACTLY the requested ids — no training, other codes bit-unchanged, cell layout preserved") {
     import spark.implicits._
     val root = tmpDir("annidx-rm")

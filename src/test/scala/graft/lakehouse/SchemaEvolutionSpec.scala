@@ -827,6 +827,61 @@ class SchemaEvolutionSpec extends SparkSpec {
       "the reborn column's data survives the replay")
   }
 
+  test("COMPACTION is the stamped-id CUTOVER: an unstamped mixed lineage compacts to 100% id-routed files") {
+    // round-15 queue: stamped reads shipped round 14; this is the
+    // per-table cutover proof — one compaction rewrites every live
+    // file STAMPED (and clears the era registries), after which the
+    // whole table routes registry-free by parquet.field.id
+    val t = new LakehouseTable(spark, tmpDir("fid-cutover"))
+    t.append(Seq((1L, "a", 10)).toDF("k", "nm", "x").coalesce(1)) // snap 1: UNSTAMPED (no head yet)
+    t.renameColumn("x", "tag")                                    // snap 2: era boundary
+    t.append(Seq((2L, "b", 20)).toDF("k", "nm", "tag").coalesce(1)) // snap 3: stamped
+    val mixed = t.currentSnapshot().get
+    assert(!mixed.files.forall(t.fileFullyStamped(mixed, _)),
+      "precondition: the lineage is MIXED (snap-1 file unstamped)")
+    assert(t.compact(fileThreshold = 1, maxRows = 100000L).isDefined) // the cutover
+    val head = t.currentSnapshot().get
+    assert(head.files.nonEmpty && head.files.forall(t.fileFullyStamped(head, _)),
+      s"every post-compact file must carry full id stamps: ${head.files}")
+    // drops/reborn clear (no pre-compact file can resurrect them);
+    // the RENAME lineage deliberately survives — a pinned upstream
+    // still speaks old names at the write face — but stamped READS
+    // below never consult it
+    assert(head.droppedCols.isEmpty && head.rebornFloors.isEmpty,
+      "compaction clears the dropped/reborn registries")
+    // every file now PLANS through id resolution (idRouteOf=true)
+    val before = LakehouseBatchScan.idRoutedFiles.get()
+    assert(isNative(dsv2(t)))
+    val got = dsv2(t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === Set((1L, "a", 10), (2L, "b", 20)))
+    val routed = LakehouseBatchScan.idRoutedFiles.get() - before
+    assert(routed > 0 && routed % head.files.size === 0,
+      s"ALL ${head.files.size} post-compact files must id-route, routed=$routed")
+    // belt and braces: a physically cloned root whose head carries NO
+    // registries at all reads identically — the cutover really did
+    // make resolution registry-independent
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      java.nio.file.Files.createDirectories(to)
+      graft.Fs.listAll(from).foreach { p =>
+        val dst = to.resolve(p.getFileName)
+        if (java.nio.file.Files.isDirectory(p)) copyTree(p, dst)
+        else { java.nio.file.Files.copy(p, dst); () }
+      }
+    }
+    val t2root = tmpDir("fid-cutover-bare")
+    graft.Fs.deleteRecursively(java.nio.file.Paths.get(t2root))
+    copyTree(java.nio.file.Paths.get(t.root), java.nio.file.Paths.get(t2root))
+    val bare = head.copy(renames = Some(Map.empty), drops = Some(Map.empty),
+      reborn = Some(Map.empty))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t2root, "_snapshots", f"${head.snapshotId}%09d.json"),
+      org.json4s.jackson.Serialization.write(bare)(org.json4s.DefaultFormats))
+    val got2 = spark.read.format("graft-lakehouse").load(t2root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got2 === got, "a registry-stripped clone reads the compacted table identically")
+  }
+
   test("stamped-id read: a rename+reborn lineage resolves REGISTRY-FREE by parquet.field.id (q143 shape)") {
     // the q143 lineage over STAMPED files — the FIELD_IDS.md end state:
     // fully-stamped files resolve by id with NO registry consulted
