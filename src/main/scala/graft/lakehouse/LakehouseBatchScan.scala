@@ -352,7 +352,7 @@ final class LakehouseBatchScan(
   /** Bucket id from a file's `<col>_bucket=` path segment. */
   private def bucketIdOfFile(relFile: String, c: String): Option[Int] = {
     val dirKey = t.resolvedNameKey(s"${c}_bucket")
-    relFile.split('/').filter(_.contains("=")).map(_.split("=", 2)).collectFirst {
+    LakehouseTable.hiveSegsOf(relFile).map(_.split("=", 2)).collectFirst {
       case Array(k, v) if t.resolvedNameKey(k) == dirKey =>
         scala.util.Try(v.toInt).toOption
     }.flatten
@@ -378,7 +378,7 @@ final class LakehouseBatchScan(
     else {
       val wanted = spjFields.map(f => t.resolvedNameKey(f.name))
       staticFiles.map { f =>
-        val segs = f.split('/').filter(_.contains("=")).map(_.split("=", 2))
+        val segs = LakehouseTable.hiveSegsOf(f).map(_.split("=", 2))
           .map { case Array(k, v) => t.resolvedNameKey(k) -> v }.toMap
         f -> wanted.map(segs(_)).toSeq
       }.toMap
@@ -411,7 +411,7 @@ final class LakehouseBatchScan(
     * projected columns — the group signature.
     */
   private def pathColKeys(relFile: String): Seq[String] =
-    relFile.split('/').filter(_.contains("=")).toSeq
+    LakehouseTable.hiveSegsOf(relFile).toSeq
       .map(seg => t.resolvedNameKey(seg.split("=", 2)(0)))
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -552,7 +552,7 @@ final class LakehouseBatchScan(
   private def partitionValuesFor(relFile: String, partFields: Array[StructField],
       zone: java.time.ZoneId): InternalRow = {
     if (partFields.isEmpty) return InternalRow.empty
-    val segs = relFile.split('/').filter(_.contains("=")).map(_.split("=", 2))
+    val segs = LakehouseTable.hiveSegsOf(relFile).map(_.split("=", 2))
     val vals: Array[Any] = partFields.map { f =>
       val raw = segs.collectFirst {
         case Array(k, v) if t.resolvedNameKey(k) == t.resolvedNameKey(f.name) => v

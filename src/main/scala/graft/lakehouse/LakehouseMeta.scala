@@ -90,7 +90,7 @@ object LakehouseMeta {
           StructField("partition", StringType)))
         val rows = t.currentSnapshot().toSeq.flatMap { s =>
           def rowOf(f: String, kind: String) = {
-            val part = f.split('/').drop(1).dropRight(1).filter(_.contains('='))
+            val part = LakehouseTable.hiveSegsOf(f)
             // size from the manifest's write-time FileStats (the
             // driver-metadata-only contract); per-file fs stat only for
             // pre-bytes manifests and tombstones, swallowing a
@@ -200,7 +200,7 @@ object LakehouseMeta {
           StructField("tombstone_files", IntegerType, nullable = false)))
         val rows = t.currentSnapshot().toSeq.flatMap { s =>
           def partOf(f: String): String = {
-            val segs = f.split('/').drop(1).dropRight(1).filter(_.contains('='))
+            val segs = LakehouseTable.hiveSegsOf(f)
             if (segs.isEmpty) null else segs.mkString("/")
           }
           def statsOf(f: String) = s.stats.flatMap(_.get(f))

@@ -439,7 +439,7 @@ private[lakehouse] object LakehouseSource {
     val since = t.partitionSpecSince
     def keep(ids: Set[Int]): Set[String] = snap.files.filter { f =>
       t.originOfFile(f) <= since || {
-        f.split('/').filter(_.contains("=")).map(_.split("=", 2)).collectFirst {
+        LakehouseTable.hiveSegsOf(f).map(_.split("=", 2)).collectFirst {
           case Array(k, v) if t.resolvedNameKey(k) == dirKey =>
             scala.util.Try(v.toInt).toOption.forall(ids.contains)
         }.getOrElse(true)
@@ -537,7 +537,7 @@ private[lakehouse] final class LakehouseV2Table(
     // The raw segment goes to castPartValueToDesiredType, which applies
     // Spark's (single) path-unescape itself for escape-sensitive types.
     val tuples = snap.files.flatMap { f =>
-      val segs = f.split('/').filter(_.contains("=")).map(_.split("=", 2))
+      val segs = LakehouseTable.hiveSegsOf(f).map(_.split("=", 2))
       val vals = pf.map { field =>
         segs.collectFirst {
           case Array(k, v) if nameKeyOf(k) == nameKeyOf(field.name) =>

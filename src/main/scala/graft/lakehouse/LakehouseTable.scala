@@ -860,6 +860,10 @@ final class LakehouseTable(spark: SparkSession, val root: String,
           System.currentTimeMillis(), "upsert", c.files,
           evolvedSchemaJsonFor(Some(c), batchSchema), deletes = c.deletes))
       case Some(c) =>
+        // a raced MoR tombstone newer than the staged files' claimed
+        // origin would mask this batch's rows — the appendWith rule
+        if (c.tombstones.exists(originOf(_) > claimedId))
+          throw new ConcurrentCommitException(root, claimedId)
         // read the staged files back for their KEY tuples only —
         // basePath reconstitutes identity-partitioned key columns; the
         // explicit cast pins path-inferred types to the batch's
@@ -936,6 +940,12 @@ final class LakehouseTable(spark: SparkSession, val root: String,
           op, dataFiles, batchSchema.json, txn = mark)))
       case Some(c) =>
         requireCompatibleSchemaFor(Some(c), batchSchema)
+        // a raced MoR tombstone NEWER than this batch's claimed origin
+        // would mask the staged rows as if they predated it (the
+        // appendWith rule — V1 applies claimed their id at commit time
+        // and never had this window; the staged faces do)
+        if (c.tombstones.exists(originOf(_) > claimedId))
+          throw new ConcurrentCommitException(root, claimedId)
         if (mergeOnRead) {
           Some(writeSnapshot(Snapshot(nextId(), Some(c.snapshotId),
             System.currentTimeMillis(), op, c.files ++ dataFiles,
@@ -1516,8 +1526,8 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     val declared = declaredPartitionSpec
     if (declared.nonEmpty) declared
     else {
-      def colsOf(f: String): Seq[String] = f.split('/').drop(1).dropRight(1)
-        .filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+      def colsOf(f: String): Seq[String] =
+        LakehouseTable.hiveSegsOf(f).map(_.takeWhile(_ != '=')).toSeq
       files.headOption.map(colsOf)
         .filter(c => c.nonEmpty && files.forall(f => colsOf(f) == c))
         .getOrElse(Nil)
@@ -1808,7 +1818,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       val zone = java.time.ZoneId.of(
         spark.sessionState.conf.sessionLocalTimeZone)
       def tupleOf(relFile: String): Option[Seq[Any]] = {
-        val segs = relFile.split('/').filter(_.contains("=")).map(_.split("=", 2))
+        val segs = LakehouseTable.hiveSegsOf(relFile).map(_.split("=", 2))
         val vals = fields.map { f =>
           segs.collectFirst {
             case Array(k, v) if nameKey(k) == nameKey(f.name) =>
@@ -3877,7 +3887,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     * Some(Some(v)) = the decoded value.
     */
   private def partitionValueOf(relFile: String, c: String): Option[Option[String]] =
-    relFile.split('/').filter(_.contains("=")).map(_.split("=", 2))
+    LakehouseTable.hiveSegsOf(relFile).map(_.split("=", 2))
       .collectFirst { case Array(k, pv) if nameKey(k) == nameKey(c) =>
         if (pv == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
           None
@@ -3897,7 +3907,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     */
   private def partitionMayMatch(relFile: String, c: String, dt: Option[DataType],
       lo: Option[Any], hi: Option[Any]): Boolean = {
-    val raw = relFile.split('/').filter(_.contains("=")).map(_.split("=", 2))
+    val raw = LakehouseTable.hiveSegsOf(relFile).map(_.split("=", 2))
       .collectFirst { case Array(k, pv) if nameKey(k) == nameKey(c) => pv }
       .getOrElse(return true)
     // Spark writes hive partition dirs with path-escaping (':' → %3A
@@ -4581,6 +4591,18 @@ object LakehouseTable {
     val i = segs.lastIndexWhere(_ == "data")
     require(i >= 0, s"cannot derive a table-relative data path from '$entry'")
     segs.drop(i).mkString("/")
+  }
+
+  /** Hive `col=value` path segments of a manifest entry — parsed ONLY
+    * past the claim dir, never from the root prefix: a shallow clone's
+    * foreign ABSOLUTE references would otherwise let a source root
+    * path containing '=' inject phantom partition segments into
+    * pruning/SPJ/layout decisions.
+    */
+  private[lakehouse] def hiveSegsOf(entry: String): Array[String] = {
+    val segs = entry.split('/')
+    val i = segs.lastIndexWhere(_ == "data")
+    (if (i >= 0) segs.drop(i + 2) else segs.drop(2)).filter(_.contains("="))
   }
 
   /** THE bucket function: `pmod(xxhash64(value), n)` — one definition

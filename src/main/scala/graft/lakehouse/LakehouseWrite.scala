@@ -758,13 +758,20 @@ private[lakehouse] final class LakehouseDataWriter(
       require(tag == "insert" || tag == "delete",
         s"applyChanges: unsupported _change tag '${if (tag == null) "NULL" else tag}' " +
           "(this feed speaks insert|delete; updates arrive as delete(old)+insert(new))")
-      val k = keyProj(row).copy()
-      tombKeys += k
+      // contains() probes with the projection's REUSED row (value-based
+      // UnsafeRow equality); only a fresh tuple pays the copy
+      val k0 = keyProj(row)
+      val k = if (tombKeys.contains(k0)) k0 else {
+        val c = k0.copy(); tombKeys += c; c
+      }
       if (tag == "delete") {
-        delKeys += k
+        if (!delKeys.contains(k)) delKeys += (if (k eq k0) k.copy() else k)
         return // delete rows carry keys only — never data
       }
-    } else if (keyed) tombKeys += keyProj(row).copy()
+    } else if (keyed) {
+      val k0 = keyProj(row)
+      if (!tombKeys.contains(k0)) { tombKeys += k0.copy(); () }
+    }
     val suffix = if (partRender.isEmpty) "" else partRender.map(_(row)).mkString("/")
     // bound OPEN writers: an unclustered task spanning many partition
     // values would otherwise hold a parquet buffer set per value (the

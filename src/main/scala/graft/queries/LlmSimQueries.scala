@@ -1204,15 +1204,19 @@ object LlmSimQueries {
       Seq(corpusRoot, idxRoot).foreach(p =>
         graft.Fs.deleteRecursively(java.nio.file.Paths.get(p)))
       val corpus = new graft.lakehouse.LakehouseTable(s, corpusRoot)
-      corpus.append(Tables.load(s, dir, "embeddings").repartition(2)) // snap 1
+      val base = Tables.load(s, dir, "embeddings")
+      corpus.append(base.repartition(2)) // snap 1
       corpus.setTag("bal-v1", 1L)
       val built = graft.lakehouse.AnnIndex.buildFromCorpus(
         s, corpusRoot, idxRoot, tag = Some("bal-v1"))
       val occ0 = graft.lakehouse.AnnIndex.occupancy(s, idxRoot)
       // corpus drift: five tight, far-apart blobs — frozen centroids
-      // pile them into whichever old cells sit nearest
-      val drift = (0 until 300).map { i =>
-        val g = i / 60
+      // pile them into whichever old cells sit nearest. Sized WITH the
+      // corpus so the skew signal is SF-independent (a fixed 300 rows
+      // would vanish into sf0.1's cell means).
+      val driftN = math.max(300L, base.count()).toInt
+      val drift = (0 until driftN).map { i =>
+        val g = i * 5 / driftN
         (910000L + i, Seq.tabulate(AnnDim)(d =>
           (if (d >= g * 12 && d < g * 12 + 12) 30.0f else 0.0f) +
             0.01f * ((i + d) % 5)), 9)
