@@ -444,10 +444,23 @@ final class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     root.toString
   }
 
+  /** [[resolveProcTable]] for a table the procedure CREATES
+    * (clone_table's `dest`): same name→root mapping, existence
+    * REFUSED instead of required.
+    */
+  private def resolveNewProcTable(arg: String): String = {
+    val parts = arg.split('.').map(_.trim).filter(_.nonEmpty)
+    require(parts.nonEmpty, s"procedure table argument '$arg' is empty")
+    val root = rootFor(Identifier.of(parts.init, parts.last))
+    require(!isTableDir(root),
+      s"table '$arg' already exists in catalog $catalogName")
+    root.toString
+  }
+
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
       s"procedures live in the 'system' namespace: CALL $catalogName.system.${ident.name}(...)")
-    LakehouseMeta.procedure(ident.name, resolveProcTable)
+    LakehouseMeta.procedure(ident.name, resolveProcTable, resolveNewProcTable)
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =

@@ -266,7 +266,8 @@ object LakehouseMeta {
   val procedureNames: Seq[String] = Seq(
     "expire_snapshots", "compact", "zorder", "build_bloom_index",
     "prune_bloom_sidecars", "rollback", "set_partition_spec",
-    "set_tag", "drop_tag", "fork_branch", "publish_branch", "drop_branch")
+    "set_tag", "drop_tag", "fork_branch", "publish_branch", "drop_branch",
+    "clone_table", "deepen_table")
 
   /** One result row through a LocalScan (the CALL statement's output). */
   private def result(schema: StructType, row: Row): JIterator[Scan] = {
@@ -281,9 +282,11 @@ object LakehouseMeta {
 
   /** Build the named maintenance procedure; `resolveRoot` maps the
     * procedure's `table` argument ('db.t' under the owning catalog) to
-    * a filesystem root.
+    * a filesystem root; `resolveNewRoot` the same for arguments naming
+    * a table the procedure CREATES (clone_table's `dest`).
     */
-  def procedure(name: String, resolveRoot: String => String): UnboundProcedure = {
+  def procedure(name: String, resolveRoot: String => String,
+      resolveNewRoot: String => String = identity): UnboundProcedure = {
     val procName = name // the anon classes' name() would shadow the param
     def spark = SparkSession.active
     def tableOf(arg: String) = new LakehouseTable(spark, resolveRoot(arg))
@@ -411,6 +414,45 @@ object LakehouseMeta {
         StructType(Seq(StructField("dropped", BooleanType, nullable = false)))) { in =>
         Row(tableOf(in.getUTF8String(0).toString)
           .dropBranch(in.getUTF8String(1).toString))
+      })
+      // zero-copy snapshot clone: CALL cat.system.clone_table(
+      //   table => 'db.src', dest => 'db.replica'
+      //   [, tag => 'rel'][, snapshot_id => N][, deep => false]) —
+      // the dest becomes a catalog table instantly (one metadata
+      // commit, files by reference; `deep` copies bytes). Default pin
+      // = the current head by snapshot id. The returned pin_tag names
+      // the SOURCE tag protecting the referenced files from expiry
+      // (the user tag, or the auto clone-pin-*); NULL for deep clones.
+      case "clone_table" => unbound(bound(
+        Array(inParam("table", string), inParam("dest", string),
+          inParamDefault("tag", string, "''"),
+          inParamDefault("snapshot_id", LongType, "-1"),
+          inParamDefault("deep", BooleanType, "false")),
+        StructType(Seq(StructField("snapshot_id", LongType, nullable = false),
+          StructField("pin_tag", StringType)))) { in =>
+        val t = tableOf(in.getUTF8String(0).toString)
+        val dest = resolveNewRoot(in.getUTF8String(1).toString)
+        val tag = Option(in.getUTF8String(2)).map(_.toString).filter(_.nonEmpty)
+        val snapId = Some(in.getLong(3)).filter(_ >= 0)
+        require(tag.isEmpty || snapId.isEmpty,
+          "tag and snapshot_id are mutually exclusive clone pins")
+        val deep = in.getBoolean(4)
+        val c = tag match {
+          case Some(tg) => t.cloneAtTag(dest, tg, deep)
+          case None => t.cloneAtSnapshot(dest, snapId.getOrElse(
+            t.currentSnapshot().getOrElse(throw new IllegalStateException(
+              "cannot clone a snapshot-less table")).snapshotId), deep)
+        }
+        Row(c.currentSnapshot().get.snapshotId,
+          c.cloneProvenance.flatMap(_.pinTag).orNull)
+      })
+      // localize a shallow clone: CALL cat.system.deepen_table(
+      //   table => 'db.replica') — copies every foreign byte local and
+      // releases the auto-pin; 0 = nothing foreign (already deep).
+      case "deepen_table" => unbound(bound(
+        Array(inParam("table", string)),
+        StructType(Seq(StructField("files_localized", IntegerType, nullable = false)))) { in =>
+        Row(tableOf(in.getUTF8String(0).toString).deepen())
       })
       case other => throw new IllegalArgumentException(
         s"unknown procedure '$other' (have: ${procedureNames.mkString(", ")})")

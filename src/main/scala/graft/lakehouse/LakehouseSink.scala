@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.types.StructType
 
-/** Exactly-once streaming Sink for the lakehouse —
+/** Exactly-once V1 streaming Sink for the lakehouse —
   *
   * {{{
   *   df.writeStream.format("graft-lakehouse")
@@ -13,6 +13,12 @@ import org.apache.spark.sql.types.StructType
   *     .option("txnAppId", "my-job")  // optional: ledger namespace
   *     .option("checkpointLocation", ckpt).start()
   * }}}
+  *
+  * ROUND 15: this sink serves ONLY snapshot-less roots (batch 1
+  * auto-creates the table; every later epoch — and every stream over
+  * an existing table — plans through [[LakehouseDsv2Write]]'s
+  * executor-side writers, keyed shapes included). The batch dispatch
+  * below remains the semantic REFERENCE the DSv2 keyed commits mirror.
   *
   * Every micro-batch commits through the table's transaction ledger
   * ([[TxnMark]]) under `(txnAppId, batchId)`, so a batch that wrote

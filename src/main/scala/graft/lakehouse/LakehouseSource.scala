@@ -48,11 +48,13 @@ final class LakehouseSourceProvider extends TableProvider with DataSourceRegiste
 
   override def shortName(): String = "graft-lakehouse"
 
-  /** `writeStream.format("graft-lakehouse")` — the exactly-once
-    * streaming sink (see [[LakehouseSink]]). The engine prefers the V1
-    * sink face over the DSv2 table when a provider offers both, which
-    * is exactly right here: the keyed merge is a multi-job DataFrame
-    * computation, not a per-partition writer.
+  /** `writeStream.format("graft-lakehouse")` — the V1 sink face,
+    * which since round 15 serves ONLY snapshot-less roots: the engine
+    * consults the table's STREAMING_WRITE capability first, and every
+    * stream shape over an EXISTING table (keyless appends, keyed
+    * upserts, CDC applies, schema-channel replication) plans through
+    * [[LakehouseDsv2Write]]'s executor writers. This sink's remaining
+    * job is batch 1's auto-create; restarts ride DSv2.
     */
   override def createSink(
       sqlContext: SQLContext,

@@ -159,6 +159,52 @@ class CloneSpec extends SparkSpec {
       t.cloneAtSnapshot(t.root, t.currentSnapshot().get.snapshotId))
   }
 
+  test("SQL face: CALL clone_table seeds a catalog table; deepen_table localizes and releases the pin") {
+    val cat = "clonecat"
+    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakehouseCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmpDir(s"$cat-wh"))
+    }
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.replica")
+    spark.sql(s"CREATE TABLE $cat.db.src (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.db.src SELECT id, concat('v', id) FROM range(50)")
+    // default pin: current head by snapshot id → an auto clone-pin tag
+    val r = spark.sql(
+      s"CALL $cat.system.clone_table(table => 'db.src', dest => 'db.replica')").head
+    assert(r.getLong(0) === 2L, "the seed id equals the fork id")
+    assert(r.getString(1).startsWith("clone-pin-"), s"auto pin expected: $r")
+    // the clone IS a catalog table immediately — reads, SQL, the lot
+    assert(spark.sql(s"SELECT count(*), sum(id) FROM $cat.db.replica").head ===
+      org.apache.spark.sql.Row(50L, (0L until 50L).sum))
+    // both sides advance independently through SQL
+    spark.sql(s"INSERT INTO $cat.db.src VALUES (100, 'src-only')")
+    spark.sql(s"INSERT INTO $cat.db.replica VALUES (200, 'replica-only')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.src WHERE id = 200").head.getLong(0) === 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.replica WHERE id = 100").head.getLong(0) === 0L)
+    // deepen: bytes localize, the auto-pin releases on the SOURCE
+    val localized = spark.sql(
+      s"CALL $cat.system.deepen_table(table => 'db.replica')").head.getInt(0)
+    assert(localized > 0)
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val src = new LakehouseTable(spark,
+      java.nio.file.Paths.get(wh, "db", "src").toString)
+    assert(!src.tags.contains(r.getString(1)), "deepen must release the auto-pin")
+    assert(spark.sql(
+      s"CALL $cat.system.deepen_table(table => 'db.replica')").head.getInt(0) === 0)
+    // tag-pinned form: the user tag is the pin (no auto tag created)
+    spark.sql(s"CALL $cat.system.set_tag(table => 'db.src', tag => 'rel')")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.replica2")
+    val r2 = spark.sql(s"CALL $cat.system.clone_table(" +
+      "table => 'db.src', dest => 'db.replica2', tag => 'rel')").head
+    assert(r2.getString(1) === "rel")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.replica2").head.getLong(0) === 51L)
+    spark.sql(s"DROP TABLE $cat.db.src")
+    spark.sql(s"DROP TABLE $cat.db.replica")
+    spark.sql(s"DROP TABLE $cat.db.replica2")
+  }
+
   test("compaction on a shallow clone naturally localizes every file") {
     val t = buildSource()
     t.setTag("rel", t.currentSnapshot().get.snapshotId)
