@@ -175,15 +175,20 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"\":$v%.1f" }.mkString("{", ",", "}")
 
     val calib = f"""{"compute_sec_pre":$calibPre%.3f,"compute_sec_post":$calibPost%.3f,"loadavg_start":$load0%.2f,"loadavg_end":$load1%.2f,"waited_s":${waitedMs / 1000.0}%.1f}"""
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":2,"agg":"min","queries":$qs,"queries_rep1":$rep1s,"cdc":$cdcJson,"calibration":$calib,"sf":"$sfDir"}"""
+    // the driver captures a truncated stdout TAIL (2,000 chars), so the
+    // stdout line carries only the MIN map (the number cross-round
+    // comparisons use) — rep1, which doubled the line and pushed half
+    // the per-query rows off the round-14 artifact, lives in the
+    // persisted full artifact below (judge wart r14 #4)
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":2,"agg":"min","queries":$qs,"cdc":$cdcJson,"calibration":$calib,"sf":"$sfDir"}"""
     println(line)
-    // the driver captures a truncated stdout tail (2,000 chars — most
-    // per-query rows fall off); ALSO persist the complete line where the
-    // round artifacts live so every row survives into BENCH_r{N}.json
+    // ALSO persist the complete line (rep1 included) where the round
+    // artifacts live so every row survives into BENCH_FULL.json
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":2,"agg":"min","queries":$qs,"queries_rep1":$rep1s,"cdc":$cdcJson,"calibration":$calib,"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
-      java.nio.file.Files.writeString(out, line + "\n")
+      java.nio.file.Files.writeString(out, full + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not persist full artifact: ${e.getMessage}")
     }

@@ -149,6 +149,23 @@ class CloneSpec extends SparkSpec {
     assert(rowsOf(spark.read.format("graft-lakehouse").load(c.root)) === expected)
   }
 
+  test("foreign-file reads keep partition pruning — the clone's 100 TB scan story") {
+    val t = buildSource()
+    t.setTag("rel", t.currentSnapshot().get.snapshotId)
+    val root = tmpDir("clone-prune")
+    t.cloneAtTag(root, "rel")
+    // the hive `cell=` dirs live in the FOREIGN absolute paths — the
+    // scan must still prune on them (hiveSegsOf anchors past the claim
+    // dir), or a 100 TB clone would read every referenced file
+    val got = spark.read.format("graft-lakehouse").load(root)
+      .where(col("cell") === 1).select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(4L), s"cell=1 rows through the pruned clone scan: $got")
+    val info = ScanEvents.lastScan(root).getOrElse(
+      sys.error("no scan recorded for the clone root"))
+    assert(info.filesPlanned < info.filesTotal,
+      s"cell=1 must prune the clone's foreign hive dirs: $info")
+  }
+
   test("clone refuses a busy destination and branch commits") {
     val t = buildSource()
     t.setTag("rel", t.currentSnapshot().get.snapshotId)
