@@ -2628,6 +2628,15 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     * (best effort — an unreachable source just keeps the tag). Returns
     * files localized (0 = nothing foreign: already deep, or deepened
     * before, or every foreign file was rewritten away by DML/compact).
+    *
+    * Content-neutral for consumers: the deepen snapshot swaps
+    * references for identical bytes, so a changefeed across it
+    * delivers ZERO row changes (the compaction-cancellation contract).
+    * HISTORY note: earlier clone snapshots (the seed included) keep
+    * their foreign references — after the source expires those files,
+    * only TIME TRAVEL to pre-deepen states breaks; current reads and
+    * everything after the deepen are self-contained, and the clone's
+    * own snapshot expiry trims the foreign history out.
     */
   def deepen(): Int = writeLock.synchronized {
     val cur = currentSnapshot().getOrElse(return 0)

@@ -176,6 +176,31 @@ class CloneSpec extends SparkSpec {
       t.cloneAtSnapshot(t.root, t.currentSnapshot().get.snapshotId))
   }
 
+  test("a deepen snapshot is CONTENT-NEUTRAL: the changefeed across it delivers nothing") {
+    // deepen swaps foreign references for local copies of the SAME
+    // bytes — the q101 cancellation contract must hold across it, or
+    // every downstream changefeed consumer would re-receive the whole
+    // clone as spurious deletes+inserts after a localization
+    val t = buildSource()
+    t.setTag("rel", t.currentSnapshot().get.snapshotId)
+    val c = t.cloneAtTag(tmpDir("clone-cdf"), "rel")
+    c.append(Seq((801, 8, "post-fork")).toDF("id", "cell", "label")
+      .coalesce(1)) // snap fork+1
+    val preDeepen = c.currentSnapshot().get.snapshotId
+    assert(c.deepen() > 0) // snap fork+2
+    val across = spark.read.format("graft-changefeed")
+      .option("path", c.root)
+      .option("startingSnapshot", preDeepen).load()
+    assert(across.count() === 0L,
+      "a localization must never surface as row changes")
+    // ...while the REAL post-fork change still delivers before it
+    val fromFork = spark.read.format("graft-changefeed")
+      .option("path", c.root)
+      .option("startingSnapshot", preDeepen - 1).load()
+    assert(fromFork.count() === 1L)
+    assert(fromFork.head.getAs[String]("_change") === "insert")
+  }
+
   test("SQL face: CALL clone_table seeds a catalog table; deepen_table localizes and releases the pin") {
     val cat = "clonecat"
     if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
