@@ -165,13 +165,20 @@ object LakehouseCli {
           "--max-snapshots" -> "maxSnapshotsPerTrigger",
           "--max-files" -> "maxFilesPerTrigger",
           "--max-bytes" -> "maxBytesPerTrigger")
+        // --starting-tag=T: start the FRESH stream at the source's
+        // tagged release and deliver only the changes after it — the
+        // `clone --tag=T` composition (the replica already holds the
+        // release by reference, so a state bootstrap would double it).
+        // A resumed checkpoint ignores the pin (committed offset wins).
         val admission: Seq[(String, String)] = args.drop(4).toSeq.map { a =>
           a.split("=", 2) match {
             case Array(f, v) if flagMap.contains(f) && v.forall(_.isDigit) && v.nonEmpty =>
               flagMap(f) -> v
+            case Array("--starting-tag", v) if v.nonEmpty =>
+              "startingTag" -> v
             case _ =>
               out.println(s"replicate: unknown flag '$a' " +
-                s"(expected ${flagMap.keys.mkString("|")}=N)"); return 2
+                s"(expected ${flagMap.keys.mkString("|")}=N or --starting-tag=T)"); return 2
           }
         }
         // schema-history channel ON: upstream RENAME/WIDEN/ADD DDL
@@ -200,6 +207,53 @@ object LakehouseCli {
         }
         val n = new LakehouseTable(spark, dst).read().count()
         out.println(s"replicate: $src -> $dst caught up ($n rows)")
+        0
+      case "clone" =>
+        // zero-copy replica seeding: O(metadata) where `replicate`'s
+        // bootstrap copies the data — the composed story is
+        //   clone src dst --tag=rel
+        //   replicate src dst <keys> --starting-tag=rel
+        // (seed at the release by reference, then stream only the
+        // post-release changes). --deep copies bytes; the printed pin
+        // tag is what protects a shallow clone from source expiry.
+        if (args.length < 3) { out.println(usage); return 2 }
+        var tag: Option[String] = None
+        var snap: Option[Long] = None
+        var deep = false
+        args.drop(3).foreach {
+          case a if a.startsWith("--tag=") =>
+            tag = Some(a.stripPrefix("--tag=")).filter(_.nonEmpty)
+          case a if a.startsWith("--snapshot=") &&
+              a.stripPrefix("--snapshot=").forall(_.isDigit) &&
+              a.length > "--snapshot=".length =>
+            snap = Some(a.stripPrefix("--snapshot=").toLong)
+          case "--deep" => deep = true
+          case a =>
+            out.println(s"clone: unknown flag '$a' " +
+              "(expected --tag=T | --snapshot=N | --deep)"); return 2
+        }
+        if (tag.isDefined && snap.isDefined) {
+          out.println("clone: --tag and --snapshot are mutually exclusive"); return 2
+        }
+        val head = table.currentSnapshot().getOrElse {
+          out.println(s"clone: source ${args(1)} has no snapshots"); return 1
+        }
+        val c = tag match {
+          case Some(t) => table.cloneAtTag(args(2), t, deep)
+          case None => table.cloneAtSnapshot(args(2),
+            snap.getOrElse(head.snapshotId), deep)
+        }
+        val pin = c.cloneProvenance.flatMap(_.pinTag)
+          .map(p => s", pinned by source tag '$p'").getOrElse("")
+        out.println(s"clone: seeded ${args(2)} at snapshot " +
+          s"${c.currentSnapshot().get.snapshotId} " +
+          (if (deep) "(deep copy)" else "(zero-copy)") + pin)
+        0
+      case "deepen" =>
+        // localize a shallow clone: after this the source may expire
+        // or vanish; releases the auto-created pin tag
+        val n = table.deepen()
+        out.println(s"deepen: $n file(s) localized into ${args(1)}")
         0
       case "annremove" =>
         // index hygiene from the operator console: stop serving the
@@ -258,5 +312,7 @@ object LakehouseCli {
       |       graft.Cli lakehouse annbuild <vectorTableDir> <indexRoot>
       |       graft.Cli lakehouse annstatus <tableDir> <indexRoot>
       |       graft.Cli lakehouse annremove <tableDir> <indexRoot> <id1,id2,...>
-      |       graft.Cli lakehouse replicate <srcTableDir> <dstTableDir> <key1,key2,...> [--max-snapshots=N] [--max-files=N] [--max-bytes=N]""".stripMargin
+      |       graft.Cli lakehouse replicate <srcTableDir> <dstTableDir> <key1,key2,...> [--max-snapshots=N] [--max-files=N] [--max-bytes=N] [--starting-tag=T]
+      |       graft.Cli lakehouse clone <srcTableDir> <dstTableDir> [--tag=T | --snapshot=N] [--deep]
+      |       graft.Cli lakehouse deepen <tableDir>""".stripMargin
 }

@@ -197,6 +197,42 @@ class CliSpec extends SparkSpec {
     assert(cli("lakehouse", "query", dir, "current", "5", "=42")._1 === 2)
   }
 
+  test("lakehouse sub-app: clone + replicate --starting-tag is the zero-copy seeding story") {
+    import spark.implicits._
+    val src = tmpDir("cli-clone-src")
+    val t = new graft.lakehouse.LakehouseTable(spark, src)
+    t.append((0L until 50L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t.setTag("rel", t.currentSnapshot().get.snapshotId)
+    // seed the replica at the release BY REFERENCE (one metadata commit)
+    val dst = tmpDir("cli-clone-dst") + "-t"
+    val (c1, o1) = cli("lakehouse", "clone", src, dst, "--tag=rel")
+    assert(c1 === 0 && o1.contains("zero-copy") &&
+      o1.contains("pinned by source tag 'rel'"), o1)
+    // the source advances past the release
+    t.upsert(Seq((7L, "V7"), (100L, "v100")).toDF("id", "v"), Seq("id"))
+    // catch-up streams ONLY the post-release changes into the clone
+    val (c2, o2) = cli("lakehouse", "replicate", src, dst, "id", "--starting-tag=rel")
+    assert(c2 === 0 && o2.contains("51 rows"), o2)
+    val d = new graft.lakehouse.LakehouseTable(spark, dst)
+    assert(d.read().filter(org.apache.spark.sql.functions.col("id") === 7L)
+      .select("v").head.getString(0) === "V7")
+    // deepen localizes and reports
+    val (c3, o3) = cli("lakehouse", "deepen", dst)
+    assert(c3 === 0 && o3.contains("localized"), o3)
+    assert((new graft.lakehouse.LakehouseTable(spark, dst).currentSnapshot().get.files)
+      .forall(f => !java.nio.file.Paths.get(f).isAbsolute))
+    val (c4, o4) = cli("lakehouse", "deepen", dst)
+    assert(c4 === 0 && o4.contains("0 file(s)"), o4)
+    // snapshot-pinned + deep forms, flag validation
+    val dst2 = tmpDir("cli-clone-dst2") + "-s"
+    val (c5, o5) = cli("lakehouse", "clone", src, dst2, "--snapshot=1", "--deep")
+    assert(c5 === 0 && o5.contains("deep copy") && !o5.contains("pinned"), o5)
+    assert(new graft.lakehouse.LakehouseTable(spark, dst2).read().count() === 50L)
+    assert(cli("lakehouse", "clone", src, dst2 + "x", "--tag=rel", "--snapshot=1")._1 === 2)
+    assert(cli("lakehouse", "clone", src, dst2 + "x", "--bogus")._1 === 2)
+    assert(cli("lakehouse", "clone", src)._1 === 2)
+  }
+
   test("unknown / missing command prints usage and exits 2") {
     assert(cli()._1 === 2)
     assert(cli("frobnicate", "x.yaml")._1 === 2)
