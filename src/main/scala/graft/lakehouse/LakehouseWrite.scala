@@ -400,6 +400,25 @@ private[lakehouse] final class LakehouseDsv2Write(
     df.columns.filterNot(keep).foldLeft(df)((d, c) => d.drop(c))
   }
 
+  /** Does any schema-channel record rename/drop/retype/add a column
+    * name the staged files carry? When NOT (the common rename-
+    * elsewhere case), the executor-written halves are already
+    * post-DDL-correct and commit directly; a touching record sends the
+    * epoch to the driver-side re-canonicalization. Conservative for
+    * set_spec / future ops.
+    */
+  private def ddlTouches(ddl: Seq[String], batchSchema: StructType): Boolean = {
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val batchNames = batchSchema.fieldNames.map(lc).toSet
+    ddl.map(DdlRecord.parse).exists { r =>
+      r.op match {
+        case "rename" => (r.from.toSeq ++ r.to.toSeq).exists(n => batchNames(lc(n)))
+        case "drop" | "widen" | "add" => r.column.exists(n => batchNames(lc(n)))
+        case _ => true
+      }
+    }
+  }
+
   /** KEYED streaming epoch (round 15): the staged executor halves —
     * data files, deduped `-tomb` key files, `-del` delete keys —
     * commit through [[LakehouseTable.commitApplyStagedFiles]] under
@@ -436,7 +455,13 @@ private[lakehouse] final class LakehouseDsv2Write(
         case None => dataSchema0
       }
     val cdcShape = querySchema.fieldNames.exists(_.equalsIgnoreCase("_change"))
-    if (ddl.isEmpty) {
+    // ORTHOGONAL DDL epochs (no record touches a column the staged
+    // halves carry) apply the records and commit the executor files
+    // directly — the same one-write shortcut as the keyless face; the
+    // pre-DDL dataSchema stays valid because orthogonal records can't
+    // change a batch column's name, type, or conformance verdict
+    if (ddl.isEmpty || !ddlTouches(ddl, batchSchema)) {
+      ddl.foreach(t.applySchemaChange)
       val r = t.commitApplyStagedFiles(files, tombs, dataSchema, claimed,
         keys, mergeOnRead = mor, cdc = cdcShape,
         mark = Some(TxnMark(appId, epochId)))
@@ -492,21 +517,9 @@ private[lakehouse] final class LakehouseDsv2Write(
           mark = Some(TxnMark(appId, epochId)), targetAuthoritative = schemaChannel)
       else {
         ddl.foreach(t.applySchemaChange)
-        // ORTHOGONALITY: when no record renames/drops/retypes/adds a
-        // column name the staged files carry, the executor files are
-        // already post-DDL-correct — commit them directly and skip the
-        // driver re-write (the common rename-elsewhere case costs one
-        // write, not two). Any touching record falls back to the
-        // driver-side re-canonicalization below.
-        def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-        val batchNames = batchSchema.fieldNames.map(lc).toSet
-        val ddlTouchesBatch = ddl.map(DdlRecord.parse).exists { r =>
-          r.op match {
-            case "rename" => (r.from.toSeq ++ r.to.toSeq).exists(n => batchNames(lc(n)))
-            case "drop" | "widen" | "add" => r.column.exists(n => batchNames(lc(n)))
-            case _ => true // set_spec / future ops: conservative
-          }
-        }
+        // ORTHOGONALITY ([[ddlTouches]]): a non-touching epoch commits
+        // its executor files directly and skips the driver re-write
+        val ddlTouchesBatch = ddlTouches(ddl, batchSchema)
         val out =
           if (files.isEmpty)
             t.commitWrittenFiles(Nil, batchSchema, claimed,

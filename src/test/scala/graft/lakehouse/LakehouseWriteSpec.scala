@@ -456,6 +456,51 @@ class LakehouseWriteSpec extends SparkSpec {
     assert(got === Seq((0L, "seed", "x"), (1L, "a", null), (2L, "b", null)))
   }
 
+  test("a KEYED epoch with orthogonal DDL commits the executor halves directly too") {
+    // the keyless shortcut, symmetric on the keyed face: a rename of a
+    // column the feed never carries applies as DDL and the staged
+    // data + tomb files land as-is (no driver reconstruction)
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpDir("dsv2-korth")
+    val t = new LakehouseTable(spark, root)
+    t.append(Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "other").coalesce(1))
+    val src = tmpDir("dsv2-korth-src")
+    val rename = DdlRecord.rename(0, "other", "renamed").json
+    Seq((1L, "A2", "insert", null), (3L, "c", "insert", null),
+      (2L, null, "delete", null), (-1L, null, "schema", rename))
+      .toDF("id", "v", "_change", "_ddl").coalesce(1)
+      .write.mode("overwrite").json(src)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_change", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_ddl", org.apache.spark.sql.types.StringType)))
+    val filesBefore = t.currentSnapshot().get.files.toSet
+    val q = spark.readStream.schema(schema).json(src)
+      .writeStream.format("graft-lakehouse")
+      .option("path", root).option("keys", "id")
+      .option("mergeOnRead", "true").option("txnAppId", "korth")
+      .option("checkpointLocation", tmpDir("dsv2-korth-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val snap = t.currentSnapshot().get
+    val declared = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    assert(declared.contains("renamed") && !declared.contains("other"),
+      "the orthogonal rename record must apply")
+    val added = snap.files.toSet -- filesBefore
+    assert(added.nonEmpty && added.forall(_.contains("-dsv2-")),
+      s"orthogonal-DDL keyed epoch must land the staged executor files: $added")
+    assert(snap.tombstones.nonEmpty && snap.tombstones.forall(_.contains("-tomb")),
+      "the executor-written tomb file is the MoR tombstone")
+    val got = spark.read.format("graft-lakehouse").load(root)
+      .select("id", "v", "renamed").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSeq
+    assert(got === Seq((1L, "A2", None), (3L, "c", None)),
+      "upsert replaces id=1, delete removes id=2, insert lands id=3; " +
+        "old 'other' values mask with their rows, new rows carry null")
+  }
+
   test("bucket dirs hash the CAST value when the column plan widens (negative ints land right)") {
     // ADVICE r14: reading the unprojected row with the widened type
     // zero-extends negative ints (wrong bucket) or throws on generic
