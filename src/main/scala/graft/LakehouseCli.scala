@@ -251,8 +251,10 @@ object LakehouseCli {
         0
       case "deepen" =>
         // localize a shallow clone: after this the source may expire
-        // or vanish; releases the auto-created pin tag
-        val n = table.deepen()
+        // or vanish; releases the auto-created pin tag.
+        // --all-history localizes every reachable snapshot's foreign
+        // references (pre-deepen time travel survives source expiry)
+        val n = table.deepen(allHistory = args.contains("--all-history"))
         out.println(s"deepen: $n file(s) localized into ${args(1)}")
         0
       case "annremove" =>
@@ -314,5 +316,5 @@ object LakehouseCli {
       |       graft.Cli lakehouse annremove <tableDir> <indexRoot> <id1,id2,...>
       |       graft.Cli lakehouse replicate <srcTableDir> <dstTableDir> <key1,key2,...> [--max-snapshots=N] [--max-files=N] [--max-bytes=N] [--starting-tag=T]
       |       graft.Cli lakehouse clone <srcTableDir> <dstTableDir> [--tag=T | --snapshot=N] [--deep]
-      |       graft.Cli lakehouse deepen <tableDir>""".stripMargin
+      |       graft.Cli lakehouse deepen <tableDir> [--all-history]""".stripMargin
 }

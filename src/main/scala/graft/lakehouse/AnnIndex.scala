@@ -354,8 +354,10 @@ object AnnIndex {
     * rebalance trigger a maintenance scheduler watches (a healthy
     * Lloyd layout sits near 1–3; a corpus that drifted into one cell
     * climbs unboundedly, and with it serve-time partition pruning
-    * degrades toward a full scan). Falls back to one column-pruned
-    * scan only when MoR tombstones make manifest counts inexact.
+    * degrades toward a full scan). MoR removal tombstones subtract
+    * per-cell from the manifest too (they are cell-partitioned by
+    * construction); only a tombstone without a cell path degrades the
+    * probe to one column-pruned scan.
     */
   def occupancy(spark: SparkSession, root: String): CellOccupancy = {
     val v = currentVersion(root).getOrElse(throw new IllegalStateException(
@@ -363,17 +365,33 @@ object AnnIndex {
     val codes = new LakehouseTable(spark, codesRoot(root, v))
     val snap = codes.currentSnapshot().getOrElse(
       throw new IllegalStateException(s"index codes table at $root is empty"))
+    def cellOf(f: String): Option[Int] = f.split('/').collectFirst {
+      case seg if seg.startsWith("cell=") => seg.stripPrefix("cell=").toInt
+    }
+    def perCell(fs: Seq[String]): Option[Map[Int, Long]] = {
+      val pairs = fs.map(f => cellOf(f).map(_ -> codes.fileRowsOf(snap, f)
+        .getOrElse(0L)))
+      if (pairs.exists(_.isEmpty)) None
+      else Some(pairs.flatten.groupBy(_._1)
+        .map { case (c, xs) => c -> xs.map(_._2).sum })
+    }
+    // MoR tombstones written through [[remove]]`(mergeOnRead = true)`
+    // are cell-partitioned: per-cell removed counts subtract from the
+    // per-cell data counts, all from MANIFEST stats — still ZERO file
+    // opens right after the remove, exactly when a maintenance probe
+    // runs. (Exact for resolved-id removals; a key re-added after its
+    // removal under-counts its cell by one until compaction folds —
+    // a rounding error on a max/mean skew trigger.) Only a tombstone
+    // WITHOUT a cell path (a foreign key file) degrades to the scan.
     val counts: Map[Int, Long] =
-      if (snap.tombstones.nonEmpty)
-        codes.read().groupBy("cell").count().collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      else
-        snap.files.flatMap { f =>
-          val cell = f.split('/').collectFirst {
-            case seg if seg.startsWith("cell=") => seg.stripPrefix("cell=").toInt
-          }
-          cell.map(_ -> codes.fileRowsOf(snap, f).getOrElse(0L))
-        }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum }
+      (perCell(snap.files), perCell(snap.tombstones)) match {
+        case (Some(data), Some(removed)) =>
+          data.map { case (c, n) =>
+            c -> math.max(0L, n - removed.getOrElse(c, 0L)) }
+        case _ =>
+          codes.read().groupBy("cell").count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      }
     val vals = counts.values
     val mean = if (counts.isEmpty) 0.0 else vals.sum.toDouble / counts.size
     CellOccupancy(counts.size, vals.sum, if (counts.isEmpty) 0L else vals.min,
@@ -434,11 +452,25 @@ object AnnIndex {
     * centroids are untouched (removal cannot drift them; only the
     * scheduled full rebuild retrains).
     */
-  def remove(spark: SparkSession, ids: DataFrame, root: String): Snapshot = {
+  def remove(spark: SparkSession, ids: DataFrame, root: String,
+      mergeOnRead: Boolean = false): Snapshot = {
     val v = currentVersion(root).getOrElse(throw new IllegalStateException(
       s"no published index at $root — nothing to remove from"))
-    val ch = ids.select(col("vec_id")).withColumn("_change", lit("delete"))
-    new LakehouseTable(spark, codesRoot(root, v)).applyChanges(ch, Seq("vec_id")).get
+    val codes = new LakehouseTable(spark, codesRoot(root, v))
+    val ch =
+      if (!mergeOnRead) ids.select(col("vec_id")).withColumn("_change", lit("delete"))
+      else
+        // MoR removal defers the rewrite to compaction (write cost =
+        // the key file, nothing else). Resolve each id's CELL first —
+        // one column-pruned semi join — so the delete keys land under
+        // the codes table's hive `cell=` layout: the tombstone then
+        // carries per-cell manifest counts and [[occupancy]] stays
+        // metadata-only. Resolving also drops ids the index never
+        // held, keeping the per-cell accounting exact.
+        codes.read().select("vec_id", "cell")
+          .join(ids.select("vec_id"), Seq("vec_id"), "left_semi")
+          .withColumn("_change", lit("delete"))
+    codes.applyChanges(ch, Seq("vec_id"), mergeOnRead = mergeOnRead).get
   }
 
   /** Serve top-5 cosine neighbors for the index's query convention

@@ -206,9 +206,10 @@ object LakehouseMeta {
           def statsOf(f: String) = s.stats.flatMap(_.get(f))
           val tombByPart = s.tombstones.groupBy(partOf)
           val byPart = s.files.groupBy(partOf)
-          // tombstone key files are typically UNPARTITIONED (they land
-          // flat even on a partitioned table) — a partition key present
-          // only on the tombstone side must still surface
+          // tombstone key files land under the table's hive layout
+          // when the change batch carried the partition columns
+          // (round 16) and flat otherwise — either way a partition key
+          // present only on the tombstone side must still surface
           val allParts = (byPart.keySet ++ tombByPart.keySet).toSeq
             .sortBy(p => Option(p).getOrElse(""))
           allParts.map { part =>
@@ -447,12 +448,17 @@ object LakehouseMeta {
           c.cloneProvenance.flatMap(_.pinTag).orNull)
       })
       // localize a shallow clone: CALL cat.system.deepen_table(
-      //   table => 'db.replica') — copies every foreign byte local and
-      // releases the auto-pin; 0 = nothing foreign (already deep).
+      //   table => 'db.replica'[, all_history => true]) — copies every
+      // foreign byte local and releases the auto-pin; 0 = nothing
+      // foreign (already deep). all_history localizes every reachable
+      // snapshot's references, so pre-deepen TIME TRAVEL keeps working
+      // after the source expires.
       case "deepen_table" => unbound(bound(
-        Array(inParam("table", string)),
+        Array(inParam("table", string),
+          inParamDefault("all_history", BooleanType, "false")),
         StructType(Seq(StructField("files_localized", IntegerType, nullable = false)))) { in =>
-        Row(tableOf(in.getUTF8String(0).toString).deepen())
+        Row(tableOf(in.getUTF8String(0).toString)
+          .deepen(allHistory = in.getBoolean(1)))
       })
       case other => throw new IllegalArgumentException(
         s"unknown procedure '$other' (have: ${procedureNames.mkString(", ")})")

@@ -102,6 +102,18 @@ final case class TagRef(snapshot: Long, createdMs: Long,
 final case class CloneInfo(sourceRoot: String, snapshotId: Long,
     pinTag: Option[String], deep: Boolean, createdMs: Long)
 
+/** Spec seam for the DISTRIBUTED clone/deepen byte localization
+  * (local-mode tests share the JVM, so static counters observe the
+  * executor-side copy work — the [[LakehouseWriteStats]] pattern):
+  * `copyTasks` counts Spark tasks that copied at least one file,
+  * `filesCopied` the files they moved. Observability only — never
+  * read on a decision path.
+  */
+object CloneCopyStats {
+  val copyTasks = new java.util.concurrent.atomic.AtomicLong
+  val filesCopied = new java.util.concurrent.atomic.AtomicLong
+}
+
 /** Iceberg-style FIELD IDS, assigned at commit time (see FIELD_IDS.md
   * for the design spike): `ids` maps each live column's DECLARED name
   * to its immutable id, `next` is the never-decreasing allocation
@@ -394,6 +406,8 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       */
     val optimizeWriteTargetBytes: Option[Long] = None) {
   private implicit val fmts: Formats = DefaultFormats
+
+  private[lakehouse] def session: SparkSession = spark
 
   private val rootPath = Paths.get(root)
   private val snapsDir = rootPath.resolve("_snapshots")
@@ -1330,9 +1344,16 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     // map each probed URI back to its manifest-relative path ONCE and
     // intersect sets — O(candidates + probed) driver work (the r9 form
     // rescanned the probed set per candidate via endsWith: quadratic at
-    // a 100k-candidate rewrite, and suffix-match could over-rewrite)
-    val probedRel = probed.map(relDataPathOf)
-    candidates.filter(probedRel)
+    // a 100k-candidate rewrite, and suffix-match could over-rewrite).
+    // Both sides normalize to the CLAIM-RELATIVE path: a foreign
+    // manifest entry whose bytes were localized (deepen allHistory)
+    // scans through its local copy, so the probed URI resolves
+    // root-relative while the manifest key stays absolute — comparing
+    // raw keys would silently skip exactly those files' rewrites.
+    def normKey(e: String): String =
+      if (Paths.get(e).isAbsolute) LakehouseTable.claimDirRelative(e) else e
+    val probedRel = probed.map(u => normKey(relDataPathOf(u)))
+    candidates.filter(c => probedRel(normKey(c)))
   }
 
   /** Absolute data-file URI (as `input_file_name()` reports it) →
@@ -1481,10 +1502,28 @@ final class LakehouseTable(spark: SparkSession, val root: String,
                 // and this batch's own inserts (origin == this id) stay
                 // visible. Write amplification is the batch, nothing
                 // else; reads pay the anti-join until compaction folds.
+                // the tombstone lands under the table's hive layout
+                // when the change batch carries the partition columns
+                // (beyond the keys): per-partition key-file accounting
+                // — e.g. the ANN occupancy probe — then answers from
+                // the MANIFEST alone. Masking semantics are unchanged:
+                // partition values live in the PATH, not the file, so
+                // the mask keys (read from the tomb file's columns)
+                // stay exactly `keys`.
+                val tombPartSpecs = partCols.filter { pc =>
+                  val src = specSourceCol(pc)
+                  ch.columns.exists(_.equalsIgnoreCase(src)) &&
+                    !keys.exists(_.equalsIgnoreCase(src))
+                }
+                val tombKeys =
+                  if (tombPartSpecs.isEmpty) touchedKeys
+                  else ch.select((keys ++ tombPartSpecs.map(specSourceCol))
+                    .map(col): _*).distinct()
                 val tomb =
                   if (ch.isEmpty) Nil
                   else dropEmptyDataFiles(
-                    writeDataFiles(touchedKeys, id, suffix = "tomb"))
+                    writeDataFiles(tombKeys, id, suffix = "tomb",
+                      partitionCols = tombPartSpecs))
                 Some(writeSnapshot(Snapshot(id, Some(c.snapshotId),
                   System.currentTimeMillis(), "apply",
                   c.files ++ added, evolvedSchemaJson(inserts), txn = mark,
@@ -2574,18 +2613,16 @@ final class LakehouseTable(spark: SparkSession, val root: String,
       "cannot clone a table onto itself")
     Files.createDirectories(destPath)
     def absOf(rel: String): String = rootPath.resolve(rel).toAbsolutePath.toString
-    def localOf(rel: String): String = {
-      // byte-copy into the SAME claim-dir-relative path, preserving the
-      // path-derived origin id and hive partition dirs
-      val local = LakehouseTable.claimDirRelative(rel)
-      val dst = destPath.resolve(local)
-      Files.createDirectories(dst.getParent)
-      if (!Files.exists(dst)) { Files.copy(rootPath.resolve(rel), dst); () }
-      local
-    }
-    val mapEntry: String => String = if (deep) localOf else absOf
+    // deep: byte-copy into the SAME claim-dir-relative path, preserving
+    // the path-derived origin id and hive partition dirs — distributed
+    // over executors past a handful of files ([[localizeBytes]])
+    val mapEntry: String => String =
+      if (deep) (rel => LakehouseTable.claimDirRelative(rel)) else absOf
     val fileMap = (snap.files ++ snap.tombstones).map(f => f -> mapEntry(f)).toMap
     val dest = new LakehouseTable(spark, destPath.toString)
+    if (deep) dest.localizeBytes(fileMap.toSeq.map { case (rel, local) =>
+      (absOf(rel), local)
+    })
     // seed the clone's stats cache under the remapped keys: the seed
     // commit then records per-file stats with ZERO footer reads
     snap.stats.getOrElse(Map.empty).foreach { case (k, st) =>
@@ -2636,34 +2673,78 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     * their foreign references — after the source expires those files,
     * only TIME TRAVEL to pre-deepen states breaks; current reads and
     * everything after the deepen are self-contained, and the clone's
-    * own snapshot expiry trims the foreign history out.
+    * own snapshot expiry trims the foreign history out. Pass
+    * `allHistory = true` to localize EVERY reachable snapshot's
+    * foreign references too: history manifests stay immutable, the
+    * read path serves their entries from the local copies, and full
+    * pre-deepen lineage survives source expiry.
     */
-  def deepen(): Int = writeLock.synchronized {
+  def deepen(allHistory: Boolean = false): Int = writeLock.synchronized {
     val cur = currentSnapshot().getOrElse(return 0)
     def isForeign(f: String) = Paths.get(f).isAbsolute
-    val foreign = (cur.files ++ cur.tombstones).filter(isForeign).distinct
-    if (foreign.isEmpty) return 0
-    val remap = foreign.map { f =>
-      val local = LakehouseTable.claimDirRelative(f)
-      val dst = rootPath.resolve(local)
-      Files.createDirectories(dst.getParent)
-      if (!Files.exists(dst)) { Files.copy(Paths.get(f), dst); () }
-      f -> local
-    }.toMap
-    cur.stats.getOrElse(Map.empty).foreach { case (k, st) =>
-      remap.get(k).foreach(knownStats.put(_, st))
+    val curForeign = (cur.files ++ cur.tombstones).filter(isForeign).distinct
+    // `allHistory` localizes every REACHABLE snapshot's foreign
+    // references too (the full-lineage form): pre-deepen time travel
+    // keeps working after the source expires, because the read path
+    // prefers a file's local copy over a dangling foreign reference
+    // ([[localizedGroup]]) — history manifests stay IMMUTABLE (the
+    // snapshot-cache contract), only bytes move.
+    val histForeign =
+      if (!allHistory) Nil
+      else listSnapshots().flatMap(s => s.files ++ s.tombstones)
+        .filter(isForeign).distinct.filterNot(curForeign.contains)
+    if (curForeign.isEmpty && histForeign.isEmpty) return 0
+    localizeBytes((curForeign ++ histForeign).map(f =>
+      f -> LakehouseTable.claimDirRelative(f)))
+    if (curForeign.nonEmpty) {
+      val remap = curForeign.map(f =>
+        f -> LakehouseTable.claimDirRelative(f)).toMap
+      cur.stats.getOrElse(Map.empty).foreach { case (k, st) =>
+        remap.get(k).foreach(knownStats.put(_, st))
+      }
+      writeSnapshot(Snapshot(nextId(), Some(cur.snapshotId),
+        System.currentTimeMillis(), "deepen",
+        cur.files.map(f => remap.getOrElse(f, f)), cur.schemaJson,
+        deletes = Some(cur.tombstones.map(f => remap.getOrElse(f, f)))
+          .filter(_.nonEmpty)))
+      ()
     }
-    writeSnapshot(Snapshot(nextId(), Some(cur.snapshotId),
-      System.currentTimeMillis(), "deepen",
-      cur.files.map(f => remap.getOrElse(f, f)), cur.schemaJson,
-      deletes = Some(cur.tombstones.map(f => remap.getOrElse(f, f)))
-        .filter(_.nonEmpty)))
     // release the auto-pin: the clone no longer depends on the source
     cloneProvenance.filter(_.pinTag.exists(_.startsWith("clone-pin-"))).foreach { ci =>
       try { new LakehouseTable(spark, ci.sourceRoot).dropTag(ci.pinTag.get); () }
       catch { case _: Exception => () }
     }
-    foreign.size
+    curForeign.size + histForeign.size
+  }
+
+  /** Localize foreign bytes into their claim-dir-relative local paths.
+    * Past a handful of files the copy runs as a SPARK JOB over
+    * executors — at the scale the clone machinery targets, byte
+    * localization is the one genuinely heavy step, and a sequential
+    * driver loop would serialize a 100 TB deepen through one thread.
+    * The caller's single metadata commit stays driver-side; per-file
+    * the copy is idempotent (exists-check, with the create race
+    * absorbed in [[LakehouseTable.copyFileInto]]).
+    */
+  private def localizeBytes(pairs0: Seq[(String, String)]): Unit = {
+    val pairs = pairs0
+      .map { case (src, rel) => (src, rootPath.resolve(rel).toString) }
+      .filterNot { case (_, dst) => Files.exists(Paths.get(dst)) }
+    if (pairs.isEmpty) ()
+    else if (pairs.size <= LakehouseTable.DriverCopyMax)
+      pairs.foreach { case (s, d) => LakehouseTable.copyFileInto(s, d) }
+    else {
+      val slices = math.min(pairs.size,
+        math.max(1, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(pairs, slices).foreachPartition {
+        (it: Iterator[(String, String)]) =>
+          if (it.hasNext) CloneCopyStats.copyTasks.incrementAndGet()
+          it.foreach { case (s, d) =>
+            LakehouseTable.copyFileInto(s, d)
+            CloneCopyStats.filesCopied.incrementAndGet()
+          }
+      }
+    }
   }
 
   // ---------------- branches (write-audit-publish) ----------------
@@ -3805,10 +3886,38 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     * "no usable stats").
     */
   /** Absolute filesystem path of a root-relative data file (the native
-    * batch scan hands these to the parquet reader factory).
+    * batch scan hands these to the parquet reader factory). A FOREIGN
+    * absolute entry (a shallow clone's reference) prefers its LOCAL
+    * claim-relative copy when one exists: [[deepen]]`(allHistory =
+    * true)` localizes bytes WITHOUT rewriting the immutable history
+    * manifests, so pre-deepen time travel resolves through this
+    * fallback once the source expires. Identical bytes either way —
+    * preference order only changes which filesystem serves them.
     */
   private[lakehouse] def absDataPath(relFile: String): String =
-    rootPath.resolve(relFile).toString
+    if (!Paths.get(relFile).isAbsolute) rootPath.resolve(relFile).toString
+    else {
+      val local = rootPath.resolve(LakehouseTable.claimDirRelative(relFile))
+      if (Files.exists(local)) local.toString else relFile
+    }
+
+  /** Group form of [[absDataPath]]'s foreign-entry fallback, for reads
+    * that share one `basePath` per claim dir (hive partition-value
+    * parsing): Some(localized entries) only when the group carries
+    * foreign references AND every one has a local copy — a MIXED
+    * resolution under one basePath would mis-parse partition values,
+    * so a partially-localized group (a deepen interrupted mid-copy)
+    * keeps reading the foreign originals until the copy completes.
+    */
+  private def localizedGroup(fs: Seq[String]): Option[Seq[String]] = {
+    val foreign = fs.filter(f => Paths.get(f).isAbsolute)
+    if (foreign.isEmpty) None
+    else if (foreign.forall(f =>
+      Files.exists(rootPath.resolve(LakehouseTable.claimDirRelative(f)))))
+      Some(fs.map(f =>
+        if (Paths.get(f).isAbsolute) LakehouseTable.claimDirRelative(f) else f))
+    else None
+  }
 
   /** On-disk bytes of a data file: manifest-recorded (write-time) when
     * available, one fs stat as the legacy-manifest fallback. Powers
@@ -3816,7 +3925,8 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     */
   private[lakehouse] def fileSizeOf(snap: Snapshot, relFile: String): Long =
     fileStatsOf(snap, relFile).flatMap(_.bytes).getOrElse(
-      try Files.size(rootPath.resolve(relFile)) catch { case _: Exception => 0L })
+      try Files.size(Paths.get(absDataPath(relFile)))
+      catch { case _: Exception => 0L })
 
   /** Manifest row count of one file (exactness contract of
     * [[manifestRowCount]], per file). */
@@ -4326,7 +4436,8 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     val byDir = snap.tombstones.groupBy(LakehouseTable.claimDirOf)
     val perDir: Seq[(Seq[String], DataFrame)] = byDir.toSeq.map { case (dir, fs) =>
       val origin = originOf(fs.head)
-      val t = spark.read.parquet(fs.map(f => rootPath.resolve(f).toString): _*)
+      val fsE = localizedGroup(fs).getOrElse(fs)
+      val t = spark.read.parquet(fsE.map(f => rootPath.resolve(f).toString): _*)
         .withColumn("__graft_t_origin", lit(origin))
       (t.columns.filterNot(_ == "__graft_t_origin").sorted.toSeq, t)
     }
@@ -4467,10 +4578,16 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         if (physFields.nonEmpty) physFields
         else Seq(org.apache.spark.sql.types.StructField(
           "__graft_absent__", org.apache.spark.sql.types.LongType, nullable = true)))
+      // foreign entries (shallow clone) read their LOCAL copies when
+      // the whole group is localized — basePath must move with them
+      val (baseE, fsE) = localizedGroup(fs) match {
+        case Some(loc) => (base.map(LakehouseTable.claimDirRelative), loc)
+        case None => (base, fs)
+      }
       val reader0 = spark.read.schema(phys)
-      val reader = base.fold(reader0)(d =>
+      val reader = baseE.fold(reader0)(d =>
         reader0.option("basePath", rootPath.resolve(d).toString))
-      val df = reader.parquet(fs.map(f => rootPath.resolve(f).toString): _*)
+      val df = reader.parquet(fsE.map(f => rootPath.resolve(f).toString): _*)
       // era names -> current names; floored identities materialize NULL
       df.select(declared.fields.toSeq.zip(sig).map {
         case (f, Some(n)) => col(n).as(f.name)
@@ -4624,6 +4741,25 @@ object LakehouseTable {
       n: Int): Int = {
     val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(value, dt, 42L)
     (((h % n) + n) % n).toInt
+  }
+
+  /** Copy lists at or under this size stay a driver loop (a Spark job
+    * costs more than a handful of local copies); above it the
+    * clone/deepen localization distributes over executors.
+    */
+  private[lakehouse] val DriverCopyMax = 4
+
+  /** One byte-copy of the distributed localization — runs INSIDE
+    * executor tasks, so it must stand alone: create the parent dirs,
+    * copy, and absorb a concurrent creator winning the race (the
+    * exists-check upstream is advisory; two maintenance runs copying
+    * the same file land identical bytes either way).
+    */
+  private[lakehouse] def copyFileInto(src: String, dst: String): Unit = {
+    val d = Paths.get(dst)
+    Files.createDirectories(d.getParent)
+    try { Files.copy(Paths.get(src), d); () }
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
   }
 
   /** Cap on consecutive lost publish races before an append-shaped

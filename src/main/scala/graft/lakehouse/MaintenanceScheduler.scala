@@ -41,12 +41,23 @@ final class MaintenanceScheduler(
       * whole-table compaction but each partition fits. Unset = the
       * whole-table pass.
       */
-    compactPartitionCol: Option[String] = None) {
+    compactPartitionCol: Option[String] = None,
+    /** Occupancy-triggered ANN REBALANCE (0 = off): on the compaction
+      * cadence, probe [[AnnIndex.occupancy]] (manifest-only, zero file
+      * opens) and when `skew = max/mean` crosses this threshold run
+      * [[AnnIndex.rebalanceFromCorpus]] pinned to the table's current
+      * head — the cheap half of a rebuild (coarse cells retrain,
+      * published codebooks kept bit-identical), with the established
+      * provenance bump. A healthy Lloyd layout sits near 1–3; 4.0 is
+      * a reasonable starting threshold. Needs `annIndexRoot`.
+      */
+    annRebalanceSkewThreshold: Double = 0.0) {
 
   @volatile private var expiredTotal = 0
   @volatile private var compactionsTotal = 0
   @volatile private var bloomFilesTotal = 0
   @volatile private var annRebuildsTotal = 0
+  @volatile private var annRebalancesTotal = 0
   @volatile private var foldsTotal = 0
   private var timer: Option[java.util.Timer] = None
 
@@ -57,6 +68,8 @@ final class MaintenanceScheduler(
   def bloomStats: Int = bloomFilesTotal
 
   def annStats: Int = annRebuildsTotal
+
+  def annRebalanceStats: Int = annRebalancesTotal
 
   /** One expiry pass (cutoff = now - retention). */
   def runExpiry(): Int = {
@@ -152,11 +165,29 @@ final class MaintenanceScheduler(
     case None => false
   }
 
+  /** One occupancy-triggered rebalance check: probe the index's
+    * per-cell skew (manifest-only — safe on every compaction tick) and
+    * fire [[AnnIndex.rebalanceFromCorpus]] pinned to the table's
+    * current head when it crosses the configured threshold. Returns
+    * true iff a rebalance ran. No-op when unconfigured or the index
+    * isn't published yet.
+    */
+  def runAnnRebalanceCheck(): Boolean = (annIndexRoot, annRebalanceSkewThreshold) match {
+    case (Some(root), th) if th > 0.0 && AnnIndex.currentVersion(root).isDefined =>
+      val occ = AnnIndex.occupancy(table.session, root)
+      if (occ.skew > th) {
+        AnnIndex.rebalanceFromCorpus(table.session, table.root, root)
+        annRebalancesTotal += 1
+        true
+      } else false
+    case _ => false
+  }
+
   def start(): Unit = {
     val t = new java.util.Timer("lakehouse-maintenance", true)
     t.scheduleAtFixedRate(task(() => runExpiry()), expireIntervalMs, expireIntervalMs)
-    t.scheduleAtFixedRate(task(() => { runTombstoneFold(); runCompaction() }),
-      compactIntervalMs, compactIntervalMs)
+    t.scheduleAtFixedRate(task(() => { runTombstoneFold(); runCompaction();
+      runAnnRebalanceCheck() }), compactIntervalMs, compactIntervalMs)
     if (annIndexRoot.isDefined && annRebuildIntervalMs > 0)
       t.scheduleAtFixedRate(task(() => runAnnRebuild()), annRebuildIntervalMs, annRebuildIntervalMs)
     timer = Some(t)

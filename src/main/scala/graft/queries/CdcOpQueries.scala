@@ -1076,10 +1076,14 @@ object CdcOpQueries {
       val preParts = s.sql(s"SELECT partition, row_count " +
         s"FROM $cat.db.`tomb_t$$partitions` WHERE partition IS NOT NULL").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      // unpartitioned tombstone key files surface on the NULL-partition row
-      require(s.sql(s"SELECT tombstone_files FROM $cat.db.`tomb_t$$partitions` " +
-        "WHERE partition IS NULL").head.getInt(0) > 0,
-        "tombstone files must surface in $partitions")
+      // round 16: the change batches carry `cell`, so the MoR key
+      // tombstones land under the table's hive layout — they surface
+      // ATTRIBUTED to their partition rows (per-partition accounting
+      // from the manifest alone), not on a NULL-partition row
+      require(s.sql(s"SELECT coalesce(sum(tombstone_files), 0) " +
+        s"FROM $cat.db.`tomb_t$$partitions` WHERE partition IS NOT NULL")
+        .head.getLong(0) > 0,
+        "partitioned tombstone key files must surface on their partition rows")
       // budget crossed → the maintenance tick folds (count trigger off)
       val sched = new graft.lakehouse.MaintenanceScheduler(t,
         expireOlderThanMs = Long.MaxValue / 2, expireIntervalMs = 3600000,

@@ -285,6 +285,69 @@ class AnnIndexSpec extends SparkSpec {
     assert(served.count() > 0)
   }
 
+  /** Run `body`, return (result, TOTAL Spark jobs observed) — the
+    * zero-I/O proof for manifest-only probes (stronger than file-open
+    * counting: no job, no scan, no footer).
+    */
+  private def countAllJobs[T](body: => T): (T, Int) = {
+    val l = new SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r = body
+      var prev = -1
+      var cur = l.jobs.get
+      var spins = 0
+      while (cur != prev && spins < 50) {
+        Thread.sleep(100); prev = cur; cur = l.jobs.get; spins += 1
+      }
+      (r, cur)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("MoR removal keeps occupancy MANIFEST-ONLY: per-cell counts subtract the removal tombstone, zero Spark jobs") {
+    import spark.implicits._
+    val root = tmpDir("annidx-morrm")
+    AnnIndex.build(spark, emb, root)
+    val occ0 = AnnIndex.occupancy(spark, root)
+    val victims = emb.filter(col("vec_id") % 7 === 2).select("vec_id")
+    val nVictims = victims.count()
+    val (_, trainJobs) = countTrainJobs(
+      AnnIndex.remove(spark, victims, root, mergeOnRead = true))
+    assert(trainJobs === 0, "MoR removal must never retrain")
+    val codesTable = new LakehouseTable(spark,
+      root + "/codes.v" + AnnIndex.currentVersion(root).get)
+    val snap = codesTable.currentSnapshot().get
+    assert(snap.tombstones.nonEmpty,
+      "MoR removal must defer the rewrite to a key tombstone")
+    assert(snap.tombstones.forall(_.contains("cell=")),
+      s"removal tombstones must land cell-partitioned: ${snap.tombstones}")
+    // the probe right after the remove — exactly when a maintenance
+    // scheduler calls it — must answer from the manifest alone
+    val (occ1, probeJobs) = countAllJobs(AnnIndex.occupancy(spark, root))
+    assert(probeJobs === 0,
+      "occupancy under MoR removal tombstones must run ZERO jobs (no scan fallback)")
+    assert(occ1.rows === occ0.rows - nVictims,
+      s"manifest subtraction must be exact for resolved-id removals: $occ0 -> $occ1")
+    // ...and per-cell it matches the true post-mask counts bit-for-bit
+    val trueCounts = codesTable.read().groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(occ1.rows === trueCounts.values.sum)
+    assert(occ1.max === trueCounts.values.max)
+    // a fully-emptied cell keeps a 0 entry in the probe (the true
+    // groupBy would omit it) — cells may only differ in that direction
+    assert(occ1.cells >= trueCounts.size, s"probe $occ1 vs true $trueCounts")
+    // serving reflects the removal immediately (the MoR mask at read)
+    val served = AnnIndex.serve(spark, AnnIndex.load(spark, root), emb)
+    val victimIds = victims.as[Long].collect().toSet
+    assert(served.filter(col("vec_id").isin(victimIds.toSeq: _*)).isEmpty,
+      "a MoR-removed vector must never appear in any top-k")
+  }
+
   test("remove deletes EXACTLY the requested ids — no training, other codes bit-unchanged, cell layout preserved") {
     import spark.implicits._
     val root = tmpDir("annidx-rm")

@@ -247,6 +247,83 @@ class CloneSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.db.replica2")
   }
 
+  test("deepen of a many-file clone distributes the byte copy as a Spark job") {
+    val t = new LakehouseTable(spark, tmpDir("clone-dist-src"))
+    // well past DriverCopyMax files: 6 write tasks x 2 cells
+    t.append(spark.range(240)
+      .selectExpr("id", "cast(id % 2 as int) as cell", "cast(id as string) as label")
+      .repartition(6), partitionBy = Seq("cell"))
+    val c = t.cloneAtSnapshot(tmpDir("clone-dist-dst"),
+      t.currentSnapshot().get.snapshotId)
+    val files = c.currentSnapshot().get.files
+    assert(files.size > LakehouseTable.DriverCopyMax,
+      s"fixture must exceed the driver-copy cap: ${files.size}")
+    val tasks0 = CloneCopyStats.copyTasks.get()
+    val copied0 = CloneCopyStats.filesCopied.get()
+    assert(c.deepen() === files.size)
+    assert(CloneCopyStats.copyTasks.get() - tasks0 > 1,
+      "a many-file deepen must copy through >1 executor task, not a driver loop")
+    assert(CloneCopyStats.filesCopied.get() - copied0 === files.size.toLong)
+    // contract unchanged: bytes local, source can vanish, content equal
+    graft.Fs.deleteRecursively(java.nio.file.Paths.get(t.root))
+    assert(c.read().count() === 240L)
+    assert(spark.read.format("graft-lakehouse").load(c.root).count() === 240L)
+  }
+
+  /** A clone whose HEAD rewrote a foreign file away: the seed still
+    * references the original — the one shape where `allHistory`
+    * localizes strictly more than the plain deepen.
+    */
+  private def cloneWithRewrittenHistory(prefix: String): (LakehouseTable, LakehouseTable, Long) = {
+    val t = buildSource()
+    val forkId = t.currentSnapshot().get.snapshotId
+    val c = t.cloneAtSnapshot(tmpDir(prefix), forkId)
+    // CoW replace of a PRE-FORK key: the foreign file holding id=3
+    // rewrites into a LOCAL file; only the seed references the original
+    c.applyChanges(Seq((3L, 0, "rewritten", "insert"))
+      .toDF("id", "cell", "label", "_change"), Seq("id"))
+    (t, c, forkId)
+  }
+
+  private val rewrittenHead = Set((1L, 0, "a"), (4L, 1, "d"), (3L, 0, "rewritten"))
+
+  test("deepen(allHistory) keeps pre-deepen time travel alive after the source vanishes") {
+    val (t, c, forkId) = cloneWithRewrittenHistory("clone-hist")
+    val headForeign = (c.currentSnapshot().get.files ++
+      c.currentSnapshot().get.tombstones)
+      .filter(f => java.nio.file.Paths.get(f).isAbsolute).distinct.size
+    val localized = c.deepen(allHistory = true)
+    assert(localized > headForeign,
+      s"allHistory must also localize the rewritten-away seed file " +
+        s"($localized vs head-foreign $headForeign)")
+    // history manifests were NOT rewritten (immutability contract): the
+    // seed still references the source by absolute path — only bytes moved
+    val seed = c.listSnapshots().find(_.operation === "clone").get
+    assert((seed.files ++ seed.tombstones).exists(f =>
+      java.nio.file.Paths.get(f).isAbsolute),
+      "allHistory must localize bytes, never rewrite history manifests")
+    // the source EXPIRES entirely — pre-deepen time travel must survive
+    // through the local copies (a fresh handle proves no cached state)
+    graft.Fs.deleteRecursively(java.nio.file.Paths.get(t.root))
+    val c2 = new LakehouseTable(spark, c.root)
+    assert(rowsOf(c2.scanAtSnapshot(forkId)) === expected,
+      "time travel to the all-foreign seed after source expiry")
+    assert(rowsOf(c2.read()) === rewrittenHead)
+  }
+
+  test("plain deepen leaves rewritten-away history foreign — the documented contract") {
+    val (t, c, forkId) = cloneWithRewrittenHistory("clone-nohist")
+    assert(c.deepen() > 0)
+    graft.Fs.deleteRecursively(java.nio.file.Paths.get(t.root))
+    // the head is self-contained...
+    assert(rowsOf(c.read()) === rewrittenHead)
+    // ...but the seed's rewritten-away file was never localized: time
+    // travel to pre-deepen states is the documented casualty
+    intercept[Exception] {
+      c.scanAtSnapshot(forkId).collect()
+    }
+  }
+
   test("compaction on a shallow clone naturally localizes every file") {
     val t = buildSource()
     t.setTag("rel", t.currentSnapshot().get.snapshotId)

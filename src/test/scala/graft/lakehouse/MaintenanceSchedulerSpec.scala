@@ -216,6 +216,56 @@ class MaintenanceSchedulerSpec extends SparkSpec {
     assert(!bare.runAnnRebuild() && bare.annStats === 0)
   }
 
+  test("occupancy-triggered rebalance: the scheduler probes skew and fires rebalanceFromCorpus with a provenance bump") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def vec(id: Long): Seq[Float] =
+      (0 until 64).map(d => (((id * 31 + d * 17) % 97).toFloat - 48f) / 48f)
+    val table = new LakehouseTable(spark, tmpDir("maint-rebal"))
+    table.append((0L until 96L).map(i => (i, vec(i))).toDF("vec_id", "embedding"))
+    val idxRoot = tmpDir("maint-rebal-idx")
+    AnnIndex.buildFromCorpus(spark, table.root, idxRoot)
+    val built = AnnIndex.load(spark, idxRoot)
+    // corpus DRIFT: a tight far-away blob the frozen centroids pile
+    // into few cells — the occupancy skew the scheduler watches
+    val drift = (0 until 120).map { i =>
+      (5000L + i, (0 until 64).map(d =>
+        (if (d < 8) 30.0f else 0.0f) + 0.01f * ((i + d) % 5)))
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    table.append(drift)
+    AnnIndex.append(spark, drift, idxRoot)
+    val skewed = AnnIndex.occupancy(spark, idxRoot).skew
+    val v0 = AnnIndex.currentVersion(idxRoot).get
+    def sched(th: Double) = new MaintenanceScheduler(table,
+      expireOlderThanMs = 0, expireIntervalMs = 3600000,
+      compactIntervalMs = 3600000, compactFileThreshold = 9999,
+      compactMaxRows = 1000000, annIndexRoot = Some(idxRoot),
+      annRebalanceSkewThreshold = th)
+    // under threshold: the probe runs (manifest-only), nothing fires
+    assert(!sched(skewed + 1.0).runAnnRebalanceCheck())
+    assert(AnnIndex.currentVersion(idxRoot) === Some(v0))
+    // over threshold: rebalance fires — pointer bump, books kept
+    // bit-identical, provenance re-pinned to the corpus HEAD
+    val s = sched(math.max(1.0, skewed * 0.5))
+    assert(skewed > math.max(1.0, skewed * 0.5), s"drift fixture must skew: $skewed")
+    assert(s.runAnnRebalanceCheck())
+    assert(s.annRebalanceStats === 1)
+    assert(AnnIndex.currentVersion(idxRoot) === Some(v0 + 1))
+    val rebal = AnnIndex.load(spark, idxRoot)
+    def flat(b: Array[IndexedSeq[(Int, Array[Float])]]) =
+      b.toSeq.map(_.map { case (c, a) => (c, a.toSeq) })
+    assert(flat(rebal.books) === flat(built.books),
+      "rebalance must keep the published codebooks bit-identical")
+    assert(AnnIndex.occupancy(spark, idxRoot).skew < skewed,
+      "the fired rebalance must repair the probed skew")
+    assert(rebal.provenance.exists(p => p.table == table.root &&
+      p.snapshotId == table.currentSnapshot().get.snapshotId),
+      s"provenance must re-pin to the corpus head: ${rebal.provenance}")
+    // unconfigured (threshold 0): the check is a no-op
+    assert(!sched(0.0).runAnnRebalanceCheck())
+  }
+
   test("timer-driven maintenance runs passes in the background") {
     val table = new LakehouseTable(spark, tmpDir("maint-timer"))
     (1 to 3).foreach(i => table.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
