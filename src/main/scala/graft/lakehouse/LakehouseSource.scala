@@ -43,43 +43,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * snapshot scans as the user-facing query surface.
   */
 final class LakehouseSourceProvider extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSinkProvider
     with org.apache.spark.sql.sources.CreatableRelationProvider {
 
   override def shortName(): String = "graft-lakehouse"
 
-  /** `writeStream.format("graft-lakehouse")` — the V1 sink face,
-    * which since round 15 serves ONLY snapshot-less roots: the engine
-    * consults the table's STREAMING_WRITE capability first, and every
-    * stream shape over an EXISTING table (keyless appends, keyed
-    * upserts, CDC applies, schema-channel replication) plans through
-    * [[LakehouseDsv2Write]]'s executor writers. This sink's remaining
-    * job is batch 1's auto-create; restarts ride DSv2.
-    */
-  override def createSink(
-      sqlContext: SQLContext,
-      parameters: Map[String, String],
-      partitionColumns: Seq[String],
-      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
-    val root = LakehouseSource.rootOf(parameters)
-    val keys = parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("keys") => v }
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    // the DEFAULT ledger namespace must not depend on the caller's path
-    // SPELLING: './tbl' and '/abs/tbl' are the same table, and distinct
-    // namespaces would silently break replay absorption across restarts
-    // that spell the root differently (the replicate CLI canonicalizes
-    // for the same reason)
-    val appId = parameters.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("txnAppId") => v
-    }.getOrElse("graft-lakehouse-sink:" +
-      java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString)
-    val mor = parameters.exists { case (k, v) =>
-      k.equalsIgnoreCase("mergeOnRead") && v.trim.equalsIgnoreCase("true") }
-    new LakehouseSink(sqlContext, root, keys, appId, partitionColumns, mor,
-      optimizeWrite = LakehouseSource.boolOpt(parameters, "optimizeWrite"),
-      optimizeWriteTargetBytes =
-        LakehouseSource.longOptOf(parameters, "optimizeWriteTargetBytes"))
-  }
+  // `writeStream.format("graft-lakehouse")` plans through the DSv2
+  // STREAMING_WRITE face for every root (snapshot-less included — the
+  // write seeds the table from the query schema); the V1 Sink and its
+  // duplicate keyed dispatch are retired as of round 16.
 
   /** `df.write.format("graft-lakehouse").mode(...).save(root)` — the
     * batch write face. Append appends (or UPSERTS when a `keys` option
@@ -677,16 +648,14 @@ private[lakehouse] final class LakehouseV2Table(
           // [[LakehouseDsv2Write]]'s executor-side writers
           caps.remove(TableCapability.V1_BATCH_WRITE)
         }
-        // round 15: the DSv2 STREAMING write face serves EVERY stream
-        // shape — keyless appends (round 14) AND keyed / merge-on-read
-        // applies, whose writers split data rows from executor-written
-        // key files so the epoch commit is metadata-only (MoR) or a
-        // probe+rewrite (CoW) — see [[LakehouseDsv2Write]]. Only a
-        // snapshot-less root keeps the V1 sink: its first batch
-        // auto-creates the table, later restarts ride DSv2.
-        if (tableSchema.fields.nonEmpty) {
-          caps.add(TableCapability.STREAMING_WRITE)
-        }
+        // round 16: the DSv2 STREAMING write face serves EVERY stream
+        // shape over EVERY root — keyless appends (round 14), keyed /
+        // merge-on-read applies (round 15, split writers + staged
+        // commits), and now snapshot-less roots too: the write seeds
+        // an empty table from the query schema before the first epoch
+        // plans ([[LakehouseDsv2Write]]), so the V1 sink (and its
+        // duplicate keyed batch dispatch) is fully retired.
+        caps.add(TableCapability.STREAMING_WRITE)
         caps
     }
 

@@ -1784,6 +1784,20 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     * lineage reset — no pre-overwrite file survives, so no alias can
     * ever resolve again).
     */
+  /** Create an EMPTY table — schema only, ZERO files (the DSv2 stream
+    * bootstrap seed). An empty [[overwrite]] would land a zero-row
+    * FLAT part file, and that one file poisons layout inference for
+    * every partitioned epoch after it (mixed-scheme evidence stands
+    * [[inferPartitionCols]] down); a file-less snapshot carries the
+    * schema without touching the layout story.
+    */
+  private[lakehouse] def createEmpty(schema: StructType): Snapshot =
+    writeLock.synchronized {
+      require(currentSnapshot().isEmpty, s"table $root already exists")
+      writeSnapshot(Snapshot(nextId(), None, System.currentTimeMillis(),
+        "create", Nil, schema.json))
+    }
+
   def overwrite(df: DataFrame): Snapshot = writeLock.synchronized {
     val id = nextId()
     val files = writeDataFiles(df, id)

@@ -177,6 +177,24 @@ private[lakehouse] final class LakehouseDsv2Write(
     val ddlMode = schemaChannel && streaming
     val keyedStream = streaming && mode.isInstanceOf[Dsv2CommitMode.Keyed]
     val t = table()
+    // round 16: the DSv2 face serves EVERY stream epoch, the FIRST
+    // included — a snapshot-less root seeds an empty table from the
+    // query schema before the epoch plans (channel columns stripped
+    // exactly as the writers strip them from files: keyed drops
+    // `_change`/`_ddl`, the keyless schema channel drops `_ddl` and
+    // keeps `_change` declared — the round-14 bootstrap rule). This
+    // retires the V1 sink's auto-create: one write path, one set of
+    // semantics, for batch 1 and every batch after.
+    if (streaming && t.currentSnapshot().isEmpty) {
+      val keyed = mode.isInstanceOf[Dsv2CommitMode.Keyed]
+      val seed = StructType(querySchema.fields.toSeq
+        .filterNot(f => f.name.equalsIgnoreCase("_ddl") && (ddlMode || keyed))
+        .filterNot(f => f.name.equalsIgnoreCase("_change") && keyed)
+        .map(_.copy(nullable = true)))
+      require(seed.nonEmpty, "cannot auto-create a table with no data columns")
+      t.createEmpty(seed)
+      ()
+    }
     // declare the op column at KEYLESS stream BOOTSTRAP so its
     // declaration never depends on which commit path the first epochs
     // take: executor-file epochs pin the target schema (additions

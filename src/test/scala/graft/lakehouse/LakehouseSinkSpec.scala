@@ -72,46 +72,74 @@ class LakehouseSinkSpec extends SparkSpec {
       "pre-evolution rows must null-fill the new column; new rows carry it")
   }
 
-  test("addBatch replay is absorbed by the ledger in all three dispatch modes") {
-    import org.apache.spark.sql.SQLContext
-    val ctx: SQLContext = spark.sqlContext
+  /** Drain one AvailableNow stream of `df` (written as a json file
+    * source) into a SNAPSHOT-LESS lakehouse root — the DSv2 bootstrap
+    * path (round 16: no V1 sink exists to fall back to).
+    */
+  private def drainTo(df: org.apache.spark.sql.DataFrame, root: String,
+      ckpt: String, opts: Map[String, String]): Unit = {
+    // the source dir rides the checkpoint: a restart against the same
+    // checkpoint must re-read the same path (file-source contract)
+    val src = ckpt + "-srcdir"
+    df.coalesce(1).write.mode("overwrite").json(src)
+    val q = opts.foldLeft(
+      spark.readStream.schema(df.schema).json(src)
+        .writeStream.format("graft-lakehouse")
+        .option("path", root).option("checkpointLocation", ckpt)) {
+      case (w, (k, v)) => w.option(k, v)
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain")
+  }
 
-    // CDC-apply mode (keys + _change)
+  test("snapshot-less roots bootstrap THROUGH the DSv2 face in all three dispatch modes") {
+    // round 16: the V1 sink is deleted — batch 1 auto-creates via the
+    // DSv2 write's query-schema seed, and every dispatch mode lands
+    // with the V1 contract's semantics from the very first epoch.
+    val before = LakehouseWriteStats.writersCreated.get()
+
+    // CDC-apply mode (keys + _change): the tag column must not land
     val cdcRoot = tmpDir("sink-cdc")
-    val cdc = new LakehouseSink(ctx, cdcRoot, Seq("id"), "app-cdc", Nil)
-    val ch = Seq((1L, "a", "insert")).toDF("id", "v", "_change")
-    cdc.addBatch(0, ch); cdc.addBatch(0, ch) // crash-replay twin
-    assert(new LakehouseTable(spark, cdcRoot).read().count() === 1,
-      "replayed CDC batch must not duplicate")
+    drainTo(Seq((1L, "a", "insert"), (1L, "A2", "insert"), (2L, "gone", "delete"))
+      .toDF("id", "v", "_change"), cdcRoot, tmpDir("sink-cdc-ck"),
+      Map("keys" -> "id", "txnAppId" -> "app-cdc"))
+    val cdcT = new LakehouseTable(spark, cdcRoot)
+    assert(!cdcT.read().columns.contains("_change"), "the CDC tag must not land")
+    assert(cdcT.read().select("id").as[Long].collect().toSet === Set(1L))
+    assert(cdcT.lastTxnVersion("app-cdc") === Some(0L),
+      "the bootstrap epoch must land under its txn mark")
 
-    // keyed-upsert mode (keys, no _change): latest-by-key materialization
+    // keyed-upsert mode (keys, no _change): latest-by-key across epochs
     val upRoot = tmpDir("sink-up")
-    val up = new LakehouseSink(ctx, upRoot, Seq("id"), "app-up", Nil)
-    up.addBatch(0, Seq((1L, "a")).toDF("id", "v"))
-    up.addBatch(0, Seq((1L, "a")).toDF("id", "v"))
-    up.addBatch(1, Seq((1L, "A2")).toDF("id", "v"))
+    val upCk = tmpDir("sink-up-ck")
+    drainTo(Seq((1L, "a")).toDF("id", "v"), upRoot, upCk,
+      Map("keys" -> "id", "txnAppId" -> "app-up"))
+    drainTo(Seq((1L, "A2")).toDF("id", "v"), upRoot, upCk,
+      Map("keys" -> "id", "txnAppId" -> "app-up"))
     assert(new LakehouseTable(spark, upRoot).read()
       .as[(Long, String)].collect().toSet === Set((1L, "A2")))
 
-    // append mode (no keys): fact stream
+    // append mode (no keys): fact stream, partitionBy honored at bootstrap
     val apRoot = tmpDir("sink-ap")
-    val ap = new LakehouseSink(ctx, apRoot, Nil, "app-ap", Nil)
-    ap.addBatch(0, Seq((1L, "a")).toDF("id", "v"))
-    ap.addBatch(0, Seq((1L, "a")).toDF("id", "v"))
-    ap.addBatch(1, Seq((1L, "a")).toDF("id", "v")) // same DATA, new batch: kept
-    assert(new LakehouseTable(spark, apRoot).read().count() === 2,
-      "replays dedupe by batchId, identical payloads in new batches do not")
+    drainTo(Seq((1L, "a", 0), (2L, "b", 1)).toDF("id", "v", "cell"),
+      apRoot, tmpDir("sink-ap-ck"),
+      Map("txnAppId" -> "app-ap", "partitionBy" -> "cell"))
+    val apT = new LakehouseTable(spark, apRoot)
+    assert(apT.read().count() === 2)
+    assert(apT.currentSnapshot().get.files.forall(_.contains("cell=")),
+      "bootstrap appends must honor the partitionBy layout")
+
+    assert(LakehouseWriteStats.writersCreated.get() > before,
+      "every bootstrap epoch must take the DSv2 executor-writer path")
   }
 
-  test("a user column that merely NAMES itself _ddl is data, not a schema record") {
+  test("a user column that merely NAMES itself _ddl is data, not a schema record — bootstrap included") {
     // DDL mode requires BOTH channel markers (_ddl AND _change): an
     // ordinary stream with its own `_ddl` column must land it as data
-    // instead of being misrouted into applySchemaChange (which would
-    // kill the stream with 'unparseable schema change')
-    val ctx = spark.sqlContext
+    // (misrouting it into applySchemaChange would kill the stream),
+    // and the DSv2 bootstrap seed must DECLARE it as data too.
     val root = tmpDir("sink-ddlname")
-    val s = new LakehouseSink(ctx, root, Nil, "app-ddlname", Nil)
-    s.addBatch(0, Seq((1L, "whatever")).toDF("id", "_ddl"))
+    drainTo(Seq((1L, "whatever")).toDF("id", "_ddl"), root,
+      tmpDir("sink-ddlname-ck"), Map("txnAppId" -> "app-ddlname"))
     val got = new LakehouseTable(spark, root).read()
     assert(got.columns.toSeq === Seq("id", "_ddl"), "the column must survive as data")
     assert(got.count() === 1L)
