@@ -79,12 +79,29 @@ object Bench {
         // under host steal (round-6/7 driver benches) — the min-of-2
         // treatment the queries got, applied to the streaming path
         val e2e = CdcBench.e2eRuns(spark, n = 100000, partitions = 8, k = 5)
+        // per-run loadavg travels with the rates; on a QUIET box the
+        // 2×-baseline floor verdict is binding (CI catches a structural
+        // regression loudly), on a loud box it abstains — load, not
+        // structure, owns the number there
+        val loadNow = e2e.loads.lastOption.getOrElse(-1.0)
+        val floor = CdcBench.floorVerdict(e2e.best, loadNow)
+        floor.filterNot(identity).foreach { _ =>
+          System.err.println(f"[bench] CDC E2E FLOOR VIOLATION: best " +
+            f"${e2e.best}%.0f msg/s < ${CdcBench.FloorMsgsPerSec}%.0f " +
+            f"(2x baseline) on a QUIET box (loadavg $loadNow%.2f) — " +
+            "this is structural, not host variance")
+        }
         CdcBench.walDecodeBenches() ++ Map(
           // headline is best-of-k steady state; run count + median are
           // recorded beside it so the methodology travels with the number
           "cdc_e2e_msgs_per_sec" -> e2e.best,
           "cdc_e2e_msgs_per_sec_median" -> e2e.median,
-          "cdc_e2e_runs" -> e2e.rates.size.toDouble)
+          "cdc_e2e_runs" -> e2e.rates.size.toDouble) ++
+          e2e.loads.zipWithIndex.map { case (l, i) =>
+            s"cdc_e2e_loadavg_r${i + 1}" -> l
+          }.toMap ++
+          floor.map(ok =>
+            "cdc_e2e_floor_ok" -> (if (ok) 1.0 else 0.0)).toMap
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] cdc bench failed: ${e.getMessage}")

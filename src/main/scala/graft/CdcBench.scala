@@ -169,10 +169,28 @@ object CdcBench {
     * count, spread) next to the headline instead of a bare max that
     * silently changes semantics vs a single-run number.
     */
-  final case class E2eRuns(rates: Seq[Double]) {
+  final case class E2eRuns(rates: Seq[Double], loads: Seq[Double] = Nil) {
     def best: Double = rates.max
     def median: Double = rates.sorted.apply(rates.size / 2)
   }
+
+  /** CI floor for the e2e headline: 2× the reference's best
+    * high-throughput profile (38,647 msg/s — BASELINE.md). The number
+    * has swung 69–120 K across driver boxes purely on host load, so a
+    * structural regression can hide inside variance; this floor,
+    * gated on a QUIET box, fails the round loudly instead.
+    */
+  val FloorMsgsPerSec: Double = 77000.0
+
+  /** The floor verdict, pure for spec coverage ([[BenchGateSpec]]
+    * style): None = no verdict (the box was loud — load, not
+    * structure, owns the number; -1 = unreadable loadavg counts as
+    * quiet, never blind a box into silence), Some(ok) on a quiet box.
+    */
+  def floorVerdict(best: Double, loadavg: Double,
+      quietThreshold: Double = 3.0,
+      floor: Double = FloorMsgsPerSec): Option[Boolean] =
+    if (loadavg > quietThreshold) None else Some(best >= floor)
 
   def e2eRuns(spark: SparkSession, n: Int, partitions: Int, k: Int = 3): E2eRuns = {
     // untimed warmup at n/10 (same treatment the decode bench gets):
@@ -184,7 +202,15 @@ object CdcBench {
     // a non-divisible warmup count would crash the bench.
     val warm0 = math.max(n / 10, 1000)
     e2eRate(spark, ((warm0 + partitions - 1) / partitions) * partitions, partitions)
-    E2eRuns((1 to k).map(_ => e2eRate(spark, n, partitions)))
+    // loadavg sampled AFTER each run rides the artifact beside the
+    // rates (the calibration-block treatment): a cross-round delta can
+    // then be attributed to load vs structure without a re-run
+    val runs = (1 to k).map { _ =>
+      val r = e2eRate(spark, n, partitions)
+      (r, java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage)
+    }
+    E2eRuns(runs.map(_._1), runs.map(_._2))
   }
 
   /** Best-of-k e2e rate (same robustness treatment as the decode bench:

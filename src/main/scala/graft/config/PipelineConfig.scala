@@ -47,7 +47,12 @@ final case class MaintenanceCfg(
     zorderCols: Seq[String] = Nil,
     bloomIndexCols: Seq[String] = Nil,
     annIndexRoot: Option[String] = None,
-    annRebuildIntervalMs: Long = 0L)
+    annRebuildIntervalMs: Long = 0L,
+    /** Occupancy-triggered ANN rebalance (0 = off): when the index's
+      * per-cell `skew = max/mean` crosses this, the compaction-cadence
+      * tick fires a coarse-cell rebalance pinned to the corpus head.
+      */
+    annRebalanceSkewThreshold: Double = 0.0)
 
 final case class LakehouseSinkCfg(
     tablePath: String,

@@ -260,7 +260,9 @@ object PipelineConfigLoader {
             zorderCols = strSeq(m, "zorder_cols"),
             bloomIndexCols = strSeq(m, "bloom_index_cols"),
             annIndexRoot = optStr(m, "ann_index_root"),
-            annRebuildIntervalMs = long(m, "ann_rebuild_interval_ms", 0L))))
+            annRebuildIntervalMs = long(m, "ann_rebuild_interval_ms", 0L),
+            annRebalanceSkewThreshold =
+              double(m, "ann_rebalance_skew_threshold", 0.0))))
       } else None)
 
     // the sub-config matching sink_type must be present (models.py:317-330)

@@ -122,7 +122,10 @@ object AnnIndex {
   }
 
   /** The published index version, or None before the first publish. */
-  private[lakehouse] def currentVersion(root: String): Option[Long] =
+  /** The live published index version (the pointer's) — public: the
+    * operator surface (gates, consoles) addresses `codes.v<N>` roots.
+    */
+  def currentVersion(root: String): Option[Long] =
     readPointer(root).map(_.version)
 
   /** The corpus pin recorded at the live version's publish, if any. */

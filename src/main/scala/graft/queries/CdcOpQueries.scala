@@ -1673,6 +1673,60 @@ object CdcOpQueries {
         (980006, s"foreign_after_deepen:$foreignLeft", -1)))
         .toDF("nationkey", "name", "rk")
         .orderBy(col("nationkey"), col("name"))
+    }),
+    // ---- deepen --all-history (round 16): a shallow clone whose HEAD
+    //      rewrote a pre-fork key away holds the ONLY reference to the
+    //      original bytes in its SEED manifest. `deepen(allHistory)`
+    //      localizes every reachable snapshot's foreign references
+    //      (executor-parallel copy, one deepen commit, history
+    //      manifests IMMUTABLE — the read path prefers local copies),
+    //      so when the source VANISHES, pre-deepen time travel still
+    //      answers exactly. ----
+    "q151_deepen_history" -> ((s, dir) => {
+      import s.implicits._
+      val nation = graft.Tables.load(s, dir, "nation").select(
+        col("n_nationkey").as("nationkey"), col("n_name").as("name"),
+        col("n_regionkey").as("rk"))
+      val rootA = java.nio.file.Files.createTempDirectory("graft-q151a").toString
+      val rootC = java.nio.file.Files.createTempDirectory("graft-q151c").toString
+      val a = new LakehouseTable(s, rootA)
+      a.append(nation.filter(col("rk") < 2).repartition(2)) // snap 1
+      a.append(nation.filter(col("rk") === 2)) // snap 2: the release
+      val forkId = a.currentSnapshot().get.snapshotId
+      val c = a.cloneAtSnapshot(rootC, forkId) // auto-pins the source
+      // CoW-rewrite the rk=0 keys on the CLONE: the rewritten-away
+      // foreign file now survives only in the seed manifest's history
+      c.upsert(nation.filter(col("rk") === 0)
+        .withColumn("name", concat(col("name"), lit("_C2"))), Seq("nationkey"))
+      val headForeign = {
+        val cur = c.currentSnapshot().get
+        (cur.files ++ cur.tombstones)
+          .count(f => java.nio.file.Paths.get(f).isAbsolute)
+      }
+      val localized = c.deepen(allHistory = true)
+      require(localized > headForeign,
+        s"allHistory must localize the rewritten-away seed reference too " +
+          s"($localized vs head-foreign $headForeign)")
+      // history manifests were NOT rewritten: the seed still spells
+      // its references absolute — only the BYTES moved
+      val seedForeign = c.listSnapshots().find(_.operation == "clone")
+        .map(sn => (sn.files ++ sn.tombstones).count(f =>
+          java.nio.file.Paths.get(f).isAbsolute)).getOrElse(0)
+      // the source VANISHES — harsher than any retention sweep
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(rootA))
+      val c2 = new LakehouseTable(s, rootC) // fresh handle, no cache
+      val out = c2.scanAtSnapshot(forkId)
+        .select(lit("a_seed").as("st"), col("nationkey"), col("name"), col("rk"))
+        .unionByName(c2.read()
+          .select(lit("b_head").as("st"), col("nationkey"), col("name"), col("rk")))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getInt(3))).toSeq
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(rootC))
+      (out ++ Seq(
+        ("z1", -1, s"history_localized:${if (localized > headForeign) 1 else 0}", -1),
+        ("z2", -1, s"seed_manifest_immutable:${if (seedForeign > 0) 1 else 0}", -1)))
+        .toDF("st", "nationkey", "name", "rk")
+        .orderBy(col("st"), col("nationkey"))
     })
   )
 
@@ -2282,6 +2336,19 @@ object CdcOpQueries {
         UNION ALL SELECT 980004, 'source_isolated:1', -1
         UNION ALL SELECT 980005, 'deepen_localized:1', -1
         UNION ALL SELECT 980006, 'foreign_after_deepen:0', -1)
-      ORDER BY nationkey, name"""
+      ORDER BY nationkey, name""",
+    "q151_deepen_history" -> """
+      WITH nat AS (SELECT CAST(n_nationkey AS INT) AS nationkey, n_name AS name,
+                          CAST(n_regionkey AS INT) AS rk FROM nation),
+      seed AS (SELECT nationkey, name, rk FROM nat WHERE rk <= 2),
+      head AS (SELECT nationkey,
+                      CASE WHEN rk = 0 THEN name || '_C2' ELSE name END AS name, rk
+               FROM seed)
+      SELECT st, nationkey, name, rk FROM (
+        SELECT 'a_seed' AS st, nationkey, name, rk FROM seed
+        UNION ALL SELECT 'b_head', nationkey, name, rk FROM head
+        UNION ALL SELECT 'z1', -1, 'history_localized:1', -1
+        UNION ALL SELECT 'z2', -1, 'seed_manifest_immutable:1', -1)
+      ORDER BY st, nationkey"""
   )
 }

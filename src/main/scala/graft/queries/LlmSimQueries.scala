@@ -1403,6 +1403,57 @@ object LlmSimQueries {
       val out = pairs.localCheckpoint()
       docsH.unpersist()
       out.orderBy(col("doc_a"), col("doc_b"))
+    }),
+    // ---- MERGE-ON-READ index removal (round 16, the q122 twin at key-
+    //      file cost): removal lands as a cell-partitioned key
+    //      tombstone — zero data-file rewrites, occupancy still answers
+    //      from the MANIFEST alone (per-cell subtraction), a fresh
+    //      session serves the removal immediately through the MoR mask,
+    //      and folding the tombstone changes nothing bit-for-bit. Same
+    //      oracle as q122: the two removal mechanisms must be
+    //      indistinguishable to every consumer. ----
+    "q152_index_mor_remove" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_annmorrm_" + Integer.toHexString(dir.hashCode)).toString
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+      val all = Tables.load(s, dir, "embeddings")
+      graft.lakehouse.AnnIndex.build(s, all, root)
+      val occ0 = graft.lakehouse.AnnIndex.occupancy(s, root)
+      val victims = all.filter(col("vec_id") % 5 === 3).select("vec_id")
+      val nVictims = victims.count()
+      def codesT = new graft.lakehouse.LakehouseTable(s,
+        root + "/codes.v" + graft.lakehouse.AnnIndex.currentVersion(root).get)
+      val dataFilesBefore = codesT.currentSnapshot().get.files.toSet
+      graft.lakehouse.AnnIndex.remove(s, victims, root, mergeOnRead = true)
+      val snap = codesT.currentSnapshot().get
+      require(snap.files.toSet == dataFilesBefore,
+        "MoR removal must rewrite ZERO data files")
+      require(snap.tombstones.nonEmpty && snap.tombstones.forall(_.contains("cell=")),
+        "MoR removal must land a cell-partitioned key tombstone")
+      val occ1 = graft.lakehouse.AnnIndex.occupancy(s, root)
+      require(occ1.rows == occ0.rows - nVictims,
+        s"occupancy must subtract removed keys from the manifest: $occ0 -> $occ1")
+      // a FRESH session proves the removal serves through the mask
+      val s2 = s.newSession()
+      graft.functions.GraftFunctions.register(s2)
+      val idx = graft.lakehouse.AnnIndex.load(s2, root)
+      val e2 = Tables.load(s2, dir, "embeddings")
+        .withColumn("nrm", sqrt(sqnorm("embedding"))).cache()
+      val served = ivfpqServe(s2, e2, idx.centroids, idx.books, idx.codes)
+        .localCheckpoint()
+      // compaction folds the mask away; serving is unchanged
+      require(codesT.foldTombstones().exists(_.operation == "fold"),
+        "the removal tombstone must fold")
+      require(codesT.currentSnapshot().get.tombstones.isEmpty)
+      val idx2 = graft.lakehouse.AnnIndex.load(s2, root)
+      val served2 = ivfpqServe(s2, e2, idx2.centroids, idx2.books, idx2.codes)
+        .localCheckpoint()
+      require(served2.exceptAll(served).isEmpty && served.exceptAll(served2).isEmpty,
+        "folding the removal tombstone must not change a single served row")
+      e2.unpersist()
+      served.orderBy(col("q_id"), col("rk"))
     })
   )
 
@@ -1815,6 +1866,8 @@ object LlmSimQueries {
       ORDER BY step""",
     "q116_ann_index_incremental" -> ivfpqIncrementalOracleSql,
     "q122_ann_index_remove" -> ivfpqRemovalOracleSql,
+    // MoR removal must serve EXACTLY what CoW removal serves
+    "q152_index_mor_remove" -> ivfpqRemovalOracleSql,
     // same trained cells as q63 (shared CTE chain), SemDeDup pruning tail
     "q80_semantic_dedup" -> s"""
       WITH ${ivfAssignCtes()},

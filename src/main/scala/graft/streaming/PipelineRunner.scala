@@ -73,7 +73,8 @@ object PipelineRunner {
           zorderCols = lh.maintenance.zorderCols,
           bloomIndexCols = lh.maintenance.bloomIndexCols,
           annIndexRoot = lh.maintenance.annIndexRoot,
-          annRebuildIntervalMs = lh.maintenance.annRebuildIntervalMs))
+          annRebuildIntervalMs = lh.maintenance.annRebuildIntervalMs,
+          annRebalanceSkewThreshold = lh.maintenance.annRebalanceSkewThreshold))
       (sink, maint)
     case "webhook" =>
       val w = s.webhook.get

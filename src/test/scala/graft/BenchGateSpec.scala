@@ -39,4 +39,30 @@ class BenchGateSpec extends AnyFunSuite {
   test("the threshold is inclusive-quiet: load == threshold proceeds") {
     assert(drive(Seq(3.0))._1 === 0L)
   }
+
+  // ---- CDC e2e CI floor (round 16): the e2e number swings 69–120 K
+  //      msg/s on host load alone; the floor is binding only on a
+  //      QUIET box, so a violation there is structure, not variance.
+
+  test("cdc floor: a quiet box at 2x baseline passes") {
+    assert(CdcBench.floorVerdict(best = 85000.0, loadavg = 1.2) === Some(true))
+  }
+
+  test("cdc floor: a quiet box UNDER the floor fails loudly") {
+    assert(CdcBench.floorVerdict(best = 61000.0, loadavg = 0.8) === Some(false))
+  }
+
+  test("cdc floor: a loud box abstains — variance owns the number there") {
+    assert(CdcBench.floorVerdict(best = 61000.0, loadavg = 7.5) === None)
+  }
+
+  test("cdc floor: unreadable loadavg (-1) counts as quiet — a blind box still gates") {
+    assert(CdcBench.floorVerdict(best = 90000.0, loadavg = -1.0) === Some(true))
+  }
+
+  test("cdc floor is exactly 2x the reference's best profile") {
+    assert(CdcBench.FloorMsgsPerSec === 77000.0)
+    assert(CdcBench.floorVerdict(77000.0, 0.0) === Some(true),
+      "the floor itself is inclusive-pass")
+  }
 }

@@ -72,18 +72,28 @@ class LakehouseMetaSpec extends SparkSpec {
     assert(parts.map(r => (r.getString(0), r.getLong(2), r.getInt(4))).toSeq
       === Seq(("cell=hi", 40L, 0), ("cell=lo", 60L, 0)))
     assert(parts.forall(r => r.getInt(1) > 0 && r.getLong(3) > 0L))
-    // a MoR apply lands UNPARTITIONED tombstone key files: they surface
-    // on a null-partition row, and $snapshots carries the volume
+    // round 16: a MoR apply whose batch CARRIES the partition column
+    // lands its tombstone under the hive layout — the key files
+    // surface ATTRIBUTED to their partition row, and $snapshots
+    // carries the volume
     val t = new LakehouseTable(spark, root("p1"))
     t.applyChanges(Seq((5L, "lo", "delete"), (7L, "lo", "delete"))
       .toDF("id", "cell", "_change"), Seq("id"), mergeOnRead = true)
+    val loRow = spark.sql("SELECT tombstone_files FROM " +
+      "metacat.db.`p1$partitions` WHERE partition = 'cell=lo'").head
+    assert(loRow.getInt(0) > 0,
+      "a partition-carrying tombstone must surface on its partition row")
+    val vol = spark.sql("SELECT tombstone_files, tombstone_keys, tombstone_bytes " +
+      "FROM metacat.db.`p1$snapshots` ORDER BY snapshot_id DESC LIMIT 1").head
+    assert(vol.getInt(0) > 0 && vol.getLong(1) === 2L && vol.getLong(2) > 0L)
+    // a KEYS-ONLY batch (no partition column) still lands its tombstone
+    // FLAT: a tombstone-only null-partition row surfaces
+    t.applyChanges(Seq((8L, "delete")).toDF("id", "_change"),
+      Seq("id"), mergeOnRead = true)
     val nullRow = spark.sql("SELECT file_count, tombstone_files FROM " +
       "metacat.db.`p1$partitions` WHERE partition IS NULL").collect()
     assert(nullRow.length === 1 && nullRow.head.getInt(0) === 0
       && nullRow.head.getInt(1) > 0, "tombstone-only partitions must surface")
-    val vol = spark.sql("SELECT tombstone_files, tombstone_keys, tombstone_bytes " +
-      "FROM metacat.db.`p1$snapshots` ORDER BY snapshot_id DESC LIMIT 1").head
-    assert(vol.getInt(0) > 0 && vol.getLong(1) === 2L && vol.getLong(2) > 0L)
     // an unpartitioned table reads as one NULL-partition row
     fresh("p2", "id BIGINT")
     spark.sql("INSERT INTO metacat.db.p2 SELECT id FROM range(0, 10)")
