@@ -78,17 +78,21 @@ object Bench {
         // 5 runs: the e2e number has shown ±40% best-to-median spread
         // under host steal (round-6/7 driver benches) — the min-of-2
         // treatment the queries got, applied to the streaming path
+        // the floor's quiet verdict reads the PRE-PHASE loadavg (right
+        // after the quiet-window gate): sampling after the runs would
+        // see the bench's OWN load and abstain on every box — external
+        // load is what makes a low number variance instead of structure
+        val loadPre = sysLoad()
         val e2e = CdcBench.e2eRuns(spark, n = 100000, partitions = 8, k = 5)
         // per-run loadavg travels with the rates; on a QUIET box the
         // 2×-baseline floor verdict is binding (CI catches a structural
         // regression loudly), on a loud box it abstains — load, not
         // structure, owns the number there
-        val loadNow = e2e.loads.lastOption.getOrElse(-1.0)
-        val floor = CdcBench.floorVerdict(e2e.best, loadNow)
+        val floor = CdcBench.floorVerdict(e2e.best, loadPre)
         floor.filterNot(identity).foreach { _ =>
           System.err.println(f"[bench] CDC E2E FLOOR VIOLATION: best " +
             f"${e2e.best}%.0f msg/s < ${CdcBench.FloorMsgsPerSec}%.0f " +
-            f"(2x baseline) on a QUIET box (loadavg $loadNow%.2f) — " +
+            f"(2x baseline) on a QUIET box (pre-phase loadavg $loadPre%.2f) — " +
             "this is structural, not host variance")
         }
         CdcBench.walDecodeBenches() ++ Map(

@@ -444,6 +444,59 @@ object AnnIndex {
       provenance = Some(CorpusProvenance(corpusRoot, snap.snapshotId, tag)))
   }
 
+  /** Keep a published index IN STEP with its corpus table — the live
+    * maintenance half of the corpus-release loop (q149's clone seeds a
+    * replica in O(metadata); this keeps the replica's INDEX current):
+    * diff the corpus between the index's recorded provenance pin and
+    * the current head ([[LakehouseTable.changesBetween]] — CHANGE
+    * volume, never table volume), MoR-remove the deleted keys
+    * (key-file cost; [[occupancy]] stays manifest-exact), re-encode
+    * inserted/updated rows against the FROZEN published codebooks
+    * ([[append]] semantics — an updated id replaces its codes), and
+    * advance the provenance pin to the drained head. Returns
+    * (inserted, removed) row counts; (0, 0) when already in step.
+    *
+    * Removal runs FIRST: an updated id arrives as delete(old) +
+    * insert(new), and masking the stale codes before the fresh ones
+    * land keeps every intermediate state serviceable (MoR origin
+    * ordering makes the new codes immune to the older mask). The pin
+    * only advances after both halves land, and both halves are
+    * re-applicable (removing an absent key masks nothing; re-appending
+    * an id replaces its codes with the same frozen-book encoding), so
+    * a crashed sync re-runs to the same state. Codebooks and centroids
+    * never move here — [[rebalance]] and the scheduled full rebuild
+    * remain the layout/codebook repairs.
+    */
+  def syncFromCorpus(spark: SparkSession, corpusRoot: String,
+      root: String): (Long, Long) = {
+    val prov = provenance(root).getOrElse(throw new IllegalStateException(
+      s"index at $root records no corpus provenance — seed the lineage " +
+        "with buildFromCorpus"))
+    require(Paths.get(prov.table).toAbsolutePath.normalize ==
+      Paths.get(corpusRoot).toAbsolutePath.normalize,
+      s"index provenance points at '${prov.table}', not '$corpusRoot'")
+    val corpus = new LakehouseTable(spark, corpusRoot)
+    val head = corpus.currentSnapshot().getOrElse(throw new IllegalStateException(
+      s"corpus table $corpusRoot has no snapshots")).snapshotId
+    if (head == prov.snapshotId) return (0L, 0L)
+    val changes = corpus.changesBetween(prov.snapshotId, head)
+      .select(col("vec_id"), col("embedding"), col("_change"))
+      .localCheckpoint() // one diff, consumed by both halves + counts
+    val dels = changes.filter(col("_change") === "delete").select("vec_id")
+    val ins = changes.filter(col("_change") === "insert")
+      .select("vec_id", "embedding")
+    val nDel = dels.count()
+    val nIns = ins.count()
+    if (nDel > 0) { remove(spark, dels, root, mergeOnRead = true); () }
+    if (nIns > 0) { append(spark, ins, root); () }
+    val v = currentVersion(root).getOrElse(throw new IllegalStateException(
+      s"no published index at $root"))
+    // the sync pin is a bare snapshot id — a release TAG names the
+    // BUILD's corpus state; advancing past it must not keep claiming it
+    publish(root, v, Some(CorpusProvenance(prov.table, head, tag = None)))
+    (nIns, nDel)
+  }
+
   /** Remove vectors from the LIVE index version by id — the index-
     * hygiene half of decontamination: when curation drops documents,
     * their vectors must stop serving. A keyed CDC delete against the

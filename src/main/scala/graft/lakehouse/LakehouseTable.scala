@@ -1791,11 +1791,18 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     * [[inferPartitionCols]] down); a file-less snapshot carries the
     * schema without touching the layout story.
     */
-  private[lakehouse] def createEmpty(schema: StructType): Snapshot =
+  private[lakehouse] def createEmpty(schema: StructType): Unit =
     writeLock.synchronized {
-      require(currentSnapshot().isEmpty, s"table $root already exists")
-      writeSnapshot(Snapshot(nextId(), None, System.currentTimeMillis(),
-        "create", Nil, schema.json))
+      // race-absorbing (two streams bootstrapping one root): a seed
+      // that already landed — this thread's check raced another
+      // in-process writer, or another PROCESS won the put-if-absent
+      // publish — is the desired end state, not an error
+      if (currentSnapshot().isDefined) return
+      try {
+        writeSnapshot(Snapshot(nextId(), None, System.currentTimeMillis(),
+          "create", Nil, schema.json))
+        ()
+      } catch { case _: ConcurrentCommitException => () }
     }
 
   def overwrite(df: DataFrame): Snapshot = writeLock.synchronized {

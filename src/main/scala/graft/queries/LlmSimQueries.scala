@@ -1454,6 +1454,59 @@ object LlmSimQueries {
         "folding the removal tombstone must not change a single served row")
       e2.unpersist()
       served.orderBy(col("q_id"), col("rk"))
+    }),
+    // ---- corpus→index INCREMENTAL SYNC (round 16): the live
+    //      maintenance half of the corpus-release loop. The index is
+    //      built from a pinned corpus state; the corpus then gains new
+    //      docs AND loses a contamination set; ONE syncFromCorpus call
+    //      diffs exactly the change range (changesBetween — change
+    //      volume, never table volume), MoR-removes the departed keys,
+    //      re-encodes the arrivals against the FROZEN published books,
+    //      and advances the provenance pin to the head. The oracle
+    //      trains on the initial corpus and serves the final live set —
+    //      so the gate proves the sync lands exactly the diff, encoded
+    //      exactly as the incremental contract demands. ----
+    "q153_index_sync" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val corpusRoot = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_annsyncc_" + Integer.toHexString(dir.hashCode)).toString
+      val idxRoot = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_annsynci_" + Integer.toHexString(dir.hashCode)).toString
+      Seq(corpusRoot, idxRoot).foreach(p =>
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(p)))
+      val all = Tables.load(s, dir, "embeddings")
+      val corpus = new graft.lakehouse.LakehouseTable(s, corpusRoot)
+      corpus.append(all.filter(col("vec_id") % 4 =!= 0).repartition(2)) // snap 1
+      graft.lakehouse.AnnIndex.buildFromCorpus(s, corpusRoot, idxRoot)
+      val pin0 = graft.lakehouse.AnnIndex.provenance(idxRoot).get
+      require(pin0.snapshotId == 1L, s"build must pin the corpus head: $pin0")
+      // the corpus moves on: new documents arrive, a decontamination
+      // pass deletes flagged ones — the index sees NONE of it yet
+      corpus.append(all.filter(col("vec_id") % 4 === 0).coalesce(1)) // snap 2
+      corpus.applyChanges(
+        all.filter(col("vec_id") % 5 === 3).select("vec_id")
+          .withColumn("_change", lit("delete")),
+        Seq("vec_id"), mergeOnRead = true) // snap 3
+      val (ins, rm) = graft.lakehouse.AnnIndex.syncFromCorpus(s, corpusRoot, idxRoot)
+      require(ins > 0 && rm > 0, s"the sync must land both halves: +$ins/-$rm")
+      val pin1 = graft.lakehouse.AnnIndex.provenance(idxRoot).get
+      require(pin1.snapshotId == corpus.currentSnapshot().get.snapshotId,
+        s"the provenance pin must advance to the drained head: $pin1")
+      // in-step re-run: a no-op, no version churn
+      require(graft.lakehouse.AnnIndex.syncFromCorpus(s, corpusRoot, idxRoot) == ((0L, 0L)),
+        "an in-step sync must be a no-op")
+      val s2 = s.newSession()
+      graft.functions.GraftFunctions.register(s2)
+      val idx = graft.lakehouse.AnnIndex.load(s2, idxRoot)
+      val e2 = Tables.load(s2, dir, "embeddings")
+        .withColumn("nrm", sqrt(sqnorm("embedding"))).cache()
+      val out = ivfpqServe(s2, e2, idx.centroids, idx.books, idx.codes)
+        .localCheckpoint()
+      e2.unpersist()
+      out.orderBy(col("q_id"), col("rk"))
     })
   )
 
@@ -1750,6 +1803,16 @@ object LlmSimQueries {
   private def ivfpqRemovalOracleSql: String =
     ivfpqOracleSqlFor("TRUE", servePred = "vec_id % 5 <> 3")
 
+  /** The q153 twin: training confined to the INITIAL corpus (the
+    * sync's arrivals encode against frozen books — the incremental
+    * contract), serving confined to the FINAL live set (arrivals in,
+    * the decontamination departures out). Mirrors buildFromCorpus on
+    * `%4<>0` + one syncFromCorpus over append(`%4==0`) +
+    * delete(`%5==3`).
+    */
+  private def ivfpqSyncOracleSql: String =
+    ivfpqOracleSqlFor("vec_id % 4 <> 0", servePred = "vec_id % 5 <> 3")
+
   private def ivfpqOracleSqlFor(trainPred: String, servePred: String = "TRUE"): String = {
     val subCtes = pqChainCtes("residbase", "e", encodeSrc = Some("resid"))
     val adcSum = (0 until PqM).map(s => s"l$s.val").mkString(" + ")
@@ -1868,6 +1931,7 @@ object LlmSimQueries {
     "q122_ann_index_remove" -> ivfpqRemovalOracleSql,
     // MoR removal must serve EXACTLY what CoW removal serves
     "q152_index_mor_remove" -> ivfpqRemovalOracleSql,
+    "q153_index_sync" -> ivfpqSyncOracleSql,
     // same trained cells as q63 (shared CTE chain), SemDeDup pruning tail
     "q80_semantic_dedup" -> s"""
       WITH ${ivfAssignCtes()},

@@ -348,6 +348,58 @@ class AnnIndexSpec extends SparkSpec {
       "a MoR-removed vector must never appear in any top-k")
   }
 
+  test("syncFromCorpus applies exactly the corpus diff: arrivals encode frozen, departures mask, updates replace, pin advances") {
+    import spark.implicits._
+    val corpusRoot = tmpDir("ann-sync-c")
+    val idxRoot = tmpDir("ann-sync-i")
+    val corpus = new LakehouseTable(spark, corpusRoot)
+    corpus.append(emb.repartition(2)) // snap 1
+    AnnIndex.buildFromCorpus(spark, corpusRoot, idxRoot)
+    val before = AnnIndex.load(spark, idxRoot)
+    val beforeCodes = before.codes.collect().map(_.toSeq)
+      .map(r => r.head.asInstanceOf[Long] -> r).toMap
+    // the corpus churns: one UPDATE (same id, different vector), one
+    // DELETE, one ARRIVAL — all through ordinary corpus writes
+    val victim = 3L
+    val updated = 7L
+    val newcomer = 900001L
+    val updVec = emb.filter(col("vec_id") === updated)
+      .select("embedding").as[Seq[Float]].head().map(x => x + 5.0f)
+    corpus.applyChanges(
+      Seq((victim, "delete")).toDF("vec_id", "_change"),
+      Seq("vec_id"), mergeOnRead = true)
+    corpus.upsert(Seq((updated, updVec, 0))
+      .toDF("vec_id", "embedding", "label"), Seq("vec_id"))
+    corpus.append(Seq((newcomer, Seq.fill(LlmSimQueries.AnnDim)(0.125f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>")).coalesce(1))
+    val (ins, rm) = AnnIndex.syncFromCorpus(spark, corpusRoot, idxRoot)
+    assert(ins === 2L && rm === 2L,
+      s"update = delete(old)+insert(new), so +2/-2 expected: +$ins/-$rm")
+    val after = AnnIndex.load(spark, idxRoot)
+    // books and centroids NEVER move on a sync
+    assert(after.centroids.map(c => (c._1, c._2.toSeq)) ===
+      before.centroids.map(c => (c._1, c._2.toSeq)))
+    assert(after.books.map(_.map { case (i, v) => (i, v.toSeq) }).toSeq ===
+      before.books.map(_.map { case (i, v) => (i, v.toSeq) }).toSeq)
+    val afterCodes = after.codes.collect().map(_.toSeq)
+      .map(r => r.head.asInstanceOf[Long] -> r).toMap
+    assert(!afterCodes.contains(victim), "a departed id must stop serving")
+    assert(afterCodes.contains(newcomer), "an arrival must enter the index")
+    assert(afterCodes(updated) !== beforeCodes(updated),
+      "an updated id must REPLACE its codes (re-encoded vector)")
+    assert(afterCodes.contains(updated) &&
+      afterCodes.count(_._1 == updated) === 1, "exactly one row per live id")
+    // untouched ids keep bit-identical codes
+    (beforeCodes.keySet - victim - updated).foreach { id =>
+      assert(afterCodes(id) === beforeCodes(id), s"id $id must be untouched")
+    }
+    // the pin advanced to the head; an in-step re-run is a no-op
+    assert(AnnIndex.provenance(idxRoot).map(_.snapshotId) ===
+      Some(corpus.currentSnapshot().get.snapshotId))
+    assert(AnnIndex.syncFromCorpus(spark, corpusRoot, idxRoot) === ((0L, 0L)))
+  }
+
   test("remove deletes EXACTLY the requested ids — no training, other codes bit-unchanged, cell layout preserved") {
     import spark.implicits._
     val root = tmpDir("annidx-rm")
