@@ -324,6 +324,35 @@ class CloneSpec extends SparkSpec {
     }
   }
 
+  test("a PARTIALLY-localized clone (deepen interrupted mid-copy) reads and upserts exactly") {
+    val t = buildSource()
+    val forkId = t.currentSnapshot().get.snapshotId
+    val c = t.cloneAtSnapshot(tmpDir("clone-partial"), forkId)
+    // simulate the crash window: SOME foreign bytes landed locally but
+    // the deepen commit never did — the head still spells every
+    // reference absolute, and local copies shadow a subset of them
+    val cur = c.currentSnapshot().get
+    val foreign = (cur.files ++ cur.tombstones)
+      .filter(f => java.nio.file.Paths.get(f).isAbsolute)
+    val one = foreign.find(_.contains("cell=0")).getOrElse(foreign.head)
+    val local = java.nio.file.Paths.get(c.root)
+      .resolve(LakehouseTable.claimDirRelative(one))
+    java.nio.file.Files.createDirectories(local.getParent)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(one), local)
+    // mixed resolution must stay group-consistent: reads answer exactly
+    assert(rowsOf(c.read()) === expected)
+    // and a CoW keyed apply must still find + rewrite the touched file
+    // (the probe's URIs and the manifest's keys normalize to the same
+    // claim-relative form whichever side served the bytes)
+    c.applyChanges(Seq((3L, 0, "rewritten", "insert"))
+      .toDF("id", "cell", "label", "_change"), Seq("id"))
+    assert(rowsOf(c.read()) === rewrittenHead)
+    // the finished deepen then completes the localization idempotently
+    assert(c.deepen() > 0)
+    graft.Fs.deleteRecursively(java.nio.file.Paths.get(t.root))
+    assert(rowsOf(c.read()) === rewrittenHead)
+  }
+
   test("compaction on a shallow clone naturally localizes every file") {
     val t = buildSource()
     t.setTag("rel", t.currentSnapshot().get.snapshotId)
