@@ -66,6 +66,12 @@ object Bench {
       // explicit: runtime skew-split is part of the scale design
       // (ScaleDesignSpec proves a hot key triggers it under AQE)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let AQE re-optimize CACHED plans too (off by default): engine
+      // paths cache reused frames (merge joins, upsert batches), and
+      // without this every consumer of a cached frame scans the full
+      // pre-AQE shuffle partitioning — scale-neutral (the same
+      // advisory-size coalescing applies at any partition count)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

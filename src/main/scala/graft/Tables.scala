@@ -14,6 +14,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Fixture tables are immutable per (dir, name), so their PHYSICAL
+  // schema is a per-process constant. Memoizing it turns every
+  // subsequent load into `spark.read.schema(memoized)` — parquet schema
+  // inference is a Spark JOB (SchemaMergeUtils.mergeSchemasInParallel
+  // footer-reads even a single file through the cluster), and a bench
+  // pass over the catalog was paying it hundreds of times (guide §2.4:
+  // remove work outright before tuning it).
+  private val schemaMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.types.StructType]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // Fixture generations have shipped events.ts under two physical
@@ -26,7 +36,9 @@ object Tables {
       // cast is instant-preserving) so the catalog sees one schema
       // regardless of fixture vintage.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val sch = schemaMemo.getOrElseUpdate((dir, name),
+        spark.read.parquet(s"$dir/$name.parquet").schema)
+      val raw = spark.read.schema(sch).parquet(s"$dir/$name.parquet")
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
@@ -34,7 +46,11 @@ object Tables {
           raw.withColumn("ts", col("ts").cast("timestamp"))
         case _ => raw
       }
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else {
+      val sch = schemaMemo.getOrElseUpdate((dir, name),
+        spark.read.parquet(s"$dir/$name.parquet").schema)
+      spark.read.schema(sch).parquet(s"$dir/$name.parquet")
+    }
 
   /** Register all fixture tables as temp views for SQL-level access. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -120,11 +120,37 @@ object LakehouseMor {
     */
   def typesSupported(spark: SparkSession, t: LakehouseTable, snap: Snapshot): Boolean =
     snap.tombstones.groupBy(dirOf).values.forall { fs =>
-      try spark.read.parquet(t.absDataPath(fs.head)).schema.fields.forall(f => typeOk(f.dataType))
-      catch { case _: Exception => false }
+      // footer read on the driver — `spark.read.parquet(..).schema` ran
+      // a schema-inference JOB per dir per plan. Hive partition path
+      // columns (absent from the footer) infer as int/string — always
+      // mask-canon-safe, so footer fields alone decide.
+      t.footerSchemaOf(fs.head) match {
+        case Some(sch) => sch.fields.forall(f => typeOk(f.dataType))
+        case None =>
+          try spark.read.parquet(t.absDataPath(fs.head)).schema.fields
+            .forall(f => typeOk(f.dataType))
+          catch { case _: Exception => false }
+      }
     }
 
   private def dirOf(relFile: String): String = LakehouseTable.claimDirOf(relFile)
+
+  /** Mask-build LRU: a snapshot's tombstone set is IMMUTABLE once
+    * committed (tombstone paths carry per-write nonces, so a dropped-
+    * and-recreated table at the same root can never alias an entry),
+    * yet every scan PLANNING of a MoR snapshot was re-reading the key
+    * parquet — several Spark jobs per plan, paid again for every action
+    * a serve/gate runs over the same snapshot. Bounded access-ordered
+    * LRU of the built masks (driver metadata, batch-sized — the same
+    * volume a broadcast ships); 64 entries matches the staged-evolution
+    * LRU discipline in [[LakehouseDml]].
+    */
+  private val maskCache = new java.util.LinkedHashMap[
+      (String, Long, Seq[String]), Seq[MorMaskData]](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, Long, Seq[String]), Seq[MorMaskData]]): Boolean =
+      size() > 64
+  }
 
   /** Build the masks: per tombstone dir group, read the key parquet and
     * fold tuples into `byKey` at that dir's origin; dirs sharing one
@@ -133,12 +159,26 @@ object LakehouseMor {
     * sets — the same volume the V1 anti-join broadcasts.
     */
   def build(spark: SparkSession, t: LakehouseTable, snap: Snapshot): Seq[MorMaskData] = {
+    val key = (t.rootAbsPath, snap.snapshotId, snap.tombstones)
+    maskCache.synchronized(Option(maskCache.get(key))) match {
+      case Some(hit) => hit
+      case None =>
+        val built = buildUncached(spark, t, snap)
+        maskCache.synchronized(maskCache.put(key, built))
+        built
+    }
+  }
+
+  private def buildUncached(spark: SparkSession, t: LakehouseTable,
+      snap: Snapshot): Seq[MorMaskData] = {
     val declared = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
       .fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
     val perDir = snap.tombstones.groupBy(dirOf).toSeq.sortBy(_._1).map { case (_, fs) =>
       val origin = t.originOfFile(fs.head)
-      val df = spark.read.option("mergeSchema", "true")
-        .parquet(fs.map(t.absDataPath): _*)
+      // files within one claim dir come from ONE write (one schema), so
+      // first-footer inference is exact; the old mergeSchema=true paid a
+      // distributed footer-merge job per dir for nothing
+      val df = spark.read.parquet(fs.map(t.absDataPath): _*)
       val names = df.columns.sorted.toSeq
       (names, names.map(n => df.schema(n).dataType), origin,
         df.select(names.map(col): _*))
@@ -153,9 +193,11 @@ object LakehouseMor {
       val acc = scala.collection.mutable.HashMap.empty[List[Any], Long]
       group.foreach { case (_, ts, origin, df) =>
         // .copy() is load-bearing: the scan REUSES its UnsafeRow per
-        // partition, so an uncopied localIterator yields N references
-        // to the LAST row — every tombstone key but one would vanish
-        df.queryExecution.toRdd.map(_.copy()).toLocalIterator.foreach { row =>
+        // partition, so uncopied rows would all alias the LAST one —
+        // every tombstone key but one would vanish. collect() (not
+        // toLocalIterator, which submits one job PER PARTITION) drains
+        // the batch-sized key set in a single job.
+        df.queryExecution.toRdd.map(_.copy()).collect().foreach { row =>
           var i = 0
           var ok = true
           val vals = new Array[Any](types.length)

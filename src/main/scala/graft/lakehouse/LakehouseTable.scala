@@ -880,9 +880,13 @@ final class LakehouseTable(spark: SparkSession, val root: String,
           throw new ConcurrentCommitException(root, claimedId)
         // read the staged files back for their KEY tuples only —
         // basePath reconstitutes identity-partitioned key columns; the
-        // explicit cast pins path-inferred types to the batch's
+        // explicit cast pins path-inferred types to the batch's. The
+        // batch schema is passed EXPLICITLY: we wrote these files from
+        // exactly this schema one call ago, and letting Spark re-infer
+        // it costs a footer-reading job per commit (guide §2.4)
         val dir = staged.head.split('/').take(2).mkString("/")
         val stagedDf = spark.read
+          .schema(batchSchema)
           .option("basePath", rootPath.resolve(dir).toString)
           .parquet(staged.map(f => rootPath.resolve(f).toString): _*)
         val canon = batchSchema.fields.map(f => nameKey(f.name) -> f).toMap
@@ -967,15 +971,21 @@ final class LakehouseTable(spark: SparkSession, val root: String,
             deletes = Some(c.tombstones ++ tombFiles).filter(_.nonEmpty))))
         } else {
           val canon = batchSchema.fields.map(f => nameKey(f.name) -> f).toMap
+          val keyFields = StructType(keys.map { k =>
+            val f = canon.getOrElse(nameKey(k), throw new IllegalArgumentException(
+              s"keys column '$k' not in the batch schema ${batchSchema.simpleString}"))
+            org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true)
+          })
+          // explicit schema: the executor writers stamped the tomb key
+          // files with exactly these (name, type) pairs ([[LakehouseData
+          // Writer.keySchema]]); re-inferring would cost a footer job
+          // per epoch commit
           val incoming =
             if (tombFiles.isEmpty) None
-            else Some(spark.read.parquet(tombFiles.map(f =>
+            else Some(spark.read.schema(keyFields).parquet(tombFiles.map(f =>
               rootPath.resolve(f).toString): _*)
-              .select(keys.map { k =>
-                val f = canon.getOrElse(nameKey(k), throw new IllegalArgumentException(
-                  s"keys column '$k' not in the batch schema ${batchSchema.simpleString}"))
-                col(f.name).cast(f.dataType).as(f.name)
-              }: _*).distinct())
+              .select(keyFields.fields.map(f =>
+                col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*).distinct())
           val touched = incoming.map(touchedFilesFor(c, _, keys)).getOrElse(Nil)
           val id = nextId()
           val partCols = inferPartitionCols(c.files)
@@ -3541,7 +3551,12 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         else {
           val cand = newTombs.groupBy(LakehouseTable.claimDirOf)
             .values.toSeq.flatMap { fs =>
-              val keyRows = spark.read.parquet(
+              // footer schema (one claim dir = one write = one schema)
+              // skips the per-dir schema-inference job; fall back to
+              // inference only if the footer is unreadable
+              val rd = footerSchemaOf(fs.head)
+                .fold(spark.read)(s => spark.read.schema(s))
+              val keyRows = rd.parquet(
                 fs.map(f => rootPath.resolve(f).toString): _*).distinct()
               touchedFilesFor(fromS, keyRows, keyRows.columns.toSeq)
             }.distinct
@@ -3817,6 +3832,26 @@ final class LakehouseTable(spark: SparkSession, val root: String,
         } finally reader.close()
       } catch { case _: Exception => None } // unreadable footer → no evidence → keep
     })
+
+  /** The parquet FILE schema of a data/key file as Spark types, read
+    * driver-side from the footer (NO Spark job — `spark.read.parquet`
+    * schema inference launches one even for a single file). Partition
+    * path columns are NOT included — callers that need them parse the
+    * hive segments themselves. None on any read/convert failure, so
+    * callers can fall back to full inference.
+    */
+  private[lakehouse] def footerSchemaOf(relFile: String): Option[StructType] =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(rootPath.resolve(relFile).toString),
+        spark.sessionState.newHadoopConf())
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val conv = new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+        Some(conv.convert(reader.getFooter.getFileMetaData.getSchema))
+      } finally reader.close()
+    } catch { case _: Throwable => None }
 
   /** Encode a (min, max) pair of parquet stat values as a typed
     * ColumnStat; None = a type the pruner must never decide on.
@@ -4458,7 +4493,11 @@ final class LakehouseTable(spark: SparkSession, val root: String,
     val perDir: Seq[(Seq[String], DataFrame)] = byDir.toSeq.map { case (dir, fs) =>
       val origin = originOf(fs.head)
       val fsE = localizedGroup(fs).getOrElse(fs)
-      val t = spark.read.parquet(fsE.map(f => rootPath.resolve(f).toString): _*)
+      // leaf-file reads discover no hive partition columns either way;
+      // the footer schema (one claim dir = one write = one schema)
+      // skips the schema-inference job Spark runs per uninferred read
+      val rd = footerSchemaOf(fsE.head).fold(spark.read)(s => spark.read.schema(s))
+      val t = rd.parquet(fsE.map(f => rootPath.resolve(f).toString): _*)
         .withColumn("__graft_t_origin", lit(origin))
       (t.columns.filterNot(_ == "__graft_t_origin").sorted.toSeq, t)
     }
