@@ -168,17 +168,17 @@ object AnnIndex {
   }
 
   /** Residual frame: embedding := float(double(x) − double(c_cell)) —
-    * the exact cast chain q111's oracle twin mirrors per element.
+    * the exact cast chain q111's oracle twin mirrors per element. One
+    * model-carrying node (identical results to the old broadcast-join +
+    * zip_with form, minus the join/exchange and its per-action plan
+    * cost — r16 opt round).
     */
   private def residualize(s: SparkSession, assigned: DataFrame,
       cv: Seq[(Int, Array[Float], Double)]): DataFrame = {
-    val centDf = {
-      import s.implicits._
-      cv.map { case (cid, cemb, _) => (cid, cemb.toSeq) }.toDF("cell", "c_emb")
-    }
-    assigned.join(broadcast(centDf), "cell")
-      .withColumn("embedding", expr(
-        "zip_with(embedding, c_emb, (x, c) -> CAST(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) AS FLOAT))"))
+    import org.apache.spark.sql.GraftColumnAccess.{column, expression}
+    assigned.withColumn("embedding", column(graft.functions.ResidualVec(
+        expression(col("embedding")), expression(col("cell")),
+        graft.functions.CellModel.of(cv))))
       .select(col("vec_id"), col("cell"), col("embedding"))
   }
 

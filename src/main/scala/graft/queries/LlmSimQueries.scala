@@ -242,13 +242,16 @@ object LlmSimQueries {
     * aggregation plan at every consumer).
     */
   def ivfAssignV(e: DataFrame, cv: Seq[(Int, Array[Float], Double)]): DataFrame = {
-    val scoredArr = array(cv.map { case (id, emb, cn) =>
-      struct(
-        (call_function("dotp", col("embedding"), typedlit(emb)) /
-          (col("nrm") * lit(cn))).as("cscore"),
-        lit(-id).as("negid"))
-    }: _*)
-    e.withColumn("cell", -array_max(scoredArr).getField("negid"))
+    // one model-carrying node instead of C literal-struct score columns:
+    // bit-identical scores/tie-breaks (NearestCell doc), but the plan
+    // tree is O(1), so the per-ACTION analysis/codegen cost stops
+    // scaling with C — measured ~0.5-1 s of pure driver time per
+    // planned action at C=16 on the literal form (r16 opt round)
+    import org.apache.spark.sql.GraftColumnAccess.{column, expression}
+    val cell = column(graft.functions.NearestCell(
+      expression(col("embedding")), expression(col("nrm")),
+      graft.functions.CellModel.of(cv)))
+    e.withColumn("cell", cell)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
   }
 
@@ -443,17 +446,16 @@ object LlmSimQueries {
     */
   def pqEncode(e: DataFrame, books: Array[IndexedSeq[(Int, Array[Float])]],
       keep: Seq[String] = Nil): DataFrame = {
+    // one model-carrying node per subspace instead of K literal-struct
+    // score columns each — identical codes (PqCodeSub doc), O(M) plan
+    // tree instead of O(M·K·dsub); the literal form cost ~1 s of pure
+    // driver analysis/codegen per planned action (r16 opt round)
+    import org.apache.spark.sql.GraftColumnAccess.{column, expression}
     var out = e
     for (s <- 0 until PqM) {
-      val scored = array(books(s).map { case (cid, c) =>
-        val half = c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble) / 2.0
-        struct(
-          (call_function("dotp",
-            slice(col("embedding"), s * PqDsub + 1, PqDsub), typedlit(c)) - lit(half))
-            .as("score"),
-          lit(-cid).as("negid"))
-      }: _*)
-      out = out.withColumn(s"code$s", -array_max(scored).getField("negid"))
+      out = out.withColumn(s"code$s", column(graft.functions.PqCodeSub(
+        expression(col("embedding")),
+        graft.functions.SubBook.of(books(s), s * PqDsub))))
     }
     out.select((col("vec_id") +: keep.map(col)) ++
       (0 until PqM).map(s => col(s"code$s")): _*)
@@ -1026,16 +1028,16 @@ object LlmSimQueries {
         .withColumn("nrm", sqrt(sqnorm("embedding"))).cache()
       val cv = ivfCentroidValues(e)
       val assigned = ivfAssignV(e, cv)
-      val centDf = {
-        import s.implicits._
-        cv.map { case (cid, cemb, _) => (cid, cemb.toSeq) }.toDF("cell", "c_emb")
-      }
       // residual in float: CAST(double(x) − double(c) AS FLOAT) — the
-      // exact form the oracle twin mirrors per element
-      val residuals = assigned.join(broadcast(centDf), "cell")
-        .withColumn("embedding", expr(
-          "zip_with(embedding, c_emb, (x, c) -> CAST(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) AS FLOAT))"))
-        .select(col("vec_id"), col("cell"), col("embedding"))
+      // exact form the oracle twin mirrors per element, as one
+      // model-carrying node (no centroid join; r16 opt round)
+      val residuals = {
+        import org.apache.spark.sql.GraftColumnAccess.{column, expression}
+        assigned.withColumn("embedding", column(graft.functions.ResidualVec(
+            expression(col("embedding")), expression(col("cell")),
+            graft.functions.CellModel.of(cv))))
+          .select(col("vec_id"), col("cell"), col("embedding"))
+      }
       val books = pqCodebooks(residuals.cache())
       // the IVFPQ index: (cell, M residual codes) per vector,
       // checkpointed (same rationale as q109's code frame); `keep`
