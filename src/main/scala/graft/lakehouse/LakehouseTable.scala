@@ -1477,14 +1477,22 @@ final class LakehouseTable(spark: SparkSession, val root: String,
           // into the delete path below and silently destroy the row.
           // NULL needs its own disjunct — under SQL three-valued logic
           // `!isin(...)` is NULL for a null tag and the filter would
-          // silently drop exactly the row it exists to catch
-          val badTags = ch.filter(
-            col("_change").isNull || !col("_change").isin("insert", "delete"))
-            .select("_change").distinct().limit(5)
-            .collect().map(r => if (r.isNullAt(0)) "NULL" else r.getString(0))
+          // silently drop exactly the row it exists to catch.
+          // ONE aggregate pass answers tag validity AND the emptiness
+          // probes the branches below need (nIns/nAll) — the separate
+          // distinct-collect + isEmpty actions cost a Spark job each
+          // per CDC batch (guide §1.2: don't compute things twice)
+          val chStats = ch.agg(
+            collect_set(when(
+              col("_change").isNull || !col("_change").isin("insert", "delete"),
+              coalesce(col("_change"), lit("NULL")))).as("bad"),
+            count(when(col("_change") === "insert", lit(1))).as("nins"),
+            count(lit(1)).as("nall")).head
+          val badTags = chStats.getSeq[String](0).take(5)
           require(badTags.isEmpty,
             s"applyChanges: unsupported _change tag(s) ${badTags.mkString("'", "', '", "'")} " +
               "(this feed speaks insert|delete; updates arrive as delete(old)+insert(new))")
+          val (nIns, nAll) = (chStats.getLong(1), chStats.getLong(2))
           val inserts = ch.filter(col("_change") === "insert").drop("_change")
           val cur = currentSnapshot()
           val id = nextId()
@@ -1502,7 +1510,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
               val partCols = inferPartitionCols(c.files)
               val touchedKeys = ch.select(keys.map(col): _*).distinct()
               val added =
-                if (inserts.isEmpty) Nil
+                if (nIns == 0L) Nil
                 else writeDataFiles(inserts, id,
                   partitionCols = partCols.filter(pc => inserts.columns.contains(specSourceCol(pc))))
               if (mergeOnRead) {
@@ -1530,7 +1538,7 @@ final class LakehouseTable(spark: SparkSession, val root: String,
                   else ch.select((keys ++ tombPartSpecs.map(specSourceCol))
                     .map(col): _*).distinct()
                 val tomb =
-                  if (ch.isEmpty) Nil
+                  if (nAll == 0L) Nil
                   else dropEmptyDataFiles(
                     writeDataFiles(tombKeys, id, suffix = "tomb",
                       partitionCols = tombPartSpecs))

@@ -746,16 +746,23 @@ object LlmSimQueries {
       blocks.as("x").join(blocks.as("y"),
           col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
             col("x.doc_id") < col("y.doc_id"))
-        // confirm INSIDE the join projection, before the dedup shuffle:
-        // the xor/bit_count is a few cycles per candidate, and dropping
-        // failed candidates here keeps the distinct's exchange at the
-        // qualifying-pair volume, not the (much larger) candidate
-        // superset the hot buckets generate
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
-            .cast(IntegerType).as("hamming"))
-        .filter(col("hamming") <= 3)
-        .distinct()
+        // confirm INSIDE the join projection, before any shuffle: the
+        // xor/bit_count is a few cycles per candidate. DEDUP is a
+        // map-side filter, not an exchange: a qualifying pair reappears
+        // once per matching block, and "matching" is visible right here
+        // (byte b of the xor is zero) — so counting the pair ONLY at
+        // its first zero byte keeps exactly one copy without the old
+        // `.distinct()`, whose exchange carried the full qualifying
+        // pair set (~2M rows at sf0.1; the census GROUP BY now ships 4
+        // partially-aggregated rows per partition instead — guide §2.3)
+        .select(col("x.blk").as("blk"),
+          col("x.simhash").bitwiseXOR(col("y.simhash")).as("xr"))
+        .withColumn("hamming", bit_count(col("xr")).cast(IntegerType))
+        .filter(col("hamming") <= 3 &&
+          col("blk") === when(shiftright(col("xr"), 0) % 256 === 0, 0)
+            .when(shiftright(col("xr"), 8) % 256 === 0, 1)
+            .when(shiftright(col("xr"), 16) % 256 === 0, 2)
+            .otherwise(3))
         .groupBy(col("hamming"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("hamming"))

@@ -295,13 +295,21 @@ object LlmTextQueries {
       // sides share the partitioner. Math is unchanged: min-label to
       // fixpoint, O(cluster diameter) rounds, so the gated output is
       // bit-identical.
-      val part = new org.apache.spark.HashPartitioner(
-        s.sessionState.conf.numShufflePartitions)
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       // symmetric edge set, partitioned once and reused every round
-      val edges = pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)].rdd
+      val edges0 = pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)].rdd
         .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-        .partitionBy(part).persist(lvl)
+      // SCALE-ADAPTIVE loop parallelism (guide §2.2/§2.5): the upstream
+      // pair frame's partition count is already AQE-coalesced to the
+      // data volume, so it is the honest size signal — a fixed
+      // numShufflePartitions fan-out ran every fixpoint round at full
+      // session width over arbitrarily small label sets (32 partitions
+      // × ~15 rounds = ~1,000 near-empty tasks at the bench SF), while
+      // a huge corpus still gets the session ceiling.
+      val part = new org.apache.spark.HashPartitioner(
+        math.min(s.sessionState.conf.numShufflePartitions,
+          math.max(1, edges0.getNumPartitions)))
+      val edges = edges0.partitionBy(part).persist(lvl)
       edges.count() // materialize, then drop the shingle cache
       sh.unpersist()
       var labels = edges.keys.distinct(part.numPartitions)
