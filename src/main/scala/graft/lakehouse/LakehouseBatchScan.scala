@@ -576,7 +576,26 @@ final class LakehouseBatchScan(
     */
   private def readerFactoryFor(
       readDataSchema: StructType, partSchema: StructType,
-      useFieldIds: Boolean = false): ParquetPartitionReaderFactory = {
+      useFieldIds: Boolean = false): ParquetPartitionReaderFactory =
+    // MEMOIZED per (schemas, id-routing): planInputPartitions calls this
+    // once per LAYOUT GROUP — under SPJ that is one group per partition
+    // key, and the scan can re-plan under a runtime filter — and every
+    // uncached call clones the session Hadoop conf AND broadcasts it
+    // (~30-50 ms of driver work each; measured ~1 s/rep on the SPJ
+    // gate). Groups that differ only in partition values / mask origin /
+    // bucket id share schemas, so one factory serves them all — the
+    // factory holds schemas and filters, never per-file state.
+    factoryCache.computeIfAbsent(
+      (readDataSchema.json, partSchema.json, useFieldIds),
+      _ => buildReaderFactory(readDataSchema, partSchema, useFieldIds))
+
+  @transient private lazy val factoryCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Boolean),
+      ParquetPartitionReaderFactory]
+
+  private def buildReaderFactory(
+      readDataSchema: StructType, partSchema: StructType,
+      useFieldIds: Boolean): ParquetPartitionReaderFactory = {
     val conf = spark.sessionState.conf
     val hadoopConf = spark.sessionState.newHadoopConfWithOptions(options)
     // stamped-id routing: the readers match requested columns by their
