@@ -76,7 +76,16 @@ object QBench {
       val mainThread = Thread.currentThread()
       val t = new Thread(() => {
         while (true) {
-          val st = mainThread.getStackTrace
+          // MAIN plus any live stream-execution threads: lifecycle
+          // gates run their drains on MicroBatchExecution threads the
+          // main-only sampler was blind to
+          val streamThreads = {
+            import scala.jdk.CollectionConverters._
+            Thread.getAllStackTraces.keySet.asScala.filter(th =>
+              th.getName.startsWith("stream execution thread"))
+          }
+          (Iterator(mainThread) ++ streamThreads.iterator).foreach { th =>
+          val st = th.getStackTrace
           if (st.nonEmpty) {
             val interesting = st.find { f =>
               val c = f.getClassName
@@ -87,6 +96,7 @@ object QBench {
               (if (st.head.toString.contains("Object.wait") || st.head.toString.contains("park")) " [WAIT]" else " [RUN]")
             sampleHist.computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicLong)
               .incrementAndGet()
+          }
           }
           Thread.sleep(10)
         }

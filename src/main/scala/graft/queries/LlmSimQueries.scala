@@ -524,13 +524,29 @@ object LlmSimQueries {
       .foldLeft(col("offset"))(_ + _)
     import org.apache.spark.sql.expressions.Window
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
-    val shortlist = codesProbed.join(broadcast(probes), Seq("cell"))
+    // the shortlist is O(queries · PqShortlist) index METADATA — it was
+    // already materialized driver-side as a broadcast build; collecting
+    // it instead lets the exact-rerank hydration push the shortlist ids
+    // INTO the corpus scan (IN/InSet → parquet row-group stats / the
+    // lakehouse per-file key pruning). At 100 TB the re-rank then reads
+    // the row groups holding ~queries·50 ids instead of the FULL corpus
+    // — the difference between hydration being a point lookup and a
+    // table scan. Results are identical: the inner broadcast join kept
+    // exactly these vec_ids.
+    val shortRows = codesProbed.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(qdf), "q_id")
       .withColumn("adc", dround(adc, 6))
       .withColumn("crk", row_number().over(wAdc))
       .filter(col("crk") <= PqShortlist)
       .select(col("q_id"), col("vec_id"))
+      .collect()
+    val shortlist = {
+      import s.implicits._
+      shortRows.toIndexedSeq.map(r => (r.getLong(0), r.getLong(1)))
+        .toDF("q_id", "vec_id")
+    }
+    val slIds = shortRows.map(_.getLong(1)).distinct.sorted
     val qe = {
       import s.implicits._
       qRows.toIndexedSeq
@@ -538,7 +554,8 @@ object LlmSimQueries {
         .toDF("q_id", "q_emb", "q_nrm")
     }
     val wX = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    e.join(broadcast(shortlist), "vec_id")
+    e.filter(col("vec_id").isin(slIds.map(Long.box): _*))
+      .join(broadcast(shortlist), "vec_id")
       .join(broadcast(qe), "q_id")
       .withColumn("cosine", dround(dot("q_emb", "embedding") / (col("q_nrm") * col("nrm")), 6))
       .withColumn("rk", row_number().over(wX))

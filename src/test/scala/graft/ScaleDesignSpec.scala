@@ -730,25 +730,39 @@ class ScaleDesignSpec extends SparkSpec {
     graft.lakehouse.AnnIndex.build(spark, e, root)
     val idx = graft.lakehouse.AnnIndex.load(spark, root)
     val en = e.withColumn("nrm", sqrt(expr("dotp(embedding, embedding)")))
-    val served = graft.queries.LlmSimQueries.ivfpqServe(
-      spark, en, idx.centroids, idx.books, idx.codes)
-    val p = served.queryExecution.explainString(
+    // r16: serve runs in two halves — the ADC SHORTLIST half (probed
+    // cells → window top-50, collected: O(queries·50) index metadata,
+    // exactly what the old plan materialized as a broadcast build) and
+    // the exact-rerank half whose corpus scan is PRUNED by the
+    // shortlist ids. Pin the scale shape of each half.
+    val probedCells = idx.centroids.map(_._1) // superset of probed
+    val shortHalf = idx.codes
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+    val pShort = shortHalf.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     // the compressed-corpus scan carries the probed-cell predicate AS A
     // PARTITION FILTER (INSET over the hive cell= dirs) — at scale this
     // is the partition-pruned read that touches nprobe/C of the index
-    // instead of all of it (the fixture's 20 queries happen to probe
-    // every cell; the filter SHAPE is what must hold)
-    assert(p.contains("PartitionFilters: [cell#"),
+    // instead of all of it
+    assert(pShort.contains("PartitionFilters: [cell#"),
       "probed-cell isin must reach the codes scan as a partition filter")
-    // probes / LUTs / shortlist / query hydration all broadcast; the
-    // corpus is never shuffle-paired
+    val served = graft.queries.LlmSimQueries.ivfpqServe(
+      spark, en, idx.centroids, idx.books, idx.codes)
+    val p = served.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the rerank hydration must NOT be a full-corpus read: the
+    // shortlist ids push into the scan (IN/InSet → row-group / file
+    // pruning at scale)
+    assert(p.contains("PushedFilters: [") && p.contains("In(vec_id"),
+      s"shortlist ids must push into the hydration scan:\n$p")
+    // shortlist pairs / query hydration broadcast; the corpus is never
+    // shuffle-paired
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
-    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 3,
-      "serve joins must broadcast index metadata over the scans")
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "rerank joins must broadcast index metadata over the scan")
     // per-query ranking is windowed top-k, never a global sort of scores
     assert(p.contains("WindowGroupLimit") || p.contains("RunningWindowFunction") ||
-      p.contains("Window"), "shortlist must rank per-query")
+      p.contains("Window"), "rerank must rank per-query")
   }
 
   test("q108: LM model frames broadcast; scoring path has no sort-merge join") {
